@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship DQ query on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query for the correctness
+gate. The fixture rule suite is declared once as structured specs below
+and both sides (Spark rule text, DuckDB encode SQL) are generated from
+it, so they cannot drift.
 """
 
 from __future__ import annotations
@@ -12,27 +13,299 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quality_spark import (
+    PASSED_INT,
+    add_data_quality,
+    add_overall_results_and_details,
+    pack_id,
+    rule_suite,
+    Id,
+)
+from quality_spark.functions import api as Q
+
+# ---------------------------------------------------------------------------
+# Fixture DQ suite over lineitem (FIXTURES.md §2), as (set, rule, kind, sql)
+# kind ∈ bool | prob | soft_bool | disabled — drives both the Spark rule
+# text and the DuckDB oracle int-encoding.
+# ---------------------------------------------------------------------------
+
+SUITE_ID = (1, 1)
+PROBABLE_PASS = 0.8
+
+RULE_SPECS = [
+    ((10, 1), (100, 1), "bool", "l_quantity > 0"),
+    ((10, 1), (101, 1), "bool", "l_extendedprice >= 0"),
+    ((10, 1), (102, 1), "bool", "l_discount between 0 and 1"),
+    ((10, 1), (103, 1), "bool", "year(l_shipdate) <= 1998"),
+    ((20, 1), (200, 1), "prob", "1.0 - l_discount"),
+    ((20, 1), (201, 1), "soft_bool", "l_tax < 0.05"),
+    ((20, 1), (202, 1), "disabled", None),
+    # margin(...) is a registered lambda on the Spark side; the oracle
+    # uses the hand-expanded body.
+    ((20, 1), (203, 1), "bool", "margin(l_extendedprice, l_discount) > 0"),
+]
+
+LAMBDAS = [("margin", "(p, d) -> p * (1 - d)", (50, 1))]
+
+
+def _spark_rule_text(kind: str, sql: str | None) -> str:
+    if kind == "disabled":
+        return "disabled_rule()"
+    if kind == "soft_bool":
+        return f"soft_fail({sql})"
+    return sql  # bool | prob
+
+
+def fixture_suite():
+    sets: dict = {}
+    for set_id, rule_id, kind, sql in RULE_SPECS:
+        sets.setdefault(set_id, []).append((rule_id, _spark_rule_text(kind, sql)))
+    return rule_suite(
+        SUITE_ID,
+        [(sid, rules) for sid, rules in sets.items()],
+        lambdas=LAMBDAS,
+        probable_pass=PROBABLE_PASS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generation: the same int encoding, written in DuckDB SQL.
+# DuckDB rounds on double→int CAST where Spark truncates, hence trunc().
+# ---------------------------------------------------------------------------
+
+_ORACLE_LAMBDA_EXPANSION = {
+    "margin(l_extendedprice, l_discount) > 0": "(l_extendedprice * (1 - l_discount)) > 0"
+}
+
+
+def _oracle_encode(kind: str, sql: str | None) -> str:
+    if sql in _ORACLE_LAMBDA_EXPANSION:
+        sql = _ORACLE_LAMBDA_EXPANSION[sql]
+    if kind == "disabled":
+        return "-2"
+    if kind == "bool":
+        return f"(CASE WHEN ({sql}) THEN {PASSED_INT} ELSE 0 END)"
+    if kind == "soft_bool":
+        return (
+            f"(CASE WHEN ({sql}) IS NULL THEN 0 WHEN ({sql}) THEN {PASSED_INT} "
+            f"ELSE -1 END)"
+        )
+    if kind == "prob":
+        e = f"(CAST(({sql}) AS DOUBLE))"
+        return (
+            f"(CASE WHEN {e} IS NULL THEN 0 WHEN {e} = 0.0 THEN 0 "
+            f"WHEN {e} = 1.0 THEN {PASSED_INT} WHEN {e} = -1.0 THEN -1 "
+            f"WHEN {e} = -2.0 THEN -2 "
+            f"ELSE CAST(trunc({e} * {PASSED_INT}) AS INTEGER) END)"
+        )
+    raise ValueError(kind)
+
+
+def _oracle_fail_cond(enc: str) -> str:
+    threshold = PROBABLE_PASS * PASSED_INT
+    return (
+        f"({enc} = 0 OR ({enc} NOT IN ({PASSED_INT}, -1, -2) "
+        f"AND CAST({enc} AS DOUBLE) < {threshold}))"
+    )
+
+
+def _oracle_overall(encs: list[str]) -> str:
+    cond = " OR ".join(_oracle_fail_cond(e) for e in encs)
+    return f"(CASE WHEN {cond} THEN 0 ELSE {PASSED_INT} END)"
+
+
+def _oracle_set_overall(set_id) -> str:
+    encs = [_oracle_encode(k, s) for sid, _, k, s in RULE_SPECS if sid == set_id]
+    return _oracle_overall(encs)
+
+
+_ALL_ENCS = [_oracle_encode(k, s) for _, _, k, s in RULE_SPECS]
+
+
+# ---------------------------------------------------------------------------
+# Queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_dq_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ruleRunner + flatten_results: per-row, per-rule flat records."""
+    li = _read(spark, sf_dir, "lineitem")
+    dq = add_data_quality(li, fixture_suite())
+    return dq.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.explode(Q.flatten_results(F.col("DQ"))).alias("f"),
+    ).select("l_orderkey", "l_linenumber", "f.*")
+
+
+def _oracle_dq_flat() -> str:
+    suite_overall = _oracle_overall(_ALL_ENCS)
+    parts = []
+    for set_id, rule_id, kind, sql in RULE_SPECS:
+        enc = _oracle_encode(kind, sql)
+        parts.append(
+            "SELECT l_orderkey, l_linenumber, "
+            f"{SUITE_ID[0]} AS ruleSuiteId, {SUITE_ID[1]} AS ruleSuiteVersion, "
+            f"{suite_overall} AS ruleSuiteResult, "
+            f"{_oracle_set_overall(set_id)} AS ruleSetResult, "
+            f"{set_id[0]} AS ruleSetId, {set_id[1]} AS ruleSetVersion, "
+            f"{rule_id[0]} AS ruleId, {rule_id[1]} AS ruleVersion, "
+            f"{enc} AS ruleResult FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_dq_overall_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-level split overallResult + aggregation over it — the
+    pushdown-friendly storage layout (SURVEY §1.2)."""
+    li = _read(spark, sf_dir, "lineitem")
+    df = add_overall_results_and_details(li, fixture_suite())
+    return (
+        df.groupBy(F.col("DQ_overallResult").alias("overallResult"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _oracle_dq_overall_counts() -> str:
+    return (
+        f"SELECT {_oracle_overall(_ALL_ENCS)} AS overallResult, "
+        "count(*) AS n FROM lineitem GROUP BY 1"
+    )
+
+
+def q_rule_result_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rule_result nested lookup: rows where the probability rule (200)
+    scored below 95000, with the score."""
+    li = _read(spark, sf_dir, "lineitem")
+    dq = add_data_quality(li, fixture_suite())
+    r = Q.rule_result(
+        F.col("DQ"),
+        F.lit(pack_id(Id(*SUITE_ID))),
+        F.lit(pack_id(Id(20, 1))),
+        F.lit(pack_id(Id(200, 1))),
+    ).alias("prob_score")
+    return dq.select("l_orderkey", "l_linenumber", r).filter(
+        F.col("prob_score") < 95000
+    )
+
+
+def _oracle_rule_result_lookup() -> str:
+    enc = _oracle_encode("prob", "1.0 - l_discount")
+    return (
+        f"SELECT l_orderkey, l_linenumber, {enc} AS prob_score "
+        f"FROM lineitem WHERE {enc} < 95000"
+    )
+
+
+def q_pack_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_ints / unpack round-trip over nation."""
+    nat = _read(spark, sf_dir, "nation")
+    return nat.select(
+        "n_nationkey",
+        Q.pack_ints(F.col("n_nationkey"), F.col("n_regionkey")).alias("packed"),
+        Q.unpack(Q.pack_ints(F.col("n_nationkey"), F.col("n_regionkey")))["id"].alias(
+            "unpacked_id"
+        ),
+        Q.unpack(Q.pack_ints(F.col("n_nationkey"), F.col("n_regionkey")))[
+            "version"
+        ].alias("unpacked_version"),
+    )
+
+
+def _oracle_pack_unpack() -> str:
+    packed = "((CAST(n_nationkey AS BIGINT) << 32) | (CAST(n_regionkey AS BIGINT) & 4294967295))"
+    return (
+        f"SELECT n_nationkey, {packed} AS packed, "
+        f"CAST({packed} >> 32 AS INTEGER) AS unpacked_id, "
+        f"CAST(({packed} & 4294967295) - ((({packed} >> 31) & 1) * 4294967296) AS INTEGER) AS unpacked_version "
+        "FROM nation"
+    )
+
+
+def q_lambda_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda expansion end-to-end: registered margin() lambda used in a
+    rule, failures counted per return flag."""
+    li = _read(spark, sf_dir, "lineitem")
+    suite = rule_suite(
+        (3, 1),
+        [((1, 1), [((1, 1), "margin(l_extendedprice, l_discount) > 1000")])],
+        lambdas=LAMBDAS,
+    )
+    dq = add_data_quality(li, suite)
+    return (
+        dq.groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(F.col("DQ.overallResult") == PASSED_INT, 1).otherwise(0)
+            ).cast("bigint").alias("n_margin_over_1000")
+        )
+    )
+
+
+def _oracle_lambda_margin() -> str:
+    return (
+        "SELECT l_returnflag, "
+        "CAST(SUM(CASE WHEN (l_extendedprice * (1 - l_discount)) > 1000 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_margin_over_1000 FROM lineitem GROUP BY l_returnflag"
+    )
+
+
+def q_soft_fail_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """soft_fail / probability encodings as a per-row detail frame."""
+    li = _read(spark, sf_dir, "lineitem")
+    dq = add_data_quality(li, fixture_suite())
+    soft = Q.rule_result(
+        F.col("DQ"), F.lit(pack_id(Id(*SUITE_ID))), F.lit(pack_id(Id(20, 1))),
+        F.lit(pack_id(Id(201, 1))),
+    ).alias("soft_tax")
+    disabled = Q.rule_result(
+        F.col("DQ"), F.lit(pack_id(Id(*SUITE_ID))), F.lit(pack_id(Id(20, 1))),
+        F.lit(pack_id(Id(202, 1))),
+    ).alias("disabled")
+    return dq.select("l_orderkey", "l_linenumber", soft, disabled)
+
+
+def _oracle_soft_fail_detail() -> str:
+    enc = _oracle_encode("soft_bool", "l_tax < 0.05")
+    return (
+        f"SELECT l_orderkey, l_linenumber, {enc} AS soft_tax, -2 AS disabled "
+        "FROM lineitem"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
+    return q_dq_flat(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "dq_flat_lineitem": q_dq_flat,
+        "dq_overall_counts": q_dq_overall_counts,
+        "rule_result_lookup": q_rule_result_lookup,
+        "pack_unpack": q_pack_unpack,
+        "lambda_margin": q_lambda_margin,
+        "soft_fail_detail": q_soft_fail_detail,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dq_flat_lineitem": _oracle_dq_flat(),
+        "dq_overall_counts": _oracle_dq_overall_counts(),
+        "rule_result_lookup": _oracle_rule_result_lookup(),
+        "pack_unpack": _oracle_pack_unpack(),
+        "lambda_margin": _oracle_lambda_margin(),
+        "soft_fail_detail": _oracle_soft_fail_detail(),
+    }

@@ -1,0 +1,150 @@
+"""Benchmark harness — mirrors the reference's methodology
+(BASELINE.md): measure a no-rules parquet write baseline, then DQ
+writes with a 27-rule and a 150-rule suite, plus the headline oracle
+queries. Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_tmp")
+
+
+def make_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("quality-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+
+
+def gen_wide_suite(n_rules: int):
+    """Parametric rule generation over lineitem columns — the
+    reference's genRules pattern (PerRowPerfTest.scala:49-91)."""
+    from quality_spark import rule_suite
+
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
+    ]
+    rules = []
+    for i in range(n_rules):
+        c = cols[i % len(cols)]
+        rules.append(((1000 + i, 1), f"({c} % {2 + (i % 7)}) >= 0 OR {c} IS NULL"))
+    return rule_suite((90, 1), [((1, 1), rules)])
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from quality_spark import add_data_quality
+
+    spark = make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(TMP, ignore_errors=True)
+    os.makedirs(TMP, exist_ok=True)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_rows = li.count()  # warms the scan
+
+    results: dict[str, float] = {}
+
+    # 1. no-rules write baseline (reference evaluation_method.md:35)
+    results["baseline_write"] = timed(
+        lambda: li.write.mode("overwrite").parquet(f"{TMP}/base")
+    )
+
+    # 2. 27-rule DQ write — ~3.4 copies of the 8-rule fixture suite
+    from quality_spark import rule_suite as _rs
+
+    fixture = entrymod.fixture_suite()
+    specs27 = []
+    for rep in range(4):
+        for set_id, rule_id, kind, sql in entrymod.RULE_SPECS[: (8 if rep < 3 else 3)]:
+            specs27.append(
+                (
+                    (set_id[0] + rep * 100, set_id[1]),
+                    (rule_id[0] + rep * 1000, rule_id[1]),
+                    kind,
+                    sql,
+                )
+            )
+    sets: dict = {}
+    for set_id, rule_id, kind, sql in specs27:
+        sets.setdefault(set_id, []).append(
+            (rule_id, entrymod._spark_rule_text(kind, sql))
+        )
+    suite27 = _rs((91, 1), list(sets.items()), lambdas=entrymod.LAMBDAS)
+    results["dq27_write"] = timed(
+        lambda: add_data_quality(li, suite27)
+        .write.mode("overwrite")
+        .parquet(f"{TMP}/dq27")
+    )
+
+    # 3. 150-rule generated suite write (reference evaluation_method.md:41)
+    suite150 = gen_wide_suite(150)
+    results["dq150_write"] = timed(
+        lambda: add_data_quality(li, suite150)
+        .write.mode("overwrite")
+        .parquet(f"{TMP}/dq150")
+    )
+
+    # 4. headline oracle queries (count() as the action)
+    for name, q in entrymod.queries().items():
+        df = q(spark, SF_DIR)
+        results[name] = timed(lambda d=df: d.count())
+
+    # derived per-row overheads in ms, reference style
+    results["dq27_overhead_ms_per_row"] = (
+        (results["dq27_write"] - results["baseline_write"]) * 1000.0 / n_rows
+    )
+    results["dq150_overhead_ms_per_row"] = (
+        (results["dq150_write"] - results["baseline_write"]) * 1000.0 / n_rows
+    )
+
+    shutil.rmtree(TMP, ignore_errors=True)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "quality_spark_bench_total",
+                "value": round(sum(v for k, v in results.items() if not k.endswith("per_row")), 3),
+                "unit": "sec",
+                "queries": {k: round(v, 4) for k, v in results.items()},
+                "sf": float(sf),
+                "rows": n_rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

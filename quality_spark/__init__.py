@@ -1,0 +1,86 @@
+"""quality_spark — a PySpark-native data-quality / rule-engine library.
+
+Rules are SQL text stored as data; the driver compiles them into plain
+``pyspark.sql.Column`` trees (no UDFs, no custom expressions) so
+Catalyst plans, optimises, and codegens everything. See SURVEY.md for
+the full blueprint.
+"""
+
+from .model import (
+    DEFAULT_SALIENCE,
+    DISABLED_RULE_INT,
+    FAILED_INT,
+    PASSED_INT,
+    SOFT_FAILED_INT,
+    ExpressionRule,
+    Id,
+    LambdaFunction,
+    OutputExpression,
+    Rule,
+    RuleSet,
+    RuleSuite,
+    RuleSuiteMap,
+    RunOnPassProcessor,
+    pack_id,
+    rule_suite,
+    unpack_id,
+)
+from .results import (
+    flatten_struct_type,
+    rule_suite_details_result_type,
+    rule_suite_result_type,
+)
+from .operators.runner import (
+    add_data_quality,
+    add_overall_results_and_details,
+    rule_runner,
+    rule_runner_details,
+)
+from .sources.serializing import (
+    integrate_lambdas,
+    integrate_output_expressions,
+    read_lambdas_from_df,
+    read_output_expressions_from_df,
+    read_rules_from_df,
+    to_lambda_df,
+    to_rule_suite_df,
+)
+from .functions.lambdas import LambdaRegistry, expand_sql
+from .functions import api as funcs
+
+__all__ = [
+    "DEFAULT_SALIENCE",
+    "DISABLED_RULE_INT",
+    "FAILED_INT",
+    "PASSED_INT",
+    "SOFT_FAILED_INT",
+    "ExpressionRule",
+    "Id",
+    "LambdaFunction",
+    "LambdaRegistry",
+    "OutputExpression",
+    "Rule",
+    "RuleSet",
+    "RuleSuite",
+    "RuleSuiteMap",
+    "RunOnPassProcessor",
+    "add_data_quality",
+    "add_overall_results_and_details",
+    "expand_sql",
+    "flatten_struct_type",
+    "funcs",
+    "integrate_lambdas",
+    "integrate_output_expressions",
+    "pack_id",
+    "read_lambdas_from_df",
+    "read_output_expressions_from_df",
+    "read_rules_from_df",
+    "rule_runner",
+    "rule_runner_details",
+    "rule_suite",
+    "rule_suite_details_result_type",
+    "rule_suite_result_type",
+    "to_lambda_df",
+    "to_rule_suite_df",
+    "unpack_id",
+]

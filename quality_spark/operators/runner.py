@@ -1,0 +1,147 @@
+"""``rule_runner`` — evaluate every rule of a suite per row into one
+nested DQ result column.
+
+Reference behavior: impl/RuleRunner.scala:58-189 (custom codegen’d
+expression); here the same result is declared as a single
+``F.struct``/``F.create_map`` tree over per-rule encoded expressions,
+so Catalyst plans/codegens it like any user query. At scale this is a
+pure narrow map — no shuffle, no UDF, fully pushdown/AQE-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..model import RuleSuite, pack_id
+from ..plans.compiler import expand_rules, probe_types
+from ..results import (
+    encode_rule_sql,
+    encode_rule_sql_generic,
+    overall_result,
+    rule_suite_result_type,
+)
+
+__all__ = [
+    "rule_runner",
+    "add_data_quality",
+    "add_overall_results_and_details",
+    "rule_runner_details",
+]
+
+
+def _lit_packed(i) -> Column:
+    return F.lit(pack_id(i)).cast("bigint")
+
+
+def _encoded_sqls(suite: RuleSuite, df: Optional[DataFrame]) -> List[List[str]]:
+    """Per ruleset, per rule: SQL of the int-encoded rule expression."""
+    expanded = expand_rules(suite)
+    if df is not None:
+        dtypes = probe_types(df, [s for _, _, s in expanded])
+        encoded = [encode_rule_sql(s, t) for (_, _, s), t in zip(expanded, dtypes)]
+    else:
+        encoded = [encode_rule_sql_generic(s) for _, _, s in expanded]
+    out: List[List[str]] = []
+    i = 0
+    for rs in suite.rule_sets:
+        out.append(encoded[i : i + len(rs.rules)])
+        i += len(rs.rules)
+    return out
+
+
+def _empty_rule_map() -> Column:
+    return F.create_map().cast("map<bigint,int>")
+
+
+def _assemble(
+    suite: RuleSuite,
+    per_set_encs: Sequence[Sequence[Column]],
+    with_suite_overall: bool,
+) -> Column:
+    set_map_args: List[Column] = []
+    all_encs: List[Column] = []
+    for rs, encs in zip(suite.rule_sets, per_set_encs):
+        all_encs.extend(encs)
+        if encs:
+            rule_map = F.create_map(
+                *[
+                    c
+                    for r, enc in zip(rs.rules, encs)
+                    for c in (_lit_packed(r.id), enc.cast("int"))
+                ]
+            )
+        else:
+            rule_map = _empty_rule_map()
+        set_struct = F.struct(
+            overall_result(list(encs), suite.probable_pass).alias("overallResult"),
+            rule_map.alias("ruleResults"),
+        )
+        set_map_args.extend([_lit_packed(rs.id), set_struct])
+
+    if set_map_args:
+        sets_map = F.create_map(*set_map_args)
+    else:
+        sets_map = F.create_map().cast(
+            "map<bigint,struct<overallResult:int,ruleResults:map<bigint,int>>>"
+        )
+
+    fields = [_lit_packed(suite.id).alias("id")]
+    if with_suite_overall:
+        # reference folds ruleset overalls into the suite overall
+        # (impl/RuleRunner.scala:139-162); a ruleset overall is Passed or
+        # Failed only, so folding over all rules directly is equivalent.
+        fields.append(
+            overall_result(all_encs, suite.probable_pass).alias("overallResult")
+        )
+    fields.append(sets_map.alias("ruleSetResults"))
+    return F.struct(*fields)
+
+
+def rule_runner(suite: RuleSuite, df: Optional[DataFrame] = None) -> Column:
+    """Column producing ``ruleSuiteResultType``
+    (STRUCT<id BIGINT, overallResult INT, ruleSetResults MAP<…>>).
+
+    Pass ``df`` (the frame the column will be selected on) to get exact
+    type-directed result encoding — the ``add_*`` helpers do this for
+    you. Reference entry: impl/imports/RuleRunnerImports.scala:24.
+    """
+    enc_sqls = _encoded_sqls(suite, df)
+    encs = [[F.expr(s) for s in set_sqls] for set_sqls in enc_sqls]
+    return _assemble(suite, encs, with_suite_overall=True)
+
+
+def rule_runner_details(suite: RuleSuite, df: Optional[DataFrame] = None) -> Column:
+    """Details variant — no suite-level overallResult field
+    (reference: impl/RuleSparkTypes.scala:26)."""
+    enc_sqls = _encoded_sqls(suite, df)
+    encs = [[F.expr(s) for s in set_sqls] for set_sqls in enc_sqls]
+    return _assemble(suite, encs, with_suite_overall=False)
+
+
+def add_data_quality(
+    df: DataFrame, suite: RuleSuite, name: str = "DQ"
+) -> DataFrame:
+    """``df`` plus the nested DQ result column
+    (reference: impl/util/AddDataFunctionsImports.scala:21-60)."""
+    return df.select("*", rule_runner(suite, df).alias(name))
+
+
+def add_overall_results_and_details(
+    df: DataFrame,
+    suite: RuleSuite,
+    overall_name: str = "DQ_overallResult",
+    details_name: str = "DQ_Details",
+) -> DataFrame:
+    """Split storage layout: top-level int overall + details struct
+    without the suite overall — 30-50% faster post-hoc filtering on
+    parquet since the int column predicate pushes down
+    (reference: RuleResults.scala:52-57, docs/background/storage_method.md:30)."""
+    enc_sqls = _encoded_sqls(suite, df)
+    flat = [s for set_sqls in enc_sqls for s in set_sqls]
+    overall = overall_result([F.expr(s) for s in flat], suite.probable_pass)
+    encs = [[F.expr(s) for s in set_sqls] for set_sqls in enc_sqls]
+    details = _assemble(suite, encs, with_suite_overall=False)
+    return df.select("*", overall.alias(overall_name), details.alias(details_name))
