@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 from quality_spark import (
     PASSED_INT,
     add_data_quality,
+    add_folder,
     add_overall_results_and_details,
+    add_rule_engine,
+    engine_rule,
+    engine_suite,
     pack_id,
     rule_suite,
     Id,
@@ -279,6 +283,90 @@ def _oracle_soft_fail_detail() -> str:
     )
 
 
+def q_rule_engine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ruleEngineRunner: salience-ordered trigger→output choice plus the
+    salient rule id (FIXTURES.md §2 engine suite)."""
+    orders = _read(spark, sf_dir, "orders")
+    suite = engine_suite(
+        (2, 1),
+        [
+            (
+                (1, 1),
+                [
+                    engine_rule((1, 1), "o_totalprice > 100000", 10, "'big'", (900, 1)),
+                    engine_rule((2, 1), "o_orderstatus = 'F'", 20, "'finished'", (901, 1)),
+                    engine_rule((3, 1), "true", 1000, "'other'", (902, 1)),
+                ],
+            )
+        ],
+    )
+    df = add_rule_engine(orders, suite, result_ddl="string", name="re")
+    return df.select(
+        "o_orderkey",
+        F.col("re.result").alias("label"),
+        F.col("re.salientRule.ruleId").alias("salient_rule_id"),
+    )
+
+
+def _oracle_rule_engine_orders() -> str:
+    r1, r2, r3 = pack_id(Id(1, 1)), pack_id(Id(2, 1)), pack_id(Id(3, 1))
+    return (
+        "SELECT o_orderkey, "
+        "CASE WHEN o_totalprice > 100000 THEN 'big' "
+        "WHEN o_orderstatus = 'F' THEN 'finished' ELSE 'other' END AS label, "
+        f"CAST(CASE WHEN o_totalprice > 100000 THEN {r1} "
+        f"WHEN o_orderstatus = 'F' THEN {r2} ELSE {r3} END AS BIGINT) AS salient_rule_id "
+        "FROM orders"
+    )
+
+
+def q_folder_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ruleFolderRunner: salience-ordered set()/lambda folds over a
+    struct of (c_acctbal, c_mktsegment)."""
+    cust = _read(spark, sf_dir, "customer")
+    suite = engine_suite(
+        (4, 1),
+        [
+            (
+                (1, 1),
+                [
+                    engine_rule(
+                        (1, 1), "c_acctbal > 1000", 10,
+                        "set(c_acctbal = currentResult.c_acctbal * 1.1)", (910, 1),
+                    ),
+                    engine_rule(
+                        (2, 1), "c_mktsegment = 'BUILDING'", 20,
+                        "currentResult -> named_struct("
+                        "'c_acctbal', currentResult.c_acctbal + 5.0, "
+                        "'c_mktsegment', 'B2B')", (911, 1),
+                    ),
+                ],
+            )
+        ],
+    )
+    df = add_folder(cust, suite, F.struct(F.col("c_acctbal"), F.col("c_mktsegment")), name="fold")
+    return df.select(
+        "c_custkey",
+        F.col("fold.result.c_acctbal").alias("folded_acctbal"),
+        F.col("fold.result.c_mktsegment").alias("folded_segment"),
+    )
+
+
+def _oracle_folder_customer() -> str:
+    return (
+        "SELECT c_custkey, "
+        "CASE WHEN c_acctbal > 1000 OR c_mktsegment = 'BUILDING' THEN "
+        "  (CASE WHEN c_mktsegment = 'BUILDING' THEN "
+        "     (CASE WHEN c_acctbal > 1000 THEN c_acctbal * 1.1 ELSE c_acctbal END) + 5.0 "
+        "   ELSE c_acctbal * 1.1 END) "
+        "END AS folded_acctbal, "
+        "CASE WHEN c_acctbal > 1000 OR c_mktsegment = 'BUILDING' THEN "
+        "  (CASE WHEN c_mktsegment = 'BUILDING' THEN 'B2B' ELSE c_mktsegment END) "
+        "END AS folded_segment "
+        "FROM customer"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -297,6 +385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_unpack": q_pack_unpack,
         "lambda_margin": q_lambda_margin,
         "soft_fail_detail": q_soft_fail_detail,
+        "rule_engine_orders": q_rule_engine_orders,
+        "folder_customer": q_folder_customer,
     }
 
 
@@ -308,4 +398,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_unpack": _oracle_pack_unpack(),
         "lambda_margin": _oracle_lambda_margin(),
         "soft_fail_detail": _oracle_soft_fail_detail(),
+        "rule_engine_orders": _oracle_rule_engine_orders(),
+        "folder_customer": _oracle_folder_customer(),
     }

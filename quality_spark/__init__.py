@@ -21,10 +21,14 @@ from .model import (
     RuleSuite,
     RuleSuiteMap,
     RunOnPassProcessor,
+    engine_rule,
+    engine_suite,
     pack_id,
     rule_suite,
     unpack_id,
 )
+from .operators.engine import add_rule_engine, rule_engine_runner, rule_engine_with_struct
+from .operators.folder import add_folder, fold_and_replace_fields, rule_folder_runner
 from .results import (
     flatten_struct_type,
     rule_suite_details_result_type,
@@ -65,7 +69,15 @@ __all__ = [
     "RuleSuiteMap",
     "RunOnPassProcessor",
     "add_data_quality",
+    "add_folder",
     "add_overall_results_and_details",
+    "add_rule_engine",
+    "engine_rule",
+    "engine_suite",
+    "fold_and_replace_fields",
+    "rule_engine_runner",
+    "rule_engine_with_struct",
+    "rule_folder_runner",
     "expand_sql",
     "flatten_struct_type",
     "funcs",

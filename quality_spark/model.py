@@ -159,5 +159,35 @@ def rule_suite(
     )
 
 
+def engine_rule(
+    rule_id: Tuple[int, int],
+    trigger: str,
+    salience: int,
+    output: str,
+    output_id: Tuple[int, int] = (0, 0),
+) -> Rule:
+    """Convenience constructor for rule-engine/folder rules: a trigger
+    expression plus a salience-prioritised output expression."""
+    return Rule(
+        Id(*rule_id),
+        ExpressionRule(trigger),
+        RunOnPassProcessor(salience, Id(*output_id), OutputExpression(output)),
+    )
+
+
+def engine_suite(
+    suite_id: Tuple[int, int],
+    rule_sets: Iterable[Tuple[Tuple[int, int], Iterable[Rule]]],
+    lambdas: Iterable[Tuple[str, str, Tuple[int, int]]] = (),
+    probable_pass: float = 0.8,
+) -> RuleSuite:
+    return RuleSuite(
+        id=Id(*suite_id),
+        rule_sets=tuple(RuleSet(Id(*rs_id), tuple(rules)) for rs_id, rules in rule_sets),
+        lambda_functions=tuple(LambdaFunction(n, r, Id(*i)) for n, r, i in lambdas),
+        probable_pass=probable_pass,
+    )
+
+
 #: map keyed by suite Id — the loader output shape
 RuleSuiteMap = Dict[Id, RuleSuite]

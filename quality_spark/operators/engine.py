@@ -1,0 +1,170 @@
+"""``rule_engine_runner`` — rules as triggers; the lowest-salience
+passing rule's output expression produces the result.
+
+Reference: impl/RuleEngineRunner.scala:41-186 (custom codegen tracking
+currentSalience/currentOutputIndex). Spark-first equivalent: a
+salience-ordered ``CASE WHEN trigger …`` chain — Catalyst short-circuits
+evaluation, dedups shared trigger/output subexpressions, and the whole
+thing stays inside whole-stage codegen. Pure narrow projection: no
+shuffle, streaming-safe.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..model import PASSED_INT, DEFAULT_SALIENCE, Rule, RuleSet, RuleSuite, pack_id
+from ..plans.compiler import expand_rules, probe_types, registry_for
+from ..plans.outputs import output_step_sql, parse_output
+from ..functions.lambdas import expand_sql
+from ..results import encode_rule_sql, encode_rule_sql_generic
+from .runner import _assemble, _lit_packed
+
+__all__ = ["rule_engine_runner", "add_rule_engine", "rule_engine_with_struct"]
+
+
+def _trigger_encs(suite: RuleSuite, df: Optional[DataFrame]) -> List[List[str]]:
+    expanded = expand_rules(suite)
+    if df is not None:
+        dtypes = probe_types(df, [s for _, _, s in expanded])
+        encoded = [encode_rule_sql(s, t) for (_, _, s), t in zip(expanded, dtypes)]
+    else:
+        encoded = [encode_rule_sql_generic(s) for _, _, s in expanded]
+    out: List[List[str]] = []
+    i = 0
+    for rs in suite.rule_sets:
+        out.append(encoded[i : i + len(rs.rules)])
+        i += len(rs.rules)
+    return out
+
+
+def _salience_ordered(
+    suite: RuleSuite, enc_by_set: Sequence[Sequence[str]]
+) -> List[Tuple[RuleSet, Rule, str, int]]:
+    """(ruleSet, rule, trigger_enc_sql, salience) sorted by salience,
+    stable in declaration order (reference uses strict '<' while
+    scanning in order — first wins on ties, same as a stable sort)."""
+    rows: List[Tuple[RuleSet, Rule, str, int]] = []
+    for rs, encs in zip(suite.rule_sets, enc_by_set):
+        for r, enc in zip(rs.rules, encs):
+            sal = r.run_on_pass.salience if r.run_on_pass else DEFAULT_SALIENCE
+            rows.append((rs, r, enc, sal))
+    return sorted(rows, key=lambda x: x[3])
+
+
+def _output_sql(suite: RuleSuite, rule: Rule) -> str:
+    from ..plans.outputs import PlainOutput
+
+    if rule.run_on_pass is None or rule.run_on_pass.output is None:
+        raise ValueError(
+            f"rule {rule.id} has no output expression; every rule of a "
+            "rule-engine suite needs a RunOnPassProcessor"
+        )
+    reg = registry_for(suite)
+    text = expand_sql(rule.run_on_pass.output.rule, reg)
+    out = parse_output(text)
+    if not isinstance(out, PlainOutput):
+        raise ValueError(
+            "rule-engine outputs must be plain expressions (set()/lambda "
+            f"outputs belong to the folder runner): {text!r}"
+        )
+    return f"({text})"
+
+
+def rule_engine_runner(
+    suite: RuleSuite,
+    result_ddl: Optional[Union[str, T.DataType]] = None,
+    df: Optional[DataFrame] = None,
+    debug_mode: bool = False,
+) -> Column:
+    """Column of STRUCT<ruleSuiteResults, salientRule, result>
+    (reference schema: impl/RuleEngineRunner.scala:395-399; debugMode
+    wraps result in ARRAY<STRUCT<salience INT, result T>>,
+    :44-50)."""
+    enc_by_set = _trigger_encs(suite, df)
+    dq = _assemble(
+        suite,
+        [[F.expr(s) for s in encs] for encs in enc_by_set],
+        with_suite_overall=True,
+    )
+
+    ordered = _salience_ordered(suite, enc_by_set)
+    out_sqls = [_output_sql(suite, r) for _, r, _, _ in ordered]
+
+    cast_ddl: Optional[str] = None
+    if result_ddl is not None:
+        cast_ddl = (
+            result_ddl if isinstance(result_ddl, str) else result_ddl.simpleString()
+        )
+
+    def out_col(sql: str) -> Column:
+        c = F.expr(sql)
+        return c.cast(cast_ddl) if cast_ddl else c
+
+    triggers = [F.expr(enc) == PASSED_INT for _, _, enc, _ in ordered]
+
+    # salient rule id triple — first (lowest salience) passing trigger
+    triple_type = "struct<ruleSuiteId:bigint,ruleSetId:bigint,ruleId:bigint>"
+    salient: Column = F.lit(None).cast(triple_type)
+    result: Column
+    if debug_mode:
+        entries = [
+            F.struct(
+                F.lit(sal).cast("int").alias("salience"),
+                trig.alias("_passed"),
+                out_col(sql).alias("result"),
+            )
+            for (rs, r, enc, sal), trig, sql in zip(ordered, triggers, out_sqls)
+        ]
+        if entries:
+            arr = F.filter(F.array(*entries), lambda e: e["_passed"])
+            result = F.transform(
+                arr, lambda e: F.struct(e["salience"].alias("salience"), e["result"].alias("result"))
+            )
+        else:
+            result = F.lit(None).cast("array<struct<salience:int,result:string>>")
+    else:
+        result = F.lit(None).cast(cast_ddl) if cast_ddl else F.lit(None)
+        chain: Optional[Column] = None
+        sal_chain: Optional[Column] = None
+        for (rs, r, enc, sal), trig, sql in zip(ordered, triggers, out_sqls):
+            triple = F.struct(
+                _lit_packed(suite.id).alias("ruleSuiteId"),
+                _lit_packed(rs.id).alias("ruleSetId"),
+                _lit_packed(r.id).alias("ruleId"),
+            )
+            chain = (chain.when(trig, out_col(sql)) if chain is not None
+                     else F.when(trig, out_col(sql)))
+            sal_chain = (sal_chain.when(trig, triple) if sal_chain is not None
+                         else F.when(trig, triple))
+        if chain is not None:
+            result = chain.otherwise(result) if cast_ddl else chain
+            salient = sal_chain.otherwise(F.lit(None).cast(triple_type))
+
+    return F.struct(
+        dq.alias("ruleSuiteResults"),
+        salient.alias("salientRule"),
+        result.alias("result"),
+    )
+
+
+def add_rule_engine(
+    df: DataFrame,
+    suite: RuleSuite,
+    result_ddl: Optional[Union[str, T.DataType]] = None,
+    name: str = "ruleEngine",
+    debug_mode: bool = False,
+) -> DataFrame:
+    """df plus the rule-engine result column
+    (reference: impl/util/AddDataFunctionsImports.scala ruleEngineWithStruct)."""
+    return df.select(
+        "*", rule_engine_runner(suite, result_ddl, df, debug_mode).alias(name)
+    )
+
+
+# alias matching the reference naming
+rule_engine_with_struct = add_rule_engine

@@ -1,0 +1,176 @@
+"""rule_engine_runner + rule_folder_runner semantics (FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quality_spark import (
+    Id,
+    add_folder,
+    add_rule_engine,
+    engine_rule,
+    engine_suite,
+    fold_and_replace_fields,
+    pack_id,
+)
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+ENGINE_SUITE = engine_suite(
+    (2, 1),
+    [
+        (
+            (1, 1),
+            [
+                engine_rule((1, 1), "o_totalprice > 100000", 10, "'big'", (900, 1)),
+                engine_rule((2, 1), "o_orderstatus = 'F'", 20, "'finished'", (901, 1)),
+                engine_rule((3, 1), "true", 1000, "'other'", (902, 1)),
+            ],
+        )
+    ],
+)
+
+
+def test_engine_schema(orders):
+    df = add_rule_engine(orders, ENGINE_SUITE, result_ddl="string", name="re")
+    t = df.schema["re"].dataType.simpleString()
+    assert t == (
+        "struct<ruleSuiteResults:struct<id:bigint,overallResult:int,"
+        "ruleSetResults:map<bigint,struct<overallResult:int,ruleResults:map<bigint,int>>>>,"
+        "salientRule:struct<ruleSuiteId:bigint,ruleSetId:bigint,ruleId:bigint>,"
+        "result:string>"
+    )
+
+
+def test_engine_salience_choice(orders):
+    df = add_rule_engine(orders, ENGINE_SUITE, result_ddl="string", name="re")
+    rows = df.select("o_totalprice", "o_orderstatus", "re.result").collect()
+    for r in rows:
+        if r["o_totalprice"] > 100000:
+            assert r["result"] == "big"
+        elif r["o_orderstatus"] == "F":
+            assert r["result"] == "finished"
+        else:
+            assert r["result"] == "other"
+
+
+def test_engine_salient_rule_triple(orders):
+    df = add_rule_engine(orders, ENGINE_SUITE, result_ddl="string", name="re")
+    row = df.filter(F.col("o_totalprice") > 100000).select("re.salientRule").first()
+    assert row["salientRule"]["ruleSuiteId"] == pack_id(Id(2, 1))
+    assert row["salientRule"]["ruleId"] == pack_id(Id(1, 1))
+
+
+def test_engine_no_rule_passes(spark):
+    suite = engine_suite(
+        (2, 2),
+        [((1, 1), [engine_rule((1, 1), "x > 100", 10, "'hit'", (900, 1))])],
+    )
+    df = spark.createDataFrame([(1,)], "x int")
+    row = add_rule_engine(df, suite, result_ddl="string", name="re").select("re").first()["re"]
+    assert row["result"] is None
+    assert row["salientRule"] is None
+    # DQ still evaluated: the failing trigger fails the overall
+    assert row["ruleSuiteResults"]["overallResult"] == 0
+
+
+def test_engine_debug_mode(orders):
+    df = add_rule_engine(
+        orders, ENGINE_SUITE, result_ddl="string", name="re", debug_mode=True
+    )
+    row = df.filter(F.col("o_totalprice") > 100000).select("re.result").first()["result"]
+    # all passing rules, salience ascending
+    sals = [e["salience"] for e in row]
+    assert sals == sorted(sals) and sals[-1] == 1000
+    assert row[0]["result"] == "big"
+    assert row[-1]["result"] == "other"
+
+
+FOLDER_SUITE = engine_suite(
+    (4, 1),
+    [
+        (
+            (1, 1),
+            [
+                engine_rule(
+                    (1, 1),
+                    "c_acctbal > 1000",
+                    10,
+                    "set(c_acctbal = currentResult.c_acctbal * 1.1)",
+                    (910, 1),
+                ),
+                engine_rule(
+                    (2, 1),
+                    "c_mktsegment = 'BUILDING'",
+                    20,
+                    "currentResult -> named_struct('c_acctbal', currentResult.c_acctbal + 5.0, 'c_mktsegment', 'B2B')",
+                    (911, 1),
+                ),
+            ],
+        )
+    ],
+)
+
+
+def test_folder_fold_semantics(customer):
+    start = F.struct(F.col("c_acctbal"), F.col("c_mktsegment"))
+    df = add_folder(customer, FOLDER_SUITE, start, name="fold")
+    rows = df.select("c_acctbal", "c_mktsegment", "fold.result").collect()
+    for r in rows:
+        bal, seg, res = r["c_acctbal"], r["c_mktsegment"], r["result"]
+        exp_bal = bal
+        hit = False
+        if bal > 1000:
+            exp_bal = bal * 1.1
+            hit = True
+        exp_seg = seg
+        if seg == "BUILDING":
+            exp_bal = exp_bal + 5.0
+            exp_seg = "B2B"
+            hit = True
+        if not hit:
+            assert res is None
+        else:
+            assert res["c_mktsegment"] == exp_seg
+            assert abs(res["c_acctbal"] - exp_bal) < 1e-9
+
+
+def test_folder_debug_mode(customer):
+    start = F.struct(F.col("c_acctbal"), F.col("c_mktsegment"))
+    df = add_folder(customer, FOLDER_SUITE, start, name="fold", debug_mode=True)
+    row = (
+        df.filter((F.col("c_acctbal") > 1000) & (F.col("c_mktsegment") == "BUILDING"))
+        .select("fold.result")
+        .first()["result"]
+    )
+    assert len(row) == 2
+    assert [e["salience"] for e in row] == [10, 20]
+    assert row[1]["result"]["c_mktsegment"] == "B2B"
+
+
+def test_fold_and_replace_fields(customer):
+    out = fold_and_replace_fields(
+        customer, FOLDER_SUITE, ["c_acctbal", "c_mktsegment"], keep_dq=False
+    )
+    assert out.columns == customer.columns
+    joined = (
+        customer.alias("a")
+        .join(out.alias("b"), "c_custkey")
+        .select("a.c_acctbal", "b.c_acctbal", "a.c_mktsegment")
+        .collect()
+    )
+    for orig, new, seg in joined:
+        if orig > 1000 or seg == "BUILDING":
+            assert new != orig or seg == "BUILDING"
+        else:
+            assert new == orig
