@@ -367,6 +367,65 @@ def _oracle_folder_customer() -> str:
     )
 
 
+def q_agg_expr_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_expr single-pass filtered aggregates with sum_with/inc
+    finishers (SURVEY §2.5)."""
+    li = _read(spark, sf_dir, "lineitem")
+    suite = rule_suite(
+        (30, 1),
+        [
+            (
+                (1, 1),
+                [
+                    ((1, 1), "agg_expr('BIGINT', l_returnflag = 'R', sum_with(s -> s + l_quantity), results_with((s,c) -> s))"),
+                    ((2, 1), "agg_expr('BIGINT', l_discount > 0, inc(), return_sum())"),
+                ],
+            )
+        ],
+    )
+    from quality_spark.operators.expression_runner import add_expression_runner
+
+    out = add_expression_runner(li, suite, name="er", ddl_type="bigint")
+    from quality_spark import Id, pack_id
+
+    results = F.col("er.ruleSetResults")[pack_id(Id(1, 1))]
+    return out.select(
+        results[pack_id(Id(1, 1))].alias("sum_r_qty"),
+        results[pack_id(Id(2, 1))].alias("n_discounted"),
+    )
+
+
+def _oracle_agg_expr_totals() -> str:
+    return (
+        "SELECT "
+        "CAST(coalesce(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS sum_r_qty, "
+        "CAST(coalesce(SUM(CASE WHEN l_discount > 0 THEN 1 END), 0) AS BIGINT) AS n_discounted "
+        "FROM lineitem"
+    )
+
+
+def q_agg_map_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_with map-valued aggregation, exploded to (flag, n) rows."""
+    li = _read(spark, sf_dir, "lineitem")
+    suite = rule_suite(
+        (34, 1),
+        [((1, 1), [((1, 1), "agg_expr('MAP<STRING,BIGINT>', true, map_with(l_returnflag, e -> e + 1), return_sum())")])],
+    )
+    from quality_spark.operators.expression_runner import add_expression_runner
+    from quality_spark import Id, pack_id
+
+    out = add_expression_runner(li, suite, name="er", ddl_type="map<string,bigint>")
+    m = F.col("er.ruleSetResults")[pack_id(Id(1, 1))][pack_id(Id(1, 1))]
+    return out.select(F.explode(m).alias("flag", "n"))
+
+
+def _oracle_agg_map_counts() -> str:
+    return (
+        "SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -387,6 +446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_fail_detail": q_soft_fail_detail,
         "rule_engine_orders": q_rule_engine_orders,
         "folder_customer": q_folder_customer,
+        "agg_expr_totals": q_agg_expr_totals,
+        "agg_map_counts": q_agg_map_counts,
     }
 
 
@@ -400,4 +461,6 @@ def oracle_sql() -> dict[str, str]:
         "soft_fail_detail": _oracle_soft_fail_detail(),
         "rule_engine_orders": _oracle_rule_engine_orders(),
         "folder_customer": _oracle_folder_customer(),
+        "agg_expr_totals": _oracle_agg_expr_totals(),
+        "agg_map_counts": _oracle_agg_map_counts(),
     }

@@ -29,6 +29,7 @@ from .model import (
 )
 from .operators.engine import add_rule_engine, rule_engine_runner, rule_engine_with_struct
 from .operators.folder import add_folder, fold_and_replace_fields, rule_folder_runner
+from .operators.expression_runner import add_expression_runner, strip_result_ddl
 from .results import (
     flatten_struct_type,
     rule_suite_details_result_type,
@@ -69,6 +70,8 @@ __all__ = [
     "RuleSuiteMap",
     "RunOnPassProcessor",
     "add_data_quality",
+    "add_expression_runner",
+    "strip_result_ddl",
     "add_folder",
     "add_overall_results_and_details",
     "add_rule_engine",

@@ -1,0 +1,185 @@
+"""``expression_runner`` — run arbitrary expressions (incl. aggregates)
+of a suite, results encoded to strings + original DDL, or to a uniform
+user DDL type.
+
+Reference: impl/ExpressionRunner.scala:21-114; result schema
+impl/RuleSparkTypes.scala:29-35. Aggregate rules ride Spark's own
+aggregation operators (partial aggregation + shuffle merge exactly like
+built-ins); ``map_with`` aggregations become groupBy sub-plans
+(see operators/aggregates.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..model import RuleSuite, pack_id
+from ..plans.compiler import expand_rules, RuleCompilationError
+from .aggregates import MapAggSite, map_agg_column, rewrite_agg_exprs
+from .runner import _lit_packed
+
+__all__ = ["add_expression_runner", "strip_result_ddl"]
+
+_ATOMIC = (
+    T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+    T.DoubleType, T.FloatType, T.DecimalType, T.BooleanType, T.DateType,
+    T.TimestampType,
+)
+
+
+def _render_sql(sql: str, dtype: T.DataType) -> str:
+    """String rendering of a result value: scalars via CAST, complex
+    types via to_json (the reference uses yaml; JSON is this engine's
+    canonical encoding — yaml helpers live in functions/yamlenc.py)."""
+    if isinstance(dtype, _ATOMIC):
+        return f"CAST(({sql}) AS STRING)"
+    return f"to_json({sql})"
+
+
+def add_expression_runner(
+    df: DataFrame,
+    suite: RuleSuite,
+    name: str = "expressionResults",
+    ddl_type: Optional[Union[str, T.DataType]] = None,
+) -> DataFrame:
+    """df (per-row rules) or a 1-row aggregate frame (aggregate rules)
+    with the expressionRunner result struct appended as ``name``."""
+    spark = df.sparkSession
+    expanded = expand_rules(suite)
+
+    rules: List[Tuple] = []  # (rs, r, sql)
+    sites: List[MapAggSite] = []
+    from ..plans.compiler import registry_for
+
+    reg = registry_for(suite)
+    for rs, r, sql in expanded:
+        sql2, rule_sites = rewrite_agg_exprs(sql, reg)
+        sites.extend(rule_sites)
+        rules.append((rs, r, sql2))
+
+    # classify select-mode vs aggregate-mode by analysis probe
+    def analyzes_select(sqls: List[str]) -> bool:
+        try:
+            # "*" included: a global aggregate would analyze fine alone
+            # but fail alongside the pass-through columns
+            df.select("*", *[F.expr(s).alias(f"_p{i}") for i, s in enumerate(sqls)])
+            return True
+        except Exception:
+            return False
+
+    plain_sqls = [s for _, _, s in rules]
+    placeholders = {s.placeholder for s in sites}
+    agg_mode = bool(sites) or not analyzes_select(plain_sqls)
+
+    if not agg_mode:
+        dtypes = df.select(
+            [F.expr(s).alias(f"_p{i}") for i, s in enumerate(plain_sqls)]
+        ).schema.fields
+        base, out_cols = df, [F.expr(s) for s in plain_sqls]
+        types = [f.dataType for f in dtypes]
+        return base.select(
+            "*", _assemble_struct(suite, rules, out_cols, types, ddl_type).alias(name)
+        )
+
+    # aggregate mode: main aggregation over non-placeholder fragments,
+    # cross-joined with each map sub-aggregation (all 1-row frames)
+    main_exprs: List[Tuple[int, str]] = []
+    for i, (_, _, sql) in enumerate(rules):
+        stripped = sql.strip()
+        if stripped not in placeholders:
+            main_exprs.append((i, sql))
+
+    pieces: List[DataFrame] = []
+    if main_exprs:
+        try:
+            pieces.append(
+                df.agg(*[F.expr(s).alias(f"_p{i}") for i, s in main_exprs])
+            )
+        except Exception as e:
+            raise RuleCompilationError(
+                f"expression suite {suite.id} mixes per-row and aggregate "
+                f"rules, or a rule failed to resolve: {e}"
+            ) from e
+    else:
+        pieces.append(spark.range(1).select(F.lit(1).alias("_one")))
+    for site in sites:
+        pieces.append(map_agg_column(df, site))
+
+    joined = pieces[0]
+    for p in pieces[1:]:
+        joined = joined.crossJoin(p)
+
+    # final per-rule columns: placeholder rules reference the joined cols
+    out_cols = []
+    for i, (_, _, sql) in enumerate(rules):
+        if f"_p{i}" in joined.columns:
+            out_cols.append(F.col(f"_p{i}"))
+        else:
+            out_cols.append(F.expr(sql))
+    types = [
+        joined.select(c.alias("_t")).schema.fields[0].dataType for c in out_cols
+    ]
+    return joined.select(
+        _assemble_struct(suite, rules, out_cols, types, ddl_type).alias(name)
+    )
+
+
+def _assemble_struct(
+    suite: RuleSuite,
+    rules: List[Tuple],
+    out_cols: List[Column],
+    dtypes: List[T.DataType],
+    ddl_type: Optional[Union[str, T.DataType]],
+) -> Column:
+    cast_ddl: Optional[str] = None
+    if ddl_type is not None:
+        cast_ddl = ddl_type if isinstance(ddl_type, str) else ddl_type.simpleString()
+
+    def value_col(c: Column, dtype: T.DataType) -> Column:
+        if cast_ddl:
+            return c.cast(cast_ddl)
+        sql = _col_sql(c)
+        return F.struct(
+            F.expr(_render_sql(sql, dtype)).alias("result"),
+            F.lit(dtype.simpleString()).alias("resultDDL"),
+        )
+
+    per_set: Dict = {}
+    for (rs, r, _), c, t in zip(rules, out_cols, dtypes):
+        per_set.setdefault(rs.id, []).append((r, value_col(c, t)))
+
+    set_args: List[Column] = []
+    for rs_id, entries in per_set.items():
+        rule_map = F.create_map(
+            *[x for r, vc in entries for x in (_lit_packed(r.id), vc)]
+        )
+        set_args.extend([_lit_packed(rs_id), rule_map])
+    return F.struct(
+        _lit_packed(suite.id).alias("id"),
+        F.create_map(*set_args).alias("ruleSetResults"),
+    )
+
+
+def _col_sql(c: Column) -> str:
+    try:
+        return c._jc.expr().sql()  # type: ignore[attr-defined]
+    except Exception:
+        s = str(c)
+        if s.startswith("Column<'") and s.endswith("'>"):
+            return s[len("Column<'") : -2]
+        return s
+
+
+def strip_result_ddl(col: Union[Column, str]) -> Column:
+    """Drop the resultDDL field from expressionRunner results
+    (reference: impl/ExpressionRunner.scala:223-244)."""
+    c = _col_sql(col) if isinstance(col, Column) else col
+    return F.expr(
+        f"named_struct('id', ({c}).id, 'ruleSetResults', "
+        f"transform_values(({c}).ruleSetResults, (k, v) -> "
+        f"transform_values(v, (k2, v2) -> v2.result)))"
+    )

@@ -1,0 +1,123 @@
+"""agg_expr family + expression_runner (FIXTURES.md §2 agg suite)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quality_spark import Id, pack_id, rule_suite
+from quality_spark.operators.aggregates import compile_agg_expr, rewrite_agg_exprs
+from quality_spark.operators.expression_runner import (
+    add_expression_runner,
+    strip_result_ddl,
+)
+
+
+def test_compile_scalar_agg():
+    sql, site = compile_agg_expr(
+        ("'BIGINT'", "l_returnflag = 'R'", "sum_with(s -> s + l_quantity)",
+         "results_with((s, c) -> s)")
+    )
+    assert site is None
+    assert "sum(CAST(CASE WHEN (l_returnflag = 'R') THEN (l_quantity) END AS BIGINT)" in sql
+
+
+def test_compile_inc_meanf():
+    sql, _ = compile_agg_expr(("l_discount > 0", "inc()", "meanF()"))
+    assert "count(CASE WHEN (l_discount > 0) THEN 1 END)" in sql
+    assert "/" in sql
+
+
+def test_compile_rejects_non_monoidal():
+    with pytest.raises(ValueError, match="monoidal"):
+        compile_agg_expr(("true", "sum_with(s -> s * 2)", "return_sum()"))
+
+
+def test_map_with_lifts_site():
+    sql, sites = rewrite_agg_exprs(
+        "agg_expr('MAP<STRING,BIGINT>', true, map_with(l_returnflag, e -> e + 1), return_sum())"
+    )
+    assert len(sites) == 1
+    assert sql.strip() == sites[0].placeholder
+    assert sites[0].value_ddl == "BIGINT"
+
+
+SUITE = rule_suite(
+    (30, 1),
+    [
+        (
+            (1, 1),
+            [
+                ((1, 1), "agg_expr('BIGINT', l_returnflag = 'R', sum_with(s -> s + l_quantity), results_with((s,c) -> s))"),
+                ((2, 1), "agg_expr(l_discount > 0, inc(), meanF())"),
+                ((3, 1), "agg_expr('MAP<STRING,BIGINT>', true, map_with(l_returnflag, e -> e + 1), return_sum())"),
+            ],
+        )
+    ],
+)
+
+
+def test_expression_runner_aggregate_suite(lineitem):
+    out = add_expression_runner(lineitem, SUITE, name="er")
+    assert out.count() == 1
+    row = out.collect()[0]["er"]
+    assert row["id"] == pack_id(Id(30, 1))
+    results = row["ruleSetResults"][pack_id(Id(1, 1))]
+
+    expected_sum = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .agg(F.sum("l_quantity").cast("bigint"))
+        .collect()[0][0]
+    )
+    r1 = results[pack_id(Id(1, 1))]
+    assert r1["resultDDL"] == "bigint"
+    assert int(r1["result"]) == expected_sum
+
+    # meanF of inc() == 1.0 (sum of 1s / count)
+    r2 = results[pack_id(Id(2, 1))]
+    assert float(r2["result"]) == 1.0
+
+    # map_with counts per return flag
+    r3 = results[pack_id(Id(3, 1))]
+    assert r3["resultDDL"].startswith("map<string,bigint")
+    counts = {
+        r["l_returnflag"]: r["n"]
+        for r in lineitem.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    import json
+
+    got = json.loads(r3["result"])
+    assert {k: int(v) for k, v in got.items()} == counts
+
+
+def test_expression_runner_per_row_rules(lineitem):
+    suite = rule_suite(
+        (31, 1),
+        [((1, 1), [((1, 1), "l_quantity * 2"), ((2, 1), "upper(l_returnflag)")])],
+    )
+    out = add_expression_runner(lineitem, suite, name="er")
+    assert out.count() == lineitem.count()
+    row = out.select("er").first()["er"]
+    results = row["ruleSetResults"][pack_id(Id(1, 1))]
+    assert results[pack_id(Id(1, 1))]["resultDDL"] == "double"
+
+
+def test_expression_runner_ddl_type(lineitem):
+    suite = rule_suite(
+        (32, 1),
+        [((1, 1), [((1, 1), "agg_expr('BIGINT', true, inc(), return_sum())")])],
+    )
+    out = add_expression_runner(lineitem, suite, name="er", ddl_type="bigint")
+    row = out.collect()[0]["er"]
+    n = row["ruleSetResults"][pack_id(Id(1, 1))][pack_id(Id(1, 1))]
+    assert n == lineitem.count()
+
+
+def test_strip_result_ddl(lineitem):
+    suite = rule_suite(
+        (33, 1), [((1, 1), [((1, 1), "agg_expr('BIGINT', true, inc(), return_sum())")])]
+    )
+    out = add_expression_runner(lineitem, suite, name="er")
+    stripped = out.select(strip_result_ddl(F.col("er")).alias("s"))
+    t = stripped.schema["s"].dataType.simpleString()
+    assert t == "struct<id:bigint,ruleSetResults:map<bigint,map<bigint,string>>>"
