@@ -426,6 +426,53 @@ def _oracle_agg_map_counts() -> str:
     )
 
 
+def q_map_lookup_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast map_lookup as an equi-join replacement (SURVEY §2.6)."""
+    from quality_spark.sources.lookups import map_lookup, register_map_lookup
+
+    nat = _read(spark, sf_dir, "nation")
+    register_map_lookup(
+        "nation_q", {r["n_nationkey"]: r["n_name"] for r in nat.collect()}, "string"
+    )
+    cust = _read(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", map_lookup("nation_q", F.col("c_nationkey")).alias("nation_name")
+    )
+
+
+def _oracle_map_lookup_nation() -> str:
+    return (
+        "SELECT c_custkey, n_name AS nation_name FROM customer "
+        "LEFT JOIN nation ON c_nationkey = n_nationkey"
+    )
+
+
+def q_bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership as a semi-join surrogate: customers that have
+    orders must all pass the bloom (false positives can only add rows
+    with no orders, which the exact intersection below removes — so the
+    result is deterministic and oracle-checkable)."""
+    from quality_spark.sources.lookups import bloom_from, probability_in, register_bloom
+
+    orders = _read(spark, sf_dir, "orders")
+    bf = bloom_from(orders, "o_custkey", expected=200_000, fpp=0.01)
+    register_bloom(spark, "custkeys_q", bf)
+    cust = _read(spark, sf_dir, "customer")
+    passed = cust.filter(probability_in(F.col("c_custkey"), "custkeys_q") > 0)
+    return (
+        passed.join(orders, passed.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers_with_orders"))
+    )
+
+
+def _oracle_bloom_semi_filter() -> str:
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n_customers_with_orders FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -448,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "folder_customer": q_folder_customer,
         "agg_expr_totals": q_agg_expr_totals,
         "agg_map_counts": q_agg_map_counts,
+        "map_lookup_nation": q_map_lookup_nation,
+        "bloom_semi_filter": q_bloom_semi_filter,
     }
 
 
@@ -463,4 +512,6 @@ def oracle_sql() -> dict[str, str]:
         "folder_customer": _oracle_folder_customer(),
         "agg_expr_totals": _oracle_agg_expr_totals(),
         "agg_map_counts": _oracle_agg_map_counts(),
+        "map_lookup_nation": _oracle_map_lookup_nation(),
+        "bloom_semi_filter": _oracle_bloom_semi_filter(),
     }

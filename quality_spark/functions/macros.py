@@ -256,6 +256,42 @@ _register(_long_pair, "long_pair", "longPair")
 _register(_long_pair_from_uuid, "long_pair_from_uuid", "longPairFromUuid")
 
 
+def _strip_str(arg: str) -> str:
+    a = arg.strip()
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+        return a[1:-1]
+    raise ValueError(f"expected a string literal, got {arg!r}")
+
+
+def _map_lookup(args):
+    from ..sources.lookups import map_lookup_sql
+
+    if len(args) != 2:
+        raise _arity_error("map_lookup", args, "2")
+    return map_lookup_sql(_strip_str(args[0]), args[1])
+
+
+def _map_contains(args):
+    from ..sources.lookups import map_contains_sql
+
+    if len(args) != 2:
+        raise _arity_error("map_contains", args, "2")
+    return map_contains_sql(_strip_str(args[0]), args[1])
+
+
+def _probability_in(args):
+    from ..sources.lookups import probability_in_sql
+
+    if len(args) != 2:
+        raise _arity_error("probability_in", args, "2")
+    return probability_in_sql(args[0], _strip_str(args[1]))
+
+
+_register(_map_lookup, "map_lookup", "mapLookup")
+_register(_map_contains, "map_contains", "mapContains")
+_register(_probability_in, "probability_in", "probabilityIn")
+
+
 def expand_builtin(name_lower: str, args: Tuple[str, ...]) -> Optional[str]:
     fn = BUILTIN_MACROS.get(name_lower)
     if fn is None:

@@ -1,0 +1,284 @@
+"""Broadcast map lookups and bloom-filter membership.
+
+Reference surface: ``map_lookup``/``map_contains``
+(impl/mapLookup/MapLookupExpression.scala:49-76, model.scala:17-82) and
+``probability_in`` over blooms built with ``small_bloom``/``big_bloom``
+(impl/bloom/BloomFilterExpression.scala:84-177, Parquet.scala:60-137).
+
+Spark-first design:
+
+- maps load driver-side (lookup tables are small by contract) and are
+  emitted as MAP literals — pure JVM ``element_at``, no UDF, no join,
+  works identically in batch/streaming. Large dimension joins should
+  use a broadcast join instead (``lookup_join`` helper).
+- blooms hash JVM-side with two ``xxhash64`` seeds (double hashing
+  g_i = h1 + i*h2); bit-set building is a vectorized numpy pass per
+  partition via ``mapInPandas``, partials OR-merged on the driver.
+  Probing broadcasts the byte array and checks k bits per row in a
+  vectorized pandas UDF registered as ``q_bloom_<name>`` so rule SQL
+  text can call ``probability_in(expr, 'name')``. At 1000-executor
+  scale the bytes travel once per executor (Spark broadcast), exactly
+  like the reference's driver-built bloom maps.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Iterator, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Map lookups
+# ---------------------------------------------------------------------------
+
+_MAP_REGISTRY: Dict[str, Tuple[Dict, str]] = {}  # name -> (dict, value_ddl)
+
+MAP_LITERAL_MAX = 100_000
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    raise ValueError(f"unsupported literal type {type(v)} for map lookup")
+
+
+def register_map_lookup(name: str, mapping: Dict, value_ddl: Optional[str] = None) -> None:
+    if len(mapping) > MAP_LITERAL_MAX:
+        raise ValueError(
+            f"map {name!r} has {len(mapping)} entries; beyond "
+            f"{MAP_LITERAL_MAX} use a broadcast join (lookup_join) instead"
+        )
+    _MAP_REGISTRY[name] = (dict(mapping), value_ddl or "")
+
+
+def load_maps(
+    spark: SparkSession, configs: DataFrame | list
+) -> None:
+    """Load lookup maps from a config frame with columns
+    (name, sql | token, key, value) — reference loadMapConfigs/loadMaps
+    (impl/mapLookup/model.scala:44-82). ``sql`` runs and its (key, value)
+    expressions are collected driver-side."""
+    rows = configs.collect() if isinstance(configs, DataFrame) else configs
+    for row in rows:
+        src = spark.sql(row["sql"]) if row["sql"] else spark.table(row["token"])
+        kv = src.select(
+            F.expr(row["key"]).alias("k"), F.expr(row["value"]).alias("v")
+        )
+        value_ddl = kv.schema.fields[1].dataType.simpleString()
+        mapping = {r["k"]: r["v"] for r in kv.collect()}
+        register_map_lookup(row["name"], mapping, value_ddl)
+
+
+def _map_literal_sql(name: str) -> str:
+    if name not in _MAP_REGISTRY:
+        raise KeyError(
+            f"map lookup {name!r} not registered; call register_map_lookup/load_maps"
+        )
+    mapping, value_ddl = _MAP_REGISTRY[name]
+    if not mapping:
+        return f"CAST(map() AS MAP<STRING,{value_ddl or 'STRING'}>)"
+    parts = []
+    for k, v in mapping.items():
+        parts.append(f"{_sql_literal(k)}, {_sql_literal(v)}")
+    return f"map({', '.join(parts)})"
+
+
+def map_lookup_sql(name: str, key_sql: str) -> str:
+    return f"element_at({_map_literal_sql(name)}, ({key_sql}))"
+
+
+def map_contains_sql(name: str, key_sql: str) -> str:
+    return f"(element_at({_map_literal_sql(name)}, ({key_sql})) IS NOT NULL)"
+
+
+def map_lookup(name: str, key: Union[Column, str]) -> Column:
+    key_sql = key if isinstance(key, str) else _col_sql(key)
+    return F.expr(map_lookup_sql(name, key_sql))
+
+
+def map_contains(name: str, key: Union[Column, str]) -> Column:
+    key_sql = key if isinstance(key, str) else _col_sql(key)
+    return F.expr(map_contains_sql(name, key_sql))
+
+
+def lookup_join(
+    df: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str,
+    value: str,
+    out: str,
+) -> DataFrame:
+    """Broadcast-join lookup for dimensions too large for a literal map
+    — the 100 TB-scale path (broadcast hash join, no shuffle of df)."""
+    d = F.broadcast(dim.select(F.col(dim_key).alias("__k"), F.col(value).alias(out)))
+    return df.join(d, df[key] == d["__k"], "left").drop("__k")
+
+
+def _col_sql(c: Column) -> str:
+    try:
+        return c._jc.expr().sql()  # type: ignore[attr-defined]
+    except Exception:
+        s = str(c)
+        if s.startswith("Column<'") and s.endswith("'>"):
+            return s[len("Column<'") : -2]
+        return s
+
+
+# ---------------------------------------------------------------------------
+# Bloom filters
+# ---------------------------------------------------------------------------
+
+_H1_SEED = 0x9747B28C
+_H2_SEED = 0x41C64E6D
+
+
+@dataclass
+class BloomFilter:
+    """Double-hashed bloom: bit i of ``bits`` set for g = h1 + j*h2 (mod m)."""
+
+    bits: np.ndarray  # uint8 array of m_bits/8 bytes
+    m_bits: int
+    k: int
+    fpp: float
+
+    @staticmethod
+    def params(expected: int, fpp: float) -> Tuple[int, int]:
+        m = max(64, int(math.ceil(-expected * math.log(fpp) / (math.log(2) ** 2))))
+        m = (m + 7) // 8 * 8
+        k = max(1, int(round(m / expected * math.log(2)))) if expected else 1
+        return m, k
+
+    def indices(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """(n, k) bit positions for rows of h1/h2 (uint64 views)."""
+        ks = np.arange(self.k, dtype=np.uint64)
+        g = h1[:, None] + ks[None, :] * h2[:, None]  # wraps mod 2^64
+        return (g % np.uint64(self.m_bits)).astype(np.int64)
+
+    def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        idx = self.indices(h1, h2).ravel()
+        np.bitwise_or.at(self.bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+
+    def might_contain(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        idx = self.indices(h1, h2)
+        present = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return present.all(axis=1)
+
+
+def _hash_cols(expr_sql: str) -> list:
+    e = F.expr(expr_sql).cast("string")
+    return [
+        F.xxhash64(e, F.lit(_H1_SEED)).alias("__h1"),
+        F.xxhash64(e, F.lit(_H2_SEED)).alias("__h2"),
+    ]
+
+
+def bloom_from(
+    df: DataFrame, expr_sql: str, expected: int, fpp: float = 0.01
+) -> BloomFilter:
+    """Build a bloom over ``expr_sql`` values: hashes JVM-side, one
+    numpy bitset per partition via mapInPandas, OR-merged on the driver
+    (streamed — one partial in memory at a time)."""
+    m_bits, k = BloomFilter.params(expected, fpp)
+    hashed = df.select(*_hash_cols(expr_sql))
+    n_bytes = m_bits // 8
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bf = BloomFilter(np.zeros(n_bytes, dtype=np.uint8), m_bits, k, fpp)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                h1 = pdf["__h1"].to_numpy().astype(np.int64).view(np.uint64)
+                h2 = pdf["__h2"].to_numpy().astype(np.int64).view(np.uint64)
+                bf.add_hashes(h1, h2)
+        if any_rows:
+            yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    partials = hashed.mapInPandas(build, schema="bits binary")
+    merged = np.zeros(n_bytes, dtype=np.uint8)
+    for row in partials.toLocalIterator():
+        merged |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return BloomFilter(merged, m_bits, k, fpp)
+
+
+_BLOOM_REGISTRY: Dict[str, BloomFilter] = {}
+
+
+def register_bloom(spark: SparkSession, name: str, bf: BloomFilter) -> None:
+    """Register for Column + SQL-text use: ``probability_in(x, 'name')``.
+
+    The probe UDF is vectorized (Arrow batches) over JVM-computed
+    hashes; the byte array ships to executors once via closure
+    broadcast."""
+    _BLOOM_REGISTRY[name] = bf
+    bits, m_bits, k, fpp = bf.bits, bf.m_bits, bf.k, bf.fpp
+    hit = 1.0 - fpp
+
+    @F.pandas_udf("double")
+    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        local = BloomFilter(np.frombuffer(bits.tobytes(), dtype=np.uint8), m_bits, k, fpp)
+        u1 = h1.to_numpy().astype(np.int64).view(np.uint64)
+        u2 = h2.to_numpy().astype(np.int64).view(np.uint64)
+        ok = local.might_contain(u1, u2)
+        return pd.Series(np.where(ok, hit, 0.0))
+
+    spark.udf.register(f"q_bloom_{name}", probe)
+
+
+def load_blooms(spark: SparkSession, configs: DataFrame | list) -> None:
+    """Config rows (name, sql | token, value, numberOfElements,
+    expectedFPP) → build + register (reference: impl/bloom/model.scala:149-177)."""
+    rows = configs.collect() if isinstance(configs, DataFrame) else configs
+    for row in rows:
+        src = spark.sql(row["sql"]) if row["sql"] else spark.table(row["token"])
+        bf = bloom_from(src, row["value"], row["numberOfElements"], row["expectedFPP"])
+        register_bloom(spark, row["name"], bf)
+
+
+def probability_in_sql(expr_sql: str, name: str) -> str:
+    if name not in _BLOOM_REGISTRY:
+        raise KeyError(f"bloom {name!r} not registered; call register_bloom/load_blooms")
+    e = f"CAST(({expr_sql}) AS STRING)"
+    return (
+        f"q_bloom_{name}(xxhash64({e}, {_H1_SEED}), xxhash64({e}, {_H2_SEED}))"
+    )
+
+
+def probability_in(expr: Union[Column, str], name: str) -> Column:
+    e = expr if isinstance(expr, str) else _col_sql(expr)
+    return F.expr(probability_in_sql(e, name))
+
+
+def save_bloom(bf: BloomFilter, path: str) -> None:
+    """Persist to a directory (shared storage at scale — the big-bloom
+    file layout, reference BloomModel.scala:36-99)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as fh:
+        json.dump({"m_bits": bf.m_bits, "k": bf.k, "fpp": bf.fpp}, fh)
+    np.save(f"{path}/bits.npy", bf.bits)
+
+
+def load_bloom(path: str) -> BloomFilter:
+    import json
+
+    with open(f"{path}/meta.json") as fh:
+        meta = json.load(fh)
+    bits = np.load(f"{path}/bits.npy")
+    return BloomFilter(bits, meta["m_bits"], meta["k"], meta["fpp"])
