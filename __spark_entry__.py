@@ -473,6 +473,24 @@ def _oracle_bloom_semi_filter() -> str:
     )
 
 
+def q_digest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest functions over documents (SURVEY §2.7): md5/sha256 hex —
+    the long-decomposition is covered against hashlib in tests/test_ids.py."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+    )
+
+
+def _oracle_digest_documents() -> str:
+    return (
+        "SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex "
+        "FROM documents"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -497,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_map_counts": q_agg_map_counts,
         "map_lookup_nation": q_map_lookup_nation,
         "bloom_semi_filter": q_bloom_semi_filter,
+        "digest_documents": q_digest_documents,
     }
 
 
@@ -514,4 +533,5 @@ def oracle_sql() -> dict[str, str]:
         "agg_map_counts": _oracle_agg_map_counts(),
         "map_lookup_nation": _oracle_map_lookup_nation(),
         "bloom_semi_filter": _oracle_bloom_semi_filter(),
+        "digest_documents": _oracle_digest_documents(),
     }
