@@ -492,6 +492,198 @@ def _oracle_digest_documents() -> str:
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (SURVEY §7.9 / BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy duplicate groups over documents."""
+    from quality_spark.llm.dedup import exact_dup_groups
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id", "text").select(
+        "content_hash", F.col("n_docs").cast("bigint").alias("n_docs"), "keeper_id"
+    )
+
+
+def _oracle_dedup_exact_groups() -> str:
+    return (
+        "SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs, "
+        "min(doc_id) AS keeper_id FROM documents GROUP BY md5(text)"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quality_spark.llm.textstats import text_stats_sqls
+
+    docs = _read(spark, sf_dir, "documents")
+    sqls = text_stats_sqls("text", "spark")
+    return docs.select("doc_id", *[F.expr(s).alias(n) for n, s in sqls.items()])
+
+
+def _oracle_text_stats() -> str:
+    from quality_spark.llm.textstats import text_stats_sqls
+
+    sqls = text_stats_sqls("text", "duckdb")
+    cols = ", ".join(f"{s} AS {n}" for n, s in sqls.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quality_spark.llm.textstats import lang_id_sql
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(lang_id_sql("text", "spark")).alias("lang_pred")
+    )
+
+
+def _oracle_lang_id() -> str:
+    from quality_spark.llm.textstats import lang_id_sql
+
+    return f"SELECT doc_id, {lang_id_sql('text', 'duckdb')} AS lang_pred FROM documents"
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quality_spark.llm.textstats import fingerprint_sql
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(fingerprint_sql("text", "spark")).alias("fingerprint")
+    )
+
+
+def _oracle_fingerprint() -> str:
+    from quality_spark.llm.textstats import fingerprint_sql
+
+    return (
+        f"SELECT doc_id, {fingerprint_sql('text', 'duckdb')} AS fingerprint "
+        "FROM documents"
+    )
+
+
+def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quality_spark.llm.textstats import with_token_estimate
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_token_estimate(docs).select("doc_id", "token_estimate")
+
+
+def _oracle_token_estimate() -> str:
+    # same pattern, DuckDB escaping (no literal unescape pass)
+    return (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS token_estimate "
+        "FROM documents"
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash MinHash signatures (16 perms over 3-gram shingles),
+    exploded to (doc_id, perm, minhash). The LSH band join itself is
+    exercised in tests/test_llm_ops.py with planted near-duplicates."""
+    from quality_spark.llm.dedup import with_minhash
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = with_minhash(docs, k=3, num_perm=16, bands=4, mode="portable")
+    return sig.select(
+        "doc_id", F.posexplode("mh").alias("perm", "minhash")
+    ).select("doc_id", F.col("perm").cast("int").alias("perm"), "minhash")
+
+
+def _oracle_minhash_signatures() -> str:
+    from quality_spark.llm.dedup import minhash_sqls, shingles_sql
+
+    sh = shingles_sql("text", 3, "duckdb")
+    mh = minhash_sqls("sh", 16, "duckdb", "portable")
+    parts = [
+        f"SELECT doc_id, {p} AS perm, {m} AS minhash FROM "
+        f"(SELECT doc_id, {sh} AS sh FROM documents)"
+        for p, m in enumerate(mh)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quality_spark.llm.dedup import simhash_sql
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(simhash_sql("text", "spark", bits=32, mode="portable")).alias("simhash"),
+    )
+
+
+def _oracle_simhash() -> str:
+    from quality_spark.llm.dedup import simhash_sql
+
+    return (
+        f"SELECT doc_id, CAST({simhash_sql('text', 'duckdb', bits=32, mode='portable')} "
+        "AS BIGINT) AS simhash FROM documents"
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (exact ANN
+    baseline; the LSH-bucketed scale path is tests-covered)."""
+    from quality_spark.llm.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _oracle_ann_cosine_topk() -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len(q.e) + 1), "
+        "i -> CAST(q.e[i] AS DOUBLE) * CAST(c.e[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot} / (sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+  FROM q CROSS JOIN v c WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-duplicate pairs (cosine ≥ 0.8) on a 1-in-10
+    subset — the verification path of embedding dedup; LSH recall is
+    tests-covered."""
+    from quality_spark.llm.similarity import brute_force_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return brute_force_near_dup_pairs(emb, threshold=0.8).select("id_a", "id_b")
+
+
+def _oracle_embedding_near_dup() -> str:
+    dot = (
+        "list_sum(list_transform(range(1, len(a.e) + 1), "
+        "i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id % 10 = 0)
+SELECT id_a, id_b FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {dot} / (sqrt(list_sum(list_transform(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -516,6 +708,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_lookup_nation": q_map_lookup_nation,
         "bloom_semi_filter": q_bloom_semi_filter,
         "digest_documents": q_digest_documents,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "token_estimate": q_token_estimate,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -534,4 +735,13 @@ def oracle_sql() -> dict[str, str]:
         "map_lookup_nation": _oracle_map_lookup_nation(),
         "bloom_semi_filter": _oracle_bloom_semi_filter(),
         "digest_documents": _oracle_digest_documents(),
+        "dedup_exact_groups": _oracle_dedup_exact_groups(),
+        "text_stats": _oracle_text_stats(),
+        "lang_id": _oracle_lang_id(),
+        "fingerprint": _oracle_fingerprint(),
+        "token_estimate": _oracle_token_estimate(),
+        "minhash_signatures": _oracle_minhash_signatures(),
+        "simhash": _oracle_simhash(),
+        "ann_cosine_topk": _oracle_ann_cosine_topk(),
+        "embedding_near_dup": _oracle_embedding_near_dup(),
     }

@@ -1,0 +1,276 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB): every candidate-generation step is a *banded
+self-join* — rows only meet when they share an LSH band / simhash
+chunk, so the shuffle is keyed by small band hashes and the quadratic
+blow-up is confined to near-duplicate clusters. Signatures are pure
+JVM expressions (split/transform/array_min/xxhash64); no UDFs.
+
+Hash modes: ``fast`` uses xxhash64 (JVM, default); ``portable`` uses a
+60-bit md5-prefix hash computable identically in DuckDB
+(``CAST(conv(substring(md5(x),1,15),16,10)``  ↔  ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``)
+so the correctness oracle can replay the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# portable hash + shingles (spark & duckdb dialects)
+# ---------------------------------------------------------------------------
+
+
+def hash60_sql(x: str, dialect: str, mode: str = "portable") -> str:
+    if mode == "fast":
+        if dialect != "spark":
+            raise ValueError("fast mode is Spark-only (xxhash64)")
+        return f"(xxhash64({x}) & 1152921504606846975)"
+    if dialect == "spark":
+        return f"CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def tokens_sql(text: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"filter(split({text}, '\\\\s+'), t -> t != '')"
+    return f"list_filter(string_split_regex({text}, '\\s+'), t -> t != '')"
+
+
+def shingles_sql(text: str, k: int, dialect: str) -> str:
+    """Distinct word k-gram strings (set semantics for Jaccard)."""
+    toks = tokens_sql(text, dialect)
+    if dialect == "spark":
+        return (
+            f"array_distinct(transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
+            f"i -> array_join(slice({toks}, i, {k}), ' ')))"
+        )
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string({toks}[i:i+{k - 1}], ' ')))"
+    )
+
+
+def minhash_sqls(
+    shingles: str, num_perm: int, dialect: str, mode: str = "portable"
+) -> List[str]:
+    """One min-hash per permutation seed."""
+    out = []
+    mapfn = "transform" if dialect == "spark" else "list_transform"
+    minfn = "array_min" if dialect == "spark" else "list_min"
+    for p in range(num_perm):
+        if mode == "fast" and dialect == "spark":
+            h = f"(xxhash64(s, {1000 + p}) & 1152921504606846975)"
+        else:
+            concat = f"concat(s, '#', '{p}')" if dialect == "spark" else f"concat(s, '#', '{p}')"
+            h = hash60_sql(concat, dialect, mode)
+        out.append(f"{minfn}({mapfn}({shingles}, s -> {h}))")
+    return out
+
+
+def band_sqls(
+    minhash_cols: List[str], bands: int, dialect: str, mode: str = "portable"
+) -> List[str]:
+    """Hash each band's minhash slice to one bucket value."""
+    rows = len(minhash_cols) // bands
+    out = []
+    for b in range(bands):
+        slice_cols = minhash_cols[b * rows : (b + 1) * rows]
+        parts = ", ".join(f"CAST({c} AS STRING)" for c in slice_cols)
+        joined = f"concat_ws(':', {parts})"
+        out.append(hash60_sql(joined, dialect, mode))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Hash-groupBy exact duplicate groups: (content_hash, n_docs,
+    keeper_id). One shuffle on the hash; survives any scale."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("keeper_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id document per identical text."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    mode: str = "fast",
+) -> DataFrame:
+    """Adds ``shingles``, ``mh`` (array of minhashes), and ``band_0..n``."""
+    sh = shingles_sql(text_col, k, "spark")
+    out = df.select("*", F.expr(sh).alias("shingles"))
+    mh_sqls = minhash_sqls("shingles", num_perm, "spark", mode)
+    out = out.select("*", F.array(*[F.expr(s) for s in mh_sqls]).alias("mh"))
+    mh_cols = [f"mh[{i}]" for i in range(num_perm)]
+    band_cols = band_sqls(mh_cols, bands, "spark", mode)
+    return out.select(
+        "*", *[F.expr(s).alias(f"band_{b}") for b, s in enumerate(band_cols)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    mode: str = "fast",
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for candidate pairs sharing ≥1 LSH band,
+    verified with exact shingle-set Jaccard ≥ threshold.
+
+    The band join shuffles on (band_index, band_hash) — candidates are
+    co-located, everything else never meets. Jaccard is recomputed only
+    for candidates (array_intersect on the two shingle sets)."""
+    sig = with_minhash(df, text_col, k, num_perm, bands, mode).select(
+        F.col(id_col).alias("id"),
+        "shingles",
+        F.array(*[F.col(f"band_{b}") for b in range(bands)]).alias("bands"),
+    )
+    exploded = sig.select(
+        "id", "shingles", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    return (
+        cand.select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_sql(
+    text: str, dialect: str, bits: int = 32, mode: str = "portable"
+) -> str:
+    """Classic simhash over whitespace tokens: bit b of the output is 1
+    iff sum over tokens of ±1 (token-hash bit b) is positive."""
+    toks = tokens_sql(text, dialect)
+    mapfn = "transform" if dialect == "spark" else "list_transform"
+    sumfn = (
+        "aggregate({arr}, 0L, (acc, x) -> acc + x)"
+        if dialect == "spark"
+        else "list_sum({arr})"
+    )
+    h = hash60_sql("t", dialect, mode)
+    terms = []
+    for b in range(bits):
+        arr = f"{mapfn}({toks}, t -> CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        tot = sumfn.format(arr=arr)
+        terms.append(f"(CASE WHEN ({tot}) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    mode: str = "fast",
+    out: str = "simhash",
+) -> DataFrame:
+    return df.select("*", F.expr(simhash_sql(text_col, "spark", bits, mode)).alias(out))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    mode: str = "fast",
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) via chunk banding: with 4
+    chunks, any pair within hamming 3 shares an identical chunk
+    (pigeonhole) — full recall without a quadratic join."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    sh = with_simhash(df, text_col, bits, mode).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"(simhash >> {c * chunk_bits}) & {(1 << chunk_bits) - 1}"
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming")
+    return cand.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,141 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure JVM Column expressions (split/filter/transform/regexp) — no
+UDFs, so they run at full codegen speed over 100 TB and work in
+Structured Streaming unchanged. Each operator has a DuckDB-SQL twin
+(generated from the same spec) used by the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic stopword lists for the lang-id heuristic (alphabetical
+# language order is also the tie-break order)
+STOPWORDS: Dict[str, List[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "for", "on", "it"],
+    "es": ["el", "los", "las", "y", "un", "una", "es", "en", "que", "por"],
+    "fr": ["le", "les", "et", "une", "est", "dans", "que", "pour", "sur", "avec"],
+    "zh": ["de", "le", "shi", "bu", "wo", "ni", "ta", "men", "zhe", "na"],
+}
+
+# quote characters deliberately excluded — keeps the class embeddable in
+# single-quoted SQL string literals. Spark unescapes backslashes inside
+# string literals (so the regex needs \\[ in the literal); DuckDB does not.
+PUNCT_CLASS_SPARK = "[.,;:!?()\\\\[\\\\]{}-]"
+PUNCT_CLASS_DUCK = "[.,;:!?()\\[\\]{}-]"
+
+
+def _tokens_sql(text: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"filter(split({text}, '\\\\s+'), t -> t != '')"
+    return f"list_filter(string_split_regex({text}, '\\s+'), t -> t != '')"
+
+
+def _stop_hits_sql(toks: str, words: List[str], dialect: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    if dialect == "spark":
+        return f"size(filter({toks}, t -> t IN ({lst})))"
+    return f"len(list_filter({toks}, t -> t IN ({lst})))"
+
+
+def text_stats_sqls(text: str, dialect: str) -> Dict[str, str]:
+    """Column-name → SQL for the text-stats block. ``dialect`` is
+    'spark' or 'duckdb'; the arithmetic is identical so values match
+    bit-for-bit."""
+    toks = _tokens_sql(text, dialect)
+    size_fn = "size" if dialect == "spark" else "len"
+    tc = f"{size_fn}({toks})"
+    chars = f"length({text})"
+    if dialect == "spark":
+        no_punct = f"length(regexp_replace({text}, '{PUNCT_CLASS_SPARK}', ''))"
+    else:
+        no_punct = f"length(regexp_replace({text}, '{PUNCT_CLASS_DUCK}', '', 'g'))"
+    punct_ratio = f"(CAST({chars} - {no_punct} AS DOUBLE) / {chars})"
+    stop_hits = _stop_hits_sql(toks, STOPWORDS["en"], dialect)
+    stop_ratio = f"(CAST({stop_hits} AS DOUBLE) / {tc})"
+    avg_len = f"(CAST({chars} AS DOUBLE) / {tc})"
+    # every constant cast to DOUBLE so neither engine routes through
+    # DECIMAL arithmetic (which differs between Spark and DuckDB)
+    d = "CAST({} AS DOUBLE)".format
+    quality = (
+        f"(least({d('1.0')}, CAST({tc} AS DOUBLE) / {d('200.0')}) * {d('0.4')} "
+        f"+ least({d('1.0')}, {stop_ratio} * {d('4.0')}) * {d('0.3')} "
+        f"+ greatest({d('0.0')}, {d('1.0')} - {punct_ratio} * {d('5.0')}) * {d('0.3')})"
+    )
+    return {
+        "token_count": f"CAST({tc} AS INT)",
+        "char_count": f"CAST({chars} AS INT)",
+        "avg_token_len": avg_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": quality,
+    }
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    sqls = text_stats_sqls(text_col, "spark")
+    return df.select("*", *[F.expr(s).alias(n) for n, s in sqls.items()])
+
+
+def lang_id_sql(text: str, dialect: str) -> str:
+    """Argmax of per-language stopword-hit scores; ties break to the
+    alphabetically-first language (strict > scan in fixed order)."""
+    toks = _tokens_sql(text, dialect)
+    scores = {
+        lang: _stop_hits_sql(toks, words, dialect)
+        for lang, words in sorted(STOPWORDS.items())
+    }
+    langs = list(scores)
+    # best = first lang whose score >= all later ones
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"({scores[lang]}) >= ({scores[other]})" for other in langs[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return f"(CASE {' '.join(clauses)} ELSE '{langs[-1]}' END)"
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    return df.select("*", F.expr(lang_id_sql(text_col, "spark")).alias(out))
+
+
+def fingerprint_sql(text: str, dialect: str) -> str:
+    """Order/duplication-insensitive document fingerprint: md5 of the
+    sorted distinct token set (deterministic across engines)."""
+    toks = _tokens_sql(text, dialect)
+    if dialect == "spark":
+        canon = f"array_join(array_sort(array_distinct({toks})), ' ')"
+    else:
+        canon = f"array_to_string(list_sort(list_distinct({toks})), ' ')"
+    return f"md5({canon})"
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "fingerprint"
+) -> DataFrame:
+    return df.select("*", F.expr(fingerprint_sql(text_col, "spark")).alias(out))
+
+
+#: BPE-ish subword token estimate: word chunks of <=4 chars + digits.
+#: Doubled backslash survives Spark's string-literal unescaping.
+BPE_ISH_PATTERN = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\\\s]"
+
+
+def with_token_estimate(
+    df: DataFrame, text_col: str = "text", out: str = "token_estimate"
+) -> DataFrame:
+    """Subword-token count estimate via a BPE-ish regex (whitespace
+    tokens are in with_text_stats)."""
+    return df.select(
+        "*",
+        F.expr(
+            f"size(regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0))"
+        ).cast("int").alias(out),
+    )

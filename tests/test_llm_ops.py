@@ -1,0 +1,251 @@
+"""LLM-pipeline operators: dedup, similarity, text stats, multimodal."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from quality_spark.llm.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    with_minhash,
+    with_simhash,
+)
+from quality_spark.llm.similarity import (
+    brute_force_near_dup_pairs,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucket_topk,
+)
+from quality_spark.llm.textstats import (
+    with_fingerprint,
+    with_lang_id,
+    with_text_stats,
+    with_token_estimate,
+)
+from quality_spark.llm.multimodal import (
+    as_media_column,
+    extract_media_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- exact dedup -------------------------------------------------------
+
+
+def test_exact_dedup_with_planted_dups(spark, docs):
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with_dups = docs.unionByName(dup)
+    groups = exact_dup_groups(with_dups, "doc_id", "text")
+    assert groups.filter(F.col("n_docs") == 2).count() == 5
+    deduped = exact_dedup(with_dups, "doc_id", "text")
+    assert deduped.count() == docs.count()
+    # keeper is the lowest id -> planted high-id copies all dropped
+    assert deduped.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+# --- minhash -----------------------------------------------------------
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    # plant near-duplicates: copy docs with one word appended
+    near = docs.limit(10).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    pairs = minhash_lsh_pairs(
+        corpus, k=3, num_perm=16, bands=4, threshold=0.6, mode="fast"
+    )
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in pairs.filter(F.col("id_b") >= 2_000_000).collect()
+    }
+    planted = {(i, i + 2_000_000) for i in [r["doc_id"] for r in docs.limit(10).collect()]}
+    # LSH with 4 bands of 4 rows recalls >= 80% of ~0.9-jaccard pairs
+    assert len(found & planted) >= 8
+
+
+def test_minhash_portable_matches_fast_structure(spark, docs):
+    sub = docs.limit(20)
+    fast = with_minhash(sub, mode="fast").select("doc_id", "mh")
+    port = with_minhash(sub, mode="portable").select("doc_id", "mh")
+    assert fast.count() == port.count() == 20
+    assert len(fast.first()["mh"]) == 16
+
+
+# --- simhash -----------------------------------------------------------
+
+
+def test_simhash_near_dups(spark, docs):
+    near = docs.limit(10).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    sh = with_simhash(corpus, mode="fast")
+    assert sh.schema["simhash"].dataType.simpleString() == "bigint"
+    pairs = simhash_pairs(corpus, max_hamming=3, mode="fast")
+    hits = pairs.filter(F.col("id_b") >= 3_000_000).count()
+    assert hits >= 5  # one appended token flips few bits
+
+
+def test_simhash_identical_text_is_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    pairs = simhash_pairs(df, max_hamming=0, mode="portable").collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+# --- similarity --------------------------------------------------------
+
+
+def test_cosine_topk_against_numpy(spark, emb):
+    import numpy as np
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = cosine_topk(emb, queries, k=5).collect()
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for qid in [0, 1, 2]:
+        q = vecs[qid]
+        sims = {
+            nid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for nid, v in vecs.items()
+            if nid != qid
+        }
+        exp = sorted(sims, key=lambda n: (-sims[n], n))[:5]
+        mine = [r["neighbor_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+        )]
+        assert mine == exp
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=3).collect()
+    approx = lsh_bucket_topk(emb, queries, k=3, planes=4).collect()
+    exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
+    approx_by_q = {}
+    for r in approx:
+        approx_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        1 for q, n in exact_top1.items() if n in approx_by_q.get(q, set())
+    )
+    # 4-plane SRP-LSH keeps most true top-1s in-bucket
+    assert hits >= len(exact_top1) * 0.5
+
+
+def test_embedding_near_dup_lsh_vs_brute(spark, emb):
+    sub = emb.filter(F.col("vec_id") < 200)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in brute_force_near_dup_pairs(sub, threshold=0.8).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(sub, threshold=0.8, planes=4).collect()
+    }
+    assert approx <= exact  # LSH verifies exactly -> no false positives
+    if exact:
+        assert len(approx) / len(exact) >= 0.5
+
+
+# --- text stats --------------------------------------------------------
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    r = with_text_stats(df).collect()[0]
+    assert r["token_count"] == 9
+    assert r["char_count"] == 43
+    assert abs(r["stopword_ratio"] - 2 / 9) < 1e-12
+    assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_lang_id_on_clear_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is for sure"),
+            (2, "der hund ist nicht mit der katze und das ist gut"),
+            (3, "el perro y el gato es un animal en la casa"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es"}
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta alpha")],
+        "doc_id long, text string",
+    )
+    fps = [r["fingerprint"] for r in with_fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_token_estimate(spark):
+    df = spark.createDataFrame([(1, "internationalization 42")], "doc_id long, text string")
+    r = with_token_estimate(df).collect()[0]
+    # 20-char word -> 5 chunks of <=4 chars, plus two digit tokens
+    assert r["token_estimate"] == 7
+
+
+# --- multimodal --------------------------------------------------------
+
+
+def test_media_column_and_features(spark, docs):
+    media = as_media_column(
+        docs.limit(50).withColumn("payload", F.encode(F.col("text"), "utf-8")),
+        "payload",
+        "image",
+        "png",
+    )
+    t = media.schema["media"].dataType.simpleString()
+    assert t == (
+        "struct<payload:binary,meta:struct<media_type:string,format:string,"
+        "width:int,height:int,duration_ms:bigint,n_bytes:bigint>>"
+    )
+    feats = extract_media_features(media, id_col="doc_id")
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["features"]) == 8 for r in rows)
+    # deterministic fake: same payload -> same features
+    again = extract_media_features(media, id_col="doc_id").collect()
+    assert {r["id"]: r["features"] for r in rows} == {
+        r["id"]: r["features"] for r in again
+    }
+
+
+def test_sample_frames(spark, docs):
+    media = as_media_column(
+        docs.limit(5).withColumn("payload", F.encode(F.col("text"), "utf-8")),
+        "payload",
+        "video",
+        "mp4",
+    )
+    frames = sample_frames(media, id_col="doc_id", max_frames=4)
+    rows = frames.collect()
+    assert set(r["frame_idx"] for r in rows) <= {0, 1, 2, 3}
+    assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
+    assert all(len(r["frame"]) <= 16 for r in rows)
