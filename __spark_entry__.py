@@ -592,13 +592,15 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_minhash_signatures() -> str:
-    from quality_spark.llm.dedup import minhash_sqls, shingles_sql
+    from quality_spark.llm.dedup import minhash_sqls, shingle_hashes_sql, shingles_sql
 
     sh = shingles_sql("text", 3, "duckdb")
-    mh = minhash_sqls("sh", 16, "duckdb", "portable")
+    hv = shingle_hashes_sql("sh", "duckdb", "portable")
+    mh = minhash_sqls("hv", 16, "duckdb", "portable")
     parts = [
         f"SELECT doc_id, {p} AS perm, {m} AS minhash FROM "
-        f"(SELECT doc_id, {sh} AS sh FROM documents)"
+        f"(SELECT doc_id, {hv} AS hv FROM "
+        f"(SELECT doc_id, {sh} AS sh FROM documents))"
         for p, m in enumerate(mh)
     ]
     return " UNION ALL ".join(parts)
@@ -658,13 +660,15 @@ SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-duplicate pairs (cosine ≥ 0.8) on a 1-in-10
-    subset — the verification path of embedding dedup; LSH recall is
-    tests-covered."""
+    """Exact embedding near-duplicate pairs on a 1-in-10 subset — the
+    verification path of embedding dedup; LSH recall is tests-covered.
+    Threshold 0.3: the test embeddings are random (max pairwise cosine
+    ≈0.41 at sf0.01), so a realistic 0.8 returns zero rows and the
+    oracle comparison would be vacuous."""
     from quality_spark.llm.similarity import brute_force_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    return brute_force_near_dup_pairs(emb, threshold=0.8).select("id_a", "id_b")
+    return brute_force_near_dup_pairs(emb, threshold=0.3).select("id_a", "id_b")
 
 
 def _oracle_embedding_near_dup() -> str:
@@ -679,7 +683,7 @@ SELECT id_a, id_b FROM (
          {dot} / (sqrt(list_sum(list_transform(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                   * sqrt(list_sum(list_transform(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
   FROM v a JOIN v b ON a.vec_id < b.vec_id
-) WHERE cosine >= 0.8
+) WHERE cosine >= 0.3
 """
 
 

@@ -54,20 +54,44 @@ def shingles_sql(text: str, k: int, dialect: str) -> str:
     )
 
 
-def minhash_sqls(
-    shingles: str, num_perm: int, dialect: str, mode: str = "portable"
-) -> List[str]:
-    """One min-hash per permutation seed."""
+def _perm_coeffs(num_perm: int) -> List[Tuple[int, int, int]]:
+    """Deterministic universal-hash coefficients < 2^30 per permutation."""
+    import hashlib
+
     out = []
+    for p in range(num_perm):
+        d = hashlib.md5(f"qs-minhash-{p}".encode()).digest()
+        a = (int.from_bytes(d[0:4], "big") | 1) & ((1 << 30) - 1)
+        b = int.from_bytes(d[4:8], "big") & ((1 << 30) - 1)
+        c = int.from_bytes(d[8:12], "big") & ((1 << 30) - 1)
+        out.append((a | 1, b, c))
+    return out
+
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def shingle_hashes_sql(shingles: str, dialect: str, mode: str = "portable") -> str:
+    """Base 60-bit hash of every shingle — computed ONCE; permutations
+    mix these values instead of re-hashing."""
+    mapfn = "transform" if dialect == "spark" else "list_transform"
+    return f"{mapfn}({shingles}, s -> {hash60_sql('s', dialect, mode)})"
+
+
+def minhash_sqls(hashes: str, num_perm: int, dialect: str, mode: str = "portable") -> List[str]:
+    """One min-hash per permutation over a precomputed hash array.
+
+    Permutations are overflow-free universal mixes
+    ``(hi·a + lo·b + c) mod (2^61-1)`` of the base hash's 30-bit halves
+    — portable to DuckDB (whose integer ops are checked, so wrap-around
+    multiply tricks are off the table) and ~num_perm× cheaper than
+    hashing per permutation."""
     mapfn = "transform" if dialect == "spark" else "list_transform"
     minfn = "array_min" if dialect == "spark" else "list_min"
-    for p in range(num_perm):
-        if mode == "fast" and dialect == "spark":
-            h = f"(xxhash64(s, {1000 + p}) & 1152921504606846975)"
-        else:
-            concat = f"concat(s, '#', '{p}')" if dialect == "spark" else f"concat(s, '#', '{p}')"
-            h = hash60_sql(concat, dialect, mode)
-        out.append(f"{minfn}({mapfn}({shingles}, s -> {h}))")
+    out = []
+    for a, b, c in _perm_coeffs(num_perm):
+        mix = f"(((h >> 30) * {a} + (h & 1073741823) * {b} + {c}) % {_MERSENNE61})"
+        out.append(f"{minfn}({mapfn}({hashes}, h -> {mix}))")
     return out
 
 
@@ -130,8 +154,13 @@ def with_minhash(
     """Adds ``shingles``, ``mh`` (array of minhashes), and ``band_0..n``."""
     sh = shingles_sql(text_col, k, "spark")
     out = df.select("*", F.expr(sh).alias("shingles"))
-    mh_sqls = minhash_sqls("shingles", num_perm, "spark", mode)
-    out = out.select("*", F.array(*[F.expr(s) for s in mh_sqls]).alias("mh"))
+    out = out.select(
+        "*", F.expr(shingle_hashes_sql("shingles", "spark", mode)).alias("__hv")
+    )
+    mh_sqls = minhash_sqls("__hv", num_perm, "spark", mode)
+    out = out.select(
+        "*", F.array(*[F.expr(s) for s in mh_sqls]).alias("mh")
+    ).drop("__hv")
     mh_cols = [f"mh[{i}]" for i in range(num_perm)]
     band_cols = band_sqls(mh_cols, bands, "spark", mode)
     return out.select(

@@ -97,6 +97,12 @@ class Rule:
     expression: ExpressionRule
     run_on_pass: Optional[RunOnPassProcessor] = None
 
+    def __post_init__(self) -> None:
+        # Accept bare SQL text — a plain-string expression otherwise fails
+        # far from the construction site.
+        if isinstance(self.expression, str):
+            object.__setattr__(self, "expression", ExpressionRule(self.expression))
+
 
 @dataclass(frozen=True)
 class RuleSet:
