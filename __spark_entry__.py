@@ -687,6 +687,53 @@ SELECT id_a, id_b FROM (
 """
 
 
+_VERSIONED_RULE_ROWS = [
+    # (suiteId, suiteVersion, setId, setVersion, ruleId, ruleVersion, expr)
+    (1, 1, 5, 1, 10, 1, "a > 0"),
+    (1, 1, 5, 1, 11, 1, "b > 0"),
+    (1, 2, 5, 1, 10, 2, "a > 1"),
+    (1, 2, 5, 1, 12, 1, "c > 0"),
+    (1, 3, 5, 1, 11, 2, "DELETED"),
+    (2, 1, 6, 1, 20, 1, "d > 0"),
+]
+
+
+def q_versioned_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-<= versioned rule selection over an inline rules table —
+    exercises the simple-versioning loader's max_by aggregation
+    (reference: simpleVersioning/package.scala:35-93)."""
+    from quality_spark.sources.serializing import RULES_SCHEMA
+    from quality_spark.sources.versioning import _explode_versions
+
+    rows = [r + (None, None, None) for r in _VERSIONED_RULE_ROWS]
+    df = spark.createDataFrame(rows, RULES_SCHEMA)
+    out = _explode_versions(df, ["ruleSetId", "ruleId"], "ruleVersion")
+    return out.select(
+        "ruleSuiteId", "ruleSuiteVersion", "ruleSetId", "ruleId", "ruleVersion", "ruleExpr"
+    )
+
+
+def _oracle_versioned_rules() -> str:
+    # The reference's own NOT-EXISTS formulation as the oracle — proves the
+    # max_by rewrite is semantics-preserving.
+    vals = ", ".join(
+        f"({a}, {b}, {c}, {d}, {e}, {f}, '{g}')" for a, b, c, d, e, f, g in _VERSIONED_RULE_ROWS
+    )
+    return f"""
+WITH rules(ruleSuiteId, ruleSuiteVersion, ruleSetId, ruleSetVersion, ruleId, ruleVersion, ruleExpr)
+  AS (VALUES {vals})
+SELECT l0.ruleSuiteId, v.ruleSuiteVersion, l0.ruleSetId, l0.ruleId, l0.ruleVersion, l0.ruleExpr
+FROM (SELECT DISTINCT ruleSuiteId, ruleSuiteVersion FROM rules) v
+JOIN rules l0 ON l0.ruleSuiteId = v.ruleSuiteId AND l0.ruleSuiteVersion <= v.ruleSuiteVersion
+WHERE NOT EXISTS (
+  SELECT 0 FROM rules l1
+  WHERE l1.ruleSuiteId = l0.ruleSuiteId AND l1.ruleId = l0.ruleId
+    AND l1.ruleSetId = l0.ruleSetId AND l1.ruleSuiteVersion <= v.ruleSuiteVersion
+    AND l1.ruleVersion > l0.ruleVersion
+) AND l0.ruleExpr != 'DELETED'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -721,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "versioned_rules": q_versioned_rules,
     }
 
 
@@ -748,4 +796,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _oracle_simhash(),
         "ann_cosine_topk": _oracle_ann_cosine_topk(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
+        "versioned_rules": _oracle_versioned_rules(),
     }

@@ -50,6 +50,17 @@ from .sources.serializing import (
     to_lambda_df,
     to_rule_suite_df,
 )
+from .sources.versioning import (
+    MetaRuleSet,
+    integrate_meta_rule_sets,
+    integrate_versioned_lambdas,
+    integrate_versioned_output_expressions,
+    read_meta_rule_sets_from_df,
+    read_versioned_lambdas_from_df,
+    read_versioned_output_expressions_from_df,
+    read_versioned_rules_from_df,
+)
+from .plans.validation import ValidationIssue, process_if_attribute_missing, validate
 from .functions.lambdas import LambdaRegistry, expand_sql
 from .functions import api as funcs
 
