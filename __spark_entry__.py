@@ -734,6 +734,52 @@ WHERE NOT EXISTS (
 """
 
 
+def q_events_windowed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly pass/fail counts of a 3-rule suite over the events table —
+    the batch twin of streaming.windowed_rule_stats (same column tree;
+    streaming parity is covered in tests/test_streaming.py)."""
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite, PASSED_INT
+    from quality_spark.operators.runner import add_data_quality
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+
+    suite = RuleSuite(
+        Id(1, 1),
+        (
+            RuleSet(
+                Id(10, 1),
+                (
+                    Rule(Id(100, 1), "value >= 0"),
+                    Rule(Id(101, 1), "event_type is not null"),
+                    Rule(Id(102, 1), "user_id % 2 = 0"),
+                ),
+            ),
+        ),
+    )
+    ev = read_parquet_compat(spark, f"{sf_dir}/events.parquet")
+    dq = add_data_quality(ev, suite, "DQ")
+    overall = F.col("DQ.overallResult")
+    return (
+        dq.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(overall == PASSED_INT, 1).otherwise(0)).alias("passed"),
+            F.sum(F.when(overall == 0, 1).otherwise(0)).alias("failed"),
+        )
+        .select(F.col("w.start").alias("hour"), "rows", "passed", "failed")
+    )
+
+
+def _oracle_events_windowed_dq() -> str:
+    ok = "(value >= 0 AND event_type IS NOT NULL AND user_id % 2 = 0)"
+    return f"""
+SELECT date_trunc('hour', ts) AS hour,
+       count(*) AS rows,
+       sum(CASE WHEN {ok} THEN 1 ELSE 0 END) AS passed,
+       sum(CASE WHEN {ok} THEN 0 ELSE 1 END) AS failed
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -769,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "versioned_rules": q_versioned_rules,
+        "events_windowed_dq": q_events_windowed_dq,
     }
 
 
@@ -797,4 +844,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _oracle_ann_cosine_topk(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "versioned_rules": _oracle_versioned_rules(),
+        "events_windowed_dq": _oracle_events_windowed_dq(),
     }

@@ -1,0 +1,58 @@
+"""Reading parquet written with TIMESTAMP(NANOS).
+
+Spark's vectorized parquet reader rejects nanosecond timestamps
+([PARQUET_TYPE_ILLEGAL]); the supported path is
+``spark.sql.legacy.parquet.nanosAsLong`` which surfaces them as raw
+nanos-since-epoch LongType.  :func:`read_parquet_compat` detects such
+columns from the parquet footer (a metadata-only read, no data pulled
+to the driver), enables the conf, and converts the longs back to
+microsecond timestamps executor-side — scalable to any input size, at
+the cost of truncating sub-microsecond precision.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_columns(path: str) -> List[str]:
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    p = path
+    if os.path.isdir(p):
+        files = [
+            os.path.join(p, f)
+            for f in sorted(os.listdir(p))
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return []
+        p = files[0]
+    schema = pq.read_schema(p)
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_parquet_compat(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns,
+    converting them to microsecond timestamps."""
+    nanos = _nanos_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # pyarrow also reports INT96 timestamps as timestamp[ns], but Spark
+    # reads those natively — only convert columns Spark surfaced as longs.
+    long_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"}
+    for c in nanos:
+        if c in long_cols:
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+    return df

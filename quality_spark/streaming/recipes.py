@@ -1,0 +1,140 @@
+"""Structured Streaming recipes for the engine's operators.
+
+The reference's runners are stateless per-row expressions, so they work
+in ``readStream`` selects untouched (reference: README.md:3 "batch or
+streaming"; nondeterminism caveats impl/id/GuaranteedUniqueIdExpression.scala:17-18).
+What the reference leaves to the user — watermarks, windowed
+aggregation of DQ results, streaming dedup — is packaged here as
+explicit recipes on top of Structured Streaming.
+
+Scale notes: every recipe keeps state bounded — watermarks expire
+window/dedup state, and the stateful first-seen dedup keys state by the
+dedup key only (no payload retained). All per-row work is JVM-side
+Columns; Python appears only in ``applyInPandasWithState`` where Spark
+has no built-in operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..model import RuleSuite
+from ..operators.runner import add_data_quality
+
+
+def add_stream_data_quality(df: DataFrame, suite: RuleSuite, name: str = "DataQuality") -> DataFrame:
+    """DQ over a streaming DataFrame — identical column tree as batch;
+    provided as an explicit alias so intent shows up in user code."""
+    return add_data_quality(df, suite, name)
+
+
+def windowed_rule_stats(
+    df: DataFrame,
+    suite: RuleSuite,
+    event_time: str,
+    window_duration: str,
+    watermark: str,
+    slide: Optional[str] = None,
+    dq_name: str = "DQ",
+) -> DataFrame:
+    """Tumbling (or sliding) per-window pass/fail counts of the overall
+    DQ result — the streaming analogue of a batch
+    ``groupBy().agg(agg_expr(...))`` dashboard query.  State is bounded
+    by the watermark."""
+    from ..model import PASSED_INT
+
+    dq = add_data_quality(df, suite, dq_name).withWatermark(event_time, watermark)
+    win = (
+        F.window(event_time, window_duration, slide)
+        if slide
+        else F.window(event_time, window_duration)
+    )
+    overall = F.col(f"{dq_name}.overallResult")
+    return dq.groupBy(win.alias("window")).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(overall == F.lit(PASSED_INT), 1).otherwise(0)).alias("passed"),
+        F.sum(F.when(overall == 0, 1).otherwise(0)).alias("failed"),
+    )
+
+
+def streaming_dedup_exact(
+    df: DataFrame,
+    keys: Sequence[str],
+    event_time: str,
+    watermark: str,
+) -> DataFrame:
+    """Exact streaming dedup with bounded state:
+    ``withWatermark + dropDuplicatesWithinWatermark`` — duplicates
+    arriving within the watermark horizon are dropped; state expires
+    with the watermark (Spark's built-in streaming dedup operator)."""
+    out = df.withWatermark(event_time, watermark)
+    try:
+        return out.dropDuplicatesWithinWatermark(list(keys))
+    except AttributeError:  # Spark < 3.5
+        return out.dropDuplicates(list(keys) + [event_time])
+
+
+_FIRST_SEEN_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def streaming_first_seen(
+    df: DataFrame,
+    key: str,
+    timeout_ms: Optional[int] = None,
+) -> DataFrame:
+    """Custom stateful operator: emit only the FIRST row per key ever
+    seen (unbounded horizon — unlike dropDuplicatesWithinWatermark the
+    key memory never expires unless a timeout is given).  Implemented
+    with ``applyInPandasWithState`` since Spark has no built-in
+    unbounded-horizon streaming dedup that emits rows.
+
+    State per key is one boolean — ~16 bytes/key plus key bytes; at
+    100 TB-scale key cardinality prefer :func:`streaming_dedup_exact`
+    with a realistic watermark, or pre-shard by key ranges.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = df.schema
+    timeout = (
+        GroupStateTimeout.NoTimeout if timeout_ms is None else GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+    def fn(key_tuple, pdf_iter, state):
+        if state.exists:
+            # already emitted for this key; consume and emit nothing
+            for _ in pdf_iter:
+                pass
+            return
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        state.update((True,))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(int(timeout_ms))
+        if first is not None:
+            yield first
+
+    return (
+        df.groupBy(key)
+        .applyInPandasWithState(fn, schema, _FIRST_SEEN_STATE, "append", timeout)
+    )
+
+
+def for_each_batch_dq(
+    suite: RuleSuite,
+    sink,
+    dq_name: str = "DQ",
+):
+    """``foreachBatch`` adapter: run the full batch DQ surface
+    (including aggregates/blooms that streaming can't express) on each
+    micro-batch and hand the result to ``sink(df, epoch_id)``."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(add_data_quality(batch_df, suite, dq_name), epoch_id)
+
+    return handle

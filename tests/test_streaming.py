@@ -1,0 +1,171 @@
+"""Structured Streaming recipes: streaming results must equal batch."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import uuid
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from quality_spark.model import Id, Rule, RuleSet, RuleSuite, PASSED_INT
+from quality_spark.operators.runner import add_data_quality
+from quality_spark.streaming.recipes import (
+    add_stream_data_quality,
+    for_each_batch_dq,
+    streaming_dedup_exact,
+    streaming_first_seen,
+    windowed_rule_stats,
+)
+
+
+SUITE = RuleSuite(
+    Id(1, 1),
+    (
+        RuleSet(
+            Id(10, 1),
+            (
+                Rule(Id(100, 1), "value >= 0"),
+                Rule(Id(101, 1), "event_type is not null"),
+                Rule(Id(102, 1), "user_id % 2 = 0"),
+            ),
+        ),
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir):
+    """File-source streams need a directory; stage the events parquet.
+
+    The generated events table stores TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects ([PARQUET_TYPE_ILLEGAL]) — stage through
+    read_parquet_compat which converts to microsecond timestamps."""
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+
+    d = tempfile.mkdtemp(prefix="qs_stream_")
+    read_parquet_compat(spark, f"{sf_dir}/events.parquet").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_dq_equals_batch(spark, events_stream_dir):
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+
+    name = f"dq_{uuid.uuid4().hex[:8]}"
+    out = add_stream_data_quality(stream, SUITE, "DQ").select(
+        "event_id", F.col("DQ.overallResult").alias("overall")
+    )
+    _run_stream(out, name)
+    got = {
+        (r["event_id"], r["overall"]) for r in spark.sql(f"select * from {name}").collect()
+    }
+    want = {
+        (r["event_id"], r["overall"])
+        for r in add_data_quality(batch, SUITE, "DQ")
+        .select("event_id", F.col("DQ.overallResult").alias("overall"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_windowed_rule_stats_equals_batch(spark, events_stream_dir):
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    out = windowed_rule_stats(stream, SUITE, "ts", "1 hour", "0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"], r["rows"], r["passed"], r["failed"])
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+
+    dq = add_data_quality(batch, SUITE, "DQ")
+    overall = F.col("DQ.overallResult")
+    want = {
+        (r["window"]["start"], r["rows"], r["passed"], r["failed"])
+        for r in dq.groupBy(F.window("ts", "1 hour").alias("window"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(overall == PASSED_INT, 1).otherwise(0)).alias("passed"),
+            F.sum(F.when(overall == 0, 1).otherwise(0)).alias("failed"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_exact(spark, events_stream_dir):
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    out = streaming_dedup_exact(stream, ["user_id"], "ts", "10 minutes")
+    _run_stream(out.select("user_id"), name)
+    got = [r["user_id"] for r in spark.sql(f"select user_id from {name}").collect()]
+    # within one availableNow pass every user appears exactly once
+    assert len(got) == len(set(got)) > 0
+    assert set(got) == {r["user_id"] for r in batch.select("user_id").distinct().collect()}
+
+
+def test_streaming_first_seen(spark, events_stream_dir):
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+
+    name = f"fs_{uuid.uuid4().hex[:8]}"
+    out = streaming_first_seen(stream.select("event_id", "user_id"), "user_id")
+    _run_stream(out, name)
+    rows = spark.sql(f"select * from {name}").collect()
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users)) > 0
+    assert set(users) == {r["user_id"] for r in batch.select("user_id").distinct().collect()}
+
+
+def test_for_each_batch_dq(spark, events_stream_dir):
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+
+    captured = []
+
+    def sink(df, epoch_id):
+        captured.append(df.agg(F.sum(F.when(F.col("DQ.overallResult") == PASSED_INT, 1).otherwise(0))).collect()[0][0])
+
+    q = stream.writeStream.foreachBatch(for_each_batch_dq(SUITE, sink)).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    want = (
+        add_data_quality(batch, SUITE, "DQ")
+        .agg(F.sum(F.when(F.col("DQ.overallResult") == PASSED_INT, 1).otherwise(0)))
+        .collect()[0][0]
+    )
+    assert sum(x or 0 for x in captured) == want > 0
