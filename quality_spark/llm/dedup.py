@@ -95,6 +95,33 @@ def minhash_sqls(hashes: str, num_perm: int, dialect: str, mode: str = "portable
     return out
 
 
+def minhash_array_sql(hashes: str, num_perm: int, empty_check: Optional[str] = None) -> str:
+    """All ``num_perm`` min-hashes in ONE ``aggregate`` pass over the
+    hash array (Spark dialect only).
+
+    Emitting one ``array_min(transform(hv, ...))`` per permutation makes
+    the hash-array column referenced N times; Catalyst's projection
+    collapse then inlines the (expensive) md5 shingle hashing into every
+    permutation — observed 16x recompute, 61s -> 4s at sf0.1.  A single
+    ``aggregate`` references the array once, so the base hashes are
+    computed once regardless of num_perm."""
+    # shiftright(), not the '>>' operator: '>>' fails to parse in the same
+    # expression as an ARRAY<BIGINT> type literal (generic-bracket clash).
+    mixes = ", ".join(
+        f"least(acc[{i}], (shiftright(h, 30) * {a}L + (h & 1073741823) * {b}L + {c}L) % {_MERSENNE61}L)"
+        for i, (a, b, c) in enumerate(_perm_coeffs(num_perm))
+    )
+    init = "array(" + ", ".join(f"{_MERSENNE61}L" for _ in range(num_perm)) + ")"
+    # The empty guard must test a CHEAP expression: size(hashes) would
+    # clone the full hash transform into the plan a second time.  Pass
+    # the pre-hash array column via empty_check when hashes is expensive.
+    guard = empty_check or hashes
+    return (
+        f"CASE WHEN size({guard}) = 0 THEN CAST(NULL AS ARRAY<BIGINT>) "
+        f"ELSE aggregate({hashes}, {init}, (acc, h) -> array({mixes})) END"
+    )
+
+
 def band_sqls(
     minhash_cols: List[str], bands: int, dialect: str, mode: str = "portable"
 ) -> List[str]:
@@ -150,17 +177,39 @@ def with_minhash(
     num_perm: int = 16,
     bands: int = 4,
     mode: str = "fast",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Adds ``shingles``, ``mh`` (array of minhashes), and ``band_0..n``."""
+    """Adds ``shingles``, ``mh`` (array of minhashes), and ``band_0..n``.
+
+    Shape: explode shingles -> hash once per shingle -> ``groupBy(id)``
+    with ``num_perm`` MIN aggregates -> left join back.  Everything runs
+    in whole-stage codegen with map-side partial aggregation, so the
+    shuffle carries one row of ``num_perm`` longs per document.  The
+    array-HOF formulations (``array_min(transform(...))`` per perm, or
+    one ``aggregate`` pass) are 3-16x slower here: higher-order lambdas
+    evaluate interpreted, and Catalyst's projection collapse clones the
+    expensive hash transform into every use.  Docs with no shingles get
+    ``mh = NULL`` (left join), matching ``list_min([]) -> NULL`` on the
+    oracle side."""
     sh = shingles_sql(text_col, k, "spark")
-    out = df.select("*", F.expr(sh).alias("shingles"))
-    out = out.select(
-        "*", F.expr(shingle_hashes_sql("shingles", "spark", mode)).alias("__hv")
+    shingled = df.select("*", F.expr(sh).alias("shingles"))
+    hashed = shingled.select(
+        F.col(id_col).alias("__mh_id"), F.explode("shingles").alias("s")
+    ).select("__mh_id", F.expr(hash60_sql("s", "spark", mode)).alias("h"))
+    mixes = [
+        f"(shiftright(h, 30) * {a} + (h & 1073741823) * {b} + {c}) % {_MERSENNE61}"
+        for a, b, c in _perm_coeffs(num_perm)
+    ]
+    mh_agg = (
+        hashed.groupBy("__mh_id")
+        .agg(*[F.min(F.expr(m)).alias(f"__mh_{i}") for i, m in enumerate(mixes)])
+        .select(
+            "__mh_id", F.array(*[f"__mh_{i}" for i in range(num_perm)]).alias("mh")
+        )
     )
-    mh_sqls = minhash_sqls("__hv", num_perm, "spark", mode)
-    out = out.select(
-        "*", F.array(*[F.expr(s) for s in mh_sqls]).alias("mh")
-    ).drop("__hv")
+    out = shingled.join(
+        mh_agg, shingled[id_col] == mh_agg["__mh_id"], "left"
+    ).drop("__mh_id")
     mh_cols = [f"mh[{i}]" for i in range(num_perm)]
     band_cols = band_sqls(mh_cols, bands, "spark", mode)
     return out.select(
@@ -184,7 +233,7 @@ def minhash_lsh_pairs(
     The band join shuffles on (band_index, band_hash) — candidates are
     co-located, everything else never meets. Jaccard is recomputed only
     for candidates (array_intersect on the two shingle sets)."""
-    sig = with_minhash(df, text_col, k, num_perm, bands, mode).select(
+    sig = with_minhash(df, text_col, k, num_perm, bands, mode, id_col=id_col).select(
         F.col(id_col).alias("id"),
         "shingles",
         F.array(*[F.col(f"band_{b}") for b in range(bands)]).alias("bands"),
