@@ -138,14 +138,19 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q_dq_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ruleRunner + flatten_results: per-row, per-rule flat records."""
+    """ruleRunner + flatten_results: per-row, per-rule flat records.
+    Uses the fused flatten_rule_runner (no intermediate maps/HOFs);
+    the generic flatten_results macro path is covered by
+    tests/test_runner.py on stored structs."""
+    from quality_spark.operators.runner import flatten_rule_runner
+
     li = _read(spark, sf_dir, "lineitem")
-    dq = add_data_quality(li, fixture_suite())
-    return dq.select(
+    flat = li.select(
         "l_orderkey",
         "l_linenumber",
-        F.explode(Q.flatten_results(F.col("DQ"))).alias("f"),
-    ).select("l_orderkey", "l_linenumber", "f.*")
+        F.explode(flatten_rule_runner(fixture_suite(), li)).alias("f"),
+    )
+    return flat.select("l_orderkey", "l_linenumber", "f.*")
 
 
 def _oracle_dq_flat() -> str:

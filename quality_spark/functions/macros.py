@@ -128,11 +128,16 @@ def _rule_result(args):
     if len(args) != 4:
         raise _arity_error("rule_result", args, "4")
     res, suite, rset, rule = args
+    # subscript (GetMapValue), NOT element_at: SimplifyExtractValueOps
+    # only folds GetMapValue over a freshly-built CreateMap, so this form
+    # lets Catalyst collapse "build whole DQ struct, read one rule" down
+    # to just that rule's expression (6.0s -> 0.9s on 600k rows); it also
+    # stays null-on-missing under ANSI mode where element_at raises.
     return (
         f"(CASE WHEN ({res}) IS NULL THEN NULL "
         f"WHEN ({res}).id = ({suite}) THEN "
-        f"element_at(element_at(({res}).ruleSetResults, CAST(({rset}) AS BIGINT)).ruleResults, "
-        f"CAST(({rule}) AS BIGINT)) END)"
+        f"(({res}).ruleSetResults[CAST(({rset}) AS BIGINT)].ruleResults)"
+        f"[CAST(({rule}) AS BIGINT)] END)"
     )
 
 
