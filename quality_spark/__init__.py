@@ -61,6 +61,10 @@ from .sources.versioning import (
     read_versioned_rules_from_df,
 )
 from .plans.validation import ValidationIssue, process_if_attribute_missing, validate
+from .functions.yamlenc import from_yaml, to_yaml
+from .plans.docs import Docs, docs_markdown, parse_docs, strip_comments
+from .sources.bigbloom import BigBloom, big_bloom_from, load_big_bloom, register_big_bloom
+from .sources.parquet_compat import read_parquet_compat
 from .functions.lambdas import LambdaRegistry, expand_sql
 from .functions import api as funcs
 

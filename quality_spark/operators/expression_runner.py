@@ -45,6 +45,7 @@ def add_expression_runner(
     suite: RuleSuite,
     name: str = "expressionResults",
     ddl_type: Optional[Union[str, T.DataType]] = None,
+    render: str = "json",
 ) -> DataFrame:
     """df (per-row rules) or a 1-row aggregate frame (aggregate rules)
     with the expressionRunner result struct appended as ``name``."""
@@ -82,7 +83,8 @@ def add_expression_runner(
         base, out_cols = df, [F.expr(s) for s in plain_sqls]
         types = [f.dataType for f in dtypes]
         return base.select(
-            "*", _assemble_struct(suite, rules, out_cols, types, ddl_type).alias(name)
+            "*",
+            _assemble_struct(suite, rules, out_cols, types, ddl_type, render).alias(name),
         )
 
     # aggregate mode: main aggregation over non-placeholder fragments,
@@ -124,7 +126,7 @@ def add_expression_runner(
         joined.select(c.alias("_t")).schema.fields[0].dataType for c in out_cols
     ]
     return joined.select(
-        _assemble_struct(suite, rules, out_cols, types, ddl_type).alias(name)
+        _assemble_struct(suite, rules, out_cols, types, ddl_type, render).alias(name)
     )
 
 
@@ -134,17 +136,26 @@ def _assemble_struct(
     out_cols: List[Column],
     dtypes: List[T.DataType],
     ddl_type: Optional[Union[str, T.DataType]],
+    render: str = "json",
 ) -> Column:
     cast_ddl: Optional[str] = None
     if ddl_type is not None:
         cast_ddl = ddl_type if isinstance(ddl_type, str) else ddl_type.simpleString()
+    if render not in ("json", "yaml"):
+        raise ValueError(f"render must be 'json' or 'yaml', got {render!r}")
 
     def value_col(c: Column, dtype: T.DataType) -> Column:
         if cast_ddl:
             return c.cast(cast_ddl)
-        sql = _col_sql(c)
+        if render == "yaml":
+            # the reference's yaml-cast rendering (YamlEncoderExpr)
+            from ..functions.yamlenc import to_yaml
+
+            rendered = to_yaml(c)
+        else:
+            rendered = F.expr(_render_sql(_col_sql(c), dtype))
         return F.struct(
-            F.expr(_render_sql(sql, dtype)).alias("result"),
+            rendered.alias("result"),
             F.lit(dtype.simpleString()).alias("resultDDL"),
         )
 

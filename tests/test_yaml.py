@@ -1,0 +1,87 @@
+"""to_yaml / from_yaml round-trips + expressionRunner yaml rendering."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import yaml as pyyaml
+from pyspark.sql import functions as F
+
+from quality_spark.functions.yamlenc import from_yaml, to_yaml
+
+
+def test_yaml_scalar_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "hello", 2.5, True), (2, None, -1.0, False)],
+        "id int, s string, d double, b boolean",
+    )
+    for col, ddl in [("s", "string"), ("d", "double"), ("b", "boolean")]:
+        out = df.select(
+            F.col(col).alias("orig"), from_yaml(to_yaml(col), ddl).alias("back")
+        ).collect()
+        for r in out:
+            assert r["orig"] == r["back"], (col, r)
+
+
+def test_yaml_nested_roundtrip(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(50)
+    ddl = "struct<k:bigint,vals:array<double>,m:map<string,bigint>>"
+    df = li.select(
+        F.struct(
+            F.col("l_orderkey").alias("k"),
+            F.array("l_quantity", "l_discount").alias("vals"),
+            F.create_map(F.lit("ok"), F.col("l_partkey")).alias("m"),
+        ).alias("v")
+    )
+    out = df.select("v", from_yaml(to_yaml("v"), ddl).alias("back")).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r["v"].asDict(True) == r["back"].asDict(True)
+
+
+def test_yaml_output_is_valid_yaml(spark):
+    df = spark.createDataFrame([([1, 2, 3],)], "xs array<int>")
+    txt = df.select(to_yaml("xs").alias("y")).collect()[0]["y"]
+    assert pyyaml.safe_load(txt) == [1, 2, 3]
+
+
+def test_yaml_null_stays_null(spark):
+    df = spark.createDataFrame([(None,)], "s string")
+    r = df.select(to_yaml("s").alias("y"), from_yaml(F.lit(None), "int").alias("b")).collect()[0]
+    assert r["y"] is None and r["b"] is None
+
+
+def test_expression_runner_yaml_render(spark, sf_dir):
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite
+    from quality_spark.operators.expression_runner import add_expression_runner
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10)
+    suite = RuleSuite(
+        Id(1, 1),
+        (
+            RuleSet(
+                Id(10, 1),
+                (
+                    Rule(Id(100, 1), "array(l_quantity, l_discount)"),
+                    Rule(Id(101, 1), "l_orderkey"),
+                ),
+            ),
+        ),
+    )
+    out = add_expression_runner(li, suite, render="yaml")
+    row = out.select("expressionResults").collect()[0]["expressionResults"]
+    rules = row["ruleSetResults"][(10 << 32) | 1]
+    arr_res = rules[(100 << 32) | 1]
+    assert arr_res["resultDDL"].startswith("array<")
+    assert isinstance(pyyaml.safe_load(arr_res["result"]), list)
+    key_res = rules[(101 << 32) | 1]
+    assert pyyaml.safe_load(key_res["result"]) is not None
+
+
+def test_yaml_malformed_input_is_null(spark):
+    df = spark.createDataFrame([("{unclosed: [",), ("[1,2]",)], "y string")
+    out = df.select(from_yaml("y", "array<int>").alias("v")).collect()
+    assert [r["v"] for r in out] == [None, [1, 2]]
