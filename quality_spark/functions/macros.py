@@ -297,6 +297,24 @@ _register(_map_contains, "map_contains", "mapContains")
 _register(_probability_in, "probability_in", "probabilityIn")
 
 
+def _print_expr(args):
+    # debug passthrough: print the (expanded) expression at compile time,
+    # evaluate to the inner expression (reference:
+    # impl/RuleRegistrationFunctions.scala:519-523 prints at eval setup)
+    if len(args) not in (1, 2):
+        raise _arity_error("print_expr", args, "1 or 2")
+    msg = _strip_str(args[1]) if len(args) == 2 else "print_expr"
+    print(f"{msg}: {args[0]}")
+    return f"({args[0]})"
+
+
+_register(_print_expr, "print_expr", "printExpr")
+# print_code prints the same compile-time expansion: this engine emits no
+# custom codegen of its own (Catalyst does), so the generated-Java dump
+# is `df.explain('codegen')` — see plans/debug.py helpers.
+_register(_print_expr, "print_code", "printCode")
+
+
 def expand_builtin(name_lower: str, args: Tuple[str, ...]) -> Optional[str]:
     fn = BUILTIN_MACROS.get(name_lower)
     if fn is None:

@@ -1,0 +1,77 @@
+"""RowProcessor (sparkless analogue), print_expr macro, debug helpers."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from quality_spark.model import Id, PASSED_INT, Rule, RuleSet, RuleSuite
+from quality_spark.sparkless import dq_factory
+
+SUITE = RuleSuite(
+    Id(1, 1),
+    (
+        RuleSet(
+            Id(10, 1),
+            (Rule(Id(100, 1), "qty > 0"), Rule(Id(101, 1), "price >= 0")),
+        ),
+    ),
+)
+
+
+def test_row_processor_batches(spark):
+    proc = dq_factory(spark, SUITE, "qty double, price double")
+    out = proc.process([(1.0, 5.0), (-1.0, 5.0), (2.0, -3.0)])
+    overall = [r["DQ"]["overallResult"] for r in out]
+    assert overall == [PASSED_INT, 0, 0]
+    # reusable: second batch through the same compiled plan
+    out2 = proc.process_one({"qty": 3.0, "price": 1.0})
+    assert out2["DQ"]["overallResult"] == PASSED_INT
+
+
+def test_row_processor_matches_cluster_path(spark, lineitem):
+    suite = RuleSuite(
+        Id(1, 1), (RuleSet(Id(10, 1), (Rule(Id(100, 1), "l_quantity > 25"),)),)
+    )
+    from quality_spark.operators.runner import add_data_quality
+
+    sample = lineitem.select("l_quantity").limit(50)
+    want = [
+        r["DQ"]["overallResult"] for r in add_data_quality(sample, suite).collect()
+    ]
+    proc = dq_factory(spark, suite, "l_quantity double")
+    got = [
+        r["DQ"]["overallResult"]
+        for r in proc.process([(r["l_quantity"],) for r in sample.collect()])
+    ]
+    assert got == want
+
+
+def test_print_expr_macro(spark, capsys):
+    from quality_spark.plans.compiler import expand_rules
+
+    suite = RuleSuite(
+        Id(1, 1),
+        (RuleSet(Id(10, 1), (Rule(Id(100, 1), "print_expr(l_quantity > 0)"),)),),
+    )
+    (_, _, sql), = expand_rules(suite)
+    assert "l_quantity > 0" in sql and "print_expr" not in sql
+    assert "l_quantity > 0" in capsys.readouterr().out
+
+
+def test_debug_helpers(spark, lineitem):
+    from quality_spark.plans.debug import expression_tree, explain_runner, generated_code
+
+    suite = RuleSuite(
+        Id(1, 1), (RuleSet(Id(10, 1), (Rule(Id(100, 1), "l_quantity > 0"),)),)
+    )
+    tree = expression_tree(F.expr("l_quantity > 0"))
+    assert "l_quantity" in tree
+    plan = explain_runner(lineitem, suite)
+    assert "Scan" in plan or "FileScan" in plan or "Relation" in plan
+    code = generated_code(lineitem.select((F.col("l_quantity") * 2).alias("x")))
+    assert "WholeStageCodegen" in code or "Found 0" in code or "class" in code
