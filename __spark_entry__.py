@@ -785,6 +785,153 @@ FROM events GROUP BY 1
 """
 
 
+def q_comparable_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """comparable_maps: distinct/group over map columns via sorted-entry
+    arrays (reference: impl/util/ComparableMapConverter.scala:17-193)."""
+    from quality_spark.functions.api import comparable_maps
+
+    li = _read(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.create_map(
+            F.lit("rf"), F.col("l_returnflag"), F.lit("ls"), F.col("l_linestatus")
+        ).alias("m")
+    )
+    comp = comparable_maps(m)
+    return (
+        comp.groupBy("m").agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("m")[0]["value"].alias("k_ls"),
+            F.col("m")[1]["value"].alias("k_rf"),
+            "cnt",
+        )
+    )
+
+
+def _oracle_comparable_maps() -> str:
+    # the sorted-entries array is (ls, rf) because 'ls' < 'rf'
+    return (
+        "SELECT l_linestatus AS k_ls, l_returnflag AS k_rf, count(*) AS cnt "
+        "FROM lineitem GROUP BY 1, 2"
+    )
+
+
+def q_struct_field_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """update_field / drop_field struct lenses over customer."""
+    from quality_spark.functions.api import drop_field, update_field
+
+    c = _read(spark, sf_dir, "customer")
+    s = c.select(
+        F.col("c_custkey").alias("k"),
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        ).alias("s"),
+    )
+    out = s.select(
+        "k",
+        drop_field(
+            update_field(F.col("s"), "bal", F.col("s")["bal"] * 2), "seg"
+        ).alias("s2"),
+    )
+    return out.select("k", F.col("s2")["name"].alias("name"), F.col("s2")["bal"].alias("bal"))
+
+
+def _oracle_struct_field_ops() -> str:
+    return (
+        "SELECT c_custkey AS k, c_name AS name, c_acctbal * 2 AS bal FROM customer"
+    )
+
+
+def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expressionRunner with aggregate rules + strip_result_ddl,
+    flattened to (ruleId, result-string) rows."""
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite
+    from quality_spark.operators.expression_runner import (
+        add_expression_runner,
+        strip_result_ddl,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    suite = RuleSuite(
+        Id(3, 1),
+        (
+            RuleSet(
+                Id(30, 1),
+                (
+                    Rule(Id(300, 1), "CAST(SUM(l_quantity) AS BIGINT)"),
+                    Rule(Id(301, 1), "COUNT(*)"),
+                    Rule(Id(302, 1), "CAST(MIN(l_orderkey) AS BIGINT)"),
+                ),
+            ),
+        ),
+    )
+    out = add_expression_runner(li, suite)
+    stripped = strip_result_ddl(F.col("expressionResults"))
+    return (
+        out.select(stripped.alias("er"))
+        .select(F.explode(F.col("er")["ruleSetResults"]).alias("setId", "rules"))
+        .select(F.explode("rules").alias("ruleId", "result"))
+        .select(
+            F.shiftright(F.col("ruleId"), 32).cast("int").alias("rule_id"),
+            F.col("result").cast("string").alias("result"),
+        )
+    )
+
+
+def _oracle_expr_runner_agg() -> str:
+    return """
+SELECT 300 AS rule_id, CAST(CAST(SUM(l_quantity) AS BIGINT) AS VARCHAR) AS result FROM lineitem
+UNION ALL
+SELECT 301, CAST(COUNT(*) AS VARCHAR) FROM lineitem
+UNION ALL
+SELECT 302, CAST(CAST(MIN(l_orderkey) AS BIGINT) AS VARCHAR) FROM lineitem
+"""
+
+
+def q_view_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-ordered view loading: v2 depends on v1, declared out
+    of order; query through the loaded views."""
+    from quality_spark.sources.views import ViewConfig, load_views
+
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("li_src")
+    load_views(
+        spark,
+        [
+            ViewConfig("v2_big", "SELECT * FROM v1_agg WHERE total > 180", None),
+            ViewConfig(
+                "v1_agg",
+                "SELECT l_orderkey, SUM(l_quantity) AS total FROM li_src GROUP BY l_orderkey",
+                None,
+            ),
+        ],
+    )
+    return spark.sql("SELECT l_orderkey, total FROM v2_big")
+
+
+def _oracle_view_loading() -> str:
+    return """
+SELECT l_orderkey, total FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total FROM lineitem GROUP BY l_orderkey
+) WHERE total > 180
+"""
+
+
+def q_unique_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique_id over lineitem — nondeterministic, so no SQL oracle; the
+    driver's rows-only check still validates schema + row count, and the
+    query itself asserts distinctness (count == distinct count)."""
+    from quality_spark.functions.macros import BUILTIN_MACROS
+
+    li = _read(spark, sf_dir, "lineitem")
+    ids = li.select(F.expr(BUILTIN_MACROS["unique_id"](("'bench'",))).alias("uid"))
+    return ids.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct(F.col("uid")).alias("distinct_rows"),
+        (F.count(F.lit(1)) == F.count_distinct(F.col("uid"))).alias("all_unique"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -821,6 +968,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "versioned_rules": q_versioned_rules,
         "events_windowed_dq": q_events_windowed_dq,
+        "comparable_maps": q_comparable_maps,
+        "struct_field_ops": q_struct_field_ops,
+        "expr_runner_agg": q_expr_runner_agg,
+        "view_loading": q_view_loading,
+        "unique_ids": q_unique_ids,
     }
 
 
@@ -850,4 +1002,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "versioned_rules": _oracle_versioned_rules(),
         "events_windowed_dq": _oracle_events_windowed_dq(),
+        "comparable_maps": _oracle_comparable_maps(),
+        "struct_field_ops": _oracle_struct_field_ops(),
+        "expr_runner_agg": _oracle_expr_runner_agg(),
+        "view_loading": _oracle_view_loading(),
+        # unique_ids: nondeterministic -> rows-only check by design
     }
