@@ -1,0 +1,108 @@
+"""Plan assertions — the physical properties the engine's scale story
+depends on must be visible in `.explain`, not just assumed.
+
+SURVEY §4/§5: predicate pushdown reaches the parquet scan, column
+pruning trims ReadSchema, DQ is a shuffle-free narrow projection,
+lookup joins broadcast, and rule evaluation survives codegen on/off
+with identical results (the reference's execution-mode matrix,
+TestUtils.scala:112-168).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+from pyspark.sql import functions as F
+
+from quality_spark.model import Id, Rule, RuleSet, RuleSuite
+from quality_spark.operators.runner import add_data_quality
+
+
+def _plan(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+SUITE = RuleSuite(
+    Id(1, 1),
+    (RuleSet(Id(10, 1), (Rule(Id(100, 1), "l_quantity > 0"),)),),
+)
+
+
+def test_filter_pushdown_through_dq(spark, sf_dir):
+    """A filter on a base column below the DQ projection reaches the scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = add_data_quality(li.filter(F.col("l_orderkey") < 100), SUITE)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "LessThan(l_orderkey,100)" in plan.replace(" ", "").replace("l_orderkey,100", "l_orderkey,100")
+
+
+def test_column_pruning_through_dq(spark, sf_dir):
+    """Selecting one rule's inputs prunes the parquet ReadSchema."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = add_data_quality(li, SUITE).select(F.col("DQ.overallResult"))
+    plan = _plan(df)
+    start = plan.index("ReadSchema")
+    read_schema = plan[start : plan.index("\n", start)]
+    assert "l_quantity" in read_schema
+    assert "l_comment" not in read_schema, read_schema
+
+
+def test_dq_is_shuffle_free(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = add_data_quality(li, SUITE)
+    plan = _plan(df)
+    assert "Exchange" not in plan, "DQ must be a narrow projection"
+
+
+def test_minhash_shuffle_is_compact(spark, sf_dir):
+    """The minhash groupBy shuffles partial mins (one row of longs per
+    doc), with map-side partial aggregation before the exchange."""
+    from quality_spark.llm.dedup import with_minhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = with_minhash(docs, k=3, num_perm=16, bands=4, mode="portable")
+    plan = _plan(df, "simple")
+    # map-side partial mins before the exchange (16 partial_min aggs)
+    assert plan.count("partial_min") == 16
+    # two HashAggregates (partial + final) around one shuffle
+    assert plan.count("HashAggregate") == 2
+    # AQE broadcasts the tiny per-doc signature table for the join-back
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lookup_join_broadcasts(spark, sf_dir):
+    from quality_spark.sources.lookups import lookup_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = lookup_join(li, nation, "l_suppkey", "n_nationkey", "n_name", "nation_name")
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+@pytest.mark.parametrize("codegen", ["true", "false"])
+def test_mode_matrix_dq_results_identical(spark, sf_dir, codegen):
+    """The reference runs every assertion under forced codegen AND
+    forced interpretation; results must match."""
+    from __spark_entry__ import fixture_suite
+
+    old = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        dq = add_data_quality(li, fixture_suite())
+        agg = (
+            dq.groupBy(F.col("DQ.overallResult"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        got = sorted((r["overallResult"], r["n"]) for r in agg)
+        if not hasattr(test_mode_matrix_dq_results_identical, "_ref"):
+            test_mode_matrix_dq_results_identical._ref = got
+        assert got == test_mode_matrix_dq_results_identical._ref
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", old)
