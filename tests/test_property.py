@@ -1,0 +1,91 @@
+"""Property-style tests — randomized rule suites over lineitem, checked
+against a DuckDB oracle built from the same specs (the reference's
+genRules pattern, PerRowPerfTest.scala:49-91) — plus subquery rules.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from quality_spark.model import Id, PASSED_INT, Rule, RuleSet, RuleSuite
+from quality_spark.operators.runner import add_data_quality
+
+COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+
+rule_spec = st.tuples(
+    st.sampled_from(COLS),
+    st.integers(min_value=2, max_value=9),   # modulus
+    st.integers(min_value=0, max_value=8),   # comparand
+    st.sampled_from([">", ">=", "=", "<"]),
+)
+
+
+def _sql(spec) -> str:
+    col, m, j, op = spec
+    return f"({col} % {m}) {op} {j}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(specs=st.lists(rule_spec, min_size=1, max_size=8, unique=True))
+def test_random_suites_match_duckdb(spark, sf_dir, specs):
+    suite = RuleSuite(
+        Id(1, 1),
+        (
+            RuleSet(
+                Id(10, 1),
+                tuple(Rule(Id(100 + i, 1), _sql(s)) for i, s in enumerate(specs)),
+            ),
+        ),
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = (
+        add_data_quality(li, suite)
+        .agg(F.sum(F.when(F.col("DQ.overallResult") == PASSED_INT, 1).otherwise(0)))
+        .collect()[0][0]
+    )
+    cond = " AND ".join(f"(({_sql(s)}))" for s in specs)
+    want = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/lineitem.parquet') WHERE {cond}"
+    ).fetchall()[0][0]
+    assert got == want
+
+
+def test_rule_with_scalar_subquery(spark, sf_dir):
+    """Rule text may contain scalar subqueries (the reference wraps
+    parsePlan for these, impl/RuleImpl.scala:61-117; Spark 4's
+    parseExpression accepts them directly)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("li_subq")
+    suite = RuleSuite(
+        Id(1, 1),
+        (
+            RuleSet(
+                Id(10, 1),
+                (Rule(Id(100, 1), "l_quantity > (SELECT avg(l_quantity) FROM li_subq)"),),
+            ),
+        ),
+    )
+    got = (
+        add_data_quality(li, suite)
+        .agg(F.sum(F.when(F.col("DQ.overallResult") == PASSED_INT, 1).otherwise(0)))
+        .collect()[0][0]
+    )
+    want = duckdb.connect().execute(
+        f"""SELECT count(*) FROM read_parquet('{sf_dir}/lineitem.parquet')
+            WHERE l_quantity > (SELECT avg(l_quantity)
+                                FROM read_parquet('{sf_dir}/lineitem.parquet'))"""
+    ).fetchall()[0][0]
+    assert got == want
