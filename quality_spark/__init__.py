@@ -61,6 +61,7 @@ from .sources.versioning import (
     read_versioned_rules_from_df,
 )
 from .plans.validation import ValidationIssue, process_if_attribute_missing, validate
+from .functions.register import register_quality_functions
 from .functions.yamlenc import from_yaml, to_yaml
 from .plans.docs import Docs, docs_markdown, parse_docs, strip_comments
 from .sources.bigbloom import BigBloom, big_bloom_from, load_big_bloom, register_big_bloom
