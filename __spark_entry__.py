@@ -917,6 +917,30 @@ SELECT l_orderkey, total FROM (
 """
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on all pairs of a 1-in-20 doc subset —
+    threshold 0 so every pair's jaccard VALUE is oracle-compared (a
+    high threshold would make the comparison vacuous on unrelated
+    docs). The blocked/LSH scale path is minhash_lsh_pairs."""
+    from quality_spark.llm.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return ngram_jaccard_pairs(docs, threshold=0.0)
+
+
+def _oracle_ngram_jaccard() -> str:
+    from quality_spark.llm.dedup import shingles_sql
+
+    sh = shingles_sql("text", 3, "duckdb")
+    return f"""
+WITH d AS (SELECT doc_id AS id, {sh} AS sh FROM documents WHERE doc_id % 20 = 0)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM d a JOIN d b ON a.id < b.id
+"""
+
+
 def q_unique_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unique_id over lineitem — nondeterministic, so no SQL oracle; the
     driver's rows-only check still validates schema + row count, and the
@@ -973,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_runner_agg": q_expr_runner_agg,
         "view_loading": q_view_loading,
         "unique_ids": q_unique_ids,
+        "ngram_jaccard": q_ngram_jaccard,
     }
 
 
@@ -1006,5 +1031,6 @@ def oracle_sql() -> dict[str, str]:
         "struct_field_ops": _oracle_struct_field_ops(),
         "expr_runner_agg": _oracle_expr_runner_agg(),
         "view_loading": _oracle_view_loading(),
+        "ngram_jaccard": _oracle_ngram_jaccard(),
         # unique_ids: nondeterministic -> rows-only check by design
     }

@@ -217,6 +217,43 @@ def with_minhash(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.3,
+    block_col: Optional[Column] = None,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard over candidate pairs.
+
+    Without ``block_col`` this is all-pairs within the input — the
+    verification/oracle path, O(n^2); cap the input.  At scale pass a
+    blocking column (length bucket, language, LSH band, ...): pairs form
+    only within a block, turning the crossJoin into a shuffle join on
+    the block key.  ``minhash_lsh_pairs`` is this operator with LSH
+    bands as the block."""
+    sh = shingles_sql(text_col, k, "spark")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(sh).alias("sh"),
+        (block_col if block_col is not None else F.lit(0)).alias("blk"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+    )
+    jac = (
+        F.size(F.array_intersect("a.sh", "b.sh"))
+        / F.size(F.array_union("a.sh", "b.sh"))
+    ).alias("jaccard")
+    return (
+        pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -169,3 +169,56 @@ def test_for_each_batch_dq(spark, events_stream_dir):
         .collect()[0][0]
     )
     assert sum(x or 0 for x in captured) == want > 0
+
+
+def test_stream_rule_engine_equals_batch(spark, events_stream_dir):
+    """Engine + folder runners are per-row too — identical in streams."""
+    from quality_spark.model import (
+        ExpressionRule,
+        Id,
+        OutputExpression,
+        Rule,
+        RuleSet,
+        RuleSuite,
+        RunOnPassProcessor,
+    )
+    from quality_spark.operators.engine import add_rule_engine
+
+    def eng_rule(rid, salience, trigger, out):
+        return Rule(
+            Id(rid, 1),
+            ExpressionRule(trigger),
+            RunOnPassProcessor(salience, Id(rid + 1000, 1), OutputExpression(out)),
+        )
+
+    suite = RuleSuite(
+        Id(2, 1),
+        (
+            RuleSet(
+                Id(20, 1),
+                (
+                    eng_rule(210, 5, "value > 100", "'big'"),
+                    eng_rule(211, 10, "value > 0", "'small'"),
+                    eng_rule(212, 50, "true", "'fallback'"),
+                ),
+            ),
+        ),
+    )
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+
+    name = f"eng_{uuid.uuid4().hex[:8]}"
+    out = add_rule_engine(stream, suite, "string").select(
+        "event_id", F.col("ruleEngine.result").alias("res")
+    )
+    _run_stream(out, name)
+    got = {
+        (r["event_id"], r["res"]) for r in spark.sql(f"select * from {name}").collect()
+    }
+    want = {
+        (r["event_id"], r["res"])
+        for r in add_rule_engine(batch, suite, "string")
+        .select("event_id", F.col("ruleEngine.result").alias("res"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
