@@ -924,7 +924,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs). The blocked/LSH scale path is minhash_lsh_pairs."""
     from quality_spark.llm.dedup import ngram_jaccard_pairs
 
-    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    docs = _read(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 500) & (F.col("doc_id") % 20 == 0)
+    )
     return ngram_jaccard_pairs(docs, threshold=0.0)
 
 
@@ -933,7 +935,8 @@ def _oracle_ngram_jaccard() -> str:
 
     sh = shingles_sql("text", 3, "duckdb")
     return f"""
-WITH d AS (SELECT doc_id AS id, {sh} AS sh FROM documents WHERE doc_id % 20 = 0)
+WITH d AS (SELECT doc_id AS id, {sh} AS sh FROM documents
+           WHERE doc_id < 500 AND doc_id % 20 = 0)
 SELECT a.id AS id_a, b.id AS id_b,
        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
