@@ -944,6 +944,29 @@ FROM d a JOIN d b ON a.id < b.id
 """
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via chunk banding — the
+    pigeonhole guarantee makes banding EXACT for the threshold, so the
+    all-pairs oracle must agree perfectly. Fixed 500-doc subset."""
+    from quality_spark.llm.dedup import simhash_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_pairs(docs, max_hamming=3, mode="portable")
+
+
+def _oracle_simhash_near_dup() -> str:
+    from quality_spark.llm.dedup import simhash_sql
+
+    sh = simhash_sql("text", "duckdb")
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS sim FROM documents WHERE doc_id < 500)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
 def q_unique_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unique_id over lineitem — nondeterministic, so no SQL oracle; the
     driver's rows-only check still validates schema + row count, and the
@@ -1001,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_loading": q_view_loading,
         "unique_ids": q_unique_ids,
         "ngram_jaccard": q_ngram_jaccard,
+        "simhash_near_dup": q_simhash_near_dup,
     }
 
 
@@ -1035,5 +1059,6 @@ def oracle_sql() -> dict[str, str]:
         "expr_runner_agg": _oracle_expr_runner_agg(),
         "view_loading": _oracle_view_loading(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
+        "simhash_near_dup": _oracle_simhash_near_dup(),
         # unique_ids: nondeterministic -> rows-only check by design
     }

@@ -121,3 +121,33 @@ def test_strip_result_ddl(lineitem):
     stripped = out.select(strip_result_ddl(F.col("er")).alias("s"))
     t = stripped.schema["s"].dataType.simpleString()
     assert t == "struct<id:bigint,ruleSetResults:map<bigint,map<bigint,string>>>"
+
+
+def test_agg_expr_decimal_38_18(spark, lineitem):
+    """DecimalType(38,18) sums — the reference's aggregate precision
+    (impl/RuleRegistrationFunctions.scala:69); results match DuckDB."""
+    import duckdb
+    from decimal import Decimal
+
+    dec = lineitem.select(F.col("l_extendedprice").cast("decimal(38,18)").alias("p"))
+    suite = rule_suite(
+        (9, 1),
+        [(
+            (90, 1),
+            [(
+                (900, 1),
+                "agg_expr('DECIMAL(38,18)', p > 0, "
+                "sum_with(sum -> sum + p), results_with((sum, count) -> sum / count))",
+            )],
+        )],
+    )
+    out = add_expression_runner(dec, suite)
+    row = out.collect()[0]["expressionResults"]
+    res = row["ruleSetResults"][(90 << 32) | 1][(900 << 32) | 1]
+    assert res["resultDDL"].startswith("decimal(38,")
+    sf_dir = spark.conf.get("spark.__qs_sf_dir", "/root/testdata/sf0.001")
+    want = duckdb.connect().execute(
+        "SELECT sum(l_extendedprice) / count(*) FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet') WHERE l_extendedprice > 0"
+    ).fetchall()[0][0]
+    assert abs(Decimal(res["result"]) - Decimal(str(want))) < Decimal("0.001")
