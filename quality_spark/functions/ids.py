@@ -251,6 +251,14 @@ def _rng_id(args):
     )
 
 
+def _rng_bytes(args):
+    # random 16 bytes as BINARY (reference: rngBytes,
+    # impl/rng/RngExpression.scala:12-141); seeded variants derive from
+    # the same rand(seed) pair as rng()
+    pair = _rng(tuple(args))
+    return f"concat(unhex(lpad(hex(({pair}).higher), 16, '0')), unhex(lpad(hex(({pair}).lower), 16, '0')))"
+
+
 def _unique_id(args):
     # snowflake-style guaranteed-unique 160-bit id: launch-ms +
     # partition + per-partition row counter (reference packs MAC+ms+
@@ -309,6 +317,7 @@ _register(_id_from_base64, "id_from_base64", "idFromBase64")
 _register(_id_size, "id_size", "idSize")
 _register(_id_raw_type, "id_raw_type", "idRawType")
 _register(_rng, "rng")
+_register(_rng_bytes, "rng_bytes", "rngBytes")
 _register(_rng_uuid, "rng_uuid", "rngUuid", "rngUUID")
 _register(_rng_id, "rng_id", "rngID")
 _register(_unique_id, "unique_id", "uniqueID", "uniqueId")

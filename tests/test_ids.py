@@ -103,3 +103,20 @@ def test_as_uuid_long_pair_roundtrip(spark):
         return x - (1 << 64) if x >= (1 << 63) else x
     assert pair["higher"] == signed(msb)
     assert pair["lower"] == signed(lsb)
+
+
+def test_rng_bytes(spark):
+    from quality_spark.functions.macros import BUILTIN_MACROS
+    from pyspark.sql import functions as F
+
+    df = spark.range(100)
+    # unseeded: 16 random bytes, all distinct across rows
+    sql = BUILTIN_MACROS["rng_bytes"](())
+    out = df.select(F.expr(sql).alias("b")).collect()
+    assert all(len(r["b"]) == 16 for r in out)
+    assert len({bytes(r["b"]) for r in out}) == 100
+    # seeded: deterministic per seed
+    sql_s = BUILTIN_MACROS["rng_bytes"](("'XO_RO_SHI_RO_128_PP'", "42"))
+    a = spark.range(1).select(F.expr(sql_s).alias("b")).collect()[0]["b"]
+    b = spark.range(1).select(F.expr(sql_s).alias("b")).collect()[0]["b"]
+    assert bytes(a) == bytes(b) and len(a) == 16
