@@ -967,6 +967,38 @@ WHERE bit_count(xor(a.sim, b.sim)) <= 3
 """
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: wrap text bytes as a binary media
+    column, extract (stub) features via the Arrow mapInPandas kernel.
+    Feature VALUES come from the stub decoder (not SQL-expressible);
+    byte counts and dimensions ARE oracle-checked, which pins the
+    schema, batching, and payload transport."""
+    from quality_spark.llm.multimodal import as_media_column, extract_media_features
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = as_media_column(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "payload",
+        "text-as-bytes",
+        "utf8",
+    )
+    feats = extract_media_features(media, id_col="doc_id")
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "n_bytes",
+        F.size("features").alias("dim"),
+    )
+
+
+def _oracle_media_features() -> str:
+    from quality_spark.llm.multimodal import FEATURE_DIM
+
+    return (
+        f"SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        f"{FEATURE_DIM} AS dim FROM documents WHERE doc_id < 200"
+    )
+
+
 def q_unique_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unique_id over lineitem — nondeterministic, so no SQL oracle; the
     driver's rows-only check still validates schema + row count, and the
@@ -1025,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_ids": q_unique_ids,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_dup": q_simhash_near_dup,
+        "media_features": q_media_features,
     }
 
 
@@ -1060,5 +1093,6 @@ def oracle_sql() -> dict[str, str]:
         "view_loading": _oracle_view_loading(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "simhash_near_dup": _oracle_simhash_near_dup(),
+        "media_features": _oracle_media_features(),
         # unique_ids: nondeterministic -> rows-only check by design
     }

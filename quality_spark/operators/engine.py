@@ -24,7 +24,7 @@ from ..functions.lambdas import expand_sql
 from ..results import encode_rule_sql, encode_rule_sql_generic
 from .runner import _assemble, _lit_packed
 
-__all__ = ["rule_engine_runner", "add_rule_engine", "rule_engine_with_struct"]
+__all__ = ["rule_engine_runner", "add_rule_engine", "add_rule_engine_f", "rule_engine_with_struct"]
 
 
 def _trigger_encs(suite: RuleSuite, df: Optional[DataFrame]) -> List[List[str]]:
@@ -168,3 +168,8 @@ def add_rule_engine(
 
 # alias matching the reference naming
 rule_engine_with_struct = add_rule_engine
+
+
+def add_rule_engine_f(suite, result_ddl=None, name="ruleEngine", debug_mode=False):
+    """Curried variant for ``df.transform(...)`` pipelines."""
+    return lambda df: add_rule_engine(df, suite, result_ddl, name, debug_mode)

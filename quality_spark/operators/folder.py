@@ -178,3 +178,8 @@ def fold_and_replace_fields(
     if keep_dq:
         cols.append(F.col(dq_name))
     return with_fold.select(*cols)
+
+
+def add_folder_f(suite, starting_struct, name="foldedFields", debug_mode=False, use_type=None):
+    """Curried variant for ``df.transform(...)`` pipelines."""
+    return lambda df: add_folder(df, suite, starting_struct, name, debug_mode, use_type)

@@ -27,7 +27,9 @@ from ..results import (
 __all__ = [
     "rule_runner",
     "add_data_quality",
+    "add_data_quality_f",
     "add_overall_results_and_details",
+    "add_overall_results_and_details_f",
     "rule_runner_details",
 ]
 
@@ -179,3 +181,17 @@ def add_overall_results_and_details(
     encs = [[F.expr(s) for s in set_sqls] for set_sqls in enc_sqls]
     details = _assemble(suite, encs, with_suite_overall=False)
     return df.select("*", overall.alias(overall_name), details.alias(details_name))
+
+
+def add_data_quality_f(suite: RuleSuite, name: str = "DQ"):
+    """Curried variant for ``df.transform(...)`` pipelines — the
+    reference's addDataQualityF (impl/util/AddDataFunctionsImports.scala)."""
+    return lambda df: add_data_quality(df, suite, name)
+
+
+def add_overall_results_and_details_f(
+    suite: RuleSuite,
+    overall_name: str = "DQ_overallResult",
+    details_name: str = "DQ_Details",
+):
+    return lambda df: add_overall_results_and_details(df, suite, overall_name, details_name)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Set, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Set, Tuple, Union
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,6 +63,7 @@ def validate(
     suite: RuleSuite,
     spark: Optional[SparkSession] = None,
     dry_run: bool = True,
+    check_lookups: bool = True,
 ) -> List[ValidationIssue]:
     """Full static check of every rule against the target schema."""
     if isinstance(df_or_schema, DataFrame):
@@ -109,6 +110,12 @@ def validate(
             except ValueError as e:
                 issues.append(ValidationIssue("lambdaError", *coords, str(e)))
                 continue
+            except KeyError as e:
+                # unregistered map/bloom lookups raise at macro expansion
+                issues.append(
+                    ValidationIssue("unknownLookup", *coords, _first_line(str(e).strip('"')))
+                )
+                continue
             try:
                 probe = empty.select(F.expr(expanded).alias("_v"))
                 probe.schema  # force analysis
@@ -125,6 +132,62 @@ def validate(
                     issues.append(
                         ValidationIssue("dryRunError", *coords, _first_line(str(e)))
                     )
+    if check_lookups:
+        issues.extend(validate_lookups(suite))
+    return issues
+
+
+def discover_lookup_ids(sql: str) -> Dict[str, Set[str]]:
+    """Map and bloom ids referenced by an expression — the reference's
+    lookup discovery (impl/util/LookupIdFunctionImpl.scala,
+    impl/bloom/BloomFilterExpression.scala:24-65)."""
+    from ..expr import replace_calls
+
+    out: Dict[str, Set[str]] = {"maps": set(), "blooms": set()}
+
+    def scan(name: str, args) -> Optional[str]:
+        def lit(a: str) -> Optional[str]:
+            a = a.strip()
+            if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+                return a[1:-1]
+            return None
+
+        if name in ("map_lookup", "maplookup", "map_contains", "mapcontains") and args:
+            v = lit(args[0])
+            if v:
+                out["maps"].add(v)
+        if name in ("probability_in", "probabilityin") and len(args) == 2:
+            v = lit(args[1])
+            if v:
+                out["blooms"].add(v)
+        return None
+
+    replace_calls(sql, scan, max_depth=1)
+    return out
+
+
+def validate_lookups(suite: RuleSuite) -> List[ValidationIssue]:
+    """unknownMapId / unknownBloomId issues for lookups a rule references
+    but nothing registered (reference: Validation error taxonomy)."""
+    from ..sources.lookups import _BLOOM_REGISTRY, _MAP_REGISTRY
+
+    issues: List[ValidationIssue] = []
+    for rs in suite.rule_sets:
+        for r in rs.rules:
+            found = discover_lookup_ids(r.expression.rule)
+            coords = (
+                (suite.id.id, suite.id.version),
+                (rs.id.id, rs.id.version),
+                (r.id.id, r.id.version),
+            )
+            for m in sorted(found["maps"] - set(_MAP_REGISTRY)):
+                issues.append(
+                    ValidationIssue("unknownMapId", *coords, f"map {m!r} not registered")
+                )
+            for b in sorted(found["blooms"] - set(_BLOOM_REGISTRY)):
+                issues.append(
+                    ValidationIssue("unknownBloomId", *coords, f"bloom {b!r} not registered")
+                )
     return issues
 
 

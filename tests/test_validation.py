@@ -112,3 +112,36 @@ def test_if_attribute_missing_untouched_rule_identity():
     suite = _suite("a > 0")
     out = process_if_attribute_missing(suite, ["a"])
     assert out.rule_sets[0].rules[0].expression.rule == "a > 0"
+
+
+def test_lookup_discovery_and_validation(spark, lineitem):
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite
+    from quality_spark.plans.validation import discover_lookup_ids, validate
+    from quality_spark.sources.lookups import register_map_lookup
+
+    found = discover_lookup_ids(
+        "map_lookup('countries', l_suppkey) is not null "
+        "and probability_in(l_orderkey, 'seen_keys') > 0"
+    )
+    assert found == {"maps": {"countries"}, "blooms": {"seen_keys"}}
+
+    register_map_lookup("countries_ok", {1: "x"})
+    suite = RuleSuite(
+        Id(1, 1),
+        (
+            RuleSet(
+                Id(10, 1),
+                (
+                    Rule(Id(100, 1), "map_lookup('countries_ok', l_suppkey) is not null"),
+                    Rule(Id(101, 1), "map_lookup('missing_map', l_suppkey) is not null"),
+                    Rule(Id(102, 1), "probability_in(l_orderkey, 'missing_bloom') > 0"),
+                ),
+            ),
+        ),
+    )
+    issues = validate(lineitem, suite, dry_run=False)
+    kinds = sorted((i.kind, i.rule_id[0]) for i in issues)
+    assert ("unknownLookup", 101) in kinds or ("unknownMapId", 101) in kinds
+    assert any(k in ("unknownLookup", "unknownBloomId") and r == 102 for k, r in kinds)
+    # the registered lookup produced no issue
+    assert not any(r == 100 for _, r in kinds)
