@@ -86,11 +86,7 @@ def rule_engine_runner(
     wraps result in ARRAY<STRUCT<salience INT, result T>>,
     :44-50)."""
     enc_by_set = _trigger_encs(suite, df)
-    dq = _assemble(
-        suite,
-        [[F.expr(s) for s in encs] for encs in enc_by_set],
-        with_suite_overall=True,
-    )
+    dq = _assemble(suite, enc_by_set, with_suite_overall=True)
 
     ordered = _salience_ordered(suite, enc_by_set)
     out_sqls = [_output_sql(suite, r) for _, r, _, _ in ordered]

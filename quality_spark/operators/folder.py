@@ -71,11 +71,7 @@ def rule_folder_runner(
         schema, ddl = probed, probed.simpleString()
 
     enc_by_set = _trigger_encs(suite, df)
-    dq = _assemble(
-        suite,
-        [[F.expr(s) for s in encs] for encs in enc_by_set],
-        with_suite_overall=True,
-    )
+    dq = _assemble(suite, enc_by_set, with_suite_overall=True)
 
     ordered = _salience_ordered(suite, enc_by_set)
     reg = registry_for(suite)

@@ -21,6 +21,7 @@ from ..results import (
     encode_rule_sql,
     encode_rule_sql_generic,
     overall_result,
+    overall_result_spark_sql,
     rule_suite_result_type,
 )
 
@@ -60,46 +61,52 @@ def _empty_rule_map() -> Column:
 
 def _assemble(
     suite: RuleSuite,
-    per_set_encs: Sequence[Sequence[Column]],
+    per_set_enc_sqls: Sequence[Sequence[str]],
     with_suite_overall: bool,
 ) -> Column:
-    set_map_args: List[Column] = []
-    all_encs: List[Column] = []
-    for rs, encs in zip(suite.rule_sets, per_set_encs):
-        all_encs.extend(encs)
-        if encs:
-            rule_map = F.create_map(
-                *[
-                    c
-                    for r, enc in zip(rs.rules, encs)
-                    for c in (_lit_packed(r.id), enc.cast("int"))
-                ]
+    """Builds the DQ struct as ONE SQL string + one F.expr.
+
+    Column-object assembly costs a py4j round trip per operation —
+    ~10 calls per rule, 20+ seconds of driver time at 1000 rules.
+    String assembly is pure Python (milliseconds) and parses in one
+    JVM call; the overall fold uses the flat array_contains shape so
+    expression depth stays constant regardless of suite size."""
+    set_entries: List[str] = []
+    all_sqls: List[str] = []
+    for rs, enc_sqls in zip(suite.rule_sets, per_set_enc_sqls):
+        all_sqls.extend(enc_sqls)
+        if enc_sqls:
+            kv = ", ".join(
+                f"{pack_id(r.id)}L, CAST({e} AS INT)"
+                for r, e in zip(rs.rules, enc_sqls)
             )
+            rule_map = f"map({kv})"
         else:
-            rule_map = _empty_rule_map()
-        set_struct = F.struct(
-            overall_result(list(encs), suite.probable_pass).alias("overallResult"),
-            rule_map.alias("ruleResults"),
+            rule_map = "CAST(map() AS MAP<BIGINT, INT>)"
+        set_overall = overall_result_spark_sql(list(enc_sqls), suite.probable_pass)
+        set_entries.append(
+            f"{pack_id(rs.id)}L, named_struct("
+            f"'overallResult', {set_overall}, 'ruleResults', {rule_map})"
         )
-        set_map_args.extend([_lit_packed(rs.id), set_struct])
 
-    if set_map_args:
-        sets_map = F.create_map(*set_map_args)
+    if set_entries:
+        sets_map = f"map({', '.join(set_entries)})"
     else:
-        sets_map = F.create_map().cast(
-            "map<bigint,struct<overallResult:int,ruleResults:map<bigint,int>>>"
+        sets_map = (
+            "CAST(map() AS MAP<BIGINT, "
+            "STRUCT<overallResult: INT, ruleResults: MAP<BIGINT, INT>>>)"
         )
 
-    fields = [_lit_packed(suite.id).alias("id")]
+    fields = [f"'id', {pack_id(suite.id)}L"]
     if with_suite_overall:
         # reference folds ruleset overalls into the suite overall
         # (impl/RuleRunner.scala:139-162); a ruleset overall is Passed or
         # Failed only, so folding over all rules directly is equivalent.
         fields.append(
-            overall_result(all_encs, suite.probable_pass).alias("overallResult")
+            f"'overallResult', {overall_result_spark_sql(all_sqls, suite.probable_pass)}"
         )
-    fields.append(sets_map.alias("ruleSetResults"))
-    return F.struct(*fields)
+    fields.append(f"'ruleSetResults', {sets_map}")
+    return F.expr(f"named_struct({', '.join(fields)})")
 
 
 def rule_runner(suite: RuleSuite, df: Optional[DataFrame] = None) -> Column:
@@ -111,16 +118,14 @@ def rule_runner(suite: RuleSuite, df: Optional[DataFrame] = None) -> Column:
     you. Reference entry: impl/imports/RuleRunnerImports.scala:24.
     """
     enc_sqls = _encoded_sqls(suite, df)
-    encs = [[F.expr(s) for s in set_sqls] for set_sqls in enc_sqls]
-    return _assemble(suite, encs, with_suite_overall=True)
+    return _assemble(suite, enc_sqls, with_suite_overall=True)
 
 
 def rule_runner_details(suite: RuleSuite, df: Optional[DataFrame] = None) -> Column:
     """Details variant — no suite-level overallResult field
     (reference: impl/RuleSparkTypes.scala:26)."""
     enc_sqls = _encoded_sqls(suite, df)
-    encs = [[F.expr(s) for s in set_sqls] for set_sqls in enc_sqls]
-    return _assemble(suite, encs, with_suite_overall=False)
+    return _assemble(suite, enc_sqls, with_suite_overall=False)
 
 
 def flatten_rule_runner(suite: RuleSuite, df: Optional[DataFrame] = None) -> Column:
@@ -177,9 +182,8 @@ def add_overall_results_and_details(
     (reference: RuleResults.scala:52-57, docs/background/storage_method.md:30)."""
     enc_sqls = _encoded_sqls(suite, df)
     flat = [s for set_sqls in enc_sqls for s in set_sqls]
-    overall = overall_result([F.expr(s) for s in flat], suite.probable_pass)
-    encs = [[F.expr(s) for s in set_sqls] for set_sqls in enc_sqls]
-    details = _assemble(suite, encs, with_suite_overall=False)
+    overall = F.expr(overall_result_spark_sql(flat, suite.probable_pass))
+    details = _assemble(suite, enc_sqls, with_suite_overall=False)
     return df.select("*", overall.alias(overall_name), details.alias(details_name))
 
 

@@ -162,8 +162,39 @@ def overall_result(encs: Sequence[Column], probable_pass: float) -> Column:
     """Fold encoded results into an overall Passed/Failed int."""
     if not encs:
         return F.lit(PASSED_INT)
-    any_fail = reduce(lambda a, b: a | b, (rule_fails(e, probable_pass) for e in encs))
-    return F.when(any_fail, F.lit(0)).otherwise(F.lit(PASSED_INT)).cast("int")
+    # FLAT n-ary shape, not a reduce(|) chain: a left-deep OR tree is
+    # O(rules) expression depth and the JVM's recursive column-node
+    # conversion StackOverflowErrors near 500 rules. CreateArray holds
+    # all indicators as siblings, so depth stays constant at any size.
+    fails = F.array(*[rule_fails(e, probable_pass) for e in encs])
+    return (
+        F.when(F.array_contains(fails, F.lit(True)), F.lit(0))
+        .otherwise(F.lit(PASSED_INT))
+        .cast("int")
+    )
+
+
+def rule_fails_sql(enc_sql: str, probable_pass: float) -> str:
+    """SQL-text twin of :func:`rule_fails`."""
+    threshold = float(probable_pass) * PASSED_INT
+    e = f"({enc_sql})"
+    return (
+        f"({e} = 0 OR ({e} NOT IN ({PASSED_INT}, -1, -2) "
+        f"AND CAST({e} AS DOUBLE) < {threshold}D))"
+    )
+
+
+def overall_result_spark_sql(enc_sqls: Sequence[str], probable_pass: float) -> str:
+    """SQL-text twin of :func:`overall_result` — same flat
+    array_contains shape so expression depth stays constant for
+    1000+-rule suites."""
+    if not enc_sqls:
+        return f"CAST({PASSED_INT} AS INT)"
+    fails = ", ".join(rule_fails_sql(e, probable_pass) for e in enc_sqls)
+    return (
+        f"CAST(CASE WHEN array_contains(array({fails}), true) THEN 0 "
+        f"ELSE {PASSED_INT} END AS INT)"
+    )
 
 
 def overall_result_sql(enc_sqls: Sequence[str], probable_pass: float) -> str:
