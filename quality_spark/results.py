@@ -162,16 +162,16 @@ def overall_result(encs: Sequence[Column], probable_pass: float) -> Column:
     """Fold encoded results into an overall Passed/Failed int."""
     if not encs:
         return F.lit(PASSED_INT)
-    # FLAT n-ary shape, not a reduce(|) chain: a left-deep OR tree is
-    # O(rules) expression depth and the JVM's recursive column-node
-    # conversion StackOverflowErrors near 500 rules. CreateArray holds
-    # all indicators as siblings, so depth stays constant at any size.
-    fails = F.array(*[rule_fails(e, probable_pass) for e in encs])
-    return (
-        F.when(F.array_contains(fails, F.lit(True)), F.lit(0))
-        .otherwise(F.lit(PASSED_INT))
-        .cast("int")
-    )
+    # balanced OR tree, not reduce(|): left-deep chains are O(rules)
+    # deep and StackOverflow the JVM's recursive column-node conversion
+    # near 500 rules; balanced is log2(rules).
+    terms = [rule_fails(e, probable_pass) for e in encs]
+    while len(terms) > 1:
+        terms = [
+            (terms[i] | terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return F.when(terms[0], F.lit(0)).otherwise(F.lit(PASSED_INT)).cast("int")
 
 
 def rule_fails_sql(enc_sql: str, probable_pass: float) -> str:
@@ -185,9 +185,14 @@ def rule_fails_sql(enc_sql: str, probable_pass: float) -> str:
 
 
 def overall_result_spark_sql(enc_sqls: Sequence[str], probable_pass: float) -> str:
-    """SQL-text twin of :func:`overall_result` — same flat
-    array_contains shape so expression depth stays constant for
-    1000+-rule suites."""
+    """SQL-text twin of :func:`overall_result`, shaped as a FLAT
+    ``array_contains(array(fail1..failN), true)``.
+
+    Shape matters at 1000+ rules: a left-deep OR chain StackOverflows
+    the JVM's recursive expression walks near 500 rules, and a BALANCED
+    OR tree OOMs the ANTLR parser (nested-paren DFA blowup) — the flat
+    n-ary array is the only shape that both parses and analyzes at any
+    suite size."""
     if not enc_sqls:
         return f"CAST({PASSED_INT} AS INT)"
     fails = ", ".join(rule_fails_sql(e, probable_pass) for e in enc_sqls)
