@@ -228,6 +228,31 @@ def to_rule_suite_df(
     return spark.createDataFrame(rows, RULES_SCHEMA)
 
 
+def to_output_expression_df(
+    spark: SparkSession, suites: RuleSuiteMap | RuleSuite
+) -> DataFrame:
+    """Write each distinct output expression (by its id) back to the
+    output-expressions row shape (reference: serializing.scala:374-408)."""
+    if isinstance(suites, RuleSuite):
+        suites = {suites.id: suites}
+    rows = []
+    seen = set()
+    for suite in suites.values():
+        for rs in suite.rule_sets:
+            for r in rs.rules:
+                p = r.run_on_pass
+                if p is None or p.output is None:
+                    continue
+                key = (suite.id, p.id)
+                if key in seen:
+                    continue
+                seen.add(key)
+                rows.append(
+                    (p.output.rule, p.id.id, p.id.version, suite.id.id, suite.id.version)
+                )
+    return spark.createDataFrame(rows, OUTPUT_EXPRESSIONS_SCHEMA)
+
+
 def to_lambda_df(spark: SparkSession, suites: RuleSuiteMap | RuleSuite) -> DataFrame:
     if isinstance(suites, RuleSuite):
         suites = {suites.id: suites}
