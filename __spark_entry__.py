@@ -999,6 +999,76 @@ def _oracle_media_features() -> str:
     )
 
 
+def q_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate() issue taxonomy over a deliberately broken suite against
+    the real lineitem schema, returned as rows."""
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite
+    from quality_spark.plans.validation import validate
+
+    li = _read(spark, sf_dir, "lineitem")
+    suite = RuleSuite(
+        Id(1, 1),
+        (
+            RuleSet(
+                Id(10, 1),
+                (
+                    Rule(Id(100, 1), "l_quantity > 0"),          # fine
+                    Rule(Id(101, 1), "no_such_column > 5"),      # missingAttribute
+                    Rule(Id(102, 1), "l_quantity >"),            # parseError
+                    Rule(Id(103, 1), "not_a_function(l_tax)"),   # unknownFunction
+                    Rule(Id(104, 1), "map_lookup('no_map', l_suppkey)"),  # unknownLookup
+                ),
+            ),
+        ),
+    )
+    issues = validate(li, suite, dry_run=False)
+    rows = [(i.kind, i.rule_id[0]) for i in issues]
+    return spark.createDataFrame(rows, "kind string, rule_id int").distinct()
+
+
+def _oracle_validation_report() -> str:
+    return """
+SELECT * FROM (VALUES
+  ('missingAttribute', 101),
+  ('parseError', 102),
+  ('unknownFunction', 103),
+  ('unknownLookup', 104),
+  ('unknownMapId', 104)
+) AS t(kind, rule_id)
+"""
+
+
+def q_docs_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-comment parsing: structured docs of documented rules as rows."""
+    from quality_spark.plans.docs import parse_docs, strip_comments
+
+    rules = [
+        (100, "/** Quantity must be positive.\n * @param l_quantity the qty\n * @return pass/fail\n */\nl_quantity > 0"),
+        (101, "l_discount <= 1"),
+    ]
+    rows = []
+    for rid, sql in rules:
+        d = parse_docs(sql)
+        rows.append(
+            (
+                rid,
+                d.description if d else "",
+                len(d.params) if d else 0,
+                strip_comments(sql),
+            )
+        )
+    return spark.createDataFrame(rows, "rule_id int, description string, n_params int, stripped string")
+
+
+def _oracle_docs_markdown() -> str:
+    return """
+SELECT * FROM (VALUES
+  (100, 'Quantity must be positive.', 1, 'l_quantity > 0'),
+  (101, '', 0, 'l_discount <= 1')
+) AS t(rule_id, description, n_params, stripped)
+"""
+
+
 def q_unique_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unique_id over lineitem — nondeterministic, so no SQL oracle; the
     driver's rows-only check still validates schema + row count, and the
@@ -1058,6 +1128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_near_dup": q_simhash_near_dup,
         "media_features": q_media_features,
+        "validation_report": q_validation_report,
+        "docs_parsing": q_docs_markdown,
     }
 
 
@@ -1094,5 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "simhash_near_dup": _oracle_simhash_near_dup(),
         "media_features": _oracle_media_features(),
+        "validation_report": _oracle_validation_report(),
+        "docs_parsing": _oracle_docs_markdown(),
         # unique_ids: nondeterministic -> rows-only check by design
     }

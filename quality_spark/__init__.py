@@ -42,6 +42,7 @@ from .operators.runner import (
     rule_runner_details,
 )
 from .sources.serializing import (
+    to_output_expression_df,
     integrate_lambdas,
     integrate_output_expressions,
     read_lambdas_from_df,
