@@ -142,15 +142,10 @@ def q_dq_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uses the fused flatten_rule_runner (no intermediate maps/HOFs);
     the generic flatten_results macro path is covered by
     tests/test_runner.py on stored structs."""
-    from quality_spark.operators.runner import flatten_rule_runner
+    from quality_spark.operators.runner import add_flat_rule_results
 
     li = _read(spark, sf_dir, "lineitem")
-    flat = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.explode(flatten_rule_runner(fixture_suite(), li)).alias("f"),
-    )
-    return flat.select("l_orderkey", "l_linenumber", "f.*")
+    return add_flat_rule_results(li, fixture_suite(), keep=["l_orderkey", "l_linenumber"])
 
 
 def _oracle_dq_flat() -> str:
@@ -612,13 +607,10 @@ def _oracle_minhash_signatures() -> str:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from quality_spark.llm.dedup import simhash_sql
+    from quality_spark.llm.dedup import with_simhash
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.expr(simhash_sql("text", "spark", bits=32, mode="portable")).alias("simhash"),
-    )
+    return with_simhash(docs, bits=32, mode="portable").select("doc_id", "simhash")
 
 
 def _oracle_simhash() -> str:

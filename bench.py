@@ -116,10 +116,15 @@ def main() -> None:
         .parquet(f"{TMP}/dq150")
     )
 
-    # 4. headline oracle queries (count() as the action)
+    # 4. headline oracle queries — noop-format write as the action:
+    # count() would let Catalyst prune every computed column and time
+    # only the scan; noop materializes all output columns and discards
+    # the bytes.
     for name, q in entrymod.queries().items():
         df = q(spark, SF_DIR)
-        results[name] = timed(lambda d=df: d.count())
+        results[name] = timed(
+            lambda d=df: d.write.format("noop").mode("overwrite").save()
+        )
 
     # derived per-row overheads in ms, reference style
     results["dq27_overhead_ms_per_row"] = (

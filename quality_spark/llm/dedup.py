@@ -337,8 +337,40 @@ def with_simhash(
     bits: int = 32,
     mode: str = "fast",
     out: str = "simhash",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    return df.select("*", F.expr(simhash_sql(text_col, "spark", bits, mode)).alias(out))
+    """Explode tokens -> hash ONCE per token -> ``bits`` conditional
+    sums per doc -> rebuild the signature -> join back.
+
+    The inline ``simhash_sql`` expression recomputes the token hash for
+    every bit (Catalyst clones the transform 32x: 10s vs 1.5s at sf0.1);
+    this shape hashes once and keeps the per-bit +/-1 sums in codegen'd
+    partial aggregation, shuffling one row of ``bits`` ints per doc.
+    Docs with no tokens get signature 0, matching the inline form."""
+    hashed = df.select(
+        F.col(id_col).alias("__sh_id"),
+        F.explode(F.expr(tokens_sql(text_col, "spark"))).alias("t"),
+    ).select("__sh_id", F.expr(hash60_sql("t", "spark", mode)).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    sig_sql = " + ".join(
+        f"(CASE WHEN __b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0L END)"
+        for b in range(bits)
+    )
+    sig = (
+        hashed.groupBy("__sh_id")
+        .agg(*aggs)
+        .select("__sh_id", F.expr(f"({sig_sql})").alias(out))
+    )
+    return (
+        df.join(sig, df[id_col] == sig["__sh_id"], "left")
+        .drop("__sh_id")
+        .withColumn(out, F.coalesce(F.col(out), F.lit(0)))
+    )
 
 
 def simhash_pairs(
@@ -354,7 +386,7 @@ def simhash_pairs(
     (pigeonhole) — full recall without a quadratic join."""
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
-    sh = with_simhash(df, text_col, bits, mode).select(
+    sh = with_simhash(df, text_col, bits, mode, id_col=id_col).select(
         F.col(id_col).alias("id"), "simhash"
     )
     chunks = sh.select(

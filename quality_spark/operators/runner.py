@@ -162,6 +162,57 @@ def flatten_rule_runner(suite: RuleSuite, df: Optional[DataFrame] = None) -> Col
     return F.array(*structs)
 
 
+def add_flat_rule_results(
+    df: DataFrame, suite: RuleSuite, keep: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """``keep`` columns + one flat row per (input row, rule) — the
+    explode of :func:`flatten_rule_runner`, staged so each rule expression
+    evaluates ONCE into a real column before the struct array is built.
+    Inlining the encoded expressions into all N structs (each of which
+    also embeds the overall folds) makes the generator's child evaluate
+    ~N^2 rule expressions per row; staging keeps it at N."""
+    keep = list(keep if keep is not None else df.columns)
+    enc_sqls = _encoded_sqls(suite, df)
+    flat_ids = [
+        (rs, r) for rs, ss in zip(suite.rule_sets, enc_sqls) for r in rs.rules
+    ]
+    flat_sqls = [s for ss in enc_sqls for s in ss]
+    staged = df.select(
+        *keep, *[F.expr(s).cast("int").alias(f"__e{i}") for i, s in enumerate(flat_sqls)]
+    )
+    enc_cols = [f"__e{i}" for i in range(len(flat_sqls))]
+    # stage the overalls as columns as well: structs made purely of
+    # column references explode at generator speed, while embedding the
+    # fold CASEs in all N structs re-evaluates them N times per row
+    suite_overall = overall_result_spark_sql(enc_cols, suite.probable_pass)
+    set_ov_cols: List[str] = []
+    set_ov_exprs: List[Column] = []
+    i = 0
+    for si, (rs, ss) in enumerate(zip(suite.rule_sets, enc_sqls)):
+        cols = enc_cols[i : i + len(ss)]
+        set_ov_exprs.append(
+            F.expr(overall_result_spark_sql(cols, suite.probable_pass)).alias(f"__ov{si}")
+        )
+        set_ov_cols.extend([f"__ov{si}"] * len(ss))
+        i += len(ss)
+    staged = staged.select(
+        "*", F.expr(suite_overall).alias("__ovs"), *set_ov_exprs
+    )
+    structs = []
+    for (rs, r), enc_col, so_col in zip(flat_ids, enc_cols, set_ov_cols):
+        structs.append(
+            "named_struct("
+            f"'ruleSuiteId', {suite.id.id}, 'ruleSuiteVersion', {suite.id.version}, "
+            f"'ruleSuiteResult', __ovs, 'ruleSetResult', {so_col}, "
+            f"'ruleSetId', {rs.id.id}, 'ruleSetVersion', {rs.id.version}, "
+            f"'ruleId', {r.id.id}, 'ruleVersion', {r.id.version}, "
+            f"'ruleResult', {enc_col})"
+        )
+    arr = "array(" + ", ".join(structs) + ")"
+    exploded = staged.select(*keep, F.explode(F.expr(arr)).alias("f"))
+    return exploded.select(*keep, "f.*")
+
+
 def add_data_quality(
     df: DataFrame, suite: RuleSuite, name: str = "DQ"
 ) -> DataFrame:
