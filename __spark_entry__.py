@@ -771,8 +771,8 @@ def _oracle_events_windowed_dq() -> str:
     return f"""
 SELECT date_trunc('hour', ts) AS hour,
        count(*) AS rows,
-       sum(CASE WHEN {ok} THEN 1 ELSE 0 END) AS passed,
-       sum(CASE WHEN {ok} THEN 0 ELSE 1 END) AS failed
+       CAST(sum(CASE WHEN {ok} THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+       CAST(sum(CASE WHEN {ok} THEN 0 ELSE 1 END) AS BIGINT) AS failed
 FROM events GROUP BY 1
 """
 
@@ -1052,6 +1052,17 @@ def q_docs_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rule_id int, description string, n_params int, stripped string")
 
 
+def _oracle_unique_ids() -> str:
+    # The ids are nondeterministic but the aggregate output is not:
+    # every row must get a distinct id, so distinct_rows == rows.
+    return """
+SELECT count(*) AS rows,
+       count(*) AS distinct_rows,
+       true AS all_unique
+FROM lineitem
+"""
+
+
 def _oracle_docs_markdown() -> str:
     return """
 SELECT * FROM (VALUES
@@ -1062,9 +1073,10 @@ SELECT * FROM (VALUES
 
 
 def q_unique_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """unique_id over lineitem — nondeterministic, so no SQL oracle; the
-    driver's rows-only check still validates schema + row count, and the
-    query itself asserts distinctness (count == distinct count)."""
+    """unique_id over lineitem — the ids themselves are nondeterministic,
+    but this query's OUTPUT (row count, distinct count, all-unique flag)
+    is fully deterministic as long as uniqueness holds, so it does have a
+    SQL oracle (which also makes any collision a hard gate failure)."""
     from quality_spark.functions.macros import BUILTIN_MACROS
 
     li = _read(spark, sf_dir, "lineitem")
@@ -1160,5 +1172,5 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _oracle_media_features(),
         "validation_report": _oracle_validation_report(),
         "docs_parsing": _oracle_docs_markdown(),
-        # unique_ids: nondeterministic -> rows-only check by design
+        "unique_ids": _oracle_unique_ids(),
     }
