@@ -54,5 +54,8 @@ def read_parquet_compat(spark: SparkSession, path: str) -> DataFrame:
     long_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"}
     for c in nanos:
         if c in long_cols:
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+            # `div` is integer division; `/` would be double arithmetic and
+            # epoch-nanos (~1.7e18) exceed double's 53-bit mantissa, making
+            # ~13% of timestamps land 1 µs off.
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df

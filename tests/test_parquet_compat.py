@@ -1,0 +1,45 @@
+"""read_parquet_compat: TIMESTAMP(NANOS) columns must convert with
+integer division — epoch-nanos exceed double's 53-bit mantissa, so a
+float divide lands ~13% of timestamps 1 µs off."""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from quality_spark.sources.parquet_compat import read_parquet_compat
+
+# float(NS)/1000 rounds to ...0001 µs; the true value is ...0000 µs.
+NS_BAD = 1_700_000_000_000_000_896
+assert int(float(NS_BAD) / 1000) != NS_BAD // 1000
+
+
+@pytest.fixture(scope="module")
+def nanos_parquet():
+    d = tempfile.mkdtemp(prefix="qs_nanos_")
+    path = f"{d}/t.parquet"
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([NS_BAD, NS_BAD + 1104], pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(tbl, path, use_deprecated_int96_timestamps=False)
+    yield path
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_nanos_truncate_exact(spark, nanos_parquet):
+    df = read_parquet_compat(spark, nanos_parquet)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    rows = {r["id"]: r["ts"] for r in df.collect()}
+    epoch = datetime.datetime(1970, 1, 1)
+    got_us = {k: round((v - epoch).total_seconds() * 1e6) for k, v in rows.items()}
+    # exact floor-division truncation, no float rounding
+    assert got_us[1] == NS_BAD // 1000
+    assert got_us[2] == (NS_BAD + 1104) // 1000
