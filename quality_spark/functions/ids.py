@@ -6,15 +6,25 @@ impl/id/model.scala:338-445 (id struct layout: ``base`` =
 ``i0``/``i1`` payload longs), impl/id/GenericLongBasedIDExpression.scala:23-55,
 impl/rng/RngExpression.scala:12-141, Base64Expressions.scala.
 
-All compiled to built-in JVM expressions (md5/sha1/sha2/crc32/xxhash64/
-hash/conv/hex/to_binary/base64) — no UDFs, fully codegen'd. Supported
-digest/hash subset is declared in SUPPORTED_DIGESTS / HASH_IMPLS; the
-reference's exotic Guava/zero-allocation families map onto xxhash64
-seeds (statistically equivalent, not bit-compatible — documented).
+Compiled to built-in JVM expressions (md5/sha1/sha2/crc32/xxhash64/
+hash/conv/hex/to_binary/base64) wherever Spark has the primitive —
+no UDFs, fully codegen'd.  The supported digest/hash subset is
+declared in SUPPORTED_DIGESTS / HASH_IMPLS:
+
+- MURMUR3_32 is Spark's built-in ``hash()`` (Murmur3 x86_32, seed 42).
+- XXH64 / XX is Spark's built-in ``xxhash64`` (true XXH64, seed 42).
+- MURMUR3_128 is a real MurmurHash3 x64_128 (pyhash.py — vectorized
+  numpy pandas UDF, bit-verified against the JVM's Guava
+  ``murmur3_128``, the implementation the reference uses).
+- The zero-allocation exotics (XXH3 / CITY_1_1 / FARM_NA / METRO /
+  WY_3 — reference impl/hash/ZeroAllocation.scala:32-96) have no
+  public in-container implementation to verify against, so they
+  ``raise`` instead of silently answering with a different function.
 """
 
 from __future__ import annotations
 
+import random
 import time
 from typing import Optional, Tuple
 
@@ -35,20 +45,33 @@ SUPPORTED_DIGESTS = {
     "SHA512": ("sha2({x}, 512)", 128),
 }
 
-#: long-valued hash impls usable for hash_field_based_id / za variants.
-#: MURMUR3_32 is Spark's built-in hash(); the 64/128-bit families map
-#: to xxhash64 with distinct seeds.
+#: long-valued hash impls usable for hash_field_based_id / za variants
+#: (name -> number of payload longs). See module docstring for what
+#: each maps to.
 HASH_IMPLS = {
     "MURMUR3_32": 1,
     "MURMUR3_128": 2,
     "XXH64": 1,
     "XX": 1,
-    "XXH3": 1,
-    "CITY_1_1": 2,
-    "FARM_NA": 2,
-    "METRO": 2,
-    "WY_3": 2,
 }
+
+#: reference families with no verifiable in-container implementation —
+#: these error rather than alias to a different hash function.
+UNSUPPORTED_HASH_IMPLS = frozenset(
+    {"XXH3", "CITY_1_1", "FARM_NA", "FARM_UO", "METRO", "WY_3", "MUM"}
+)
+
+
+def _hash_impl_error(impl: str) -> ValueError:
+    if impl in UNSUPPORTED_HASH_IMPLS:
+        return ValueError(
+            f"hash impl {impl!r} is not implemented bit-compatibly in this "
+            f"engine; refusing to silently substitute a different hash. "
+            f"Supported: {sorted(HASH_IMPLS)} + digests {sorted(set(SUPPORTED_DIGESTS))}"
+        )
+    return ValueError(
+        f"hash impl {impl!r} not in supported subset {sorted(HASH_IMPLS)}"
+    )
 
 
 def _concat_input(args: Tuple[str, ...]) -> str:
@@ -128,16 +151,24 @@ def _hash_field_based_id(args):
     if impl in SUPPORTED_DIGESTS:
         return _field_based_id(args)
     if impl not in HASH_IMPLS:
-        raise ValueError(
-            f"hash impl {impl!r} not in supported subset {sorted(HASH_IMPLS)}"
-        )
+        raise _hash_impl_error(impl)
     n = HASH_IMPLS[impl]
     x = _concat_input(args[1:])
     base = (n << 0) | (GENERIC_LONGS_HEADER << HEADER_OFFSET)
     if impl == "MURMUR3_32":
         return f"named_struct('base', {base}, 'i0', CAST(hash({x}) AS BIGINT))"
-    fields = [f"'i{i}', xxhash64({x}, {42 + i})" for i in range(n)]
-    return f"named_struct('base', {base}, {', '.join(fields)})"
+    if impl == "MURMUR3_128":
+        # real MurmurHash3 x64_128 (pyhash.py). The duplicated UDF call
+        # is collapsed by Spark's Python-UDF extraction (one
+        # ArrowEvalPython, verified in test_ids.py).
+        from .pyhash import ensure_python_hashes
+
+        ensure_python_hashes()
+        h = f"qs_murmur3_128({x})"
+        return (
+            f"named_struct('base', {base}, 'i0', ({h}).i0, 'i1', ({h}).i1)"
+        )
+    return f"named_struct('base', {base}, 'i0', xxhash64({x}, 42))"
 
 
 def _za_field_based_id(args):
@@ -217,20 +248,46 @@ def _id_raw_type(args):
 # --- RNG ---------------------------------------------------------------
 
 
+def _parse_long_literal(arg: str, what: str) -> int:
+    try:
+        return int(str(arg).strip())
+    except ValueError:
+        raise ValueError(
+            f"{what} must be an integer literal (reference requires "
+            f"literals too — RuleRegistrationFunctions.scala:340-376), "
+            f"got {arg!r}"
+        )
+
+
+def _seeded_rng_sql(args, what: str) -> str:
+    # ('ALGO'[, seed]) -> counter-mode pair stream (pyrng.py); the
+    # algorithm name is honored as a distinct stream family, unknown
+    # names error (previously the ALGO argument was silently ignored).
+    from .pyrng import ensure_python_rng, rng_algo_id
+
+    aid = rng_algo_id(_strip_str(args[0]))
+    seed = _parse_long_literal(args[1], f"{what} seed") if len(args) > 1 else 0
+    ensure_python_rng()
+    return (
+        f"qs_rng_pair({aid}, CAST({seed} AS BIGINT), "
+        f"monotonically_increasing_id())"
+    )
+
+
 def _rng(args):
-    # random 128-bit long pair; uuid() is Spark's built-in secure RNG.
-    # Seeded algorithm variants map to rand(seed) pairs (documented
-    # subset of the reference's commons-rng algorithms).
+    # rng() -> random 128-bit long pair (uuid() is Spark's built-in
+    # secure RNG); rng('ALGO'[, seed]) -> seeded reproducible stream
+    # (reference: RuleRegistrationFunctions.scala:362-376, default
+    # XO_RO_SHI_RO_128_PP seed 0)
     if len(args) == 0:
         u = "replace(uuid(), '-', '')"
         return (
             f"named_struct('lower', {_hex_to_long(u, 17)}, "
             f"'higher', {_hex_to_long(u, 1)})"
         )
-    seed = args[1] if len(args) > 1 else "0"
-    lo = f"CAST(floor(rand({seed}) * 9.223372036854775E18) AS BIGINT)"
-    hi = f"CAST(floor(rand(CAST(({seed}) AS BIGINT) + 1) * 9.223372036854775E18) AS BIGINT)"
-    return f"named_struct('lower', {lo}, 'higher', {hi})"
+    if len(args) > 2:
+        raise _arity_error("rng", args, "0-2 ('ALGO'[, seed])")
+    return _seeded_rng_sql(args, "rng")
 
 
 def _rng_uuid(args):
@@ -244,30 +301,71 @@ def _rng_uuid(args):
 
 
 def _rng_id(args):
+    # reference rng_ID('prefix'[, 'ALGO'[, seed]]) — the prefix names
+    # flattened output columns in the reference's id model; this
+    # engine's ids are plain (base, i0, i1) structs, so a leading
+    # non-algorithm string literal is accepted as the prefix and
+    # otherwise ignored. rng_id('ALGO'[, seed]) also works directly.
+    from .pyrng import SUPPORTED_RNG_ALGOS
+
     base = (2 << 0) | (GENERIC_LONGS_HEADER << HEADER_OFFSET)
-    pair = _rng(tuple(args))
+    rng_args = tuple(args)
+    if rng_args:
+        try:
+            is_algo = _strip_str(rng_args[0]).upper() in SUPPORTED_RNG_ALGOS
+        except ValueError:
+            is_algo = False
+        if not is_algo:
+            rng_args = rng_args[1:]  # leading prefix literal
+    pair = _rng(rng_args)
+    # seeded: duplicate qs_rng_pair calls collapse to one ArrowEvalPython
+    # (and the UDF is a pure function of its inputs regardless);
+    # unseeded: two independent random longs, still a valid random id
     return (
         f"named_struct('base', {base}, 'i0', ({pair}).lower, 'i1', ({pair}).higher)"
     )
 
 
 def _rng_bytes(args):
-    # random 16 bytes as BINARY (reference: rngBytes,
-    # impl/rng/RngExpression.scala:12-141); seeded variants derive from
-    # the same rand(seed) pair as rng()
-    pair = _rng(tuple(args))
-    return f"concat(unhex(lpad(hex(({pair}).higher), 16, '0')), unhex(lpad(hex(({pair}).lower), 16, '0')))"
+    # random bytes as BINARY (reference: rngBytes,
+    # impl/rng/RngExpression.scala:12-141; arities 0-3 with numBytes
+    # last — RuleRegistrationFunctions.scala:346-360, default 16)
+    if len(args) == 0:
+        pair = _rng(())
+        return f"concat(unhex(lpad(hex(({pair}).higher), 16, '0')), unhex(lpad(hex(({pair}).lower), 16, '0')))"
+    if len(args) > 3:
+        raise _arity_error("rng_bytes", args, "0-3 ('ALGO'[, seed[, numBytes]])")
+    from .pyrng import ensure_python_rng, rng_algo_id
+
+    aid = rng_algo_id(_strip_str(args[0]))
+    seed = _parse_long_literal(args[1], "rng_bytes seed") if len(args) > 1 else 0
+    nbytes = _parse_long_literal(args[2], "rng_bytes numBytes") if len(args) > 2 else 16
+    if not 1 <= nbytes <= 1 << 20:
+        raise ValueError(f"rng_bytes numBytes out of range: {nbytes}")
+    ensure_python_rng()
+    return (
+        f"qs_rng_bytes({aid}, CAST({seed} AS BIGINT), {nbytes}, "
+        f"monotonically_increasing_id())"
+    )
 
 
 def _unique_id(args):
-    # snowflake-style guaranteed-unique 160-bit id: launch-ms +
+    # snowflake-style guaranteed-unique 160-bit id: (salt, launch-ms) +
     # partition + per-partition row counter (reference packs MAC+ms+
     # partition+row — impl/id/GuaranteedUniqueIdExpression.scala:17-41;
-    # monotonically_increasing_id is Spark's (partition << 33) | row)
+    # monotonically_increasing_id is Spark's (partition << 33) | row).
+    # i0 = 22-bit per-compile random salt << 42 | launch-ms (42 bits,
+    # good to year 2109): where the reference's MAC distinguishes hosts,
+    # the salt distinguishes two suites compiled in the same millisecond
+    # (collision odds 2^-22 per same-ms pair, vs certainty before).
     base = (2 << 0) | (GUARANTEED_UNIQUE_HEADER << HEADER_OFFSET)
-    ms = int(time.time() * 1000)
+    ms = int(time.time() * 1000) & ((1 << 42) - 1)
+    salt = random.getrandbits(22)
+    i0 = (salt << 42) | ms
+    if i0 >= 1 << 63:
+        i0 -= 1 << 64
     return (
-        f"named_struct('base', {base}, 'i0', CAST({ms} AS BIGINT), "
+        f"named_struct('base', {base}, 'i0', CAST({i0} AS BIGINT), "
         f"'i1', monotonically_increasing_id())"
     )
 
@@ -285,9 +383,14 @@ def _hash_with(args):
         return _hex_to_long(hex_sql, 1)
     if impl == "CRC32":
         return f"crc32(CAST({x} AS BINARY))"
-    if impl in HASH_IMPLS:
+    if impl == "MURMUR3_128":
+        from .pyhash import ensure_python_hashes
+
+        ensure_python_hashes()
+        return f"qs_murmur3_128_64({x})"
+    if impl in HASH_IMPLS:  # XXH64 / XX: Spark's xxhash64 IS XXH64
         return f"xxhash64({x}, 42)"
-    raise ValueError(f"hash impl {impl!r} not supported")
+    raise _hash_impl_error(impl)
 
 
 def _hash_with_struct(args):

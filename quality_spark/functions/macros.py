@@ -215,6 +215,24 @@ def _long_pair(args):
     )
 
 
+def _prefixed_to_long_pair(args):
+    # ('prefix', struct) -> struct(lower, higher) from a 128-bit id
+    # struct. The reference reads payload ordinals 1,2 of a struct with
+    # fields ({prefix}_base, {prefix}_i0, {prefix}_i1) — i0 -> lower,
+    # i1 -> higher (impl/longPair/LongPairExpressions.scala:46-70;
+    # SQL form prefixed_To_Long_Pair('prefix', col),
+    # RuleRegistrationFunctions.scala:437-446). This engine's own id
+    # structs use unprefixed (base, i0, i1) fields — pass '' for those.
+    if len(args) != 2:
+        raise _arity_error("prefixed_to_long_pair", args, "2 ('prefix', struct)")
+    p = _strip_str(args[0])
+    pre = f"{p}_" if p else ""
+    s = args[1]
+    return (
+        f"named_struct('lower', ({s}).`{pre}i0`, 'higher', ({s}).`{pre}i1`)"
+    )
+
+
 def _long_pair_from_uuid(args):
     # uuid string -> struct(lower, higher); inverse of as_uuid
     if len(args) != 1:
@@ -259,6 +277,12 @@ _register(_long_pair_equal, "long_pair_equal", "longPairEqual")
 _register(_as_uuid, "as_uuid", "asUuid")
 _register(_long_pair, "long_pair", "longPair")
 _register(_long_pair_from_uuid, "long_pair_from_uuid", "longPairFromUuid")
+_register(
+    _prefixed_to_long_pair,
+    "prefixed_to_long_pair",
+    "prefixedToLongPair",
+    "prefixed_To_Long_Pair",
+)
 
 
 def _strip_str(arg: str) -> str:

@@ -69,16 +69,104 @@ def test_hash_with_murmur_matches_spark_hash(spark):
     assert got == exp
 
 
+def test_hash_with_murmur3_128_is_real_murmur(spark):
+    from quality_spark.functions.pyhash import murmur3_x64_128
+
+    got = _run(spark, "hash_with('MURMUR3_128', 'abc', 42)")
+    exp0, _ = murmur3_x64_128("abc\x0142".encode())
+    assert got == exp0
+
+
+def test_hash_field_based_id_murmur3_128(spark):
+    from quality_spark.functions.pyhash import murmur3_x64_128
+
+    got = _run(spark, "murmur3_id('k')")
+    exp = murmur3_x64_128(b"k")
+    assert got["base"] == 2
+    assert (got["i0"], got["i1"]) == exp
+
+
+def test_murmur3_128_udf_deduplicated(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.expr(expand_sql("murmur3_id(CAST(id AS STRING))")).alias("s")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("qs_murmur3_128") == 1  # one ArrowEvalPython call
+
+
+def test_unsupported_hash_impls_error(spark):
+    for impl in ("XXH3", "CITY_1_1", "FARM_NA", "METRO", "WY_3"):
+        with pytest.raises(ValueError, match="refusing to silently"):
+            expand_sql(f"hash_with('{impl}', 'x')")
+        with pytest.raises(ValueError, match="refusing to silently"):
+            expand_sql(f"za_hash_with('{impl}', 'x')")
+        with pytest.raises(ValueError):
+            expand_sql(f"hash_field_based_id('{impl}', 'x')")
+
+
 def test_rng_uuid_valid(spark):
     u = _run(spark, "rng_uuid()")
     assert str(uuidlib.UUID(u)) == u
 
 
 def test_rng_seeded_deterministic(spark):
-    df = spark.range(5).select(F.expr(expand_sql("rng('X', 7)")).alias("r"))
+    df = spark.range(0, 1000, 1, 4).select(
+        F.expr(expand_sql("rng('XO_RO_SHI_RO_128_PP', 7)")).alias("r")
+    )
     a = [tuple(r["r"]) for r in df.collect()]
     b = [tuple(r["r"]) for r in df.collect()]
     assert a == b  # same seed, same partitioning -> reproducible
+    assert len(set(a)) == 1000  # distinct draws per row across partitions
+
+
+def test_rng_algo_and_seed_select_distinct_streams(spark):
+    def stream(algo, seed):
+        df = spark.range(5).select(
+            F.expr(expand_sql(f"rng('{algo}', {seed})")).alias("r")
+        )
+        return tuple(tuple(r["r"]) for r in df.collect())
+
+    base = stream("XO_RO_SHI_RO_128_PP", 7)
+    assert stream("SPLIT_MIX_64", 7) != base  # algo honored
+    assert stream("XO_RO_SHI_RO_128_PP", 8) != base  # seed honored
+    assert stream("XO_RO_SHI_RO_128_PP", 7) == base
+
+
+def test_rng_unknown_algo_errors(spark):
+    with pytest.raises(ValueError, match="not a known commons-rng"):
+        expand_sql("rng('NOT_AN_ALGO', 7)")
+    with pytest.raises(ValueError, match="not a known commons-rng"):
+        expand_sql("rng_bytes('XOROSHIRO', 7)")
+
+
+def test_rng_batch_split_invariance():
+    # row values must be a pure function of (algo, seed, mid): computing
+    # rows in one batch or several must agree (validates the Philox
+    # counter addressing, incl. advance() units)
+    import numpy as np
+
+    from quality_spark.functions.pyrng import rng_draws
+
+    mids = np.arange(0, 64, dtype=np.int64)
+    whole = rng_draws(3, 42, mids, 2)
+    parts = np.vstack([rng_draws(3, 42, mids[:20], 2),
+                       rng_draws(3, 42, mids[20:], 2)])
+    assert (whole == parts).all()
+    # non-contiguous (post-filter) rows match their contiguous values
+    pick = np.array([3, 9, 10, 11, 40], dtype=np.int64)
+    assert (rng_draws(3, 42, pick, 2) == whole[pick]).all()
+    # partition streams are independent: same pos, different pid
+    other = rng_draws(3, 42, (np.int64(1) << 33) + mids, 2)
+    assert (other != whole).any()
+
+
+def test_rng_bytes_seeded_num_bytes(spark):
+    sql = expand_sql("rng_bytes('SPLIT_MIX_64', 9, 5)")
+    out = spark.range(3).select(F.expr(sql).alias("b")).collect()
+    assert all(len(r["b"]) == 5 for r in out)
+    assert len({bytes(r["b"]) for r in out}) == 3
 
 
 def test_unique_id_unique_per_row(spark):
@@ -88,6 +176,20 @@ def test_unique_id_unique_per_row(spark):
     n = df.select("u.i0", "u.i1").distinct().count()
     assert n == 10000
     assert df.select("u.base").distinct().collect()[0][0] == (1 << 24) | 2
+
+
+def test_unique_id_salted_across_compiles(spark):
+    # two same-millisecond compiles must not produce the same id stream
+    from quality_spark.functions.macros import BUILTIN_MACROS
+
+    a = BUILTIN_MACROS["unique_id"](())
+    b = BUILTIN_MACROS["unique_id"](())
+    i0a = int(a.split("'i0', CAST(")[1].split(" AS BIGINT")[0])
+    i0b = int(b.split("'i0', CAST(")[1].split(" AS BIGINT")[0])
+    assert i0a != i0b  # salt differs even when ms is identical
+    # launch-ms lives in the low 42 bits
+    now_ms = __import__("time").time() * 1000
+    assert abs((i0a & ((1 << 42) - 1)) - now_ms) < 60_000
 
 
 def test_as_uuid_long_pair_roundtrip(spark):
@@ -103,6 +205,25 @@ def test_as_uuid_long_pair_roundtrip(spark):
         return x - (1 << 64) if x >= (1 << 63) else x
     assert pair["higher"] == signed(msb)
     assert pair["lower"] == signed(lsb)
+
+
+def test_prefixed_to_long_pair(spark):
+    # reference layout: fields named {prefix}_base/_i0/_i1
+    got = _run(
+        spark,
+        "prefixed_to_long_pair('my', named_struct('my_base', 2, 'my_i0', 11, 'my_i1', 22))",
+    )
+    assert (got["lower"], got["higher"]) == (11, 22)
+    # engine layout: unprefixed id struct, empty prefix
+    got2 = _run(spark, "prefixed_to_long_pair('', provided_id(5, 6))")
+    assert (got2["lower"], got2["higher"]) == (5, 6)
+    # round-trips with as_uuid/long_pair surface
+    u = _run(
+        spark,
+        "as_uuid(prefixed_to_long_pair('', provided_id(5, 6)).lower, "
+        "prefixed_to_long_pair('', provided_id(5, 6)).higher)",
+    )
+    assert str(uuidlib.UUID(u)) == u
 
 
 def test_rng_bytes(spark):
