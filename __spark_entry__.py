@@ -367,6 +367,78 @@ def _oracle_folder_customer() -> str:
     )
 
 
+def q_folder_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten_folder_results over ruleFolderRunner output: one row per
+    (customer, rule) carrying the folded result struct (reference:
+    impl/FlattenResultsExpression.scala:144-184, RuleRunnerImports.scala:118)."""
+    import quality_spark.functions.api as Q
+
+    cust = _read(spark, sf_dir, "customer")
+    suite = engine_suite(
+        (4, 1),
+        [
+            (
+                (1, 1),
+                [
+                    engine_rule(
+                        (1, 1), "c_acctbal > 1000", 10,
+                        "set(c_acctbal = currentResult.c_acctbal * 1.1)", (910, 1),
+                    ),
+                    engine_rule(
+                        (2, 1), "c_mktsegment = 'BUILDING'", 20,
+                        "currentResult -> named_struct("
+                        "'c_acctbal', currentResult.c_acctbal + 5.0, "
+                        "'c_mktsegment', 'B2B')", (911, 1),
+                    ),
+                ],
+            )
+        ],
+    )
+    df = add_folder(cust, suite, F.struct(F.col("c_acctbal"), F.col("c_mktsegment")), name="fold")
+    f = df.select(
+        "c_custkey", F.explode(Q.flatten_folder_results(F.col("fold"))).alias("r")
+    )
+    return f.select(
+        "c_custkey",
+        F.col("r.ruleSuiteId").alias("suite_id"),
+        F.col("r.ruleSuiteResult").alias("suite_result"),
+        F.col("r.ruleSetResult").alias("set_result"),
+        F.col("r.ruleId").alias("rule_id"),
+        F.col("r.ruleResult").alias("rule_result"),
+        F.col("r.result.c_acctbal").alias("folded_acctbal"),
+        F.col("r.result.c_mktsegment").alias("folded_segment"),
+    )
+
+
+def _oracle_folder_flatten() -> str:
+    r1 = "(c_acctbal > 1000)"
+    r2 = "(c_mktsegment = 'BUILDING')"
+    overall = f"(CASE WHEN {r1} AND {r2} THEN {PASSED_INT} ELSE 0 END)"
+    acct = (
+        f"CASE WHEN {r1} OR {r2} THEN "
+        f"  (CASE WHEN {r2} THEN "
+        f"     (CASE WHEN {r1} THEN c_acctbal * 1.1 ELSE c_acctbal END) + 5.0 "
+        f"   ELSE c_acctbal * 1.1 END) "
+        f"END"
+    )
+    seg = (
+        f"CASE WHEN {r1} OR {r2} THEN "
+        f"  (CASE WHEN {r2} THEN 'B2B' ELSE c_mktsegment END) "
+        f"END"
+    )
+    parts = []
+    for rule_id, cond in ((1, r1), (2, r2)):
+        parts.append(
+            "SELECT c_custkey, 4 AS suite_id, "
+            f"{overall} AS suite_result, {overall} AS set_result, "
+            f"{rule_id} AS rule_id, "
+            f"(CASE WHEN {cond} THEN {PASSED_INT} ELSE 0 END) AS rule_result, "
+            f"{acct} AS folded_acctbal, {seg} AS folded_segment "
+            "FROM customer"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def q_agg_expr_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """agg_expr single-pass filtered aggregates with sum_with/inc
     finishers (SURVEY §2.5)."""
@@ -1108,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_fail_detail": q_soft_fail_detail,
         "rule_engine_orders": q_rule_engine_orders,
         "folder_customer": q_folder_customer,
+        "folder_flatten": q_folder_flatten,
         "agg_expr_totals": q_agg_expr_totals,
         "agg_map_counts": q_agg_map_counts,
         "map_lookup_nation": q_map_lookup_nation,
@@ -1147,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
         "soft_fail_detail": _oracle_soft_fail_detail(),
         "rule_engine_orders": _oracle_rule_engine_orders(),
         "folder_customer": _oracle_folder_customer(),
+        "folder_flatten": _oracle_folder_flatten(),
         "agg_expr_totals": _oracle_agg_expr_totals(),
         "agg_map_counts": _oracle_agg_map_counts(),
         "map_lookup_nation": _oracle_map_lookup_nation(),

@@ -91,7 +91,15 @@ def flatten_results(c: ColumnOrName) -> Column:
 
 
 def flatten_rule_results(c: ColumnOrName) -> Column:
+    """Flatten a ruleEngineRunner output struct; each row also carries
+    the salient rule triple and the engine result."""
     return _macro("flatten_rule_results", c)
+
+
+def flatten_folder_results(c: ColumnOrName) -> Column:
+    """Flatten a ruleFolderRunner output struct; each row also carries
+    the folded result struct (reference: RuleRunnerImports.scala:118)."""
+    return _macro("flatten_folder_results", c)
 
 
 def as_uuid(lower: ColumnOrName, higher: ColumnOrName) -> Column:

@@ -141,20 +141,22 @@ def _rule_result(args):
     )
 
 
-def _flatten_entries(dq: str, with_suite_overall: bool) -> str:
+def _flatten_entries(dq: str, with_suite_overall: bool, extra: str = "") -> str:
+    # lambda variables use collision-proof names: a bare `se`/`re` would
+    # shadow (capture) user columns of the same name inside the lambda
     overall = f"({dq}).overallResult" if with_suite_overall else "CAST(NULL AS INT)"
     return (
-        f"flatten(transform(map_entries(({dq}).ruleSetResults), se -> "
-        f"transform(map_entries(se.value.ruleResults), re -> named_struct("
+        f"flatten(transform(map_entries(({dq}).ruleSetResults), __qs_se -> "
+        f"transform(map_entries(__qs_se.value.ruleResults), __qs_re -> named_struct("
         f"'ruleSuiteId', {_high32(f'({dq}).id')}, "
         f"'ruleSuiteVersion', {_low32(f'({dq}).id')}, "
         f"'ruleSuiteResult', {overall}, "
-        f"'ruleSetResult', se.value.overallResult, "
-        f"'ruleSetId', {_high32('se.key')}, "
-        f"'ruleSetVersion', {_low32('se.key')}, "
-        f"'ruleId', {_high32('re.key')}, "
-        f"'ruleVersion', {_low32('re.key')}, "
-        f"'ruleResult', re.value))))"
+        f"'ruleSetResult', __qs_se.value.overallResult, "
+        f"'ruleSetId', {_high32('__qs_se.key')}, "
+        f"'ruleSetVersion', {_low32('__qs_se.key')}, "
+        f"'ruleId', {_high32('__qs_re.key')}, "
+        f"'ruleVersion', {_low32('__qs_re.key')}, "
+        f"'ruleResult', __qs_re.value{extra}))))"
     )
 
 
@@ -167,10 +169,27 @@ def _flatten_results(args):
 
 
 def _flatten_rule_results(args):
-    # details variant — no suite overallResult in the input struct
+    # ruleEngineRunner-output variant: flattens the nested DQ and
+    # appends the salient rule id triple and engine result to every row
+    # (reference: FlattenRulesResultsExpression,
+    # impl/FlattenResultsExpression.scala:85-126)
     if len(args) != 1:
         raise _arity_error("flatten_rule_results", args, "1")
-    return _flatten_entries(args[0], with_suite_overall=False)
+    e = args[0]
+    extra = f", 'salientRule', ({e}).salientRule, 'result', ({e}).result"
+    return _flatten_entries(f"({e}).ruleSuiteResults", True, extra)
+
+
+def _flatten_folder_results(args):
+    # ruleFolderRunner-output variant: appends the folded result struct
+    # (reference: FlattenFolderResultsExpression,
+    # impl/FlattenResultsExpression.scala:144-184,
+    # RuleRunnerImports.scala:118)
+    if len(args) != 1:
+        raise _arity_error("flatten_folder_results", args, "1")
+    e = args[0]
+    extra = f", 'result', ({e}).result"
+    return _flatten_entries(f"({e}).ruleSuiteResults", True, extra)
 
 
 def _id_equal(args):
@@ -272,6 +291,7 @@ _register(_rule_suite_result_details, "rule_suite_result_details", "ruleSuiteRes
 _register(_rule_result, "rule_result", "ruleResult")
 _register(_flatten_results, "flatten_results", "flattenResults")
 _register(_flatten_rule_results, "flatten_rule_results", "flattenRuleResults")
+_register(_flatten_folder_results, "flatten_folder_results", "flattenFolderResults")
 _register(_id_equal, "id_equal", "idEqual")
 _register(_long_pair_equal, "long_pair_equal", "longPairEqual")
 _register(_as_uuid, "as_uuid", "asUuid")

@@ -174,3 +174,42 @@ def test_fold_and_replace_fields(customer):
             assert new != orig or seg == "BUILDING"
         else:
             assert new == orig
+
+
+def test_flatten_rule_results_engine_output(orders):
+    """flatten_rule_results appends salientRule + result to every
+    flattened row (reference FlattenRulesResultsExpression)."""
+    import quality_spark.functions.api as Q
+
+    df = add_rule_engine(orders, ENGINE_SUITE, result_ddl="string", name="re")
+    f = df.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey", "re", F.explode(Q.flatten_rule_results(F.col("re"))).alias("r")
+    )
+    rows = f.collect()
+    assert rows
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["o_orderkey"], []).append(r)
+    for key, rs in per_key.items():
+        assert len(rs) == 3  # one flattened row per rule
+        for r in rs:
+            assert r["r"]["result"] == r["re"]["result"]  # payload repeated
+            assert r["r"]["salientRule"] == r["re"]["salientRule"]
+            assert r["r"]["ruleSuiteId"] == 2
+            assert r["r"]["ruleSuiteResult"] is not None
+
+
+def test_flatten_folder_results(customer):
+    import quality_spark.functions.api as Q
+
+    start = F.struct(F.col("c_acctbal"), F.col("c_mktsegment"))
+    df = add_folder(customer, FOLDER_SUITE, start, name="fold")
+    f = df.select(
+        "c_custkey", "fold", F.explode(Q.flatten_folder_results(F.col("fold"))).alias("r")
+    )
+    rows = f.limit(100).collect()
+    assert rows
+    for r in rows:
+        assert r["r"]["result"] == r["fold"]["result"]
+        assert r["r"]["ruleSuiteId"] is not None
+        assert r["r"]["ruleResult"] is not None
