@@ -545,6 +545,55 @@ def _oracle_bloom_semi_filter() -> str:
     )
 
 
+def q_bloom_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """small_bloom/big_bloom called from SQL rule text (reference
+    registers them as aggregate functions, impl/bloom/Parquet.scala:84-137;
+    here rule text compiles to the distributed bloom builds via
+    expressionRunner). Determinism: blooms have no false negatives, so
+    probing only true members gives exact counts; the left-semi join
+    removes any false positives."""
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite
+    from quality_spark.operators.expression_runner import add_expression_runner
+    from quality_spark.sources.lookups import probability_in, register_bloom_bytes
+
+    orders = _read(spark, sf_dir, "orders")
+    suite = RuleSuite(
+        Id(40, 1),
+        (
+            RuleSet(
+                Id(41, 1),
+                (
+                    Rule(Id(400, 1), "small_bloom(o_custkey, 20000, 0.01)"),
+                    Rule(Id(401, 1), "big_bloom(o_custkey, 20000, 0.01)"),
+                ),
+            ),
+        ),
+    )
+    built = add_expression_runner(orders, suite, ddl_type="binary").head()
+    small_b, big_b = list(list(built[0]["ruleSetResults"].values())[0].values())
+    register_bloom_bytes(spark, "sql_small_custkeys", small_b)
+    register_bloom_bytes(spark, "sql_big_custkeys", big_b)
+    cust = _read(spark, sf_dir, "customer")
+    probed = cust.select(
+        "c_custkey",
+        probability_in(F.col("c_custkey"), "sql_small_custkeys").alias("ps"),
+        probability_in(F.col("c_custkey"), "sql_big_custkeys").alias("pb"),
+    )
+    members = probed.join(orders, probed.c_custkey == orders.o_custkey, "left_semi")
+    return members.agg(
+        F.sum(F.when(F.col("ps") > 0, 1).otherwise(0)).cast("bigint").alias("small_members"),
+        F.sum(F.when(F.col("pb") > 0, 1).otherwise(0)).cast("bigint").alias("big_members"),
+    )
+
+
+def _oracle_bloom_sql_agg() -> str:
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS small_members, "
+        "CAST(count(*) AS BIGINT) AS big_members FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+    )
+
+
 def q_digest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Digest functions over documents (SURVEY §2.7): md5/sha256 hex —
     the long-decomposition is covered against hashlib in tests/test_ids.py."""
@@ -1185,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_map_counts": q_agg_map_counts,
         "map_lookup_nation": q_map_lookup_nation,
         "bloom_semi_filter": q_bloom_semi_filter,
+        "bloom_sql_agg": q_bloom_sql_agg,
         "digest_documents": q_digest_documents,
         "dedup_exact_groups": q_dedup_exact_groups,
         "text_stats": q_text_stats,
@@ -1225,6 +1275,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_map_counts": _oracle_agg_map_counts(),
         "map_lookup_nation": _oracle_map_lookup_nation(),
         "bloom_semi_filter": _oracle_bloom_semi_filter(),
+        "bloom_sql_agg": _oracle_bloom_sql_agg(),
         "digest_documents": _oracle_digest_documents(),
         "dedup_exact_groups": _oracle_dedup_exact_groups(),
         "text_stats": _oracle_text_stats(),

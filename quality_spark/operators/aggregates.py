@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import itertools
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Optional, Tuple, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -58,6 +58,22 @@ class MapAggSite:
     filter_sql: str
     value_ddl: Optional[str]
     finisher: str  # finisher body with __sum/__count placeholders
+
+
+@dataclass(frozen=True)
+class BloomAggSite:
+    """A ``small_bloom``/``big_bloom`` SQL aggregate lifted out for
+    two-stage evaluation (reference registers these as
+    TypedImperativeAggregates, impl/bloom/Parquet.scala:84-137; here
+    they compile to the distributed ``bloom_from``/``big_bloom_from``
+    builds and evaluate to the serialized bloom bytes)."""
+
+    placeholder: str
+    kind: str  # "small" | "big"
+    value_sql: str
+    expected_sql: str  # constant-foldable expressions, evaluated driver-side
+    fpp_sql: str
+    id_sql: Optional[str]  # big_bloom only
 
 
 def _is_string_literal(text: str) -> bool:
@@ -221,15 +237,48 @@ def compile_agg_expr(
     return None, site
 
 
+def compile_bloom_agg(name: str, args: Tuple[str, ...]) -> BloomAggSite:
+    """``small_bloom(value, n, fpp)`` / ``big_bloom(value, n, fpp[, id])``
+    → a lifted aggregation site. n/fpp must be constant-foldable
+    (the reference eval()s them driver-side too, Parquet.scala:108-117)."""
+    kind = "small" if name in ("small_bloom", "smallbloom") else "big"
+    if kind == "small" and len(args) != 3:
+        raise ValueError(
+            f"small_bloom expects (value, expectedRows, fpp) — got {args!r}"
+        )
+    if kind == "big" and len(args) not in (3, 4):
+        raise ValueError(
+            f"big_bloom expects (value, expectedRows, fpp[, id]) — got {args!r}"
+        )
+    return BloomAggSite(
+        placeholder=f"__qbloom{next(_map_counter)}",
+        kind=kind,
+        value_sql=args[0],
+        expected_sql=args[1],
+        fpp_sql=args[2],
+        id_sql=args[3] if len(args) == 4 else None,
+    )
+
+
+AggSite = Union["MapAggSite", "BloomAggSite"]
+
+_BLOOM_AGG_NAMES = ("small_bloom", "smallbloom", "big_bloom", "bigbloom")
+
+
 def rewrite_agg_exprs(
     sql: str, registry: Optional[LambdaRegistry] = None
-) -> Tuple[str, List[MapAggSite]]:
-    """Replace every ``agg_expr(…)`` call in ``sql`` with compiled
-    aggregate SQL (scalar forms) or a placeholder column reference
-    (map_with forms, returned for two-stage planning)."""
-    sites: List[MapAggSite] = []
+) -> Tuple[str, List[AggSite]]:
+    """Replace every ``agg_expr(…)`` / ``small_bloom(…)`` /
+    ``big_bloom(…)`` call in ``sql`` with compiled aggregate SQL
+    (scalar forms) or a placeholder column reference (lifted forms,
+    returned for two-stage planning)."""
+    sites: List[AggSite] = []
 
     def expander(name: str, args: Tuple[str, ...]) -> Optional[str]:
+        if name in _BLOOM_AGG_NAMES:
+            site = compile_bloom_agg(name, args)
+            sites.append(site)
+            return site.placeholder
         if name not in ("agg_expr", "aggexpr"):
             return None
         scalar, site = compile_agg_expr(args, registry)
@@ -266,3 +315,43 @@ def map_agg_column(df: DataFrame, site: MapAggSite) -> DataFrame:
     )
     out_sql = substitute_identifiers(site.finisher, {"__sum": "__m", "__count": "__c"})
     return gathered.select(F.expr(out_sql).alias(site.placeholder))
+
+
+def bloom_agg_column(df: DataFrame, site: BloomAggSite) -> DataFrame:
+    """Distributed bloom build for one lifted site → 1-row DataFrame
+    whose single binary column is the serialized bloom. Small blooms
+    build via per-partition numpy bitsets OR-merged on the driver
+    (metadata-sized); big blooms write bucket files from executors and
+    the value is only the file-root handle — nothing corpus-sized ever
+    reaches the driver or the plan."""
+    from ..sources.lookups import bloom_from, serialize_big_bloom, serialize_bloom
+
+    spark = df.sparkSession
+    params = spark.range(1).select(
+        F.expr(site.expected_sql).cast("long").alias("n"),
+        F.expr(site.fpp_sql).cast("double").alias("p"),
+    ).head()
+    expected, fpp = int(params["n"]), float(params["p"])
+    if site.kind == "small":
+        data = serialize_bloom(bloom_from(df, site.value_sql, expected, fpp))
+    else:
+        import os
+        import uuid
+
+        from ..sources.bigbloom import big_bloom_from, bloom_file_location
+
+        if site.id_sql is not None:
+            bloom_id = str(
+                spark.range(1).select(F.expr(site.id_sql).cast("string")).head()[0]
+            )
+        else:
+            bloom_id = uuid.uuid4().hex
+        root = os.path.join(bloom_file_location(), bloom_id)
+        data = serialize_big_bloom(
+            big_bloom_from(df, site.value_sql, expected, root, fpp)
+        )
+    # createDataFrame, not F.lit: keeps the (possibly MB-scale) bitset
+    # out of the plan text
+    return spark.createDataFrame(
+        [(bytearray(data),)], schema=f"{site.placeholder} binary"
+    )

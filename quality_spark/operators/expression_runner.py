@@ -19,7 +19,13 @@ from pyspark.sql import types as T
 
 from ..model import RuleSuite, pack_id
 from ..plans.compiler import expand_rules, RuleCompilationError
-from .aggregates import MapAggSite, map_agg_column, rewrite_agg_exprs
+from .aggregates import (
+    AggSite,
+    MapAggSite,
+    bloom_agg_column,
+    map_agg_column,
+    rewrite_agg_exprs,
+)
 from .runner import _lit_packed
 
 __all__ = ["add_expression_runner", "strip_result_ddl"]
@@ -37,6 +43,8 @@ def _render_sql(sql: str, dtype: T.DataType) -> str:
     canonical encoding — yaml helpers live in functions/yamlenc.py)."""
     if isinstance(dtype, _ATOMIC):
         return f"CAST(({sql}) AS STRING)"
+    if isinstance(dtype, T.BinaryType):
+        return f"base64({sql})"
     return f"to_json({sql})"
 
 
@@ -53,7 +61,7 @@ def add_expression_runner(
     expanded = expand_rules(suite)
 
     rules: List[Tuple] = []  # (rs, r, sql)
-    sites: List[MapAggSite] = []
+    sites: List[AggSite] = []
     from ..plans.compiler import registry_for
 
     reg = registry_for(suite)
@@ -109,7 +117,10 @@ def add_expression_runner(
     else:
         pieces.append(spark.range(1).select(F.lit(1).alias("_one")))
     for site in sites:
-        pieces.append(map_agg_column(df, site))
+        if isinstance(site, MapAggSite):
+            pieces.append(map_agg_column(df, site))
+        else:
+            pieces.append(bloom_agg_column(df, site))
 
     joined = pieces[0]
     for p in pieces[1:]:

@@ -38,7 +38,32 @@ from pyspark.sql import functions as F
 
 from .lookups import _BLOOM_REGISTRY, BloomFilter, _hash_cols
 
-__all__ = ["BigBloom", "big_bloom_from", "load_big_bloom", "register_big_bloom"]
+__all__ = [
+    "BigBloom",
+    "big_bloom_from",
+    "bloom_file_location",
+    "load_big_bloom",
+    "register_big_bloom",
+    "set_bloom_file_location",
+]
+
+#: default root for file-backed blooms (reference
+#: ``com.sparkutils.quality.bloomFileLocation``) — on a cluster set
+#: this to shared storage (s3/dbfs/hdfs-fuse path) before building.
+_BLOOM_FILE_LOCATION: Union[str, None] = None
+
+
+def set_bloom_file_location(path: str) -> None:
+    global _BLOOM_FILE_LOCATION
+    _BLOOM_FILE_LOCATION = path
+
+
+def bloom_file_location() -> str:
+    if _BLOOM_FILE_LOCATION is not None:
+        return _BLOOM_FILE_LOCATION
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "quality_spark_blooms")
 
 
 @dataclass(frozen=True)

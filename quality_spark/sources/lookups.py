@@ -241,12 +241,32 @@ def register_bloom(spark: SparkSession, name: str, bf: BloomFilter) -> None:
 
 def load_blooms(spark: SparkSession, configs: DataFrame | list) -> None:
     """Config rows (name, sql | token, value, numberOfElements,
-    expectedFPP) → build + register (reference: impl/bloom/model.scala:149-177)."""
+    expectedFPP[, bigBloom]) → build + register (reference:
+    impl/bloom/model.scala:149-177; the bigBloom flag at :152,165
+    selects the bucketed file-backed build)."""
     rows = configs.collect() if isinstance(configs, DataFrame) else configs
     for row in rows:
         src = spark.sql(row["sql"]) if row["sql"] else spark.table(row["token"])
-        bf = bloom_from(src, row["value"], row["numberOfElements"], row["expectedFPP"])
-        register_bloom(spark, row["name"], bf)
+        try:
+            big = bool(row["bigBloom"])
+        except (KeyError, ValueError, IndexError, TypeError):
+            big = False
+        if big:
+            import os
+
+            from .bigbloom import big_bloom_from, bloom_file_location, register_big_bloom
+
+            root = os.path.join(bloom_file_location(), str(row["name"]))
+            bb = big_bloom_from(
+                src, row["value"], row["numberOfElements"], root,
+                row["expectedFPP"],
+            )
+            register_big_bloom(spark, row["name"], bb)
+        else:
+            bf = bloom_from(
+                src, row["value"], row["numberOfElements"], row["expectedFPP"]
+            )
+            register_bloom(spark, row["name"], bf)
 
 
 def probability_in_sql(expr_sql: str, name: str) -> str:
@@ -282,3 +302,79 @@ def load_bloom(path: str) -> BloomFilter:
         meta = json.load(fh)
     bits = np.load(f"{path}/bits.npy")
     return BloomFilter(bits, meta["m_bits"], meta["k"], meta["fpp"])
+
+
+# ---------------------------------------------------------------------------
+# Bloom aggregate wire format — the binary value a small_bloom/big_bloom
+# SQL aggregate evaluates to (reference: the serialized bloom bytes of
+# impl/bloom/Parquet.scala:60-137; this engine defines its own header +
+# payload layout). Small blooms carry the whole bitset; big blooms carry
+# only the file-root handle (the bitsets stay on shared storage).
+# ---------------------------------------------------------------------------
+
+_SMALL_BLOOM_MAGIC = b"QSBF1\x00"
+_BIG_BLOOM_MAGIC = b"QSBB1\x00"
+
+
+def serialize_bloom(bf: BloomFilter) -> bytes:
+    import json
+
+    header = json.dumps(
+        {"m_bits": bf.m_bits, "k": bf.k, "fpp": bf.fpp}
+    ).encode("utf-8")
+    return (
+        _SMALL_BLOOM_MAGIC
+        + len(header).to_bytes(4, "big")
+        + header
+        + bf.bits.tobytes()
+    )
+
+
+def serialize_big_bloom(bb) -> bytes:
+    import json
+
+    header = json.dumps(
+        {
+            "root": bb.root,
+            "buckets": bb.buckets,
+            "m_bits": bb.m_bits,
+            "k": bb.k,
+            "fpp": bb.fpp,
+        }
+    ).encode("utf-8")
+    return _BIG_BLOOM_MAGIC + len(header).to_bytes(4, "big") + header
+
+
+def bloom_lookup(data: bytes):
+    """Deserialize a small/big bloom aggregate value into a probe-able
+    handle — ``BloomFilter`` or ``BigBloom`` (reference ``bloomLookup``,
+    impl/bloom/BloomFilterLookupImports.scala:138-190). Pair with
+    ``register_bloom_bytes`` for SQL-text probing."""
+    import json
+
+    data = bytes(data)
+    magic, rest = data[:6], data[6:]
+    hlen = int.from_bytes(rest[:4], "big")
+    meta = json.loads(rest[4 : 4 + hlen].decode("utf-8"))
+    if magic == _SMALL_BLOOM_MAGIC:
+        bits = np.frombuffer(data[10 + hlen :], dtype=np.uint8).copy()
+        return BloomFilter(bits, meta["m_bits"], meta["k"], meta["fpp"])
+    if magic == _BIG_BLOOM_MAGIC:
+        from .bigbloom import BigBloom
+
+        return BigBloom(
+            meta["root"], meta["buckets"], meta["m_bits"], meta["k"], meta["fpp"]
+        )
+    raise ValueError(f"not a serialized bloom (magic {magic!r})")
+
+
+def register_bloom_bytes(spark: SparkSession, name: str, data: bytes) -> None:
+    """``bloom_lookup`` + registration under ``name`` so rule SQL can
+    call ``probability_in(x, 'name')``."""
+    handle = bloom_lookup(data)
+    if isinstance(handle, BloomFilter):
+        register_bloom(spark, name, handle)
+    else:
+        from .bigbloom import register_big_bloom
+
+        register_big_bloom(spark, name, handle)

@@ -151,3 +151,74 @@ def test_agg_expr_decimal_38_18(spark, lineitem):
         f"read_parquet('{sf_dir}/lineitem.parquet') WHERE l_extendedprice > 0"
     ).fetchall()[0][0]
     assert abs(Decimal(res["result"]) - Decimal(str(want))) < Decimal("0.001")
+
+
+def test_bloom_agg_lifts_site():
+    sql, sites = rewrite_agg_exprs("small_bloom(o_custkey, 1000, 0.01)")
+    assert len(sites) == 1
+    assert sql.strip() == sites[0].placeholder
+    assert sites[0].kind == "small"
+    sql2, sites2 = rewrite_agg_exprs("big_bloom(x, 10, 0.05, 'myid')")
+    assert sites2[0].kind == "big" and sites2[0].id_sql == "'myid'"
+
+
+def test_bloom_agg_arity_errors():
+    with pytest.raises(ValueError, match="small_bloom"):
+        rewrite_agg_exprs("small_bloom(o_custkey, 1000)")
+    with pytest.raises(ValueError, match="big_bloom"):
+        rewrite_agg_exprs("big_bloom(x)")
+
+
+def test_small_bloom_sql_aggregate_roundtrip(spark, sf_dir):
+    """Build through rule text, probe through probability_in: every
+    build key must pass (no false negatives)."""
+    from quality_spark.sources.lookups import (
+        bloom_lookup,
+        probability_in,
+        register_bloom_bytes,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    suite = rule_suite(
+        (40, 1),
+        [((1, 1), [((1, 1), "small_bloom(o_custkey, 5000, 0.01)")])],
+    )
+    built = add_expression_runner(orders, suite, ddl_type="binary").head()
+    (vals,) = built[0]["ruleSetResults"].values()
+    (blob,) = vals.values()
+    bf = bloom_lookup(blob)
+    assert bf.m_bits % 8 == 0 and bf.k >= 1
+    register_bloom_bytes(spark, "t_sql_bloom", blob)
+    n = orders.filter(
+        probability_in(F.col("o_custkey"), "t_sql_bloom") > 0
+    ).count()
+    assert n == orders.count()
+
+
+def test_big_bloom_sql_aggregate_roundtrip(spark, sf_dir, tmp_path):
+    from quality_spark.sources.bigbloom import set_bloom_file_location
+    from quality_spark.sources.lookups import (
+        bloom_lookup,
+        probability_in,
+        register_bloom_bytes,
+    )
+
+    set_bloom_file_location(str(tmp_path))
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        suite = rule_suite(
+            (41, 1),
+            [((1, 1), [((1, 1), "big_bloom(o_custkey, 5000, 0.01, 'aggtest')")])],
+        )
+        built = add_expression_runner(orders, suite, ddl_type="binary").head()
+        (vals,) = built[0]["ruleSetResults"].values()
+        (blob,) = vals.values()
+        bb = bloom_lookup(blob)
+        assert bb.root.endswith("aggtest") and len(blob) < 1024  # handle, not bitset
+        register_bloom_bytes(spark, "t_sql_bigbloom", blob)
+        n = orders.filter(
+            probability_in(F.col("o_custkey"), "t_sql_bigbloom") > 0
+        ).count()
+        assert n == orders.count()
+    finally:
+        set_bloom_file_location(None)  # type: ignore[arg-type]
