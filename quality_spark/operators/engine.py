@@ -101,13 +101,12 @@ def rule_engine_runner(
         c = F.expr(sql)
         return c.cast(cast_ddl) if cast_ddl else c
 
-    triggers = [F.expr(enc) == PASSED_INT for _, _, enc, _ in ordered]
-
     # salient rule id triple — first (lowest salience) passing trigger
-    triple_type = "struct<ruleSuiteId:bigint,ruleSetId:bigint,ruleId:bigint>"
-    salient: Column = F.lit(None).cast(triple_type)
+    triple_type = "STRUCT<ruleSuiteId: BIGINT, ruleSetId: BIGINT, ruleId: BIGINT>"
+    salient: Column = F.expr(f"CAST(NULL AS {triple_type})")
     result: Column
     if debug_mode:
+        triggers = [F.expr(enc) == PASSED_INT for _, _, enc, _ in ordered]
         entries = [
             F.struct(
                 F.lit(sal).cast("int").alias("salience"),
@@ -123,23 +122,32 @@ def rule_engine_runner(
             )
         else:
             result = F.lit(None).cast("array<struct<salience:int,result:string>>")
-    else:
+    elif not ordered:
         result = F.lit(None).cast(cast_ddl) if cast_ddl else F.lit(None)
-        chain: Optional[Column] = None
-        sal_chain: Optional[Column] = None
-        for (rs, r, enc, sal), trig, sql in zip(ordered, triggers, out_sqls):
-            triple = F.struct(
-                _lit_packed(suite.id).alias("ruleSuiteId"),
-                _lit_packed(rs.id).alias("ruleSetId"),
-                _lit_packed(r.id).alias("ruleId"),
+    else:
+        # one flat CASE built as SQL text — Column-object when-chains
+        # cost a py4j round trip per rule (~20 s of driver time at 1000
+        # rules, measured for the runner, runner.py:67-73); a flat CASE
+        # parses linearly and short-circuits in codegen exactly the same
+        def cast_out(sql: str) -> str:
+            return f"CAST({sql} AS {cast_ddl})" if cast_ddl else sql
+
+        res_arms = []
+        sal_arms = []
+        for (rs, r, enc, sal), out_sql in zip(ordered, out_sqls):
+            cond = f"({enc}) = {PASSED_INT}"
+            res_arms.append(f"WHEN {cond} THEN {cast_out(out_sql)}")
+            sal_arms.append(
+                f"WHEN {cond} THEN named_struct("
+                f"'ruleSuiteId', CAST({pack_id(suite.id)} AS BIGINT), "
+                f"'ruleSetId', CAST({pack_id(rs.id)} AS BIGINT), "
+                f"'ruleId', CAST({pack_id(r.id)} AS BIGINT))"
             )
-            chain = (chain.when(trig, out_col(sql)) if chain is not None
-                     else F.when(trig, out_col(sql)))
-            sal_chain = (sal_chain.when(trig, triple) if sal_chain is not None
-                         else F.when(trig, triple))
-        if chain is not None:
-            result = chain.otherwise(result) if cast_ddl else chain
-            salient = sal_chain.otherwise(F.lit(None).cast(triple_type))
+        else_res = f" ELSE CAST(NULL AS {cast_ddl})" if cast_ddl else ""
+        result = F.expr(f"CASE {' '.join(res_arms)}{else_res} END")
+        salient = F.expr(
+            f"CASE {' '.join(sal_arms)} ELSE CAST(NULL AS {triple_type}) END"
+        )
 
     return F.struct(
         dq.alias("ruleSuiteResults"),

@@ -213,3 +213,35 @@ def test_flatten_folder_results(customer):
         assert r["r"]["result"] == r["fold"]["result"]
         assert r["r"]["ruleSuiteId"] is not None
         assert r["r"]["ruleResult"] is not None
+
+
+def test_engine_1000_rules_compiles_fast(orders):
+    """String-SQL assembly keeps the engine chain build off the py4j
+    per-rule path: 1000 rules must compile (Column build + analysis)
+    in seconds, mirroring the runner stress numbers in SCALE.md."""
+    import time
+
+    n = 1000
+    rules = [
+        engine_rule(
+            (i, 1),
+            f"o_totalprice > {100000 + i}",
+            i,  # distinct saliences, declaration order
+            f"'r{i}'",
+            (900 + i, 1),
+        )
+        for i in range(1, n + 1)
+    ]
+    suite = engine_suite((9, 1), [((1, 1), rules)])
+    t0 = time.monotonic()
+    df = add_rule_engine(orders, suite, result_ddl="string", name="re")
+    compiled = time.monotonic() - t0
+    assert compiled < 30, f"1000-rule engine compile took {compiled:.1f}s"
+    row = df.select("o_totalprice", "re.result").first()
+    # lowest salience passing rule wins: first i with totalprice > 100000+i
+    expected = None
+    for i in range(1, n + 1):
+        if row["o_totalprice"] > 100000 + i:
+            expected = f"r{i}"
+            break
+    assert row["result"] == expected
