@@ -727,6 +727,56 @@ def _oracle_minhash_signatures() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup path itself: LSH band join (shuffle keyed on
+    (band_idx, band_hash) only) + exact-Jaccard verification of the
+    candidates. The oracle replays the identical banded pipeline in
+    DuckDB — portable hash mode end to end."""
+    from quality_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, k=3, num_perm=16, bands=4, threshold=0.5, mode="portable"
+    )
+
+
+def _oracle_minhash_lsh_near_dup() -> str:
+    from quality_spark.llm.dedup import (
+        band_sqls,
+        minhash_sqls,
+        shingle_hashes_sql,
+        shingles_sql,
+    )
+
+    sh = shingles_sql("text", 3, "duckdb")
+    hv = shingle_hashes_sql("sh", "duckdb", "portable")
+    mh_list = "[" + ", ".join(minhash_sqls("hv", 16, "duckdb", "portable")) + "]"
+    # duck lists are 1-indexed
+    bands = band_sqls([f"mh[{i + 1}]" for i in range(16)], 4, "duckdb", "portable")
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band_idx, {s} AS band_hash FROM m"
+        for b, s in enumerate(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sa.sh, sb.sh)))"
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS sh FROM documents),
+h AS (SELECT doc_id, sh, {hv} AS hv FROM s),
+m AS (SELECT doc_id, sh, {mh_list} AS mh FROM h),
+bnds AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnds a JOIN bnds b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, {jac} AS jaccard
+FROM cand c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b
+WHERE {jac} >= 0.5
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quality_spark.llm.dedup import with_simhash
 
@@ -774,6 +824,56 @@ SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
   FROM scored
 ) WHERE rnk <= 5
+"""
+
+
+def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-bucketed embedding near-dup path (the 100 TB variant):
+    multi-table SRP signatures, candidates only within shared buckets,
+    exact-cosine verification. Portable hash mode lets the oracle
+    replay the identical bucketed pipeline in DuckDB — including the
+    recall cut, so the match is exact, not subset-based. Threshold
+    0.25: embeddings are random (max cosine ≈0.41), higher thresholds
+    are vacuous at sf0.01."""
+    from quality_spark.llm.similarity import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.25, mode="portable")
+
+
+def _oracle_embedding_lsh_near_dup() -> str:
+    from quality_spark.llm.similarity import signature_sql
+
+    planes, tables, seed = 4, 8, 7
+    sig_union = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_idx, "
+        + signature_sql("embedding", planes, seed + 1000 * t, "duckdb", "portable")
+        + " AS sig FROM embeddings"
+        for t in range(tables)
+    )
+    dot = (
+        "list_sum(list_transform(range(1, len(ea.embedding) + 1), "
+        "i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))"
+    )
+
+    def nrm(al: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform(range(1, len({al}.embedding) + 1), "
+            f"i -> CAST({al}.embedding[i] AS DOUBLE) * CAST({al}.embedding[i] AS DOUBLE))))"
+        )
+
+    cos = f"{dot} / ({nrm('ea')} * {nrm('eb')})"
+    return f"""
+WITH sigs AS ({sig_union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.table_idx = b.table_idx AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, {cos} AS cosine
+FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE {cos} >= 0.25
 """
 
 
@@ -1242,9 +1342,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "token_estimate": q_token_estimate,
         "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_near_dup": q_minhash_lsh_near_dup,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "versioned_rules": q_versioned_rules,
         "events_windowed_dq": q_events_windowed_dq,
         "comparable_maps": q_comparable_maps,
@@ -1283,9 +1385,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _oracle_fingerprint(),
         "token_estimate": _oracle_token_estimate(),
         "minhash_signatures": _oracle_minhash_signatures(),
+        "minhash_lsh_near_dup": _oracle_minhash_lsh_near_dup(),
         "simhash": _oracle_simhash(),
         "ann_cosine_topk": _oracle_ann_cosine_topk(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
+        "embedding_lsh_near_dup": _oracle_embedding_lsh_near_dup(),
         "versioned_rules": _oracle_versioned_rules(),
         "events_windowed_dq": _oracle_events_windowed_dq(),
         "comparable_maps": _oracle_comparable_maps(),

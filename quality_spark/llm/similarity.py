@@ -73,18 +73,56 @@ def cosine_topk(
     )
 
 
-def _signature(vec_col: str, planes: int, seed: int) -> Column:
-    """LSH bit signature: sign of projection onto pseudo-random ±1
-    hyperplanes (weights from xxhash64(seed, plane, dim))."""
+def signature_sql(
+    vec: str, planes: int, seed: int, dialect: str = "spark", mode: str = "fast"
+) -> str:
+    """LSH bit-signature SQL: sign of projection onto pseudo-random ±1
+    hyperplanes. ``fast`` derives weights from xxhash64(seed, plane,
+    dim) — JVM-only; ``portable`` derives them from a 60-bit md5-prefix
+    hash computable identically in DuckDB, so the correctness oracle
+    can replay the bucketed pipeline (same twin-dialect trick as
+    dedup.hash60_sql)."""
+    from .dedup import hash60_sql
+
     bits = []
     for p in range(planes):
-        proj = (
-            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-            f"(v, d) -> CAST(v AS DOUBLE) * (CASE WHEN (xxhash64('{seed}', '{p}', d) & 1) = 1 "
-            f"THEN 1.0D ELSE -1.0D END)), 0.0D, (acc, x) -> acc + x)"
-        )
-        bits.append(f"(CASE WHEN ({proj}) > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)")
-    return F.expr("(" + " + ".join(bits) + ")")
+        if mode == "fast":
+            if dialect != "spark":
+                raise ValueError("fast mode is Spark-only (xxhash64)")
+            w = (
+                f"CASE WHEN (xxhash64('{seed}', '{p}', d) & 1) = 1 "
+                f"THEN 1.0D ELSE -1.0D END"
+            )
+        elif dialect == "spark":
+            key = f"concat('{seed}', ':', '{p}', ':', CAST(d AS STRING))"
+            w = (
+                f"CASE WHEN ({hash60_sql(key, 'spark')} & 1) = 1 "
+                f"THEN 1.0D ELSE -1.0D END"
+            )
+        else:
+            key = f"('{seed}' || ':' || '{p}' || ':' || CAST(i - 1 AS VARCHAR))"
+            w = (
+                f"CASE WHEN ({hash60_sql(key, 'duckdb')} & 1) = 1 "
+                f"THEN 1.0 ELSE -1.0 END"
+            )
+        if dialect == "spark":
+            proj = (
+                f"aggregate(zip_with({vec}, sequence(0, size({vec}) - 1), "
+                f"(v, d) -> CAST(v AS DOUBLE) * ({w})), 0.0D, (acc, x) -> acc + x)"
+            )
+            one = f"CAST({1 << p} AS BIGINT)"
+        else:
+            proj = (
+                f"list_sum(list_transform(range(1, len({vec}) + 1), "
+                f"i -> CAST({vec}[i] AS DOUBLE) * ({w})))"
+            )
+            one = f"CAST({1 << p} AS BIGINT)"
+        bits.append(f"(CASE WHEN ({proj}) > 0 THEN {one} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _signature(vec_col: str, planes: int, seed: int, mode: str = "fast") -> Column:
+    return F.expr(signature_sql(vec_col, planes, seed, "spark", mode))
 
 
 def with_lsh_bucket(
@@ -93,18 +131,20 @@ def with_lsh_bucket(
     planes: int = 8,
     seed: int = 7,
     out: str = "lsh_bucket",
+    mode: str = "fast",
 ) -> DataFrame:
-    return df.select("*", _signature(vec_col, planes, seed).alias(out))
+    return df.select("*", _signature(vec_col, planes, seed, mode).alias(out))
 
 
 def _with_lsh_tables(
-    df: DataFrame, vec_col: str, planes: int, tables: int, seed: int
+    df: DataFrame, vec_col: str, planes: int, tables: int, seed: int,
+    mode: str = "fast",
 ) -> DataFrame:
     """Multi-table SRP-LSH (OR-amplification): one signature per table;
     a pair is a candidate if ANY table agrees. Output exploded to
     (table_idx, sig) so the join shuffles on small keys."""
     sigs = F.array(
-        *[_signature(vec_col, planes, seed + 1000 * t) for t in range(tables)]
+        *[_signature(vec_col, planes, seed + 1000 * t, mode) for t in range(tables)]
     )
     return df.select("*", F.posexplode(sigs).alias("table_idx", "sig"))
 
@@ -118,19 +158,20 @@ def lsh_bucket_topk(
     planes: int = 4,
     tables: int = 8,
     seed: int = 7,
+    mode: str = "fast",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to rows sharing an LSH
     bucket in ANY of the hash tables, then exact cosine re-rank. At
     scale, corpus and queries shuffle on (table, signature) — no cross
     join ever happens; tables×planes tunes the recall/cost point."""
-    corpus = _with_lsh_tables(df, vec_col, planes, tables, seed).select(
+    corpus = _with_lsh_tables(df, vec_col, planes, tables, seed, mode).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         _norm(vec_col).alias("__cn"),
         "table_idx",
         "sig",
     )
-    qs = _with_lsh_tables(queries, vec_col, planes, tables, seed).select(
+    qs = _with_lsh_tables(queries, vec_col, planes, tables, seed, mode).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         _norm(vec_col).alias("__qn"),
@@ -158,13 +199,14 @@ def embedding_near_dup_pairs(
     planes: int = 4,
     tables: int = 8,
     seed: int = 7,
+    mode: str = "fast",
 ) -> DataFrame:
     """(id_a, id_b, cosine ≥ threshold) within multi-table LSH buckets.
     High-cosine pairs collide in some table with probability
     1-(1-(1-θ/π)^planes)^tables; candidates verify with exact cosine,
     so there are no false positives — only the standard recall
     trade-off."""
-    sig = _with_lsh_tables(df, vec_col, planes, tables, seed).select(
+    sig = _with_lsh_tables(df, vec_col, planes, tables, seed, mode).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(vec_col).alias("n"),
         "table_idx", "sig",
     )
