@@ -40,7 +40,12 @@ from pyspark.sql import types as T
 
 _MAP_REGISTRY: Dict[str, Tuple[Dict, str]] = {}  # name -> (dict, value_ddl)
 
-MAP_LITERAL_MAX = 100_000
+#: up to this many entries the lookup inlines as a MAP literal
+#: (codegen'd GetMapValue — fastest, but the literal lives in the plan
+#: text); past it the lookup compiles to a vectorized pandas UDF whose
+#: dict ships once per executor via closure broadcast, keeping the plan
+#: metadata-sized however big the map is.
+MAP_LITERAL_MAX = 10_000
 
 
 def _sql_literal(v) -> str:
@@ -55,13 +60,47 @@ def _sql_literal(v) -> str:
     raise ValueError(f"unsupported literal type {type(v)} for map lookup")
 
 
-def register_map_lookup(name: str, mapping: Dict, value_ddl: Optional[str] = None) -> None:
+def _infer_value_ddl(mapping: Dict) -> str:
+    for v in mapping.values():
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "bigint"
+        if isinstance(v, float):
+            return "double"
+        return "string"
+    return "string"
+
+
+def register_map_lookup(
+    name: str,
+    mapping: Dict,
+    value_ddl: Optional[str] = None,
+    spark: Optional[SparkSession] = None,
+) -> None:
+    mapping = dict(mapping)
     if len(mapping) > MAP_LITERAL_MAX:
-        raise ValueError(
-            f"map {name!r} has {len(mapping)} entries; beyond "
-            f"{MAP_LITERAL_MAX} use a broadcast join (lookup_join) instead"
-        )
-    _MAP_REGISTRY[name] = (dict(mapping), value_ddl or "")
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                f"map {name!r} has {len(mapping)} entries (> {MAP_LITERAL_MAX}); "
+                "the UDF-backed lookup needs an active SparkSession — pass spark="
+            )
+        ddl = value_ddl or _infer_value_ddl(mapping)
+
+        @F.pandas_udf(ddl)
+        def probe(keys: pd.Series) -> pd.Series:
+            got = keys.map(mapping)
+            # object dtype with None, not NaN: integer/bool targets
+            # reject non-finite floats on the Arrow conversion
+            return got.astype(object).where(pd.notna(got), None)
+
+        spark.udf.register(f"q_map_{name}", probe)
+        _MAP_REGISTRY[name] = (mapping, f"__udf:{ddl}")
+    else:
+        _MAP_REGISTRY[name] = (mapping, value_ddl or "")
 
 
 def load_maps(
@@ -82,12 +121,16 @@ def load_maps(
         register_map_lookup(row["name"], mapping, value_ddl)
 
 
-def _map_literal_sql(name: str) -> str:
+def _map_entry(name: str) -> Tuple[Dict, str]:
     if name not in _MAP_REGISTRY:
         raise KeyError(
             f"map lookup {name!r} not registered; call register_map_lookup/load_maps"
         )
-    mapping, value_ddl = _MAP_REGISTRY[name]
+    return _MAP_REGISTRY[name]
+
+
+def _map_literal_sql(name: str) -> str:
+    mapping, value_ddl = _map_entry(name)
     if not mapping:
         return f"CAST(map() AS MAP<STRING,{value_ddl or 'STRING'}>)"
     parts = []
@@ -97,11 +140,14 @@ def _map_literal_sql(name: str) -> str:
 
 
 def map_lookup_sql(name: str, key_sql: str) -> str:
+    _, value_ddl = _map_entry(name)
+    if value_ddl.startswith("__udf:"):
+        return f"q_map_{name}(({key_sql}))"
     return f"element_at({_map_literal_sql(name)}, ({key_sql}))"
 
 
 def map_contains_sql(name: str, key_sql: str) -> str:
-    return f"(element_at({_map_literal_sql(name)}, ({key_sql})) IS NOT NULL)"
+    return f"({map_lookup_sql(name, key_sql)} IS NOT NULL)"
 
 
 def map_lookup(name: str, key: Union[Column, str]) -> Column:

@@ -143,3 +143,27 @@ def test_view_loading_cycle_detected(spark):
                 ViewConfig("v_c2", sql="SELECT * FROM v_c1"),
             ],
         )
+
+
+def test_large_map_compiles_to_udf(spark, sf_dir):
+    """Past MAP_LITERAL_MAX the lookup ships the dict via closure
+    broadcast (vectorized UDF) instead of inflating the plan with a
+    MB-scale literal; missing keys still yield NULL."""
+    from quality_spark.sources import lookups as L
+
+    big = {i: i * 10 for i in range(L.MAP_LITERAL_MAX + 5)}
+    L.register_map_lookup("bigmap_t", big, spark=spark)
+    assert L._MAP_REGISTRY["bigmap_t"][1].startswith("__udf:")
+    sql = L.map_lookup_sql("bigmap_t", "c_custkey")
+    assert sql.startswith("q_map_bigmap_t(") and "map(" not in sql
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    got = cust.select(
+        "c_custkey",
+        F.expr(sql).alias("v"),
+        F.expr(L.map_contains_sql("bigmap_t", "c_custkey")).alias("has"),
+    ).collect()
+    for r in got:
+        if r["c_custkey"] in big:
+            assert r["v"] == r["c_custkey"] * 10 and r["has"]
+        else:
+            assert r["v"] is None and not r["has"]
