@@ -8,12 +8,14 @@ type system, codegen, and nullability — and Python only re-serializes
 between JSON and YAML text through an Arrow-vectorized pandas UDF
 (string -> string, no per-row Python objects besides the parsed doc).
 
-Fidelity caveats vs the reference: dates/timestamps/decimals/binary
-render as their JSON string/number forms, not native YAML tags; YAML
-input using such tags decodes via its JSON-compatible representation
-only.  For engine-internal purposes (expressionRunner rendering,
-round-trips through ``from_yaml``) this is lossless because both
-directions share the JSON convention.
+Fidelity vs the reference: ``to_yaml`` renders dates/timestamps/
+decimals/binary in their JSON string/number forms (untagged), not the
+reference's native nodes. ``from_yaml`` is type-directed and accepts
+BOTH conventions: ``!!binary`` nodes, YAML-native date/datetime
+scalars, AND the reference's internal-integer encodings (timestamps as
+epoch-micros INT, dates as epoch-days INT —
+YamlEncoderExpr.scala:86-92) decode correctly against binary/
+timestamp/date target types, so reference-written YAML round-trips.
 """
 
 from __future__ import annotations
@@ -52,22 +54,67 @@ def _json_to_yaml(s):  # type: ignore[no-untyped-def]
     return s.map(conv)
 
 
-@pandas_udf(T.StringType())
-def _yaml_to_json(s):  # type: ignore[no-untyped-def]
-    import pandas as pd
-    import yaml
+def _coerce_to_json_convention(obj, dt):
+    """YAML-native / reference-internal scalars → the JSON forms
+    from_json expects for ``dt`` (reference encodings:
+    YamlEncoderExpr.scala:86-100 — timestamps as epoch-micros INT,
+    dates as epoch-days INT, binary as !!binary)."""
+    import base64
+    import datetime as _dt
 
-    def conv(x):
-        if x is None:
-            return None
-        try:
-            return json.dumps({_WRAP: yaml.safe_load(x)}, default=str)
-        except yaml.YAMLError:
-            # malformed input -> NULL, matching from_json's PERMISSIVE
-            # behavior rather than failing the task
-            return None
+    if obj is None:
+        return None
+    if isinstance(dt, T.BinaryType) and isinstance(obj, (bytes, bytearray)):
+        return base64.b64encode(bytes(obj)).decode("ascii")
+    if isinstance(dt, T.TimestampType) and isinstance(obj, int):
+        ts = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(
+            microseconds=obj
+        )
+        return ts.isoformat()
+    if isinstance(dt, T.DateType) and isinstance(obj, int):
+        return (_dt.date(1970, 1, 1) + _dt.timedelta(days=obj)).isoformat()
+    if isinstance(dt, T.TimestampType) and isinstance(obj, _dt.datetime):
+        if obj.tzinfo is None:
+            obj = obj.replace(tzinfo=_dt.timezone.utc)
+        return obj.isoformat()
+    if isinstance(dt, (T.DateType, T.TimestampType)) and isinstance(obj, _dt.date):
+        return obj.isoformat()
+    if isinstance(dt, T.StructType) and isinstance(obj, dict):
+        return {
+            f.name: _coerce_to_json_convention(obj.get(f.name), f.dataType)
+            for f in dt.fields
+        }
+    if isinstance(dt, T.ArrayType) and isinstance(obj, list):
+        return [_coerce_to_json_convention(x, dt.elementType) for x in obj]
+    if isinstance(dt, T.MapType) and isinstance(obj, dict):
+        return {
+            str(k): _coerce_to_json_convention(v, dt.valueType)
+            for k, v in obj.items()
+        }
+    return obj
 
-    return s.map(conv)
+
+def _yaml_to_json_udf(dtype: T.DataType):
+    @pandas_udf(T.StringType())
+    def _yaml_to_json(s):  # type: ignore[no-untyped-def]
+        import yaml
+
+        def conv(x):
+            if x is None:
+                return None
+            try:
+                obj = yaml.safe_load(x)
+            except yaml.YAMLError:
+                # malformed input -> NULL, matching from_json's
+                # PERMISSIVE behavior rather than failing the task
+                return None
+            return json.dumps(
+                {_WRAP: _coerce_to_json_convention(obj, dtype)}, default=str
+            )
+
+        return s.map(conv)
+
+    return _yaml_to_json
 
 
 def to_yaml(c: ColumnOrName) -> Column:
@@ -85,8 +132,9 @@ def to_yaml(c: ColumnOrName) -> Column:
 
 
 def from_yaml(c: ColumnOrName, ddl: Union[str, T.DataType]) -> Column:
-    """Parse YAML text into the given DDL type (inverse of to_yaml)."""
+    """Parse YAML text into the given DDL type (inverse of to_yaml;
+    also accepts reference-encoded scalars — see module docstring)."""
     dtype = T._parse_datatype_string(ddl) if isinstance(ddl, str) else ddl
     schema = T.StructType([T.StructField(_WRAP, dtype, True)])
-    parsed = F.from_json(_yaml_to_json(_col(c)), schema)
+    parsed = F.from_json(_yaml_to_json_udf(dtype)(_col(c)), schema)
     return parsed[_WRAP]

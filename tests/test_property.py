@@ -16,6 +16,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from quality_spark import rule_suite
 from quality_spark.model import Id, PASSED_INT, Rule, RuleSet, RuleSuite
 from quality_spark.operators.runner import add_data_quality
 
@@ -89,3 +90,37 @@ def test_rule_with_scalar_subquery(spark, sf_dir):
                                 FROM read_parquet('{sf_dir}/lineitem.parquet'))"""
     ).fetchall()[0][0]
     assert got == want
+
+
+def test_lambda_var_inside_subquery(spark, sf_dir):
+    """A lambda parameter referenced inside a scalar subquery becomes a
+    correlated outer column after driver-side splicing — the situation
+    the reference needs its OuterReference rewrite for
+    (SubQueryLambda.convertLambdaFunction,
+    ReferenceFunctions.scala:339-374) falls out of text expansion here.
+    Verified against DuckDB's correlated-subquery evaluation."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("ord_subq")
+    suite = rule_suite(
+        (91, 1),
+        [((1, 1), [((1, 1), "has_orders(c_custkey)")])],
+        lambdas=[
+            (
+                "has_orders",
+                "k -> (SELECT count(*) FROM ord_subq WHERE o_custkey = k) > 0",
+                (51, 1),
+            )
+        ],
+    )
+    got = (
+        add_data_quality(cust, suite)
+        .agg(F.sum(F.when(F.col("DQ.overallResult") == PASSED_INT, 1).otherwise(0)))
+        .collect()[0][0]
+    )
+    want = duckdb.connect().execute(
+        f"""SELECT count(*) FROM read_parquet('{sf_dir}/customer.parquet') c
+            WHERE (SELECT count(*) FROM read_parquet('{sf_dir}/orders.parquet') o
+                   WHERE o.o_custkey = c.c_custkey) > 0"""
+    ).fetchall()[0][0]
+    assert got == want and got > 0

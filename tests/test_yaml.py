@@ -85,3 +85,38 @@ def test_yaml_malformed_input_is_null(spark):
     df = spark.createDataFrame([("{unclosed: [",), ("[1,2]",)], "y string")
     out = df.select(from_yaml("y", "array<int>").alias("v")).collect()
     assert [r["v"] for r in out] == [None, [1, 2]]
+
+
+def test_from_yaml_reference_encodings(spark):
+    """Reference-written YAML decodes: !!binary, native date scalars,
+    and the reference's internal-int encodings (epoch-micros timestamp,
+    epoch-days date — YamlEncoderExpr.scala:86-100)."""
+    import datetime
+
+    from quality_spark.functions.yamlenc import from_yaml
+
+    df = spark.createDataFrame([("!!binary aGVsbG8=",)], "y string")
+    got = df.select(from_yaml("y", "binary").alias("b")).head()["b"]
+    assert bytes(got) == b"hello"
+
+    df = spark.createDataFrame([("2021-03-04",), ("18690",)], "y string")
+    vals = [r["d"] for r in df.select(from_yaml("y", "date").alias("d")).collect()]
+    assert vals == [datetime.date(2021, 3, 4)] * 2
+
+    # timestamp as internal epoch-micros int
+    micros = 1_614_822_000_000_000  # 2021-03-04 01:40:00 UTC
+    df = spark.createDataFrame([(str(micros),)], "y string")
+    ts = df.select(from_yaml("y", "timestamp").alias("t")).head()["t"]
+    assert ts is not None
+    # compare in UTC irrespective of session tz
+    import calendar
+
+    assert calendar.timegm(ts.utctimetuple()) * 1_000_000 + ts.microsecond == micros
+
+    # nested: struct with binary + date fields, reference encodings
+    y = "b: !!binary aGVsbG8=\nd: 18690\n"
+    df = spark.createDataFrame([(y,)], "y string")
+    r = df.select(
+        from_yaml("y", "struct<b:binary,d:date>").alias("s")
+    ).head()["s"]
+    assert bytes(r["b"]) == b"hello" and r["d"] == datetime.date(2021, 3, 4)
