@@ -834,17 +834,19 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay the identical bucketed pipeline in DuckDB — including the
     recall cut, so the match is exact, not subset-based. Threshold
     0.25: embeddings are random (max cosine ≈0.41), higher thresholds
-    are vacuous at sf0.01."""
+    are vacuous at sf0.01. planes=8 (256 buckets/table): the candidate
+    count stays linear-ish in rows, and the sf0.01 result (341 rows) is
+    still non-vacuous."""
     from quality_spark.llm.similarity import embedding_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.25, mode="portable")
+    return embedding_near_dup_pairs(emb, threshold=0.25, planes=8, mode="portable")
 
 
 def _oracle_embedding_lsh_near_dup() -> str:
     from quality_spark.llm.similarity import signature_sql
 
-    planes, tables, seed = 4, 8, 7
+    planes, tables, seed = 8, 8, 7
     sig_union = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS table_idx, "
         + signature_sql("embedding", planes, seed + 1000 * t, "duckdb", "portable")

@@ -54,6 +54,32 @@ def shingles_sql(text: str, k: int, dialect: str) -> str:
     )
 
 
+def shingles_from_tokens_sql(toks_col: str, k: int) -> str:
+    """Spark shingles over an already-materialized token-array COLUMN.
+
+    ``shingles_sql`` inlines the tokenizer expression inside the
+    per-index lambda, so the regex split re-evaluates for every shingle
+    position (~n_tokens x per row; measured 4.4s -> 0.5s at sf0.1 for
+    the two-step form).  Callers should project the token array in one
+    select, then this in the next — CollapseProject keeps expensive
+    multi-referenced expressions in their own Project."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({toks_col}) - {k - 1}, 1)), "
+        f"i -> array_join(slice({toks_col}, i, {k}), ' ')))"
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, k: int, out: str = "shingles"
+) -> DataFrame:
+    """Two-step (tokens, then k-grams) shingle projection — the fast
+    Spark path; one regex split per row."""
+    toks = tokens_sql(text_col, "spark")
+    return df.select("*", F.expr(toks).alias("__toks")).select(
+        "*", F.expr(shingles_from_tokens_sql("__toks", k)).alias(out)
+    ).drop("__toks")
+
+
 def _perm_coeffs(num_perm: int) -> List[Tuple[int, int, int]]:
     """Deterministic universal-hash coefficients < 2^30 per permutation."""
     import hashlib
@@ -191,11 +217,21 @@ def with_minhash(
     expensive hash transform into every use.  Docs with no shingles get
     ``mh = NULL`` (left join), matching ``list_min([]) -> NULL`` on the
     oracle side."""
-    sh = shingles_sql(text_col, k, "spark")
-    shingled = df.select("*", F.expr(sh).alias("shingles"))
-    hashed = shingled.select(
-        F.col(id_col).alias("__mh_id"), F.explode("shingles").alias("s")
-    ).select("__mh_id", F.expr(hash60_sql("s", "spark", mode)).alias("h"))
+    shingled = with_shingles(df, text_col, k, out="shingles")
+    # explode_OUTER, then drop the null rows above the Generate: plain
+    # explode makes InferFiltersFromGenerate push a `size(shingles) > 0`
+    # filter BELOW it, and that filter re-inlines the whole shingle
+    # expression in its un-factored one-projection form (regex split
+    # re-evaluated per shingle index — measured 5s of the old 8s here).
+    # Outer explode infers no filter; `s IS NOT NULL` on the generator
+    # output is free and equivalent.
+    hashed = (
+        shingled.select(
+            F.col(id_col).alias("__mh_id"), F.explode_outer("shingles").alias("s")
+        )
+        .filter(F.col("s").isNotNull())
+        .select("__mh_id", F.expr(hash60_sql("s", "spark", mode)).alias("h"))
+    )
     mixes = [
         f"(shiftright(h, 30) * {a} + (h & 1073741823) * {b} + {c}) % {_MERSENNE61}"
         for a, b, c in _perm_coeffs(num_perm)
@@ -233,10 +269,9 @@ def ngram_jaccard_pairs(
     only within a block, turning the crossJoin into a shuffle join on
     the block key.  ``minhash_lsh_pairs`` is this operator with LSH
     bands as the block."""
-    sh = shingles_sql(text_col, k, "spark")
-    base = df.select(
+    base = with_shingles(df, text_col, k, out="__sh").select(
         F.col(id_col).alias("id"),
-        F.expr(sh).alias("sh"),
+        F.col("__sh").alias("sh"),
         (block_col if block_col is not None else F.lit(0)).alias("blk"),
     )
     a, b = base.alias("a"), base.alias("b")
@@ -272,14 +307,17 @@ def minhash_lsh_pairs(
     for candidates (array_intersect on the two shingle sets)."""
     sig = with_minhash(df, text_col, k, num_perm, bands, mode, id_col=id_col).select(
         F.col(id_col).alias("id"),
-        "shingles",
         F.array(*[F.col(f"band_{b}") for b in range(bands)]).alias("bands"),
     )
     exploded = sig.select(
-        "id", "shingles", F.posexplode("bands").alias("band_idx", "band_hash")
+        "id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
+    # Ids-only band join: the shuffle and the dedup carry (band, id, id)
+    # triples, never the shingle arrays — the payload joins back AFTER
+    # the candidate set is deduped (at scale: small candidate table vs
+    # corpus-sized shuffle of shingle sets).
     cand = (
         a.join(
             b,
@@ -287,20 +325,22 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_df = with_shingles(df, text_col, k, out="__sh").select(
+        F.col(id_col).alias("id"), F.col("__sh").alias("sh")
+    )
+    fetched = (
+        cand.join(sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b"))
         / F.size(F.array_union("sh_a", "sh_b"))
     ).alias("jaccard")
     return (
-        cand.select("id_a", "id_b", jac)
+        fetched.select("id_a", "id_b", jac)
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -347,10 +387,17 @@ def with_simhash(
     this shape hashes once and keeps the per-bit +/-1 sums in codegen'd
     partial aggregation, shuffling one row of ``bits`` ints per doc.
     Docs with no tokens get signature 0, matching the inline form."""
-    hashed = df.select(
-        F.col(id_col).alias("__sh_id"),
-        F.explode(F.expr(tokens_sql(text_col, "spark"))).alias("t"),
-    ).select("__sh_id", F.expr(hash60_sql("t", "spark", mode)).alias("h"))
+    # explode_outer + null filter: see with_minhash — avoids the
+    # InferFiltersFromGenerate re-inlining of the tokenizer below the
+    # Generate.
+    hashed = (
+        df.select(
+            F.col(id_col).alias("__sh_id"),
+            F.explode_outer(F.expr(tokens_sql(text_col, "spark"))).alias("t"),
+        )
+        .filter(F.col("t").isNotNull())
+        .select("__sh_id", F.expr(hash60_sql("t", "spark", mode)).alias("h"))
+    )
     aggs = [
         F.sum(
             F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)

