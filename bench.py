@@ -74,6 +74,15 @@ def main() -> None:
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     n_rows = li.count()  # warms the scan
 
+    # The sf0.1 lineitem file is ~11 MB in 3 row groups, so the scan
+    # yields only 3 splits and per-row DQ eval runs on 3 of 32 cores.
+    # At the target scale the scan produces thousands of row-group
+    # splits naturally; the explicit repartition stands in for that and
+    # its shuffle cost is INCLUDED in the timed region — for the
+    # baseline and the DQ writes alike, so the overhead subtraction
+    # stays apples-to-apples. (Measured: dq150 write 19s -> 3-5s.)
+    li = li.repartition(int(CPUS))
+
     results: dict[str, float] = {}
 
     # 1. no-rules write baseline (reference evaluation_method.md:35)
