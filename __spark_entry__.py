@@ -1316,6 +1316,321 @@ def q_unique_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# round-2 gate batch: serialization / meta rulesets / YAML / id codecs /
+# details / coalesce-missing / map_contains / big-bloom file sink
+# ---------------------------------------------------------------------------
+
+
+def q_yaml_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_yaml ∘ from_yaml identity over mixed types incl. timestamp
+    (SURVEY §2 #53; reference impl/yaml/YamlEncoderExpr.scala). The
+    1-in-100 key filter keeps the (documented python-yaml) codec off
+    the bench hot path while staying non-vacuous at sf0.01."""
+    from quality_spark.functions.yamlenc import from_yaml, to_yaml
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    s = F.struct(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_shipdate").alias("ship"),
+    )
+    rt = from_yaml(to_yaml(s), "struct<k:bigint,flag:string,qty:double,ship:timestamp>")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rt["k"].alias("rt_key"),
+        rt["flag"].alias("rt_flag"),
+        rt["qty"].alias("rt_qty"),
+        rt["ship"].alias("rt_ship"),
+    )
+
+
+def _oracle_yaml_round_trip() -> str:
+    return (
+        "SELECT l_orderkey, l_linenumber, l_orderkey AS rt_key, "
+        "l_returnflag AS rt_flag, l_quantity AS rt_qty, l_shipdate AS rt_ship "
+        "FROM lineitem WHERE l_orderkey % 100 = 0"
+    )
+
+
+def q_id_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field_based_id('MD5') -> id_base64 -> id_from_base64 round trip +
+    id_size (SURVEY §2 #49-50; reference Base64Expressions.scala,
+    GenericLongBasedIDExpression.scala). The oracle recomputes the md5
+    longs directly, so a codec that corrupts any byte fails the gate."""
+    from quality_spark.functions.lambdas import expand_sql
+
+    docs = _read(spark, sf_dir, "documents")
+    rt = expand_sql("id_from_base64(id_base64(field_based_id('MD5', text)))")
+    size = expand_sql("id_size(id_base64(field_based_id('MD5', text)))")
+    return docs.select(
+        "doc_id",
+        F.expr(f"({rt}).i0").alias("i0"),
+        F.expr(f"({rt}).i1").alias("i1"),
+        F.expr(f"CAST({size} AS INT)").alias("bits"),
+    )
+
+
+def _duck_hex_to_long(hex_expr: str, start: int) -> str:
+    """Signed 64-bit from 16 hex chars — DuckDB twin of ids._hex_to_long.
+    BIGINT << would overflow (DuckDB arithmetic is checked), so combine
+    the halves in HUGEINT and wrap to signed manually."""
+    hi = f"CAST(('0x' || substr({hex_expr}, {start}, 8)) AS BIGINT)"
+    lo = f"CAST(('0x' || substr({hex_expr}, {start + 8}, 8)) AS BIGINT)"
+    v = f"(CAST({hi} AS HUGEINT) * 4294967296 + {lo})"
+    return (
+        f"CAST((CASE WHEN {v} >= 9223372036854775808 "
+        f"THEN {v} - 18446744073709551616 ELSE {v} END) AS BIGINT)"
+    )
+
+
+def _oracle_id_codecs() -> str:
+    return (
+        "WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents) "
+        f"SELECT doc_id, {_duck_hex_to_long('hx', 1)} AS i0, "
+        f"{_duck_hex_to_long('hx', 17)} AS i1, CAST(160 AS INTEGER) AS bits FROM h"
+    )
+
+
+def q_rules_from_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rules stored AS DATA: build rule rows from the region table,
+    read_rules_from_df -> to_rule_suite_df -> read back (full
+    serialization round trip, SURVEY §2 #8; reference
+    serializing.scala:271-372), then run the suite on lineitem."""
+    from quality_spark.model import Id
+    from quality_spark.operators.runner import add_flat_rule_results
+    from quality_spark.sources.serializing import read_rules_from_df, to_rule_suite_df
+
+    reg = _read(spark, sf_dir, "region")
+    rows = reg.select(
+        F.lit(70).alias("ruleSuiteId"),
+        F.lit(1).alias("ruleSuiteVersion"),
+        F.lit(71).alias("ruleSetId"),
+        F.lit(1).alias("ruleSetVersion"),
+        (F.col("r_regionkey") + 700).cast("int").alias("ruleId"),
+        F.lit(1).alias("ruleVersion"),
+        F.concat(
+            F.lit("l_quantity > "), (F.col("r_regionkey") * 10).cast("string")
+        ).alias("ruleExpr"),
+    )
+    suites = read_rules_from_df(rows)
+    suites = read_rules_from_df(to_rule_suite_df(spark, suites))  # round trip
+    li = _read(spark, sf_dir, "lineitem")
+    flat = add_flat_rule_results(li, suites[Id(70, 1)], keep=[])
+    return flat.groupBy("ruleId", "ruleResult").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _oracle_rules_from_df() -> str:
+    return (
+        "SELECT CAST(700 + r_regionkey AS INTEGER) AS ruleId, "
+        f"CAST(CASE WHEN l_quantity > r_regionkey * 10 THEN {PASSED_INT} ELSE 0 END AS INTEGER) AS ruleResult, "
+        "count(*) AS n FROM region CROSS JOIN lineitem GROUP BY 1, 2"
+    )
+
+
+def q_meta_ruleset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta rulesets: a column-filter + rule template generates one rule
+    per matching column of the target frame (SURVEY §2 #12; reference
+    MetaRuleSetRow, impl/util/SerializationModel.scala:56-120)."""
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite
+    from quality_spark.operators.runner import add_flat_rule_results
+    from quality_spark.sources.versioning import MetaRuleSet, integrate_meta_rule_sets
+
+    li = _read(spark, sf_dir, "lineitem")
+    base = {
+        Id(60, 1): RuleSuite(
+            Id(60, 1),
+            (RuleSet(Id(61, 1), (Rule(Id(600, 1), "l_quantity > 0"),)),),
+        )
+    }
+    metas = {
+        Id(60, 1): [
+            MetaRuleSet(
+                Id(60, 1), Id(6100, 1), "dataType = 'double'", "x -> x >= 0 OR x IS NULL"
+            )
+        ]
+    }
+    doubles = sorted(
+        f.name for f in li.schema.fields if f.dataType.simpleString() == "double"
+    )
+    position = {c: i for i, c in enumerate(doubles)}
+    suites = integrate_meta_rule_sets(li, base, metas, lambda c: position[c])
+    flat = add_flat_rule_results(li, suites[Id(60, 1)], keep=[])
+    return flat.groupBy("ruleId", "ruleResult").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _oracle_meta_ruleset() -> str:
+    doubles = sorted(["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    parts = [
+        f"SELECT CAST(600 AS INTEGER) AS ruleId, "
+        f"CAST(CASE WHEN l_quantity > 0 THEN {PASSED_INT} ELSE 0 END AS INTEGER) AS ruleResult, "
+        "count(*) AS n FROM lineitem GROUP BY 2"
+    ]
+    for i, c in enumerate(doubles):
+        parts.append(
+            f"SELECT CAST({6100 + i} AS INTEGER) AS ruleId, "
+            f"CAST(CASE WHEN {c} >= 0 OR {c} IS NULL THEN {PASSED_INT} ELSE 0 END AS INTEGER) AS ruleResult, "
+            "count(*) AS n FROM lineitem GROUP BY 2"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_dq_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rule_suite_result_details + flatten_rule_results macros over the
+    stored DQ struct (SURVEY §2 #23-24; reference
+    impl/RuleSuiteResultDetailsExpr.scala)."""
+    from quality_spark.functions.lambdas import expand_sql
+
+    li = _read(spark, sf_dir, "lineitem")
+    dq = add_data_quality(li, fixture_suite())
+    details = dq.select(F.expr(expand_sql("rule_suite_result_details(DQ)")).alias("d"))
+    sets = details.select(
+        F.explode(F.expr("map_entries(d.ruleSetResults)")).alias("se")
+    )
+    rules = sets.select(
+        F.expr("CAST(se.key >> 32 AS INT)").alias("ruleSetId"),
+        F.explode(F.expr("map_entries(se.value.ruleResults)")).alias("re"),
+    )
+    return rules.select(
+        "ruleSetId",
+        F.expr("CAST(re.key >> 32 AS INT)").alias("ruleId"),
+        F.expr("re.value").alias("ruleResult"),
+    ).groupBy("ruleSetId", "ruleId", "ruleResult").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _oracle_dq_details() -> str:
+    parts = []
+    for set_id, rule_id, kind, sql in RULE_SPECS:
+        enc = _oracle_encode(kind, sql)
+        parts.append(
+            f"SELECT CAST({set_id[0]} AS INTEGER) AS ruleSetId, "
+            f"CAST({rule_id[0]} AS INTEGER) AS ruleId, "
+            f"CAST({enc} AS INTEGER) AS ruleResult, count(*) AS n "
+            "FROM lineitem GROUP BY 3"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_coalesce_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce_if_attributes_missing rewrite (SURVEY §2 #26; reference
+    ValidationImports.scala): alternatives referencing absent columns
+    fall through to the first viable expression; none-viable becomes
+    NULL (bool-encodes to failed)."""
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite
+    from quality_spark.operators.runner import add_flat_rule_results
+    from quality_spark.plans.validation import process_if_attribute_missing
+
+    li = _read(spark, sf_dir, "lineitem")
+    suite = RuleSuite(
+        Id(80, 1),
+        (
+            RuleSet(
+                Id(81, 1),
+                (
+                    Rule(
+                        Id(800, 1),
+                        "coalesce_if_attributes_missing(no_such_col > 5, l_quantity > 5)",
+                    ),
+                    Rule(
+                        Id(801, 1),
+                        "coalesce_if_attributes_missing(also_missing > 1, still_missing > 2)",
+                    ),
+                ),
+            ),
+        ),
+    )
+    fixed = process_if_attribute_missing(suite, li.columns)
+    flat = add_flat_rule_results(li, fixed, keep=[])
+    return flat.groupBy("ruleId", "ruleResult").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _oracle_coalesce_missing() -> str:
+    return (
+        f"SELECT CAST(800 AS INTEGER) AS ruleId, "
+        f"CAST(CASE WHEN l_quantity > 5 THEN {PASSED_INT} ELSE 0 END AS INTEGER) AS ruleResult, "
+        "count(*) AS n FROM lineitem GROUP BY 2 "
+        "UNION ALL SELECT CAST(801 AS INTEGER), CAST(0 AS INTEGER), count(*) FROM lineitem"
+    )
+
+
+def q_map_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """loadMaps + map_contains/map_lookup as a dimension filter
+    (SURVEY §2 #14,42-43; reference impl/mapLookup/model.scala:44-82)."""
+    from quality_spark.sources.lookups import load_maps, map_contains, map_lookup
+
+    _read(spark, sf_dir, "nation").createOrReplaceTempView("q_nation_mc")
+    load_maps(
+        spark,
+        [
+            {
+                "name": "nations_low_regions",
+                "sql": "SELECT * FROM q_nation_mc WHERE n_regionkey < 2",
+                "token": None,
+                "key": "n_nationkey",
+                "value": "n_name",
+            }
+        ],
+    )
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        cust.filter(map_contains("nations_low_regions", F.col("c_nationkey")))
+        .select(map_lookup("nations_low_regions", F.col("c_nationkey")).alias("nation_name"))
+        .groupBy("nation_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def _oracle_map_contains_filter() -> str:
+    return (
+        "SELECT n_name AS nation_name, count(*) AS n_customers "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE n_regionkey < 2 GROUP BY 1"
+    )
+
+
+def q_bigbloom_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-bloom FILE sink + mmap readback (SURVEY §2 #17; reference
+    impl/bloom/BucketedFiles.scala): build bucketed bloom files from
+    orders, reload from disk, probe customers. Determinism: no false
+    negatives + left-semi removes false positives (same argument as
+    bloom_semi_filter)."""
+    import shutil
+
+    from quality_spark.sources.bigbloom import (
+        big_bloom_from,
+        load_big_bloom,
+        register_big_bloom,
+    )
+    from quality_spark.sources.lookups import probability_in
+
+    root = "/root/repo/.bigbloom_gate"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = _read(spark, sf_dir, "orders")
+    big_bloom_from(orders, "o_custkey", expected=20_000, root_dir=root, fpp=0.001)
+    bb = load_big_bloom(root)  # exercise the file readback path
+    register_big_bloom(spark, "bb_file_custkeys", bb)
+    cust = _read(spark, sf_dir, "customer")
+    passed = cust.filter(probability_in(F.col("c_custkey"), "bb_file_custkeys") > 0)
+    return (
+        passed.join(orders, passed.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bb_members"))
+    )
+
+
+def _oracle_bigbloom_file_probe() -> str:
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n_bb_members FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -1361,6 +1676,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "validation_report": q_validation_report,
         "docs_parsing": q_docs_markdown,
+        "yaml_round_trip": q_yaml_round_trip,
+        "id_codecs": q_id_codecs,
+        "rules_from_df": q_rules_from_df,
+        "meta_ruleset": q_meta_ruleset,
+        "dq_details": q_dq_details,
+        "coalesce_missing": q_coalesce_missing,
+        "map_contains_filter": q_map_contains_filter,
+        "bigbloom_file_probe": q_bigbloom_file_probe,
     }
 
 
@@ -1404,4 +1727,12 @@ def oracle_sql() -> dict[str, str]:
         "validation_report": _oracle_validation_report(),
         "docs_parsing": _oracle_docs_markdown(),
         "unique_ids": _oracle_unique_ids(),
+        "yaml_round_trip": _oracle_yaml_round_trip(),
+        "id_codecs": _oracle_id_codecs(),
+        "rules_from_df": _oracle_rules_from_df(),
+        "meta_ruleset": _oracle_meta_ruleset(),
+        "dq_details": _oracle_dq_details(),
+        "coalesce_missing": _oracle_coalesce_missing(),
+        "map_contains_filter": _oracle_map_contains_filter(),
+        "bigbloom_file_probe": _oracle_bigbloom_file_probe(),
     }
