@@ -1594,6 +1594,69 @@ def _oracle_map_contains_filter() -> str:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (the prompt's named scale path alongside LSH):
+    corpus inverted-listed by nearest centroid via a pure-projection
+    argmax over an inlined normalized-centroid literal (no shuffle),
+    queries probe their nprobe nearest cells, candidates meet in a
+    join keyed by cell id, exact cosine re-ranks. Centroids = every
+    50th corpus vector (real deployments plug in offline k-means; the
+    mechanism under test is identical). The oracle replays the exact
+    pipeline in DuckDB, including the recall cut."""
+    from quality_spark.llm.similarity import ivf_flat_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_flat_topk(
+        emb, queries, k=5, nprobe=2, centroid_stride=50
+    ).select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
+def _oracle_ivf_topk() -> str:
+    def nrm(e: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform({e}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+
+    dot_ch_e = (
+        "list_sum(list_transform(range(1, len(c.ch) + 1), "
+        "i -> c.ch[i] * CAST(e.embedding[i] AS DOUBLE)))"
+    )
+    dot_qn = (
+        "list_sum(list_transform(range(1, len(qv) + 1), "
+        "i -> CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / {nrm('embedding')}) AS ch
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {dot_ch_e} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+cellof AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS qid, embedding AS qv, cid AS cell
+  FROM assign WHERE vec_id < 10 AND rn <= 2
+),
+scored AS (
+  SELECT q.qid, t.vec_id AS nid,
+         {dot_qn.replace('qv', 'q.qv').replace('nv', 't.embedding')}
+         / ({nrm('q.qv')} * {nrm('t.embedding')}) AS cosine
+  FROM qprobe q JOIN cellof t ON t.cell = q.cell AND t.vec_id != q.qid
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
 def q_bigbloom_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big-bloom FILE sink + mmap readback (SURVEY §2 #17; reference
     impl/bloom/BucketedFiles.scala): build bucketed bloom files from
@@ -1684,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce_missing": q_coalesce_missing,
         "map_contains_filter": q_map_contains_filter,
         "bigbloom_file_probe": q_bigbloom_file_probe,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1735,4 +1799,5 @@ def oracle_sql() -> dict[str, str]:
         "coalesce_missing": _oracle_coalesce_missing(),
         "map_contains_filter": _oracle_map_contains_filter(),
         "bigbloom_file_probe": _oracle_bigbloom_file_probe(),
+        "ivf_topk": _oracle_ivf_topk(),
     }
