@@ -1657,6 +1657,91 @@ SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's native session_window (one shuffle on
+    the session key, streaming-ready with a watermark). Oracle: the
+    classic gaps-and-islands SQL — break where the gap exceeds 30
+    minutes, cumulative-sum the breaks into session ids."""
+    from quality_spark.operators.temporal import sessionize
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+
+    ev = read_parquet_compat(spark, f"{sf_dir}/events.parquet")
+    return sessionize(
+        ev,
+        ts_col="ts",
+        key_cols=("user_id",),
+        gap="30 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        ],
+    )
+
+
+def _oracle_sessionize_events() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events, round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click matched to the user's most recent view
+    at-or-before it (ties break on event_id). The operator is the
+    union + sorted-window-fill shape — |L|+|R| rows shuffle once on the
+    key; the oracle is a correlated LATERAL top-1 (DuckDB's native
+    ASOF JOIN semantics, spelled out so tie-breaks are explicit)."""
+    from quality_spark.operators.temporal import asof_join
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+
+    ev = read_parquet_compat(spark, f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        key_cols=["user_id"],
+        right_cols=["event_id", "value"],
+        tie_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
+def _oracle_asof_click_view() -> str:
+    return """
+SELECT l.event_id, l.user_id, r.event_id AS view_event_id, r.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN LATERAL (
+  SELECT event_id, value FROM events r
+  WHERE r.event_type = 'view' AND r.user_id = l.user_id AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+) r ON true
+"""
+
+
 def q_bigbloom_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big-bloom FILE sink + mmap readback (SURVEY §2 #17; reference
     impl/bloom/BucketedFiles.scala): build bucketed bloom files from
@@ -1748,6 +1833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_contains_filter": q_map_contains_filter,
         "bigbloom_file_probe": q_bigbloom_file_probe,
         "ivf_topk": q_ivf_topk,
+        "sessionize_events": q_sessionize_events,
+        "asof_click_view": q_asof_click_view,
     }
 
 
@@ -1800,4 +1887,6 @@ def oracle_sql() -> dict[str, str]:
         "map_contains_filter": _oracle_map_contains_filter(),
         "bigbloom_file_probe": _oracle_bigbloom_file_probe(),
         "ivf_topk": _oracle_ivf_topk(),
+        "sessionize_events": _oracle_sessionize_events(),
+        "asof_click_view": _oracle_asof_click_view(),
     }

@@ -1,0 +1,116 @@
+"""Temporal event operators: sessionization and as-of join.
+
+Event-pipeline staples the DataFrame API doesn't ship directly
+(as-of join) or ships as a primitive worth wrapping with the
+engine's conventions (session_window). Both are pure compositions of
+built-in operators — no UDFs, one shuffle each:
+
+- ``sessionize``: Spark's native ``session_window`` aggregation —
+  shuffles once on the session keys, merges windows inside the
+  aggregation (works identically in Structured Streaming with a
+  watermark).
+- ``asof_join``: the union + sorted-window-fill formulation: tag both
+  sides, union, one shuffle on the join keys, sort within partition by
+  (ts, side, tie), then ``last(right_payload, ignoreNulls)`` over an
+  unbounded-preceding frame gives every left row the most recent
+  right row at-or-before its timestamp. This is the scale-correct
+  shape — a naive range join explodes to |left|x|right| per key,
+  while this shuffles |left|+|right| rows exactly once. DuckDB's
+  native ASOF JOIN is the oracle twin.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    gap: str = "30 minutes",
+    aggs: Optional[Sequence[Column]] = None,
+) -> DataFrame:
+    """Group events into sessions separated by >= ``gap`` of silence.
+
+    Output: key cols + ``session_start`` / ``session_end`` (end = last
+    event + gap, Spark's session_window convention) + the caller's
+    aggregates (default: ``n_events``). Streaming-ready: add a
+    watermark on ``ts_col`` upstream and the same code runs
+    incrementally with bounded state.
+    """
+    if aggs is None:
+        aggs = [F.count(F.lit(1)).alias("n_events")]
+    win = F.session_window(F.col(ts_col), gap)
+    out = df.groupBy(*key_cols, win).agg(*aggs)
+    return out.select(
+        *key_cols,
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[c for c in out.columns if c not in (*key_cols, "session_window")],
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Optional[Sequence[str]] = None,
+    tie_col: Optional[str] = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """LEFT as-of join: for every left row, the single most recent
+    right row with the same keys and ``right_ts <= left_ts``
+    (inclusive); no match -> nulls.
+
+    Ties on ``right_ts`` break by ``tie_col`` (largest wins; required
+    when right timestamps can repeat, otherwise the match would be
+    nondeterministic). Right payload columns arrive prefixed.
+    """
+    right_cols = list(
+        right_cols
+        if right_cols is not None
+        else [c for c in right.columns if c not in key_cols]
+    )
+    keys = list(key_cols)
+    tie = (
+        F.col(tie_col).cast("long")
+        if tie_col is not None
+        else F.lit(0).cast("long")
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        tie.alias("__tie"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+    )
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(2**63 - 1).cast("long").alias("__tie"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    u = r.select("*", F.lit(None).cast(l.schema["__l"].dataType).alias("__l")).unionByName(l)
+    # right rows (__side 0) sort before left rows at equal ts, so the
+    # inclusive at-or-before match sees them; among right ties the
+    # largest __tie is the last in frame order and wins
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.select(
+        "__side", "__l", F.last("__r", ignorenulls=True).over(w).alias("__m")
+    ).filter(F.col("__side") == 1)
+    return matched.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
