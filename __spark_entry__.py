@@ -1742,6 +1742,82 @@ LEFT JOIN LATERAL (
 """
 
 
+def q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (llm/sampling.py): an 80% sample and
+    its exact complement, keyed by doc_id — membership is a pure
+    function of (seed, key), replayed by the oracle. Verifies both
+    sides partition the corpus (split = train+test, no overlap)."""
+    from quality_spark.llm.sampling import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    train = hash_sample(docs, 0.8, "doc_id", seed=42).select(
+        F.lit("train").alias("split"), "doc_id", "lang"
+    )
+    test = docs.join(
+        hash_sample(docs, 0.8, "doc_id", seed=42).select("doc_id"), "doc_id", "left_anti"
+    ).select(F.lit("test").alias("split"), "doc_id", "lang")
+    return train.unionByName(test)
+
+
+def _oracle_hash_sample_split() -> str:
+    from quality_spark.llm.sampling import sample_cond_sql
+
+    cond = sample_cond_sql("doc_id", 0.8, 42, "duckdb")
+    return (
+        f"SELECT 'train' AS split, doc_id, lang FROM documents WHERE {cond} "
+        f"UNION ALL SELECT 'test', doc_id, lang FROM documents WHERE NOT ({cond})"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic rebalancing: downsample en to 30%,
+    keep 100% of fr, drop the rest (default_rate=0)."""
+    from quality_spark.llm.sampling import stratified_hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, {"en": 0.3, "fr": 1.0}, strata_col="lang", key_col="doc_id", seed=7
+    ).select("doc_id", "lang")
+
+
+def _oracle_stratified_sample() -> str:
+    from quality_spark.llm.sampling import sample_cond_sql
+
+    en = sample_cond_sql("doc_id", 0.3, 7, "duckdb")
+    return (
+        f"SELECT doc_id, lang FROM documents WHERE "
+        f"(lang = 'en' AND ({en})) OR lang = 'fr'"
+    )
+
+
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing at per-source rates with source tagging — union of
+    independently filtered scans, each branch pushing its filter down."""
+    from quality_spark.llm.sampling import weighted_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    web = docs.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+    books = docs.filter(F.col("source").isin("src4", "src5"))
+    mixed = weighted_mix(
+        [("web", web, 0.5), ("books", books, 1.0)], key_col="doc_id", seed=3
+    )
+    return mixed.groupBy("mix_source", "lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _oracle_weighted_mix() -> str:
+    from quality_spark.llm.sampling import sample_cond_sql
+
+    half = sample_cond_sql("doc_id", 0.5, 3, "duckdb")
+    return f"""
+SELECT mix_source, lang, count(*) AS n FROM (
+  SELECT 'web' AS mix_source, lang FROM documents
+  WHERE source IN ('src0','src1','src2','src3') AND ({half})
+  UNION ALL
+  SELECT 'books', lang FROM documents WHERE source IN ('src4','src5')
+) GROUP BY 1, 2
+"""
+
+
 def q_bigbloom_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big-bloom FILE sink + mmap readback (SURVEY §2 #17; reference
     impl/bloom/BucketedFiles.scala): build bucketed bloom files from
@@ -1835,6 +1911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "sessionize_events": q_sessionize_events,
         "asof_click_view": q_asof_click_view,
+        "hash_sample_split": q_hash_sample_split,
+        "stratified_sample": q_stratified_sample,
+        "weighted_mix": q_weighted_mix,
     }
 
 
@@ -1889,4 +1968,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _oracle_ivf_topk(),
         "sessionize_events": _oracle_sessionize_events(),
         "asof_click_view": _oracle_asof_click_view(),
+        "hash_sample_split": _oracle_hash_sample_split(),
+        "stratified_sample": _oracle_stratified_sample(),
+        "weighted_mix": _oracle_weighted_mix(),
     }

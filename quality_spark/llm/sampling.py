@@ -1,0 +1,99 @@
+"""Deterministic sampling & dataset-mixing operators (training-data
+pipeline: hold-out splits, per-language rebalancing, corpus mixing).
+
+All sampling decisions are pure functions of (seed, key): the same row
+lands on the same side of every split on every run, on any cluster, at
+any partitioning — unlike ``df.sample``, whose output depends on
+partition layout. Decisions are Column expressions over the portable
+60-bit md5 hash (``dedup.hash60_sql``), so a DuckDB oracle can replay
+them and a resumed/backfilled pipeline never flip-flops membership.
+
+Scale: a sample/split/mix is a narrow per-row filter — no shuffle, no
+state; mixing is a union of filtered scans, which Spark plans as
+independent branches.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash60_sql
+
+_DENOM = 1_000_000
+
+
+def sample_cond_sql(
+    key_sql: str, rate: float, seed: int, dialect: str = "spark"
+) -> str:
+    """Boolean SQL: keep iff hash60("{seed}:"||key) % 1e6 < rate*1e6."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if dialect == "spark":
+        key = f"concat('{seed}', ':', CAST(({key_sql}) AS STRING))"
+    else:
+        key = f"('{seed}' || ':' || CAST(({key_sql}) AS VARCHAR))"
+    h = hash60_sql(key, dialect, "portable")
+    return f"(({h}) % {_DENOM}) < {int(round(rate * _DENOM))}"
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction keyed by ``key_col``.
+
+    Disjoint seeds give independent samples; ``1 - rate`` of the same
+    seed gives the exact complement (train/test splits)."""
+    return df.filter(F.expr(sample_cond_sql(key_col, rate, seed, "spark")))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: Dict[str, float],
+    strata_col: str,
+    key_col: str,
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. language rebalancing:
+    downsample en, keep all low-resource langs). Strata not listed get
+    ``default_rate``."""
+    branches = " ".join(
+        f"WHEN CAST({strata_col} AS STRING) = {_str_lit(s)} "
+        f"THEN ({sample_cond_sql(key_col, r, seed, 'spark')})"
+        for s, r in sorted(rates.items())
+    )
+    cond = (
+        f"CASE {branches} "
+        f"ELSE ({sample_cond_sql(key_col, default_rate, seed, 'spark')}) END"
+    )
+    return df.filter(F.expr(cond))
+
+
+def weighted_mix(
+    sources: Sequence[Tuple[str, DataFrame, float]],
+    key_col: str,
+    seed: int = 0,
+    source_col: str = "mix_source",
+) -> DataFrame:
+    """Mix corpora at per-source sampling rates (<= 1.0; upsampling is
+    epoch repetition, out of scope for a single pass), tagging each row
+    with its source name. Planned as a union of independently filtered
+    scans — each branch pushes its own filter down."""
+    parts = []
+    for name, df, rate in sources:
+        parts.append(
+            hash_sample(df, rate, key_col, seed=seed).select(
+                F.lit(name).alias(source_col), "*"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _str_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
