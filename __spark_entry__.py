@@ -1818,6 +1818,50 @@ SELECT mix_source, lang, count(*) AS n FROM (
 """
 
 
+def q_doc_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged document filtering with drop accounting (llm/pipeline.py):
+    too_short -> lang -> quality gates in one projection, then
+    survivor-aware prefix-fingerprint dedup in one window. Every reason
+    is non-vacuous at sf0.01 (106 short / 75 zh / ~60 low-quality / 24
+    prefix dups)."""
+    from quality_spark.llm.pipeline import filter_documents, filter_summary
+
+    docs = _read(spark, sf_dir, "documents")
+    filtered = filter_documents(
+        docs,
+        min_tokens=30,
+        min_quality=0.40,
+        langs=["en", "fr", "de", "es"],
+        dedup_key=F.substring("text", 1, 40),
+    )
+    return filter_summary(filtered)
+
+
+def _oracle_doc_filter_pipeline() -> str:
+    from quality_spark.llm.textstats import text_stats_sqls
+
+    s = text_stats_sqls("text", "duckdb")
+    reason = (
+        f"CASE WHEN {s['token_count']} < 30 THEN 'too_short' "
+        f"WHEN lang NOT IN ('en','fr','de','es') THEN 'lang' "
+        f"WHEN {s['quality_score']} < 0.40 THEN 'quality' END"
+    )
+    return f"""
+WITH staged AS (
+  SELECT doc_id, text, {reason} AS r FROM documents
+),
+ranked AS (
+  SELECT r, row_number() OVER (
+    PARTITION BY substr(text, 1, 40)
+    ORDER BY (r IS NOT NULL), doc_id
+  ) AS rn FROM staged
+)
+SELECT coalesce(CASE WHEN r IS NULL AND rn > 1 THEN 'duplicate' ELSE r END, 'kept') AS outcome,
+       count(*) AS n
+FROM ranked GROUP BY 1
+"""
+
+
 def q_bigbloom_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big-bloom FILE sink + mmap readback (SURVEY §2 #17; reference
     impl/bloom/BucketedFiles.scala): build bucketed bloom files from
@@ -1914,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_split": q_hash_sample_split,
         "stratified_sample": q_stratified_sample,
         "weighted_mix": q_weighted_mix,
+        "doc_filter_pipeline": q_doc_filter_pipeline,
     }
 
 
@@ -1971,4 +2016,5 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_split": _oracle_hash_sample_split(),
         "stratified_sample": _oracle_stratified_sample(),
         "weighted_mix": _oracle_weighted_mix(),
+        "doc_filter_pipeline": _oracle_doc_filter_pipeline(),
     }

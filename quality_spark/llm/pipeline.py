@@ -1,0 +1,91 @@
+"""Composable document-filter pipeline: the canonical training-data
+preprocessing pass (length / language / quality gates, then dedup among
+survivors), with per-row drop accounting.
+
+Semantics: stages evaluate in order and the FIRST failing stage names
+the row's ``drop_reason`` (null = kept). Deduplication runs logically
+last and only among rows that survived the scalar gates: the keeper of
+a content group is its lowest-id surviving row; previously-dropped rows
+keep their scalar reason rather than becoming "duplicate".
+
+Scale shape: the scalar gates are one narrow projection (no shuffle);
+dedup is a single window over the content key — one shuffle keyed by a
+small hash, survivors-first ordering makes keeper choice survivor-aware
+without a second pass.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import text_stats_sqls
+
+
+def filter_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: Optional[int] = 30,
+    max_punct_ratio: Optional[float] = None,
+    min_quality: Optional[float] = None,
+    langs: Optional[Sequence[str]] = None,
+    lang_col: str = "lang",
+    dedup_key: Optional[Column] = None,
+    reason_col: str = "drop_reason",
+) -> DataFrame:
+    """Adds ``drop_reason`` (null = kept). ``None`` thresholds disable
+    their stage. ``dedup_key`` defaults to ``md5(text)`` (exact dedup);
+    pass e.g. ``F.substring("text", 1, 40)`` for prefix fingerprints,
+    or ``None``-returning expression columns for custom keys."""
+    stats = text_stats_sqls(text_col, "spark")
+    conds = []
+    if min_tokens is not None:
+        conds.append((F.expr(stats["token_count"]) < min_tokens, "too_short"))
+    if langs is not None:
+        conds.append((~F.col(lang_col).isin(*langs), "lang"))
+    if max_punct_ratio is not None:
+        conds.append((F.expr(stats["punct_ratio"]) > max_punct_ratio, "punct"))
+    if min_quality is not None:
+        conds.append((F.expr(stats["quality_score"]) < min_quality, "quality"))
+
+    reason = F.lit(None).cast("string")
+    for cond, name in reversed(conds):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    staged = df.select("*", reason.alias(reason_col))
+
+    key = dedup_key if dedup_key is not None else F.md5(F.col(text_col))
+    # survivors-first ordering: among rows sharing a content key, the
+    # lowest-id SURVIVOR is rank 1 (the keeper); rows already dropped
+    # sort after survivors so they never steal keeper-ship
+    w = Window.partitionBy(key).orderBy(
+        F.col(reason_col).isNotNull(), F.col(id_col)
+    )
+    ranked = staged.select("*", F.row_number().over(w).alias("__dup_rank"))
+    final_reason = F.when(
+        F.col(reason_col).isNull() & (F.col("__dup_rank") > 1), F.lit("duplicate")
+    ).otherwise(F.col(reason_col))
+    return ranked.select(
+        *[c for c in staged.columns if c != reason_col],
+        final_reason.alias(reason_col),
+    )
+
+
+def filter_summary(
+    filtered: DataFrame, reason_col: str = "drop_reason"
+) -> DataFrame:
+    """(outcome, n) accounting: per-reason drop counts + 'kept'."""
+    return (
+        filtered.groupBy(
+            F.coalesce(F.col(reason_col), F.lit("kept")).alias("outcome")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def kept_documents(
+    filtered: DataFrame, reason_col: str = "drop_reason"
+) -> DataFrame:
+    return filtered.filter(F.col(reason_col).isNull()).drop(reason_col)

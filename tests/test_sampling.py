@@ -72,3 +72,49 @@ def test_sample_cond_dialects_agree(spark, docs):
         ).fetchall()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# document filter pipeline (llm/pipeline.py)
+# ---------------------------------------------------------------------------
+
+
+def test_filter_pipeline_first_fail_wins_and_survivor_dedup(spark, docs):
+    from quality_spark.llm.pipeline import filter_documents, filter_summary, kept_documents
+
+    filtered = filter_documents(
+        docs,
+        min_tokens=30,
+        min_quality=0.40,
+        langs=["en", "fr", "de", "es"],
+        dedup_key=F.substring("text", 1, 40),
+    )
+    rows = filtered.collect()
+    # stage order: a too-short zh doc reports too_short, not lang
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        if r["drop_reason"] == "lang":
+            assert r["lang"] not in ("en", "fr", "de", "es")
+    # survivor-aware dedup: every duplicate has a kept row with the
+    # same 40-char prefix and a smaller doc_id
+    kept_pfx = {
+        r["text"][:40]: r["doc_id"] for r in rows if r["drop_reason"] is None
+    }
+    for r in rows:
+        if r["drop_reason"] == "duplicate":
+            assert r["text"][:40] in kept_pfx
+            assert kept_pfx[r["text"][:40]] < r["doc_id"]
+    # accounting adds up
+    total = filter_summary(filtered).agg(F.sum("n")).collect()[0][0]
+    assert total == docs.count()
+    assert kept_documents(filtered).count() == sum(
+        1 for r in rows if r["drop_reason"] is None
+    )
+
+
+def test_filter_pipeline_stages_disable(spark, docs):
+    from quality_spark.llm.pipeline import filter_documents
+
+    out = filter_documents(docs, min_tokens=None, dedup_key=F.col("doc_id"))
+    # only dedup active, keys unique -> everything kept
+    assert out.filter(F.col("drop_reason").isNotNull()).count() == 0
