@@ -106,3 +106,55 @@ def test_mode_matrix_dq_results_identical(spark, sf_dir, codegen):
         assert got == test_mode_matrix_dq_results_identical._ref
     finally:
         spark.conf.set("spark.sql.codegen.wholeStage", old)
+
+
+# ---------------------------------------------------------------------------
+# round-2 operators: the plan shapes the scale story claims
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_is_shuffle_free_pure_projection(spark, sf_dir):
+    from quality_spark.llm.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(hash_sample(docs, 0.5, "doc_id"))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF — stays JVM-side
+
+
+def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    """Cell assignment is a projection over a centroid literal — the
+    corpus side of the IVF build must not shuffle."""
+    from quality_spark.llm.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    plan = _plan(ivf_assign(emb, cents))
+    assert "Exchange" not in plan
+
+
+def test_asof_join_single_exchange_per_side(spark, sf_dir):
+    """Union + window fill: the whole as-of join is ONE shuffle on the
+    key (each input side exchanges once into the same partitioning),
+    not a per-key range explosion."""
+    from quality_spark.operators.temporal import asof_join
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+
+    ev = read_parquet_compat(spark, f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    plan = _plan(asof_join(clicks, views, ["user_id"], right_cols=["event_id"]), "simple")
+    assert plan.count("Exchange") <= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filter_pipeline_one_window_exchange(spark, sf_dir):
+    """Scalar gates fuse into the scan projection; the only shuffle is
+    the dedup window's hash partitioning on the content key."""
+    from quality_spark.llm.pipeline import filter_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(filter_documents(docs, min_tokens=10), "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
