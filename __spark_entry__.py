@@ -1325,11 +1325,11 @@ def q_unique_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_yaml_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_yaml ∘ from_yaml identity over mixed types incl. timestamp
     (SURVEY §2 #53; reference impl/yaml/YamlEncoderExpr.scala). The
-    1-in-100 key filter keeps the (documented python-yaml) codec off
+    1-in-500 key filter keeps the (documented python-yaml) codec off
     the bench hot path while staying non-vacuous at sf0.01."""
     from quality_spark.functions.yamlenc import from_yaml, to_yaml
 
-    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
     s = F.struct(
         F.col("l_orderkey").alias("k"),
         F.col("l_returnflag").alias("flag"),
@@ -1351,7 +1351,7 @@ def _oracle_yaml_round_trip() -> str:
     return (
         "SELECT l_orderkey, l_linenumber, l_orderkey AS rt_key, "
         "l_returnflag AS rt_flag, l_quantity AS rt_qty, l_shipdate AS rt_ship "
-        "FROM lineitem WHERE l_orderkey % 100 = 0"
+        "FROM lineitem WHERE l_orderkey % 500 = 0"
     )
 
 

@@ -222,3 +222,31 @@ def test_stream_rule_engine_equals_batch(spark, events_stream_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_sessionize_equals_batch(spark, events_stream_dir):
+    """session_window works unchanged in Structured Streaming — the
+    sessionize operator's claim. Complete mode (no watermark) so every
+    session is emitted and comparable to batch."""
+    from quality_spark.operators.temporal import sessionize
+
+    batch = spark.read.parquet(events_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    out = sessionize(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sess_stream").collect()
+    }
+    exp = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(batch, gap="30 minutes").collect()
+    }
+    assert got == exp
