@@ -1862,6 +1862,63 @@ FROM ranked GROUP BY 1
 """
 
 
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded numeric range join: same-type event pairs with values
+    within 0.01. Left side explodes to 3 buckets at max_dist
+    granularity, pairs meet in an equi-join on (type, bucket) — never a
+    cross join; the oracle is the direct quadratic join."""
+    from quality_spark.operators.temporal import range_join
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+
+    ev = read_parquet_compat(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    pairs = range_join(
+        ev, ev, "value", "value", 0.01, key_cols=["event_type"]
+    ).filter(F.col("event_id") < F.col("r_event_id"))
+    return pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def _oracle_range_join_events() -> str:
+    return """
+SELECT a.event_type, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.event_type = b.event_type AND a.event_id < b.event_id
+ AND abs(a.value - b.value) <= 0.01
+GROUP BY 1
+"""
+
+
+def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour + day buckets in
+    ONE pass via GROUPING SETS (Spark Expand + partial aggregation —
+    N resolutions, one scan, one shuffle)."""
+    from quality_spark.operators.temporal import time_rollup
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+
+    ev = read_parquet_compat(spark, f"{sf_dir}/events.parquet")
+    return time_rollup(
+        ev,
+        ts_col="ts",
+        resolutions=("hour", "day"),
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        ],
+    )
+
+
+def _oracle_time_rollup_events() -> str:
+    return """
+SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket_start,
+       count(*) AS n_events, round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', date_trunc('day', ts), count(*), round(CAST(sum(value) AS DOUBLE), 6)
+FROM events GROUP BY 2
+"""
+
+
 def q_bigbloom_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big-bloom FILE sink + mmap readback (SURVEY §2 #17; reference
     impl/bloom/BucketedFiles.scala): build bucketed bloom files from
@@ -1959,6 +2016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "weighted_mix": q_weighted_mix,
         "doc_filter_pipeline": q_doc_filter_pipeline,
+        "range_join_events": q_range_join_events,
+        "time_rollup_events": q_time_rollup_events,
     }
 
 
@@ -2017,4 +2076,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _oracle_stratified_sample(),
         "weighted_mix": _oracle_weighted_mix(),
         "doc_filter_pipeline": _oracle_doc_filter_pipeline(),
+        "range_join_events": _oracle_range_join_events(),
+        "time_rollup_events": _oracle_time_rollup_events(),
     }

@@ -114,3 +114,83 @@ def asof_join(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    max_dist: float,
+    key_cols: Sequence[str] = (),
+    prefix: str = "r_",
+) -> DataFrame:
+    """Banded numeric range join: pairs with
+    ``|left_val - right_val| <= max_dist`` (plus optional equi keys).
+
+    Values bucket at ``max_dist`` granularity; the left side explodes to
+    its bucket and both neighbors, so every qualifying pair meets in an
+    equi-join keyed by (keys..., bucket) and the exact distance filter
+    runs post-join. The shuffle is banded — |L|*3 + |R| rows keyed by
+    small ints — never a cross join; fan-in per bucket is the data's
+    own density at ``max_dist`` resolution.
+    """
+    if max_dist <= 0:
+        raise ValueError("max_dist must be positive")
+    keys = list(key_cols)
+    lb = F.floor(F.col(left_val) / F.lit(float(max_dist)))
+    l = left.select(
+        "*",
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("__bucket"),
+    )
+    r = right.select(
+        *[F.col(c).alias(f"{prefix}{c}") for c in right.columns],
+        F.floor(F.col(right_val) / F.lit(float(max_dist))).alias("__bucket"),
+    )
+    on = [l["__bucket"] == r["__bucket"]] + [
+        l[k] == r[f"{prefix}{k}"] for k in keys
+    ]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    joined = l.join(r, cond).drop("__bucket")
+    dist_ok = (
+        F.abs(F.col(left_val) - F.col(f"{prefix}{right_val}")) <= max_dist
+    )
+    return joined.filter(dist_ok)
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    resolutions: Sequence[str] = ("hour", "day"),
+    aggs: Optional[Sequence[Column]] = None,
+) -> DataFrame:
+    """Multi-resolution time-bucket rollup (hypertable continuous-
+    aggregate pattern): one pass over the data produces a row per
+    (resolution, bucket_start) via GROUPING SETS — Spark's Expand feeds
+    every input row to each resolution's partial aggregate, so N
+    resolutions still scan and shuffle once (map-side combined), not N
+    times. ``resolutions`` are ``date_trunc`` units in coarseness
+    order."""
+    if aggs is None:
+        aggs = [F.count(F.lit(1)).alias("n_events")]
+    bucket_cols = [
+        F.date_trunc(res, F.col(ts_col)).alias(f"__b_{res}") for res in resolutions
+    ]
+    base = df.select("*", *bucket_cols)
+    sets = [[F.col(f"__b_{res}")] for res in resolutions]
+    grouped = base.groupingSets(sets, *[F.col(f"__b_{res}") for res in resolutions]).agg(*aggs)
+    # exactly one bucket column is non-null per output row (one grouping
+    # set each); name the resolution and coalesce the bucket
+    res_case = F.coalesce(
+        *[
+            F.when(F.col(f"__b_{res}").isNotNull(), F.lit(res))
+            for res in resolutions
+        ]
+    )
+    bucket = F.coalesce(*[F.col(f"__b_{res}") for res in resolutions])
+    out_aggs = [c for c in grouped.columns if not c.startswith("__b_")]
+    return grouped.select(
+        res_case.alias("resolution"), bucket.alias("bucket_start"), *out_aggs
+    )

@@ -91,3 +91,66 @@ def test_asof_join_inclusive_same_timestamp(spark, events):
     # the matched event is never from the future
     ts_of = {r["event_id"]: r["ts"] for r in ev.collect()}
     assert all(ts_of[r["asof_event_id"]] <= r["ts"] for r in rows)
+
+
+def test_range_join_matches_quadratic(spark, events):
+    from quality_spark.operators.temporal import range_join
+
+    sub = events.filter(F.col("event_id") < 2000).select(
+        "event_id", "event_type", "value"
+    )
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in range_join(sub, sub, "value", "value", 0.05, ["event_type"])
+        .filter(F.col("event_id") < F.col("r_event_id"))
+        .collect()
+    }
+    rows = sub.collect()
+    exp = {
+        (a["event_id"], b["event_id"])
+        for a in rows
+        for b in rows
+        if a["event_type"] == b["event_type"]
+        and a["event_id"] < b["event_id"]
+        and abs(a["value"] - b["value"]) <= 0.05
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_range_join_no_duplicate_pairs(spark, events):
+    from quality_spark.operators.temporal import range_join
+
+    sub = events.filter(F.col("event_id") < 500).select("event_id", "value")
+    out = range_join(sub, sub, "value", "value", 0.1).filter(
+        F.col("event_id") < F.col("r_event_id")
+    )
+    assert out.count() == out.dropDuplicates(["event_id", "r_event_id"]).count()
+
+
+def test_time_rollup_matches_separate_groupbys(spark, events):
+    from quality_spark.operators.temporal import time_rollup
+
+    got = {
+        (r["resolution"], r["bucket_start"], r["n_events"])
+        for r in time_rollup(events, resolutions=("hour", "day")).collect()
+    }
+    exp = set()
+    for res in ("hour", "day"):
+        for r in (
+            events.groupBy(F.date_trunc(res, "ts").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ):
+            exp.add((res, r["b"], r["n"]))
+    assert got == exp
+
+
+def test_time_rollup_single_shuffle(spark, events):
+    from quality_spark.operators.temporal import time_rollup
+
+    df = time_rollup(events, resolutions=("hour", "day", "month"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Expand" in plan
