@@ -399,6 +399,24 @@ def _hash_with_struct(args):
     return f"named_struct('i0', {_hash_with(args)})"
 
 
+def _za_hash_longs_with(args):
+    # ('IMPL', cols…) -> ARRAY<BIGINT> of all payload longs (reference
+    # za_Hash_Longs_With, RuleRegistrationFunctions.scala:497 — the
+    # multi-long variant; 128-bit impls give 2 longs, 64-bit give 1)
+    if len(args) < 2:
+        raise _arity_error("za_hash_longs_with", args, "2+ ('IMPL', cols…)")
+    impl = _strip_str(args[0]).upper()
+    if impl in SUPPORTED_DIGESTS:
+        return _digest_to_longs(args)
+    if impl == "MURMUR3_128":
+        from .pyhash import ensure_python_hashes
+
+        ensure_python_hashes()
+        h = f"qs_murmur3_128({_concat_input(args[1:])})"
+        return f"array(({h}).i0, ({h}).i1)"
+    return f"array({_hash_with(args)})"
+
+
 _register(_hash_with, "hash_with", "hashWith", "za_hash_with", "zaHashWith")
 _register(
     _hash_with_struct,
@@ -407,6 +425,7 @@ _register(
     "za_hash_with_struct",
     "za_hash_longs_with_struct",
 )
+_register(_za_hash_longs_with, "za_hash_longs_with", "zaHashLongsWith")
 _register(_digest_to_longs, "digest_to_longs", "digestToLongs")
 _register(_digest_to_longs_struct, "digest_to_longs_struct", "digestToLongsStruct")
 _register(_field_based_id, "field_based_id", "fieldBasedID", "fieldBasedId")

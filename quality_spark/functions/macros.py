@@ -359,6 +359,52 @@ _register(_print_expr, "print_expr", "printExpr")
 _register(_print_expr, "print_code", "printCode")
 
 
+def _schema_generic(name: str, api_fn: str, note: str = ""):
+    """Diagnosed compile-time error for reference functions whose
+    semantics need analysis-time schema information (the reference
+    implements them as Catalyst expressions that resolve with types;
+    driver-side text expansion cannot). Converts an opaque Spark
+    UNRESOLVED_ROUTINE into an actionable message."""
+
+    def macro(args):
+        raise ValueError(
+            f"{name} is schema-generic and not available inside SQL rule "
+            f"text in this engine; use the DataFrame/Column API "
+            f"quality_spark.functions.api.{api_fn} instead.{note}"
+        )
+
+    return macro
+
+
+_register(
+    _schema_generic("update_field", "update_field"), "update_field", "updateField"
+)
+_register(_schema_generic("drop_field", "drop_field"), "drop_field", "dropField")
+_register(
+    _schema_generic("comparable_maps", "comparable_maps"),
+    "comparable_maps",
+    "comparableMaps",
+)
+_register(
+    _schema_generic("reverse_comparable_maps", "reverse_comparable_maps"),
+    "reverse_comparable_maps",
+    "reverseComparableMaps",
+)
+
+
+def _processor_input_wrapper(args):
+    raise ValueError(
+        "processor_input_wrapper is a declared non-goal of this engine "
+        "(SURVEY §2.3): it exists in the reference only to feed its "
+        "sparkless interpreter; Spark-side pipelines pass columns directly."
+    )
+
+
+_register(
+    _processor_input_wrapper, "processor_input_wrapper", "processorInputWrapper"
+)
+
+
 def expand_builtin(name_lower: str, args: Tuple[str, ...]) -> Optional[str]:
     fn = BUILTIN_MACROS.get(name_lower)
     if fn is None:

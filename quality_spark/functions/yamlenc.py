@@ -138,3 +138,98 @@ def from_yaml(c: ColumnOrName, ddl: Union[str, T.DataType]) -> Column:
     schema = T.StructType([T.StructField(_WRAP, dtype, True)])
     parsed = F.from_json(_yaml_to_json_udf(dtype)(_col(c)), schema)
     return parsed[_WRAP]
+
+
+# ---------------------------------------------------------------------------
+# rule-text macro path: to_yaml / from_yaml callable from SQL rule text
+# (reference registers both in the FunctionRegistry,
+# RuleRegistrationFunctions.scala:475-479)
+# ---------------------------------------------------------------------------
+
+_registered: set = set()
+
+
+@pandas_udf(T.StringType())
+def _yaml_to_json_generic(s, ddl):  # type: ignore[no-untyped-def]
+    """Type-directed yaml->json where the target type arrives as a
+    (constant) column in DataType-JSON form — lets ONE registered UDF
+    serve every target type in rule text. JSON (not DDL) because
+    ``_parse_datatype_json_string`` is pure Python and works on
+    executors; DDL parsing needs the JVM."""
+    import yaml
+
+    dtype = (
+        T._parse_datatype_json_string(ddl.iloc[0]) if len(ddl) else T.StringType()
+    )
+
+    def conv(x):
+        if x is None:
+            return None
+        try:
+            obj = yaml.safe_load(x)
+        except yaml.YAMLError:
+            return None
+        return json.dumps(
+            {_WRAP: _coerce_to_json_convention(obj, dtype)}, default=str
+        )
+
+    return s.map(conv)
+
+
+def ensure_yaml_udfs(spark=None) -> None:
+    """Idempotently register qs_json_to_yaml / qs_yaml_to_json on the
+    active session (called at macro-expansion time, like
+    pyhash.ensure_python_hashes)."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "to_yaml/from_yaml in rule text need an active SparkSession "
+            "at rule compile time (to register their pandas UDFs)"
+        )
+    if spark in _registered:
+        return
+    spark.udf.register("qs_json_to_yaml", _json_to_yaml)
+    spark.udf.register("qs_yaml_to_json", _yaml_to_json_generic)
+    _registered.add(spark)
+
+
+def _to_yaml_macro(args):
+    from .macros import _arity_error
+
+    if len(args) != 1:
+        raise _arity_error("to_yaml", args, "1")
+    ensure_yaml_udfs()
+    a = args[0]
+    wrapped = f"to_json(named_struct('{_WRAP}', ({a})))"
+    return (
+        f"(CASE WHEN ({a}) IS NULL THEN CAST(NULL AS STRING) "
+        f"ELSE qs_json_to_yaml({wrapped}) END)"
+    )
+
+
+def _from_yaml_macro(args):
+    from .macros import _arity_error, _strip_str
+
+    if len(args) != 2:
+        raise _arity_error("from_yaml", args, "2 (yaml, 'ddl')")
+    ddl = _strip_str(args[1])
+    dtype = T._parse_datatype_string(ddl)  # fail fast on a bad DDL literal
+    tjson = dtype.json().replace("'", "''")
+    a = args[0]
+    return (
+        f"from_json(qs_yaml_to_json(({a}), '{tjson}'), "
+        f"'struct<{_WRAP}:{ddl}>').{_WRAP}"
+    )
+
+
+def _register_yaml_macros() -> None:
+    from .macros import _register
+
+    _register(_to_yaml_macro, "to_yaml", "toYaml")
+    _register(_from_yaml_macro, "from_yaml", "fromYaml")
+
+
+_register_yaml_macros()

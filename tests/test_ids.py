@@ -241,3 +241,26 @@ def test_rng_bytes(spark):
     a = spark.range(1).select(F.expr(sql_s).alias("b")).collect()[0]["b"]
     b = spark.range(1).select(F.expr(sql_s).alias("b")).collect()[0]["b"]
     assert bytes(a) == bytes(b) and len(a) == 16
+
+
+def test_za_hash_longs_with_variants(spark):
+    got = _run(spark, "za_hash_longs_with('MD5', 'hello')")
+    assert tuple(got) == _md5_longs(b"hello")
+    assert len(_run(spark, "za_hash_longs_with('XX', 'hello')")) == 1
+    m128 = _run(spark, "za_hash_longs_with('MURMUR3_128', 'hello')")
+    s128 = _run(spark, "hash_with_struct('MURMUR3_128', 'hello')")
+    assert m128[0] == s128["i0"] and len(m128) == 2
+
+
+def test_schema_generic_names_diagnose(spark):
+    from quality_spark.functions.lambdas import expand_sql
+
+    for sql in [
+        "update_field(x, 'a', 1)",
+        "drop_field(x, 'a')",
+        "comparable_maps(m)",
+        "reverse_comparable_maps(m)",
+        "processor_input_wrapper(x)",
+    ]:
+        with pytest.raises(ValueError, match="Column API|non-goal"):
+            expand_sql(sql)

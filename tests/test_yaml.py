@@ -120,3 +120,27 @@ def test_from_yaml_reference_encodings(spark):
         from_yaml("y", "struct<b:binary,d:date>").alias("s")
     ).head()["s"]
     assert bytes(r["b"]) == b"hello" and r["d"] == datetime.date(2021, 3, 4)
+
+
+def test_yaml_macros_in_rule_text(spark):
+    """to_yaml/from_yaml are SQL-registered in the reference
+    (RuleRegistrationFunctions.scala:475-479); the macro path must make
+    rule text like from_yaml(to_yaml(x), 'ddl') compile and round-trip."""
+    from quality_spark.functions.lambdas import expand_sql
+
+    sql = expand_sql(
+        "from_yaml(to_yaml(named_struct('a', 5, 'b', 'x')), 'struct<a:int,b:string>')"
+    )
+    v = spark.sql(f"SELECT {sql} AS r").collect()[0]["r"]
+    assert (v["a"], v["b"]) == (5, "x")
+
+
+def test_yaml_macro_null_and_bad_ddl(spark):
+    from quality_spark.functions.lambdas import expand_sql
+
+    sql = expand_sql("to_yaml(CAST(NULL AS STRING))")
+    assert spark.sql(f"SELECT {sql} AS r").collect()[0]["r"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        expand_sql("from_yaml('a: 1', 'not a ddl <<<')")
