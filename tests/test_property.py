@@ -124,3 +124,87 @@ def test_lambda_var_inside_subquery(spark, sf_dir):
                    WHERE o.o_custkey = c.c_custkey) > 0"""
     ).fetchall()[0][0]
     assert got == want and got > 0
+
+
+# ---------------------------------------------------------------------------
+# temporal operators: randomized inputs vs python reference models
+# ---------------------------------------------------------------------------
+
+event_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),      # key
+        st.integers(min_value=0, max_value=1000),   # ts (seconds)
+        st.integers(min_value=0, max_value=1),      # side: 0=right, 1=left
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=event_strategy)
+def test_asof_join_property(spark, rows):
+    """asof_join == the obvious python scan for arbitrary (key, ts)
+    multisets, including duplicate timestamps on both sides."""
+    from quality_spark.operators.temporal import asof_join
+
+    data = [
+        (i, k, t, side) for i, (k, t, side) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, k long, t long, side int")
+    left = df.filter(F.col("side") == 1).drop("side")
+    right = df.filter(F.col("side") == 0).drop("side")
+    got = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join(
+            left, right, ["k"], left_ts="t", right_ts="t",
+            right_cols=["event_id"], tie_col="event_id",
+        ).collect()
+    }
+    rrows = [(k, t, i) for (i, k, t, side) in data if side == 0]
+    exp = {}
+    for (i, k, t, side) in data:
+        if side != 1:
+            continue
+        cands = [(rt, ri) for (rk, rt, ri) in rrows if rk == k and rt <= t]
+        exp[i] = max(cands)[1] if cands else None
+    assert got == exp
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.floats(0, 10, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    ),
+    dist=st.sampled_from([0.1, 0.5, 1.0]),
+)
+def test_range_join_property(spark, rows, dist):
+    """Banded range join == quadratic filter for arbitrary values,
+    including values exactly on bucket boundaries."""
+    from quality_spark.operators.temporal import range_join
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k long, v double")
+    got = {
+        (r["id"], r["r_id"])
+        for r in range_join(df, df, "v", "v", dist, ["k"])
+        .filter(F.col("id") < F.col("r_id"))
+        .collect()
+    }
+    exp = {
+        (a[0], b[0])
+        for a in data
+        for b in data
+        if a[1] == b[1] and a[0] < b[0] and abs(a[2] - b[2]) <= dist
+    }
+    assert got == exp
