@@ -1919,6 +1919,63 @@ FROM events GROUP BY 2
 """
 
 
+def q_salted_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation (hot-key mitigation): per-status
+    order totals via groupBy(key, salt) partials + merge — results
+    identical to the plain groupBy, which is the oracle."""
+    from quality_spark.operators.skew import salted_agg
+
+    orders = _read(spark, sf_dir, "orders")
+    return salted_agg(
+        orders,
+        keys=["o_orderstatus"],
+        aggs={
+            "n_orders": ("count", "o_orderkey"),
+            "total_price": ("sum", "o_totalprice"),
+            "max_price": ("max", "o_totalprice"),
+        },
+        salt_n=8,
+    ).select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("total_price", 4).alias("total_price"),
+        "max_price",
+    )
+
+
+def _oracle_salted_agg_orders() -> str:
+    return (
+        "SELECT o_orderstatus, count(o_orderkey) AS n_orders, "
+        "round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS total_price, "
+        "max(o_totalprice) AS max_price FROM orders GROUP BY 1"
+    )
+
+
+def q_skew_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated skew join: lineitem (big side, deterministic row-hash
+    salt) joined to nation-keyed suppliers replicated per salt bucket;
+    equals the plain join (the oracle)."""
+    from quality_spark.operators.skew import replicated_skew_join
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = replicated_skew_join(li, supp, ["l_suppkey"], salt_n=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+def _oracle_skew_join_lineitem() -> str:
+    return (
+        "SELECT s_nationkey, count(*) AS n_items, "
+        "round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1"
+    )
+
+
 def q_bigbloom_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big-bloom FILE sink + mmap readback (SURVEY §2 #17; reference
     impl/bloom/BucketedFiles.scala): build bucketed bloom files from
@@ -2018,6 +2075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_filter_pipeline": q_doc_filter_pipeline,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
+        "salted_agg_orders": q_salted_agg_orders,
+        "skew_join_lineitem": q_skew_join_lineitem,
     }
 
 
@@ -2078,4 +2137,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_filter_pipeline": _oracle_doc_filter_pipeline(),
         "range_join_events": _oracle_range_join_events(),
         "time_rollup_events": _oracle_time_rollup_events(),
+        "salted_agg_orders": _oracle_salted_agg_orders(),
+        "skew_join_lineitem": _oracle_skew_join_lineitem(),
     }
