@@ -1983,6 +1983,7 @@ def q_bigbloom_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives + left-semi removes false positives (same argument as
     bloom_semi_filter)."""
     import shutil
+    import tempfile
 
     from quality_spark.sources.bigbloom import (
         big_bloom_from,
@@ -1991,7 +1992,12 @@ def q_bigbloom_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from quality_spark.sources.lookups import probability_in
 
-    root = "/root/repo/.bigbloom_gate"
+    import os
+
+    # tmpdir, not the repo tree: the files must outlive this function
+    # (the returned DataFrame probes them lazily), so clean up the
+    # PREVIOUS run's directory and let the OS own the rest
+    root = os.path.join(tempfile.gettempdir(), "qs_bigbloom_gate")
     shutil.rmtree(root, ignore_errors=True)
     orders = _read(spark, sf_dir, "orders")
     big_bloom_from(orders, "o_custkey", expected=20_000, root_dir=root, fpp=0.001)

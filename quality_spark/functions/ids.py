@@ -180,7 +180,8 @@ def _za_longs_field_based_id(args):
 
 
 def _murmur3_id(args):
-    # reference: 128-bit Guava murmur3 → here two xxhash64 seeds
+    # reference: 128-bit Guava murmur3 — dispatches to the real
+    # MurmurHash3 x64_128 pandas UDF (pyhash.py, bit-verified vs Guava)
     if len(args) < 1:
         raise _arity_error("murmur3_id", args, "1+")
     return _hash_field_based_id(("'MURMUR3_128'",) + tuple(args))
@@ -301,22 +302,19 @@ def _rng_uuid(args):
 
 
 def _rng_id(args):
-    # reference rng_ID('prefix'[, 'ALGO'[, seed]]) — the prefix names
-    # flattened output columns in the reference's id model; this
-    # engine's ids are plain (base, i0, i1) structs, so a leading
-    # non-algorithm string literal is accepted as the prefix and
-    # otherwise ignored. rng_id('ALGO'[, seed]) also works directly.
-    from .pyrng import SUPPORTED_RNG_ALGOS
-
+    # reference rng_ID('prefix'[, 'ALGO'[, seed]]) — arg 0 is ALWAYS the
+    # prefix (RuleRegistrationFunctions.scala:448-459: every arity reads
+    # getString(exps.head) as prefix; defaults XO_RO_SHI_RO_128_PP,
+    # seed 0). The prefix names flattened output columns in the
+    # reference's id model; this engine's ids are plain (base, i0, i1)
+    # structs, so the prefix is accepted and otherwise unused.
+    if len(args) < 1 or len(args) > 3:
+        raise _arity_error("rng_id", args, "1-3 ('prefix'[, 'ALGO'[, seed]])")
+    _strip_str(args[0])  # must be a string literal, like the reference
     base = (2 << 0) | (GENERIC_LONGS_HEADER << HEADER_OFFSET)
-    rng_args = tuple(args)
-    if rng_args:
-        try:
-            is_algo = _strip_str(rng_args[0]).upper() in SUPPORTED_RNG_ALGOS
-        except ValueError:
-            is_algo = False
-        if not is_algo:
-            rng_args = rng_args[1:]  # leading prefix literal
+    rng_args = tuple(args[1:])
+    if not rng_args:
+        rng_args = ("'XO_RO_SHI_RO_128_PP'",)  # reference default, seed 0
     pair = _rng(rng_args)
     # seeded: duplicate qs_rng_pair calls collapse to one ArrowEvalPython
     # (and the UDF is a pure function of its inputs regardless);

@@ -215,6 +215,7 @@ def _from_yaml_macro(args):
 
     if len(args) != 2:
         raise _arity_error("from_yaml", args, "2 (yaml, 'ddl')")
+    ensure_yaml_udfs()
     ddl = _strip_str(args[1])
     dtype = T._parse_datatype_string(ddl)  # fail fast on a bad DDL literal
     tjson = dtype.json().replace("'", "''")

@@ -321,7 +321,8 @@ def _centroid_array_literal(cents: list) -> str:
     parts = []
     for cid, vec in cents:
         arr = ", ".join(f"{x!r}D" for x in vec)
-        parts.append(f"named_struct('cid', {cid}, 'v', array({arr}))")
+        # cid as BIGINT: corpus ids routinely exceed int32 at scale
+        parts.append(f"named_struct('cid', {cid}L, 'v', array({arr}))")
     return "array(" + ", ".join(parts) + ")"
 
 
@@ -339,7 +340,7 @@ def ivf_cell_expr(vec_col: str, cents: list) -> Column:
         f"(w, x) -> w * CAST(x AS DOUBLE)), 0.0D, (acc, t) -> acc + t)"
     )
     fold = (
-        f"aggregate({lit}, named_struct('cid', -1, 's', CAST(-1.0e308 AS DOUBLE)), "
+        f"aggregate({lit}, named_struct('cid', -1L, 's', CAST(-1.0e308 AS DOUBLE)), "
         f"(__qs_acc, __qs_c) -> CASE WHEN ({dot}) > __qs_acc.s "
         f"THEN named_struct('cid', __qs_c.cid, 's', ({dot})) ELSE __qs_acc END).cid"
     )
@@ -394,7 +395,7 @@ def ivf_flat_topk(
     # score DESC, cid ASC — so probe #1 is exactly the corpus cell)
     cent_df = F.broadcast(
         queries.sparkSession.createDataFrame(
-            [(cid, v) for cid, v in cents], "cid int, ch array<double>"
+            [(cid, v) for cid, v in cents], "cid long, ch array<double>"
         )
     )
     q = queries.select(

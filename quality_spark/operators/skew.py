@@ -49,9 +49,12 @@ def salted_agg(
     two are drop-in interchangeable (pinned by tests)."""
     if salt_n < 1:
         raise ValueError("salt_n must be >= 1")
-    salt = F.pmod(
-        F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(salt_n)
-    ).alias("__salt")
+    # rand-based, NOT row-hash: the canonical hot group is millions of
+    # IDENTICAL rows, which all share one row-hash and would defeat the
+    # salt. Any row->salt assignment merges correctly for algebraic
+    # aggregates, so randomness is safe here (unlike the join variant,
+    # where routing must be deterministic per row).
+    salt = F.floor(F.rand(87) * salt_n).cast("int").alias("__salt")
 
     partials, merges = [], []
     for out, (fn, col) in aggs.items():

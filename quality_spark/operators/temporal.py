@@ -83,7 +83,14 @@ def asof_join(
         if tie_col is not None
         else F.lit(0).cast("long")
     )
-    r = right.select(
+    # SQL comparison semantics: a NULL right timestamp can never satisfy
+    # right_ts <= left_ts, and NULL keys never equi-join — drop such
+    # right rows up front (otherwise NULLS FIRST ordering would place
+    # them at the head of every frame and last() would match them).
+    right_clean = right.filter(F.col(right_ts).isNotNull())
+    for k in key_cols:
+        right_clean = right_clean.filter(F.col(k).isNotNull())
+    r = right_clean.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -180,17 +187,33 @@ def time_rollup(
     ]
     base = df.select("*", *bucket_cols)
     sets = [[F.col(f"__b_{res}")] for res in resolutions]
-    grouped = base.groupingSets(sets, *[F.col(f"__b_{res}") for res in resolutions]).agg(*aggs)
-    # exactly one bucket column is non-null per output row (one grouping
-    # set each); name the resolution and coalesce the bucket
+    grouped = base.groupingSets(
+        sets, *[F.col(f"__b_{res}") for res in resolutions]
+    ).agg(
+        *aggs,
+        *[F.grouping(f"__b_{res}").alias(f"__g_{res}") for res in resolutions],
+    )
+    # identify the grouping set by grouping() flags, NOT by which bucket
+    # is non-null: a NULL input timestamp makes every bucket NULL, and
+    # null-pattern dispatch would collapse those rows into an
+    # indistinguishable resolution=NULL pair
     res_case = F.coalesce(
         *[
-            F.when(F.col(f"__b_{res}").isNotNull(), F.lit(res))
+            F.when(F.col(f"__g_{res}") == 0, F.lit(res))
             for res in resolutions
         ]
     )
-    bucket = F.coalesce(*[F.col(f"__b_{res}") for res in resolutions])
-    out_aggs = [c for c in grouped.columns if not c.startswith("__b_")]
+    bucket = F.coalesce(
+        *[
+            F.when(F.col(f"__g_{res}") == 0, F.col(f"__b_{res}"))
+            for res in resolutions
+        ]
+    )
+    out_aggs = [
+        c
+        for c in grouped.columns
+        if not c.startswith("__b_") and not c.startswith("__g_")
+    ]
     return grouped.select(
         res_case.alias("resolution"), bucket.alias("bucket_start"), *out_aggs
     )

@@ -192,4 +192,5 @@ def register_big_bloom(spark: SparkSession, name: str, bb: BigBloom) -> None:
             out[mask] = np.where(ok, hit, 0.0)
         return pd.Series(out)
 
-    spark.udf.register(f"q_bloom_{name}", probe)
+    from .lookups import _sql_ident
+    spark.udf.register(f"q_bloom_{_sql_ident(name)}", probe)

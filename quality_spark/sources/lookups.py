@@ -74,6 +74,15 @@ def _infer_value_ddl(mapping: Dict) -> str:
     return "string"
 
 
+def _sql_ident(name: str) -> str:
+    """Map an arbitrary registry name to a valid SQL function-name
+    suffix (user map/bloom names like 'nations-low' must still produce
+    parseable generated SQL)."""
+    import re as _re
+
+    return _re.sub(r"\W", "_", name)
+
+
 def register_map_lookup(
     name: str,
     mapping: Dict,
@@ -97,7 +106,7 @@ def register_map_lookup(
             # reject non-finite floats on the Arrow conversion
             return got.astype(object).where(pd.notna(got), None)
 
-        spark.udf.register(f"q_map_{name}", probe)
+        spark.udf.register(f"q_map_{_sql_ident(name)}", probe)
         _MAP_REGISTRY[name] = (mapping, f"__udf:{ddl}")
     else:
         _MAP_REGISTRY[name] = (mapping, value_ddl or "")
@@ -142,7 +151,7 @@ def _map_literal_sql(name: str) -> str:
 def map_lookup_sql(name: str, key_sql: str) -> str:
     _, value_ddl = _map_entry(name)
     if value_ddl.startswith("__udf:"):
-        return f"q_map_{name}(({key_sql}))"
+        return f"q_map_{_sql_ident(name)}(({key_sql}))"
     return f"element_at({_map_literal_sql(name)}, ({key_sql}))"
 
 
@@ -282,7 +291,7 @@ def register_bloom(spark: SparkSession, name: str, bf: BloomFilter) -> None:
         ok = local.might_contain(u1, u2)
         return pd.Series(np.where(ok, hit, 0.0))
 
-    spark.udf.register(f"q_bloom_{name}", probe)
+    spark.udf.register(f"q_bloom_{_sql_ident(name)}", probe)
 
 
 def load_blooms(spark: SparkSession, configs: DataFrame | list) -> None:
@@ -320,7 +329,7 @@ def probability_in_sql(expr_sql: str, name: str) -> str:
         raise KeyError(f"bloom {name!r} not registered; call register_bloom/load_blooms")
     e = f"CAST(({expr_sql}) AS STRING)"
     return (
-        f"q_bloom_{name}(xxhash64({e}, {_H1_SEED}), xxhash64({e}, {_H2_SEED}))"
+        f"q_bloom_{_sql_ident(name)}(xxhash64({e}, {_H1_SEED}), xxhash64({e}, {_H2_SEED}))"
     )
 
 

@@ -167,3 +167,21 @@ def test_large_map_compiles_to_udf(spark, sf_dir):
             assert r["v"] == r["c_custkey"] * 10 and r["has"]
         else:
             assert r["v"] is None and not r["has"]
+
+
+def test_udf_backed_map_with_non_identifier_name(spark):
+    """Map names that are not SQL identifiers must still generate
+    parseable lookup SQL on the UDF-backed (large-map) path."""
+    from quality_spark.sources.lookups import (
+        MAP_LITERAL_MAX,
+        map_lookup,
+        register_map_lookup,
+    )
+
+    big = {i: f"v{i}" for i in range(MAP_LITERAL_MAX + 1)}
+    register_map_lookup("weird-name.1", big, "string", spark=spark)
+    df = spark.range(0, 5).select(F.col("id"))
+    got = {r["id"]: r["v"] for r in df.select(
+        "id", map_lookup("weird-name.1", F.col("id")).alias("v")
+    ).collect()}
+    assert got == {i: f"v{i}" for i in range(5)}

@@ -48,18 +48,19 @@ def test_salted_agg_rejects_holistic(spark, skewed):
         salted_agg(skewed, ["k"], {"m": ("median", "v")})
 
 
-def test_salted_agg_splits_hot_key(spark, skewed):
-    """The partial stage really does spread the hot key: >1 sub-group."""
-    salted = skewed.select(
-        "*",
-        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in skewed.columns])), F.lit(8)).alias(
-            "__salt"
-        ),
+def test_salted_agg_splits_identical_rows(spark):
+    """The canonical hot group is IDENTICAL rows — a row-hash salt
+    would collapse them into one bucket; the rand salt must not."""
+    dup = spark.range(0, 2000).select(F.lit(1).alias("k"), F.lit(0.5).alias("v"))
+    got = salted_agg(dup, ["k"], {"n": ("count", "v"), "s": ("sum", "v")}, salt_n=8)
+    row = got.collect()[0]
+    assert (row["k"], row["n"], row["s"]) == (1, 2000, 1000.0)
+    n_buckets = (
+        dup.select(F.floor(F.rand(87) * 8).cast("int").alias("s"))
+        .distinct()
+        .count()
     )
-    n_subgroups = (
-        salted.filter(F.col("k") == 1).select("__salt").distinct().count()
-    )
-    assert n_subgroups > 1
+    assert n_buckets > 1
 
 
 def test_replicated_skew_join_equals_plain(spark, skewed):

@@ -154,3 +154,33 @@ def test_time_rollup_single_shuffle(spark, events):
     )
     assert plan.count("Exchange") == 1, plan
     assert "Expand" in plan
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame([(1, 1, 100)], "event_id long, k long, t long")
+    right = spark.createDataFrame(
+        [(10, 1, None), (11, None, 50)],
+        "event_id long, k long, t long",
+    )
+    from quality_spark.operators.temporal import asof_join
+
+    out = asof_join(
+        left, right, ["k"], left_ts="t", right_ts="t", right_cols=["event_id"]
+    ).collect()
+    # NULL right ts and NULL right key are not matchable under SQL
+    # comparison semantics
+    assert len(out) == 1 and out[0]["asof_event_id"] is None
+
+
+def test_time_rollup_null_ts_stays_per_resolution(spark):
+    from quality_spark.operators.temporal import time_rollup
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00"), (2, None)], "id long, s string"
+    ).select("id", F.col("s").cast("timestamp").alias("ts"))
+    rows = time_rollup(df, resolutions=("hour", "day")).collect()
+    null_rows = [(r["resolution"], r["n_events"]) for r in rows if r["bucket_start"] is None]
+    # one NULL-bucket row per named resolution, not an indistinguishable
+    # resolution=NULL pair
+    assert sorted(null_rows) == [("day", 1), ("hour", 1)]
+    assert all(r["resolution"] in ("hour", "day") for r in rows)
