@@ -133,7 +133,14 @@ def expand_sql(
     registry: Optional[LambdaRegistry] = None,
     max_depth: int = 64,
 ) -> str:
-    """Expand builtin quality macros + registered lambdas in rule text."""
+    """Expand builtin quality macros + registered lambdas in rule text.
+
+    Before expansion, encoded-id filter comparisons rewrite into
+    pushdown-able long comparisons (the reference does the same with
+    session-extension Catalyst rules — plans/pushdown.py)."""
+    from ..plans.pushdown import rewrite_encoded_filters
+
+    sql = rewrite_encoded_filters(sql)
 
     def expander(name: str, args: Tuple[str, ...]) -> Optional[str]:
         if name == "callfun":

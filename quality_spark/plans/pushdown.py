@@ -1,0 +1,80 @@
+"""Filter rewrites that restore parquet pushdown for encoded-id
+comparisons (reference: QualitySparkExtension's AsUUIDFilter /
+IDBase64Filter optimizer rules, impl/extension/*.scala, tested by
+ExtensionTest.scala).
+
+``as_uuid(lower, higher) = '<uuid literal>'`` evaluated naively builds
+the uuid STRING per row and compares — the parquet reader sees an
+opaque expression and scans everything. The reference injects Catalyst
+rules that rewrite such predicates into comparisons on the underlying
+long columns, which ARE pushdown-able. This engine applies the same
+rewrite driver-side where all rule text passes through
+(``expand_sql``), covering:
+
+- ``as_uuid(a, b) = 'uuid'`` / ``'uuid' = as_uuid(a, b)`` / ``<=>``
+  -> ``((a) = <low64> AND (b) = <high64>)``
+- ``as_uuid(a, b) IN ('u1', 'u2', ...)`` -> OR of the pairs
+
+Scope is deliberately conservative: arguments must not contain
+parentheses, commas, or quotes (i.e. plain columns / dotted fields —
+the overwhelmingly common case); anything else is left untouched and
+still evaluates correctly through the macro path, just without
+pushdown. Ordering comparisons (<, >) are NOT rewritten: uuid-string
+order is unsigned 128-bit order, which signed long comparisons do not
+reproduce.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid as uuidlib
+
+_ARG = r"[^,()'\"]+"
+_UUID = r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+
+_EQ_RE = re.compile(
+    rf"\bas_uuid\s*\(\s*({_ARG}?)\s*,\s*({_ARG}?)\s*\)\s*(=|==|<=>)\s*'({_UUID})'"
+)
+_EQ_REV_RE = re.compile(
+    rf"'({_UUID})'\s*(=|==|<=>)\s*as_uuid\s*\(\s*({_ARG}?)\s*,\s*({_ARG}?)\s*\)"
+)
+_IN_RE = re.compile(
+    rf"\bas_uuid\s*\(\s*({_ARG}?)\s*,\s*({_ARG}?)\s*\)\s+IN\s*"
+    rf"\(\s*('({_UUID})'(\s*,\s*'{_UUID}')*)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _signed(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _uuid_longs(lit: str) -> tuple:
+    u = uuidlib.UUID(lit)
+    return _signed(u.int & ((1 << 64) - 1)), _signed(u.int >> 64)
+
+
+def _pair_sql(lower_arg: str, higher_arg: str, lit: str) -> str:
+    lo, hi = _uuid_longs(lit)
+    return f"(({lower_arg.strip()}) = {lo}L AND ({higher_arg.strip()}) = {hi}L)"
+
+
+def rewrite_encoded_filters(sql: str) -> str:
+    """Apply the pushdown rewrites to one SQL text (idempotent)."""
+
+    def eq(m: "re.Match") -> str:
+        return _pair_sql(m.group(1), m.group(2), m.group(4))
+
+    def eq_rev(m: "re.Match") -> str:
+        return _pair_sql(m.group(3), m.group(4), m.group(1))
+
+    def in_list(m: "re.Match") -> str:
+        lower_arg, higher_arg = m.group(1), m.group(2)
+        lits = re.findall(_UUID, m.group(3))
+        ors = " OR ".join(_pair_sql(lower_arg, higher_arg, u) for u in lits)
+        return f"({ors})"
+
+    out = _IN_RE.sub(in_list, sql)
+    out = _EQ_RE.sub(eq, out)
+    out = _EQ_REV_RE.sub(eq_rev, out)
+    return out

@@ -1,0 +1,80 @@
+"""Encoded-id filter pushdown rewrite (plans/pushdown.py — the
+reference's AsUUIDFilter extension rule, ExtensionTest.scala)."""
+
+from __future__ import annotations
+
+import uuid as uuidlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from quality_spark.functions.lambdas import expand_sql
+from quality_spark.plans.pushdown import rewrite_encoded_filters
+
+SF = "/root/testdata/sf0.01"
+
+
+def _uuid_for(lo: int, hi: int) -> str:
+    u = (hi & ((1 << 64) - 1)) << 64 | (lo & ((1 << 64) - 1))
+    return str(uuidlib.UUID(int=u))
+
+
+def test_rewrite_eq_forms():
+    u = _uuid_for(5, 7)
+    out = rewrite_encoded_filters(f"as_uuid(a, b) = '{u}'")
+    assert out == "((a) = 5L AND (b) = 7L)"
+    out = rewrite_encoded_filters(f"'{u}' = as_uuid(a, b)")
+    assert out == "((a) = 5L AND (b) = 7L)"
+    # negative longs survive the signed conversion
+    un = _uuid_for(-2, -3)
+    assert "= -2L" in rewrite_encoded_filters(f"as_uuid(x, y) = '{un}'")
+
+
+def test_rewrite_in_list():
+    u1, u2 = _uuid_for(1, 2), _uuid_for(3, 4)
+    out = rewrite_encoded_filters(f"as_uuid(a, b) IN ('{u1}', '{u2}')")
+    assert out == "(((a) = 1L AND (b) = 2L) OR ((a) = 3L AND (b) = 4L))"
+
+
+def test_rewrite_leaves_complex_args_and_ordering_alone():
+    u = _uuid_for(1, 2)
+    s = f"as_uuid(f(a), b) = '{u}'"
+    assert rewrite_encoded_filters(s) == s  # nested call arg: untouched
+    s2 = f"as_uuid(a, b) > '{u}'"
+    assert rewrite_encoded_filters(s2) == s2  # ordering: untouched
+
+
+def test_filter_pushes_to_parquet_scan(spark, tmp_path):
+    """End to end: a uuid-equality rule filter reaches PushedFilters."""
+    d = str(tmp_path / "pairs")
+    spark.range(0, 1000).select(
+        F.col("id").alias("lo"), (F.col("id") * 2).alias("hi")
+    ).write.parquet(d)
+    df = spark.read.parquet(d)
+    u = _uuid_for(10, 20)
+    cond = expand_sql(f"as_uuid(lo, hi) = '{u}'")
+    out = df.filter(F.expr(cond))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in plan
+    pushed = plan[plan.index("PushedFilters") :].split("\n")[0]
+    assert "lo" in pushed and "hi" in pushed, pushed
+    rows = out.collect()
+    assert [(r["lo"], r["hi"]) for r in rows] == [(10, 20)]
+
+
+def test_rewrite_matches_unrewritten_semantics(spark):
+    """The rewrite returns exactly the rows the naive comparison does."""
+    docs = spark.read.parquet(f"{SF}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("lo"),
+        F.col("n_regionkey").cast("long").alias("hi"),
+    )
+    first = docs.first()
+    u = _uuid_for(first["lo"], first["hi"])
+    naive = docs.filter(
+        F.expr(expand_sql("as_uuid(lo, hi)") + f" = '{u}'")
+    ).collect()
+    rewritten = docs.filter(F.expr(expand_sql(f"as_uuid(lo, hi) = '{u}'"))).collect()
+    assert sorted(map(tuple, naive)) == sorted(map(tuple, rewritten))
+    assert len(rewritten) == 1
