@@ -59,6 +59,38 @@ def _pair_sql(lower_arg: str, higher_arg: str, lit: str) -> str:
     return f"(({lower_arg.strip()}) = {lo}L AND ({higher_arg.strip()}) = {hi}L)"
 
 
+_B64 = r"[A-Za-z0-9+/]+={0,2}"
+_B64_EQ_RE = re.compile(
+    rf"\bid_base64\s*\(\s*({_ARG}?)\s*\)\s*(=|==|<=>)\s*'({_B64})'"
+)
+_B64_EQ_REV_RE = re.compile(
+    rf"'({_B64})'\s*(=|==|<=>)\s*id_base64\s*\(\s*({_ARG}?)\s*\)"
+)
+
+
+def _id_struct_sql(arg: str, b64: str):
+    """Decode an id_base64 literal (big-endian base:int32 + payload
+    longs) into per-field comparisons on the id struct — nested-field
+    predicates push down to parquet (IDBase64Filter analogue). Returns
+    None if the literal is not a well-formed id encoding."""
+    import base64
+    import struct as structlib
+
+    try:
+        raw = base64.b64decode(b64, validate=True)
+    except Exception:
+        return None
+    if len(raw) < 12 or (len(raw) - 4) % 8 != 0:
+        return None
+    base = structlib.unpack(">i", raw[:4])[0]
+    longs = structlib.unpack(f">{(len(raw) - 4) // 8}q", raw[4:])
+    a = arg.strip()
+    parts = [f"({a}).base = {base}"] + [
+        f"({a}).i{i} = {v}L" for i, v in enumerate(longs)
+    ]
+    return "(" + " AND ".join(parts) + ")"
+
+
 def rewrite_encoded_filters(sql: str) -> str:
     """Apply the pushdown rewrites to one SQL text (idempotent)."""
 
@@ -74,7 +106,17 @@ def rewrite_encoded_filters(sql: str) -> str:
         ors = " OR ".join(_pair_sql(lower_arg, higher_arg, u) for u in lits)
         return f"({ors})"
 
+    def b64_eq(m: "re.Match") -> str:
+        got = _id_struct_sql(m.group(1), m.group(3))
+        return got if got is not None else m.group(0)
+
+    def b64_eq_rev(m: "re.Match") -> str:
+        got = _id_struct_sql(m.group(3), m.group(1))
+        return got if got is not None else m.group(0)
+
     out = _IN_RE.sub(in_list, sql)
     out = _EQ_RE.sub(eq, out)
     out = _EQ_REV_RE.sub(eq_rev, out)
+    out = _B64_EQ_RE.sub(b64_eq, out)
+    out = _B64_EQ_REV_RE.sub(b64_eq_rev, out)
     return out

@@ -78,3 +78,32 @@ def test_rewrite_matches_unrewritten_semantics(spark):
     rewritten = docs.filter(F.expr(expand_sql(f"as_uuid(lo, hi) = '{u}'"))).collect()
     assert sorted(map(tuple, naive)) == sorted(map(tuple, rewritten))
     assert len(rewritten) == 1
+
+
+def test_id_base64_rewrite_and_semantics(spark):
+    """id_base64(col) = 'lit' rewrites to nested-field comparisons on
+    the id struct (IDBase64Filter analogue) and selects the same row."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    with_id = docs.select(
+        "doc_id", F.expr(expand_sql("field_based_id('MD5', text)")).alias("fid")
+    )
+    target = with_id.first()
+    b64 = spark.sql(
+        f"SELECT {expand_sql('id_base64(named_struct(' + repr_struct(target['fid']) + '))')} AS b"
+    ).collect()[0]["b"]
+    cond = expand_sql(f"id_base64(fid) = '{b64}'")
+    assert ".base = " in cond and ".i0 = " in cond and "id_base64" not in cond
+    got = with_id.filter(F.expr(cond)).collect()
+    assert [r["doc_id"] for r in got] == [target["doc_id"]]
+
+
+def repr_struct(row) -> str:
+    return f"'base', {row['base']}, 'i0', {row['i0']}L, 'i1', {row['i1']}L"
+
+
+def test_id_base64_bad_literal_untouched():
+    s = "id_base64(x) = 'notvalid!'"
+    assert rewrite_encoded_filters(s) == s
+    # well-formed base64 but wrong length: left alone
+    s2 = "id_base64(x) = 'QUJD'"
+    assert rewrite_encoded_filters(s2) == s2
