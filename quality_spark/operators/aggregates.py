@@ -308,8 +308,16 @@ def map_agg_column(df: DataFrame, site: MapAggSite) -> DataFrame:
             "__k", F.col("__v").cast(site.value_ddl).alias("__v"), "__n"
         )
     gathered = per_key.agg(
+        # NULL keys cannot enter a Spark map (map_from_entries raises);
+        # drop the NULL-key GROUP from the map while keeping its rows in
+        # the filter-hit count — collect_list skips the NULL entries the
+        # CASE produces
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("__k", "__v")))
+            F.array_sort(
+                F.collect_list(
+                    F.expr("CASE WHEN __k IS NOT NULL THEN struct(__k, __v) END")
+                )
+            )
         ).alias("__m"),
         F.coalesce(F.sum("__n"), F.lit(0)).alias("__c"),  # filter-hit count
     )

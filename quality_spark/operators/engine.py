@@ -27,19 +27,9 @@ from .runner import _assemble, _lit_packed
 __all__ = ["rule_engine_runner", "add_rule_engine", "add_rule_engine_f", "rule_engine_with_struct"]
 
 
-def _trigger_encs(suite: RuleSuite, df: Optional[DataFrame]) -> List[List[str]]:
-    expanded = expand_rules(suite)
-    if df is not None:
-        dtypes = probe_types(df, [s for _, _, s in expanded])
-        encoded = [encode_rule_sql(s, t) for (_, _, s), t in zip(expanded, dtypes)]
-    else:
-        encoded = [encode_rule_sql_generic(s) for _, _, s in expanded]
-    out: List[List[str]] = []
-    i = 0
-    for rs in suite.rule_sets:
-        out.append(encoded[i : i + len(rs.rules)])
-        i += len(rs.rules)
-    return out
+# single source of truth for rule encoding — the engine/folder trigger
+# path encodes exactly like the runner
+from .runner import _encoded_sqls as _trigger_encs  # noqa: E402
 
 
 def _salience_ordered(
@@ -101,9 +91,23 @@ def rule_engine_runner(
         c = F.expr(sql)
         return c.cast(cast_ddl) if cast_ddl else c
 
-    # salient rule id triple — first (lowest salience) passing trigger
+    # salient rule id triple — first (lowest salience) passing trigger.
+    # Assembled for debug mode too: the reference's debugMode changes
+    # only the RESULT shape (array of (salience, result)), never the
+    # salient triple (SURVEY §3.2).
     triple_type = "STRUCT<ruleSuiteId: BIGINT, ruleSetId: BIGINT, ruleId: BIGINT>"
     salient: Column = F.expr(f"CAST(NULL AS {triple_type})")
+    if ordered:
+        sal_arms_all = [
+            f"WHEN ({enc}) = {PASSED_INT} THEN named_struct("
+            f"'ruleSuiteId', CAST({pack_id(suite.id)} AS BIGINT), "
+            f"'ruleSetId', CAST({pack_id(rs.id)} AS BIGINT), "
+            f"'ruleId', CAST({pack_id(r.id)} AS BIGINT))"
+            for (rs, r, enc, sal) in ordered
+        ]
+        salient = F.expr(
+            f"CASE {' '.join(sal_arms_all)} ELSE CAST(NULL AS {triple_type}) END"
+        )
     result: Column
     if debug_mode:
         triggers = [F.expr(enc) == PASSED_INT for _, _, enc, _ in ordered]
@@ -121,7 +125,9 @@ def rule_engine_runner(
                 arr, lambda e: F.struct(e["salience"].alias("salience"), e["result"].alias("result"))
             )
         else:
-            result = F.lit(None).cast("array<struct<salience:int,result:string>>")
+            result = F.lit(None).cast(
+                f"array<struct<salience:int,result:{cast_ddl or 'string'}>>"
+            )
     elif not ordered:
         result = F.lit(None).cast(cast_ddl) if cast_ddl else F.lit(None)
     else:
@@ -133,21 +139,10 @@ def rule_engine_runner(
             return f"CAST({sql} AS {cast_ddl})" if cast_ddl else sql
 
         res_arms = []
-        sal_arms = []
         for (rs, r, enc, sal), out_sql in zip(ordered, out_sqls):
-            cond = f"({enc}) = {PASSED_INT}"
-            res_arms.append(f"WHEN {cond} THEN {cast_out(out_sql)}")
-            sal_arms.append(
-                f"WHEN {cond} THEN named_struct("
-                f"'ruleSuiteId', CAST({pack_id(suite.id)} AS BIGINT), "
-                f"'ruleSetId', CAST({pack_id(rs.id)} AS BIGINT), "
-                f"'ruleId', CAST({pack_id(r.id)} AS BIGINT))"
-            )
+            res_arms.append(f"WHEN ({enc}) = {PASSED_INT} THEN {cast_out(out_sql)}")
         else_res = f" ELSE CAST(NULL AS {cast_ddl})" if cast_ddl else ""
         result = F.expr(f"CASE {' '.join(res_arms)}{else_res} END")
-        salient = F.expr(
-            f"CASE {' '.join(sal_arms)} ELSE CAST(NULL AS {triple_type}) END"
-        )
 
     return F.struct(
         dq.alias("ruleSuiteResults"),

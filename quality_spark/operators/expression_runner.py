@@ -11,6 +11,7 @@ built-ins); ``map_with`` aggregations become groupBy sub-plans
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List, Optional, Tuple, Union
 
 from pyspark.sql import Column, DataFrame
@@ -100,8 +101,18 @@ def add_expression_runner(
     main_exprs: List[Tuple[int, str]] = []
     for i, (_, _, sql) in enumerate(rules):
         stripped = sql.strip()
-        if stripped not in placeholders:
-            main_exprs.append((i, sql))
+        if stripped in placeholders:
+            continue
+        # a placeholder NESTED in a larger expression (e.g.
+        # element_at(<lifted map agg>, 'UK')) must evaluate against the
+        # cross-joined frame where the placeholder column exists, not
+        # df.agg — routing it there fails resolution with a misleading
+        # mixed-rules error
+        if any(
+            re.search(rf"\b{re.escape(p)}\b", sql) for p in placeholders
+        ):
+            continue
+        main_exprs.append((i, sql))
 
     pieces: List[DataFrame] = []
     if main_exprs:

@@ -94,12 +94,12 @@ def rule_folder_runner(
     elif debug_mode:
         # acc: STRUCT<cur: T, arr: ARRAY<STRUCT<salience INT, result T>>>
         def _dbg_step(out: str) -> str:
-            return substitute_identifiers(out, {"__qacc": "acc.cur"})
+            return substitute_identifiers(out, {"__qacc": "__qs_fold_acc.cur"})
 
         body = " ".join(
-            f"WHEN i = {idx} AND ({enc}) = {PASSED_INT} THEN "
+            f"WHEN __qs_fold_i = {idx} AND ({enc}) = {PASSED_INT} THEN "
             f"named_struct('cur', {_dbg_step(out)}, "
-            f"'arr', array_append(acc.arr, named_struct('salience', CAST({sal} AS INT), "
+            f"'arr', array_append(__qs_fold_acc.arr, named_struct('salience', CAST({sal} AS INT), "
             f"'result', {_dbg_step(out)})))"
             for idx, (sal, enc, out) in enumerate(steps)
         )
@@ -109,18 +109,18 @@ def rule_folder_runner(
         )
         result_sql = (
             f"aggregate(sequence(0, {len(steps) - 1}), {zero}, "
-            f"(acc, i) -> CASE {body} ELSE acc END).arr"
+            f"(__qs_fold_acc, __qs_fold_i) -> CASE {body} ELSE __qs_fold_acc END).arr"
         )
     else:
         body = " ".join(
-            f"WHEN i = {idx} AND ({enc}) = {PASSED_INT} THEN "
-            + substitute_identifiers(out, {"__qacc": "acc"})
+            f"WHEN __qs_fold_i = {idx} AND ({enc}) = {PASSED_INT} THEN "
+            + substitute_identifiers(out, {"__qacc": "__qs_fold_acc"})
             for idx, (sal, enc, out) in enumerate(steps)
         )
         any_passed = " OR ".join(f"({enc}) = {PASSED_INT}" for _, enc, _ in steps)
         folded = (
             f"aggregate(sequence(0, {len(steps) - 1}), {start_cast}, "
-            f"(acc, i) -> CASE {body} ELSE acc END)"
+            f"(__qs_fold_acc, __qs_fold_i) -> CASE {body} ELSE __qs_fold_acc END)"
         )
         # reference returns NULL when no rule passed (RuleImpl.scala:560-566)
         result_sql = f"(CASE WHEN {any_passed} THEN {folded} ELSE NULL END)"

@@ -12,9 +12,10 @@ patterns AQE does not cover:
   algebraic aggregates (sum/count/min/max + avg via sum/count) because
   only those merge losslessly across partials.
 - ``replicated_skew_join``: a hot join key floods one task. The big
-  side takes a DETERMINISTIC per-row salt (hash of the whole row, not
-  ``rand()`` — reruns and speculative retries must route rows the same
-  way); the small side replicates ``salt_n`` times; the join key
+  side takes a seeded-rand per-row salt (identical duplicate rows — the
+  canonical hot key — would all share a row hash and defeat a
+  hash-based salt); the small side replicates ``salt_n`` times so every
+  salt value joins correctly regardless of routing; the join key
   becomes (key, salt), spreading the hot key over ``salt_n`` tasks at
   the cost of ``|small| x salt_n`` replication.
 """
@@ -87,21 +88,25 @@ def replicated_skew_join(
     salt_n: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join where ``big`` has hot keys: big rows salt
-    deterministically into ``salt_n`` buckets, ``small`` replicates to
-    every bucket, and the join runs on (keys..., salt). Result equals
-    ``big.join(small, keys, how)`` row-for-row (pinned by tests and the
-    driver gate)."""
+    """Equi-join where ``big`` has hot keys: big rows salt into
+    ``salt_n`` buckets, ``small`` replicates to every bucket, and the
+    join runs on (keys..., salt). Result equals
+    ``big.join(small, keys, how)`` row-for-row regardless of salt
+    assignment (pinned by tests and the driver gate)."""
     if salt_n < 1:
         raise ValueError("salt_n must be >= 1")
     if how not in ("inner", "left"):
         raise ValueError("replicated_skew_join supports inner/left joins")
     keys = list(keys)
+    # seeded-rand salt, not row-hash: identical duplicate rows (the
+    # canonical hot key) all share one hash and would stay on one task;
+    # rand spreads them. Any salt value joins correctly (the small side
+    # carries every salt), so per-row routing freedom is safe. Bonus:
+    # row-hash breaks on map-typed columns (hash of MapType is
+    # disallowed); rand does not.
     b = big.select(
         "*",
-        F.pmod(
-            F.xxhash64(F.struct(*[F.col(c) for c in big.columns])), F.lit(salt_n)
-        ).alias("__salt"),
+        F.floor(F.rand(53) * salt_n).cast("int").alias("__salt"),
     )
     s = small.select(
         "*", F.explode(F.array(*[F.lit(i) for i in range(salt_n)])).alias("__salt")

@@ -164,10 +164,19 @@ _MMAP_CACHE: Dict[Tuple[str, int], np.ndarray] = {}
 
 
 def _bucket_bits(root: str, b: int) -> np.ndarray:
-    key = (root, b)
+    # cache key includes the file's (mtime_ns, size): rebuilding a bloom
+    # at the same root invalidates long-lived executors' mmaps instead
+    # of silently serving stale bits; the os.stat per probe batch is
+    # noise next to the probe itself
+    path = os.path.join(root, f"bucket_{b}.npy")
+    st = os.stat(path)
+    key = (root, b, st.st_mtime_ns, st.st_size)
     arr = _MMAP_CACHE.get(key)
     if arr is None:
-        arr = np.load(os.path.join(root, f"bucket_{b}.npy"), mmap_mode="r")
+        # drop superseded generations of this bucket before caching
+        for k in [k for k in _MMAP_CACHE if k[:2] == (root, b)]:
+            del _MMAP_CACHE[k]
+        arr = np.load(path, mmap_mode="r")
         _MMAP_CACHE[key] = arr
     return arr
 

@@ -49,14 +49,31 @@ MAP_LITERAL_MAX = 10_000
 
 
 def _sql_literal(v) -> str:
+    import datetime
+    import decimal
+    import math as _math
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, str):
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # repr(nan/inf) is not SQL; Spark & DuckDB both accept the cast
+        if _math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if _math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
         return repr(v)
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return f"{v}BD"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP'{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE'{v.isoformat()}'"
     raise ValueError(f"unsupported literal type {type(v)} for map lookup")
 
 
@@ -106,7 +123,14 @@ def register_map_lookup(
             # reject non-finite floats on the Arrow conversion
             return got.astype(object).where(pd.notna(got), None)
 
+        key_set = frozenset(mapping)
+
+        @F.pandas_udf("boolean")
+        def has(keys: pd.Series) -> pd.Series:
+            return keys.map(lambda k: k in key_set)
+
         spark.udf.register(f"q_map_{_sql_ident(name)}", probe)
+        spark.udf.register(f"q_map_has_{_sql_ident(name)}", has)
         _MAP_REGISTRY[name] = (mapping, f"__udf:{ddl}")
     else:
         _MAP_REGISTRY[name] = (mapping, value_ddl or "")
@@ -156,7 +180,12 @@ def map_lookup_sql(name: str, key_sql: str) -> str:
 
 
 def map_contains_sql(name: str, key_sql: str) -> str:
-    return f"({map_lookup_sql(name, key_sql)} IS NOT NULL)"
+    """KEY membership, not value-is-not-null: a key mapped to NULL is
+    still contained (reference mapContains checks presence)."""
+    mapping, value_ddl = _map_entry(name)
+    if value_ddl.startswith("__udf:"):
+        return f"q_map_has_{_sql_ident(name)}(({key_sql}))"
+    return f"array_contains(map_keys({_map_literal_sql(name)}), ({key_sql}))"
 
 
 def map_lookup(name: str, key: Union[Column, str]) -> Column:

@@ -222,3 +222,55 @@ def test_big_bloom_sql_aggregate_roundtrip(spark, sf_dir, tmp_path):
         assert n == orders.count()
     finally:
         set_bloom_file_location(None)  # type: ignore[arg-type]
+
+
+def test_map_with_null_key_skipped_not_crashing(spark):
+    """A NULL map_with key must not crash map_from_entries; the NULL
+    group stays out of the map but still counts as a filter hit."""
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite
+    from quality_spark.operators.expression_runner import add_expression_runner
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), ("b", 3.0)], "k string, v double"
+    )
+    suite = RuleSuite(
+        Id(30, 5),
+        (
+            RuleSet(
+                Id(31, 1),
+                (Rule(Id(300, 1), "agg_expr('MAP<STRING,DOUBLE>', true, map_with(k, e -> e + v), return_sum())"),),
+            ),
+        ),
+    )
+    row = add_expression_runner(df, suite, ddl_type="map<string,double>").head()
+    m = list(row[0]["ruleSetResults"].values())[0]
+    result = list(m.values())[0]
+    assert result == {"a": 1.0, "b": 3.0}
+
+
+def test_nested_placeholder_expression_resolves(spark):
+    """An aggregate placeholder nested inside a larger expression must
+    evaluate against the cross-joined frame, not df.agg."""
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite
+    from quality_spark.operators.expression_runner import add_expression_runner
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "k string, v double"
+    )
+    suite = RuleSuite(
+        Id(30, 6),
+        (
+            RuleSet(
+                Id(31, 1),
+                (
+                    Rule(
+                        Id(300, 1),
+                        "element_at(agg_expr('MAP<STRING,DOUBLE>', true, map_with(k, e -> e + v), return_sum()), 'a')",
+                    ),
+                ),
+            ),
+        ),
+    )
+    row = add_expression_runner(df, suite, ddl_type="double").head()
+    result = list(list(row[0]["ruleSetResults"].values())[0].values())[0]
+    assert result == 3.0

@@ -245,3 +245,27 @@ def test_engine_1000_rules_compiles_fast(orders):
             expected = f"r{i}"
             break
     assert row["result"] == expected
+
+
+def test_folder_column_named_i_not_shadowed(spark):
+    """A data column named `i` (or `acc`) must not be captured by the
+    fold's lambda variables."""
+    suite = engine_suite(
+        (5, 9),
+        [((1, 1), [engine_rule((1, 1), "i > 5", 10, "set(v = currentResult.v + 100)", (920, 1))])],
+    )
+    df = spark.createDataFrame([(10, 1.0), (2, 2.0)], "i long, v double")
+    out = add_folder(df, suite, F.struct(F.col("v")), name="fold", use_type="struct<v:double>").collect()
+    by_i = {r["i"]: r["fold"]["result"] for r in out}
+    assert by_i[10]["v"] == 101.0  # trigger `i > 5` used the COLUMN, not the fold index
+    assert by_i[2] is None  # no rule passed -> NULL result
+
+
+def test_engine_debug_mode_still_assigns_salient(orders):
+    plain = add_rule_engine(orders.limit(100), ENGINE_SUITE, result_ddl="string", name="re").collect()
+    debug = add_rule_engine(
+        orders.limit(100), ENGINE_SUITE, result_ddl="string", name="re", debug_mode=True
+    ).collect()
+    for p, d in zip(plain, debug):
+        assert p["re"]["salientRule"] == d["re"]["salientRule"]
+    assert any(d["re"]["salientRule"] is not None for d in debug)

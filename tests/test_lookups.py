@@ -185,3 +185,58 @@ def test_udf_backed_map_with_non_identifier_name(spark):
         "id", map_lookup("weird-name.1", F.col("id")).alias("v")
     ).collect()}
     assert got == {i: f"v{i}" for i in range(5)}
+
+
+def test_map_contains_null_valued_key(spark):
+    """A key mapped to NULL is still CONTAINED (reference mapContains
+    checks key presence, not value non-nullness) — both paths."""
+    from quality_spark.sources.lookups import (
+        MAP_LITERAL_MAX,
+        map_contains,
+        register_map_lookup,
+    )
+
+    register_map_lookup("null_vals", {1: None, 2: "x"}, "string")
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    got = {
+        r["k"]: r["c"]
+        for r in df.select("k", map_contains("null_vals", F.col("k")).alias("c")).collect()
+    }
+    assert got == {1: True, 2: True, 3: False}
+
+    big = {i: (None if i % 2 else f"v{i}") for i in range(MAP_LITERAL_MAX + 2)}
+    register_map_lookup("null_vals_big", big, "string", spark=spark)
+    got2 = {
+        r["k"]: r["c"]
+        for r in df.select(
+            "k", map_contains("null_vals_big", F.col("k")).alias("c")
+        ).collect()
+    }
+    assert got2 == {1: True, 2: True, 3: True}
+
+
+def test_sql_literal_special_values(spark):
+    import datetime
+    import decimal
+
+    from quality_spark.sources.lookups import map_lookup, register_map_lookup
+
+    register_map_lookup(
+        "special_vals",
+        {1: float("nan"), 2: float("inf"), 3: 2.5},
+        "double",
+    )
+    df = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {
+        r["k"]: r["v"]
+        for r in df.select("k", map_lookup("special_vals", F.col("k")).alias("v")).collect()
+    }
+    assert got[2] == float("inf") and got[3] == 2.5
+
+    register_map_lookup(
+        "date_vals", {1: datetime.date(2024, 3, 1)}, "date"
+    )
+    one = spark.range(1, 2).select(
+        map_lookup("date_vals", F.col("id")).alias("v")
+    ).collect()[0]["v"]
+    assert one == datetime.date(2024, 3, 1)
