@@ -1842,7 +1842,8 @@ def _oracle_doc_filter_pipeline() -> str:
 
     s = text_stats_sqls("text", "duckdb")
     reason = (
-        f"CASE WHEN {s['token_count']} < 30 THEN 'too_short' "
+        f"CASE WHEN text IS NULL THEN 'invalid' "
+        f"WHEN {s['token_count']} < 30 THEN 'too_short' "
         f"WHEN lang NOT IN ('en','fr','de','es') THEN 'lang' "
         f"WHEN {s['quality_score']} < 0.40 THEN 'quality' END"
     )

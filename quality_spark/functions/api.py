@@ -123,12 +123,6 @@ def long_pair_from_uuid(c: ColumnOrName) -> Column:
 
 def _comparable(dtype: T.DataType, col: Column) -> Column:
     if isinstance(dtype, T.MapType):
-        entry_t = T.StructType(
-            [
-                T.StructField("key", dtype.keyType),
-                T.StructField("value", dtype.valueType, dtype.valueContainsNull),
-            ]
-        )
         entries = F.map_entries(col)
         entries = F.transform(
             entries,

@@ -78,9 +78,22 @@ def _concat_input(args: Tuple[str, ...]) -> str:
     """Canonical byte input for multi-column digests: string casts
     joined with an unlikely separator (the reference feeds raw value
     bytes into MessageDigest; the exact byte layout is digest-internal
-    so this engine defines its own canonical encoding)."""
-    casts = ", ".join(f"CAST(({a}) AS STRING)" for a in args)
-    return f"concat_ws('\\u0001', {casts})"
+    so this engine defines its own canonical encoding).
+
+    ``concat``, NOT ``concat_ws``: concat_ws silently SKIPS NULL
+    arguments, so ('x', NULL) and (NULL, 'x') would hash identically —
+    distinct rows colliding on their \"unique\" id. concat propagates
+    NULL, so any-null input yields a NULL digest/id, matching the
+    reference's null-intolerant expressions. Byte layout for fully
+    non-null inputs is unchanged (same separators, same positions)."""
+    parts: list = []
+    for i, a in enumerate(args):
+        if i:
+            parts.append("'\\u0001'")
+        parts.append(f"CAST(({a}) AS STRING)")
+    if len(parts) == 1:
+        return parts[0]
+    return f"concat({', '.join(parts)})"
 
 
 def _hex_to_long(hex_expr: str, start: int) -> str:

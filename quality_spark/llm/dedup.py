@@ -151,13 +151,30 @@ def minhash_array_sql(hashes: str, num_perm: int, empty_check: Optional[str] = N
 def band_sqls(
     minhash_cols: List[str], bands: int, dialect: str, mode: str = "portable"
 ) -> List[str]:
-    """Hash each band's minhash slice to one bucket value."""
+    """Hash each band's minhash slice to one bucket value.
+
+    NULL-propagating concatenation (NOT concat_ws, which skips NULLs):
+    a NULL minhash (doc with no text) must yield NULL band hashes so
+    the inner band self-join drops those docs. With concat_ws every
+    NULL-text doc's bands collapsed to hash60('') — a single constant
+    bucket whose self-join is quadratic in the NULL count, exactly the
+    blow-up banding exists to prevent. Non-null band values are
+    byte-identical to before (same separators, same positions)."""
     rows = len(minhash_cols) // bands
     out = []
     for b in range(bands):
         slice_cols = minhash_cols[b * rows : (b + 1) * rows]
-        parts = ", ".join(f"CAST({c} AS STRING)" for c in slice_cols)
-        joined = f"concat_ws(':', {parts})"
+        casts = [f"CAST({c} AS STRING)" for c in slice_cols]
+        if dialect == "spark":
+            parts: List[str] = []
+            for i, c in enumerate(casts):
+                if i:
+                    parts.append("':'")
+                parts.append(c)
+            joined = f"concat({', '.join(parts)})"
+        else:
+            joined = " || ':' || ".join(casts)  # || propagates NULL
+            joined = f"({joined})"
         out.append(hash60_sql(joined, dialect, mode))
     return out
 

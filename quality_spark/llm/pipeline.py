@@ -42,6 +42,11 @@ def filter_documents(
     or ``None``-returning expression columns for custom keys."""
     stats = text_stats_sqls(text_col, "spark")
     conds = []
+    # NULL text first: NULL makes every threshold comparison NULL (never
+    # firing), so without this stage NULL-text rows would sail through
+    # the gates and then all share the NULL content key in dedup — one
+    # arbitrary row kept, the rest mislabeled 'duplicate'
+    conds.append((F.col(text_col).isNull(), "invalid"))
     if min_tokens is not None:
         conds.append((F.expr(stats["token_count"]) < min_tokens, "too_short"))
     if langs is not None:

@@ -31,6 +31,16 @@ def _norm(a: str) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _norm_prod(a: Column, b: Column) -> Column:
+    """Denominator for cosine: NULL (never 0) when either vector has
+    zero norm — a bare division would ABORT the job under Spark 4's
+    default ANSI mode the first time a padding/failed-encode zero
+    vector appears. NULL cosine then fails threshold filters and sorts
+    after real scores, which is the behavior a degenerate vector
+    deserves."""
+    return F.nullif(a * b, F.lit(0.0))
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
     return df.select("*", _norm(vec_col).alias(out))
 
@@ -62,7 +72,7 @@ def cosine_topk(
     joined = corpus.crossJoin(qs)
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias("cosine")
+    cos = (_dot("__qv", "__cv") / _norm_prod(F.col("__qn"), F.col("__cn"))).alias("cosine")
     scored = joined.select("query_id", "neighbor_id", cos)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -210,7 +220,7 @@ def lsh_bucket_topk(
         _norm(vec_col).alias("__qn"),
     )
     joined = cand.join(cvecs, "neighbor_id").join(qvecs, "query_id")
-    cos = (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias("cosine")
+    cos = (_dot("__qv", "__cv") / _norm_prod(F.col("__qn"), F.col("__cn"))).alias("cosine")
     scored = joined.select("query_id", "neighbor_id", cos)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -265,7 +275,7 @@ def embedding_near_dup_pairs(
             "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             "0.0D, (acc, v) -> acc + v)"
         )
-        / (F.col("na") * F.col("nb"))
+        / _norm_prod(F.col("na"), F.col("nb"))
     ).alias("cosine")
     return fetched.select("id_a", "id_b", cos).filter(F.col("cosine") >= threshold)
 
@@ -288,7 +298,7 @@ def brute_force_near_dup_pairs(
             "aggregate(zip_with(a.v, b.v, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             "0.0D, (acc, v) -> acc + v)"
         )
-        / (F.col("a.n") * F.col("b.n"))
+        / _norm_prod(F.col("a.n"), F.col("b.n"))
     ).alias("cosine")
     return cand.select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos
@@ -424,7 +434,7 @@ def ivf_flat_topk(
     cand = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = (_dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias("cosine")
+    cos = (_dot("__qv", "__cv") / _norm_prod(F.col("__qn"), F.col("__cn"))).alias("cosine")
     scored = cand.select("query_id", "neighbor_id", cos)
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

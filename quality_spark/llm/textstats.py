@@ -31,10 +31,10 @@ PUNCT_CLASS_SPARK = "[.,;:!?()\\\\[\\\\]{}-]"
 PUNCT_CLASS_DUCK = "[.,;:!?()\\[\\]{}-]"
 
 
-def _tokens_sql(text: str, dialect: str) -> str:
-    if dialect == "spark":
-        return f"filter(split({text}, '\\\\s+'), t -> t != '')"
-    return f"list_filter(string_split_regex({text}, '\\s+'), t -> t != '')"
+# single tokenizer shared with the dedup oracle twins — two copies
+# could drift and break bit-parity between the text-stats and dedup
+# oracles
+from .dedup import tokens_sql as _tokens_sql
 
 
 def _stop_hits_sql(toks: str, words: List[str], dialect: str) -> str:
@@ -56,10 +56,15 @@ def text_stats_sqls(text: str, dialect: str) -> Dict[str, str]:
         no_punct = f"length(regexp_replace({text}, '{PUNCT_CLASS_SPARK}', ''))"
     else:
         no_punct = f"length(regexp_replace({text}, '{PUNCT_CLASS_DUCK}', '', 'g'))"
-    punct_ratio = f"(CAST({chars} - {no_punct} AS DOUBLE) / {chars})"
+    # nullif guards: empty / whitespace-only / NULL text would divide by
+    # zero, which ABORTS the job under Spark 4's default ANSI mode (and
+    # is an error in DuckDB too). nullif exists with identical
+    # semantics in both dialects, so the ratios are NULL for degenerate
+    # docs on both sides of the oracle.
+    punct_ratio = f"(CAST({chars} - {no_punct} AS DOUBLE) / nullif({chars}, 0))"
     stop_hits = _stop_hits_sql(toks, STOPWORDS["en"], dialect)
-    stop_ratio = f"(CAST({stop_hits} AS DOUBLE) / {tc})"
-    avg_len = f"(CAST({chars} AS DOUBLE) / {tc})"
+    stop_ratio = f"(CAST({stop_hits} AS DOUBLE) / nullif({tc}, 0))"
+    avg_len = f"(CAST({chars} AS DOUBLE) / nullif({tc}, 0))"
     # every constant cast to DOUBLE so neither engine routes through
     # DECIMAL arithmetic (which differs between Spark and DuckDB)
     d = "CAST({} AS DOUBLE)".format

@@ -54,9 +54,26 @@ def _uuid_longs(lit: str) -> tuple:
     return _signed(u.int & ((1 << 64) - 1)), _signed(u.int >> 64)
 
 
-def _pair_sql(lower_arg: str, higher_arg: str, lit: str) -> str:
+def _pair_sql(
+    lower_arg: str, higher_arg: str, lit: str, null_safe: bool = False
+) -> str:
     lo, hi = _uuid_longs(lit)
-    return f"(({lower_arg.strip()}) = {lo}L AND ({higher_arg.strip()}) = {hi}L)"
+    a, b = lower_arg.strip(), higher_arg.strip()
+    if null_safe:
+        # <=> source semantics: NULL input compares FALSE — the pair
+        # form with <=> reproduces that exactly
+        return f"(({a}) <=> {lo}L AND ({b}) <=> {hi}L)"
+    return f"(({a}) = {lo}L AND ({b}) = {hi}L)"
+
+
+def _null_guard(exprs) -> str:
+    """Three-valued-logic repair term: OR-ing ``NULL AND (any-null)``
+    onto the rewritten pairs restores NULL (instead of FALSE) exactly
+    when the source comparison would be NULL — and Catalyst still
+    pushes the equality pair to parquet (verified: PushedFilters is
+    identical with and without this term)."""
+    anynull = " OR ".join(f"({e.strip()}) IS NULL" for e in exprs)
+    return f"(CAST(NULL AS BOOLEAN) AND ({anynull}))"
 
 
 _B64 = r"[A-Za-z0-9+/]+={0,2}"
@@ -85,26 +102,36 @@ def _id_struct_sql(arg: str, b64: str):
     base = structlib.unpack(">i", raw[:4])[0]
     longs = structlib.unpack(f">{(len(raw) - 4) // 8}q", raw[4:])
     a = arg.strip()
+    fields = [f"({a}).base"] + [f"({a}).i{i}" for i in range(len(longs))]
     parts = [f"({a}).base = {base}"] + [
         f"({a}).i{i} = {v}L" for i, v in enumerate(longs)
     ]
-    return "(" + " AND ".join(parts) + ")"
+    pair = "(" + " AND ".join(parts) + ")"
+    # same three-valued repair as the uuid form: NULL source comparisons
+    # stay NULL instead of collapsing to FALSE
+    return f"({pair} OR {_null_guard(fields)})"
 
 
 def rewrite_encoded_filters(sql: str) -> str:
     """Apply the pushdown rewrites to one SQL text (idempotent)."""
 
+    def _eq_form(lower_arg: str, higher_arg: str, op: str, lit: str) -> str:
+        if op == "<=>":
+            return _pair_sql(lower_arg, higher_arg, lit, null_safe=True)
+        pair = _pair_sql(lower_arg, higher_arg, lit)
+        return f"({pair} OR {_null_guard([lower_arg, higher_arg])})"
+
     def eq(m: "re.Match") -> str:
-        return _pair_sql(m.group(1), m.group(2), m.group(4))
+        return _eq_form(m.group(1), m.group(2), m.group(3), m.group(4))
 
     def eq_rev(m: "re.Match") -> str:
-        return _pair_sql(m.group(3), m.group(4), m.group(1))
+        return _eq_form(m.group(3), m.group(4), m.group(2), m.group(1))
 
     def in_list(m: "re.Match") -> str:
         lower_arg, higher_arg = m.group(1), m.group(2)
         lits = re.findall(_UUID, m.group(3))
         ors = " OR ".join(_pair_sql(lower_arg, higher_arg, u) for u in lits)
-        return f"({ors})"
+        return f"({ors} OR {_null_guard([lower_arg, higher_arg])})"
 
     def b64_eq(m: "re.Match") -> str:
         got = _id_struct_sql(m.group(1), m.group(3))

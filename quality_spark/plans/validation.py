@@ -228,8 +228,6 @@ def expression_attributes(sql: str) -> Set[str]:
             continue
         # '(x, y) -> …': idents inside parens followed by '->'
         if k >= 0 and tokens[k].kind == "op" and tokens[k].text in ("(", ","):
-            jj = j
-            depth = 1 if tokens[k].text == "(" or "(" in sql[: t.text and 1] else 1
             # walk right past ', ident' sequence to see if ') ->' follows
             jj2 = i
             ok = False

@@ -104,10 +104,22 @@ def streaming_first_seen(
     )
 
     def fn(key_tuple, pdf_iter, state):
-        if state.exists:
-            # already emitted for this key; consume and emit nothing
+        # timeout fired: REMOVE the key's state so the memory actually
+        # expires (without this the timed-out state would live forever,
+        # with no timeout armed — unbounded growth despite the option)
+        if state.hasTimedOut:
+            state.remove()
             for _ in pdf_iter:
                 pass
+            return
+        if state.exists:
+            # already emitted for this key; consume, emit nothing, and
+            # RE-ARM the timeout — a live key's memory should expire
+            # relative to its last sighting, not its first
+            for _ in pdf_iter:
+                pass
+            if timeout_ms is not None:
+                state.setTimeoutDuration(int(timeout_ms))
             return
         first = None
         for pdf in pdf_iter:

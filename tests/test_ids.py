@@ -264,3 +264,13 @@ def test_schema_generic_names_diagnose(spark):
     ]:
         with pytest.raises(ValueError, match="Column API|non-goal"):
             expand_sql(sql)
+
+
+def test_null_inputs_give_null_ids_not_collisions(spark):
+    """('x', NULL) and (NULL, 'x') must NOT hash identically; any-null
+    input yields a NULL digest (reference null-intolerance)."""
+    a = _run(spark, "digest_to_longs('MD5', 'x', CAST(NULL AS STRING))")
+    b = _run(spark, "digest_to_longs('MD5', CAST(NULL AS STRING), 'x')")
+    assert list(a) == [None, None] and list(b) == [None, None]
+    fid = _run(spark, "field_based_id('MD5', CAST(NULL AS STRING))")
+    assert fid["i0"] is None and fid["i1"] is None

@@ -292,3 +292,32 @@ def test_ivf_assign_matches_best_centroid(spark, emb):
             key=lambda cid: (-sum(a * b for a, b in zip(v, cnorm[cid])), cid),
         )
         assert got[r["vec_id"]] == best
+
+
+def test_zero_norm_embedding_no_ansi_crash(spark):
+    from quality_spark.llm.similarity import brute_force_near_dup_pairs, cosine_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.0, 0.0]), (2, [2.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = brute_force_near_dup_pairs(df, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 2)}  # zero vec excluded, no crash
+    topk = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(topk, key=lambda r: r["rank"])][0] == 2
+
+
+def test_null_text_docs_get_null_bands(spark):
+    """NULL-text docs must not collapse into one LSH band bucket."""
+    from quality_spark.llm.dedup import minhash_lsh_pairs, with_minhash
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "some shared text here today"),
+         (4, "some shared text here today")],
+        "doc_id long, text string",
+    )
+    sig = with_minhash(df, k=2, num_perm=8, bands=2, mode="portable")
+    null_bands = sig.filter(F.col("doc_id") <= 2).select("band_0", "band_1").collect()
+    assert all(r["band_0"] is None and r["band_1"] is None for r in null_bands)
+    pairs = minhash_lsh_pairs(df, k=2, num_perm=8, bands=2, threshold=0.5, mode="portable").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 4)}  # no NULL-pair explosion

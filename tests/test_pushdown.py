@@ -22,9 +22,13 @@ def _uuid_for(lo: int, hi: int) -> str:
 def test_rewrite_eq_forms():
     u = _uuid_for(5, 7)
     out = rewrite_encoded_filters(f"as_uuid(a, b) = '{u}'")
-    assert out == "((a) = 5L AND (b) = 7L)"
+    assert "(a) = 5L AND (b) = 7L" in out
+    assert "CAST(NULL AS BOOLEAN)" in out  # three-valued repair term
     out = rewrite_encoded_filters(f"'{u}' = as_uuid(a, b)")
-    assert out == "((a) = 5L AND (b) = 7L)"
+    assert "(a) = 5L AND (b) = 7L" in out
+    # null-safe comparison keeps <=> (NULL compares FALSE, exactly)
+    ns = rewrite_encoded_filters(f"as_uuid(a, b) <=> '{u}'")
+    assert ns == "((a) <=> 5L AND (b) <=> 7L)"
     # negative longs survive the signed conversion
     un = _uuid_for(-2, -3)
     assert "= -2L" in rewrite_encoded_filters(f"as_uuid(x, y) = '{un}'")
@@ -33,7 +37,27 @@ def test_rewrite_eq_forms():
 def test_rewrite_in_list():
     u1, u2 = _uuid_for(1, 2), _uuid_for(3, 4)
     out = rewrite_encoded_filters(f"as_uuid(a, b) IN ('{u1}', '{u2}')")
-    assert out == "(((a) = 1L AND (b) = 2L) OR ((a) = 3L AND (b) = 4L))"
+    assert "((a) = 1L AND (b) = 2L) OR ((a) = 3L AND (b) = 4L)" in out
+
+
+def test_rewrite_preserves_null_semantics(spark):
+    """NULL inputs must yield NULL (not FALSE) from the rewritten `=`
+    — observable under NOT — and FALSE from `<=>`."""
+    u = _uuid_for(5, 7)
+    df = spark.createDataFrame(
+        [(5, 7), (None, 7), (None, 99)], "lo long, hi long"
+    )
+    for sql in [f"as_uuid(lo, hi) = '{u}'", f"as_uuid(lo, hi) <=> '{u}'"]:
+        naive = [
+            r["r"]
+            for r in df.select(
+                F.expr(expand_sql("as_uuid(lo, hi)") + sql.split(")", 1)[1]).alias("r")
+            ).collect()
+        ]
+        rewritten = [
+            r["r"] for r in df.select(F.expr(expand_sql(sql)).alias("r")).collect()
+        ]
+        assert naive == rewritten, (sql, naive, rewritten)
 
 
 def test_rewrite_leaves_complex_args_and_ordering_alone():

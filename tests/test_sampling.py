@@ -118,3 +118,31 @@ def test_filter_pipeline_stages_disable(spark, docs):
     out = filter_documents(docs, min_tokens=None, dedup_key=F.col("doc_id"))
     # only dedup active, keys unique -> everything kept
     assert out.filter(F.col("drop_reason").isNotNull()).count() == 0
+
+
+def test_filter_pipeline_null_text_is_invalid(spark):
+    from quality_spark.llm.pipeline import filter_documents
+
+    df = spark.createDataFrame(
+        [(1, "a real document " * 20, "en"), (2, None, "en"), (3, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = filter_documents(df, min_tokens=5).collect()
+    reasons = {r["doc_id"]: r["drop_reason"] for r in rows}
+    assert reasons[1] is None
+    assert reasons[2] == "invalid" and reasons[3] == "invalid"
+
+
+def test_text_stats_empty_doc_no_ansi_crash(spark):
+    """Empty/whitespace/NULL text yields NULL ratios, not a
+    DIVIDE_BY_ZERO abort under Spark 4's default ANSI mode."""
+    from quality_spark.llm.textstats import with_text_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real text here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_text_stats(df).collect()}
+    assert rows[1]["stopword_ratio"] is None
+    assert rows[2]["avg_token_len"] is None
+    assert rows[4]["token_count"] == 3
