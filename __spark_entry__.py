@@ -1977,6 +1977,53 @@ def _oracle_skew_join_lineitem() -> str:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup GROUPS: iterative min-label propagation
+    (distributed connected components; rounds = cluster diameter, tiny
+    for dup clusters) over the n-gram Jaccard pairs. Oracle: DuckDB
+    recursive CTE computing the same min-reachable-id labels."""
+    from quality_spark.llm.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.25)
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("id").alias("keeper_id"),
+    )
+
+
+def _oracle_near_dup_clusters() -> str:
+    from quality_spark.llm.dedup import shingles_sql
+
+    sh = shingles_sql("text", 3, "duckdb")
+    jac = (
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(a.sh, b.sh)))"
+    )
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, {sh} AS sh FROM documents WHERE doc_id < 300
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE {jac} >= 0.25
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.id
+)
+SELECT min(label) AS component, count(*) AS n_members, min(id) AS keeper_id
+FROM (SELECT id, min(label) AS label FROM reach GROUP BY id) GROUP BY label
+"""
+
+
 def q_bigbloom_file_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big-bloom FILE sink + mmap readback (SURVEY §2 #17; reference
     impl/bloom/BucketedFiles.scala): build bucketed bloom files from
@@ -2084,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup_events": q_time_rollup_events,
         "salted_agg_orders": q_salted_agg_orders,
         "skew_join_lineitem": q_skew_join_lineitem,
+        "near_dup_clusters": q_near_dup_clusters,
     }
 
 
@@ -2146,4 +2194,5 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup_events": _oracle_time_rollup_events(),
         "salted_agg_orders": _oracle_salted_agg_orders(),
         "skew_join_lineitem": _oracle_skew_join_lineitem(),
+        "near_dup_clusters": _oracle_near_dup_clusters(),
     }

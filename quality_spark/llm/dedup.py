@@ -485,3 +485,80 @@ def simhash_pairs(
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming")
     return cand.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``, where
+    ``component`` is the smallest id reachable through the pair graph —
+    the clustering step that turns near-dup PAIRS into dedup GROUPS.
+
+    Iterative min-label propagation (the standard distributed CC): each
+    round every node takes the min of its own label and its neighbors'.
+    Rounds needed = graph diameter, and near-dup clusters are shallow
+    (a dup cluster's diameter is small by construction), so a handful
+    of shuffle-join rounds suffice at any corpus size. Each round
+    ``localCheckpoint``s to cut lineage — without it the plan doubles
+    per iteration. Raises if not converged within ``max_iter`` (which
+    for near-dup graphs signals pathological chaining, worth seeing)."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("id").alias("b"), "component"), "b"
+        ).select(F.col("a").alias("id"), "component")
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "__old"), "id")
+            .filter(F.col("component") != F.col("__old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        f"the pair graph has a path longer than {max_iter}; raise max_iter"
+    )
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """df + ``keep`` boolean: one keeper (the smallest id) per near-dup
+    component; rows in no pair keep themselves. The standard final step
+    of minhash/simhash/embedding dedup."""
+    comp = connected_components(pairs, id_a, id_b)
+    keep = F.col("component").isNull() | (F.col(id_col) == F.col("component"))
+    return (
+        df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(*df.columns, keep.alias("keep"))
+    )

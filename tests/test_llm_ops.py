@@ -321,3 +321,42 @@ def test_null_text_docs_get_null_bands(spark):
     assert all(r["band_0"] is None and r["band_1"] is None for r in null_bands)
     pairs = minhash_lsh_pairs(df, k=2, num_perm=8, bands=2, threshold=0.5, mode="portable").collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 4)}  # no NULL-pair explosion
+
+
+def test_connected_components_vs_union_find(spark):
+    from quality_spark.llm.dedup import connected_components
+
+    # two chains, a triangle, and an isolated pair
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        parent[find(a)] = find(b)
+    for a, b in edges:
+        union(a, b)
+    roots = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    exp = {n: min(members) for members in roots.values() for n in members}
+    assert got == exp
+
+
+def test_dedup_keep_list(spark, docs):
+    from quality_spark.llm.dedup import dedup_keep_list
+
+    pairs = spark.createDataFrame([(5, 9), (9, 13)], "id_a long, id_b long")
+    sub = docs.filter(F.col("doc_id") < 20)
+    out = dedup_keep_list(sub, pairs).collect()
+    keep = {r["doc_id"]: r["keep"] for r in out}
+    assert keep[5] is True and keep[9] is False and keep[13] is False
+    # rows in no pair keep themselves
+    assert all(keep[i] for i in keep if i not in (9, 13))
+    assert len(out) == sub.count()
