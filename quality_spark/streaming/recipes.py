@@ -26,6 +26,18 @@ from ..model import RuleSuite
 from ..operators.runner import add_data_quality
 
 
+def _watermarkable(df: DataFrame, event_time: str) -> DataFrame:
+    """Spark rejects TIMESTAMP_NTZ event-time columns for watermarks
+    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); parquet written with
+    isAdjustedToUTC=false (e.g. pyarrow timestamp[us]) reads back as
+    NTZ.  Reinterpret as session-timezone TIMESTAMP — wall-clock values
+    are preserved, so window boundaries are unchanged."""
+    field = df.schema[event_time]
+    if isinstance(field.dataType, T.TimestampNTZType):
+        return df.withColumn(event_time, F.col(event_time).cast("timestamp"))
+    return df
+
+
 def add_stream_data_quality(df: DataFrame, suite: RuleSuite, name: str = "DataQuality") -> DataFrame:
     """DQ over a streaming DataFrame — identical column tree as batch;
     provided as an explicit alias so intent shows up in user code."""
@@ -47,7 +59,9 @@ def windowed_rule_stats(
     by the watermark."""
     from ..model import PASSED_INT
 
-    dq = add_data_quality(df, suite, dq_name).withWatermark(event_time, watermark)
+    dq = _watermarkable(add_data_quality(df, suite, dq_name), event_time).withWatermark(
+        event_time, watermark
+    )
     win = (
         F.window(event_time, window_duration, slide)
         if slide
@@ -71,7 +85,7 @@ def streaming_dedup_exact(
     ``withWatermark + dropDuplicatesWithinWatermark`` — duplicates
     arriving within the watermark horizon are dropped; state expires
     with the watermark (Spark's built-in streaming dedup operator)."""
-    out = df.withWatermark(event_time, watermark)
+    out = _watermarkable(df, event_time).withWatermark(event_time, watermark)
     try:
         return out.dropDuplicatesWithinWatermark(list(keys))
     except AttributeError:  # Spark < 3.5
