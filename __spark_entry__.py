@@ -2072,6 +2072,105 @@ def _oracle_bigbloom_file_probe() -> str:
     )
 
 
+def q_streaming_windowed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly DQ pass/fail counts computed by an ACTUAL Structured
+    Streaming query (file source → windowed_rule_stats → memory sink,
+    availableNow trigger) — gates the streaming path end-to-end against
+    the same deterministic SQL oracle as the batch twin
+    (reference: README.md:3 'batch or streaming'; our recipes
+    quality_spark/streaming/recipes.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+    from quality_spark.streaming.recipes import windowed_rule_stats
+
+    suite = RuleSuite(
+        Id(1, 1),
+        (
+            RuleSet(
+                Id(10, 1),
+                (
+                    Rule(Id(100, 1), "value >= 0"),
+                    Rule(Id(101, 1), "event_type is not null"),
+                    Rule(Id(102, 1), "user_id % 2 = 0"),
+                ),
+            ),
+        ),
+    )
+    # File stream sources list a directory; stage the (possibly
+    # nanos-typed) events parquet through the compat reader once.
+    stage = os.path.join(tempfile.gettempdir(), "qs_stream_gate")
+    shutil.rmtree(stage, ignore_errors=True)
+    batch = read_parquet_compat(spark, f"{sf_dir}/events.parquet")
+    batch.coalesce(4).write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+
+    stream = spark.readStream.schema(staged.schema).parquet(stage)
+    out = windowed_rule_stats(stream, suite, "ts", "1 hour", "0 seconds")
+    name = "qs_stream_windowed_dq"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # window.start is session-tz TIMESTAMP (the watermark requires it);
+    # surface wall-clock NTZ so the schema matches the batch oracle.
+    return spark.table(name).select(
+        F.col("window.start").cast("timestamp_ntz").alias("hour"),
+        F.col("rows").alias("rows"),
+        F.col("passed").alias("passed"),
+        F.col("failed").alias("failed"),
+    )
+
+
+def _oracle_streaming_windowed_dq() -> str:
+    return _oracle_events_windowed_dq()
+
+
+def q_lambda_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A registered lambda whose body contains a scalar subquery
+    referencing the lambda parameter: after driver-side splicing the
+    parameter becomes a correlated outer column, which Catalyst
+    de-correlates into a join (the situation the reference handles with
+    its OuterReference rewrite, ReferenceFunctions.scala:339-374)."""
+    from quality_spark.model import PASSED_INT
+
+    orders = _read(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("qs_gate_orders")
+    suite = rule_suite(
+        (95, 1),
+        [((1, 1), [((1, 1), "order_cnt(c_custkey) >= 5")])],
+        lambdas=[
+            (
+                "order_cnt",
+                "k -> (SELECT count(*) FROM qs_gate_orders WHERE o_custkey = k)",
+                (52, 1),
+            )
+        ],
+    )
+    cust = _read(spark, sf_dir, "customer")
+    dq = add_data_quality(cust, suite, "DQ")
+    return dq.select(
+        "c_custkey",
+        (F.col("DQ.overallResult") == F.lit(PASSED_INT)).alias("frequent_buyer"),
+    )
+
+
+def _oracle_lambda_subquery() -> str:
+    return """
+SELECT c_custkey,
+       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 5
+         AS frequent_buyer
+FROM customer c
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -2137,6 +2236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_orders": q_salted_agg_orders,
         "skew_join_lineitem": q_skew_join_lineitem,
         "near_dup_clusters": q_near_dup_clusters,
+        "streaming_windowed_dq": q_streaming_windowed_dq,
+        "lambda_subquery": q_lambda_subquery,
     }
 
 
@@ -2200,4 +2301,6 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg_orders": _oracle_salted_agg_orders(),
         "skew_join_lineitem": _oracle_skew_join_lineitem(),
         "near_dup_clusters": _oracle_near_dup_clusters(),
+        "streaming_windowed_dq": _oracle_streaming_windowed_dq(),
+        "lambda_subquery": _oracle_lambda_subquery(),
     }
