@@ -131,6 +131,106 @@ def to_yaml(c: ColumnOrName) -> Column:
     )
 
 
+def _native_yaml_udf(reference_ints: bool):
+    @pandas_udf(T.StringType())
+    def _to_native(s):  # type: ignore[no-untyped-def]
+        import base64
+        import datetime as _dt
+        import decimal as _decimal
+
+        import numpy as np
+        import pandas as pd
+        import yaml
+
+        class _Dumper(yaml.SafeDumper):
+            pass
+
+        # decimals render as plain FLOAT-tagged scalars with the exact
+        # decimal string (reference: Tag.FLOAT + toJavaBigDecimal,
+        # YamlEncoderExpr.scala:100-102)
+        _Dumper.add_representer(
+            _decimal.Decimal,
+            lambda d, data: d.represent_scalar(
+                "tag:yaml.org,2002:float", str(data)
+            ),
+        )
+
+        _EPOCH_DT = _dt.datetime(1970, 1, 1)
+        _EPOCH_D = _dt.date(1970, 1, 1)
+        _US = _dt.timedelta(microseconds=1)
+
+        def norm(x):
+            if x is None or x is pd.NaT:
+                return None
+            if isinstance(x, np.generic):
+                x = x.item()
+            if isinstance(x, pd.Timestamp):
+                x = x.to_pydatetime()
+            if isinstance(x, _dt.datetime):
+                if reference_ints:
+                    base = x.replace(tzinfo=None)
+                    return (base - _EPOCH_DT) // _US
+                return x
+            if isinstance(x, _dt.date):
+                if reference_ints:
+                    return (x - _EPOCH_D).days
+                return x
+            if isinstance(x, np.ndarray):
+                return [norm(e) for e in x]
+            if isinstance(x, (bytes, bytearray)):
+                return bytes(x)
+            # Spark MAP columns arrive from Arrow as lists of (k, v)
+            # tuples (struct elements arrive as dicts, so tuples are
+            # unambiguous). An EMPTY map is indistinguishable from an
+            # empty array and renders as [].
+            if isinstance(x, list):
+                if x and all(isinstance(e, tuple) and len(e) == 2 for e in x):
+                    return {norm(k): norm(v) for k, v in x}
+                return [norm(e) for e in x]
+            if isinstance(x, dict):
+                return {k: norm(v) for k, v in x.items()}
+            if isinstance(x, float) and x != x:
+                return float("nan")
+            return x
+
+        def conv(x):
+            if x is None or x is pd.NaT:
+                return None
+            return yaml.dump(
+                norm(x),
+                Dumper=_Dumper,
+                default_flow_style=False,
+                sort_keys=False,
+            )
+
+        # a top-level STRUCT column arrives as a pandas DataFrame (one
+        # column per field), not a Series-of-dicts — rebuild the dicts.
+        # (NULL rows are masked out by the when() wrapper in
+        # to_yaml_native, so their spurious all-None dicts never show.)
+        if isinstance(s, pd.DataFrame):
+            cols = list(s.columns)
+            return s.apply(lambda r: conv({c: r[c] for c in cols}), axis=1)
+        return s.map(conv)
+
+    return _to_native
+
+
+def to_yaml_native(c: ColumnOrName, reference_ints: bool = False) -> Column:
+    """YAML text with NATIVE scalar tags, matching the reference's
+    snakeyaml node model (YamlEncoderExpr.scala:54-102): binary renders
+    as ``!!binary``, decimals as FLOAT-tagged exact decimal scalars,
+    and timestamps/dates either as YAML-native datetime/date scalars
+    (default) or — with ``reference_ints=True`` — as the reference's
+    internal integers (epoch-micros / epoch-days, wall-clock treated as
+    UTC). Unlike :func:`to_yaml` (JSON-convention strings), this path
+    feeds the column itself through Arrow, so the encoder sees real
+    typed values. :func:`from_yaml` decodes both conventions."""
+    col = _col(c)
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        _native_yaml_udf(reference_ints)(col)
+    )
+
+
 def from_yaml(c: ColumnOrName, ddl: Union[str, T.DataType]) -> Column:
     """Parse YAML text into the given DDL type (inverse of to_yaml;
     also accepts reference-encoded scalars — see module docstring)."""

@@ -144,3 +144,94 @@ def test_yaml_macro_null_and_bad_ddl(spark):
 
     with _pytest.raises(Exception):
         expand_sql("from_yaml('a: 1', 'not a ddl <<<')")
+
+
+def test_yaml_native_tagged_scalars(spark, sf_dir):
+    """to_yaml_native emits the reference's snakeyaml node model
+    (YamlEncoderExpr.scala:54-102): !!binary for bytes, FLOAT-tagged
+    exact decimals, native datetime/date scalars — and from_yaml
+    decodes every one of them back."""
+    from quality_spark.functions.yamlenc import to_yaml_native
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(25)
+    df = li.select(
+        F.to_timestamp(F.col("l_shipdate")).alias("ts"),
+        F.to_date(F.col("l_shipdate")).alias("dt"),
+        F.col("l_extendedprice").cast("decimal(14,4)").alias("dec"),
+        F.encode(
+            F.concat("l_returnflag", "l_linestatus", F.col("l_orderkey").cast("string")),
+            "utf-8",
+        ).alias("bin"),
+    )
+
+    # binary gets the !!binary tag
+    ytxt = df.select(to_yaml_native("bin").alias("y")).collect()[0]["y"]
+    assert "!!binary" in ytxt
+
+    # decimal renders as the exact decimal string (no double rounding)
+    row = df.select("dec", to_yaml_native("dec").alias("y")).collect()[0]
+    assert str(row["dec"]) in row["y"]
+
+    for col, ddl in [
+        ("ts", "timestamp"),
+        ("dt", "date"),
+        ("dec", "decimal(14,4)"),
+        ("bin", "binary"),
+    ]:
+        out = df.select(
+            F.col(col).alias("orig"),
+            from_yaml(to_yaml_native(col), ddl).alias("back"),
+        ).collect()
+        assert len(out) == 25
+        for r in out:
+            assert r["orig"] == r["back"], (col, r)
+
+
+def test_yaml_native_reference_ints(spark):
+    """reference_ints=True matches the reference's internal-integer
+    encodings: timestamps as epoch-micros, dates as epoch-days
+    (YamlEncoderExpr.scala:86-92) — and from_yaml restores them."""
+    import datetime
+
+    from quality_spark.functions.yamlenc import to_yaml_native
+
+    ts = datetime.datetime(2021, 3, 4, 5, 6, 7, 123456)
+    d = datetime.date(2021, 3, 4)
+    df = spark.createDataFrame([(ts, d)], "ts timestamp, dt date")
+
+    rows = df.select(
+        to_yaml_native("ts", reference_ints=True).alias("yts"),
+        to_yaml_native("dt", reference_ints=True).alias("ydt"),
+    ).collect()[0]
+    epoch_us = int(
+        (ts - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+    )
+    assert pyyaml.safe_load(rows["yts"]) == epoch_us
+    assert pyyaml.safe_load(rows["ydt"]) == (d - datetime.date(1970, 1, 1)).days
+
+    back = df.select(
+        from_yaml(to_yaml_native("ts", reference_ints=True), "timestamp").alias("ts2"),
+        from_yaml(to_yaml_native("dt", reference_ints=True), "date").alias("dt2"),
+    ).collect()[0]
+    assert back["ts2"] == ts and back["dt2"] == d
+
+
+def test_yaml_native_nested(spark, sf_dir):
+    """Nested struct/array/map with date + decimal leaves round-trips
+    through the native encoder."""
+    from quality_spark.functions.yamlenc import to_yaml_native
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(20)
+    ddl = "struct<d:date,p:decimal(12,2),m:map<string,bigint>,xs:array<double>>"
+    df = li.select(
+        F.struct(
+            F.to_date("l_shipdate").alias("d"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("p"),
+            F.create_map(F.lit("pk"), F.col("l_partkey")).alias("m"),
+            F.array("l_quantity", "l_tax").alias("xs"),
+        ).alias("v")
+    )
+    out = df.select("v", from_yaml(to_yaml_native("v"), ddl).alias("back")).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["v"].asDict(True) == r["back"].asDict(True)
