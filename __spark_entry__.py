@@ -2171,6 +2171,120 @@ FROM customer c
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition ratios (dup-word / dup-word-char /
+    dup-line fractions) per document — pure codegen'd Column exprs
+    (quality_spark/llm/repetition.py)."""
+    from quality_spark.llm.repetition import with_repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_repetition_stats(docs, "text").select(
+        "doc_id", "word_count", "dup_word_fraction",
+        "dup_word_char_fraction", "dup_line_fraction",
+    )
+
+
+def _oracle_repetition_stats() -> str:
+    from quality_spark.llm.repetition import repetition_sqls
+
+    cols = ", ".join(
+        f"{sql} AS {name}" for name, sql in repetition_sqls("text", "duckdb").items()
+    )
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent 2-gram per document + character coverage (the
+    Gopher top-n-gram filter signal) — two-stage argmax aggregation,
+    no window sort."""
+    from quality_spark.llm.repetition import top_ngram_coverage
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_ngram_coverage(docs, n=2)
+
+
+def _oracle_top_ngram() -> str:
+    from quality_spark.llm.repetition import top_ngram_oracle_sql
+
+    return top_ngram_oracle_sql(2)
+
+
+def _pii_augmented_text_spark() -> "F.Column":
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(".25"),
+    )
+
+
+_PII_AUGMENT_DUCK = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.25'"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: per-doc match counts + redacted text. The corpus has
+    no real PII, so both engines synthesize identical addresses/phones/
+    IPs from doc_id over the real text — the regexes then run on real
+    data (quality_spark/llm/pii.py; patterns in the Java∩RE2 subset)."""
+    from quality_spark.llm.pii import redact_pii, with_pii_stats
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", _pii_augmented_text_spark().alias("text")
+    )
+    return redact_pii(with_pii_stats(docs, "text"), "text", out="redacted").select(
+        "doc_id", "email_count", "ipv4_count", "phone_count", "pii_total", "redacted"
+    )
+
+
+def _oracle_pii_redact() -> str:
+    from quality_spark.llm.pii import pii_count_oracle, pii_redact_oracle
+
+    t = "aug.text2"
+    counts = ", ".join(
+        f"CAST({pii_count_oracle(t, n)} AS INT) AS {n}_count"
+        for n in ("email", "ipv4", "phone")
+    )
+    total = " + ".join(pii_count_oracle(t, n) for n in ("email", "ipv4", "phone"))
+    return f"""
+SELECT doc_id, {counts}, CAST({total} AS INT) AS pii_total,
+       {pii_redact_oracle(t)} AS redacted
+FROM (SELECT doc_id, {_PII_AUGMENT_DUCK} AS text2 FROM documents) aug
+"""
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 13-gram overlap of the corpus
+    (doc_id % 50 != 0) against a benchmark split (doc_id % 50 = 0);
+    benchmark grams broadcast, corpus never shuffles
+    (quality_spark/llm/decontam.py)."""
+    from quality_spark.llm.decontam import contamination_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_flags(corpus, benchmark, n=13)
+
+
+def _oracle_decontam_overlap() -> str:
+    from quality_spark.llm.decontam import contamination_oracle_sql
+
+    return contamination_oracle_sql(
+        13, corpus_where="doc_id % 50 != 0", benchmark_where="doc_id % 50 = 0"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -2238,6 +2352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "streaming_windowed_dq": q_streaming_windowed_dq,
         "lambda_subquery": q_lambda_subquery,
+        "repetition_stats": q_repetition_stats,
+        "top_ngram": q_top_ngram,
+        "pii_redact": q_pii_redact,
+        "decontam_overlap": q_decontam_overlap,
     }
 
 
@@ -2303,4 +2421,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _oracle_near_dup_clusters(),
         "streaming_windowed_dq": _oracle_streaming_windowed_dq(),
         "lambda_subquery": _oracle_lambda_subquery(),
+        "repetition_stats": _oracle_repetition_stats(),
+        "top_ngram": _oracle_top_ngram(),
+        "pii_redact": _oracle_pii_redact(),
+        "decontam_overlap": _oracle_decontam_overlap(),
     }

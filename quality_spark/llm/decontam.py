@@ -1,0 +1,93 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and an evaluation/benchmark set.
+
+The standard contamination check (GPT-3 appendix C; Dodge et al. 2021
+C4 analysis): a training document is contaminated if it shares at
+least one word n-gram (n=13 classically) with any benchmark document.
+
+Plan shape, built for a 100 TB corpus vs a benchmark of at most a few
+million grams:
+
+- benchmark side: explode distinct n-grams, ``distinct()`` — tiny by
+  definition, and explicitly ``broadcast()`` so the corpus-side join is
+  a map-side hash probe with NO corpus shuffle;
+- corpus side: explode distinct n-grams (set semantics per doc — one
+  hit per shared gram), inner-join the broadcast gram set, then one
+  ``groupBy(doc)`` count with map-side partial aggregation;
+- left-join the per-doc hit counts back onto the corpus keys (both
+  sides keyed by doc id).
+
+If the benchmark outgrows broadcast size, pass ``broadcast_grams=False``
+to fall back to a hash-partitioned join keyed by the gram string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_sql
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_grams: bool = True,
+) -> DataFrame:
+    """Per-corpus-document contamination: ``contaminated_grams`` =
+    number of DISTINCT word n-grams shared with the benchmark set, and
+    a boolean ``contaminated`` flag."""
+    grams_expr = F.expr(shingles_sql(text_col, n, "spark"))
+    c_grams = corpus.select(
+        F.col(id_col), F.explode(grams_expr).alias("gram")
+    )
+    b_grams = benchmark.select(F.explode(grams_expr).alias("gram")).distinct()
+    if broadcast_grams:
+        b_grams = F.broadcast(b_grams)
+    hits = (
+        c_grams.join(b_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("contaminated_grams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("contaminated_grams"), F.lit(0).cast("bigint")).alias(
+                "contaminated_grams"
+            ),
+            (F.coalesce(F.col("contaminated_grams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def contamination_oracle_sql(
+    n: int,
+    corpus_where: str,
+    benchmark_where: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: same distinct-shingle explode + join + count."""
+    grams = shingles_sql("text", n, "duckdb")
+    return f"""
+WITH c AS (
+  SELECT {id_col}, unnest({grams}) AS gram FROM {table} WHERE {corpus_where}
+), b AS (
+  SELECT DISTINCT unnest({grams}) AS gram FROM {table} WHERE {benchmark_where}
+), hits AS (
+  SELECT c.{id_col}, CAST(count(*) AS BIGINT) AS contaminated_grams
+  FROM c JOIN b ON c.gram = b.gram GROUP BY 1
+)
+SELECT d.{id_col},
+       coalesce(h.contaminated_grams, 0) AS contaminated_grams,
+       coalesce(h.contaminated_grams, 0) > 0 AS contaminated
+FROM (SELECT {id_col} FROM {table} WHERE {corpus_where}) d
+LEFT JOIN hits h ON d.{id_col} = h.{id_col}
+"""

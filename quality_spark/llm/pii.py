@@ -1,0 +1,89 @@
+"""PII detection / redaction for training-data curation.
+
+Regex-based detection of emails, IPv4 addresses, and phone numbers —
+the C4/RefinedWeb-style scrub pass applied before training. Counting
+and redaction are pure JVM Column expressions (``regexp_count`` /
+``regexp_replace``), so the pass is codegen'd, streaming-safe, and
+costs one projection at any corpus size.
+
+Patterns are deliberately written in the common Java-regex ∩ RE2
+dialect subset (no backrefs, no lookaround) so the DuckDB oracle
+evaluates the SAME pattern text — counts and redacted output match
+bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: name → pattern, in REDACTION ORDER (emails first so the phone/IP
+#: patterns never see their digit runs; dict order is preserved).
+DEFAULT_PATTERNS: Dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    # requires an international "+" prefix — keeps it disjoint from
+    # IPv4/date digit runs without lookaround (not in RE2)
+    "phone": r"\+\d{1,2}-\d{3}-\d{4}",
+}
+
+
+def _token(name: str) -> str:
+    return f"<{name.upper()}>"
+
+
+def with_pii_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """Per-document match counts (one ``{name}_count`` column per
+    pattern, plus ``pii_total``)."""
+    pats = patterns or DEFAULT_PATTERNS
+    counts = {
+        f"{name}_count": F.regexp_count(F.col(text_col), F.lit(p)).cast("int")
+        for name, p in pats.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.select(
+        "*",
+        *[c.alias(n) for n, c in counts.items()],
+        total.cast("int").alias("pii_total"),
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out: Optional[str] = None,
+    patterns: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """Replace every match with ``<NAME>`` placeholder tokens, applying
+    patterns in dict order (emails before digit-run patterns)."""
+    pats = patterns or DEFAULT_PATTERNS
+    col: Column = F.col(text_col)
+    for name, p in pats.items():
+        col = F.regexp_replace(col, F.lit(p), F.lit(_token(name)))
+    return df.withColumn(out or f"{text_col}_redacted", col)
+
+
+def pii_count_oracle(text_expr: str, name: str, patterns: Optional[Dict[str, str]] = None) -> str:
+    """DuckDB count twin (RE2): same pattern text, single-quote escaped."""
+    pats = patterns or DEFAULT_PATTERNS
+    p = pats[name].replace("'", "''")
+    return f"len(regexp_extract_all({text_expr}, '{p}'))"
+
+
+def pii_redact_oracle(text_expr: str, patterns: Optional[Dict[str, str]] = None) -> str:
+    """DuckDB redaction twin — chained global regexp_replace in the
+    same pattern order."""
+    pats = patterns or DEFAULT_PATTERNS
+    expr = text_expr
+    for name, p in pats.items():
+        pp = p.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pp}', '{_token(name)}', 'g')"
+    return expr

@@ -1,0 +1,148 @@
+"""Curation operators: repetition stats, PII scrub, decontamination."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import functions as F
+
+from quality_spark.llm.decontam import contamination_flags
+from quality_spark.llm.pii import DEFAULT_PATTERNS, redact_pii, with_pii_stats
+from quality_spark.llm.repetition import (
+    repetition_sqls,
+    top_ngram_coverage,
+    with_repetition_stats,
+)
+
+
+def test_repetition_stats_match_duckdb(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (
+            r["word_count"],
+            round(r["dup_word_fraction"], 9),
+            round(r["dup_word_char_fraction"], 9),
+        )
+        for r in with_repetition_stats(docs).collect()
+    }
+    cols = ", ".join(
+        f"{sql} AS {name}" for name, sql in repetition_sqls("text", "duckdb").items()
+    )
+    want = {
+        r[0]: (r[1], round(r[2], 9), round(r[3], 9))
+        for r in duckdb.connect()
+        .execute(
+            f"""SELECT doc_id, word_count, dup_word_fraction, dup_word_char_fraction
+                FROM (SELECT doc_id, {cols}
+                      FROM read_parquet('{sf_dir}/documents.parquet'))"""
+        )
+        .fetchall()
+    }
+    assert got == want and len(got) > 0
+    # non-vacuous: the synthetic corpus genuinely repeats words
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_repetition_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y z"), (3, "")], "doc_id int, text string"
+    )
+    rows = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert rows[1]["word_count"] == 5
+    assert abs(rows[1]["dup_word_fraction"] - 2 / 5) < 1e-12
+    assert rows[2]["dup_word_fraction"] == 0.0
+    assert rows[3]["dup_word_fraction"] is None  # empty doc -> NULL, not /0
+
+
+def test_top_ngram_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "to be or not to be"), (2, "all same all same all same")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in top_ngram_coverage(df, n=2).collect()}
+    assert rows[1]["top_gram"] == "to be" and rows[1]["top_count"] == 2
+    assert rows[2]["top_gram"] == "all same" and rows[2]["top_count"] == 3
+    # "all same" covers 3*8 chars of the 26-char doc
+    assert abs(rows[2]["top_coverage"] - 24 / 26) < 1e-12
+
+
+def test_pii_detect_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.001.25 port 80"),
+            (3, "call +1-555-0199 today"),
+            (4, "clean text, nothing here"),
+            (5, "a@b.io and 10.0.0.1 and +44-555-1234"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(with_pii_stats(df)).collect()}
+    assert out[1]["email_count"] == 1 and "<EMAIL>" in out[1]["text_redacted"]
+    assert out[2]["ipv4_count"] == 1 and "<IPV4>" in out[2]["text_redacted"]
+    assert out[3]["phone_count"] == 1 and "<PHONE>" in out[3]["text_redacted"]
+    assert out[4]["pii_total"] == 0 and out[4]["text_redacted"] == out[4]["text"]
+    assert out[5]["pii_total"] == 3
+    for tok in ("<EMAIL>", "<IPV4>", "<PHONE>"):
+        assert tok in out[5]["text_redacted"]
+
+
+def test_pii_patterns_match_duckdb_dialect(spark):
+    """The shipped patterns must behave identically under Java regex
+    (Spark) and RE2 (DuckDB) — the premise of the oracle."""
+    texts = [
+        "x a.b-c_d%e+f@sub.domain.co y",
+        "edge 1.2.3.4 and 255.255.255.255 and 999.1.1.1",
+        "+1-555-0000 +12-123-4567 1-555-0000 +123-555-0000",
+        "not-an-email @ nope.com 1.2.3 4.5",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    got = {
+        r["i"]: (r["email_count"], r["ipv4_count"], r["phone_count"])
+        for r in with_pii_stats(df).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = tuple(
+            con.execute(
+                f"SELECT len(regexp_extract_all(?, '{p}'))", [t]
+            ).fetchall()[0][0]
+            for p in DEFAULT_PATTERNS.values()
+        )
+        assert got[i] == want, (i, t, got[i], want)
+
+
+def test_contamination_flags(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id int, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta epsilon suffix"),  # contains the 5-gram
+            (2, "alpha beta gamma but differs afterwards here"),
+            (3, "completely unrelated words in this document"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_flags(corpus, bench, n=5).collect()}
+    assert out[1]["contaminated"] and out[1]["contaminated_grams"] == 1
+    assert not out[2]["contaminated"]
+    assert not out[3]["contaminated"]
+    assert len(out) == 3  # uncontaminated docs still present (left join)
+
+
+def test_contamination_broadcast_plan(spark, sf_dir):
+    """The benchmark gram set must broadcast — the corpus side may not
+    shuffle for the join itself."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flags = contamination_flags(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=13,
+    )
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
