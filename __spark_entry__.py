@@ -840,7 +840,11 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quality_spark.llm.similarity import embedding_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.25, planes=8, mode="portable")
+    # mode='arrow': one vectorized pandas UDF computes all table
+    # signatures, BIT-IDENTICAL to the SQL fold the oracle replays
+    # (fold-order accumulation — similarity._signatures_arrow_udf);
+    # measured 3.8s -> 1.7s at sf0.1
+    return embedding_near_dup_pairs(emb, threshold=0.25, planes=8, mode="arrow")
 
 
 def _oracle_embedding_lsh_near_dup() -> str:

@@ -40,11 +40,21 @@ def contamination_flags(
     """Per-corpus-document contamination: ``contaminated_grams`` =
     number of DISTINCT word n-grams shared with the benchmark set, and
     a boolean ``contaminated`` flag."""
-    grams_expr = F.expr(shingles_sql(text_col, n, "spark"))
-    c_grams = corpus.select(
-        F.col(id_col), F.explode(grams_expr).alias("gram")
-    )
-    b_grams = benchmark.select(F.explode(grams_expr).alias("gram")).distinct()
+    from .dedup import shingles_from_tokens_sql, tokens_sql
+
+    # two-step tokens→shingles projection (the inlined tokenizer form
+    # re-splits the text per shingle position — see
+    # dedup.shingles_from_tokens_sql)
+    def _grams(df: DataFrame, *keep: str) -> DataFrame:
+        return df.select(
+            *keep, F.expr(tokens_sql(text_col, "spark")).alias("_toks")
+        ).select(
+            *keep,
+            F.explode(F.expr(shingles_from_tokens_sql("_toks", n))).alias("gram"),
+        )
+
+    c_grams = _grams(corpus, id_col)
+    b_grams = _grams(benchmark).distinct()
     if broadcast_grams:
         b_grams = F.broadcast(b_grams)
     hits = (

@@ -92,6 +92,17 @@ def ngrams_all_sql(text: str, n: int, dialect: str) -> str:
     )
 
 
+def ngrams_all_from_tokens_sql(toks_col: str, n: int) -> str:
+    """Spark n-grams over an already-materialized token-array COLUMN —
+    the fast two-step form (see dedup.shingles_from_tokens_sql: an
+    inlined tokenizer re-splits the text once PER n-gram position
+    inside the transform lambda; measured 4.1s -> 0.5s at sf0.1)."""
+    return (
+        f"transform(sequence(1, greatest(size({toks_col}) - {n - 1}, 1)), "
+        f"i -> array_join(slice({toks_col}, i, {n}), ' '))"
+    )
+
+
 def top_ngram_coverage(
     df: DataFrame,
     n: int = 2,
@@ -109,10 +120,16 @@ def top_ngram_coverage(
     (id, gram) then id; no window sort, no skew beyond per-doc gram
     cardinality.
     """
+    from .dedup import tokens_sql as _tok
+
     grams = df.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("_doc_chars"),
-        F.explode(F.expr(ngrams_all_sql(text_col, n, "spark"))).alias("gram"),
+        F.expr(_tok(text_col, "spark")).alias("_toks"),
+    ).select(
+        id_col,
+        "_doc_chars",
+        F.explode(F.expr(ngrams_all_from_tokens_sql("_toks", n))).alias("gram"),
     )
     counts = grams.groupBy(id_col, "gram").agg(
         F.count(F.lit(1)).alias("cnt"),

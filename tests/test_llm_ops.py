@@ -360,3 +360,21 @@ def test_dedup_keep_list(spark, docs):
     # rows in no pair keep themselves
     assert all(keep[i] for i in keep if i not in (9, 13))
     assert len(out) == sub.count()
+
+
+def test_lsh_arrow_signatures_bit_identical(spark, sf_dir):
+    """mode='arrow' (vectorized numpy, fold-order accumulation) must
+    produce BIT-identical signatures to the pure-SQL fold — bucket
+    membership may not drift between the scale path and the oracle
+    path."""
+    from quality_spark.llm.similarity import _with_lsh_tables
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = _with_lsh_tables(emb, "embedding", 8, 4, 7, "arrow").select(
+        "vec_id", "table_idx", "sig"
+    )
+    p = _with_lsh_tables(emb, "embedding", 8, 4, 7, "portable").select(
+        "vec_id", "table_idx", "sig"
+    )
+    assert a.exceptAll(p).count() == 0 and p.exceptAll(a).count() == 0
+    assert a.count() > 0
