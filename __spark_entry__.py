@@ -2289,6 +2289,50 @@ def _oracle_decontam_overlap() -> str:
     )
 
 
+def q_sparkless_duckdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-FREE sparkless processor (quality_spark/sparkless.py
+    DuckDBProcessor — reference sparkless/Processor.scala:13-42): the
+    fixture suite compiles once to DuckDB SQL and scores a
+    deterministic slice with no JVM involvement; results come back as a
+    DataFrame only so the gate can hash them. The oracle recomputes the
+    same encodings directly — the processor's output must match the
+    rule semantics exactly, through a THIRD evaluation path."""
+    import pyarrow.parquet as pq
+
+    from quality_spark.sparkless import DuckDBProcessor
+
+    pdf = (
+        pq.read_table(f"{sf_dir}/lineitem.parquet")
+        .to_pandas()
+        .query("l_orderkey < 400")
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    proc = DuckDBProcessor(fixture_suite(), pdf.iloc[0].to_dict())
+    flat = proc.process_pandas(pdf)
+    out = pdf[["l_orderkey", "l_linenumber"]].copy()
+    out["overall"] = flat["overall"].astype("int32")
+    # one representative rule int per kind: bool(100), prob(200),
+    # soft(201), disabled(202)
+    for i, (_, rid, _, _) in enumerate(RULE_SPECS):
+        if rid[0] in (100, 200, 201, 202):
+            out[f"r{rid[0]}"] = flat[f"r_{i}"].astype("int32")
+    return spark.createDataFrame(out)
+
+
+def _oracle_sparkless_duckdb() -> str:
+    picks = []
+    for set_id, rule_id, kind, sql in RULE_SPECS:
+        if rule_id[0] in (100, 200, 201, 202):
+            picks.append(f"CAST({_oracle_encode(kind, sql)} AS INTEGER) AS r{rule_id[0]}")
+    return f"""
+SELECT l_orderkey, l_linenumber,
+       CAST({_oracle_overall(_ALL_ENCS)} AS INTEGER) AS overall,
+       {', '.join(picks)}
+FROM lineitem WHERE l_orderkey < 400
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -2360,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram": q_top_ngram,
         "pii_redact": q_pii_redact,
         "decontam_overlap": q_decontam_overlap,
+        "sparkless_duckdb": q_sparkless_duckdb,
     }
 
 
@@ -2429,4 +2474,5 @@ def oracle_sql() -> dict[str, str]:
         "top_ngram": _oracle_top_ngram(),
         "pii_redact": _oracle_pii_redact(),
         "decontam_overlap": _oracle_decontam_overlap(),
+        "sparkless_duckdb": _oracle_sparkless_duckdb(),
     }

@@ -128,6 +128,42 @@ def encode_rule_sql(rule_sql: str, dtype: T.DataType) -> str:
     return "0"
 
 
+def encode_rule_sql_duck(rule_sql: str, duck_type: str) -> str:
+    """DuckDB twin of :func:`encode_rule_sql`, keyed on DuckDB type
+    names (no ``D`` double-literal suffixes, same semantics incl.
+    null→Failed and saturating double→int truncation). Powers the
+    Spark-free sparkless processor."""
+    e = f"({rule_sql})"
+    t = duck_type.upper()
+    if t == "BOOLEAN":
+        return f"(CASE WHEN {e} THEN {PASSED_INT} ELSE 0 END)"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT"):
+        return (
+            f"(CASE CAST({e} AS BIGINT) WHEN 0 THEN 0 WHEN 1 THEN {PASSED_INT} "
+            f"WHEN -1 THEN -1 WHEN -2 THEN -2 ELSE 0 END)"
+        )
+    if t in ("FLOAT", "DOUBLE", "REAL") or t.startswith("DECIMAL"):
+        d = f"CAST({e} AS DOUBLE)"
+        sat = (
+            f"CAST(GREATEST(LEAST({d} * {PASSED_INT}, 2147483647.0), "
+            f"-2147483648.0) AS INT)"
+        )
+        return (
+            f"(CASE WHEN {d} IS NULL THEN 0 WHEN {d} = 0.0 THEN 0 "
+            f"WHEN {d} = 1.0 THEN {PASSED_INT} WHEN {d} = -1.0 THEN -1 "
+            f"WHEN {d} = -2.0 THEN -2 ELSE {sat} END)"
+        )
+    if t == "VARCHAR":
+        s = f"lower({e})"
+        return (
+            f"(CASE WHEN {s} IN ('true','passed','pass','yes','1','1.0') THEN {PASSED_INT} "
+            f"WHEN {s} IN ('softfail','maybe') THEN -1 "
+            f"WHEN {s} IN ('disabledrule','disabled') THEN -2 "
+            f"ELSE 0 END)"
+        )
+    return "0"
+
+
 def encode_rule_sql_generic(rule_sql: str) -> str:
     """Type-agnostic encoding used when no target DataFrame is available
     to probe expression types: routes through a double cast. Exact for

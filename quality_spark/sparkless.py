@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 from .model import RuleSuite
 from .operators.runner import rule_runner
 
-__all__ = ["RowProcessor", "dq_factory"]
+__all__ = ["RowProcessor", "DuckDBProcessor", "dq_factory"]
 
 
 class RowProcessor:
@@ -68,3 +68,121 @@ def dq_factory(
     """Factory naming matches the reference entry point
     (sparkless/ProcessFunctions.scala:57)."""
     return RowProcessor(spark, suite, schema)
+
+
+class DuckDBProcessor:
+    """TRULY Spark-free rule evaluation: the suite compiles once to
+    DuckDB SQL and batches score through DuckDB's vectorized engine —
+    no JVM, no SparkSession, embeddable in any Python service. This is
+    the closest Python analogue of the reference's sparkless
+    MutableProjection path (sparkless/Processor.scala:13-42): compile
+    once, stream batches, same integer result encoding and overall
+    folds (results.py mirrors impl/OverallResult.scala:21-30).
+
+    Scope: the dialect-portable subset of rule SQL (comparisons,
+    arithmetic, CASE, IN, string/math functions, expanded lambdas).
+    Rules using Spark-only functions fail at COMPILE time with the
+    offending rule named — same contract as the reference's sparkless,
+    which also rejects non-compilable expressions.
+    """
+
+    def __init__(self, suite: RuleSuite, sample_row: Mapping) -> None:
+        import duckdb
+
+        from .plans.compiler import RuleCompilationError, expand_rules
+        from .results import encode_rule_sql_duck, overall_result_sql
+        from .model import pack_id
+
+        self.suite = suite
+        self._con = duckdb.connect()
+        # our macro expansion emits Spark typed numeric literals
+        # (0.0D / 42L); strip the suffix for DuckDB — it only follows a
+        # numeric literal, never an identifier (those can't start with
+        # a digit). String literals containing such sequences are out
+        # of sparkless scope (documented).
+        import re
+
+        def _portable(sql: str) -> str:
+            sql = re.sub(r"\b(\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)[DL]\b", r"\1", sql)
+            return re.sub(r"(\d*\.\d+(?:[eE][+-]?\d+)?)[DL]\b", r"\1", sql)
+
+        expanded = [
+            (rs, r, _portable(sql)) for rs, r, sql in expand_rules(suite)
+        ]
+
+        # type-probe against a schema-shaped empty relation (LIMIT 0 —
+        # analysis only, mirrors runner.probe_types)
+        import pandas as pd
+
+        probe_df = pd.DataFrame([sample_row])
+        self._con.register("__qs_probe", probe_df)
+        types: List[str] = []
+        for rs, r, sql in expanded:
+            try:
+                rel = self._con.sql(f"SELECT ({sql}) AS e FROM __qs_probe LIMIT 0")
+                types.append(str(rel.types[0]))
+            except Exception as e:
+                raise RuleCompilationError(
+                    f"rule {r.id} in set {rs.id} is not DuckDB-portable "
+                    f"(sparkless scope is the shared SQL subset): {e}"
+                ) from e
+
+        self._rules = [
+            (pack_id(rs.id), pack_id(r.id), encode_rule_sql_duck(sql, t))
+            for (rs, r, sql), t in zip(expanded, types)
+        ]
+        self._suite_id = pack_id(suite.id)
+
+        per_set: Dict[int, List[str]] = {}
+        for sid, _, enc in self._rules:
+            per_set.setdefault(sid, []).append(enc)
+        pp = suite.probable_pass
+        sel = [f"({enc}) AS r_{i}" for i, (_, _, enc) in enumerate(self._rules)]
+        sel += [
+            f"({overall_result_sql(encs, pp)}) AS s_{sid}"
+            for sid, encs in per_set.items()
+        ]
+        sel.append(
+            f"({overall_result_sql([e for _, _, e in self._rules], pp)}) AS overall"
+        )
+        self._set_ids = list(per_set)
+        self._select = ", ".join(sel)
+
+    def process_pandas(self, pdf) -> "object":
+        """Score a pandas batch → pandas frame of flat int columns
+        (``r_<i>``, ``s_<setId>``, ``overall``), row-aligned with the
+        input. The heavy path: one vectorized DuckDB projection."""
+        self._con.register("__qs_batch", pdf)
+        return self._con.sql(
+            f"SELECT {self._select} FROM __qs_batch"
+        ).fetchdf()
+
+    def process(self, rows: Iterable[Mapping]) -> List[Dict]:
+        """Score dict rows → nested RuleSuiteResult dicts (same shape
+        as the Spark runner's DQ struct ``asDict(True)``)."""
+        import pandas as pd
+
+        rows = list(rows)
+        if not rows:
+            return []
+        flat = self.process_pandas(pd.DataFrame(rows))
+        out: List[Dict] = []
+        for i in range(len(flat)):
+            row = flat.iloc[i]
+            set_results = {
+                sid: {"overallResult": int(row[f"s_{sid}"]), "ruleResults": {}}
+                for sid in self._set_ids
+            }
+            for j, (sid, rid, _) in enumerate(self._rules):
+                set_results[sid]["ruleResults"][rid] = int(row[f"r_{j}"])
+            out.append(
+                {
+                    "id": self._suite_id,
+                    "overallResult": int(row["overall"]),
+                    "ruleSetResults": set_results,
+                }
+            )
+        return out
+
+    def process_one(self, row: Mapping) -> Dict:
+        return self.process([row])[0]

@@ -75,3 +75,43 @@ def test_debug_helpers(spark, lineitem):
     assert "Scan" in plan or "FileScan" in plan or "Relation" in plan
     code = generated_code(lineitem.select((F.col("l_quantity") * 2).alias("x")))
     assert "WholeStageCodegen" in code or "Found 0" in code or "class" in code
+
+
+def test_duckdb_processor_matches_spark_runner(spark, sf_dir):
+    """The Spark-free DuckDB processor must produce EXACTLY the Spark
+    runner's nested result struct on real data — bool, probability,
+    soft-fail, disabled, and lambda rules included."""
+    import __spark_entry__ as entrymod
+    from quality_spark.operators.runner import add_data_quality
+    from quality_spark.sparkless import DuckDBProcessor
+
+    suite = entrymod.fixture_suite()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(200)
+    pdf = li.toPandas()
+
+    proc = DuckDBProcessor(suite, pdf.iloc[0].to_dict())
+    got = proc.process(pdf.to_dict("records"))
+
+    want = [
+        r["DQ"].asDict(recursive=True)
+        for r in add_data_quality(li, suite).select("DQ").collect()
+    ]
+    assert len(got) == len(want) == 200
+    for g, w in zip(got, want):
+        assert g == w
+
+
+def test_duckdb_processor_rejects_spark_only_rules():
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite, ExpressionRule
+    from quality_spark.plans.compiler import RuleCompilationError
+    from quality_spark.sparkless import DuckDBProcessor
+
+    suite = RuleSuite(
+        Id(1, 1),
+        (RuleSet(Id(10, 1), (Rule(Id(100, 1), ExpressionRule("xxhash64(x) > 0")),)),),
+    )
+    try:
+        DuckDBProcessor(suite, {"x": "a"})
+        assert False, "expected RuleCompilationError"
+    except RuleCompilationError as e:
+        assert "100" in str(e) or "not DuckDB-portable" in str(e)
