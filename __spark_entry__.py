@@ -2333,6 +2333,46 @@ FROM lineitem WHERE l_orderkey < 400
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining chunking: overlapping 32-token windows per document
+    — pure projection + explode, no shuffle
+    (quality_spark/llm/packing.py)."""
+    from quality_spark.llm.packing import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=32, overlap=4)
+
+
+def _oracle_chunk_documents() -> str:
+    from quality_spark.llm.packing import chunk_documents_oracle_sql
+
+    return chunk_documents_oracle_sql(32, 4)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-fill sequence packing into 2048-token bins, sharded
+    16 ways (per-shard windows — no global sort;
+    quality_spark/llm/packing.py)."""
+    from quality_spark.llm.dedup import tokens_sql
+    from quality_spark.llm.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"size({tokens_sql('text', 'spark')})").cast("int").alias("n_tokens"),
+    )
+    return pack_sequences(docs, budget=2048, n_shards=16)
+
+
+def _oracle_pack_sequences() -> str:
+    from quality_spark.llm.packing import pack_sequences_oracle_sql
+
+    base = (
+        "SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), "
+        "t -> t != '')) AS INT) AS n_tokens FROM documents"
+    )
+    return pack_sequences_oracle_sql(2048, 16, table_sql=base)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -2405,6 +2445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontam_overlap": q_decontam_overlap,
         "sparkless_duckdb": q_sparkless_duckdb,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2475,4 +2517,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _oracle_pii_redact(),
         "decontam_overlap": _oracle_decontam_overlap(),
         "sparkless_duckdb": _oracle_sparkless_duckdb(),
+        "chunk_documents": _oracle_chunk_documents(),
+        "pack_sequences": _oracle_pack_sequences(),
     }

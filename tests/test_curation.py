@@ -146,3 +146,51 @@ def test_contamination_broadcast_plan(spark, sf_dir):
     )
     plan = flags._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_known_values(spark):
+    from quality_spark.llm.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "")], "doc_id int, text string")
+    rows = chunk_documents(df, max_tokens=8, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # stride 6: chunk0 = w0..w7, chunk1 = w6..w9
+    assert [r["chunk_tokens"] for r in c1] == [8, 4]
+    assert c1[0]["chunk_text"].startswith("w0") and c1[0]["chunk_text"].endswith("w7")
+    assert c1[1]["chunk_text"] == "w6 w7 w8 w9"
+    # consecutive chunks share exactly `overlap` tokens
+    assert c1[0]["chunk_text"].split()[-2:] == c1[1]["chunk_text"].split()[:2]
+    # empty doc -> one empty chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_tokens"] == 0
+
+
+def test_pack_sequences_known_values(spark):
+    from quality_spark.llm.packing import pack_sequences
+
+    # one shard (n_shards=1): sequential fill with budget 100
+    rows = [(i, n) for i, n in enumerate([60, 60, 30, 80, 100, 10])]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget=100, n_shards=1).collect()}
+    # cumsums: 60,120,150,230,330,340 -> pre-sums 0,60,120,150,230,330
+    # bins:     0,  0,  1,  1,  2,  3
+    assert [out[i]["bin_id"] for i in range(6)] == [0, 0, 1, 1, 2, 3]
+    assert [out[i]["bin_pos"] for i in range(6)] == [0, 1, 0, 1, 0, 0]
+
+
+def test_pack_sequences_shard_uniqueness(spark, sf_dir):
+    from quality_spark.llm.dedup import tokens_sql
+    from quality_spark.llm.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(f"size({tokens_sql('text', 'spark')})").cast("int").alias("n_tokens"),
+    )
+    out = pack_sequences(docs, budget=512, n_shards=8)
+    # bin ids never collide across shards
+    x = out.groupBy("bin_id").agg(F.count_distinct("shard").alias("ns"))
+    assert x.filter(F.col("ns") > 1).count() == 0
+    assert out.count() == docs.count()
