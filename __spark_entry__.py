@@ -2373,6 +2373,44 @@ def _oracle_pack_sequences() -> str:
     return pack_sequences_oracle_sql(2048, 16, table_sql=base)
 
 
+def q_jsonl_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus I/O (quality_spark/sources/jsonl.py): documents
+    write to gzipped JSONL shards and read back schema-first; the
+    output fingerprints every row (md5 of text + all scalar columns)
+    so the oracle — which fingerprints the ORIGINAL parquet rows —
+    proves the round-trip is byte-faithful."""
+    import os
+    import shutil
+    import tempfile
+
+    from quality_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    stage = os.path.join(tempfile.gettempdir(), "qs_jsonl_gate")
+    shutil.rmtree(stage, ignore_errors=True)
+    docs = _read(spark, sf_dir, "documents")
+    write_jsonl(docs, stage)
+    back = read_jsonl(
+        spark, stage, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    return back.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                "\u0001", "text", "lang", "source", F.col("n_chars").cast("string")
+            )
+        ).alias("row_md5"),
+    )
+
+
+def _oracle_jsonl_round_trip() -> str:
+    return """
+SELECT doc_id,
+       md5(concat_ws(chr(1), text, lang, source, CAST(n_chars AS VARCHAR)))
+         AS row_md5
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -2447,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparkless_duckdb": q_sparkless_duckdb,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "jsonl_round_trip": q_jsonl_round_trip,
     }
 
 
@@ -2519,4 +2558,5 @@ def oracle_sql() -> dict[str, str]:
         "sparkless_duckdb": _oracle_sparkless_duckdb(),
         "chunk_documents": _oracle_chunk_documents(),
         "pack_sequences": _oracle_pack_sequences(),
+        "jsonl_round_trip": _oracle_jsonl_round_trip(),
     }
