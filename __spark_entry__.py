@@ -2411,6 +2411,56 @@ FROM documents
 """
 
 
+def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator: emit only the first event
+    ever seen per user (applyInPandasWithState,
+    quality_spark/streaming/recipes.py streaming_first_seen) — run as
+    a real availableNow stream into a memory sink. WHICH row is first
+    per key depends on micro-batch arrival order (no batch SQL can
+    replay that), so the gated output is the deterministic invariant:
+    exactly one emitted row per distinct user — which the oracle
+    checks exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+    from quality_spark.streaming.recipes import streaming_first_seen
+
+    stage = os.path.join(tempfile.gettempdir(), "qs_first_seen_gate")
+    shutil.rmtree(stage, ignore_errors=True)
+    batch = read_parquet_compat(spark, f"{sf_dir}/events.parquet")
+    batch.coalesce(4).write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+
+    stream = spark.readStream.schema(staged.schema).parquet(stage)
+    first = streaming_first_seen(stream, "user_id")
+    name = "qs_stream_first_seen"
+    q = (
+        first.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("emitted"),
+            F.count_distinct("user_id").cast("bigint").alias("distinct_users"),
+        )
+    )
+
+
+def _oracle_streaming_first_seen() -> str:
+    return (
+        "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS emitted, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users FROM events"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -2486,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "jsonl_round_trip": q_jsonl_round_trip,
+        "streaming_first_seen": q_streaming_first_seen,
     }
 
 
@@ -2559,4 +2610,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _oracle_chunk_documents(),
         "pack_sequences": _oracle_pack_sequences(),
         "jsonl_round_trip": _oracle_jsonl_round_trip(),
+        "streaming_first_seen": _oracle_streaming_first_seen(),
     }
