@@ -2461,6 +2461,35 @@ def _oracle_streaming_first_seen() -> str:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100: explode staged tokens → one partial-
+    aggregated groupBy (Zipf heavy hitters combine map-side) → TakeOrdered
+    top-k, no global sort (quality_spark/llm/vocab.py)."""
+    from quality_spark.llm.vocab import vocab_topk
+
+    return vocab_topk(_read(spark, sf_dir, "documents"), k=100)
+
+
+def _oracle_vocab_topk() -> str:
+    from quality_spark.llm.vocab import vocab_topk_oracle_sql
+
+    return vocab_topk_oracle_sql(100)
+
+
+def q_vocab_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per token (IDF weighting input) —
+    per-doc-distinct explode then one count shuffle."""
+    from quality_spark.llm.vocab import vocab_doc_frequency
+
+    return vocab_doc_frequency(_read(spark, sf_dir, "documents"))
+
+
+def _oracle_vocab_doc_frequency() -> str:
+    from quality_spark.llm.vocab import vocab_doc_frequency_oracle_sql
+
+    return vocab_doc_frequency_oracle_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -2537,6 +2566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "jsonl_round_trip": q_jsonl_round_trip,
         "streaming_first_seen": q_streaming_first_seen,
+        "vocab_topk": q_vocab_topk,
+        "vocab_doc_frequency": q_vocab_doc_frequency,
     }
 
 
@@ -2611,4 +2642,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _oracle_pack_sequences(),
         "jsonl_round_trip": _oracle_jsonl_round_trip(),
         "streaming_first_seen": _oracle_streaming_first_seen(),
+        "vocab_topk": _oracle_vocab_topk(),
+        "vocab_doc_frequency": _oracle_vocab_doc_frequency(),
     }

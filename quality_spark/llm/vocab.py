@@ -1,0 +1,82 @@
+"""Corpus-level vocabulary statistics: token frequencies, top-k, and
+coverage — the standard pre-tokenizer corpus analysis pass.
+
+Plan shape: explode staged tokens (one regex split per document — see
+dedup.shingles_from_tokens_sql on why staging matters) → one
+``groupBy(token)`` count with map-side partial aggregation (Zipf-law
+heavy hitters like "the" collapse to one partial row per task BEFORE
+the shuffle, so skew never materializes) → top-k via
+``ORDER BY count DESC LIMIT k`` (Spark's TakeOrdered — a per-partition
+heap + driver merge, no global sort shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_sql
+
+
+def _exploded_tokens(df: DataFrame, text_col: str) -> DataFrame:
+    return df.select(
+        F.expr(tokens_sql(text_col, "spark")).alias("_toks")
+    ).select(F.explode("_toks").alias("token"))
+
+
+def vocab_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, n_occurrences, n_docs is deliberately separate — see
+    :func:`vocab_doc_frequency`)."""
+    return (
+        _exploded_tokens(df, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occurrences"))
+    )
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Top-k tokens by occurrence (ties broken by token ASC so the
+    result is deterministic and oracle-comparable)."""
+    return (
+        vocab_counts(df, text_col)
+        .orderBy(F.col("occurrences").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def vocab_doc_frequency(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(token, n_docs containing it) — document frequency for IDF-style
+    weighting. Distinct (doc, token) first (map-side combine on the
+    exploded pairs), then count per token."""
+    pairs = df.select(
+        F.col(id_col), F.expr(tokens_sql(text_col, "spark")).alias("_toks")
+    ).select(id_col, F.explode(F.array_distinct("_toks")).alias("token"))
+    return pairs.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_frequency")
+    )
+
+
+def vocab_topk_oracle_sql(k: int, table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
+    AS token
+  FROM {table}
+)
+SELECT token, CAST(count(*) AS BIGINT) AS occurrences
+FROM toks GROUP BY token
+ORDER BY occurrences DESC, token LIMIT {k}
+"""
+
+
+def vocab_doc_frequency_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    return f"""
+WITH pairs AS (
+  SELECT {id_col},
+         unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                          t -> t != ''))) AS token
+  FROM {table}
+)
+SELECT token, CAST(count(*) AS BIGINT) AS doc_frequency
+FROM pairs GROUP BY token
+"""

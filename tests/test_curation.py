@@ -194,3 +194,16 @@ def test_pack_sequences_shard_uniqueness(spark, sf_dir):
     x = out.groupBy("bin_id").agg(F.count_distinct("shard").alias("ns"))
     assert x.filter(F.col("ns") > 1).count() == 0
     assert out.count() == docs.count()
+
+
+def test_vocab_counts_and_df(spark):
+    from quality_spark.llm.vocab import vocab_doc_frequency, vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "c c c")], "doc_id int, text string"
+    )
+    top = vocab_topk(df, k=2).collect()
+    # a:3, c:4 -> top2 = c(4), a(3)
+    assert [(r["token"], r["occurrences"]) for r in top] == [("c", 4), ("a", 3)]
+    dfreq = {r["token"]: r["doc_frequency"] for r in vocab_doc_frequency(df).collect()}
+    assert dfreq == {"a": 2, "b": 1, "c": 2}
