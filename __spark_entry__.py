@@ -2490,6 +2490,56 @@ def _oracle_vocab_doc_frequency() -> str:
     return vocab_doc_frequency_oracle_sql()
 
 
+_URL_AUGMENT_DUCK = (
+    "text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example.com/p/' || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0"
+    " THEN ' and http://ads.blocked.net/x' ELSE '' END"
+)
+
+
+def _url_augmented_text_spark() -> "F.Column":
+    return F.concat(
+        F.col("text"),
+        F.lit(" see https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" and http://ads.blocked.net/x")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL curation (quality_spark/llm/urls.py): URL counts,
+    first domain, blocked-domain flag. The corpus has no URLs, so both
+    engines append identical synthesized URLs to the real text (same
+    convention as pii_redact)."""
+    from quality_spark.llm.urls import flag_blocked_domains, with_url_stats
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", _url_augmented_text_spark().alias("text")
+    )
+    out = flag_blocked_domains(
+        with_url_stats(docs), ["blocked.net"], text_col="text"
+    )
+    return out.select("doc_id", "url_count", "first_domain", "blocked")
+
+
+def _oracle_url_filter() -> str:
+    from quality_spark.llm.urls import blocked_oracle_expr, url_stats_oracle_exprs
+
+    ex = url_stats_oracle_exprs("aug.text2")
+    blocked = blocked_oracle_expr("aug.text2", ["blocked.net"])
+    return f"""
+SELECT doc_id, {ex['url_count']} AS url_count,
+       {ex['first_domain']} AS first_domain,
+       {blocked} AS blocked
+FROM (SELECT doc_id, {_URL_AUGMENT_DUCK} AS text2 FROM documents) aug
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -2568,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_first_seen": q_streaming_first_seen,
         "vocab_topk": q_vocab_topk,
         "vocab_doc_frequency": q_vocab_doc_frequency,
+        "url_filter": q_url_filter,
     }
 
 
@@ -2644,4 +2695,5 @@ def oracle_sql() -> dict[str, str]:
         "streaming_first_seen": _oracle_streaming_first_seen(),
         "vocab_topk": _oracle_vocab_topk(),
         "vocab_doc_frequency": _oracle_vocab_doc_frequency(),
+        "url_filter": _oracle_url_filter(),
     }

@@ -207,3 +207,33 @@ def test_vocab_counts_and_df(spark):
     assert [(r["token"], r["occurrences"]) for r in top] == [("c", 4), ("a", 3)]
     dfreq = {r["token"]: r["doc_frequency"] for r in vocab_doc_frequency(df).collect()}
     assert dfreq == {"a": 2, "b": 1, "c": 2}
+
+
+def test_url_ops(spark):
+    from quality_spark.llm.urls import (
+        domain_histogram,
+        flag_blocked_domains,
+        with_url_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "go to https://a.example.com/x and http://b.org:8080/y?z=1"),
+            (2, "no links here"),
+            (3, "spam http://ads.tracker.net/p"),
+            (4, "edge https://sub.ads.tracker.net ok"),
+        ],
+        "doc_id int, text string",
+    )
+    stats = {r["doc_id"]: r for r in with_url_stats(df).collect()}
+    assert stats[1]["url_count"] == 2 and stats[1]["first_domain"] == "a.example.com"
+    assert stats[2]["url_count"] == 0 and stats[2]["first_domain"] == ""
+
+    hist = {r["domain"]: r["n_urls"] for r in domain_histogram(df).collect()}
+    assert hist["a.example.com"] == 1 and hist["b.org"] == 1
+
+    flags = {
+        r["doc_id"]: r["blocked"]
+        for r in flag_blocked_domains(df, ["tracker.net"]).collect()
+    }
+    assert flags == {1: False, 2: False, 3: True, 4: True}  # 4: subdomain match
