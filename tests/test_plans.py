@@ -158,3 +158,58 @@ def test_filter_pipeline_one_window_exchange(spark, sf_dir):
     plan = _plan(filter_documents(docs, min_tokens=10), "simple")
     assert plan.count("Exchange") == 1, plan
     assert "Window" in plan
+
+
+def test_repetition_stats_shuffle_free(spark, sf_dir):
+    """Per-row repetition ratios are a narrow projection — no Exchange."""
+    from quality_spark.llm.repetition import with_repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(with_repetition_stats(docs))
+    assert "Exchange" not in plan
+
+
+def test_top_ngram_two_exchanges_no_sort(spark, sf_dir):
+    """Top-n-gram is two keyed aggregations (argmax via max(struct)),
+    never a window sort."""
+    from quality_spark.llm.repetition import top_ngram_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # "simple" mode: each operator appears once ("formatted" repeats
+    # them in the details section and double-counts)
+    plan = _plan(top_ngram_coverage(docs, n=2), mode="simple")
+    assert plan.count("Exchange") == 2
+    assert "Window" not in plan
+    assert "partial_max" in plan  # argmax combines map-side
+
+
+def test_pii_and_urls_shuffle_free(spark, sf_dir):
+    from quality_spark.llm.pii import redact_pii, with_pii_stats
+    from quality_spark.llm.urls import flag_blocked_domains, with_url_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "Exchange" not in _plan(redact_pii(with_pii_stats(docs)))
+    assert "Exchange" not in _plan(
+        flag_blocked_domains(with_url_stats(docs), ["x.com"])
+    )
+
+
+def test_chunking_shuffle_free(spark, sf_dir):
+    from quality_spark.llm.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "Exchange" not in _plan(chunk_documents(docs, 32, 4))
+
+
+def test_packing_windows_are_sharded(spark, sf_dir):
+    """The packing window partitions by shard — never a global
+    (single-partition) window sort."""
+    from quality_spark.llm.dedup import tokens_sql
+    from quality_spark.llm.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(f"size({tokens_sql('text', 'spark')})").cast("int").alias("n_tokens"),
+    )
+    plan = _plan(pack_sequences(docs, budget=512, n_shards=8))
+    assert "SinglePartition" not in plan
