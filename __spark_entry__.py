@@ -2366,9 +2366,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_pack_sequences() -> str:
     from quality_spark.llm.packing import pack_sequences_oracle_sql
 
+    from quality_spark.llm.dedup import tokens_sql
+
     base = (
-        "SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), "
-        "t -> t != '')) AS INT) AS n_tokens FROM documents"
+        f"SELECT doc_id, CAST(len({tokens_sql('text', 'duckdb')}) AS INT) "
+        "AS n_tokens FROM documents"
     )
     return pack_sequences_oracle_sql(2048, 16, table_sql=base)
 

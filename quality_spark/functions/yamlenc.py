@@ -131,7 +131,7 @@ def to_yaml(c: ColumnOrName) -> Column:
     )
 
 
-def _native_yaml_udf(reference_ints: bool):
+def _native_yaml_udf(reference_ints: bool, dtype_json: Optional[str] = None):
     @pandas_udf(T.StringType())
     def _to_native(s):  # type: ignore[no-untyped-def]
         import base64
@@ -158,6 +158,31 @@ def _native_yaml_udf(reference_ints: bool):
         _EPOCH_DT = _dt.datetime(1970, 1, 1)
         _EPOCH_D = _dt.date(1970, 1, 1)
         _US = _dt.timedelta(microseconds=1)
+
+        dtype = (
+            T._parse_datatype_json_string(dtype_json) if dtype_json else None
+        )
+        _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+        def retype(x, dt):
+            """Arrow→pandas coerces nullable int columns to float64 —
+            with a declared type, restore ints and map the coercion's
+            NaN back to null. (Nullable DOUBLE columns stay ambiguous:
+            Arrow surfaces both null and real NaN as NaN — documented
+            caveat.)"""
+            if dt is None or x is None:
+                return x
+            if isinstance(dt, _INTEGRAL) and isinstance(x, float):
+                return None if x != x else int(x)
+            if isinstance(dt, T.StructType) and isinstance(x, dict):
+                return {
+                    f.name: retype(x.get(f.name), f.dataType) for f in dt.fields
+                }
+            if isinstance(dt, T.ArrayType) and isinstance(x, list):
+                return [retype(e, dt.elementType) for e in x]
+            if isinstance(dt, T.MapType) and isinstance(x, dict):
+                return {k: retype(v, dt.valueType) for k, v in x.items()}
+            return x
 
         def norm(x):
             if x is None or x is pd.NaT:
@@ -196,8 +221,11 @@ def _native_yaml_udf(reference_ints: bool):
         def conv(x):
             if x is None or x is pd.NaT:
                 return None
+            obj = norm(x)
+            if dtype is not None:
+                obj = retype(obj, dtype)
             return yaml.dump(
-                norm(x),
+                obj,
                 Dumper=_Dumper,
                 default_flow_style=False,
                 sort_keys=False,
@@ -215,7 +243,11 @@ def _native_yaml_udf(reference_ints: bool):
     return _to_native
 
 
-def to_yaml_native(c: ColumnOrName, reference_ints: bool = False) -> Column:
+def to_yaml_native(
+    c: ColumnOrName,
+    reference_ints: bool = False,
+    ddl: Optional[Union[str, T.DataType]] = None,
+) -> Column:
     """YAML text with NATIVE scalar tags, matching the reference's
     snakeyaml node model (YamlEncoderExpr.scala:54-102): binary renders
     as ``!!binary``, decimals as FLOAT-tagged exact decimal scalars,
@@ -224,11 +256,21 @@ def to_yaml_native(c: ColumnOrName, reference_ints: bool = False) -> Column:
     internal integers (epoch-micros / epoch-days, wall-clock treated as
     UTC). Unlike :func:`to_yaml` (JSON-convention strings), this path
     feeds the column itself through Arrow, so the encoder sees real
-    typed values. :func:`from_yaml` decodes both conventions."""
+    typed values. :func:`from_yaml` decodes both conventions.
+
+    Pass ``ddl`` (the column's DDL type) when integer columns can hold
+    NULLs: Arrow→pandas coerces a nullable int batch to float64, which
+    would otherwise render ints as ``1.0`` and null int fields as
+    ``.nan`` — the declared type restores exact ints and nulls.
+    (Nullable DOUBLE fields remain ambiguous — Arrow surfaces null and
+    NaN identically — so doubles render NaN either way.)"""
     col = _col(c)
-    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
-        _native_yaml_udf(reference_ints)(col)
-    )
+    if ddl is not None:
+        dt = T._parse_datatype_string(ddl) if isinstance(ddl, str) else ddl
+        udf = _native_yaml_udf(reference_ints, dt.json())
+    else:
+        udf = _native_yaml_udf(reference_ints)
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(udf(col))
 
 
 def from_yaml(c: ColumnOrName, ddl: Union[str, T.DataType]) -> Column:

@@ -71,8 +71,7 @@ def chunk_documents_oracle_sql(
     stride = max_tokens - overlap
     return f"""
 WITH toks AS (
-  SELECT {id_col},
-         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS t
+  SELECT {id_col}, {tokens_sql('text', 'duckdb')} AS t
   FROM {table}
 ), n AS (
   SELECT {id_col}, t,

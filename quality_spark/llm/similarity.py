@@ -163,6 +163,12 @@ def with_lsh_bucket(
     dims: Optional[int] = None,
 ) -> DataFrame:
     dims = dims or _infer_dims(df, vec_col)
+    if mode == "arrow":
+        # single-table arrow kernel (tables=1) — same bit-exactness
+        # contract as _with_lsh_tables; without this branch the mode
+        # would silently fall through to the interpreted SQL fold
+        sig = _signatures_arrow_udf(planes, 1, seed, dims)(F.col(vec_col))[0]
+        return df.select("*", sig.alias(out))
     return df.select("*", _signature(vec_col, planes, seed, mode, dims).alias(out))
 
 
@@ -188,14 +194,27 @@ def _signatures_arrow_udf(planes: int, tables: int, seed: int, dims: int):
         [np.array(plane_weights(planes, seed + 1000 * t, dims)) for t in range(tables)]
     )  # (tables*planes) × dims, entries ±1.0
 
+    zero_sig = [0] * tables
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def sigs(v):  # type: ignore[no-untyped-def]
-        mask = v.notna().to_numpy()
         out = np.empty(len(v), dtype=object)
-        if mask.any():
-            M = np.stack(
-                [np.asarray(x, dtype=np.float64)[:dims] for x in v[mask]]
-            )  # n × dims
+        full_idx, full_rows = [], []
+        for i, x in enumerate(v):
+            if x is None:
+                continue
+            a = np.asarray(x, dtype=np.float64)
+            if a.shape[0] < dims:
+                # SQL path semantics for truncated vectors: zip_with
+                # null-pads → the whole projection is NULL → every bit
+                # 0 → signature 0 in every table. Match that instead of
+                # crashing np.stack on ragged rows.
+                out[i] = zero_sig
+            else:
+                full_idx.append(i)
+                full_rows.append(a[:dims])
+        if full_rows:
+            M = np.stack(full_rows)  # n × dims
             acc = np.zeros((M.shape[0], W.shape[0]))
             for d in range(dims):
                 acc += M[:, d : d + 1] * W[:, d]
@@ -204,8 +223,8 @@ def _signatures_arrow_udf(planes: int, tables: int, seed: int, dims: int):
                 tables, axis=0
             ).reshape(1, -1)
             table_sigs = shifted.reshape(-1, tables, planes).sum(axis=2)
-            rows = [r.tolist() for r in table_sigs]
-            out[np.flatnonzero(mask)] = rows
+            for i, r in zip(full_idx, table_sigs):
+                out[i] = r.tolist()
         return pd.Series(out)
 
     return sigs

@@ -59,8 +59,7 @@ def vocab_doc_frequency(df: DataFrame, text_col: str = "text", id_col: str = "do
 def vocab_topk_oracle_sql(k: int, table: str = "documents") -> str:
     return f"""
 WITH toks AS (
-  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
-    AS token
+  SELECT unnest({tokens_sql('text', 'duckdb')}) AS token
   FROM {table}
 )
 SELECT token, CAST(count(*) AS BIGINT) AS occurrences
@@ -73,8 +72,7 @@ def vocab_doc_frequency_oracle_sql(table: str = "documents", id_col: str = "doc_
     return f"""
 WITH pairs AS (
   SELECT {id_col},
-         unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'),
-                                          t -> t != ''))) AS token
+         unnest(list_distinct({tokens_sql('text', 'duckdb')})) AS token
   FROM {table}
 )
 SELECT token, CAST(count(*) AS BIGINT) AS doc_frequency

@@ -144,9 +144,13 @@ def encode_rule_sql_duck(rule_sql: str, duck_type: str) -> str:
         )
     if t in ("FLOAT", "DOUBLE", "REAL") or t.startswith("DECIMAL"):
         d = f"CAST({e} AS DOUBLE)"
+        # trunc() before the cast: DuckDB ROUNDS on double→int CAST
+        # where Spark (and the JVM) truncate — without it a probability
+        # like 2/3 encodes 66667 here vs 66666 in the Spark runner and
+        # can flip a rule at the probable_pass threshold
         sat = (
-            f"CAST(GREATEST(LEAST({d} * {PASSED_INT}, 2147483647.0), "
-            f"-2147483648.0) AS INT)"
+            f"CAST(trunc(GREATEST(LEAST({d} * {PASSED_INT}, 2147483647.0), "
+            f"-2147483648.0)) AS INT)"
         )
         return (
             f"(CASE WHEN {d} IS NULL THEN 0 WHEN {d} = 0.0 THEN 0 "

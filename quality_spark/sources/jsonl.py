@@ -44,9 +44,4 @@ def read_jsonl(
     """Schema-first JSONL read; FAILFAST by default so corrupt shards
     surface instead of becoming silent nulls (pass mode='PERMISSIVE'
     plus a _corrupt_record column for salvage jobs)."""
-    reader = spark.read.option("mode", mode)
-    if isinstance(schema, str):
-        reader = reader.schema(schema)
-    else:
-        reader = reader.schema(schema)
-    return reader.json(path)
+    return spark.read.option("mode", mode).schema(schema).json(path)

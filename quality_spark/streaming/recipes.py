@@ -30,8 +30,14 @@ def _watermarkable(df: DataFrame, event_time: str) -> DataFrame:
     """Spark rejects TIMESTAMP_NTZ event-time columns for watermarks
     ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); parquet written with
     isAdjustedToUTC=false (e.g. pyarrow timestamp[us]) reads back as
-    NTZ.  Reinterpret as session-timezone TIMESTAMP — wall-clock values
-    are preserved, so window boundaries are unchanged."""
+    NTZ.  Reinterpret as session-timezone TIMESTAMP — wall-clock
+    VALUES are preserved.  Window ALIGNMENT caveat: F.window on
+    TIMESTAMP aligns to UTC epoch instants, so in a session timezone
+    with a fractional-hour UTC offset (e.g. +05:30) hour-window
+    boundaries land on :30 wall-clock, unlike windows taken directly
+    on the NTZ column.  Run streaming window recipes in a whole-hour
+    -offset session timezone (UTC recommended — our sessions pin it)
+    when comparing against NTZ batch twins."""
     field = df.schema[event_time]
     if isinstance(field.dataType, T.TimestampNTZType):
         return df.withColumn(event_time, F.col(event_time).cast("timestamp"))

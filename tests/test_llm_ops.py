@@ -378,3 +378,24 @@ def test_lsh_arrow_signatures_bit_identical(spark, sf_dir):
     )
     assert a.exceptAll(p).count() == 0 and p.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+def test_lsh_arrow_tolerates_short_vectors(spark):
+    """A truncated/empty embedding must produce signature 0 in every
+    table (the SQL path's null-pad semantics), not crash np.stack."""
+    from quality_spark.llm.similarity import _with_lsh_tables
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5] * 64),
+            (2, [0.5] * 10),   # truncated
+            (3, []),           # empty
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    a = _with_lsh_tables(df, "embedding", 4, 2, 7, "arrow", dims=64)
+    p = _with_lsh_tables(df, "embedding", 4, 2, 7, "portable", dims=64)
+    ga = {(r["vec_id"], r["table_idx"]): r["sig"] for r in a.collect()}
+    gp = {(r["vec_id"], r["table_idx"]): r["sig"] for r in p.collect()}
+    assert ga == gp
+    assert all(ga[(2, t)] == 0 and ga[(3, t)] == 0 for t in range(2))

@@ -115,3 +115,31 @@ def test_duckdb_processor_rejects_spark_only_rules():
         assert False, "expected RuleCompilationError"
     except RuleCompilationError as e:
         assert "100" in str(e) or "not DuckDB-portable" in str(e)
+
+
+def test_duckdb_processor_truncates_probabilities_like_spark(spark):
+    """DuckDB CAST rounds where Spark truncates — the duck encoder must
+    trunc() so a 2/3 probability encodes 66666 on both engines."""
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite, ExpressionRule
+    from quality_spark.operators.runner import add_data_quality
+    from quality_spark.sparkless import DuckDBProcessor
+
+    suite = RuleSuite(
+        Id(1, 1),
+        (RuleSet(Id(10, 1), (Rule(Id(100, 1), ExpressionRule("x / 3.0")),)),),
+    )
+    df = spark.createDataFrame([(2.0,), (1.0,), (2.9999999,)], "x double")
+    from quality_spark.model import pack_id
+
+    sid, rid = pack_id(Id(10, 1)), pack_id(Id(100, 1))
+    want = [
+        r["DQ"]["ruleSetResults"][sid]["ruleResults"][rid]
+        for r in add_data_quality(df, suite).collect()
+    ]
+    proc = DuckDBProcessor(suite, {"x": 1.0})
+    got = [
+        res["ruleSetResults"][sid]["ruleResults"][rid]
+        for res in proc.process([{"x": 2.0}, {"x": 1.0}, {"x": 2.9999999}])
+    ]
+    assert got == want
+    assert got[0] == 66666  # truncation, not rounding

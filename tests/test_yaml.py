@@ -235,3 +235,27 @@ def test_yaml_native_nested(spark, sf_dir):
     assert len(out) == 20
     for r in out:
         assert r["v"].asDict(True) == r["back"].asDict(True)
+
+
+def test_yaml_native_nullable_ints(spark):
+    """Arrow coerces a nullable int batch to float64; the declared-type
+    path restores exact ints and renders null fields as null."""
+    from quality_spark.functions.yamlenc import to_yaml_native
+
+    df = spark.createDataFrame(
+        [(1, 7, {"a": 1}), (2, None, {"a": None})],
+        "id int, v bigint, s struct<a:bigint>",
+    )
+    rows = {
+        r["id"]: (r["y"], r["ys"])
+        for r in df.select(
+            "id",
+            to_yaml_native("v", ddl="bigint").alias("y"),
+            to_yaml_native("s", ddl="struct<a:bigint>").alias("ys"),
+        ).collect()
+    }
+    assert pyyaml.safe_load(rows[1][0]) == 7          # int, not 7.0
+    assert isinstance(pyyaml.safe_load(rows[1][0]), int)
+    assert rows[2][0] is None                          # whole-null -> NULL
+    assert pyyaml.safe_load(rows[1][1]) == {"a": 1}
+    assert pyyaml.safe_load(rows[2][1]) == {"a": None}  # null field -> null
