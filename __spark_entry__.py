@@ -1611,8 +1611,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    # mode='arrow': numpy fold-order cell assignment, bit-identical to
+    # the SQL argmax the oracle replays (similarity._ivf_cell_arrow_udf)
     return ivf_flat_topk(
-        emb, queries, k=5, nprobe=2, centroid_stride=50
+        emb, queries, k=5, nprobe=2, centroid_stride=50, mode="arrow"
     ).select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 

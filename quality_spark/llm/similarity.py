@@ -436,15 +436,61 @@ def ivf_cell_expr(vec_col: str, cents: list) -> Column:
     return F.expr(fold)
 
 
+def _ivf_cell_arrow_udf(cents: list, dims: int):
+    """Arrow/numpy twin of :func:`ivf_cell_expr` — BIT-IDENTICAL cell
+    assignment: float32 components widen exactly, the per-centroid dot
+    accumulates over dims IN FOLD ORDER (vectorized over rows), and
+    argmax keeps the FIRST maximum (strict ``>`` fold == np.argmax
+    first-max; centroids are cid-sorted, so ties break to the lowest
+    cid on both paths). Rows shorter than ``dims`` assign cell -1,
+    matching the SQL fold's NULL-dot behavior (NULL > s is never true,
+    so the init struct survives)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents])  # nlist × dims
+
+    @pandas_udf(T.LongType())
+    def cell(v):  # type: ignore[no-untyped-def]
+        out = np.full(len(v), -1, dtype=np.int64)
+        full_idx, full_rows = [], []
+        for i, x in enumerate(v):
+            if x is None:
+                continue
+            a = np.asarray(x, dtype=np.float64)
+            if a.shape[0] >= dims:
+                full_idx.append(i)
+                full_rows.append(a[:dims])
+        if full_rows:
+            M = np.stack(full_rows)  # n × dims
+            acc = np.zeros((M.shape[0], C.shape[0]))
+            for d in range(dims):
+                acc += M[:, d : d + 1] * C[:, d]
+            out[np.array(full_idx)] = cids[np.argmax(acc, axis=1)]
+        return pd.Series(out)
+
+    return cell
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out: str = "cell",
+    mode: str = "sql",
 ) -> DataFrame:
-    """Adds the IVF cell id column (see :func:`ivf_cell_expr`)."""
+    """Adds the IVF cell id column (see :func:`ivf_cell_expr`;
+    ``mode='arrow'`` uses the vectorized numpy kernel — bit-identical
+    assignment, ~10-100× faster per row at large nlist)."""
     cents = _normalized_centroids(centroids, id_col, vec_col)
+    if mode == "arrow":
+        dims = len(cents[0][1]) if cents else 0
+        return df.select(
+            "*", _ivf_cell_arrow_udf(cents, dims)(F.col(vec_col)).alias(out)
+        )
     return df.select("*", ivf_cell_expr(vec_col, cents).alias(out))
 
 
@@ -457,6 +503,7 @@ def ivf_flat_topk(
     centroid_stride: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "sql",
 ) -> DataFrame:
     """IVF-Flat ANN: corpus rows are inverted-listed by nearest
     centroid (pure projection, no shuffle); each query probes its
@@ -473,11 +520,16 @@ def ivf_flat_topk(
         centroids = df.filter(F.col(id_col) % centroid_stride == 0)
     cents = _normalized_centroids(centroids, id_col, vec_col)
 
+    cell_col = (
+        _ivf_cell_arrow_udf(cents, len(cents[0][1]))(F.col(vec_col))
+        if mode == "arrow" and cents
+        else ivf_cell_expr(vec_col, cents)
+    )
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         _norm(vec_col).alias("__cn"),
-        ivf_cell_expr(vec_col, cents).alias("cell"),
+        cell_col.alias("cell"),
     )
     # query side is small: score all centroids and keep nprobe per
     # query via a window (same ordering as the corpus argmax:

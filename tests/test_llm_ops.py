@@ -399,3 +399,16 @@ def test_lsh_arrow_tolerates_short_vectors(spark):
     gp = {(r["vec_id"], r["table_idx"]): r["sig"] for r in p.collect()}
     assert ga == gp
     assert all(ga[(2, t)] == 0 and ga[(3, t)] == 0 for t in range(2))
+
+
+def test_ivf_arrow_cells_bit_identical(spark, sf_dir):
+    """Arrow IVF cell assignment must agree with the SQL argmax fold on
+    every row — same fold-order sums, same first-max tie-break."""
+    from quality_spark.llm.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    a = ivf_assign(emb, cents, mode="arrow").select("vec_id", "cell")
+    s = ivf_assign(emb, cents, mode="sql").select("vec_id", "cell")
+    assert a.exceptAll(s).count() == 0 and s.exceptAll(a).count() == 0
+    assert a.count() > 0
