@@ -2544,6 +2544,23 @@ FROM (SELECT doc_id, {_URL_AUGMENT_DUCK} AS text2 FROM documents) aug
 """
 
 
+def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF per (doc, token): term counts + document
+    frequency + broadcast n_docs scalar (quality_spark/llm/vocab.py).
+    The gate outputs the full scored pairs (no top-k cut) so 1-ulp
+    ln() differences between engines cannot flip a rank tie — scores
+    compare under the driver's 9-dp rounding."""
+    from quality_spark.llm.vocab import tfidf_scores
+
+    return tfidf_scores(_read(spark, sf_dir, "documents"))
+
+
+def _oracle_tfidf_scores() -> str:
+    from quality_spark.llm.vocab import tfidf_scores_oracle_sql
+
+    return tfidf_scores_oracle_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -2623,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "vocab_doc_frequency": q_vocab_doc_frequency,
         "url_filter": q_url_filter,
+        "tfidf_scores": q_tfidf_scores,
     }
 
 
@@ -2700,4 +2718,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _oracle_vocab_topk(),
         "vocab_doc_frequency": _oracle_vocab_doc_frequency(),
         "url_filter": _oracle_url_filter(),
+        "tfidf_scores": _oracle_tfidf_scores(),
     }

@@ -78,3 +78,79 @@ WITH pairs AS (
 SELECT token, CAST(count(*) AS BIGINT) AS doc_frequency
 FROM pairs GROUP BY token
 """
+
+
+def tfidf_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Smoothed TF-IDF per (doc, token):
+    ``tf * (ln((n_docs + 1) / (doc_freq + 1)) + 1)`` (the sklearn
+    smooth-idf convention, public docs).
+
+    Plan: per-doc term counts (one (doc, token) shuffle, map-side
+    combined) joined to the document-frequency table on token, with
+    n_docs carried as a broadcast 1-row aggregate (no driver action).
+    The DF table is O(vocab) — typically broadcastable; Spark/AQE picks
+    broadcast vs shuffle join by its size stats.
+    """
+    tf = (
+        df.select(F.col(id_col), F.expr(tokens_sql(text_col, "spark")).alias("_toks"))
+        .select(id_col, F.explode("_toks").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = vocab_doc_frequency(df, text_col, id_col)
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs))
+    return scored.select(
+        id_col,
+        "token",
+        "tf",
+        "doc_frequency",
+        (
+            F.col("tf").cast("double")
+            * (
+                F.log(
+                    (F.col("_n_docs") + 1).cast("double")
+                    / (F.col("doc_frequency") + 1).cast("double")
+                )
+                + F.lit(1.0)
+            )
+        ).alias("tfidf"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k keywords per document by TF-IDF (ties: token ASC)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        tfidf_scores(df, text_col, id_col)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def tfidf_scores_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    toks = tokens_sql("text", "duckdb")
+    return f"""
+WITH tf AS (
+  SELECT {id_col}, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT {id_col}, unnest({toks}) AS token FROM {table})
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS doc_frequency
+  FROM (SELECT {id_col}, unnest(list_distinct({toks})) AS token FROM {table})
+  GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM {table})
+SELECT tf.{id_col}, tf.token, tf.tf, dfreq.doc_frequency,
+       CAST(tf.tf AS DOUBLE) *
+         (ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfreq.doc_frequency + 1 AS DOUBLE))
+          + 1.0) AS tfidf
+FROM tf JOIN dfreq USING (token), n
+"""

@@ -237,3 +237,29 @@ def test_url_ops(spark):
         for r in flag_blocked_domains(df, ["tracker.net"]).collect()
     }
     assert flags == {1: False, 2: False, 3: True, 4: True}  # 4: subdomain match
+
+
+def test_tfidf_known_values(spark):
+    import math
+
+    from quality_spark.llm.vocab import tfidf_scores, tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog fish"), (3, "fish fish bird")],
+        "doc_id int, text string",
+    )
+    rows = {
+        (r["doc_id"], r["token"]): r for r in tfidf_scores(df).collect()
+    }
+    # cat: tf=2 in doc1, df=1, n=3 -> 2*(ln(4/2)+1)
+    want = 2.0 * (math.log(4.0 / 2.0) + 1.0)
+    assert abs(rows[(1, "cat")]["tfidf"] - want) < 1e-12
+    assert rows[(1, "cat")]["tf"] == 2 and rows[(1, "cat")]["doc_frequency"] == 1
+    # dog appears in 2 of 3 docs -> lower idf than cat
+    assert rows[(1, "cat")]["tfidf"] > rows[(1, "dog")]["tfidf"]
+
+    top = {
+        r["doc_id"]: r["token"]
+        for r in tfidf_top_terms(df, k=1).collect()
+    }
+    assert top[1] == "cat" and top[3] == "fish"
