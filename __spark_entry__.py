@@ -2561,6 +2561,48 @@ def _oracle_tfidf_scores() -> str:
     return tfidf_scores_oracle_sql()
 
 
+def q_partitioned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned corpus store (quality_spark/sources/corpus.py):
+    documents write partitioned by (lang, source), read back with a
+    partition-pruning filter, and the per-partition counts + a content
+    hash must match the original table — proving both the round-trip
+    and that pruned reads see exactly the partition's rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from quality_spark.sources.corpus import (
+        read_partitioned_corpus,
+        write_partitioned_corpus,
+    )
+
+    stage = os.path.join(tempfile.gettempdir(), "qs_corpus_gate")
+    shutil.rmtree(stage, ignore_errors=True)
+    docs = _read(spark, sf_dir, "documents")
+    write_partitioned_corpus(docs, stage, ("lang", "source"))
+    back = read_partitioned_corpus(spark, stage)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars")).cast("bigint").alias("sum_chars"),
+        # order-insensitive content fingerprint: xor-free sum of per-row
+        # md5 prefixes (bigint-safe)
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10).cast("bigint")
+        ).cast("bigint").alias("text_hash_sum"),
+    )
+
+
+def _oracle_partitioned_corpus() -> str:
+    return """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS BIGINT)
+         AS text_hash_sum
+FROM documents GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -2641,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_doc_frequency": q_vocab_doc_frequency,
         "url_filter": q_url_filter,
         "tfidf_scores": q_tfidf_scores,
+        "partitioned_corpus": q_partitioned_corpus,
     }
 
 
@@ -2719,4 +2762,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_doc_frequency": _oracle_vocab_doc_frequency(),
         "url_filter": _oracle_url_filter(),
         "tfidf_scores": _oracle_tfidf_scores(),
+        "partitioned_corpus": _oracle_partitioned_corpus(),
     }

@@ -85,15 +85,19 @@ def main() -> None:
 
     results: dict[str, float] = {}
 
-    def timed_min2(fn):
-        """min of two runs — the three write benches feed the headline
-        overhead metrics, which are DIFFERENCES of two measurements, so
-        a transient VM stall in either leg corrupts the judged number
-        disproportionately (see the noise guard below)."""
+    def timed_warm_min2(fn):
+        """One warmup run, then min of two timed runs — mirrors the
+        reference's scalameter methodology (PerRowPerfTest.scala:96-102:
+        2-4 warmups before 4 bench runs), so the per-row overheads
+        compare steady-state to steady-state; rule-compile cost is
+        reported separately below. min-of-2 because the overheads are
+        DIFFERENCES of two measurements and this VM shows transient
+        multi-second stalls (same query 1.1 s vs 19 s, idle machine)."""
+        fn()
         return min(timed(fn), timed(fn))
 
     # 1. no-rules write baseline (reference evaluation_method.md:35)
-    results["baseline_write"] = timed_min2(
+    results["baseline_write"] = timed_warm_min2(
         lambda: li.write.mode("overwrite").parquet(f"{TMP}/base")
     )
 
@@ -118,18 +122,20 @@ def main() -> None:
             (rule_id, entrymod._spark_rule_text(kind, sql))
         )
     suite27 = _rs((91, 1), list(sets.items()), lambdas=entrymod.LAMBDAS)
-    results["dq27_write"] = timed_min2(
-        lambda: add_data_quality(li, suite27)
-        .write.mode("overwrite")
-        .parquet(f"{TMP}/dq27")
+    t0 = time.perf_counter()
+    dq27 = add_data_quality(li, suite27)
+    results["dq27_compile"] = time.perf_counter() - t0
+    results["dq27_write"] = timed_warm_min2(
+        lambda: dq27.write.mode("overwrite").parquet(f"{TMP}/dq27")
     )
 
     # 3. 150-rule generated suite write (reference evaluation_method.md:41)
     suite150 = gen_wide_suite(150)
-    results["dq150_write"] = timed_min2(
-        lambda: add_data_quality(li, suite150)
-        .write.mode("overwrite")
-        .parquet(f"{TMP}/dq150")
+    t0 = time.perf_counter()
+    dq150 = add_data_quality(li, suite150)
+    results["dq150_compile"] = time.perf_counter() - t0
+    results["dq150_write"] = timed_warm_min2(
+        lambda: dq150.write.mode("overwrite").parquet(f"{TMP}/dq150")
     )
 
     # 4. headline oracle queries — noop-format write as the action:

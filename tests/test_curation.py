@@ -263,3 +263,26 @@ def test_tfidf_known_values(spark):
         for r in tfidf_top_terms(df, k=1).collect()
     }
     assert top[1] == "cat" and top[3] == "fish"
+
+
+def test_partitioned_corpus_prunes(spark, sf_dir, tmp_path):
+    from quality_spark.sources.corpus import (
+        read_partitioned_corpus,
+        write_partitioned_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "corpus")
+    write_partitioned_corpus(docs, path, ("lang",))
+
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    one = langs[0]
+    pruned = read_partitioned_corpus(spark, path, f"lang = '{one}'")
+    # partition filter reaches the scan (directory pruning, not a data filter)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "simple"
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan or "PartitionFilters: [" in plan
+    assert pruned.count() == docs.filter(F.col("lang") == one).count()
+    # round trip preserves every row
+    assert read_partitioned_corpus(spark, path).count() == docs.count()
