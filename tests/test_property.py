@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -208,3 +208,74 @@ def test_range_join_property(spark, rows, dist):
         if a[1] == b[1] and a[0] < b[0] and abs(a[2] - b[2]) <= dist
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# chunking / packing invariants vs python reference models
+# ---------------------------------------------------------------------------
+
+chunk_docs_strategy = st.lists(
+    st.integers(min_value=0, max_value=40),  # token counts per doc
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sizes=chunk_docs_strategy, max_tokens=st.integers(4, 12), overlap=st.integers(0, 3))
+def test_chunking_property(spark, sizes, max_tokens, overlap):
+    from quality_spark.llm.packing import chunk_documents
+
+    assume(overlap < max_tokens)
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(df, max_tokens, overlap)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    stride = max_tokens - overlap
+    for i, n in enumerate(sizes):
+        chunks = sorted(got[i], key=lambda r: r["chunk_idx"])
+        toks = [c["chunk_text"].split() for c in chunks]
+        # reconstruction: dropping the overlap prefix of every chunk
+        # after the first restores the document exactly
+        rebuilt = toks[0] + [t for c in toks[1:] for t in c[overlap:]]
+        want = [f"t{i}_{j}" for j in range(n)]
+        assert rebuilt == want, (i, n, max_tokens, overlap)
+        # every chunk but the last is exactly max_tokens (when doc long enough)
+        for c in chunks[:-1]:
+            assert c["chunk_tokens"] == max_tokens
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(1, 300), min_size=1, max_size=30),
+    budget=st.integers(100, 500),
+)
+def test_packing_property(spark, sizes, budget):
+    from quality_spark.llm.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id int, n_tokens int"
+    )
+    out = pack_sequences(df, budget=budget, n_shards=1)
+    bins = {}
+    for r in out.collect():
+        bins.setdefault(r["bin_id"], []).append((r["doc_id"], r["n_tokens"]))
+    # sequential fill: each bin's tokens exceed budget by at most its
+    # final document, and removing that final document fits the budget
+    for b, members in bins.items():
+        members.sort()
+        total = sum(n for _, n in members)
+        if len(members) > 1:
+            assert total - members[-1][1] < budget, (b, members)
+    # every document lands in exactly one bin
+    assert sum(len(m) for m in bins.values()) == len(sizes)
