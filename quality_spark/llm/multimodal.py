@@ -151,3 +151,79 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(kernel, schema=schema)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    keep_aspect: bool = True,
+) -> DataFrame:
+    """Resize plumbing for image payloads: metadata math is REAL
+    (aspect-preserving fit into width×height, like PIL thumbnail), the
+    pixel transform is the documented STUB (deterministic payload
+    re-hash sized to the new dimensions — no codecs in this container;
+    a real deployment replaces only the bytes line in the kernel).
+
+    Output schema mirrors the input media struct so resized corpora
+    flow through the same downstream operators.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("media", T.StructType(
+                [
+                    T.StructField("payload", T.BinaryType()),
+                    T.StructField("meta", MEDIA_META_TYPE),
+                ]
+            )),
+        ]
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(f"{media_col}.payload").alias("payload"),
+        F.col(f"{media_col}.meta").alias("meta"),
+    )
+
+    def _fit(w0, h0):
+        if not keep_aspect or not w0 or not h0:
+            return width, height
+        scale = min(width / w0, height / h0)
+        return max(1, int(w0 * scale)), max(1, int(h0 * scale))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "media": []}
+            for rid, p, m in zip(pdf["id"], pdf["payload"], pdf["meta"]):
+                p = p or b""
+                m = dict(m) if m is not None else {}
+                w, h = _fit(m.get("width"), m.get("height"))
+                if _STRICT:
+                    raise NotImplementedError(
+                        "no image codecs in this container: resize_media "
+                        "pixel transform is stubbed (strict mode)"
+                    )
+                # STUB pixel data: deterministic bytes sized ~w*h/64,
+                # derived from the original payload + target dims
+                seed = hashlib.md5(p + f"{w}x{h}".encode()).digest()
+                n = max(1, (w * h) // 64)
+                fake = (seed * (n // len(seed) + 1))[:n]
+                out["id"].append(rid)
+                out["media"].append(
+                    {
+                        "payload": fake,
+                        "meta": {
+                            "media_type": m.get("media_type"),
+                            "format": m.get("format"),
+                            "width": w,
+                            "height": h,
+                            "duration_ms": m.get("duration_ms"),
+                            "n_bytes": len(fake),
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(kernel, schema=schema)

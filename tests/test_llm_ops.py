@@ -412,3 +412,34 @@ def test_ivf_arrow_cells_bit_identical(spark, sf_dir):
     s = ivf_assign(emb, cents, mode="sql").select("vec_id", "cell")
     assert a.exceptAll(s).count() == 0 and s.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+def test_resize_media_metadata_math(spark, sf_dir):
+    """resize_media: REAL aspect-fit metadata; stubbed pixels sized to
+    the new dims; schema mirrors the input media struct."""
+    from quality_spark.llm.multimodal import resize_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    payload = F.encode("text", "utf-8")
+    meta = F.struct(
+        F.lit("image").alias("media_type"),
+        F.lit("png").alias("format"),
+        ((F.col("doc_id") % 5 + 1) * 100).cast("int").alias("width"),
+        F.lit(200).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+    media = docs.select(
+        "doc_id",
+        F.struct(payload.alias("payload"), meta.alias("meta")).alias("media"),
+    )
+    out = resize_media(media, 64, 64)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        m = r["media"]["meta"]
+        assert max(m["width"], m["height"]) <= 64
+        # aspect preserved within integer truncation: the larger
+        # original side maps to 64
+        assert m["width"] == 64 or m["height"] == 64
+        assert m["n_bytes"] == len(r["media"]["payload"]) > 0
