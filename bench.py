@@ -147,12 +147,19 @@ def main() -> None:
     # machine). A query whose first timing exceeds RETRY_OVER re-times
     # once and reports the MIN — standard noisy-host practice, bounded
     # extra cost.
+    # Construction time is INCLUDED: a handful of gate queries do their
+    # real work eagerly while building the DataFrame (running a stream,
+    # staging JSONL/corpus files, DuckDB scoring) — timing only the
+    # noop write of their small result table would near-zero them.
     RETRY_OVER = 1.5
     for name, q in entrymod.queries().items():
+        t0 = time.perf_counter()
         df = q(spark, SF_DIR)
+        t_construct = time.perf_counter() - t0
         action = lambda d=df: d.write.format("noop").mode("overwrite").save()
         t1 = timed(action)
-        results[name] = min(t1, timed(action)) if t1 > RETRY_OVER else t1
+        t_write = min(t1, timed(action)) if t1 > RETRY_OVER else t1
+        results[name] = t_construct + t_write
 
     # derived per-row overheads in ms, reference style
     results["dq27_overhead_ms_per_row"] = (

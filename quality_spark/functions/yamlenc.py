@@ -132,6 +132,12 @@ def to_yaml(c: ColumnOrName) -> Column:
 
 
 def _native_yaml_udf(reference_ints: bool, dtype_json: Optional[str] = None):
+    # per-WORKER memo: classes/representers/dtype parse happen on the
+    # first Arrow batch each worker sees, not on every batch (defining
+    # the SafeDumper subclass driver-side would not survive pickling,
+    # hence lazy-once instead of closure-level)
+    _state: dict = {}
+
     @pandas_udf(T.StringType())
     def _to_native(s):  # type: ignore[no-untyped-def]
         import base64
@@ -142,26 +148,30 @@ def _native_yaml_udf(reference_ints: bool, dtype_json: Optional[str] = None):
         import pandas as pd
         import yaml
 
-        class _Dumper(yaml.SafeDumper):
-            pass
+        if not _state:
+            class _D(yaml.SafeDumper):
+                pass
 
-        # decimals render as plain FLOAT-tagged scalars with the exact
-        # decimal string (reference: Tag.FLOAT + toJavaBigDecimal,
-        # YamlEncoderExpr.scala:100-102)
-        _Dumper.add_representer(
-            _decimal.Decimal,
-            lambda d, data: d.represent_scalar(
-                "tag:yaml.org,2002:float", str(data)
-            ),
-        )
+            # decimals render as plain FLOAT-tagged scalars with the
+            # exact decimal string (reference: Tag.FLOAT +
+            # toJavaBigDecimal, YamlEncoderExpr.scala:100-102)
+            _D.add_representer(
+                _decimal.Decimal,
+                lambda d, data: d.represent_scalar(
+                    "tag:yaml.org,2002:float", str(data)
+                ),
+            )
+            _state["dumper"] = _D
+            _state["dtype"] = (
+                T._parse_datatype_json_string(dtype_json) if dtype_json else None
+            )
+        _Dumper = _state["dumper"]
 
         _EPOCH_DT = _dt.datetime(1970, 1, 1)
         _EPOCH_D = _dt.date(1970, 1, 1)
         _US = _dt.timedelta(microseconds=1)
 
-        dtype = (
-            T._parse_datatype_json_string(dtype_json) if dtype_json else None
-        )
+        dtype = _state["dtype"]
         _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
         def retype(x, dt):

@@ -202,13 +202,18 @@ def _signatures_arrow_udf(planes: int, tables: int, seed: int, dims: int):
         full_idx, full_rows = [], []
         for i, x in enumerate(v):
             if x is None:
+                # SQL path: slice(NULL)->NULL projection -> every bit 0
+                # -> signature 0 (NOT a NULL array, which posexplode
+                # would silently drop from every table)
+                out[i] = zero_sig
                 continue
             a = np.asarray(x, dtype=np.float64)
             if a.shape[0] < dims:
-                # SQL path semantics for truncated vectors: zip_with
-                # null-pads → the whole projection is NULL → every bit
-                # 0 → signature 0 in every table. Match that instead of
-                # crashing np.stack on ragged rows.
+                # truncated vectors: zip_with null-pads → NULL
+                # projection → every bit 0 → signature 0 in every
+                # table. Match that instead of crashing np.stack on
+                # ragged rows. (LONGER vectors truncate to dims on
+                # both paths — signature_sql slices first.)
                 out[i] = zero_sig
             else:
                 full_idx.append(i)
@@ -442,9 +447,11 @@ def _ivf_cell_arrow_udf(cents: list, dims: int):
     accumulates over dims IN FOLD ORDER (vectorized over rows), and
     argmax keeps the FIRST maximum (strict ``>`` fold == np.argmax
     first-max; centroids are cid-sorted, so ties break to the lowest
-    cid on both paths). Rows shorter than ``dims`` assign cell -1,
-    matching the SQL fold's NULL-dot behavior (NULL > s is never true,
-    so the init struct survives)."""
+    cid on both paths). Rows whose length differs from ``dims`` in
+    EITHER direction assign cell -1, matching the SQL fold's NULL-dot
+    behavior (zip_with null-pads the SHORTER side — for a long row the
+    centroid side pads — so the dot is NULL and the init struct
+    survives)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -460,9 +467,9 @@ def _ivf_cell_arrow_udf(cents: list, dims: int):
             if x is None:
                 continue
             a = np.asarray(x, dtype=np.float64)
-            if a.shape[0] >= dims:
+            if a.shape[0] == dims:
                 full_idx.append(i)
-                full_rows.append(a[:dims])
+                full_rows.append(a)
         if full_rows:
             M = np.stack(full_rows)  # n × dims
             acc = np.zeros((M.shape[0], C.shape[0]))

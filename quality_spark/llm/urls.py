@@ -64,19 +64,18 @@ def flag_blocked_domains(
 ) -> DataFrame:
     """True when ANY URL in the document points at a blocked domain or
     a subdomain of one (suffix match on '.<domain>')."""
-    conds = []
-    for b in blocked:
-        lb = b.lower()
-        conds.append(
-            lambda d, lb=lb: (F.lower(d) == lb)
-            | F.lower(d).endswith("." + lb)
-        )
-    combined = lambda d: F.array_contains(  # noqa: E731
-        F.array(*[c(d) for c in conds]), F.lit(True)
-    )
-    return df.withColumn(
-        out, F.exists(_domains(text_col), combined) if blocked else F.lit(False)
-    )
+    if not blocked:
+        return df.withColumn(out, F.lit(False))
+    lowered = [b.lower() for b in blocked]
+
+    def matches(d: Column) -> Column:
+        cond = None
+        for lb in lowered:
+            this = (F.lower(d) == lb) | F.lower(d).endswith("." + lb)
+            cond = this if cond is None else (cond | this)
+        return cond
+
+    return df.withColumn(out, F.exists(_domains(text_col), matches))
 
 
 def url_stats_oracle_exprs(text_expr: str) -> dict:

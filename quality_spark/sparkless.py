@@ -23,7 +23,7 @@ service's own engine — the expressions are plain SQL by design.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Mapping, Sequence, Union
+from typing import Dict, Iterable, List, Mapping, Optional, Sequence, Union
 
 from pyspark.sql import Row, SparkSession
 from pyspark.sql import functions as F
@@ -86,7 +86,17 @@ class DuckDBProcessor:
     which also rejects non-compilable expressions.
     """
 
-    def __init__(self, suite: RuleSuite, sample_row: Mapping) -> None:
+    def __init__(
+        self,
+        suite: RuleSuite,
+        sample_row: Optional[Mapping] = None,
+        schema: Optional[str] = None,
+    ) -> None:
+        """``schema`` (a Spark DDL string, e.g. "x double, s string")
+        is the robust way to declare input types; ``sample_row`` probes
+        from one concrete row and REQUIRES every value non-null — a
+        None value would make DuckDB infer the wrong column type and
+        silently select the wrong result encoding."""
         import duckdb
 
         from .plans.compiler import RuleCompilationError, expand_rules
@@ -112,10 +122,47 @@ class DuckDBProcessor:
 
         # type-probe against a schema-shaped empty relation (LIMIT 0 —
         # analysis only, mirrors runner.probe_types)
-        import pandas as pd
+        if (sample_row is None) == (schema is None):
+            raise ValueError(
+                "pass exactly one of sample_row (all values non-null) "
+                "or schema (Spark DDL string)"
+            )
+        if schema is not None:
+            from pyspark.sql import types as T
 
-        probe_df = pd.DataFrame([sample_row])
-        self._con.register("__qs_probe", probe_df)
+            _DUCK = {
+                "boolean": "BOOLEAN", "byte": "TINYINT", "short": "SMALLINT",
+                "int": "INTEGER", "integer": "INTEGER", "long": "BIGINT",
+                "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+                "string": "VARCHAR", "date": "DATE", "timestamp": "TIMESTAMP",
+                "timestamp_ntz": "TIMESTAMP", "binary": "BLOB",
+            }
+            fields = []
+            for f in T._parse_datatype_string(schema).fields:
+                s = f.dataType.simpleString()
+                duck_t = (
+                    s.upper() if s.startswith("decimal") else _DUCK.get(s)
+                )
+                if duck_t is None:
+                    raise ValueError(
+                        f"column {f.name!r}: type {s!r} not supported in "
+                        f"sparkless scope (scalar types only)"
+                    )
+                fields.append(f'CAST(NULL AS {duck_t}) AS "{f.name}"')
+            self._con.execute(
+                f"CREATE VIEW __qs_probe AS SELECT {', '.join(fields)} WHERE 1=0"
+            )
+        else:
+            import pandas as pd
+
+            nulls = [k for k, v in sample_row.items() if v is None]
+            if nulls:
+                raise ValueError(
+                    f"sample_row values for {nulls} are None — DuckDB "
+                    f"would mis-infer their types; pass schema=... instead"
+                )
+            probe_df = pd.DataFrame([sample_row])
+            self._con.register("__qs_probe", probe_df)
         types: List[str] = []
         for rs, r, sql in expanded:
             try:

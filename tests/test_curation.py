@@ -282,7 +282,12 @@ def test_partitioned_corpus_prunes(spark, sf_dir, tmp_path):
     plan = pruned._sc._jvm.PythonSQLUtils.explainString(
         pruned._jdf.queryExecution(), "simple"
     )
-    assert "PartitionFilters: [isnotnull(lang" in plan or "PartitionFilters: [" in plan
+    import re
+
+    # the filter must be INSIDE the scan's PartitionFilters list (an
+    # empty list "PartitionFilters: []" means pruning regressed)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan
     assert pruned.count() == docs.filter(F.col("lang") == one).count()
     # round trip preserves every row
     assert read_partitioned_corpus(spark, path).count() == docs.count()

@@ -443,3 +443,33 @@ def test_resize_media_metadata_math(spark, sf_dir):
         # original side maps to 64
         assert m["width"] == 64 or m["height"] == 64
         assert m["n_bytes"] == len(r["media"]["payload"]) > 0
+
+
+def test_lsh_arrow_null_embedding_gets_zero_sig(spark):
+    """NULL embeddings must land in bucket 0 of every table (the SQL
+    fold's semantics) — not vanish from posexplode via a NULL array."""
+    from quality_spark.llm.similarity import _with_lsh_tables
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None)], "vec_id int, embedding array<float>"
+    )
+    a = _with_lsh_tables(df, "embedding", 4, 2, 7, "arrow", dims=64)
+    p = _with_lsh_tables(df, "embedding", 4, 2, 7, "portable", dims=64)
+    ga = sorted((r["vec_id"], r["table_idx"], r["sig"]) for r in a.collect())
+    gp = sorted((r["vec_id"], r["table_idx"], r["sig"]) for r in p.collect())
+    assert ga == gp
+    assert [(2, 0, 0), (2, 1, 0)] == [t for t in ga if t[0] == 2]
+
+
+def test_ivf_arrow_wrong_length_vector_is_cell_minus_one(spark):
+    from quality_spark.llm.similarity import ivf_assign
+
+    df = spark.createDataFrame(
+        [(0, [0.5] * 64), (50, [0.4] * 64), (2, [0.3] * 70), (3, [0.2] * 10)],
+        "vec_id int, embedding array<float>",
+    )
+    cents = df.filter(F.col("vec_id") % 50 == 0)
+    a = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents, mode="arrow").collect()}
+    s = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents, mode="sql").collect()}
+    assert a == s
+    assert a[2] == -1 and a[3] == -1  # both too-long and too-short

@@ -143,3 +143,29 @@ def test_duckdb_processor_truncates_probabilities_like_spark(spark):
     ]
     assert got == want
     assert got[0] == 66666  # truncation, not rounding
+
+
+def test_duckdb_processor_schema_mode_and_null_guard(spark, sf_dir):
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite, ExpressionRule
+    from quality_spark.sparkless import DuckDBProcessor
+
+    suite = RuleSuite(
+        Id(1, 1),
+        (RuleSet(Id(10, 1), (Rule(Id(100, 1), ExpressionRule("lower(s) = 'ok'")),)),),
+    )
+    # schema mode types a string column correctly even with null data
+    proc = DuckDBProcessor(suite, schema="s string")
+    out = proc.process([{"s": "OK"}, {"s": None}, {"s": "no"}])
+    from quality_spark.model import pack_id
+
+    rid = pack_id(Id(100, 1))
+    sid = pack_id(Id(10, 1))
+    got = [r["ruleSetResults"][sid]["ruleResults"][rid] for r in out]
+    assert got == [100000, 0, 0]  # null -> Failed, like the Spark runner
+
+    # sample_row with a None value is rejected, not silently mistyped
+    try:
+        DuckDBProcessor(suite, {"s": None})
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "schema" in str(e)
