@@ -170,3 +170,53 @@ def for_each_batch_dq(
         sink(add_data_quality(batch_df, suite, dq_name), epoch_id)
 
     return handle
+
+
+def dedup_against_store(
+    store_path: str,
+    keys: Sequence[str],
+    sink,
+    key_hash_col: str = "__qs_key_hash",
+):
+    """``foreachBatch`` handler for INCREMENTAL ingest dedup: each
+    micro-batch drops rows whose key was seen in ANY earlier batch
+    (cross-restart durable — the seen-key set lives as parquet at
+    ``store_path``), then appends the survivors' keys to the store and
+    hands the survivor rows to ``sink(df, epoch_id)``.
+
+    This is the streaming complement to dropDuplicatesWithinWatermark:
+    unbounded horizon like :func:`streaming_first_seen`, but state
+    lives on (shared) storage instead of the state store, so it
+    survives restarts, scales past executor memory, and the per-batch
+    cost is one keyed join against the store. Keys are stored as
+    xxhash64 of the concatenated key columns — 8 bytes/key regardless
+    of key width. At 100 TB-ingest scale, compact the store
+    periodically and bucket it by the hash for a shuffle-free probe.
+
+    Within-batch duplicates also collapse (keep-first by key hash).
+    """
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = batch_df.withColumn(
+            key_hash_col,
+            F.xxhash64(*[F.col(k) for k in keys]),
+        ).dropDuplicates([key_hash_col])
+        try:
+            seen = spark.read.parquet(store_path).select(key_hash_col)
+            fresh = hashed.join(seen, key_hash_col, "left_anti")
+        except Exception:
+            # first batch ever: no store yet
+            fresh = hashed
+        # persist: the two consumers below (store append + sink) must
+        # see the SAME survivor set even though the anti-join re-reads
+        # the store — without this, appending keys first would make the
+        # sink's re-evaluation drop everything
+        fresh = fresh.cache()
+        try:
+            fresh.select(key_hash_col).write.mode("append").parquet(store_path)
+            sink(fresh.drop(key_hash_col), epoch_id)
+        finally:
+            fresh.unpersist()
+
+    return handle

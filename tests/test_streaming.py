@@ -250,3 +250,41 @@ def test_streaming_sessionize_equals_batch(spark, events_stream_dir):
         for r in sessionize(batch, gap="30 minutes").collect()
     }
     assert got == exp
+
+
+def test_dedup_against_store_across_restarts(spark, events_stream_dir, tmp_path):
+    """Durable ingest dedup: keys seen by a FIRST streaming run are
+    still dropped by a SECOND, independent run (state in parquet, not
+    the state store)."""
+    import uuid as _uuid
+
+    from quality_spark.streaming.recipes import dedup_against_store
+
+    store = str(tmp_path / "seen")
+    got_batches = []
+
+    def sink(df, epoch_id):
+        got_batches.append(df.count())
+
+    handler = dedup_against_store(store, ["user_id"], sink)
+
+    batch = spark.read.parquet(events_stream_dir)
+    n_users = batch.select("user_id").distinct().count()
+
+    def run_once():
+        stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+        q = (
+            stream.writeStream.foreachBatch(handler)
+            .option("checkpointLocation", str(tmp_path / f"ck_{_uuid.uuid4().hex[:6]}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_once()
+    first_total = sum(got_batches)
+    assert first_total == n_users  # within-run dedup to one row per user
+
+    got_batches.clear()
+    run_once()  # same files, fresh checkpoint -> all keys already seen
+    assert sum(got_batches) == 0
