@@ -325,13 +325,13 @@ def map_agg_column(df: DataFrame, site: MapAggSite) -> DataFrame:
     return gathered.select(F.expr(out_sql).alias(site.placeholder))
 
 
-def bloom_agg_column(df: DataFrame, site: BloomAggSite) -> DataFrame:
-    """Distributed bloom build for one lifted site → 1-row DataFrame
-    whose single binary column is the serialized bloom. Small blooms
-    build via per-partition numpy bitsets OR-merged on the driver
-    (metadata-sized); big blooms write bucket files from executors and
-    the value is only the file-root handle — nothing corpus-sized ever
-    reaches the driver or the plan."""
+def bloom_agg_bytes(df: DataFrame, site: BloomAggSite) -> bytes:
+    """Distributed bloom build for one lifted site → the serialized
+    bloom bytes (driver-side). Small blooms build via per-partition
+    numpy bitsets OR-merged on the driver (metadata-sized); big blooms
+    write bucket files from executors and the value is only the
+    file-root handle — nothing corpus-sized ever reaches the driver or
+    the plan."""
     from ..sources.lookups import bloom_from, serialize_big_bloom, serialize_bloom
 
     spark = df.sparkSession
@@ -358,8 +358,16 @@ def bloom_agg_column(df: DataFrame, site: BloomAggSite) -> DataFrame:
         data = serialize_big_bloom(
             big_bloom_from(df, site.value_sql, expected, root, fpp)
         )
-    # createDataFrame, not F.lit: keeps the (possibly MB-scale) bitset
-    # out of the plan text
-    return spark.createDataFrame(
-        [(bytearray(data),)], schema=f"{site.placeholder} binary"
+    return data
+
+
+def bloom_agg_column(df: DataFrame, site: BloomAggSite) -> DataFrame:
+    """:func:`bloom_agg_bytes` as a 1-row DataFrame (createDataFrame,
+    not F.lit: keeps the possibly-MB-scale bitset out of the plan
+    text). Callers combining SEVERAL sites should fuse the bytes into
+    one local relation instead — 1-row local crossJoins cost ~12 s each
+    (see operators/expression_runner.py)."""
+    return df.sparkSession.createDataFrame(
+        [(bytearray(bloom_agg_bytes(df, site)),)],
+        schema=f"{site.placeholder} binary",
     )

@@ -23,7 +23,7 @@ from ..plans.compiler import expand_rules, RuleCompilationError
 from .aggregates import (
     AggSite,
     MapAggSite,
-    bloom_agg_column,
+    bloom_agg_bytes,
     map_agg_column,
     rewrite_agg_exprs,
 )
@@ -127,11 +127,23 @@ def add_expression_runner(
             ) from e
     else:
         pieces.append(spark.range(1).select(F.lit(1).alias("_one")))
+    # bloom sites materialize driver-side (the build runs eagerly and
+    # the result is metadata-sized) — fuse them all into ONE local
+    # relation: crossJoins between 1-row LOCAL frames cost ~12 s EACH
+    # in Spark 4.1 (measured; BroadcastNestedLoopJoin stall), so one
+    # fused frame replaces N of them with a single cheap join
+    bloom_sites = [s for s in sites if not isinstance(s, MapAggSite)]
     for site in sites:
         if isinstance(site, MapAggSite):
             pieces.append(map_agg_column(df, site))
-        else:
-            pieces.append(bloom_agg_column(df, site))
+    if bloom_sites:
+        payloads = [bloom_agg_bytes(df, s) for s in bloom_sites]
+        pieces.append(
+            spark.createDataFrame(
+                [tuple(bytearray(p) for p in payloads)],
+                schema=", ".join(f"{s.placeholder} binary" for s in bloom_sites),
+            )
+        )
 
     joined = pieces[0]
     for p in pieces[1:]:

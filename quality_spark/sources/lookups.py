@@ -294,8 +294,17 @@ def bloom_from(
 
     partials = hashed.mapInPandas(build, schema="bits binary")
     merged = np.zeros(n_bytes, dtype=np.uint8)
-    for row in partials.toLocalIterator():
-        merged |= np.frombuffer(row["bits"], dtype=np.uint8)
+    # toLocalIterator schedules ONE SEQUENTIAL JOB PER PARTITION (each
+    # re-running its scan split) — measured 17-26 s for a 24 KB bloom
+    # over 32 partitions. Small bitsets collect in one parallel job;
+    # the streamed path only pays off when partition_count × bitset
+    # would blow the driver (big bitsets).
+    if n_bytes <= 8 << 20:
+        for row in partials.collect():
+            merged |= np.frombuffer(row["bits"], dtype=np.uint8)
+    else:
+        for row in partials.toLocalIterator():
+            merged |= np.frombuffer(row["bits"], dtype=np.uint8)
     return BloomFilter(merged, m_bits, k, fpp)
 
 

@@ -270,7 +270,7 @@ class MetaRuleSet:
 def read_meta_rule_sets_from_df(df: DataFrame) -> Dict[Id, List[MetaRuleSet]]:
     """suiteId -> meta rulesets (reference: serializing.scala:175-200)."""
     out: Dict[Id, List[MetaRuleSet]] = {}
-    for row in df.toLocalIterator():
+    for row in df.collect():  # metadata-sized (see serializing.py)
         suite_id = Id(row["ruleSuiteId"], row["ruleSuiteVersion"])
         out.setdefault(suite_id, []).append(
             MetaRuleSet(
