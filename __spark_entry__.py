@@ -2085,6 +2085,8 @@ def q_streaming_windowed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same deterministic SQL oracle as the batch twin
     (reference: README.md:3 'batch or streaming'; our recipes
     quality_spark/streaming/recipes.py)."""
+    import os
+    import shutil
     import tempfile
 
     from quality_spark.model import Id, Rule, RuleSet, RuleSuite
@@ -2106,7 +2108,11 @@ def q_streaming_windowed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # File stream sources list a directory; stage the (possibly
     # nanos-typed) events parquet through the compat reader once.
-    stage = tempfile.mkdtemp(prefix="qs_stream_gate_")
+    # Fixed per-purpose path + rmtree: bounds /tmp usage across
+    # repeated bench/gate runs (the driver runs queries serially;
+    # concurrent runs would need per-run dirs).
+    stage = os.path.join(tempfile.gettempdir(), "qs_stream_gate")
+    shutil.rmtree(stage, ignore_errors=True)
     batch = read_parquet_compat(spark, f"{sf_dir}/events.parquet")
     batch.coalesce(4).write.mode("overwrite").parquet(stage)
     staged = spark.read.parquet(stage)
@@ -2382,11 +2388,14 @@ def q_jsonl_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     output fingerprints every row (md5 of text + all scalar columns)
     so the oracle — which fingerprints the ORIGINAL parquet rows —
     proves the round-trip is byte-faithful."""
+    import os
+    import shutil
     import tempfile
 
     from quality_spark.sources.jsonl import read_jsonl, write_jsonl
 
-    stage = tempfile.mkdtemp(prefix="qs_jsonl_gate_")
+    stage = os.path.join(tempfile.gettempdir(), "qs_jsonl_gate")
+    shutil.rmtree(stage, ignore_errors=True)
     docs = _read(spark, sf_dir, "documents")
     write_jsonl(docs, stage)
     back = read_jsonl(
@@ -2420,12 +2429,15 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay that), so the gated output is the deterministic invariant:
     exactly one emitted row per distinct user — which the oracle
     checks exactly."""
+    import os
+    import shutil
     import tempfile
 
     from quality_spark.sources.parquet_compat import read_parquet_compat
     from quality_spark.streaming.recipes import streaming_first_seen
 
-    stage = tempfile.mkdtemp(prefix="qs_first_seen_gate_")
+    stage = os.path.join(tempfile.gettempdir(), "qs_first_seen_gate")
+    shutil.rmtree(stage, ignore_errors=True)
     batch = read_parquet_compat(spark, f"{sf_dir}/events.parquet")
     batch.coalesce(4).write.mode("overwrite").parquet(stage)
     staged = spark.read.parquet(stage)
@@ -2562,6 +2574,8 @@ def q_partitioned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruning filter, and the per-partition counts + a content
     hash must match the original table — proving both the round-trip
     and that pruned reads see exactly the partition's rows."""
+    import os
+    import shutil
     import tempfile
 
     from quality_spark.sources.corpus import (
@@ -2569,7 +2583,8 @@ def q_partitioned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_partitioned_corpus,
     )
 
-    stage = tempfile.mkdtemp(prefix="qs_corpus_gate_")
+    stage = os.path.join(tempfile.gettempdir(), "qs_corpus_gate")
+    shutil.rmtree(stage, ignore_errors=True)
     docs = _read(spark, sf_dir, "documents")
     write_partitioned_corpus(docs, stage, ("lang", "source"))
     back = read_partitioned_corpus(spark, stage)

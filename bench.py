@@ -152,14 +152,25 @@ def main() -> None:
     # staging JSONL/corpus files, DuckDB scoring) — timing only the
     # noop write of their small result table would near-zero them.
     RETRY_OVER = 1.5
-    for name, q in entrymod.queries().items():
+
+    def run_query(q):
         t0 = time.perf_counter()
         df = q(spark, SF_DIR)
         t_construct = time.perf_counter() - t0
-        action = lambda d=df: d.write.format("noop").mode("overwrite").save()
-        t1 = timed(action)
-        t_write = min(t1, timed(action)) if t1 > RETRY_OVER else t1
-        results[name] = t_construct + t_write
+        t_write = timed(
+            lambda: df.write.format("noop").mode("overwrite").save()
+        )
+        return t_construct + t_write
+
+    for name, q in entrymod.queries().items():
+        total = run_query(q)
+        # the guard must cover the CONSTRUCT leg too — for the eager
+        # gate queries (streams, staging writes, DuckDB scoring) that
+        # is where the work is, and a transient stall there would land
+        # in the judged number unchecked
+        if total > RETRY_OVER:
+            total = min(total, run_query(q))
+        results[name] = total
 
     # derived per-row overheads in ms, reference style
     results["dq27_overhead_ms_per_row"] = (

@@ -190,7 +190,9 @@ def resize_media(
     def _fit(w0, h0):
         if not keep_aspect or not w0 or not h0:
             return width, height
-        scale = min(width / w0, height / h0)
+        # never enlarge — PIL.thumbnail semantics (the documented
+        # contract): images already inside the box keep their size
+        scale = min(width / w0, height / h0, 1.0)
         return max(1, int(w0 * scale)), max(1, int(h0 * scale))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

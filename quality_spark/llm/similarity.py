@@ -467,7 +467,11 @@ def _ivf_cell_arrow_udf(cents: list, dims: int):
             if x is None:
                 continue
             a = np.asarray(x, dtype=np.float64)
-            if a.shape[0] == dims:
+            # NaN elements (Arrow's encoding of NULL array entries)
+            # must also yield -1: the SQL dot is NULL for every
+            # centroid, and np.argmax over an all-NaN row would
+            # otherwise pick index 0
+            if a.shape[0] == dims and not np.isnan(a).any():
                 full_idx.append(i)
                 full_rows.append(a)
         if full_rows:

@@ -296,10 +296,11 @@ def bloom_from(
     merged = np.zeros(n_bytes, dtype=np.uint8)
     # toLocalIterator schedules ONE SEQUENTIAL JOB PER PARTITION (each
     # re-running its scan split) — measured 17-26 s for a 24 KB bloom
-    # over 32 partitions. Small bitsets collect in one parallel job;
-    # the streamed path only pays off when partition_count × bitset
-    # would blow the driver (big bitsets).
-    if n_bytes <= 8 << 20:
+    # over 32 partitions. Collect in one parallel job when the DRIVER
+    # can hold every partial at once (partitions × bitset bounded);
+    # otherwise keep the streamed one-partial-at-a-time path.
+    n_parts = max(hashed.rdd.getNumPartitions(), 1)
+    if n_bytes * n_parts <= 256 << 20:
         for row in partials.collect():
             merged |= np.frombuffer(row["bits"], dtype=np.uint8)
     else:

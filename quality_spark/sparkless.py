@@ -138,6 +138,7 @@ class DuckDBProcessor:
                 "timestamp_ntz": "TIMESTAMP", "binary": "BLOB",
             }
             fields = []
+            self._declared_casts = []
             for f in T._parse_datatype_string(schema).fields:
                 s = f.dataType.simpleString()
                 duck_t = (
@@ -149,12 +150,14 @@ class DuckDBProcessor:
                         f"sparkless scope (scalar types only)"
                     )
                 fields.append(f'CAST(NULL AS {duck_t}) AS "{f.name}"')
+                self._declared_casts.append((f.name, duck_t))
             self._con.execute(
                 f"CREATE VIEW __qs_probe AS SELECT {', '.join(fields)} WHERE 1=0"
             )
         else:
             import pandas as pd
 
+            self._declared_casts = None
             nulls = [k for k, v in sample_row.items() if v is None]
             if nulls:
                 raise ValueError(
@@ -198,8 +201,26 @@ class DuckDBProcessor:
     def process_pandas(self, pdf) -> "object":
         """Score a pandas batch → pandas frame of flat int columns
         (``r_<i>``, ``s_<setId>``, ``overall``), row-aligned with the
-        input. The heavy path: one vectorized DuckDB projection."""
-        self._con.register("__qs_batch", pdf)
+        input. The heavy path: one vectorized DuckDB projection.
+
+        In schema mode the DECLARED types also govern execution: the
+        batch relation is cast column-by-column before the rules run,
+        so an all-null (object-dtype) pandas column cannot make DuckDB
+        re-infer a different type than the one the rules compiled
+        against."""
+        self._con.register("__qs_batch_raw", pdf)
+        if self._declared_casts is not None:
+            casts = ", ".join(
+                f'CAST("{c}" AS {t}) AS "{c}"' for c, t in self._declared_casts
+            )
+            self._con.execute(
+                "CREATE OR REPLACE VIEW __qs_batch AS "
+                f"SELECT {casts} FROM __qs_batch_raw"
+            )
+        else:
+            self._con.execute(
+                "CREATE OR REPLACE VIEW __qs_batch AS SELECT * FROM __qs_batch_raw"
+            )
         return self._con.sql(
             f"SELECT {self._select} FROM __qs_batch"
         ).fetchdf()

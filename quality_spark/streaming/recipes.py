@@ -177,6 +177,7 @@ def dedup_against_store(
     keys: Sequence[str],
     sink,
     key_hash_col: str = "__qs_key_hash",
+    hash_only: bool = True,
 ):
     """``foreachBatch`` handler for INCREMENTAL ingest dedup: each
     micro-batch drops rows whose key was seen in ANY earlier batch
@@ -194,28 +195,44 @@ def dedup_against_store(
     periodically and bucket it by the hash for a shuffle-free probe.
 
     Within-batch duplicates also collapse (keep-first by key hash).
+
+    Delivery semantics: the SINK runs before the key append, so a
+    failure between the two replays the batch with its keys still
+    absent — AT-LEAST-ONCE delivery (duplicates possible on crash),
+    never silent loss. (Appending keys first would invert that: a
+    replayed batch finds its keys already stored and drops every row.)
+
+    ``hash_only=True`` stores 8-byte xxhash64 keys — tiny store, but a
+    64-bit collision silently drops a distinct row (birthday bound:
+    collisions become likely around ~4B distinct keys). For key
+    cardinality at that scale pass ``hash_only=False`` to store the
+    actual key columns and anti-join on them exactly.
     """
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
+        join_cols = [key_hash_col] if hash_only else list(keys)
         hashed = batch_df.withColumn(
             key_hash_col,
             F.xxhash64(*[F.col(k) for k in keys]),
         ).dropDuplicates([key_hash_col])
         try:
-            seen = spark.read.parquet(store_path).select(key_hash_col)
-            fresh = hashed.join(seen, key_hash_col, "left_anti")
-        except Exception:
-            # first batch ever: no store yet
+            seen = spark.read.parquet(store_path).select(*join_cols)
+            fresh = hashed.join(seen, join_cols, "left_anti")
+        except AnalysisException:
+            # ONLY the genuine first batch (store path not yet created)
+            # may skip the anti-join; any other read failure must fail
+            # the batch — treating an S3 hiccup as "first batch" would
+            # silently disable dedup for the whole micro-batch
             fresh = hashed
-        # persist: the two consumers below (store append + sink) must
-        # see the SAME survivor set even though the anti-join re-reads
-        # the store — without this, appending keys first would make the
-        # sink's re-evaluation drop everything
+        # persist: sink and store-append must see the SAME survivor set
+        # even though the anti-join re-reads the store
         fresh = fresh.cache()
         try:
-            fresh.select(key_hash_col).write.mode("append").parquet(store_path)
             sink(fresh.drop(key_hash_col), epoch_id)
+            fresh.select(*join_cols).write.mode("append").parquet(store_path)
         finally:
             fresh.unpersist()
 

@@ -169,3 +169,19 @@ def test_duckdb_processor_schema_mode_and_null_guard(spark, sf_dir):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "schema" in str(e)
+
+
+def test_duckdb_processor_schema_governs_all_null_batch(spark):
+    """An all-null batch column (object dtype) must still execute with
+    the DECLARED type, not a re-inferred one."""
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite, ExpressionRule, pack_id
+    from quality_spark.sparkless import DuckDBProcessor
+
+    suite = RuleSuite(
+        Id(1, 1),
+        (RuleSet(Id(10, 1), (Rule(Id(100, 1), ExpressionRule("length(s) > 1")),)),),
+    )
+    proc = DuckDBProcessor(suite, schema="s string")
+    out = proc.process([{"s": None}, {"s": None}])  # whole batch null
+    rid, sid = pack_id(Id(100, 1)), pack_id(Id(10, 1))
+    assert [r["ruleSetResults"][sid]["ruleResults"][rid] for r in out] == [0, 0]
