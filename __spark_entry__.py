@@ -2610,6 +2610,44 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best exact dedup (quality_spark/llm/dedup.py): the corpus
+    has no exact duplicates at gate scale, so BOTH engines plant
+    deterministic copies (doc_id + 1e6, same text) and keep the copy
+    with the higher synthetic score (doc_id % 7, ties to lowest id)."""
+    from quality_spark.llm.dedup import exact_dedup_keep_best
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups).withColumn(
+        "score", (F.col("doc_id") % 7).cast("int")
+    )
+    kept = exact_dedup_keep_best(corpus, "doc_id", "text", "score")
+    return kept.select("doc_id", "score")
+
+
+def _oracle_dedup_keep_best() -> str:
+    return """
+WITH corpus AS (
+  SELECT doc_id, text, CAST(doc_id % 7 AS INTEGER) AS score
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text,
+         CAST((doc_id + 1000000) % 7 AS INTEGER) AS score
+  FROM documents WHERE doc_id < 50
+), ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (
+           PARTITION BY md5(text) ORDER BY score DESC, doc_id
+         ) AS rn
+  FROM corpus
+)
+SELECT doc_id, score FROM ranked WHERE rn = 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -2691,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "tfidf_scores": q_tfidf_scores,
         "partitioned_corpus": q_partitioned_corpus,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -2770,4 +2809,5 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _oracle_url_filter(),
         "tfidf_scores": _oracle_tfidf_scores(),
         "partitioned_corpus": _oracle_partitioned_corpus(),
+        "dedup_keep_best": _oracle_dedup_keep_best(),
     }

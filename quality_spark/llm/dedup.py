@@ -208,6 +208,25 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_keep_best(
+    df: DataFrame, id_col: str, text_col: str, score_col: str
+) -> DataFrame:
+    """Keep the HIGHEST-``score_col`` document per identical text
+    (ties: lowest id) — the standard curation policy when duplicate
+    groups span sources of different quality, e.g. keep the copy with
+    the best quality score or the longest metadata. Same plan shape as
+    :func:`exact_dedup`: one window keyed by the text hash — per-group
+    sorts only, group size = duplication factor, never corpus-sized."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup pairs
 # ---------------------------------------------------------------------------

@@ -473,3 +473,19 @@ def test_ivf_arrow_wrong_length_vector_is_cell_minus_one(spark):
     s = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cents, mode="sql").collect()}
     assert a == s
     assert a[2] == -1 and a[3] == -1  # both too-long and too-short
+
+
+def test_exact_dedup_keep_best(spark):
+    from quality_spark.llm.dedup import exact_dedup_keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 0.5),
+            (2, "same text", 0.9),   # winner: higher score
+            (3, "same text", 0.9),   # tie with 2 -> lower id wins
+            (4, "other text", 0.1),
+        ],
+        "doc_id int, text string, q double",
+    )
+    kept = {r["doc_id"] for r in exact_dedup_keep_best(df, "doc_id", "text", "q").collect()}
+    assert kept == {2, 4}
