@@ -2648,6 +2648,96 @@ SELECT doc_id, score FROM ranked WHERE rn = 1
 """
 
 
+_CURATION_PII_SUFFIX = " reach me at crawler@example.net or +1-555-0100 from 10.1.2.3"
+_CURATION_BAD_URL = " via http://tracker.bad.net/x"
+
+
+def _curation_text_spark() -> "F.Column":
+    return F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_CURATION_PII_SUFFIX)).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(_CURATION_BAD_URL)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+_CURATION_TEXT_DUCK = (
+    "text || CASE WHEN doc_id % 4 = 0 THEN '"
+    + _CURATION_PII_SUFFIX.replace("'", "''")
+    + "' ELSE '' END || CASE WHEN doc_id % 10 = 0 THEN '"
+    + _CURATION_BAD_URL
+    + "' ELSE '' END"
+)
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship curation pass composing the full round-3 filter stack
+    in ONE projection + one dedup window (llm/pipeline.py): length →
+    lang → quality → repetition → PII → blocked-domain gates, then
+    survivor-aware prefix dedup, with per-reason drop accounting. PII
+    and blocked URLs are synthesized deterministically on real text
+    (same convention as pii_redact/url_filter) so those stages are
+    non-vacuous."""
+    from quality_spark.llm.pipeline import filter_documents, filter_summary
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _curation_text_spark().alias("text")
+    )
+    filtered = filter_documents(
+        docs,
+        min_tokens=30,
+        min_quality=0.40,
+        langs=["en", "fr", "de", "es"],
+        max_dup_word_fraction=0.62,
+        max_pii_total=0,
+        blocked_domains=["bad.net"],
+        dedup_key=F.substring("text", 1, 40),
+    )
+    return filter_summary(filtered)
+
+
+def _oracle_curation_pipeline() -> str:
+    from quality_spark.llm.pii import DEFAULT_PATTERNS, pii_count_oracle
+    from quality_spark.llm.repetition import repetition_sqls
+    from quality_spark.llm.textstats import text_stats_sqls
+    from quality_spark.llm.urls import blocked_oracle_expr
+
+    s = text_stats_sqls("t2", "duckdb")
+    rep = repetition_sqls("t2", "duckdb")
+    pii_total = " + ".join(pii_count_oracle("t2", n) for n in DEFAULT_PATTERNS)
+    blocked = blocked_oracle_expr("t2", ["bad.net"])
+    reason = (
+        f"CASE WHEN t2 IS NULL THEN 'invalid' "
+        f"WHEN {s['token_count']} < 30 THEN 'too_short' "
+        f"WHEN lang NOT IN ('en','fr','de','es') THEN 'lang' "
+        f"WHEN {s['quality_score']} < 0.40 THEN 'quality' "
+        f"WHEN {rep['dup_word_fraction']} > 0.62 THEN 'repetition' "
+        f"WHEN ({pii_total}) > 0 THEN 'pii' "
+        f"WHEN {blocked} THEN 'blocked_domain' END"
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, lang, {_CURATION_TEXT_DUCK} AS t2 FROM documents
+),
+staged AS (
+  SELECT doc_id, t2, {reason} AS r FROM aug
+),
+ranked AS (
+  SELECT r, row_number() OVER (
+    PARTITION BY substr(t2, 1, 40)
+    ORDER BY (r IS NOT NULL), doc_id
+  ) AS rn FROM staged
+)
+SELECT coalesce(CASE WHEN r IS NULL AND rn > 1 THEN 'duplicate' ELSE r END, 'kept')
+         AS outcome,
+       count(*) AS n
+FROM ranked GROUP BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -2730,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_scores": q_tfidf_scores,
         "partitioned_corpus": q_partitioned_corpus,
         "dedup_keep_best": q_dedup_keep_best,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -2810,4 +2901,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_scores": _oracle_tfidf_scores(),
         "partitioned_corpus": _oracle_partitioned_corpus(),
         "dedup_keep_best": _oracle_dedup_keep_best(),
+        "curation_pipeline": _oracle_curation_pipeline(),
     }

@@ -33,6 +33,9 @@ def filter_documents(
     min_quality: Optional[float] = None,
     langs: Optional[Sequence[str]] = None,
     lang_col: str = "lang",
+    max_dup_word_fraction: Optional[float] = None,
+    max_pii_total: Optional[int] = None,
+    blocked_domains: Optional[Sequence[str]] = None,
     dedup_key: Optional[Column] = None,
     reason_col: str = "drop_reason",
 ) -> DataFrame:
@@ -55,6 +58,39 @@ def filter_documents(
         conds.append((F.expr(stats["punct_ratio"]) > max_punct_ratio, "punct"))
     if min_quality is not None:
         conds.append((F.expr(stats["quality_score"]) < min_quality, "quality"))
+    if max_dup_word_fraction is not None:
+        from .repetition import repetition_sqls
+
+        rep = repetition_sqls(text_col, "spark")
+        conds.append(
+            (
+                F.expr(rep["dup_word_fraction"]) > max_dup_word_fraction,
+                "repetition",
+            )
+        )
+    if max_pii_total is not None:
+        from .pii import DEFAULT_PATTERNS
+
+        total = None
+        for p in DEFAULT_PATTERNS.values():
+            c = F.regexp_count(F.col(text_col), F.lit(p))
+            total = c if total is None else total + c
+        conds.append((total > max_pii_total, "pii"))
+    if blocked_domains:
+        from .urls import _domains
+
+        lowered = [b.lower() for b in blocked_domains]
+
+        def _blocked(d: Column) -> Column:
+            cond = None
+            for lb in lowered:
+                this = (F.lower(d) == lb) | F.lower(d).endswith("." + lb)
+                cond = this if cond is None else (cond | this)
+            return cond
+
+        conds.append(
+            (F.exists(_domains(text_col), _blocked), "blocked_domain")
+        )
 
     reason = F.lit(None).cast("string")
     for cond, name in reversed(conds):

@@ -291,3 +291,28 @@ def test_partitioned_corpus_prunes(spark, sf_dir, tmp_path):
     assert pruned.count() == docs.filter(F.col("lang") == one).count()
     # round trip preserves every row
     assert read_partitioned_corpus(spark, path).count() == docs.count()
+
+
+def test_filter_documents_round3_stages(spark):
+    from quality_spark.llm.pipeline import filter_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", " ".join(f"w{i}" for i in range(40))),          # kept
+            (2, "en", " ".join(["rep rep"] * 20)),                    # repetition
+            (3, "en", " ".join(f"x{i}" for i in range(40)) + " mail me bob@x.io"),  # pii
+            (4, "en", " ".join(f"y{i}" for i in range(40)) + " see http://ads.bad.net/z"),  # blocked
+        ],
+        "doc_id int, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: r["drop_reason"]
+        for r in filter_documents(
+            df,
+            min_tokens=10,
+            max_dup_word_fraction=0.5,
+            max_pii_total=0,
+            blocked_domains=["bad.net"],
+        ).collect()
+    }
+    assert out == {1: None, 2: "repetition", 3: "pii", 4: "blocked_domain"}
