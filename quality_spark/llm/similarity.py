@@ -585,3 +585,69 @@ def ivf_flat_topk(
         scored.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "arrow",
+) -> list:
+    """Lloyd's k-means for IVF centroid tables, DataFrame-native:
+    each iteration assigns cells with the inlined-centroid projection
+    (:func:`ivf_cell_expr` / arrow kernel — no shuffle on the corpus)
+    and recomputes means with ONE posexplode → groupBy(cell, dim)
+    aggregation (map-side combined; shuffle carries k × dims partial
+    rows per task). Only the k × dims centroid matrix ever reaches the
+    driver. Initialization is deterministic (k lowest-id vectors), so
+    runs are reproducible modulo float-sum merge order.
+
+    Returns the centroid list usable as ``ivf_flat_topk``'s
+    ``centroids`` input (via a DataFrame) or :func:`ivf_cell_expr`.
+    Iterative and order-sensitive in its float sums — deliberately NOT
+    oracle-gated; invariants are pinned in tests instead."""
+    import math
+
+    first = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents = []
+    for i, r in enumerate(first):
+        v = [float(x) for x in r[1]]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append((i, [x / n for x in v]))
+    dims = len(cents[0][1]) if cents else 0
+
+    for _ in range(iters):
+        cell = (
+            _ivf_cell_arrow_udf(cents, dims)(F.col(vec_col))
+            if mode == "arrow"
+            else ivf_cell_expr(vec_col, cents)
+        )
+        assigned = df.select(cell.alias("cell"), F.col(vec_col).alias("v"))
+        means = (
+            assigned.filter(F.col("cell") >= 0)
+            .select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                ).alias("ms")
+            )
+            .collect()
+        )
+        new_cents = dict()
+        for r in means:
+            v = [float(e["m"]) for e in r["ms"]]
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            new_cents[int(r["cell"])] = [x / n for x in v]
+        # empty cells keep their previous centroid
+        cents = [(cid, new_cents.get(cid, old)) for cid, old in cents]
+    return cents

@@ -489,3 +489,37 @@ def test_exact_dedup_keep_best(spark):
     )
     kept = {r["doc_id"] for r in exact_dedup_keep_best(df, "doc_id", "text", "q").collect()}
     assert kept == {2, 4}
+
+
+def test_kmeans_centroids_improve_ivf(spark, sf_dir):
+    """Lloyd iterations must (a) return k unit-norm centroids and
+    (b) not worsen the mean best-cosine objective vs the deterministic
+    initialization."""
+    import math
+
+    from quality_spark.llm.similarity import ivf_assign, kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def objective(cents):
+        cdf = spark.createDataFrame(
+            [(cid, v) for cid, v in cents], "vec_id long, embedding array<double>"
+        )
+        assigned = ivf_assign(emb, cdf, mode="arrow")
+        # cosine of each row to its assigned centroid
+        rows = assigned.select("embedding", "cell").collect()
+        cmap = dict(cents)
+        tot = 0.0
+        for r in rows:
+            v = [float(x) for x in r["embedding"]]
+            c = cmap[r["cell"]]
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            tot += sum(a * b for a, b in zip(v, c)) / n
+        return tot / len(rows)
+
+    k0 = kmeans_centroids(emb, k=8, iters=0)
+    k5 = kmeans_centroids(emb, k=8, iters=5)
+    assert len(k5) == 8
+    for _, v in k5:
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+    assert objective(k5) >= objective(k0) - 1e-9
