@@ -2668,7 +2668,7 @@ _CURATION_TEXT_DUCK = (
     "text || CASE WHEN doc_id % 4 = 0 THEN '"
     + _CURATION_PII_SUFFIX.replace("'", "''")
     + "' ELSE '' END || CASE WHEN doc_id % 10 = 0 THEN '"
-    + _CURATION_BAD_URL
+    + _CURATION_BAD_URL.replace("'", "''")
     + "' ELSE '' END"
 )
 

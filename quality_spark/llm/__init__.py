@@ -4,59 +4,91 @@ Import pattern: ``from quality_spark.llm import exact_dedup,
 contamination_flags, …`` — every operator also remains importable from
 its own module (dedup / similarity / textstats / repetition / pii /
 urls / decontam / vocab / packing / sampling / pipeline / multimodal).
+
+Exports are LAZY (PEP 562): importing one operator does not pull the
+other eleven modules (multimodal alone imports numpy+pandas at module
+scope), so `from quality_spark.llm.dedup import exact_dedup`-style
+imports — and bench-timed query construction — pay only for what they
+use.
 """
 
-from .dedup import (
-    connected_components,
-    exact_dedup,
-    exact_dedup_keep_best,
-    exact_dup_groups,
-    minhash_lsh_pairs,
-    ngram_jaccard_pairs,
-    simhash_pairs,
-    with_minhash,
-    with_shingles,
-    with_simhash,
-)
-from .decontam import contamination_flags
-from .multimodal import (
-    as_media_column,
-    extract_media_features,
-    resize_media,
-    sample_frames,
-)
-from .packing import chunk_documents, pack_sequences
-from .pii import redact_pii, with_pii_stats
-from .pipeline import filter_documents, filter_summary, kept_documents
-from .repetition import top_ngram_coverage, with_repetition_stats
-from .sampling import (
-    hash_sample,
-    stratified_hash_sample,
-    weighted_mix,
-)
-from .similarity import (
-    cosine_topk,
-    embedding_near_dup_pairs,
-    ivf_assign,
-    ivf_flat_topk,
-    kmeans_centroids,
-    lsh_bucket_topk,
-    with_lsh_bucket,
-    with_norm,
-)
-from .textstats import (
-    with_fingerprint,
-    with_lang_id,
-    with_text_stats,
-    with_token_estimate,
-)
-from .urls import domain_histogram, flag_blocked_domains, with_url_stats
-from .vocab import (
-    tfidf_scores,
-    tfidf_top_terms,
-    vocab_counts,
-    vocab_doc_frequency,
-    vocab_topk,
-)
+from __future__ import annotations
 
-__all__ = [n for n in dir() if not n.startswith("_")]
+from importlib import import_module
+
+_EXPORTS = {
+    # dedup
+    "connected_components": "dedup",
+    "exact_dedup": "dedup",
+    "exact_dedup_keep_best": "dedup",
+    "exact_dup_groups": "dedup",
+    "minhash_lsh_pairs": "dedup",
+    "ngram_jaccard_pairs": "dedup",
+    "simhash_pairs": "dedup",
+    "with_minhash": "dedup",
+    "with_shingles": "dedup",
+    "with_simhash": "dedup",
+    # decontam
+    "contamination_flags": "decontam",
+    # multimodal
+    "as_media_column": "multimodal",
+    "extract_media_features": "multimodal",
+    "resize_media": "multimodal",
+    "sample_frames": "multimodal",
+    # packing
+    "chunk_documents": "packing",
+    "pack_sequences": "packing",
+    # pii
+    "redact_pii": "pii",
+    "with_pii_stats": "pii",
+    # pipeline
+    "filter_documents": "pipeline",
+    "filter_summary": "pipeline",
+    "kept_documents": "pipeline",
+    # repetition
+    "top_ngram_coverage": "repetition",
+    "with_repetition_stats": "repetition",
+    # sampling
+    "hash_sample": "sampling",
+    "stratified_hash_sample": "sampling",
+    "weighted_mix": "sampling",
+    # similarity
+    "cosine_topk": "similarity",
+    "embedding_near_dup_pairs": "similarity",
+    "ivf_assign": "similarity",
+    "ivf_flat_topk": "similarity",
+    "kmeans_centroids": "similarity",
+    "lsh_bucket_topk": "similarity",
+    "with_lsh_bucket": "similarity",
+    "with_norm": "similarity",
+    # textstats
+    "with_fingerprint": "textstats",
+    "with_lang_id": "textstats",
+    "with_text_stats": "textstats",
+    "with_token_estimate": "textstats",
+    # urls
+    "domain_histogram": "urls",
+    "flag_blocked_domains": "urls",
+    "with_url_stats": "urls",
+    # vocab
+    "tfidf_scores": "vocab",
+    "tfidf_top_terms": "vocab",
+    "vocab_counts": "vocab",
+    "vocab_doc_frequency": "vocab",
+    "vocab_topk": "vocab",
+}
+
+__all__ = sorted(_EXPORTS)
+
+
+def __getattr__(name: str):
+    mod = _EXPORTS.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    value = getattr(import_module(f".{mod}", __name__), name)
+    globals()[name] = value  # cache for subsequent lookups
+    return value
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))

@@ -34,6 +34,20 @@ def _token(name: str) -> str:
     return f"<{name.upper()}>"
 
 
+def pii_total_col(
+    text_col: str = "text", patterns: Optional[Dict[str, str]] = None
+) -> Column:
+    """Total PII match count as one Column — THE single definition of
+    the total, shared by :func:`with_pii_stats` and the filter
+    pipeline."""
+    pats = patterns or DEFAULT_PATTERNS
+    total = None
+    for p in pats.values():
+        c = F.regexp_count(F.col(text_col), F.lit(p))
+        total = c if total is None else total + c
+    return total.cast("int")
+
+
 def with_pii_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -46,13 +60,10 @@ def with_pii_stats(
         f"{name}_count": F.regexp_count(F.col(text_col), F.lit(p)).cast("int")
         for name, p in pats.items()
     }
-    total = None
-    for c in counts.values():
-        total = c if total is None else total + c
     return df.select(
         "*",
         *[c.alias(n) for n, c in counts.items()],
-        total.cast("int").alias("pii_total"),
+        pii_total_col(text_col, pats).alias("pii_total"),
     )
 
 

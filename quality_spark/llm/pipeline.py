@@ -35,6 +35,7 @@ def filter_documents(
     lang_col: str = "lang",
     max_dup_word_fraction: Optional[float] = None,
     max_pii_total: Optional[int] = None,
+    pii_patterns: Optional[Dict[str, str]] = None,
     blocked_domains: Optional[Sequence[str]] = None,
     dedup_key: Optional[Column] = None,
     reason_col: str = "drop_reason",
@@ -43,7 +44,17 @@ def filter_documents(
     their stage. ``dedup_key`` defaults to ``md5(text)`` (exact dedup);
     pass e.g. ``F.substring("text", 1, 40)`` for prefix fingerprints,
     or ``None``-returning expression columns for custom keys."""
-    stats = text_stats_sqls(text_col, "spark")
+    from .dedup import tokens_sql
+
+    # tokens materialize ONCE in their own projection: the token-based
+    # gates reference the array ~7 times between them, and an inlined
+    # tokenizer re-splits the text per reference (the measured trap
+    # documented at dedup.shingles_from_tokens_sql)
+    toks_col = "__qs_pipe_toks"
+    with_toks = df.select(
+        "*", F.expr(tokens_sql(text_col, "spark")).alias(toks_col)
+    )
+    stats = text_stats_sqls(text_col, "spark", toks_override=toks_col)
     conds = []
     # NULL text first: NULL makes every threshold comparison NULL (never
     # firing), so without this stage NULL-text rows would sail through
@@ -61,7 +72,7 @@ def filter_documents(
     if max_dup_word_fraction is not None:
         from .repetition import repetition_sqls
 
-        rep = repetition_sqls(text_col, "spark")
+        rep = repetition_sqls(text_col, "spark", toks_override=toks_col)
         conds.append(
             (
                 F.expr(rep["dup_word_fraction"]) > max_dup_word_fraction,
@@ -69,33 +80,20 @@ def filter_documents(
             )
         )
     if max_pii_total is not None:
-        from .pii import DEFAULT_PATTERNS
+        from .pii import pii_total_col
 
-        total = None
-        for p in DEFAULT_PATTERNS.values():
-            c = F.regexp_count(F.col(text_col), F.lit(p))
-            total = c if total is None else total + c
-        conds.append((total > max_pii_total, "pii"))
+        conds.append((pii_total_col(text_col, pii_patterns) > max_pii_total, "pii"))
     if blocked_domains:
-        from .urls import _domains
-
-        lowered = [b.lower() for b in blocked_domains]
-
-        def _blocked(d: Column) -> Column:
-            cond = None
-            for lb in lowered:
-                this = (F.lower(d) == lb) | F.lower(d).endswith("." + lb)
-                cond = this if cond is None else (cond | this)
-            return cond
+        from .urls import blocked_domain_cond
 
         conds.append(
-            (F.exists(_domains(text_col), _blocked), "blocked_domain")
+            (blocked_domain_cond(text_col, blocked_domains), "blocked_domain")
         )
 
     reason = F.lit(None).cast("string")
     for cond, name in reversed(conds):
         reason = F.when(cond, F.lit(name)).otherwise(reason)
-    staged = df.select("*", reason.alias(reason_col))
+    staged = with_toks.select("*", reason.alias(reason_col)).drop(toks_col)
 
     key = dedup_key if dedup_key is not None else F.md5(F.col(text_col))
     # survivors-first ordering: among rows sharing a content key, the

@@ -39,10 +39,14 @@ def _lines_sql(text: str, dialect: str) -> str:
     return f"list_filter(string_split({text}, chr(10)), l -> l != '')"
 
 
-def repetition_sqls(text: str, dialect: str) -> Dict[str, str]:
+def repetition_sqls(
+    text: str, dialect: str, toks_override: str = None
+) -> Dict[str, str]:
     """Column-name → SQL for the repetition block ('spark'|'duckdb');
-    arithmetic is identical so the oracle matches bit-for-bit."""
-    toks = tokens_sql(text, dialect)
+    arithmetic is identical so the oracle matches bit-for-bit.
+    ``toks_override`` substitutes a pre-materialized token array column
+    for the inlined tokenizer (fast-path staging)."""
+    toks = toks_override or tokens_sql(text, dialect)
     lines = _lines_sql(text, dialect)
     size_fn = "size" if dialect == "spark" else "len"
     distinct_fn = "array_distinct" if dialect == "spark" else "list_distinct"

@@ -621,7 +621,9 @@ def kmeans_centroids(
         v = [float(x) for x in r[1]]
         n = math.sqrt(sum(x * x for x in v)) or 1.0
         cents.append((i, [x / n for x in v]))
-    dims = len(cents[0][1]) if cents else 0
+    if not cents:
+        return []
+    dims = len(cents[0][1])
 
     for _ in range(iters):
         cell = (
@@ -629,12 +631,21 @@ def kmeans_centroids(
             if mode == "arrow"
             else ivf_cell_expr(vec_col, cents)
         )
-        assigned = df.select(cell.alias("cell"), F.col(vec_col).alias("v"))
+        assigned = df.select(
+            cell.alias("cell"),
+            F.col(vec_col).alias("v"),
+            _norm(vec_col).alias("_vn"),
+        )
+        # SPHERICAL k-means update: average the L2-NORMALIZED vectors
+        # (x / row_norm), not the raw ones — assignment maximizes
+        # cosine, so the update must too; a raw mean lets one
+        # large-norm outlier drag the centroid and the cosine
+        # objective can regress
         means = (
-            assigned.filter(F.col("cell") >= 0)
-            .select("cell", F.posexplode("v").alias("dim", "x"))
+            assigned.filter((F.col("cell") >= 0) & (F.col("_vn") > 0))
+            .select("cell", "_vn", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(F.avg(F.col("x").cast("double") / F.col("_vn")).alias("m"))
             .groupBy("cell")
             .agg(
                 F.array_sort(

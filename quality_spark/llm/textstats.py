@@ -44,11 +44,15 @@ def _stop_hits_sql(toks: str, words: List[str], dialect: str) -> str:
     return f"len(list_filter({toks}, t -> t IN ({lst})))"
 
 
-def text_stats_sqls(text: str, dialect: str) -> Dict[str, str]:
+def text_stats_sqls(
+    text: str, dialect: str, toks_override: str = None
+) -> Dict[str, str]:
     """Column-name → SQL for the text-stats block. ``dialect`` is
     'spark' or 'duckdb'; the arithmetic is identical so values match
-    bit-for-bit."""
-    toks = _tokens_sql(text, dialect)
+    bit-for-bit. ``toks_override`` names an already-materialized token
+    array column — the inlined tokenizer otherwise re-splits the text
+    once per reference (see dedup.shingles_from_tokens_sql)."""
+    toks = toks_override or _tokens_sql(text, dialect)
     size_fn = "size" if dialect == "spark" else "len"
     tc = f"{size_fn}({toks})"
     chars = f"length({text})"

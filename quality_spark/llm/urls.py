@@ -66,6 +66,14 @@ def flag_blocked_domains(
     a subdomain of one (suffix match on '.<domain>')."""
     if not blocked:
         return df.withColumn(out, F.lit(False))
+    return df.withColumn(out, blocked_domain_cond(text_col, blocked))
+
+
+def blocked_domain_cond(text_col: str, blocked: Sequence[str]) -> Column:
+    """Boolean Column: any URL in ``text_col`` points at a blocked
+    domain or subdomain — THE single definition of the match predicate,
+    shared by :func:`flag_blocked_domains` and the filter pipeline so
+    the two can never drift."""
     lowered = [b.lower() for b in blocked]
 
     def matches(d: Column) -> Column:
@@ -75,7 +83,7 @@ def flag_blocked_domains(
             cond = this if cond is None else (cond | this)
         return cond
 
-    return df.withColumn(out, F.exists(_domains(text_col), matches))
+    return F.exists(_domains(text_col), matches)
 
 
 def url_stats_oracle_exprs(text_expr: str) -> dict:
