@@ -279,3 +279,47 @@ def test_packing_property(spark, sizes, budget):
             assert total - members[-1][1] < budget, (b, members)
     # every document lands in exactly one bin
     assert sum(len(m) for m in bins.values()) == len(sizes)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "eee"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_vocab_and_tfidf_property(spark, docs):
+    """vocab counts, doc frequency, and TF-IDF match a direct python
+    model on arbitrary corpora (including empty docs)."""
+    import math
+    from collections import Counter
+
+    from quality_spark.llm.vocab import tfidf_scores, vocab_counts, vocab_doc_frequency
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    occ = Counter(w for words in docs for w in words)
+    got_occ = {r["token"]: r["occurrences"] for r in vocab_counts(df).collect()}
+    assert got_occ == dict(occ)
+
+    dfreq = Counter(w for words in docs for w in set(words))
+    got_df = {r["token"]: r["doc_frequency"] for r in vocab_doc_frequency(df).collect()}
+    assert got_df == dict(dfreq)
+
+    n = len(docs)
+    got_tfidf = {
+        (r["doc_id"], r["token"]): r["tfidf"] for r in tfidf_scores(df).collect()
+    }
+    want = {}
+    for i, words in enumerate(docs):
+        for w, tf in Counter(words).items():
+            want[(i, w)] = tf * (math.log((n + 1) / (dfreq[w] + 1)) + 1.0)
+    assert set(got_tfidf) == set(want)
+    for k in want:
+        assert abs(got_tfidf[k] - want[k]) < 1e-9, k
