@@ -269,3 +269,31 @@ def test_engine_debug_mode_still_assigns_salient(orders):
     for p, d in zip(plain, debug):
         assert p["re"]["salientRule"] == d["re"]["salientRule"]
     assert any(d["re"]["salientRule"] is not None for d in debug)
+
+
+def test_folder_300_rules_compiles_and_runs(orders):
+    """Folder chains are sequential withField folds — pin that a
+    300-rule chain still compiles (Column build + analysis) in seconds
+    and evaluates correctly (every triggered fold applies in salience
+    order; last write wins)."""
+    import time
+
+    n = 300
+    rules = [
+        engine_rule(
+            (i, 1),
+            f"o_totalprice > {i}",  # always true for real orders
+            i,
+            f"set(x = {i})",
+            (900 + i, 1),
+        )
+        for i in range(1, n + 1)
+    ]
+    suite = engine_suite((12, 1), [((1, 1), rules)])
+    start = F.struct(F.lit(0).alias("x"))
+    t0 = time.monotonic()
+    df = add_folder(orders, suite, start, name="fold")
+    compiled = time.monotonic() - t0
+    assert compiled < 30, f"300-rule folder compile took {compiled:.1f}s"
+    row = df.filter(F.col("o_totalprice") > n).select("fold.result.x").first()
+    assert row["x"] == n  # all folds triggered; the last one wins
