@@ -69,6 +69,7 @@ from .sources.bigbloom import BigBloom, big_bloom_from, load_big_bloom, register
 from .sources.parquet_compat import read_parquet_compat
 from .functions.lambdas import LambdaRegistry, expand_sql
 from .functions import api as funcs
+from .sparkless import DuckDBProcessor, RowProcessor, dq_factory
 
 __all__ = [
     "DEFAULT_SALIENCE",
@@ -86,6 +87,9 @@ __all__ = [
     "RuleSuite",
     "RuleSuiteMap",
     "RunOnPassProcessor",
+    "DuckDBProcessor",
+    "RowProcessor",
+    "dq_factory",
     "add_data_quality",
     "add_expression_runner",
     "strip_result_ddl",
