@@ -213,3 +213,40 @@ def test_packing_windows_are_sharded(spark, sf_dir):
     )
     plan = _plan(pack_sequences(docs, budget=512, n_shards=8))
     assert "SinglePartition" not in plan
+
+
+def test_mode_matrix_curation_identical(spark, sf_dir):
+    """The reference runs every operator under compiled AND interpreted
+    evaluation (TestUtils.scala:112-168); mirror that for the
+    HOF-heavy curation operators: results must be identical with
+    whole-stage codegen disabled. (Full 8-query sweep run manually;
+    three representatives here for CI time.)"""
+    import math
+
+    from quality_spark.llm.packing import chunk_documents
+    from quality_spark.llm.repetition import top_ngram_coverage, with_repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def canon(df):
+        cols = sorted(df.columns)
+        def norm(v):
+            if isinstance(v, float):
+                return "NaN" if math.isnan(v) else round(v, 9)
+            return v
+        return sorted(tuple(norm(r[c]) for c in cols) for r in df.collect())
+
+    frames = {
+        "rep": with_repetition_stats(docs),
+        "top": top_ngram_coverage(docs, n=2),
+        "chunk": chunk_documents(docs, 16, 2),
+    }
+    compiled = {k: canon(df) for k, df in frames.items()}
+    old = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        interpreted = {k: canon(df) for k, df in frames.items()}
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", old)
+    assert compiled == interpreted
+    assert all(len(v) > 0 for v in compiled.values())
