@@ -160,17 +160,25 @@ def main() -> None:
         t_write = timed(
             lambda: df.write.format("noop").mode("overwrite").save()
         )
-        return t_construct + t_write
+        return t_construct, t_write
 
+    # the construct/exec split is reported separately (VERDICT r03 #8)
+    # so round-over-round regressions can be attributed: plan changes
+    # move the exec leg, included-construction changes (stream runs,
+    # bloom builds, staging writes) move the construct leg
+    construct: dict[str, float] = {}
     for name, q in entrymod.queries().items():
-        total = run_query(q)
+        t_c, t_w = run_query(q)
         # the guard must cover the CONSTRUCT leg too — for the eager
         # gate queries (streams, staging writes, DuckDB scoring) that
         # is where the work is, and a transient stall there would land
         # in the judged number unchecked
-        if total > RETRY_OVER:
-            total = min(total, run_query(q))
-        results[name] = total
+        if t_c + t_w > RETRY_OVER:
+            t_c2, t_w2 = run_query(q)
+            if t_c2 + t_w2 < t_c + t_w:
+                t_c, t_w = t_c2, t_w2
+        results[name] = t_c + t_w
+        construct[name] = t_c
 
     # derived per-row overheads in ms, reference style
     results["dq27_overhead_ms_per_row"] = (
@@ -190,6 +198,7 @@ def main() -> None:
                 "value": round(sum(v for k, v in results.items() if not k.endswith("per_row")), 3),
                 "unit": "sec",
                 "queries": {k: round(v, 4) for k, v in results.items()},
+                "construct": {k: round(v, 4) for k, v in construct.items()},
                 "sf": float(sf),
                 "rows": n_rows,
             }
