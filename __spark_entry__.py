@@ -3472,13 +3472,94 @@ FROM ({_oracle_time_rollup_events()})
 """
 
 
+_RNG_PARITY_N = 512
+
+
+def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """commons-rng bit parity (VERDICT r03 #3): rng('ALGO', seed) for
+    SPLIT_MIX_64 and XO_RO_SHI_RO_128_PP on a single-partition range,
+    where row ids ARE sequence positions — so the distributed
+    pandas-UDF output must equal the first 2n outputs of the published
+    sequential algorithms (SplitMix64, Steele/Lea/Flood 2014;
+    xoroshiro128++, Blackman & Vigna 2019), seeded the commons-rng way
+    (single long -> long[2] via SplitMix64). The oracle VALUES are
+    driver-computed by independent pure-python loops — not the numpy /
+    GF(2)-matrix production path (quality_spark/functions/pyrng.py),
+    so a defect in either side fails the gate."""
+    from quality_spark.functions.lambdas import expand_sql
+
+    df = spark.range(0, _RNG_PARITY_N, 1, 1)  # 1 partition: mid = id
+    x = F.expr(expand_sql("rng('XO_RO_SHI_RO_128_PP', 42)"))
+    s = F.expr(expand_sql("rng('SPLIT_MIX_64', 7)"))
+    return df.select(
+        F.col("id").cast("bigint").alias("id"),
+        x["lower"].alias("xrsr_lo"),
+        x["higher"].alias("xrsr_hi"),
+        s["lower"].alias("sm_lo"),
+        s["higher"].alias("sm_hi"),
+    )
+
+
+def _rng_parity_reference(n: int) -> list:
+    """Sequential reference streams, written as plain loops."""
+    m = (1 << 64) - 1
+
+    def mix(z: int) -> int:
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & m
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m
+        return z ^ (z >> 31)
+
+    def sm_stream(seed: int, count: int) -> list:
+        st, out = seed & m, []
+        for _ in range(count):
+            st = (st + 0x9E3779B97F4A7C15) & m
+            out.append(mix(st))
+        return out
+
+    def rotl(x: int, k: int) -> int:
+        return ((x << k) | (x >> (64 - k))) & m
+
+    def xrsr_stream(seed: int, count: int) -> list:
+        s0, s1 = sm_stream(seed, 2)
+        out = []
+        for _ in range(count):
+            out.append((rotl((s0 + s1) & m, 17) + s0) & m)
+            s1 ^= s0
+            s0 = rotl(s0, 49) ^ s1 ^ ((s1 << 21) & m)
+            s1 = rotl(s1, 28)
+        return out
+
+    def sgn(v: int) -> int:  # uint64 -> java long
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    x = xrsr_stream(42, 2 * n)
+    s = sm_stream(7, 2 * n)
+    return [
+        (i, sgn(x[2 * i]), sgn(x[2 * i + 1]), sgn(s[2 * i]), sgn(s[2 * i + 1]))
+        for i in range(n)
+    ]
+
+
+def _oracle_rng_parity() -> str:
+    rows = ", ".join(
+        f"({i}, {a}, {b}, {c}, {d})"
+        for i, a, b, c, d in _rng_parity_reference(_RNG_PARITY_N)
+    )
+    return (
+        "SELECT CAST(id AS BIGINT) AS id, CAST(xrsr_lo AS BIGINT) AS xrsr_lo, "
+        "CAST(xrsr_hi AS BIGINT) AS xrsr_hi, CAST(sm_lo AS BIGINT) AS sm_lo, "
+        "CAST(sm_hi AS BIGINT) AS sm_hi "
+        f"FROM (VALUES {rows}) AS t(id, xrsr_lo, xrsr_hi, sm_lo, sm_hi)"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """48 gate queries covering every SURVEY §2 and LLM-pipeline
+    """49 gate queries covering every SURVEY §2 and LLM-pipeline
     operator — all inside the driver's 50-entry correctness window
     (consolidated in round 4; the r03 single-operator queries survive
     as the building blocks the composites call)."""
@@ -3506,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_suite": q_bloom_suite,
         # --- scalar function surface ---
         "ids_suite": q_ids_suite,
+        "rng_parity": q_rng_parity,
         "digest_documents": q_digest_documents,
         "yaml_round_trip": q_yaml_round_trip,
         "struct_map_ops": q_struct_map_ops,
@@ -3561,6 +3643,7 @@ def oracle_sql() -> dict[str, str]:
         "map_functions": _oracle_map_functions(),
         "bloom_suite": _oracle_bloom_suite(),
         "ids_suite": _oracle_ids_suite(),
+        "rng_parity": _oracle_rng_parity(),
         "digest_documents": _oracle_digest_documents(),
         "yaml_round_trip": _oracle_yaml_round_trip(),
         "struct_map_ops": _oracle_struct_map_ops(),

@@ -162,6 +162,71 @@ def test_rng_batch_split_invariance():
     assert (other != whole).any()
 
 
+def test_exact_rng_bit_parity():
+    # SPLIT_MIX_64 / XO_RO_SHI_RO_128_PP must emit the published
+    # sequential streams (independent plain-python loops as reference),
+    # under run-splitting, non-contiguous access, and partition offsets
+    import numpy as np
+
+    from quality_spark.functions.pyrng import SUPPORTED_RNG_ALGOS, rng_draws
+
+    m = (1 << 64) - 1
+
+    def mix(z):
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & m
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m
+        return z ^ (z >> 31)
+
+    def sm_stream(seed, count):
+        st, out = seed & m, []
+        for _ in range(count):
+            st = (st + 0x9E3779B97F4A7C15) & m
+            out.append(mix(st))
+        return out
+
+    def rotl(x, k):
+        return ((x << k) | (x >> (64 - k))) & m
+
+    def xrsr_stream(seed, count):
+        s0, s1 = sm_stream(seed, 2)
+        out = []
+        for _ in range(count):
+            out.append((rotl((s0 + s1) & m, 17) + s0) & m)
+            s1 ^= s0
+            s0 = rotl(s0, 49) ^ s1 ^ ((s1 << 21) & m)
+            s1 = rotl(s1, 28)
+        return out
+
+    mids = np.arange(0, 40, dtype=np.int64)
+    for name, ref_stream in (
+        ("SPLIT_MIX_64", sm_stream),
+        ("XO_RO_SHI_RO_128_PP", xrsr_stream),
+    ):
+        aid = SUPPORTED_RNG_ALGOS[name]
+        whole = rng_draws(aid, 42, mids, 2)
+        assert [int(v) for v in whole.reshape(-1)] == ref_stream(42, 80), name
+        # split/filtered computation must agree with the whole run
+        parts = np.vstack(
+            [rng_draws(aid, 42, mids[:7], 2), rng_draws(aid, 42, mids[7:], 2)]
+        )
+        assert (whole == parts).all(), name
+        pick = np.array([1, 5, 6, 7, 31], dtype=np.int64)
+        assert (rng_draws(aid, 42, pick, 2) == whole[pick]).all(), name
+        # random access far into the stream (exercises the GF(2)
+        # matrix advance on several position bits) matches the
+        # sequential reference walked to the same position
+        far = 54321
+        ref = ref_stream(42, far * 2 + 2)
+        off = rng_draws(aid, 42, np.array([far], np.int64), 2)
+        assert [int(off[0, 0]), int(off[0, 1])] == ref[-2:], name
+        # partition offsets address a DISJOINT block of the same
+        # stream: two differently-grouped computations must agree
+        pmid = np.int64((1 << 33) + 3)
+        a = rng_draws(aid, 42, np.array([pmid], np.int64), 2)
+        b = rng_draws(aid, 42, np.array([pmid - 1, pmid], np.int64), 2)[1]
+        assert (a[0] == b).all(), name
+
+
 def test_rng_bytes_seeded_num_bytes(spark):
     sql = expand_sql("rng_bytes('SPLIT_MIX_64', 9, 5)")
     out = spark.range(3).select(F.expr(sql).alias("b")).collect()
