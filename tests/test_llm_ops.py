@@ -523,3 +523,44 @@ def test_kmeans_centroids_improve_ivf(spark, sf_dir):
     for _, v in k5:
         assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
     assert objective(k5) >= objective(k0) - 1e-9
+
+
+def test_ivf_auto_mode_switches_on_literal_size(spark, emb):
+    # mode='auto' must keep the pure-SQL projection for small centroid
+    # tables (codegen, zero python) but switch to the Arrow kernel
+    # before the inlined literal explodes (VERDICT r03 #4)
+    from quality_spark.llm.similarity import (
+        IVF_LITERAL_MAX,
+        _resolve_ivf_mode,
+        ivf_assign,
+    )
+
+    small = [(i, [0.0] * 64) for i in range(10)]       # 640 doubles
+    large = [(i, [0.0] * 64) for i in range(200)]      # 12_800 doubles
+    assert _resolve_ivf_mode("auto", small) == "sql"
+    assert _resolve_ivf_mode("auto", large) == "arrow"
+    assert _resolve_ivf_mode("sql", large) == "sql"    # explicit wins
+    assert 10 * 64 < IVF_LITERAL_MAX < 200 * 64
+
+    big_cents = emb.filter(F.col("vec_id") % 2 == 0).limit(200)
+    plan = ivf_assign(emb, big_cents)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # auto chose the kernel
+    small_cents = emb.filter(F.col("vec_id") % 50 == 0).limit(10)
+    plan2 = ivf_assign(emb, small_cents)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan2  # auto kept codegen SQL
+
+
+def test_lsh_dims_passthrough_skips_inference_job(spark, emb, monkeypatch):
+    # explicit dims must not probe the data (the probe is an extra
+    # Spark job per operator call, and a full-scan risk on filtered
+    # views) — patch the prober to prove it is never consulted
+    import quality_spark.llm.similarity as sim
+
+    def boom(df, vec_col):
+        raise AssertionError("_infer_dims must not run when dims is passed")
+
+    monkeypatch.setattr(sim, "_infer_dims", boom)
+    queries = emb.filter(F.col("vec_id") < 3)
+    sim.embedding_near_dup_pairs(emb, threshold=0.9, dims=64).schema
+    sim.lsh_bucket_topk(emb, queries, k=2, dims=64).schema
+    sim.with_lsh_bucket(emb, dims=64).schema
