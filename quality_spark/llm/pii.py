@@ -24,9 +24,17 @@ from pyspark.sql import functions as F
 DEFAULT_PATTERNS: Dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    # requires an international "+" prefix — keeps it disjoint from
-    # IPv4/date digit runs without lookaround (not in RE2)
-    "phone": r"\+\d{1,2}-\d{3}-\d{4}",
+    # optional +cc prefix, optional (parenthesized or bare) area code,
+    # then the 3-4 local tail: covers +1-555-0100 / 555-123-4567 /
+    # (555) 123-4567 / 555 123 4567 / 7-digit locals. Separators are
+    # '-' and space ONLY — allowing '.' would swallow decimal numbers
+    # ("123.4567") and collide with the IPv4 counter on dotted digit
+    # runs; \b sits before each DIGIT group (a leading \b before the
+    # optional '+' would reject " +1-..." — '+' is a non-word char).
+    # No lookaround: stays in the Java-regex ∩ RE2 dialect.
+    "phone": (
+        r"(?:\+\d{1,2}[- ])?(?:\(\d{3}\)[- ]?|\b\d{3}[- ])?\b\d{3}[- ]\d{4}\b"
+    ),
 }
 
 

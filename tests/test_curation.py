@@ -91,6 +91,34 @@ def test_pii_detect_and_redact(spark):
         assert tok in out[5]["text_redacted"]
 
 
+def test_pii_phone_recall_and_precision(spark):
+    """The broadened phone pattern must catch the common national
+    formats (VERDICT r03 #5) and must NOT fire on decimals, dates,
+    IPs, or digit runs."""
+    positives = [
+        "+1-555-0100",          # +cc with 3-4 tail (the old pattern's only hit)
+        "555-123-4567",         # national 3-3-4
+        "(555) 123-4567",       # parenthesized area code
+        "555 123 4567",         # space separators
+        "call 555-0100 now",    # 7-digit local
+        "+12 555-123-4567",     # 2-digit country code
+    ]
+    negatives = [
+        "pi is 3.1415926535",   # decimal
+        "on 2023-01-01 at 10",  # ISO date
+        "host 10.1.2.3 up",     # ip only (counted by ipv4, not phone)
+        "id 123456789012",      # unbroken digit run
+        "v1.2.3 and 4.5",       # versions
+    ]
+    rows = [(i, t) for i, t in enumerate(positives + negatives)]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = {r["i"]: r["phone_count"] for r in with_pii_stats(df).collect()}
+    for i, t in enumerate(positives):
+        assert got[i] >= 1, f"missed phone in {t!r}"
+    for j, t in enumerate(negatives):
+        assert got[len(positives) + j] == 0, f"false phone in {t!r}"
+
+
 def test_pii_patterns_match_duckdb_dialect(spark):
     """The shipped patterns must behave identically under Java regex
     (Spark) and RE2 (DuckDB) — the premise of the oracle."""
