@@ -1,12 +1,19 @@
 """Multimodal columns: opaque binary payloads + typed metadata, with
 decode / feature-extraction plumbing over ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED (deterministic fakes clearly marked, or NotImplementedError in
-strict mode) — but everything Spark-side is real and tested: the
-schema contract, Arrow batch shapes, partition-preserving mapInPandas
-plumbing, and metadata handling. Swapping in PIL/librosa later touches
-only the kernel function bodies.
+Decode support is format-tiered (VERDICT r03 #6):
+
+- **BMP is decoded for real** — a pure-numpy reader/writer for the
+  uncompressed 24/32-bit Windows DIB format (the one raster format
+  that needs no codec library): real width/height, real pixel
+  features, real nearest-neighbor resize.
+- Compressed formats (png/jpeg/audio/video) still STUB their kernels
+  (deterministic fakes clearly marked, or NotImplementedError in
+  strict mode) — the container has no codecs.  Everything Spark-side
+  is real and tested either way: the schema contract, Arrow batch
+  shapes, partition-preserving mapInPandas plumbing, and metadata
+  handling.  Swapping in PIL/librosa later touches only the kernel
+  function bodies.
 """
 
 from __future__ import annotations
@@ -76,38 +83,147 @@ def _fake_decode_features(payload: bytes, dim: int) -> np.ndarray:
     return rng.uniform(-1.0, 1.0, dim).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Real BMP codec (pure numpy — no external libraries).
+# Uncompressed Windows DIB, BITMAPINFOHEADER, 24- or 32-bit.
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BMP to an (h, w, 3) uint8 RGB
+    array. Handles 4-byte row padding, bottom-up (positive height) and
+    top-down (negative height) row order. Raises ValueError on
+    anything that is not a plain BI_RGB BMP."""
+    b = payload or b""
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dims {w}x{h}")
+    top_down = h < 0
+    h = abs(h)
+    nchan = bpp // 8
+    stride = (w * nchan + 3) // 4 * 4
+    need = data_off + stride * h
+    if len(b) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(b, np.uint8, stride * h, data_off).reshape(h, stride)
+    px = rows[:, : w * nchan].reshape(h, w, nchan)
+    if not top_down:
+        px = px[::-1]
+    # BMP stores BGR(A); emit RGB
+    return px[:, :, 2::-1].copy()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    bottom-up BMP (the exact layout :func:`decode_bmp` reads back)."""
+    a = np.asarray(img, np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    size = 54 + stride * h
+    hdr = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (stride * h).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return hdr + rows.tobytes()
+
+
+def _bmp_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """REAL image features from decoded pixels: [w, h, mean_r, mean_g,
+    mean_b, gray_mean, gray_std, gray_max] (gray = channel mean, kept
+    coefficient-free so constant images yield exact values), padded or
+    truncated to ``dim``."""
+    h, w = img.shape[:2]
+    chan = img.reshape(-1, 3).astype(np.float64)
+    gray = chan.mean(axis=1)
+    f = np.array(
+        [
+            float(w),
+            float(h),
+            float(chan[:, 0].mean()),
+            float(chan[:, 1].mean()),
+            float(chan[:, 2].mean()),
+            float(gray.mean()),
+            float(gray.std()),
+            float(gray.max()),
+        ]
+    )
+    if dim <= len(f):
+        return f[:dim].astype(np.float32)
+    return np.pad(f, (0, dim - len(f))).astype(np.float32)
+
+
 def extract_media_features(
     df: DataFrame,
     media_col: str = "media",
     id_col: str = "doc_id",
     dim: int = FEATURE_DIM,
 ) -> DataFrame:
-    """(id, features array<float>, n_bytes) via Arrow-batched
-    mapInPandas — the real production shape: narrow, partition-
-    preserving, bounded memory per batch regardless of table size."""
+    """(id, features array<float>, n_bytes, width, height) via
+    Arrow-batched mapInPandas — the real production shape: narrow,
+    partition-preserving, bounded memory per batch regardless of table
+    size. BMP payloads decode for real (pixel features + dims); other
+    formats use the documented stub and null dims."""
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
             T.StructField("features", T.ArrayType(T.FloatType())),
             T.StructField("n_bytes", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
         ]
     )
     src = df.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(f"{media_col}.payload").alias("payload"),
+        F.col(f"{media_col}.meta.format").alias("fmt"),
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_decode_features(p if p is not None else b"", dim)
-                for p in pdf["payload"]
-            ]
+            feats, widths, heights = [], [], []
+            for p, fmt in zip(pdf["payload"], pdf["fmt"]):
+                p = p if p is not None else b""
+                if (fmt or "").lower() == "bmp":
+                    img = decode_bmp(p)
+                    feats.append(_bmp_features(img, dim))
+                    heights.append(img.shape[0])
+                    widths.append(img.shape[1])
+                else:
+                    feats.append(_fake_decode_features(p, dim))
+                    widths.append(None)
+                    heights.append(None)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "features": [f.tolist() for f in feats],
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
                 }
             )
 
@@ -161,9 +277,11 @@ def resize_media(
     id_col: str = "doc_id",
     keep_aspect: bool = True,
 ) -> DataFrame:
-    """Resize plumbing for image payloads: metadata math is REAL
-    (aspect-preserving fit into width×height, like PIL thumbnail), the
-    pixel transform is the documented STUB (deterministic payload
+    """Resize for image payloads. BMP resizes for REAL: decode →
+    nearest-neighbor resample → re-encode (dims read from the pixels,
+    not the metadata). For other formats the metadata math is real
+    (aspect-preserving fit into width×height, like PIL thumbnail) but
+    the pixel transform is the documented STUB (deterministic payload
     re-hash sized to the new dimensions — no codecs in this container;
     a real deployment replaces only the bytes line in the kernel).
 
@@ -201,28 +319,39 @@ def resize_media(
             for rid, p, m in zip(pdf["id"], pdf["payload"], pdf["meta"]):
                 p = p or b""
                 m = dict(m) if m is not None else {}
-                w, h = _fit(m.get("width"), m.get("height"))
-                if _STRICT:
-                    raise NotImplementedError(
-                        "no image codecs in this container: resize_media "
-                        "pixel transform is stubbed (strict mode)"
-                    )
-                # STUB pixel data: deterministic bytes sized ~w*h/64,
-                # derived from the original payload + target dims
-                seed = hashlib.md5(p + f"{w}x{h}".encode()).digest()
-                n = max(1, (w * h) // 64)
-                fake = (seed * (n // len(seed) + 1))[:n]
+                if (m.get("format") or "").lower() == "bmp":
+                    # REAL path: decode, nearest-neighbor resample,
+                    # re-encode
+                    img = decode_bmp(p)
+                    h0, w0 = img.shape[:2]
+                    w, h = _fit(w0, h0)
+                    ys = (np.arange(h) * h0 // h).astype(np.intp)
+                    xs = (np.arange(w) * w0 // w).astype(np.intp)
+                    resized = img[ys][:, xs]
+                    payload_out = encode_bmp(resized)
+                else:
+                    w, h = _fit(m.get("width"), m.get("height"))
+                    if _STRICT:
+                        raise NotImplementedError(
+                            "no image codecs in this container: resize_media "
+                            "pixel transform is stubbed (strict mode)"
+                        )
+                    # STUB pixel data: deterministic bytes sized ~w*h/64,
+                    # derived from the original payload + target dims
+                    seed = hashlib.md5(p + f"{w}x{h}".encode()).digest()
+                    n = max(1, (w * h) // 64)
+                    payload_out = (seed * (n // len(seed) + 1))[:n]
                 out["id"].append(rid)
                 out["media"].append(
                     {
-                        "payload": fake,
+                        "payload": payload_out,
                         "meta": {
                             "media_type": m.get("media_type"),
                             "format": m.get("format"),
                             "width": w,
                             "height": h,
                             "duration_ms": m.get("duration_ms"),
-                            "n_bytes": len(fake),
+                            "n_bytes": len(payload_out),
                         },
                     }
                 )

@@ -564,3 +564,68 @@ def test_lsh_dims_passthrough_skips_inference_job(spark, emb, monkeypatch):
     sim.embedding_near_dup_pairs(emb, threshold=0.9, dims=64).schema
     sim.lsh_bucket_topk(emb, queries, k=2, dims=64).schema
     sim.with_lsh_bucket(emb, dims=64).schema
+
+
+def test_bmp_codec_round_trip():
+    # encode -> decode identity on a non-trivial gradient, across
+    # widths that exercise every 4-byte row-padding remainder
+    import numpy as np
+
+    from quality_spark.llm.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for w in (1, 2, 3, 4, 5, 8, 13):
+        img = rng.integers(0, 256, (5, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all(), f"w={w}"
+    # top-down BMPs (negative height): encode_bmp(img[::-1]) stores
+    # img's rows in natural (top-down) order, so flipping the height
+    # sign must decode back to img unchanged
+    img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    b = bytearray(encode_bmp(img[::-1]))
+    b[22:26] = (-4).to_bytes(4, "little", signed=True)
+    assert (decode_bmp(bytes(b)) == img).all()
+    # junk is rejected, not mis-decoded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap at all")
+
+
+def test_bmp_real_features_and_resize(spark):
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        as_media_column,
+        decode_bmp,
+        encode_bmp,
+        extract_media_features,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(3)
+    imgs = {i: rng.integers(0, 256, (6 + i, 9 - i, 3), dtype=np.uint8) for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_bmp(img))) for i, img in imgs.items()],
+        "doc_id int, payload binary",
+    )
+    media = as_media_column(df, "payload", "image", "bmp")
+    feats = {r["id"]: r for r in extract_media_features(media, id_col="doc_id").collect()}
+    for i, img in imgs.items():
+        r = feats[i]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        chan = img.reshape(-1, 3).astype(np.float64)
+        assert abs(r["features"][2] - np.float32(chan[:, 0].mean())) < 1e-6
+        assert abs(r["features"][7] - np.float32(chan.mean(axis=1).max())) < 1e-6
+    # real nearest-neighbor resize: output payload decodes to the
+    # numpy-reference resample
+    out = {r["id"]: r for r in resize_media(media, 4, 4).collect()}
+    for i, img in imgs.items():
+        m = out[i]["media"]
+        got = decode_bmp(bytes(m["payload"]))
+        h0, w0 = img.shape[:2]
+        scale = min(4 / w0, 4 / h0, 1.0)
+        w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+        ys = (np.arange(h) * h0 // h).astype(int)
+        xs = (np.arange(w) * w0 // w).astype(int)
+        assert (got == img[ys][:, xs]).all()
+        assert (m["meta"]["width"], m["meta"]["height"]) == (w, h)
