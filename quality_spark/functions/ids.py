@@ -57,6 +57,12 @@ HASH_IMPLS = {
 
 #: reference families with no verifiable in-container implementation —
 #: these error rather than alias to a different hash function.
+#: XXH3 was evaluated for a from-scratch numpy port (round 4): the
+#: container has NO reference to verify against (no python `xxhash`,
+#: no DuckDB/Arrow xxh3 surface), and a from-memory implementation
+#: with unverifiable length-class paths could silently emit wrong
+#: hashes under the real algorithm's name — strictly worse than this
+#: explicit error. Revisit when a bit-exact reference is available.
 UNSUPPORTED_HASH_IMPLS = frozenset(
     {"XXH3", "CITY_1_1", "FARM_NA", "FARM_UO", "METRO", "WY_3", "MUM"}
 )

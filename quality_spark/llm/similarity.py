@@ -185,7 +185,15 @@ def _signatures_arrow_udf(planes: int, tables: int, seed: int, dims: int):
 
     ~100× faster than the interpreted HOF lambda path: tables×planes
     projections per row become dims×(tables·planes) fused row-batch
-    FMAs per Arrow batch."""
+    FMAs per Arrow batch.
+
+    NaN caveat — OUT of the bit-exactness contract: for a genuine NaN
+    element Spark SQL's ``NaN > 0`` is TRUE (NaN sorts greatest) so
+    the fold sets that plane's bit, while numpy's ``nan > 0`` is False
+    (bit 0); Arrow also cannot distinguish a NULL array element from
+    NaN. Vectors containing NaN/NULL elements may therefore bucket
+    differently across modes — pre-filter them (one
+    ``exists(v, isnan)`` projection) if they can occur."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -456,7 +464,15 @@ def _ivf_cell_arrow_udf(cents: list, dims: int):
     EITHER direction assign cell -1, matching the SQL fold's NULL-dot
     behavior (zip_with null-pads the SHORTER side — for a long row the
     centroid side pads — so the dot is NULL and the init struct
-    survives)."""
+    survives).
+
+    NaN caveat — OUT of the bit-exactness contract: a genuine NaN
+    element makes every SQL dot NaN, and ``NaN > init`` is TRUE under
+    Spark's NaN-sorts-greatest semantics, so the SQL fold assigns the
+    FIRST centroid; this kernel returns cell -1 instead (Arrow can't
+    distinguish NULL elements from NaN, and -1 is the only safe
+    answer for both). Pre-filter NaN-bearing vectors if they can
+    occur."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

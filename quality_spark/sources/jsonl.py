@@ -11,8 +11,13 @@ at scale:
 - Writes go through ``ignoreNullFields=false`` so a null field
   round-trips as an explicit null instead of vanishing (schema drift
   across shards otherwise).
-- Compression defaults to the splittable-friendly per-file gzip Spark
-  convention for JSONL shards; pass ``compression=None`` for raw text.
+- Compression defaults to gzip — the interchange convention for JSONL
+  shards — but gzip is NOT a splittable codec: each shard is read by a
+  single task, so parallelism comes from writing MANY shards (the
+  upstream partitioning), never from splitting one. For large shards
+  where intra-file splits matter, write uncompressed text or use a
+  splittable codec from the cluster's runtime; pass
+  ``compression=None`` here for raw text.
 """
 
 from __future__ import annotations

@@ -194,7 +194,9 @@ def dedup_against_store(
     of key width. At 100 TB-ingest scale, compact the store
     periodically and bucket it by the hash for a shuffle-free probe.
 
-    Within-batch duplicates also collapse (keep-first by key hash).
+    Within-batch duplicates also collapse (keep-first by the same join
+    key the store uses: hash in hash_only mode, the REAL key columns in
+    exact mode — so exact mode is collision-proof within a batch too).
 
     Delivery semantics: the SINK runs before the key append, so a
     failure between the two replays the batch with its keys still
@@ -214,10 +216,16 @@ def dedup_against_store(
 
         spark = batch_df.sparkSession
         join_cols = [key_hash_col] if hash_only else list(keys)
-        hashed = batch_df.withColumn(
-            key_hash_col,
-            F.xxhash64(*[F.col(k) for k in keys]),
-        ).dropDuplicates([key_hash_col])
+        # within-batch dedup on join_cols, NOT always the hash: in
+        # exact mode (hash_only=False) a 64-bit in-batch collision
+        # would silently drop a distinct row — the very failure that
+        # mode exists to rule out (exact mode needs no hash at all)
+        hashed = batch_df
+        if hash_only:
+            hashed = batch_df.withColumn(
+                key_hash_col, F.xxhash64(*[F.col(k) for k in keys])
+            )
+        hashed = hashed.dropDuplicates(join_cols)
         try:
             seen = spark.read.parquet(store_path).select(*join_cols)
             fresh = hashed.join(seen, join_cols, "left_anti")

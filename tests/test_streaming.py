@@ -288,3 +288,28 @@ def test_dedup_against_store_across_restarts(spark, events_stream_dir, tmp_path)
     got_batches.clear()
     run_once()  # same files, fresh checkpoint -> all keys already seen
     assert sum(got_batches) == 0
+
+
+def test_dedup_against_store_exact_mode_uses_real_keys(spark, tmp_path):
+    """hash_only=False must dedup (in-batch AND against the store) on
+    the REAL key columns — the store holds keys, not hashes, so a
+    64-bit collision can never drop a distinct row."""
+    from quality_spark.streaming.recipes import dedup_against_store
+
+    store = str(tmp_path / "seen_exact")
+    emitted = []
+
+    def sink(df, epoch_id):
+        emitted.extend(r["k"] for r in df.collect())
+
+    handler = dedup_against_store(store, ["k"], sink, hash_only=False)
+    b1 = spark.createDataFrame([("a", 1), ("b", 2), ("a", 3)], "k string, v int")
+    handler(b1, 0)
+    assert sorted(emitted) == ["a", "b"]  # in-batch dup collapsed
+    stored = spark.read.parquet(store)
+    assert stored.columns == ["k"]  # real key columns, no hash
+    assert sorted(r["k"] for r in stored.collect()) == ["a", "b"]
+    emitted.clear()
+    b2 = spark.createDataFrame([("b", 4), ("c", 5)], "k string, v int")
+    handler(b2, 1)
+    assert emitted == ["c"]  # store anti-join on the key itself
