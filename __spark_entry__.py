@@ -3538,27 +3538,36 @@ _RNG_PARITY_N = 512
 
 
 def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """commons-rng bit parity (VERDICT r03 #3): rng('ALGO', seed) for
-    SPLIT_MIX_64 and XO_RO_SHI_RO_128_PP on a single-partition range,
-    where row ids ARE sequence positions — so the distributed
-    pandas-UDF output must equal the first 2n outputs of the published
-    sequential algorithms (SplitMix64, Steele/Lea/Flood 2014;
-    xoroshiro128++, Blackman & Vigna 2019), seeded the commons-rng way
-    (single long -> long[2] via SplitMix64). The oracle VALUES are
-    driver-computed by independent pure-python loops — not the numpy /
-    GF(2)-matrix production path (quality_spark/functions/pyrng.py),
-    so a defect in either side fails the gate."""
+    """commons-rng bit parity (VERDICT r03 #3, widened in round 4):
+    rng('ALGO', seed) for SPLIT_MIX_64, XO_RO_SHI_RO_128_PP, and one
+    representative of each new bit-exact engine family — the 24/16/37
+    xoroshiro128 engine (XO_RO_SHI_RO_128_SS) and the 256-bit xoshiro
+    engine (XO_SHI_RO_256_PP) — on a single-partition range, where row
+    ids ARE sequence positions: the distributed pandas-UDF output must
+    equal the first 2n outputs of the published sequential algorithms
+    (SplitMix64, Steele/Lea/Flood 2014; xoroshiro128++/**, xoshiro256++,
+    Blackman & Vigna 2019), seeded the commons-rng way (single long ->
+    long[k] via SplitMix64). The oracle VALUES are driver-computed by
+    independent pure-python loops — not the numpy / GF(2)-matrix
+    production path (quality_spark/functions/pyrng.py), so a defect in
+    either side fails the gate."""
     from quality_spark.functions.lambdas import expand_sql
 
     df = spark.range(0, _RNG_PARITY_N, 1, 1)  # 1 partition: mid = id
     x = F.expr(expand_sql("rng('XO_RO_SHI_RO_128_PP', 42)"))
     s = F.expr(expand_sql("rng('SPLIT_MIX_64', 7)"))
+    ss = F.expr(expand_sql("rng('XO_RO_SHI_RO_128_SS', 99)"))
+    q = F.expr(expand_sql("rng('XO_SHI_RO_256_PP', 13)"))
     return df.select(
         F.col("id").cast("bigint").alias("id"),
         x["lower"].alias("xrsr_lo"),
         x["higher"].alias("xrsr_hi"),
         s["lower"].alias("sm_lo"),
         s["higher"].alias("sm_hi"),
+        ss["lower"].alias("xrss_lo"),
+        ss["higher"].alias("xrss_hi"),
+        q["lower"].alias("x256_lo"),
+        q["higher"].alias("x256_hi"),
     )
 
 
@@ -3591,28 +3600,62 @@ def _rng_parity_reference(n: int) -> list:
             s1 = rotl(s1, 28)
         return out
 
+    def xrss_stream(seed: int, count: int) -> list:
+        # xoroshiro128** — 24/16/37 engine, rotl(s0*5,7)*9 scrambler
+        s0, s1 = sm_stream(seed, 2)
+        out = []
+        for _ in range(count):
+            out.append((rotl((s0 * 5) & m, 7) * 9) & m)
+            s1 ^= s0
+            s0 = rotl(s0, 24) ^ s1 ^ ((s1 << 16) & m)
+            s1 = rotl(s1, 37)
+        return out
+
+    def x256_stream(seed: int, count: int) -> list:
+        # xoshiro256++ — shift-17 / rot-45 engine
+        s = sm_stream(seed, 4)
+        out = []
+        for _ in range(count):
+            out.append((rotl((s[0] + s[3]) & m, 23) + s[0]) & m)
+            t = (s[1] << 17) & m
+            s[2] ^= s[0]
+            s[3] ^= s[1]
+            s[1] ^= s[2]
+            s[0] ^= s[3]
+            s[2] ^= t
+            s[3] = rotl(s[3], 45)
+        return out
+
     def sgn(v: int) -> int:  # uint64 -> java long
         return v - (1 << 64) if v >= (1 << 63) else v
 
     x = xrsr_stream(42, 2 * n)
     s = sm_stream(7, 2 * n)
+    ss = xrss_stream(99, 2 * n)
+    q = x256_stream(13, 2 * n)
     return [
-        (i, sgn(x[2 * i]), sgn(x[2 * i + 1]), sgn(s[2 * i]), sgn(s[2 * i + 1]))
+        (
+            i,
+            sgn(x[2 * i]), sgn(x[2 * i + 1]),
+            sgn(s[2 * i]), sgn(s[2 * i + 1]),
+            sgn(ss[2 * i]), sgn(ss[2 * i + 1]),
+            sgn(q[2 * i]), sgn(q[2 * i + 1]),
+        )
         for i in range(n)
     ]
 
 
 def _oracle_rng_parity() -> str:
     rows = ", ".join(
-        f"({i}, {a}, {b}, {c}, {d})"
-        for i, a, b, c, d in _rng_parity_reference(_RNG_PARITY_N)
+        "(" + ", ".join(str(v) for v in row) + ")"
+        for row in _rng_parity_reference(_RNG_PARITY_N)
     )
-    return (
-        "SELECT CAST(id AS BIGINT) AS id, CAST(xrsr_lo AS BIGINT) AS xrsr_lo, "
-        "CAST(xrsr_hi AS BIGINT) AS xrsr_hi, CAST(sm_lo AS BIGINT) AS sm_lo, "
-        "CAST(sm_hi AS BIGINT) AS sm_hi "
-        f"FROM (VALUES {rows}) AS t(id, xrsr_lo, xrsr_hi, sm_lo, sm_hi)"
-    )
+    cols = [
+        "id", "xrsr_lo", "xrsr_hi", "sm_lo", "sm_hi",
+        "xrss_lo", "xrss_hi", "x256_lo", "x256_hi",
+    ]
+    sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return f"SELECT {sel} FROM (VALUES {rows}) AS t({', '.join(cols)})"
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -5,11 +5,13 @@ RuleRegistrationFunctions.scala:346-376): ``rng('ALGO'[, seed])``
 selects a commons-rng RandomSource; jumpable sources branch a
 per-partition stream.  Two honesty notes, both load-bearing:
 
-- ``SPLIT_MIX_64`` and ``XO_RO_SHI_RO_128_PP`` are BIT-EXACT
-  implementations of the published algorithms with the commons-rng
-  single-long seeding convention (see the exact-stream section below;
-  gated by the ``rng_parity`` query against independently computed
-  sequential reference vectors).  Every OTHER algorithm name is
+- ``SPLIT_MIX_64``, the ``XO_RO_SHI_RO_128`` family (``_PP``,
+  ``_PLUS``, ``_SS``) and the ``XO_SHI_RO_256`` family (``_PP``,
+  ``_PLUS``, ``_SS``) are BIT-EXACT implementations of the published
+  algorithms with the commons-rng single-long seeding convention (see
+  the exact-stream section below; gated by the ``rng_parity`` query
+  against independently computed sequential reference vectors).
+  Every OTHER algorithm name is
   honored as a distinct, stable stream family — same (algo, seed,
   partition, row) always yields the same value, and different algos
   yield unrelated streams — but without commons-rng bit parity (which
@@ -102,15 +104,21 @@ _GAMMA = 0x9E3779B97F4A7C15  # SplitMix64 increment (Steele et al. 2014)
 
 
 # ---------------------------------------------------------------------------
-# Exact commons-rng algorithm streams (VERDICT r03 "Next round" #3).
+# Exact commons-rng algorithm streams (VERDICT r03 "Next round" #3,
+# widened to the full published xoroshiro128/xoshiro256 families in
+# round 4).
 #
-# SPLIT_MIX_64 and XO_RO_SHI_RO_128_PP produce BIT-EXACT output of the
-# published sequential algorithms (SplitMix64, Steele/Lea/Flood 2014;
-# xoroshiro128++, Blackman & Vigna 2019 public-domain reference code —
-# rotations 17/49/28, shift 21), seeded the commons-rng way: a single
-# long expands to the native long[2] seed through a SplitMix64 stream
-# (reference: impl/rng/RngExpression.scala:12-141 selects the same
-# RandomSource enum names).
+# SPLIT_MIX_64 plus the six xoroshiro128/xoshiro256 variants produce
+# BIT-EXACT output of the published sequential algorithms (SplitMix64,
+# Steele/Lea/Flood 2014; xoroshiro128++ rotations 49/21/28 with the
+# rotl(s0+s1,17)+s0 scrambler; xoroshiro128+ / xoroshiro128** share
+# the 24/16/37 engine with the s0+s1 and rotl(s0*5,7)*9 scramblers;
+# xoshiro256++ / + / ** share the 256-bit shift-17 / rot-45 engine —
+# Blackman & Vigna 2019 public-domain reference code), seeded the
+# commons-rng way: a single long expands to the native long[k] seed
+# through a SplitMix64 stream (reference:
+# impl/rng/RngExpression.scala:12-141 selects the same RandomSource
+# enum names).
 #
 # Stream addressing: the WHOLE DataFrame is one sequential stream —
 # the row at monotonically_increasing_id ``mid`` consumes sequence
@@ -121,11 +129,13 @@ _GAMMA = 0x9E3779B97F4A7C15  # SplitMix64 increment (Steele et al. 2014)
 # gives disjoint per-partition blocks, the counter-addressing analogue
 # of the reference's per-partition jump() (impl/rng/Jumpable.scala).
 #
-# Random access into a xoroshiro stream is done with GF(2) matrix
-# powers of the 128-bit linear engine (the ++ scrambler only touches
-# output): advance-to-position costs ~popcount(position) 128x128-bit
-# matrix applications, then each run of contiguous rows generates
-# sequentially.  SplitMix64 is counter-based, so it vectorizes fully.
+# Random access into a xoroshiro/xoshiro stream is done with GF(2)
+# matrix powers of the linear state engine (the scramblers — even the
+# multiplicative ** ones — only touch OUTPUT, never state, so state
+# evolution stays linear): advance-to-position costs
+# ~popcount(position) bit-matrix applications, then each run of
+# contiguous rows generates sequentially.  SplitMix64 is counter-based,
+# so it vectorizes fully.
 # ---------------------------------------------------------------------------
 
 
@@ -149,23 +159,77 @@ def _rotl(x: int, k: int) -> int:
     return ((x << k) | (x >> (64 - k))) & _M64
 
 
-def _xrsr_seed_state(seed: int) -> tuple[int, int]:
-    s = _splitmix64_at(seed, np.arange(2, dtype=np.uint64))
-    s0, s1 = int(s[0]), int(s[1])
-    if s0 == 0 and s1 == 0:  # xoroshiro's one forbidden state
-        s0 = _GAMMA
-    return s0, s1
+# --- linear engines: state tuple -> state tuple -------------------------
 
 
-def _xrsr_step(s0: int, s1: int) -> tuple[int, int]:
+def _step_xrsr128pp(s: tuple) -> tuple:
+    """xoroshiro128++ engine (rotations 49/21/28)."""
+    s0, s1 = s
     s1 ^= s0
     s0 = _rotl(s0, 49) ^ s1 ^ ((s1 << 21) & _M64)
     s1 = _rotl(s1, 28)
-    return s0, s1
+    return (s0, s1)
 
 
-def _xrsr_out(s0: int, s1: int) -> int:
-    return (_rotl((s0 + s1) & _M64, 17) + s0) & _M64
+def _step_xrsr128(s: tuple) -> tuple:
+    """xoroshiro128+ / xoroshiro128** engine (rotations 24/16/37)."""
+    s0, s1 = s
+    s1 ^= s0
+    s0 = _rotl(s0, 24) ^ s1 ^ ((s1 << 16) & _M64)
+    s1 = _rotl(s1, 37)
+    return (s0, s1)
+
+
+def _step_xshiro256(s: tuple) -> tuple:
+    """xoshiro256 engine shared by ++ / + / ** (shift 17, rot 45)."""
+    s0, s1, s2, s3 = s
+    t = (s1 << 17) & _M64
+    s2 ^= s0
+    s3 ^= s1
+    s1 ^= s2
+    s0 ^= s3
+    s2 ^= t
+    s3 = _rotl(s3, 45)
+    return (s0, s1, s2, s3)
+
+
+#: algo name -> (engine step fn, state words, output scrambler).  The
+#: scrambler reads the CURRENT state (output-then-step, as in the
+#: published C reference code).
+_EXACT_ENGINES: dict = {
+    "XO_RO_SHI_RO_128_PP": (
+        _step_xrsr128pp, 2,
+        lambda s: (_rotl((s[0] + s[1]) & _M64, 17) + s[0]) & _M64,
+    ),
+    "XO_RO_SHI_RO_128_PLUS": (
+        _step_xrsr128, 2,
+        lambda s: (s[0] + s[1]) & _M64,
+    ),
+    "XO_RO_SHI_RO_128_SS": (
+        _step_xrsr128, 2,
+        lambda s: (_rotl((s[0] * 5) & _M64, 7) * 9) & _M64,
+    ),
+    "XO_SHI_RO_256_PP": (
+        _step_xshiro256, 4,
+        lambda s: (_rotl((s[0] + s[3]) & _M64, 23) + s[0]) & _M64,
+    ),
+    "XO_SHI_RO_256_PLUS": (
+        _step_xshiro256, 4,
+        lambda s: (s[0] + s[3]) & _M64,
+    ),
+    "XO_SHI_RO_256_SS": (
+        _step_xshiro256, 4,
+        lambda s: (_rotl((s[1] * 5) & _M64, 7) * 9) & _M64,
+    ),
+}
+
+
+def _seed_state(seed: int, k: int) -> tuple:
+    """commons-rng seeding: single long -> long[k] via SplitMix64."""
+    s = [int(v) for v in _splitmix64_at(seed, np.arange(k, dtype=np.uint64))]
+    if all(v == 0 for v in s):  # the one forbidden all-zero state
+        s[0] = _GAMMA
+    return tuple(s)
 
 
 def _mat_apply(cols: list, x: int) -> int:
@@ -177,48 +241,58 @@ def _mat_apply(cols: list, x: int) -> int:
     return r
 
 
-def _xrsr_powers() -> list:
-    """[k] = the 2^k-step transition of the xoroshiro128 linear engine
-    as 128 basis-vector images (state packed s0 | s1<<64). Built once,
-    ~100 bigint-matrix squarings."""
-    cols = []
-    for i in range(128):
-        s0, s1 = (1 << i) & _M64, (1 << i) >> 64
-        s0, s1 = _xrsr_step(s0, s1)
-        cols.append(s0 | (s1 << 64))
+def _pack(s: tuple) -> int:
+    r = 0
+    for i, w in enumerate(s):
+        r |= w << (64 * i)
+    return r
+
+
+def _unpack(x: int, k: int) -> tuple:
+    return tuple((x >> (64 * i)) & _M64 for i in range(k))
+
+
+def _build_powers(step, k: int) -> list:
+    """[j] = the 2^j-step transition of a 64k-bit linear engine as 64k
+    basis-vector images (state words packed little-endian).  70 levels
+    cover positions < 2^70 — mids are (pid<<33)|row with pid < 2^31,
+    times nwords <= 8, so max position < 2^67.  Built once per engine
+    (~0.1 s for 128-bit, ~0.3 s for 256-bit), cached below."""
+    nbits = 64 * k
+    cols = [_pack(step(_unpack(1 << i, k))) for i in range(nbits)]
     powers = [cols]
-    for _ in range(100):  # covers positions < 2^101 (pid 31b + pos 33b + words)
+    for _ in range(69):
         prev = powers[-1]
         powers.append([_mat_apply(prev, c) for c in prev])
     return powers
 
 
-_XRSR_POWERS: list | None = None
+_POWER_CACHE: dict = {}  # id(step fn) -> powers
 
 
-def _xrsr_advance(s0: int, s1: int, n: int) -> tuple[int, int]:
-    global _XRSR_POWERS
-    if _XRSR_POWERS is None:
-        _XRSR_POWERS = _xrsr_powers()
-    state = s0 | (s1 << 64)
-    k = 0
+def _advance(step, k: int, s: tuple, n: int) -> tuple:
+    powers = _POWER_CACHE.get(id(step))
+    if powers is None:
+        powers = _POWER_CACHE[id(step)] = _build_powers(step, k)
+    state = _pack(s)
+    lvl = 0
     while n:
         if n & 1:
-            state = _mat_apply(_XRSR_POWERS[k], state)
+            state = _mat_apply(powers[lvl], state)
         n >>= 1
-        k += 1
-    return state & _M64, state >> 64
+        lvl += 1
+    return _unpack(state, k)
 
 
-def _xrsr_run(seed: int, start_pos: int, count: int) -> np.ndarray:
-    """``count`` sequential xoroshiro128++ outputs beginning at
-    0-based sequence position ``start_pos``."""
-    s0, s1 = _xrsr_seed_state(seed)
-    s0, s1 = _xrsr_advance(s0, s1, start_pos)
+def _engine_run(algo: str, seed: int, start_pos: int, count: int) -> np.ndarray:
+    """``count`` sequential outputs of ``algo`` beginning at 0-based
+    sequence position ``start_pos``."""
+    step, k, out_fn = _EXACT_ENGINES[algo]
+    s = _advance(step, k, _seed_state(seed, k), start_pos)
     out = np.empty(count, np.uint64)
     for j in range(count):
-        out[j] = _xrsr_out(s0, s1)
-        s0, s1 = _xrsr_step(s0, s1)
+        out[j] = out_fn(s)
+        s = step(s)
     return out
 
 
@@ -231,13 +305,12 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
     if algo == "SPLIT_MIX_64":
         pos = mids[:, None] * np.uint64(nwords) + np.arange(nwords, dtype=np.uint64)
         return _splitmix64_at(seed, pos)
-    assert algo == "XO_RO_SHI_RO_128_PP"
     out = np.empty((n, nwords), np.uint64)
     start = 0
     for i in range(1, n + 1):
         if i == n or int(mids[i]) != int(mids[i - 1]) + 1:
             cnt = i - start
-            run = _xrsr_run(seed, int(mids[start]) * nwords, cnt * nwords)
+            run = _engine_run(algo, seed, int(mids[start]) * nwords, cnt * nwords)
             out[start:i] = run.reshape(cnt, nwords)
             start = i
     return out
@@ -246,8 +319,8 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
 #: algo-id -> name for the bit-exact families; everything else stays on
 #: the Philox counter streams below.
 EXACT_RNG_ALGOS = {
-    SUPPORTED_RNG_ALGOS["SPLIT_MIX_64"]: "SPLIT_MIX_64",
-    SUPPORTED_RNG_ALGOS["XO_RO_SHI_RO_128_PP"]: "XO_RO_SHI_RO_128_PP",
+    SUPPORTED_RNG_ALGOS[name]: name
+    for name in ("SPLIT_MIX_64", *_EXACT_ENGINES)
 }
 
 
@@ -263,9 +336,10 @@ def rng_algo_id(algo: str) -> int:
 
 def rng_draws(algo_id: int, seed: int, mids: np.ndarray, nwords: int) -> np.ndarray:
     """uint64 draws (len(mids), nwords), row-addressable: row i's words
-    depend only on (algo_id, seed, mids[i]). SPLIT_MIX_64 and
-    XO_RO_SHI_RO_128_PP dispatch to the bit-exact published algorithms;
-    the rest are distinct Philox-keyed streams."""
+    depend only on (algo_id, seed, mids[i]). SPLIT_MIX_64 and the
+    xoroshiro128 / xoshiro256 families dispatch to the bit-exact
+    published algorithms; the rest are distinct Philox-keyed
+    streams."""
     exact = EXACT_RNG_ALGOS.get(algo_id)
     if exact is not None:
         return exact_rng_draws(exact, seed, mids, nwords)

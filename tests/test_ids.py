@@ -163,9 +163,11 @@ def test_rng_batch_split_invariance():
 
 
 def test_exact_rng_bit_parity():
-    # SPLIT_MIX_64 / XO_RO_SHI_RO_128_PP must emit the published
-    # sequential streams (independent plain-python loops as reference),
-    # under run-splitting, non-contiguous access, and partition offsets
+    # SPLIT_MIX_64 and the xoroshiro128 / xoshiro256 families must emit
+    # the published sequential streams (independent plain-python loops
+    # as reference — no shared code with the numpy/GF(2) production
+    # path), under run-splitting, non-contiguous access, and partition
+    # offsets
     import numpy as np
 
     from quality_spark.functions.pyrng import SUPPORTED_RNG_ALGOS, rng_draws
@@ -197,10 +199,56 @@ def test_exact_rng_bit_parity():
             s1 = rotl(s1, 28)
         return out
 
+    def xrsr128_family(out_of):
+        # xoroshiro128+ / xoroshiro128** share the 24/16/37 engine
+        def stream(seed, count):
+            s0, s1 = sm_stream(seed, 2)
+            out = []
+            for _ in range(count):
+                out.append(out_of(s0, s1))
+                s1 ^= s0
+                s0 = rotl(s0, 24) ^ s1 ^ ((s1 << 16) & m)
+                s1 = rotl(s1, 37)
+            return out
+
+        return stream
+
+    def xshiro256_family(out_of):
+        # xoshiro256++ / + / ** share the shift-17 / rot-45 engine
+        def stream(seed, count):
+            s = sm_stream(seed, 4)
+            out = []
+            for _ in range(count):
+                out.append(out_of(s))
+                t = (s[1] << 17) & m
+                s[2] ^= s[0]
+                s[3] ^= s[1]
+                s[1] ^= s[2]
+                s[0] ^= s[3]
+                s[2] ^= t
+                s[3] = rotl(s[3], 45)
+            return out
+
+        return stream
+
     mids = np.arange(0, 40, dtype=np.int64)
     for name, ref_stream in (
         ("SPLIT_MIX_64", sm_stream),
         ("XO_RO_SHI_RO_128_PP", xrsr_stream),
+        ("XO_RO_SHI_RO_128_PLUS", xrsr128_family(lambda s0, s1: (s0 + s1) & m)),
+        (
+            "XO_RO_SHI_RO_128_SS",
+            xrsr128_family(lambda s0, s1: (rotl((s0 * 5) & m, 7) * 9) & m),
+        ),
+        (
+            "XO_SHI_RO_256_PP",
+            xshiro256_family(lambda s: (rotl((s[0] + s[3]) & m, 23) + s[0]) & m),
+        ),
+        ("XO_SHI_RO_256_PLUS", xshiro256_family(lambda s: (s[0] + s[3]) & m)),
+        (
+            "XO_SHI_RO_256_SS",
+            xshiro256_family(lambda s: (rotl((s[1] * 5) & m, 7) * 9) & m),
+        ),
     ):
         aid = SUPPORTED_RNG_ALGOS[name]
         whole = rng_draws(aid, 42, mids, 2)
