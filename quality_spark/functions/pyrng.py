@@ -252,28 +252,31 @@ def _unpack(x: int, k: int) -> tuple:
     return tuple((x >> (64 * i)) & _M64 for i in range(k))
 
 
-def _build_powers(step, k: int) -> list:
-    """[j] = the 2^j-step transition of a 64k-bit linear engine as 64k
-    basis-vector images (state words packed little-endian).  70 levels
-    cover positions < 2^70 — mids are (pid<<33)|row with pid < 2^31,
-    times nwords <= 8, so max position < 2^67.  Built once per engine
-    (~0.1 s for 128-bit, ~0.3 s for 256-bit), cached below."""
-    nbits = 64 * k
-    cols = [_pack(step(_unpack(1 << i, k))) for i in range(nbits)]
-    powers = [cols]
-    for _ in range(69):
+_POWER_CACHE: dict = {}  # id(step fn) -> [level-j transition matrices]
+
+
+def _powers_to(step, k: int, lvl: int) -> list:
+    """Transition matrices of the 64k-bit linear engine for steps 2^0
+    .. 2^lvl, as 64k basis-vector images (state words packed
+    little-endian), extended LAZILY: a single-partition frame advances
+    from position ~0 and needs no high levels, so Python-worker startup
+    only pays for the bits actually set in the requested position
+    (mids are (pid<<33)|row with pid < 2^31, times nwords <= 8, so
+    max level ever needed is ~67)."""
+    powers = _POWER_CACHE.setdefault(id(step), [])
+    if not powers:
+        nbits = 64 * k
+        powers.append([_pack(step(_unpack(1 << i, k))) for i in range(nbits)])
+    while len(powers) <= lvl:
         prev = powers[-1]
         powers.append([_mat_apply(prev, c) for c in prev])
     return powers
 
 
-_POWER_CACHE: dict = {}  # id(step fn) -> powers
-
-
 def _advance(step, k: int, s: tuple, n: int) -> tuple:
-    powers = _POWER_CACHE.get(id(step))
-    if powers is None:
-        powers = _POWER_CACHE[id(step)] = _build_powers(step, k)
+    if n == 0:
+        return s
+    powers = _powers_to(step, k, n.bit_length() - 1)
     state = _pack(s)
     lvl = 0
     while n:
