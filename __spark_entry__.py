@@ -3658,13 +3658,93 @@ def _oracle_rng_parity() -> str:
     return f"SELECT {sel} FROM (VALUES {rows}) AS t({', '.join(cols)})"
 
 
+def q_lambda_id_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate rows for the remaining tests-only §2 surface (VERDICT
+    r03 coverage rows 10/33/57/58): ``integrate_lambdas`` attaching a
+    global lambda library to a suite serialized without one, placeholder
+    partial application inside a Spark higher-order function,
+    ``callFun`` / ``_lambda_`` application, and the id-equality macros
+    (``id_equal`` / ``long_pair_equal`` / ``prefixed_to_long_pair``).
+    All arithmetic mirrors 1:1 into the DuckDB oracle."""
+    from quality_spark.functions.lambdas import LambdaRegistry, expand_sql
+    from quality_spark.model import LambdaFunction
+    from quality_spark.sources.serializing import (
+        GLOBAL_LIBRARY_ID,
+        integrate_lambdas,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+
+    # integrate_lambdas: the suite is built WITHOUT lambdas; the global
+    # library supplies addup() and the rule text then compiles
+    suite = rule_suite(
+        (60, 1), [((1, 1), [((1, 1), "addup(c_acctbal, 100.0D) > 0.0D")])]
+    )
+    addup = LambdaFunction("addup", "(a, b) -> a + b", Id(51, 1))
+    integrated = integrate_lambdas(
+        {suite.id: suite},
+        {GLOBAL_LIBRARY_ID: [addup]},
+        global_library=GLOBAL_LIBRARY_ID,
+    )[suite.id]
+    dq = add_data_quality(cust, integrated)
+
+    reg = LambdaRegistry().register_all([addup])
+    agg = expand_sql(
+        "aggregate(array(c_acctbal, 10.0D), 0.0D, "
+        "addup(_('DOUBLE'), _('DOUBLE')))",
+        reg,
+    )
+    cf = expand_sql("callFun(_lambda_(addup), c_acctbal, 1.0D)", reg)
+    ideq = expand_sql(
+        "id_equal(named_struct('base', c_custkey, 'i0', 0L, 'i1', 1L), "
+        "named_struct('base', c_custkey, 'i0', 0L, 'i1', "
+        "CAST(c_nationkey AS BIGINT)))"
+    )
+    lpe = expand_sql(
+        "long_pair_equal("
+        "named_struct('lower', c_custkey, 'higher', 1L), "
+        "named_struct('lower', c_custkey, 'higher', "
+        "CAST(c_nationkey AS BIGINT)))"
+    )
+    plp = expand_sql(
+        "prefixed_to_long_pair('c', named_struct('c_base', 0L, "
+        "'c_i0', c_custkey, 'c_i1', CAST(c_nationkey AS BIGINT)))"
+    )
+    return dq.select(
+        "c_custkey",
+        F.when(F.col("DQ.overallResult") == PASSED_INT, 1)
+        .otherwise(0).cast("int").alias("lam_pass"),
+        F.expr(agg).alias("agg_val"),
+        F.expr(cf).alias("cf_val"),
+        F.expr(ideq).cast("int").alias("id_eq"),
+        F.expr(lpe).cast("int").alias("lp_eq"),
+        F.expr(plp)["lower"].alias("plp_lower"),
+        F.expr(plp)["higher"].alias("plp_higher"),
+    )
+
+
+def _oracle_lambda_id_surface() -> str:
+    return (
+        "SELECT c_custkey, "
+        "CAST(CASE WHEN (c_acctbal + 100.0) > 0.0 THEN 1 ELSE 0 END AS INTEGER) AS lam_pass, "
+        # aggregate fold: (0.0 + c_acctbal) + 10.0
+        "(0.0 + c_acctbal) + 10.0 AS agg_val, "
+        "c_acctbal + 1.0 AS cf_val, "
+        "CAST(CASE WHEN CAST(c_nationkey AS BIGINT) = 1 THEN 1 ELSE 0 END AS INTEGER) AS id_eq, "
+        "CAST(CASE WHEN CAST(c_nationkey AS BIGINT) = 1 THEN 1 ELSE 0 END AS INTEGER) AS lp_eq, "
+        "c_custkey AS plp_lower, "
+        "CAST(c_nationkey AS BIGINT) AS plp_higher "
+        "FROM customer"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 gate queries covering every SURVEY §2 and LLM-pipeline
+    """50 gate queries covering every SURVEY §2 and LLM-pipeline
     operator — all inside the driver's 50-entry correctness window
     (consolidated in round 4; the r03 single-operator queries survive
     as the building blocks the composites call)."""
@@ -3723,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_scores": q_tfidf_scores,
         "corpus_io": q_corpus_io,
         "media_features": q_media_features,
+        "lambda_id_surface": q_lambda_id_surface,
     }
 
 
@@ -3777,4 +3858,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_scores": _oracle_tfidf_scores(),
         "corpus_io": _oracle_corpus_io(),
         "media_features": _oracle_media_features(),
+        "lambda_id_surface": _oracle_lambda_id_surface(),
     }

@@ -144,9 +144,14 @@ def expand_sql(
 
     def expander(name: str, args: Tuple[str, ...]) -> Optional[str]:
         if name == "callfun":
-            # defer until the target argument itself is fully expanded
+            # defer until the target argument itself is fully expanded —
+            # it may contain registered-lambda calls OR a _lambda_(name)
+            # wrapper (bare names are identifiers, not calls, so the
+            # registered-call scan alone would miss them)
             target = args[0].strip() if args else ""
             if registry is not None and _contains_registered_call(target, registry):
+                return None
+            if _contains_call(target, "_lambda_"):
                 return None
             return _expand_call_fun(args)
         if name == "_lambda_":
@@ -180,3 +185,10 @@ def _contains_registered_call(text: str, registry: LambdaRegistry) -> bool:
     from ..expr import find_calls, tokenize
 
     return bool(find_calls(tokenize(text), registry.has))
+
+
+def _contains_call(text: str, fn_name: str) -> bool:
+    from ..expr import find_calls, tokenize
+
+    want = fn_name.lower()
+    return bool(find_calls(tokenize(text), lambda n: n.lower() == want))

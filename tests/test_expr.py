@@ -117,6 +117,19 @@ def test_call_fun_applies_lambda():
     assert out.replace(" ", "") == "(((40)+(2)))"
 
 
+def test_call_fun_applies_bare_lambda_wrapper():
+    # callFun(_lambda_(name), args…) — the bare name is an identifier,
+    # not a call, so callFun must defer until _lambda_ has wrapped it
+    # into a literal (RuleRegistrationFunctions.scala:230-238 surface)
+    reg = LambdaRegistry().register_all(
+        [LambdaFunction("add", "(a, b) -> a + b", Id(1, 1))]
+    )
+    out = expand_sql("callFun(_lambda_(add), x, 2)", reg)
+    assert out.replace(" ", "") == "(((x)+(2)))"
+    out = expand_sql("callFun(_lambda_(add(_(), _())), x, 2)", reg)
+    assert out.replace(" ", "") == "(((x)+(2)))"
+
+
 def test_soft_fail_macro_shape():
     out = expand_sql("soft_fail(l_tax < 0.05)")
     assert "CAST((l_tax < 0.05) AS DOUBLE)" in out
