@@ -3541,8 +3541,11 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """commons-rng bit parity (VERDICT r03 #3, widened in round 4):
     rng('ALGO', seed) for SPLIT_MIX_64, XO_RO_SHI_RO_128_PP, and one
     representative of each new bit-exact engine family — the 24/16/37
-    xoroshiro128 engine (XO_RO_SHI_RO_128_SS) and the 256-bit xoshiro
-    engine (XO_SHI_RO_256_PP) — on a single-partition range, where row
+    xoroshiro128 engine (XO_RO_SHI_RO_128_SS), the 256-bit xoshiro
+    engine (XO_SHI_RO_256_PP), and JDK (java.util.Random's normative
+    LCG; python path additionally pinned against vectors produced by
+    running the real JVM — tests/test_ids.py) — on a
+    single-partition range, where row
     ids ARE sequence positions: the distributed pandas-UDF output must
     equal the first 2n outputs of the published sequential algorithms
     (SplitMix64, Steele/Lea/Flood 2014; xoroshiro128++/**, xoshiro256++,
@@ -3558,6 +3561,7 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.expr(expand_sql("rng('SPLIT_MIX_64', 7)"))
     ss = F.expr(expand_sql("rng('XO_RO_SHI_RO_128_SS', 99)"))
     q = F.expr(expand_sql("rng('XO_SHI_RO_256_PP', 13)"))
+    j = F.expr(expand_sql("rng('JDK', 42)"))
     return df.select(
         F.col("id").cast("bigint").alias("id"),
         x["lower"].alias("xrsr_lo"),
@@ -3568,6 +3572,8 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss["higher"].alias("xrss_hi"),
         q["lower"].alias("x256_lo"),
         q["higher"].alias("x256_hi"),
+        j["lower"].alias("jdk_lo"),
+        j["higher"].alias("jdk_hi"),
     )
 
 
@@ -3626,6 +3632,20 @@ def _rng_parity_reference(n: int) -> list:
             s[3] = rotl(s[3], 45)
         return out
 
+    def jdk_stream(seed: int, count: int) -> list:
+        # java.util.Random, normative javadoc algorithm
+        st = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+        out = []
+        for _ in range(count):
+            st = (st * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+            hi = st >> 16
+            st = (st * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+            lo = st >> 16
+            if lo >= (1 << 31):
+                lo -= 1 << 32
+            out.append(((hi << 32) + lo) & m)
+        return out
+
     def sgn(v: int) -> int:  # uint64 -> java long
         return v - (1 << 64) if v >= (1 << 63) else v
 
@@ -3633,6 +3653,7 @@ def _rng_parity_reference(n: int) -> list:
     s = sm_stream(7, 2 * n)
     ss = xrss_stream(99, 2 * n)
     q = x256_stream(13, 2 * n)
+    j = jdk_stream(42, 2 * n)
     return [
         (
             i,
@@ -3640,6 +3661,7 @@ def _rng_parity_reference(n: int) -> list:
             sgn(s[2 * i]), sgn(s[2 * i + 1]),
             sgn(ss[2 * i]), sgn(ss[2 * i + 1]),
             sgn(q[2 * i]), sgn(q[2 * i + 1]),
+            sgn(j[2 * i]), sgn(j[2 * i + 1]),
         )
         for i in range(n)
     ]
@@ -3653,6 +3675,7 @@ def _oracle_rng_parity() -> str:
     cols = [
         "id", "xrsr_lo", "xrsr_hi", "sm_lo", "sm_hi",
         "xrss_lo", "xrss_hi", "x256_lo", "x256_hi",
+        "jdk_lo", "jdk_hi",
     ]
     sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
     return f"SELECT {sel} FROM (VALUES {rows}) AS t({', '.join(cols)})"

@@ -5,8 +5,9 @@ RuleRegistrationFunctions.scala:346-376): ``rng('ALGO'[, seed])``
 selects a commons-rng RandomSource; jumpable sources branch a
 per-partition stream.  Two honesty notes, both load-bearing:
 
-- ``SPLIT_MIX_64``, the ``XO_RO_SHI_RO_128`` family (``_PP``,
-  ``_PLUS``, ``_SS``) and the ``XO_SHI_RO_256`` family (``_PP``,
+- ``SPLIT_MIX_64``, ``JDK`` (java.util.Random, normative javadoc
+  algorithm), the ``XO_RO_SHI_RO_128`` family (``_PP``, ``_PLUS``,
+  ``_SS``) and the ``XO_SHI_RO_256`` family (``_PP``,
   ``_PLUS``, ``_SS``) are BIT-EXACT implementations of the published
   algorithms with the commons-rng single-long seeding convention (see
   the exact-stream section below; gated by the ``rng_parity`` query
@@ -224,6 +225,49 @@ _EXACT_ENGINES: dict = {
 }
 
 
+# --- JDK (java.util.Random) — affine LCG, spec-exact ---------------------
+#
+# The j.u.Random algorithm is normative in its javadoc: 48-bit state,
+# seed scramble ``(seed ^ 0x5DEECE66D) & (2^48-1)``, step
+# ``state = (state * 0x5DEECE66D + 0xB) mod 2^48``, ``next(32)`` =
+# signed high 32 bits, ``nextLong()`` = ``(next(32) << 32) + next(32)``
+# (the low word is SIGN-EXTENDED and ADDED, not OR'd).  One uint64 word
+# consumes two LCG steps; random access composes the affine map by
+# square-and-multiply (x -> a·x + c over 2^48).
+
+_JDK_MULT = 0x5DEECE66D
+_JDK_ADD = 0xB
+_JDK_MASK = (1 << 48) - 1
+
+
+def _jdk_advance(state: int, n: int) -> int:
+    a, c = _JDK_MULT, _JDK_ADD
+    ra, rc = 1, 0  # identity affine map
+    while n:
+        if n & 1:
+            # apply (a, c) after (ra, rc): x -> a(ra·x + rc) + c
+            ra, rc = (a * ra) & _JDK_MASK, (a * rc + c) & _JDK_MASK
+        a, c = (a * a) & _JDK_MASK, (a * c + c) & _JDK_MASK
+        n >>= 1
+    return (ra * state + rc) & _JDK_MASK
+
+
+def _jdk_run(seed: int, start_pos: int, count: int) -> np.ndarray:
+    """``count`` sequential ``nextLong`` outputs of ``new Random(seed)``
+    beginning at 0-based output position ``start_pos``."""
+    state = ((seed & _M64) ^ _JDK_MULT) & _JDK_MASK
+    state = _jdk_advance(state, 2 * start_pos)
+    out = np.empty(count, np.uint64)
+    for j in range(count):
+        state = (state * _JDK_MULT + _JDK_ADD) & _JDK_MASK
+        hi = state >> 16  # next(32), as unsigned bits
+        state = (state * _JDK_MULT + _JDK_ADD) & _JDK_MASK
+        lo = state >> 16
+        lo_signed = lo - (1 << 32) if lo >= (1 << 31) else lo
+        out[j] = ((hi << 32) + lo_signed) & _M64
+    return out
+
+
 def _seed_state(seed: int, k: int) -> tuple:
     """commons-rng seeding: single long -> long[k] via SplitMix64."""
     s = [int(v) for v in _splitmix64_at(seed, np.arange(k, dtype=np.uint64))]
@@ -308,12 +352,17 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
     if algo == "SPLIT_MIX_64":
         pos = mids[:, None] * np.uint64(nwords) + np.arange(nwords, dtype=np.uint64)
         return _splitmix64_at(seed, pos)
+    run_fn = (
+        (lambda s, p, c: _jdk_run(s, p, c))
+        if algo == "JDK"
+        else (lambda s, p, c: _engine_run(algo, s, p, c))
+    )
     out = np.empty((n, nwords), np.uint64)
     start = 0
     for i in range(1, n + 1):
         if i == n or int(mids[i]) != int(mids[i - 1]) + 1:
             cnt = i - start
-            run = _engine_run(algo, seed, int(mids[start]) * nwords, cnt * nwords)
+            run = run_fn(seed, int(mids[start]) * nwords, cnt * nwords)
             out[start:i] = run.reshape(cnt, nwords)
             start = i
     return out
@@ -323,7 +372,7 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
 #: the Philox counter streams below.
 EXACT_RNG_ALGOS = {
     SUPPORTED_RNG_ALGOS[name]: name
-    for name in ("SPLIT_MIX_64", *_EXACT_ENGINES)
+    for name in ("SPLIT_MIX_64", "JDK", *_EXACT_ENGINES)
 }
 
 

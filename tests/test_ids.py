@@ -231,9 +231,25 @@ def test_exact_rng_bit_parity():
 
         return stream
 
+    def jdk_stream(seed, count):
+        # java.util.Random per its normative javadoc: 48-bit LCG,
+        # nextLong = (next(32) << 32) + sign-extended next(32)
+        st = (seed ^ 0x5DEECE66D) & ((1 << 48) - 1)
+        out = []
+        for _ in range(count):
+            st = (st * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+            hi = st >> 16
+            st = (st * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+            lo = st >> 16
+            if lo >= (1 << 31):
+                lo -= 1 << 32
+            out.append(((hi << 32) + lo) & m)
+        return out
+
     mids = np.arange(0, 40, dtype=np.int64)
     for name, ref_stream in (
         ("SPLIT_MIX_64", sm_stream),
+        ("JDK", jdk_stream),
         ("XO_RO_SHI_RO_128_PP", xrsr_stream),
         ("XO_RO_SHI_RO_128_PLUS", xrsr128_family(lambda s0, s1: (s0 + s1) & m)),
         (
@@ -273,6 +289,37 @@ def test_exact_rng_bit_parity():
         a = rng_draws(aid, 42, np.array([pmid], np.int64), 2)
         b = rng_draws(aid, 42, np.array([pmid - 1, pmid], np.int64), 2)[1]
         assert (a[0] == b).all(), name
+
+
+def test_jdk_rng_matches_real_jvm_vectors():
+    # hardcoded outputs of `new java.util.Random(seed).nextLong()` x8,
+    # produced by running javac/java 17 directly — an external
+    # reference no python-side defect can correlate with
+    import numpy as np
+
+    from quality_spark.functions.pyrng import _jdk_run
+
+    vecs = {
+        0: [-4962768465676381896, 4437113781045784766, -6688467811848818630,
+            -8292973307042192125, -7423979211207825555, 6146794652083548235,
+            7105486291024734541, -279624296851435688],
+        42: [-5025562857975149833, -5843495416241995736, 5694868678511409995,
+             5111195811822994797, -6169532649852302182, -1782466964123969572,
+             6802844026563419272, 5086654115216342560],
+        -1: [4961115982468162243, 226341162490527646, -6233441030884181172,
+             7681931065131779340, -3206673117535979274, -3577981259754968255,
+             1047579610836041353, 1519476466405487669],
+        123456789: [-6197403153606331135, 8429272609719263920,
+                    7203573180470058788, -1967508324443428465,
+                    -4618295442963808721, 6631287266403076995,
+                    8769074796061764348, 8987220997374458426],
+    }
+    for seed, want in vecs.items():
+        got = [int(v) for v in _jdk_run(seed, 0, 8).view(np.int64)]
+        assert got == want, seed
+        # affine-jump random access agrees with the sequential walk
+        tail = [int(v) for v in _jdk_run(seed, 5, 3).view(np.int64)]
+        assert tail == want[5:], seed
 
 
 def test_rng_bytes_seeded_num_bytes(spark):
