@@ -3402,10 +3402,53 @@ FROM ({_oracle_range_join_events()})
 """
 
 
+def q_bucketed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed corpus store (quality_spark/sources/corpus.py):
+    documents and a derived per-doc score table are written as catalog
+    tables bucketed 4-ways on doc_id, then joined via the Exchange-free
+    co-located sort-merge join (plan pinned in
+    tests/test_plans.py::test_bucketed_join_no_exchange) and aggregated
+    per lang — proving the bucketed write/read/join round-trips the
+    data exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from quality_spark.sources.corpus import bucketed_join, write_bucketed_corpus
+
+    stage = os.path.join(tempfile.gettempdir(), "qs_bucket_gate")
+    shutil.rmtree(stage, ignore_errors=True)
+    docs = _read(spark, sf_dir, "documents")
+    write_bucketed_corpus(
+        docs.select("doc_id", "lang", "text"),
+        "qs_gate_docs_b", ["doc_id"], 4,
+        sort_cols=["doc_id"], path=f"{stage}/docs",
+    )
+    write_bucketed_corpus(
+        docs.select("doc_id", F.length("text").alias("text_chars")),
+        "qs_gate_scores_b", ["doc_id"], 4,
+        sort_cols=["doc_id"], path=f"{stage}/scores",
+    )
+    j = bucketed_join(spark, "qs_gate_docs_b", "qs_gate_scores_b", ["doc_id"])
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("text_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+def _oracle_bucketed_corpus() -> str:
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+
 def q_corpus_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-I/O block: JSONL round trip + Hive-partitioned store
-    round trip with pruned readback (r03 gate queries jsonl_round_trip,
-    partitioned_corpus)."""
+    round trip with pruned readback + bucketed-table store with
+    co-located join (r03 gate queries jsonl_round_trip,
+    partitioned_corpus; bucketed store new in r04)."""
     nb = F.lit(-1).cast("bigint")
     jsonl = q_jsonl_round_trip(spark, sf_dir).select(
         F.lit("jsonl").alias("part"),
@@ -3423,7 +3466,16 @@ def q_corpus_io(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_chars").alias("v2"),
         F.col("text_hash_sum").alias("v3"),
     )
-    return jsonl.unionByName(store)
+    bucket = q_bucketed_corpus(spark, sf_dir).select(
+        F.lit("bucket").alias("part"),
+        F.lit(-1).cast("bigint").alias("doc_id"),
+        F.col("lang").alias("s1"),
+        F.lit("").alias("s2"),
+        F.col("n_docs").alias("v1"),
+        F.col("sum_chars").alias("v2"),
+        nb.alias("v3"),
+    )
+    return jsonl.unionByName(store).unionByName(bucket)
 
 
 def _oracle_corpus_io() -> str:
@@ -3436,6 +3488,10 @@ UNION ALL
 SELECT 'store', CAST(-1 AS BIGINT), lang, source,
        n_docs, sum_chars, text_hash_sum
 FROM ({_oracle_partitioned_corpus()})
+UNION ALL
+SELECT 'bucket', CAST(-1 AS BIGINT), lang, '',
+       n_docs, sum_chars, CAST(-1 AS BIGINT)
+FROM ({_oracle_bucketed_corpus()})
 """
 
 

@@ -250,3 +250,41 @@ def test_mode_matrix_curation_identical(spark, sf_dir):
         spark.conf.set("spark.sql.codegen.wholeStage", old)
     assert compiled == interpreted
     assert all(len(v) > 0 for v in compiled.values())
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path_factory):
+    """Two tables bucketed identically on the join key must
+    sort-merge-join with NO Exchange on either side — the co-located
+    join that makes repeated doc_id joins shuffle-free at 100 TB."""
+    from quality_spark.sources.corpus import bucketed_join, write_bucketed_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    write_bucketed_corpus(
+        docs.select("doc_id", "text"),
+        "qb_left", ["doc_id"], 4, sort_cols=["doc_id"], path=f"{base}/left",
+    )
+    write_bucketed_corpus(
+        docs.select("doc_id", F.length("text").alias("n_chars")),
+        "qb_right", ["doc_id"], 4, sort_cols=["doc_id"], path=f"{base}/right",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "qb_left", "qb_right", ["doc_id"])
+        plan = _plan(j, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == docs.count()
+        # write discipline: repartition-before-bucketBy => ONE data
+        # file per bucket, not tasks x buckets
+        import glob
+
+        files = [
+            f for f in glob.glob(f"{base}/left/*") if f.rsplit("/", 1)[-1][0] != "_"
+        ]
+        assert len(files) == 4, files
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS qb_left")
+        spark.sql("DROP TABLE IF EXISTS qb_right")
