@@ -3598,9 +3598,11 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng('ALGO', seed) for SPLIT_MIX_64, XO_RO_SHI_RO_128_PP, and one
     representative of each new bit-exact engine family — the 24/16/37
     xoroshiro128 engine (XO_RO_SHI_RO_128_SS), the 256-bit xoshiro
-    engine (XO_SHI_RO_256_PP), and JDK (java.util.Random's normative
+    engine (XO_SHI_RO_256_PP), JDK (java.util.Random's normative
     LCG; python path additionally pinned against vectors produced by
-    running the real JVM — tests/test_ids.py) — on a
+    running the real JVM — tests/test_ids.py), and the PCG affine
+    engines (PCG_XSH_RR_32 — additionally pinned against the published
+    pcg32 demo vectors — and the 64-bit-output PCG_RXS_M_XS_64) — on a
     single-partition range, where row
     ids ARE sequence positions: the distributed pandas-UDF output must
     equal the first 2n outputs of the published sequential algorithms
@@ -3618,6 +3620,8 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = F.expr(expand_sql("rng('XO_RO_SHI_RO_128_SS', 99)"))
     q = F.expr(expand_sql("rng('XO_SHI_RO_256_PP', 13)"))
     j = F.expr(expand_sql("rng('JDK', 42)"))
+    p = F.expr(expand_sql("rng('PCG_XSH_RR_32', 42)"))
+    pr = F.expr(expand_sql("rng('PCG_RXS_M_XS_64', 5)"))
     return df.select(
         F.col("id").cast("bigint").alias("id"),
         x["lower"].alias("xrsr_lo"),
@@ -3630,6 +3634,10 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         q["higher"].alias("x256_hi"),
         j["lower"].alias("jdk_lo"),
         j["higher"].alias("jdk_hi"),
+        p["lower"].alias("pcg_lo"),
+        p["higher"].alias("pcg_hi"),
+        pr["lower"].alias("pcgr_lo"),
+        pr["higher"].alias("pcgr_hi"),
     )
 
 
@@ -3705,11 +3713,37 @@ def _rng_parity_reference(n: int) -> list:
     def sgn(v: int) -> int:  # uint64 -> java long
         return v - (1 << 64) if v >= (1 << 63) else v
 
+    MULT = 6364136223846793005  # PCG multiplier (O'Neill 2014)
+
+    def pcg_stream(seed: int, count: int, bits: int) -> list:
+        # setseq engine + XSH-RR (32-bit) or RXS-M-XS (64-bit) output,
+        # seeded by the module convention (SplitMix64 -> state, inc)
+        # through the official pcg32_srandom step sequence
+        initstate, initseq = sm_stream(seed, 2)
+        inc = ((initseq << 1) | 1) & m
+        st = (((inc + initstate) & m) * MULT + inc) & m
+        ints = []
+        for _ in range(count * (64 // bits)):
+            if bits == 32:
+                xv = (((st >> 18) ^ st) >> 27) & 0xFFFFFFFF
+                r = st >> 59
+                ints.append(((xv >> r) | (xv << ((-r) & 31))) & 0xFFFFFFFF)
+            else:
+                xv = st ^ (st >> (5 + (st >> 59)))
+                xv = (xv * 0xAEF17502108EF2D9) & m
+                ints.append(xv ^ (xv >> 43))
+            st = (st * MULT + inc) & m
+        if bits == 64:
+            return ints
+        return [(ints[2 * i] << 32) | ints[2 * i + 1] for i in range(count)]
+
     x = xrsr_stream(42, 2 * n)
     s = sm_stream(7, 2 * n)
     ss = xrss_stream(99, 2 * n)
     q = x256_stream(13, 2 * n)
     j = jdk_stream(42, 2 * n)
+    p = pcg_stream(42, 2 * n, 32)
+    pr = pcg_stream(5, 2 * n, 64)
     return [
         (
             i,
@@ -3718,6 +3752,8 @@ def _rng_parity_reference(n: int) -> list:
             sgn(ss[2 * i]), sgn(ss[2 * i + 1]),
             sgn(q[2 * i]), sgn(q[2 * i + 1]),
             sgn(j[2 * i]), sgn(j[2 * i + 1]),
+            sgn(p[2 * i]), sgn(p[2 * i + 1]),
+            sgn(pr[2 * i]), sgn(pr[2 * i + 1]),
         )
         for i in range(n)
     ]
@@ -3731,7 +3767,7 @@ def _oracle_rng_parity() -> str:
     cols = [
         "id", "xrsr_lo", "xrsr_hi", "sm_lo", "sm_hi",
         "xrss_lo", "xrss_hi", "x256_lo", "x256_hi",
-        "jdk_lo", "jdk_hi",
+        "jdk_lo", "jdk_hi", "pcg_lo", "pcg_hi", "pcgr_lo", "pcgr_hi",
     ]
     sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
     return f"SELECT {sel} FROM (VALUES {rows}) AS t({', '.join(cols)})"

@@ -7,8 +7,11 @@ per-partition stream.  Two honesty notes, both load-bearing:
 
 - ``SPLIT_MIX_64``, ``JDK`` (java.util.Random, normative javadoc
   algorithm), the ``XO_RO_SHI_RO_128`` family (``_PP``, ``_PLUS``,
-  ``_SS``) and the ``XO_SHI_RO_256`` family (``_PP``,
-  ``_PLUS``, ``_SS``) are BIT-EXACT implementations of the published
+  ``_SS``), the ``XO_SHI_RO_256`` family (``_PP``,
+  ``_PLUS``, ``_SS``) and the PCG family (``PCG_XSH_RR_32``,
+  ``PCG_XSH_RS_32``, ``PCG_RXS_M_XS_64``, ``PCG_MCG_XSH_RR_32``,
+  ``PCG_MCG_XSH_RS_32`` — pinned against the published pcg32 demo
+  vectors) are BIT-EXACT implementations of the published
   algorithms with the commons-rng single-long seeding convention (see
   the exact-stream section below; gated by the ``rng_parity`` query
   against independently computed sequential reference vectors).
@@ -225,6 +228,105 @@ _EXACT_ENGINES: dict = {
 }
 
 
+# --- PCG family — affine 64-bit engines, spec-exact ----------------------
+#
+# PCG (O'Neill 2014, pcg-random.org; public reference code pcg32 /
+# pcg_variants.h) runs a 64-bit LCG ``state = state·M + inc`` (setseq;
+# inc odd) or a pure MCG ``state = state·M`` and scrambles the OLD
+# state into the output: XSH-RR (rotate-right of an xorshifted high
+# word by the top 5 bits), XSH-RS (random shift), or RXS-M-XS (64-bit
+# output).  Random access is O(log n): the affine map composes by
+# square-and-multiply mod 2^64 exactly like the JDK LCG below.  The
+# 32-bit-output variants pack TWO ints per uint64 word, first draw in
+# the HIGH half (the IntProvider ``nextLong`` convention — hi<<32|lo).
+#
+# Seeding follows this module's single-long convention: SplitMix64
+# expands to (initstate, initseq) and the official pcg32_srandom
+# procedure runs (state=0; step; state+=initstate; step); MCG variants
+# take one word forced odd.  The implementation is pinned by
+# tests/test_ids.py both against an independent plain-python loop AND
+# against the published pcg32 demo vectors for seed (42, 54).
+
+_PCG_MULT = 6364136223846793005  # 0x5851F42D4C957F2D
+_M32 = (1 << 32) - 1
+
+
+def _pcg_out_xsh_rr(st: int) -> int:
+    x = (((st >> 18) ^ st) >> 27) & _M32
+    rot = st >> 59
+    return ((x >> rot) | (x << ((-rot) & 31))) & _M32
+
+
+def _pcg_out_xsh_rs(st: int) -> int:
+    return (((st >> 22) ^ st) >> ((st >> 61) + 22)) & _M32
+
+
+def _pcg_out_rxs_m_xs(st: int) -> int:
+    x = st ^ (st >> (5 + (st >> 59)))
+    x = (x * 0xAEF17502108EF2D9) & _M64
+    return x ^ (x >> 43)
+
+
+#: name -> (engine mode, output fn, output bits)
+_PCG_VARIANTS = {
+    "PCG_XSH_RR_32": ("setseq", _pcg_out_xsh_rr, 32),
+    "PCG_XSH_RS_32": ("setseq", _pcg_out_xsh_rs, 32),
+    "PCG_RXS_M_XS_64": ("setseq", _pcg_out_rxs_m_xs, 64),
+    "PCG_MCG_XSH_RR_32": ("mcg", _pcg_out_xsh_rr, 32),
+    "PCG_MCG_XSH_RS_32": ("mcg", _pcg_out_xsh_rs, 32),
+}
+
+
+def _affine_advance(state: int, n: int, mult: int, inc: int, mask: int) -> int:
+    """n-step advance of x -> mult·x + inc (mod mask+1) by
+    square-and-multiply over affine maps."""
+    a, c = mult, inc
+    ra, rc = 1, 0
+    while n:
+        if n & 1:
+            ra, rc = (a * ra) & mask, (a * rc + c) & mask
+        a, c = (a * a) & mask, (a * c + c) & mask
+        n >>= 1
+    return (ra * state + rc) & mask
+
+
+def _pcg_init(algo: str, seed: int) -> Tuple[int, int]:
+    """(state, inc) after official seeding from the module's
+    SplitMix64-expanded single-long seed."""
+    mode = _PCG_VARIANTS[algo][0]
+    if mode == "setseq":
+        initstate, initseq = _seed_state(seed, 2)
+        inc = ((initseq << 1) | 1) & _M64
+        state = (inc + initstate) & _M64  # state=0; step; += initstate
+        state = (state * _PCG_MULT + inc) & _M64  # trailing step
+        return state, inc
+    (word,) = _seed_state(seed, 1)
+    return (word | 1) & _M64, 0  # MCG: odd state, no increment
+
+
+def _pcg_run(algo: str, seed: int, start_word: int, count_words: int) -> np.ndarray:
+    """``count_words`` sequential uint64 words of ``algo`` beginning at
+    0-based WORD position ``start_word`` (32-bit variants consume two
+    int outputs per word, first output in the high half)."""
+    _, out_fn, bits = _PCG_VARIANTS[algo]
+    per_word = 64 // bits
+    state, inc = _pcg_init(algo, seed)
+    state = _affine_advance(state, start_word * per_word, _PCG_MULT, inc, _M64)
+    out = np.empty(count_words, np.uint64)
+    for j in range(count_words):
+        if per_word == 1:
+            w = out_fn(state)
+            state = (state * _PCG_MULT + inc) & _M64
+        else:
+            hi = out_fn(state)
+            state = (state * _PCG_MULT + inc) & _M64
+            lo = out_fn(state)
+            state = (state * _PCG_MULT + inc) & _M64
+            w = (hi << 32) | lo
+        out[j] = w
+    return out
+
+
 # --- JDK (java.util.Random) — affine LCG, spec-exact ---------------------
 #
 # The j.u.Random algorithm is normative in its javadoc: 48-bit state,
@@ -352,11 +454,12 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
     if algo == "SPLIT_MIX_64":
         pos = mids[:, None] * np.uint64(nwords) + np.arange(nwords, dtype=np.uint64)
         return _splitmix64_at(seed, pos)
-    run_fn = (
-        (lambda s, p, c: _jdk_run(s, p, c))
-        if algo == "JDK"
-        else (lambda s, p, c: _engine_run(algo, s, p, c))
-    )
+    if algo == "JDK":
+        run_fn = _jdk_run
+    elif algo in _PCG_VARIANTS:
+        run_fn = lambda s, p, c: _pcg_run(algo, s, p, c)  # noqa: E731
+    else:
+        run_fn = lambda s, p, c: _engine_run(algo, s, p, c)  # noqa: E731
     out = np.empty((n, nwords), np.uint64)
     start = 0
     for i in range(1, n + 1):
@@ -372,7 +475,7 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
 #: the Philox counter streams below.
 EXACT_RNG_ALGOS = {
     SUPPORTED_RNG_ALGOS[name]: name
-    for name in ("SPLIT_MIX_64", "JDK", *_EXACT_ENGINES)
+    for name in ("SPLIT_MIX_64", "JDK", *_EXACT_ENGINES, *_PCG_VARIANTS)
 }
 
 

@@ -434,3 +434,105 @@ def test_null_inputs_give_null_ids_not_collisions(spark):
     assert list(a) == [None, None] and list(b) == [None, None]
     fid = _run(spark, "field_based_id('MD5', CAST(NULL AS STRING))")
     assert fid["i0"] is None and fid["i1"] is None
+
+
+def test_pcg_matches_published_demo_vectors():
+    # "Round 1" of the official pcg32-demo output for
+    # pcg32_srandom(42, 54) — an external published reference no
+    # python-side defect can correlate with (pcg-random.org sample)
+    from quality_spark.functions.pyrng import _PCG_MULT, _pcg_out_xsh_rr
+
+    m = (1 << 64) - 1
+    inc = (54 << 1) | 1
+    state = ((inc + 42) * _PCG_MULT + inc) & m  # official srandom steps
+    outs = []
+    for _ in range(6):
+        outs.append(_pcg_out_xsh_rr(state))
+        state = (state * _PCG_MULT + inc) & m
+    assert outs == [
+        0xA15C02B7, 0x7B47F409, 0xBA1D3330, 0x83D2F293, 0xBFA4784B, 0xCBED606E,
+    ]
+
+
+def test_pcg_rng_bit_parity():
+    # the five PCG variants must emit the published algorithms under
+    # the module's SplitMix64 seed expansion — independent plain-python
+    # reference loops (no shared code with the affine-skip production
+    # path), under run splitting, non-contiguous access, and O(log n)
+    # random access far into the stream
+    import numpy as np
+
+    from quality_spark.functions.pyrng import SUPPORTED_RNG_ALGOS, rng_draws
+
+    m = (1 << 64) - 1
+    m32 = (1 << 32) - 1
+    MULT = 6364136223846793005
+
+    def sm(seed, k):
+        out, st = [], seed & m
+        for _ in range(k):
+            st = (st + 0x9E3779B97F4A7C15) & m
+            z = ((st ^ (st >> 30)) * 0xBF58476D1CE4E5B9) & m
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m
+            out.append(z ^ (z >> 31))
+        return out
+
+    def xsh_rr(st):
+        x = (((st >> 18) ^ st) >> 27) & m32
+        r = st >> 59
+        return ((x >> r) | (x << ((-r) & 31))) & m32
+
+    def xsh_rs(st):
+        return (((st >> 22) ^ st) >> ((st >> 61) + 22)) & m32
+
+    def rxs_m_xs(st):
+        x = st ^ (st >> (5 + (st >> 59)))
+        x = (x * 0xAEF17502108EF2D9) & m
+        return x ^ (x >> 43)
+
+    def stream(mode, out_fn, bits):
+        def run(seed, nwords):
+            if mode == "setseq":
+                initstate, initseq = sm(seed, 2)
+                inc = ((initseq << 1) | 1) & m
+                st = (((inc + initstate) & m) * MULT + inc) & m
+            else:
+                inc = 0
+                st = sm(seed, 1)[0] | 1
+            ints = []
+            for _ in range(nwords * (64 // bits)):
+                ints.append(out_fn(st))
+                st = (st * MULT + inc) & m
+            if bits == 64:
+                return ints
+            return [
+                (ints[2 * i] << 32) | ints[2 * i + 1] for i in range(nwords)
+            ]
+
+        return run
+
+    mids = np.arange(0, 40, dtype=np.int64)
+    for name, ref_stream in (
+        ("PCG_XSH_RR_32", stream("setseq", xsh_rr, 32)),
+        ("PCG_XSH_RS_32", stream("setseq", xsh_rs, 32)),
+        ("PCG_RXS_M_XS_64", stream("setseq", rxs_m_xs, 64)),
+        ("PCG_MCG_XSH_RR_32", stream("mcg", xsh_rr, 32)),
+        ("PCG_MCG_XSH_RS_32", stream("mcg", xsh_rs, 32)),
+    ):
+        aid = SUPPORTED_RNG_ALGOS[name]
+        whole = rng_draws(aid, 42, mids, 2)
+        assert [int(v) for v in whole.reshape(-1)] == ref_stream(42, 80), name
+        parts = np.vstack(
+            [rng_draws(aid, 42, mids[:7], 2), rng_draws(aid, 42, mids[7:], 2)]
+        )
+        assert (whole == parts).all(), name
+        pick = np.array([1, 5, 6, 7, 31], dtype=np.int64)
+        assert (rng_draws(aid, 42, pick, 2) == whole[pick]).all(), name
+        far = 54321
+        ref = ref_stream(42, far * 2 + 2)
+        off = rng_draws(aid, 42, np.array([far], np.int64), 2)
+        assert [int(off[0, 0]), int(off[0, 1])] == ref[-2:], name
+        pmid = np.int64((1 << 33) + 3)
+        a = rng_draws(aid, 42, np.array([pmid], np.int64), 2)
+        b = rng_draws(aid, 42, np.array([pmid - 1, pmid], np.int64), 2)[1]
+        assert (a[0] == b).all(), name
