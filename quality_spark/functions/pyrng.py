@@ -8,7 +8,9 @@ per-partition stream.  Two honesty notes, both load-bearing:
 - ``SPLIT_MIX_64``, ``JDK`` (java.util.Random, normative javadoc
   algorithm), the ``XO_RO_SHI_RO_128`` family (``_PP``, ``_PLUS``,
   ``_SS``), the ``XO_SHI_RO_256`` family (``_PP``,
-  ``_PLUS``, ``_SS``) and the PCG family (``PCG_XSH_RR_32``,
+  ``_PLUS``, ``_SS``), ``XOR_SHIFT_1024_S`` / ``_S_PHI`` (xorshift1024*
+  in a rotating frame that keeps the pointer out of the packed state)
+  and the PCG family (``PCG_XSH_RR_32``,
   ``PCG_XSH_RS_32``, ``PCG_RXS_M_XS_64``, ``PCG_MCG_XSH_RR_32``,
   ``PCG_MCG_XSH_RS_32`` — pinned against the published pcg32 demo
   vectors) are BIT-EXACT implementations of the published
@@ -184,6 +186,26 @@ def _step_xrsr128(s: tuple) -> tuple:
     return (s0, s1)
 
 
+def _step_xorshift1024(s: tuple) -> tuple:
+    """xorshift1024* engine (Vigna 2014; shifts 31/11/30) in the
+    rotating frame where index 0 is the word at the CURRENT pointer:
+    one step updates the next word and advances the pointer, i.e.
+    frame' = (new_word, s[2..15], s[0]).  The pointer never appears in
+    the packed state, so the step stays linear over GF(2) and the
+    shared jump-matrix machinery applies unchanged."""
+    s0, s1 = s[0], s[1]
+    s1 ^= (s1 << 31) & _M64
+    new = s1 ^ s0 ^ (s1 >> 11) ^ (s0 >> 30)
+    return (new, *s[2:], s0)
+
+
+def _seed_xorshift1024(s: tuple) -> tuple:
+    """The xorshift1024* output is read AFTER the in-place update, so
+    the first emitted word needs one raw step applied to the seeded
+    array before the engine's output-then-step loop begins."""
+    return _step_xorshift1024(s)
+
+
 def _step_xshiro256(s: tuple) -> tuple:
     """xoshiro256 engine shared by ++ / + / ** (shift 17, rot 45)."""
     s0, s1, s2, s3 = s
@@ -224,6 +246,19 @@ _EXACT_ENGINES: dict = {
     "XO_SHI_RO_256_SS": (
         _step_xshiro256, 4,
         lambda s: (_rotl((s[1] * 5) & _M64, 7) * 9) & _M64,
+    ),
+    # xorshift1024* — the scrambler reads the just-updated word
+    # (frame index 0); _S uses the published M_8 multiplier, _S_PHI
+    # the golden-ratio multiplier.  4th element: seed post-map.
+    "XOR_SHIFT_1024_S": (
+        _step_xorshift1024, 16,
+        lambda s: (s[0] * 1181783497276652981) & _M64,
+        _seed_xorshift1024,
+    ),
+    "XOR_SHIFT_1024_S_PHI": (
+        _step_xorshift1024, 16,
+        lambda s: (s[0] * 0x9E3779B97F4A7C15) & _M64,
+        _seed_xorshift1024,
     ),
 }
 
@@ -436,8 +471,11 @@ def _advance(step, k: int, s: tuple, n: int) -> tuple:
 def _engine_run(algo: str, seed: int, start_pos: int, count: int) -> np.ndarray:
     """``count`` sequential outputs of ``algo`` beginning at 0-based
     sequence position ``start_pos``."""
-    step, k, out_fn = _EXACT_ENGINES[algo]
-    s = _advance(step, k, _seed_state(seed, k), start_pos)
+    step, k, out_fn, *seed_fn = _EXACT_ENGINES[algo]
+    s0 = _seed_state(seed, k)
+    if seed_fn:
+        s0 = seed_fn[0](s0)
+    s = _advance(step, k, s0, start_pos)
     out = np.empty(count, np.uint64)
     for j in range(count):
         out[j] = out_fn(s)

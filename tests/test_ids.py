@@ -536,3 +536,56 @@ def test_pcg_rng_bit_parity():
         a = rng_draws(aid, 42, np.array([pmid], np.int64), 2)
         b = rng_draws(aid, 42, np.array([pmid - 1, pmid], np.int64), 2)[1]
         assert (a[0] == b).all(), name
+
+
+def test_xorshift1024_bit_parity():
+    # xorshift1024* (and the commons-rng phi-multiplier variant) must
+    # emit the published algorithm — independent plain-python reference
+    # with an explicit 16-word array and pointer (no rotating-frame
+    # trick shared with the production path)
+    import numpy as np
+
+    from quality_spark.functions.pyrng import SUPPORTED_RNG_ALGOS, rng_draws
+
+    m = (1 << 64) - 1
+
+    def sm(seed, k):
+        out, st = [], seed & m
+        for _ in range(k):
+            st = (st + 0x9E3779B97F4A7C15) & m
+            z = ((st ^ (st >> 30)) * 0xBF58476D1CE4E5B9) & m
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m
+            out.append(z ^ (z >> 31))
+        return out
+
+    def stream(mult):
+        def run(seed, count):
+            s = sm(seed, 16)
+            p = 0
+            out = []
+            for _ in range(count):
+                s0 = s[p]
+                p = (p + 1) & 15
+                s1 = s[p]
+                s1 ^= (s1 << 31) & m
+                s[p] = s1 ^ s0 ^ (s1 >> 11) ^ (s0 >> 30)
+                out.append((s[p] * mult) & m)
+            return out
+
+        return run
+
+    mids = np.arange(0, 40, dtype=np.int64)
+    for name, ref_stream in (
+        ("XOR_SHIFT_1024_S", stream(1181783497276652981)),
+        ("XOR_SHIFT_1024_S_PHI", stream(0x9E3779B97F4A7C15)),
+    ):
+        aid = SUPPORTED_RNG_ALGOS[name]
+        whole = rng_draws(aid, 42, mids, 2)
+        assert [int(v) for v in whole.reshape(-1)] == ref_stream(42, 80), name
+        pick = np.array([1, 5, 6, 7, 31], dtype=np.int64)
+        assert (rng_draws(aid, 42, pick, 2) == whole[pick]).all(), name
+        # random access exercises the 1024-bit GF(2) jump matrices
+        far = 4321
+        ref = ref_stream(42, far * 2 + 2)
+        off = rng_draws(aid, 42, np.array([far], np.int64), 2)
+        assert [int(off[0, 0]), int(off[0, 1])] == ref[-2:], name
