@@ -1218,7 +1218,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       DECODED width/height, the exact BMP byte size (54-byte header +
       4-byte-padded rows), and two pixel features (mean-R, gray max)
       against the closed-form oracle arithmetic — a wrong padding/
-      row-order/channel-order decode fails the hash."""
+      row-order/channel-order decode fails the hash.
+    - 'ppm': same constant-color images through the binary netpbm P6
+      codec (round 4), with the exact header+payload byte size in the
+      oracle."""
     from pyspark.sql.functions import pandas_udf
 
     from quality_spark.llm.multimodal import (
@@ -1274,7 +1277,37 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 3).cast("double").alias("px_mean"),
         F.element_at("features", 8).cast("double").alias("px_max"),
     )
-    return text_part.unionByName(bmp_part)
+
+    @pandas_udf("binary")
+    def make_ppm(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from quality_spark.llm.multimodal import encode_ppm
+
+        out = []
+        for i in ids:
+            w, h, v = 4 + int(i) % 5, 3 + int(i) % 4, int(i) % 256
+            out.append(encode_ppm(np.full((h, w, 3), v, np.uint8)))
+        return pd.Series(out)
+
+    ppms = as_media_column(
+        docs.select("doc_id", make_ppm("doc_id").alias("payload")),
+        "payload",
+        "image",
+        "ppm",
+    )
+    pfeats = extract_media_features(ppms, id_col="doc_id")
+    ppm_part = pfeats.select(
+        F.lit("ppm").alias("part"),
+        F.col("id").alias("doc_id"),
+        "n_bytes",
+        F.size("features").alias("dim"),
+        "width",
+        "height",
+        F.element_at("features", 3).cast("double").alias("px_mean"),
+        F.element_at("features", 8).cast("double").alias("px_max"),
+    )
+    return text_part.unionByName(bmp_part).unionByName(ppm_part)
 
 
 def _oracle_media_features() -> str:
@@ -1290,6 +1323,13 @@ SELECT 'text' AS part, doc_id,
 FROM documents WHERE doc_id < 200
 UNION ALL
 SELECT 'bmp', doc_id, CAST(54 + {h} * {stride} AS BIGINT),
+       {FEATURE_DIM}, CAST({w} AS INTEGER), CAST({h} AS INTEGER),
+       CAST({v} AS DOUBLE), CAST({v} AS DOUBLE)
+FROM documents WHERE doc_id < 200
+UNION ALL
+SELECT 'ppm', doc_id,
+       CAST(9 + length(CAST({w} AS VARCHAR)) + length(CAST({h} AS VARCHAR))
+            + 3 * {w} * {h} AS BIGINT),
        {FEATURE_DIM}, CAST({w} AS INTEGER), CAST({h} AS INTEGER),
        CAST({v} AS DOUBLE), CAST({v} AS DOUBLE)
 FROM documents WHERE doc_id < 200

@@ -3,10 +3,11 @@ decode / feature-extraction plumbing over ``mapInPandas``.
 
 Decode support is format-tiered (VERDICT r03 #6):
 
-- **BMP is decoded for real** — a pure-numpy reader/writer for the
-  uncompressed 24/32-bit Windows DIB format (the one raster format
-  that needs no codec library): real width/height, real pixel
-  features, real nearest-neighbor resize.
+- **BMP and PPM (P6) are decoded for real** — pure-numpy
+  reader/writers for the uncompressed 24/32-bit Windows DIB format and
+  the binary netpbm P6 format (the raster formats that need no codec
+  library): real width/height, real pixel features, real
+  nearest-neighbor resize, re-encoded in the same format.
 - Compressed formats (png/jpeg/audio/video) still STUB their kernels
   (deterministic fakes clearly marked, or NotImplementedError in
   strict mode) — the container has no codecs.  Everything Spark-side
@@ -152,6 +153,59 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return hdr + rows.tobytes()
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval 255) to an (h, w, 3) uint8 RGB
+    array — the second codec-free raster format (netpbm spec: ASCII
+    header ``P6 <w> <h> <maxval>`` with ``#`` comments, one whitespace
+    byte, then raw RGB rows). Raises ValueError on P3/P5, maxval
+    != 255, or truncated pixel data."""
+    b = payload or b""
+    if b[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if i < len(b) and b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        if j == i or j == len(b):
+            raise ValueError("truncated PPM header")
+        vals.append(int(b[i:j]))
+        i = j
+    i += 1  # exactly ONE whitespace byte after maxval, per spec
+    w, h, maxv = vals
+    if maxv != 255:
+        raise ValueError(f"unsupported PPM maxval {maxv} (only 8-bit)")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PPM dims {w}x{h}")
+    if len(b) < i + w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(b, np.uint8, w * h * 3, i).reshape(h, w, 3).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6), the
+    exact layout :func:`decode_ppm` reads back."""
+    a = np.asarray(img, np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    h, w = a.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+#: raster formats decoded for REAL (pure numpy, no codec libraries):
+#: format name -> (decoder -> (h,w,3) RGB, encoder)
+REAL_CODECS = {
+    "bmp": (decode_bmp, encode_bmp),
+    "ppm": (decode_ppm, encode_ppm),
+}
+
+
 def _bmp_features(img: np.ndarray, dim: int) -> np.ndarray:
     """REAL image features from decoded pixels: [w, h, mean_r, mean_g,
     mean_b, gray_mean, gray_std, gray_max] (gray = channel mean, kept
@@ -186,8 +240,8 @@ def extract_media_features(
     """(id, features array<float>, n_bytes, width, height) via
     Arrow-batched mapInPandas — the real production shape: narrow,
     partition-preserving, bounded memory per batch regardless of table
-    size. BMP payloads decode for real (pixel features + dims); other
-    formats use the documented stub and null dims."""
+    size. BMP/PPM payloads decode for real (pixel features + dims);
+    other formats use the documented stub and null dims."""
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -208,8 +262,9 @@ def extract_media_features(
             feats, widths, heights = [], [], []
             for p, fmt in zip(pdf["payload"], pdf["fmt"]):
                 p = p if p is not None else b""
-                if (fmt or "").lower() == "bmp":
-                    img = decode_bmp(p)
+                codec = REAL_CODECS.get((fmt or "").lower())
+                if codec is not None:
+                    img = codec[0](p)
                     feats.append(_bmp_features(img, dim))
                     heights.append(img.shape[0])
                     widths.append(img.shape[1])
@@ -277,7 +332,7 @@ def resize_media(
     id_col: str = "doc_id",
     keep_aspect: bool = True,
 ) -> DataFrame:
-    """Resize for image payloads. BMP resizes for REAL: decode →
+    """Resize for image payloads. BMP and PPM resize for REAL: decode →
     nearest-neighbor resample → re-encode (dims read from the pixels,
     not the metadata). For other formats the metadata math is real
     (aspect-preserving fit into width×height, like PIL thumbnail) but
@@ -319,16 +374,17 @@ def resize_media(
             for rid, p, m in zip(pdf["id"], pdf["payload"], pdf["meta"]):
                 p = p or b""
                 m = dict(m) if m is not None else {}
-                if (m.get("format") or "").lower() == "bmp":
+                codec = REAL_CODECS.get((m.get("format") or "").lower())
+                if codec is not None:
                     # REAL path: decode, nearest-neighbor resample,
-                    # re-encode
-                    img = decode_bmp(p)
+                    # re-encode in the same format
+                    img = codec[0](p)
                     h0, w0 = img.shape[:2]
                     w, h = _fit(w0, h0)
                     ys = (np.arange(h) * h0 // h).astype(np.intp)
                     xs = (np.arange(w) * w0 // w).astype(np.intp)
                     resized = img[ys][:, xs]
-                    payload_out = encode_bmp(resized)
+                    payload_out = codec[1](resized)
                 else:
                     w, h = _fit(m.get("width"), m.get("height"))
                     if _STRICT:

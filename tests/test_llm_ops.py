@@ -629,3 +629,62 @@ def test_bmp_real_features_and_resize(spark):
         xs = (np.arange(w) * w0 // w).astype(int)
         assert (got == img[ys][:, xs]).all()
         assert (m["meta"]["width"], m["meta"]["height"]) == (w, h)
+
+
+def test_ppm_codec_round_trip():
+    import numpy as np
+    import pytest
+
+    from quality_spark.llm.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (5, 3), (16, 9)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(img)) == img).all(), f"{w}x{h}"
+    # comments and extra whitespace in the header parse per spec
+    img = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    hdr = b"P6\n# a comment\n 3\t2 # trailing\n255\n"
+    assert (decode_ppm(hdr + img.tobytes()) == img).all()
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n3 2\n255\n" + b"\x00" * 6)  # grayscale PGM
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n3 2\n65535\n" + b"\x00" * 36)  # 16-bit
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n3 2\n255\n\x00\x00")  # truncated
+
+
+def test_ppm_real_features_and_resize(spark):
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        as_media_column,
+        decode_ppm,
+        encode_ppm,
+        extract_media_features,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, (6 + i, 9 - i, 3), dtype=np.uint8) for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_ppm(img))) for i, img in imgs.items()],
+        "doc_id int, payload binary",
+    )
+    media = as_media_column(df, "payload", "image", "ppm")
+    feats = {r["id"]: r for r in extract_media_features(media, id_col="doc_id").collect()}
+    for i, img in imgs.items():
+        r = feats[i]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        chan = img.reshape(-1, 3).astype(np.float64)
+        assert abs(r["features"][2] - np.float32(chan[:, 0].mean())) < 1e-6
+    out = {r["id"]: r for r in resize_media(media, 4, 4).collect()}
+    for i, img in imgs.items():
+        m = out[i]["media"]
+        assert m["meta"]["format"] == "ppm"
+        got = decode_ppm(bytes(m["payload"]))
+        h0, w0 = img.shape[:2]
+        scale = min(4 / w0, 4 / h0, 1.0)
+        w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+        ys = (np.arange(h) * h0 // h).astype(int)
+        xs = (np.arange(w) * w0 // w).astype(int)
+        assert (got == img[ys][:, xs]).all()
