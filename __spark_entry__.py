@@ -873,7 +873,7 @@ def _oracle_embedding_lsh_near_dup() -> str:
     planes, tables, seed = 8, 8, 7
     sig_union = " UNION ALL ".join(
         f"SELECT vec_id, {t} AS table_idx, "
-        + signature_sql("embedding", planes, seed + 1000 * t, "duckdb", "portable")
+        + signature_sql("embedding", planes, seed + 1000 * t, "duckdb")
         + " AS sig FROM embeddings"
         for t in range(tables)
     )

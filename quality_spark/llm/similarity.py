@@ -112,13 +112,11 @@ def signature_sql(
     planes: int,
     seed: int,
     dialect: str = "spark",
-    mode: str = "fast",
     dims: int = 64,
 ) -> str:
     """LSH bit-signature SQL: sign of projection onto pseudo-random ±1
-    hyperplanes, weights inlined as literals (see ``plane_weights``).
-    ``mode`` is kept for API compatibility — both modes now share the
-    md5-derived weights, which are portable by construction."""
+    hyperplanes, weights inlined as literals (see ``plane_weights``) —
+    portable by construction across Spark and DuckDB dialects."""
     ws = plane_weights(planes, seed, dims)
     bits = []
     for p in range(planes):
@@ -140,10 +138,8 @@ def signature_sql(
     return "(" + " + ".join(bits) + ")"
 
 
-def _signature(
-    vec_col: str, planes: int, seed: int, mode: str = "fast", dims: int = 64
-) -> Column:
-    return F.expr(signature_sql(vec_col, planes, seed, "spark", mode, dims))
+def _signature(vec_col: str, planes: int, seed: int, dims: int = 64) -> Column:
+    return F.expr(signature_sql(vec_col, planes, seed, "spark", dims))
 
 
 def _infer_dims(df: DataFrame, vec_col: str) -> int:
@@ -169,7 +165,7 @@ def with_lsh_bucket(
         # would silently fall through to the interpreted SQL fold
         sig = _signatures_arrow_udf(planes, 1, seed, dims)(F.col(vec_col))[0]
         return df.select("*", sig.alias(out))
-    return df.select("*", _signature(vec_col, planes, seed, mode, dims).alias(out))
+    return df.select("*", _signature(vec_col, planes, seed, dims).alias(out))
 
 
 def _signatures_arrow_udf(planes: int, tables: int, seed: int, dims: int):
@@ -260,7 +256,7 @@ def _with_lsh_tables(
     else:
         sigs = F.array(
             *[
-                _signature(vec_col, planes, seed + 1000 * t, mode, dims)
+                _signature(vec_col, planes, seed + 1000 * t, dims)
                 for t in range(tables)
             ]
         )
