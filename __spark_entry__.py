@@ -3818,9 +3818,13 @@ def q_lambda_id_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     r03 coverage rows 10/33/57/58): ``integrate_lambdas`` attaching a
     global lambda library to a suite serialized without one, placeholder
     partial application inside a Spark higher-order function,
-    ``callFun`` / ``_lambda_`` application, and the id-equality macros
-    (``id_equal`` / ``long_pair_equal`` / ``prefixed_to_long_pair``).
-    All arithmetic mirrors 1:1 into the DuckDB oracle."""
+    ``callFun`` / ``_lambda_`` application, the id-equality macros
+    (``id_equal`` / ``long_pair_equal`` / ``prefixed_to_long_pair``),
+    and (round 4, row 54) the registered SQL scalar surface —
+    ``register_quality_functions`` temp SQL functions called from SQL
+    text under both camelCase (``qsr_packInts``) and snake_case
+    (``qsr_unpack``) names. All arithmetic mirrors 1:1 into the DuckDB
+    oracle."""
     from quality_spark.functions.lambdas import LambdaRegistry, expand_sql
     from quality_spark.model import LambdaFunction
     from quality_spark.sources.serializing import (
@@ -3865,6 +3869,14 @@ def q_lambda_id_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prefixed_to_long_pair('c', named_struct('c_base', 0L, "
         "'c_i0', c_custkey, 'c_i1', CAST(c_nationkey AS BIGINT)))"
     )
+    # registered SQL scalar surface (SURVEY §2 row 54, tests-only in
+    # r03): the same macros exposed to plain SQL text as temporary SQL
+    # functions under snake AND camel names — exercised via F.expr so a
+    # registration/aliasing defect fails the gate
+    from quality_spark.functions.register import register_quality_functions
+
+    register_quality_functions(spark, prefix="qsr_")
+    reg_pack = "qsr_packInts(CAST(c_custkey AS INT), CAST(c_nationkey AS INT))"
     return dq.select(
         "c_custkey",
         F.when(F.col("DQ.overallResult") == PASSED_INT, 1)
@@ -3875,6 +3887,8 @@ def q_lambda_id_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(lpe).cast("int").alias("lp_eq"),
         F.expr(plp)["lower"].alias("plp_lower"),
         F.expr(plp)["higher"].alias("plp_higher"),
+        F.expr(reg_pack).alias("reg_pack"),
+        F.expr(f"qsr_unpack({reg_pack})")["id"].alias("reg_unpack_id"),
     )
 
 
@@ -3888,7 +3902,10 @@ def _oracle_lambda_id_surface() -> str:
         "CAST(CASE WHEN CAST(c_nationkey AS BIGINT) = 1 THEN 1 ELSE 0 END AS INTEGER) AS id_eq, "
         "CAST(CASE WHEN CAST(c_nationkey AS BIGINT) = 1 THEN 1 ELSE 0 END AS INTEGER) AS lp_eq, "
         "c_custkey AS plp_lower, "
-        "CAST(c_nationkey AS BIGINT) AS plp_higher "
+        "CAST(c_nationkey AS BIGINT) AS plp_higher, "
+        "(CAST(c_custkey AS BIGINT) << 32) | (CAST(c_nationkey AS BIGINT) & 4294967295) "
+        "AS reg_pack, "
+        "CAST(c_custkey AS INTEGER) AS reg_unpack_id "
         "FROM customer"
     )
 
