@@ -14,6 +14,7 @@ so the correctness oracle can replay the whole pipeline.
 
 from __future__ import annotations
 
+from functools import reduce as functools_reduce
 from typing import List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, Window
@@ -67,6 +68,63 @@ def shingles_from_tokens_sql(toks_col: str, k: int) -> str:
         f"array_distinct(transform(sequence(1, greatest(size({toks_col}) - {k - 1}, 1)), "
         f"i -> array_join(slice({toks_col}, i, {k}), ' ')))"
     )
+
+
+def bucket_candidate_pairs(
+    sig: DataFrame,
+    bucket_cols: Tuple[str, ...],
+    id_col: str = "id",
+    payload_cols: Tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct ``(id_a < id_b)`` candidate pairs of rows sharing a
+    bucket, from a (bucket..., id[, payload...]) frame.
+
+    Shape chosen for scale (round 4 — replaces the former bucket
+    self-join): ONE shuffle on the bucket key, then pairs expand
+    JVM-side from a per-bucket sorted array.  The self-join form
+    evaluated the signature projection TWICE (Spark plans no
+    ReusedExchange across the join inputs — measured 4 ArrowEvalPython
+    nodes for the embedding variant) and shuffled both sides; this
+    evaluates it once and shuffles ids only.  The per-bucket pair count
+    is quadratic in bucket size under BOTH forms — that is the LSH
+    recall/cost dial (planes/bands), not a plan property.
+
+    ``payload_cols`` ride along per id and come back as ``<col>_a`` /
+    ``<col>_b`` (e.g. the simhash value needed to verify the pair);
+    keep them scalar-small — wide payloads should join back by id
+    after the dedup instead."""
+    item = F.struct(F.col(id_col).alias("id"), *[F.col(c) for c in payload_cols])
+    # a NULL bucket key never forms candidates (the equi-join this
+    # replaces was NULL-rejecting; groupBy would pool all NULLs into
+    # one giant bucket — e.g. every NULL-text doc pairing with every
+    # other)
+    nn = sig.filter(
+        functools_reduce(
+            lambda acc, c: acc & F.col(c).isNotNull(),
+            bucket_cols,
+            F.lit(True),
+        )
+    )
+    buckets = (
+        nn.groupBy(*[F.col(c) for c in bucket_cols])
+        .agg(F.array_sort(F.collect_list(item)).alias("__items"))
+        .filter(F.size("__items") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__items, (x, i) -> "
+                "transform(slice(__items, i + 2, size(__items)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("__p")
+    )
+    return pairs.select(
+        F.col("__p.a.id").alias("id_a"),
+        F.col("__p.b.id").alias("id_b"),
+        *[F.col(f"__p.a.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(f"__p.b.{c}").alias(f"{c}_b") for c in payload_cols],
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def with_shingles(
@@ -348,22 +406,12 @@ def minhash_lsh_pairs(
     exploded = sig.select(
         "id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    # Ids-only band join: the shuffle and the dedup carry (band, id, id)
-    # triples, never the shingle arrays — the payload joins back AFTER
-    # the candidate set is deduped (at scale: small candidate table vs
-    # corpus-sized shuffle of shingle sets).
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # Ids-only band bucketing: the single shuffle and the dedup carry
+    # (band, id) rows, never the shingle arrays — the payload joins
+    # back AFTER the candidate set is deduped (at scale: small
+    # candidate table vs corpus-sized shuffle of shingle sets), and the
+    # signature projection is evaluated once (bucket_candidate_pairs).
+    cand = bucket_candidate_pairs(exploded, ("band_idx", "band_hash"))
     sh_df = with_shingles(df, text_col, k, out="__sh").select(
         F.col(id_col).alias("id"), F.col("__sh").alias("sh")
     )
@@ -486,23 +534,12 @@ def simhash_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = bucket_candidate_pairs(
+        chunks, ("chunk_idx", "chunk_val"), payload_cols=("simhash",)
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming")
+    ham = F.bit_count(
+        F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+    ).alias("hamming")
     return cand.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)
 
 

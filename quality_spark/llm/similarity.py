@@ -334,21 +334,16 @@ def embedding_near_dup_pairs(
     vectors join back after the candidate dedup, so the wide payload
     shuffles once per candidate, not once per bucket collision. Pass
     ``dims`` explicitly to skip the one-row inference job."""
+    from .dedup import bucket_candidate_pairs
+
     dims = dims or _infer_dims(df, vec_col)
     sig = _with_lsh_tables(df, vec_col, planes, tables, seed, mode, dims).select(
         F.col(id_col).alias("id"), "table_idx", "sig"
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_idx") == F.col("b.table_idx"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # one shuffle on (table, sig), pairs expanded within each bucket —
+    # the signature UDF evaluates ONCE (the former self-join planned it
+    # per side: 4 ArrowEvalPython nodes, no ReusedExchange)
+    cand = bucket_candidate_pairs(sig, ("table_idx", "sig"))
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(vec_col).alias("n")
     )
