@@ -75,6 +75,7 @@ def bucket_candidate_pairs(
     bucket_cols: Tuple[str, ...],
     id_col: str = "id",
     payload_cols: Tuple[str, ...] = (),
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Distinct ``(id_a < id_b)`` candidate pairs of rows sharing a
     bucket, from a (bucket..., id[, payload...]) frame.
@@ -92,7 +93,17 @@ def bucket_candidate_pairs(
     ``payload_cols`` ride along per id and come back as ``<col>_a`` /
     ``<col>_b`` (e.g. the simhash value needed to verify the pair);
     keep them scalar-small — wide payloads should join back by id
-    after the dedup instead."""
+    after the dedup instead.
+
+    ``max_bucket_size`` drops buckets larger than the cap BEFORE pair
+    expansion — the standard skew guard at corpus scale: a degenerate
+    bucket (empty-ish signatures, boilerplate collisions) contributes
+    O(size²) pairs of near-zero precision and can dominate the whole
+    job; candidates lost this way are exactly the ones every other
+    member already generates elsewhere or verification would reject.
+    Documented recall trade: pairs whose ONLY collision is the dropped
+    bucket are lost.  None (default) keeps exact parity with the
+    unguarded pipeline."""
     item = F.struct(F.col(id_col).alias("id"), *[F.col(c) for c in payload_cols])
     # a NULL bucket key never forms candidates (the equi-join this
     # replaces was NULL-rejecting; groupBy would pool all NULLs into
@@ -110,6 +121,8 @@ def bucket_candidate_pairs(
         .agg(F.array_sort(F.collect_list(item)).alias("__items"))
         .filter(F.size("__items") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__items") <= max_bucket_size)
     pairs = buckets.select(
         F.explode(
             F.expr(
@@ -392,6 +405,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     mode: str = "fast",
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for candidate pairs sharing ≥1 LSH band,
     verified with exact shingle-set Jaccard ≥ threshold.
@@ -411,7 +425,9 @@ def minhash_lsh_pairs(
     # back AFTER the candidate set is deduped (at scale: small
     # candidate table vs corpus-sized shuffle of shingle sets), and the
     # signature projection is evaluated once (bucket_candidate_pairs).
-    cand = bucket_candidate_pairs(exploded, ("band_idx", "band_hash"))
+    cand = bucket_candidate_pairs(
+        exploded, ("band_idx", "band_hash"), max_bucket_size=max_bucket_size
+    )
     sh_df = with_shingles(df, text_col, k, out="__sh").select(
         F.col(id_col).alias("id"), F.col("__sh").alias("sh")
     )
@@ -511,6 +527,7 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     mode: str = "fast",
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming ≤ max_hamming) via chunk banding: with 4
     chunks, any pair within hamming 3 shares an identical chunk
@@ -535,7 +552,8 @@ def simhash_pairs(
         ).alias("chunk_idx", "chunk_val"),
     )
     cand = bucket_candidate_pairs(
-        chunks, ("chunk_idx", "chunk_val"), payload_cols=("simhash",)
+        chunks, ("chunk_idx", "chunk_val"), payload_cols=("simhash",),
+        max_bucket_size=max_bucket_size,
     )
     ham = F.bit_count(
         F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))

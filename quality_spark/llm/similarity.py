@@ -325,6 +325,7 @@ def embedding_near_dup_pairs(
     seed: int = 7,
     mode: str = "fast",
     dims: Optional[int] = None,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine ≥ threshold) within multi-table LSH buckets.
     High-cosine pairs collide in some table with probability
@@ -343,7 +344,9 @@ def embedding_near_dup_pairs(
     # one shuffle on (table, sig), pairs expanded within each bucket —
     # the signature UDF evaluates ONCE (the former self-join planned it
     # per side: 4 ArrowEvalPython nodes, no ReusedExchange)
-    cand = bucket_candidate_pairs(sig, ("table_idx", "sig"))
+    cand = bucket_candidate_pairs(
+        sig, ("table_idx", "sig"), max_bucket_size=max_bucket_size
+    )
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(vec_col).alias("n")
     )

@@ -688,3 +688,16 @@ def test_ppm_real_features_and_resize(spark):
         ys = (np.arange(h) * h0 // h).astype(int)
         xs = (np.arange(w) * w0 // w).astype(int)
         assert (got == img[ys][:, xs]).all()
+
+
+def test_bucket_pair_skew_guard(spark):
+    """max_bucket_size drops a degenerate bucket BEFORE pair expansion:
+    only pairs whose sole collision is the oversized bucket are lost."""
+    from quality_spark.llm.dedup import bucket_candidate_pairs
+
+    rows = [(i, 1, "big") for i in range(10)] + [(100, 2, "ok"), (101, 2, "ok")]
+    sig = spark.createDataFrame(rows, "id long, bkt int, tag string")
+    unguarded = bucket_candidate_pairs(sig, ("bkt",))
+    assert unguarded.count() == 45 + 1
+    guarded = bucket_candidate_pairs(sig, ("bkt",), max_bucket_size=5)
+    assert {(r["id_a"], r["id_b"]) for r in guarded.collect()} == {(100, 101)}
