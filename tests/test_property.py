@@ -323,3 +323,84 @@ def test_vocab_and_tfidf_property(spark, docs):
     assert set(got_tfidf) == set(want)
     for k in want:
         assert abs(got_tfidf[k] - want[k]) < 1e-9, k
+
+
+# ---------------------------------------------------------------------------
+# bucket_candidate_pairs vs an independent itertools reference
+# ---------------------------------------------------------------------------
+
+bucket_rows = st.lists(
+    st.tuples(
+        st.integers(0, 200),          # id
+        st.integers(0, 5),            # bucket, or None below
+        st.booleans(),                # bucket is NULL
+        st.integers(0, 3),            # payload
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=bucket_rows, cap=st.one_of(st.none(), st.integers(2, 6)))
+def test_bucket_candidate_pairs_property(spark, rows, cap):
+    """bucket_candidate_pairs must equal the brute-force definition:
+    all (id_a < id_b) pairs sharing a NON-NULL bucket of size <= cap,
+    each payload carried per side — for arbitrary bucket assignments,
+    duplicate ids, NULL buckets, and cap settings."""
+    from itertools import combinations
+
+    from quality_spark.llm.dedup import bucket_candidate_pairs
+
+    # dedupe ids (collect_list of duplicate ids is ill-defined ordering)
+    seen, data = set(), []
+    for i, bkt, is_null, pay in rows:
+        if i in seen:
+            continue
+        seen.add(i)
+        data.append((i, None if is_null else bkt, pay))
+    df = spark.createDataFrame(data, "id long, bkt int, pay int")
+    got = {
+        (r["id_a"], r["id_b"], r["pay_a"], r["pay_b"])
+        for r in bucket_candidate_pairs(
+            df, ("bkt",), payload_cols=("pay",), max_bucket_size=cap
+        ).collect()
+    }
+    by_bucket: dict = {}
+    pay_of = {}
+    for i, bkt, pay in data:
+        pay_of[i] = pay
+        if bkt is not None:
+            by_bucket.setdefault(bkt, []).append(i)
+    want = set()
+    for members in by_bucket.values():
+        if cap is not None and len(members) > cap:
+            continue
+        for x, y in combinations(sorted(members), 2):
+            want.add((x, y, pay_of[x], pay_of[y]))
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    data=st.data(),
+)
+def test_raster_codecs_roundtrip_property(w, h, data):
+    """encode->decode identity for both real codecs on arbitrary dims
+    (exercises BMP's per-width row padding)."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        decode_bmp, decode_ppm, encode_bmp, encode_ppm,
+    )
+
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    assert (decode_ppm(encode_ppm(img)) == img).all()
