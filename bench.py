@@ -122,18 +122,25 @@ def main() -> None:
             (rule_id, entrymod._spark_rule_text(kind, sql))
         )
     suite27 = _rs((91, 1), list(sets.items()), lambdas=entrymod.LAMBDAS)
-    t0 = time.perf_counter()
+    # compile is timed min-of-2 like everything else: the first compile
+    # of a session pays one-time Spark analysis warmup (~2 s measured,
+    # vs 0.3 s steady-state) that is session startup, not suite cost
     dq27 = add_data_quality(li, suite27)
-    results["dq27_compile"] = time.perf_counter() - t0
+    results["dq27_compile"] = min(
+        timed(lambda: add_data_quality(li, suite27)),
+        timed(lambda: add_data_quality(li, suite27)),
+    )
     results["dq27_write"] = timed_warm_min2(
         lambda: dq27.write.mode("overwrite").parquet(f"{TMP}/dq27")
     )
 
     # 3. 150-rule generated suite write (reference evaluation_method.md:41)
     suite150 = gen_wide_suite(150)
-    t0 = time.perf_counter()
     dq150 = add_data_quality(li, suite150)
-    results["dq150_compile"] = time.perf_counter() - t0
+    results["dq150_compile"] = min(
+        timed(lambda: add_data_quality(li, suite150)),
+        timed(lambda: add_data_quality(li, suite150)),
+    )
     results["dq150_write"] = timed_warm_min2(
         lambda: dq150.write.mode("overwrite").parquet(f"{TMP}/dq150")
     )

@@ -24,6 +24,17 @@ per-partition stream.  Two honesty notes, both load-bearing:
   the reference itself does not pin down for unseeded use: it seeds
   fresh streams from ``source.createSeed()``, a random value —
   impl/rng/RngImpl.scala:43 — so even two reference runs disagree).
+  The remaining families stay on Philox for a STRUCTURAL reason, not
+  effort: a Spark-safe RNG column must be a pure function of (seed,
+  partition, row) — stages re-execute under retries/speculation — so
+  every exact stream here relies on O(log n) random access (affine
+  power for LCG/PCG/JDK, GF(2) jump matrices for the xoroshiro/
+  xoshiro/xorshift1024 linear engines, counter form for SplitMix64).
+  MT/WELL are linear but their 19937–44497-bit jump matrices are
+  hundreds of MB per level; ISAAC / KISS / MWC / JSF / SFC / MSWS /
+  TWO_CMRES are nonlinear (carry/chaotic state) with no known
+  sub-linear advance at all — a bit-exact port would have to walk the
+  stream from position 0 per task, O(partition·2^33) work.
 - Every family is backed by numpy's Philox in counter mode, keyed by
   (algo-id, seed) and jumped per Spark partition.  Philox is the one
   numpy BitGenerator whose O(1) ``advance`` lets a row address its

@@ -18,6 +18,7 @@ from importlib import import_module
 
 _EXPORTS = {
     # dedup
+    "bucket_candidate_pairs": "dedup",
     "connected_components": "dedup",
     "exact_dedup": "dedup",
     "exact_dedup_keep_best": "dedup",
@@ -32,6 +33,10 @@ _EXPORTS = {
     "contamination_flags": "decontam",
     # multimodal
     "as_media_column": "multimodal",
+    "decode_bmp": "multimodal",
+    "decode_ppm": "multimodal",
+    "encode_bmp": "multimodal",
+    "encode_ppm": "multimodal",
     "extract_media_features": "multimodal",
     "resize_media": "multimodal",
     "sample_frames": "multimodal",
