@@ -23,7 +23,9 @@ _EXPORTS = {
     "exact_dedup": "dedup",
     "exact_dedup_keep_best": "dedup",
     "exact_dup_groups": "dedup",
+    "minhash_dedup_against_index": "dedup",
     "minhash_lsh_pairs": "dedup",
+    "write_minhash_index": "dedup",
     "ngram_jaccard_pairs": "dedup",
     "simhash_pairs": "dedup",
     "with_minhash": "dedup",

@@ -446,6 +446,98 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Incremental MinHash index — dedup a new batch against a persisted
+# corpus without recomputing the corpus
+# ---------------------------------------------------------------------------
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    mode: str = "fast",
+    partitions: Optional[int] = None,
+) -> None:
+    """Persist the exploded band signatures (id, band_idx, band_hash)
+    as the corpus's standing near-dup index.
+
+    The incremental-ingest workflow at corpus scale: signatures are
+    computed ONCE per document ever (here, at index build / append
+    time), and each new shard joins its own few signatures against the
+    stored index instead of re-shingling 100 TB per ingest.  Rows are
+    repartitioned by (band_idx, band_hash) before writing so index
+    files are bucket-clustered.  Append new shards with
+    ``mode='append'`` writers after deduping them (see
+    :func:`minhash_dedup_against_index`)."""
+    sig = with_minhash(df, text_col, k, num_perm, bands, mode, id_col=id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(bands)])
+        ).alias("band_idx", "band_hash"),
+    ).filter(F.col("band_hash").isNotNull())
+    out = sig.repartition(
+        *([partitions] if partitions else []), F.col("band_idx"), F.col("band_hash")
+    )
+    out.write.mode("overwrite").parquet(path)
+
+
+def minhash_dedup_against_index(
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    mode: str = "fast",
+    within_batch: bool = True,
+) -> DataFrame:
+    """(new_id, matched_id) candidate near-dup hits of a NEW batch:
+    against the persisted corpus index, and (``within_batch``) among
+    the batch itself — band-level candidates, the cheap first stage of
+    incremental ingest dedup (verify survivors with exact Jaccard via
+    :func:`minhash_lsh_pairs` semantics if band precision is not
+    enough; band parameters must match the index build).
+
+    Scale shape: the new batch is tiny next to the corpus, so its
+    exploded signatures BROADCAST to the index scan — the 100 TB index
+    is probed in place with NO shuffle of the corpus (the plan shows a
+    BroadcastHashJoin over the index scan; at extreme batch sizes
+    Spark's size estimate falls back to a sort-merge join on the small
+    (band_idx, band_hash) keys, which is still ids-only).
+    ``matched_id`` is NULL-free; within-batch hits keep id_a < id_b
+    ordering convention in (new_id, matched_id)."""
+    spark = new_df.sparkSession
+    new_sig = with_minhash(
+        new_df, text_col, k, num_perm, bands, mode, id_col=id_col
+    ).select(
+        F.col(id_col).alias("new_id"),
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(bands)])
+        ).alias("band_idx", "band_hash"),
+    ).filter(F.col("band_hash").isNotNull())
+    index = spark.read.parquet(index_path)
+    vs_index = (
+        index.join(
+            F.broadcast(new_sig),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("id") != F.col("new_id"))
+        .select("new_id", F.col("id").alias("matched_id"))
+    )
+    if not within_batch:
+        return vs_index.dropDuplicates(["new_id", "matched_id"])
+    within = bucket_candidate_pairs(
+        new_sig.withColumnRenamed("new_id", "id"), ("band_idx", "band_hash")
+    ).select(F.col("id_a").alias("new_id"), F.col("id_b").alias("matched_id"))
+    return vs_index.unionByName(within).dropDuplicates(["new_id", "matched_id"])
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -701,3 +701,56 @@ def test_bucket_pair_skew_guard(spark):
     assert unguarded.count() == 45 + 1
     guarded = bucket_candidate_pairs(sig, ("bkt",), max_bucket_size=5)
     assert {(r["id_a"], r["id_b"]) for r in guarded.collect()} == {(100, 101)}
+
+
+def test_minhash_index_incremental_dedup(spark, sf_dir, tmp_path_factory):
+    """Index + new-batch probe must find exactly the candidate pairs a
+    full recompute over (corpus ∪ batch) finds that touch the batch —
+    and the index probe must broadcast the batch, never shuffle the
+    corpus index."""
+    from quality_spark.llm.dedup import (
+        bucket_candidate_pairs,
+        minhash_dedup_against_index,
+        with_minhash,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path_factory.mktemp("mh_index")) + "/idx"
+    write_minhash_index(corpus, path, k=2, num_perm=8, bands=4, mode="portable")
+
+    hits = minhash_dedup_against_index(
+        batch, path, k=2, num_perm=8, bands=4, mode="portable"
+    )
+    got = {(r["new_id"], r["matched_id"]) for r in hits.collect()}
+
+    # reference: full recompute over everything, keep pairs touching
+    # the batch, oriented (batch_id, other) with within-batch id_a<id_b
+    sig = with_minhash(docs, "text", 2, 8, 4, "portable").select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(4)])
+        ).alias("band_idx", "band_hash"),
+    )
+    allpairs = {
+        (r["id_a"], r["id_b"])
+        for r in bucket_candidate_pairs(sig, ("band_idx", "band_hash")).collect()
+    }
+    want = set()
+    for a, b in allpairs:
+        a_in, b_in = a % 5 == 0, b % 5 == 0
+        if a_in and b_in:
+            want.add((a, b))
+        elif a_in:
+            want.add((a, b))
+        elif b_in:
+            want.add((b, a))
+    assert got == want and len(got) > 0
+
+    # plan: the corpus index is probed via a broadcast of the batch
+    plan = hits._sc._jvm.PythonSQLUtils.explainString(
+        hits._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan
