@@ -692,6 +692,9 @@ def connected_components(
         nbr = edges.join(
             labels.select(F.col("id").alias("b"), "component"), "b"
         ).select(F.col("a").alias("id"), "component")
+        # eager checkpoint: measured equal to lazy (the convergence
+        # count re-reads the same blocks either way), and eager blocks
+        # can't be silently recomputed from lost lineage mid-round
         new_labels = (
             labels.union(nbr)
             .groupBy("id")
