@@ -35,6 +35,36 @@ from .operators.runner import rule_runner
 __all__ = ["RowProcessor", "DuckDBProcessor", "dq_factory"]
 
 
+def _parse_scalar_ddl(schema: str) -> list:
+    """[(name, normalized_type)] from a Spark-style scalar DDL string
+    ("x double, s string", optional ``name: type`` colon form,
+    ``decimal(p,s)`` kept verbatim). No SparkSession required."""
+    fields, depth, cur = [], 0, ""
+    for ch in schema:
+        if ch == "," and depth == 0:
+            fields.append(cur)
+            cur = ""
+        else:
+            depth += ch in "(<"
+            depth -= ch in ")>"
+            cur += ch
+    fields.append(cur)
+    out = []
+    for f in fields:
+        f = f.strip()
+        if not f:
+            continue
+        if ":" in f.split("(")[0]:
+            name, typ = f.split(":", 1)
+        else:
+            parts = f.split(None, 1)
+            if len(parts) != 2:
+                raise ValueError(f"cannot parse DDL field {f!r}")
+            name, typ = parts
+        out.append((name.strip().strip("`"), typ.strip().lower().replace(" ", "")))
+    return out
+
+
 class RowProcessor:
     """Reusable evaluator: ``process(rows) -> [Row(...input, DQ=...)]``."""
 
@@ -128,29 +158,32 @@ class DuckDBProcessor:
                 "or schema (Spark DDL string)"
             )
         if schema is not None:
-            from pyspark.sql import types as T
-
             _DUCK = {
-                "boolean": "BOOLEAN", "byte": "TINYINT", "short": "SMALLINT",
+                "boolean": "BOOLEAN", "byte": "TINYINT", "tinyint": "TINYINT",
+                "short": "SMALLINT", "smallint": "SMALLINT",
                 "int": "INTEGER", "integer": "INTEGER", "long": "BIGINT",
-                "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+                "bigint": "BIGINT", "float": "FLOAT", "real": "FLOAT",
+                "double": "DOUBLE",
                 "string": "VARCHAR", "date": "DATE", "timestamp": "TIMESTAMP",
                 "timestamp_ntz": "TIMESTAMP", "binary": "BLOB",
             }
             fields = []
             self._declared_casts = []
-            for f in T._parse_datatype_string(schema).fields:
-                s = f.dataType.simpleString()
+            # self-contained scalar-DDL parse — pyspark's
+            # _parse_datatype_string needs an ACTIVE SparkContext in
+            # Spark 4, which would silently break the whole point of
+            # this processor (genuinely Spark-free scoring)
+            for name, s in _parse_scalar_ddl(schema):
                 duck_t = (
                     s.upper() if s.startswith("decimal") else _DUCK.get(s)
                 )
                 if duck_t is None:
                     raise ValueError(
-                        f"column {f.name!r}: type {s!r} not supported in "
+                        f"column {name!r}: type {s!r} not supported in "
                         f"sparkless scope (scalar types only)"
                     )
-                fields.append(f'CAST(NULL AS {duck_t}) AS "{f.name}"')
-                self._declared_casts.append((f.name, duck_t))
+                fields.append(f'CAST(NULL AS {duck_t}) AS "{name}"')
+                self._declared_casts.append((name, duck_t))
             self._con.execute(
                 f"CREATE VIEW __qs_probe AS SELECT {', '.join(fields)} WHERE 1=0"
             )

@@ -185,3 +185,31 @@ def test_duckdb_processor_schema_governs_all_null_batch(spark):
     out = proc.process([{"s": None}, {"s": None}])  # whole batch null
     rid, sid = pack_id(Id(100, 1)), pack_id(Id(10, 1))
     assert [r["ruleSetResults"][sid]["ruleResults"][rid] for r in out] == [0, 0]
+
+
+def test_duckdb_processor_truly_spark_free():
+    """Schema-mode construction + scoring must work in a process with
+    NO SparkSession/SparkContext — the processor's core claim. (Spark 4
+    made pyspark's DDL parser require an active session; this pins the
+    self-contained parse.)"""
+    import subprocess
+    import sys
+
+    code = r"""
+import sys; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+assert SparkSession.getActiveSession() is None
+from quality_spark import rule_suite
+from quality_spark.sparkless import DuckDBProcessor
+suite = rule_suite((1, 1), [((1, 1), [((100, 1), "x > 0.5 and s is not null")])])
+proc = DuckDBProcessor(suite, schema="x double, s string, d decimal(10,2)")
+out = proc.process([{"x": 1.0, "s": "a", "d": None}, {"x": 0.1, "s": None, "d": None}])
+rs = [r["overallResult"] for r in out]
+assert rs[0] != rs[1], rs
+assert SparkSession.getActiveSession() is None
+print("SPARK_FREE_OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert "SPARK_FREE_OK" in r.stdout, r.stdout + r.stderr
