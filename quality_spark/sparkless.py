@@ -114,6 +114,15 @@ class DuckDBProcessor:
     Rules using Spark-only functions fail at COMPILE time with the
     offending rule named — same contract as the reference's sparkless,
     which also rejects non-compilable expressions.
+
+    Throughput: DuckDB parallelizes per ~122k-row morsel, so batches
+    below that run single-threaded — feed LARGE batches for service
+    throughput (measured: 780 generated rules score 0.31 ms/row on a
+    10k batch but 0.059 ms/row on a 600k batch, vs the reference
+    MutableProjection's published 0.1 ms/row —
+    ProcessorThroughputBenchmark.scala:26; numbers in SCALE.md).
+    Per-call overhead (register + view + parse) is ~1 ms, negligible
+    beyond ~10k rows.
     """
 
     def __init__(
