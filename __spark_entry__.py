@@ -1226,7 +1226,6 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from quality_spark.llm.multimodal import (
         as_media_column,
-        encode_bmp,
         extract_media_features,
     )
 
@@ -1250,64 +1249,44 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         neg1d.alias("px_max"),
     )
 
-    @pandas_udf("binary")
-    def make_bmp(ids: pd.Series) -> pd.Series:
-        import numpy as np
+    def make_img_udf(fmt: str):
+        """Synthetic constant-color image per doc_id, in either real
+        codec — ONE copy of the w/h/v formulas the oracle mirrors."""
+        from quality_spark.llm.multimodal import REAL_CODECS
 
-        out = []
-        for i in ids:
-            w, h, v = 4 + int(i) % 5, 3 + int(i) % 4, int(i) % 256
-            out.append(encode_bmp(np.full((h, w, 3), v, np.uint8)))
-        return pd.Series(out)
+        encode = REAL_CODECS[fmt][1]
 
-    bmps = as_media_column(
-        docs.select("doc_id", make_bmp("doc_id").alias("payload")),
-        "payload",
-        "image",
-        "bmp",
-    )
-    bfeats = extract_media_features(bmps, id_col="doc_id")
-    bmp_part = bfeats.select(
-        F.lit("bmp").alias("part"),
-        F.col("id").alias("doc_id"),
-        "n_bytes",
-        F.size("features").alias("dim"),
-        "width",
-        "height",
-        F.element_at("features", 3).cast("double").alias("px_mean"),
-        F.element_at("features", 8).cast("double").alias("px_max"),
-    )
+        @pandas_udf("binary")
+        def make(ids: pd.Series) -> pd.Series:
+            import numpy as np
 
-    @pandas_udf("binary")
-    def make_ppm(ids: pd.Series) -> pd.Series:
-        import numpy as np
+            out = []
+            for i in ids:
+                w, h, v = 4 + int(i) % 5, 3 + int(i) % 4, int(i) % 256
+                out.append(encode(np.full((h, w, 3), v, np.uint8)))
+            return pd.Series(out)
 
-        from quality_spark.llm.multimodal import encode_ppm
+        return make
 
-        out = []
-        for i in ids:
-            w, h, v = 4 + int(i) % 5, 3 + int(i) % 4, int(i) % 256
-            out.append(encode_ppm(np.full((h, w, 3), v, np.uint8)))
-        return pd.Series(out)
-
-    ppms = as_media_column(
-        docs.select("doc_id", make_ppm("doc_id").alias("payload")),
-        "payload",
-        "image",
-        "ppm",
-    )
-    pfeats = extract_media_features(ppms, id_col="doc_id")
-    ppm_part = pfeats.select(
-        F.lit("ppm").alias("part"),
-        F.col("id").alias("doc_id"),
-        "n_bytes",
-        F.size("features").alias("dim"),
-        "width",
-        "height",
-        F.element_at("features", 3).cast("double").alias("px_mean"),
-        F.element_at("features", 8).cast("double").alias("px_max"),
-    )
-    return text_part.unionByName(bmp_part).unionByName(ppm_part)
+    def img_part(fmt: str) -> DataFrame:
+        media = as_media_column(
+            docs.select("doc_id", make_img_udf(fmt)("doc_id").alias("payload")),
+            "payload",
+            "image",
+            fmt,
+        )
+        feats = extract_media_features(media, id_col="doc_id")
+        return feats.select(
+            F.lit(fmt).alias("part"),
+            F.col("id").alias("doc_id"),
+            "n_bytes",
+            F.size("features").alias("dim"),
+            "width",
+            "height",
+            F.element_at("features", 3).cast("double").alias("px_mean"),
+            F.element_at("features", 8).cast("double").alias("px_max"),
+        )
+    return text_part.unionByName(img_part("bmp")).unionByName(img_part("ppm"))
 
 
 def _oracle_media_features() -> str:

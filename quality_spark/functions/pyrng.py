@@ -346,7 +346,12 @@ def _pcg_init(algo: str, seed: int) -> Tuple[int, int]:
         state = (inc + initstate) & _M64  # state=0; step; += initstate
         state = (state * _PCG_MULT + inc) & _M64  # trailing step
         return state, inc
-    (word,) = _seed_state(seed, 1)
+    # raw SplitMix64 word, NOT _seed_state: its all-zero escape exists
+    # for linear engines' forbidden zero state, but `| 1` already
+    # guarantees a nonzero MCG state — applying the escape here would
+    # diverge from the documented "SplitMix64 word forced odd" contract
+    # for the one seed whose first SplitMix64 output is 0
+    word = int(_splitmix64_at(seed, np.arange(1, dtype=np.uint64))[0])
     return (word | 1) & _M64, 0  # MCG: odd state, no increment
 
 

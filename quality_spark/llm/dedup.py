@@ -132,12 +132,20 @@ def bucket_candidate_pairs(
             )
         ).alias("__p")
     )
-    return pairs.select(
-        F.col("__p.a.id").alias("id_a"),
-        F.col("__p.b.id").alias("id_b"),
-        *[F.col(f"__p.a.{c}").alias(f"{c}_a") for c in payload_cols],
-        *[F.col(f"__p.b.{c}").alias(f"{c}_b") for c in payload_cols],
-    ).dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs.select(
+            F.col("__p.a.id").alias("id_a"),
+            F.col("__p.b.id").alias("id_b"),
+            *[F.col(f"__p.a.{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.col(f"__p.b.{c}").alias(f"{c}_b") for c in payload_cols],
+        )
+        # strict guard, same as the replaced `a.id < b.id` join
+        # condition: duplicate ids in one bucket must NOT emit a
+        # self-pair (id, id), and a NULL id must never appear in a
+        # pair (NULL < x is NULL -> filtered)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def with_shingles(
@@ -461,6 +469,7 @@ def write_minhash_index(
     bands: int = 4,
     mode: str = "fast",
     partitions: Optional[int] = None,
+    save_mode: str = "overwrite",
 ) -> None:
     """Persist the exploded band signatures (id, band_idx, band_hash)
     as the corpus's standing near-dup index.
@@ -470,8 +479,8 @@ def write_minhash_index(
     time), and each new shard joins its own few signatures against the
     stored index instead of re-shingling 100 TB per ingest.  Rows are
     repartitioned by (band_idx, band_hash) before writing so index
-    files are bucket-clustered.  Append new shards with
-    ``mode='append'`` writers after deduping them (see
+    files are bucket-clustered.  Append a new shard's signatures to the
+    standing index with ``save_mode='append'`` after deduping it (see
     :func:`minhash_dedup_against_index`)."""
     sig = with_minhash(df, text_col, k, num_perm, bands, mode, id_col=id_col).select(
         F.col(id_col).alias("id"),
@@ -482,7 +491,7 @@ def write_minhash_index(
     out = sig.repartition(
         *([partitions] if partitions else []), F.col("band_idx"), F.col("band_hash")
     )
-    out.write.mode("overwrite").parquet(path)
+    out.write.mode(save_mode).parquet(path)
 
 
 def minhash_dedup_against_index(
@@ -495,6 +504,7 @@ def minhash_dedup_against_index(
     bands: int = 4,
     mode: str = "fast",
     within_batch: bool = True,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """(new_id, matched_id) candidate near-dup hits of a NEW batch:
     against the persisted corpus index, and (``within_batch``) among
@@ -506,9 +516,10 @@ def minhash_dedup_against_index(
     Scale shape: the new batch is tiny next to the corpus, so its
     exploded signatures BROADCAST to the index scan — the 100 TB index
     is probed in place with NO shuffle of the corpus (the plan shows a
-    BroadcastHashJoin over the index scan; at extreme batch sizes
-    Spark's size estimate falls back to a sort-merge join on the small
-    (band_idx, band_hash) keys, which is still ids-only).
+    BroadcastHashJoin over the index scan). The broadcast HINT is
+    honored unconditionally, so for a batch too large to broadcast
+    pass ``broadcast_batch=False`` and Spark plans a sort-merge join
+    on the small (band_idx, band_hash) keys instead — still ids-only.
     ``matched_id`` is NULL-free; within-batch hits keep id_a < id_b
     ordering convention in (new_id, matched_id)."""
     spark = new_df.sparkSession
@@ -521,9 +532,10 @@ def minhash_dedup_against_index(
         ).alias("band_idx", "band_hash"),
     ).filter(F.col("band_hash").isNotNull())
     index = spark.read.parquet(index_path)
+    probe = F.broadcast(new_sig) if broadcast_batch else new_sig
     vs_index = (
         index.join(
-            F.broadcast(new_sig),
+            probe,
             ["band_idx", "band_hash"],
         )
         .filter(F.col("id") != F.col("new_id"))

@@ -38,7 +38,9 @@ __all__ = ["RowProcessor", "DuckDBProcessor", "dq_factory"]
 def _parse_scalar_ddl(schema: str) -> list:
     """[(name, normalized_type)] from a Spark-style scalar DDL string
     ("x double, s string", optional ``name: type`` colon form,
-    ``decimal(p,s)`` kept verbatim). No SparkSession required."""
+    backtick-quoted names with spaces, ``decimal(p,s)`` kept
+    verbatim). No SparkSession required. Non-scalar types parse into a
+    type token the caller rejects with a clear error."""
     fields, depth, cur = [], 0, ""
     for ch in schema:
         if ch == "," and depth == 0:
@@ -54,14 +56,25 @@ def _parse_scalar_ddl(schema: str) -> list:
         f = f.strip()
         if not f:
             continue
-        if ":" in f.split("(")[0]:
-            name, typ = f.split(":", 1)
+        if f.startswith("`"):
+            end = f.find("`", 1)
+            if end < 0:
+                raise ValueError(f"unterminated backtick in DDL field {f!r}")
+            name, rest = f[1:end], f[end + 1 :].lstrip()
+            rest = rest[1:] if rest.startswith(":") else rest
         else:
-            parts = f.split(None, 1)
-            if len(parts) != 2:
+            # name ends at the first colon or whitespace OUTSIDE any
+            # bracket (a struct<a:int> colon must not split the field)
+            cut = next(
+                (i for i, ch in enumerate(f) if ch in ": \t" ), None
+            )
+            if cut is None:
                 raise ValueError(f"cannot parse DDL field {f!r}")
-            name, typ = parts
-        out.append((name.strip().strip("`"), typ.strip().lower().replace(" ", "")))
+            name, rest = f[:cut], f[cut + 1 :]
+        typ = rest.strip().lower().replace(" ", "")
+        if not name or not typ:
+            raise ValueError(f"cannot parse DDL field {f!r}")
+        out.append((name, typ))
     return out
 
 

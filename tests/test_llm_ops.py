@@ -754,3 +754,16 @@ def test_minhash_index_incremental_dedup(spark, sf_dir, tmp_path_factory):
         hits._jdf.queryExecution(), "simple"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucket_pairs_duplicate_and_null_ids(spark):
+    """Duplicate ids sharing a bucket must not emit a self-pair, and a
+    NULL id must never appear in any pair — the strict id_a < id_b
+    guard of the join form this replaced (code-review regression)."""
+    from quality_spark.llm.dedup import bucket_candidate_pairs
+
+    sig = spark.createDataFrame(
+        [(7, 1), (7, 1), (9, 1), (None, 1)], "id long, bkt int"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in bucket_candidate_pairs(sig, ("bkt",)).collect()}
+    assert got == {(7, 9)}

@@ -192,11 +192,12 @@ def test_duckdb_processor_truly_spark_free():
     NO SparkSession/SparkContext — the processor's core claim. (Spark 4
     made pyspark's DDL parser require an active session; this pins the
     self-contained parse.)"""
+    import os
     import subprocess
     import sys
 
-    code = r"""
-import sys; sys.path.insert(0, "/root/repo")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = f"import sys; sys.path.insert(0, {repo!r})\n" + r"""
 from pyspark.sql import SparkSession
 assert SparkSession.getActiveSession() is None
 from quality_spark import rule_suite
