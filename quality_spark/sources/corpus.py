@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -27,6 +27,8 @@ __all__ = [
     "read_partitioned_corpus",
     "write_bucketed_corpus",
     "bucketed_join",
+    "zorder_key",
+    "write_zordered",
 ]
 
 
@@ -96,6 +98,78 @@ def write_bucketed_corpus(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def _spread_bits_16(col: Column) -> Column:
+    """Interleave-ready bit spread: 16-bit value -> 32 bits with a zero
+    between every bit (Morton encoding step, all JVM bitwise ops inside
+    whole-stage codegen — no HOF loop, no UDF)."""
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zorder_key(cols: Sequence[Column], mins: Sequence[float], maxs: Sequence[float]) -> Column:
+    """Morton (Z-curve) key over 2 numeric columns, each min-max
+    normalized to 16 bits against the PROVIDED bounds (callers compute
+    them with one tiny agg — keeping this a pure Column expression).
+
+    Sorting by this key clusters rows so that BOTH columns' value
+    ranges are narrow within any contiguous run — which is what makes
+    parquet row-group min/max stats selective for filters on EITHER
+    column. Plain sort gives that for the leading column only."""
+    if len(cols) != 2 or len(mins) != 2 or len(maxs) != 2:
+        raise ValueError("zorder_key interleaves exactly 2 columns")
+    spread = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi) - float(lo)
+        norm = (
+            ((c.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(65535.0))
+            if span > 0
+            else F.lit(0.0)
+        )
+        q = F.least(F.greatest(norm, F.lit(0.0)), F.lit(65535.0)).cast("long")
+        spread.append(_spread_bits_16(q))
+    return spread[0].bitwiseOR(F.shiftleft(spread[1], 1)).alias("__z")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-ORDER clustered on two numeric columns — the
+    standard data-skipping layout at 100 TB: a reader filtering on
+    either column prunes most row groups from the footer min/max stats
+    alone, where an unsorted (or single-column-sorted) layout must scan
+    everything for the second column.
+
+    One tiny agg computes the normalization bounds; the write is
+    ``repartitionByRange`` on the Morton key (range exchange → files
+    cover disjoint z-ranges) + ``sortWithinPartitions`` (row groups
+    within a file cover disjoint sub-ranges). The key column is dropped
+    from the output — it exists only to order the write. Effectiveness
+    is pinned by test against the parquet footers
+    (tests/test_plans.py::test_zorder_write_prunes_row_groups)."""
+    a, b = cols
+    bounds = df.agg(
+        F.min(F.col(a).cast("double")), F.max(F.col(a).cast("double")),
+        F.min(F.col(b).cast("double")), F.max(F.col(b).cast("double")),
+    ).first()
+    z = zorder_key(
+        [F.col(a), F.col(b)], [bounds[0], bounds[2]], [bounds[1], bounds[3]]
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def bucketed_join(
