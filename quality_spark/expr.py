@@ -293,3 +293,22 @@ def is_lambda(text: str) -> bool:
         return True
     except ValueError:
         return False
+
+
+def sql_of_column(c) -> str:
+    """SQL text of a pyspark Column (or passthrough for str) — the ONE
+    canonical Column->SQL bridge (formerly duplicated in four modules).
+    Uses the JVM expression's .sql() when available; falls back to
+    parsing the "Column<\'expr\'>" repr (the only form Spark Connect
+    exposes)."""
+    from pyspark.sql import Column
+
+    if not isinstance(c, Column):
+        return str(c)
+    try:
+        return c._jc.expr().sql()  # type: ignore[attr-defined]
+    except Exception:
+        s = str(c)
+        if s.startswith("Column<'") and s.endswith("'>"):
+            return s[len("Column<'") : -2]
+        return s

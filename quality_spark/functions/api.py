@@ -20,19 +20,7 @@ from .macros import BUILTIN_MACROS
 ColumnOrName = Union[Column, str]
 
 
-def _sql_of(c: ColumnOrName) -> str:
-    if isinstance(c, Column):
-        # Column -> SQL text via its underlying expression
-        try:
-            return c._jc.expr().sql()  # type: ignore[attr-defined]
-        except Exception:
-            pass
-        s = str(c)
-        # "Column<'expr'>" repr
-        if s.startswith("Column<'") and s.endswith("'>"):
-            return s[len("Column<'") : -2]
-        return s
-    return str(c)
+from ..expr import sql_of_column as _sql_of  # canonical bridge
 
 
 def _macro(name: str, *cols: ColumnOrName) -> Column:

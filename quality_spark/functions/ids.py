@@ -300,11 +300,18 @@ def _rng(args):
     # (reference: RuleRegistrationFunctions.scala:362-376, default
     # XO_RO_SHI_RO_128_PP seed 0)
     if len(args) == 0:
-        u = "replace(uuid(), '-', '')"
-        return (
-            f"named_struct('lower', {_hex_to_long(u, 17)}, "
-            f"'higher', {_hex_to_long(u, 1)})"
+        # uuid4 strings carry FIXED nibbles (version at hex position
+        # 13, variant top bits at 17) — a 16-char window covering them
+        # would pin ~6 of the 128 output bits. Each conv below reads
+        # the first 8 hex chars (all clean) of its OWN uuid() eval
+        # (nondeterministic -> no subexpression merging), so the pair
+        # is a genuinely uniform 128 bits from four independent draws.
+        clean8 = (
+            "CAST(conv(substring(replace(uuid(), '-', ''), 1, 8), 16, 10) "
+            "AS BIGINT)"
         )
+        half = f"(({clean8} << 32) | {clean8})"
+        return f"named_struct('lower', {half}, 'higher', {half})"
     if len(args) > 2:
         raise _arity_error("rng", args, "0-2 ('ALGO'[, seed])")
     return _seeded_rng_sql(args, "rng")

@@ -43,7 +43,14 @@ _SQL_UDFS: List[Tuple[Sequence[str], List[Tuple[str, str]]]] = [
     (("soft_failed", "softFailed"), []),
     (("disabled_rule", "disabledRule"), []),
     (("probability",), [("x", "INT")]),
+    # soft_fail is POLYMORPHIC in rule text (boolean rule result OR a
+    # probability double passed through) but a SQL UDF is monomorphic:
+    # the bare name keeps the common boolean form, and the probability
+    # passthrough gets its own explicit name. Under Spark 4's default
+    # ANSI mode a double argument to the boolean form fails analysis
+    # loudly rather than coercing — use soft_fail_prob there.
     (("soft_fail", "softFail"), [("x", "BOOLEAN")]),
+    (("soft_fail_prob", "softFailProb"), [("x", "DOUBLE")]),
     (("pack_ints", "packInts"), [("i", "INT"), ("v", "INT")]),
     (("unpack",), [("l", "BIGINT")]),
     (("as_uuid", "asUuid"), [("lower", "BIGINT"), ("higher", "BIGINT")]),
@@ -71,7 +78,10 @@ def register_quality_functions(spark: SparkSession, prefix: str = "") -> List[st
     bare names would collide with existing catalog functions."""
     created: List[str] = []
     for names, params in _SQL_UDFS:
-        macro = BUILTIN_MACROS[names[0].lower()]
+        macro_name = names[0].lower()
+        if macro_name == "soft_fail_prob":
+            macro_name = "soft_fail"  # same macro, double-typed surface
+        macro = BUILTIN_MACROS[macro_name]
         body = macro(tuple(p for p, _ in params))
         sig = ", ".join(f"{p} {ddl}" for p, ddl in params)
         for name in names:

@@ -46,7 +46,7 @@ def _salience_ordered(
     return sorted(rows, key=lambda x: x[3])
 
 
-def _output_sql(suite: RuleSuite, rule: Rule) -> str:
+def _output_sql(suite: RuleSuite, rule: Rule, reg=None) -> str:
     from ..plans.outputs import PlainOutput
 
     if rule.run_on_pass is None or rule.run_on_pass.output is None:
@@ -54,7 +54,8 @@ def _output_sql(suite: RuleSuite, rule: Rule) -> str:
             f"rule {rule.id} has no output expression; every rule of a "
             "rule-engine suite needs a RunOnPassProcessor"
         )
-    reg = registry_for(suite)
+    if reg is None:
+        reg = registry_for(suite)
     text = expand_sql(rule.run_on_pass.output.rule, reg)
     out = parse_output(text)
     if not isinstance(out, PlainOutput):
@@ -79,7 +80,10 @@ def rule_engine_runner(
     dq = _assemble(suite, enc_by_set, with_suite_overall=True)
 
     ordered = _salience_ordered(suite, enc_by_set)
-    out_sqls = [_output_sql(suite, r) for _, r, _, _ in ordered]
+    # registry built ONCE: registry_for re-parses every lambda of the
+    # suite, so calling it per rule is rules x lambdas redundant parses
+    reg = registry_for(suite)
+    out_sqls = [_output_sql(suite, r, reg) for _, r, _, _ in ordered]
 
     cast_ddl: Optional[str] = None
     if result_ddl is not None:
@@ -111,11 +115,17 @@ def rule_engine_runner(
     result: Column
     if debug_mode:
         triggers = [F.expr(enc) == PASSED_INT for _, _, enc, _ in ordered]
+        # each output is guarded by ITS OWN trigger, exactly like the
+        # flat CASE in normal mode: an output expression that is only
+        # safe when its trigger passed (x div y with trigger y != 0)
+        # must not be eagerly evaluated on every row just because
+        # debug mode materializes all entries pre-filter — under ANSI
+        # mode that would crash a suite that runs clean in production
         entries = [
             F.struct(
                 F.lit(sal).cast("int").alias("salience"),
                 trig.alias("_passed"),
-                out_col(sql).alias("result"),
+                F.when(trig, out_col(sql)).alias("result"),
             )
             for (rs, r, enc, sal), trig, sql in zip(ordered, triggers, out_sqls)
         ]

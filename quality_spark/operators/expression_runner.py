@@ -156,9 +156,29 @@ def add_expression_runner(
             out_cols.append(F.col(f"_p{i}"))
         else:
             out_cols.append(F.expr(sql))
-    types = [
-        joined.select(c.alias("_t")).schema.fields[0].dataType for c in out_cols
-    ]
+    # ONE batched analysis for all result types — a per-rule
+    # joined.select costs a full analysis of the cross-joined plan per
+    # rule (the per-rule driver cost runner.py measured in the tens of
+    # seconds at large suites). Analysis failures here are the
+    # placeholder-mixing case (a rule combining a lifted placeholder
+    # with OTHER aggregate fragments evaluates as a plain select over
+    # the 1-row joined frame) — surface the guided error, not a bare
+    # MISSING_GROUP_BY.
+    try:
+        types = [
+            f.dataType
+            for f in joined.select(
+                *[c.alias(f"_t{i}") for i, c in enumerate(out_cols)]
+            ).schema.fields
+        ]
+    except Exception as e:
+        raise RuleCompilationError(
+            f"expression suite {suite.id}: a rule mixing a lifted "
+            f"aggregate placeholder with other aggregate fragments in "
+            f"one expression cannot be evaluated (wrap the whole rule "
+            f"in a single agg_expr/map_with, or split it into separate "
+            f"rules): {e}"
+        ) from e
     return joined.select(
         _assemble_struct(suite, rules, out_cols, types, ddl_type, render).alias(name)
     )
@@ -209,14 +229,7 @@ def _assemble_struct(
     )
 
 
-def _col_sql(c: Column) -> str:
-    try:
-        return c._jc.expr().sql()  # type: ignore[attr-defined]
-    except Exception:
-        s = str(c)
-        if s.startswith("Column<'") and s.endswith("'>"):
-            return s[len("Column<'") : -2]
-        return s
+from ..expr import sql_of_column as _col_sql  # canonical bridge
 
 
 def strip_result_ddl(col: Union[Column, str]) -> Column:

@@ -28,14 +28,7 @@ from .runner import _assemble
 __all__ = ["rule_folder_runner", "add_folder", "fold_and_replace_fields"]
 
 
-def _sql_of_column(c: Column) -> str:
-    try:
-        return c._jc.expr().sql()  # type: ignore[attr-defined]
-    except Exception:
-        s = str(c)
-        if s.startswith("Column<'") and s.endswith("'>"):
-            return s[len("Column<'") : -2]
-        return s
+from ..expr import sql_of_column as _sql_of_column  # canonical bridge
 
 
 def rule_folder_runner(
@@ -69,6 +62,14 @@ def rule_folder_runner(
         if not isinstance(probed, T.StructType):
             raise ValueError("starting_struct must evaluate to a struct")
         schema, ddl = probed, probed.simpleString()
+    elif debug_mode:
+        # the debug zero interpolates the accumulator DDL into a CAST;
+        # without it the SQL would contain the literal text 'None' and
+        # die in the parser with no hint at the real cause
+        raise ValueError(
+            "debug_mode needs the accumulator type: pass df= (to probe "
+            "it from starting_struct) or use_type="
+        )
 
     enc_by_set = _trigger_encs(suite, df)
     dq = _assemble(suite, enc_by_set, with_suite_overall=True)

@@ -212,14 +212,7 @@ def lookup_join(
     return df.join(d, df[key] == d["__k"], "left").drop("__k")
 
 
-def _col_sql(c: Column) -> str:
-    try:
-        return c._jc.expr().sql()  # type: ignore[attr-defined]
-    except Exception:
-        s = str(c)
-        if s.startswith("Column<'") and s.endswith("'>"):
-            return s[len("Column<'") : -2]
-        return s
+from ..expr import sql_of_column as _col_sql  # canonical bridge
 
 
 # ---------------------------------------------------------------------------

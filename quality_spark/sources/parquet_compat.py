@@ -25,14 +25,20 @@ def _nanos_columns(path: str) -> List[str]:
 
     p = path
     if os.path.isdir(p):
-        files = [
-            os.path.join(p, f)
-            for f in sorted(os.listdir(p))
-            if f.endswith(".parquet")
-        ]
-        if not files:
+        # recurse: hive-partitioned layouts (lang=en/part-*.parquet)
+        # keep their data files in subdirectories
+        first = None
+        for root, dirs, files in os.walk(p):
+            dirs.sort()
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    first = os.path.join(root, f)
+                    break
+            if first:
+                break
+        if first is None:
             return []
-        p = files[0]
+        p = first
     schema = pq.read_schema(p)
     return [
         f.name
@@ -47,8 +53,21 @@ def read_parquet_compat(spark: SparkSession, path: str) -> DataFrame:
     nanos = _nanos_columns(path)
     if not nanos:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        # schema inference happens HERE (eagerly) and the inferred
+        # long schema sticks to the DataFrame, so the conf can be
+        # restored immediately — leaving it set would silently turn
+        # every later plain spark.read.parquet of a nanos file into
+        # raw-long columns with no diagnostic (pinned by test)
+        df = spark.read.parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
     # pyarrow also reports INT96 timestamps as timestamp[ns], but Spark
     # reads those natively — only convert columns Spark surfaced as longs.
     long_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"}

@@ -297,3 +297,21 @@ def test_folder_300_rules_compiles_and_runs(orders):
     assert compiled < 30, f"300-rule folder compile took {compiled:.1f}s"
     row = df.filter(F.col("o_totalprice") > n).select("fold.result.x").first()
     assert row["x"] == n  # all folds triggered; the last one wins
+
+
+def test_debug_mode_outputs_stay_trigger_guarded(spark):
+    """debug_mode must not eagerly evaluate outputs whose trigger did
+    not pass — `a div b` with trigger `b != 0` would crash under ANSI
+    the moment debugging is turned on (code-review regression)."""
+    df = spark.createDataFrame([(10, 2), (10, 0)], "a long, b long")
+    suite = engine_suite(
+        (77, 1),
+        [((1, 1), [
+            engine_rule((1, 1), "b != 0", 10, "a div b"),
+            engine_rule((2, 1), "b = 0", 20, "CAST(-1 AS BIGINT)"),
+        ])],
+    )
+    out = add_rule_engine(df, suite, result_ddl="bigint", debug_mode=True)
+    rows = {r["b"]: r["ruleEngine"]["result"] for r in out.collect()}
+    assert [(e["salience"], e["result"]) for e in rows[2]] == [(10, 5)]
+    assert [(e["salience"], e["result"]) for e in rows[0]] == [(20, -1)]

@@ -43,3 +43,31 @@ def test_nanos_truncate_exact(spark, nanos_parquet):
     # exact floor-division truncation, no float rounding
     assert got_us[1] == NS_BAD // 1000
     assert got_us[2] == (NS_BAD + 1104) // 1000
+
+
+def test_compat_read_restores_session_conf(spark, nanos_parquet):
+    """read_parquet_compat must not leak nanosAsLong into the session:
+    a later PLAIN read of a nanos file should still fail loudly rather
+    than silently surfacing raw-long columns (code-review regression).
+    The compat frame itself stays readable after restore — the long
+    schema is inferred eagerly and sticks."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    df = read_parquet_compat(spark, nanos_parquet)
+    assert spark.conf.get(key, None) in (None, "false")
+    assert df.count() > 0  # still executable after the conf restore
+    with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL|Illegal Parquet type"):
+        spark.read.parquet(nanos_parquet).collect()
+
+
+def test_nanos_detected_in_partitioned_layout(spark, tmp_path):
+    """Footer probe must find data files nested under hive partition
+    directories, not just at the top level."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "corpus"
+    (root / "lang=en").mkdir(parents=True)
+    t = pa.table({"ts": pa.array([123_456_789], type=pa.timestamp("ns"))})
+    pq.write_table(t, str(root / "lang=en" / "part-0.parquet"))
+    df = read_parquet_compat(spark, str(root))
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"

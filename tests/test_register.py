@@ -71,3 +71,16 @@ def test_prefix_namespacing(spark):
     names = register_quality_functions(spark, prefix="q_")
     assert "q_passed" in names
     assert spark.sql("SELECT q_passed()").collect()[0][0] == PASSED_INT
+
+
+def test_soft_fail_prob_passthrough(spark):
+    """The double-typed SQL surface passes probabilities through
+    unchanged (the boolean form would coerce or reject them)."""
+    from quality_spark.functions.register import register_quality_functions
+
+    register_quality_functions(spark, prefix="t2_")
+    row = spark.sql(
+        "SELECT t2_soft_fail_prob(0.9) AS a, t2_softFailProb(-2.0) AS b, "
+        "t2_soft_fail(1 > 2) AS c, t2_softFail(2 > 1) AS d"
+    ).first()
+    assert (row["a"], row["b"], row["c"], row["d"]) == (0.9, -2.0, -1.0, 1.0)
