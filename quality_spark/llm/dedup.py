@@ -42,17 +42,26 @@ def tokens_sql(text: str, dialect: str) -> str:
 
 
 def shingles_sql(text: str, k: int, dialect: str) -> str:
-    """Distinct word k-gram strings (set semantics for Jaccard)."""
+    """Distinct word k-gram strings (set semantics for Jaccard).
+
+    A doc with NO tokens (empty/whitespace-only text) gets an EMPTY
+    set — NOT a single '' shingle. The '' form gave every such doc an
+    identical minhash signature, collapsing all of them into ONE
+    constant LSH bucket per band: the exact quadratic candidate
+    blow-up the NULL-text guard exists to prevent, triggered by the
+    most common degenerate rows in a scrubbed web corpus."""
     toks = tokens_sql(text, dialect)
     if dialect == "spark":
-        return (
+        body = (
             f"array_distinct(transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
             f"i -> array_join(slice({toks}, i, {k}), ' ')))"
         )
-    return (
+        return f"(CASE WHEN size({toks}) = 0 THEN array() ELSE {body} END)"
+    body = (
         f"list_distinct(list_transform(range(1, greatest(len({toks}) - {k - 1}, 1) + 1), "
         f"i -> array_to_string({toks}[i:i+{k - 1}], ' ')))"
     )
+    return f"(CASE WHEN len({toks}) = 0 THEN []::VARCHAR[] ELSE {body} END)"
 
 
 def shingles_from_tokens_sql(toks_col: str, k: int) -> str:
@@ -64,10 +73,13 @@ def shingles_from_tokens_sql(toks_col: str, k: int) -> str:
     the two-step form).  Callers should project the token array in one
     select, then this in the next — CollapseProject keeps expensive
     multi-referenced expressions in their own Project."""
-    return (
+    body = (
         f"array_distinct(transform(sequence(1, greatest(size({toks_col}) - {k - 1}, 1)), "
         f"i -> array_join(slice({toks_col}, i, {k}), ' ')))"
     )
+    # same empty-tokens guard as shingles_sql (see its docstring);
+    # cheap here because the token array is a materialized column
+    return f"(CASE WHEN size({toks_col}) = 0 THEN array() ELSE {body} END)"
 
 
 def bucket_candidate_pairs(

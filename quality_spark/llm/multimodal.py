@@ -264,10 +264,22 @@ def extract_media_features(
                 p = p if p is not None else b""
                 codec = REAL_CODECS.get((fmt or "").lower())
                 if codec is not None:
-                    img = codec[0](p)
-                    feats.append(_bmp_features(img, dim))
-                    heights.append(img.shape[0])
-                    widths.append(img.shape[1])
+                    # corrupt/NULL payloads DEGRADE (NaN features,
+                    # NULL dims), never abort: one bad row in a
+                    # corpus-scale batch must not kill the job after
+                    # exhausting task retries
+                    try:
+                        img = codec[0](p)
+                    except ValueError:
+                        feats.append(
+                            np.full(dim, np.nan, dtype=np.float32)
+                        )
+                        widths.append(None)
+                        heights.append(None)
+                    else:
+                        feats.append(_bmp_features(img, dim))
+                        heights.append(img.shape[0])
+                        widths.append(img.shape[1])
                 else:
                     feats.append(_fake_decode_features(p, dim))
                     widths.append(None)
@@ -377,8 +389,15 @@ def resize_media(
                 codec = REAL_CODECS.get((m.get("format") or "").lower())
                 if codec is not None:
                     # REAL path: decode, nearest-neighbor resample,
-                    # re-encode in the same format
-                    img = codec[0](p)
+                    # re-encode in the same format. Corrupt/NULL
+                    # payloads pass through unchanged with their
+                    # original metadata — degrade, never abort the job
+                    try:
+                        img = codec[0](p)
+                    except ValueError:
+                        out["id"].append(rid)
+                        out["media"].append({"payload": p, "meta": m})
+                        continue
                     h0, w0 = img.shape[:2]
                     w, h = _fit(w0, h0)
                     ys = (np.arange(h) * h0 // h).astype(np.intp)

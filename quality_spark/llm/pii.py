@@ -42,16 +42,34 @@ def _token(name: str) -> str:
     return f"<{name.upper()}>"
 
 
+def _staged_counts(
+    text_col: str, pats: Dict[str, str]
+) -> Dict[str, Column]:
+    """Per-pattern counts over PROGRESSIVELY-REDACTED text: pattern i
+    counts matches in the text with patterns < i already replaced —
+    exactly what :func:`redact_pii` redacts, so counts and redaction
+    agree. Counting every pattern on the ORIGINAL text double-counts
+    one item matching two patterns (an email whose local part embeds a
+    phone-shaped digit run) and can fail a max_pii_total filter for a
+    single real item."""
+    col: Column = F.col(text_col)
+    out: Dict[str, Column] = {}
+    for name, p in pats.items():
+        out[name] = F.regexp_count(col, F.lit(p)).cast("int")
+        col = F.regexp_replace(col, F.lit(p), F.lit(_token(name)))
+    return out
+
+
 def pii_total_col(
     text_col: str = "text", patterns: Optional[Dict[str, str]] = None
 ) -> Column:
     """Total PII match count as one Column — THE single definition of
     the total, shared by :func:`with_pii_stats` and the filter
-    pipeline."""
+    pipeline. Counts follow the staged-redaction semantics of
+    :func:`_staged_counts`."""
     pats = patterns or DEFAULT_PATTERNS
     total = None
-    for p in pats.values():
-        c = F.regexp_count(F.col(text_col), F.lit(p))
+    for c in _staged_counts(text_col, pats).values():
         total = c if total is None else total + c
     return total.cast("int")
 
@@ -65,8 +83,7 @@ def with_pii_stats(
     pattern, plus ``pii_total``)."""
     pats = patterns or DEFAULT_PATTERNS
     counts = {
-        f"{name}_count": F.regexp_count(F.col(text_col), F.lit(p)).cast("int")
-        for name, p in pats.items()
+        f"{name}_count": c for name, c in _staged_counts(text_col, pats).items()
     }
     return df.select(
         "*",
@@ -91,10 +108,17 @@ def redact_pii(
 
 
 def pii_count_oracle(text_expr: str, name: str, patterns: Optional[Dict[str, str]] = None) -> str:
-    """DuckDB count twin (RE2): same pattern text, single-quote escaped."""
+    """DuckDB count twin (RE2): same pattern text, single-quote
+    escaped, over the SAME progressively-redacted text the Spark
+    counts use (patterns before ``name`` already replaced)."""
     pats = patterns or DEFAULT_PATTERNS
-    p = pats[name].replace("'", "''")
-    return f"len(regexp_extract_all({text_expr}, '{p}'))"
+    staged = text_expr
+    for n, p in pats.items():
+        esc = p.replace("'", "''")
+        if n == name:
+            return f"len(regexp_extract_all({staged}, '{esc}'))"
+        staged = f"regexp_replace({staged}, '{esc}', '{_token(n)}', 'g')"
+    raise KeyError(name)
 
 
 def pii_redact_oracle(text_expr: str, patterns: Optional[Dict[str, str]] = None) -> str:

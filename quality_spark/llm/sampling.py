@@ -26,27 +26,48 @@ _DENOM = 1_000_000
 
 
 def sample_cond_sql(
-    key_sql: str, rate: float, seed: int, dialect: str = "spark"
+    key_sql: str, rate: float, seed: int, dialect: str = "spark",
+    complement: bool = False,
 ) -> str:
-    """Boolean SQL: keep iff hash60("{seed}:"||key) % 1e6 < rate*1e6."""
+    """Boolean SQL: keep iff hash60("{seed}:"||key) % 1e6 < rate*1e6
+    (``complement=True`` keeps exactly the rows the plain form drops).
+
+    NULL keys hash as the literal string '<NULL>' rather than making
+    the whole condition NULL — otherwise every NULL-key row would be
+    silently dropped from BOTH sides of a split, even at rate=1.0."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     if dialect == "spark":
-        key = f"concat('{seed}', ':', CAST(({key_sql}) AS STRING))"
+        key = (
+            f"concat('{seed}', ':', "
+            f"coalesce(CAST(({key_sql}) AS STRING), '<NULL>'))"
+        )
     else:
-        key = f"('{seed}' || ':' || CAST(({key_sql}) AS VARCHAR))"
+        key = (
+            f"('{seed}' || ':' || "
+            f"coalesce(CAST(({key_sql}) AS VARCHAR), '<NULL>'))"
+        )
     h = hash60_sql(key, dialect, "portable")
-    return f"(({h}) % {_DENOM}) < {int(round(rate * _DENOM))}"
+    cut = int(round(rate * _DENOM))
+    op = ">=" if complement else "<"
+    return f"(({h}) % {_DENOM}) {op} {cut}"
 
 
 def hash_sample(
-    df: DataFrame, rate: float, key_col: str, seed: int = 0
+    df: DataFrame, rate: float, key_col: str, seed: int = 0,
+    complement: bool = False,
 ) -> DataFrame:
     """Keep a deterministic ``rate`` fraction keyed by ``key_col``.
 
-    Disjoint seeds give independent samples; ``1 - rate`` of the same
-    seed gives the exact complement (train/test splits)."""
-    return df.filter(F.expr(sample_cond_sql(key_col, rate, seed, "spark")))
+    Train/test splits: ``train = hash_sample(df, 0.9, k)`` and
+    ``test = hash_sample(df, 0.9, k, complement=True)`` — the
+    complement keeps EXACTLY the rows the plain call drops. (Two
+    plain calls at rates r and 1-r do NOT complement each other: both
+    keep prefix intervals of the same hash, so the smaller is a
+    subset of the larger.) Disjoint seeds give independent samples."""
+    return df.filter(
+        F.expr(sample_cond_sql(key_col, rate, seed, "spark", complement))
+    )
 
 
 def stratified_hash_sample(

@@ -129,9 +129,19 @@ def signature_sql(
             one = f"CAST({1 << p} AS BIGINT)"
         else:
             lit = "[" + ", ".join(str(w) for w in ws[p]) + "]"
-            proj = (
+            raw = (
                 f"list_sum(list_transform(range(1, {dims} + 1), "
                 f"i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i]))"
+            )
+            # NULL-propagation parity with the Spark fold: Spark's
+            # aggregate() NULLs the whole projection when the vector is
+            # shorter than dims (zip_with NULL-pads) or has a NULL
+            # element, sending every bit to 0 — DuckDB's list_sum would
+            # silently SKIP the NULLs and emit partial-dot bits instead
+            proj = (
+                f"(CASE WHEN len({vec}) >= {dims} AND "
+                f"len(list_filter({vec}[1:{dims}], x -> x IS NULL)) = 0 "
+                f"THEN {raw} ELSE NULL END)"
             )
             one = f"CAST({1 << p} AS BIGINT)"
         bits.append(f"(CASE WHEN ({proj}) > 0 THEN {one} ELSE 0 END)")

@@ -88,14 +88,25 @@ def text_stats_sqls(
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    sqls = text_stats_sqls(text_col, "spark")
-    return df.select("*", *[F.expr(s).alias(n) for n, s in sqls.items()])
+    # two-step: stage the token array once, then the stats reference
+    # the COLUMN — inlined, the regex split re-evaluates once per
+    # reference (~4x here; see dedup.shingles_from_tokens_sql)
+    staged = df.select(
+        "*", F.expr(_tokens_sql(text_col, "spark")).alias("__qs_toks")
+    )
+    sqls = text_stats_sqls(text_col, "spark", toks_override="__qs_toks")
+    return staged.select(
+        "*", *[F.expr(s).alias(n) for n, s in sqls.items()]
+    ).drop("__qs_toks")
 
 
-def lang_id_sql(text: str, dialect: str) -> str:
+def lang_id_sql(text: str, dialect: str, toks_override: str = None) -> str:
     """Argmax of per-language stopword-hit scores; ties break to the
-    alphabetically-first language (strict > scan in fixed order)."""
-    toks = _tokens_sql(text, dialect)
+    alphabetically-first language (strict > scan in fixed order).
+    ``toks_override`` names a materialized token-array column — the
+    pairwise CASE references each score ~|langs| times, so the inlined
+    tokenizer would re-split the text ~20x per row."""
+    toks = toks_override or _tokens_sql(text, dialect)
     scores = {
         lang: _stop_hits_sql(toks, words, dialect)
         for lang, words in sorted(STOPWORDS.items())
@@ -112,7 +123,12 @@ def lang_id_sql(text: str, dialect: str) -> str:
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
-    return df.select("*", F.expr(lang_id_sql(text_col, "spark")).alias(out))
+    staged = df.select(
+        "*", F.expr(_tokens_sql(text_col, "spark")).alias("__qs_toks")
+    )
+    return staged.select(
+        "*", F.expr(lang_id_sql(text_col, "spark", "__qs_toks")).alias(out)
+    ).drop("__qs_toks")
 
 
 def fingerprint_sql(text: str, dialect: str) -> str:

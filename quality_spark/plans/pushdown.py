@@ -85,7 +85,7 @@ _B64_EQ_REV_RE = re.compile(
 )
 
 
-def _id_struct_sql(arg: str, b64: str):
+def _id_struct_sql(arg: str, b64: str, op: str = "="):
     """Decode an id_base64 literal (big-endian base:int32 + payload
     longs) into per-field comparisons on the id struct — nested-field
     predicates push down to parquet (IDBase64Filter analogue). Returns
@@ -103,6 +103,15 @@ def _id_struct_sql(arg: str, b64: str):
     longs = structlib.unpack(f">{(len(raw) - 4) // 8}q", raw[4:])
     a = arg.strip()
     fields = [f"({a}).base"] + [f"({a}).i{i}" for i in range(len(longs))]
+    if op == "<=>":
+        # <=> source semantics: a NULL id compares FALSE, so the
+        # per-field form must use <=> too — adding the NULL-repair
+        # guard here would return NULL where the original returns
+        # FALSE (e.g. under NOT(...) that silently flips row fate)
+        parts = [f"({a}).base <=> {base}"] + [
+            f"({a}).i{i} <=> {v}L" for i, v in enumerate(longs)
+        ]
+        return "(" + " AND ".join(parts) + ")"
     parts = [f"({a}).base = {base}"] + [
         f"({a}).i{i} = {v}L" for i, v in enumerate(longs)
     ]
@@ -134,11 +143,11 @@ def rewrite_encoded_filters(sql: str) -> str:
         return f"({ors} OR {_null_guard([lower_arg, higher_arg])})"
 
     def b64_eq(m: "re.Match") -> str:
-        got = _id_struct_sql(m.group(1), m.group(3))
+        got = _id_struct_sql(m.group(1), m.group(3), m.group(2))
         return got if got is not None else m.group(0)
 
     def b64_eq_rev(m: "re.Match") -> str:
-        got = _id_struct_sql(m.group(3), m.group(1))
+        got = _id_struct_sql(m.group(3), m.group(1), m.group(2))
         return got if got is not None else m.group(0)
 
     out = _IN_RE.sub(in_list, sql)

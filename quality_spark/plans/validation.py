@@ -204,6 +204,18 @@ def expression_attributes(sql: str) -> Set[str]:
     out: Set[str] = set()
     lambda_params: Set[str] = set()
     for i, t in enumerate(tokens):
+        # backquoted identifiers (`my col`) ARE column references —
+        # invisible here, process_if_attribute_missing would treat
+        # their columns as always-present and pick an alternative that
+        # later fails analysis
+        if t.kind == "bq":
+            k = i - 1
+            while k >= 0 and tokens[k].kind in ("ws", "comment"):
+                k -= 1
+            if k >= 0 and tokens[k].kind == "op" and tokens[k].text == ".":
+                continue  # qualified tail: a.`my col`
+            out.add(t.text.strip("`"))
+            continue
         if t.kind != "ident" or t.text.lower() in SQL_KEYWORDS:
             continue
         k = i - 1

@@ -228,7 +228,25 @@ def dedup_against_store(
         hashed = hashed.dropDuplicates(join_cols)
         try:
             seen = spark.read.parquet(store_path).select(*join_cols)
-            fresh = hashed.join(seen, join_cols, "left_anti")
+            if hash_only:
+                fresh = hashed.join(seen, join_cols, "left_anti")
+            else:
+                # NULL-SAFE equality in exact mode: a plain column-list
+                # anti-join never matches a stored NULL key, so a row
+                # with any NULL key column would be re-emitted (and its
+                # key re-appended) every single batch. hash mode is
+                # immune — xxhash64(NULL) is a concrete value.
+                from functools import reduce
+
+                a, b = hashed.alias("__qs_new"), seen.alias("__qs_seen")
+                cond = reduce(
+                    lambda x, y: x & y,
+                    [
+                        F.col(f"__qs_new.{c}").eqNullSafe(F.col(f"__qs_seen.{c}"))
+                        for c in join_cols
+                    ],
+                )
+                fresh = a.join(b, cond, "left_anti")
         except AnalysisException:
             # ONLY the genuine first batch (store path not yet created)
             # may skip the anti-join; any other read failure must fail

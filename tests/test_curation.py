@@ -344,3 +344,22 @@ def test_filter_documents_round3_stages(spark):
         ).collect()
     }
     assert out == {1: None, 2: "repetition", 3: "pii", 4: "blocked_domain"}
+
+
+def test_pii_counts_match_redaction_semantics(spark):
+    """One item matching two patterns counts ONCE: the phone-shaped
+    digit run inside an email's local part must not be double-counted
+    (code-review regression) — counts agree with what redact_pii
+    actually redacts."""
+    from quality_spark.llm.pii import redact_pii, with_pii_stats
+
+    df = spark.createDataFrame(
+        [(1, "contact 555-123-4567@example.com today")],
+        "doc_id long, text string",
+    )
+    r = with_pii_stats(df).collect()[0]
+    assert r["email_count"] == 1
+    assert r["phone_count"] == 0  # consumed by the email redaction
+    assert r["pii_total"] == 1
+    red = redact_pii(df).collect()[0]["text_redacted"]
+    assert red == "contact <EMAIL> today"

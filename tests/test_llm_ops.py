@@ -767,3 +767,58 @@ def test_bucket_pairs_duplicate_and_null_ids(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in bucket_candidate_pairs(sig, ("bkt",)).collect()}
     assert got == {(7, 9)}
+
+
+def test_media_corrupt_payload_degrades_not_aborts(spark):
+    """One corrupt or NULL payload in a real-codec batch must degrade
+    (NaN features / passthrough resize), never abort the job
+    (code-review regression)."""
+    import math
+
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        as_media_column,
+        decode_bmp,
+        encode_bmp,
+        extract_media_features,
+        resize_media,
+    )
+
+    good = encode_bmp(np.full((3, 4, 3), 9, np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a bitmap")), (3, None)],
+        "doc_id int, payload binary",
+    )
+    media = as_media_column(df, "payload", "image", "bmp")
+    feats = {r["id"]: r for r in extract_media_features(media, id_col="doc_id").collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (4, 3)
+    for bad in (2, 3):
+        assert feats[bad]["width"] is None and feats[bad]["height"] is None
+        # Arrow may surface NaN floats as nulls; both mean "no value"
+        assert all(v is None or math.isnan(v) for v in feats[bad]["features"])
+    out = {r["id"]: r["media"] for r in resize_media(media, 2, 2).collect()}
+    assert (decode_bmp(bytes(out[1]["payload"])).shape[1]) == 2  # resized
+    assert bytes(out[2]["payload"]) == b"not a bitmap"  # passthrough
+
+
+def test_empty_text_docs_do_not_share_a_bucket(spark):
+    """Empty/whitespace-only docs must yield EMPTY shingle sets (mh
+    NULL, no bands) — with the former single-''-shingle form every
+    such doc shared one constant LSH bucket per band, the quadratic
+    blow-up the NULL-text guard already prevented for NULLs
+    (code-review regression)."""
+    from quality_spark.llm.dedup import minhash_lsh_pairs, with_minhash
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t\n"), (4, "real shared text here"),
+         (5, "real shared text here")],
+        "doc_id long, text string",
+    )
+    sig = with_minhash(df, k=2, num_perm=8, bands=2, mode="portable")
+    empty = sig.filter(F.col("doc_id") <= 3).select("band_0", "band_1").collect()
+    assert all(r["band_0"] is None and r["band_1"] is None for r in empty)
+    pairs = minhash_lsh_pairs(
+        df, k=2, num_perm=8, bands=2, threshold=0.5, mode="portable"
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(4, 5)}

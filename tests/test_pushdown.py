@@ -131,3 +131,27 @@ def test_id_base64_bad_literal_untouched():
     # well-formed base64 but wrong length: left alone
     s2 = "id_base64(x) = 'QUJD'"
     assert rewrite_encoded_filters(s2) == s2
+
+
+def test_id_base64_null_safe_eq_matches_source(spark):
+    """id_base64(f) <=> 'lit' must stay FALSE (not NULL) for NULL ids
+    after the pushdown rewrite — NOT(...) over it flips row fate if
+    the guard wrongly NULLs it (code-review regression)."""
+    import base64
+    import struct as structlib
+
+    from quality_spark.plans.pushdown import rewrite_encoded_filters
+
+    lit = base64.b64encode(structlib.pack(">iqq", 7, 1, 2)).decode()
+    df = spark.createDataFrame(
+        [(1, 7, 1, 2), (2, None, None, None)],
+        "row long, base int, i0 long, i1 long",
+    ).selectExpr(
+        "row",
+        "CASE WHEN base IS NULL THEN NULL ELSE "
+        "named_struct('base', base, 'i0', i0, 'i1', i1) END AS fid",
+    )
+    sql = rewrite_encoded_filters(f"NOT (id_base64(fid) <=> '{lit}')")
+    assert "<=>" in sql and "id_base64" not in sql
+    kept = {r["row"] for r in df.filter(sql).collect()}
+    assert kept == {2}  # NULL id: <=> is FALSE, NOT(FALSE) keeps it

@@ -146,3 +146,22 @@ def test_text_stats_empty_doc_no_ansi_crash(spark):
     assert rows[1]["stopword_ratio"] is None
     assert rows[2]["avg_token_len"] is None
     assert rows[4]["token_count"] == 3
+
+
+def test_hash_sample_complement_and_null_keys(spark):
+    """complement=True partitions exactly; NULL keys land
+    deterministically on one side instead of vanishing from both
+    (code-review regression)."""
+    from quality_spark.llm.sampling import hash_sample
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)] + [(None,)], "k long"
+    )
+    train = hash_sample(df, 0.7, "k", seed=3)
+    test = hash_sample(df, 0.7, "k", seed=3, complement=True)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 201  # exact partition incl. the NULL row
+    both = train.join(test, train["k"].eqNullSafe(test["k"]), "inner")
+    assert both.count() == 0
+    # rate=1.0 keeps EVERY row, NULL key included
+    assert hash_sample(df, 1.0, "k").count() == 201

@@ -313,3 +313,27 @@ def test_dedup_against_store_exact_mode_uses_real_keys(spark, tmp_path):
     b2 = spark.createDataFrame([("b", 4), ("c", 5)], "k string, v int")
     handler(b2, 1)
     assert emitted == ["c"]  # store anti-join on the key itself
+
+
+def test_dedup_against_store_exact_mode_null_keys(spark, tmp_path):
+    """Exact mode must treat a stored NULL key as seen: without the
+    null-safe anti-join a NULL-key row is re-emitted and re-appended
+    on every later batch (code-review regression)."""
+    from quality_spark.streaming.recipes import dedup_against_store
+
+    store = str(tmp_path / "store")
+    delivered = []
+
+    def sink(df, epoch):
+        delivered.append({(r["k"], r["v"]) for r in df.collect()})
+
+    handle = dedup_against_store(store, ["k"], sink, hash_only=False)
+    b1 = spark.createDataFrame([(None, 1), (7, 2)], "k int, v int")
+    handle(b1, 0)
+    b2 = spark.createDataFrame([(None, 3), (8, 4)], "k int, v int")
+    handle(b2, 1)
+    assert delivered[0] == {(None, 1), (7, 2)}
+    assert delivered[1] == {(8, 4)}  # NULL key already seen -> dropped
+    # and the store holds exactly one NULL key row, not one per batch
+    stored = spark.read.parquet(store).collect()
+    assert sum(1 for r in stored if r["k"] is None) == 1

@@ -145,3 +145,31 @@ def test_lookup_discovery_and_validation(spark, lineitem):
     assert any(k in ("unknownLookup", "unknownBloomId") and r == 102 for k, r in kinds)
     # the registered lookup produced no issue
     assert not any(r == 100 for _, r in kinds)
+
+
+def test_backquoted_attributes_visible(spark):
+    """Backquoted column references must count as attributes — the
+    coalesce_if_attributes_missing rewrite otherwise selects
+    alternatives whose quoted columns are missing (code-review
+    regression)."""
+    from quality_spark.plans.validation import (
+        expression_attributes,
+        process_if_attribute_missing,
+    )
+
+    attrs = expression_attributes("`my col` > 0 AND other + a.`tail` > 1")
+    assert "my col" in attrs and "other" in attrs
+    assert "tail" not in attrs  # qualified tail stays excluded
+
+    from quality_spark.model import ExpressionRule, Id, Rule, RuleSet, RuleSuite
+
+    suite = RuleSuite(
+        Id(1, 1),
+        (RuleSet(Id(10, 1), (Rule(
+            Id(100, 1),
+            ExpressionRule("coalesce_if_attributes_missing(`my col`, 0) > -1"),
+        ),)),),
+    )
+    out2 = process_if_attribute_missing(suite, ["other"])
+    text = out2.rule_sets[0].rules[0].expression.rule
+    assert "my col" not in text and "0" in text
