@@ -23,7 +23,13 @@ from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
-_NUM_RE = re.compile(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?[dDlLfF]?")
+# suffix covers every Spark typed numeric literal: D/F/L plus S/Y
+# (smallint/tinyint) and BD (decimal) — a suffix left outside the
+# number token would tokenize as a separate identifier that
+# substitute_identifiers could rewrite as a lambda parameter
+_NUM_RE = re.compile(
+    r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?(?:[bB][dD]|[dDlLfFsSyY])?"
+)
 
 
 @dataclass(frozen=True)
@@ -197,14 +203,19 @@ def replace_calls(
         pieces: List[str] = []
         pos = 0
         consumed_until = -1
+        # prefix-sum offsets once per pass — the per-site sum() form
+        # was O(call_sites x tokens), quadratic on big generated rules
+        offsets = [0]
+        for t in tokens:
+            offsets.append(offsets[-1] + len(t.text))
         for c in calls:
             if c.name_index <= consumed_until:
                 continue
             repl = expander(c.name.lower(), c.args)
             if repl is None:
                 continue
-            start_off = sum(len(t.text) for t in tokens[: c.name_index])
-            end_off = sum(len(t.text) for t in tokens[: c.close_index + 1])
+            start_off = offsets[c.name_index]
+            end_off = offsets[c.close_index + 1]
             pieces.append(current[pos:start_off])
             pieces.append(repl)
             pos = end_off

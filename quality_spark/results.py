@@ -110,8 +110,13 @@ def encode_rule_sql(rule_sql: str, dtype: T.DataType) -> str:
         )
     if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
         d = f"CAST({e} AS DOUBLE)"
+        # isnan BEFORE the saturation: NaN compares false against the
+        # sentinel values and NaN-sorts-greatest in LEAST/GREATEST, so
+        # without this branch NaN saturates to INT_MAX and silently
+        # PASSES — the JVM's (int)NaN is 0, i.e. Failed
         return (
-            f"(CASE WHEN {d} IS NULL THEN 0 WHEN {d} = 0.0D THEN 0 "
+            f"(CASE WHEN {d} IS NULL THEN 0 WHEN isnan({d}) THEN 0 "
+            f"WHEN {d} = 0.0D THEN 0 "
             f"WHEN {d} = 1.0D THEN {PASSED_INT} WHEN {d} = -1.0D THEN -1 "
             f"WHEN {d} = -2.0D THEN -2 "
             f"ELSE {_sat_int(f'{d} * {PASSED_INT}')} END)"
@@ -152,8 +157,10 @@ def encode_rule_sql_duck(rule_sql: str, duck_type: str) -> str:
             f"CAST(trunc(GREATEST(LEAST({d} * {PASSED_INT}, 2147483647.0), "
             f"-2147483648.0)) AS INT)"
         )
+        # isnan guard mirrors the Spark/JVM branch: (int)NaN is 0
         return (
-            f"(CASE WHEN {d} IS NULL THEN 0 WHEN {d} = 0.0 THEN 0 "
+            f"(CASE WHEN {d} IS NULL THEN 0 WHEN isnan({d}) THEN 0 "
+            f"WHEN {d} = 0.0 THEN 0 "
             f"WHEN {d} = 1.0 THEN {PASSED_INT} WHEN {d} = -1.0 THEN -1 "
             f"WHEN {d} = -2.0 THEN -2 ELSE {sat} END)"
         )
@@ -177,7 +184,8 @@ def encode_rule_sql_generic(rule_sql: str) -> str:
     e = f"({rule_sql})"
     d = f"CAST({e} AS DOUBLE)"
     return (
-        f"(CASE WHEN {d} IS NULL THEN 0 WHEN {d} = 0.0D THEN 0 "
+        f"(CASE WHEN {d} IS NULL THEN 0 WHEN isnan({d}) THEN 0 "
+        f"WHEN {d} = 0.0D THEN 0 "
         f"WHEN {d} = 1.0D THEN {PASSED_INT} WHEN {d} = -1.0D THEN -1 "
         f"WHEN {d} = -2.0D THEN -2 "
         f"ELSE {_sat_int(f'{d} * {PASSED_INT}')} END)"
@@ -214,13 +222,18 @@ def overall_result(encs: Sequence[Column], probable_pass: float) -> Column:
     return F.when(terms[0], F.lit(0)).otherwise(F.lit(PASSED_INT)).cast("int")
 
 
-def rule_fails_sql(enc_sql: str, probable_pass: float) -> str:
-    """SQL-text twin of :func:`rule_fails`."""
+def rule_fails_sql(
+    enc_sql: str, probable_pass: float, dialect: str = "spark"
+) -> str:
+    """SQL-text twin of :func:`rule_fails` — THE single definition of
+    the fail condition for both dialects (only the double-literal
+    suffix differs)."""
     threshold = float(probable_pass) * PASSED_INT
+    lit = f"{threshold}D" if dialect == "spark" else f"{threshold}"
     e = f"({enc_sql})"
     return (
         f"({e} = 0 OR ({e} NOT IN ({PASSED_INT}, -1, -2) "
-        f"AND CAST({e} AS DOUBLE) < {threshold}D))"
+        f"AND CAST({e} AS DOUBLE) < {lit}))"
     )
 
 
@@ -244,12 +257,10 @@ def overall_result_spark_sql(enc_sqls: Sequence[str], probable_pass: float) -> s
 
 def overall_result_sql(enc_sqls: Sequence[str], probable_pass: float) -> str:
     """Same fold as :func:`overall_result` but over SQL text — reused to
-    generate DuckDB oracle queries in tests."""
+    generate DuckDB oracle queries in tests. Delegates the fail
+    condition to :func:`rule_fails_sql` so the semantics live in one
+    place."""
     if not enc_sqls:
         return str(PASSED_INT)
-    threshold = float(probable_pass) * PASSED_INT
-    conds = [
-        f"({e} = 0 OR ({e} NOT IN ({PASSED_INT}, -1, -2) AND CAST({e} AS DOUBLE) < {threshold}))"
-        for e in enc_sqls
-    ]
+    conds = [rule_fails_sql(e, probable_pass, "duckdb") for e in enc_sqls]
     return f"(CASE WHEN {' OR '.join(conds)} THEN 0 ELSE {PASSED_INT} END)"

@@ -165,8 +165,18 @@ class DuckDBProcessor:
         import re
 
         def _portable(sql: str) -> str:
-            sql = re.sub(r"\b(\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)[DL]\b", r"\1", sql)
-            return re.sub(r"(\d*\.\d+(?:[eE][+-]?\d+)?)[DL]\b", r"\1", sql)
+            # every Spark typed-literal suffix, case-insensitively:
+            # D/L/F plus BD (decimal) — lowercase 0.0d / 42l are legal
+            # Spark SQL and must not leak into DuckDB text
+            suf = r"(?:BD|[DLF])"
+            sql = re.sub(
+                rf"\b(\d+(?:\.\d+)?(?:[eE][+-]?\d+)?){suf}\b",
+                r"\1", sql, flags=re.IGNORECASE,
+            )
+            return re.sub(
+                rf"(\d*\.\d+(?:[eE][+-]?\d+)?){suf}\b",
+                r"\1", sql, flags=re.IGNORECASE,
+            )
 
         expanded = [
             (rs, r, _portable(sql)) for rs, r, sql in expand_rules(suite)
@@ -238,20 +248,30 @@ class DuckDBProcessor:
         ]
         self._suite_id = pack_id(suite.id)
 
-        per_set: Dict[int, List[str]] = {}
-        for sid, _, enc in self._rules:
-            per_set.setdefault(sid, []).append(enc)
+        per_set: Dict[int, List[int]] = {}
+        for i, (sid, _, _) in enumerate(self._rules):
+            per_set.setdefault(sid, []).append(i)
         pp = suite.probable_pass
-        sel = [f"({enc}) AS r_{i}" for i, (_, _, enc) in enumerate(self._rules)]
-        sel += [
-            f"({overall_result_sql(encs, pp)}) AS s_{sid}"
-            for sid, encs in per_set.items()
+        # two-level select: the INNER level computes each encoded rule
+        # exactly once as r_i; the folds reference the aliases. Inlining
+        # the enc text into every fold repeated each rule's SQL ~7x
+        # (and each enc already repeats the raw rule ~4x in its CASE
+        # arms). Aliases are QUOTED: pack_id is signed, so a negative
+        # set id would otherwise emit `AS s_-N` — a parser error.
+        self._inner_select = ", ".join(
+            f"({enc}) AS r_{i}" for i, (_, _, enc) in enumerate(self._rules)
+        )
+        outer = [f"r_{i}" for i in range(len(self._rules))]
+        outer += [
+            f'({overall_result_sql([f"r_{i}" for i in idxs], pp)}) AS "s_{sid}"'
+            for sid, idxs in per_set.items()
         ]
-        sel.append(
-            f"({overall_result_sql([e for _, _, e in self._rules], pp)}) AS overall"
+        outer.append(
+            f"({overall_result_sql([f'r_{i}' for i in range(len(self._rules))], pp)})"
+            " AS overall"
         )
         self._set_ids = list(per_set)
-        self._select = ", ".join(sel)
+        self._select = ", ".join(outer)
 
     def process_pandas(self, pdf) -> "object":
         """Score a pandas batch → pandas frame of flat int columns
@@ -277,7 +297,8 @@ class DuckDBProcessor:
                 "CREATE OR REPLACE VIEW __qs_batch AS SELECT * FROM __qs_batch_raw"
             )
         return self._con.sql(
-            f"SELECT {self._select} FROM __qs_batch"
+            f"SELECT {self._select} FROM "
+            f"(SELECT *, {self._inner_select} FROM __qs_batch)"
         ).fetchdf()
 
     def process(self, rows: Iterable[Mapping]) -> List[Dict]:

@@ -196,3 +196,21 @@ def test_probability_and_pack_macros(spark):
     ).collect()[0]
     assert row["p"] == 0.01
     assert row["packed"] == 4294967298
+
+
+def test_nan_rule_result_fails(spark):
+    """A NaN rule value must encode to 0 (Failed) like the JVM's
+    (int)NaN — NaN sorts greatest in LEAST/GREATEST, so without the
+    isnan guard it saturated to INT_MAX and silently PASSED
+    (code-review regression)."""
+    from quality_spark import Id, rule_suite
+    from quality_spark.model import PASSED_INT
+    from quality_spark.operators.runner import add_data_quality
+
+    df = spark.createDataFrame([(0.0, 0.0), (1.0, 1.0)], "a double, b double")
+    # 0.0/0.0 -> NaN under try_divide; 1.0/1.0 -> 1.0 -> Passed
+    suite = rule_suite((42, 1), [((1, 1), [((1, 1), "try_divide(a, b)")])])
+    dq = add_data_quality(df, suite)
+    got = {r["a"]: r["DQ"]["overallResult"] for r in dq.collect()}
+    assert got[1.0] == PASSED_INT
+    assert got[0.0] == 0  # NaN -> Failed, never INT_MAX-pass
