@@ -104,7 +104,6 @@ def main() -> None:
     # 2. 27-rule DQ write — ~3.4 copies of the 8-rule fixture suite
     from quality_spark import rule_suite as _rs
 
-    fixture = entrymod.fixture_suite()
     specs27 = []
     for rep in range(4):
         for set_id, rule_id, kind, sql in entrymod.RULE_SPECS[: (8 if rep < 3 else 3)]:
@@ -197,7 +196,12 @@ def main() -> None:
 
     shutil.rmtree(TMP, ignore_errors=True)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        # a dir name without an sf<number> suffix must not discard the
+        # whole run's measurements at the final print
+        sf = 0.0
     print(
         json.dumps(
             {
@@ -206,7 +210,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 4) for k, v in results.items()},
                 "construct": {k: round(v, 4) for k, v in construct.items()},
-                "sf": float(sf),
+                "sf": sf,
                 "rows": n_rows,
             }
         )
