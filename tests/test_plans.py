@@ -363,3 +363,20 @@ def test_zorder_write_prunes_row_groups(spark, sf_dir, tmp_path_factory):
         spark.read.parquet(f"{base}/z").count()
         == li.count()
     )
+
+
+def test_split_overall_filter_pushes_to_parquet(spark, sf_dir, tmp_path_factory):
+    """The split storage layout's REASON to exist (reference
+    storage_method.md: 30-50% faster filtered reads): a filter on the
+    top-level DQ_overallResult column written to parquet must reach the
+    scan as a pushed filter, enabling row-group skipping."""
+    from quality_spark.operators.runner import add_overall_results_and_details
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = str(tmp_path_factory.mktemp("split")) + "/dq"
+    add_overall_results_and_details(li, SUITE).write.parquet(out)
+    back = spark.read.parquet(out).filter(F.col("DQ_overallResult") == 0)
+    plan = _plan(back)
+    assert "PushedFilters" in plan
+    flat = plan.replace(" ", "")
+    assert "EqualTo(DQ_overallResult,0)" in flat, plan[:2000]
