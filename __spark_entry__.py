@@ -3175,7 +3175,20 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         F.lit(-1).cast("int").alias("rank"),
     )
-    return topk.unionByName(brute)
+    # metric coverage (round 4): L2 ranking diverges from cosine on
+    # unnormalized vectors, so the leg is a real check, not a rename
+    from quality_spark.llm.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    l2 = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, metric="l2"
+    ).select(
+        F.lit("l2").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return topk.unionByName(brute).unionByName(l2)
 
 
 def _oracle_embedding_ann() -> str:
@@ -3185,6 +3198,29 @@ FROM ({_oracle_ann_cosine_topk()})
 UNION ALL
 SELECT 'brute', id_a, id_b, CAST(-1 AS INTEGER)
 FROM ({_oracle_embedding_near_dup()})
+UNION ALL
+SELECT 'l2', query_id, neighbor_id, rank FROM ({_oracle_l2_topk()})
+"""
+
+
+def _oracle_l2_topk() -> str:
+    dist = (
+        "sqrt(list_sum(list_transform(range(1, len(q.e) + 1), "
+        "i -> (CAST(q.e[i] AS DOUBLE) - CAST(c.e[i] AS DOUBLE)) "
+        "* (CAST(q.e[i] AS DOUBLE) - CAST(c.e[i] AS DOUBLE)))))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {dist} AS d
+  FROM q CROSS JOIN v c WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
 """
 
 

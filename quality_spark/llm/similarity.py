@@ -46,6 +46,17 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> D
     return df.select("*", _norm(vec_col).alias(out))
 
 
+def _l2_dist(a: str, b: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(zip_with({a}, {b}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+            f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -53,11 +64,18 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Exact top-k neighbors for each query row:
-    (query_id, neighbor_id, cosine, rank). Norms are precomputed on
+    (query_id, neighbor_id, <score>, rank). Norms are precomputed on
     both sides; the (small) query side broadcasts, so the corpus scan
-    is a single pass with no shuffle until the per-query top-k."""
+    is a single pass with no shuffle until the per-query top-k.
+
+    ``metric``: 'cosine' (score column ``cosine``, descending),
+    'dot' (inner product, column ``dot``, descending — the MIPS
+    ranking for unnormalized embeddings), or 'l2' (Euclidean distance,
+    column ``l2_dist``, ASCENDING — smaller is closer). Ties break on
+    neighbor_id in every metric."""
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -73,11 +91,21 @@ def cosine_topk(
     joined = corpus.crossJoin(qs)
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = (_dot("__qv", "__cv") / _norm_prod(F.col("__qn"), F.col("__cn"))).alias("cosine")
-    scored = joined.select("query_id", "neighbor_id", cos)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
+    if metric == "cosine":
+        score = (
+            _dot("__qv", "__cv") / _norm_prod(F.col("__qn"), F.col("__cn"))
+        ).alias("cosine")
+        order = F.col("cosine").desc()
+    elif metric == "dot":
+        score = _dot("__qv", "__cv").alias("dot")
+        order = F.col("dot").desc()
+    elif metric == "l2":
+        score = _l2_dist("__qv", "__cv").alias("l2_dist")
+        order = F.col("l2_dist").asc()
+    else:
+        raise ValueError(f"metric must be cosine/dot/l2, got {metric!r}")
+    scored = joined.select("query_id", "neighbor_id", score)
+    w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -822,3 +822,37 @@ def test_empty_text_docs_do_not_share_a_bucket(spark):
         df, k=2, num_perm=8, bands=2, threshold=0.5, mode="portable"
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(4, 5)}
+
+
+def test_topk_dot_and_l2_metrics_vs_numpy(spark, emb):
+    """metric='dot' (MIPS) and metric='l2' rank exactly like the numpy
+    reference; l2 ranks ASCENDING."""
+    import numpy as np
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for metric in ("dot", "l2"):
+        got = cosine_topk(emb, queries, k=4, metric=metric).collect()
+        for qid in (0, 1):
+            q = vecs[qid]
+            if metric == "dot":
+                s = {n: float(q @ v) for n, v in vecs.items() if n != qid}
+                exp = sorted(s, key=lambda n: (-s[n], n))[:4]
+            else:
+                s = {
+                    n: float(np.sqrt(((q - v) ** 2).sum()))
+                    for n, v in vecs.items()
+                    if n != qid
+                }
+                exp = sorted(s, key=lambda n: (s[n], n))[:4]
+            mine = [
+                r["neighbor_id"]
+                for r in sorted(
+                    (r for r in got if r["query_id"] == qid),
+                    key=lambda r: r["rank"],
+                )
+            ]
+            assert mine == exp, (metric, qid)
