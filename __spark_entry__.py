@@ -3676,7 +3676,9 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     LCG; python path additionally pinned against vectors produced by
     running the real JVM — tests/test_ids.py), and the PCG affine
     engines (PCG_XSH_RR_32 — additionally pinned against the published
-    pcg32 demo vectors — and the 64-bit-output PCG_RXS_M_XS_64) — on a
+    pcg32 demo vectors — and the 64-bit-output PCG_RXS_M_XS_64), and
+    xorshift1024* (the 1024-bit rotating-frame GF(2) engine, oracle
+    written as an explicit pointer walk) — on a
     single-partition range, where row
     ids ARE sequence positions: the distributed pandas-UDF output must
     equal the first 2n outputs of the published sequential algorithms
@@ -3696,6 +3698,7 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = F.expr(expand_sql("rng('JDK', 42)"))
     p = F.expr(expand_sql("rng('PCG_XSH_RR_32', 42)"))
     pr = F.expr(expand_sql("rng('PCG_RXS_M_XS_64', 5)"))
+    xs = F.expr(expand_sql("rng('XOR_SHIFT_1024_S', 11)"))
     return df.select(
         F.col("id").cast("bigint").alias("id"),
         x["lower"].alias("xrsr_lo"),
@@ -3712,6 +3715,8 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         p["higher"].alias("pcg_hi"),
         pr["lower"].alias("pcgr_lo"),
         pr["higher"].alias("pcgr_hi"),
+        xs["lower"].alias("xs1024_lo"),
+        xs["higher"].alias("xs1024_hi"),
     )
 
 
@@ -3811,6 +3816,21 @@ def _rng_parity_reference(n: int) -> list:
             return ints
         return [(ints[2 * i] << 32) | ints[2 * i + 1] for i in range(count)]
 
+    def xs1024_stream(seed: int, count: int) -> list:
+        # xorshift1024* (Vigna 2014): 16-word array + pointer,
+        # M_8 multiplier — written with the EXPLICIT pointer walk, not
+        # the production path's rotating-frame GF(2) form
+        sarr = sm_stream(seed, 16)
+        ptr, out = 0, []
+        for _ in range(count):
+            s0 = sarr[ptr]
+            ptr = (ptr + 1) & 15
+            s1 = sarr[ptr]
+            s1 ^= (s1 << 31) & m
+            sarr[ptr] = s1 ^ s0 ^ (s1 >> 11) ^ (s0 >> 30)
+            out.append((sarr[ptr] * 1181783497276652981) & m)
+        return out
+
     x = xrsr_stream(42, 2 * n)
     s = sm_stream(7, 2 * n)
     ss = xrss_stream(99, 2 * n)
@@ -3818,6 +3838,7 @@ def _rng_parity_reference(n: int) -> list:
     j = jdk_stream(42, 2 * n)
     p = pcg_stream(42, 2 * n, 32)
     pr = pcg_stream(5, 2 * n, 64)
+    xs = xs1024_stream(11, 2 * n)
     return [
         (
             i,
@@ -3828,6 +3849,7 @@ def _rng_parity_reference(n: int) -> list:
             sgn(j[2 * i]), sgn(j[2 * i + 1]),
             sgn(p[2 * i]), sgn(p[2 * i + 1]),
             sgn(pr[2 * i]), sgn(pr[2 * i + 1]),
+            sgn(xs[2 * i]), sgn(xs[2 * i + 1]),
         )
         for i in range(n)
     ]
@@ -3842,6 +3864,7 @@ def _oracle_rng_parity() -> str:
         "id", "xrsr_lo", "xrsr_hi", "sm_lo", "sm_hi",
         "xrss_lo", "xrss_hi", "x256_lo", "x256_hi",
         "jdk_lo", "jdk_hi", "pcg_lo", "pcg_hi", "pcgr_lo", "pcgr_hi",
+        "xs1024_lo", "xs1024_hi",
     ]
     sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
     return f"SELECT {sel} FROM (VALUES {rows}) AS t({', '.join(cols)})"
