@@ -3486,24 +3486,33 @@ def q_bucketed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py::test_bucketed_join_no_exchange) and aggregated
     per lang — proving the bucketed write/read/join round-trips the
     data exactly."""
+    import os
+
     from quality_spark.sources.corpus import bucketed_join, write_bucketed_corpus
+
+    # Catalog table names are sf-suffixed like the staging root: the
+    # memo is keyed (kind, sf_dir) but the catalog is shared, so an
+    # unsuffixed name would let a second sf's build clobber the tables
+    # while the first sf's memo skips its rebuild (ADVICE r04 medium).
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "default").replace(".", "_")
+    t_docs, t_scores = f"qs_gate_docs_b_{tag}", f"qs_gate_scores_b_{tag}"
 
     def build(root):
         docs = _read(spark, sf_dir, "documents")
         write_bucketed_corpus(
             docs.select("doc_id", "lang", "text"),
-            "qs_gate_docs_b", ["doc_id"], 4,
+            t_docs, ["doc_id"], 4,
             sort_cols=["doc_id"], path=f"{root}/docs",
         )
         write_bucketed_corpus(
             docs.select("doc_id", F.length("text").alias("text_chars")),
-            "qs_gate_scores_b", ["doc_id"], 4,
+            t_scores, ["doc_id"], 4,
             sort_cols=["doc_id"], path=f"{root}/scores",
         )
         return root
 
     _staged("bucket", sf_dir, build)
-    j = bucketed_join(spark, "qs_gate_docs_b", "qs_gate_scores_b", ["doc_id"])
+    j = bucketed_join(spark, t_docs, t_scores, ["doc_id"])
     return j.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("text_chars").cast("bigint").alias("sum_chars"),
@@ -3699,6 +3708,7 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.expr(expand_sql("rng('PCG_XSH_RR_32', 42)"))
     pr = F.expr(expand_sql("rng('PCG_RXS_M_XS_64', 5)"))
     xs = F.expr(expand_sql("rng('XOR_SHIFT_1024_S', 11)"))
+    xsp = F.expr(expand_sql("rng('XOR_SHIFT_1024_S_PHI', 11)"))
     return df.select(
         F.col("id").cast("bigint").alias("id"),
         x["lower"].alias("xrsr_lo"),
@@ -3717,6 +3727,8 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr["higher"].alias("pcgr_hi"),
         xs["lower"].alias("xs1024_lo"),
         xs["higher"].alias("xs1024_hi"),
+        xsp["lower"].alias("xsphi_lo"),
+        xsp["higher"].alias("xsphi_hi"),
     )
 
 
@@ -3816,10 +3828,12 @@ def _rng_parity_reference(n: int) -> list:
             return ints
         return [(ints[2 * i] << 32) | ints[2 * i + 1] for i in range(count)]
 
-    def xs1024_stream(seed: int, count: int) -> list:
-        # xorshift1024* (Vigna 2014): 16-word array + pointer,
-        # M_8 multiplier — written with the EXPLICIT pointer walk, not
-        # the production path's rotating-frame GF(2) form
+    def xs1024_stream(seed: int, count: int, mult: int) -> list:
+        # xorshift1024* (Vigna 2014): 16-word array + pointer — written
+        # with the EXPLICIT pointer walk, not the production path's
+        # rotating-frame GF(2) form.  mult = M_8 (1181783497276652981)
+        # for the _S variant, 0x9e3779b97f4a7c13 for _S_PHI
+        # (Vigna's xorshift1024*phi / commons-rng XorShift1024StarPhi).
         sarr = sm_stream(seed, 16)
         ptr, out = 0, []
         for _ in range(count):
@@ -3828,7 +3842,7 @@ def _rng_parity_reference(n: int) -> list:
             s1 = sarr[ptr]
             s1 ^= (s1 << 31) & m
             sarr[ptr] = s1 ^ s0 ^ (s1 >> 11) ^ (s0 >> 30)
-            out.append((sarr[ptr] * 1181783497276652981) & m)
+            out.append((sarr[ptr] * mult) & m)
         return out
 
     x = xrsr_stream(42, 2 * n)
@@ -3838,7 +3852,8 @@ def _rng_parity_reference(n: int) -> list:
     j = jdk_stream(42, 2 * n)
     p = pcg_stream(42, 2 * n, 32)
     pr = pcg_stream(5, 2 * n, 64)
-    xs = xs1024_stream(11, 2 * n)
+    xs = xs1024_stream(11, 2 * n, 1181783497276652981)
+    xsp = xs1024_stream(11, 2 * n, 0x9E3779B97F4A7C13)
     return [
         (
             i,
@@ -3850,6 +3865,7 @@ def _rng_parity_reference(n: int) -> list:
             sgn(p[2 * i]), sgn(p[2 * i + 1]),
             sgn(pr[2 * i]), sgn(pr[2 * i + 1]),
             sgn(xs[2 * i]), sgn(xs[2 * i + 1]),
+            sgn(xsp[2 * i]), sgn(xsp[2 * i + 1]),
         )
         for i in range(n)
     ]
@@ -3864,7 +3880,7 @@ def _oracle_rng_parity() -> str:
         "id", "xrsr_lo", "xrsr_hi", "sm_lo", "sm_hi",
         "xrss_lo", "xrss_hi", "x256_lo", "x256_hi",
         "jdk_lo", "jdk_hi", "pcg_lo", "pcg_hi", "pcgr_lo", "pcgr_hi",
-        "xs1024_lo", "xs1024_hi",
+        "xs1024_lo", "xs1024_hi", "xsphi_lo", "xsphi_hi",
     ]
     sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
     return f"SELECT {sel} FROM (VALUES {rows}) AS t({', '.join(cols)})"

@@ -268,7 +268,10 @@ _EXACT_ENGINES: dict = {
     ),
     "XOR_SHIFT_1024_S_PHI": (
         _step_xorshift1024, 16,
-        lambda s: (s[0] * 0x9E3779B97F4A7C15) & _M64,
+        # phi multiplier per Vigna's xorshift1024*phi / commons-rng
+        # XorShift1024StarPhi: 0x9e3779b97f4a7c13 — NOT the SplitMix64
+        # gamma 0x...15 (one bit apart; streams diverge immediately).
+        lambda s: (s[0] * 0x9E3779B97F4A7C13) & _M64,
         _seed_xorshift1024,
     ),
 }

@@ -166,9 +166,10 @@ class DuckDBProcessor:
 
         def _portable(sql: str) -> str:
             # every Spark typed-literal suffix, case-insensitively:
-            # D/L/F plus BD (decimal) — lowercase 0.0d / 42l are legal
-            # Spark SQL and must not leak into DuckDB text
-            suf = r"(?:BD|[DLF])"
+            # D/L/F/S/Y plus BD (decimal) — lowercase 0.0d / 42l / 2s /
+            # 3y are legal Spark SQL and must not leak into DuckDB text
+            # (S/Y matches expr._NUM_RE's tokenizer; ADVICE r04 low)
+            suf = r"(?:BD|[DLFSY])"
             sql = re.sub(
                 rf"\b(\d+(?:\.\d+)?(?:[eE][+-]?\d+)?){suf}\b",
                 r"\1", sql, flags=re.IGNORECASE,
@@ -253,21 +254,27 @@ class DuckDBProcessor:
             per_set.setdefault(sid, []).append(i)
         pp = suite.probable_pass
         # two-level select: the INNER level computes each encoded rule
-        # exactly once as r_i; the folds reference the aliases. Inlining
+        # exactly once under the collision-proof alias __qs_r_<i> (the
+        # inner select is `SELECT *, ...` over the batch, so a bare
+        # r_<i> alias would collide with an input column literally
+        # named r_0 — ADVICE r04 low); the folds reference the aliases
+        # and the OUTER level re-exports them under the documented
+        # r_<i> output names (the outer select carries no input
+        # columns, so no collision there). Inlining
         # the enc text into every fold repeated each rule's SQL ~7x
         # (and each enc already repeats the raw rule ~4x in its CASE
         # arms). Aliases are QUOTED: pack_id is signed, so a negative
         # set id would otherwise emit `AS s_-N` — a parser error.
         self._inner_select = ", ".join(
-            f"({enc}) AS r_{i}" for i, (_, _, enc) in enumerate(self._rules)
+            f"({enc}) AS __qs_r_{i}" for i, (_, _, enc) in enumerate(self._rules)
         )
-        outer = [f"r_{i}" for i in range(len(self._rules))]
+        outer = [f"__qs_r_{i} AS r_{i}" for i in range(len(self._rules))]
         outer += [
-            f'({overall_result_sql([f"r_{i}" for i in idxs], pp)}) AS "s_{sid}"'
+            f'({overall_result_sql([f"__qs_r_{i}" for i in idxs], pp)}) AS "s_{sid}"'
             for sid, idxs in per_set.items()
         ]
         outer.append(
-            f"({overall_result_sql([f'r_{i}' for i in range(len(self._rules))], pp)})"
+            f"({overall_result_sql([f'__qs_r_{i}' for i in range(len(self._rules))], pp)})"
             " AS overall"
         )
         self._set_ids = list(per_set)

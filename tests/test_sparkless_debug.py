@@ -214,3 +214,39 @@ print("SPARK_FREE_OK")
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
     )
     assert "SPARK_FREE_OK" in r.stdout, r.stdout + r.stderr
+
+
+def test_duckdb_processor_small_tiny_literal_suffixes():
+    """Spark typed literals 2S (smallint) and 3Y (tinyint) must be
+    stripped for DuckDB like D/L/F/BD (ADVICE r04: expr tokenizes them,
+    so the portable rewrite must too)."""
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite, ExpressionRule, pack_id
+    from quality_spark.sparkless import DuckDBProcessor
+
+    suite = RuleSuite(
+        Id(1, 1),
+        (RuleSet(Id(10, 1), (Rule(Id(100, 1), ExpressionRule("x > 2S and x < 120Y")),)),),
+    )
+    proc = DuckDBProcessor(suite, schema="x int")
+    rid, sid = pack_id(Id(100, 1)), pack_id(Id(10, 1))
+    out = proc.process([{"x": 5}, {"x": 1}, {"x": 500}])
+    got = [r["ruleSetResults"][sid]["ruleResults"][rid] for r in out]
+    assert got == [100000, 0, 0]
+
+
+def test_duckdb_processor_input_column_named_r_0():
+    """An input column literally named r_0 must not collide with the
+    internal per-rule aliases (ADVICE r04: inner select is `SELECT *,
+    ...` so bare r_<i> aliases would be ambiguous)."""
+    from quality_spark.model import Id, Rule, RuleSet, RuleSuite, ExpressionRule, pack_id
+    from quality_spark.sparkless import DuckDBProcessor
+
+    suite = RuleSuite(
+        Id(1, 1),
+        (RuleSet(Id(10, 1), (Rule(Id(100, 1), ExpressionRule("r_0 > 0")),)),),
+    )
+    proc = DuckDBProcessor(suite, schema="r_0 int")
+    rid, sid = pack_id(Id(100, 1)), pack_id(Id(10, 1))
+    out = proc.process([{"r_0": 5}, {"r_0": -1}])
+    got = [r["ruleSetResults"][sid]["ruleResults"][rid] for r in out]
+    assert got == [100000, 0]
