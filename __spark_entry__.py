@@ -600,12 +600,24 @@ def q_bloom_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("sql_agg", sf_dir)
     if key not in _BLOOM_MEMO:
         built = add_expression_runner(orders, suite, ddl_type="binary").head()
-        _BLOOM_MEMO[key] = list(
+        small_b, big_b = list(
             list(built[0]["ruleSetResults"].values())[0].values()
         )
-    small_b, big_b = _BLOOM_MEMO[key]
-    register_bloom_bytes(spark, "sql_small_custkeys", small_b)
-    register_bloom_bytes(spark, "sql_big_custkeys", big_b)
+        # memoize the DESERIALIZED handles: register_bloom's idempotent
+        # skip is identity-based, so re-deserializing per call would
+        # re-register (UDF creation ~0.2 s) every probe run
+        from quality_spark.sources.lookups import bloom_lookup
+
+        _BLOOM_MEMO[key] = (bloom_lookup(small_b), bloom_lookup(big_b))
+    small_h, big_h = _BLOOM_MEMO[key]
+    from quality_spark.sources.bigbloom import BigBloom, register_big_bloom
+    from quality_spark.sources.lookups import register_bloom
+
+    for nm, h in (("sql_small_custkeys", small_h), ("sql_big_custkeys", big_h)):
+        if isinstance(h, BigBloom):
+            register_big_bloom(spark, nm, h)
+        else:
+            register_bloom(spark, nm, h)
     cust = _read(spark, sf_dir, "customer")
     probed = cust.select(
         "c_custkey",
@@ -3585,11 +3597,28 @@ def q_bloom_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-result is a single driver-sized count; they are collected and
     re-emitted as ONE row (a crossJoin of 1-row local relations is a
     measured 12s BroadcastNestedLoopJoin stall in local mode)."""
-    a = q_bloom_semi_filter(spark, sf_dir).head()[0]
-    b = q_bloom_sql_agg(spark, sf_dir).head()
-    c = q_bigbloom_file_probe(spark, sf_dir).head()[0]
+    nb = F.lit(-1).cast("bigint")
+    legs = (
+        q_bloom_semi_filter(spark, sf_dir).select(
+            F.lit("semi").alias("part"),
+            F.col("n_customers_with_orders").alias("v1"), nb.alias("v2"),
+        )
+        .unionByName(q_bloom_sql_agg(spark, sf_dir).select(
+            F.lit("agg").alias("part"),
+            F.col("small_members").alias("v1"), F.col("big_members").alias("v2"),
+        ))
+        .unionByName(q_bigbloom_file_probe(spark, sf_dir).select(
+            F.lit("file").alias("part"),
+            F.col("n_bb_members").alias("v1"), nb.alias("v2"),
+        ))
+    )
+    # ONE job for all three probe legs (three sequential .head()s paid
+    # a job-submission round per leg); rows matched by tag, not order
+    by = {r["part"]: r for r in legs.collect()}
+    a, s = by["semi"]["v1"], by["agg"]["v1"]
+    b, c = by["agg"]["v2"], by["file"]["v1"]
     return spark.createDataFrame(
-        [(int(a), int(b[0]), int(b[1]), int(c))],
+        [(int(a), int(s), int(b), int(c))],
         "n_customers_with_orders bigint, small_members bigint, "
         "big_members bigint, n_bb_members bigint",
     )

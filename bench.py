@@ -134,15 +134,22 @@ def main() -> None:
     )
 
     # 3. 150-rule generated suite write (reference evaluation_method.md:41)
-    suite150 = gen_wide_suite(150)
-    dq150 = add_data_quality(li, suite150)
-    results["dq150_compile"] = min(
-        timed(lambda: add_data_quality(li, suite150)),
-        timed(lambda: add_data_quality(li, suite150)),
-    )
-    results["dq150_write"] = timed_warm_min2(
-        lambda: dq150.write.mode("overwrite").parquet(f"{TMP}/dq150")
-    )
+    # + a 500-rule point so the compile/write trend over suite size is
+    # pinned per-round (VERDICT r04 #4: the dq150 overhead drifted
+    # 2x r3->r4 with no compile/write split to attribute it).
+    # Compile keys are min-of-3: compile is driver-side Spark analysis,
+    # cheap to repeat and the most stall-prone measurement here.
+    for n_rules in (150, 500):
+        suite_n = gen_wide_suite(n_rules)
+        dq_n = add_data_quality(li, suite_n)
+        results[f"dq{n_rules}_compile"] = min(
+            timed(lambda: add_data_quality(li, suite_n)),
+            timed(lambda: add_data_quality(li, suite_n)),
+            timed(lambda: add_data_quality(li, suite_n)),
+        )
+        results[f"dq{n_rules}_write"] = timed_warm_min2(
+            lambda: dq_n.write.mode("overwrite").parquet(f"{TMP}/dq{n_rules}")
+        )
 
     # 4. headline oracle queries — noop-format write as the action:
     # count() would let Catalyst prune every computed column and time
@@ -193,6 +200,9 @@ def main() -> None:
     results["dq150_overhead_ms_per_row"] = (
         (results["dq150_write"] - results["baseline_write"]) * 1000.0 / n_rows
     )
+    results["dq500_overhead_ms_per_row"] = (
+        (results["dq500_write"] - results["baseline_write"]) * 1000.0 / n_rows
+    )
 
     shutil.rmtree(TMP, ignore_errors=True)
 
@@ -202,19 +212,54 @@ def main() -> None:
         # a dir name without an sf<number> suffix must not discard the
         # whole run's measurements at the final print
         sf = 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "quality_spark_bench_total",
-                "value": round(sum(v for k, v in results.items() if not k.endswith("per_row")), 3),
-                "unit": "sec",
-                "queries": {k: round(v, 4) for k, v in results.items()},
-                "construct": {k: round(v, 4) for k, v in construct.items()},
-                "sf": sf,
-                "rows": n_rows,
-            }
-        )
+
+    total = round(
+        sum(v for k, v in results.items() if not k.endswith("per_row")), 3
     )
+    # Full-precision detail (incl. the construct split) goes to a FILE:
+    # the driver's stdout capture keeps only the last ~4 KB, and in
+    # r03/r04 the single ~5 KB JSON line was head-truncated, leaving
+    # "parsed": null in BENCH_r{N}.json (VERDICT r04 #1). Stdout gets
+    # ONE compact line, printed LAST, that fits the tail with room to
+    # spare: headline metric + all per-query totals at 3 decimals.
+    detail = {
+        "metric": "quality_spark_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in results.items()},
+        "construct": {k: round(v, 4) for k, v in construct.items()},
+        "sf": sf,
+        "rows": n_rows,
+        "cpus": int(CPUS),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+        "w",
+    ) as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+
+    compact = {
+        "metric": "quality_spark_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in results.items()},
+        "sf": sf,
+        "rows": n_rows,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    # hard guarantee against a future-coverage-growth repeat of the
+    # truncation: if the line ever outgrows a conservative tail budget,
+    # drop to headline keys only (full detail is in bench_detail.json)
+    if len(line) > 3500:
+        head_keys = [
+            k for k in results
+            if k.startswith(("baseline", "dq27", "dq150", "dq500"))
+        ]
+        compact["queries"] = {k: round(results[k], 3) for k in head_keys}
+        compact["queries_truncated_see"] = "bench_detail.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -184,7 +184,15 @@ def _bucket_bits(root: str, b: int) -> np.ndarray:
 def register_big_bloom(spark: SparkSession, name: str, bb: BigBloom) -> None:
     """Register for ``probability_in(x, 'name')`` — same SQL surface as
     in-memory blooms."""
+    from .lookups import _BLOOM_PROBE_MODE, _BLOOM_REGISTERED
+
+    # idempotent, like register_bloom: same handle + name + session -> no-op
+    reg_key = (id(spark), name)
+    if _BLOOM_REGISTERED.get(reg_key) == (id(bb), "udf"):
+        return
     _BLOOM_REGISTRY[name] = bb  # type: ignore[assignment]
+    _BLOOM_PROBE_MODE[name] = "udf"
+    _BLOOM_REGISTERED[reg_key] = (id(bb), "udf")
     root, buckets, m_bits, k, fpp = bb.root, bb.buckets, bb.m_bits, bb.k, bb.fpp
     hit = 1.0 - fpp
 
