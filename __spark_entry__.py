@@ -2606,6 +2606,98 @@ def _oracle_streaming_first_seen() -> str:
     )
 
 
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest block: the first-seen stateful stream (above)
+    PLUS durable ingest dedup (quality_spark/streaming/recipes.py:
+    dedup_against_store) executed through a REAL foreachBatch stream in
+    BOTH modes — hash_only=True (8-byte xxhash64 key store) and
+    hash_only=False (exact key columns, null-safe anti-join). The
+    events subset streams as 2 micro-batches (maxFilesPerTrigger=1),
+    so the second batch's dedup runs against a store populated by the
+    first — the cross-batch path, not a within-batch dropDuplicates.
+    WHICH row survives per key is batch-order dependent; the gated
+    invariants are deterministic: one survivor per distinct
+    (user_id, event_type) key, and the survivors' key-column content
+    (sum of user_id over the one-per-key rows)."""
+    import os
+    import shutil
+    import tempfile
+
+    from quality_spark.streaming.recipes import dedup_against_store
+
+    first = q_streaming_first_seen(spark, sf_dir).select(
+        F.lit("first_seen").alias("part"),
+        F.col("emitted"),
+        F.col("distinct_users").alias("distinct_keys"),
+        F.lit(-1).cast("bigint").alias("key_user_sum"),
+    )
+
+    root = os.path.join(tempfile.gettempdir(), "qs_dedup_store_gate")
+    shutil.rmtree(root, ignore_errors=True)
+    sub = _read(spark, sf_dir, "events").filter(F.col("user_id") % 3 == 0)
+    sub.select("event_id", "user_id", "event_type").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/in")
+    staged = spark.read.parquet(f"{root}/in")
+
+    legs = [first]
+    for tag, hash_only in (("store_hash", True), ("store_exact", False)):
+        sink_path = f"{root}/{tag}/sink"
+
+        def sink(df, epoch_id, _p=sink_path):
+            df.write.mode("append").parquet(_p)
+
+        handler = dedup_against_store(
+            f"{root}/{tag}/store", ["user_id", "event_type"], sink,
+            hash_only=hash_only,
+        )
+        q = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/in")
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", f"{root}/{tag}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"dedup_against_store stream {tag} did not finish")
+        out = spark.read.parquet(sink_path)
+        legs.append(
+            out.groupBy().agg(
+                F.lit(tag).alias("part"),
+                F.count(F.lit(1)).cast("bigint").alias("emitted"),
+                F.count_distinct("user_id", "event_type")
+                .cast("bigint").alias("distinct_keys"),
+                F.sum("user_id").cast("bigint").alias("key_user_sum"),
+            ).select("part", "emitted", "distinct_keys", "key_user_sum")
+        )
+    res = legs[0]
+    for leg in legs[1:]:
+        res = res.unionByName(leg)
+    return res
+
+
+def _oracle_streaming_ingest() -> str:
+    store = (
+        "SELECT CAST(count(*) AS BIGINT) AS emitted, "
+        "CAST(count(*) AS BIGINT) AS distinct_keys, "
+        "CAST(sum(user_id) AS BIGINT) AS key_user_sum "
+        "FROM (SELECT DISTINCT user_id, event_type FROM events "
+        "WHERE user_id % 3 = 0)"
+    )
+    return f"""
+SELECT 'first_seen' AS part, emitted, distinct_users AS distinct_keys,
+       CAST(-1 AS BIGINT) AS key_user_sum
+FROM ({_oracle_streaming_first_seen()})
+UNION ALL
+SELECT 'store_hash', emitted, distinct_keys, key_user_sum FROM ({store})
+UNION ALL
+SELECT 'store_exact', emitted, distinct_keys, key_user_sum FROM ({store})
+"""
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100: explode staged tokens → one partial-
     aggregated groupBy (Zipf heavy hitters combine map-side) → TakeOrdered
@@ -3111,10 +3203,80 @@ FROM ({_oracle_dedup_keep_best()})
 """
 
 
+def q_minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest MinHash dedup (quality_spark/llm/dedup.py:
+    write_minhash_index / minhash_dedup_against_index): the corpus
+    (doc_id % 17 != 0) is indexed ONCE as exploded band signatures; a
+    new batch (doc_id % 17 == 0) computes ONLY its own signatures and
+    probes the standing index (batch side broadcasts — the corpus
+    index is never re-shingled or shuffled), plus within-batch band
+    candidates. The oracle replays the identical banded pipeline in
+    DuckDB with the same corpus/batch split."""
+    from quality_spark.llm.dedup import (
+        minhash_dedup_against_index,
+        write_minhash_index,
+    )
+
+    def build(root):
+        docs = _read(spark, sf_dir, "documents")
+        write_minhash_index(
+            docs.filter(F.col("doc_id") % 17 != 0),
+            f"{root}/idx", k=3, num_perm=16, bands=4, mode="portable",
+        )
+        return root
+
+    root = _staged("mhindex", sf_dir, build)
+    batch = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    return minhash_dedup_against_index(
+        batch, f"{root}/idx", k=3, num_perm=16, bands=4,
+        mode="portable", within_batch=True,
+    )
+
+
+def _oracle_minhash_index_ingest() -> str:
+    from quality_spark.llm.dedup import (
+        band_sqls,
+        minhash_sqls,
+        shingle_hashes_sql,
+        shingles_sql,
+    )
+
+    sh = shingles_sql("text", 3, "duckdb")
+    hv = shingle_hashes_sql("sh", "duckdb", "portable")
+    mh_list = "[" + ", ".join(minhash_sqls("hv", 16, "duckdb", "portable")) + "]"
+    bands = band_sqls([f"mh[{i + 1}]" for i in range(16)], 4, "duckdb", "portable")
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {s} AS band_hash FROM m"
+        for b, s in enumerate(bands)
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS sh FROM documents),
+h AS (SELECT doc_id, {hv} AS hv FROM s),
+m AS (SELECT doc_id, {mh_list} AS mh FROM h),
+bnds AS ({band_union}),
+vs_index AS (
+  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS matched_id
+  FROM bnds a JOIN bnds b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 17 != 0 AND b.doc_id % 17 = 0
+),
+within AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS matched_id
+  FROM bnds a JOIN bnds b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 17 = 0 AND b.doc_id % 17 = 0
+)
+SELECT DISTINCT new_id, matched_id
+FROM (SELECT * FROM vs_index UNION ALL SELECT * FROM within)
+"""
+
+
 def q_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash block: the 16-perm signatures AND the banded-LSH
     near-dup pairs they feed (r03 gate queries minhash_signatures,
-    minhash_lsh_near_dup)."""
+    minhash_lsh_near_dup) AND the incremental-ingest index probe
+    (gated in r05)."""
     sigs = q_minhash_signatures(spark, sf_dir).select(
         F.lit("sig").alias("part"),
         F.col("doc_id").alias("id_a"),
@@ -3128,7 +3290,14 @@ def q_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("v_long"),
         F.col("jaccard").alias("v_double"),
     )
-    return sigs.unionByName(pairs)
+    ingest = q_minhash_index_ingest(spark, sf_dir).select(
+        F.lit("ingest").alias("part"),
+        F.col("new_id").alias("id_a"),
+        F.col("matched_id").alias("id_b"),
+        F.lit(-1).cast("bigint").alias("v_long"),
+        F.lit(-1.0).alias("v_double"),
+    )
+    return sigs.unionByName(pairs).unionByName(ingest)
 
 
 def _oracle_minhash_pipeline() -> str:
@@ -3139,6 +3308,9 @@ FROM ({_oracle_minhash_signatures()})
 UNION ALL
 SELECT 'pair', id_a, id_b, CAST(-1 AS BIGINT), jaccard
 FROM ({_oracle_minhash_lsh_near_dup()})
+UNION ALL
+SELECT 'ingest', new_id, matched_id, CAST(-1 AS BIGINT), -1.0
+FROM ({_oracle_minhash_index_ingest()})
 """
 
 
@@ -3539,11 +3711,65 @@ FROM documents GROUP BY 1
 """
 
 
+def q_zorder_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write + readback (quality_spark/sources/
+    corpus.py:write_zordered): orders written Morton-clustered on
+    (o_custkey, o_totalprice), read back through a two-column filter
+    that exercises the row-group-pruned path (pruning itself is
+    footer-pinned in tests/test_plans.py::test_zorder_write_prunes_
+    row_groups) plus a full-table leg proving the clustered write
+    round-trips every row. Integer aggregates only — float sums would
+    hash-diverge across engines on association order."""
+    from quality_spark.sources.corpus import write_zordered
+
+    def build(root):
+        orders = _read(spark, sf_dir, "orders")
+        write_zordered(
+            orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            f"{root}/z", ["o_custkey", "o_totalprice"], num_files=8,
+        )
+        return root
+
+    root = _staged("zorder", sf_dir, build)
+    z = spark.read.parquet(f"{root}/z")
+    filt = (
+        z.filter(
+            (F.col("o_custkey").between(100, 2000))
+            & (F.col("o_totalprice") > 150000.0)
+        )
+        .groupBy()
+        .agg(
+            F.lit("filtered").alias("leg"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+    )
+    full = z.groupBy().agg(
+        F.lit("all").alias("leg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+    return filt.unionByName(full)
+
+
+def _oracle_zorder_corpus() -> str:
+    return """
+SELECT 'filtered' AS leg, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 2000 AND o_totalprice > 150000.0
+UNION ALL
+SELECT 'all', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+FROM orders
+"""
+
+
 def q_corpus_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-I/O block: JSONL round trip + Hive-partitioned store
     round trip with pruned readback + bucketed-table store with
     co-located join (r03 gate queries jsonl_round_trip,
-    partitioned_corpus; bucketed store new in r04)."""
+    partitioned_corpus; bucketed store new in r04) + Z-order clustered
+    write/readback (gated in r05)."""
     nb = F.lit(-1).cast("bigint")
     jsonl = q_jsonl_round_trip(spark, sf_dir).select(
         F.lit("jsonl").alias("part"),
@@ -3570,7 +3796,16 @@ def q_corpus_io(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_chars").alias("v2"),
         nb.alias("v3"),
     )
-    return jsonl.unionByName(store).unionByName(bucket)
+    zorder = q_zorder_corpus(spark, sf_dir).select(
+        F.lit("zorder").alias("part"),
+        F.lit(-1).cast("bigint").alias("doc_id"),
+        F.col("leg").alias("s1"),
+        F.lit("").alias("s2"),
+        F.col("n_rows").alias("v1"),
+        F.col("key_sum").alias("v2"),
+        nb.alias("v3"),
+    )
+    return jsonl.unionByName(store).unionByName(bucket).unionByName(zorder)
 
 
 def _oracle_corpus_io() -> str:
@@ -3587,6 +3822,10 @@ UNION ALL
 SELECT 'bucket', CAST(-1 AS BIGINT), lang, '',
        n_docs, sum_chars, CAST(-1 AS BIGINT)
 FROM ({_oracle_bucketed_corpus()})
+UNION ALL
+SELECT 'zorder', CAST(-1 AS BIGINT), leg, '',
+       n_rows, key_sum, CAST(-1 AS BIGINT)
+FROM ({_oracle_zorder_corpus()})
 """
 
 
@@ -4052,7 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "struct_map_ops": q_struct_map_ops,
         # --- event time: batch + streaming ---
         "windowed_dq": q_windowed_dq,
-        "streaming_first_seen": q_streaming_first_seen,
+        "streaming_first_seen": q_streaming_ingest,
         "event_rollups": q_event_rollups,
         "temporal_joins": q_temporal_joins,
         "skew_ops": q_skew_ops,
@@ -4108,7 +4347,7 @@ def oracle_sql() -> dict[str, str]:
         "yaml_round_trip": _oracle_yaml_round_trip(),
         "struct_map_ops": _oracle_struct_map_ops(),
         "windowed_dq": _oracle_windowed_dq(),
-        "streaming_first_seen": _oracle_streaming_first_seen(),
+        "streaming_first_seen": _oracle_streaming_ingest(),
         "event_rollups": _oracle_event_rollups(),
         "temporal_joins": _oracle_temporal_joins(),
         "skew_ops": _oracle_skew_ops(),
