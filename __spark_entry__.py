@@ -1729,7 +1729,7 @@ def _oracle_map_contains_filter() -> str:
     )
 
 
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_flat_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (the prompt's named scale path alongside LSH):
     corpus inverted-listed by nearest centroid via a pure-projection
     argmax over an inlined normalized-centroid literal (no shuffle),
@@ -1747,6 +1747,110 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_flat_topk(
         emb, queries, k=5, nprobe=2, centroid_stride=50, mode="arrow"
     ).select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
+_KMEANS_SCALE = 10_000  # centroid components gated as floor(x*1e4+0.5)
+
+
+def q_kmeans_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means gate (quality_spark/llm/similarity.py:
+    kmeans_centroids): k=4 spherical Lloyd over the 64 lowest-id
+    embeddings, EXACTLY ONE iteration from the deterministic init
+    (k lowest-id vectors, L2-normalized) — so the update is a closed
+    form the DuckDB oracle recomputes: assign by argmax dot with the
+    normalized init centroids (tie -> lowest cid, matching the SQL
+    fold's strict >), average the row-normalized members per cell/dim,
+    re-normalize. Components are gated as floor(x*1e4 + 0.5) scaled
+    BIGINTs — an explicit symmetric rounding both engines compute
+    identically (python round() is banker's, DuckDB round() is
+    half-away; emitting doubles would also hash last-ulp noise from
+    aggregation order)."""
+    import math
+
+    from quality_spark.llm.similarity import kmeans_centroids
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 64)
+    cents = kmeans_centroids(emb, k=4, iters=1, mode="sql")
+    rows = [
+        (int(cid), int(d), int(math.floor(float(x) * _KMEANS_SCALE + 0.5)))
+        for cid, vec in cents
+        for d, x in enumerate(vec)
+    ]
+    return spark.createDataFrame(rows, "cid bigint, dim int, comp_scaled bigint")
+
+
+def _oracle_kmeans_leg() -> str:
+    def nrm(e: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform({e}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+
+    dot_ch_e = (
+        "list_sum(list_transform(range(1, len(c.ch) + 1), "
+        "i -> c.ch[i] * CAST(s.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) / {nrm('embedding')}) AS ch
+  FROM sub ORDER BY vec_id LIMIT 4
+),
+assign AS (
+  SELECT s.vec_id, s.embedding, c.cid,
+         row_number() OVER (PARTITION BY s.vec_id
+                            ORDER BY {dot_ch_e} DESC, c.cid) AS rn
+  FROM sub s CROSS JOIN init c
+),
+cellof AS (
+  SELECT vec_id, embedding, cid FROM assign
+  WHERE rn = 1 AND {nrm('embedding')} > 0
+),
+means AS (
+  SELECT cid, CAST(t.d AS INT) - 1 AS dim,
+         avg(CAST(embedding[CAST(t.d AS INT)] AS DOUBLE)
+             / {nrm('embedding')}) AS m
+  FROM cellof, range(1, 65) t(d)
+  GROUP BY 1, 2
+),
+norms AS (SELECT cid, sqrt(sum(m * m)) AS nn FROM means GROUP BY 1),
+new_c AS (
+  SELECT m.cid, m.dim,
+         m.m / (CASE WHEN n.nn = 0 THEN 1 ELSE n.nn END) AS comp
+  FROM means m JOIN norms n ON m.cid = n.cid
+),
+-- empty cells keep their init centroid (kmeans_centroids:736)
+final AS (
+  SELECT i.cid, CAST(t.d AS INT) - 1 AS dim,
+         COALESCE(nc.comp, i.ch[CAST(t.d AS INT)]) AS comp
+  FROM init i
+  CROSS JOIN range(1, 65) t(d)
+  LEFT JOIN new_c nc ON nc.cid = i.cid AND nc.dim = CAST(t.d AS INT) - 1
+)
+SELECT CAST(cid AS BIGINT) AS cid, dim,
+       CAST(floor(comp * {_KMEANS_SCALE} + 0.5) AS BIGINT) AS comp_scaled
+FROM final
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF block: IVF-Flat ANN search + the deterministic one-step
+    k-means centroid build that feeds IVF lists (gated in r05)."""
+    ivf = q_ivf_flat_leg(spark, sf_dir).select(
+        F.lit("ivf").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("rank").cast("bigint").alias("v_long"),
+    )
+    km = q_kmeans_leg(spark, sf_dir).select(
+        F.lit("kmeans").alias("part"),
+        F.col("cid").alias("id_a"),
+        F.col("dim").cast("bigint").alias("id_b"),
+        F.col("comp_scaled").alias("v_long"),
+    )
+    return ivf.unionByName(km)
 
 
 def _oracle_ivf_topk() -> str:
@@ -1791,6 +1895,17 @@ SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
          row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
   FROM scored
 ) WHERE rnk <= 5
+"""
+
+
+def _oracle_ivf_block() -> str:
+    return f"""
+SELECT 'ivf' AS part, query_id AS id_a, neighbor_id AS id_b,
+       CAST(rank AS BIGINT) AS v_long
+FROM ({_oracle_ivf_topk()})
+UNION ALL
+SELECT 'kmeans', cid, CAST(dim AS BIGINT), comp_scaled
+FROM ({_oracle_kmeans_leg()})
 """
 
 
@@ -3977,6 +4092,7 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = F.expr(expand_sql("rng('PCG_RXS_M_XS_64', 5)"))
     xs = F.expr(expand_sql("rng('XOR_SHIFT_1024_S', 11)"))
     xsp = F.expr(expand_sql("rng('XOR_SHIFT_1024_S_PHI', 11)"))
+    mt = F.expr(expand_sql("rng('MT', 9)"))
     return df.select(
         F.col("id").cast("bigint").alias("id"),
         x["lower"].alias("xrsr_lo"),
@@ -3997,6 +4113,8 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         xs["higher"].alias("xs1024_hi"),
         xsp["lower"].alias("xsphi_lo"),
         xsp["higher"].alias("xsphi_hi"),
+        mt["lower"].alias("mt_lo"),
+        mt["higher"].alias("mt_hi"),
     )
 
 
@@ -4120,8 +4238,39 @@ def _rng_parity_reference(n: int) -> list:
     j = jdk_stream(42, 2 * n)
     p = pcg_stream(42, 2 * n, 32)
     pr = pcg_stream(5, 2 * n, 64)
+    def mt_stream(seed: int, count64: int) -> list:
+        # MT19937 (Matsumoto & Nishimura 2002 reference): init_genrand
+        # seeding (seed < 2^32 here), 624-word twist, 11/7/15/18 temper;
+        # 32-bit outputs packed hi<<32|lo — an independent plain loop,
+        # not the production numpy path
+        M32 = 0xFFFFFFFF
+        mt = [seed & M32]
+        for i in range(1, 624):
+            mt.append((1812433253 * (mt[i - 1] ^ (mt[i - 1] >> 30)) + i) & M32)
+        out32, idx = [], 624
+        for _ in range(count64 * 2):
+            if idx >= 624:
+                for i in range(624):
+                    y = (mt[i] & 0x80000000) | (mt[(i + 1) % 624] & 0x7FFFFFFF)
+                    mt[i] = (
+                        mt[(i + 397) % 624]
+                        ^ (y >> 1)
+                        ^ (2567483615 if y & 1 else 0)
+                    )
+                idx = 0
+            y = mt[idx]
+            idx += 1
+            y ^= y >> 11
+            y ^= (y << 7) & 2636928640
+            y ^= (y << 15) & 4022730752
+            out32.append((y ^ (y >> 18)) & M32)
+        return [
+            (out32[2 * i] << 32) | out32[2 * i + 1] for i in range(count64)
+        ]
+
     xs = xs1024_stream(11, 2 * n, 1181783497276652981)
     xsp = xs1024_stream(11, 2 * n, 0x9E3779B97F4A7C13)
+    mt = mt_stream(9, 2 * n)
     return [
         (
             i,
@@ -4134,6 +4283,7 @@ def _rng_parity_reference(n: int) -> list:
             sgn(pr[2 * i]), sgn(pr[2 * i + 1]),
             sgn(xs[2 * i]), sgn(xs[2 * i + 1]),
             sgn(xsp[2 * i]), sgn(xsp[2 * i + 1]),
+            sgn(mt[2 * i]), sgn(mt[2 * i + 1]),
         )
         for i in range(n)
     ]
@@ -4149,6 +4299,7 @@ def _oracle_rng_parity() -> str:
         "xrss_lo", "xrss_hi", "x256_lo", "x256_hi",
         "jdk_lo", "jdk_hi", "pcg_lo", "pcg_hi", "pcgr_lo", "pcgr_hi",
         "xs1024_lo", "xs1024_hi", "xsphi_lo", "xsphi_hi",
+        "mt_lo", "mt_hi",
     ]
     sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
     return f"SELECT {sel} FROM (VALUES {rows}) AS t({', '.join(cols)})"
@@ -4361,7 +4512,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _oracle_near_dup_clusters(),
         "embedding_ann": _oracle_embedding_ann(),
         "embedding_lsh_near_dup": _oracle_embedding_lsh_near_dup(),
-        "ivf_topk": _oracle_ivf_topk(),
+        "ivf_topk": _oracle_ivf_block(),
         "decontam_overlap": _oracle_decontam_overlap(),
         "sampling_splits": _oracle_sampling_splits(),
         "doc_filter_pipeline": _oracle_doc_filter_pipeline(),

@@ -35,6 +35,13 @@ per-partition stream.  Two honesty notes, both load-bearing:
   TWO_CMRES are nonlinear (carry/chaotic state) with no known
   sub-linear advance at all — a bit-exact port would have to walk the
   stream from position 0 per task, O(partition·2^33) work.
+  EXCEPTION (round 5): ``MT`` is additionally bit-exact for the
+  driver/single-partition case — sequence positions below
+  ``_MT_MAX_WORDS`` reproduce the published MT19937 stream by bounded
+  sequential generation (numpy's legacy-seeded MT19937 executes it;
+  an independent pure-python twist/temper loop pins it in tests and
+  the rng_parity gate); positions past the bound (any partitioned
+  mid) raise rather than silently de-syncing.
 - Every family is backed by numpy's Philox in counter mode, keyed by
   (algo-id, seed) and jumped per Spark partition.  Philox is the one
   numpy BitGenerator whose O(1) ``advance`` lets a row address its
@@ -502,6 +509,44 @@ def _engine_run(algo: str, seed: int, start_pos: int, count: int) -> np.ndarray:
     return out
 
 
+#: MT19937 has no practical sub-linear advance (the 19937-bit jump
+#: matrices are hundreds of MB), so the MT stream is reproduced by
+#: SEQUENTIAL generation from position 0 and gathered by position —
+#: valid for driver-side / single-partition reproduction of
+#: reference-seeded suites, NOT for partitioned frames (a partition's
+#: mid = pid<<33 | row lands astronomically past this bound, which is
+#: exactly the case the refusal below protects).
+_MT_MAX_WORDS = 1 << 23  # 8M 64-bit outputs ≈ 64 MB regenerated state
+
+
+def _mt_run_words(seed: int, n_words: int) -> np.ndarray:
+    """First ``n_words`` 64-bit outputs of MT19937 (Matsumoto &
+    Nishimura 2002 reference algorithm) under numpy's LEGACY
+    (``RandomState``) seeding — init_genrand for seeds < 2^32,
+    init_by_array over the seed's 32-bit words above — packed
+    hi<<32|lo (first 32-bit draw in the HIGH half, the IntProvider
+    ``nextLong`` convention shared with the PCG 32-bit engines).
+    numpy's MT19937 bit generator IS the published reference
+    implementation, giving an in-container bit-exact oracle; the
+    independent pure-python twist/temper loop in tests/test_ids.py
+    pins both."""
+    from numpy.random import MT19937
+
+    g = MT19937()
+    s = seed & _M64
+    if s < (1 << 32):
+        g._legacy_seeding(s)  # init_genrand(s)
+    else:
+        # init_by_array over the little-endian 32-bit words
+        words = []
+        while s:
+            words.append(s & 0xFFFFFFFF)
+            s >>= 32
+        g._legacy_seeding(np.array(words, dtype=np.uint32))
+    raw = g.random_raw(2 * n_words).astype(np.uint64)
+    return (raw[0::2] << np.uint64(32)) | raw[1::2]
+
+
 def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.ndarray:
     """Bit-exact draws for the exact-parity algorithms; same contract
     as :func:`rng_draws` (row i's words depend only on (algo, seed,
@@ -511,6 +556,22 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
     if algo == "SPLIT_MIX_64":
         pos = mids[:, None] * np.uint64(nwords) + np.arange(nwords, dtype=np.uint64)
         return _splitmix64_at(seed, pos)
+    if algo == "MT":
+        if n == 0:
+            return np.empty((0, nwords), np.uint64)
+        need = (int(mids.max()) + 1) * nwords
+        if need > _MT_MAX_WORDS:
+            raise ValueError(
+                "rng('MT') is bit-exact via sequential reproduction and "
+                f"supports sequence positions < {_MT_MAX_WORDS // nwords} "
+                "only (single-partition / driver-side use; partitioned "
+                "mids exceed it by construction). Use a jumpable engine "
+                "(xoroshiro/xoshiro/PCG/SplitMix64) for partitioned "
+                "frames."
+            )
+        words = _mt_run_words(seed, need)
+        pos = mids[:, None] * np.uint64(nwords) + np.arange(nwords, dtype=np.uint64)
+        return words[pos.astype(np.int64)]
     if algo == "JDK":
         run_fn = _jdk_run
     elif algo in _PCG_VARIANTS:
@@ -532,7 +593,7 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
 #: the Philox counter streams below.
 EXACT_RNG_ALGOS = {
     SUPPORTED_RNG_ALGOS[name]: name
-    for name in ("SPLIT_MIX_64", "JDK", *_EXACT_ENGINES, *_PCG_VARIANTS)
+    for name in ("SPLIT_MIX_64", "JDK", "MT", *_EXACT_ENGINES, *_PCG_VARIANTS)
 }
 
 

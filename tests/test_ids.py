@@ -589,3 +589,88 @@ def test_xorshift1024_bit_parity():
         ref = ref_stream(42, far * 2 + 2)
         off = rng_draws(aid, 42, np.array([far], np.int64), 2)
         assert [int(off[0, 0]), int(off[0, 1])] == ref[-2:], name
+
+
+def test_mt19937_bit_parity():
+    """rng('MT') must emit the published MT19937 stream (Matsumoto &
+    Nishimura 2002 reference algorithm: init_genrand / init_by_array,
+    624-word twist, 11/7/15/18 temper) under numpy's legacy seeding
+    convention — pinned here against an INDEPENDENT pure-python loop,
+    not numpy (the production path uses numpy, so agreement pins
+    both)."""
+    import numpy as np
+
+    from quality_spark.functions.pyrng import SUPPORTED_RNG_ALGOS, rng_draws
+
+    M32 = 0xFFFFFFFF
+
+    def init_genrand(s):
+        mt = [s & M32]
+        for i in range(1, 624):
+            mt.append((1812433253 * (mt[i - 1] ^ (mt[i - 1] >> 30)) + i) & M32)
+        return mt
+
+    def init_by_array(key):
+        mt = init_genrand(19650218)
+        i, j = 1, 0
+        for _ in range(max(624, len(key))):
+            mt[i] = ((mt[i] ^ ((mt[i - 1] ^ (mt[i - 1] >> 30)) * 1664525)) + key[j] + j) & M32
+            i += 1
+            j += 1
+            if i >= 624:
+                mt[0] = mt[623]
+                i = 1
+            if j >= len(key):
+                j = 0
+        for _ in range(623):
+            mt[i] = ((mt[i] ^ ((mt[i - 1] ^ (mt[i - 1] >> 30)) * 1566083941)) - i) & M32
+            i += 1
+            if i >= 624:
+                mt[0] = mt[623]
+                i = 1
+        mt[0] = 0x80000000
+        return mt
+
+    def stream(seed, count32):
+        # numpy's legacy convention: init_genrand below 2^32, else
+        # init_by_array over the seed's little-endian 32-bit words
+        if seed < (1 << 32):
+            mt = init_genrand(seed)
+        else:
+            key, s = [], seed
+            while s:
+                key.append(s & M32)
+                s >>= 32
+            mt = init_by_array(key)
+        out, idx = [], 624
+        for _ in range(count32):
+            if idx >= 624:
+                for i in range(624):
+                    y = (mt[i] & 0x80000000) | (mt[(i + 1) % 624] & 0x7FFFFFFF)
+                    mt[i] = mt[(i + 397) % 624] ^ (y >> 1) ^ (2567483615 if y & 1 else 0)
+                idx = 0
+            y = mt[idx]
+            idx += 1
+            y ^= y >> 11
+            y ^= (y << 7) & 2636928640
+            y ^= (y << 15) & 4022730752
+            out.append((y ^ (y >> 18)) & M32)
+        return out
+
+    aid = SUPPORTED_RNG_ALGOS["MT"]
+    for seed in (5489, 42, (77 << 32) | 123):  # both seeding branches
+        ref32 = stream(seed, 160)
+        ref64 = [(ref32[2 * i] << 32) | ref32[2 * i + 1] for i in range(80)]
+        mids = np.arange(0, 40, dtype=np.int64)
+        got = rng_draws(aid, seed, mids, 2)
+        assert [int(v) for v in got.reshape(-1)] == ref64, seed
+        # scattered positions gather from the same sequential stream
+        pick = np.array([3, 7, 20, 39], dtype=np.int64)
+        assert (rng_draws(aid, seed, pick, 2) == got[pick]).all(), seed
+
+    # positions past the sequential-reproduction bound refuse loudly
+    try:
+        rng_draws(aid, 42, np.array([1 << 40], dtype=np.int64), 2)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "single-partition" in str(e)
