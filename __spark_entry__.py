@@ -1255,7 +1255,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       row-order/channel-order decode fails the hash.
     - 'ppm': same constant-color images through the binary netpbm P6
       codec (round 4), with the exact header+payload byte size in the
-      oracle."""
+      oracle.
+    - 'png': same images through the REAL stdlib-zlib PNG codec
+      (round 5) — decoded dims + pixel features gated; byte size is
+      compressed and therefore not closed-form (gated as -1)."""
     from pyspark.sql.functions import pandas_udf
 
     from quality_spark.llm.multimodal import (
@@ -1310,17 +1313,29 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt,
         )
         feats = extract_media_features(media, id_col="doc_id")
+        # png byte size is zlib-compressed — not closed-form, so the
+        # png part gates dims + pixel features only (n_bytes = -1);
+        # bmp/ppm keep their exact-size checks
+        nb = (
+            F.lit(-1).cast("bigint").alias("n_bytes")
+            if fmt == "png"
+            else F.col("n_bytes")
+        )
         return feats.select(
             F.lit(fmt).alias("part"),
             F.col("id").alias("doc_id"),
-            "n_bytes",
+            nb,
             F.size("features").alias("dim"),
             "width",
             "height",
             F.element_at("features", 3).cast("double").alias("px_mean"),
             F.element_at("features", 8).cast("double").alias("px_max"),
         )
-    return text_part.unionByName(img_part("bmp")).unionByName(img_part("ppm"))
+    return (
+        text_part.unionByName(img_part("bmp"))
+        .unionByName(img_part("ppm"))
+        .unionByName(img_part("png"))
+    )
 
 
 def _oracle_media_features() -> str:
@@ -1343,6 +1358,11 @@ UNION ALL
 SELECT 'ppm', doc_id,
        CAST(9 + length(CAST({w} AS VARCHAR)) + length(CAST({h} AS VARCHAR))
             + 3 * {w} * {h} AS BIGINT),
+       {FEATURE_DIM}, CAST({w} AS INTEGER), CAST({h} AS INTEGER),
+       CAST({v} AS DOUBLE), CAST({v} AS DOUBLE)
+FROM documents WHERE doc_id < 200
+UNION ALL
+SELECT 'png', doc_id, CAST(-1 AS BIGINT),
        {FEATURE_DIM}, CAST({w} AS INTEGER), CAST({h} AS INTEGER),
        CAST({v} AS DOUBLE), CAST({v} AS DOUBLE)
 FROM documents WHERE doc_id < 200

@@ -3,18 +3,19 @@ decode / feature-extraction plumbing over ``mapInPandas``.
 
 Decode support is format-tiered (VERDICT r03 #6):
 
-- **BMP and PPM (P6) are decoded for real** — pure-numpy
-  reader/writers for the uncompressed 24/32-bit Windows DIB format and
-  the binary netpbm P6 format (the raster formats that need no codec
-  library): real width/height, real pixel features, real
-  nearest-neighbor resize, re-encoded in the same format.
-- Compressed formats (png/jpeg/audio/video) still STUB their kernels
-  (deterministic fakes clearly marked, or NotImplementedError in
-  strict mode) — the container has no codecs.  Everything Spark-side
-  is real and tested either way: the schema contract, Arrow batch
-  shapes, partition-preserving mapInPandas plumbing, and metadata
-  handling.  Swapping in PIL/librosa later touches only the kernel
-  function bodies.
+- **BMP, PPM (P6), and PNG are decoded for real** — pure-numpy
+  reader/writers for the uncompressed 24/32-bit Windows DIB format,
+  the binary netpbm P6 format, and (round 5) 8-bit non-interlaced PNG
+  via stdlib ``zlib`` (inflate + the five spec unfilters): real
+  width/height, real pixel features, real nearest-neighbor resize,
+  re-encoded in the same format.
+- Other compressed formats (jpeg/audio/video) still STUB their
+  kernels (deterministic fakes clearly marked, or NotImplementedError
+  in strict mode) — the container has no codecs.  Everything
+  Spark-side is real and tested either way: the schema contract,
+  Arrow batch shapes, partition-preserving mapInPandas plumbing, and
+  metadata handling.  Swapping in PIL/librosa later touches only the
+  kernel function bodies.
 """
 
 from __future__ import annotations
@@ -198,11 +199,152 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
-#: raster formats decoded for REAL (pure numpy, no codec libraries):
-#: format name -> (decoder -> (h,w,3) RGB, encoder)
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(b: bytes):
+    """Yield (type, data) for each chunk, verifying lengths and CRCs
+    (zlib.crc32 over type+data, per the PNG spec)."""
+    import zlib
+
+    i = 8
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if len(data) != ln or i + 12 + ln > len(b):
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(b[i + 8 + ln : i + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        yield typ, data
+        i += 12 + ln
+        if typ == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (color types 0 gray, 2 RGB,
+    6 RGBA) to an (h, w, 3) uint8 RGB array — pure stdlib ``zlib`` +
+    numpy: IDAT chunks concatenate, inflate, and unfilter with the five
+    spec filters (None/Sub/Up/Average/Paeth). Gray replicates to 3
+    channels; RGBA drops alpha (no compositing). Raises ValueError on
+    palette (3), 16-bit, or Adam7-interlaced images — honest refusals,
+    not wrong answers."""
+    import zlib
+
+    b = payload or b""
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    for typ, data in _png_chunks(b):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.extend(data)
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG: depth={depth} comp={comp} filt={filt}")
+    if interlace != 0:
+        raise ValueError("unsupported PNG: Adam7 interlacing")
+    nchan = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if nchan is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dims {w}x{h}")
+    raw = zlib.decompress(bytes(idat))
+    rowlen = w * nchan
+    if len(raw) != h * (rowlen + 1):
+        raise ValueError("PNG inflated size mismatch")
+    out = np.zeros((h, rowlen), np.uint16)
+    prev = np.zeros(rowlen, np.uint16)
+    bpp = nchan  # bytes per pixel at depth 8
+    for y in range(h):
+        ft = raw[y * (rowlen + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, rowlen, y * (rowlen + 1) + 1
+        ).astype(np.uint16)
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up — fully vectorized
+            cur = (row + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
+            cur = np.zeros(rowlen, np.uint16)
+            for x in range(rowlen):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if ft == 1:
+                    cur[x] = (row[x] + a) & 0xFF
+                elif ft == 3:
+                    cur[x] = (row[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    cur[x] = (row[x] + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    px = out.astype(np.uint8).reshape(h, w, nchan)
+    if nchan == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor
+    non-interlaced PNG (filter 0 rows, one zlib IDAT) — the exact
+    layout :func:`decode_png` reads back. Deterministic bytes
+    (fixed zlib level)."""
+    import zlib
+
+    a = np.asarray(img, np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    h, w = a.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    rows = np.concatenate(
+        [np.zeros((h, 1), np.uint8), a.reshape(h, w * 3)], axis=1
+    )
+    idat = zlib.compress(rows.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+#: raster formats decoded for REAL (pure numpy / stdlib zlib — no
+#: external codec libraries): format name -> (decoder -> (h,w,3) RGB,
+#: encoder)
 REAL_CODECS = {
     "bmp": (decode_bmp, encode_bmp),
     "ppm": (decode_ppm, encode_ppm),
+    "png": (decode_png, encode_png),
 }
 
 

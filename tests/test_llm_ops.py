@@ -856,3 +856,129 @@ def test_topk_dot_and_l2_metrics_vs_numpy(spark, emb):
                 )
             ]
             assert mine == exp, (metric, qid)
+
+
+def test_png_codec_round_trip():
+    """encode_png -> decode_png must be the identity on (h, w, 3)
+    uint8, including non-trivial content and 1-pixel edge dims."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for h, w in ((1, 1), (3, 5), (16, 9), (7, 32)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        back = decode_png(encode_png(img))
+        assert back.shape == (h, w, 3)
+        assert (back == img).all(), (h, w)
+
+
+def test_png_decode_all_filter_types():
+    """decode_png's unfilter paths (None/Sub/Up/Average/Paeth) are
+    pinned against an INDEPENDENT forward-filter implementation: each
+    row of a random image is filtered per the PNG spec with a chosen
+    type, assembled into a real PNG byte stream (stdlib zlib deflate +
+    CRCs), and the decoder must reproduce the original pixels."""
+    import zlib
+
+    import numpy as np
+
+    from quality_spark.llm.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    h, w, bpp = 5, 7, 3
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    flat = img.reshape(h, w * 3).astype(int)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    for y, ft in enumerate([0, 1, 2, 3, 4]):  # one row per filter type
+        prev = flat[y - 1] if y else np.zeros(w * 3, int)
+        raw.append(ft)
+        for x in range(w * 3):
+            cur = flat[y][x]
+            a = flat[y][x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                v = cur
+            elif ft == 1:
+                v = cur - a
+            elif ft == 2:
+                v = cur - b
+            elif ft == 3:
+                v = cur - ((a + b) >> 1)
+            else:
+                v = cur - paeth(a, b, c)
+            raw.append(v & 0xFF)
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == img).all()
+
+
+def test_png_gray_rgba_and_refusals():
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from quality_spark.llm.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def make(w, h, ctype, nchan, pix, interlace=0, depth=8):
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, ctype, 0, 0, interlace])
+        )
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            raw.extend(pix[y * w * nchan : (y + 1) * w * nchan])
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    # gray replicates to 3 channels
+    g = make(3, 2, 0, 1, bytes(range(6)))
+    out = decode_png(g)
+    assert out.shape == (2, 3, 3) and (out[:, :, 0] == out[:, :, 2]).all()
+    assert out[0, 1, 0] == 1
+    # RGBA drops alpha
+    a = make(2, 1, 6, 4, bytes([10, 20, 30, 99, 40, 50, 60, 99]))
+    out = decode_png(a)
+    assert out.tolist() == [[[10, 20, 30], [40, 50, 60]]]
+    # refusals: palette, 16-bit, interlaced, bad CRC
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(make(2, 1, 3, 1, bytes(2)))
+    with pytest.raises(ValueError, match="depth"):
+        decode_png(make(2, 1, 2, 3, bytes(12), depth=16))
+    with pytest.raises(ValueError, match="interlacing"):
+        decode_png(make(2, 1, 2, 3, bytes(6), interlace=1))
+    bad = bytearray(make(2, 1, 2, 3, bytes(6)))
+    bad[20] ^= 0xFF  # corrupt IHDR data -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
