@@ -415,15 +415,16 @@ def test_ivf_arrow_cells_bit_identical(spark, sf_dir):
 
 
 def test_resize_media_metadata_math(spark, sf_dir):
-    """resize_media: REAL aspect-fit metadata; stubbed pixels sized to
-    the new dims; schema mirrors the input media struct."""
+    """resize_media for a STUBBED format (jpeg — png became a real
+    codec in round 5): REAL aspect-fit metadata; stubbed pixels sized
+    to the new dims; schema mirrors the input media struct."""
     from quality_spark.llm.multimodal import resize_media
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
     payload = F.encode("text", "utf-8")
     meta = F.struct(
         F.lit("image").alias("media_type"),
-        F.lit("png").alias("format"),
+        F.lit("jpeg").alias("format"),
         ((F.col("doc_id") % 5 + 1) * 100).cast("int").alias("width"),
         F.lit(200).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
@@ -982,3 +983,40 @@ def test_png_gray_rgba_and_refusals():
     bad[20] ^= 0xFF  # corrupt IHDR data -> CRC mismatch
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
+
+
+def test_png_real_features_and_resize(spark):
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        as_media_column,
+        decode_png,
+        encode_png,
+        extract_media_features,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(5)
+    imgs = {i: rng.integers(0, 256, (6 + i, 9 - i, 3), dtype=np.uint8) for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_png(img))) for i, img in imgs.items()],
+        "doc_id int, payload binary",
+    )
+    media = as_media_column(df, "payload", "image", "png")
+    feats = {r["id"]: r for r in extract_media_features(media, id_col="doc_id").collect()}
+    for i, img in imgs.items():
+        r = feats[i]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        chan = img.reshape(-1, 3).astype(np.float64)
+        assert abs(r["features"][2] - np.float32(chan[:, 0].mean())) < 1e-6
+    out = {r["id"]: r for r in resize_media(media, 4, 4).collect()}
+    for i, img in imgs.items():
+        m = out[i]["media"]
+        got = decode_png(bytes(m["payload"]))
+        h0, w0 = img.shape[:2]
+        scale = min(4 / w0, 4 / h0, 1.0)
+        w, h = max(1, int(w0 * scale)), max(1, int(h0 * scale))
+        ys = (np.arange(h) * h0 // h).astype(int)
+        xs = (np.arange(w) * w0 // w).astype(int)
+        assert (got == img[ys][:, xs]).all()
+        assert (m["meta"]["width"], m["meta"]["height"]) == (w, h)
