@@ -639,22 +639,66 @@ def _oracle_bloom_sql_agg() -> str:
     )
 
 
+_XXH3_GATE_N = 150
+
+
+def _xxh3_gate_inputs() -> list:
+    """(i, utf-8 text) pairs spanning every XXH3 length class: lengths
+    run 1..~303 chars, crossing the 0/3/8/16/128/240 boundaries."""
+    return [(i, "ab" * i + str(i)) for i in range(_XXH3_GATE_N)]
+
+
 def q_digest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Digest functions over documents (SURVEY §2.7): md5/sha256 hex —
-    the long-decomposition is covered against hashlib in tests/test_ids.py."""
+    the long-decomposition is covered against hashlib in
+    tests/test_ids.py — plus (round 5) an XXH3 leg: the KAT-pinned
+    xxh3_64 port exercised through the rule-SQL surface
+    (``hash_with('XXH3', …)`` -> pandas UDF) over inputs spanning
+    every length class. DuckDB cannot compute XXH3, so the oracle
+    carries DRIVER-COMPUTED literals of the same pure function — this
+    leg pins the SQL surface, utf-8 encoding, null/batch transport end
+    to end; the ALGORITHM itself is pinned independently by the
+    official vendored sanity vectors (tests/test_pyhash.py)."""
+    from quality_spark.functions.lambdas import expand_sql
+
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
+    nb = F.lit(-1).cast("bigint")
+    dig = docs.select(
+        F.lit("digest").alias("part"),
         "doc_id",
         F.md5(F.col("text")).alias("md5_hex"),
         F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        nb.alias("xxh3"),
     )
+    s = "concat(repeat('ab', CAST(id AS INT)), CAST(id AS STRING))"
+    xx = spark.range(0, _XXH3_GATE_N, 1, 4).select(
+        F.lit("xxh3").alias("part"),
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.lit("").alias("md5_hex"),
+        F.lit("").alias("sha256_hex"),
+        F.expr(expand_sql(f"hash_with('XXH3', {s})")).alias("xxh3"),
+    )
+    return dig.unionByName(xx)
 
 
 def _oracle_digest_documents() -> str:
-    return (
-        "SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex "
-        "FROM documents"
+    from quality_spark.functions.pyhash import xxh3_64
+
+    def sgn(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    vals = ", ".join(
+        f"({i}, {sgn(xxh3_64(t.encode('utf-8')))})"
+        for i, t in _xxh3_gate_inputs()
     )
+    return f"""
+SELECT 'digest' AS part, doc_id, md5(text) AS md5_hex,
+       sha256(text) AS sha256_hex, CAST(-1 AS BIGINT) AS xxh3
+FROM documents
+UNION ALL
+SELECT 'xxh3', CAST(i AS BIGINT), '', '', CAST(h AS BIGINT)
+FROM (VALUES {vals}) t(i, h)
+"""
 
 
 # ---------------------------------------------------------------------------

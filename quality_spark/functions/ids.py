@@ -16,10 +16,13 @@ declared in SUPPORTED_DIGESTS / HASH_IMPLS:
 - MURMUR3_128 is a real MurmurHash3 x64_128 (pyhash.py — vectorized
   numpy pandas UDF, bit-verified against the JVM's Guava
   ``murmur3_128``, the implementation the reference uses).
-- The zero-allocation exotics (XXH3 / CITY_1_1 / FARM_NA / METRO /
-  WY_3 — reference impl/hash/ZeroAllocation.scala:32-96) have no
-  public in-container implementation to verify against, so they
-  ``raise`` instead of silently answering with a different function.
+- XXH3 is a spec-exact one-shot XXH3-64 (pyhash.py — round 5), pinned
+  by the official vendored sanity vectors across every length class.
+- The remaining zero-allocation exotics (CITY_1_1 / FARM_NA / METRO /
+  WY_3 / MUM — reference impl/hash/ZeroAllocation.scala:32-96) have no
+  public in-container implementation or spec KAT set to verify
+  against, so they ``raise`` instead of silently answering with a
+  different function.
 """
 
 from __future__ import annotations
@@ -53,18 +56,22 @@ HASH_IMPLS = {
     "MURMUR3_128": 2,
     "XXH64": 1,
     "XX": 1,
+    "XXH3": 1,
 }
 
 #: reference families with no verifiable in-container implementation —
 #: these error rather than alias to a different hash function.
-#: XXH3 was evaluated for a from-scratch numpy port (round 4): the
-#: container has NO reference to verify against (no python `xxhash`,
-#: no DuckDB/Arrow xxh3 surface), and a from-memory implementation
-#: with unverifiable length-class paths could silently emit wrong
+#: XXH3 graduated OUT of this set in round 5: the one-shot algorithm
+#: is implemented from the public spec (pyhash.xxh3_64) and pinned by
+#: the official vendored sanity vectors (20 (len, seed) KATs spanning
+#: every length class — tests/test_pyhash.py), which is the bit-exact
+#: reference the container lacked. The remaining names still refuse:
+#: CITY/FARM/METRO/WY/MUM publish no comparable spec KAT set, and a
+#: from-memory port with unverifiable paths could silently emit wrong
 #: hashes under the real algorithm's name — strictly worse than this
-#: explicit error. Revisit when a bit-exact reference is available.
+#: explicit error. Revisit when bit-exact references are available.
 UNSUPPORTED_HASH_IMPLS = frozenset(
-    {"XXH3", "CITY_1_1", "FARM_NA", "FARM_UO", "METRO", "WY_3", "MUM"}
+    {"CITY_1_1", "FARM_NA", "FARM_UO", "METRO", "WY_3", "MUM"}
 )
 
 
@@ -187,6 +194,11 @@ def _hash_field_based_id(args):
         return (
             f"named_struct('base', {base}, 'i0', ({h}).i0, 'i1', ({h}).i1)"
         )
+    if impl == "XXH3":
+        from .pyhash import ensure_python_hashes
+
+        ensure_python_hashes()
+        return f"named_struct('base', {base}, 'i0', qs_xxh3_64({x}))"
     return f"named_struct('base', {base}, 'i0', xxhash64({x}, 42))"
 
 
@@ -412,6 +424,11 @@ def _hash_with(args):
 
         ensure_python_hashes()
         return f"qs_murmur3_128_64({x})"
+    if impl == "XXH3":  # spec-exact python port, KAT-pinned (pyhash.py)
+        from .pyhash import ensure_python_hashes
+
+        ensure_python_hashes()
+        return f"qs_xxh3_64({x})"
     if impl in HASH_IMPLS:  # XXH64 / XX: Spark's xxhash64 IS XXH64
         return f"xxhash64({x}, 42)"
     raise _hash_impl_error(impl)

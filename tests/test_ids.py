@@ -97,7 +97,7 @@ def test_murmur3_128_udf_deduplicated(spark):
 
 
 def test_unsupported_hash_impls_error(spark):
-    for impl in ("XXH3", "CITY_1_1", "FARM_NA", "METRO", "WY_3"):
+    for impl in ("CITY_1_1", "FARM_NA", "METRO", "WY_3"):
         with pytest.raises(ValueError, match="refusing to silently"):
             expand_sql(f"hash_with('{impl}', 'x')")
         with pytest.raises(ValueError, match="refusing to silently"):
