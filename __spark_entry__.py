@@ -2243,19 +2243,26 @@ def q_salted_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quality_spark.operators.skew import salted_agg
 
     orders = _read(spark, sf_dir, "orders")
+    # price sums run in EXACT decimal: a double sum's association-order
+    # error grows with row count (at sf1 magnitudes ~2e11 the ulp is
+    # ~0.03, past any rounding the gate could absorb) — the sf1 smoke
+    # caught exactly this fixture-size assumption (round 5)
+    dec = orders.withColumn(
+        "o_totalprice_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
     return salted_agg(
-        orders,
+        dec,
         keys=["o_orderstatus"],
         aggs={
             "n_orders": ("count", "o_orderkey"),
-            "total_price": ("sum", "o_totalprice"),
+            "total_price": ("sum", "o_totalprice_dec"),
             "max_price": ("max", "o_totalprice"),
         },
         salt_n=8,
     ).select(
         "o_orderstatus",
         "n_orders",
-        F.round("total_price", 4).alias("total_price"),
+        F.col("total_price").cast("double").alias("total_price"),
         "max_price",
     )
 
@@ -2263,7 +2270,8 @@ def q_salted_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_salted_agg_orders() -> str:
     return (
         "SELECT o_orderstatus, count(o_orderkey) AS n_orders, "
-        "round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS total_price, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "AS total_price, "
         "max(o_totalprice) AS max_price FROM orders GROUP BY 1"
     )
 

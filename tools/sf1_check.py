@@ -224,6 +224,12 @@ def main() -> None:
         )
 
     out = os.path.join(REPO, "sf1_gate_results.json")
+    if args.only and os.path.exists(out):
+        # --only reruns merge into the existing full record
+        with open(out) as fh:
+            prev = json.load(fh).get("results", {})
+        prev.update(results)
+        results = prev
     with open(out, "w") as fh:
         json.dump(
             {
@@ -232,6 +238,10 @@ def main() -> None:
                 "row_cap": ROW_CAP,
                 "passed": sum(1 for r in results.values() if r.get("ok")),
                 "total": len(results),
+                "mode_counts": {
+                    m: sum(1 for r in results.values() if r.get("mode") == m)
+                    for m in ("full", "agg", "rows_only")
+                },
                 "results": results,
             },
             fh,
