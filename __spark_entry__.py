@@ -2827,30 +2827,40 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(f"{root}/in")
     staged = spark.read.parquet(f"{root}/in")
 
-    legs = [first]
+    # ONE real foreachBatch stream; its handler fans each micro-batch
+    # out to BOTH mode handlers (separate stores/sinks) — both modes see
+    # identical batch boundaries and the composite pays one stream
+    # startup instead of two
+    handlers = {}
     for tag, hash_only in (("store_hash", True), ("store_exact", False)):
-        sink_path = f"{root}/{tag}/sink"
-
-        def sink(df, epoch_id, _p=sink_path):
+        def sink(df, epoch_id, _p=f"{root}/{tag}/sink"):
             df.write.mode("append").parquet(_p)
 
-        handler = dedup_against_store(
+        handlers[tag] = dedup_against_store(
             f"{root}/{tag}/store", ["user_id", "event_type"], sink,
             hash_only=hash_only,
         )
-        q = (
-            spark.readStream.schema(staged.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{root}/in")
-            .writeStream.foreachBatch(handler)
-            .option("checkpointLocation", f"{root}/{tag}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(f"dedup_against_store stream {tag} did not finish")
-        out = spark.read.parquet(sink_path)
+
+    def both(batch_df, epoch_id):
+        for h in handlers.values():
+            h(batch_df, epoch_id)
+
+    q = (
+        spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/in")
+        .writeStream.foreachBatch(both)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("dedup_against_store stream did not finish")
+
+    legs = [first]
+    for tag in handlers:
+        out = spark.read.parquet(f"{root}/{tag}/sink")
         legs.append(
             out.groupBy().agg(
                 F.lit(tag).alias("part"),
