@@ -1302,7 +1302,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle.
     - 'png': same images through the REAL stdlib-zlib PNG codec
       (round 5) — decoded dims + pixel features gated; byte size is
-      compressed and therefore not closed-form (gated as -1)."""
+      compressed and therefore not closed-form (gated as -1).
+    - 'wav': REAL RIFF/PCM audio decode (round 5): constant-amplitude
+      16-bit mono signals synthesized per doc_id on the exact int16
+      grid (amplitude (id%128)/128), so decoded frame count, channel
+      count, sample rate, exact byte size (44 + 2*frames), and the
+      scaled rms/peak are all closed-form oracle arithmetic."""
     from pyspark.sql.functions import pandas_udf
 
     from quality_spark.llm.multimodal import (
@@ -1375,10 +1380,42 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("features", 3).cast("double").alias("px_mean"),
             F.element_at("features", 8).cast("double").alias("px_max"),
         )
+    from quality_spark.llm.multimodal import extract_audio_features
+
+    @pandas_udf("binary")
+    def make_wav(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from quality_spark.llm.multimodal import encode_wav
+
+        out = []
+        for i in ids:
+            frames = 500 + (int(i) % 7) * 100
+            amp = (int(i) % 128) / 128.0  # exact on the int16 grid
+            out.append(encode_wav(np.full((frames, 1), amp), 8000, 16))
+        return pd.Series(out)
+
+    wav_media = as_media_column(
+        docs.select("doc_id", make_wav("doc_id").alias("payload")),
+        "payload",
+        "audio",
+        "wav",
+    )
+    wav_part = extract_audio_features(wav_media, id_col="doc_id").select(
+        F.lit("wav").alias("part"),
+        F.col("id").alias("doc_id"),
+        "n_bytes",
+        F.col("n_frames").cast("int").alias("dim"),
+        F.col("channels").alias("width"),
+        F.col("sample_rate").alias("height"),
+        F.col("rms_milli").cast("double").alias("px_mean"),
+        F.col("peak_milli").cast("double").alias("px_max"),
+    )
     return (
         text_part.unionByName(img_part("bmp"))
         .unionByName(img_part("ppm"))
         .unionByName(img_part("png"))
+        .unionByName(wav_part)
     )
 
 
@@ -1409,6 +1446,14 @@ UNION ALL
 SELECT 'png', doc_id, CAST(-1 AS BIGINT),
        {FEATURE_DIM}, CAST({w} AS INTEGER), CAST({h} AS INTEGER),
        CAST({v} AS DOUBLE), CAST({v} AS DOUBLE)
+FROM documents WHERE doc_id < 200
+UNION ALL
+SELECT 'wav', doc_id,
+       CAST(44 + 2 * (500 + (doc_id % 7) * 100) AS BIGINT),
+       CAST(500 + (doc_id % 7) * 100 AS INTEGER),
+       CAST(1 AS INTEGER), CAST(8000 AS INTEGER),
+       CAST(floor((doc_id % 128) * 1000.0 / 128 + 0.5) AS DOUBLE),
+       CAST(floor((doc_id % 128) * 1000.0 / 128 + 0.5) AS DOUBLE)
 FROM documents WHERE doc_id < 200
 """
 

@@ -1020,3 +1020,56 @@ def test_png_real_features_and_resize(spark):
         xs = (np.arange(w) * w0 // w).astype(int)
         assert (got == img[ys][:, xs]).all()
         assert (m["meta"]["width"], m["meta"]["height"]) == (w, h)
+
+
+def test_wav_codec_round_trip_and_features(spark):
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        as_media_column,
+        decode_wav,
+        encode_wav,
+        extract_audio_features,
+    )
+
+    # 16-bit round trip is exact on the quantization grid
+    t = np.arange(800) / 8000.0
+    sig = np.stack([np.sin(2 * np.pi * 440 * t), np.cos(2 * np.pi * 220 * t)], 1)
+    q = np.round(sig * 32767) / 32768.0
+    back, rate = decode_wav(encode_wav(q, 8000, 16))
+    assert rate == 8000 and back.shape == (800, 2)
+    assert np.abs(back - q).max() < 1e-9
+
+    # 8-bit and 32-bit paths
+    b8, r8 = decode_wav(encode_wav(q[:, :1], 16000, 8))
+    assert r8 == 16000 and b8.shape == (800, 1)
+    assert np.abs(b8 - q[:, :1]).max() <= 1 / 128.0 + 1e-9
+    b32, _ = decode_wav(encode_wav(q, 44100, 32))
+    assert np.abs(b32 - q).max() < 1e-6
+
+    # refusals: non-PCM tag, truncated chunk
+    import pytest
+
+    wav = bytearray(encode_wav(q, 8000, 16))
+    wav[20] = 3  # format tag -> IEEE float
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(wav))
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio")
+
+    # Spark-side features over mapInPandas
+    rows = [
+        (int(i), bytearray(encode_wav(
+            np.full((1000 + 100 * i, 1), 0.25), 8000, 16
+        ))) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = as_media_column(df, "payload", "audio", "wav")
+    got = {r["id"]: r for r in extract_audio_features(media, id_col="doc_id").collect()}
+    for i in range(4):
+        r = got[i]
+        frames = 1000 + 100 * i
+        assert (r["sample_rate"], r["n_frames"], r["channels"]) == (8000, frames, 1)
+        assert r["duration_ms"] == frames * 1000 // 8000
+        # constant 0.25 amplitude -> rms == peak == 250 milli
+        assert r["rms_milli"] == 250 and r["peak_milli"] == 250
