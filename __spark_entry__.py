@@ -1307,7 +1307,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       16-bit mono signals synthesized per doc_id on the exact int16
       grid (amplitude (id%128)/128), so decoded frame count, channel
       count, sample rate, exact byte size (44 + 2*frames), and the
-      scaled rms/peak are all closed-form oracle arithmetic."""
+      scaled rms/peak are all closed-form oracle arithmetic.
+    - 'y4m': REAL video frame sampling (round 5): 10 fps mono
+      yuv4mpeg2 streams of 3+id%4 frames sampled every 200 ms — the
+      sampled count ((n+1)//2), true-timestamp sum (100*m*(m-1)), and
+      raw-luma byte total (48*m) are closed-form per doc."""
     from pyspark.sql.functions import pandas_udf
 
     from quality_spark.llm.multimodal import (
@@ -1411,11 +1415,52 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rms_milli").cast("double").alias("px_mean"),
         F.col("peak_milli").cast("double").alias("px_max"),
     )
+    from quality_spark.llm.multimodal import sample_frames
+
+    @pandas_udf("binary")
+    def make_y4m(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from quality_spark.llm.multimodal import encode_y4m
+
+        out = []
+        for i in ids:
+            n = 3 + int(i) % 4
+            frames = [np.full((6, 8), int(i) % 200, np.uint8)] * n
+            out.append(encode_y4m(frames, (10, 1), "mono"))
+        return pd.Series(out)
+
+    y4m_media = as_media_column(
+        docs.select("doc_id", make_y4m("doc_id").alias("payload")),
+        "payload",
+        "video",
+        "y4m",
+    )
+    y4m_part = (
+        sample_frames(y4m_media, every_ms=200, max_frames=8)
+        .groupBy("id")
+        .agg(
+            F.sum(F.octet_length("frame")).cast("bigint").alias("n_bytes"),
+            F.count(F.lit(1)).cast("int").alias("dim"),
+            F.sum("ts_ms").cast("double").alias("ts_sum"),
+        )
+        .select(
+            F.lit("y4m").alias("part"),
+            F.col("id").alias("doc_id"),
+            "n_bytes",
+            "dim",
+            F.lit(-1).cast("int").alias("width"),
+            F.lit(-1).cast("int").alias("height"),
+            F.col("ts_sum").alias("px_mean"),
+            F.lit(-1.0).alias("px_max"),
+        )
+    )
     return (
         text_part.unionByName(img_part("bmp"))
         .unionByName(img_part("ppm"))
         .unionByName(img_part("png"))
         .unionByName(wav_part)
+        .unionByName(y4m_part)
     )
 
 
@@ -1454,6 +1499,15 @@ SELECT 'wav', doc_id,
        CAST(1 AS INTEGER), CAST(8000 AS INTEGER),
        CAST(floor((doc_id % 128) * 1000.0 / 128 + 0.5) AS DOUBLE),
        CAST(floor((doc_id % 128) * 1000.0 / 128 + 0.5) AS DOUBLE)
+FROM documents WHERE doc_id < 200
+UNION ALL
+SELECT 'y4m', doc_id,
+       CAST(48 * ((3 + doc_id % 4 + 1) // 2) AS BIGINT),
+       CAST((3 + doc_id % 4 + 1) // 2 AS INTEGER),
+       CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+       CAST(100 * ((3 + doc_id % 4 + 1) // 2)
+            * ((3 + doc_id % 4 + 1) // 2 - 1) AS DOUBLE),
+       -1.0
 FROM documents WHERE doc_id < 200
 """
 

@@ -1073,3 +1073,48 @@ def test_wav_codec_round_trip_and_features(spark):
         assert r["duration_ms"] == frames * 1000 // 8000
         # constant 0.25 amplitude -> rms == peak == 250 milli
         assert r["rms_milli"] == 250 and r["peak_milli"] == 250
+
+
+def test_y4m_codec_and_real_frame_sampling(spark):
+    import numpy as np
+    import pytest
+
+    from quality_spark.llm.multimodal import (
+        as_media_column,
+        decode_y4m,
+        encode_y4m,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (6, 8), dtype=np.uint8) for _ in range(5)]
+    # mono and 420 (neutral chroma) both round-trip the luma planes
+    for cs in ("mono", "420"):
+        back, fps, dims = decode_y4m(encode_y4m(frames, (10, 1), cs))
+        assert fps == (10, 1) and dims == (8, 6) and len(back) == 5
+        for a, b in zip(back, frames):
+            assert (a == b).all()
+    with pytest.raises(ValueError, match="colorspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F10:1 C422\nFRAME\n" + bytes(8))
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"AVI nope")
+
+    # real sampling: 10 fps, every 200 ms -> frames 0,2,4,... true ts
+    vids = {
+        i: [np.full((4, 4), (i * 10 + k) % 256, np.uint8) for k in range(6)]
+        for i in range(3)
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_y4m(f, (10, 1), "mono"))) for i, f in vids.items()],
+        "doc_id long, payload binary",
+    )
+    media = as_media_column(df, "payload", "video", "y4m")
+    got = sample_frames(media, every_ms=200, max_frames=8).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["id"], []).append(r)
+    for i, fs in vids.items():
+        rows = sorted(by_id[i], key=lambda r: r["frame_idx"])
+        assert [r["ts_ms"] for r in rows] == [0, 200, 400]
+        for out_idx, src_k in enumerate([0, 2, 4]):
+            assert bytes(rows[out_idx]["frame"]) == fs[src_k].tobytes()
