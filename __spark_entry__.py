@@ -3668,7 +3668,20 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("id_b"),
         F.col("rank").cast("int").alias("rank"),
     )
-    return topk.unionByName(brute).unionByName(l2)
+    # int8 quantized ANN (round 5): per-vector symmetric quantization
+    # -> dequantized cosine top-3; the oracle replays quantize /
+    # dequantize / rank with the identical arithmetic
+    from quality_spark.llm.similarity import quantized_cosine_topk
+
+    quant = quantized_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3
+    ).select(
+        F.lit("quant").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return topk.unionByName(brute).unionByName(l2).unionByName(quant)
 
 
 def _oracle_embedding_ann() -> str:
@@ -3680,6 +3693,45 @@ SELECT 'brute', id_a, id_b, CAST(-1 AS INTEGER)
 FROM ({_oracle_embedding_near_dup()})
 UNION ALL
 SELECT 'l2', query_id, neighbor_id, rank FROM ({_oracle_l2_topk()})
+UNION ALL
+SELECT 'quant', query_id, neighbor_id, rank FROM ({_oracle_quant_topk()})
+"""
+
+
+def _oracle_quant_topk() -> str:
+    # int8 quantize (half-up floor(x/scale*127+0.5)) -> dequantize
+    # (q*scale/127) -> cosine -> rank: the same arithmetic as
+    # quality_spark/llm/similarity.py quantize_embeddings /
+    # quantized_cosine_topk, replayed in DuckDB
+    dq = (
+        "list_transform({e}, x -> CAST(floor(CAST(x AS DOUBLE) / "
+        "nullif(list_max(list_transform({e}, y -> abs(CAST(y AS DOUBLE)))), 0.0)"
+        " * 127.0 + 0.5) AS DOUBLE) * "
+        "coalesce(list_max(list_transform({e}, y -> abs(CAST(y AS DOUBLE)))), 0.0)"
+        " / 127.0)"
+    )
+    dot = (
+        "list_sum(list_transform(range(1, len(q.d) + 1), "
+        "i -> q.d[i] * c.d[i]))"
+    )
+    nrm = "sqrt(list_sum(list_transform({x}, v -> v * v)))"
+    return f"""
+WITH v AS (SELECT vec_id, coalesce({dq.format(e='embedding')},
+                                   list_transform(embedding, x -> 0.0)) AS d
+           FROM embeddings),
+q AS (SELECT vec_id, d FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {dot} / nullif({nrm.format(x='q.d')} * {nrm.format(x='c.d')}, 0.0)
+         AS cosine
+  FROM q CROSS JOIN v c WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
 """
 
 

@@ -112,6 +112,69 @@ def cosine_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4x memory
+    cut for corpus-scale ANN (a 100 TB float32 embedding store becomes
+    25 TB; dequantized cosine loses <1% recall at 64+ dims). Pure
+    Column expressions (one aggregate for the max-abs scale, one
+    transform for the codes), whole-stage codegen, no shuffle.
+
+    ``q_i = floor(x_i / scale * 127 + 0.5)`` with scale = max|x| —
+    explicit half-up rounding, NOT round(): engines disagree on
+    half-even vs half-away, floor(+0.5) is the same everywhere. A
+    zero vector gets scale NULL and an all-zero code array (dequant
+    reproduces the zero vector exactly)."""
+    scale = F.expr(
+        f"nullif(aggregate({vec_col}, 0.0D, "
+        f"(a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))), 0.0D)"
+    )
+    out = df.withColumn(scale_col, scale)
+    codes = F.expr(
+        f"transform({vec_col}, x -> CAST(coalesce("
+        f"floor(CAST(x AS DOUBLE) / {scale_col} * 127.0 + 0.5D), 0.0D"
+        f") AS INT))"
+    )
+    return out.withColumn(q_col, codes)
+
+
+def dequantize_expr(q_col: str, scale_col: str) -> Column:
+    """array<double> reconstruction: x̂_i = q_i * scale / 127 (exact
+    zeros when scale is NULL)."""
+    return F.expr(
+        f"transform({q_col}, v -> CAST(v AS DOUBLE) * "
+        f"coalesce({scale_col}, 0.0D) / 127.0)"
+    )
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k over the int8-QUANTIZED corpus: both sides quantize,
+    dequantize, and rank with the same metric machinery as
+    :func:`cosine_topk` — the accuracy/memory trade made measurable
+    (compare against the float top-k) and oracle-checkable (the whole
+    pipeline is deterministic arithmetic)."""
+    def dq(x: DataFrame) -> DataFrame:
+        return quantize_embeddings(x, vec_col).withColumn(
+            "__dq", dequantize_expr("q", "q_scale")
+        )
+
+    return cosine_topk(
+        dq(df), dq(queries), k=k, id_col=id_col, vec_col="__dq",
+        metric=metric,
+    )
+
+
 def plane_weights(planes: int, seed: int, dims: int) -> list:
     """Pseudo-random ±1 hyperplane weights, derived driver-side from the
     low bit of a 60-bit md5 prefix of ``"{seed}:{plane}:{dim}"``.

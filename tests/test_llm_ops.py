@@ -1118,3 +1118,44 @@ def test_y4m_codec_and_real_frame_sampling(spark):
         assert [r["ts_ms"] for r in rows] == [0, 200, 400]
         for out_idx, src_k in enumerate([0, 2, 4]):
             assert bytes(rows[out_idx]["frame"]) == fs[src_k].tobytes()
+
+
+def test_quantize_embeddings_error_bound_and_recall(spark, emb):
+    import numpy as np
+
+    from quality_spark.llm.similarity import (
+        cosine_topk,
+        dequantize_expr,
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 200)
+    q = quantize_embeddings(sub).withColumn("dq", dequantize_expr("q", "q_scale"))
+    rows = q.select("embedding", "q", "q_scale", "dq").collect()
+    for r in rows:
+        x = np.array(r["embedding"], np.float64)
+        codes = np.array(r["q"])
+        assert codes.min() >= -127 and codes.max() <= 127
+        s = r["q_scale"]
+        if s is None:
+            assert (codes == 0).all()
+            continue
+        # half-up rounding error bound: |x̂ - x| <= scale/254
+        err = np.abs(np.array(r["dq"]) - x).max()
+        assert err <= s / 254.0 + 1e-12
+
+    # top-1 recall of quantized vs exact cosine stays high at 64 dims
+    queries = sub.filter(F.col("vec_id") < 20)
+    exact = {r["query_id"]: r["neighbor_id"]
+             for r in cosine_topk(sub, queries, k=1).collect()}
+    quant = {}
+    for r in quantized_cosine_topk(sub, queries, k=3).collect():
+        quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for qk, n in exact.items() if n in quant.get(qk, set()))
+    assert hits >= len(exact) * 0.8
+
+    # zero vector: NULL scale, all-zero codes, exact zero reconstruction
+    z = spark.createDataFrame([(1, [0.0] * 8)], "vec_id int, embedding array<float>")
+    r = quantize_embeddings(z).withColumn("dq", dequantize_expr("q", "q_scale")).collect()[0]
+    assert r["q_scale"] is None and set(r["q"]) == {0} and set(r["dq"]) == {0.0}
