@@ -4187,10 +4187,11 @@ FROM ({_oracle_zorder_corpus()})
 def q_bloom_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom block: DataFrame bloom semi-join + small_bloom/big_bloom
     SQL aggregates + big-bloom FILE sink/readback (r03 gate queries
-    bloom_semi_filter, bloom_sql_agg, bigbloom_file_probe). Each
-    sub-result is a single driver-sized count; they are collected and
-    re-emitted as ONE row (a crossJoin of 1-row local relations is a
-    measured 12s BroadcastNestedLoopJoin stall in local mode)."""
+    bloom_semi_filter, bloom_sql_agg, bigbloom_file_probe). The three
+    1-row leg results are tagged, unioned, and collected in ONE job
+    (round 5 — three sequential .head()s paid a job-submission round
+    each; a crossJoin of 1-row local relations was a measured 12 s
+    BroadcastNestedLoopJoin stall), then re-emitted as one row."""
     nb = F.lit(-1).cast("bigint")
     legs = (
         q_bloom_semi_filter(spark, sf_dir).select(
