@@ -318,6 +318,66 @@ def exact_dedup_keep_best(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH-level exact dedup (the C4/RefinedWeb
+    cleaning step): every document splits into paragraphs on ``sep``,
+    each distinct paragraph keeps only its FIRST occurrence corpus-wide
+    (lowest (id, position) — boilerplate headers/footers repeated
+    across a crawl vanish from all but one document), and each document
+    is rebuilt from its surviving paragraphs in original order
+    (documents whose every paragraph was seen elsewhere come back as
+    '' — kept, not dropped, so row counts are stable for downstream
+    accounting).
+
+    Plan shape: one posexplode projection, ONE shuffle keyed by the
+    paragraph text for the first-occurrence window (per-group sort is
+    duplication-factor-sized, never corpus-sized), one groupBy(id) to
+    reassemble, one left join back to preserve paragraph-less rows.
+    At 100 TB, key the window by ``xxhash64(para)`` with a secondary
+    exact comparison if shuffling full paragraph text dominates; the
+    exact-text key here is collision-proof by construction. Empty
+    segments (leading/trailing/double separators) are dropped before
+    dedup, like C4's line filter."""
+    import re as _re
+
+    out_col = out_col or text_col
+    paras = df.select(
+        F.col(id_col).alias("__pid"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("__pos", "__para"),
+    ).filter(F.length("__para") > 0)
+    w = Window.partitionBy("__para").orderBy("__pid", "__pos")
+    kept = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    rebuilt = kept.groupBy("__pid").agg(
+        F.concat_ws(
+            sep,
+            F.expr(
+                "transform(array_sort(collect_list(struct(__pos, __para))), "
+                "x -> x.__para)"
+            ),
+        ).alias("__rebuilt")
+    )
+    joined = df.join(rebuilt, F.col(id_col) == F.col("__pid"), "left")
+    if out_col == text_col:
+        keep_cols = [c for c in df.columns if c != text_col]
+    else:
+        keep_cols = list(df.columns)
+    return joined.select(
+        *keep_cols,
+        F.coalesce(F.col("__rebuilt"), F.lit("")).alias(out_col),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup pairs
 # ---------------------------------------------------------------------------

@@ -1159,3 +1159,31 @@ def test_quantize_embeddings_error_bound_and_recall(spark, emb):
     z = spark.createDataFrame([(1, [0.0] * 8)], "vec_id int, embedding array<float>")
     r = quantize_embeddings(z).withColumn("dq", dequantize_expr("q", "q_scale")).collect()[0]
     assert r["q_scale"] is None and set(r["q"]) == {0} and set(r["dq"]) == {0.0}
+
+
+def test_paragraph_dedup(spark):
+    from quality_spark.llm.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\n\nSHARED FOOTER\n\nbeta two"),
+            (2, "gamma three\n\nSHARED FOOTER"),
+            (3, "SHARED FOOTER\n\ngamma three"),
+            (4, "SHARED FOOTER"),
+            (5, ""),
+            (6, "\n\nalpha one\n\n"),  # empties dropped, alpha already seen
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).collect()}
+    assert out[1] == "alpha one\n\nSHARED FOOTER\n\nbeta two"
+    assert out[2] == "gamma three"       # footer first seen in doc 1
+    assert out[3] == ""                  # both paragraphs seen earlier
+    assert out[4] == ""
+    assert out[5] == ""
+    assert out[6] == ""
+    assert len(out) == 6                 # rows preserved
+
+    # out_col variant keeps the original text column
+    with_col = paragraph_dedup(docs, out_col="clean").collect()[0]
+    assert "clean" in with_col.asDict() and "text" in with_col.asDict()
