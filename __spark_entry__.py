@@ -651,14 +651,17 @@ def _xxh3_gate_inputs() -> list:
 def q_digest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Digest functions over documents (SURVEY §2.7): md5/sha256 hex —
     the long-decomposition is covered against hashlib in
-    tests/test_ids.py — plus (round 5) an XXH3 leg: the KAT-pinned
-    xxh3_64 port exercised through the rule-SQL surface
-    (``hash_with('XXH3', …)`` -> pandas UDF) over inputs spanning
-    every length class. DuckDB cannot compute XXH3, so the oracle
-    carries DRIVER-COMPUTED literals of the same pure function — this
-    leg pins the SQL surface, utf-8 encoding, null/batch transport end
-    to end; the ALGORITHM itself is pinned independently by the
-    official vendored sanity vectors (tests/test_pyhash.py)."""
+    tests/test_ids.py — plus an XXH3 leg (round 6: upgraded from
+    XXH3-64 to the reference's true XXH3-128 tuple digest, 2 longs —
+    ZeroAllocation.scala:88, ADVICE r5 high finding): the KAT-pinned
+    xxh3_128 port exercised through the rule-SQL surface
+    (``za_hash_longs_with('XXH3', …)`` -> pandas UDF -> 2-long array)
+    over inputs spanning every length class. DuckDB cannot compute
+    XXH3, so the oracle carries DRIVER-COMPUTED literals of the same
+    pure function — this leg pins the SQL surface, utf-8 encoding,
+    null/batch transport end to end; the ALGORITHM itself is pinned
+    independently by the official vendored XXH128 sanity vectors
+    (tests/test_pyhash.py)."""
     from quality_spark.functions.lambdas import expand_sql
 
     docs = _read(spark, sf_dir, "documents")
@@ -669,35 +672,43 @@ def q_digest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("md5_hex"),
         F.sha2(F.col("text"), 256).alias("sha256_hex"),
         nb.alias("xxh3"),
+        nb.alias("xxh3_hi"),
     )
     s = "concat(repeat('ab', CAST(id AS INT)), CAST(id AS STRING))"
+    arr = expand_sql(f"za_hash_longs_with('XXH3', {s})")
     xx = spark.range(0, _XXH3_GATE_N, 1, 4).select(
         F.lit("xxh3").alias("part"),
         F.col("id").cast("bigint").alias("doc_id"),
         F.lit("").alias("md5_hex"),
         F.lit("").alias("sha256_hex"),
-        F.expr(expand_sql(f"hash_with('XXH3', {s})")).alias("xxh3"),
+        F.expr(f"element_at({arr}, 1)").alias("xxh3"),
+        F.expr(f"element_at({arr}, 2)").alias("xxh3_hi"),
     )
     return dig.unionByName(xx)
 
 
 def _oracle_digest_documents() -> str:
-    from quality_spark.functions.pyhash import xxh3_64
+    from quality_spark.functions.pyhash import xxh3_128
 
     def sgn(v: int) -> int:
         return v - (1 << 64) if v >= (1 << 63) else v
 
+    def pair(t: str):
+        lo, hi = xxh3_128(t.encode("utf-8"))
+        return sgn(lo), sgn(hi)
+
     vals = ", ".join(
-        f"({i}, {sgn(xxh3_64(t.encode('utf-8')))})"
-        for i, t in _xxh3_gate_inputs()
+        "({}, {}, {})".format(i, *pair(t)) for i, t in _xxh3_gate_inputs()
     )
     return f"""
 SELECT 'digest' AS part, doc_id, md5(text) AS md5_hex,
-       sha256(text) AS sha256_hex, CAST(-1 AS BIGINT) AS xxh3
+       sha256(text) AS sha256_hex, CAST(-1 AS BIGINT) AS xxh3,
+       CAST(-1 AS BIGINT) AS xxh3_hi
 FROM documents
 UNION ALL
-SELECT 'xxh3', CAST(i AS BIGINT), '', '', CAST(h AS BIGINT)
-FROM (VALUES {vals}) t(i, h)
+SELECT 'xxh3', CAST(i AS BIGINT), '', '', CAST(lo AS BIGINT),
+       CAST(hi AS BIGINT)
+FROM (VALUES {vals}) t(i, lo, hi)
 """
 
 

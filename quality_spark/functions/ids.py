@@ -16,8 +16,16 @@ declared in SUPPORTED_DIGESTS / HASH_IMPLS:
 - MURMUR3_128 is a real MurmurHash3 x64_128 (pyhash.py — vectorized
   numpy pandas UDF, bit-verified against the JVM's Guava
   ``murmur3_128``, the implementation the reference uses).
-- XXH3 is a spec-exact one-shot XXH3-64 (pyhash.py — round 5), pinned
-  by the official vendored sanity vectors across every length class.
+- XXH3 is a spec-exact one-shot XXH3-128 (pyhash.py — round 6), a
+  2-long digest like the reference's (openhft
+  ``LongTupleHashFunction.xx128`` — impl/hash/ZeroAllocation.scala:88,
+  registered only in the tuple factory with length 2), pinned by the
+  official vendored XXH128 sanity vectors across every length class.
+  In single-long contexts (``hash_with``) it yields the digest's low64
+  — the same convention this engine uses for MURMUR3_128.  (The
+  reference's single-long za factory silently FALLS BACK to XX/XXH64
+  for 'XXH3' — ZeroAllocation.scala:33-40 ``getOrElse`` — a silent
+  substitution this engine deliberately does not reproduce.)
 - The remaining zero-allocation exotics (CITY_1_1 / FARM_NA / METRO /
   WY_3 / MUM — reference impl/hash/ZeroAllocation.scala:32-96) have no
   public in-container implementation or spec KAT set to verify
@@ -56,7 +64,7 @@ HASH_IMPLS = {
     "MURMUR3_128": 2,
     "XXH64": 1,
     "XX": 1,
-    "XXH3": 1,
+    "XXH3": 2,  # XXH3-128 tuple digest (reference ZeroAllocation.scala:88)
 }
 
 #: reference families with no verifiable in-container implementation —
@@ -195,10 +203,15 @@ def _hash_field_based_id(args):
             f"named_struct('base', {base}, 'i0', ({h}).i0, 'i1', ({h}).i1)"
         )
     if impl == "XXH3":
+        # XXH3-128 tuple digest, 2 longs like the reference
+        # (ZeroAllocation.scala:88; ADVICE r5 high finding)
         from .pyhash import ensure_python_hashes
 
         ensure_python_hashes()
-        return f"named_struct('base', {base}, 'i0', qs_xxh3_64({x}))"
+        h = f"qs_xxh3_128({x})"
+        return (
+            f"named_struct('base', {base}, 'i0', ({h}).i0, 'i1', ({h}).i1)"
+        )
     return f"named_struct('base', {base}, 'i0', xxhash64({x}, 42))"
 
 
@@ -424,11 +437,13 @@ def _hash_with(args):
 
         ensure_python_hashes()
         return f"qs_murmur3_128_64({x})"
-    if impl == "XXH3":  # spec-exact python port, KAT-pinned (pyhash.py)
+    if impl == "XXH3":
+        # single-long context: low64 of the XXH3-128 digest (same
+        # convention as MURMUR3_128 above; spec-exact, KAT-pinned)
         from .pyhash import ensure_python_hashes
 
         ensure_python_hashes()
-        return f"qs_xxh3_64({x})"
+        return f"(qs_xxh3_128({x})).i0"
     if impl in HASH_IMPLS:  # XXH64 / XX: Spark's xxhash64 IS XXH64
         return f"xxhash64({x}, 42)"
     raise _hash_impl_error(impl)
@@ -454,6 +469,14 @@ def _za_hash_longs_with(args):
 
         ensure_python_hashes()
         h = f"qs_murmur3_128({_concat_input(args[1:])})"
+        return f"array(({h}).i0, ({h}).i1)"
+    if impl == "XXH3":
+        # the reference's tuple factory: XXH3-128, both longs
+        # (ZeroAllocation.scala:88-96, length 2)
+        from .pyhash import ensure_python_hashes
+
+        ensure_python_hashes()
+        h = f"qs_xxh3_128({_concat_input(args[1:])})"
         return f"array(({h}).i0, ({h}).i1)"
     return f"array({_hash_with(args)})"
 

@@ -202,6 +202,16 @@ def _xmul128_fold64(a: int, b: int) -> int:
     return ((p & _XXH_M64) ^ (p >> 64)) & _XXH_M64
 
 
+def _xmult64to128(a: int, b: int) -> Tuple[int, int]:
+    p = a * b
+    return p & _XXH_M64, (p >> 64) & _XXH_M64
+
+
+def _xrotl32(x: int, r: int) -> int:
+    x &= 0xFFFFFFFF
+    return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+
 def _xmix16(data: bytes, i: int, secret: bytes, si: int, seed: int) -> int:
     lo = _xr64(data, i) ^ ((_xr64(secret, si) + seed) & _XXH_M64)
     hi = _xr64(data, i + 8) ^ ((_xr64(secret, si + 8) - seed) & _XXH_M64)
@@ -260,10 +270,21 @@ def xxh3_64(data: bytes, seed: int = 0) -> int:
         # XXH3_MIDSIZE_LASTOFFSET = 17 off SECRET_SIZE_MIN = 136
         acc = (acc + _xmix16(data, n - 16, secret, 136 - 17, seed)) & _XXH_M64
         return _xxh3_avalanche(acc)
-    # long path (> 240): seeded runs derive a custom secret
+    # long path (> 240): shared accumulate; merge at
+    # SECRET_MERGEACCS_START = 11
+    acc, cust = _xxh3_long_accs(data, seed)
+    return _xxh3_merge_accs(acc, cust, 11, (n * _XXH_P64_1) & _XXH_M64)
+
+
+def _xxh3_long_accs(data: bytes, seed: int) -> Tuple[list, bytes]:
+    """The > 240-byte accumulate + scramble loop shared by XXH3-64 and
+    XXH3-128 (identical in the spec); returns the 8 accumulator lanes
+    and the (possibly seed-customized) secret."""
+    n = len(data)
+    secret = XXH3_KSECRET
     if seed == 0:
         cust = secret
-    else:
+    else:  # seeded runs derive a custom secret
         cb = bytearray(192)
         for i in range(12):
             lo = (_xr64(secret, 16 * i) + seed) & _XXH_M64
@@ -297,16 +318,156 @@ def xxh3_64(data: bytes, seed: int = 0) -> int:
     for s in range(((n - 1) - block_len * nb_blocks) // 64):
         stripe(nb_blocks * block_len + 64 * s, 8 * s)
     stripe(n - 64, 192 - 64 - 7)  # last stripe, SECRET_LASTACC_START = 7
-    result = (n * _XXH_P64_1) & _XXH_M64
-    for i in range(4):  # merge at SECRET_MERGEACCS_START = 11
+    return acc, cust
+
+
+def _xxh3_merge_accs(acc: list, cust: bytes, off: int, start: int) -> int:
+    result = start
+    for i in range(4):
         result = (
             result
             + _xmul128_fold64(
-                acc[2 * i] ^ _xr64(cust, 11 + 16 * i),
-                acc[2 * i + 1] ^ _xr64(cust, 11 + 16 * i + 8),
+                acc[2 * i] ^ _xr64(cust, off + 16 * i),
+                acc[2 * i + 1] ^ _xr64(cust, off + 16 * i + 8),
             )
         ) & _XXH_M64
     return _xxh3_avalanche(result)
+
+
+def _xmix32b(
+    accl: int, acch: int, data: bytes, i1: int, i2: int,
+    secret: bytes, soff: int, seed: int,
+) -> Tuple[int, int]:
+    """XXH128_mix32B: the 128-bit sibling of _xmix16 over two 16-byte
+    lanes (input_1 at i1, input_2 at i2)."""
+    accl = (accl + _xmix16(data, i1, secret, soff, seed)) & _XXH_M64
+    accl ^= (_xr64(data, i2) + _xr64(data, i2 + 8)) & _XXH_M64
+    acch = (acch + _xmix16(data, i2, secret, soff + 16, seed)) & _XXH_M64
+    acch ^= (_xr64(data, i1) + _xr64(data, i1 + 8)) & _XXH_M64
+    return accl, acch
+
+
+def xxh3_128(data: bytes, seed: int = 0) -> Tuple[int, int]:
+    """One-shot XXH3_128bits[_withSeed] of ``data`` -> (low64, high64),
+    spec-exact across every length class (0 / 1-3 / 4-8 / 9-16 /
+    17-128 / 129-240 / long), pinned by the official vendored XXH128
+    sanity vectors (tests/test_pyhash.py) plus the structural invariant
+    that low64 == XXH3-64 for >240-byte inputs (shared merge path).
+    This is the algorithm behind the reference's 'XXH3' tuple factory
+    (openhft LongTupleHashFunction.xx128 —
+    impl/hash/ZeroAllocation.scala:88). Unsigned results [0, 2^64)."""
+    seed &= _XXH_M64
+    n = len(data)
+    secret = XXH3_KSECRET
+    if n == 0:
+        lo = _xxh64_avalanche(seed ^ _xr64(secret, 64) ^ _xr64(secret, 72))
+        hi = _xxh64_avalanche(seed ^ _xr64(secret, 80) ^ _xr64(secret, 88))
+        return lo, hi
+    if n <= 3:
+        c1, c2, c3 = data[0], data[n >> 1], data[n - 1]
+        combinedl = ((c1 << 16) | (c2 << 24) | c3 | (n << 8)) & 0xFFFFFFFF
+        combinedh = _xrotl32(_xswap32(combinedl), 13)
+        bitflipl = ((_xr32(secret, 0) ^ _xr32(secret, 4)) + seed) & _XXH_M64
+        bitfliph = ((_xr32(secret, 8) ^ _xr32(secret, 12)) - seed) & _XXH_M64
+        return (
+            _xxh64_avalanche(combinedl ^ bitflipl),
+            _xxh64_avalanche(combinedh ^ bitfliph),
+        )
+    if n <= 8:
+        s = (seed ^ ((_xswap32(seed & 0xFFFFFFFF) << 32) & _XXH_M64)) & _XXH_M64
+        in64 = (_xr32(data, 0) + (_xr32(data, n - 4) << 32)) & _XXH_M64
+        bitflip = ((_xr64(secret, 16) ^ _xr64(secret, 24)) + s) & _XXH_M64
+        m_lo, m_hi = _xmult64to128(in64 ^ bitflip, (_XXH_P64_1 + (n << 2)) & _XXH_M64)
+        m_hi = (m_hi + ((m_lo << 1) & _XXH_M64)) & _XXH_M64
+        m_lo ^= m_hi >> 3
+        m_lo ^= m_lo >> 35
+        m_lo = (m_lo * _XXH_PMX2) & _XXH_M64
+        m_lo ^= m_lo >> 28
+        return m_lo, _xxh3_avalanche(m_hi)
+    if n <= 16:
+        bitflipl = ((_xr64(secret, 32) ^ _xr64(secret, 40)) - seed) & _XXH_M64
+        bitfliph = ((_xr64(secret, 48) ^ _xr64(secret, 56)) + seed) & _XXH_M64
+        input_lo = _xr64(data, 0)
+        input_hi = _xr64(data, n - 8)
+        m_lo, m_hi = _xmult64to128(input_lo ^ input_hi ^ bitflipl, _XXH_P64_1)
+        m_lo = (m_lo + (((n - 1) << 54) & _XXH_M64)) & _XXH_M64
+        input_hi ^= bitfliph
+        m_hi = (
+            m_hi + input_hi + (input_hi & 0xFFFFFFFF) * (_XXH_P32_2 - 1)
+        ) & _XXH_M64
+        m_lo ^= _xswap64(m_hi)
+        h_lo, h_hi = _xmult64to128(m_lo, _XXH_P64_2)
+        h_hi = (h_hi + m_hi * _XXH_P64_2) & _XXH_M64
+        return _xxh3_avalanche(h_lo), _xxh3_avalanche(h_hi)
+    if n <= 128:
+        accl = (n * _XXH_P64_1) & _XXH_M64
+        acch = 0
+        if n > 32:
+            if n > 64:
+                if n > 96:
+                    accl, acch = _xmix32b(
+                        accl, acch, data, 48, n - 64, secret, 96, seed
+                    )
+                accl, acch = _xmix32b(
+                    accl, acch, data, 32, n - 48, secret, 64, seed
+                )
+            accl, acch = _xmix32b(accl, acch, data, 16, n - 32, secret, 32, seed)
+        accl, acch = _xmix32b(accl, acch, data, 0, n - 16, secret, 0, seed)
+        h_lo = _xxh3_avalanche((accl + acch) & _XXH_M64)
+        h_hi = (
+            accl * _XXH_P64_1 + acch * _XXH_P64_4 + ((n - seed) & _XXH_M64) * _XXH_P64_2
+        ) & _XXH_M64
+        return h_lo, (0 - _xxh3_avalanche(h_hi)) & _XXH_M64
+    if n <= 240:
+        accl = (n * _XXH_P64_1) & _XXH_M64
+        acch = 0
+        for i in range(4):
+            accl, acch = _xmix32b(
+                accl, acch, data, 32 * i, 32 * i + 16, secret, 32 * i, seed
+            )
+        accl = _xxh3_avalanche(accl)
+        acch = _xxh3_avalanche(acch)
+        for i in range(4, n // 32):
+            # XXH3_MIDSIZE_STARTOFFSET = 3
+            accl, acch = _xmix32b(
+                accl, acch, data, 32 * i, 32 * i + 16,
+                secret, 3 + 32 * (i - 4), seed,
+            )
+        # last 32 bytes, reversed lanes, negated seed;
+        # secret offset = SECRET_SIZE_MIN(136) - MIDSIZE_LASTOFFSET(17) - 16
+        accl, acch = _xmix32b(
+            accl, acch, data, n - 16, n - 32,
+            secret, 136 - 17 - 16, (0 - seed) & _XXH_M64,
+        )
+        h_lo = _xxh3_avalanche((accl + acch) & _XXH_M64)
+        h_hi = (
+            accl * _XXH_P64_1 + acch * _XXH_P64_4 + ((n - seed) & _XXH_M64) * _XXH_P64_2
+        ) & _XXH_M64
+        return h_lo, (0 - _xxh3_avalanche(h_hi)) & _XXH_M64
+    # long path (> 240): same accumulate as XXH3-64; low64 merges at
+    # offset 11, high64 at secretSize - 64 - 11 = 117 with start ~len*P2
+    acc, cust = _xxh3_long_accs(data, seed)
+    lo = _xxh3_merge_accs(acc, cust, 11, (n * _XXH_P64_1) & _XXH_M64)
+    hi = _xxh3_merge_accs(
+        acc, cust, 192 - 64 - 11, (~(n * _XXH_P64_2)) & _XXH_M64
+    )
+    return lo, hi
+
+
+def xxh3_128_batch(
+    datas: Sequence[Optional[bytes]], seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(low64, high64) int64 arrays per row (None hashes as b'' —
+    callers mask nulls). Per-row python like xxh3_64_batch — off the
+    DQ hot path (only runs where a user asks for XXH3 ids)."""
+    n = len(datas)
+    lo = np.empty(n, np.uint64)
+    hi = np.empty(n, np.uint64)
+    for i, b in enumerate(datas):
+        l, h = xxh3_128(b if b is not None else b"", seed)
+        lo[i] = l
+        hi[i] = h
+    return lo.view(np.int64), hi.view(np.int64)
 
 
 def xxh3_64_batch(datas: Sequence[Optional[bytes]], seed: int = 0) -> np.ndarray:
@@ -365,9 +526,22 @@ def register_python_hashes(spark) -> None:
             out[mask] = pd.NA
         return pd.Series(out)
 
+    @pandas_udf("struct<i0: bigint, i1: bigint>")
+    def qs_xxh3_128(s: pd.Series) -> pd.DataFrame:
+        vals = s.where(pd.notna(s), None)
+        i0, i1 = xxh3_128_batch(_encode(vals))
+        out = pd.DataFrame(
+            {"i0": pd.array(i0, dtype="Int64"), "i1": pd.array(i1, dtype="Int64")}
+        )
+        mask = pd.isna(s).to_numpy()
+        if mask.any():
+            out.loc[mask, ["i0", "i1"]] = pd.NA
+        return out
+
     spark.udf.register("qs_murmur3_128", qs_murmur3_128)
     spark.udf.register("qs_murmur3_128_64", qs_murmur3_128_64)
     spark.udf.register("qs_xxh3_64", qs_xxh3_64)
+    spark.udf.register("qs_xxh3_128", qs_xxh3_128)
 
 
 def ensure_python_hashes(spark=None) -> None:

@@ -135,32 +135,131 @@ def test_xxh3_64_batch_matches_scalar_and_nulls():
         assert got[i] == np.int64(np.uint64(want)), i
 
 
+# --- XXH3-128 (round 6, ADVICE r5 high finding) ----------------------------
+# Official XXH128 sanity vectors vendored from the same public
+# cli/xsum_sanity_check.c table (same prime-fill buffer). One published
+# row — (len=222, seeded) — could not be vendored with confidence and
+# is deliberately omitted rather than risk pinning against a
+# misremembered value; every other length class is covered in BOTH
+# seeded and unseeded form, the 129-240 class unseeded, and its only
+# seeded-specific code path (the negated-seed final mix32B, a one-line
+# spec detail) shares all its mixing machinery with the pinned classes.
+# The >240 rows additionally satisfy the structural invariant
+# low64 == XXH3-64 (shared merge), which the test asserts.
+
+_XXH128_VECTORS = [
+    # (len, seed, low64, high64)
+    (0, 0, 0x6001C324468D497F, 0x99AA06D3014798D8),
+    (0, _XSUM_PRIME32, 0x5444F7869C671AB0, 0x92220AE55E14AB50),
+    (1, 0, 0xC44BDFF4074EECDB, 0xA6CD5E9392000F6A),
+    (1, _XSUM_PRIME32, 0xB53D5557E7F76F8D, 0x89B99554BA22467C),
+    (6, 0, 0x3E7039BDDA43CFC6, 0x082AFE0B8162D12A),
+    (6, _XSUM_PRIME32, 0x269D8F70BE98856E, 0x5A865B5389ABD2B1),
+    (12, 0, 0x061A192713F69AD9, 0x6E3EFD8FC7802B18),
+    (12, _XSUM_PRIME32, 0x9BE9F9A67F3C7DFB, 0xD7E09D518A3405D3),
+    (24, 0, 0x1E7044D28B1B901D, 0x0CE966E4678D3761),
+    (24, _XSUM_PRIME32, 0xD7304C54EBAD40A9, 0x3162026714A6A243),
+    (48, 0, 0xF942219AED80F67B, 0xA002AC4E5478227E),
+    (48, _XSUM_PRIME32, 0x7BA3C3E453A1934E, 0x163ADDE36C072295),
+    (81, 0, 0x5E8BAFB9F95FB803, 0x4952F58181AB0042),
+    (81, _XSUM_PRIME32, 0x703FBB3D7A5F755C, 0x2724EC7ADC750FB6),
+    (222, 0, 0xF1AEBD597CEC6B3A, 0x337E09641B948717),
+    (403, 0, 0xCDEB804D65C6DEA4, 0x1B6DE21E332DD73D),
+    (403, _XSUM_PRIME64, 0x6259F6ECFD6443FD, 0xBED311971E0BE8F2),
+    (512, 0, 0x617E49599013CB6B, 0x18D2D110DCC9BCA1),
+    (512, _XSUM_PRIME64, 0x3CE457DE14C27708, 0x925D06B8EC5B8040),
+    (2048, 0, 0xDD59E2C3A5F038E0, 0xF736557FD47073A5),
+    (2048, _XSUM_PRIME32, 0x230D43F30206260B, 0x7FB03F7E7186C3EA),
+    (2240, 0, 0x6E73A90539CF2948, 0xCCB134FBFA7CE49D),
+    (2240, _XSUM_PRIME32, 0xED385111126FBA6F, 0x50A1FE17B338995F),
+    (2367, 0, 0xCB37AEB9E5D361ED, 0xE89C0F6FF369B427),
+    (2367, _XSUM_PRIME32, 0x6F5360AE69C2F406, 0xD23AAE4B76C31ECB),
+]
+
+
+def test_xxh3_128_official_vectors():
+    from quality_spark.functions.pyhash import xxh3_128
+
+    buf = _xsum_test_buffer(2367)
+    for ln, seed, lo, hi in _XXH128_VECTORS:
+        assert xxh3_128(buf[:ln], seed) == (lo, hi), (ln, seed)
+
+
+def test_xxh3_128_low64_long_invariant():
+    """For >240-byte inputs the 128-bit digest's low64 IS XXH3-64 (the
+    two share the accumulate + merge path in the spec) — an independent
+    cross-pin between the two KAT sets."""
+    from quality_spark.functions.pyhash import xxh3_64, xxh3_128
+
+    buf = _xsum_test_buffer(2367)
+    for ln in (241, 300, 512, 1024, 2048, 2367):
+        for seed in (0, 42, _XSUM_PRIME64):
+            assert xxh3_128(buf[:ln], seed)[0] == xxh3_64(buf[:ln], seed)
+
+
+def test_xxh3_128_batch_matches_scalar_and_nulls():
+    import numpy as np
+
+    from quality_spark.functions.pyhash import xxh3_128, xxh3_128_batch
+
+    datas = [b"", b"a", b"hello world", b"x" * 200, b"y" * 300, None]
+    lo, hi = xxh3_128_batch(datas)
+    for i, b in enumerate(datas):
+        wl, wh = xxh3_128(b if b is not None else b"")
+        assert lo[i] == np.int64(np.uint64(wl)), i
+        assert hi[i] == np.int64(np.uint64(wh)), i
+
+
 def test_xxh3_sql_surface(spark):
-    """hash_with('XXH3', …) through rule SQL text must equal the
-    KAT-pinned python function over the engine's canonical utf-8
-    encoding, and NULL inputs stay NULL."""
+    """XXH3 through rule SQL text is the 128-bit tuple digest (2
+    longs, like the reference's LongTupleHashFunction.xx128 —
+    ZeroAllocation.scala:88): za_hash_longs_with gives both longs,
+    hash_with gives the low64, and NULL inputs stay NULL."""
     import numpy as np
 
     from quality_spark.functions.lambdas import expand_sql
-    from quality_spark.functions.pyhash import xxh3_64
+    from quality_spark.functions.pyhash import xxh3_128
 
     from pyspark.sql import functions as F
+
+    def s64(v: int) -> int:
+        return int(np.uint64(v).astype(np.int64))
 
     df = spark.createDataFrame(
         [("alpha",), ("beta gamma",), (None,)], "s string"
     )
     out = df.select(
-        F.expr(expand_sql("hash_with('XXH3', s)")).alias("h")
+        F.expr(expand_sql("za_hash_longs_with('XXH3', s)")).alias("a"),
+        F.expr(expand_sql("hash_with('XXH3', s)")).alias("h"),
     ).collect()
     for r, s in zip(out, ["alpha", "beta gamma", None]):
         if s is None:
-            assert r["h"] is None
+            assert r["h"] is None and r["a"] == [None, None]
         else:
-            assert r["h"] == int(
-                np.uint64(xxh3_64(s.encode())).astype(np.int64)
-            )
+            lo, hi = xxh3_128(s.encode())
+            assert r["a"] == [s64(lo), s64(hi)]
+            assert r["h"] == s64(lo)
     # multi-column canonical concat: matches the documented encoding
     two = spark.createDataFrame([("a", "b")], "x string, y string").select(
         F.expr(expand_sql("hash_with('XXH3', x, y)")).alias("h")
     ).collect()[0]["h"]
-    assert two == int(np.uint64(xxh3_64("a\x01b".encode())).astype(np.int64))
+    assert two == s64(xxh3_128("a\x01b".encode())[0])
+
+
+def test_xxh3_id_surface(spark):
+    """hash_field_based_id('XXH3', …) emits base nLongs=2 and both
+    payload longs (ADVICE r5: was 1-long XXH3-64)."""
+    import numpy as np
+
+    from quality_spark.functions.lambdas import expand_sql
+    from quality_spark.functions.pyhash import xxh3_128
+
+    from pyspark.sql import functions as F
+
+    row = spark.createDataFrame([("alpha",)], "s string").select(
+        F.expr(expand_sql("za_longs_field_based_id('XXH3', s)")).alias("id")
+    ).collect()[0]["id"]
+    lo, hi = xxh3_128(b"alpha")
+    assert row["base"] == 2  # nLongs=2, generic header 0
+    assert row["i0"] == int(np.uint64(lo).astype(np.int64))
+    assert row["i1"] == int(np.uint64(hi).astype(np.int64))
