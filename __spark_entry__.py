@@ -4328,7 +4328,12 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the first 2n outputs of the published sequential algorithms
     (SplitMix64, Steele/Lea/Flood 2014; xoroshiro128++/**, xoshiro256++,
     Blackman & Vigna 2019), seeded the commons-rng way (single long ->
-    long[k] via SplitMix64). The oracle VALUES are driver-computed by
+    long[k] via SplitMix64) — EXCEPT MT, whose seeding is the
+    documented Matsumoto–Nishimura init_genrand convention, NOT
+    commons-rng's Long2IntArray (pyrng.py module docstring, MT SEEDING
+    CAVEAT — ADVICE r5): this leg pins the published MT19937
+    algorithm + that documented convention, not commons-rng
+    seed-for-seed parity. The oracle VALUES are driver-computed by
     independent pure-python loops — not the numpy / GF(2)-matrix
     production path (quality_spark/functions/pyrng.py), so a defect in
     either side fails the gate."""

@@ -42,6 +42,23 @@ per-partition stream.  Two honesty notes, both load-bearing:
   an independent pure-python twist/temper loop pins it in tests and
   the rng_parity gate); positions past the bound (any partitioned
   mid) raise rather than silently de-syncing.
+  SEEDING CAVEAT (round 6, ADVICE r5): ``MT``'s long-seed expansion is
+  the Matsumoto–Nishimura reference convention (init_genrand for
+  seeds < 2^32, init_by_array over the seed's 32-bit words above) —
+  NOT commons-rng's, and ``MT`` is therefore NOT part of the
+  "commons-rng single-long seeding convention" contract the other
+  exact families carry.  commons-rng (1.3, the reference's pin)
+  expands a long seed through its SplitMix64-based ``Long2IntArray``
+  into a native int[624] before init_by_array; that converter's exact
+  layout (ints-per-output, half order, 1.3's nextInt convention)
+  cannot be verified bit-exactly in this container (no commons-rng
+  artifact), and a from-memory port could silently produce a wrong
+  stream under the reference's name.  Consequence: rules ported from
+  reference-seeded suites using ``rng('MT', seed)`` will NOT
+  reproduce the reference's values — they get the (equally published,
+  more widely used) Matsumoto–Nishimura stream for that seed.  Use
+  the jumpable engines (xoroshiro/xoshiro/PCG/SplitMix64) where
+  commons-rng seed-for-seed parity matters.
 - Every family is backed by numpy's Philox in counter mode, keyed by
   (algo-id, seed) and jumped per Spark partition.  Philox is the one
   numpy BitGenerator whose O(1) ``advance`` lets a row address its
@@ -529,7 +546,11 @@ def _mt_run_words(seed: int, n_words: int) -> np.ndarray:
     numpy's MT19937 bit generator IS the published reference
     implementation, giving an in-container bit-exact oracle; the
     independent pure-python twist/temper loop in tests/test_ids.py
-    pins both."""
+    pins both.
+
+    This is the documented Matsumoto–Nishimura seeding convention,
+    deliberately NOT commons-rng's Long2IntArray expansion — see the
+    module docstring's MT SEEDING CAVEAT (ADVICE r5)."""
     from numpy.random import MT19937
 
     g = MT19937()
@@ -590,7 +611,11 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
 
 
 #: algo-id -> name for the bit-exact families; everything else stays on
-#: the Philox counter streams below.
+#: the Philox counter streams below.  All carry the commons-rng
+#: single-long seeding convention EXCEPT MT, whose seeding is the
+#: documented Matsumoto–Nishimura convention (module docstring, MT
+#: SEEDING CAVEAT — the algorithm is bit-exact, the commons-rng seed
+#: expansion is not reproducible verifiably in-container).
 EXACT_RNG_ALGOS = {
     SUPPORTED_RNG_ALGOS[name]: name
     for name in ("SPLIT_MIX_64", "JDK", "MT", *_EXACT_ENGINES, *_PCG_VARIANTS)

@@ -232,6 +232,81 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _unfilter_row(
+    ft: int, row: np.ndarray, prev: np.ndarray, w: int, bpp: int
+) -> np.ndarray:
+    """Undo one PNG row filter (RFC 2083 §6). Vectorized (ADVICE r5):
+    None/Up are whole-row ops; Sub is a per-lane mod-256 cumulative sum
+    (its recurrence cur[x] = row[x] + cur[x-bpp] telescopes); Average/
+    Paeth carry a true per-pixel recurrence along x, so they walk x in
+    PIXEL strides operating on whole bpp-lane vectors — no per-byte
+    int() boxing. ``row``/``prev`` are uint16 arrays of w*bpp; returns
+    the unfiltered row (values 0-255, uint16)."""
+    if ft == 0:
+        return row
+    if ft == 2:  # Up
+        return (row + prev) & 0xFF
+    if ft == 1:  # Sub: mod-256 cumsum per byte lane
+        lanes = row.reshape(w, bpp).astype(np.uint64)
+        return (
+            (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint16).reshape(w * bpp)
+        )
+    if ft == 3:  # Average
+        row2 = row.reshape(w, bpp)
+        prev2 = prev.reshape(w, bpp)
+        cur2 = np.empty((w, bpp), np.uint16)
+        a = np.zeros(bpp, np.uint16)
+        for x in range(w):
+            a = (row2[x] + ((a + prev2[x]) >> 1)) & 0xFF
+            cur2[x] = a
+        return cur2.reshape(w * bpp)
+    if ft == 4:  # Paeth
+        row2 = row.reshape(w, bpp).astype(np.int32)
+        prev2 = prev.reshape(w, bpp).astype(np.int32)
+        cur2 = np.empty((w, bpp), np.uint16)
+        a = np.zeros(bpp, np.int32)
+        c = np.zeros(bpp, np.int32)
+        for x in range(w):
+            b = prev2[x]
+            p = a + b - c
+            pa = np.abs(p - a)
+            pb = np.abs(p - b)
+            pc = np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            )
+            a = (row2[x] + pred) & 0xFF
+            cur2[x] = a.astype(np.uint16)
+            c = b
+        return cur2.reshape(w * bpp)
+    raise ValueError(f"bad PNG filter type {ft}")
+
+
+def _unfilter_row_scalar(
+    ft: int, row: np.ndarray, prev: np.ndarray, w: int, bpp: int
+) -> np.ndarray:
+    """Reference per-byte unfilter (the round-5 loop), kept only to
+    cross-pin the vectorized path in tests/test_multimodal.py."""
+    rowlen = w * bpp
+    if ft == 0:
+        return row
+    if ft == 2:
+        return (row + prev) & 0xFF
+    cur = np.zeros(rowlen, np.uint16)
+    for x in range(rowlen):
+        a = int(cur[x - bpp]) if x >= bpp else 0
+        if ft == 1:
+            cur[x] = (row[x] + a) & 0xFF
+        elif ft == 3:
+            cur[x] = (row[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            cur[x] = (row[x] + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+    return cur
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG (color types 0 gray, 2 RGB,
     6 RGBA) to an (h, w, 3) uint8 RGB array — pure stdlib ``zlib`` +
@@ -278,25 +353,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         row = np.frombuffer(
             raw, np.uint8, rowlen, y * (rowlen + 1) + 1
         ).astype(np.uint16)
-        if ft == 0:
-            cur = row
-        elif ft == 2:  # Up — fully vectorized
-            cur = (row + prev) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
-            cur = np.zeros(rowlen, np.uint16)
-            for x in range(rowlen):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                if ft == 1:
-                    cur[x] = (row[x] + a) & 0xFF
-                elif ft == 3:
-                    cur[x] = (row[x] + ((a + int(prev[x])) >> 1)) & 0xFF
-                else:
-                    c = int(prev[x - bpp]) if x >= bpp else 0
-                    cur[x] = (row[x] + _paeth(a, int(prev[x]), c)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out[y] = cur
-        prev = cur
+        out[y] = _unfilter_row(ft, row, prev, w, bpp)
+        prev = out[y]
     px = out.astype(np.uint8).reshape(h, w, nchan)
     if nchan == 1:
         return np.repeat(px, 3, axis=2)

@@ -24,6 +24,7 @@ Spark-first design:
 from __future__ import annotations
 
 import math
+import weakref
 from dataclasses import dataclass
 from typing import Dict, Iterator, Optional, Tuple, Union
 
@@ -316,7 +317,12 @@ _BLOOM_REGISTRY: Dict[str, BloomFilter] = {}
 # must stay plan-sized. 2^26 bits = 8 MB = 1M longs.
 _JVM_PROBE_MAX_BITS = 1 << 26
 _BLOOM_PROBE_MODE: Dict[str, str] = {}  # name -> 'jvm' | 'udf'
-_BLOOM_REGISTERED: Dict[tuple, tuple] = {}  # (session, name) -> (bloom, mode)
+#: (session-id, name) -> (session weakref, bloom weakref, mode).  The
+#: weakrefs guard against CPython id() recycling: if the session (or
+#: bloom) that created an entry was garbage-collected and a NEW object
+#: reuses the same id(), the dead entry must not shadow it — the new
+#: session never received the UDF / session variable (ADVICE r5 low).
+_BLOOM_REGISTERED: Dict[tuple, tuple] = {}
 
 
 def register_bloom(
@@ -346,7 +352,13 @@ def register_bloom(
     # name/mode in the same session is a no-op (probe-many callers
     # re-register defensively; UDF creation + catalog write cost ~0.2 s)
     reg_key = (id(spark), name)
-    if _BLOOM_REGISTERED.get(reg_key) == (id(bf), probe):
+    prior = _BLOOM_REGISTERED.get(reg_key)
+    if (
+        prior is not None
+        and prior[0]() is spark  # same LIVE session, not a recycled id
+        and prior[1]() is bf
+        and prior[2] == probe
+    ):
         return
     _BLOOM_REGISTRY[name] = bf
     bits, m_bits, k, fpp = bf.bits, bf.m_bits, bf.k, bf.fpp
@@ -384,7 +396,7 @@ def register_bloom(
         _BLOOM_PROBE_MODE[name] = "jvm"
     else:
         _BLOOM_PROBE_MODE[name] = "udf"
-    _BLOOM_REGISTERED[reg_key] = (id(bf), probe)
+    _BLOOM_REGISTERED[reg_key] = (weakref.ref(spark), weakref.ref(bf), probe)
 
 
 def load_blooms(spark: SparkSession, configs: DataFrame | list) -> None:

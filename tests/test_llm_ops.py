@@ -1187,3 +1187,22 @@ def test_paragraph_dedup(spark):
     # out_col variant keeps the original text column
     with_col = paragraph_dedup(docs, out_col="clean").collect()[0]
     assert "clean" in with_col.asDict() and "text" in with_col.asDict()
+
+
+def test_png_unfilter_vectorized_matches_scalar():
+    """The vectorized row unfilter (ADVICE r5: no per-byte python
+    boxing) must be byte-identical to the reference per-byte loop for
+    every filter type, bpp lane count, and random row content."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import _unfilter_row, _unfilter_row_scalar
+
+    rng = np.random.default_rng(7)
+    for bpp in (1, 3, 4):
+        for w in (1, 2, 5, 64, 257):
+            row = rng.integers(0, 256, w * bpp).astype(np.uint16)
+            prev = rng.integers(0, 256, w * bpp).astype(np.uint16)
+            for ft in (0, 1, 2, 3, 4):
+                got = _unfilter_row(ft, row, prev, w, bpp)
+                want = _unfilter_row_scalar(ft, row, prev, w, bpp)
+                assert (got == want).all(), (ft, bpp, w)
