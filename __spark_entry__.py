@@ -1295,8 +1295,11 @@ WHERE bit_count(xor(a.sim, b.sim)) <= 3
 """
 
 
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end, two branches:
+def q_media_features(
+    spark: SparkSession, sf_dir: str, only: tuple | None = None
+) -> DataFrame:
+    """Multimodal plumbing end-to-end, two branches (``only`` selects a
+    subset of parts — used by bench.py's per-leg attribution):
 
     - 'text': text bytes wrapped as opaque media, STUB features —
       byte counts and dims are oracle-checked, pinning schema,
@@ -1466,13 +1469,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1.0).alias("px_max"),
         )
     )
-    return (
-        text_part.unionByName(img_part("bmp"))
-        .unionByName(img_part("ppm"))
-        .unionByName(img_part("png"))
-        .unionByName(wav_part)
-        .unionByName(y4m_part)
-    )
+    built = {
+        "text": lambda: text_part,
+        "bmp": lambda: img_part("bmp"),
+        "ppm": lambda: img_part("ppm"),
+        "png": lambda: img_part("png"),
+        "wav": lambda: wav_part,
+        "y4m": lambda: y4m_part,
+    }
+    sel = tuple(built) if only is None else tuple(only)
+    out = built[sel[0]]()
+    for p in sel[1:]:
+        out = out.unionByName(built[p]())
+    return out
 
 
 def _oracle_media_features() -> str:
@@ -2903,7 +2912,9 @@ def _oracle_streaming_first_seen() -> str:
     )
 
 
-def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_streaming_ingest(
+    spark: SparkSession, sf_dir: str, only: tuple | None = None
+) -> DataFrame:
     """Streaming-ingest block: the first-seen stateful stream (above)
     PLUS durable ingest dedup (quality_spark/streaming/recipes.py:
     dedup_against_store) executed through a REAL foreachBatch stream in
@@ -2922,12 +2933,20 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from quality_spark.streaming.recipes import dedup_against_store
 
-    first = q_streaming_first_seen(spark, sf_dir).select(
-        F.lit("first_seen").alias("part"),
-        F.col("emitted"),
-        F.col("distinct_users").alias("distinct_keys"),
-        F.lit(-1).cast("bigint").alias("key_user_sum"),
-    )
+    do_first = only is None or "first_seen" in only
+    do_store = only is None or "store" in only
+    legs = []
+    if do_first:
+        legs.append(
+            q_streaming_first_seen(spark, sf_dir).select(
+                F.lit("first_seen").alias("part"),
+                F.col("emitted"),
+                F.col("distinct_users").alias("distinct_keys"),
+                F.lit(-1).cast("bigint").alias("key_user_sum"),
+            )
+        )
+    if not do_store:
+        return legs[0]
 
     def build(in_root):
         sub = _read(spark, sf_dir, "events").filter(F.col("user_id") % 3 == 0)
@@ -2975,7 +2994,6 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("dedup_against_store stream did not finish")
 
-    legs = [first]
     for tag in handlers:
         out = spark.read.parquet(f"{root}/{tag}/sink")
         legs.append(
@@ -3673,12 +3691,18 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         F.lit(-1).cast("int").alias("rank"),
     )
+    l2 = q_l2_topk_leg(spark, sf_dir)
+    quant = q_quant_topk_leg(spark, sf_dir)
+    return topk.unionByName(brute).unionByName(l2).unionByName(quant)
+
+
+def q_l2_topk_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metric coverage (round 4): L2 ranking diverges from cosine on
     # unnormalized vectors, so the leg is a real check, not a rename
     from quality_spark.llm.similarity import cosine_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    l2 = cosine_topk(
+    return cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=3, metric="l2"
     ).select(
         F.lit("l2").alias("part"),
@@ -3686,12 +3710,16 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("id_b"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def q_quant_topk_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int8 quantized ANN (round 5): per-vector symmetric quantization
     # -> dequantized cosine top-3; the oracle replays quantize /
     # dequantize / rank with the identical arithmetic
     from quality_spark.llm.similarity import quantized_cosine_topk
 
-    quant = quantized_cosine_topk(
+    emb = _read(spark, sf_dir, "embeddings")
+    return quantized_cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=3
     ).select(
         F.lit("quant").alias("part"),
@@ -3699,7 +3727,6 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("id_b"),
         F.col("rank").cast("int").alias("rank"),
     )
-    return topk.unionByName(brute).unionByName(l2).unionByName(quant)
 
 
 def _oracle_embedding_ann() -> str:
@@ -4725,6 +4752,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_io": q_corpus_io,
         "media_features": q_media_features,
         "lambda_id_surface": q_lambda_id_surface,
+    }
+
+
+def query_legs() -> dict:
+    """Per-leg decomposition of the composite gate queries, for
+    bench.py's per-leg timing attribution (VERDICT r05 'what's wrong'
+    #1: composite totals hid which leg moved — ivf_topk's +1.45 s and
+    media_features' +0.58 s took git archaeology to attribute to new
+    coverage legs). Keys match queries(); each leg is a
+    (spark, sf_dir) -> DataFrame callable reusing the SAME functions
+    the composite unions, so leg timings sum (approximately — shared
+    session warmup aside) to the composite's time."""
+
+    def media(part):
+        return lambda spark, sf: q_media_features(spark, sf, only=(part,))
+
+    return {
+        "ivf_topk": {"ivf": q_ivf_flat_leg, "kmeans": q_kmeans_leg},
+        "media_features": {
+            p: media(p) for p in ("text", "bmp", "ppm", "png", "wav", "y4m")
+        },
+        "embedding_ann": {
+            "topk": q_ann_cosine_topk,
+            "brute": q_embedding_near_dup,
+            "l2": q_l2_topk_leg,
+            "quant": q_quant_topk_leg,
+        },
+        "minhash_pipeline": {
+            "sig": q_minhash_signatures,
+            "pair": q_minhash_lsh_near_dup,
+            "ingest": q_minhash_index_ingest,
+        },
+        "simhash_pipeline": {"sig": q_simhash, "pair": q_simhash_near_dup},
+        "streaming_first_seen": {
+            "first_seen": lambda spark, sf: q_streaming_ingest(
+                spark, sf, only=("first_seen",)
+            ),
+            "store": lambda spark, sf: q_streaming_ingest(
+                spark, sf, only=("store",)
+            ),
+        },
+        "corpus_io": {
+            "jsonl": q_jsonl_round_trip,
+            "partitioned": q_partitioned_corpus,
+            "bucketed": q_bucketed_corpus,
+            "zorder": q_zorder_corpus,
+        },
+        "bloom_suite": {
+            "semi": q_bloom_semi_filter,
+            "sql_agg": q_bloom_sql_agg,
+            "bigfile": q_bigbloom_file_probe,
+        },
+        "windowed_dq": {
+            "batch": q_events_windowed_dq,
+            "stream": q_streaming_windowed_dq,
+        },
+        "dedup_exact": {
+            "groups": q_dedup_exact_groups,
+            "keep_best": q_dedup_keep_best,
+        },
+        "sampling_splits": {
+            "hash_split": q_hash_sample_split,
+            "stratified": q_stratified_sample,
+            "mix": q_weighted_mix,
+        },
+        "event_rollups": {
+            "rollup": q_time_rollup_events,
+            "sessionize": q_sessionize_events,
+        },
+        "temporal_joins": {
+            "asof": q_asof_click_view,
+            "range": q_range_join_events,
+        },
+        "skew_ops": {
+            "salted_agg": q_salted_agg_orders,
+            "skew_join": q_skew_join_lineitem,
+        },
     }
 
 

@@ -96,10 +96,19 @@ def main() -> None:
         fn()
         return min(timed(fn), timed(fn))
 
-    # 1. no-rules write baseline (reference evaluation_method.md:35)
+    def noop_write(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # 1. no-rules write baseline (reference evaluation_method.md:35),
+    # plus a no-write EVAL baseline (noop sink: rows fully computed,
+    # nothing encoded/written) — the eval legs isolate per-rule eval
+    # cost from result-width write cost (VERDICT r05 'what's wrong' #3:
+    # dq500_write ≈ dq150_write showed the parquet write dominating
+    # past 150 rules, muddying the per-rule-eval trend).
     results["baseline_write"] = timed_warm_min2(
         lambda: li.write.mode("overwrite").parquet(f"{TMP}/base")
     )
+    results["baseline_eval"] = timed_warm_min2(lambda: noop_write(li))
 
     # 2. 27-rule DQ write — ~3.4 copies of the 8-rule fixture suite
     from quality_spark import rule_suite as _rs
@@ -132,6 +141,7 @@ def main() -> None:
     results["dq27_write"] = timed_warm_min2(
         lambda: dq27.write.mode("overwrite").parquet(f"{TMP}/dq27")
     )
+    results["dq27_eval"] = timed_warm_min2(lambda: noop_write(dq27))
 
     # 3. 150-rule generated suite write (reference evaluation_method.md:41)
     # + a 500-rule point so the compile/write trend over suite size is
@@ -149,6 +159,9 @@ def main() -> None:
         )
         results[f"dq{n_rules}_write"] = timed_warm_min2(
             lambda: dq_n.write.mode("overwrite").parquet(f"{TMP}/dq{n_rules}")
+        )
+        results[f"dq{n_rules}_eval"] = timed_warm_min2(
+            lambda: noop_write(dq_n)
         )
 
     # 4. headline oracle queries — noop-format write as the action:
@@ -179,8 +192,12 @@ def main() -> None:
     # so round-over-round regressions can be attributed: plan changes
     # move the exec leg, included-construction changes (stream runs,
     # bloom builds, staging writes) move the construct leg
-    construct: dict[str, float] = {}
-    for name, q in entrymod.queries().items():
+    def run_query_min(q):
+        """Retry policy (VERDICT r05 'what's wrong' #2: an unexplained
+        +50% run-side drift survived the single retry): queries over
+        RETRY_OVER get a second sample; if the two samples still
+        disagree by >30% a THIRD breaks the tie — min of all. Bounded:
+        at most 3 runs, and only for the already-slow queries."""
         t_c, t_w = run_query(q)
         # the guard must cover the CONSTRUCT leg too — for the eager
         # gate queries (streams, staging writes, DuckDB scoring) that
@@ -188,21 +205,48 @@ def main() -> None:
         # in the judged number unchecked
         if t_c + t_w > RETRY_OVER:
             t_c2, t_w2 = run_query(q)
+            lo, hi = sorted((t_c + t_w, t_c2 + t_w2))
+            if hi > 1.3 * lo:
+                t_c3, t_w3 = run_query(q)
+                if t_c3 + t_w3 < t_c2 + t_w2:
+                    t_c2, t_w2 = t_c3, t_w3
             if t_c2 + t_w2 < t_c + t_w:
                 t_c, t_w = t_c2, t_w2
+        return t_c, t_w
+
+    construct: dict[str, float] = {}
+    for name, q in entrymod.queries().items():
+        t_c, t_w = run_query_min(q)
         results[name] = t_c + t_w
         construct[name] = t_c
 
-    # derived per-row overheads in ms, reference style
-    results["dq27_overhead_ms_per_row"] = (
-        (results["dq27_write"] - results["baseline_write"]) * 1000.0 / n_rows
-    )
-    results["dq150_overhead_ms_per_row"] = (
-        (results["dq150_write"] - results["baseline_write"]) * 1000.0 / n_rows
-    )
-    results["dq500_overhead_ms_per_row"] = (
-        (results["dq500_write"] - results["baseline_write"]) * 1000.0 / n_rows
-    )
+    # per-leg attribution for the composite gates (VERDICT r05 #1/#3):
+    # each leg timed through the same construct+noop path, single
+    # sample with the same stall retry — leg times live ONLY in
+    # bench_detail.json (not the stdout line, not the headline total)
+    legs_detail: dict[str, dict[str, float]] = {}
+    for qname, legs in getattr(entrymod, "query_legs", dict)().items():
+        legs_detail[qname] = {}
+        for lname, lfn in legs.items():
+            t_c, t_w = run_query(lfn)
+            if t_c + t_w > RETRY_OVER:
+                t_c2, t_w2 = run_query(lfn)
+                if t_c2 + t_w2 < t_c + t_w:
+                    t_c, t_w = t_c2, t_w2
+            legs_detail[qname][lname] = round(t_c + t_w, 4)
+
+    # derived per-row overheads in ms, reference style; the _eval
+    # variants subtract the no-write noop baseline, isolating rule
+    # EVAL cost from result-width write cost
+    for n in (27, 150, 500):
+        results[f"dq{n}_overhead_ms_per_row"] = (
+            (results[f"dq{n}_write"] - results["baseline_write"])
+            * 1000.0 / n_rows
+        )
+        results[f"dq{n}_eval_ms_per_row"] = (
+            (results[f"dq{n}_eval"] - results["baseline_eval"])
+            * 1000.0 / n_rows
+        )
 
     shutil.rmtree(TMP, ignore_errors=True)
 
@@ -228,6 +272,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in results.items()},
         "construct": {k: round(v, 4) for k, v in construct.items()},
+        "legs": legs_detail,
         "sf": sf,
         "rows": n_rows,
         "cpus": int(CPUS),
