@@ -2918,8 +2918,13 @@ def q_streaming_ingest(
     """Streaming-ingest block: the first-seen stateful stream (above)
     PLUS durable ingest dedup (quality_spark/streaming/recipes.py:
     dedup_against_store) executed through a REAL foreachBatch stream in
-    BOTH modes — hash_only=True (8-byte xxhash64 key store) and
-    hash_only=False (exact key columns, null-safe anti-join). The
+    THREE modes — hash_only=True (8-byte xxhash64 key store),
+    hash_only=False (exact key columns, null-safe anti-join), and
+    (round 6) the BUCKETED catalog-table store whose probe reads the
+    store with no Exchange (dedup_against_bucketed_store; plan pinned
+    in tests/test_streaming.py) — followed by compact_key_store, whose
+    folded store is gated as its own part (one hash key per distinct
+    ingest key, count and distinct both checked). The
     events subset streams as 2 micro-batches (maxFilesPerTrigger=1),
     so the second batch's dedup runs against a store populated by the
     first — the cross-batch path, not a within-batch dropDuplicates.
@@ -2964,9 +2969,9 @@ def q_streaming_ingest(
     shutil.rmtree(root, ignore_errors=True)
 
     # ONE real foreachBatch stream; its handler fans each micro-batch
-    # out to BOTH mode handlers (separate stores/sinks) — both modes see
+    # out to ALL mode handlers (separate stores/sinks) — every mode sees
     # identical batch boundaries and the composite pays one stream
-    # startup instead of two
+    # startup instead of three
     handlers = {}
     for tag, hash_only in (("store_hash", True), ("store_exact", False)):
         def sink(df, epoch_id, _p=f"{root}/{tag}/sink"):
@@ -2976,6 +2981,27 @@ def q_streaming_ingest(
             f"{root}/{tag}/store", ["user_id", "event_type"], sink,
             hash_only=hash_only,
         )
+
+    # round 6: the BUCKETED key-store scale path (VERDICT r05 next #2) —
+    # an external bucketed catalog table probed with the no-Exchange
+    # co-located join (plan pinned in tests/test_streaming.py), then
+    # compacted to one sorted file per bucket after the stream
+    from quality_spark.streaming.recipes import (
+        compact_key_store,
+        dedup_against_bucketed_store,
+    )
+
+    btable = f"qs_gate_dstore_b_{sftag}".replace(".", "_")
+    spark.sql(f"DROP TABLE IF EXISTS {btable}")
+    spark.sql(f"DROP TABLE IF EXISTS {btable}__compacting")
+
+    def bsink(df, epoch_id, _p=f"{root}/store_bucketed/sink"):
+        df.write.mode("append").parquet(_p)
+
+    handlers["store_bucketed"] = dedup_against_bucketed_store(
+        btable, ["user_id", "event_type"], bsink,
+        buckets=4, path=f"{root}/store_bucketed/store",
+    )
 
     def both(batch_df, epoch_id):
         for h in handlers.values():
@@ -3005,6 +3031,21 @@ def q_streaming_ingest(
                 F.sum("user_id").cast("bigint").alias("key_user_sum"),
             ).select("part", "emitted", "distinct_keys", "key_user_sum")
         )
+    # compaction leg: fold the per-batch bucket files, then gate that
+    # the compacted store holds exactly one hash key per distinct
+    # (user_id, event_type) — count AND distinct, so a lost or
+    # duplicated key fails either way
+    compact_key_store(spark, btable)
+    store_df = spark.table(btable)
+    legs.append(
+        store_df.groupBy().agg(
+            F.lit("store_compact").alias("part"),
+            F.count(F.lit(1)).cast("bigint").alias("emitted"),
+            F.count_distinct("__qs_key_hash")
+            .cast("bigint").alias("distinct_keys"),
+            F.lit(-1).cast("bigint").alias("key_user_sum"),
+        ).select("part", "emitted", "distinct_keys", "key_user_sum")
+    )
     res = legs[0]
     for leg in legs[1:]:
         res = res.unionByName(leg)
@@ -3027,6 +3068,11 @@ UNION ALL
 SELECT 'store_hash', emitted, distinct_keys, key_user_sum FROM ({store})
 UNION ALL
 SELECT 'store_exact', emitted, distinct_keys, key_user_sum FROM ({store})
+UNION ALL
+SELECT 'store_bucketed', emitted, distinct_keys, key_user_sum FROM ({store})
+UNION ALL
+SELECT 'store_compact', emitted, distinct_keys, CAST(-1 AS BIGINT)
+FROM ({store})
 """
 
 

@@ -191,8 +191,10 @@ def dedup_against_store(
     survives restarts, scales past executor memory, and the per-batch
     cost is one keyed join against the store. Keys are stored as
     xxhash64 of the concatenated key columns — 8 bytes/key regardless
-    of key width. At 100 TB-ingest scale, compact the store
-    periodically and bucket it by the hash for a shuffle-free probe.
+    of key width. At 100 TB-ingest scale use
+    :func:`dedup_against_bucketed_store` (+ :func:`compact_key_store`):
+    the bucketed table probe reads the store pre-partitioned, so only
+    the micro-batch shuffles.
 
     Within-batch duplicates also collapse (keep-first by the same join
     key the store uses: hash in hash_only mode, the REAL key columns in
@@ -216,37 +218,10 @@ def dedup_against_store(
 
         spark = batch_df.sparkSession
         join_cols = [key_hash_col] if hash_only else list(keys)
-        # within-batch dedup on join_cols, NOT always the hash: in
-        # exact mode (hash_only=False) a 64-bit in-batch collision
-        # would silently drop a distinct row — the very failure that
-        # mode exists to rule out (exact mode needs no hash at all)
-        hashed = batch_df
-        if hash_only:
-            hashed = batch_df.withColumn(
-                key_hash_col, F.xxhash64(*[F.col(k) for k in keys])
-            )
-        hashed = hashed.dropDuplicates(join_cols)
+        hashed = _hash_and_batch_dedup(batch_df, keys, key_hash_col, hash_only)
         try:
             seen = spark.read.parquet(store_path).select(*join_cols)
-            if hash_only:
-                fresh = hashed.join(seen, join_cols, "left_anti")
-            else:
-                # NULL-SAFE equality in exact mode: a plain column-list
-                # anti-join never matches a stored NULL key, so a row
-                # with any NULL key column would be re-emitted (and its
-                # key re-appended) every single batch. hash mode is
-                # immune — xxhash64(NULL) is a concrete value.
-                from functools import reduce
-
-                a, b = hashed.alias("__qs_new"), seen.alias("__qs_seen")
-                cond = reduce(
-                    lambda x, y: x & y,
-                    [
-                        F.col(f"__qs_new.{c}").eqNullSafe(F.col(f"__qs_seen.{c}"))
-                        for c in join_cols
-                    ],
-                )
-                fresh = a.join(b, cond, "left_anti")
+            fresh = _anti_join_seen(hashed, seen, join_cols, hash_only)
         except AnalysisException:
             # ONLY the genuine first batch (store path not yet created)
             # may skip the anti-join; any other read failure must fail
@@ -263,3 +238,165 @@ def dedup_against_store(
             fresh.unpersist()
 
     return handle
+
+
+def _hash_and_batch_dedup(
+    batch_df: DataFrame, keys: Sequence[str], key_hash_col: str, hash_only: bool
+) -> DataFrame:
+    # within-batch dedup on join_cols, NOT always the hash: in
+    # exact mode (hash_only=False) a 64-bit in-batch collision
+    # would silently drop a distinct row — the very failure that
+    # mode exists to rule out (exact mode needs no hash at all)
+    hashed = batch_df
+    if hash_only:
+        hashed = batch_df.withColumn(
+            key_hash_col, F.xxhash64(*[F.col(k) for k in keys])
+        )
+    join_cols = [key_hash_col] if hash_only else list(keys)
+    return hashed.dropDuplicates(join_cols)
+
+
+def _anti_join_seen(
+    hashed: DataFrame, seen: DataFrame, join_cols: List[str], hash_only: bool
+) -> DataFrame:
+    if hash_only:
+        return hashed.join(seen, join_cols, "left_anti")
+    # NULL-SAFE equality in exact mode: a plain column-list
+    # anti-join never matches a stored NULL key, so a row
+    # with any NULL key column would be re-emitted (and its
+    # key re-appended) every single batch. hash mode is
+    # immune — xxhash64(NULL) is a concrete value.
+    from functools import reduce
+
+    a, b = hashed.alias("__qs_new"), seen.alias("__qs_seen")
+    cond = reduce(
+        lambda x, y: x & y,
+        [
+            F.col(f"__qs_new.{c}").eqNullSafe(F.col(f"__qs_seen.{c}"))
+            for c in join_cols
+        ],
+    )
+    return a.join(b, cond, "left_anti")
+
+
+def dedup_against_bucketed_store(
+    store_table: str,
+    keys: Sequence[str],
+    sink,
+    buckets: int = 64,
+    key_hash_col: str = "__qs_key_hash",
+    hash_only: bool = True,
+    path: Optional[str] = None,
+):
+    """The ingest-scale variant of :func:`dedup_against_store` — same
+    contract (foreachBatch handler, cross-restart durable seen-key set,
+    at-least-once sink-before-append), but the key store is a BUCKETED
+    catalog table on the join key instead of a plain parquet path.
+
+    Why bucketed: the plain-path store is re-read AND re-shuffled by
+    the anti-join every micro-batch — at 100 TB-ingest key cardinality
+    the store side dwarfs the batch side, so shuffling it per batch is
+    the bottleneck. A table bucketed on the join key reads back with
+    its HashPartitioning intact: the anti-join plan has NO Exchange on
+    the store side (pinned in tests/test_streaming.py) — only the
+    small micro-batch shuffles, into ``buckets`` partitions. After
+    :func:`compact_key_store` (one sorted file per bucket) the store
+    side needs no per-batch Sort either, so the probe cost is a pure
+    streamed merge against pre-sorted buckets.
+
+    Size ``buckets`` for the TARGET store: keys/bucket small enough
+    that one bucket's parquet fits an executor's read (e.g. 4B 8-byte
+    hash keys / 4096 buckets ≈ 8 MB a bucket). Appends add one file
+    per bucket per batch; run :func:`compact_key_store` on a cadence
+    (e.g. every N batches or nightly) to fold them and drop
+    at-least-once replay duplicates.
+
+    ``path`` makes the store an EXTERNAL table at that location (pass
+    shared storage for a durable multi-run store; the caller owns the
+    location's lifecycle); omitted, the session warehouse holds it.
+    """
+    if not 1 <= int(buckets) <= 1 << 20:
+        raise ValueError(f"buckets out of range: {buckets}")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        join_cols = [key_hash_col] if hash_only else list(keys)
+        hashed = _hash_and_batch_dedup(batch_df, keys, key_hash_col, hash_only)
+        exists = spark.catalog.tableExists(store_table)
+        if exists:
+            seen = spark.table(store_table).select(*join_cols)
+            fresh = _anti_join_seen(hashed, seen, join_cols, hash_only)
+        else:
+            fresh = hashed
+        fresh = fresh.cache()
+        try:
+            sink(fresh.drop(key_hash_col), epoch_id)
+            writer = (
+                fresh.select(*join_cols)
+                .write.mode("append")
+                .format("parquet")
+                .bucketBy(int(buckets), join_cols[0], *join_cols[1:])
+                .sortBy(join_cols[0], *join_cols[1:])
+            )
+            if path is not None and not exists:
+                writer = writer.option("path", path)
+            writer.saveAsTable(store_table)
+        finally:
+            fresh.unpersist()
+
+    return handle
+
+
+def compact_key_store(spark, store_table: str) -> None:
+    """Compact a :func:`dedup_against_bucketed_store` key store: fold
+    the per-batch bucket files into ONE sorted file per bucket (same
+    bucket spec), dropping any at-least-once replay duplicates. A
+    freshly compacted store anti-joins with neither Exchange nor Sort
+    on the store side.
+
+    Swap is staged-then-rename (write to ``<table>__compacting``, drop,
+    rename) so a crash mid-compaction leaves either the old store or
+    the new one — never a half-written table. Run it BETWEEN streaming
+    triggers (it drops/recreates the table a concurrent probe would
+    read)."""
+    rows = spark.sql(f"DESCRIBE FORMATTED {store_table}").collect()
+    meta = {r["col_name"].strip(): (r["data_type"] or "").strip() for r in rows}
+    nb = int(meta.get("Num Buckets", "0"))
+    if nb <= 0:
+        raise ValueError(f"{store_table} is not a bucketed table")
+    cols = [c.strip().strip("`") for c in meta["Bucket Columns"].strip("[]").split(",")]
+    is_external = meta.get("Type", "").upper() == "EXTERNAL"
+    loc = meta.get("Location", "")
+    df = spark.table(store_table)
+    tmp = store_table + "__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+    def bucketed_writer(frame):
+        # repartition by the bucket columns into exactly nb partitions:
+        # Spark's bucket id IS hash(cols) % nb, so each write task holds
+        # one whole bucket -> exactly one file per bucket
+        return (
+            frame.repartition(nb, *[F.col(c) for c in cols])
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(nb, cols[0], *cols[1:])
+            .sortBy(cols[0], *cols[1:])
+        )
+
+    bucketed_writer(df.dropDuplicates(df.columns)).saveAsTable(tmp)
+    if is_external:
+        # external store: the LOCATION is the caller's contract — stage
+        # through the managed tmp, clear the old files (Hadoop FS, so
+        # any scheme works), rewrite at the same path, drop the stage
+        spark.sql(f"DROP TABLE {store_table}")
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+        bucketed_writer(spark.table(tmp)).option("path", loc).saveAsTable(
+            store_table
+        )
+        spark.sql(f"DROP TABLE {tmp}")
+    else:
+        spark.sql(f"DROP TABLE {store_table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {store_table}")

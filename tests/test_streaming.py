@@ -337,3 +337,112 @@ def test_dedup_against_store_exact_mode_null_keys(spark, tmp_path):
     # and the store holds exactly one NULL key row, not one per batch
     stored = spark.read.parquet(store).collect()
     assert sum(1 for r in stored if r["k"] is None) == 1
+
+
+def test_dedup_against_bucketed_store_no_store_exchange(spark):
+    """The bucketed key store (round 6 — the scale path
+    dedup_against_store's docstring promised): cross-batch dedup works,
+    the anti-join plan reads the store WITHOUT an Exchange (only the
+    micro-batch side shuffles into the bucket layout), and
+    compact_key_store folds the per-batch bucket files to one per
+    bucket while preserving the key set."""
+    from quality_spark.streaming.recipes import (
+        compact_key_store,
+        dedup_against_bucketed_store,
+    )
+
+    import shutil
+
+    table = "qs_test_dedup_bstore"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
+    # a crashed prior run can leave the managed location on disk while
+    # the (in-memory) catalog forgot the table — clear both
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    for suffix in ("", "__compacting"):
+        shutil.rmtree(f"{wh}/{table}{suffix}", ignore_errors=True)
+    emitted = []
+
+    def sink(df, epoch):
+        emitted.append(sorted(r["k"] for r in df.collect()))
+
+    handler = dedup_against_bucketed_store(table, ["k"], sink, buckets=4)
+    b1 = spark.createDataFrame([("a", 1), ("b", 2), ("a", 3)], "k string, v int")
+    handler(b1, 0)
+    assert emitted[-1] == ["a", "b"]  # within-batch dedup too
+    b2 = spark.createDataFrame([("b", 4), ("c", 5)], "k string, v int")
+    handler(b2, 1)
+    assert emitted[-1] == ["c"]  # cross-batch: store table consulted
+
+    # plan pin: anti-join against the bucketed store has exactly ONE
+    # Exchange (the batch side) — the store scan is bucket-partitioned.
+    # Broadcast is disabled for the pin: at real scale the store side
+    # is far past any broadcast threshold, and the property under test
+    # is the shuffle-free SMJ probe of the store.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen = spark.table(table)
+        probe = spark.createDataFrame([("a",), ("z",)], "k string").withColumn(
+            "__qs_key_hash", __import__("pyspark").sql.functions.xxhash64("k")
+        )
+        plan = (
+            probe.join(seen, "__qs_key_hash", "left_anti")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("Exchange") == 1, plan
+    assert "Bucketed: true" in plan, plan
+
+    # compaction: one file per bucket, key set preserved
+    compact_key_store(spark, table)
+    stored = spark.table(table)
+    assert stored.count() == 3  # a, b, c hashes
+    files = [
+        f for f in __import__("os").listdir(
+            stored.inputFiles()[0].rsplit("/", 1)[0].replace("file:", "")
+        )
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 4 or len(files) <= 4  # <= one file per bucket
+    # still works as a store after compaction
+    b3 = spark.createDataFrame([("c", 6), ("d", 7)], "k string, v int")
+    handler(b3, 2)
+    assert emitted[-1] == ["d"]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_key_store_external_path(spark, tmp_path):
+    """compact_key_store on an EXTERNAL store must preserve the
+    caller's location (the path is the durability contract) while
+    folding files and dropping replay duplicates."""
+    from quality_spark.streaming.recipes import (
+        compact_key_store,
+        dedup_against_bucketed_store,
+    )
+
+    table = "qs_test_dedup_bstore_ext"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
+    loc = str(tmp_path / "store")
+
+    handler = dedup_against_bucketed_store(
+        table, ["k"], lambda df, e: df.count(), buckets=2, path=loc
+    )
+    handler(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), 0)
+    handler(spark.createDataFrame([("b", 3), ("c", 4)], "k string, v int"), 1)
+    # simulate an at-least-once replay duplicate directly in the store
+    spark.table(table).limit(1).write.mode("append").format("parquet").bucketBy(
+        2, "__qs_key_hash"
+    ).sortBy("__qs_key_hash").saveAsTable(table)
+    assert spark.table(table).count() == 4
+
+    compact_key_store(spark, table)
+    assert spark.table(table).count() == 3  # replay dup folded
+    import os
+
+    files = spark.table(table).inputFiles()
+    assert all(loc in f for f in files), files  # same external location
+    assert len(files) <= 2  # one file per bucket
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
