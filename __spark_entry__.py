@@ -1213,10 +1213,19 @@ SELECT 302, CAST(CAST(MIN(l_orderkey) AS BIGINT) AS VARCHAR) FROM lineitem
 
 def q_view_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dependency-ordered view loading: v2 depends on v1, declared out
-    of order; query through the loaded views."""
+    of order; query through the loaded views. Round 6 additionally
+    routes a TOKEN view through the DataFrameLoader hook (SURVEY §2 row
+    16, previously tests-only): v3_orders carries no SQL, only a token
+    the loader callback resolves to the orders table with a filter
+    applied by the config — the join through it is oracle-gated."""
     from quality_spark.sources.views import ViewConfig, load_views
 
     _read(spark, sf_dir, "lineitem").createOrReplaceTempView("li_src")
+
+    def loader(token: str):
+        assert token == "orders_token", token
+        return _read(spark, sf_dir, "orders")
+
     load_views(
         spark,
         [
@@ -1226,16 +1235,26 @@ def q_view_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "SELECT l_orderkey, SUM(l_quantity) AS total FROM li_src GROUP BY l_orderkey",
                 None,
             ),
+            ViewConfig(
+                "v3_orders", None, token="orders_token",
+                filter="o_orderstatus = 'F'",
+            ),
         ],
+        loader=loader,
     )
-    return spark.sql("SELECT l_orderkey, total FROM v2_big")
+    return spark.sql(
+        "SELECT b.l_orderkey, b.total, o.o_custkey FROM v2_big b "
+        "JOIN v3_orders o ON o.o_orderkey = b.l_orderkey"
+    )
 
 
 def _oracle_view_loading() -> str:
     return """
-SELECT l_orderkey, total FROM (
-  SELECT l_orderkey, SUM(l_quantity) AS total FROM lineitem GROUP BY l_orderkey
-) WHERE total > 180
+SELECT b.l_orderkey, b.total, o.o_custkey FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+) b JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+ON o.o_orderkey = b.l_orderkey
 """
 
 
@@ -4006,7 +4025,17 @@ FROM ({_oracle_map_contains_filter()})
 
 def q_docs_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan-tooling block: validate() issue taxonomy + doc-comment
-    parsing (r03 gate queries validation_report, docs_parsing)."""
+    parsing (r03 gate queries validation_report, docs_parsing), plus
+    (round 6, VERDICT r05 next #8) a 'tooling' part gating the three
+    debug/interop surfaces that previously had no data output:
+    print_expr and print_code must EVALUATE to their wrapped
+    expression (the print side effect is compile-time), and
+    processor_input_wrapper(left, right) must evaluate to right with
+    left ignored (reference InputWrapper, impl/util/Utils.scala:552-563)
+    — all three through the rule-SQL surface, oracle-checked on real
+    document rows."""
+    from quality_spark.functions.lambdas import expand_sql
+
     val = q_validation_report(spark, sf_dir).select(
         F.lit("validate").alias("part"),
         "rule_id",
@@ -4021,7 +4050,16 @@ def q_docs_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stripped").alias("s2"),
         F.col("n_params").cast("int").alias("n"),
     )
-    return val.unionByName(docs)
+    tooling = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        F.lit("tooling").alias("part"),
+        F.col("doc_id").cast("bigint").alias("rule_id"),
+        F.expr(expand_sql("print_expr(upper(lang), 'gate')")).alias("s1"),
+        F.expr(expand_sql("print_code(substring(source, 1, 3), 'gate')")).alias("s2"),
+        F.expr(
+            expand_sql("processor_input_wrapper(doc_id, n_chars % 97)")
+        ).cast("int").alias("n"),
+    )
+    return val.unionByName(docs).unionByName(tooling)
 
 
 def _oracle_docs_validation() -> str:
@@ -4032,6 +4070,10 @@ FROM ({_oracle_validation_report()})
 UNION ALL
 SELECT 'docs', rule_id, description, stripped, CAST(n_params AS INTEGER)
 FROM ({_oracle_docs_markdown()})
+UNION ALL
+SELECT 'tooling', CAST(doc_id AS BIGINT), upper(lang),
+       substring(source, 1, 3), CAST(n_chars % 97 AS INTEGER)
+FROM documents WHERE doc_id < 50
 """
 
 

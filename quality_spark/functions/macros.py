@@ -393,11 +393,16 @@ _register(
 
 
 def _processor_input_wrapper(args):
-    raise ValueError(
-        "processor_input_wrapper is a declared non-goal of this engine "
-        "(SURVEY §2.3): it exists in the reference only to feed its "
-        "sparkless interpreter; Spark-side pipelines pass columns directly."
-    )
+    # reference InputWrapper(left, right): a passthrough that evaluates
+    # RIGHT and ignores left entirely — left exists only to force
+    # resolution in the reference's interpreter plumbing
+    # (impl/util/Utils.scala:549-563: eval/dataType/genCode all
+    # delegate to right). Same semantics here: expand to the right
+    # expression; the left argument is type-checked by Spark's analyzer
+    # like any column reference but contributes nothing.
+    if len(args) != 2:
+        raise _arity_error("processor_input_wrapper", args, "2 (left, right)")
+    return f"({args[1]})"
 
 
 _register(

@@ -420,10 +420,29 @@ def test_schema_generic_names_diagnose(spark):
         "drop_field(x, 'a')",
         "comparable_maps(m)",
         "reverse_comparable_maps(m)",
-        "processor_input_wrapper(x)",
     ]:
-        with pytest.raises(ValueError, match="Column API|non-goal"):
+        with pytest.raises(ValueError, match="Column API"):
             expand_sql(sql)
+    # processor_input_wrapper is a real passthrough since round 6
+    # (reference InputWrapper evaluates right, ignores left); wrong
+    # arity still diagnoses
+    with pytest.raises(ValueError, match="arity|2 \\(left"):
+        expand_sql("processor_input_wrapper(x)")
+
+
+def test_processor_input_wrapper_passthrough(spark):
+    """InputWrapper semantics (impl/util/Utils.scala:552-563): evaluate
+    RIGHT, ignore left entirely — including a left that would error if
+    its value mattered (NULL)."""
+    from quality_spark.functions.lambdas import expand_sql
+
+    row = spark.sql("SELECT 3 AS a, 7 AS b").select(
+        F.expr(expand_sql("processor_input_wrapper(a, b * 2)")).alias("v"),
+        F.expr(
+            expand_sql("processor_input_wrapper(CAST(NULL AS INT), a + 1)")
+        ).alias("w"),
+    ).collect()[0]
+    assert row["v"] == 14 and row["w"] == 4
 
 
 def test_null_inputs_give_null_ids_not_collisions(spark):
