@@ -673,6 +673,8 @@ def q_digest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("sha256_hex"),
         nb.alias("xxh3"),
         nb.alias("xxh3_hi"),
+        nb.alias("siphash24"),
+        nb.alias("adler32"),
     )
     s = "concat(repeat('ab', CAST(id AS INT)), CAST(id AS STRING))"
     arr = expand_sql(f"za_hash_longs_with('XXH3', {s})")
@@ -683,32 +685,39 @@ def q_digest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("sha256_hex"),
         F.expr(f"element_at({arr}, 1)").alias("xxh3"),
         F.expr(f"element_at({arr}, 2)").alias("xxh3_hi"),
+        F.expr(expand_sql(f"hash_with('SIPHASH24', {s})")).alias("siphash24"),
+        F.expr(expand_sql(f"hash_with('ADLER32', {s})")).alias("adler32"),
     )
     return dig.unionByName(xx)
 
 
 def _oracle_digest_documents() -> str:
-    from quality_spark.functions.pyhash import xxh3_128
+    import zlib
+
+    from quality_spark.functions.pyhash import siphash24, xxh3_128
 
     def sgn(v: int) -> int:
         return v - (1 << 64) if v >= (1 << 63) else v
 
-    def pair(t: str):
-        lo, hi = xxh3_128(t.encode("utf-8"))
-        return sgn(lo), sgn(hi)
+    def row(i: int, t: str):
+        b = t.encode("utf-8")
+        lo, hi = xxh3_128(b)
+        return i, sgn(lo), sgn(hi), sgn(siphash24(b)), zlib.adler32(b)
 
     vals = ", ".join(
-        "({}, {}, {})".format(i, *pair(t)) for i, t in _xxh3_gate_inputs()
+        "({}, {}, {}, {}, {})".format(*row(i, t))
+        for i, t in _xxh3_gate_inputs()
     )
     return f"""
 SELECT 'digest' AS part, doc_id, md5(text) AS md5_hex,
        sha256(text) AS sha256_hex, CAST(-1 AS BIGINT) AS xxh3,
-       CAST(-1 AS BIGINT) AS xxh3_hi
+       CAST(-1 AS BIGINT) AS xxh3_hi, CAST(-1 AS BIGINT) AS siphash24,
+       CAST(-1 AS BIGINT) AS adler32
 FROM documents
 UNION ALL
 SELECT 'xxh3', CAST(i AS BIGINT), '', '', CAST(lo AS BIGINT),
-       CAST(hi AS BIGINT)
-FROM (VALUES {vals}) t(i, lo, hi)
+       CAST(hi AS BIGINT), CAST(sip AS BIGINT), CAST(adl AS BIGINT)
+FROM (VALUES {vals}) t(i, lo, hi, sip, adl)
 """
 
 

@@ -26,6 +26,11 @@ declared in SUPPORTED_DIGESTS / HASH_IMPLS:
   reference's single-long za factory silently FALLS BACK to XX/XXH64
   for 'XXH3' — ZeroAllocation.scala:33-40 ``getOrElse`` — a silent
   substitution this engine deliberately does not reproduce.)
+- SIPHASH24 (round 6) is spec SipHash-2-4 with Guava's default key —
+  which IS the official paper test key, so the vendored reference
+  vectors pin Guava compatibility directly (pyhash.py, vectorized).
+- ADLER32 (round 6) is stdlib ``zlib.adler32`` — the same RFC 1950
+  checksum Guava's adler32() wraps.
 - The remaining zero-allocation exotics (CITY_1_1 / FARM_NA / METRO /
   WY_3 / MUM — reference impl/hash/ZeroAllocation.scala:32-96) have no
   public in-container implementation or spec KAT set to verify
@@ -65,6 +70,12 @@ HASH_IMPLS = {
     "XXH64": 1,
     "XX": 1,
     "XXH3": 2,  # XXH3-128 tuple digest (reference ZeroAllocation.scala:88)
+    # round 6: the remaining Guava-factory names
+    # (HashFunctionExpression.scala:46-58) — SipHash-2-4 with Guava's
+    # default key (= the official paper test key, vector-pinned) and
+    # Adler-32 via stdlib zlib (the same RFC 1950 checksum Guava wraps)
+    "SIPHASH24": 1,
+    "ADLER32": 1,
 }
 
 #: reference families with no verifiable in-container implementation —
@@ -212,6 +223,12 @@ def _hash_field_based_id(args):
         return (
             f"named_struct('base', {base}, 'i0', ({h}).i0, 'i1', ({h}).i1)"
         )
+    if impl in ("SIPHASH24", "ADLER32"):
+        from .pyhash import ensure_python_hashes
+
+        ensure_python_hashes()
+        fn = "qs_siphash24" if impl == "SIPHASH24" else "qs_adler32"
+        return f"named_struct('base', {base}, 'i0', {fn}({x}))"
     return f"named_struct('base', {base}, 'i0', xxhash64({x}, 42))"
 
 
@@ -444,6 +461,16 @@ def _hash_with(args):
 
         ensure_python_hashes()
         return f"(qs_xxh3_128({x})).i0"
+    if impl == "SIPHASH24":
+        from .pyhash import ensure_python_hashes
+
+        ensure_python_hashes()
+        return f"qs_siphash24({x})"
+    if impl == "ADLER32":
+        from .pyhash import ensure_python_hashes
+
+        ensure_python_hashes()
+        return f"qs_adler32({x})"
     if impl in HASH_IMPLS:  # XXH64 / XX: Spark's xxhash64 IS XXH64
         return f"xxhash64({x}, 42)"
     raise _hash_impl_error(impl)

@@ -482,6 +482,109 @@ def xxh3_64_batch(datas: Sequence[Optional[bytes]], seed: int = 0) -> np.ndarray
     return out.view(np.int64)
 
 
+# ---------------------------------------------------------------------------
+# SipHash-2-4 (Aumasson & Bernstein 2012, public reference algorithm),
+# vectorized across rows the murmur way. The reference engine reaches
+# SipHash through Guava's Hashing.sipHash24() (HashFunctionExpression
+# .scala:54 'SIPHASH24'), whose DEFAULT KEY is k0=0x0706050403020100,
+# k1=0x0F0E0D0C0B0A0908 — exactly the key of the official SipHash
+# paper's test vectors, so the vendored vectors in tests/test_pyhash.py
+# pin Guava-compatibility directly.
+# ---------------------------------------------------------------------------
+
+SIPHASH24_K0 = 0x0706050403020100  # Guava sipHash24() default key
+SIPHASH24_K1 = 0x0F0E0D0C0B0A0908
+
+
+def siphash24_batch(
+    datas: Sequence[Optional[bytes]],
+    k0: int = SIPHASH24_K0,
+    k1: int = SIPHASH24_K1,
+) -> np.ndarray:
+    """SipHash-2-4 of each byte string as int64 (two's-complement view
+    of the unsigned 64-bit digest); None hashes as b'' (callers mask
+    nulls). All rows advance one 8-byte block per loop iteration, numpy
+    uint64 lanes — the same batch shape as murmur3_x64_128_batch."""
+    n = len(datas)
+    if n == 0:
+        return np.empty(0, np.int64)
+    lens = np.fromiter(
+        (len(b) if b is not None else 0 for b in datas), np.int64, n
+    )
+    maxlen = int(lens.max())
+    padded = ((maxlen // 8) + 1) * 8
+    buf = np.zeros((n, padded), np.uint8)
+    for i, b in enumerate(datas):
+        if b:
+            buf[i, : len(b)] = np.frombuffer(b, np.uint8)
+    # the final block is (len & 0xff) << 56 | remaining bytes: inject
+    # the length byte into the zero padding at the tail word's top
+    nblocks = lens // 8  # full blocks; tail word index == nblocks
+    rows = np.arange(n)
+    buf[rows, nblocks * 8 + 7] = (lens & 0xFF).astype(np.uint8)
+    words = buf.view("<u8")  # (n, padded//8)
+
+    u64 = _U64
+    v0 = np.full(n, u64(k0 ^ 0x736F6D6570736575))
+    v1 = np.full(n, u64(k1 ^ 0x646F72616E646F6D))
+    v2 = np.full(n, u64(k0 ^ 0x6C7967656E657261))
+    v3 = np.full(n, u64(k1 ^ 0x7465646279746573))
+
+    def sipround():
+        nonlocal v0, v1, v2, v3
+        v0 = v0 + v1
+        v1 = _rotl(v1, 13) ^ v0
+        v0 = _rotl(v0, 32)
+        v2 = v2 + v3
+        v3 = _rotl(v3, 16) ^ v2
+        v0 = v0 + v3
+        v3 = _rotl(v3, 21) ^ v0
+        v2 = v2 + v1
+        v1 = _rotl(v1, 17) ^ v2
+        v2 = _rotl(v2, 32)
+
+    with np.errstate(over="ignore"):
+        for j in range(padded // 8):
+            # rows whose message (incl. the injected tail word at index
+            # nblocks) has a word at j participate; shorter rows freeze
+            m = np.where(nblocks >= j, words[:, j], u64(0))
+            active = nblocks >= j
+            s0, s1, s2, s3 = v0.copy(), v1.copy(), v2.copy(), v3.copy()
+            v3 = v3 ^ m
+            sipround()
+            sipround()
+            v0 = v0 ^ m
+            v0 = np.where(active, v0, s0)
+            v1 = np.where(active, v1, s1)
+            v2 = np.where(active, v2, s2)
+            v3 = np.where(active, v3, s3)
+        v2 = v2 ^ u64(0xFF)
+        sipround()
+        sipround()
+        sipround()
+        sipround()
+    return (v0 ^ v1 ^ v2 ^ v3).view(np.int64)
+
+
+def siphash24(data: bytes, k0: int = SIPHASH24_K0, k1: int = SIPHASH24_K1) -> int:
+    """Scalar convenience wrapper; returns unsigned [0, 2^64)."""
+    return int(np.uint64(siphash24_batch([data], k0, k1)[0]))
+
+
+def adler32_batch(datas: Sequence[Optional[bytes]]) -> np.ndarray:
+    """Adler-32 per row as int64. stdlib ``zlib.adler32`` IS the
+    reference implementation (the reference engine reaches Adler
+    through Guava's Hashing.adler32(), which wraps java.util.zip's —
+    the same published RFC 1950 checksum); per-row C calls, no python
+    arithmetic."""
+    import zlib
+
+    out = np.empty(len(datas), np.int64)
+    for i, b in enumerate(datas):
+        out[i] = zlib.adler32(b if b is not None else b"") & 0xFFFFFFFF
+    return out
+
+
 _registered: "weakref.WeakSet" = weakref.WeakSet()
 
 
@@ -538,10 +641,32 @@ def register_python_hashes(spark) -> None:
             out.loc[mask, ["i0", "i1"]] = pd.NA
         return out
 
+    @pandas_udf("bigint")
+    def qs_siphash24(s: pd.Series) -> pd.Series:
+        vals = s.where(pd.notna(s), None)
+        h = siphash24_batch(_encode(vals))
+        out = pd.array(h, dtype="Int64")
+        mask = pd.isna(s).to_numpy()
+        if mask.any():
+            out[mask] = pd.NA
+        return pd.Series(out)
+
+    @pandas_udf("bigint")
+    def qs_adler32(s: pd.Series) -> pd.Series:
+        vals = s.where(pd.notna(s), None)
+        h = adler32_batch(_encode(vals))
+        out = pd.array(h, dtype="Int64")
+        mask = pd.isna(s).to_numpy()
+        if mask.any():
+            out[mask] = pd.NA
+        return pd.Series(out)
+
     spark.udf.register("qs_murmur3_128", qs_murmur3_128)
     spark.udf.register("qs_murmur3_128_64", qs_murmur3_128_64)
     spark.udf.register("qs_xxh3_64", qs_xxh3_64)
     spark.udf.register("qs_xxh3_128", qs_xxh3_128)
+    spark.udf.register("qs_siphash24", qs_siphash24)
+    spark.udf.register("qs_adler32", qs_adler32)
 
 
 def ensure_python_hashes(spark=None) -> None:

@@ -263,3 +263,82 @@ def test_xxh3_id_surface(spark):
     assert row["base"] == 2  # nLongs=2, generic header 0
     assert row["i0"] == int(np.uint64(lo).astype(np.int64))
     assert row["i1"] == int(np.uint64(hi).astype(np.int64))
+
+
+# --- SipHash-2-4 / Adler-32 (round 6) ---------------------------------------
+# Official SipHash-2-4 reference vectors (Aumasson & Bernstein paper
+# appendix / reference vectors.h): key = 000102...0f — which is ALSO
+# Guava Hashing.sipHash24()'s default key, the implementation the
+# reference engine uses for 'SIPHASH24' — message = bytes 00,01,..,len-1.
+
+_SIPHASH_VECTORS = [
+    (0, 0x726FDB47DD0E0E31),
+    (1, 0x74F839C593DC67FD),
+    (2, 0x0D6C8009D9A94F5A),
+    (3, 0x85676696D7FB7E2D),
+    (4, 0xCF2794E0277187B7),
+    (5, 0x18765564CD99A68D),
+    (6, 0xCBC9466E58FEE3CE),
+    (7, 0xAB0200F58B01D137),
+    (8, 0x93F5F5799A932462),
+    (15, 0xA129CA6149BE45E5),
+]
+
+
+def test_siphash24_official_vectors():
+    from quality_spark.functions.pyhash import siphash24
+
+    msg = bytes(range(16))
+    for ln, want in _SIPHASH_VECTORS:
+        assert siphash24(msg[:ln]) == want, ln
+
+
+def test_siphash24_batch_matches_scalar_and_nulls():
+    import numpy as np
+
+    from quality_spark.functions.pyhash import siphash24, siphash24_batch
+
+    datas = [b"", b"a", b"hello world", bytes(range(23)), b"x" * 100, None]
+    got = siphash24_batch(datas)
+    for i, b in enumerate(datas):
+        want = siphash24(b if b is not None else b"")
+        assert got[i] == np.int64(np.uint64(want)), i
+
+
+def test_adler32_matches_zlib():
+    import zlib
+
+    from quality_spark.functions.pyhash import adler32_batch
+
+    datas = [b"", b"a", b"hello world", bytes(range(255)), None]
+    got = adler32_batch(datas)
+    for i, b in enumerate(datas):
+        assert got[i] == (zlib.adler32(b if b is not None else b"") & 0xFFFFFFFF)
+
+
+def test_siphash_adler_sql_surface(spark):
+    """hash_with('SIPHASH24'/'ADLER32', …) through rule SQL equals the
+    pinned python functions over the canonical utf-8 encoding; NULLs
+    stay NULL; the id surface emits 1-long payloads with the right
+    base."""
+    import zlib
+
+    import numpy as np
+
+    from quality_spark.functions.lambdas import expand_sql
+    from quality_spark.functions.pyhash import siphash24
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("alpha",), (None,)], "s string")
+    out = df.select(
+        F.expr(expand_sql("hash_with('SIPHASH24', s)")).alias("sip"),
+        F.expr(expand_sql("hash_with('ADLER32', s)")).alias("adl"),
+        F.expr(expand_sql("hash_field_based_id('SIPHASH24', s)")).alias("id"),
+    ).collect()
+    assert out[1]["sip"] is None and out[1]["adl"] is None
+    b = "alpha".encode()
+    assert out[0]["sip"] == int(np.uint64(siphash24(b)).astype(np.int64))
+    assert out[0]["adl"] == (zlib.adler32(b) & 0xFFFFFFFF)
+    assert out[0]["id"]["base"] == 1  # 1-long payload, generic header
+    assert out[0]["id"]["i0"] == out[0]["sip"]
