@@ -1345,6 +1345,11 @@ def q_media_features(
     - 'png': same images through the REAL stdlib-zlib PNG codec
       (round 5) — decoded dims + pixel features gated; byte size is
       compressed and therefore not closed-form (gated as -1).
+    - 'jpeg': same images through the REAL baseline JPEG codec
+      (round 6, T.81 SOF0: FDCT + quant + huffman both ways) — LOSSY,
+      so the oracle replays the exact DC quantization arithmetic in
+      closed form (constant image => luma DC is the only nonzero
+      coefficient); decoded dims + decoded pixel value gated.
     - 'wav': REAL RIFF/PCM audio decode (round 5): constant-amplitude
       16-bit mono signals synthesized per doc_id on the exact int16
       grid (amplitude (id%128)/128), so decoded frame count, channel
@@ -1408,12 +1413,12 @@ def q_media_features(
             fmt,
         )
         feats = extract_media_features(media, id_col="doc_id")
-        # png byte size is zlib-compressed — not closed-form, so the
-        # png part gates dims + pixel features only (n_bytes = -1);
+        # png/jpeg byte sizes are compressed — not closed-form, so those
+        # parts gate dims + pixel features only (n_bytes = -1);
         # bmp/ppm keep their exact-size checks
         nb = (
             F.lit(-1).cast("bigint").alias("n_bytes")
-            if fmt == "png"
+            if fmt in ("png", "jpeg")
             else F.col("n_bytes")
         )
         return feats.select(
@@ -1502,6 +1507,7 @@ def q_media_features(
         "bmp": lambda: img_part("bmp"),
         "ppm": lambda: img_part("ppm"),
         "png": lambda: img_part("png"),
+        "jpeg": lambda: img_part("jpeg"),
         "wav": lambda: wav_part,
         "y4m": lambda: y4m_part,
     }
@@ -1540,6 +1546,25 @@ SELECT 'png', doc_id, CAST(-1 AS BIGINT),
        {FEATURE_DIM}, CAST({w} AS INTEGER), CAST({h} AS INTEGER),
        CAST({v} AS DOUBLE), CAST({v} AS DOUBLE)
 FROM documents WHERE doc_id < 200
+UNION ALL
+-- jpeg (round 6): LOSSY — a constant image's only nonzero coefficient
+-- is the luma DC, so the decoded constant replays the exact encoder
+-- arithmetic in closed form: t = 8*(v-128) (FDCT DC of a constant
+-- block), qv = round-half-away(t / 3) (quality-90 Annex-K luma Q[0,0]
+-- = 3), decoded = clamp(floor(qv*3/8 + 128.5)); chroma DCs are 0 so
+-- color conversion is the identity on the luma value
+SELECT 'jpeg', doc_id, CAST(-1 AS BIGINT),
+       {FEATURE_DIM}, CAST({w} AS INTEGER), CAST({h} AS INTEGER),
+       CAST(jdec AS DOUBLE), CAST(jdec AS DOUBLE)
+FROM (
+  SELECT doc_id,
+         greatest(0, least(255, floor(
+           (CASE WHEN {v} >= 128
+                 THEN (8 * ({v} - 128) * 2 + 3) // 6
+                 ELSE -((8 * (128 - {v}) * 2 + 3) // 6) END) * 3.0 / 8.0
+           + 128.5))) AS jdec
+  FROM documents WHERE doc_id < 200
+)
 UNION ALL
 SELECT 'wav', doc_id,
        CAST(44 + 2 * (500 + (doc_id % 7) * 100) AS BIGINT),
@@ -4868,7 +4893,8 @@ def query_legs() -> dict:
     return {
         "ivf_topk": {"ivf": q_ivf_flat_leg, "kmeans": q_kmeans_leg},
         "media_features": {
-            p: media(p) for p in ("text", "bmp", "ppm", "png", "wav", "y4m")
+            p: media(p)
+            for p in ("text", "bmp", "ppm", "png", "jpeg", "wav", "y4m")
         },
         "embedding_ann": {
             "topk": q_ann_cosine_topk,

@@ -415,16 +415,17 @@ def test_ivf_arrow_cells_bit_identical(spark, sf_dir):
 
 
 def test_resize_media_metadata_math(spark, sf_dir):
-    """resize_media for a STUBBED format (jpeg — png became a real
-    codec in round 5): REAL aspect-fit metadata; stubbed pixels sized
-    to the new dims; schema mirrors the input media struct."""
+    """resize_media for a STUBBED format (webp — png became a real
+    codec in round 5 and jpeg in round 6): REAL aspect-fit metadata;
+    stubbed pixels sized to the new dims; schema mirrors the input
+    media struct."""
     from quality_spark.llm.multimodal import resize_media
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
     payload = F.encode("text", "utf-8")
     meta = F.struct(
         F.lit("image").alias("media_type"),
-        F.lit("jpeg").alias("format"),
+        F.lit("webp").alias("format"),
         ((F.col("doc_id") % 5 + 1) * 100).cast("int").alias("width"),
         F.lit(200).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
@@ -1206,3 +1207,84 @@ def test_png_unfilter_vectorized_matches_scalar():
                 got = _unfilter_row(ft, row, prev, w, bpp)
                 want = _unfilter_row_scalar(ft, row, prev, w, bpp)
                 assert (got == want).all(), (ft, bpp, w)
+
+
+def test_jpeg_constant_closed_form():
+    """Constant image: only the luma DC survives quantization, so the
+    decoded value has a closed form the gate oracle replays — verify it
+    for every pixel value and several non-8-multiple dims."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        _JPEG_QL,
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_quant_table,
+    )
+
+    q00 = int(jpeg_quant_table(_JPEG_QL, 90)[0, 0])
+    for v in (0, 1, 63, 127, 128, 129, 200, 254, 255):
+        for w, h in ((4, 3), (8, 8), (9, 5)):
+            out = decode_jpeg(encode_jpeg(np.full((h, w, 3), v, np.uint8)))
+            t = 8 * (v - 128)
+            qv = int(np.sign(t) * ((abs(t) * 2 + q00) // (2 * q00)))
+            want = int(min(255, max(0, np.floor(qv * q00 / 8.0 + 128.5))))
+            assert out.shape == (h, w, 3)
+            assert (out == want).all(), (v, w, h)
+
+
+def test_jpeg_round_trip_tolerance():
+    """Lossy round-trip: a smooth gradient at quality 95 must come back
+    within a small per-pixel error (quantization bound), exercising the
+    full huffman/AC path with many nonzero coefficients."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import decode_jpeg, encode_jpeg
+
+    xx, yy = np.meshgrid(np.arange(40), np.arange(28))
+    img = np.stack(
+        [(xx * 3 + yy * 2) % 256, (xx * 2) % 256, (yy * 5) % 256], axis=2
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 40 and err.mean() < 4.0, (err.max(), err.mean())
+    # grayscale 1-component path
+    g = ((xx + yy) % 256).astype(np.uint8)
+    outg = decode_jpeg(encode_jpeg(g, quality=95, gray=True))
+    errg = np.abs(outg[:, :, 0].astype(int) - g.astype(int))
+    assert errg.max() <= 40 and (outg[:, :, 0] == outg[:, :, 1]).all()
+
+
+def test_jpeg_refusals():
+    """Honest ValueError for non-baseline streams, never a wrong decode."""
+    import pytest
+
+    from quality_spark.llm.multimodal import decode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x08")
+    # subsampled SOF0 (2x2 luma sampling byte 0x22)
+    sof = b"\x08\x00\x10\x00\x10\x03" + bytes([1, 0x22, 0]) + bytes(
+        [2, 0x11, 1]
+    ) + bytes([3, 0x11, 1])
+    payload = b"\xff\xd8\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(payload)
+
+
+def test_jpeg_dct_matrices_inverse():
+    """C^T C = I (orthonormal DCT), so IDCT(FDCT(x)) == x bit-tight
+    within float tolerance — pins the transform independent of the
+    entropy layer."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import _JPEG_C
+
+    assert np.allclose(_JPEG_C @ _JPEG_C.T, np.eye(8), atol=1e-12)
+    rng = np.random.default_rng(11)
+    a = rng.uniform(-128, 127, (5, 8, 8))
+    b = np.einsum("ij,njk,lk->nil", _JPEG_C, a, _JPEG_C)
+    back = np.einsum("ji,njk,kl->nil", _JPEG_C, b, _JPEG_C)
+    assert np.allclose(back, a, atol=1e-9)
