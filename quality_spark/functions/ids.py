@@ -80,15 +80,29 @@ HASH_IMPLS = {
 
 #: reference families with no verifiable in-container implementation —
 #: these error rather than alias to a different hash function.
-#: XXH3 graduated OUT of this set in round 5: the one-shot algorithm
-#: is implemented from the public spec (pyhash.xxh3_64) and pinned by
-#: the official vendored sanity vectors (20 (len, seed) KATs spanning
-#: every length class — tests/test_pyhash.py), which is the bit-exact
-#: reference the container lacked. The remaining names still refuse:
-#: CITY/FARM/METRO/WY/MUM publish no comparable spec KAT set, and a
-#: from-memory port with unverifiable paths could silently emit wrong
-#: hashes under the real algorithm's name — strictly worse than this
-#: explicit error. Revisit when bit-exact references are available.
+#: XXH3 graduated OUT of this set via the vendored-KAT recipe (round 5
+#: as XXH3-64; round 6 corrected to the reference's true XXH3-128),
+#: and SIPHASH24/ADLER32 joined HASH_IMPLS in round 6 the same way
+#: (official paper vectors / stdlib zlib as the pinning reference).
+#:
+#: CITY_1_1 / FARM_NA / FARM_UO / METRO / WY_3 / MUM remain refused
+#: after an explicit round-6 feasibility pass, documented here with
+#: the same rigor as the WELL rejection (pyrng.py):
+#: - The container holds NO implementation to pin against: no
+#:   city/farm/metro/wyhash artifact exists anywhere on the JVM
+#:   classpath or in site-packages (swept), and the reference's own
+#:   test suite pins no concrete hash VALUES (its id tests are
+#:   schema/self-consistency checks through the same library).
+#: - The published pinning artifact (e.g. CityHash's city_test.cc) is
+#:   an expected-value table of HUNDREDS of arbitrary 64-bit
+#:   constants keyed to a PRNG-filled buffer. Unlike xxHash's compact
+#:   20-row sanity list or SipHash's sequential-byte vectors, a table
+#:   of that size cannot be vendored reliably without network access
+#:   — and a mis-vendored table is WORSE than none: it would drive
+#:   the implementation to match wrong constants, shipping a wrong
+#:   hash under the real algorithm's name with a green test.
+#: Revisit when a bit-exact reference (vendorable vector file or
+#: library) is actually present in the build environment.
 UNSUPPORTED_HASH_IMPLS = frozenset(
     {"CITY_1_1", "FARM_NA", "FARM_UO", "METRO", "WY_3", "MUM"}
 )

@@ -59,6 +59,22 @@ per-partition stream.  Two honesty notes, both load-bearing:
   more widely used) Matsumoto–Nishimura stream for that seed.  Use
   the jumpable engines (xoroshiro/xoshiro/PCG/SplitMix64) where
   commons-rng seed-for-seed parity matters.
+  WELL REJECTION (round 6, assessed for the bounded-sequential MT
+  recipe): the WELL family stays on honest Philox streams for THREE
+  stacked reasons, any one sufficient. (a) No in-container oracle:
+  numpy ships no WELL generator and no commons-rng artifact exists on
+  disk (swept), so a port could only be checked against itself —
+  exactly the self-oracle the exact-family contract forbids. (b) No
+  vendorable vectors: the Panneton–L'Ecuyer–Matsumoto paper publishes
+  the state-transition algebra (tempering matrices, M-parameters) but
+  NO output test vectors; a from-memory transcription of the 6
+  variants' parameter tables (e.g. WELL19937's 624-word state with
+  three tap/shift sets per variant) would be pinned by nothing. (c)
+  Even granted a correct port, commons-rng's int[]-native seeding
+  (the same Long2IntArray expansion as MT) is unverifiable here, so
+  seed-for-seed reference parity — the only property that would make
+  a WELL port more useful than the Philox stream the name already
+  maps to — is unattainable in this container regardless.
 - Every family is backed by numpy's Philox in counter mode, keyed by
   (algo-id, seed) and jumped per Spark partition.  Philox is the one
   numpy BitGenerator whose O(1) ``advance`` lets a row address its
