@@ -560,13 +560,21 @@ def _jpeg_encode_plane_symbols(qblocks: np.ndarray) -> Tuple[list, list, list]:
     return dc_syms, ac_syms, tokens
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90, gray: bool = False) -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    gray: bool = False,
+    subsampling: str = "444",
+) -> bytes:
     """Encode (h, w, 3) uint8 RGB (or (h, w) uint8 with ``gray=True``)
     as a baseline sequential JPEG: JFIF APP0, scaled Annex-K quant
     tables, matrix FDCT, round-half-away-from-zero quantization,
     canonical huffman tables BUILT from the stream's own symbols and
     written to DHT (like a real optimized-table encoder). Grayscale is
-    1-component; color is YCbCr 4:4:4 (no subsampling)."""
+    1-component; color is YCbCr — ``subsampling='444'`` (one block per
+    component per MCU) or ``'420'`` (2x2 luma sampling, chroma
+    mean-downsampled by 2 in both axes — the dominant real-world JPEG
+    layout)."""
     if gray:
         planes = [np.asarray(img, np.uint8).astype(np.float64)]
     else:
@@ -583,18 +591,44 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, gray: bool = False) -> bytes
     if not (0 < h <= 65535 and 0 < w <= 65535):
         raise ValueError(f"bad JPEG dims {w}x{h}")
     ncomp = len(planes)
+    if ncomp == 1 or subsampling == "444":
+        samps = [(1, 1)] * ncomp
+    elif subsampling == "420":
+        samps = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     qtabs = [jpeg_quant_table(_JPEG_QL, quality)]
     if ncomp == 3:
         qtabs.append(jpeg_quant_table(_JPEG_QC, quality))
 
-    comp_q = []  # quantized zigzag blocks per component
+    comp_q = []  # quantized zigzag blocks per component, MCU order
     for ci, plane in enumerate(planes):
-        blocks, _, _ = _jpeg_blocks(np.round(plane))
+        hi, vi = samps[ci]
+        ph, pw = mcuy * 8 * vmax, mcux * 8 * hmax
+        padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        fy, fx = vmax // vi, hmax // hi
+        if (fy, fx) != (1, 1):  # chroma downsample by block mean
+            padded = padded.reshape(ph // fy, fy, pw // fx, fx).mean(
+                axis=(1, 3)
+            )
+        blocks, nby, nbx = _jpeg_blocks(np.round(padded))
         coeff = np.einsum("ij,njk,lk->nil", _JPEG_C, blocks, _JPEG_C)
         qt = qtabs[min(ci, 1)].astype(np.float64)
         t = coeff / qt
         q = np.sign(t) * np.floor(np.abs(t) + 0.5)  # round half away
-        comp_q.append(q.reshape(-1, 64)[:, _JPEG_ZZ_FLAT].astype(np.int64))
+        qz = q.reshape(-1, 64)[:, _JPEG_ZZ_FLAT].astype(np.int64)
+        # raster -> MCU block order (DC prediction runs in write order)
+        order = [
+            (my * vi + by) * nbx + (mx * hi + bx)
+            for my in range(mcuy)
+            for mx in range(mcux)
+            for by in range(vi)
+            for bx in range(hi)
+        ]
+        comp_q.append(qz[np.array(order, np.int64)])
 
     # huffman tables from actual symbols: table 0 = luma, 1 = chroma
     streams = [_jpeg_encode_plane_symbols(q) for q in comp_q]
@@ -617,7 +651,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, gray: bool = False) -> bytes
         out += seg(0xDB, bytes([ti]) + bytes(int(v) for v in zz))
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, min(ci, 1)])  # 1x1 sampling
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
     out += seg(0xC0, sof)
     for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
         for ti, (bits, vals, _) in enumerate(tabs):
@@ -632,39 +667,39 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, gray: bool = False) -> bytes
     out += seg(0xDA, sos)
 
     bw = _BitWriter()
-    nb = comp_q[0].shape[0]
-    # interleave MCUs: with 1x1 sampling an MCU is one block of each comp
-    idx = [0] * ncomp
-    dci = [streams[ci][2] for ci in range(ncomp)]  # token lists
+    # interleave MCUs: each MCU carries hi*vi blocks per component
+    dci = [streams[ci][2] for ci in range(ncomp)]  # token lists, MCU order
     pos = [0] * ncomp
-    for _ in range(nb):
+    for _ in range(mcuy * mcux):
         for ci in range(ncomp):
             ti = min(ci, 1)
+            hi, vi = samps[ci]
             toks = dci[ci]
             p = pos[ci]
-            # one DC token, then AC tokens until (and incl.) EOB or
-            # the 63rd coefficient's token
-            kind, sym, val = toks[p]
-            p += 1
-            cat = sym
-            ln, code = dc_tabs[ti][2][cat]
-            bw.write(ln, code)
-            if cat:
-                bw.write(cat, _jpeg_mag_bits(val, cat))
-            ncoef = 0
-            while ncoef < 63 and p < len(toks) and toks[p][0] == "ac":
-                _, sym, val = toks[p]
+            for _blk in range(hi * vi):
+                # one DC token, then AC tokens until (and incl.) EOB or
+                # the 63rd coefficient's token
+                kind, sym, val = toks[p]
                 p += 1
-                ln, code = ac_tabs[ti][2][sym]
+                cat = sym
+                ln, code = dc_tabs[ti][2][cat]
                 bw.write(ln, code)
-                if sym == 0x00:
-                    break
-                if sym == 0xF0:
-                    ncoef += 16
-                    continue
-                size = sym & 0xF
-                bw.write(size, _jpeg_mag_bits(val, size))
-                ncoef += (sym >> 4) + 1
+                if cat:
+                    bw.write(cat, _jpeg_mag_bits(val, cat))
+                ncoef = 0
+                while ncoef < 63 and p < len(toks) and toks[p][0] == "ac":
+                    _, sym, val = toks[p]
+                    p += 1
+                    ln, code = ac_tabs[ti][2][sym]
+                    bw.write(ln, code)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        ncoef += 16
+                        continue
+                    size = sym & 0xF
+                    bw.write(size, _jpeg_mag_bits(val, size))
+                    ncoef += (sym >> 4) + 1
             pos[ci] = p
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
@@ -737,12 +772,14 @@ def _jpeg_extend(v: int, cat: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG (SOF0, 8-bit, 1 or 3
-    components, 1x1 sampling i.e. grayscale or YCbCr 4:4:4) to an
-    (h, w, 3) uint8 RGB array — spec huffman decode driven by the
-    stream's own DHT tables, dequantize, inverse zigzag, matrix IDCT
-    over all blocks at once, level shift, BT.601 color convert.
-    Refuses progressive/subsampled/12-bit/arithmetic/restart streams
-    with a ValueError rather than answering wrongly."""
+    components, sampling factors 1-2 — grayscale, YCbCr 4:4:4, 4:2:2,
+    and the dominant real-world 4:2:0 layout) to an (h, w, 3) uint8
+    RGB array — spec huffman decode driven by the stream's own DHT
+    tables, interleaved multi-block MCUs, dequantize, inverse zigzag,
+    matrix IDCT over all blocks at once, chroma upsample by
+    replication, level shift, BT.601 color convert. Refuses
+    progressive/12-bit/arithmetic/restart streams with a ValueError
+    rather than answering wrongly."""
     b = payload or b""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
@@ -792,12 +829,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "unsupported JPEG: chroma subsampling (only 1x1 / "
-                        "4:4:4 is decoded)"
+                        f"unsupported JPEG: sampling factor {hi}x{vi} "
+                        "(1 and 2 supported: 4:4:4 / 4:2:2 / 4:2:0)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
             sof = (h, w, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -831,45 +869,58 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     h, w, nc = sof
     if len(scan) != nc:
         raise ValueError("unsupported JPEG: multi-scan stream")
-    nby, nbx = -(-h // 8), -(-w // 8)
-    nb = nby * nbx
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     br = _BitReader(entropy)
-    coeffs = [np.zeros((nb, 64), np.float64) for _ in range(nc)]
+    nbx_c = [mcux * comps[ci][2] for ci in range(nc)]
+    nby_c = [mcuy * comps[ci][3] for ci in range(nc)]
+    coeffs = [np.zeros((nby_c[ci] * nbx_c[ci], 64), np.float64) for ci in range(nc)]
     pred = [0] * nc
-    for bi in range(nb):
-        for ci in range(nc):
-            _, tdc, tac = scan[ci]
-            dct = dc_tables[tdc]
-            act = ac_tables[tac]
-            cat = _jpeg_read_symbol(br, dct)
-            diff = _jpeg_extend(br.read(cat), cat)
-            pred[ci] += diff
-            blk = coeffs[ci][bi]
-            blk[0] = pred[ci]
-            k = 1
-            while k < 64:
-                sym = _jpeg_read_symbol(br, act)
-                if sym == 0x00:
-                    break
-                if sym == 0xF0:
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC run overflows block")
-                blk[k] = _jpeg_extend(br.read(size), size)
-                k += 1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                _, tdc, tac = scan[ci]
+                _, _, hi, vi = comps[ci]
+                dct = dc_tables[tdc]
+                act = ac_tables[tac]
+                for by in range(vi):
+                    for bx in range(hi):
+                        bi = (my * vi + by) * nbx_c[ci] + (mx * hi + bx)
+                        cat = _jpeg_read_symbol(br, dct)
+                        diff = _jpeg_extend(br.read(cat), cat)
+                        pred[ci] += diff
+                        blk = coeffs[ci][bi]
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_read_symbol(br, act)
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0xF
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflows block")
+                            blk[k] = _jpeg_extend(br.read(size), size)
+                            k += 1
     planes = []
     for ci in range(nc):
-        _, tq = comps[ci]
+        _, tq, hi, vi = comps[ci]
+        nb, nby, nbx = nby_c[ci] * nbx_c[ci], nby_c[ci], nbx_c[ci]
         qt = qtabs[tq].astype(np.float64)  # zigzag order
         dez = np.zeros((nb, 64), np.float64)
         dez[:, _JPEG_ZZ_FLAT] = coeffs[ci] * qt[None, :]
         blocks = dez.reshape(nb, 8, 8)
         spat = np.einsum("ji,njk,kl->nil", _JPEG_C, blocks, _JPEG_C) + 128.0
         grid = spat.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
-        planes.append(grid.reshape(nby * 8, nbx * 8)[:h, :w])
+        plane = grid.reshape(nby * 8, nbx * 8)
+        fy, fx = vmax // vi, hmax // hi
+        if (fy, fx) != (1, 1):  # chroma upsample by replication
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
     if nc == 1:
         y = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
