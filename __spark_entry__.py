@@ -1350,6 +1350,10 @@ def q_media_features(
       so the oracle replays the exact DC quantization arithmetic in
       closed form (constant image => luma DC is the only nonzero
       coefficient); decoded dims + decoded pixel value gated.
+    - 'jpeg_rst' (round 7): multi-MCU 4:2:0 JPEGs carrying DRI=1
+      restart markers (one RSTn per MCU boundary) — restart decode
+      (DC predictor reset + bit re-align) gated end to end; any
+      misalignment corrupts the whole stream and fails the hash.
     - 'wav': REAL RIFF/PCM audio decode (round 5): constant-amplitude
       16-bit mono signals synthesized per doc_id on the exact int16
       grid (amplitude (id%128)/128), so decoded frame count, channel
@@ -1405,6 +1409,29 @@ def q_media_features(
 
         return make
 
+    @pandas_udf("binary")
+    def make_jpeg_rst(ids: pd.Series) -> pd.Series:
+        """Round 7: multi-MCU 4:2:0 JPEGs with DRI=1 — every MCU
+        boundary carries a real RSTn marker, so the gate exercises
+        restart decode (predictor reset + byte re-align) end to end.
+        Dims 17-25 x 17-21 guarantee >= 4 MCUs at 16x16 MCU size."""
+        import numpy as np
+
+        from quality_spark.llm.multimodal import encode_jpeg
+
+        out = []
+        for i in ids:
+            w, h, v = 17 + int(i) % 9, 17 + int(i) % 5, int(i) % 256
+            out.append(
+                encode_jpeg(
+                    np.full((h, w, 3), v, np.uint8),
+                    quality=90,
+                    subsampling="420",
+                    restart_interval=1,
+                )
+            )
+        return pd.Series(out)
+
     def img_part(fmt: str) -> DataFrame:
         media = as_media_column(
             docs.select("doc_id", make_img_udf(fmt)("doc_id").alias("payload")),
@@ -1431,6 +1458,25 @@ def q_media_features(
             F.element_at("features", 3).cast("double").alias("px_mean"),
             F.element_at("features", 8).cast("double").alias("px_max"),
         )
+    def jpeg_rst_part() -> DataFrame:
+        media = as_media_column(
+            docs.select("doc_id", make_jpeg_rst("doc_id").alias("payload")),
+            "payload",
+            "image",
+            "jpeg",
+        )
+        feats = extract_media_features(media, id_col="doc_id")
+        return feats.select(
+            F.lit("jpeg_rst").alias("part"),
+            F.col("id").alias("doc_id"),
+            F.lit(-1).cast("bigint").alias("n_bytes"),
+            F.size("features").alias("dim"),
+            "width",
+            "height",
+            F.element_at("features", 3).cast("double").alias("px_mean"),
+            F.element_at("features", 8).cast("double").alias("px_max"),
+        )
+
     from quality_spark.llm.multimodal import extract_audio_features
 
     @pandas_udf("binary")
@@ -1508,6 +1554,7 @@ def q_media_features(
         "ppm": lambda: img_part("ppm"),
         "png": lambda: img_part("png"),
         "jpeg": lambda: img_part("jpeg"),
+        "jpeg_rst": jpeg_rst_part,
         "wav": lambda: wav_part,
         "y4m": lambda: y4m_part,
     }
@@ -1555,6 +1602,25 @@ UNION ALL
 -- color conversion is the identity on the luma value
 SELECT 'jpeg', doc_id, CAST(-1 AS BIGINT),
        {FEATURE_DIM}, CAST({w} AS INTEGER), CAST({h} AS INTEGER),
+       CAST(jdec AS DOUBLE), CAST(jdec AS DOUBLE)
+FROM (
+  SELECT doc_id,
+         greatest(0, least(255, floor(
+           (CASE WHEN {v} >= 128
+                 THEN (8 * ({v} - 128) * 2 + 3) // 6
+                 ELSE -((8 * (128 - {v}) * 2 + 3) // 6) END) * 3.0 / 8.0
+           + 128.5))) AS jdec
+  FROM documents WHERE doc_id < 200
+)
+UNION ALL
+-- jpeg_rst (round 7): multi-MCU 4:2:0 streams with DRI=1 — one RSTn
+-- marker per MCU boundary. Constant image, so the decoded value is
+-- the SAME closed-form DC arithmetic as the jpeg part (chroma DCs 0,
+-- predictor resets are no-ops on the VALUE but any misalignment in
+-- restart handling corrupts the stream and fails the hash)
+SELECT 'jpeg_rst', doc_id, CAST(-1 AS BIGINT),
+       {FEATURE_DIM}, CAST(17 + doc_id % 9 AS INTEGER),
+       CAST(17 + doc_id % 5 AS INTEGER),
        CAST(jdec AS DOUBLE), CAST(jdec AS DOUBLE)
 FROM (
   SELECT doc_id,
@@ -4894,7 +4960,8 @@ def query_legs() -> dict:
         "ivf_topk": {"ivf": q_ivf_flat_leg, "kmeans": q_kmeans_leg},
         "media_features": {
             p: media(p)
-            for p in ("text", "bmp", "ppm", "png", "jpeg", "wav", "y4m")
+            for p in ("text", "bmp", "ppm", "png", "jpeg", "jpeg_rst",
+                      "wav", "y4m")
         },
         "embedding_ann": {
             "topk": q_ann_cosine_topk,

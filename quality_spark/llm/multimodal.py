@@ -401,15 +401,16 @@ def encode_png(img: np.ndarray) -> bytes:
 
 # ---------------------------------------------------------------------------
 # Baseline JPEG (ITU-T T.81 / ISO 10918-1 — public spec), SOF0
-# sequential huffman, 8-bit, grayscale or YCbCr 4:4:4 (round 6, VERDICT
-# r05 next #6: the remaining REAL-corpus compressed image format after
-# PNG closed the lossless gap). Pure numpy: matrix FDCT/IDCT over all
-# blocks at once; the entropy coder is table-DRIVEN — the decoder
-# reconstructs canonical huffman codes from the stream's own DHT
-# segments (as any real-world JPEG requires), it does not assume the
-# Annex K defaults. Refusals, not wrong answers, for progressive
-# (SOF2), subsampled (non-1x1), 12-bit, arithmetic-coded, and
-# restart-interval streams.
+# sequential huffman, 8-bit, grayscale or YCbCr 4:4:4 / 4:2:2 / 4:2:0
+# (round 6, VERDICT r05 next #6: the remaining REAL-corpus compressed
+# image format after PNG closed the lossless gap; round 7 adds restart
+# intervals — DRI/RSTn — both directions). Pure numpy: matrix
+# FDCT/IDCT over all blocks at once; the entropy coder is
+# table-DRIVEN — the decoder reconstructs canonical huffman codes from
+# the stream's own DHT segments (as any real-world JPEG requires), it
+# does not assume the Annex K defaults. Refusals, not wrong answers,
+# for progressive (SOF2) and the other non-SOF0 frame types, 12-bit,
+# arithmetic-coded, and sampling-factor>2 streams.
 # ---------------------------------------------------------------------------
 
 #: Annex K.1 default quantization tables (luminance / chrominance),
@@ -516,6 +517,15 @@ class _BitWriter:
             self.write(pad, (1 << pad) - 1)  # 1-fill, per spec
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-fill pad, stuffing-aware via write) and emit
+        an RSTn marker directly — markers are never byte-stuffed
+        (T.81 F.1.2.3)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write(pad, (1 << pad) - 1)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _jpeg_category(v: int) -> int:
     return int(abs(v)).bit_length()
@@ -525,12 +535,18 @@ def _jpeg_mag_bits(v: int, cat: int) -> int:
     return v if v >= 0 else v + (1 << cat) - 1
 
 
-def _jpeg_encode_plane_symbols(qblocks: np.ndarray) -> Tuple[list, list, list]:
+def _jpeg_encode_plane_symbols(
+    qblocks: np.ndarray, reset_every: int = 0
+) -> Tuple[list, list, list]:
     """(dc_syms, ac_syms, token stream) for one component's quantized
-    zigzag blocks (nb, 64)."""
+    zigzag blocks (nb, 64). ``reset_every`` (in blocks, =
+    restart_interval * hi * vi) resets the DC predictor at restart
+    boundaries per T.81 F.2.1.3.1."""
     dc_syms, ac_syms, tokens = [], [], []
     pred = 0
-    for blk in qblocks:
+    for bi, blk in enumerate(qblocks):
+        if reset_every and bi and bi % reset_every == 0:
+            pred = 0
         diff = int(blk[0]) - pred
         pred = int(blk[0])
         cat = _jpeg_category(diff)
@@ -565,6 +581,7 @@ def encode_jpeg(
     quality: int = 90,
     gray: bool = False,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode (h, w, 3) uint8 RGB (or (h, w) uint8 with ``gray=True``)
     as a baseline sequential JPEG: JFIF APP0, scaled Annex-K quant
@@ -574,7 +591,9 @@ def encode_jpeg(
     1-component; color is YCbCr — ``subsampling='444'`` (one block per
     component per MCU) or ``'420'`` (2x2 luma sampling, chroma
     mean-downsampled by 2 in both axes — the dominant real-world JPEG
-    layout)."""
+    layout). ``restart_interval`` > 0 writes a DRI segment and RSTn
+    markers every that many MCUs, resetting DC prediction at each —
+    the error-resilience feature nearly every camera JPEG carries."""
     if gray:
         planes = [np.asarray(img, np.uint8).astype(np.float64)]
     else:
@@ -631,7 +650,12 @@ def encode_jpeg(
         comp_q.append(qz[np.array(order, np.int64)])
 
     # huffman tables from actual symbols: table 0 = luma, 1 = chroma
-    streams = [_jpeg_encode_plane_symbols(q) for q in comp_q]
+    streams = [
+        _jpeg_encode_plane_symbols(
+            q, restart_interval * samps[ci][0] * samps[ci][1]
+        )
+        for ci, q in enumerate(comp_q)
+    ]
     dc_tabs, ac_tabs = [], []
     dc0 = _jpeg_fixed_huff(streams[0][0] or [0])
     ac0 = _jpeg_fixed_huff(streams[0][1] or [0])
@@ -659,6 +683,8 @@ def encode_jpeg(
             out += seg(
                 0xC4, bytes([(cls << 4) | ti]) + bytes(bits[1:]) + bytes(vals)
             )
+    if restart_interval:
+        out += seg(0xDD, int(restart_interval).to_bytes(2, "big"))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         ti = min(ci, 1)
@@ -670,7 +696,9 @@ def encode_jpeg(
     # interleave MCUs: each MCU carries hi*vi blocks per component
     dci = [streams[ci][2] for ci in range(ncomp)]  # token lists, MCU order
     pos = [0] * ncomp
-    for _ in range(mcuy * mcux):
+    for mcu_i in range(mcuy * mcux):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            bw.restart(mcu_i // restart_interval - 1)
         for ci in range(ncomp):
             ti = min(ci, 1)
             hi, vi = samps[ci]
@@ -738,6 +766,28 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def restart_sync(self) -> None:
+        """Discard pad bits to the next byte boundary and consume the
+        RSTn marker that must follow (T.81 F.2.1.3.1). The pad byte may
+        be buffered (partial byte already loaded), unloaded (read
+        stopped exactly on a byte boundary), or a stuffed 0xFF00 pair
+        (1-fill pad over 1-bits) — all three layouts occur in real
+        streams."""
+        self.acc = 0
+        self.nbits = 0  # any buffered remainder is pad bits
+        d = self.data
+        if d[self.pos:self.pos + 2] == b"\xff\x00":
+            self.pos += 2  # stuffed all-ones pad byte
+        elif self.pos < len(d) and d[self.pos] != 0xFF:
+            self.pos += 1  # unloaded pad byte
+        if (
+            self.pos + 1 >= len(d)
+            or d[self.pos] != 0xFF
+            or not (0xD0 <= d[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("JPEG restart marker (RSTn) expected")
+        self.pos += 2
+
 
 def _jpeg_huff_decoder(bits: list, vals: list):
     """(length, code) -> symbol dict from a DHT table (canonical
@@ -777,9 +827,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     RGB array — spec huffman decode driven by the stream's own DHT
     tables, interleaved multi-block MCUs, dequantize, inverse zigzag,
     matrix IDCT over all blocks at once, chroma upsample by
-    replication, level shift, BT.601 color convert. Refuses
-    progressive/12-bit/arithmetic/restart streams with a ValueError
-    rather than answering wrongly."""
+    replication, level shift, BT.601 color convert. Restart intervals
+    (DRI/RSTn) are honored: DC prediction resets and the bit stream
+    re-aligns at each RSTn. Refuses progressive/12-bit/arithmetic/
+    sampling-factor>2 streams with a ValueError rather than answering
+    wrongly."""
     b = payload or b""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
@@ -790,6 +842,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     sof = None
     comps = None
     scan = None
+    restart_interval = 0
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -843,8 +896,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"unsupported JPEG: SOF{marker - 0xC0} (baseline SOF0 only)"
             )
         elif marker == 0xDD:
-            if int.from_bytes(body[:2], "big") != 0:
-                raise ValueError("unsupported JPEG: restart intervals")
+            restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
             ns = body[0]
             scan = []
@@ -877,8 +929,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     nby_c = [mcuy * comps[ci][3] for ci in range(nc)]
     coeffs = [np.zeros((nby_c[ci] * nbx_c[ci], 64), np.float64) for ci in range(nc)]
     pred = [0] * nc
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                br.restart_sync()
+                pred = [0] * nc
+            mcu_i += 1
             for ci in range(nc):
                 _, tdc, tac = scan[ci]
                 _, _, hi, vi = comps[ci]

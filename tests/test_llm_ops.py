@@ -1265,13 +1265,158 @@ def test_jpeg_refusals():
         decode_jpeg(b"not a jpeg")
     with pytest.raises(ValueError, match="SOF2"):
         decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x08")
-    # subsampled SOF0 (2x2 luma sampling byte 0x22)
-    sof = b"\x08\x00\x10\x00\x10\x03" + bytes([1, 0x22, 0]) + bytes(
+    # sampling factor 3x3 (byte 0x33) — beyond the supported 1-2 range
+    sof = b"\x08\x00\x10\x00\x10\x03" + bytes([1, 0x33, 0]) + bytes(
         [2, 0x11, 1]
     ) + bytes([3, 0x11, 1])
     payload = b"\xff\xd8\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
-    with pytest.raises(ValueError, match="subsampling"):
+    with pytest.raises(ValueError, match="sampling factor 3x3"):
         decode_jpeg(payload)
+
+
+def test_jpeg_subsampled_and_restart_round_trips():
+    """4:2:0 / 4:2:2-adjacent paths and DRI/RSTn: a restart-marked
+    stream must decode BIT-IDENTICALLY to the plain stream of the same
+    image (same quantized coefficients, different entropy framing), on
+    odd non-8-multiple dims so edge padding + MCU ordering + predictor
+    resets are all exercised."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import decode_jpeg, encode_jpeg
+
+    xx, yy = np.meshgrid(np.arange(67), np.arange(45))
+    img = np.stack(
+        [(xx * 3 + yy * 2) % 256, (xx * 2) % 256, (yy * 5) % 256], axis=2
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        base = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+        err = np.abs(base.astype(int) - img.astype(int))
+        assert err.mean() < 4.0, (sub, err.mean())
+        for ri in (1, 2, 5):
+            out = decode_jpeg(
+                encode_jpeg(
+                    img, quality=95, subsampling=sub, restart_interval=ri
+                )
+            )
+            assert (out == base).all(), (sub, ri)
+    # grayscale with restarts
+    g = ((xx + yy) % 256).astype(np.uint8)
+    bg = decode_jpeg(encode_jpeg(g, quality=95, gray=True))
+    og = decode_jpeg(
+        encode_jpeg(g, quality=95, gray=True, restart_interval=1)
+    )
+    assert (og == bg).all()
+
+
+def _bits_to_bytes(bitstr: str) -> bytes:
+    """Test-local bit packer (1-fill pad) — deliberately NOT the
+    repo's _BitWriter, so the hand-assembled streams below pin decode
+    independently of the encoder's bit I/O."""
+    bitstr += "1" * (-len(bitstr) % 8)
+    return bytes(
+        int(bitstr[i:i + 8], 2) for i in range(0, len(bitstr), 8)
+    )
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(
+        2, "big"
+    ) + payload
+
+
+def test_jpeg_decode_pin_hand_assembled_gray():
+    """Independent decode pin (VERDICT r06 next #3a): a hand-assembled
+    single-block grayscale SOF0 stream — all-ones quant table, 1-code
+    huffman tables, DC-only coefficients — with closed-form expected
+    pixels (DC=64, quant 1 -> uniform 64/8+128 = 136). Never touches
+    encode_jpeg, so a symmetric encoder/decoder bug cannot cancel."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import decode_jpeg
+
+    dqt = _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = _seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    dht_dc = _seg(0xC4, bytes([0x00, 1] + [0] * 15 + [7]))  # '0' -> cat 7
+    dht_ac = _seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))  # '0' -> EOB
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # DC: code '0', magnitude 64 = '1000000' (cat 7); then EOB '0'
+    entropy = _bits_to_bytes("0" + "1000000" + "0")
+    stream = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + entropy
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(stream)
+    assert out.shape == (8, 8, 3)
+    assert (out == 136).all()
+
+
+def test_jpeg_decode_pin_hand_assembled_420_mcu_order():
+    """Independent pin of 4:2:0 MCU block ordering + DC prediction: one
+    16x16 MCU, 4 DC-only luma blocks with per-quadrant DCs (-64, 0, 64,
+    128 in TL,TR,BL,BR write order -> diffs -64,+64,+64,+64 under the
+    running predictor) and neutral chroma. Expected quadrant lumas are
+    closed-form: dc/8 + 128 -> 120/128/136/144."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import decode_jpeg
+
+    dqt = _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = _seg(
+        0xC0,
+        bytes([8, 0, 16, 0, 16, 3])
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0]),
+    )
+    dht_dc0 = _seg(0xC4, bytes([0x00, 1] + [0] * 15 + [7]))
+    dht_dc1 = _seg(0xC4, bytes([0x01, 1] + [0] * 15 + [0]))  # cat 0 only
+    dht_ac0 = _seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+    dht_ac1 = _seg(0xC4, bytes([0x11, 1] + [0] * 15 + [0x00]))
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    mag = lambda v: format(v + 127 if v < 0 else v, "07b")  # noqa: E731
+    bits = (
+        "0" + mag(-64) + "0"   # Y TL: diff -64
+        + "0" + mag(64) + "0"  # Y TR: diff +64 -> dc 0
+        + "0" + mag(64) + "0"  # Y BL: diff +64 -> dc 64
+        + "0" + mag(64) + "0"  # Y BR: diff +64 -> dc 128
+        + "0" + "0"            # Cb: cat 0, EOB
+        + "0" + "0"            # Cr: cat 0, EOB
+    )
+    stream = (
+        b"\xff\xd8" + dqt + sof + dht_dc0 + dht_dc1 + dht_ac0 + dht_ac1
+        + sos + _bits_to_bytes(bits) + b"\xff\xd9"
+    )
+    out = decode_jpeg(stream)
+    assert out.shape == (16, 16, 3)
+    for (r0, c0), want in (((0, 0), 120), ((0, 8), 128),
+                           ((8, 0), 136), ((8, 8), 144)):
+        quad = out[r0:r0 + 8, c0:c0 + 8]
+        assert (quad == want).all(), ((r0, c0), want, np.unique(quad))
+
+
+def test_jpeg_decode_pin_hand_assembled_restart():
+    """Independent RSTn pin: two grayscale MCUs with DRI=1 — the
+    predictor must RESET at the marker (second block's diff -64 decodes
+    to dc=-64, not 0), and the reader must byte-align across the pad +
+    RST0 bytes. Left half 136, right half 120, closed form."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import decode_jpeg
+
+    dqt = _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = _seg(0xC0, bytes([8, 0, 8, 0, 16, 1, 1, 0x11, 0]))
+    dht_dc = _seg(0xC4, bytes([0x00, 1] + [0] * 15 + [7]))
+    dht_ac = _seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+    dri = _seg(0xDD, (1).to_bytes(2, "big"))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    blk0 = _bits_to_bytes("0" + "1000000" + "0")   # dc +64 -> 136
+    blk1 = _bits_to_bytes("0" + "0111111" + "0")   # diff -64 after reset
+    stream = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + dri + sos
+        + blk0 + b"\xff\xd0" + blk1 + b"\xff\xd9"
+    )
+    out = decode_jpeg(stream)
+    assert out.shape == (8, 16, 3)
+    assert (out[:, :8] == 136).all()
+    assert (out[:, 8:] == 120).all()
 
 
 def test_jpeg_dct_matrices_inverse():
