@@ -397,12 +397,17 @@ def _processor_input_wrapper(args):
     # RIGHT and ignores left entirely — left exists only to force
     # resolution in the reference's interpreter plumbing
     # (impl/util/Utils.scala:549-563: eval/dataType/genCode all
-    # delegate to right). Same semantics here: expand to the right
-    # expression; the left argument is type-checked by Spark's analyzer
-    # like any column reference but contributes nothing.
+    # delegate to right). Matching resolution behavior: left is kept as
+    # a DEAD reference inside a false branch, so an unresolvable left
+    # still fails analysis (as the reference's child expression would),
+    # while BooleanSimplification + SimplifyConditionals fold the whole
+    # guard away post-analysis — the optimized plan is just right.
     if len(args) != 2:
         raise _arity_error("processor_input_wrapper", args, "2 (left, right)")
-    return f"({args[1]})"
+    return (
+        f"(if(false and (cast(({args[0]}) as string) is null), "
+        f"null, ({args[1]})))"
+    )
 
 
 _register(

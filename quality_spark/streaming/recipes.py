@@ -347,6 +347,75 @@ def dedup_against_bucketed_store(
     return handle
 
 
+def _store_meta(spark, store_table: str) -> dict:
+    rows = spark.sql(f"DESCRIBE FORMATTED {store_table}").collect()
+    return {r["col_name"].strip(): (r["data_type"] or "").strip() for r in rows}
+
+
+def _hadoop_fs(spark, loc: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(loc)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _compaction_paths(loc: str):
+    base = loc.rstrip("/")
+    return base + "__compacting_stage", base + "__compacting_old"
+
+
+def recover_key_store(spark, store_table: str) -> bool:
+    """Finish (or clean up after) an interrupted :func:`compact_key_store`
+    run. Idempotent; called automatically at the start of every
+    compaction, and safe to call any time the stream is stopped.
+    Returns True if a swap was completed or leftovers were removed.
+
+    Recovery rules (EXTERNAL store — the table metadata is never
+    dropped, so the only crash states are file-level):
+
+    - store dir missing + stage dir present -> the crash hit between
+      the two directory renames; the stage is a COMPLETE compacted
+      copy (files are staged fully before any rename), so renaming it
+      into place finishes the swap.
+    - store dir present + stage dir present -> crash before the swap
+      began; the stage may be partial, the store is authoritative ->
+      delete the stage.
+    - ``__compacting_old`` present -> a finished swap that crashed
+      before cleanup -> delete it.
+
+    MANAGED store: a crash between DROP and RENAME leaves the complete
+    compacted data under ``<table>__compacting`` — if the store table
+    is missing and the tmp table exists (Spark registers a CTAS table
+    only AFTER its write job commits, so existence implies complete
+    data), rename it into place."""
+    tmp = store_table + "__compacting"
+    acted = False
+    if spark.catalog.tableExists(store_table):
+        meta = _store_meta(spark, store_table)
+        loc = meta.get("Location", "")
+        if meta.get("Type", "").upper() == "EXTERNAL" and loc:
+            stage_loc, old_loc = _compaction_paths(loc)
+            fs, jvm = _hadoop_fs(spark, loc)
+            P = jvm.org.apache.hadoop.fs.Path
+            if not fs.exists(P(loc)) and fs.exists(P(stage_loc)):
+                if not fs.rename(P(stage_loc), P(loc)):
+                    raise IOError(f"recovery rename failed: {stage_loc} -> {loc}")
+                spark.sql(f"REFRESH TABLE {store_table}")
+                acted = True
+            elif fs.exists(P(stage_loc)):
+                fs.delete(P(stage_loc), True)
+                acted = True
+            if fs.exists(P(old_loc)):
+                fs.delete(P(old_loc), True)
+                acted = True
+        if spark.catalog.tableExists(tmp):
+            spark.sql(f"DROP TABLE {tmp}")
+            acted = True
+    elif spark.catalog.tableExists(tmp):
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {store_table}")
+        acted = True
+    return acted
+
+
 def compact_key_store(spark, store_table: str) -> None:
     """Compact a :func:`dedup_against_bucketed_store` key store: fold
     the per-batch bucket files into ONE sorted file per bucket (same
@@ -354,13 +423,25 @@ def compact_key_store(spark, store_table: str) -> None:
     freshly compacted store anti-joins with neither Exchange nor Sort
     on the store side.
 
-    Swap is staged-then-rename (write to ``<table>__compacting``, drop,
-    rename) so a crash mid-compaction leaves either the old store or
-    the new one — never a half-written table. Run it BETWEEN streaming
-    triggers (it drops/recreates the table a concurrent probe would
-    read)."""
-    rows = spark.sql(f"DESCRIBE FORMATTED {store_table}").collect()
-    meta = {r["col_name"].strip(): (r["data_type"] or "").strip() for r in rows}
+    Crash contract: every run starts with :func:`recover_key_store`,
+    and the swap itself is stage-then-rename — the compacted copy is
+    fully written to a sibling staging directory (EXTERNAL) or a tmp
+    table (managed) BEFORE the old data is touched, so at every
+    instant either the old store or the complete new one exists on
+    disk. The one non-atomic window (between the two directory renames
+    on the external path, or DROP and RENAME on the managed path) is
+    closed by the entry-time recovery: re-running compact_key_store —
+    or calling recover_key_store — completes the interrupted swap from
+    the staged copy. There is no window in which data has been lost.
+
+    Concurrency: run it BETWEEN streaming triggers (stop the stream or
+    schedule compaction in the same single-writer loop as the batches).
+    A probe that reads the store DURING the swap can observe a missing
+    directory; nothing in this function can guard a concurrent writer
+    appending to the pre-swap table — those appends would be silently
+    discarded by the swap."""
+    recover_key_store(spark, store_table)
+    meta = _store_meta(spark, store_table)
     nb = int(meta.get("Num Buckets", "0"))
     if nb <= 0:
         raise ValueError(f"{store_table} is not a bucketed table")
@@ -369,7 +450,6 @@ def compact_key_store(spark, store_table: str) -> None:
     loc = meta.get("Location", "")
     df = spark.table(store_table)
     tmp = store_table + "__compacting"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
 
     def bucketed_writer(frame):
         # repartition by the bucket columns into exactly nb partitions:
@@ -383,20 +463,23 @@ def compact_key_store(spark, store_table: str) -> None:
             .sortBy(cols[0], *cols[1:])
         )
 
-    bucketed_writer(df.dropDuplicates(df.columns)).saveAsTable(tmp)
+    compacted = df.dropDuplicates(df.columns)
     if is_external:
-        # external store: the LOCATION is the caller's contract — stage
-        # through the managed tmp, clear the old files (Hadoop FS, so
-        # any scheme works), rewrite at the same path, drop the stage
-        spark.sql(f"DROP TABLE {store_table}")
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(loc)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(hpath, True)
-        bucketed_writer(spark.table(tmp)).option("path", loc).saveAsTable(
-            store_table
-        )
-        spark.sql(f"DROP TABLE {tmp}")
+        # stage the complete compacted copy NEXT TO the store dir,
+        # then swap via two FS renames (metadata-only on HDFS-likes;
+        # the store's catalog entry is never dropped)
+        stage_loc, old_loc = _compaction_paths(loc)
+        bucketed_writer(compacted).option("path", stage_loc).saveAsTable(tmp)
+        spark.sql(f"DROP TABLE {tmp}")  # metadata only: files stay staged
+        fs, jvm = _hadoop_fs(spark, loc)
+        P = jvm.org.apache.hadoop.fs.Path
+        if not fs.rename(P(loc), P(old_loc)):
+            raise IOError(f"compaction rename failed: {loc} -> {old_loc}")
+        if not fs.rename(P(stage_loc), P(loc)):
+            raise IOError(f"compaction rename failed: {stage_loc} -> {loc}")
+        fs.delete(P(old_loc), True)
+        spark.sql(f"REFRESH TABLE {store_table}")
     else:
+        bucketed_writer(compacted).saveAsTable(tmp)
         spark.sql(f"DROP TABLE {store_table}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {store_table}")
