@@ -149,7 +149,14 @@ def main() -> None:
     # 2x r3->r4 with no compile/write split to attribute it).
     # Compile keys are min-of-3: compile is driver-side Spark analysis,
     # cheap to repeat and the most stall-prone measurement here.
-    for n_rules in (150, 500):
+    # dq1000 (round 7, VERDICT r06 next #7): one more point on the
+    # per-rule-eval curve — dq500_eval showed mild superlinearity
+    # (plan-size overhead); 1000 rules is the regime where the
+    # reference hit its 64k-method codegen cliff. Eval+compile only:
+    # the write leg at 1000 result columns times parquet encoding
+    # width, not rule evaluation, and the 150/500 writes already pin
+    # that trend.
+    for n_rules in (150, 500, 1000):
         suite_n = gen_wide_suite(n_rules)
         dq_n = add_data_quality(li, suite_n)
         results[f"dq{n_rules}_compile"] = min(
@@ -157,9 +164,12 @@ def main() -> None:
             timed(lambda: add_data_quality(li, suite_n)),
             timed(lambda: add_data_quality(li, suite_n)),
         )
-        results[f"dq{n_rules}_write"] = timed_warm_min2(
-            lambda: dq_n.write.mode("overwrite").parquet(f"{TMP}/dq{n_rules}")
-        )
+        if n_rules <= 500:
+            results[f"dq{n_rules}_write"] = timed_warm_min2(
+                lambda: dq_n.write.mode("overwrite").parquet(
+                    f"{TMP}/dq{n_rules}"
+                )
+            )
         results[f"dq{n_rules}_eval"] = timed_warm_min2(
             lambda: noop_write(dq_n)
         )
@@ -243,11 +253,12 @@ def main() -> None:
     # derived per-row overheads in ms, reference style; the _eval
     # variants subtract the no-write noop baseline, isolating rule
     # EVAL cost from result-width write cost
-    for n in (27, 150, 500):
-        results[f"dq{n}_overhead_ms_per_row"] = (
-            (results[f"dq{n}_write"] - results["baseline_write"])
-            * 1000.0 / n_rows
-        )
+    for n in (27, 150, 500, 1000):
+        if f"dq{n}_write" in results:
+            results[f"dq{n}_overhead_ms_per_row"] = (
+                (results[f"dq{n}_write"] - results["baseline_write"])
+                * 1000.0 / n_rows
+            )
         results[f"dq{n}_eval_ms_per_row"] = (
             (results[f"dq{n}_eval"] - results["baseline_eval"])
             * 1000.0 / n_rows
@@ -304,7 +315,7 @@ def main() -> None:
     if len(line) > 3500:
         head_keys = [
             k for k in results
-            if k.startswith(("baseline", "dq27", "dq150", "dq500"))
+            if k.startswith(("baseline", "dq27", "dq150", "dq500", "dq1000"))
         ]
         compact["queries"] = {k: round(results[k], 3) for k in head_keys}
         compact["queries_truncated_see"] = "bench_detail.json"

@@ -213,12 +213,70 @@ def add_flat_rule_results(
     return exploded.select(*keep, "f.*")
 
 
+#: above this many rules the single-projection DQ struct outgrows what
+#: Janino will compile into one method and Spark silently falls back to
+#: INTERPRETED projection — measured at sf0.1: 500 rules 6.8 s
+#: (codegen), 1000 rules 92 s (interpreted), a 8x per-rule cliff. The
+#: staged two-projection shape keeps every generated method small at
+#: any suite size.
+_STAGE_RULES_OVER = 256
+
+
+def _add_staged(
+    df: DataFrame,
+    suite: RuleSuite,
+    enc_sqls: List[List[str]],
+    assemble,
+) -> DataFrame:
+    """Two-projection shape for big suites: project every encoded rule
+    expression into a real INT column (Spark's codegen splits N
+    independent small expressions into many compilable methods), then
+    assemble the DQ struct purely from column REFERENCES. Each rule
+    expression appears ~9x in the one-shot struct SQL (map entry + 3x
+    in each of two fail-folds); staging evaluates it once and shrinks
+    the struct expression to references. CollapseProject leaves the two
+    projections alone because the staged columns are non-cheap and each
+    is referenced 3x."""
+    flat = [s for ss in enc_sqls for s in ss]
+    used = set(df.columns)
+    names = []
+    for i in range(len(flat)):
+        nm = f"__qs_enc{i}"
+        while nm in used:
+            nm += "_"
+        used.add(nm)
+        names.append(nm)
+    staged = df.select(
+        "*",
+        *[
+            F.expr(s).cast("int").alias(nm)
+            for s, nm in zip(flat, names)
+        ],
+    )
+    refs: List[List[str]] = []
+    i = 0
+    for ss in enc_sqls:
+        refs.append(names[i : i + len(ss)])
+        i += len(ss)
+    return staged.select(*df.columns, *assemble(refs))
+
+
 def add_data_quality(
     df: DataFrame, suite: RuleSuite, name: str = "DQ"
 ) -> DataFrame:
     """``df`` plus the nested DQ result column
-    (reference: impl/util/AddDataFunctionsImports.scala:21-60)."""
-    return df.select("*", rule_runner(suite, df).alias(name))
+    (reference: impl/util/AddDataFunctionsImports.scala:21-60). Suites
+    past _STAGE_RULES_OVER rules take the staged two-projection shape
+    (same values, codegen-friendly at any size)."""
+    enc_sqls = _encoded_sqls(suite, df)
+    if sum(len(s) for s in enc_sqls) <= _STAGE_RULES_OVER:
+        return df.select(
+            "*", _assemble(suite, enc_sqls, True).alias(name)
+        )
+    return _add_staged(
+        df, suite, enc_sqls,
+        lambda refs: [_assemble(suite, refs, True).alias(name)],
+    )
 
 
 def add_overall_results_and_details(
@@ -232,10 +290,21 @@ def add_overall_results_and_details(
     parquet since the int column predicate pushes down
     (reference: RuleResults.scala:52-57, docs/background/storage_method.md:30)."""
     enc_sqls = _encoded_sqls(suite, df)
-    flat = [s for set_sqls in enc_sqls for s in set_sqls]
-    overall = F.expr(overall_result_spark_sql(flat, suite.probable_pass))
-    details = _assemble(suite, enc_sqls, with_suite_overall=False)
-    return df.select("*", overall.alias(overall_name), details.alias(details_name))
+
+    def build(sqls):
+        flat = [s for set_sqls in sqls for s in set_sqls]
+        return [
+            F.expr(
+                overall_result_spark_sql(flat, suite.probable_pass)
+            ).alias(overall_name),
+            _assemble(suite, sqls, with_suite_overall=False).alias(
+                details_name
+            ),
+        ]
+
+    if sum(len(s) for s in enc_sqls) <= _STAGE_RULES_OVER:
+        return df.select("*", *build(enc_sqls))
+    return _add_staged(df, suite, enc_sqls, build)
 
 
 def add_data_quality_f(suite: RuleSuite, name: str = "DQ"):

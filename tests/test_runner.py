@@ -214,3 +214,52 @@ def test_nan_rule_result_fails(spark):
     got = {r["a"]: r["DQ"]["overallResult"] for r in dq.collect()}
     assert got[1.0] == PASSED_INT
     assert got[0.0] == 0  # NaN -> Failed, never INT_MAX-pass
+
+
+def test_staged_big_suite_matches_unstaged(lineitem):
+    """The >256-rule staged two-projection shape (round 7: the one-shot
+    struct falls to INTERPRETED projection past ~500 rules — 8x
+    per-rule cliff at 1000) must produce value-identical DQ structs to
+    the one-shot shape, including soft-fail and null encodings."""
+    from quality_spark import rule_suite
+    from quality_spark.operators import runner as runner_mod
+    from quality_spark.operators.runner import (
+        add_data_quality,
+        add_overall_results_and_details,
+    )
+
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"]
+    rules = []
+    for i in range(300):  # > _STAGE_RULES_OVER -> staged path
+        c = cols[i % len(cols)]
+        rules.append(((1000 + i, 1), f"({c} % {2 + (i % 5)}) >= 0"))
+    rules.append(((2000, 1), "CAST(NULL AS BOOLEAN)"))  # null -> Failed
+    rules.append(((2001, 1), "CASE WHEN l_orderkey % 2 = 0 THEN -1 ELSE 1 END"))
+    suite = rule_suite((77, 1), [((1, 1), rules[:150]), ((2, 1), rules[150:])])
+    df = lineitem.limit(200)
+
+    assert sum(
+        len(rs.rules) for rs in suite.rule_sets
+    ) > runner_mod._STAGE_RULES_OVER
+    staged = add_data_quality(df, suite)
+    # no helper-column leakage: output schema is input + DQ only
+    assert staged.columns == df.columns + ["DQ"]
+    # force the one-shot shape for the same suite
+    orig = runner_mod._STAGE_RULES_OVER
+    runner_mod._STAGE_RULES_OVER = 10**9
+    try:
+        oneshot = add_data_quality(df, suite)
+    finally:
+        runner_mod._STAGE_RULES_OVER = orig
+    a = sorted(map(str, staged.collect()))
+    b = sorted(map(str, oneshot.collect()))
+    assert a == b
+
+    so = add_overall_results_and_details(df, suite)
+    assert so.columns == df.columns + ["DQ_overallResult", "DQ_Details"]
+    runner_mod._STAGE_RULES_OVER = 10**9
+    try:
+        oo = add_overall_results_and_details(df, suite)
+    finally:
+        runner_mod._STAGE_RULES_OVER = orig
+    assert sorted(map(str, so.collect())) == sorted(map(str, oo.collect()))
