@@ -1354,6 +1354,9 @@ def q_media_features(
       restart markers (one RSTn per MCU boundary) — restart decode
       (DC predictor reset + bit re-align) gated end to end; any
       misalignment corrupts the whole stream and fails the hash.
+    - 'jpeg_prog' (round 7): PROGRESSIVE (SOF2) 4:2:0 streams — DC
+      successive approximation + per-component AC spectral-selection
+      scans with EOB-run coding (T.81 Annex G) — gated end to end.
     - 'wav': REAL RIFF/PCM audio decode (round 5): constant-amplitude
       16-bit mono signals synthesized per doc_id on the exact int16
       grid (amplitude (id%128)/128), so decoded frame count, channel
@@ -1458,16 +1461,39 @@ def q_media_features(
             F.element_at("features", 3).cast("double").alias("px_mean"),
             F.element_at("features", 8).cast("double").alias("px_max"),
         )
-    def jpeg_rst_part() -> DataFrame:
+    @pandas_udf("binary")
+    def make_jpeg_prog(ids: pd.Series) -> pd.Series:
+        """Round 7: PROGRESSIVE (SOF2) streams — DC successive
+        approximation + per-component AC spectral-selection scans with
+        EOB-run coding — so Annex-G decode is driver-gated end to
+        end."""
+        import numpy as np
+
+        from quality_spark.llm.multimodal import encode_jpeg_progressive
+
+        out = []
+        for i in ids:
+            w, h, v = 18 + int(i) % 7, 14 + int(i) % 6, int(i) % 256
+            out.append(
+                encode_jpeg_progressive(
+                    np.full((h, w, 3), v, np.uint8),
+                    quality=90,
+                    subsampling="420",
+                    dc_sa=True,
+                )
+            )
+        return pd.Series(out)
+
+    def jpeg_variant_part(part_name: str, maker) -> DataFrame:
         media = as_media_column(
-            docs.select("doc_id", make_jpeg_rst("doc_id").alias("payload")),
+            docs.select("doc_id", maker("doc_id").alias("payload")),
             "payload",
             "image",
             "jpeg",
         )
         feats = extract_media_features(media, id_col="doc_id")
         return feats.select(
-            F.lit("jpeg_rst").alias("part"),
+            F.lit(part_name).alias("part"),
             F.col("id").alias("doc_id"),
             F.lit(-1).cast("bigint").alias("n_bytes"),
             F.size("features").alias("dim"),
@@ -1476,6 +1502,12 @@ def q_media_features(
             F.element_at("features", 3).cast("double").alias("px_mean"),
             F.element_at("features", 8).cast("double").alias("px_max"),
         )
+
+    def jpeg_rst_part() -> DataFrame:
+        return jpeg_variant_part("jpeg_rst", make_jpeg_rst)
+
+    def jpeg_prog_part() -> DataFrame:
+        return jpeg_variant_part("jpeg_prog", make_jpeg_prog)
 
     from quality_spark.llm.multimodal import extract_audio_features
 
@@ -1555,6 +1587,7 @@ def q_media_features(
         "png": lambda: img_part("png"),
         "jpeg": lambda: img_part("jpeg"),
         "jpeg_rst": jpeg_rst_part,
+        "jpeg_prog": jpeg_prog_part,
         "wav": lambda: wav_part,
         "y4m": lambda: y4m_part,
     }
@@ -1621,6 +1654,25 @@ UNION ALL
 SELECT 'jpeg_rst', doc_id, CAST(-1 AS BIGINT),
        {FEATURE_DIM}, CAST(17 + doc_id % 9 AS INTEGER),
        CAST(17 + doc_id % 5 AS INTEGER),
+       CAST(jdec AS DOUBLE), CAST(jdec AS DOUBLE)
+FROM (
+  SELECT doc_id,
+         greatest(0, least(255, floor(
+           (CASE WHEN {v} >= 128
+                 THEN (8 * ({v} - 128) * 2 + 3) // 6
+                 ELSE -((8 * (128 - {v}) * 2 + 3) // 6) END) * 3.0 / 8.0
+           + 128.5))) AS jdec
+  FROM documents WHERE doc_id < 200
+)
+UNION ALL
+-- jpeg_prog (round 7): progressive SOF2 streams (DC successive
+-- approximation + AC spectral-selection scans with EOB runs) of the
+-- same constant images — identical closed-form DC arithmetic (the
+-- progressive scan script delivers the SAME quantized coefficients);
+-- any error in the Annex-G scan accumulation corrupts the value
+SELECT 'jpeg_prog', doc_id, CAST(-1 AS BIGINT),
+       {FEATURE_DIM}, CAST(18 + doc_id % 7 AS INTEGER),
+       CAST(14 + doc_id % 6 AS INTEGER),
        CAST(jdec AS DOUBLE), CAST(jdec AS DOUBLE)
 FROM (
   SELECT doc_id,
@@ -4961,7 +5013,7 @@ def query_legs() -> dict:
         "media_features": {
             p: media(p)
             for p in ("text", "bmp", "ppm", "png", "jpeg", "jpeg_rst",
-                      "wav", "y4m")
+                      "jpeg_prog", "wav", "y4m")
         },
         "embedding_ann": {
             "topk": q_ann_cosine_topk,

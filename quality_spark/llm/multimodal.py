@@ -400,17 +400,19 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG (ITU-T T.81 / ISO 10918-1 — public spec), SOF0
-# sequential huffman, 8-bit, grayscale or YCbCr 4:4:4 / 4:2:2 / 4:2:0
-# (round 6, VERDICT r05 next #6: the remaining REAL-corpus compressed
-# image format after PNG closed the lossless gap; round 7 adds restart
-# intervals — DRI/RSTn — both directions). Pure numpy: matrix
-# FDCT/IDCT over all blocks at once; the entropy coder is
-# table-DRIVEN — the decoder reconstructs canonical huffman codes from
-# the stream's own DHT segments (as any real-world JPEG requires), it
-# does not assume the Annex K defaults. Refusals, not wrong answers,
-# for progressive (SOF2) and the other non-SOF0 frame types, 12-bit,
-# arithmetic-coded, and sampling-factor>2 streams.
+# JPEG (ITU-T T.81 / ISO 10918-1 — public spec): baseline SOF0
+# sequential huffman AND progressive SOF2 (Annex G: spectral
+# selection, successive approximation, EOB-run coding), 8-bit,
+# grayscale or YCbCr 4:4:4 / 4:2:2 / 4:2:0, with restart intervals
+# (DRI/RSTn) honored. Round 6 built the baseline codec (VERDICT r05
+# next #6); round 7 added restarts both directions and progressive
+# decode + a progressive encoder. Pure numpy: matrix FDCT/IDCT over
+# all blocks at once; the entropy coder is table-DRIVEN — the decoder
+# reconstructs canonical huffman codes from the stream's own DHT
+# segments at each scan (tables may be redefined between progressive
+# scans), it does not assume the Annex K defaults. Refusals, not wrong
+# answers, for the non-SOF0/SOF2 frame types (lossless, arithmetic,
+# 12-bit, hierarchical) and sampling-factor>2 streams.
 # ---------------------------------------------------------------------------
 
 #: Annex K.1 default quantization tables (luminance / chrominance),
@@ -734,6 +736,231 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    gray: bool = False,
+    subsampling: str = "444",
+    dc_sa: bool = True,
+) -> bytes:
+    """Encode as a PROGRESSIVE JPEG (SOF2, T.81 Annex G): scan 1 sends
+    every block's DC (interleaved, successive approximation Al=1 when
+    ``dc_sa``), scan 2 refines the DC low bit, then one full-band AC
+    scan per component (Ss=1..Se=63, spectral selection) with real
+    EOB-run coding — the scan script exercises the DC-first,
+    DC-refine, and AC-first+EOBRUN decode paths. Quantized
+    coefficients are IDENTICAL to :func:`encode_jpeg` at the same
+    quality/subsampling, so a progressive stream must decode
+    bit-identically to the sequential one."""
+    if gray:
+        planes = [np.asarray(img, np.uint8).astype(np.float64)]
+    else:
+        a = np.asarray(img, np.uint8).astype(np.float64)
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("encode expects (h, w, 3) or gray=(h, w)")
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    h, w = planes[0].shape
+    if not (0 < h <= 65535 and 0 < w <= 65535):
+        raise ValueError(f"bad JPEG dims {w}x{h}")
+    ncomp = len(planes)
+    if ncomp == 1 or subsampling == "444":
+        samps = [(1, 1)] * ncomp
+    elif subsampling == "420":
+        samps = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    qtabs = [jpeg_quant_table(_JPEG_QL, quality)]
+    if ncomp == 3:
+        qtabs.append(jpeg_quant_table(_JPEG_QC, quality))
+
+    comp_qz = []  # quantized zigzag blocks, RASTER order, padded grid
+    grids = []
+    for ci, plane in enumerate(planes):
+        hi, vi = samps[ci]
+        ph, pw = mcuy * 8 * vmax, mcux * 8 * hmax
+        padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        fy, fx = vmax // vi, hmax // hi
+        if (fy, fx) != (1, 1):
+            padded = padded.reshape(ph // fy, fy, pw // fx, fx).mean(
+                axis=(1, 3)
+            )
+        blocks, nby, nbx = _jpeg_blocks(np.round(padded))
+        coeff = np.einsum("ij,njk,lk->nil", _JPEG_C, blocks, _JPEG_C)
+        qt = qtabs[min(ci, 1)].astype(np.float64)
+        t = coeff / qt
+        q = np.sign(t) * np.floor(np.abs(t) + 0.5)
+        comp_qz.append(q.reshape(-1, 64)[:, _JPEG_ZZ_FLAT].astype(np.int64))
+        grids.append((nby, nbx))
+
+    al_dc = 1 if dc_sa else 0
+    # ---- scan 1 tokens: interleaved DC first (diffs of dc >> Al) ----
+    dc_toks = []  # (cat, diff) in MCU write order
+    dc_syms_comp = [[] for _ in range(ncomp)]
+    pred = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hi, vi = samps[ci]
+                nbx = grids[ci][1]
+                for by in range(vi):
+                    for bx in range(hi):
+                        bi = (my * vi + by) * nbx + (mx * hi + bx)
+                        v = int(comp_qz[ci][bi][0]) >> al_dc
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        cat = _jpeg_category(diff)
+                        dc_syms_comp[ci].append(cat)
+                        dc_toks.append((ci, cat, diff))
+    dc_tabs = [_jpeg_fixed_huff(dc_syms_comp[0] or [0])]
+    if ncomp == 3:
+        dc_tabs.append(
+            _jpeg_fixed_huff(dc_syms_comp[1] + dc_syms_comp[2] or [0])
+        )
+
+    def ni_grid(ci):
+        hi, vi = samps[ci]
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    # ---- per-component AC scans: full band, EOB-run coding ----
+    def ac_scan_tokens(ci):
+        """[(kind, ...)] where ('sym', s, nbits, extra) is a huffman
+        symbol + magnitude bits and ('eob', run) a pending EOB run;
+        returns (tokens, symbols) — EOB runs are flushed into (r<<4)
+        symbols with r extra bits (T.81 G.1.2.2)."""
+        toks, syms = [], []
+        run = 0
+
+        def flush_eob():
+            nonlocal run
+            while run:
+                rr = min(14, run.bit_length() - 1)
+                take = min(run, (1 << (rr + 1)) - 1)
+                syms.append(rr << 4)
+                toks.append(("sym", rr << 4, rr, take - (1 << rr)))
+                run -= take
+
+        nbyn, nbxn = ni_grid(ci)
+        nbx = grids[ci][1]
+        for r in range(nbyn):
+            for c in range(nbxn):
+                blk = comp_qz[ci][r * nbx + c]
+                nz = np.nonzero(blk[1:])[0]
+                last = int(nz[-1]) + 1 if len(nz) else 0
+                if last == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                zrun = 0
+                for k in range(1, last + 1):
+                    v = int(blk[k])
+                    if v == 0:
+                        zrun += 1
+                        continue
+                    while zrun > 15:
+                        syms.append(0xF0)
+                        toks.append(("sym", 0xF0, 0, 0))
+                        zrun -= 16
+                    s = _jpeg_category(v)
+                    syms.append((zrun << 4) | s)
+                    toks.append(
+                        ("sym", (zrun << 4) | s, s, _jpeg_mag_bits(v, s))
+                    )
+                    zrun = 0
+                if last < 63:
+                    run += 1  # this block ends in an EOB -> extend run
+        flush_eob()
+        return toks, syms
+
+    ac_scans = [ac_scan_tokens(ci) for ci in range(ncomp)]
+    ac_tabs = [_jpeg_fixed_huff(ac_scans[0][1] or [0])]
+    if ncomp == 3:
+        ac_tabs.append(
+            _jpeg_fixed_huff((ac_scans[1][1] + ac_scans[2][1]) or [0])
+        )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(
+            2, "big"
+        ) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qt in enumerate(qtabs):
+        zz = qt.reshape(64)[_JPEG_ZZ_FLAT]
+        out += seg(0xDB, bytes([ti]) + bytes(int(v) for v in zz))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [ncomp]
+    )
+    for ci in range(ncomp):
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
+        for ti, (bits, vals, _) in enumerate(tabs):
+            out += seg(
+                0xC4, bytes([(cls << 4) | ti]) + bytes(bits[1:]) + bytes(vals)
+            )
+
+    def sos(comp_ids, ss, se, ah, al, tdc=0, tac=0):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            ti = min(cid - 1, 1)
+            body += bytes([cid, ((ti if ss == 0 else 0) << 4)
+                           | (ti if ss > 0 else 0)])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, all components
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, al_dc)
+    bw = _BitWriter()
+    for ci, cat, diff in dc_toks:
+        ti = min(ci, 1)
+        ln, code = dc_tabs[ti][2][cat]
+        bw.write(ln, code)
+        if cat:
+            bw.write(cat, _jpeg_mag_bits(diff, cat))
+    out += bw.flush()
+    if dc_sa:  # scan 2: DC refinement — one raw low bit per block
+        out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+        bw = _BitWriter()
+        bi_iter = []  # same block order as scan 1
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hi, vi = samps[ci]
+                    nbx = grids[ci][1]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            bi_iter.append(
+                                (ci, (my * vi + by) * nbx + (mx * hi + bx))
+                            )
+        for ci, bi in bi_iter:
+            bw.write(1, int(comp_qz[ci][bi][0]) & 1)
+        out += bw.flush()
+    # AC scans, one per component
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 0, 0)
+        ti = min(ci, 1)
+        bw = _BitWriter()
+        for kind, sym, nbits, extra in ac_scans[ci][0]:
+            ln, code = ac_tabs[ti][2][sym]
+            bw.write(ln, code)
+            if nbits:
+                bw.write(nbits, extra)
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes):
         self.data = data
@@ -821,15 +1048,17 @@ def _jpeg_extend(v: int, cat: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG (SOF0, 8-bit, 1 or 3
-    components, sampling factors 1-2 — grayscale, YCbCr 4:4:4, 4:2:2,
-    and the dominant real-world 4:2:0 layout) to an (h, w, 3) uint8
-    RGB array — spec huffman decode driven by the stream's own DHT
-    tables, interleaved multi-block MCUs, dequantize, inverse zigzag,
-    matrix IDCT over all blocks at once, chroma upsample by
-    replication, level shift, BT.601 color convert. Restart intervals
-    (DRI/RSTn) are honored: DC prediction resets and the bit stream
-    re-aligns at each RSTn. Refuses progressive/12-bit/arithmetic/
+    """Decode a baseline sequential (SOF0) or progressive (SOF2) JPEG
+    (8-bit, 1 or 3 components, sampling factors 1-2 — grayscale,
+    YCbCr 4:4:4, 4:2:2, and the dominant real-world 4:2:0 layout) to
+    an (h, w, 3) uint8 RGB array — spec huffman decode driven by the
+    stream's own DHT tables, interleaved multi-block MCUs (baseline)
+    or the T.81 Annex G scan sequence (progressive: DC/AC spectral
+    selection, successive-approximation refinement, EOB runs), then
+    dequantize, inverse zigzag, matrix IDCT over all blocks at once,
+    chroma upsample by replication, level shift, BT.601 color convert.
+    Restart intervals (DRI/RSTn) are honored in both modes. Refuses
+    lossless/arithmetic/12-bit/hierarchical frame types and
     sampling-factor>2 streams with a ValueError rather than answering
     wrongly."""
     b = payload or b""
@@ -842,6 +1071,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     sof = None
     comps = None
     scan = None
+    scans: list = []  # progressive (SOF2) scan sequence
+    progressive = False
     restart_interval = 0
     while pos < len(b):
         if b[pos] != 0xFF:
@@ -871,9 +1102,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     bits, vals
                 )
                 p += 17 + n
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
             if body[0] != 8:
                 raise ValueError("unsupported JPEG: precision != 8")
+            progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -890,10 +1122,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     )
                 comps.append((cid, tq, hi, vi))
             sof = (h, w, nc)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG: SOF{marker - 0xC0} (baseline SOF0 only)"
+                f"unsupported JPEG: SOF{marker - 0xC0} "
+                "(baseline SOF0 and progressive SOF2 only)"
             )
         elif marker == 0xDD:
             restart_interval = int.from_bytes(body[:2], "big")
@@ -903,6 +1136,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append((cs, tt >> 4, tt & 0xF))
+            ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+            a_ = body[3 + 2 * ns]
             data_start = pos
             # entropy data runs until the next non-RST marker
             p = data_start
@@ -914,19 +1149,36 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 p += 1
             entropy = b[data_start:p]
             pos = p
-            break
+            if not progressive:
+                break
+            # progressive: snapshot the huffman table state AT scan
+            # time (tables may be redefined between scans) and keep
+            # collecting scans until EOI
+            scans.append(
+                (scan, ss_, se_, a_ >> 4, a_ & 0xF,
+                 dict(dc_tables), dict(ac_tables), entropy)
+            )
+            scan = None
         # other markers (APPn, COM) are skipped
-    if sof is None or scan is None:
+    if sof is None or (scan is None and not scans):
         raise ValueError("JPEG missing SOF0 or SOS")
     h, w, nc = sof
-    if len(scan) != nc:
-        raise ValueError("unsupported JPEG: multi-scan stream")
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    br = _BitReader(entropy)
     nbx_c = [mcux * comps[ci][2] for ci in range(nc)]
     nby_c = [mcuy * comps[ci][3] for ci in range(nc)]
+    if progressive:
+        coeffs = _jpeg_progressive_coeffs(
+            scans, comps, nbx_c, nby_c, mcux, mcuy,
+            restart_interval, w, h, hmax, vmax,
+        )
+        return _jpeg_reconstruct(
+            coeffs, comps, qtabs, nbx_c, nby_c, hmax, vmax, h, w, nc
+        )
+    if len(scan) != nc:
+        raise ValueError("unsupported JPEG: multi-scan stream")
+    br = _BitReader(entropy)
     coeffs = [np.zeros((nby_c[ci] * nbx_c[ci], 64), np.float64) for ci in range(nc)]
     pred = [0] * nc
     mcu_i = 0
@@ -963,13 +1215,187 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                 raise ValueError("JPEG AC run overflows block")
                             blk[k] = _jpeg_extend(br.read(size), size)
                             k += 1
+    return _jpeg_reconstruct(
+        coeffs, comps, qtabs, nbx_c, nby_c, hmax, vmax, h, w, nc
+    )
+
+
+def _jpeg_progressive_coeffs(
+    scans, comps, nbx_c, nby_c, mcux, mcuy,
+    restart_interval, w, h, hmax, vmax,
+):
+    """Accumulate DCT coefficients across a progressive (SOF2) scan
+    sequence — ITU-T T.81 Annex G.1.2. DC scans (Ss=Se=0) may be
+    interleaved over several components; AC scans (Ss>0) are
+    single-component and non-interleaved, iterating the component's
+    OWN block grid (ceil(cw/8) x ceil(ch/8) — narrower than the padded
+    MCU grid for subsampled layouts), with EOB-run coding and
+    successive-approximation refinement (correction bits per the
+    G.1.2.3 flow). Restart markers reset DC predictors, the EOB run,
+    and byte-align, counting MCUs (interleaved) or blocks
+    (non-interleaved). Coefficient arrays are int64 in zigzag order."""
+    nc = len(comps)
+    coeffs = [
+        np.zeros((nby_c[ci] * nbx_c[ci], 64), np.int64) for ci in range(nc)
+    ]
+    cid_to_ci = {comps[ci][0]: ci for ci in range(nc)}
+
+    def ni_grid(ci):
+        # non-interleaved block grid: the component's own dimensions
+        _, _, hi, vi = comps[ci]
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    for (sc, ss, se, ah, al, dcs, acs, entropy) in scans:
+        br = _BitReader(entropy)
+        try:
+            idxs = [cid_to_ci[cs] for cs, _, _ in sc]
+        except KeyError as e:
+            raise ValueError(f"JPEG scan references unknown component {e}")
+        if ss == 0:  # ---- DC scan ----
+            if se != 0:
+                raise ValueError("bad progressive scan: Ss=0, Se!=0")
+            pred = {ci: 0 for ci in idxs}
+
+            def dc_block(blk, ci, tdc):
+                if ah == 0:  # first scan: huffman diffs, scaled by Al
+                    cat = _jpeg_read_symbol(br, dcs[tdc])
+                    diff = _jpeg_extend(br.read(cat), cat)
+                    pred[ci] += diff
+                    blk[0] = pred[ci] << al
+                elif br.read(1):  # refinement: one raw bit per block
+                    blk[0] |= 1 << al
+
+            if len(idxs) > 1:  # interleaved MCU order
+                mcu_i = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if (restart_interval and mcu_i
+                                and mcu_i % restart_interval == 0):
+                            br.restart_sync()
+                            pred = {ci: 0 for ci in idxs}
+                        mcu_i += 1
+                        for pos_in_scan, ci in enumerate(idxs):
+                            _, tdc, _ = sc[pos_in_scan]
+                            _, _, hi, vi = comps[ci]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    bi = (my * vi + by) * nbx_c[ci] + (
+                                        mx * hi + bx
+                                    )
+                                    dc_block(coeffs[ci][bi], ci, tdc)
+            else:  # single component: non-interleaved, MCU = one block
+                ci = idxs[0]
+                _, tdc, _ = sc[0]
+                nbyn, nbxn = ni_grid(ci)
+                blk_i = 0
+                for r in range(nbyn):
+                    for c in range(nbxn):
+                        if (restart_interval and blk_i
+                                and blk_i % restart_interval == 0):
+                            br.restart_sync()
+                            pred = {ci: 0}
+                        blk_i += 1
+                        dc_block(coeffs[ci][r * nbx_c[ci] + c], ci, tdc)
+            continue
+        # ---- AC scan: single component, non-interleaved ----
+        if len(idxs) != 1:
+            raise ValueError("bad progressive scan: interleaved AC scan")
+        if not 1 <= ss <= se <= 63:
+            raise ValueError(f"bad progressive scan: Ss={ss}, Se={se}")
+        ci = idxs[0]
+        _, _, tac = sc[0]
+        act = acs[tac]
+        nbyn, nbxn = ni_grid(ci)
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+        blk_i = 0
+        for r in range(nbyn):
+            for c in range(nbxn):
+                if (restart_interval and blk_i
+                        and blk_i % restart_interval == 0):
+                    br.restart_sync()
+                    eobrun = 0
+                blk_i += 1
+                blk = coeffs[ci][r * nbx_c[ci] + c]
+                if ah == 0:  # ---- AC first scan ----
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _jpeg_read_symbol(br, act)
+                        rr, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if rr == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += br.read(rr)
+                            break
+                        k += rr
+                        if k > se:
+                            raise ValueError("JPEG AC run overflows band")
+                        blk[k] = _jpeg_extend(br.read(s), s) << al
+                        k += 1
+                    continue
+                # ---- AC refinement scan (T.81 G.1.2.3) ----
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _jpeg_read_symbol(br, act)
+                        rr, s = sym >> 4, sym & 0xF
+                        val = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "bad AC refinement magnitude"
+                                )
+                            val = p1 if br.read(1) else m1
+                        elif rr != 15:
+                            eobrun = 1 << rr
+                            if rr:
+                                eobrun += br.read(rr)
+                            break
+                        # advance past rr zero-history coefficients,
+                        # reading a correction bit at each nonzero one
+                        while k <= se:
+                            if blk[k] != 0:
+                                if br.read(1) and not (blk[k] & p1):
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:  # EOB band: correction bits only
+                        if blk[k] != 0:
+                            if br.read(1) and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return coeffs
+
+
+def _jpeg_reconstruct(
+    coeffs, comps, qtabs, nbx_c, nby_c, hmax, vmax, h, w, nc
+) -> np.ndarray:
+    """Shared decode tail (baseline + progressive): dequantize, inverse
+    zigzag, matrix IDCT over all blocks at once, chroma upsample by
+    replication, level shift, BT.601 color convert."""
     planes = []
     for ci in range(nc):
         _, tq, hi, vi = comps[ci]
         nb, nby, nbx = nby_c[ci] * nbx_c[ci], nby_c[ci], nbx_c[ci]
         qt = qtabs[tq].astype(np.float64)  # zigzag order
         dez = np.zeros((nb, 64), np.float64)
-        dez[:, _JPEG_ZZ_FLAT] = coeffs[ci] * qt[None, :]
+        dez[:, _JPEG_ZZ_FLAT] = coeffs[ci].astype(np.float64) * qt[None, :]
         blocks = dez.reshape(nb, 8, 8)
         spat = np.einsum("ji,njk,kl->nil", _JPEG_C, blocks, _JPEG_C) + 128.0
         grid = spat.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)

@@ -1263,8 +1263,12 @@ def test_jpeg_refusals():
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
-    with pytest.raises(ValueError, match="SOF2"):
-        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05\x08\x00\x08")
+    # arithmetic-coded (SOF9) and lossless (SOF3) stay refused
+    # (progressive SOF2 is SUPPORTED since round 7)
+    with pytest.raises(ValueError, match="SOF9"):
+        decode_jpeg(b"\xff\xd8\xff\xc9\x00\x05\x08\x00\x08")
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(b"\xff\xd8\xff\xc3\x00\x05\x08\x00\x08")
     # sampling factor 3x3 (byte 0x33) — beyond the supported 1-2 range
     sof = b"\x08\x00\x10\x00\x10\x03" + bytes([1, 0x33, 0]) + bytes(
         [2, 0x11, 1]
@@ -1433,3 +1437,86 @@ def test_jpeg_dct_matrices_inverse():
     b = np.einsum("ij,njk,lk->nil", _JPEG_C, a, _JPEG_C)
     back = np.einsum("ji,njk,kl->nil", _JPEG_C, b, _JPEG_C)
     assert np.allclose(back, a, atol=1e-9)
+
+
+def test_jpeg_progressive_round_trip_bit_identical():
+    """Progressive (SOF2) streams carry the SAME quantized
+    coefficients as sequential ones at equal quality/subsampling, so
+    decode must be BIT-IDENTICAL — exercising DC-first with successive
+    approximation, DC-refine, AC-first per-component scans, and real
+    EOB-run coding (constant regions produce EOBRUN > 1)."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    xx, yy = np.meshgrid(np.arange(67), np.arange(45))
+    img = np.stack(
+        [(xx * 3 + yy * 2) % 256, (xx * 2) % 256, (yy * 5) % 256], axis=2
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        base = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+        for dc_sa in (False, True):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    img, quality=95, subsampling=sub, dc_sa=dc_sa
+                )
+            )
+            assert (prog == base).all(), (sub, dc_sa)
+    g = ((xx + yy) % 256).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(g, quality=95, gray=True))
+        == decode_jpeg(encode_jpeg(g, quality=95, gray=True))
+    ).all()
+    const = np.full((64, 80, 3), 77, np.uint8)  # long EOB runs
+    assert (
+        decode_jpeg(encode_jpeg_progressive(const))
+        == decode_jpeg(encode_jpeg(const))
+    ).all()
+
+
+def test_jpeg_progressive_ac_refinement_hand_pin():
+    """Independent pin of the AC successive-approximation refinement
+    path (T.81 G.1.2.3) — hand-assembled scan script over one 8x8
+    grayscale block, quant all-ones: scan 1 DC-first (dc=0), scan 2
+    AC-first at Al=1 (k1: 5 truncated to 2, k3: -3 truncated to -1),
+    scan 3 AC-refine at Al=0 carrying two correction bits (4->5,
+    -2->-3) and one newly-significant +1 at k5 behind a 2-zero-history
+    run. Scan 3 REDEFINES huffman table 0, so the per-scan table
+    snapshot is exercised too. Expected pixels computed from the
+    coefficient matrix through the (already pinned) orthonormal DCT."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import _JPEG_C, _JPEG_ZZ, decode_jpeg
+
+    dqt = _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = _seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    dht_dc = _seg(0xC4, bytes([0x00, 1] + [0] * 15 + [0]))  # '0' -> cat 0
+    sos1 = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    scan1 = _bits_to_bytes("0")  # dc cat 0
+    # scan 2: AC first, Ss=1 Se=63 Ah=0 Al=1
+    dht_ac2 = _seg(
+        0xC4, bytes([0x10, 0, 3] + [0] * 14 + [0x02, 0x11, 0x00])
+    )  # codes 00,01,10
+    sos2 = _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    scan2 = _bits_to_bytes("00" + "10" + "01" + "0" + "10")
+    # scan 3: AC refine Ah=1 Al=0; REDEFINES table 0: '0'->0x21,'10'->EOB
+    dht_ac3 = _seg(0xC4, bytes([0x10, 1, 1] + [0] * 14 + [0x21, 0x00]))
+    sos3 = _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    scan3 = _bits_to_bytes("0" + "1" + "1" + "1" + "10")
+    stream = (
+        b"\xff\xd8" + dqt + sof + dht_dc + sos1 + scan1
+        + dht_ac2 + sos2 + scan2 + dht_ac3 + sos3 + scan3 + b"\xff\xd9"
+    )
+    out = decode_jpeg(stream)
+    m = np.zeros((8, 8))
+    for k, v in ((1, 5), (3, -3), (5, 1)):
+        m[_JPEG_ZZ[k]] = v
+    want = np.clip(
+        np.floor(_JPEG_C.T @ m @ _JPEG_C + 128.5), 0, 255
+    ).astype(np.uint8)
+    assert (out[:, :, 0] == want).all(), (out[:, :, 0], want)
+    assert (out[:, :, 0] == out[:, :, 1]).all()
