@@ -1357,6 +1357,9 @@ def q_media_features(
     - 'jpeg_prog' (round 7): PROGRESSIVE (SOF2) 4:2:0 streams — DC
       successive approximation + per-component AC spectral-selection
       scans with EOB-run coding (T.81 Annex G) — gated end to end.
+    - 'gif' (round 7): the same images through the REAL GIF89a codec
+      (exact palette + pure-python LZW, lossless) — decoded dims and
+      pixel features gated; compressed size gated as -1 like png.
     - 'wav': REAL RIFF/PCM audio decode (round 5): constant-amplitude
       16-bit mono signals synthesized per doc_id on the exact int16
       grid (amplitude (id%128)/128), so decoded frame count, channel
@@ -1448,7 +1451,7 @@ def q_media_features(
         # bmp/ppm keep their exact-size checks
         nb = (
             F.lit(-1).cast("bigint").alias("n_bytes")
-            if fmt in ("png", "jpeg")
+            if fmt in ("png", "jpeg", "gif")
             else F.col("n_bytes")
         )
         return feats.select(
@@ -1588,6 +1591,7 @@ def q_media_features(
         "jpeg": lambda: img_part("jpeg"),
         "jpeg_rst": jpeg_rst_part,
         "jpeg_prog": jpeg_prog_part,
+        "gif": lambda: img_part("gif"),
         "wav": lambda: wav_part,
         "y4m": lambda: y4m_part,
     }
@@ -1683,6 +1687,13 @@ FROM (
            + 128.5))) AS jdec
   FROM documents WHERE doc_id < 200
 )
+UNION ALL
+-- gif (round 7): LOSSLESS exact-palette LZW — constant images decode
+-- to the constant; byte size is compressed (gated -1) like png
+SELECT 'gif', doc_id, CAST(-1 AS BIGINT),
+       {FEATURE_DIM}, CAST({w} AS INTEGER), CAST({h} AS INTEGER),
+       CAST({v} AS DOUBLE), CAST({v} AS DOUBLE)
+FROM documents WHERE doc_id < 200
 UNION ALL
 SELECT 'wav', doc_id,
        CAST(44 + 2 * (500 + (doc_id % 7) * 100) AS BIGINT),
@@ -5013,7 +5024,7 @@ def query_legs() -> dict:
         "media_features": {
             p: media(p)
             for p in ("text", "bmp", "ppm", "png", "jpeg", "jpeg_rst",
-                      "jpeg_prog", "wav", "y4m")
+                      "jpeg_prog", "gif", "wav", "y4m")
         },
         "embedding_ann": {
             "topk": q_ann_cosine_topk,

@@ -1415,6 +1415,243 @@ def _jpeg_reconstruct(
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a — CompuServe spec, public): palette + LZW, the
+# other ubiquitous web-corpus raster format (round 7). Pure python
+# LZW both directions: variable code width 3-12 bits, little-endian
+# bit packing in 255-byte sub-blocks, clear/EOI codes, the KwKwK
+# case, and the four-pass interlace layout on decode.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> list:
+    """LZW decompress a GIF image data stream (sub-blocks already
+    concatenated) to a list of palette indices."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table = {i: (i,) for i in range(clear)}
+    next_code = eoi + 1
+    out: list = []
+    prev = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits  # little-endian bit order
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+        elif code == next_code:  # the KwKwK case
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("bad GIF LZW code")
+        out.extend(entry)
+        prev = entry
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    return out[:n_pixels]
+
+
+def _gif_lzw_encode(min_code: int, indices) -> bytes:
+    """LZW compress palette indices, emitting an initial clear code
+    and a final EOI (spec-recommended stream shape)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    run: tuple = ()
+    for ix in indices:
+        cand = run + (int(ix),)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == 1 << width and width < 12:
+            # decoder grows width when ITS next_code hits the limit;
+            # encoder mirrors that one step later (code just emitted)
+            width += 1
+        if next_code > 4095:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        run = (int(ix),)
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/GIF89a to (h, w, 3) uint8
+    RGB: logical screen + global/local color tables, LZW decompress,
+    interlace reorder, palette apply. Frames smaller than the logical
+    screen composite onto the screen background. Animated GIFs yield
+    frame 1 (corpus feature extraction wants A representative raster,
+    not an animation timeline)."""
+    b = payload or b""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    bg_index = b[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    if gct is not None and bg_index < len(gct):
+        screen = np.tile(gct[bg_index], (sh, sw, 1)).astype(np.uint8)
+    else:
+        screen = np.zeros((sh, sw, 3), np.uint8)
+    transparent = None
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = b[pos]
+            pos += 1
+            if label == 0xF9 and b[pos] >= 4:  # graphic control
+                if b[pos + 1] & 0x01:
+                    transparent = b[pos + 4]
+            while True:  # skip sub-blocks
+                sz = b[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        # image descriptor
+        ix = int.from_bytes(b[pos:pos + 2], "little")
+        iy = int.from_bytes(b[pos + 2:pos + 4], "little")
+        iw = int.from_bytes(b[pos + 4:pos + 6], "little")
+        ih = int.from_bytes(b[pos + 6:pos + 8], "little")
+        iflags = b[pos + 8]
+        pos += 9
+        ct = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(b[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            sz = b[pos]
+            pos += 1
+            if sz == 0:
+                break
+            data += b[pos:pos + sz]
+            pos += sz
+        idx = np.array(
+            _gif_lzw_decode(min_code, bytes(data), iw * ih), np.int64
+        ).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            deinter = np.zeros_like(idx)
+            rows = (
+                list(range(0, ih, 8)) + list(range(4, ih, 8))
+                + list(range(2, ih, 4)) + list(range(1, ih, 2))
+            )
+            deinter[rows] = idx
+            idx = deinter
+        if (idx >= len(ct)).any():
+            raise ValueError("GIF index outside color table")
+        frame = ct[idx]
+        if transparent is not None:
+            mask = idx != transparent
+            region = screen[iy:iy + ih, ix:ix + iw]
+            region[mask] = frame[mask]
+        else:
+            screen[iy:iy + ih, ix:ix + iw] = frame
+        return screen  # first frame only
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a single-frame GIF89a with an
+    exact palette (raises if the image has more than 256 distinct
+    colors — palette quantization is a MODELING choice, not a codec
+    one, and a silent quantizer would make decode(encode(x)) lossy
+    without warning)."""
+    a = np.asarray(img, np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_gif expects (h, w, 3) uint8")
+    h, w = a.shape[:2]
+    flat = a.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(
+            f"encode_gif: {len(colors)} distinct colors (max 256; "
+            "quantize explicitly first)"
+        )
+    depth = max(1, int(len(colors) - 1).bit_length())
+    n_pal = 1 << depth
+    pal = np.zeros((n_pal, 3), np.uint8)
+    pal[: len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT present, bg 0
+    out += pal.tobytes()
+    out += b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(
+        2, "little"
+    ) + b"\x00"
+    min_code = max(2, depth)  # spec: LZW min code size >= 2
+    out += bytes([min_code])
+    lzw = _gif_lzw_encode(min_code, idx.reshape(-1))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 #: raster formats decoded for REAL (pure numpy / stdlib zlib — no
 #: external codec libraries): format name -> (decoder -> (h,w,3) RGB,
 #: encoder)
@@ -1423,6 +1660,7 @@ REAL_CODECS = {
     "ppm": (decode_ppm, encode_ppm),
     "png": (decode_png, encode_png),
     "jpeg": (decode_jpeg, encode_jpeg),
+    "gif": (decode_gif, encode_gif),
 }
 
 

@@ -1520,3 +1520,59 @@ def test_jpeg_progressive_ac_refinement_hand_pin():
     ).astype(np.uint8)
     assert (out[:, :, 0] == want).all(), (out[:, :, 0], want)
     assert (out[:, :, 0] == out[:, :, 1]).all()
+
+
+def test_gif_round_trip_lossless():
+    """GIF (round 7): exact-palette encode + LZW both directions is
+    LOSSLESS for <=256-color images, through the 12-bit code path and
+    a dictionary reset on a 120k-pixel random-palette image."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 200, (45, 67))]
+    assert (decode_gif(encode_gif(img)) == img).all()
+    big = pal[rng.integers(0, 200, (300, 400))]  # forces table reset
+    assert (decode_gif(encode_gif(big)) == big).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="distinct colors"):
+        encode_gif(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="GIF"):
+        decode_gif(b"nope")
+
+
+def test_gif_interlace_and_first_frame():
+    """Interlaced streams (rows stored in the 8/8/4/2 pass order)
+    deinterlace correctly — built by hand from a sequential encode with
+    pass-reordered rows and the interlace flag set; an 'animated' GIF
+    (two image blocks) yields frame 1 composited on the screen."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import decode_gif, encode_gif
+
+    h, w = 13, 9
+    img = np.zeros((h, w, 3), np.uint8)
+    for r in range(h):
+        img[r] = [(r * 17) % 256, 0, 255 - (r * 17) % 256]
+    plain = encode_gif(img)
+    # rebuild: same palette/header, rows re-encoded in interlace order
+    rows = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    inter_img = img[rows]
+    inter = bytearray(encode_gif(inter_img))
+    # find the image descriptor (0x2C) and set the interlace bit
+    gct_end = 13 + 3 * (2 << (plain[10] & 7))
+    assert inter[gct_end] == 0x2C
+    inter[gct_end + 9] |= 0x40
+    out = decode_gif(bytes(inter))
+    assert (out == img).all()
+
+    # two-frame stream: second frame must be ignored (first returned)
+    f2 = encode_gif(np.full((h, w, 3), 9, np.uint8))
+    two = plain[:-1] + f2[gct_end:]  # splice frame 2 before trailer
+    assert (decode_gif(two) == img).all()
