@@ -3544,6 +3544,88 @@ FROM ranked GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
+def q_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detection + repair (round 7, `llm/textfix.py` — the
+    ftfy-style re-decode trick): docs get deterministic non-ASCII
+    injections (doc_id%3+1 'é' chars; a '→' on even ids), are GARBLED
+    by a utf-8-bytes-read-as-cp1252 mis-decode (docs 250-399 garbled
+    TWICE — the double-mojibake class), then repaired by
+    fix_text_encoding; docs 400+ stay clean to pin the fixed-point
+    property. Output per doc: Column-native marker counts
+    before/after, pass count, and whether the repair recovered the
+    exact pre-garble text — all closed-form for the oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    from quality_spark.llm.textfix import (
+        fix_text_encoding,
+        mojibake_marker_count,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    clean = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr("repeat('é', CAST(doc_id % 3 AS INT) + 1)"),
+            F.when(
+                (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 250),
+                F.lit("→"),
+            ).otherwise(F.lit("")),
+        ).alias("clean"),
+    )
+
+    @pandas_udf("string")
+    def garble(texts: pd.Series, ids: pd.Series) -> pd.Series:
+        def g(s):
+            return s.encode("utf-8").decode("cp1252")
+
+        out = []
+        for s, i in zip(texts, ids):
+            i = int(i)
+            if i >= 400:
+                out.append(s.replace("é", "").replace("→", ""))  # clean
+            elif i >= 250:
+                out.append(g(g(s)))
+            else:
+                out.append(g(s))
+        return pd.Series(out)
+
+    g = clean.select(
+        "doc_id", "clean", garble("clean", "doc_id").alias("text")
+    )
+    # docs >= 400 are the CLEAN control (garble strips the injections
+    # instead): the expected post-repair text is the garble output
+    g = g.withColumn(
+        "clean",
+        F.when(F.col("doc_id") >= 400, F.col("text")).otherwise(
+            F.col("clean")
+        ),
+    )
+    fixed = fix_text_encoding(g, "text")
+    return fixed.select(
+        "doc_id",
+        mojibake_marker_count(F.col("text")).alias("markers_before"),
+        mojibake_marker_count(F.col("text_fixed")).alias("markers_after"),
+        (F.col("text_fixed") == F.col("clean")).cast("int").alias("repaired"),
+        F.col("text_fixed_passes").alias("n_passes"),
+    )
+
+
+def _oracle_encoding_repair() -> str:
+    return """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id >= 400 THEN 0
+                 WHEN doc_id >= 250 THEN 2 * (doc_id % 3 + 1)
+                 ELSE doc_id % 3 + 1 END AS INTEGER) AS markers_before,
+       CAST(0 AS INTEGER) AS markers_after,
+       CAST(1 AS INTEGER) AS repaired,
+       CAST(CASE WHEN doc_id >= 400 THEN 0
+                 WHEN doc_id >= 250 THEN 2
+                 ELSE 1 END AS INTEGER) AS n_passes
+FROM documents WHERE doc_id < 500
+"""
+
+
 def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis block in ONE projection: text stats + lang-id +
     fingerprint + token estimate (r03 gate queries text_stats, lang_id,
@@ -4984,6 +5066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparkless_duckdb": q_sparkless_duckdb,
         # --- LLM pipeline: text / curation / dedup / ANN / io ---
         "text_signals": q_text_signals,
+        "encoding_repair": q_encoding_repair,
         "curation_signals": q_curation_signals,
         "dedup_exact": q_dedup_exact,
         "minhash_pipeline": q_minhash_pipeline,
@@ -5118,6 +5201,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_ops": _oracle_skew_ops(),
         "sparkless_duckdb": _oracle_sparkless_duckdb(),
         "text_signals": _oracle_text_signals(),
+        "encoding_repair": _oracle_encoding_repair(),
         "curation_signals": _oracle_curation_signals(),
         "dedup_exact": _oracle_dedup_exact(),
         "minhash_pipeline": _oracle_minhash_pipeline(),

@@ -363,3 +363,74 @@ def test_pii_counts_match_redaction_semantics(spark):
     assert r["pii_total"] == 1
     red = redact_pii(df).collect()[0]["text_redacted"]
     assert red == "contact <EMAIL> today"
+
+
+def test_textfix_mojibake_repair(spark):
+    """ftfy-style re-decode repair (round 7, llm/textfix.py): single
+    and double cp1252 mojibake unwind to the original; legitimate
+    accented text is a FIXED POINT (its cp1252 bytes are invalid
+    UTF-8, so no repair fires)."""
+    from quality_spark.llm.textfix import (
+        add_encoding_signals,
+        fix_text_encoding,
+    )
+
+    def sloppy_decode(bs: bytes) -> str:
+        # cp1252 with the 5 holes reading as latin-1 — the mis-decode
+        # real-world mojibake generators effectively performed
+        return "".join(
+            chr(x) if x in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+            else bytes([x]).decode("cp1252")
+            for x in bs
+        )
+
+    orig = "déjà vu — c’est l’été"
+    single = sloppy_decode(orig.encode("utf-8"))
+    double = sloppy_decode(single.encode("utf-8"))  # hits the 0x9D hole
+    df = spark.createDataFrame(
+        [("clean", orig), ("single", single), ("double", double),
+         ("ascii", "plain ascii only"), ("none", None)],
+        "kind string, text string",
+    )
+    out = {
+        r["kind"]: r
+        for r in fix_text_encoding(df, "text").collect()
+    }
+    assert out["single"]["text_fixed"] == orig
+    assert out["single"]["text_fixed_passes"] == 1
+    assert out["double"]["text_fixed"] == orig
+    assert out["double"]["text_fixed_passes"] == 2
+    assert out["clean"]["text_fixed"] == orig  # fixed point
+    assert out["clean"]["text_fixed_passes"] == 0
+    assert out["ascii"]["text_fixed_passes"] == 0
+    assert out["none"]["text_fixed"] is None
+    sig = {
+        r["kind"]: r for r in add_encoding_signals(df, "text").collect()
+    }
+    assert sig["single"]["enc_mojibake_markers"] > 0
+    assert sig["ascii"]["enc_mojibake_markers"] == 0
+    assert sig["ascii"]["enc_non_ascii"] == 0
+    assert sig["clean"]["enc_non_ascii"] == sum(ord(c) > 127 for c in orig)
+
+
+def test_textfix_normalize_and_control_chars(spark):
+    """NFC normalization composes e+combining-acute; control chars
+    drop Column-natively except the kept ones."""
+    from pyspark.sql import functions as F
+
+    from quality_spark.llm.textfix import (
+        normalize_unicode,
+        strip_control_chars,
+    )
+
+    decomposed = "Café"  # e + U+0301
+    df = spark.createDataFrame([(decomposed,)], "text string")
+    row = normalize_unicode(df, "text", form="NFC").collect()[0]
+    assert row["text_nfc"] == "Café"
+    df2 = spark.createDataFrame(
+        [("a\x00b\tc\nd\x1fe\x7ff",)], "text string"
+    )
+    got = df2.select(
+        strip_control_chars("text").alias("s")
+    ).collect()[0]["s"]
+    assert got == "ab\tc\ndef"
