@@ -241,7 +241,11 @@ def dedup_against_store(
 
 
 def _hash_and_batch_dedup(
-    batch_df: DataFrame, keys: Sequence[str], key_hash_col: str, hash_only: bool
+    batch_df: DataFrame,
+    keys: Sequence[str],
+    key_hash_col: str,
+    hash_only: bool,
+    num_partitions: Optional[int] = None,
 ) -> DataFrame:
     # within-batch dedup on join_cols, NOT always the hash: in
     # exact mode (hash_only=False) a 64-bit in-batch collision
@@ -253,6 +257,18 @@ def _hash_and_batch_dedup(
             key_hash_col, F.xxhash64(*[F.col(k) for k in keys])
         )
     join_cols = [key_hash_col] if hash_only else list(keys)
+    if num_partitions:
+        # bucketed-store path: land the batch's ONE shuffle on the
+        # store's bucket partitioning. Without this, dropDuplicates
+        # shuffles to spark.sql.shuffle.partitions, the join sees
+        # incompatible partition counts, and the planner re-shuffles
+        # the STORE side every micro-batch (and disables its bucketed
+        # scan) — the exact cost the bucketed store exists to avoid.
+        # The explicit repartition is AQE-stable (user-specified
+        # counts are not coalesced) and the aggregate reuses it.
+        hashed = hashed.repartition(
+            int(num_partitions), *[F.col(c) for c in join_cols]
+        )
     return hashed.dropDuplicates(join_cols)
 
 
@@ -321,7 +337,10 @@ def dedup_against_bucketed_store(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         join_cols = [key_hash_col] if hash_only else list(keys)
-        hashed = _hash_and_batch_dedup(batch_df, keys, key_hash_col, hash_only)
+        hashed = _hash_and_batch_dedup(
+            batch_df, keys, key_hash_col, hash_only,
+            num_partitions=int(buckets),
+        )
         exists = spark.catalog.tableExists(store_table)
         if exists:
             seen = spark.table(store_table).select(*join_cols)

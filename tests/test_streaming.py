@@ -374,20 +374,33 @@ def test_dedup_against_bucketed_store_no_store_exchange(spark):
     handler(b2, 1)
     assert emitted[-1] == ["c"]  # cross-batch: store table consulted
 
-    # plan pin: anti-join against the bucketed store has exactly ONE
-    # Exchange (the batch side) — the store scan is bucket-partitioned.
+    # plan pin: the REAL handler-shaped probe (within-batch dedup
+    # included) anti-joins the bucketed store with exactly ONE Exchange
+    # — the batch side, landed on the store's bucket partitioning.
+    # Round 7: the previous pin probed a simplified plan WITHOUT the
+    # dropDuplicates aggregate; in the real shape that aggregate
+    # shuffled to spark.sql.shuffle.partitions, the partition counts
+    # mismatched, and the planner re-shuffled the STORE side every
+    # micro-batch (measured 2.7x slower at an 80M-key store) — the
+    # handler now pins its batch shuffle to the bucket count.
     # Broadcast is disabled for the pin: at real scale the store side
     # is far past any broadcast threshold, and the property under test
     # is the shuffle-free SMJ probe of the store.
+    from quality_spark.streaming.recipes import (
+        _anti_join_seen,
+        _hash_and_batch_dedup,
+    )
+
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        seen = spark.table(table)
-        probe = spark.createDataFrame([("a",), ("z",)], "k string").withColumn(
-            "__qs_key_hash", __import__("pyspark").sql.functions.xxhash64("k")
+        seen = spark.table(table).select("__qs_key_hash")
+        probe = spark.createDataFrame([("a",), ("z",)], "k string")
+        hashed = _hash_and_batch_dedup(
+            probe, ["k"], "__qs_key_hash", True, num_partitions=4
         )
         plan = (
-            probe.join(seen, "__qs_key_hash", "left_anti")
+            _anti_join_seen(hashed, seen, ["__qs_key_hash"], True)
             ._jdf.queryExecution().executedPlan().toString()
         )
     finally:

@@ -92,16 +92,17 @@ def main() -> None:
     ).cache()
     batch.count()
 
-    def probe(seen):
-        hashed = _hash_and_batch_dedup(batch, ["k"], hcol, True)
+    def probe(seen, nparts=None):
+        hashed = _hash_and_batch_dedup(batch, ["k"], hcol, True,
+                                       num_partitions=nparts)
         fresh = _anti_join_seen(hashed, seen.select(hcol), [hcol], True)
         t0 = time.perf_counter()
         fresh.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    def timed_min2(seen):
-        probe(seen)  # warm
-        return round(min(probe(seen), probe(seen)), 3)
+    def timed_min2(seen, nparts=None):
+        probe(seen, nparts)  # warm
+        return round(min(probe(seen, nparts), probe(seen, nparts)), 3)
 
     results = {
         "keys": args.keys,
@@ -110,13 +111,14 @@ def main() -> None:
         "cpus": int(CPUS),
     }
     results["plain_s"] = timed_min2(spark.read.parquet(plain_path))
-    results["bucketed_s"] = timed_min2(spark.table(table))
+    results["bucketed_s"] = timed_min2(spark.table(table), args.buckets)
     compact_key_store(spark, table)
-    results["compacted_s"] = timed_min2(spark.table(table))
+    results["compacted_s"] = timed_min2(spark.table(table), args.buckets)
 
     # plan pin: the bucketed probe must have no Exchange on the store
     # side — exactly one Exchange total (the batch side)
-    hashed = _hash_and_batch_dedup(batch, ["k"], hcol, True)
+    hashed = _hash_and_batch_dedup(batch, ["k"], hcol, True,
+                                   num_partitions=args.buckets)
     fresh = _anti_join_seen(
         hashed, spark.table(table).select(hcol), [hcol], True
     )
