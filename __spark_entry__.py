@@ -1365,6 +1365,9 @@ def q_media_features(
       grid (amplitude (id%128)/128), so decoded frame count, channel
       count, sample rate, exact byte size (44 + 2*frames), and the
       scaled rms/peak are all closed-form oracle arithmetic.
+    - 'wav_spec' (round 7): numpy-rfft spectral analysis of exact-bin
+      sine tones — dominant-frequency bin and zero-crossing count are
+      closed-form integers per doc.
     - 'y4m': REAL video frame sampling (round 5): 10 fps mono
       yuv4mpeg2 streams of 3+id%4 frames sampled every 200 ms — the
       sampled count ((n+1)//2), true-timestamp sum (100*m*(m-1)), and
@@ -1543,6 +1546,45 @@ def q_media_features(
         F.col("rms_milli").cast("double").alias("px_mean"),
         F.col("peak_milli").cast("double").alias("px_max"),
     )
+    from quality_spark.llm.multimodal import audio_spectral_features
+
+    @pandas_udf("binary")
+    def make_tone(ids: pd.Series) -> pd.Series:
+        """Round 7: pure sine tones on exact FFT bins (f = 250..1250
+        Hz, 4000 samples at 8 kHz -> integer cycle counts), phase
+        offset 0.25 samples so no sample lands exactly on zero —
+        making zero-crossing count (f-1, fencepost) and dominant rfft
+        bin (f) EXACT closed-form integers."""
+        import numpy as np
+
+        from quality_spark.llm.multimodal import encode_wav
+
+        out = []
+        for i in ids:
+            f = 250 * (int(i) % 5 + 1)
+            t = np.arange(4000)
+            sig = 0.5 * np.sin(2 * np.pi * f * (t + 0.25) / 8000.0)
+            out.append(encode_wav(sig.reshape(-1, 1), 8000, 16))
+        return pd.Series(out)
+
+    tone_media = as_media_column(
+        docs.select("doc_id", make_tone("doc_id").alias("payload")),
+        "payload",
+        "audio",
+        "wav",
+    )
+    wav_spec_part = audio_spectral_features(
+        tone_media, id_col="doc_id"
+    ).select(
+        F.lit("wav_spec").alias("part"),
+        F.col("id").alias("doc_id"),
+        F.col("n_frames").alias("n_bytes"),
+        F.col("sample_rate").cast("int").alias("dim"),
+        F.lit(-1).cast("int").alias("width"),
+        F.lit(-1).cast("int").alias("height"),
+        F.col("dominant_freq_hz").cast("double").alias("px_mean"),
+        F.col("zero_crossings").cast("double").alias("px_max"),
+    )
     from quality_spark.llm.multimodal import sample_frames
 
     @pandas_udf("binary")
@@ -1593,6 +1635,7 @@ def q_media_features(
         "jpeg_prog": jpeg_prog_part,
         "gif": lambda: img_part("gif"),
         "wav": lambda: wav_part,
+        "wav_spec": lambda: wav_spec_part,
         "y4m": lambda: y4m_part,
     }
     sel = tuple(built) if only is None else tuple(only)
@@ -1701,6 +1744,15 @@ SELECT 'wav', doc_id,
        CAST(1 AS INTEGER), CAST(8000 AS INTEGER),
        CAST(floor((doc_id % 128) * 1000.0 / 128 + 0.5) AS DOUBLE),
        CAST(floor((doc_id % 128) * 1000.0 / 128 + 0.5) AS DOUBLE)
+FROM documents WHERE doc_id < 200
+UNION ALL
+-- wav_spec (round 7): FFT analysis of bin-aligned sine tones — the
+-- dominant rfft bin IS the tone frequency and the sign-change count
+-- is f-1 (fencepost over f crossings), both exact integers
+SELECT 'wav_spec', doc_id, CAST(4000 AS BIGINT), CAST(8000 AS INTEGER),
+       CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+       CAST(250 * (doc_id % 5 + 1) AS DOUBLE),
+       CAST(250 * (doc_id % 5 + 1) - 1 AS DOUBLE)
 FROM documents WHERE doc_id < 200
 UNION ALL
 SELECT 'y4m', doc_id,
@@ -5107,7 +5159,7 @@ def query_legs() -> dict:
         "media_features": {
             p: media(p)
             for p in ("text", "bmp", "ppm", "png", "jpeg", "jpeg_rst",
-                      "jpeg_prog", "gif", "wav", "y4m")
+                      "jpeg_prog", "gif", "wav", "wav_spec", "y4m")
         },
         "embedding_ann": {
             "topk": q_ann_cosine_topk,

@@ -1894,6 +1894,80 @@ def extract_audio_features(
     return src.mapInPandas(kernel, schema=schema)
 
 
+def audio_spectral_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Real DSP over WAV payloads (round 7): ``(id, sample_rate,
+    n_frames, zero_crossings, dominant_freq_hz, centroid_milli_hz)``
+    via numpy rfft on the mono-mixed signal — Arrow-batched
+    mapInPandas, partition-preserving like the other media kernels.
+
+    Determinism tiers: ``zero_crossings`` (sign-change count) and
+    ``dominant_freq_hz`` (argmax magnitude bin, DC excluded, bin
+    center rounded to Hz) are EXACT integers — gate-hashable;
+    ``centroid_milli_hz`` (spectral centroid, milli-Hz) carries
+    quantization-noise sensitivity at the sub-Hz level and is emitted
+    for analysis, tested under tolerance rather than hashed."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("dominant_freq_hz", T.LongType()),
+            T.StructField("centroid_milli_hz", T.LongType()),
+        ]
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(f"{media_col}.payload").alias("payload"),
+        F.col(f"{media_col}.meta.format").alias("fmt"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for rid, p, fmt in zip(pdf["id"], pdf["payload"], pdf["fmt"]):
+                out["id"].append(rid)
+                vals = (None, None, None, None, None)
+                if (fmt or "").lower() == "wav":
+                    try:
+                        samples, rate = decode_wav(
+                            bytes(p) if p is not None else b""
+                        )
+                        mono = samples.mean(axis=1)
+                        n = len(mono)
+                        zc = int(
+                            (np.signbit(mono[1:]) != np.signbit(mono[:-1]))
+                            .sum()
+                        ) if n > 1 else 0
+                        sp = np.abs(np.fft.rfft(mono))
+                        sp[0] = 0.0  # exclude DC from dominance
+                        freqs = np.arange(len(sp)) * (rate / n)
+                        b = int(sp.argmax()) if len(sp) else 0
+                        tot = float(sp.sum())
+                        cen = float((freqs * sp).sum() / tot) if tot else 0.0
+                        vals = (
+                            rate, n, zc,
+                            math.floor(b * rate / n + 0.5),
+                            math.floor(cen * 1000 + 0.5),
+                        )
+                    except ValueError:
+                        pass  # corrupt payload degrades to nulls
+                for k, v in zip(
+                    ("sample_rate", "n_frames", "zero_crossings",
+                     "dominant_freq_hz", "centroid_milli_hz"), vals,
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(kernel, schema=schema)
+
+
 def _bmp_features(img: np.ndarray, dim: int) -> np.ndarray:
     """REAL image features from decoded pixels: [w, h, mean_r, mean_g,
     mean_b, gray_mean, gray_std, gray_max] (gray = channel mean, kept

@@ -1576,3 +1576,37 @@ def test_gif_interlace_and_first_frame():
     f2 = encode_gif(np.full((h, w, 3), 9, np.uint8))
     two = plain[:-1] + f2[gct_end:]  # splice frame 2 before trailer
     assert (decode_gif(two) == img).all()
+
+
+def test_audio_spectral_features(spark):
+    """FFT spectral features (round 7): bin-aligned sine tones give
+    exact dominant-frequency and zero-crossing values; the spectral
+    centroid lands within 1 Hz of the tone (quantization leakage is
+    sub-Hz); corrupt payloads degrade to nulls."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        as_media_column,
+        audio_spectral_features,
+        encode_wav,
+    )
+
+    rows = []
+    for doc_id, f in ((1, 250), (2, 750), (3, 1250)):
+        t = np.arange(4000)
+        sig = 0.5 * np.sin(2 * np.pi * f * (t + 0.25) / 8000.0)
+        rows.append((doc_id, bytearray(encode_wav(sig.reshape(-1, 1), 8000, 16))))
+    rows.append((9, bytearray(b"not a wav")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = as_media_column(df, "payload", "audio", "wav")
+    got = {
+        r["id"]: r
+        for r in audio_spectral_features(media, id_col="doc_id").collect()
+    }
+    for doc_id, f in ((1, 250), (2, 750), (3, 1250)):
+        r = got[doc_id]
+        assert r["dominant_freq_hz"] == f
+        assert r["zero_crossings"] == f - 1
+        assert abs(r["centroid_milli_hz"] / 1000.0 - f) < 1.0
+        assert r["sample_rate"] == 8000 and r["n_frames"] == 4000
+    assert got[9]["dominant_freq_hz"] is None  # corrupt -> nulls
