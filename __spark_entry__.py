@@ -3678,6 +3678,86 @@ FROM documents WHERE doc_id < 500
 """
 
 
+#: fixed BPE merge table for the tokenize gate (rank order) — the
+#: merges real training produces on this corpus at 12 steps; verified
+#: equivalent to the oracle's sequential replace-chain on every
+#: corpus word (a merge's parts only come from earlier merges, so
+#: rank-greedy apply == sequential apply)
+_BPE_GATE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+]
+
+#: the classic Sennrich-style training example (word: freq); first 6
+#: merges are hand-derivable from the public algorithm — see
+#: tests/test_curation.py::test_bpe_training_classic_example
+_BPE_MINI_CORPUS = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer gate (round 7, `llm/bpe.py`), two parts:
+
+    - 'tok': documents tokenized under the FIXED 12-merge table —
+      per-doc token and word counts; the oracle replays the exact
+      segmentation as a sequential replace-chain over space-separated
+      characters (equivalent to rank-greedy apply for any trained
+      merge table).
+    - 'merge': train_bpe run END-TO-END through Spark (literal
+      mini-corpus -> word_frequencies -> capped collect -> merge
+      loop); the 6 expected merges are hand-derived from the
+      published algorithm, so training is value-gated without
+      circularity."""
+    from quality_spark.llm.bpe import apply_bpe, bpe_token_count, train_bpe
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = apply_bpe(
+        docs.select("doc_id", "text"), "text", _BPE_GATE_MERGES
+    )
+    tok_part = toks.select(
+        F.lit("tok").alias("part"),
+        F.col("doc_id").cast("bigint").alias("ord"),
+        F.lit("").alias("a"),
+        F.lit("").alias("b"),
+        bpe_token_count("bpe_tokens").alias("n1"),
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).cast("int").alias("n2"),
+    )
+    corpus_text = " ".join(
+        w for w, f in _BPE_MINI_CORPUS.items() for _ in range(f)
+    )
+    mini = spark.createDataFrame([(corpus_text,)], "text string")
+    merges = train_bpe(mini, "text", num_merges=6)
+    m_df = spark.createDataFrame(
+        [("merge", i, a, b, -1, -1) for i, (a, b) in enumerate(merges)],
+        "part string, ord bigint, a string, b string, n1 int, n2 int",
+    )
+    return tok_part.unionByName(m_df)
+
+
+def _oracle_bpe_tokenize() -> str:
+    spaced = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '</w> '"
+    chain = spaced
+    for a, b in _BPE_GATE_MERGES:
+        chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+SELECT 'tok' AS part, doc_id AS ord, '' AS a, '' AS b,
+       CAST(SUM(len(string_split(trim({chain}), ' '))) AS INTEGER) AS n1,
+       CAST(COUNT(*) AS INTEGER) AS n2
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id < 300
+) WHERE w != ''
+GROUP BY doc_id
+UNION ALL
+SELECT 'merge', rank, a, b, -1, -1 FROM (VALUES
+  (0, 'e', 's'), (1, 'es', 't'), (2, 'est', '</w>'),
+  (3, 'l', 'o'), (4, 'lo', 'w'), (5, 'e', 'w')
+) t(rank, a, b)
+"""
+
+
 def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis block in ONE projection: text stats + lang-id +
     fingerprint + token estimate (r03 gate queries text_stats, lang_id,
@@ -5119,6 +5199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM pipeline: text / curation / dedup / ANN / io ---
         "text_signals": q_text_signals,
         "encoding_repair": q_encoding_repair,
+        "bpe_tokenize": q_bpe_tokenize,
         "curation_signals": q_curation_signals,
         "dedup_exact": q_dedup_exact,
         "minhash_pipeline": q_minhash_pipeline,
@@ -5254,6 +5335,7 @@ def oracle_sql() -> dict[str, str]:
         "sparkless_duckdb": _oracle_sparkless_duckdb(),
         "text_signals": _oracle_text_signals(),
         "encoding_repair": _oracle_encoding_repair(),
+        "bpe_tokenize": _oracle_bpe_tokenize(),
         "curation_signals": _oracle_curation_signals(),
         "dedup_exact": _oracle_dedup_exact(),
         "minhash_pipeline": _oracle_minhash_pipeline(),

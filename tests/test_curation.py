@@ -434,3 +434,66 @@ def test_textfix_normalize_and_control_chars(spark):
         strip_control_chars("text").alias("s")
     ).collect()[0]["s"]
     assert got == "ab\tc\ndef"
+
+
+def test_bpe_training_classic_example(spark):
+    """train_bpe end-to-end through Spark on the classic
+    Sennrich-style corpus {low:5, lower:2, newest:6, widest:3} — the
+    first 6 merges are HAND-DERIVED from the published algorithm
+    (highest weighted pair count, ties to the lexicographically
+    smallest pair):
+      round 1: (e,s),(s,t),(t,</w>) all 9 -> (e,s)
+      round 2: (es,t),(t,</w>) 9 -> (es,t)
+      round 3: (est,</w>) 9
+      round 4: (l,o),(o,w) 7 -> (l,o)
+      round 5: (lo,w) 7
+      round 6: (e,w),(n,e),(w,est</w>) 6 -> (e,w)"""
+    from quality_spark.llm.bpe import train_bpe
+
+    text = " ".join(
+        w
+        for w, f in (("low", 5), ("lower", 2), ("newest", 6), ("widest", 3))
+        for _ in range(f)
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    merges = train_bpe(df, "text", num_merges=6)
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"),
+        ("l", "o"), ("lo", "w"), ("e", "w"),
+    ]
+
+
+def test_bpe_apply_semantics(spark):
+    """Rank-greedy apply: lowest-rank pair merges first, all
+    occurrences left-to-right; unknown words fall back to characters;
+    min_pair_count stops training when pairs get rare."""
+    from quality_spark.llm.bpe import (
+        apply_bpe,
+        bpe_segment_word,
+        bpe_token_count,
+        train_bpe_from_frequencies,
+    )
+
+    ranks = {("l", "o"): 0, ("lo", "w"): 1, ("e", "r"): 2}
+    assert bpe_segment_word("low", ranks) == ["low", "</w>"]
+    assert bpe_segment_word("lower", ranks) == ["low", "er", "</w>"]
+    assert bpe_segment_word("zzz", ranks) == ["z", "z", "z", "</w>"]
+    # left-to-right non-overlap: 'aaa' under (a,a) -> [aa, a]
+    assert bpe_segment_word("aaa", {("a", "a"): 0}) == ["aa", "a", "</w>"]
+    # min_pair_count guard
+    assert train_bpe_from_frequencies({"ab": 1}, 10, min_pair_count=2) == []
+
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, None)], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in apply_bpe(df, "text", list(ranks)).select(
+            "doc_id",
+            "bpe_tokens",
+            bpe_token_count("bpe_tokens").alias("n"),
+        ).collect()
+    }
+    assert out[1]["bpe_tokens"] == ["low", "</w>", "low", "er", "</w>"]
+    assert out[1]["n"] == 5
+    assert out[2]["bpe_tokens"] is None
