@@ -3678,6 +3678,68 @@ FROM documents WHERE doc_id < 500
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (round 7, `llm/lm.py` — the
+    CCNet-style perplexity filter as pure DataFrame ops): train add-k
+    bigram counts on docs >= 250, score the held-out docs < 250. The
+    gate hashes the EXACT integer aggregates (bigram count, unseen
+    count, summed pair/context counts) that pin the whole
+    train+join+aggregate pipeline; the floating avg_logprob/perplexity
+    are pure scalar maps of those integers (unit-tested under
+    tolerance — cross-engine ln() differs in the last ulp)."""
+    from quality_spark.llm.lm import score_with_bigram_lm, train_bigram_lm
+
+    docs = _read(spark, sf_dir, "documents")
+    pair_c, ctx_c, vocab = train_bigram_lm(
+        docs.filter(F.col("doc_id") >= 250), "text"
+    )
+    return score_with_bigram_lm(
+        docs.filter(F.col("doc_id") < 250),
+        pair_c, ctx_c, vocab,
+    ).select("doc_id", "n_bigrams", "n_unseen", "sum_pair", "sum_ctx")
+
+
+def _oracle_lm_score() -> str:
+    return """
+WITH tr AS (
+  SELECT list_filter(string_split(text, ' '), w -> w != '') AS l
+  FROM documents WHERE doc_id >= 250
+),
+trbig AS (
+  SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM tr WHERE len(l) >= 2
+),
+pairs AS (SELECT w1, w2, count(*) AS pc FROM trbig GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS cc FROM trbig GROUP BY 1),
+sc AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS l
+  FROM documents WHERE doc_id < 250
+),
+scbig AS (
+  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM sc WHERE len(l) >= 2
+),
+j AS (
+  SELECT s.doc_id, coalesce(p.pc, 0) AS pc, coalesce(c.cc, 0) AS cc
+  FROM scbig s
+  LEFT JOIN pairs p ON s.w1 = p.w1 AND s.w2 = p.w2
+  LEFT JOIN ctx c ON s.w1 = c.w1
+),
+agg AS (
+  SELECT doc_id, count(*) AS nb, sum(CASE WHEN pc = 0 THEN 1 ELSE 0 END) AS nu,
+         sum(pc) AS sp, sum(cc) AS sx
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(nb, 0) AS INTEGER) AS n_bigrams,
+       CAST(coalesce(nu, 0) AS INTEGER) AS n_unseen,
+       CAST(coalesce(sp, 0) AS BIGINT) AS sum_pair,
+       CAST(coalesce(sx, 0) AS BIGINT) AS sum_ctx
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 250) d
+LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 #: fixed BPE merge table for the tokenize gate (rank order) — the
 #: merges real training produces on this corpus at 12 steps; verified
 #: equivalent to the oracle's sequential replace-chain on every
@@ -5200,6 +5262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_signals": q_text_signals,
         "encoding_repair": q_encoding_repair,
         "bpe_tokenize": q_bpe_tokenize,
+        "lm_score": q_lm_score,
         "curation_signals": q_curation_signals,
         "dedup_exact": q_dedup_exact,
         "minhash_pipeline": q_minhash_pipeline,
@@ -5336,6 +5399,7 @@ def oracle_sql() -> dict[str, str]:
         "text_signals": _oracle_text_signals(),
         "encoding_repair": _oracle_encoding_repair(),
         "bpe_tokenize": _oracle_bpe_tokenize(),
+        "lm_score": _oracle_lm_score(),
         "curation_signals": _oracle_curation_signals(),
         "dedup_exact": _oracle_dedup_exact(),
         "minhash_pipeline": _oracle_minhash_pipeline(),

@@ -1,0 +1,128 @@
+"""N-gram language-model scoring — the CCNet-style quality filter.
+
+Beyond-reference LLM-pipeline surface (SURVEY §7 phase 9): the
+standard corpus-quality signal behind CCNet/CC-Net-style filtering is
+"how surprising is this document under a reference language model".
+This module implements the n-gram flavor with add-k smoothing
+(public, textbook: Jurafsky & Martin ch. 3) as PURE DataFrame
+operations — training is two groupBy counts, scoring is two joins and
+an aggregation; no Python runs per row anywhere.
+
+Scale design: the LM tables are (gram, count) DataFrames — millions
+of rows at most after ``min_count`` pruning, so the score-side joins
+broadcast when small and shuffle-join on the gram key otherwise
+(Spark's planner picks; both sides are plain equi-joins). Scoring a
+100 TB corpus is one explode (bigrams), two joins against the LM, one
+groupBy(doc) — all map-side combinable.
+
+Determinism: the per-doc INTEGER aggregates (bigram count, unseen
+count, summed pair/context counts) are exact and drive the oracle
+gate; the floating log-probability / perplexity columns are pure
+scalar maps of those pinned integers (unit-tested under tolerance —
+cross-engine ln() may differ in the last ulp).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["train_bigram_lm", "score_with_bigram_lm"]
+
+
+def _doc_bigrams(df: DataFrame, text_col: str) -> DataFrame:
+    """(original columns..., w1, w2) — one row per adjacent word pair;
+    docs with fewer than two words contribute no rows."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    pairs = F.arrays_zip(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))).alias("w1"),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))).alias("w2"),
+    )
+    return (
+        df.withColumn("__qs_pair", F.explode(pairs))
+        .withColumn("w1", F.col("__qs_pair.w1"))
+        .withColumn("w2", F.col("__qs_pair.w2"))
+        .drop("__qs_pair")
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> Tuple[DataFrame, DataFrame, int]:
+    """Train: returns ``(pair_counts, context_counts, vocab_size)``
+    where pair_counts = (w1, w2, pair_count), context_counts =
+    (w1, ctx_count) — two shuffles, map-side combined — and
+    vocab_size = number of distinct words (the add-k denominator).
+    ``min_count`` prunes rare pairs (the LM-size knob at corpus
+    scale)."""
+    grams = _doc_bigrams(df.select(F.col(text_col)), text_col)
+    pair_counts = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= int(min_count))
+    )
+    ctx_counts = grams.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("ctx_count")
+    )
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    vocab = (
+        df.select(F.explode(words).alias("w")).distinct().count()
+    )
+    return pair_counts, ctx_counts, int(vocab)
+
+
+def score_with_bigram_lm(
+    docs: DataFrame,
+    pair_counts: DataFrame,
+    ctx_counts: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-doc LM score: ``(id_col, n_bigrams, n_unseen, sum_pair,
+    sum_ctx, avg_logprob, perplexity)``.
+
+    P(w2|w1) = (pair_count + k) / (ctx_count + k * vocab_size) —
+    add-k smoothing, so unseen pairs (and unseen contexts) get finite
+    probability. The integer columns are exact (they pin the
+    join/count pipeline for the oracle gate); avg_logprob =
+    mean ln P over the doc's bigrams, perplexity = exp(-avg_logprob).
+    Docs with <2 words keep a row with n_bigrams=0 and NULL scores."""
+    grams = _doc_bigrams(docs.select(id_col, text_col), text_col)
+    joined = (
+        grams.join(pair_counts, ["w1", "w2"], "left")
+        .join(ctx_counts, ["w1"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("pair_count"), F.lit(0)).alias("pc"),
+            F.coalesce(F.col("ctx_count"), F.lit(0)).alias("cc"),
+        )
+    )
+    kv = float(k) * int(vocab_size)
+    scored = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.sum((F.col("pc") == 0).cast("int")).cast("int").alias("n_unseen"),
+        F.sum("pc").cast("bigint").alias("sum_pair"),
+        F.sum("cc").cast("bigint").alias("sum_ctx"),
+        F.avg(
+            F.log((F.col("pc") + F.lit(float(k))) / (F.col("cc") + F.lit(kv)))
+        ).alias("avg_logprob"),
+    )
+    base = docs.select(F.col(id_col)).distinct()
+    return (
+        base.join(scored, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_unseen", F.lit(0)).alias("n_unseen"),
+            F.coalesce("sum_pair", F.lit(0)).alias("sum_pair"),
+            F.coalesce("sum_ctx", F.lit(0)).alias("sum_ctx"),
+            F.col("avg_logprob"),
+            F.exp(-F.col("avg_logprob")).alias("perplexity"),
+        )
+    )

@@ -497,3 +497,37 @@ def test_bpe_apply_semantics(spark):
     assert out[1]["bpe_tokens"] == ["low", "</w>", "low", "er", "</w>"]
     assert out[1]["n"] == 5
     assert out[2]["bpe_tokens"] is None
+
+
+def test_bigram_lm_known_values(spark):
+    """Add-k bigram LM: hand-computed probabilities on a tiny corpus;
+    unseen pairs get finite probability; <2-word docs keep a row with
+    NULL scores; perplexity = exp(-avg_logprob)."""
+    import math
+
+    from quality_spark.llm.lm import score_with_bigram_lm, train_bigram_lm
+
+    train = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id int, text string"
+    )
+    pair_c, ctx_c, vocab = train_bigram_lm(train, "text")
+    assert vocab == 4
+    assert sorted(
+        (r["w1"], r["w2"], r["pair_count"]) for r in pair_c.collect()
+    ) == [("a", "b", 3), ("b", "a", 1), ("b", "c", 1), ("b", "x", 1)]
+    docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "z z"), (12, "solo")], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in score_with_bigram_lm(docs, pair_c, ctx_c, vocab, k=0.5).collect()
+    }
+    r = out[10]  # (a,b): pc 3 cc 3; (b,c): pc 1 cc 3; denom = cc + 0.5*4
+    want = (math.log(3.5 / 5.0) + math.log(1.5 / 5.0)) / 2
+    assert (r["n_bigrams"], r["n_unseen"], r["sum_pair"], r["sum_ctx"]) == (
+        2, 0, 4, 6
+    )
+    assert abs(r["avg_logprob"] - want) < 1e-12
+    assert abs(r["perplexity"] - math.exp(-want)) < 1e-9
+    assert out[11]["n_unseen"] == 1  # (z,z) unseen, still scored
+    assert out[12]["n_bigrams"] == 0 and out[12]["avg_logprob"] is None
