@@ -3678,6 +3678,50 @@ FROM documents WHERE doc_id < 500
 """
 
 
+def q_window_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc exact-substring duplication (round 7,
+    `llm/dedup.py:window_dup_stats` — the Lee-et-al sliding-window
+    signal): 13-token windows hashed and counted across docs < 400;
+    the synthetic corpus plants real duplicates (30 docs share
+    windows at sf0.01), so the dup counts are non-vacuous. The oracle
+    groups by the window TEXT itself — identical counts unless
+    xxhash64 collides, which at this scale it does not."""
+    from quality_spark.llm.dedup import window_dup_stats
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    out = window_dup_stats(docs, n=13)
+    return out.select(
+        "doc_id", "n_windows", "n_dup_windows",
+        F.round(F.col("dup_window_fraction"), 6).alias("dup_frac"),
+    )
+
+
+def _oracle_window_dup() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS l
+  FROM documents WHERE doc_id < 400
+),
+w AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i:i+12], ' ') AS win
+  FROM t, UNNEST(range(1, len(l) - 11)) AS u(i)
+),
+c AS (SELECT win, count(*) AS nd FROM w GROUP BY win),
+j AS (
+  SELECT doc_id, count(*) AS nw,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS ndup
+  FROM w JOIN c USING (win) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(nw, 0) AS INTEGER) AS n_windows,
+       CAST(coalesce(ndup, 0) AS INTEGER) AS n_dup_windows,
+       CASE WHEN coalesce(nw, 0) > 0
+            THEN round(ndup * 1.0 / nw, 6) END AS dup_frac
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 400) d
+LEFT JOIN j ON d.doc_id = j.doc_id
+"""
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality scoring (round 7, `llm/lm.py` — the
     CCNet-style perplexity filter as pure DataFrame ops): train add-k
@@ -5263,6 +5307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_repair": q_encoding_repair,
         "bpe_tokenize": q_bpe_tokenize,
         "lm_score": q_lm_score,
+        "window_dup": q_window_dup,
         "curation_signals": q_curation_signals,
         "dedup_exact": q_dedup_exact,
         "minhash_pipeline": q_minhash_pipeline,
@@ -5400,6 +5445,7 @@ def oracle_sql() -> dict[str, str]:
         "encoding_repair": _oracle_encoding_repair(),
         "bpe_tokenize": _oracle_bpe_tokenize(),
         "lm_score": _oracle_lm_score(),
+        "window_dup": _oracle_window_dup(),
         "curation_signals": _oracle_curation_signals(),
         "dedup_exact": _oracle_dedup_exact(),
         "minhash_pipeline": _oracle_minhash_pipeline(),

@@ -815,3 +815,78 @@ def dedup_keep_list(
         df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
         .select(*df.columns, keep.alias("keep"))
     )
+
+
+def window_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+) -> DataFrame:
+    """Cross-document EXACT-substring duplication signal (round 7 —
+    the sliding-window flavor of Lee et al. 2022's "Deduplicating
+    Training Data Makes Language Models Better", public): every
+    length-``n`` token window is hashed; a window is DUPLICATED when
+    the identical window appears in more than one document. Output per
+    doc: ``n_windows`` (DISTINCT windows in the doc — within-doc
+    repeats are intra-doc repetition, repetition.py's domain),
+    ``n_dup_windows`` (of those, shared with any other doc), and
+    ``dup_window_fraction``. Complements
+    :func:`paragraph_dedup` (structural paragraphs) by catching
+    copy-paste spans that cross paragraph boundaries.
+
+    Scale shape: one explode (windows), one groupBy(window-hash) with
+    map-side combine, one join back on the hash — the same
+    two-shuffle budget as the other dedup signals; no all-pairs
+    anything. Window identity uses xxhash64 of the joined tokens —
+    64-bit collisions overcount duplication at the birthday bound
+    (~4B distinct windows), acceptable for a filtering SIGNAL (the
+    actual dedup decision stays with the exact/minhash operators)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("__qs_toks"))
+    nwin = F.size("__qs_toks") - (n - 1)
+    # guard: sequence(1, 0) DESCENDS to [1, 0] — short docs must yield
+    # an empty window list, not a slice(start=0) error
+    positions = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice("__qs_toks", i, n), " ")
+                ),
+            )
+        ).alias("__qs_whash"),
+    )
+    # distinct (doc, window) first: a window repeated WITHIN one doc is
+    # intra-doc repetition (repetition.py's domain), not cross-doc dup
+    doc_wins = wins.distinct()
+    counts = doc_wins.groupBy("__qs_whash").agg(
+        F.count(F.lit(1)).alias("__qs_ndocs")
+    )
+    per_doc = (
+        doc_wins.join(counts, "__qs_whash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+            F.sum((F.col("__qs_ndocs") > 1).cast("int"))
+            .cast("int")
+            .alias("n_dup_windows"),
+        )
+    )
+    return (
+        df.select(id_col).distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.col("n_dup_windows") / F.col("n_windows"),
+            ).alias("dup_window_fraction"),
+        )
+    )

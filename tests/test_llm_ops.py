@@ -1610,3 +1610,35 @@ def test_audio_spectral_features(spark):
         assert abs(r["centroid_milli_hz"] / 1000.0 - f) < 1.0
         assert r["sample_rate"] == 8000 and r["n_frames"] == 4000
     assert got[9]["dominant_freq_hz"] is None  # corrupt -> nulls
+
+
+def test_window_dup_stats_known_values(spark):
+    """Cross-doc window duplication: shared 3-token windows count once
+    per doc (distinct basis), within-doc repeats do NOT inflate the
+    counts, short docs yield zero windows (and the sequence guard for
+    sub-n docs holds)."""
+    from quality_spark.llm.dedup import window_dup_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # windows: abc bcd cde
+            (2, "x a b c y"),        # windows: xab abc bcy -> shares abc
+            (3, "q r s"),            # one unique window
+            (4, "m n"),              # shorter than n -> 0 windows
+            (5, "a b c a b c a b"),  # within-doc repeat of abc (+ others)
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in window_dup_stats(df, n=3).collect()
+    }
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (3, 1)
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (3, 1)
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (1, 0)
+    assert (out[4]["n_windows"], out[4]["n_dup_windows"]) == (0, 0)
+    assert out[4]["dup_window_fraction"] is None
+    # doc 5: distinct windows abc bca cab bc a... = {abc, bca, cab, bab? }
+    # tokens a b c a b c a b -> windows: abc bca cab abc bca cab = 3 distinct
+    assert out[5]["n_windows"] == 3
+    assert out[5]["n_dup_windows"] == 1  # only abc is cross-doc shared
+    assert abs(out[1]["dup_window_fraction"] - 1 / 3) < 1e-12
