@@ -2821,6 +2821,92 @@ def _oracle_streaming_windowed_dq() -> str:
     return _oracle_events_windowed_dq()
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization through a REAL availableNow stream
+    (round 7, `streaming/recipes.py:sessionized_stream_stats` —
+    Spark's native session_window + watermark): 30-minute-gap sessions
+    per user over events user_id < 50, counts + exact value extrema
+    per session (doubles avoided in aggregates: max/min are
+    order-independent, sums are not). Boundary semantics pinned by
+    test: an event EXACTLY gap after the previous one still merges
+    (Spark's session end is inclusive); the oracle's gaps-and-islands
+    break is therefore strictly 'ts > prev + gap'."""
+    import os
+    import shutil
+    import tempfile
+
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+    from quality_spark.streaming.recipes import sessionized_stream_stats
+
+    stage = os.path.join(tempfile.gettempdir(), "qs_stream_sessions")
+    shutil.rmtree(stage, ignore_errors=True)
+    batch = read_parquet_compat(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") < 50
+    )
+    batch.coalesce(4).write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+
+    stream = spark.readStream.schema(staged.schema).parquet(stage)
+    out = sessionized_stream_stats(
+        stream,
+        ["user_id"],
+        "ts",
+        gap="30 minutes",
+        watermark="0 seconds",
+        aggs=[
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.max("value").alias("max_value"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+        ],
+    )
+    name = "qs_stream_sessions"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming_sessions stream did not finish")
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        F.round(F.col("max_value"), 6).alias("max_value"),
+        "first_event_id",
+    )
+
+
+def _oracle_streaming_sessions() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, ts, value, event_id FROM events WHERE user_id < 50
+),
+o AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS INTEGER) AS n_events,
+       ROUND(MAX(value), 6) AS max_value,
+       CAST(MIN(event_id) AS BIGINT) AS first_event_id
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_lambda_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A registered lambda whose body contains a scalar subquery
     referencing the lambda parameter: after driver-side splicing the
@@ -5308,6 +5394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "lm_score": q_lm_score,
         "window_dup": q_window_dup,
+        "streaming_sessions": q_streaming_sessions,
         "curation_signals": q_curation_signals,
         "dedup_exact": q_dedup_exact,
         "minhash_pipeline": q_minhash_pipeline,
@@ -5446,6 +5533,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize": _oracle_bpe_tokenize(),
         "lm_score": _oracle_lm_score(),
         "window_dup": _oracle_window_dup(),
+        "streaming_sessions": _oracle_streaming_sessions(),
         "curation_signals": _oracle_curation_signals(),
         "dedup_exact": _oracle_dedup_exact(),
         "minhash_pipeline": _oracle_minhash_pipeline(),

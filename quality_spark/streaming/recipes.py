@@ -502,3 +502,45 @@ def compact_key_store(spark, store_table: str) -> None:
         bucketed_writer(compacted).saveAsTable(tmp)
         spark.sql(f"DROP TABLE {store_table}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {store_table}")
+
+
+def sessionized_stream_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    aggs: Optional[Sequence[Column]] = None,
+) -> DataFrame:
+    """Streaming sessionization via Spark's NATIVE ``session_window``
+    (round 7 — the streaming twin of ``operators/temporal.sessionize``):
+    events within ``gap`` of each other merge into one session per key;
+    ``session_end`` = last event + gap (a new session starts only when
+    the inter-event gap EXCEEDS ``gap`` — an event landing exactly on
+    the previous session's end still merges; pinned by test). The
+    watermark bounds state: sessions whose end falls behind it finalize
+    and drop their state, and the built-in operator handles
+    merge-on-late-event within the horizon — the logic a hand-rolled
+    mapGroupsWithState sessionizer would have to re-implement.
+
+    At scale: one shuffle on the session keys; state per OPEN session
+    only (bounded by the watermark), not per event. Accepts a batch
+    DataFrame too (no watermark applied) — identical results, which is
+    how the oracle replays it."""
+    agg_exprs = list(aggs) if aggs else [
+        F.count(F.lit(1)).cast("int").alias("n_events")
+    ]
+    base = _watermarkable(df, ts_col)
+    if df.isStreaming:
+        base = base.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), gap)
+    out = base.groupBy(win, *[F.col(k) for k in keys]).agg(*agg_exprs)
+    agg_names = [
+        c for c in out.columns if c != "session_window" and c not in keys
+    ]
+    return out.select(
+        *keys,
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *agg_names,
+    )

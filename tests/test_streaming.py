@@ -548,3 +548,37 @@ def test_compact_key_store_crash_recovery(spark, tmp_path):
     assert spark.table(mtable).count() == 3
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(f"DROP TABLE IF EXISTS {mtable}")
+
+
+def test_sessionized_stream_stats_gap_semantics(spark):
+    """session_window boundary pin: an event exactly `gap` after the
+    previous one still MERGES (Spark's session end is inclusive — the
+    oracle's gaps-and-islands break must be strictly >); only a gap
+    exceeding `gap` starts a new session; session_end = last + gap."""
+    import datetime as dt
+
+    from quality_spark.streaming.recipes import sessionized_stream_stats
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, ts(0)), (1, ts(10)), (1, ts(39)),   # merges: 10->39 is 29m < 30m
+        (1, ts(69)),                            # exactly 30m later -> MERGES
+        (1, ts(100)),                           # 31m later -> NEW session
+        (2, ts(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionized_stream_stats(
+            df, ["user_id"], "ts", gap="30 minutes"
+        ).collect()
+    )
+    assert out == [
+        (1, ts(0), ts(99), 4),        # 69m event merged (inclusive end)
+        (1, ts(100), ts(130), 1),     # >gap starts a new session
+        (2, ts(0), ts(30), 1),
+    ]
