@@ -3808,6 +3808,88 @@ LEFT JOIN j ON d.doc_id = j.doc_id
 """
 
 
+def q_image_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing + banded near-dup pairs (round 7,
+    `llm/multimodal.py` image_dhash/image_phash/hash_near_dup_pairs):
+    three image classes per doc_id%3 through the REAL BMP codec —
+    constant (dhash 0, phash 0), strictly-increasing gradient (dhash
+    all-ones = signed -1), alternating columns (dhash 0xAAAA... =
+    -6148914691236517206) — all closed-form; brightness varies per doc
+    WITHIN a class without changing any pixel comparison, so the
+    banded pair generation must recover exactly the within-class pairs
+    (cross-class hammings are 32-64 bits). Also the regression gate
+    for the None+int64 float-coercion bug this operator surfaced (a
+    null hash in a batch silently truncated every hash's low bits)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from quality_spark.llm.multimodal import (
+        as_media_column,
+        hash_near_dup_pairs,
+        with_image_hashes,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    @pandas_udf("binary")
+    def make_img(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from quality_spark.llm.multimodal import encode_bmp
+
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 3 == 0:
+                img = np.full((8, 9, 3), 20 + i % 200, np.uint8)
+            elif i % 3 == 1:
+                col = (np.arange(9) * 20 + i % 50).astype(np.uint8)
+                img = np.repeat(col[None, :, None], 8, 0).repeat(3, 2)
+            else:
+                col = np.where(
+                    np.arange(9) % 2 == 1, 200, 10 + i % 40
+                ).astype(np.uint8)
+                img = np.repeat(col[None, :, None], 8, 0).repeat(3, 2)
+            out.append(encode_bmp(img))
+        return pd.Series(out)
+
+    media = as_media_column(
+        docs.select("doc_id", make_img("doc_id").alias("payload")),
+        "payload",
+        "image",
+        "bmp",
+    )
+    hashes = with_image_hashes(media, id_col="doc_id")
+    hash_part = hashes.select(
+        F.lit("hash").alias("part"),
+        F.col("id").alias("a"),
+        F.col("dhash").alias("b"),
+        F.when(F.col("id") % 3 == 0, F.col("phash"))
+        .otherwise(F.lit(-1)).cast("bigint").alias("h"),
+    )
+    pair_part = hash_near_dup_pairs(hashes, "id", "dhash", 3).select(
+        F.lit("pair").alias("part"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("hamming").cast("bigint").alias("h"),
+    )
+    return hash_part.unionByName(pair_part)
+
+
+def _oracle_image_hash_dedup() -> str:
+    return """
+SELECT 'hash' AS part, doc_id AS a,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN -1
+            ELSE -6148914691236517206 END AS BIGINT) AS b,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE -1 END AS BIGINT) AS h
+FROM documents WHERE doc_id < 60
+UNION ALL
+SELECT 'pair', x.doc_id, y.doc_id, CAST(0 AS BIGINT)
+FROM documents x JOIN documents y
+  ON x.doc_id % 3 = y.doc_id % 3 AND x.doc_id < y.doc_id
+WHERE x.doc_id < 60 AND y.doc_id < 60
+"""
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM quality scoring (round 7, `llm/lm.py` — the
     CCNet-style perplexity filter as pure DataFrame ops): train add-k
@@ -5395,6 +5477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "window_dup": q_window_dup,
         "streaming_sessions": q_streaming_sessions,
+        "image_hash_dedup": q_image_hash_dedup,
         "curation_signals": q_curation_signals,
         "dedup_exact": q_dedup_exact,
         "minhash_pipeline": q_minhash_pipeline,
@@ -5534,6 +5617,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _oracle_lm_score(),
         "window_dup": _oracle_window_dup(),
         "streaming_sessions": _oracle_streaming_sessions(),
+        "image_hash_dedup": _oracle_image_hash_dedup(),
         "curation_signals": _oracle_curation_signals(),
         "dedup_exact": _oracle_dedup_exact(),
         "minhash_pipeline": _oracle_minhash_pipeline(),

@@ -2221,3 +2221,178 @@ def resize_media(
             yield pd.DataFrame(out)
 
     return src.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (round 7): dHash (gradient hash) and pHash
+# (DCT hash) — the standard public constructions for image NEAR-dup
+# detection, bridging the multimodal codecs and the dedup machinery
+# (pairs via the same banded candidate generation as simhash).
+# ---------------------------------------------------------------------------
+
+
+def _axis_resample(g: np.ndarray, n_dst: int, axis: int) -> np.ndarray:
+    """One-axis resample: AREA AVERAGE when downscaling (the
+    anti-aliasing that makes perceptual hashes noise-robust),
+    nearest-neighbor when upscaling; exact identity at equal size."""
+    n_src = g.shape[axis]
+    if n_src == n_dst:
+        return g
+    if n_src > n_dst:
+        bounds = (np.arange(n_dst + 1) * n_src) // n_dst
+        sums = np.add.reduceat(g, bounds[:-1], axis=axis)
+        widths = (bounds[1:] - bounds[:-1]).astype(np.float64)
+        shape = [1] * g.ndim
+        shape[axis] = n_dst
+        return sums / widths.reshape(shape)
+    idx = (np.arange(n_dst) * n_src) // n_dst
+    return np.take(g, idx, axis=axis)
+
+
+def _gray_resample(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Resample (H, W, 3) to an (h, w) GRAY float array (channel-mean
+    gray, the same coefficient-free convention as the feature
+    kernels): area-averaged downscale / nearest upscale per axis;
+    exact identity when dims already match."""
+    g = img.astype(np.float64).mean(axis=2)
+    return _axis_resample(_axis_resample(g, h, 0), w, 1)
+
+
+def _pack_bits_signed(bits) -> int:
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(bool(b))
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(img: np.ndarray) -> int:
+    """Difference hash: 9x8 gray, bit = right pixel > left pixel,
+    row-major MSB-first, returned as SIGNED 64-bit (Spark BIGINT).
+    Closed forms: constant image -> 0; strictly-increasing horizontal
+    gradient -> -1 (all ones); alternating columns -> 0xAAAA... ."""
+    g = _gray_resample(np.asarray(img), 9, 8)
+    return _pack_bits_signed((g[:, 1:] > g[:, :-1]).reshape(-1))
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)
+    m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    m[0] *= 1 / np.sqrt(n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def image_phash(img: np.ndarray) -> int:
+    """DCT perceptual hash: 32x32 gray -> orthonormal 2D DCT -> the
+    8x8 low-frequency block minus DC (63 coefficients) -> bit =
+    coefficient > median, packed MSB-first after a 0 pad bit, signed
+    64-bit. Constant image -> 0 (all AC coefficients vanish)."""
+    g = _gray_resample(np.asarray(img), 32, 32)
+    d = _DCT32 @ g @ _DCT32.T
+    block = d[:8, :8].reshape(-1)[1:].copy()
+    # clean float dust: a flat image's AC coefficients are ±1e-13, and
+    # median-relative bits on pure noise would make the hash fragile
+    block[np.abs(block) < 1e-6] = 0.0
+    med = float(np.median(block))
+    return _pack_bits_signed([False] + list(block > med))
+
+
+def with_image_hashes(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, width, height, dhash, phash) over Arrow-batched
+    mapInPandas — REAL decode via the registered codecs (bmp/ppm/png/
+    jpeg/gif); undecodable or unknown-format payloads yield nulls."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("dhash", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(f"{media_col}.payload").alias("payload"),
+        F.col(f"{media_col}.meta.format").alias("fmt"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for rid, p, fmt in zip(pdf["id"], pdf["payload"], pdf["fmt"]):
+                out["id"].append(rid)
+                vals = (None, None, None, None)
+                codec = REAL_CODECS.get((fmt or "").lower())
+                if codec is not None:
+                    try:
+                        img = codec[0](bytes(p) if p is not None else b"")
+                        vals = (
+                            img.shape[1], img.shape[0],
+                            image_dhash(img), image_phash(img),
+                        )
+                    except ValueError:
+                        pass
+                for k, v in zip(("width", "height", "dhash", "phash"), vals):
+                    out[k].append(v)
+            # NULLABLE Int64, never a plain list: a batch mixing None
+            # with full-range 64-bit hashes would coerce to float64 and
+            # silently truncate the low ~11 bits (53-bit mantissa) —
+            # found when a corrupt payload shared a batch with real
+            # ones and its None flipped every hash in the batch
+            yield pd.DataFrame(
+                {
+                    "id": out["id"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "dhash": pd.array(out["dhash"], dtype="Int64"),
+                    "phash": pd.array(out["phash"], dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(kernel, schema=schema)
+
+
+def hash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    max_bucket_size=None,
+) -> DataFrame:
+    """(id_a, id_b, hamming <= max_hamming) over a 64-bit perceptual
+    hash via chunk banding — with max_hamming+1 chunks any qualifying
+    pair shares an identical chunk (pigeonhole), so candidates meet in
+    one shuffle keyed by small chunk values, never an all-pairs join
+    (the simhash_pairs construction applied to image hashes)."""
+    from .dedup import bucket_candidate_pairs
+
+    n_chunks = int(max_hamming) + 1
+    chunk_bits = 64 // n_chunks
+    sh = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    chunks = sh.select(
+        "id",
+        "h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(h >> {c * chunk_bits}) & {(1 << chunk_bits) - 1}")
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    cand = bucket_candidate_pairs(
+        chunks, ("chunk_idx", "chunk_val"), payload_cols=("h",),
+        max_bucket_size=max_bucket_size,
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming")
+    return cand.select("id_a", "id_b", ham).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1642,3 +1642,116 @@ def test_window_dup_stats_known_values(spark):
     assert out[5]["n_windows"] == 3
     assert out[5]["n_dup_windows"] == 1  # only abc is cross-doc shared
     assert abs(out[1]["dup_window_fraction"] - 1 / 3) < 1e-12
+
+
+def test_image_hash_closed_forms_and_dct_pin():
+    """dHash closed forms (constant -> 0, strictly-increasing gradient
+    -> all-ones -> signed -1, alternating columns -> 0xAAAA...);
+    constant pHash -> 0 (AC coefficients vanish, float dust cleaned);
+    the DCT matrix pinned against an INDEPENDENT FFT-derived DCT-II."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        _DCT32,
+        image_dhash,
+        image_phash,
+    )
+
+    const = np.full((8, 9, 3), 77, np.uint8)
+    assert image_dhash(const) == 0
+    assert image_phash(np.full((32, 32, 3), 99, np.uint8)) == 0
+    grad = np.repeat(
+        (np.arange(9) * 20).astype(np.uint8)[None, :, None], 8, 0
+    ).repeat(3, 2)
+    assert image_dhash(grad) == -1  # all ones, signed
+    alt = np.repeat(
+        np.where(np.arange(9) % 2 == 1, 200, 0).astype(np.uint8)[
+            None, :, None
+        ], 8, 0,
+    ).repeat(3, 2)
+    assert image_dhash(alt) & ((1 << 64) - 1) == 0xAAAAAAAAAAAAAAAA
+
+    def dct2_fft(x):
+        n = len(x)
+        c = np.fft.fft(np.concatenate([x, x[::-1]]))
+        d = (c[:n] * np.exp(-1j * np.pi * np.arange(n) / (2 * n))).real / 2
+        d = d * np.sqrt(2.0 / n)
+        d[0] /= np.sqrt(2)
+        return d
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 255, 32)
+    assert np.allclose(_DCT32 @ x, dct2_fft(x), atol=1e-9)
+
+
+def test_image_phash_robustness_properties():
+    """On natural-spectrum (Brownian-sheet) content the pHash must be
+    invariant to 2x scaling and brightness shift, near-invariant to
+    pixel noise, and far from an unrelated image."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import image_phash
+
+    rng = np.random.default_rng(5)
+
+    def brownian():
+        b = np.cumsum(np.cumsum(rng.normal(size=(64, 64)), 0), 1)
+        b = ((b - b.min()) / (b.max() - b.min()) * 255).astype(np.uint8)
+        return np.repeat(b[:, :, None], 3, axis=2)
+
+    img = brownian()
+    a = image_phash(img)
+
+    def ham(x):
+        return bin((a ^ image_phash(x)) & ((1 << 64) - 1)).count("1")
+
+    noisy = np.clip(
+        img.astype(int) + rng.integers(-8, 9, img.shape), 0, 255
+    ).astype(np.uint8)
+    assert ham(noisy) <= 4
+    assert ham(np.repeat(np.repeat(img, 2, 0), 2, 1)) == 0
+    assert ham(np.clip(img.astype(int) + 30, 0, 255).astype(np.uint8)) <= 2
+    assert ham(brownian()) > 12
+
+
+def test_with_image_hashes_and_near_dup_pairs(spark):
+    """Spark path: real BMP payloads through with_image_hashes; banded
+    hash_near_dup_pairs finds exactly the within-class pairs (constant
+    vs alternating differ by 32 bits — never a candidate survivor);
+    corrupt payloads yield nulls."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        as_media_column,
+        encode_bmp,
+        hash_near_dup_pairs,
+        with_image_hashes,
+    )
+
+    def img_for(i):
+        if i % 2 == 0:
+            return np.full((8, 9, 3), 20 + i, np.uint8)
+        alt = np.where(np.arange(9) % 2 == 1, 200, 10 + i).astype(np.uint8)
+        return np.repeat(alt[None, :, None], 8, 0).repeat(3, 2)
+
+    rows = [(i, bytearray(encode_bmp(img_for(i)))) for i in range(8)]
+    rows.append((99, bytearray(b"junk")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = as_media_column(df, "payload", "image", "bmp")
+    hashes = with_image_hashes(media, id_col="doc_id")
+    got = {r["id"]: r for r in hashes.collect()}
+    assert got[0]["dhash"] == 0 and got[0]["phash"] == 0
+    assert got[1]["dhash"] & ((1 << 64) - 1) == 0xAAAAAAAAAAAAAAAA
+    assert got[99]["dhash"] is None
+    pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in hash_near_dup_pairs(
+            hashes.filter(F.col("dhash").isNotNull()), "id", "dhash", 3
+        ).collect()
+    )
+    evens = [i for i in range(8) if i % 2 == 0]
+    odds = [i for i in range(8) if i % 2 == 1]
+    want = sorted(
+        [(a, b) for g in (evens, odds) for a in g for b in g if a < b]
+    )
+    assert pairs == want
