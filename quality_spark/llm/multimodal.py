@@ -1049,6 +1049,20 @@ def _jpeg_extend(v: int, cat: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline sequential (SOF0) or progressive (SOF2) JPEG
+    — see :func:`_decode_jpeg_inner`; any out-of-bounds read or
+    missing-table reference in a malformed stream surfaces as
+    ValueError (fuzz-pinned: corrupt input never escapes as
+    IndexError/KeyError)."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (IndexError, KeyError) as e:
+        raise ValueError(
+            f"corrupt or truncated JPEG stream ({type(e).__name__})"
+        ) from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential (SOF0) or progressive (SOF2) JPEG
     (8-bit, 1 or 3 components, sampling factors 1-2 — grayscale,
     YCbCr 4:4:4, 4:2:2, and the dominant real-world 4:2:0 layout) to
     an (h, w, 3) uint8 RGB array — spec huffman decode driven by the
@@ -1527,7 +1541,15 @@ def decode_gif(payload: bytes) -> np.ndarray:
     interlace reorder, palette apply. Frames smaller than the logical
     screen composite onto the screen background. Animated GIFs yield
     frame 1 (corpus feature extraction wants A representative raster,
-    not an animation timeline)."""
+    not an animation timeline). Truncated streams raise ValueError
+    (any out-of-bounds read IS truncation — fuzz-pinned)."""
+    try:
+        return _decode_gif_inner(payload)
+    except IndexError as e:
+        raise ValueError("truncated GIF stream") from e
+
+
+def _decode_gif_inner(payload: bytes) -> np.ndarray:
     b = payload or b""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")

@@ -404,3 +404,138 @@ def test_raster_codecs_roundtrip_property(w, h, data):
     img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
     assert (decode_bmp(encode_bmp(img)) == img).all()
     assert (decode_ppm(encode_ppm(img)) == img).all()
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_lossless_codecs_round_trip_any_image(w, h, seed):
+    """Property: every LOSSLESS codec round-trips ANY uint8 image
+    exactly (GIF goes through a <=256-color palette, so feed it a
+    palette-constrained image)."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import REAL_CODECS
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    for fmt in ("bmp", "ppm", "png"):
+        dec, enc = REAL_CODECS[fmt]
+        assert (dec(enc(img)) == img).all(), fmt
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    pimg = pal[rng.integers(0, 16, (h, w))]
+    dec, enc = REAL_CODECS["gif"]
+    assert (dec(enc(pimg)) == pimg).all()
+
+
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 32),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.sampled_from(["444", "420"]),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_round_trip_bounded_error_any_image(w, h, seed, sub):
+    """Property: lossy JPEG round trip of SMOOTH content stays within
+    a quantization-bounded error at quality 95, for any dims/layout;
+    progressive decodes bit-identically to sequential."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(30, 220, (4, 4, 3))
+    # upsample smooth content (random per-channel bilinear-ish)
+    img = np.repeat(np.repeat(base, (h + 3) // 4, 0), (w + 3) // 4, 1)[
+        :h, :w
+    ].astype(np.uint8)
+    seq = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+    err = np.abs(seq.astype(int) - img.astype(int))
+    # 4:2:0 on hard block edges legitimately loses more chroma
+    assert err.mean() < (20.0 if sub == "420" else 12.0), err.mean()
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=95, subsampling=sub)
+    )
+    assert (prog == seq).all()
+
+
+@given(data=st.binary(min_size=0, max_size=600), seed=st.integers(0, 999))
+@settings(max_examples=80, deadline=None)
+def test_decoders_never_crash_on_garbage(data, seed):
+    """Property: arbitrary bytes — including ones wearing each format's
+    magic — either decode or raise ValueError; never any other
+    exception type (the honest-refusal contract of every codec)."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import REAL_CODECS, decode_wav, decode_y4m
+
+    magics = {
+        "bmp": b"BM",
+        "png": b"\x89PNG\r\n\x1a\n",
+        "gif": b"GIF89a",
+        "jpeg": b"\xff\xd8",
+        "ppm": b"P6\n",
+    }
+    for fmt, (dec, _enc) in REAL_CODECS.items():
+        for payload in (data, magics[fmt] + data):
+            try:
+                out = dec(payload)
+                assert isinstance(out, np.ndarray)
+            except ValueError:
+                pass
+    for dec in (decode_wav, decode_y4m):
+        for payload in (data, b"RIFF" + data, b"YUV4MPEG2 " + data):
+            try:
+                dec(payload)
+            except ValueError:
+                pass
+
+
+def test_codec_mutation_fuzz_honest_refusals():
+    """Deterministic mutation fuzz (round 7): random byte flips,
+    truncations, and splices of VALID streams for every codec must
+    decode or raise ValueError — never IndexError/KeyError (the two
+    classes the fuzzer originally surfaced in gif and jpeg)."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        REAL_CODECS,
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    pimg = pal[rng.integers(0, 16, (12, 17))]
+    streams = {
+        fmt: bytearray(enc(pimg if fmt == "gif" else img))
+        for fmt, (dec, enc) in REAL_CODECS.items()
+    }
+    streams["jpeg_prog"] = bytearray(encode_jpeg_progressive(img))
+    for trial in range(3000):
+        fmt = list(streams)[trial % len(streams)]
+        s = bytearray(streams[fmt])
+        dec = REAL_CODECS.get(fmt, (decode_jpeg,))[0]
+        op = trial % 3
+        if op == 0 and len(s) > 4:
+            for _ in range(int(rng.integers(1, 4))):
+                s[int(rng.integers(0, len(s)))] = int(rng.integers(0, 256))
+        elif op == 1:
+            s = s[: int(rng.integers(0, len(s)))]
+        else:
+            pos = int(rng.integers(0, len(s)))
+            s = s[:pos] + bytes(
+                rng.integers(0, 256, 8, dtype=np.uint8)
+            ) + s[pos:]
+        try:
+            dec(bytes(s))
+        except ValueError:
+            pass  # the honest refusal contract
