@@ -1360,6 +1360,9 @@ def q_media_features(
     - 'gif' (round 7): the same images through the REAL GIF89a codec
       (exact palette + pure-python LZW, lossless) — decoded dims and
       pixel features gated; compressed size gated as -1 like png.
+    - 'tiff' (round 7): baseline TIFF 6.0 (uncompressed, little-endian
+      single strip) — lossless, with the EXACT byte size closed-form
+      in the oracle like bmp/ppm.
     - 'wav': REAL RIFF/PCM audio decode (round 5): constant-amplitude
       16-bit mono signals synthesized per doc_id on the exact int16
       grid (amplitude (id%128)/128), so decoded frame count, channel
@@ -1634,6 +1637,7 @@ def q_media_features(
         "jpeg_rst": jpeg_rst_part,
         "jpeg_prog": jpeg_prog_part,
         "gif": lambda: img_part("gif"),
+        "tiff": lambda: img_part("tiff"),
         "wav": lambda: wav_part,
         "wav_spec": lambda: wav_spec_part,
         "y4m": lambda: y4m_part,
@@ -1730,6 +1734,13 @@ FROM (
            + 128.5))) AS jdec
   FROM documents WHERE doc_id < 200
 )
+UNION ALL
+-- tiff (round 7): LOSSLESS baseline TIFF — exact byte size is
+-- closed-form (8 header + w*h*3 pixels + IFD: 2 + 10*12 + 4 + 6)
+SELECT 'tiff', doc_id, CAST(140 + 3 * {w} * {h} AS BIGINT),
+       {FEATURE_DIM}, CAST({w} AS INTEGER), CAST({h} AS INTEGER),
+       CAST({v} AS DOUBLE), CAST({v} AS DOUBLE)
+FROM documents WHERE doc_id < 200
 UNION ALL
 -- gif (round 7): LOSSLESS exact-palette LZW — constant images decode
 -- to the constant; byte size is compressed (gated -1) like png
@@ -5518,7 +5529,8 @@ def query_legs() -> dict:
         "media_features": {
             p: media(p)
             for p in ("text", "bmp", "ppm", "png", "jpeg", "jpeg_rst",
-                      "jpeg_prog", "gif", "wav", "wav_spec", "y4m")
+                      "jpeg_prog", "gif", "tiff", "wav", "wav_spec",
+                      "y4m")
         },
         "embedding_ann": {
             "topk": q_ann_cosine_topk,

@@ -24,6 +24,7 @@ Decode support is format-tiered (VERDICT r03 #6):
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator, Optional
 
 import numpy as np
@@ -1674,6 +1675,201 @@ def encode_gif(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# TIFF (TIFF 6.0 spec, public — Adobe 1992): baseline 8-bit gray/RGB/
+# RGBA, uncompressed (Compression=1) or PackBits RLE (32773), both
+# byte orders, multi-strip (round 7). The scanned-document format of
+# real corpora. Encoder writes little-endian single-strip, optionally
+# PackBits-compressed.
+# ---------------------------------------------------------------------------
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits RLE (TIFF 6.0 section 9): n in 0..127 -> copy n+1
+    literal bytes; n in -127..-1 -> repeat next byte 1-n times; -128
+    is a no-op."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > n:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    if len(out) < expected:
+        raise ValueError("truncated PackBits stream")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE encode: runs of >= 3 identical bytes become repeat
+    packets, the rest literal packets (both capped at 128)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3 and i + run <= n:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode a baseline TIFF (first IFD): 8-bit grayscale (photometric
+    0/1, MinIsWhite inverted), RGB, or RGBA (alpha dropped), strips,
+    Compression 1 (none) or 32773 (PackBits), II or MM byte order.
+    Refuses other bit depths, tiles, palettes, and compressions with
+    ValueError (fuzz-hardened: truncation never escapes as
+    IndexError)."""
+    try:
+        return _decode_tiff_inner(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt or truncated TIFF stream ({e})") from e
+
+
+def _decode_tiff_inner(payload: bytes) -> np.ndarray:
+    b = payload or b""
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    eo = "<" if b[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack(eo + "HI", b[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF payload (bad magic)")
+    n_entries = struct.unpack(eo + "H", b[ifd_off:ifd_off + 2])[0]
+    tags = {}
+    TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    TYPE_FMT = {1: "B", 3: "H", 4: "I"}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(eo + "HHI", b[off:off + 8])
+        if typ not in TYPE_SIZE:
+            continue
+        size = TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            raw = b[off + 8:off + 8 + size]
+        else:
+            voff = struct.unpack(eo + "I", b[off + 8:off + 12])[0]
+            raw = b[voff:voff + size]
+        if typ in TYPE_FMT and len(raw) == size:
+            tags[tag] = list(struct.unpack(eo + str(cnt) + TYPE_FMT[typ], raw))
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+    w, h = one(256), one(257)
+    if not (0 < w <= 65535 and 0 < h <= 65535):
+        raise ValueError(f"bad TIFF dims {w}x{h}")
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bps = tags.get(258, [8])
+    if any(x != 8 for x in bps) or spp not in (1, 3, 4):
+        raise ValueError(
+            f"unsupported TIFF: bits={bps} samples={spp} (8-bit gray/RGB/RGBA only)"
+        )
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if photo not in (0, 1, 2):
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    if 322 in tags or 323 in tags:
+        raise ValueError("unsupported TIFF: tiled layout")
+    if 320 in tags:
+        raise ValueError("unsupported TIFF: palette color")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/counts")
+    rps = one(278, h)
+    row_bytes = w * spp
+    raw = bytearray()
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        strip = b[so:so + sc]
+        if len(strip) < sc:
+            raise ValueError("truncated TIFF strip")
+        rows_here = min(rps, h - si * rps)
+        if rows_here <= 0:
+            break
+        if comp == 1:
+            if len(strip) < rows_here * row_bytes:
+                raise ValueError("short TIFF strip")
+            raw += strip[: rows_here * row_bytes]
+        else:
+            raw += _packbits_decode(strip, rows_here * row_bytes)
+    if len(raw) < h * row_bytes:
+        raise ValueError("TIFF pixel data incomplete")
+    px = np.frombuffer(bytes(raw), np.uint8, h * row_bytes).reshape(h, w, spp)
+    if spp == 1:
+        g = 255 - px[:, :, 0] if photo == 0 else px[:, :, 0]
+        return np.repeat(g[:, :, None], 3, axis=2).copy()
+    return px[:, :, :3].copy()
+
+
+def encode_tiff(img: np.ndarray, packbits: bool = False) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as little-endian baseline TIFF —
+    single strip, Compression 1 or PackBits when ``packbits``."""
+    a = np.asarray(img, np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_tiff expects (h, w, 3) uint8")
+    h, w = a.shape[:2]
+    data = a.tobytes()
+    if packbits:
+        data = _packbits_encode(data)
+    # layout: header(8) + pixel data + IFD
+    data_off = 8
+    ifd_off = data_off + len(data)
+    entries = []
+    def ent(tag, typ, cnt, val):
+        entries.append(struct.pack("<HHI4s", tag, typ, cnt, val))
+    def short(v):
+        return struct.pack("<HH", v, 0)
+    def long_(v):
+        return struct.pack("<I", v)
+    bps_off = ifd_off + 2 + 12 * 10 + 4
+    ent(256, 3, 1, short(w))
+    ent(257, 3, 1, short(h))
+    ent(258, 3, 3, long_(bps_off))
+    ent(259, 3, 1, short(32773 if packbits else 1))
+    ent(262, 3, 1, short(2))  # RGB
+    ent(273, 4, 1, long_(data_off))
+    ent(277, 3, 1, short(3))
+    ent(278, 3, 1, short(h))
+    ent(279, 4, 1, long_(len(data)))
+    ent(284, 3, 1, short(1))  # chunky
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += data
+    out += struct.pack("<H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack("<I", 0)  # no next IFD
+    out += struct.pack("<HHH", 8, 8, 8)
+    return bytes(out)
+
+
 #: raster formats decoded for REAL (pure numpy / stdlib zlib — no
 #: external codec libraries): format name -> (decoder -> (h,w,3) RGB,
 #: encoder)
@@ -1683,6 +1879,7 @@ REAL_CODECS = {
     "png": (decode_png, encode_png),
     "jpeg": (decode_jpeg, encode_jpeg),
     "gif": (decode_gif, encode_gif),
+    "tiff": (decode_tiff, encode_tiff),
 }
 
 

@@ -1755,3 +1755,68 @@ def test_with_image_hashes_and_near_dup_pairs(spark):
         [(a, b) for g in (evens, odds) for a in g for b in g if a < b]
     )
     assert pairs == want
+
+
+def test_tiff_round_trip_and_foreign_layouts():
+    """TIFF: lossless round trips (uncompressed + PackBits), a
+    HAND-BUILT big-endian (MM) grayscale stream with MinIsWhite
+    inversion and two strips — pinning decode independently of the
+    little-endian encoder — and honest refusals for tiled/palette/
+    16-bit layouts."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from quality_spark.llm.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    assert (decode_tiff(encode_tiff(img)) == img).all()
+    assert (decode_tiff(encode_tiff(img, packbits=True)) == img).all()
+
+    # hand-built MM gray 4x3, MinIsWhite (photometric 0), 2 strips
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    strips = [g[:2].tobytes(), g[2:].tobytes()]
+    data_off = 8
+    s1 = data_off
+    s2 = s1 + len(strips[0])
+    ifd_off = s2 + len(strips[1])
+
+    def ent(tag, typ, cnt, val4):
+        return struct.pack(">HHI4s", tag, typ, cnt, val4)
+
+    def short(v):
+        return struct.pack(">HH", v, 0)
+
+    def long_(v):
+        return struct.pack(">I", v)
+
+    n = 9
+    off_arrays = ifd_off + 2 + 12 * n + 4
+    entries = (
+        ent(256, 3, 1, short(4)) + ent(257, 3, 1, short(3))
+        + ent(258, 3, 1, short(8)) + ent(259, 3, 1, short(1))
+        + ent(262, 3, 1, short(0))  # MinIsWhite -> inverted
+        + ent(273, 4, 2, long_(off_arrays))
+        + ent(277, 3, 1, short(1)) + ent(278, 3, 1, short(2))
+        + ent(279, 4, 2, long_(off_arrays + 8))
+    )
+    stream = (
+        struct.pack(">2sHI", b"MM", 42, ifd_off)
+        + strips[0] + strips[1]
+        + struct.pack(">H", n) + entries + struct.pack(">I", 0)
+        + struct.pack(">II", s1, s2)
+        + struct.pack(">II", len(strips[0]), len(strips[1]))
+    )
+    out = decode_tiff(stream)
+    assert out.shape == (3, 4, 3)
+    assert (out[:, :, 0] == 255 - g).all()  # inverted
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+
+    # refusals
+    base = bytearray(encode_tiff(img))
+    with pytest.raises(ValueError, match="TIFF"):
+        decode_tiff(b"not tiff")
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(base)[:30])  # truncated -> ValueError, never IndexError

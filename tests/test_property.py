@@ -422,7 +422,7 @@ def test_lossless_codecs_round_trip_any_image(w, h, seed):
 
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    for fmt in ("bmp", "ppm", "png"):
+    for fmt in ("bmp", "ppm", "png", "tiff"):
         dec, enc = REAL_CODECS[fmt]
         assert (dec(enc(img)) == img).all(), fmt
     pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
@@ -482,6 +482,7 @@ def test_decoders_never_crash_on_garbage(data, seed):
         "gif": b"GIF89a",
         "jpeg": b"\xff\xd8",
         "ppm": b"P6\n",
+        "tiff": b"II*\x00",
     }
     for fmt, (dec, _enc) in REAL_CODECS.items():
         for payload in (data, magics[fmt] + data):
