@@ -1023,6 +1023,72 @@ SELECT id_a, id_b FROM (
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (quality_spark/llm/similarity.py:
+    semantic_dedup — Abbas et al. 2023 shape): assign every embedding
+    to its nearest centroid (pure projection, no corpus shuffle), then
+    within each cluster drop any vector with a smaller-id neighbor at
+    cosine >= 0.2 (random 64-dim test embeddings top out near 0.45;
+    1417 within-cluster pairs qualify at sf0.01, so the gate is
+    non-vacuous). Centroids = every 50th corpus vector, same
+    deterministic stand-in as the IVF gate. One row out per input row:
+    (vec_id, cell, is_kept, dup_of)."""
+    from quality_spark.llm.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    out = semantic_dedup(emb, cents, threshold=0.2)
+    # dup_of gated with a -1 sentinel for kept rows: a nullable int64
+    # column round-trips as float in some arrow/pandas paths and would
+    # hash differently between engines
+    return out.select(
+        "vec_id", "cell", "is_kept",
+        F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
+    )
+
+
+def _oracle_semantic_dedup() -> str:
+    def nrm(e: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform({e}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+
+    dot_ch_e = (
+        "list_sum(list_transform(range(1, len(c.ch) + 1), "
+        "i -> c.ch[i] * CAST(e.embedding[i] AS DOUBLE)))"
+    )
+    dot_ab = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / {nrm('embedding')}) AS ch
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dot_ch_e} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+cellof AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+dropped AS (
+  SELECT b.vec_id AS dup_id, min(a.vec_id) AS dup_of
+  FROM cellof a JOIN cellof b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {dot_ab} / ({nrm('a.embedding')} * {nrm('b.embedding')}) >= 0.2
+  GROUP BY 1
+)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       d.dup_id IS NULL AS is_kept,
+       CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
+FROM cellof c LEFT JOIN dropped d ON d.dup_id = c.vec_id
+"""
+
+
 _VERSIONED_RULE_ROWS = [
     # (suiteId, suiteVersion, setId, setVersion, ruleId, ruleVersion, expr)
     (1, 1, 5, 1, 10, 1, "a > 0"),
@@ -5497,6 +5563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "embedding_ann": q_embedding_ann,
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "ivf_topk": q_ivf_topk,
         "decontam_overlap": q_decontam_overlap,
         "sampling_splits": q_sampling_splits,
@@ -5638,6 +5705,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _oracle_near_dup_clusters(),
         "embedding_ann": _oracle_embedding_ann(),
         "embedding_lsh_near_dup": _oracle_embedding_lsh_near_dup(),
+        "semantic_dedup": _oracle_semantic_dedup(),
         "ivf_topk": _oracle_ivf_block(),
         "decontam_overlap": _oracle_decontam_overlap(),
         "sampling_splits": _oracle_sampling_splits(),

@@ -799,3 +799,94 @@ def kmeans_centroids(
         # empty cells keep their previous centroid
         cents = [(cid, new_cents.get(cid, old)) for cid, old in cents]
     return cents
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "auto",
+    max_cluster_size: Optional[int] = None,
+) -> DataFrame:
+    """Semantic near-duplicate removal in the SemDeDup shape (Abbas et
+    al. 2023, arXiv:2303.09540 — public): every embedding is assigned
+    to its nearest centroid as a PURE PROJECTION (:func:`ivf_cell_expr`
+    / the bit-identical Arrow kernel — no shuffle on the corpus scan),
+    and within each cluster an item is marked a duplicate when some
+    smaller-id member has cosine >= threshold with it. Deterministic
+    keep policy: smallest id in a duplicate neighborhood always
+    survives; ``dup_of`` records the smallest such neighbor.
+
+    Returns ``(id_col, cell, is_kept, dup_of)`` — one row per input
+    row (rows with no valid assignment get cell -1 and are kept).
+
+    100 TB design: the ONLY corpus shuffle is the within-cluster
+    self-join keyed on cell; pair expansion is bounded per cluster
+    (~n/k for balanced centroids). ``max_cluster_size`` is the skew
+    guard — a runaway cluster (a degenerate centroid attracting
+    everything) is NOT exploded into O(c²) pairs: its members are all
+    kept verbatim, same contract as ``bucket_candidate_pairs``'s
+    ``max_bucket_size``. The centroid table is metadata-sized by
+    contract (IVF list count ~ sqrt(corpus)) and is inlined/broadcast,
+    never joined.
+
+    Reference scope note: the reference engine (sparkutils/quality) has
+    no embedding operators; this is part of the training-data-pipeline
+    surface the build brief adds on top of SURVEY §2.
+    """
+    assigned = ivf_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col, out="__sd_cell", mode=mode
+    )
+    sides = assigned.select(
+        F.col(id_col).alias("id"),
+        F.col("__sd_cell").alias("cell"),
+        F.col(vec_col).alias("v"),
+        _norm(vec_col).alias("n"),
+    ).filter(F.col("cell") >= 0)
+    if max_cluster_size is not None:
+        # skew guard: oversized cells never reach the pair join
+        sizes = sides.groupBy("cell").agg(F.count("*").alias("__cnt"))
+        sides = (
+            sides.join(F.broadcast(sizes.filter(F.col("__cnt") <= max_cluster_size)),
+                       "cell", "inner")
+            .drop("__cnt")
+        )
+    a = sides.select(
+        F.col("cell"), F.col("id").alias("id_a"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = sides.select(
+        F.col("cell"), F.col("id").alias("id_b"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    cos = (
+        F.expr(
+            "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
+        / _norm_prod(F.col("na"), F.col("nb"))
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(float(threshold)))
+        .groupBy(F.col("id_b").alias("__dup_id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.select(F.col(id_col), F.col("__sd_cell").alias("cell"))
+        .join(dropped, F.col(id_col) == F.col("__dup_id"), "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+    )

@@ -1820,3 +1820,46 @@ def test_tiff_round_trip_and_foreign_layouts():
         decode_tiff(b"not tiff")
     with pytest.raises(ValueError):
         decode_tiff(bytes(base)[:30])  # truncated -> ValueError, never IndexError
+
+
+def test_semantic_dedup_policy_and_skew_guard(spark):
+    """semantic_dedup: (1) constructed clusters — two exact-duplicate
+    groups plus a singleton — drop exactly the higher-id members with
+    dup_of = the smallest group member; (2) rows that fail assignment
+    (wrong dims) come back kept with cell -1; (3) max_cluster_size
+    excludes an oversized cluster from pair generation entirely (its
+    members all survive)."""
+    from quality_spark.llm.similarity import semantic_dedup
+
+    # two orthogonal directions = two clusters; ids 0,1,2 ~ +e0 and
+    # ids 10,11 ~ +e1; id 20 = (-1,-2,...) is NEAREST e0's centroid
+    # (dot -0.447 > -0.894) yet at negative cosine with its
+    # cluster-mates -> never a dup; id 30 has wrong dims
+    def v(d, s=1.0):
+        out = [0.0] * 8
+        out[d] = s
+        return out
+
+    rows = [
+        (0, v(0)), (1, v(0, 2.0)), (2, v(0, 0.5)),
+        (10, v(1)), (11, v(1, 3.0)),
+        (20, [-1.0, -2.0] + [0.0] * 6),
+        (30, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame([(0, v(0)), (10, v(1))],
+                                  "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, cents, threshold=0.9).collect()}
+    assert not out[1]["is_kept"] and out[1]["dup_of"] == 0
+    assert not out[2]["is_kept"] and out[2]["dup_of"] == 0
+    assert not out[11]["is_kept"] and out[11]["dup_of"] == 10
+    assert out[0]["is_kept"] and out[10]["is_kept"]
+    assert out[20]["is_kept"] and out[20]["cell"] == 0  # negative cosine
+    assert out[30]["is_kept"] and out[30]["cell"] == -1
+
+    # skew guard: cap below cluster-0's size (4 members incl. id 20)
+    capped = {r["vec_id"]: r for r in semantic_dedup(
+        df, cents, threshold=0.9, max_cluster_size=3).collect()}
+    assert capped[1]["is_kept"] and capped[2]["is_kept"]  # cluster skipped
+    assert not capped[11]["is_kept"]  # 2-member cluster still deduped
