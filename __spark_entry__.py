@@ -4973,12 +4973,47 @@ FROM orders
 """
 
 
+def q_orc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip (quality_spark/sources/corpus.py:write_orc):
+    documents written to zlib ORC and read back through a selective
+    n_chars filter — the filter reaches the ORC scan as PushedFilters
+    (plan-pinned in tests/test_sources.py) — then row-fingerprinted so
+    the oracle (same fingerprint over the ORIGINAL parquet rows) proves
+    byte-fidelity through the format."""
+    from quality_spark.sources.corpus import read_orc, write_orc
+
+    def build(root):
+        write_orc(_read(spark, sf_dir, "documents"), root)
+        return root
+
+    stage = _staged("orc", sf_dir, build)
+    back = read_orc(spark, stage, where="n_chars % 7 = 0")
+    return back.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                "", "text", "lang", "source", F.col("n_chars").cast("string")
+            )
+        ).alias("row_md5"),
+    )
+
+
+def _oracle_orc_corpus() -> str:
+    return """
+SELECT doc_id,
+       md5(concat_ws(chr(1), text, lang, source, CAST(n_chars AS VARCHAR)))
+         AS row_md5
+FROM documents WHERE n_chars % 7 = 0
+"""
+
+
 def q_corpus_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-I/O block: JSONL round trip + Hive-partitioned store
     round trip with pruned readback + bucketed-table store with
     co-located join (r03 gate queries jsonl_round_trip,
     partitioned_corpus; bucketed store new in r04) + Z-order clustered
-    write/readback (gated in r05)."""
+    write/readback (gated in r05) + ORC round trip with scan-level
+    filter pushdown (round 7)."""
     nb = F.lit(-1).cast("bigint")
     jsonl = q_jsonl_round_trip(spark, sf_dir).select(
         F.lit("jsonl").alias("part"),
@@ -5014,7 +5049,17 @@ def q_corpus_io(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_sum").alias("v2"),
         nb.alias("v3"),
     )
-    return jsonl.unionByName(store).unionByName(bucket).unionByName(zorder)
+    orc = q_orc_corpus(spark, sf_dir).select(
+        F.lit("orc").alias("part"),
+        "doc_id",
+        F.col("row_md5").alias("s1"),
+        F.lit("").alias("s2"),
+        nb.alias("v1"), nb.alias("v2"), nb.alias("v3"),
+    )
+    return (
+        jsonl.unionByName(store).unionByName(bucket)
+        .unionByName(zorder).unionByName(orc)
+    )
 
 
 def _oracle_corpus_io() -> str:
@@ -5035,6 +5080,10 @@ UNION ALL
 SELECT 'zorder', CAST(-1 AS BIGINT), leg, '',
        n_rows, key_sum, CAST(-1 AS BIGINT)
 FROM ({_oracle_zorder_corpus()})
+UNION ALL
+SELECT 'orc', doc_id, row_md5, '',
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM ({_oracle_orc_corpus()})
 """
 
 

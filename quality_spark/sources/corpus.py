@@ -29,6 +29,8 @@ __all__ = [
     "bucketed_join",
     "zorder_key",
     "write_zordered",
+    "write_orc",
+    "read_orc",
 ]
 
 
@@ -186,3 +188,37 @@ def bucketed_join(
     per-bucket merge. The plan pin lives in
     ``tests/test_plans.py::test_bucketed_join_no_exchange``."""
     return spark.table(left_table).join(spark.table(right_table), list(on), how)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zlib",
+    partition_cols: Optional[Sequence[str]] = None,
+) -> None:
+    """ORC sink (Spark-native, no extra packages): the other columnar
+    interchange format large corpora arrive in (Hive/Trino shops). ORC
+    scans get the same Catalyst treatment as parquet — PushedFilters,
+    column-pruned ReadSchema, partition pruning — plus ORC's own
+    stripe-level min/max skipping, so a 100 TB corpus filtered on a
+    selective column touches only matching stripes. Same write-side
+    discipline as the parquet store: repartition by partition columns
+    first so files-per-partition stays bounded."""
+    out = df
+    w = out.write.mode(mode).option("compression", compression)
+    if partition_cols:
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+        w = out.write.mode(mode).option("compression", compression)
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, where: Optional[str] = None
+) -> DataFrame:
+    """ORC reader; ``where`` predicates reach the scan as PushedFilters
+    (pinned in tests/test_sources.py) and prune partitions when they
+    hit partition columns."""
+    df = spark.read.orc(path)
+    return df.filter(where) if where else df

@@ -531,3 +531,35 @@ def test_bigram_lm_known_values(spark):
     assert abs(r["perplexity"] - math.exp(-want)) < 1e-9
     assert out[11]["n_unseen"] == 1  # (z,z) unseen, still scored
     assert out[12]["n_bigrams"] == 0 and out[12]["avg_logprob"] is None
+
+
+def test_orc_round_trip_pushdown_and_partitions(spark, sf_dir, tmp_path):
+    """ORC store: byte-faithful round trip; a readback predicate
+    reaches the ORC scan as PushedFilters; partitioned variant prunes
+    directories (PartitionFilters non-empty)."""
+    import re
+
+    from quality_spark.sources.corpus import read_orc, write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "orc_plain")
+    write_orc(docs, path)
+    back = read_orc(spark, path, where="n_chars > 100")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "simple"
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "n_chars" in m.group(1), plan
+    assert back.count() == docs.filter(F.col("n_chars") > 100).count()
+    assert read_orc(spark, path).count() == docs.count()
+
+    ppath = str(tmp_path / "orc_part")
+    write_orc(docs, ppath, partition_cols=("lang",))
+    one = docs.select("lang").distinct().head()[0]
+    pruned = read_orc(spark, ppath, where=f"lang = '{one}'")
+    pplan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "simple"
+    )
+    pm = re.search(r"PartitionFilters: \[([^\]]*)\]", pplan)
+    assert pm and "lang" in pm.group(1), pplan
+    assert pruned.count() == docs.filter(F.col("lang") == one).count()
