@@ -1089,6 +1089,45 @@ FROM cellof c LEFT JOIN dropped d ON d.dup_id = c.vec_id
 """
 
 
+_PROJ_SCALE = 1_000_000  # projection components gated as floor(x*1e6+0.5)
+
+
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 dims (quality_spark/llm/similarity.py:
+    project_embeddings): deterministic ±1 weights from the shared
+    md5-derived plane_weights matrix, inlined as literals in BOTH
+    engines, ascending-dim fold — so every projected double is
+    bit-equal and the floor(x*1e6+0.5) scaled-int gate is exact. One
+    row per (vec_id, dim). Mode 'sql' keeps the whole projection
+    inside whole-stage codegen."""
+    from quality_spark.llm.similarity import project_embeddings
+
+    emb = _read(spark, sf_dir, "embeddings")
+    proj = project_embeddings(emb, out_dims=16, seed=11, dims=64, mode="sql")
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("dim", "comp")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.expr(f"CAST(floor(comp * {_PROJ_SCALE} + 0.5) AS BIGINT)").alias(
+            "comp_scaled"
+        ),
+    )
+
+
+def _oracle_embedding_projection() -> str:
+    from quality_spark.llm.similarity import projection_sql
+
+    exprs = projection_sql("embedding", 16, 11, "duckdb", 64)
+    legs = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS dim, "
+        f"CAST(floor(({e}) * {_PROJ_SCALE} + 0.5) AS BIGINT) AS comp_scaled "
+        f"FROM embeddings"
+        for j, e in enumerate(exprs)
+    )
+    return legs
+
+
 _VERSIONED_RULE_ROWS = [
     # (suiteId, suiteVersion, setId, setVersion, ruleId, ruleVersion, expr)
     (1, 1, 5, 1, 10, 1, "a > 0"),
@@ -5613,6 +5652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann": q_embedding_ann,
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "semantic_dedup": q_semantic_dedup,
+        "embedding_projection": q_embedding_projection,
         "ivf_topk": q_ivf_topk,
         "decontam_overlap": q_decontam_overlap,
         "sampling_splits": q_sampling_splits,
@@ -5755,6 +5795,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann": _oracle_embedding_ann(),
         "embedding_lsh_near_dup": _oracle_embedding_lsh_near_dup(),
         "semantic_dedup": _oracle_semantic_dedup(),
+        "embedding_projection": _oracle_embedding_projection(),
         "ivf_topk": _oracle_ivf_block(),
         "decontam_overlap": _oracle_decontam_overlap(),
         "sampling_splits": _oracle_sampling_splits(),

@@ -1863,3 +1863,49 @@ def test_semantic_dedup_policy_and_skew_guard(spark):
         df, cents, threshold=0.9, max_cluster_size=3).collect()}
     assert capped[1]["is_kept"] and capped[2]["is_kept"]  # cluster skipped
     assert not capped[11]["is_kept"]  # 2-member cluster still deduped
+
+
+def test_random_projection_modes_and_distortion(spark, sf_dir):
+    """project_embeddings: (1) the Arrow kernel is BIT-identical to the
+    SQL fold (same ascending-dim accumulation) incl. NULL/short-row
+    parity; (2) the JL property holds on real testdata — median
+    pairwise-distance distortion under 64→16 projection stays within
+    the lemma's ballpark."""
+    import math
+
+    import numpy as np
+
+    from quality_spark.llm.similarity import project_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    bad = spark.createDataFrame(
+        [(9001, [1.0, 2.0]), (9002, None)],
+        "vec_id long, embedding array<float>",
+    )
+    both = emb.select("vec_id", "embedding").unionByName(bad)
+    a = {r["vec_id"]: r["p"] for r in project_embeddings(
+        both, out_dims=16, seed=11, dims=64, mode="sql", out="p").collect()}
+    b = {r["vec_id"]: r["p"] for r in project_embeddings(
+        both, out_dims=16, seed=11, dims=64, mode="arrow", out="p").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        if a[k] is None:
+            assert b[k] is None, k
+        else:
+            assert a[k] == b[k], k  # bit-equal doubles, not approx
+    assert a[9001] is None and a[9002] is None
+
+    # JL distortion on the first 40 real vectors
+    X = np.array([r["embedding"] for r in emb.limit(40).collect()], float)
+    P = np.array([a[r["vec_id"]] for r in emb.limit(40).collect()], float)
+    dists = []
+    for i in range(len(X)):
+        for j in range(i + 1, len(X)):
+            d0 = np.linalg.norm(X[i] - X[j])
+            d1 = np.linalg.norm(P[i] - P[j])
+            if d0 > 0:
+                dists.append(d1 / d0)
+    med = sorted(dists)[len(dists) // 2]
+    # eps ~ sqrt(8 ln(40)/16) is ~1.36 — a weak bound; the median ratio
+    # should sit near 1 (empirically ~1.0 +/- 0.1 for random data)
+    assert 0.7 < med < 1.3, med
