@@ -1128,6 +1128,46 @@ def _oracle_embedding_projection() -> str:
     return legs
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (quality_spark/llm/htmlx.py): every
+    document's text is ESCAPED and wrapped in a deterministic HTML
+    envelope — head with title + script, body with the text in a <p>
+    and trailing boilerplate-free markup — then run through the real
+    stdlib-parser extractor. The oracle never sees HTML: it
+    fingerprints the whitespace-collapsed ORIGINAL text, so the gate
+    proves the extractor drops head/script content, strips tags,
+    inverts entity escaping, and collapses whitespace exactly (the
+    explicit ASCII class [ \\t\\n\\r\\f\\v] keeps Python re, Spark,
+    and DuckDB RE2 byte-identical)."""
+    from quality_spark.llm.htmlx import html_escape_expr, html_to_text
+
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><script>var n=1;</script><style>p{color:red}</style>'
+              "</head><body><p>"),
+        html_escape_expr(F.col("text")),
+        F.lit("</p><!-- crawler boilerplate --></body></html>"),
+    )
+    wrapped = docs.select("doc_id", html.alias("html"))
+    ext = html_to_text(wrapped, "html", out="txt", collapse="space")
+    return ext.select(
+        "doc_id",
+        F.md5(F.col("txt")).alias("text_md5"),
+        F.length("txt").cast("bigint").alias("n_chars_ext"),
+    )
+
+
+def _oracle_html_extract() -> str:
+    collapsed = "trim(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))"
+    return f"""
+SELECT doc_id, md5({collapsed}) AS text_md5,
+       CAST(length({collapsed}) AS BIGINT) AS n_chars_ext
+FROM documents
+"""
+
+
 _VERSIONED_RULE_ROWS = [
     # (suiteId, suiteVersion, setId, setVersion, ruleId, ruleVersion, expr)
     (1, 1, 5, 1, 10, 1, "a > 0"),
@@ -5653,6 +5693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "embedding_projection": q_embedding_projection,
+        "html_extract": q_html_extract,
         "ivf_topk": q_ivf_topk,
         "decontam_overlap": q_decontam_overlap,
         "sampling_splits": q_sampling_splits,
@@ -5796,6 +5837,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_near_dup": _oracle_embedding_lsh_near_dup(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "embedding_projection": _oracle_embedding_projection(),
+        "html_extract": _oracle_html_extract(),
         "ivf_topk": _oracle_ivf_block(),
         "decontam_overlap": _oracle_decontam_overlap(),
         "sampling_splits": _oracle_sampling_splits(),

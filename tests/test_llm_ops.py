@@ -1909,3 +1909,48 @@ def test_random_projection_modes_and_distortion(spark, sf_dir):
     # eps ~ sqrt(8 ln(40)/16) is ~1.36 — a weak bound; the median ratio
     # should sit near 1 (empirically ~1.0 +/- 0.1 for random data)
     assert 0.7 < med < 1.3, med
+
+
+def test_html_extract_semantics(spark):
+    """htmlx.extract_text: drops script/style/head content (incl.
+    nested), decodes entities, newlines at block boundaries, keeps
+    inline markup text fused, tolerates malformed HTML, and the
+    DataFrame op round-trips escaped text through a full envelope."""
+    from quality_spark.llm.htmlx import (
+        extract_text,
+        html_escape_expr,
+        html_to_text,
+    )
+
+    assert extract_text(
+        "<head><title>T</title></head><body><p>a</p><p>b</p></body>",
+        "space",
+    ) == "a b"
+    # nested drop regions + comments + entities
+    h = ("<div>x<script>if(a<b){}</script><style>p{}</style>"
+         "<!-- no -->&amp;&#65;&lt;</div>")
+    assert extract_text(h, "space") == "x&A<"
+    # inline tags do NOT split words; block tags do
+    assert extract_text("<p>he<b>ll</b>o</p><p>world</p>", "space") == "hello world"
+    # malformed: unclosed tags, stray brackets — never raises
+    assert extract_text("<p>a<div>b", "space") == "a b"
+    assert extract_text("a < b > c", "space").startswith("a ")
+    assert extract_text(None if False else "", "space") == ""
+
+    df = spark.createDataFrame(
+        [(1, "T&C <x>"), (2, "  spaced\t\nout  "), (3, None)],
+        "doc_id long, text string",
+    )
+    wrapped = df.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><script>var j=1;</script></head><body><p>"),
+            F.coalesce(html_escape_expr(F.col("text")), F.lit("")),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    out = {r["doc_id"]: r["t"] for r in html_to_text(
+        wrapped, "html", out="t", collapse="space").collect()}
+    assert out[1] == "T&C <x>"
+    assert out[2] == "spaced out"
+    assert out[3] == ""
