@@ -1168,6 +1168,40 @@ FROM documents
 """
 
 
+_CLF_SCALE = 1_000_000_000  # classifier margins gated at 1e-9 resolution
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear classifier margin (quality_spark/llm/classifier.py
+    — the fastText-shaped quality-filter scoring mechanism): unigram +
+    bigram features, portable 60-bit md5 hash into 4096 buckets,
+    deterministic stand-in weights, mean weight per document as a pure
+    projection. Margins are gated as floor(x*1e9+0.5) scaled ints —
+    the arithmetic is +,*,/ with identical fold order in both engines,
+    so the doubles are bit-equal and the rounding is exact."""
+    from quality_spark.llm.classifier import with_classifier_margin
+
+    docs = _read(spark, sf_dir, "documents")
+    out = with_classifier_margin(docs, "text", out="m", buckets=4096)
+    return out.select(
+        "doc_id",
+        F.expr(f"CAST(floor(m * {_CLF_SCALE} + 0.5) AS BIGINT)").alias(
+            "margin_scaled"
+        ),
+    )
+
+
+def _oracle_classifier_score() -> str:
+    from quality_spark.llm.classifier import margin_sql
+
+    m = margin_sql("text", "duckdb", buckets=4096)
+    return f"""
+SELECT doc_id,
+       CAST(floor(({m}) * {_CLF_SCALE} + 0.5) AS BIGINT) AS margin_scaled
+FROM documents
+"""
+
+
 _VERSIONED_RULE_ROWS = [
     # (suiteId, suiteVersion, setId, setVersion, ruleId, ruleVersion, expr)
     (1, 1, 5, 1, 10, 1, "a > 0"),
@@ -5694,6 +5728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "embedding_projection": q_embedding_projection,
         "html_extract": q_html_extract,
+        "classifier_score": q_classifier_score,
         "ivf_topk": q_ivf_topk,
         "decontam_overlap": q_decontam_overlap,
         "sampling_splits": q_sampling_splits,
@@ -5838,6 +5873,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _oracle_semantic_dedup(),
         "embedding_projection": _oracle_embedding_projection(),
         "html_extract": _oracle_html_extract(),
+        "classifier_score": _oracle_classifier_score(),
         "ivf_topk": _oracle_ivf_block(),
         "decontam_overlap": _oracle_decontam_overlap(),
         "sampling_splits": _oracle_sampling_splits(),

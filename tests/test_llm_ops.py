@@ -1954,3 +1954,52 @@ def test_html_extract_semantics(spark):
     assert out[1] == "T&C <x>"
     assert out[2] == "spaced out"
     assert out[3] == ""
+
+
+def test_classifier_weight_table_matches_procedural(spark, sf_dir):
+    """score_with_weight_table (explode + broadcast join + regroup)
+    must equal with_classifier_margin (pure projection) when the table
+    materializes the same procedural weights; unigram-only docs and
+    unseen-bucket zeroing also pinned."""
+    from quality_spark.llm.classifier import (
+        score_with_weight_table,
+        with_classifier_margin,
+    )
+
+    B = 512
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    table = spark.createDataFrame(
+        [(b, ((b % 2001) - 1000) / 1000.0) for b in range(B)],
+        "bucket long, weight double",
+    )
+    proj = {r["doc_id"]: r["m"] for r in with_classifier_margin(
+        docs, "text", out="m", buckets=B).collect()}
+    tab = {r["doc_id"]: r["m"] for r in score_with_weight_table(
+        docs, table, "doc_id", "text", out="m", buckets=B).collect()}
+    assert set(proj) == set(tab)
+    for k in proj:
+        assert abs(proj[k] - tab[k]) < 1e-12, k
+
+    # single-token doc -> unigram only; empty doc -> NULL margin (proj
+    # path) / absent (table path has no features to group)
+    tiny = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    pm = {r["doc_id"]: r["m"] for r in with_classifier_margin(
+        tiny, "text", out="m", buckets=B).collect()}
+    assert pm[2] is None and pm[1] is not None
+    # doc 3: mean of w(a), w(b), w("a b") — three features
+    from quality_spark.llm.classifier import margin_sql
+    import duckdb
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT " + margin_sql("'a b'", "duckdb", buckets=B)
+    ).fetchone()[0]
+    assert abs(pm[3] - got) < 1e-15
+
+    # unseen buckets weigh 0: empty table -> margin 0 for any doc
+    empty = spark.createDataFrame([], "bucket long, weight double")
+    z = {r["doc_id"]: r["m"] for r in score_with_weight_table(
+        tiny.filter("doc_id = 3"), empty, "doc_id", "text",
+        out="m", buckets=B).collect()}
+    assert z[3] == 0.0
