@@ -1202,6 +1202,54 @@ FROM documents
 """
 
 
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip with ADVERSARIAL payloads
+    (quality_spark/sources/csvio.py): every document's text gets an
+    appended quote-comma-newline tail, is written as RFC 4180 CSV
+    (quote doubling, multiLine), read back through the quarantining
+    reader, and fingerprinted. The oracle fingerprints the same
+    constructed payload straight from parquet — so quoting, newline
+    parsing, and the zero-quarantine invariant are all proved (the
+    n_bad column must be 0 for every row, and the oracle says so)."""
+    from quality_spark.sources.csvio import read_csv_quarantined, write_csv
+
+    payload = F.concat(
+        F.col("text"),
+        F.lit(' tail: "quoted", comma,\nnewline and ""doubles""'),
+    )
+
+    def build(root):
+        docs = _read(spark, sf_dir, "documents").select(
+            "doc_id", payload.alias("payload"), "n_chars"
+        )
+        write_csv(docs, root, num_shards=4)
+        return root
+
+    stage = _staged("csv", sf_dir, build)
+    good, bad = read_csv_quarantined(
+        spark, stage, "doc_id bigint, payload string, n_chars bigint",
+        persist=True,
+    )
+    n_bad = bad.count()
+    return good.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        "n_chars",
+        F.lit(int(n_bad)).cast("bigint").alias("n_bad"),
+    )
+
+
+def _oracle_csv_ingest() -> str:
+    tail = ' tail: "quoted", comma,\nnewline and ""doubles""'
+    # single-quoted SQL literal: double the single quotes (none here),
+    # newline embeds verbatim
+    return f"""
+SELECT doc_id, md5(text || '{tail}') AS payload_md5, n_chars,
+       CAST(0 AS BIGINT) AS n_bad
+FROM documents
+"""
+
+
 _VERSIONED_RULE_ROWS = [
     # (suiteId, suiteVersion, setId, setVersion, ruleId, ruleVersion, expr)
     (1, 1, 5, 1, 10, 1, "a > 0"),
@@ -5729,6 +5777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_projection": q_embedding_projection,
         "html_extract": q_html_extract,
         "classifier_score": q_classifier_score,
+        "csv_ingest": q_csv_ingest,
         "ivf_topk": q_ivf_topk,
         "decontam_overlap": q_decontam_overlap,
         "sampling_splits": q_sampling_splits,
@@ -5874,6 +5923,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_projection": _oracle_embedding_projection(),
         "html_extract": _oracle_html_extract(),
         "classifier_score": _oracle_classifier_score(),
+        "csv_ingest": _oracle_csv_ingest(),
         "ivf_topk": _oracle_ivf_block(),
         "decontam_overlap": _oracle_decontam_overlap(),
         "sampling_splits": _oracle_sampling_splits(),

@@ -563,3 +563,39 @@ def test_orc_round_trip_pushdown_and_partitions(spark, sf_dir, tmp_path):
     pm = re.search(r"PartitionFilters: \[([^\]]*)\]", pplan)
     assert pm and "lang" in pm.group(1), pplan
     assert pruned.count() == docs.filter(F.col("lang") == one).count()
+
+
+def test_csv_quarantine_routes_bad_rows(spark, tmp_path):
+    """read_csv_quarantined: type-malformed rows land verbatim in the
+    quarantine frame, good rows parse exactly, adversarial quoting
+    round-trips through write_csv."""
+    from quality_spark.sources.csvio import read_csv_quarantined, write_csv
+
+    # adversarial round trip through our own writer
+    df = spark.createDataFrame(
+        [(1, 'a,"b"\nc', 10), (2, 'plain', 20)],
+        "doc_id long, payload string, n bigint",
+    )
+    p1 = str(tmp_path / "rt")
+    write_csv(df, p1, num_shards=1)
+    good, bad = read_csv_quarantined(
+        spark, p1, "doc_id bigint, payload string, n bigint", persist=True
+    )
+    assert bad.count() == 0
+    got = {r["doc_id"]: r["payload"] for r in good.collect()}
+    assert got[1] == 'a,"b"\nc' and got[2] == "plain"
+
+    # hand-written file with a type-corrupt row
+    p2 = tmp_path / "badfile"
+    p2.mkdir()
+    (p2 / "part.csv").write_text(
+        "doc_id,payload,n\n1,ok,5\nnot_a_number,oops,xyz\n3,fine,7\n"
+    )
+    good2, bad2 = read_csv_quarantined(
+        spark, str(p2), "doc_id bigint, payload string, n bigint",
+        persist=True,
+    )
+    assert sorted(r["doc_id"] for r in good2.collect()) == [1, 3]
+    quar = bad2.collect()
+    assert len(quar) == 1
+    assert quar[0]["raw_record"] == "not_a_number,oops,xyz"
