@@ -1250,6 +1250,36 @@ FROM documents
 """
 
 
+def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio signal (quality_spark/llm/compress.py).
+    Ratios themselves have no SQL twin (DuckDB has no zlib), so the
+    gate pins the operator's defining INVARIANT per document: the
+    8×-repeated text must compress to under 0.9× the single-copy
+    ratio (self-similarity always wins once the window sees the
+    repeat; verified with margin at sf0.01 and sf0.1, min doc 44
+    bytes), plus a sanity band 0 < ratio < 1.5 on the single-copy
+    ratio. The oracle states both invariants as constants over the
+    same doc set. Exact ratio values are pinned in tests against
+    stdlib zlib directly."""
+    from quality_spark.llm.compress import with_compression_ratio
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("n_chars") >= 40)
+    one = with_compression_ratio(docs, "text", out="r1", repeats=1)
+    both = with_compression_ratio(one, "text", out="r8", repeats=8)
+    return both.select(
+        "doc_id",
+        (F.col("r8") < F.col("r1") * 0.9).alias("repeat_compresses"),
+        ((F.col("r1") > 0) & (F.col("r1") < 1.5)).alias("ratio_in_band"),
+    )
+
+
+def _oracle_compression_signal() -> str:
+    return """
+SELECT doc_id, TRUE AS repeat_compresses, TRUE AS ratio_in_band
+FROM documents WHERE n_chars >= 40
+"""
+
+
 _VERSIONED_RULE_ROWS = [
     # (suiteId, suiteVersion, setId, setVersion, ruleId, ruleVersion, expr)
     (1, 1, 5, 1, 10, 1, "a > 0"),
@@ -5778,6 +5808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "classifier_score": q_classifier_score,
         "csv_ingest": q_csv_ingest,
+        "compression_signal": q_compression_signal,
         "ivf_topk": q_ivf_topk,
         "decontam_overlap": q_decontam_overlap,
         "sampling_splits": q_sampling_splits,
@@ -5924,6 +5955,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _oracle_html_extract(),
         "classifier_score": _oracle_classifier_score(),
         "csv_ingest": _oracle_csv_ingest(),
+        "compression_signal": _oracle_compression_signal(),
         "ivf_topk": _oracle_ivf_block(),
         "decontam_overlap": _oracle_decontam_overlap(),
         "sampling_splits": _oracle_sampling_splits(),

@@ -2003,3 +2003,38 @@ def test_classifier_weight_table_matches_procedural(spark, sf_dir):
         tiny.filter("doc_id = 3"), empty, "doc_id", "text",
         out="m", buckets=B).collect()}
     assert z[3] == 0.0
+
+
+def test_compression_ratio_values_and_nulls(spark):
+    """compress.compression_ratio: exact values against stdlib zlib,
+    repetitive-vs-random ordering, NULL/empty handling, and the
+    DataFrame op matches the pure function per row."""
+    import zlib
+
+    from quality_spark.llm.compress import (
+        compression_ratio,
+        with_compression_ratio,
+    )
+
+    # exact pin against stdlib zlib (same impl, same level): the
+    # operator must not silently change level or add framing
+    s = "the quick brown fox jumps over the lazy dog. " * 20
+    assert compression_ratio(s) == len(zlib.compress(s.encode(), 6)) / len(
+        s.encode()
+    )
+    # ordering: templated text compresses far below random-ish text
+    rep = "a b " * 250
+    mixed = "".join(chr(33 + (i * 7919) % 90) for i in range(1000))
+    assert compression_ratio(rep) < 0.1 < compression_ratio(mixed)
+    # repeats probe: self-similar text barely grows
+    assert compression_ratio(s, repeats=8) < 0.5 * compression_ratio(s)
+    assert compression_ratio("") is None and compression_ratio(None) is None
+
+    df = spark.createDataFrame(
+        [(1, s), (2, rep), (3, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["zlib_ratio"] for r in with_compression_ratio(
+        df, "text").collect()}
+    assert got[1] == compression_ratio(s)
+    assert got[2] == compression_ratio(rep)
+    assert got[3] is None
