@@ -835,7 +835,13 @@ def semantic_dedup(
     kept verbatim, same contract as ``bucket_candidate_pairs``'s
     ``max_bucket_size``. The centroid table is metadata-sized by
     contract (IVF list count ~ sqrt(corpus)) and is inlined/broadcast,
-    never joined.
+    never joined. Plan note: the lazy plan evaluates the cell
+    assignment once per self-join side plus once for the final output
+    (three corpus scans); at real scale materialize
+    ``ivf_assign(df, centroids)`` to storage first and feed the
+    (id, cell, vec) table here — assignment is scan-speed, so the
+    write is the cheap way to make the two join sides and the output
+    read one precomputed column instead of recomputing the argmax.
 
     Reference scope note: the reference engine (sparkutils/quality) has
     no embedding operators; this is part of the training-data-pipeline
