@@ -50,6 +50,23 @@ FEATURE_DIM = 8
 
 _STRICT = False  # strict mode raises instead of producing fake features
 
+#: decompression-bomb guard: every raster decoder refuses a stream
+#: whose DECLARED dimensions exceed this many pixels BEFORE allocating
+#: anything (a flipped dimension byte in a corrupt/malicious file
+#: otherwise drives multi-GB allocations or billion-iteration MCU
+#: loops on an executor — surfaced by the codec mutation fuzzer, which
+#: OOM-killed the test host via a mutated JPEG SOF). 64 Mpx ≈ 192 MB
+#: decoded RGB; raise it deliberately for gigapixel corpora.
+MAX_DECODE_PIXELS = 64 * 1024 * 1024
+
+
+def _guard_pixels(w: int, h: int, fmt: str) -> None:
+    if int(w) * int(h) > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{fmt} dims {w}x{h} exceed MAX_DECODE_PIXELS="
+            f"{MAX_DECODE_PIXELS} (decompression-bomb guard)"
+        )
+
 
 def as_media_column(
     df: DataFrame,
@@ -117,6 +134,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"bad BMP dims {w}x{h}")
     top_down = h < 0
     h = abs(h)
+    _guard_pixels(w, h, "BMP")
     nchan = bpp // 8
     stride = (w * nchan + 3) // 4 * 4
     need = data_off + stride * h
@@ -188,6 +206,7 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PPM maxval {maxv} (only 8-bit)")
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PPM dims {w}x{h}")
+    _guard_pixels(w, h, "PPM")
     if len(b) < i + w * h * 3:
         raise ValueError("truncated PPM pixel data")
     return np.frombuffer(b, np.uint8, w * h * 3, i).reshape(h, w, 3).copy()
@@ -345,6 +364,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {ctype}")
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNG dims {w}x{h}")
+    _guard_pixels(w, h, "PNG")
     raw = zlib.decompress(bytes(idat))
     rowlen = w * nchan
     if len(raw) != h * (rowlen + 1):
@@ -1123,6 +1143,7 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
             progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            _guard_pixels(w, h, "JPEG")
             nc = body[5]
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG: {nc} components")
@@ -1470,6 +1491,8 @@ def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> list:
         if code == eoi:
             break
         if prev is None:
+            if code not in table:
+                raise ValueError("bad GIF LZW code")
             entry = table[code]
         elif code in table:
             entry = table[code]
@@ -1556,6 +1579,7 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
         raise ValueError("not a GIF payload")
     sw = int.from_bytes(b[6:8], "little")
     sh = int.from_bytes(b[8:10], "little")
+    _guard_pixels(sw, sh, "GIF")
     flags = b[10]
     bg_index = b[11]
     pos = 13
@@ -1594,6 +1618,7 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
         iy = int.from_bytes(b[pos + 2:pos + 4], "little")
         iw = int.from_bytes(b[pos + 4:pos + 6], "little")
         ih = int.from_bytes(b[pos + 6:pos + 8], "little")
+        _guard_pixels(iw, ih, "GIF frame")
         iflags = b[pos + 8]
         pos += 9
         ct = gct
@@ -1604,6 +1629,12 @@ def _decode_gif_inner(payload: bytes) -> np.ndarray:
         if ct is None:
             raise ValueError("GIF image has no color table")
         min_code = b[pos]
+        # spec range is 2..8 (width caps at 12 bits); a mutated byte
+        # here otherwise sizes the initial LZW table at 1 << min_code —
+        # the decompression bomb the mutation fuzzer found (OOM via a
+        # 2**255-entry dict comprehension)
+        if not (2 <= min_code <= 11):
+            raise ValueError(f"bad GIF LZW minimum code size {min_code}")
         pos += 1
         data = bytearray()
         while True:
@@ -1784,6 +1815,7 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
     w, h = one(256), one(257)
     if not (0 < w <= 65535 and 0 < h <= 65535):
         raise ValueError(f"bad TIFF dims {w}x{h}")
+    _guard_pixels(w, h, "TIFF")
     comp = one(259, 1)
     photo = one(262)
     spp = one(277, 1)
@@ -1913,8 +1945,9 @@ def decode_y4m(payload: bytes):
             num, den = (int(x) for x in t[1:].split(":"))
         elif t[0] == "C":
             cspace = t[1:]
-    if not w or not h or num <= 0 or den <= 0:
+    if not w or not h or num <= 0 or den <= 0 or w < 0 or h < 0:
         raise ValueError("bad YUV4MPEG2 header")
+    _guard_pixels(w, h, "Y4M")
     if cspace.startswith("420"):
         chroma = 2 * ((w + 1) // 2) * ((h + 1) // 2)
     elif cspace == "444":

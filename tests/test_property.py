@@ -540,3 +540,68 @@ def test_codec_mutation_fuzz_honest_refusals():
             dec(bytes(s))
         except ValueError:
             pass  # the honest refusal contract
+
+
+def test_decode_bomb_guards():
+    """Decompression-bomb guards (round 7, found by the mutation
+    fuzzer OOM-killing the host): every raster decoder refuses
+    declared dimensions past MAX_DECODE_PIXELS BEFORE allocating, a
+    GIF LZW minimum-code-size byte outside 2..11 refuses (a mutated
+    byte otherwise sizes the initial table at 1 << min_code), and a
+    first LZW code outside the table is a ValueError, not KeyError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from quality_spark.llm.multimodal import (
+        MAX_DECODE_PIXELS,
+        decode_bmp,
+        decode_gif,
+        decode_jpeg,
+        decode_tiff,
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_tiff,
+    )
+
+    img = np.full((8, 8, 3), 9, np.uint8)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    pimg = pal[np.zeros((8, 8), np.int64)]
+
+    # BMP: flip width to 2**30
+    b = bytearray(encode_bmp(img))
+    b[18:22] = struct.pack("<i", 1 << 30)
+    with pytest.raises(ValueError, match="bomb|dims|BMP"):
+        decode_bmp(bytes(b))
+
+    # JPEG: SOF height bytes to 0xFFFF with huge width
+    j = bytearray(encode_jpeg(img))
+    sof = j.find(b"\xff\xc0")
+    j[sof + 5:sof + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(j))
+
+    # TIFF: both dims at 65535 exceed the pixel cap even though each
+    # passes the per-dim bound
+    t = encode_tiff(img)
+    assert 65535 * 65535 > MAX_DECODE_PIXELS
+    tb = bytearray(t)
+    # rewrite IFD width/height entries (tags 256/257, SHORT at offset+8)
+    ifd = struct.unpack("<I", tb[4:8])[0]
+    n = struct.unpack("<H", tb[ifd:ifd + 2])[0]
+    for e in range(n):
+        off = ifd + 2 + 12 * e
+        tag = struct.unpack("<H", tb[off:off + 2])[0]
+        if tag in (256, 257):
+            tb[off + 8:off + 10] = struct.pack("<H", 65535)
+    with pytest.raises(ValueError, match="bomb|MAX_DECODE"):
+        decode_tiff(bytes(tb))
+
+    # GIF: LZW min code size byte mutated to 255
+    g = bytearray(encode_gif(pimg))
+    idx = g.find(b"\x2c")  # image descriptor
+    g[idx + 9 + 1] = 255  # byte after descriptor(10) is min_code
+    with pytest.raises(ValueError):
+        decode_gif(bytes(g))
