@@ -1178,11 +1178,14 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in weights, mean weight per document as a pure
     projection. Margins are gated as floor(x*1e9+0.5) scaled ints —
     the arithmetic is +,*,/ with identical fold order in both engines,
-    so the doubles are bit-equal and the rounding is exact."""
+    so the doubles are bit-equal and the rounding is exact.
+    mode='arrow': the bit-identical hashlib kernel (the SQL HOF fold
+    is the oracle-replayable spec but interprets md5 per feature —
+    measured 11.4 s vs 0.8 s at sf0.1; tests pin arrow == sql)."""
     from quality_spark.llm.classifier import with_classifier_margin
 
     docs = _read(spark, sf_dir, "documents")
-    out = with_classifier_margin(docs, "text", out="m", buckets=4096)
+    out = with_classifier_margin(docs, "text", out="m", buckets=4096, mode="arrow")
     return out.select(
         "doc_id",
         F.expr(f"CAST(floor(m * {_CLF_SCALE} + 0.5) AS BIGINT)").alias(

@@ -104,14 +104,65 @@ def margin_sql(
     return f"(CAST({total} AS DOUBLE) / nullif(CAST({n} AS DOUBLE), 0.0))"
 
 
+def _margin_arrow_udf(buckets: int):
+    """Arrow twin of :func:`margin_sql` with the DEFAULT weight —
+    BIT-IDENTICAL: tokens split on the Java-regex ``\\s+`` class
+    (ASCII — Python's bare str.split would also eat unicode
+    whitespace), features ordered unigrams-then-bigrams, md5 bucket
+    per feature (C-speed hashlib vs the interpreted SQL HOF fold that
+    measured 11 s at sf0.1), weights summed LEFT-TO-RIGHT in feature
+    order so the double result equals the SQL fold exactly."""
+    import hashlib
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    @pandas_udf("double")
+    def margin(s):  # type: ignore[no-untyped-def]
+        def one(x):
+            if x is None:
+                return None
+            toks = [t for t in ws.split(x) if t]
+            feats = toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+            if not feats:
+                return None
+            acc = 0.0
+            for f in feats:
+                b = int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % buckets
+                acc += ((b % 2001) - 1000) / 1000.0
+            return acc / float(len(feats))
+
+        return s.map(one)
+
+    return margin
+
+
 def with_classifier_margin(
     df: DataFrame,
     text_col: str = "text",
     out: str = "clf_margin",
     buckets: int = 1 << 20,
     weight_sql_fn: Optional[Callable[[str, str], str]] = None,
+    mode: str = "auto",
 ) -> DataFrame:
-    """Procedural-weights scoring path: pure projection, no shuffle."""
+    """Procedural-weights scoring path — no shuffle either way.
+    ``mode='sql'`` is the oracle-replayable pure Column projection
+    (md5 inside a HOF fold — interpreted, so ~20× slower; it is the
+    SPEC). ``mode='arrow'`` is the bit-identical fast twin (default
+    via 'auto' when the weight function is the default; a custom
+    ``weight_sql_fn`` forces 'sql' since arbitrary SQL weights have
+    no Python twin)."""
+    if mode == "auto":
+        mode = "arrow" if weight_sql_fn is None else "sql"
+    if mode == "arrow":
+        if weight_sql_fn is not None:
+            raise ValueError("mode='arrow' supports only the default weight")
+        return df.withColumn(out, _margin_arrow_udf(buckets)(F.col(text_col)))
     return df.select(
         "*",
         F.expr(margin_sql(text_col, "spark", buckets, weight_sql_fn)).alias(out),

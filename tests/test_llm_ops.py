@@ -2038,3 +2038,26 @@ def test_compression_ratio_values_and_nulls(spark):
     assert got[1] == compression_ratio(s)
     assert got[2] == compression_ratio(rep)
     assert got[3] is None
+
+
+def test_classifier_arrow_matches_sql(spark, sf_dir):
+    """with_classifier_margin mode='arrow' must be BIT-identical to
+    the SQL fold (same token split, feature order, md5 bucket, and
+    left-to-right double accumulation), including whitespace-heavy
+    and empty docs."""
+    from quality_spark.llm.classifier import with_classifier_margin
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    extra = spark.createDataFrame(
+        [(9001, "a\tb\nc  d"), (9002, "   "), (9003, "one")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    s = {r["doc_id"]: r["m"] for r in with_classifier_margin(
+        both, "text", out="m", buckets=4096, mode="sql").collect()}
+    a = {r["doc_id"]: r["m"] for r in with_classifier_margin(
+        both, "text", out="m", buckets=4096, mode="arrow").collect()}
+    assert set(s) == set(a)
+    for k in s:
+        assert s[k] == a[k], (k, s[k], a[k])  # bit-equal, not approx
+    assert s[9002] is None
