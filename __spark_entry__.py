@@ -1037,7 +1037,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") % 50 == 0)
-    out = semantic_dedup(emb, cents, threshold=0.2)
+    # mode='arrow': numpy fold-order cell assignment, bit-identical to
+    # the SQL argmax the oracle replays (_ivf_cell_arrow_udf contract,
+    # same as the IVF gate) — the interpreted SQL fold costs ~3x here
+    # because the plan evaluates assignment once per self-join side
+    out = semantic_dedup(emb, cents, threshold=0.2, mode="arrow")
     # dup_of gated with a -1 sentinel for kept rows: a nullable int64
     # column round-trips as float in some arrow/pandas paths and would
     # hash differently between engines
