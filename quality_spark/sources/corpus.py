@@ -31,6 +31,7 @@ __all__ = [
     "write_zordered",
     "write_orc",
     "read_orc",
+    "parquet_footer_stats",
 ]
 
 
@@ -222,3 +223,43 @@ def read_orc(
     hit partition columns."""
     df = spark.read.orc(path)
     return df.filter(where) if where else df
+
+
+def parquet_footer_stats(spark: SparkSession, path: str, col: str) -> dict:
+    """COUNT(*) / MIN(col) / MAX(col) answered from parquet FOOTER
+    metadata — no data pages read. Uses the DSv2 parquet scan with
+    ``spark.sql.parquet.aggregatePushdown`` (plan shows
+    ``PushedAggregation: [COUNT(*), MIN(..), MAX(..)]``, pinned in
+    tests): at 100 TB this turns a full-table stats pass into a
+    footer sweep, one small task per file. Both configs are swapped
+    in scoped and restored after the collect.
+
+    Fine print: the pushdown silently disengages (normal scan, same
+    answer, full cost) when a filter is present, for nested columns,
+    or for timestamp columns needing rebase — keep the call
+    unfiltered and flat-columned."""
+    conf = spark.conf
+    old_v1 = conf.get("spark.sql.sources.useV1SourceList", None)
+    old_push = conf.get("spark.sql.parquet.aggregatePushdown", None)
+    try:
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        row = (
+            spark.read.parquet(path)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min(col).alias("min_val"),
+                F.max(col).alias("max_val"),
+            )
+            .collect()[0]
+        )
+        return {"n_rows": row["n_rows"], "min": row["min_val"], "max": row["max_val"]}
+    finally:
+        if old_v1 is None:
+            conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        if old_push is None:
+            conf.unset("spark.sql.parquet.aggregatePushdown")
+        else:
+            conf.set("spark.sql.parquet.aggregatePushdown", old_push)
