@@ -5834,10 +5834,74 @@ FROM ({_oracle_compression_signal()})
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global paragraph dedup (quality_spark/llm/dedup.py:
+    paragraph_dedup_global — the Dolma-style boilerplate scrub). The
+    synthetic corpus has no paragraph structure, so the gate
+    CONSTRUCTS it: every doc = a class header paragraph shared by
+    doc_id%5 peers + its own (unique) text + a footer shared by ALL
+    docs. The operator must keep each shared paragraph only in the
+    smallest-(doc_id, idx) doc carrying it and reassemble survivors
+    in order; the oracle replays the construction and the
+    first-occurrence election in SQL."""
+    from quality_spark.llm.dedup import paragraph_dedup_global
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("boilerplate header class "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("\n\n"),
+            F.col("text"),
+            F.lit("\n\nfooter legal text"),
+        ).alias("text"),
+    )
+    out = paragraph_dedup_global(built, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.md5("text_dedup").alias("text_md5"),
+        F.col("n_paras").cast("bigint").alias("n_paras"),
+        "n_kept",
+    )
+
+
+def _oracle_paragraph_dedup() -> str:
+    return r"""
+WITH built AS (
+  SELECT doc_id,
+         ['boilerplate header class ' || CAST(doc_id % 5 AS VARCHAR),
+          text, 'footer legal text'] AS paras
+  FROM documents WHERE doc_id < 400
+),
+p AS (
+  SELECT doc_id, CAST(u.i AS INTEGER) - 1 AS idx, paras[CAST(u.i AS INTEGER)] AS para
+  FROM built, UNNEST(range(1, 4)) AS u(i)
+),
+elect AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM p
+),
+kept AS (SELECT doc_id, idx, para FROM elect WHERE rn = 1),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_dedup,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       md5(COALESCE(r.text_dedup, '')) AS text_md5,
+       CAST(3 AS BIGINT) AS n_paras,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+FROM built b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+
 def q_text_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second text-curation block (round 7): mojibake repair + BPE
-    tokenize/train + bigram-LM scoring + cross-doc window duplication,
-    tagged per part."""
+    tokenize/train + bigram-LM scoring + cross-doc window duplication
+    + global paragraph dedup, tagged per part."""
     nbl = F.lit(-1).cast("bigint")
     nd = F.lit(-1.0).cast("double")
     bpe = q_bpe_tokenize(spark, sf_dir).select(
@@ -5873,7 +5937,18 @@ def q_text_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NULL-vs-NaN representation drift across arrow/pandas paths
         F.coalesce(F.col("dup_frac"), F.lit(-1.0)).alias("v_double"),
     )
-    return bpe.unionByName(enc).unionByName(lm).unionByName(win)
+    pdedup = q_paragraph_dedup(spark, sf_dir).select(
+        F.lit("pdedup").alias("part"),
+        F.col("doc_id").cast("bigint").alias("ord"),
+        F.col("text_md5").alias("a"), F.lit("").alias("b"),
+        F.col("n_paras").cast("int").alias("n1"),
+        F.col("n_kept").cast("int").alias("n2"),
+        nbl.alias("v_long"), nd.alias("v_double"),
+    )
+    return (
+        bpe.unionByName(enc).unionByName(lm)
+        .unionByName(win).unionByName(pdedup)
+    )
 
 
 def _oracle_text_curation2() -> str:
@@ -5893,6 +5968,11 @@ UNION ALL
 SELECT 'win', doc_id, '', '', n_windows, n_dup_windows,
        CAST(-1 AS BIGINT), COALESCE(dup_frac, -1.0)
 FROM ({_oracle_window_dup()})
+UNION ALL
+SELECT 'pdedup', doc_id, text_md5, '',
+       CAST(n_paras AS INTEGER), CAST(n_kept AS INTEGER),
+       CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE)
+FROM ({_oracle_paragraph_dedup()})
 """
 
 
@@ -6123,6 +6203,7 @@ def query_legs() -> dict:
             "enc": q_encoding_repair,
             "lm": q_lm_score,
             "win": q_window_dup,
+            "pdedup": q_paragraph_dedup,
         },
         "embedding_reduce": {
             "sem": q_semantic_dedup,

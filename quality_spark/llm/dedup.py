@@ -890,3 +890,70 @@ def window_dup_stats(
             ).alias("dup_window_fraction"),
         )
     )
+
+
+def paragraph_dedup_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """GLOBAL paragraph-level exact dedup (the Dolma/CCNet boilerplate
+    scrub): split every document into paragraphs, keep only the FIRST
+    occurrence of each distinct paragraph corpus-wide (ordered by
+    (id, paragraph index)), drop every later repeat — including
+    repeats inside the same document — and reassemble the survivors
+    in original order.
+
+    Returns one row per input doc: (id_col, text_dedup, n_paras,
+    n_kept). Documents reduced to zero paragraphs come back with
+    empty text, not a dropped row.
+
+    100 TB design: exactly two shuffles — (1) first-occurrence
+    election as a map-side-combined groupBy(paragraph) min_by (NOT a
+    window: the ubiquitous-boilerplate paragraph would otherwise sort
+    millions of rows inside one window partition; min_by aggregates
+    with partial combine so skew collapses on the map side), and
+    (2) the per-doc reassembly groupBy. The election join is keyed on
+    the paragraph hash, not the text, so the wide payload shuffles
+    once."""
+    # NB: F.split's separator is a Java regex — the default literal
+    # "\n\n" is regex-safe; escape metacharacters for exotic seps
+    paras = df.select(
+        F.col(id_col).alias("__pd_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias(
+            "__pd_idx", "__pd_text"
+        ),
+    ).withColumn("__pd_hash", F.xxhash64("__pd_text"))
+    firsts = paras.groupBy("__pd_hash").agg(
+        F.min(F.struct("__pd_id", "__pd_idx")).alias("__pd_first")
+    )
+    kept = (
+        paras.join(firsts, "__pd_hash")
+        .filter(
+            (F.col("__pd_id") == F.col("__pd_first.__pd_id"))
+            & (F.col("__pd_idx") == F.col("__pd_first.__pd_idx"))
+        )
+    )
+    stats = paras.groupBy(F.col("__pd_id")).agg(
+        F.count("*").alias("n_paras")
+    )
+    rebuilt = kept.groupBy("__pd_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pd_idx", "__pd_text"))),
+                lambda s: s["__pd_text"],
+            ),
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        stats.join(rebuilt, "__pd_id", "left")
+        .select(
+            F.col("__pd_id").alias(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

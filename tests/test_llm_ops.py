@@ -2061,3 +2061,28 @@ def test_classifier_arrow_matches_sql(spark, sf_dir):
     for k in s:
         assert s[k] == a[k], (k, s[k], a[k])  # bit-equal, not approx
     assert s[9002] is None
+
+
+def test_paragraph_dedup_global_semantics(spark):
+    """paragraph_dedup_global: cross-doc first occurrence wins by
+    (id, idx); WITHIN-doc repeats collapse to the first; a doc whose
+    every paragraph is boilerplate comes back with empty text, not a
+    missing row; ordering of survivors is original."""
+    from quality_spark.llm.dedup import paragraph_dedup_global
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\n\nshared\n\nbeta"),
+            (2, "shared\n\ngamma\n\nshared"),
+            (3, "shared"),
+            (4, "delta\n\ndelta\n\nepsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup_global(
+        df, "text", "doc_id").collect()}
+    assert out[1]["text_dedup"] == "alpha\n\nshared\n\nbeta"
+    assert out[2]["text_dedup"] == "gamma"  # both 'shared' copies drop
+    assert out[2]["n_paras"] == 3 and out[2]["n_kept"] == 1
+    assert out[3]["text_dedup"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text_dedup"] == "delta\n\nepsilon"  # within-doc repeat
