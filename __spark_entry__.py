@@ -1867,6 +1867,47 @@ def q_media_features(
             out.append(encode_y4m(frames, (10, 1), "mono"))
         return pd.Series(out)
 
+    @pandas_udf("binary")
+    def make_scene_y4m(ids: pd.Series) -> pd.Series:
+        """Round 7: 6 constant-luma frames with ONE level jump of +40
+        at frame 2 + doc_id%3 — scene-cut detection must find exactly
+        that cut (constant frames make the mean-abs diff closed-form:
+        40 at the jump, 0 elsewhere)."""
+        import numpy as np
+
+        from quality_spark.llm.multimodal import encode_y4m
+
+        out = []
+        for i in ids:
+            base = int(i) % 200
+            cut = 2 + int(i) % 3
+            frames = [
+                np.full((6, 8), base if k < cut else base + 40, np.uint8)
+                for k in range(6)
+            ]
+            out.append(encode_y4m(frames, (10, 1), "mono"))
+        return pd.Series(out)
+
+    def scene_part() -> DataFrame:
+        from quality_spark.llm.multimodal import video_scene_cuts
+
+        media = as_media_column(
+            docs.select("doc_id", make_scene_y4m("doc_id").alias("payload")),
+            "payload",
+            "video",
+            "y4m",
+        )
+        return video_scene_cuts(media, id_col="doc_id", threshold=12.0).select(
+            F.lit("scene").alias("part"),
+            F.col("id").alias("doc_id"),
+            F.col("cut_mag_sum").cast("bigint").alias("n_bytes"),
+            F.col("n_frames").alias("dim"),
+            F.col("n_cuts").alias("width"),
+            F.col("first_cut_idx").alias("height"),
+            F.lit(-1.0).alias("px_mean"),
+            F.lit(-1.0).alias("px_max"),
+        )
+
     y4m_media = as_media_column(
         docs.select("doc_id", make_y4m("doc_id").alias("payload")),
         "payload",
@@ -1905,6 +1946,7 @@ def q_media_features(
         "wav": lambda: wav_part,
         "wav_spec": lambda: wav_spec_part,
         "y4m": lambda: y4m_part,
+        "scene": scene_part,
         # perceptual-hash gate folded in round 7 (was its own query;
         # the 50-entry driver window forced consolidation): doc_id=a,
         # n_bytes carries the 64-bit dhash/pair-partner (exact bigint),
@@ -2057,6 +2099,13 @@ SELECT 'imghash_' || part, a, b, CAST(-1 AS INTEGER),
        CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
        CAST(h AS DOUBLE), -1.0
 FROM ({_oracle_image_hash_dedup()})
+UNION ALL
+-- scene cuts (round 7): constant frames, one +40 luma jump at
+-- frame 2 + doc_id%3 -> exactly one cut of magnitude 40
+SELECT 'scene', doc_id, CAST(40 AS BIGINT), 6,
+       CAST(1 AS INTEGER), CAST(2 + doc_id % 3 AS INTEGER),
+       -1.0, -1.0
+FROM documents WHERE doc_id < 200
 """
 
 
@@ -6176,7 +6225,7 @@ def query_legs() -> dict:
             p: media(p)
             for p in ("text", "bmp", "ppm", "png", "jpeg", "jpeg_rst",
                       "jpeg_prog", "gif", "tiff", "wav", "wav_spec",
-                      "y4m", "imghash")
+                      "y4m", "scene", "imghash")
         },
         "ann_suite": {
             "topk": q_ann_cosine_topk,

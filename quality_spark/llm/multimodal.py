@@ -2648,3 +2648,79 @@ def hash_near_dup_pairs(
     return cand.select("id_a", "id_b", ham).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    threshold: float = 12.0,
+) -> DataFrame:
+    """Scene-change detection over video payloads (y4m decoded for
+    REAL): per-frame mean absolute luma difference against the
+    previous frame; a frame whose diff exceeds ``threshold`` starts a
+    new scene. One output row per video: (id, n_frames, n_cuts,
+    first_cut_idx [-1 if none], cut_mag_sum = Σ of the cut diffs).
+
+    The shot-boundary heuristic every frame-sampling pipeline starts
+    from (pick one representative frame per scene instead of per
+    fixed interval). Partition-preserving mapInPandas — no shuffle;
+    corrupt payloads degrade to a zero row, never abort the scan
+    (same contract as sample_frames)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("n_cuts", T.IntegerType()),
+            T.StructField("first_cut_idx", T.IntegerType()),
+            T.StructField("cut_mag_sum", T.DoubleType()),
+        ]
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(f"{media_col}.payload").alias("payload"),
+        F.col(f"{media_col}.meta.format").alias("fmt"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "id": [], "n_frames": [], "n_cuts": [],
+                "first_cut_idx": [], "cut_mag_sum": [],
+            }
+            for rid, p, fmt in zip(pdf["id"], pdf["payload"], pdf["fmt"]):
+                p = bytes(p) if p is not None else b""
+                nf = nc = 0
+                first = -1
+                mag = 0.0
+                if (fmt or "").lower() == "y4m":
+                    try:
+                        frames, _, _ = decode_y4m(p)
+                    except ValueError:
+                        frames = []
+                    nf = len(frames)
+                    prev = None
+                    for k, fr in enumerate(frames):
+                        if prev is not None:
+                            d = float(
+                                np.mean(
+                                    np.abs(
+                                        fr.astype(np.int16)
+                                        - prev.astype(np.int16)
+                                    )
+                                )
+                            )
+                            if d > threshold:
+                                nc += 1
+                                mag += d
+                                if first < 0:
+                                    first = k
+                        prev = fr
+                rows["id"].append(rid)
+                rows["n_frames"].append(nf)
+                rows["n_cuts"].append(nc)
+                rows["first_cut_idx"].append(first)
+                rows["cut_mag_sum"].append(mag)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(kernel, schema=schema)

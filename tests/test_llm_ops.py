@@ -2086,3 +2086,37 @@ def test_paragraph_dedup_global_semantics(spark):
     assert out[2]["n_paras"] == 3 and out[2]["n_kept"] == 1
     assert out[3]["text_dedup"] == "" and out[3]["n_kept"] == 0
     assert out[4]["text_dedup"] == "delta\n\nepsilon"  # within-doc repeat
+
+
+def test_video_scene_cuts_semantics(spark):
+    """video_scene_cuts: two genuine jumps count as two cuts,
+    below-threshold flicker does not, a single-frame video has zero
+    cuts, and a corrupt payload degrades to a zero row."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        as_media_column,
+        encode_y4m,
+        video_scene_cuts,
+    )
+
+    def vid(levels):
+        return encode_y4m(
+            [np.full((4, 4), v, np.uint8) for v in levels], (10, 1), "mono"
+        )
+
+    rows = [
+        (1, vid([10, 10, 90, 90, 10])),      # cuts at 2 and 4 (|80|)
+        (2, vid([50, 55, 52, 54])),          # flicker under threshold
+        (3, vid([200])),                      # single frame
+        (4, b"YUV4MPEG2 garbage"),           # corrupt
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = as_media_column(df, "payload", "video", "y4m")
+    out = {r["id"]: r for r in video_scene_cuts(
+        media, id_col="doc_id", threshold=12.0).collect()}
+    assert out[1]["n_cuts"] == 2 and out[1]["first_cut_idx"] == 2
+    assert out[1]["cut_mag_sum"] == 160.0
+    assert out[2]["n_cuts"] == 0 and out[2]["first_cut_idx"] == -1
+    assert out[3]["n_frames"] == 1 and out[3]["n_cuts"] == 0
+    assert out[4]["n_frames"] == 0 and out[4]["n_cuts"] == 0
