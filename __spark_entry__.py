@@ -1685,6 +1685,51 @@ def q_media_features(
 
         return make
 
+    _SNIFF_FMTS = ("bmp", "ppm", "png", "jpeg", "gif", "tiff")
+
+    @pandas_udf("binary")
+    def make_mixed_fmt(ids: pd.Series) -> pd.Series:
+        """Round 7: per-row format chosen by doc_id%6 — the sniffing
+        gate feeds payloads whose TRUE format is closed-form, with no
+        metadata hint."""
+        import numpy as np
+
+        from quality_spark.llm.multimodal import REAL_CODECS
+
+        out = []
+        for i in ids:
+            i = int(i)
+            fmt = _SNIFF_FMTS[i % 6]
+            img = np.full((5, 6, 3), i % 256, np.uint8)
+            out.append(REAL_CODECS[fmt][1](img))
+        return pd.Series(out)
+
+    def sniff_part() -> DataFrame:
+        from quality_spark.llm.multimodal import with_sniffed_format
+
+        mixed = docs.select("doc_id", make_mixed_fmt("doc_id").alias("payload"))
+        sniffed = with_sniffed_format(mixed, "payload", out="sf")
+        # gate the detected format as its index in _SNIFF_FMTS — the
+        # oracle says doc_id%6 (gif payloads must NOT sniff as tiff
+        # etc.); unknown would be -1 and fail the compare
+        idx = F.coalesce(
+            *[
+                F.when(F.col("sf") == f, F.lit(float(j)))
+                for j, f in enumerate(_SNIFF_FMTS)
+            ],
+            F.lit(-1.0),
+        )
+        return sniffed.select(
+            F.lit("sniff").alias("part"),
+            "doc_id",
+            F.lit(-1).cast("bigint").alias("n_bytes"),
+            F.lit(-1).cast("int").alias("dim"),
+            F.lit(-1).cast("int").alias("width"),
+            F.lit(-1).cast("int").alias("height"),
+            idx.alias("px_mean"),
+            F.lit(-1.0).alias("px_max"),
+        )
+
     @pandas_udf("binary")
     def make_jpeg_rst(ids: pd.Series) -> pd.Series:
         """Round 7: multi-MCU 4:2:0 JPEGs with DRI=1 — every MCU
@@ -1947,6 +1992,7 @@ def q_media_features(
         "wav_spec": lambda: wav_spec_part,
         "y4m": lambda: y4m_part,
         "scene": scene_part,
+        "sniff": sniff_part,
         # perceptual-hash gate folded in round 7 (was its own query;
         # the 50-entry driver window forced consolidation): doc_id=a,
         # n_bytes carries the 64-bit dhash/pair-partner (exact bigint),
@@ -2105,6 +2151,13 @@ UNION ALL
 SELECT 'scene', doc_id, CAST(40 AS BIGINT), 6,
        CAST(1 AS INTEGER), CAST(2 + doc_id % 3 AS INTEGER),
        -1.0, -1.0
+FROM documents WHERE doc_id < 200
+UNION ALL
+-- magic-byte sniffing (round 7): per-row true format = doc_id%6
+-- over (bmp, ppm, png, jpeg, gif, tiff); gated as that index
+SELECT 'sniff', doc_id, CAST(-1 AS BIGINT), CAST(-1 AS INTEGER),
+       CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
+       CAST(doc_id % 6 AS DOUBLE), -1.0
 FROM documents WHERE doc_id < 200
 """
 
@@ -6225,7 +6278,7 @@ def query_legs() -> dict:
             p: media(p)
             for p in ("text", "bmp", "ppm", "png", "jpeg", "jpeg_rst",
                       "jpeg_prog", "gif", "tiff", "wav", "wav_spec",
-                      "y4m", "scene", "imghash")
+                      "y4m", "scene", "sniff", "imghash")
         },
         "ann_suite": {
             "topk": q_ann_cosine_topk,

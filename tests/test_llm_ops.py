@@ -2120,3 +2120,26 @@ def test_video_scene_cuts_semantics(spark):
     assert out[2]["n_cuts"] == 0 and out[2]["first_cut_idx"] == -1
     assert out[3]["n_frames"] == 1 and out[3]["n_cuts"] == 0
     assert out[4]["n_frames"] == 0 and out[4]["n_cuts"] == 0
+
+
+def test_sniff_format_table():
+    """sniff_format: every REAL codec's output sniffs as itself; RIFF
+    needs the WAVE tag; unknown bytes sniff None."""
+    import numpy as np
+
+    from quality_spark.llm.multimodal import (
+        REAL_CODECS,
+        encode_wav,
+        encode_y4m,
+        sniff_format,
+    )
+
+    img = np.full((4, 5, 3), 7, np.uint8)
+    pal = np.array([[1, 2, 3]], np.uint8)
+    for fmt, (dec, enc) in REAL_CODECS.items():
+        payload = enc(pal[np.zeros((4, 5), np.int64)] if fmt == "gif" else img)
+        assert sniff_format(payload) == fmt, fmt
+    assert sniff_format(encode_y4m([np.zeros((2, 2), np.uint8)])) == "y4m"
+    assert sniff_format(encode_wav(np.zeros((10, 1)), 8000)) == "wav"
+    assert sniff_format(b"RIFF\x00\x00\x00\x00AVI LIST") is None
+    assert sniff_format(b"") is None and sniff_format(b"zzzz") is None
