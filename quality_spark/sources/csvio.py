@@ -40,15 +40,18 @@ def write_csv(
     header: bool = True,
     compression: Optional[str] = None,
     num_shards: Optional[int] = None,
+    sep: str = ",",
 ) -> None:
     """RFC 4180 writer: quote char ``"`` doubled via ``escape='"'``
     (Spark's default backslash escaping produces CSV most other
     readers mis-parse). ``num_shards`` controls file count — size
-    shards so a multiLine reader still parallelizes."""
+    shards so a multiLine reader still parallelizes. ``sep='\t'``
+    writes TSV with the same quoting contract."""
     out = df.repartition(num_shards) if num_shards else df
     w = (
         out.write.mode(mode)
         .option("header", str(header).lower())
+        .option("sep", sep)
         .option("quote", '"')
         .option("escape", '"')
     )
@@ -64,6 +67,7 @@ def read_csv_quarantined(
     header: bool = True,
     multi_line: bool = True,
     persist: bool = False,
+    sep: str = ",",
 ) -> Tuple[DataFrame, DataFrame]:
     """Returns ``(good, quarantine)``: good rows parsed against
     ``schema`` (a DDL string WITHOUT the corrupt column), quarantine
@@ -80,6 +84,7 @@ def read_csv_quarantined(
     full = (
         spark.read.schema(f"{schema}, {_CORRUPT} string")
         .option("header", str(header).lower())
+        .option("sep", sep)
         .option("quote", '"')
         .option("escape", '"')
         .option("multiLine", str(multi_line).lower())

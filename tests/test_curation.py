@@ -629,3 +629,22 @@ def test_parquet_footer_stats_pushdown(spark, sf_dir):
     row = df.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
     assert got["min"] == row[0] and got["max"] == row[1]
     assert spark.conf.get("spark.sql.sources.useV1SourceList", "defaultish") == before_v1
+
+
+def test_tsv_round_trip(spark, tmp_path):
+    """sep='\\t': TSV round trip with embedded tabs/commas quoted."""
+    from quality_spark.sources.csvio import read_csv_quarantined, write_csv
+
+    df = spark.createDataFrame(
+        [(1, "has\ttab, and comma", 5), (2, "plain", 6)],
+        "doc_id long, payload string, n bigint",
+    )
+    p = str(tmp_path / "tsv")
+    write_csv(df, p, num_shards=1, sep="\t")
+    good, bad = read_csv_quarantined(
+        spark, p, "doc_id bigint, payload string, n bigint",
+        persist=True, sep="\t",
+    )
+    assert bad.count() == 0
+    got = {r["doc_id"]: r["payload"] for r in good.collect()}
+    assert got[1] == "has\ttab, and comma" and got[2] == "plain"
