@@ -897,6 +897,7 @@ def paragraph_dedup_global(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = "\n\n",
+    hash_fn=None,
 ) -> DataFrame:
     """GLOBAL paragraph-level exact dedup (the Dolma/CCNet boilerplate
     scrub): split every document into paragraphs, keep only the FIRST
@@ -916,23 +917,38 @@ def paragraph_dedup_global(
     with partial combine so skew collapses on the map side), and
     (2) the per-doc reassembly groupBy. The election join is keyed on
     the paragraph hash, not the text, so the wide payload shuffles
-    once."""
-    # NB: F.split's separator is a Java regex — the default literal
-    # "\n\n" is regex-safe; escape metacharacters for exotic seps
+    once.
+
+    Collision safety (ADVICE r07): because this operator MUTATES
+    corpus text, the election carries the winning paragraph's TEXT and
+    the kept filter fails OPEN — a paragraph whose 64-bit xxhash64
+    collides with a DIFFERENT earlier paragraph is KEPT (its own later
+    repeats also escape dedup on that astronomically-rare key), never
+    silently deleted. ``sep`` is treated as a LITERAL separator: it is
+    Pattern.quote()-d for the split so the same string splits and
+    rejoins ('|', '. ' etc. are safe)."""
+    qsep = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    hash_fn = hash_fn or F.xxhash64  # injectable for collision tests
     paras = df.select(
         F.col(id_col).alias("__pd_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias(
+        F.posexplode(F.split(F.col(text_col), qsep)).alias(
             "__pd_idx", "__pd_text"
         ),
-    ).withColumn("__pd_hash", F.xxhash64("__pd_text"))
+    ).withColumn("__pd_hash", hash_fn("__pd_text"))
     firsts = paras.groupBy("__pd_hash").agg(
-        F.min(F.struct("__pd_id", "__pd_idx")).alias("__pd_first")
+        F.min(F.struct("__pd_id", "__pd_idx", "__pd_text")).alias(
+            "__pd_first"
+        )
     )
     kept = (
         paras.join(firsts, "__pd_hash")
         .filter(
-            (F.col("__pd_id") == F.col("__pd_first.__pd_id"))
-            & (F.col("__pd_idx") == F.col("__pd_first.__pd_idx"))
+            (
+                (F.col("__pd_id") == F.col("__pd_first.__pd_id"))
+                & (F.col("__pd_idx") == F.col("__pd_first.__pd_idx"))
+            )
+            # fail-open on hash collision: different text, same hash
+            | (F.col("__pd_text") != F.col("__pd_first.__pd_text"))
         )
     )
     stats = paras.groupBy(F.col("__pd_id")).agg(

@@ -2622,11 +2622,20 @@ def hash_near_dup_pairs(
     hash via chunk banding — with max_hamming+1 chunks any qualifying
     pair shares an identical chunk (pigeonhole), so candidates meet in
     one shuffle keyed by small chunk values, never an all-pairs join
-    (the simhash_pairs construction applied to image hashes)."""
+    (the simhash_pairs construction applied to image hashes).
+
+    The 64 bits are split into VARIABLE-width chunks covering every
+    bit: when 64 is not divisible by n_chunks the remainder bits are
+    distributed one-per-chunk to the low chunks (e.g. max_hamming=4 ->
+    chunks of 13,13,13,13,12 bits), so bucket keys carry the full hash
+    entropy — a fixed 64//n width would leave the top bits unbucketed
+    and inflate candidate volume on skewed corpora (ADVICE r07)."""
     from .dedup import bucket_candidate_pairs
 
     n_chunks = int(max_hamming) + 1
-    chunk_bits = 64 // n_chunks
+    base_bits, extra = divmod(64, n_chunks)
+    widths = [base_bits + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     sh = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
     chunks = sh.select(
         "id",
@@ -2634,7 +2643,11 @@ def hash_near_dup_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.expr(f"(h >> {c * chunk_bits}) & {(1 << chunk_bits) - 1}")
+                    F.expr(
+                        f"(h >> {offsets[c]}) & {(1 << widths[c]) - 1}"
+                        if widths[c] < 64
+                        else "h"
+                    )
                     for c in range(n_chunks)
                 ]
             )

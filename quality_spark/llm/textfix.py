@@ -39,8 +39,13 @@ __all__ = [
 
 #: the high-frequency cp1252-mojibake lead bytes: UTF-8 lead bytes
 #: 0xC2-0xC3 decode to Â/Ã, 0xE2 to â (then â€x for the U+20xx
-#: punctuation block), 0xD0/0xD1 to Ð/Ñ (Cyrillic pages)
-_MARKER_RE = "(Ã.|Â.|â€.|Ð.|Ñ.)"
+#: punctuation block), 0xD0/0xD1 to Ð/Ñ (Cyrillic pages). The
+#: trailing char is OPTIONAL (`.?`): Java-regex '.' matches neither
+#: end-of-string nor a line terminator, so a marker as the last char
+#: of a document or immediately before '\n' must still count — with a
+#: mandatory '.' such docs slipped past the suspicious-rows screen
+#: and skipped repair (ADVICE r07)
+_MARKER_RE = "(Ã.?|Â.?|â€.?|Ð.?|Ñ.?)"
 
 
 def mojibake_marker_count(col) -> Column:

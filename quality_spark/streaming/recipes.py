@@ -382,6 +382,21 @@ def _compaction_paths(loc: str):
     return base + "__compacting_stage", base + "__compacting_old"
 
 
+#: completion-marker file written into the stage dir AFTER the staged
+#: compacted copy is fully committed and BEFORE any rename touches the
+#: live store. Underscore-prefixed, so parquet readers ignore it if it
+#: rides along through a rename. Its presence is the recovery oracle on
+#: filesystems where directory rename is copy+delete (S3A and other
+#: object stores): marker present -> the stage is a complete compacted
+#: copy and is authoritative over any partially-moved store dir.
+_STAGE_MARKER = "_QS_STAGE_COMPLETE"
+
+
+def _touch(fs, jvm, path_str: str) -> None:
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path_str), True)
+    out.close()
+
+
 def recover_key_store(spark, store_table: str) -> bool:
     """Finish (or clean up after) an interrupted :func:`compact_key_store`
     run. Idempotent; called automatically at the start of every
@@ -389,17 +404,31 @@ def recover_key_store(spark, store_table: str) -> bool:
     Returns True if a swap was completed or leftovers were removed.
 
     Recovery rules (EXTERNAL store — the table metadata is never
-    dropped, so the only crash states are file-level):
+    dropped, so the only crash states are file-level; decisions key on
+    the stage's ``_QS_STAGE_COMPLETE`` marker, written only after the
+    staged copy fully committed, so they stay correct on filesystems
+    where directory rename is COPY+DELETE — S3A and other object
+    stores — not just atomic-rename HDFS/local):
 
-    - store dir missing + stage dir present -> the crash hit between
-      the two directory renames; the stage is a COMPLETE compacted
-      copy (files are staged fully before any rename), so renaming it
-      into place finishes the swap.
-    - store dir present + stage dir present -> crash before the swap
-      began; the stage may be partial, the store is authoritative ->
-      delete the stage.
-    - ``__compacting_old`` present -> a finished swap that crashed
-      before cleanup -> delete it.
+    - stage dir carries the completion marker AND (``__compacting_old``
+      exists OR the store dir is missing) -> the swap was in flight;
+      the stage is a complete compacted copy and is AUTHORITATIVE
+      (the store dir may be a partially-moved remnant on copy+delete
+      filesystems) -> discard store remnant + old dir, rename the
+      stage into place.
+    - stage dir WITHOUT marker + store dir missing + old dir present
+      -> the stage was partially renamed away (its marker left with
+      it) or never finished; the pre-swap store under old is the
+      complete copy -> delete the stage, restore old into place.
+    - stage dir without marker + store dir missing + no old dir ->
+      legacy pre-marker stage (older protocol staged fully before any
+      rename) -> rename it into place.
+    - stage dir present + store dir present (+ no old/marker evidence
+      of an in-flight swap) -> crash before the swap began; the stage
+      may be partial, the store is authoritative -> delete the stage.
+    - only ``__compacting_old`` present -> with the store dir: a
+      finished swap that crashed before cleanup -> delete old; store
+      dir missing -> restore old into place.
 
     MANAGED store: a crash between DROP and RENAME leaves the complete
     compacted data under ``<table>__compacting`` — if the store table
@@ -415,16 +444,48 @@ def recover_key_store(spark, store_table: str) -> bool:
             stage_loc, old_loc = _compaction_paths(loc)
             fs, jvm = _hadoop_fs(spark, loc)
             P = jvm.org.apache.hadoop.fs.Path
-            if not fs.exists(P(loc)) and fs.exists(P(stage_loc)):
+            stage_exists = fs.exists(P(stage_loc))
+            stage_complete = stage_exists and fs.exists(
+                P(stage_loc + "/" + _STAGE_MARKER)
+            )
+            loc_exists = fs.exists(P(loc))
+            old_exists = fs.exists(P(old_loc))
+            if stage_complete and (old_exists or not loc_exists):
+                # swap in flight: the marked stage is authoritative
+                if loc_exists:
+                    fs.delete(P(loc), True)
+                if old_exists:
+                    fs.delete(P(old_loc), True)
+                if not fs.rename(P(stage_loc), P(loc)):
+                    raise IOError(f"recovery rename failed: {stage_loc} -> {loc}")
+                fs.delete(P(loc + "/" + _STAGE_MARKER), False)
+                spark.sql(f"REFRESH TABLE {store_table}")
+                acted = True
+            elif stage_exists and not loc_exists and old_exists:
+                # unmarked stage, pre-swap store survives under old
+                fs.delete(P(stage_loc), True)
+                if not fs.rename(P(old_loc), P(loc)):
+                    raise IOError(f"recovery rename failed: {old_loc} -> {loc}")
+                spark.sql(f"REFRESH TABLE {store_table}")
+                acted = True
+            elif stage_exists and not loc_exists:
+                # legacy pre-marker stage: staged fully before renames
                 if not fs.rename(P(stage_loc), P(loc)):
                     raise IOError(f"recovery rename failed: {stage_loc} -> {loc}")
                 spark.sql(f"REFRESH TABLE {store_table}")
                 acted = True
-            elif fs.exists(P(stage_loc)):
+            elif stage_exists:
                 fs.delete(P(stage_loc), True)
                 acted = True
             if fs.exists(P(old_loc)):
-                fs.delete(P(old_loc), True)
+                if not fs.exists(P(loc)):
+                    if not fs.rename(P(old_loc), P(loc)):
+                        raise IOError(
+                            f"recovery rename failed: {old_loc} -> {loc}"
+                        )
+                    spark.sql(f"REFRESH TABLE {store_table}")
+                else:
+                    fs.delete(P(old_loc), True)
                 acted = True
         if spark.catalog.tableExists(tmp):
             spark.sql(f"DROP TABLE {tmp}")
@@ -445,13 +506,20 @@ def compact_key_store(spark, store_table: str) -> None:
     Crash contract: every run starts with :func:`recover_key_store`,
     and the swap itself is stage-then-rename — the compacted copy is
     fully written to a sibling staging directory (EXTERNAL) or a tmp
-    table (managed) BEFORE the old data is touched, so at every
-    instant either the old store or the complete new one exists on
-    disk. The one non-atomic window (between the two directory renames
-    on the external path, or DROP and RENAME on the managed path) is
-    closed by the entry-time recovery: re-running compact_key_store —
-    or calling recover_key_store — completes the interrupted swap from
-    the staged copy. There is no window in which data has been lost.
+    table (managed) BEFORE the old data is touched, then a
+    ``_QS_STAGE_COMPLETE`` marker is written into the stage before any
+    rename. At every instant either the pre-swap store or the complete
+    marked stage exists on disk, and recovery prefers the marked stage
+    whenever swap-in-flight evidence (``__compacting_old`` or a
+    missing store dir) is present. This keeps the contract correct
+    even on filesystems where directory rename is copy+delete (S3A and
+    other object stores): a crash mid-rename leaves a partial store
+    remnant, and recovery discards the remnant in favor of the
+    complete marked stage instead of trusting it. Re-running
+    compact_key_store — or calling recover_key_store — completes the
+    interrupted swap; there is no window in which data has been lost.
+    (On atomic-rename filesystems — HDFS, local — the renames are
+    metadata-only and the window is a single syscall either way.)
 
     Concurrency: run it BETWEEN streaming triggers (stop the stream or
     schedule compaction in the same single-writer loop as the batches).
@@ -492,10 +560,14 @@ def compact_key_store(spark, store_table: str) -> None:
         spark.sql(f"DROP TABLE {tmp}")  # metadata only: files stay staged
         fs, jvm = _hadoop_fs(spark, loc)
         P = jvm.org.apache.hadoop.fs.Path
+        # completion marker: from here on the stage is authoritative
+        # over any partially-renamed store dir (copy+delete FSes)
+        _touch(fs, jvm, stage_loc + "/" + _STAGE_MARKER)
         if not fs.rename(P(loc), P(old_loc)):
             raise IOError(f"compaction rename failed: {loc} -> {old_loc}")
         if not fs.rename(P(stage_loc), P(loc)):
             raise IOError(f"compaction rename failed: {stage_loc} -> {loc}")
+        fs.delete(P(loc + "/" + _STAGE_MARKER), False)
         fs.delete(P(old_loc), True)
         spark.sql(f"REFRESH TABLE {store_table}")
     else:

@@ -413,6 +413,37 @@ def test_textfix_mojibake_repair(spark):
     assert sig["clean"]["enc_non_ascii"] == sum(ord(c) > 127 for c in orig)
 
 
+def test_mojibake_marker_counts_at_boundaries(spark):
+    """ADVICE r07: Java-regex '.' matches neither end-of-string nor a
+    line terminator, so the marker's trailing char is optional — a
+    marker as the LAST character of a doc, or immediately before a
+    newline, must still count (such docs previously slipped past the
+    suspicious-rows screen and skipped repair)."""
+    from quality_spark.llm.textfix import mojibake_marker_count
+
+    df = spark.createDataFrame(
+        [
+            ("tail", "text ends in Ã"),            # marker at EOS
+            ("nl", "line oneÃ\nline two"),          # marker before \n
+            ("mid", "clichÃ© again"),               # classic mid-string
+            ("multi", "Ã\nÂ\nâ€\nend"),             # three, all pre-\n
+            ("clean", "no markers here"),
+        ],
+        "kind string, text string",
+    )
+    got = {
+        r["kind"]: r["n"]
+        for r in df.select(
+            "kind", mojibake_marker_count("text").alias("n")
+        ).collect()
+    }
+    assert got["tail"] == 1
+    assert got["nl"] == 1
+    assert got["mid"] == 1
+    assert got["multi"] == 3
+    assert got["clean"] == 0
+
+
 def test_textfix_normalize_and_control_chars(spark):
     """NFC normalization composes e+combining-acute; control chars
     drop Column-natively except the kept ones."""

@@ -1757,6 +1757,54 @@ def test_with_image_hashes_and_near_dup_pairs(spark):
     assert pairs == want
 
 
+def test_hash_near_dup_pairs_full_bit_coverage(spark):
+    """ADVICE r07: the banding chunks cover ALL 64 bits with
+    variable widths (e.g. max_hamming=4 -> 13,13,13,13,12), so (a)
+    recall holds — every pair within max_hamming is found even when
+    the differing bits sit in the former remainder region — and (b)
+    precision improves — a pair differing ONLY in the top remainder
+    bits by > 0 in every chunk is no longer a spurious candidate."""
+    import itertools
+    import random
+
+    from quality_spark.llm.multimodal import hash_near_dup_pairs
+
+    rng = random.Random(7)
+    base = rng.getrandbits(63)
+    # neighbors at controlled hamming distances, several touching the
+    # top bits 60-63 (uncovered by the old fixed 12-bit chunking)
+    hashes = {0: base}
+    flips = [
+        (1, [63]), (2, [60, 61, 62, 63]), (3, [0, 20, 40, 63]),
+        (4, [59, 60, 61, 62, 63]),  # hamming 5 > 4: must NOT pair
+        (5, [5]), (6, [12, 13]),
+    ]
+    for hid, bits in flips:
+        v = base
+        for b in bits:
+            v ^= 1 << b
+        hashes[hid] = v
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    df = spark.createDataFrame(
+        [(k, to_i64(v)) for k, v in hashes.items()], "id long, h long"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in hash_near_dup_pairs(df, "id", "h", max_hamming=4).collect()
+    )
+    want = sorted(
+        (a, b)
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 4
+    )
+    assert got == want
+    # the hamming-5 neighbor (id 4) pairs with nothing vs base
+    assert (0, 4) not in got
+
+
 def test_tiff_round_trip_and_foreign_layouts():
     """TIFF: lossless round trips (uncompressed + PackBits), a
     HAND-BUILT big-endian (MM) grayscale stream with MinIsWhite
@@ -2086,6 +2134,58 @@ def test_paragraph_dedup_global_semantics(spark):
     assert out[2]["n_paras"] == 3 and out[2]["n_kept"] == 1
     assert out[3]["text_dedup"] == "" and out[3]["n_kept"] == 0
     assert out[4]["text_dedup"] == "delta\n\nepsilon"  # within-doc repeat
+
+
+def test_paragraph_dedup_global_regex_separator(spark):
+    """ADVICE r07: `sep` is a LITERAL, not a Java regex — a separator
+    full of regex metacharacters ('. ', '|', '++') must split and
+    rejoin exactly, and the split must not degenerate into
+    char-by-char (which an unquoted '|' regex would)."""
+    from quality_spark.llm.dedup import paragraph_dedup_global
+
+    for sep in (" | ", ". ", "++", "a\\Eb"):
+        df = spark.createDataFrame(
+            [(1, sep.join(["alpha", "shared", "beta"])),
+             (2, sep.join(["shared", "gamma"]))],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in paragraph_dedup_global(
+            df, "text", "doc_id", sep=sep).collect()}
+        assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3, sep
+        assert out[1]["text_dedup"] == sep.join(["alpha", "shared", "beta"])
+        assert out[2]["text_dedup"] == "gamma", sep
+
+
+def test_paragraph_dedup_global_collision_fails_open(spark):
+    """ADVICE r07: a 64-bit hash collision between two DIFFERENT
+    paragraphs must never delete the later one — the kept filter
+    requires text equality, so the collider is retained (fail-open;
+    its own repeats also escape dedup on that key, documented).
+    End-to-end via the injectable hash_fn: a CONSTANT hash makes every
+    paragraph collide, so only true text-duplicates of the elected
+    first may drop; every distinct text survives."""
+    from pyspark.sql import functions as F
+
+    from quality_spark.llm.dedup import paragraph_dedup_global
+
+    df = spark.createDataFrame(
+        [(1, "alpha\n\nshared"), (2, "alpha\n\nshared\n\nshared")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup_global(
+        df, "text", "doc_id", hash_fn=lambda c: F.lit(0).cast("long")
+    ).collect()}
+    # elected first overall is (1, 0) = "alpha"; with the all-collide
+    # hash, 'shared' differs from the elected text -> kept everywhere
+    # (fail-open, including its repeats); later 'alpha' copies are true
+    # duplicates of the elected text -> dropped
+    assert out[1]["text_dedup"] == "alpha\n\nshared"
+    assert out[2]["text_dedup"] == "shared\n\nshared"
+    # sanity: with the REAL hash the same input dedups exactly
+    out2 = {r["doc_id"]: r for r in paragraph_dedup_global(
+        df, "text", "doc_id").collect()}
+    assert out2[1]["text_dedup"] == "alpha\n\nshared"
+    assert out2[2]["text_dedup"] == ""
 
 
 def test_video_scene_cuts_semantics(spark):

@@ -494,11 +494,39 @@ def test_compact_key_store_crash_recovery(spark, tmp_path):
     old_loc = loc.rstrip("/") + "__compacting_old"
 
     # window 1: crash BETWEEN the two swap renames — the store dir was
-    # renamed aside, the stage dir holds the complete compacted copy
+    # renamed aside, the marked stage holds the complete compacted copy
     shutil.copytree(loc, stage_loc)
+    open(os.path.join(stage_loc, "_QS_STAGE_COMPLETE"), "w").close()
     shutil.move(loc, old_loc)
     assert not os.path.exists(loc)
     assert recover_key_store(spark, table)  # completes the swap
+    assert keyset() == keys
+    assert not os.path.exists(stage_loc) and not os.path.exists(old_loc)
+    assert not os.path.exists(os.path.join(loc, "_QS_STAGE_COMPLETE"))
+
+    # window 1b (copy+delete rename FS, e.g. S3A): crash mid
+    # rename(loc -> old_loc) — loc holds a PARTIAL remnant, old_loc a
+    # partial copy, the marked stage is complete; recovery must prefer
+    # the stage and must NOT treat the remnant as authoritative
+    shutil.copytree(loc, stage_loc)
+    open(os.path.join(stage_loc, "_QS_STAGE_COMPLETE"), "w").close()
+    os.makedirs(old_loc)
+    moved = sorted(os.listdir(loc))[0]
+    shutil.move(os.path.join(loc, moved), os.path.join(old_loc, moved))
+    assert recover_key_store(spark, table)
+    assert keyset() == keys
+    assert not os.path.exists(stage_loc) and not os.path.exists(old_loc)
+
+    # window 1c: UNMARKED stage (partially renamed away — its marker
+    # left with it) + store missing + old present: the pre-swap store
+    # under old is the complete copy and must be restored; the stage
+    # must not win
+    shutil.copytree(loc, stage_loc)
+    os.remove(
+        os.path.join(stage_loc, sorted(os.listdir(stage_loc))[0])
+    )  # stage is partial
+    shutil.move(loc, old_loc)
+    assert recover_key_store(spark, table)
     assert keyset() == keys
     assert not os.path.exists(stage_loc) and not os.path.exists(old_loc)
 
@@ -507,6 +535,15 @@ def test_compact_key_store_crash_recovery(spark, tmp_path):
     os.makedirs(stage_loc)
     with open(os.path.join(stage_loc, "partial.parquet"), "w") as fh:
         fh.write("junk")
+    assert recover_key_store(spark, table)
+    assert not os.path.exists(stage_loc)
+    assert keyset() == keys
+
+    # window 2b: MARKED stage + store present + no old dir — crash
+    # after staging, before the first rename; the store is
+    # authoritative (identical content), stage is discarded
+    os.makedirs(stage_loc)
+    open(os.path.join(stage_loc, "_QS_STAGE_COMPLETE"), "w").close()
     assert recover_key_store(spark, table)
     assert not os.path.exists(stage_loc)
     assert keyset() == keys
