@@ -83,6 +83,7 @@ def score_with_bigram_lm(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: float = 0.5,
+    broadcast: bool = False,
 ) -> DataFrame:
     """Per-doc LM score: ``(id_col, n_bigrams, n_unseen, sum_pair,
     sum_ctx, avg_logprob, perplexity)``.
@@ -92,7 +93,17 @@ def score_with_bigram_lm(
     probability. The integer columns are exact (they pin the
     join/count pipeline for the oracle gate); avg_logprob =
     mean ln P over the doc's bigrams, perplexity = exp(-avg_logprob).
-    Docs with <2 words keep a row with n_bigrams=0 and NULL scores."""
+    Docs with <2 words keep a row with n_bigrams=0 and NULL scores.
+
+    ``broadcast=True`` hints both LM tables as broadcast sides
+    (VERDICT r07 #5): a min_count-pruned LM is typically well under a
+    few hundred MB, and broadcasting turns the two scoring joins into
+    map-side hash joins — the exploded 100 TB bigram stream never
+    shuffles on the gram key. Leave False to let AQE decide from
+    actual sizes (both paths plan-pinned in tests/test_plans.py)."""
+    if broadcast:
+        pair_counts = F.broadcast(pair_counts)
+        ctx_counts = F.broadcast(ctx_counts)
     grams = _doc_bigrams(docs.select(id_col, text_col), text_col)
     joined = (
         grams.join(pair_counts, ["w1", "w2"], "left")

@@ -231,35 +231,26 @@ def parquet_footer_stats(spark: SparkSession, path: str, col: str) -> dict:
     ``spark.sql.parquet.aggregatePushdown`` (plan shows
     ``PushedAggregation: [COUNT(*), MIN(..), MAX(..)]``, pinned in
     tests): at 100 TB this turns a full-table stats pass into a
-    footer sweep, one small task per file. Both configs are swapped
-    in scoped and restored after the collect.
+    footer sweep, one small task per file. The two configs are scoped
+    to a CLONED session (``spark.newSession()`` shares the
+    SparkContext and cached data but owns an independent SQL conf), so
+    a concurrent query on the caller's session never observes the V1
+    source list or aggregate-pushdown flags mid-flip (VERDICT r07 #4).
 
     Fine print: the pushdown silently disengages (normal scan, same
     answer, full cost) when a filter is present, for nested columns,
     or for timestamp columns needing rebase — keep the call
     unfiltered and flat-columned."""
-    conf = spark.conf
-    old_v1 = conf.get("spark.sql.sources.useV1SourceList", None)
-    old_push = conf.get("spark.sql.parquet.aggregatePushdown", None)
-    try:
-        conf.set("spark.sql.sources.useV1SourceList", "")
-        conf.set("spark.sql.parquet.aggregatePushdown", "true")
-        row = (
-            spark.read.parquet(path)
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.min(col).alias("min_val"),
-                F.max(col).alias("max_val"),
-            )
-            .collect()[0]
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.sources.useV1SourceList", "")
+    scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    row = (
+        scoped.read.parquet(path)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(col).alias("min_val"),
+            F.max(col).alias("max_val"),
         )
-        return {"n_rows": row["n_rows"], "min": row["min_val"], "max": row["max_val"]}
-    finally:
-        if old_v1 is None:
-            conf.unset("spark.sql.sources.useV1SourceList")
-        else:
-            conf.set("spark.sql.sources.useV1SourceList", old_v1)
-        if old_push is None:
-            conf.unset("spark.sql.parquet.aggregatePushdown")
-        else:
-            conf.set("spark.sql.parquet.aggregatePushdown", old_push)
+        .collect()[0]
+    )
+    return {"n_rows": row["n_rows"], "min": row["min_val"], "max": row["max_val"]}

@@ -635,23 +635,27 @@ def test_csv_quarantine_routes_bad_rows(spark, tmp_path):
 def test_parquet_footer_stats_pushdown(spark, sf_dir):
     """parquet_footer_stats: the aggregate reaches the scan
     (PushedAggregation in the DSv2 plan) and values equal a normal
-    scan's; session configs restored afterwards."""
+    scan's; the configs live only on a CLONED session — the caller's
+    session conf is never touched, so a concurrent query cannot
+    observe the flags mid-flip (VERDICT r07 #4)."""
     from quality_spark.sources.corpus import parquet_footer_stats
 
     path = f"{sf_dir}/lineitem.parquet"
     before_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", "defaultish")
+    before_push = spark.conf.get(
+        "spark.sql.parquet.aggregatePushdown", "false"
+    )
 
-    # pin the plan inside the scoped config: rebuild what the helper does
-    spark.conf.set("spark.sql.sources.useV1SourceList", "")
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    agg = spark.read.parquet(path).agg(
+    # pin the plan on a cloned session configured as the helper does
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.sources.useV1SourceList", "")
+    scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    agg = scoped.read.parquet(path).agg(
         F.count("*").alias("n"), F.min("l_orderkey").alias("mn")
     )
     plan = agg._sc._jvm.PythonSQLUtils.explainString(
         agg._jdf.queryExecution(), "formatted"
     )
-    spark.conf.unset("spark.sql.sources.useV1SourceList")
-    spark.conf.unset("spark.sql.parquet.aggregatePushdown")
     assert "PushedAggregation: [COUNT(*), MIN(l_orderkey)]" in plan, plan
 
     got = parquet_footer_stats(spark, path, "l_orderkey")
@@ -659,7 +663,11 @@ def test_parquet_footer_stats_pushdown(spark, sf_dir):
     assert got["n_rows"] == df.count()
     row = df.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
     assert got["min"] == row[0] and got["max"] == row[1]
+    # caller session conf untouched (not restored — never set)
     assert spark.conf.get("spark.sql.sources.useV1SourceList", "defaultish") == before_v1
+    assert spark.conf.get(
+        "spark.sql.parquet.aggregatePushdown", "false"
+    ) == before_push
 
 
 def test_tsv_round_trip(spark, tmp_path):

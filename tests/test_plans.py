@@ -380,3 +380,28 @@ def test_split_overall_filter_pushes_to_parquet(spark, sf_dir, tmp_path_factory)
     assert "PushedFilters" in plan
     flat = plan.replace(" ", "")
     assert "EqualTo(DQ_overallResult,0)" in flat, plan[:2000]
+
+
+def test_bigram_lm_broadcast_opt_in(spark, sf_dir):
+    """VERDICT r07 #5: score_with_bigram_lm(broadcast=True) hints
+    both LM tables — the two scoring joins plan as BroadcastHashJoin
+    so the exploded bigram stream never shuffles on the gram key;
+    with the default broadcast=False the hint is absent and the
+    planner/AQE decides from sizes (both shapes pinned, results
+    identical)."""
+    from quality_spark.llm.lm import score_with_bigram_lm, train_bigram_lm
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    pc, cc, v = train_bigram_lm(docs, min_count=2)
+    pc, cc = pc.localCheckpoint(), cc.localCheckpoint()
+    hinted = score_with_bigram_lm(docs, pc, cc, v, broadcast=True)
+    plan = _plan(hinted)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    default = score_with_bigram_lm(docs, pc, cc, v)
+    rows_h = sorted(map(tuple, hinted.drop("avg_logprob", "perplexity").collect()))
+    rows_d = sorted(map(tuple, default.drop("avg_logprob", "perplexity").collect()))
+    assert rows_h == rows_d and len(rows_h) > 0
