@@ -1685,23 +1685,40 @@ def q_media_features(
 
         return make
 
-    _SNIFF_FMTS = ("bmp", "ppm", "png", "jpeg", "gif", "tiff")
+    _SNIFF_FMTS = (
+        "bmp", "ppm", "png", "jpeg", "gif", "tiff",
+        # round 8: sniff-only formats (route/report; no codec claimed)
+        "webp", "avif", "heic", "mp3", "pdf", "mp4",
+    )
 
     @pandas_udf("binary")
     def make_mixed_fmt(ids: pd.Series) -> pd.Series:
-        """Round 7: per-row format chosen by doc_id%6 — the sniffing
-        gate feeds payloads whose TRUE format is closed-form, with no
-        metadata hint."""
+        """Per-row format chosen by doc_id%12 — the sniffing gate
+        feeds payloads whose TRUE format is closed-form, with no
+        metadata hint. Formats 0-5 are real encoder outputs; 6-11 are
+        hand-built magic-prefix payloads for the sniff-only formats a
+        raw crawl mislabels most (WebP, AVIF, HEIC, MP3, PDF, MP4)."""
         import numpy as np
 
         from quality_spark.llm.multimodal import REAL_CODECS
 
+        sniff_only = {
+            "webp": b"RIFF\x24\x00\x00\x00WEBPVP8 \x00" * 2,
+            "avif": b"\x00\x00\x00\x1cftypavif\x00\x00\x00\x00avifmif1",
+            "heic": b"\x00\x00\x00\x18ftypheic\x00\x00\x00\x00heicmif1",
+            "mp3": b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xfb\x90\x00" * 4,
+            "pdf": b"%PDF-1.4\n1 0 obj\n<< >>\nendobj\n%%EOF\n",
+            "mp4": b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00isomiso2",
+        }
         out = []
         for i in ids:
             i = int(i)
-            fmt = _SNIFF_FMTS[i % 6]
-            img = np.full((5, 6, 3), i % 256, np.uint8)
-            out.append(REAL_CODECS[fmt][1](img))
+            fmt = _SNIFF_FMTS[i % 12]
+            if fmt in sniff_only:
+                out.append(sniff_only[fmt])
+            else:
+                img = np.full((5, 6, 3), i % 256, np.uint8)
+                out.append(REAL_CODECS[fmt][1](img))
         return pd.Series(out)
 
     def sniff_part() -> DataFrame:
@@ -1710,8 +1727,8 @@ def q_media_features(
         mixed = docs.select("doc_id", make_mixed_fmt("doc_id").alias("payload"))
         sniffed = with_sniffed_format(mixed, "payload", out="sf")
         # gate the detected format as its index in _SNIFF_FMTS — the
-        # oracle says doc_id%6 (gif payloads must NOT sniff as tiff
-        # etc.); unknown would be -1 and fail the compare
+        # oracle says doc_id%12 (gif payloads must NOT sniff as tiff,
+        # heic not as avif/mp4 etc.); unknown would be -1 and fail
         idx = F.coalesce(
             *[
                 F.when(F.col("sf") == f, F.lit(float(j)))
@@ -2153,11 +2170,12 @@ SELECT 'scene', doc_id, CAST(40 AS BIGINT), 6,
        -1.0, -1.0
 FROM documents WHERE doc_id < 200
 UNION ALL
--- magic-byte sniffing (round 7): per-row true format = doc_id%6
--- over (bmp, ppm, png, jpeg, gif, tiff); gated as that index
+-- magic-byte sniffing (round 8): per-row true format = doc_id%12
+-- over (bmp, ppm, png, jpeg, gif, tiff, webp, avif, heic, mp3, pdf,
+-- mp4 — the last six sniff-only); gated as that index
 SELECT 'sniff', doc_id, CAST(-1 AS BIGINT), CAST(-1 AS INTEGER),
        CAST(-1 AS INTEGER), CAST(-1 AS INTEGER),
-       CAST(doc_id % 6 AS DOUBLE), -1.0
+       CAST(doc_id % 12 AS DOUBLE), -1.0
 FROM documents WHERE doc_id < 200
 """
 

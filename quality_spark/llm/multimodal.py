@@ -2751,22 +2751,58 @@ _MAGIC = [
     (b"MM\x00*", "tiff"),
     (b"P6", "ppm"),
     (b"YUV4MPEG2", "y4m"),
+    (b"%PDF", "pdf"),
+    (b"ID3", "mp3"),
 ]
+
+#: ISO-BMFF `ftyp` major brands -> sniffed format (bytes 8-12 when
+#: bytes 4-8 spell 'ftyp'). Sniff-only formats route/report; decode
+#: support is a separate, explicit claim (REAL_CODECS).
+_FTYP_BRANDS = {
+    b"avif": "avif",
+    b"avis": "avif",
+    b"heic": "heic",
+    b"heix": "heic",
+    b"hevc": "heic",
+    b"hevx": "heic",
+    b"mif1": "heif",
+    b"msf1": "heif",
+    b"isom": "mp4",
+    b"iso2": "mp4",
+    b"mp41": "mp4",
+    b"mp42": "mp4",
+    b"M4A ": "m4a",
+}
 
 
 def sniff_format(payload: bytes) -> Optional[str]:
-    """Magic-byte format detection: returns the codec name for the
+    """Magic-byte format detection: returns the format name for the
     payload's ACTUAL format, or None. Real corpora routinely carry
     wrong extensions/content-types; routing on sniffed magic instead
     of metadata is the difference between decoding a corpus and
-    erroring through half of it. WAV needs the RIFF....WAVE pair
-    (plain RIFF alone is ambiguous with AVI)."""
+    erroring through half of it. WAV/WebP need the RIFF....WAVE/WEBP
+    pair (plain RIFF alone is ambiguous with AVI); ISO-BMFF families
+    (AVIF/HEIC/HEIF/MP4/M4A) key on the `ftyp` major brand at offset
+    8; MP3 matches an ID3v2 tag or a bare MPEG frame-sync
+    (0xFF 0xEx/0xFx, checked LAST — it is the weakest magic).
+
+    Decode support is NOT implied: webp/avif/heic/heif/mp4/m4a/mp3/pdf
+    are sniff-only (VERDICT r07 #6) so `with_sniffed_format` can audit
+    a raw crawl's real format mix and route rows without claiming
+    codecs this module doesn't ship."""
     b = payload or b""
     for magic, fmt in _MAGIC:
         if b.startswith(magic):
             return fmt
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        return "wav"
+    if b[:4] == b"RIFF":
+        if b[8:12] == b"WAVE":
+            return "wav"
+        if b[8:12] == b"WEBP":
+            return "webp"
+    if b[4:8] == b"ftyp":
+        return _FTYP_BRANDS.get(bytes(b[8:12]))
+    if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        return "mp3"
     return None
 
 

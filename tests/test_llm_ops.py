@@ -2243,3 +2243,38 @@ def test_sniff_format_table():
     assert sniff_format(encode_wav(np.zeros((10, 1)), 8000)) == "wav"
     assert sniff_format(b"RIFF\x00\x00\x00\x00AVI LIST") is None
     assert sniff_format(b"") is None and sniff_format(b"zzzz") is None
+
+
+def test_sniff_format_sniff_only_formats():
+    """VERDICT r07 #6: the formats a raw crawl mislabels most —
+    WebP (RIFF pair), AVIF/HEIC/HEIF/MP4/M4A (ftyp major brand),
+    MP3 (ID3 tag or bare frame-sync), PDF — sniff correctly and do
+    NOT collide with each other or with the decodable table; decode
+    support is not implied."""
+    from quality_spark.llm.multimodal import REAL_CODECS, sniff_format
+
+    cases = {
+        b"RIFF\x24\x00\x00\x00WEBPVP8 ": "webp",
+        b"\x00\x00\x00\x1cftypavif\x00\x00\x00\x00avif": "avif",
+        b"\x00\x00\x00\x1cftypavis\x00\x00\x00\x00avis": "avif",
+        b"\x00\x00\x00\x18ftypheic\x00\x00\x00\x00": "heic",
+        b"\x00\x00\x00\x18ftypheix\x00\x00\x00\x00": "heic",
+        b"\x00\x00\x00\x18ftypmif1\x00\x00\x00\x00": "heif",
+        b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00": "mp4",
+        b"\x00\x00\x00\x18ftypmp42\x00\x00\x00\x00": "mp4",
+        b"\x00\x00\x00\x18ftypM4A \x00\x00\x00\x00": "m4a",
+        b"ID3\x04\x00\x00\x00\x00\x00\x00junk": "mp3",
+        b"\xff\xfb\x90\x00frame": "mp3",   # MPEG-1 layer III sync
+        b"\xff\xe2\x00\x00": "mp3",        # lowest valid sync variant
+        b"%PDF-1.7\nstuff": "pdf",
+    }
+    for payload, fmt in cases.items():
+        assert sniff_format(payload) == fmt, (payload, fmt)
+    # non-collisions and boundaries
+    assert sniff_format(b"\x00\x00\x00\x18ftypzzzz") is None  # unknown brand
+    assert sniff_format(b"\xff\x00junk") is None       # bad sync second byte
+    assert sniff_format(b"\xff") is None               # too short for sync
+    assert sniff_format(b"RIFF\x00\x00\x00\x00WEBP") == "webp"
+    # jpeg's FF D8 must still win over the frame-sync fallback
+    img = __import__("numpy").full((3, 3, 3), 5, "uint8")
+    assert sniff_format(REAL_CODECS["jpeg"][1](img)) == "jpeg"
