@@ -898,6 +898,7 @@ def paragraph_dedup_global(
     id_col: str = "doc_id",
     sep: str = "\n\n",
     hash_fn=None,
+    materialize: bool = False,
 ) -> DataFrame:
     """GLOBAL paragraph-level exact dedup (the Dolma/CCNet boilerplate
     scrub): split every document into paragraphs, keep only the FIRST
@@ -919,6 +920,15 @@ def paragraph_dedup_global(
     the paragraph hash, not the text, so the wide payload shuffles
     once.
 
+    Plan note (VERDICT r07 #3): the exploded paragraph frame feeds
+    THREE consumers (election, kept-join probe side, per-doc stats),
+    so the lazy plan scans the corpus three times — pinned in
+    tests/test_plans.py. ``materialize=True`` localCheckpoints the
+    exploded paragraphs first, collapsing the plan to ONE corpus scan
+    plus three reads of the checkpointed block (the semantic_dedup
+    contract); at real scale prefer that, or write the exploded table
+    to storage and feed it back.
+
     Collision safety (ADVICE r07): because this operator MUTATES
     corpus text, the election carries the winning paragraph's TEXT and
     the kept filter fails OPEN — a paragraph whose 64-bit xxhash64
@@ -935,6 +945,8 @@ def paragraph_dedup_global(
             "__pd_idx", "__pd_text"
         ),
     ).withColumn("__pd_hash", hash_fn("__pd_text"))
+    if materialize:
+        paras = paras.localCheckpoint()
     firsts = paras.groupBy("__pd_hash").agg(
         F.min(F.struct("__pd_id", "__pd_idx", "__pd_text")).alias(
             "__pd_first"

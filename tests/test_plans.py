@@ -405,3 +405,29 @@ def test_bigram_lm_broadcast_opt_in(spark, sf_dir):
     rows_h = sorted(map(tuple, hinted.drop("avg_logprob", "perplexity").collect()))
     rows_d = sorted(map(tuple, default.drop("avg_logprob", "perplexity").collect()))
     assert rows_h == rows_d and len(rows_h) > 0
+
+
+def test_paragraph_dedup_global_scan_count(spark, sf_dir):
+    """VERDICT r07 #3: pin the corpus-scan count of
+    paragraph_dedup_global. Lazy plan: the exploded paragraphs feed
+    three consumers -> exactly 3 parquet scans and 3 exchanges
+    (election groupBy, reassembly groupBy, stats groupBy — the
+    hash-keyed join reuses the election exchange side). With
+    materialize=True the corpus is scanned ONCE (localCheckpoint) and
+    the checkpointed block feeds all three consumers."""
+    from quality_spark.llm.dedup import paragraph_dedup_global
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    lazy = paragraph_dedup_global(docs, "text", "doc_id")
+    plan = _plan(lazy, "simple")
+    assert plan.count("FileScan parquet") == 3, plan[:1500]
+    mat = paragraph_dedup_global(docs, "text", "doc_id", materialize=True)
+    mplan = _plan(mat, "simple")
+    assert mplan.count("FileScan parquet") == 0  # checkpoint replaced them
+    assert "ExistingRDD" in mplan
+    # same answer both ways
+    a = sorted(map(tuple, lazy.collect()))
+    b = sorted(map(tuple, mat.collect()))
+    assert a == b and len(a) > 0
