@@ -4608,8 +4608,14 @@ FROM p JOIN ch ON p.chunk_id = ch.chunk_id
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling block: hash train/test split + stratified per-language
     sample + weighted corpus mix (r03 gate queries hash_sample_split,
-    stratified_sample, weighted_mix), labeled union. Sentinels (-1)
-    stand in for not-applicable columns — see packaging rules above."""
+    stratified_sample, weighted_mix) + temperature resampling (round
+    8, `llm/sampling.py:temperature_sample` — the mT5/XLM-R
+    multilingual rebalance at T=2, rates derived from observed lang
+    counts via correctly-rounded sqrt so the oracle replays them
+    bit-for-bit), labeled union. Sentinels (-1) stand in for
+    not-applicable columns — see packaging rules above."""
+    from quality_spark.llm.sampling import temperature_sample
+
     null_n = F.lit(-1).cast("bigint").alias("n")
     hash_split = q_hash_sample_split(spark, sf_dir).select(
         F.concat(F.lit("hash_"), F.col("split")).alias("part"),
@@ -4622,10 +4628,29 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("mix_"), F.col("mix_source")).alias("part"),
         F.lit(-1).cast("bigint").alias("doc_id"), "lang", F.col("n").cast("bigint"),
     )
-    return hash_split.unionByName(strat).unionByName(mix)
+    temp = temperature_sample(
+        _read(spark, sf_dir, "documents"), "lang", "doc_id", 2.0, seed=7
+    ).select(
+        F.lit("temperature").alias("part"), "doc_id", "lang", null_n
+    )
+    return hash_split.unionByName(strat).unionByName(mix).unionByName(temp)
 
 
 def _oracle_sampling_splits() -> str:
+    from quality_spark.llm.dedup import hash60_sql
+
+    th = hash60_sql(
+        "('7' || ':' || coalesce(CAST(doc_id AS VARCHAR), '<NULL>'))",
+        "duckdb",
+    )
+    temp = f"""
+WITH nn AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+cc AS (SELECT min(n / sqrt(n)) AS c FROM nn),
+rr AS (SELECT lang, least(1.0, (SELECT c FROM cc) * sqrt(n) / n) AS rate FROM nn)
+SELECT d.doc_id, d.lang FROM documents d
+JOIN rr USING (lang)
+WHERE (({th}) % 1000000) < CAST(round(rate * 1000000) AS BIGINT)
+"""
     return f"""
 SELECT 'hash_' || split AS part, doc_id, lang, CAST(-1 AS BIGINT) AS n
 FROM ({_oracle_hash_sample_split()})
@@ -4635,6 +4660,9 @@ FROM ({_oracle_stratified_sample()})
 UNION ALL
 SELECT 'mix_' || mix_source, CAST(-1 AS BIGINT), lang, CAST(n AS BIGINT)
 FROM ({_oracle_weighted_mix()})
+UNION ALL
+SELECT 'temperature', doc_id, lang, CAST(-1 AS BIGINT)
+FROM ({temp})
 """
 
 
@@ -5957,6 +5985,57 @@ FROM ({_oracle_compression_signal()})
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (round 8, `llm/dsir.py` — Xie et al.
+    2023, public paper): hashed 1..2-gram bag features (portable md5
+    buckets), target model = docs % 10 == 0, raw model = the rest;
+    per-doc exact integer diagnostics (gram count, distinct buckets,
+    count dot-products against both models) pin the whole pipeline
+    for the oracle; the float log-weight is a scalar map of those
+    integers (ln() last-ulp differences keep it out of the hash)."""
+    from quality_spark.llm.dsir import (
+        dsir_log_weights,
+        hashed_gram_features,
+        train_bucket_counts,
+    )
+
+    B = 4096
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    tc = train_bucket_counts(hashed_gram_features(target, buckets=B))
+    rc = train_bucket_counts(hashed_gram_features(corpus, buckets=B))
+    return dsir_log_weights(
+        hashed_gram_features(corpus, buckets=B), tc, rc, B
+    ).select("doc_id", "n_grams", "n_buckets", "dot_target", "dot_raw")
+
+
+def _oracle_dsir_weights() -> str:
+    from quality_spark.llm.dedup import hash60_sql
+    from quality_spark.llm.dsir import grams_sql
+
+    g1 = grams_sql("text", 1, "duckdb")
+    g2 = grams_sql("text", 2, "duckdb")
+    h = hash60_sql("g", "duckdb")
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+grams AS (SELECT doc_id, unnest(list_concat({g1}, {g2})) AS g FROM base),
+bkt AS (SELECT doc_id, ({h}) % 4096 AS bucket FROM grams),
+feats AS (SELECT doc_id, bucket, count(*) AS cnt FROM bkt GROUP BY 1, 2),
+tmodel AS (SELECT bucket, sum(cnt) AS t FROM feats WHERE doc_id % 10 = 0 GROUP BY 1),
+rmodel AS (SELECT bucket, sum(cnt) AS r FROM feats WHERE doc_id % 10 != 0 GROUP BY 1)
+SELECT f.doc_id AS doc_id,
+       CAST(sum(f.cnt) AS BIGINT) AS n_grams,
+       CAST(count(*) AS INTEGER) AS n_buckets,
+       CAST(sum(f.cnt * coalesce(t.t, 0)) AS BIGINT) AS dot_target,
+       CAST(sum(f.cnt * coalesce(r.r, 0)) AS BIGINT) AS dot_raw
+FROM feats f
+LEFT JOIN tmodel t USING (bucket) LEFT JOIN rmodel r USING (bucket)
+WHERE f.doc_id % 10 != 0
+GROUP BY 1
+"""
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global paragraph dedup (quality_spark/llm/dedup.py:
     paragraph_dedup_global — the Dolma-style boilerplate scrub). The
@@ -6022,9 +6101,10 @@ FROM built b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
 
 
 def q_text_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second text-curation block (round 7): mojibake repair + BPE
-    tokenize/train + bigram-LM scoring + cross-doc window duplication
-    + global paragraph dedup, tagged per part."""
+    """Second text-curation block (round 7, +dsir round 8): mojibake
+    repair + BPE tokenize/train + bigram-LM scoring + cross-doc window
+    duplication + global paragraph dedup + DSIR importance weighting,
+    tagged per part."""
     nbl = F.lit(-1).cast("bigint")
     nd = F.lit(-1.0).cast("double")
     bpe = q_bpe_tokenize(spark, sf_dir).select(
@@ -6068,9 +6148,18 @@ def q_text_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("int").alias("n2"),
         nbl.alias("v_long"), nd.alias("v_double"),
     )
+    dsir = q_dsir_weights(spark, sf_dir).select(
+        F.lit("dsir").alias("part"),
+        F.col("doc_id").cast("bigint").alias("ord"),
+        F.lit("").alias("a"), F.lit("").alias("b"),
+        F.col("n_grams").cast("int").alias("n1"),
+        F.col("n_buckets").cast("int").alias("n2"),
+        F.col("dot_target").cast("bigint").alias("v_long"),
+        F.col("dot_raw").cast("double").alias("v_double"),
+    )
     return (
         bpe.unionByName(enc).unionByName(lm)
-        .unionByName(win).unionByName(pdedup)
+        .unionByName(win).unionByName(pdedup).unionByName(dsir)
     )
 
 
@@ -6096,6 +6185,11 @@ SELECT 'pdedup', doc_id, text_md5, '',
        CAST(n_paras AS INTEGER), CAST(n_kept AS INTEGER),
        CAST(-1 AS BIGINT), CAST(-1.0 AS DOUBLE)
 FROM ({_oracle_paragraph_dedup()})
+UNION ALL
+SELECT 'dsir', doc_id, '', '',
+       CAST(n_grams AS INTEGER), n_buckets,
+       dot_target, CAST(dot_raw AS DOUBLE)
+FROM ({_oracle_dsir_weights()})
 """
 
 
@@ -6327,6 +6421,7 @@ def query_legs() -> dict:
             "lm": q_lm_score,
             "win": q_window_dup,
             "pdedup": q_paragraph_dedup,
+            "dsir": q_dsir_weights,
         },
         "embedding_reduce": {
             "sem": q_semantic_dedup,
@@ -6372,6 +6467,11 @@ def query_legs() -> dict:
             "hash_split": q_hash_sample_split,
             "stratified": q_stratified_sample,
             "mix": q_weighted_mix,
+            "temperature": lambda spark, sf: __import__(
+                "quality_spark.llm.sampling", fromlist=["temperature_sample"]
+            ).temperature_sample(
+                _read(spark, sf, "documents"), "lang", "doc_id", 2.0, seed=7
+            ),
         },
         "event_rollups": {
             "rollup": q_time_rollup_events,

@@ -116,5 +116,60 @@ def weighted_mix(
     return out
 
 
+def temperature_rates(
+    counts: Dict[str, int], temperature: float = 2.0
+) -> Dict[str, float]:
+    """Per-domain keep rates for TEMPERATURE resampling (the
+    multilingual rebalance of mT5/XLM-R — public method): observed
+    shares p_d = n_d/N are flattened to q_d ∝ p_d^(1/T); the returned
+    rates realize the LARGEST corpus achieving the exact tempered
+    mixture with no upsampling — r_d = C·q_d/n_d with
+    C = min_d n_d/q_d, so the scarcest (post-flattening) domain keeps
+    everything (rate exactly 1.0) and every other domain downsamples
+    to match. T=1 reproduces the corpus as-is; T→∞ equalizes domains.
+
+    Determinism note: p^(1/T) goes through pow(); at T=2 the
+    implementation uses sqrt(), which is CORRECTLY ROUNDED in IEEE —
+    a SQL oracle computing `sqrt(n)` reproduces the rates bit-for-bit
+    (pow() is not correctly rounded everywhere, so cross-engine
+    replays should prefer T=2 or precomputed rates)."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not counts:
+        return {}
+    if temperature == 2.0:
+        q = {d: float(n) ** 0.5 for d, n in counts.items()}
+    else:
+        q = {d: float(n) ** (1.0 / temperature) for d, n in counts.items()}
+    c = min(n / q[d] for d, n in counts.items())
+    return {d: min(1.0, c * q[d] / counts[d]) for d in counts}
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    temperature: float = 2.0,
+    seed: int = 0,
+    counts: Optional[Dict[str, int]] = None,
+) -> DataFrame:
+    """Deterministic temperature resampling in one pass: compute the
+    per-domain rates from observed counts (one metadata-sized
+    groupBy().count() collect — |domains| rows, the only driver-side
+    step; pass ``counts`` to skip it) and apply them with the same
+    hash-threshold filter as every other sampler here — a narrow
+    per-row filter, no shuffle, replayable by the DuckDB oracle."""
+    if counts is None:
+        counts = {
+            str(r[0]): r[1]
+            for r in df.groupBy(domain_col).count().collect()
+            if r[0] is not None
+        }
+    rates = temperature_rates(counts, temperature)
+    return stratified_hash_sample(
+        df, rates, domain_col, key_col, seed=seed, default_rate=0.0
+    )
+
+
 def _str_lit(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"

@@ -165,3 +165,155 @@ def test_hash_sample_complement_and_null_keys(spark):
     assert both.count() == 0
     # rate=1.0 keeps EVERY row, NULL key included
     assert hash_sample(df, 1.0, "k").count() == 201
+
+
+def test_temperature_rates_known_values():
+    """T=2: rates realize the exact sqrt-tempered mixture; the
+    scarcest flattened domain keeps rate 1.0; T=1 keeps everything."""
+    from quality_spark.llm.sampling import temperature_rates
+
+    counts = {"en": 900, "fr": 100, "sw": 25}
+    r = temperature_rates(counts, 2.0)
+    # q ∝ sqrt(n): 30, 10, 5 ; C = min(n/q) = min(30, 10, 5) = 5
+    assert r["sw"] == 1.0
+    assert abs(r["fr"] - 5 * 10 / 100) < 1e-12
+    assert abs(r["en"] - 5 * 30 / 900) < 1e-12
+    # expected kept sizes ∝ sqrt(n): 150, 50, 25
+    r1 = temperature_rates(counts, 1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in r1.values())
+
+
+def test_temperature_sample_matches_duckdb(spark, sf_dir):
+    """temperature_sample kept set == the DuckDB replay (sqrt rates +
+    the same portable-hash threshold), proving cross-engine
+    determinism at T=2."""
+    import duckdb
+
+    from quality_spark.llm.dedup import hash60_sql
+    from quality_spark.llm.sampling import temperature_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = temperature_sample(docs, "lang", "doc_id", 2.0, seed=7)
+    got = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+
+    h = hash60_sql(
+        "('7' || ':' || coalesce(CAST(doc_id AS VARCHAR), '<NULL>'))",
+        "duckdb",
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.connect().execute(f"""
+WITH n AS (SELECT lang, count(*)::DOUBLE AS n
+           FROM read_parquet('{sf_dir}/documents.parquet') GROUP BY lang),
+c AS (SELECT min(n / sqrt(n)) AS c FROM n),
+r AS (SELECT lang, least(1.0, (SELECT c FROM c) * sqrt(n) / n) AS rate FROM n)
+SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') d
+JOIN r USING (lang)
+WHERE (({h}) % 1000000) < CAST(round(rate * 1000000) AS BIGINT)
+""").fetchall()
+    )
+    assert got == want and len(got) > 0
+    assert len(got) < docs.count()  # it actually downsampled something
+
+
+def test_dsir_known_values(spark):
+    """DSIR diagnostics on a hand-checkable corpus: integer dot
+    products against the two models, and the log weight separates a
+    target-like doc from a raw-like doc."""
+    import math
+
+    from quality_spark.llm.dsir import (
+        dsir_log_weights,
+        hashed_gram_features,
+        train_bucket_counts,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "alpha beta alpha")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(2, "gamma delta"), (3, "gamma gamma")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "gamma gamma"), (12, "")],
+        "doc_id long, text string",
+    )
+    B = 1024
+    tc = train_bucket_counts(hashed_gram_features(target, buckets=B))
+    rc = train_bucket_counts(hashed_gram_features(raw, buckets=B))
+    feats = hashed_gram_features(corpus, buckets=B)
+    out = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(feats, tc, rc, B).collect()
+    }
+    # doc 10 'alpha beta': grams = alpha, beta, 'alpha beta' (3)
+    assert out[10]["n_grams"] == 3
+    # target grams: alpha x2, beta, 'alpha beta', 'beta alpha' -> dot:
+    # alpha*2 + beta*1 + 'alpha beta'*1 = 4 (assuming no bucket
+    # collisions at B=1024 for these 7 distinct grams)
+    assert out[10]["dot_target"] == 4 and out[10]["dot_raw"] == 0
+    # doc 11 'gamma gamma': grams gamma, gamma, 'gamma gamma' ->
+    # raw grams: gamma x3, delta, 'gamma delta', 'gamma gamma' ->
+    # dot_raw = 3+3+1 = 7
+    assert out[11]["dot_target"] == 0 and out[11]["dot_raw"] == 7
+    assert out[10]["log_weight"] > 0 > out[11]["log_weight"]
+    # empty doc: no grams -> no feature rows -> absent from output
+    assert 12 not in out
+    # closed-form check of doc 11's weight: N_t=5, N_r=6
+    lw = 2 * (math.log(1 / (5 + B)) - math.log(4 / (6 + B))) + (
+        math.log(1 / (5 + B)) - math.log(2 / (6 + B))
+    )
+    assert abs(out[11]["log_weight"] - lw) < 1e-9
+
+
+def test_dsir_features_match_duckdb(spark, sf_dir):
+    """The full DSIR integer pipeline (tokenize -> 1..2-grams ->
+    portable hash buckets -> model joins -> per-doc dots) replays
+    exactly in DuckDB over real documents."""
+    import duckdb
+
+    from quality_spark.llm.dsir import (
+        dsir_log_weights,
+        grams_sql,
+        hashed_gram_features,
+        train_bucket_counts,
+    )
+    from quality_spark.llm.dedup import hash60_sql
+
+    B = 4096
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    tc = train_bucket_counts(hashed_gram_features(target, buckets=B))
+    rc = train_bucket_counts(hashed_gram_features(corpus, buckets=B))
+    got = sorted(
+        (r["doc_id"], r["n_grams"], r["n_buckets"], r["dot_target"], r["dot_raw"])
+        for r in dsir_log_weights(
+            hashed_gram_features(corpus, buckets=B), tc, rc, B
+        ).collect()
+    )
+    g1 = grams_sql("text", 1, "duckdb")
+    g2 = grams_sql("text", 2, "duckdb")
+    h = hash60_sql("g", "duckdb")
+    sql = f"""
+WITH base AS (SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')),
+grams AS (
+  SELECT doc_id, unnest(list_concat({g1}, {g2})) AS g FROM base
+),
+b AS (SELECT doc_id, ({h}) % {B} AS bucket FROM grams),
+feats AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+tmodel AS (SELECT bucket, sum(cnt) AS t FROM feats WHERE doc_id % 10 = 0 GROUP BY 1),
+rmodel AS (SELECT bucket, sum(cnt) AS r FROM feats WHERE doc_id % 10 != 0 GROUP BY 1)
+SELECT f.doc_id, sum(f.cnt) AS n_grams, count(*) AS n_buckets,
+       sum(f.cnt * coalesce(t.t, 0)) AS dot_target,
+       sum(f.cnt * coalesce(r.r, 0)) AS dot_raw
+FROM feats f
+LEFT JOIN tmodel t USING (bucket) LEFT JOIN rmodel r USING (bucket)
+WHERE f.doc_id % 10 != 0
+GROUP BY 1
+"""
+    want = sorted(
+        (r[0], r[1], r[2], r[3], r[4])
+        for r in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want and len(got) > 100
