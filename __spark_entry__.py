@@ -4452,15 +4452,21 @@ SELECT 'merge', rank, a, b, -1, -1 FROM (VALUES
 def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis block in ONE projection: text stats + lang-id +
     fingerprint + token estimate (r03 gate queries text_stats, lang_id,
-    fingerprint, token_estimate)."""
+    fingerprint, token_estimate) + the Unicode-script profile (round
+    8, `llm/textstats.py:with_script_profile` — per-script char
+    counts, dominant script, mix fraction; mixed-script docs are an
+    SEO-spam/mojibake signal)."""
     from quality_spark.llm.textstats import (
         fingerprint_sql,
         lang_id_sql,
         text_stats_sqls,
+        with_script_profile,
         with_token_estimate,
     )
 
-    docs = with_token_estimate(_read(spark, sf_dir, "documents"))
+    docs = with_script_profile(
+        with_token_estimate(_read(spark, sf_dir, "documents"))
+    )
     sqls = text_stats_sqls("text", "spark")
     return docs.select(
         "doc_id",
@@ -4468,19 +4474,39 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(lang_id_sql("text", "spark")).alias("lang_pred"),
         F.expr(fingerprint_sql("text", "spark")).alias("fingerprint"),
         "token_estimate",
+        "n_latin", "n_cyrillic", "n_greek", "n_arabic",
+        "n_devanagari", "n_cjk", "dominant_script", "script_mix",
     )
 
 
 def _oracle_text_signals() -> str:
-    from quality_spark.llm.textstats import text_stats_sqls
+    from quality_spark.llm.textstats import (
+        script_count_sqls,
+        script_profile_sqls,
+        text_stats_sqls,
+    )
 
     stat_cols = ", ".join(f"a.{n}" for n in text_stats_sqls("text", "duckdb"))
+    counts = script_count_sqls("text", "duckdb")
+    cnt_cols = ", ".join(f"{s} AS {n}" for n, s in counts.items())
+    derived = script_profile_sqls("duckdb")
+    script = f"""
+WITH staged AS (SELECT doc_id, {cnt_cols} FROM documents),
+s2 AS (SELECT *, {derived['__max']} AS __qs_smx FROM staged)
+SELECT doc_id, {', '.join(counts)},
+       {derived['dominant_script']} AS dominant_script,
+       {derived['script_mix']} AS script_mix
+FROM s2
+"""
+    script_cols = ", ".join(f"e.{n}" for n in counts)
     return (
-        f"SELECT a.doc_id, {stat_cols}, b.lang_pred, c.fingerprint, d.token_estimate "
+        f"SELECT a.doc_id, {stat_cols}, b.lang_pred, c.fingerprint, d.token_estimate, "
+        f"{script_cols}, e.dominant_script, e.script_mix "
         f"FROM ({_oracle_text_stats()}) a "
         f"JOIN ({_oracle_lang_id()}) b ON a.doc_id = b.doc_id "
         f"JOIN ({_oracle_fingerprint()}) c ON a.doc_id = c.doc_id "
-        f"JOIN ({_oracle_token_estimate()}) d ON a.doc_id = d.doc_id"
+        f"JOIN ({_oracle_token_estimate()}) d ON a.doc_id = d.doc_id "
+        f"JOIN ({script}) e ON a.doc_id = e.doc_id"
     )
 
 

@@ -164,3 +164,86 @@ def with_token_estimate(
             f"size(regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0))"
         ).cast("int").alias(out),
     )
+
+
+#: Unicode-script classes for script profiling — explicit codepoint
+#: ranges embedded as LITERAL characters (not \u escapes), so the same
+#: pattern string means the same thing under Java regex (Spark) and
+#:  RE2 (DuckDB). Order is the dominant-script tie-break priority.
+SCRIPT_CLASSES: List[Tuple[str, str]] = [
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("devanagari", "ऀ-ॿ"),
+    # han + hiragana/katakana + hangul — the CJK block for mix purposes
+    ("cjk", "一-鿿぀-ヿ가-힯"),
+]
+
+
+def script_count_sqls(text: str, dialect: str) -> Dict[str, str]:
+    """{n_<script>: SQL} — chars of ``text`` in each script class,
+    counted as length minus length-after-removal (the same portable
+    trick as non_ascii_count; regexp_replace is global in Spark,
+    needs the 'g' flag in DuckDB)."""
+    out: Dict[str, str] = {}
+    for name, cls in SCRIPT_CLASSES:
+        if dialect == "spark":
+            cnt = (
+                f"(length({text}) - length(regexp_replace({text}, '[{cls}]', '')))"
+            )
+        else:
+            cnt = (
+                f"(length({text}) - "
+                f"length(regexp_replace({text}, '[{cls}]', '', 'g')))"
+            )
+        out[f"n_{name}"] = f"CAST({cnt} AS INTEGER)"
+    return out
+
+
+def script_profile_sqls(dialect: str) -> Dict[str, str]:
+    """Derived columns over already-projected n_<script> counts:
+    ``dominant_script`` (first class in SCRIPT_CLASSES order reaching
+    the max count; 'none' when no scripted chars at all) and
+    ``script_mix`` (1 - max/total over script chars — 0.0 for a pure
+    single-script doc, rising toward 1 as scripts mix; NULL when no
+    scripted chars). Mixed-script text is a strong SEO-spam /
+    mojibake signal in web corpora. Both expressions are pure integer
+    arithmetic + one exact IEEE division, so the oracle reproduces
+    them bit-for-bit."""
+    names = [f"n_{n}" for n, _ in SCRIPT_CLASSES]
+    total = " + ".join(names)
+    mx = "greatest(" + ", ".join(names) + ")"
+    branches = " ".join(
+        f"WHEN n_{n} = __qs_smx THEN '{n}'" for n, _ in SCRIPT_CLASSES
+    )
+    dominant = (
+        f"CASE WHEN __qs_smx = 0 THEN 'none' {branches} ELSE 'none' END"
+    )
+    mix = (
+        f"CASE WHEN ({total}) > 0 THEN "
+        f"1.0 - CAST(__qs_smx AS DOUBLE) / ({total}) END"
+    )
+    # callers substitute __qs_smx; kept symbolic so the max expression
+    # is evaluated once in a staged projection, not 7x inline
+    return {"__max": mx, "dominant_script": dominant, "script_mix": mix}
+
+
+def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc script histogram + dominant script + mix fraction —
+    two staged narrow projections (counts, then derivations), zero
+    shuffles, streaming-safe."""
+    counts = script_count_sqls(text_col, "spark")
+    staged = df.select(
+        "*", *[F.expr(s).alias(n) for n, s in counts.items()]
+    )
+    derived = script_profile_sqls("spark")
+    staged2 = staged.select(
+        "*", F.expr(derived["__max"]).alias("__qs_smx")
+    )
+    return staged2.select(
+        *df.columns,
+        *counts.keys(),
+        F.expr(derived["dominant_script"]).alias("dominant_script"),
+        F.expr(derived["script_mix"]).alias("script_mix"),
+    )

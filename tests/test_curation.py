@@ -687,3 +687,69 @@ def test_tsv_round_trip(spark, tmp_path):
     assert bad.count() == 0
     got = {r["doc_id"]: r["payload"] for r in good.collect()}
     assert got[1] == "has\ttab, and comma" and got[2] == "plain"
+
+
+def test_script_profile_known_values(spark):
+    """script_profile: counts per script class, dominant by priority
+    tie-break, mix fraction 0 for pure docs and positive for mixed;
+    no-script docs get 'none' + NULL mix."""
+    from quality_spark.llm.textstats import with_script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "привет мир"),
+            (3, "hello мир"),
+            (4, "12345 !!!"),
+            (5, "日本語とカタカナ"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in with_script_profile(df).collect()}
+    assert out[1]["n_latin"] == 10 and out[1]["dominant_script"] == "latin"
+    assert out[1]["script_mix"] == 0.0
+    assert out[2]["n_cyrillic"] == 9 and out[2]["dominant_script"] == "cyrillic"
+    assert out[3]["n_latin"] == 5 and out[3]["n_cyrillic"] == 3
+    assert out[3]["dominant_script"] == "latin"
+    assert abs(out[3]["script_mix"] - 3 / 8) < 1e-12
+    assert out[4]["dominant_script"] == "none" and out[4]["script_mix"] is None
+    assert out[5]["n_cjk"] == 8 and out[5]["dominant_script"] == "cjk"
+
+
+def test_script_profile_matches_duckdb(spark, sf_dir):
+    """The script histogram + derivations replay exactly in DuckDB
+    over real documents (pattern strings are literal-char classes, so
+    Java regex and RE2 agree)."""
+    import duckdb
+
+    from quality_spark.llm.textstats import (
+        script_count_sqls,
+        script_profile_sqls,
+        with_script_profile,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in with_script_profile(docs.select("doc_id", "text"))
+        .drop("text")
+        .collect()
+    )
+    counts = script_count_sqls("text", "duckdb")
+    cnt_cols = ", ".join(f"{s} AS {n}" for n, s in counts.items())
+    derived = script_profile_sqls("duckdb")
+    want = sorted(
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(f"""
+WITH staged AS (SELECT doc_id, {cnt_cols}
+                FROM read_parquet('{sf_dir}/documents.parquet')),
+s2 AS (SELECT *, {derived['__max']} AS __qs_smx FROM staged)
+SELECT doc_id, {', '.join(counts)},
+       {derived['dominant_script']} AS dominant_script,
+       {derived['script_mix']} AS script_mix
+FROM s2
+""")
+        .fetchall()
+    )
+    assert got == want and len(got) > 100
