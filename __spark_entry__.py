@@ -3551,21 +3551,42 @@ def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 13-gram overlap of the corpus
     (doc_id % 50 != 0) against a benchmark split (doc_id % 50 = 0);
     benchmark grams broadcast, corpus never shuffles
-    (quality_spark/llm/decontam.py)."""
-    from quality_spark.llm.decontam import contamination_flags
+    (quality_spark/llm/decontam.py). Round 8 adds the bloom-prefilter
+    SCALE path as a second part — bits instead of a broadcast row
+    set, false positives removed by the exact join, so both parts
+    must produce identical per-doc rows against ONE oracle."""
+    from quality_spark.llm.decontam import (
+        contamination_flags,
+        contamination_flags_bloom,
+    )
 
     docs = _read(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     benchmark = docs.filter(F.col("doc_id") % 50 == 0)
-    return contamination_flags(corpus, benchmark, n=13)
+    exact = contamination_flags(corpus, benchmark, n=13).select(
+        F.lit("exact").alias("part"), "doc_id", "contaminated_grams",
+        "contaminated",
+    )
+    bloom = contamination_flags_bloom(corpus, benchmark, n=13).select(
+        F.lit("bloom").alias("part"), "doc_id", "contaminated_grams",
+        "contaminated",
+    )
+    return exact.unionByName(bloom)
 
 
 def _oracle_decontam_overlap() -> str:
     from quality_spark.llm.decontam import contamination_oracle_sql
 
-    return contamination_oracle_sql(
+    one = contamination_oracle_sql(
         13, corpus_where="doc_id % 50 != 0", benchmark_where="doc_id % 50 = 0"
     )
+    return f"""
+SELECT 'exact' AS part, doc_id, contaminated_grams, contaminated
+FROM ({one})
+UNION ALL
+SELECT 'bloom', doc_id, contaminated_grams, contaminated
+FROM ({one})
+"""
 
 
 def q_sparkless_duckdb(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,6 +23,8 @@ to fall back to a hash-partitioned join keyed by the gram string.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -59,6 +61,76 @@ def contamination_flags(
         b_grams = F.broadcast(b_grams)
     hits = (
         c_grams.join(b_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("contaminated_grams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("contaminated_grams"), F.lit(0).cast("bigint")).alias(
+                "contaminated_grams"
+            ),
+            (F.coalesce(F.col("contaminated_grams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def contamination_flags_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    expected: Optional[int] = None,
+    fpp: float = 0.001,
+    bloom_name: str = "qs_decontam_bloom",
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — the 100 TB path for when
+    the benchmark gram set outgrows a comfortable broadcast hash join
+    (tens of millions of grams): build a BLOOM over the benchmark's
+    distinct grams (bits instead of rows — a 100 M-gram set at
+    fpp=0.001 is ~180 MB of bitset vs several GB of broadcast hash
+    table), prefilter the corpus gram stream through it (a pure
+    per-row projection, zero shuffle — ~(1-fpp) of non-matching grams
+    drop before any join), then exact-join only the survivors.
+
+    False positives are eliminated by the exact join, so the result
+    is IDENTICAL to :func:`contamination_flags` — same rows, same
+    oracle; the bloom only changes how much data reaches the join.
+    ``expected`` defaults to a counted pass over the benchmark grams
+    (one extra metadata-light job; pass it when known).
+
+    The registered bloom uses the probe machinery of
+    ``sources/lookups`` (Arrow-vectorized probe UDF over JVM
+    xxhash64 pairs)."""
+    from ..sources.lookups import bloom_from, probability_in, register_bloom
+    from .dedup import shingles_from_tokens_sql, tokens_sql
+
+    def _grams(df: DataFrame, *keep: str) -> DataFrame:
+        return df.select(
+            *keep, F.expr(tokens_sql(text_col, "spark")).alias("_toks")
+        ).select(
+            *keep,
+            F.explode(F.expr(shingles_from_tokens_sql("_toks", n))).alias("gram"),
+        )
+
+    b_grams = _grams(benchmark).distinct()
+    if expected is None:
+        expected = max(b_grams.count(), 1)
+    bf = bloom_from(b_grams, "gram", expected=expected, fpp=fpp)
+    register_bloom(corpus.sparkSession, bloom_name, bf)
+    # probability_in returns the membership PROBABILITY (0.0 = surely
+    # absent, fpp-scaled otherwise — reference semantics); > 0 is the
+    # boolean might-contain test
+    c_grams = _grams(corpus, id_col).filter(
+        probability_in("gram", bloom_name) > 0
+    )
+    hits = (
+        c_grams.join(F.broadcast(b_grams), "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("contaminated_grams"))
     )

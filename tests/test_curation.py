@@ -753,3 +753,31 @@ FROM s2
         .fetchall()
     )
     assert got == want and len(got) > 100
+
+
+def test_contamination_bloom_identical_to_exact(spark, sf_dir):
+    """contamination_flags_bloom: the bloom prefilter changes data
+    volume, never results — identical rows to the exact path on real
+    documents, including at a coarse fpp where the bloom passes many
+    false positives to the exact join."""
+    from quality_spark.llm.decontam import (
+        contamination_flags,
+        contamination_flags_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    exact = sorted(map(tuple, contamination_flags(corpus, bench, n=13).collect()))
+    for fpp in (0.001, 0.3):  # tight and FP-heavy blooms
+        bloom = sorted(
+            map(
+                tuple,
+                contamination_flags_bloom(
+                    corpus, bench, n=13, fpp=fpp,
+                    bloom_name=f"qs_test_dbloom_{str(fpp).replace('.', '_')}",
+                ).collect(),
+            )
+        )
+        assert bloom == exact, fpp
+    assert len(exact) > 0 and any(r[2] for r in exact)  # non-vacuous
