@@ -6040,20 +6040,14 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     count dot-products against both models) pin the whole pipeline
     for the oracle; the float log-weight is a scalar map of those
     integers (ln() last-ulp differences keep it out of the hash)."""
-    from quality_spark.llm.dsir import (
-        dsir_log_weights,
-        hashed_gram_features,
-        train_bucket_counts,
-    )
+    from quality_spark.llm.dsir import dsir_pipeline
 
-    B = 4096
     docs = _read(spark, sf_dir, "documents")
-    target = docs.filter(F.col("doc_id") % 10 == 0)
-    corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    tc = train_bucket_counts(hashed_gram_features(target, buckets=B))
-    rc = train_bucket_counts(hashed_gram_features(corpus, buckets=B))
-    return dsir_log_weights(
-        hashed_gram_features(corpus, buckets=B), tc, rc, B
+    return dsir_pipeline(
+        corpus=docs.filter(F.col("doc_id") % 10 != 0),
+        target=docs.filter(F.col("doc_id") % 10 == 0),
+        buckets=4096,
+        n_partitions=spark.sparkContext.defaultParallelism,
     ).select("doc_id", "n_grams", "n_buckets", "dot_target", "dot_raw")
 
 
