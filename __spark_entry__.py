@@ -5265,7 +5265,11 @@ FROM ({_oracle_skew_join_lineitem()})
 
 def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal-join block: as-of join + banded numeric range join
-    (r03 gate queries asof_click_view, range_join_events). The as-of
+    (r03 gate queries asof_click_view, range_join_events) + banded
+    interval-OVERLAP join (round 8,
+    `operators/temporal.py:interval_join` — per-(user, event_type)
+    activity spans, click/view spans vs the rest, emitted exactly
+    once via the overlap-left-edge bucket trick). The as-of
     miss columns (v1/v2) keep their inherent NULLs — event_id is the
     unique leading sort column for that branch."""
     asof = q_asof_click_view(spark, sf_dir).select(
@@ -5282,7 +5286,65 @@ def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("bigint").alias("v1"),
         F.lit(-1.0).alias("v2"),
     )
-    return asof.unionByName(rng)
+    ivl = q_interval_overlap(spark, sf_dir).select(
+        F.lit("interval").alias("part"),
+        F.col("user_id").cast("bigint").alias("event_id"),
+        F.concat("l_type", F.lit(":"), F.col("r_rtype")).alias("k"),
+        F.lit(-1).cast("bigint").alias("v1"),
+        F.lit(-1.0).alias("v2"),
+    )
+    return asof.unionByName(rng).unionByName(ivl)
+
+
+#: tz-FREE epoch seconds for the (timestamp_ntz) events ts: pure NTZ
+#: interval arithmetic, truncated to whole seconds — DuckDB's
+#: date_diff('second', TIMESTAMP '1970-01-01', ts) truncates the same
+#: way, so both engines derive identical span bounds regardless of the
+#: session timezone (a cast/unix_timestamp would re-interpret the wall
+#: clock in session tz and drift between harnesses)
+_NTZ_EPOCH_SECS = (
+    "CAST(timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) "
+    "AS DOUBLE)"
+)
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap leg: per-(user, event_type) activity spans
+    (epoch seconds), click/view spans overlap-joined against the
+    other event types' spans per user."""
+    from quality_spark.operators.temporal import interval_join
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.expr(_NTZ_EPOCH_SECS)).alias("s"),
+        F.max(F.expr(_NTZ_EPOCH_SECS)).alias("e"),
+    )
+    left = spans.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_type").alias("l_type"), "s", "e"
+    )
+    right = spans.filter(
+        ~F.col("event_type").isin("click", "view")
+    ).select("user_id", F.col("event_type").alias("rtype"), "s", "e")
+    return interval_join(
+        left, right, "s", "e", "s", "e",
+        granularity=86400.0, key_cols=["user_id"],
+    ).select("user_id", "l_type", "r_rtype")
+
+
+def _oracle_interval_overlap() -> str:
+    return """
+WITH spans AS (
+  SELECT user_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', min(ts))::DOUBLE AS s,
+         date_diff('second', TIMESTAMP '1970-01-01', max(ts))::DOUBLE AS e
+  FROM events WHERE user_id < 40 GROUP BY 1, 2
+)
+SELECT l.user_id, l.event_type AS l_type, r.event_type AS r_rtype
+FROM spans l JOIN spans r
+  ON l.user_id = r.user_id AND l.s <= r.e AND r.s <= l.e
+WHERE l.event_type IN ('click', 'view')
+  AND r.event_type NOT IN ('click', 'view')
+"""
 
 
 def _oracle_temporal_joins() -> str:
@@ -5294,6 +5356,10 @@ UNION ALL
 SELECT 'range', CAST(-1 AS BIGINT), event_type, CAST(n_pairs AS BIGINT),
        -1.0
 FROM ({_oracle_range_join_events()})
+UNION ALL
+SELECT 'interval', CAST(user_id AS BIGINT), l_type || ':' || r_rtype,
+       CAST(-1 AS BIGINT), -1.0
+FROM ({_oracle_interval_overlap()})
 """
 
 
@@ -6521,6 +6587,7 @@ def query_legs() -> dict:
         "temporal_joins": {
             "asof": q_asof_click_view,
             "range": q_range_join_events,
+            "interval": q_interval_overlap,
         },
         "skew_ops": {
             "salted_agg": q_salted_agg_orders,

@@ -217,3 +217,66 @@ def time_rollup(
     return grouped.select(
         res_case.alias("resolution"), bucket.alias("bucket_start"), *out_aggs
     )
+
+
+def interval_join(
+    left: "DataFrame",
+    right: "DataFrame",
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    granularity: float,
+    key_cols: Sequence[str] = (),
+    prefix: str = "r_",
+) -> "DataFrame":
+    """Banded interval-OVERLAP join: pairs where
+    ``[l_start, l_end]`` and ``[r_start, r_end]`` intersect (closed
+    intervals: touching endpoints overlap), plus optional equi keys.
+
+    100 TB design: both sides explode to the time buckets their
+    interval covers at ``granularity`` resolution, qualifying pairs
+    meet in an equi-join keyed by (keys..., bucket), and the exact
+    overlap predicate runs post-join. Duplicate elimination is FREE —
+    a pair is emitted only in the single bucket containing
+    ``greatest(l_start, r_start)`` (the overlap's left edge), which
+    lies in both intervals' bucket ranges exactly once, so no
+    ``distinct`` shuffle is needed. Shuffle volume is
+    sum(span/granularity + 1) rows per side keyed by small longs —
+    never a cross join; pick ``granularity`` near the typical span so
+    the per-interval explode stays O(1). Long outlier intervals fan
+    out proportionally to their span (data-inherent at any fixed
+    resolution); cap or split them upstream if they dominate.
+
+    Columns are NUMERIC (cast timestamps to epoch seconds first —
+    keeps the bucket arithmetic portable to the SQL oracle)."""
+    if granularity <= 0:
+        raise ValueError("granularity must be positive")
+    keys = list(key_cols)
+    g = F.lit(float(granularity))
+
+    def buckets(s, e):
+        return F.sequence(
+            F.floor(F.col(s) / g).cast("long"),
+            F.floor(F.col(e) / g).cast("long"),
+        )
+
+    l = left.select("*", F.explode(buckets(l_start, l_end)).alias("__bucket"))
+    r = right.select(
+        *[F.col(c).alias(f"{prefix}{c}") for c in right.columns]
+    ).select(
+        "*",
+        F.explode(buckets(f"{prefix}{r_start}", f"{prefix}{r_end}")).alias(
+            "__rbucket"
+        ),
+    )
+    cond = l["__bucket"] == r["__rbucket"]
+    for k in keys:
+        cond = cond & (l[k] == r[f"{prefix}{k}"])
+    joined = l.join(r, cond)
+    ls, le = F.col(l_start), F.col(l_end)
+    rs, re_ = F.col(f"{prefix}{r_start}"), F.col(f"{prefix}{r_end}")
+    overlap = (ls <= re_) & (rs <= le)
+    # emit only in the bucket holding the overlap's left edge
+    once = F.col("__bucket") == F.floor(F.greatest(ls, rs) / g).cast("long")
+    return joined.filter(overlap & once).drop("__bucket", "__rbucket")

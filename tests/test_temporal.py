@@ -184,3 +184,97 @@ def test_time_rollup_null_ts_stays_per_resolution(spark):
     # resolution=NULL pair
     assert sorted(null_rows) == [("day", 1), ("hour", 1)]
     assert all(r["resolution"] in ("hour", "day") for r in rows)
+
+
+def test_interval_join_known_values(spark):
+    """interval_join: overlapping pairs exactly once (no bucket
+    duplicates even when an overlap spans many buckets), touching
+    endpoints overlap (closed), disjoint pairs absent, keys respected."""
+    from quality_spark.operators.temporal import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 0.0, 10.0), (2, "a", 20.0, 30.0), (3, "b", 0.0, 100.0)],
+        "lid int, k string, s double, e double",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "a", 5.0, 25.0),    # overlaps 1 and 2
+            (11, "a", 10.0, 12.0),   # touches 1 at endpoint 10
+            (12, "a", 31.0, 40.0),   # disjoint
+            (13, "b", 50.0, 60.0),   # overlaps 3 (inside, many buckets)
+            (14, "b", -5.0, 0.0),    # touches 3 at 0
+        ],
+        "rid int, k string, s double, e double",
+    )
+    got = sorted(
+        (r["lid"], r["r_rid"])
+        for r in interval_join(
+            left, right, "s", "e", "s", "e", granularity=7.0, key_cols=["k"]
+        ).collect()
+    )
+    assert got == [(1, 10), (1, 11), (2, 10), (3, 13), (3, 14)]
+    # granularity much larger than spans: same answer
+    got2 = sorted(
+        (r["lid"], r["r_rid"])
+        for r in interval_join(
+            left, right, "s", "e", "s", "e", granularity=1000.0, key_cols=["k"]
+        ).collect()
+    )
+    assert got2 == got
+    # granularity much smaller: same answer (duplicate guard works)
+    got3 = sorted(
+        (r["lid"], r["r_rid"])
+        for r in interval_join(
+            left, right, "s", "e", "s", "e", granularity=0.5, key_cols=["k"]
+        ).collect()
+    )
+    assert got3 == got
+
+
+def test_interval_join_matches_duckdb(spark, sf_dir):
+    """interval_join over real event-derived intervals == DuckDB's
+    nested-loop overlap join (per-(user, event_type) activity spans
+    vs per-user whole spans)."""
+    import duckdb
+
+    from quality_spark.operators.temporal import interval_join
+    from __spark_entry__ import _NTZ_EPOCH_SECS
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") < 40
+    )
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.expr(_NTZ_EPOCH_SECS)).alias("s"),
+        F.max(F.expr(_NTZ_EPOCH_SECS)).alias("e"),
+    )
+    left = spans.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_type").alias("l_type"), "s", "e"
+    )
+    right = spans.filter(
+        ~F.col("event_type").isin("click", "view")
+    ).select("user_id", F.col("event_type").alias("rtype"), "s", "e")
+    got = sorted(
+        (r["user_id"], r["l_type"], r["r_rtype"])
+        for r in interval_join(
+            left, right, "s", "e", "s", "e",
+            granularity=86400.0, key_cols=["user_id"],
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.connect().execute(f"""
+WITH spans AS (
+  SELECT user_id, event_type,
+         date_diff('second', TIMESTAMP '1970-01-01', min(ts))::DOUBLE AS s,
+         date_diff('second', TIMESTAMP '1970-01-01', max(ts))::DOUBLE AS e
+  FROM read_parquet('{sf_dir}/events.parquet')
+  WHERE user_id < 40 GROUP BY 1, 2
+)
+SELECT l.user_id, l.event_type, r.event_type
+FROM spans l JOIN spans r
+  ON l.user_id = r.user_id AND l.s <= r.e AND r.s <= l.e
+WHERE l.event_type IN ('click', 'view')
+  AND r.event_type NOT IN ('click', 'view')
+""").fetchall()
+    )
+    assert got == want and len(got) > 10
