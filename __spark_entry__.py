@@ -565,6 +565,17 @@ def _shared_streams(spark: SparkSession, sf_dir: str) -> dict:
     import shutil
     import tempfile
 
+    # the streams run on a CLONED session with few shuffle partitions:
+    # every stateful stream commits one state file per state partition
+    # per micro-batch, so 4 concurrent streams x 32 partitions is
+    # ~128 state commits/batch of pure overhead for KB-sized state;
+    # 8 partitions cuts that 4x with identical results (state is
+    # hash-partitioned; the gate outputs are aggregations). Results
+    # land in PARQUET sinks (not memory tables, which are visible only
+    # to the starting session) so any session can read them.
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+
     from quality_spark.model import Id, Rule, RuleSet, RuleSuite
     from quality_spark.sources.parquet_compat import read_parquet_compat
     from quality_spark.streaming.recipes import (
@@ -605,20 +616,38 @@ def _shared_streams(spark: SparkSession, sf_dir: str) -> dict:
     sess_schema = spark.read.parquet(sess_path).schema
     store_schema = spark.read.parquet(store_in).schema
 
+    out_root = os.path.join(tempfile.gettempdir(), f"qs_shared_out_{sftag}")
+    shutil.rmtree(out_root, ignore_errors=True)
     queries = []
 
-    # 1. first-seen stateful stream (append -> memory)
-    fs_table = "qs_shr_first_seen"
+    def _overwrite_sink(path):
+        # complete-mode availableNow: the final micro-batch carries the
+        # full result; overwrite leaves exactly it
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("overwrite").parquet(path)
+
+        return sink
+
+    def _append_sink(path):
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(path)
+
+        return sink
+
+    # 1. first-seen stateful stream (append -> parquet)
+    fs_path = f"{out_root}/first_seen"
     fs = streaming_first_seen(
-        spark.readStream.schema(ev_schema).parquet(ev_path), "user_id"
+        scoped.readStream.schema(ev_schema).parquet(ev_path), "user_id"
     )
     queries.append(
-        fs.writeStream.format("memory").queryName(fs_table)
-        .outputMode("append").trigger(availableNow=True).start()
+        fs.writeStream.outputMode("append")
+        .foreachBatch(_append_sink(fs_path))
+        .option("checkpointLocation", f"{out_root}/ckpt_fs")
+        .trigger(availableNow=True).start()
     )
 
-    # 2. windowed DQ stream (complete -> memory)
-    wdq_table = "qs_shr_windowed_dq"
+    # 2. windowed DQ stream (complete -> parquet overwrite)
+    wdq_path = f"{out_root}/windowed_dq"
     wdq_suite = RuleSuite(
         Id(1, 1),
         (
@@ -633,18 +662,20 @@ def _shared_streams(spark: SparkSession, sf_dir: str) -> dict:
         ),
     )
     wdq = windowed_rule_stats(
-        spark.readStream.schema(ev_schema).parquet(ev_path),
+        scoped.readStream.schema(ev_schema).parquet(ev_path),
         wdq_suite, "ts", "1 hour", "0 seconds",
     )
     queries.append(
-        wdq.writeStream.format("memory").queryName(wdq_table)
-        .outputMode("complete").trigger(availableNow=True).start()
+        wdq.writeStream.outputMode("complete")
+        .foreachBatch(_overwrite_sink(wdq_path))
+        .option("checkpointLocation", f"{out_root}/ckpt_wdq")
+        .trigger(availableNow=True).start()
     )
 
-    # 3. sessionization stream (complete -> memory)
-    sess_table = "qs_shr_sessions"
+    # 3. sessionization stream (complete -> parquet overwrite)
+    sess_path_out = f"{out_root}/sessions"
     sess = sessionized_stream_stats(
-        spark.readStream.schema(sess_schema).parquet(sess_path),
+        scoped.readStream.schema(sess_schema).parquet(sess_path),
         ["user_id"],
         "ts",
         gap="30 minutes",
@@ -656,8 +687,10 @@ def _shared_streams(spark: SparkSession, sf_dir: str) -> dict:
         ],
     )
     queries.append(
-        sess.writeStream.format("memory").queryName(sess_table)
-        .outputMode("complete").trigger(availableNow=True).start()
+        sess.writeStream.outputMode("complete")
+        .foreachBatch(_overwrite_sink(sess_path_out))
+        .option("checkpointLocation", f"{out_root}/ckpt_sess")
+        .trigger(availableNow=True).start()
     )
 
     # 4. store-dedup foreachBatch stream: one input stream fans each
@@ -692,7 +725,7 @@ def _shared_streams(spark: SparkSession, sf_dir: str) -> dict:
             h(batch_df, epoch_id)
 
     queries.append(
-        spark.readStream.schema(store_schema)
+        scoped.readStream.schema(store_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(store_in)
         .writeStream.foreachBatch(fan_out)
@@ -706,12 +739,12 @@ def _shared_streams(spark: SparkSession, sf_dir: str) -> dict:
             for other in queries:
                 other.stop()
             raise TimeoutError("shared gate stream did not finish")
-    compact_key_store(spark, btable)
+    compact_key_store(scoped, btable)
 
     _SHARED_STREAM_MEMO[key] = {
-        "fs_table": fs_table,
-        "wdq_table": wdq_table,
-        "sess_table": sess_table,
+        "fs_path": fs_path,
+        "wdq_path": wdq_path,
+        "sess_path": sess_path_out,
         "store_root": store_root,
         "btable": btable,
     }
@@ -3352,10 +3385,10 @@ def q_streaming_windowed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_spark/streaming/recipes.py). Round 8: runs inside the
     shared concurrent stream window (_shared_streams) — same recipe,
     same staged input, one startup paid across the gate."""
-    name = _shared_streams(spark, sf_dir)["wdq_table"]
+    path = _shared_streams(spark, sf_dir)["wdq_path"]
     # window.start is session-tz TIMESTAMP (the watermark requires it);
     # surface wall-clock NTZ so the schema matches the batch oracle.
-    return spark.table(name).select(
+    return spark.read.parquet(path).select(
         F.col("window.start").cast("timestamp_ntz").alias("hour"),
         F.col("rows").alias("rows"),
         F.col("passed").alias("passed"),
@@ -3378,8 +3411,8 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark's session end is inclusive); the oracle's gaps-and-islands
     break is therefore strictly 'ts > prev + gap'. Round 8: runs
     inside the shared concurrent stream window (_shared_streams)."""
-    name = _shared_streams(spark, sf_dir)["sess_table"]
-    return spark.table(name).select(
+    path = _shared_streams(spark, sf_dir)["sess_path"]
+    return spark.read.parquet(path).select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
@@ -3720,9 +3753,9 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one emitted row per distinct user — which the oracle
     checks exactly. Round 8: runs inside the shared concurrent stream
     window (_shared_streams) — one startup paid across the gate."""
-    name = _shared_streams(spark, sf_dir)["fs_table"]
+    path = _shared_streams(spark, sf_dir)["fs_path"]
     return (
-        spark.table(name)
+        spark.read.parquet(path)
         .groupBy()
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("emitted"),
