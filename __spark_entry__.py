@@ -4382,6 +4382,68 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_bigrams", "n_unseen", "sum_pair", "sum_ctx")
 
 
+def q_knlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (round 8, `llm/lm.py`
+    — J&M ch. 3.7): same train/score split as the add-k leg; the gate
+    hashes the exact integer aggregates that pin the FOUR-table join
+    pipeline (bigram count, unseen pairs, summed continuation and
+    fanout type-counts)."""
+    from quality_spark.llm.lm import score_with_bigram_lm_kn, train_bigram_lm_kn
+
+    docs = _read(spark, sf_dir, "documents")
+    pc, cc, nc, fo, nt = train_bigram_lm_kn(
+        docs.filter(F.col("doc_id") >= 250), "text"
+    )
+    return score_with_bigram_lm_kn(
+        docs.filter(F.col("doc_id") < 250), pc, cc, nc, fo, nt,
+    ).select("doc_id", "n_bigrams", "n_unseen", "sum_cont", "sum_fanout")
+
+
+def _oracle_knlm_score() -> str:
+    return """
+WITH tr AS (
+  SELECT list_filter(string_split(text, ' '), w -> w != '') AS l
+  FROM documents WHERE doc_id >= 250
+),
+trbig AS (
+  SELECT unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM tr WHERE len(l) >= 2
+),
+pairs AS (SELECT w1, w2, count(*) AS pc FROM trbig GROUP BY 1, 2),
+cont AS (SELECT w2, count(*) AS nc FROM pairs GROUP BY 1),
+fan AS (SELECT w1, count(*) AS fc FROM pairs GROUP BY 1),
+sc AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS l
+  FROM documents WHERE doc_id < 250
+),
+scbig AS (
+  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM sc WHERE len(l) >= 2
+),
+j AS (
+  SELECT s.doc_id, coalesce(p.pc, 0) AS pc,
+         coalesce(n.nc, 0) AS nc, coalesce(f.fc, 0) AS fc
+  FROM scbig s
+  LEFT JOIN pairs p ON s.w1 = p.w1 AND s.w2 = p.w2
+  LEFT JOIN cont n ON s.w2 = n.w2
+  LEFT JOIN fan f ON s.w1 = f.w1
+),
+agg AS (
+  SELECT doc_id, count(*) AS nb,
+         sum(CASE WHEN pc = 0 THEN 1 ELSE 0 END) AS nu,
+         sum(nc) AS snc, sum(fc) AS sfc
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(nb, 0) AS INTEGER) AS n_bigrams,
+       CAST(coalesce(nu, 0) AS INTEGER) AS n_unseen,
+       CAST(coalesce(snc, 0) AS BIGINT) AS sum_cont,
+       CAST(coalesce(sfc, 0) AS BIGINT) AS sum_fanout
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 250) d
+LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 def _oracle_lm_score() -> str:
     return """
 WITH tr AS (
@@ -6241,8 +6303,9 @@ FROM built b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
 
 
 def q_text_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second text-curation block (round 7, +dsir round 8): mojibake
-    repair + BPE tokenize/train + bigram-LM scoring + cross-doc window
+    """Second text-curation block (round 7; +dsir/knlm round 8):
+    mojibake repair + BPE tokenize/train + add-k bigram-LM scoring +
+    interpolated Kneser-Ney bigram scoring + cross-doc window
     duplication + global paragraph dedup + DSIR importance weighting,
     tagged per part."""
     nbl = F.lit(-1).cast("bigint")
@@ -6297,9 +6360,19 @@ def q_text_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dot_target").cast("bigint").alias("v_long"),
         F.col("dot_raw").cast("double").alias("v_double"),
     )
+    knlm = q_knlm_score(spark, sf_dir).select(
+        F.lit("knlm").alias("part"),
+        F.col("doc_id").cast("bigint").alias("ord"),
+        F.lit("").alias("a"), F.lit("").alias("b"),
+        F.col("n_bigrams").cast("int").alias("n1"),
+        F.col("n_unseen").cast("int").alias("n2"),
+        F.col("sum_cont").cast("bigint").alias("v_long"),
+        F.col("sum_fanout").cast("double").alias("v_double"),
+    )
     return (
         bpe.unionByName(enc).unionByName(lm)
         .unionByName(win).unionByName(pdedup).unionByName(dsir)
+        .unionByName(knlm)
     )
 
 
@@ -6330,6 +6403,10 @@ SELECT 'dsir', doc_id, '', '',
        CAST(n_grams AS INTEGER), n_buckets,
        dot_target, CAST(dot_raw AS DOUBLE)
 FROM ({_oracle_dsir_weights()})
+UNION ALL
+SELECT 'knlm', doc_id, '', '',
+       n_bigrams, n_unseen, sum_cont, CAST(sum_fanout AS DOUBLE)
+FROM ({_oracle_knlm_score()})
 """
 
 
@@ -6562,6 +6639,7 @@ def query_legs() -> dict:
             "win": q_window_dup,
             "pdedup": q_paragraph_dedup,
             "dsir": q_dsir_weights,
+            "knlm": q_knlm_score,
         },
         "embedding_reduce": {
             "sem": q_semantic_dedup,

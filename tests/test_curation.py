@@ -781,3 +781,36 @@ def test_contamination_bloom_identical_to_exact(spark, sf_dir):
         )
         assert bloom == exact, fpp
     assert len(exact) > 0 and any(r[2] for r in exact)  # non-vacuous
+
+
+def test_kneser_ney_bigram_known_values(spark):
+    """Interpolated KN bigram: hand-computed probabilities on a tiny
+    corpus — seen pair with discount+backoff mass, unseen context
+    falling back to the continuation distribution."""
+    import math
+
+    from quality_spark.llm.lm import (
+        score_with_bigram_lm_kn,
+        train_bigram_lm_kn,
+    )
+
+    train = spark.createDataFrame([(1, "a b a c")], "doc_id long, text string")
+    pc, cc, nc, fo, nt = train_bigram_lm_kn(train)
+    assert nt == 3
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "z q"), (12, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in score_with_bigram_lm_kn(docs, pc, cc, nc, fo, nt).collect()
+    }
+    # (a,b): max(1-.75,0)/2 + .75*(fanout(a)=2)/2 * P_cont(b)=(1+1)/(3+1)
+    #      = 0.125 + 0.75*1*0.5 = 0.5
+    assert abs(out[10]["avg_logprob"] - math.log(0.5)) < 1e-12
+    assert out[10]["n_bigrams"] == 1 and out[10]["n_unseen"] == 0
+    assert out[10]["sum_cont"] == 1 and out[10]["sum_fanout"] == 2
+    # unseen context 'z': P = P_cont(q) = (0+1)/(3+1) = 0.25
+    assert abs(out[11]["avg_logprob"] - math.log(0.25)) < 1e-12
+    assert out[11]["n_unseen"] == 1
+    # empty doc: row kept, zero bigrams, NULL scores
+    assert out[12]["n_bigrams"] == 0 and out[12]["avg_logprob"] is None
