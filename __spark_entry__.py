@@ -3946,21 +3946,60 @@ FROM (SELECT doc_id, {_URL_AUGMENT_DUCK} AS text2 FROM documents) aug
 """
 
 
+#: Fixed BM25 gate queries — terms drawn from the synthetic corpus
+#: vocabulary (plus one out-of-vocab term per query to pin the
+#: no-postings path: both engines must simply drop it).
+_BM25_QUERIES = [
+    (1, "spark join shuffle"),
+    (2, "vector hash window scan"),
+    (3, "customer order merge nonexistenttoken"),
+]
+
+
 def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Smoothed TF-IDF per (doc, token): term counts + document
-    frequency + broadcast n_docs scalar (quality_spark/llm/vocab.py).
-    The gate outputs the full scored pairs (no top-k cut) so 1-ulp
-    ln() differences between engines cannot flip a rank tie — scores
-    compare under the driver's 9-dp rounding."""
+    """Lexical scoring block: smoothed TF-IDF per (doc, token)
+    (quality_spark/llm/vocab.py) + Okapi BM25 retrieval scores for a
+    fixed query set (quality_spark/llm/retrieval.py, round 8), tagged
+    per part. Both legs output FULL scored pairs (no top-k cut) so
+    1-ulp ln() differences between engines cannot flip a rank tie —
+    scores compare under the driver's 9-dp rounding."""
+    from quality_spark.llm.retrieval import bm25_scores
     from quality_spark.llm.vocab import tfidf_scores
 
-    return tfidf_scores(_read(spark, sf_dir, "documents"))
+    docs = _read(spark, sf_dir, "documents")
+    tfidf = tfidf_scores(docs).select(
+        F.lit("tfidf").alias("part"),
+        F.col("doc_id").cast("bigint").alias("ord"),
+        F.col("token").alias("key"),
+        F.col("tf").cast("bigint").alias("n1"),
+        F.col("doc_frequency").cast("bigint").alias("n2"),
+        F.col("tfidf").alias("v_double"),
+    )
+    bm25 = bm25_scores(spark, docs, _BM25_QUERIES).select(
+        F.lit("bm25").alias("part"),
+        F.col("doc_id").cast("bigint").alias("ord"),
+        F.concat(F.lit("q"), F.col("query_id")).alias("key"),
+        F.col("n_terms_matched").cast("bigint").alias("n1"),
+        F.lit(-1).cast("bigint").alias("n2"),
+        F.col("score").alias("v_double"),
+    )
+    return tfidf.unionByName(bm25)
 
 
 def _oracle_tfidf_scores() -> str:
+    from quality_spark.llm.retrieval import bm25_oracle_sql
     from quality_spark.llm.vocab import tfidf_scores_oracle_sql
 
-    return tfidf_scores_oracle_sql()
+    return f"""
+SELECT 'tfidf' AS part, CAST(doc_id AS BIGINT) AS ord, token AS key,
+       CAST(tf AS BIGINT) AS n1, CAST(doc_frequency AS BIGINT) AS n2,
+       tfidf AS v_double
+FROM ({tfidf_scores_oracle_sql()})
+UNION ALL
+SELECT 'bm25', CAST(doc_id AS BIGINT), 'q' || query_id,
+       CAST(n_terms_matched AS BIGINT), CAST(-1 AS BIGINT), score
+FROM ({bm25_oracle_sql(_BM25_QUERIES)})
+"""
 
 
 def q_partitioned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4756,7 +4795,7 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts via correctly-rounded sqrt so the oracle replays them
     bit-for-bit), labeled union. Sentinels (-1) stand in for
     not-applicable columns — see packaging rules above."""
-    from quality_spark.llm.sampling import temperature_sample
+    from quality_spark.llm.sampling import cap_per_group, temperature_sample
 
     null_n = F.lit(-1).cast("bigint").alias("n")
     hash_split = q_hash_sample_split(spark, sf_dir).select(
@@ -4775,11 +4814,23 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("temperature").alias("part"), "doc_id", "lang", null_n
     )
-    return hash_split.unionByName(strat).unionByName(mix).unionByName(temp)
+    # Per-domain cap (round 8, `llm/sampling.py:cap_per_group`):
+    # `source` plays the crawl domain; keep the 3 longest docs per
+    # domain. The gate runs the SALTED two-phase shape — its result is
+    # provably identical to the plain window, so one oracle covers both.
+    cap = cap_per_group(
+        _read(spark, sf_dir, "documents"),
+        "source", 3, "n_chars", "doc_id", salted=True,
+    ).select(F.lit("cap").alias("part"), "doc_id", "lang", null_n)
+    return (
+        hash_split.unionByName(strat).unionByName(mix)
+        .unionByName(temp).unionByName(cap)
+    )
 
 
 def _oracle_sampling_splits() -> str:
     from quality_spark.llm.dedup import hash60_sql
+    from quality_spark.llm.sampling import cap_per_group_oracle_sql
 
     th = hash60_sql(
         "('7' || ':' || coalesce(CAST(doc_id AS VARCHAR), '<NULL>'))",
@@ -4805,6 +4856,9 @@ FROM ({_oracle_weighted_mix()})
 UNION ALL
 SELECT 'temperature', doc_id, lang, CAST(-1 AS BIGINT)
 FROM ({temp})
+UNION ALL
+SELECT 'cap', doc_id, lang, CAST(-1 AS BIGINT)
+FROM ({cap_per_group_oracle_sql("documents", "source", 3, "n_chars")})
 """
 
 

@@ -1,0 +1,228 @@
+"""BM25 ranked retrieval over a document corpus — the lexical-search
+primitive a training-data pipeline uses for decontamination lookups,
+quality-by-relevance scoring, and seed-set expansion (find documents
+"like these queries" at corpus scale).
+
+Scoring is Lucene-convention Okapi BM25 (public: Robertson & Zaragoza
+2009, "The Probabilistic Relevance Framework: BM25 and Beyond"):
+
+    idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))          (>= 0)
+    s(q, d) = sum_{t in q}  idf(t) * tf_td * (k1 + 1)
+                            / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
+
+Plan shape (engineered for 100 TB):
+
+- The query set is METADATA (a handful of strings) — it becomes a
+  broadcast (query_id, token) table. The corpus-side explode is
+  filtered by an inner join against that broadcast table, so only
+  postings for query terms survive the explode; everything else dies
+  map-side before any shuffle.
+- Per-(doc, token) term frequencies: ONE groupBy shuffle over the
+  surviving postings (a tiny fraction of total tokens for realistic
+  query sets), with map-side partial aggregation.
+- Document frequencies per query term: same broadcast-filtered
+  explode over distinct per-doc tokens, one O(|query vocab|) groupBy
+  — the result is a few rows and is broadcast back.
+- Corpus stats (N, avgdl) are a 1-row aggregate carried via broadcast
+  crossJoin — no driver collect on any data-sized path.
+- Final score: one groupBy (query_id, doc) over the joined postings.
+
+Net: two data-sized shuffles (tf groupBy, final score groupBy), both
+over broadcast-prefiltered postings. No all-pairs, no driver loops.
+The reference engine has no retrieval operator; this extends the
+rebuilt surface for LLM-corpus workflows (SURVEY §2 'beyond-reference'
+block).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import tokens_sql
+
+
+def _query_terms(
+    spark: SparkSession, queries: Sequence[tuple[int, str]]
+) -> DataFrame:
+    """(query_id, token, n_query_terms) — distinct tokens per query,
+    tokenized with the same whitespace rule as the corpus side."""
+    rows = []
+    for qid, qtext in queries:
+        toks = sorted({t for t in qtext.split() if t})
+        for t in toks:
+            rows.append((int(qid), t, len(toks)))
+    return spark.createDataFrame(
+        rows, "query_id bigint, token string, n_query_terms int"
+    )
+
+
+def bm25_scores(
+    spark: SparkSession,
+    df: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every matching document against every query.
+
+    Returns (query_id, doc_id, n_terms_matched, score) — one row per
+    (query, doc) pair with at least one matching term. No top-k cut
+    here (rank ties under float round-off are the caller's policy;
+    compose with ``bm25_topk`` for the heap-based cut).
+    """
+    qterms = F.broadcast(_query_terms(spark, queries))
+
+    # Stage tokens once; keep per-doc length BEFORE any filtering.
+    staged = df.select(
+        F.col(id_col),
+        F.expr(tokens_sql(text_col, "spark")).alias("_toks"),
+    ).select(
+        id_col,
+        "_toks",
+        F.size("_toks").cast("bigint").alias("dl"),
+    )
+
+    # Corpus stats: 1-row aggregate, broadcast.
+    stats = staged.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("_avgdl"),
+    )
+
+    # Postings for query terms only: broadcast-join kills non-query
+    # tokens before the tf shuffle.
+    postings = (
+        staged.select(id_col, "dl", F.explode("_toks").alias("token"))
+        .join(qterms.select("token").distinct(), "token")
+        .groupBy(id_col, "token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+    )
+
+    # Document frequency per query term (tiny result — O(query vocab)).
+    dfreq = (
+        staged.select(
+            id_col, F.explode(F.array_distinct("_toks")).alias("token")
+        )
+        .join(qterms.select("token").distinct(), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+
+    scored = (
+        postings.join(qterms, "token")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl").cast("double") / F.col("_avgdl")
+    )
+    term_score = idf * F.col("tf").cast("double") * F.lit(k1 + 1.0) / denom
+    return (
+        scored.select(
+            "query_id", F.col(id_col), term_score.alias("_s")
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            F.sum("_s").alias("score"),
+        )
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    k: int = 10,
+    **kw,
+) -> DataFrame:
+    """Top-k docs per query (score DESC, doc_id ASC tiebreak). The
+    per-query window is fine at any corpus size: the post-score table
+    is one row per MATCHING (query, doc) pair and the window key
+    (query_id) has cardinality |queries| — if a single query matches
+    enough of a 100 TB corpus to skew, cut first with a score
+    threshold or use the two-phase per-partition-heap + re-rank shape
+    (rank over a union of per-partition limits)."""
+    from pyspark.sql import Window
+
+    id_col = kw.get("id_col", "doc_id")
+    scored = bm25_scores(spark, df, queries, **kw)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_oracle_sql(
+    queries: Sequence[tuple[int, str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of :func:`bm25_scores` (same tokenizer, same
+    Lucene idf) for the driver's side-by-side gate."""
+    toks = tokens_sql("text", "duckdb")
+    qrows = []
+    for qid, qtext in queries:
+        uniq = sorted({t for t in qtext.split() if t})
+        for t in uniq:
+            esc = t.replace("'", "''")
+            qrows.append(f"({int(qid)}, '{esc}', {len(uniq)})")
+    qvalues = ", ".join(qrows)
+    return f"""
+WITH qterms(query_id, token, n_query_terms) AS (VALUES {qvalues}),
+staged AS (
+  SELECT {id_col}, {toks} AS _toks FROM {table}
+),
+lens AS (
+  SELECT {id_col}, CAST(len(_toks) AS BIGINT) AS dl FROM staged
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         avg(CAST(dl AS DOUBLE)) AS avgdl
+  FROM lens
+),
+postings AS (
+  SELECT {id_col}, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT {id_col}, unnest(_toks) AS token FROM staged)
+  WHERE token IN (SELECT DISTINCT token FROM qterms)
+  GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT {id_col}, unnest(list_distinct(_toks)) AS token FROM staged)
+  WHERE token IN (SELECT DISTINCT token FROM qterms)
+  GROUP BY 1
+)
+SELECT q.query_id, p.{id_col},
+       CAST(count(*) AS INT) AS n_terms_matched,
+       sum(
+         ln(1.0 + (CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+         * CAST(p.tf AS DOUBLE) * {k1 + 1.0!r}
+         / (CAST(p.tf AS DOUBLE)
+            + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(l.dl AS DOUBLE) / st.avgdl))
+       ) AS score
+FROM postings p
+JOIN qterms q USING (token)
+JOIN dfreq d USING (token)
+JOIN lens l USING ({id_col})
+CROSS JOIN stats st
+GROUP BY 1, 2
+"""

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import hash60_sql
@@ -173,3 +173,71 @@ def temperature_sample(
 
 def _str_lit(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    salted: bool = False,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the crawl-curation
+    "per-domain cap" (a handful of hosts dominate any web crawl; caps
+    bound their share of the training mix). Keeps the top-``cap`` by
+    (``score_col`` DESC, ``id_col`` ASC) so the result is deterministic
+    and oracle-replayable.
+
+    Plan: one window (shuffle on ``group_col``) with ``row_number`` —
+    rank ≤ cap. With ``salted=True``, the skew-proof two-phase shape:
+    phase 1 windows over (group, spark_partition_id) — the physical
+    partition id acts as a free salt, so a mega-group (30%-of-corpus
+    domain) is ranked in parallel slices, each keeping its local
+    top-``cap`` — phase 2 re-ranks the ≤ cap × n_partitions survivors
+    per group. Two shuffles, but no task ever sorts more than
+    (group rows / n_partitions) + survivors; use it when a single
+    group may exceed one executor's sort budget. Results are
+    IDENTICAL: phase 1 can never evict a global top-``cap`` row
+    because a row's global rank is ≥ its rank within any slice.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    if not salted:
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= cap)
+            .drop("_rk")
+        )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    local = (
+        df.withColumn("_salt", F.spark_partition_id())
+        .withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk", "_salt")
+    )
+    return (
+        local.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def cap_per_group_oracle_sql(
+    table: str, group_col: str, cap: int, score_col: str,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of :func:`cap_per_group` (either variant — the
+    salted shape is result-identical by construction)."""
+    return f"""
+SELECT * EXCLUDE (_rk) FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group_col}
+    ORDER BY {score_col} DESC, {id_col}
+  ) AS _rk
+  FROM {table}
+) WHERE _rk <= {cap}
+"""

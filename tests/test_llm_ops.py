@@ -2278,3 +2278,49 @@ def test_sniff_format_sniff_only_formats():
     # jpeg's FF D8 must still win over the frame-sync fallback
     img = __import__("numpy").full((3, 3, 3), 5, "uint8")
     assert sniff_format(REAL_CODECS["jpeg"][1](img)) == "jpeg"
+
+
+def test_bm25_scores_and_topk(spark):
+    """BM25 hand-check on a tiny corpus: idf ordering (rarer term
+    scores higher), length normalization (shorter doc wins at equal
+    tf), and topk determinism (score DESC, doc_id ASC)."""
+    import math
+
+    from quality_spark.llm.retrieval import bm25_scores, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "apple banana banana cherry cherry cherry"),
+            (2, "cherry date"),
+            (3, "date date date date"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["query_id"], r["doc_id"]): r
+        for r in bm25_scores(spark, docs, [(1, "apple"), (2, "cherry")]).collect()
+    }
+    # apple matches docs 0,1 only; cherry matches 1,2 only
+    assert set(out) == {(1, 0), (1, 1), (2, 1), (2, 2)}
+    # doc0: tf=2, dl=3; doc1: tf=1, dl=6 -> doc0 must outscore doc1 on 'apple'
+    assert out[(1, 0)]["score"] > out[(1, 1)]["score"]
+    # hand-compute doc0/'apple': N=4, df=2, dl=3, avgdl=15/4
+    k1, b = 1.2, 0.75
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    expect = idf * 2 * (k1 + 1) / (2 + k1 * (1 - b + b * 3 / (15 / 4)))
+    assert abs(out[(1, 0)]["score"] - expect) < 1e-12
+    top = bm25_topk(spark, docs, [(2, "cherry date")], k=2).collect()
+    got = [(r["query_id"], r["rank"], r["doc_id"]) for r in top]
+    # doc2 matches BOTH terms (0.857*2 ≈ 1.71 under ln2 idf) and beats
+    # doc3's single high-tf 'date' leg (≈1.16); doc1's cherry ≈0.97 cut
+    assert len(got) == 2 and all(q == 2 for q, _, _ in got)
+    ranks = {r: d for _, r, d in got}
+    assert ranks == {1: 2, 2: 3}
+
+
+def test_bm25_out_of_vocab_query_empty(spark):
+    from quality_spark.llm.retrieval import bm25_scores
+
+    docs = spark.createDataFrame([(0, "alpha beta")], "doc_id bigint, text string")
+    assert bm25_scores(spark, docs, [(9, "zzz qqq")]).count() == 0

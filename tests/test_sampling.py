@@ -317,3 +317,31 @@ GROUP BY 1
         for r in duckdb.connect().execute(sql).fetchall()
     )
     assert got == want and len(got) > 100
+
+
+def test_cap_per_group_plain_vs_salted_identical(spark):
+    """The salted two-phase cap must return EXACTLY the plain-window
+    result (phase 1 can't evict a global top-cap row), including under
+    a hostile partition layout that splits every group."""
+    from quality_spark.llm.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 3}", float((i * 7) % 11)) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, grp string, score double"
+    ).repartition(8)  # groups straddle partitions -> salt is exercised
+    plain = cap_per_group(df, "grp", 4, "score", "doc_id", salted=False)
+    salted = cap_per_group(df, "grp", 4, "score", "doc_id", salted=True)
+    key = lambda r: (r["grp"], r["doc_id"])
+    assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+    got = salted.groupBy("grp").count().collect()
+    assert all(r["count"] == 4 for r in got)
+
+
+def test_cap_per_group_tie_break_by_id(spark):
+    from quality_spark.llm.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g", 1.0) for i in range(10)], "doc_id bigint, grp string, score double"
+    )
+    kept = cap_per_group(df, "grp", 3, "score", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2]
