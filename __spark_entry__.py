@@ -6464,10 +6464,28 @@ FROM ({_oracle_knlm_score()})
 """
 
 
+#: PQ gate geometry: 8 subspaces × 16 codewords over the 64-dim
+#: embeddings, procedural codebooks/queries (metadata the oracle
+#: builder regenerates — data-trained codebooks can't appear in a
+#: static oracle, so `pq_train` is test-pinned instead, like k-means).
+_PQ_GEO = dict(m=8, ksub=16, dsub=8, seed=5)
+
+
 def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-reduction block (round 7): SemDeDup semantic dedup
-    (is_kept is implied by dup_of = -1, so only dup_of is carried) +
-    JL random projection components, tagged per part."""
+    """Embedding-reduction block (round 7; +PQ round 8): SemDeDup
+    semantic dedup (is_kept is implied by dup_of = -1, so only dup_of
+    is carried) + JL random projection components + product
+    quantization (quality_spark/llm/pq.py — per-subspace codes AND
+    ADC query distances; adds are subspace-ordered so every double is
+    bit-equal across engines and the floor(x*1e6+0.5) scaling is
+    exact), tagged per part."""
+    from quality_spark.llm.pq import (
+        pq_adc_scores,
+        pq_codebooks_procedural,
+        pq_encode,
+        pq_queries_procedural,
+    )
+
     sem = q_semantic_dedup(spark, sf_dir).select(
         F.lit("sem").alias("part"), "vec_id",
         F.col("cell").alias("k1"), F.col("dup_of").alias("v1"),
@@ -6477,16 +6495,52 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("bigint").alias("k1"),
         F.col("comp_scaled").alias("v1"),
     )
-    return sem.unionByName(proj)
+    books = pq_codebooks_procedural(
+        _PQ_GEO["m"], _PQ_GEO["ksub"], _PQ_GEO["dsub"], _PQ_GEO["seed"]
+    )
+    qs = pq_queries_procedural(2, _PQ_GEO["m"] * _PQ_GEO["dsub"], seed=6)
+    # mode='arrow': the numpy encode twin runs in the gate; the oracle
+    # replays the SQL fold — their bit-identity is part of the pin
+    enc = pq_encode(
+        _read(spark, sf_dir, "embeddings"), books, mode="arrow"
+    )
+    codes = enc.select(
+        F.lit("pq").alias("part"), "vec_id",
+        F.posexplode("pq_code").alias("k1", "v1"),
+    ).select("part", "vec_id", F.col("k1").cast("bigint"), F.col("v1").cast("bigint"))
+    adc = pq_adc_scores(enc, books, qs).select(
+        F.lit("pq_adc").alias("part"), "vec_id",
+        F.col("query_id").alias("k1"),
+        F.expr("CAST(floor(adc * 1000000 + 0.5) AS BIGINT)").alias("v1"),
+    )
+    return sem.unionByName(proj).unionByName(codes).unionByName(adc)
 
 
 def _oracle_embedding_reduce() -> str:
+    from quality_spark.llm.pq import (
+        pq_adc_oracle_sql,
+        pq_codebooks_procedural,
+        pq_codes_oracle_sql,
+        pq_queries_procedural,
+    )
+
+    books = pq_codebooks_procedural(
+        _PQ_GEO["m"], _PQ_GEO["ksub"], _PQ_GEO["dsub"], _PQ_GEO["seed"]
+    )
+    qs = pq_queries_procedural(2, _PQ_GEO["m"] * _PQ_GEO["dsub"], seed=6)
     return f"""
 SELECT 'sem' AS part, vec_id, cell AS k1, dup_of AS v1
 FROM ({_oracle_semantic_dedup()})
 UNION ALL
 SELECT 'proj', vec_id, CAST(dim AS BIGINT), comp_scaled
 FROM ({_oracle_embedding_projection()})
+UNION ALL
+SELECT 'pq', vec_id, CAST(mi AS BIGINT), CAST(code AS BIGINT)
+FROM ({pq_codes_oracle_sql(books)})
+UNION ALL
+SELECT 'pq_adc', vec_id, query_id,
+       CAST(floor(adc * 1000000 + 0.5) AS BIGINT)
+FROM ({pq_adc_oracle_sql(books, qs)})
 """
 
 

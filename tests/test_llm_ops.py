@@ -2324,3 +2324,76 @@ def test_bm25_out_of_vocab_query_empty(spark):
 
     docs = spark.createDataFrame([(0, "alpha beta")], "doc_id bigint, text string")
     assert bm25_scores(spark, docs, [(9, "zzz qqq")]).count() == 0
+
+
+def test_pq_train_reduces_quantization_error(spark, emb):
+    """Lloyd's per-subspace training must not worsen the MSE objective
+    vs its procedural init (monotone non-increasing up to empty-cell
+    retention), and typically improves it a lot."""
+    from quality_spark.llm.pq import (
+        pq_codebooks_procedural,
+        pq_train,
+        quantization_error,
+    )
+
+    init = pq_codebooks_procedural(4, 8, 16, seed=5)
+    trained = pq_train(emb, m=4, ksub=8, iters=3, dims=64, seed=5)
+    e0 = quantization_error(emb, init)
+    e1 = quantization_error(emb, trained)
+    assert e1 <= e0
+    assert e1 < 0.9 * e0  # random codebooks leave big headroom
+
+
+def test_pq_adc_topk_matches_numpy_on_codes(spark, emb):
+    """ADC top-k must equal a numpy replay of the SAME lookup-table
+    arithmetic over the SAME codes (policy check, not a float pin)."""
+    import numpy as np
+
+    from quality_spark.llm.pq import (
+        _distance_tables,
+        pq_adc_topk,
+        pq_codebooks_procedural,
+        pq_encode,
+        pq_queries_procedural,
+    )
+
+    books = pq_codebooks_procedural(8, 16, 8, seed=5)
+    queries = pq_queries_procedural(1, 64, seed=6)
+    enc = pq_encode(emb, books, mode="sql")
+    codes = {r["vec_id"]: r["pq_code"] for r in enc.select("vec_id", "pq_code").collect()}
+    dt = np.asarray(_distance_tables(books, queries[0][1]))
+    scored = sorted(
+        (sum(dt[mi][c] for mi, c in enumerate(code)), vid)
+        for vid, code in codes.items()
+    )
+    want = [vid for _, vid in scored[:5]]
+    got = [
+        r["vec_id"]
+        for r in pq_adc_topk(enc, books, queries, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_pq_encode_wrong_length_rows(spark):
+    from quality_spark.llm.pq import pq_codebooks_procedural, pq_encode
+
+    books = pq_codebooks_procedural(2, 4, 4, seed=1)  # dims=8
+    df = spark.createDataFrame(
+        [(0, [0.1] * 8), (1, [0.1] * 5), (2, None)],
+        "vec_id bigint, embedding array<float>",
+    )
+    by_mode = {}
+    for mode in ("sql", "arrow"):
+        rows = {
+            r["vec_id"]: r["pq_code"]
+            for r in pq_encode(df, books, mode=mode).collect()
+        }
+        # per-subspace validity: the 5-long row's first subspace
+        # (slice 1..4) is complete and encodes; its second is short -> -1
+        assert rows[1][0] >= 0 and rows[1][1] == -1, mode
+        assert all(c >= 0 for c in rows[0]), mode
+        assert rows[2] == [-1, -1], mode
+        by_mode[mode] = rows
+    assert by_mode["sql"] == by_mode["arrow"]
