@@ -1645,14 +1645,24 @@ def _oracle_struct_field_ops() -> str:
     )
 
 
+#: profile gate geometry — 3 numeric lineitem columns, 8 bins
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+_PROFILE_BINS = 8
+
+
 def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """expressionRunner with aggregate rules + strip_result_ddl,
-    flattened to (ruleId, result-string) rows."""
+    flattened to (ruleId, result-string) rows ('er' part), plus the
+    round-8 column-profiling block (`operators/profile.py` — one-scan
+    integer-exact stats + fixed-width histograms over micro-scaled
+    values, the rule-authoring companion surface) as the 'profile'
+    part."""
     from quality_spark.model import Id, Rule, RuleSet, RuleSuite
     from quality_spark.operators.expression_runner import (
         add_expression_runner,
         strip_result_ddl,
     )
+    from quality_spark.operators.profile import profile_columns
 
     li = _read(spark, sf_dir, "lineitem")
     suite = RuleSuite(
@@ -1670,24 +1680,37 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = add_expression_runner(li, suite)
     stripped = strip_result_ddl(F.col("expressionResults"))
-    return (
+    er = (
         out.select(stripped.alias("er"))
         .select(F.explode(F.col("er")["ruleSetResults"]).alias("setId", "rules"))
         .select(F.explode("rules").alias("ruleId", "result"))
         .select(
-            F.shiftright(F.col("ruleId"), 32).cast("int").alias("rule_id"),
-            F.col("result").cast("string").alias("result"),
+            F.lit("er").alias("part"),
+            F.shiftright(F.col("ruleId"), 32).cast("int").cast("string").alias("k"),
+            F.col("result").cast("string").alias("v"),
         )
     )
+    prof = profile_columns(li, list(_PROFILE_COLS), bins=_PROFILE_BINS).select(
+        F.lit("profile").alias("part"),
+        F.concat("column", F.lit(":"), "stat").alias("k"),
+        F.col("value").cast("string").alias("v"),
+    )
+    return er.unionByName(prof)
 
 
 def _oracle_expr_runner_agg() -> str:
-    return """
-SELECT 300 AS rule_id, CAST(CAST(SUM(l_quantity) AS BIGINT) AS VARCHAR) AS result FROM lineitem
+    from quality_spark.operators.profile import profile_oracle_sql
+
+    prof = profile_oracle_sql("lineitem", list(_PROFILE_COLS), bins=_PROFILE_BINS)
+    return f"""
+SELECT 'er' AS part, '300' AS k, CAST(CAST(SUM(l_quantity) AS BIGINT) AS VARCHAR) AS v FROM lineitem
 UNION ALL
-SELECT 301, CAST(COUNT(*) AS VARCHAR) FROM lineitem
+SELECT 'er', '301', CAST(COUNT(*) AS VARCHAR) FROM lineitem
 UNION ALL
-SELECT 302, CAST(CAST(MIN(l_orderkey) AS BIGINT) AS VARCHAR) FROM lineitem
+SELECT 'er', '302', CAST(CAST(MIN(l_orderkey) AS BIGINT) AS VARCHAR) FROM lineitem
+UNION ALL
+SELECT 'profile', "column" || ':' || stat, CAST(value AS VARCHAR)
+FROM ({prof})
 """
 
 

@@ -1,0 +1,102 @@
+"""Column profiling (`operators/profile.py`) — integer-exact stats,
+histogram invariants, null handling, and the DuckDB oracle replay."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from quality_spark.operators.profile import (
+    STAT_NAMES,
+    profile_columns,
+    profile_oracle_sql,
+    profile_stats,
+)
+
+
+def _as_map(rows):
+    return {(r["column"], r["stat"]): r["value"] for r in rows}
+
+
+def test_profile_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,)], "x double"
+    )
+    got = _as_map(profile_stats(df, ["x"]).collect())
+    assert got[("x", "n")] == 3
+    assert got[("x", "n_null")] == 1
+    assert got[("x", "n_distinct")] == 3
+    assert got[("x", "min")] == 1_000_000
+    assert got[("x", "max")] == 3_000_000
+    assert got[("x", "sum")] == 6_000_000
+    assert got[("x", "mean")] == 2_000_000
+    # sample stddev of (1,2,3) = 1 exactly -> 1_000_000 micros
+    assert got[("x", "std")] == 1_000_000
+
+
+def test_profile_single_row_std_null(spark):
+    df = spark.createDataFrame([(5.0,)], "x double")
+    got = _as_map(profile_stats(df, ["x"]).collect())
+    assert got[("x", "std")] is None
+    assert got[("x", "mean")] == 5_000_000
+
+
+def test_profile_histogram_partition_of_rows(spark):
+    """Bins partition the non-null rows: counts sum to n, every bin
+    emitted, constant column lands wholly in bin 0."""
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "x double"
+    )
+    out = _as_map(profile_columns(df, ["x"], bins=7).collect())
+    hist = [out[("x", f"hist_{i}")] for i in range(7)]
+    assert sum(hist) == 100
+    assert all(h >= 0 for h in hist)
+
+    const = spark.createDataFrame([(4.25,)] * 9, "x double")
+    out2 = _as_map(profile_columns(const, ["x"], bins=4).collect())
+    assert out2[("x", "hist_0")] == 9
+    assert out2[("x", "hist_1")] == out2[("x", "hist_3")] == 0
+
+
+def test_profile_all_null_column_skips_histogram(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    rows = profile_columns(df, ["x"], bins=4).collect()
+    got = _as_map(rows)
+    assert got[("x", "n")] == 0 and got[("x", "n_null")] == 2
+    assert not any(r["stat"].startswith("hist_") for r in rows)
+
+
+def test_profile_multi_column_one_pass_schema(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0)], "a double, b double"
+    )
+    rows = profile_columns(df, ["a", "b"], bins=2).collect()
+    cols = {r["column"] for r in rows}
+    assert cols == {"a", "b"}
+    stats = {r["stat"] for r in rows if r["column"] == "a"}
+    assert set(STAT_NAMES) <= stats
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [-5.5, -2.25, 3.0, 7.75, None],
+        [-7.0, -2.0, 1.0],  # negative mean: truncation-vs-floor pin
+        [0.001, 0.0005, 1e6, -1e6],
+    ],
+)
+def test_profile_duckdb_oracle_parity(spark, values):
+    """Every stat + histogram bin matches the DuckDB oracle replay
+    bit-for-bit, including negative sums (both engines truncate
+    integer division toward zero) and wide ranges."""
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = _as_map(profile_columns(df, ["x"], bins=4).collect())
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({v!r})" if v is not None else "(NULL)" for v in values)
+    con.execute(f"CREATE TABLE t AS SELECT CAST(x AS DOUBLE) AS x FROM (VALUES {vals}) v(x)")
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(profile_oracle_sql("t", ["x"], bins=4)).fetchall()
+    }
+    assert got == want
