@@ -3985,8 +3985,22 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed query set (quality_spark/llm/retrieval.py, round 8), tagged
     per part. Both legs output FULL scored pairs (no top-k cut) so
     1-ulp ln() differences between engines cannot flip a rank tie —
-    scores compare under the driver's 9-dp rounding."""
-    from quality_spark.llm.retrieval import bm25_scores
+    scores compare under the driver's 9-dp rounding.
+
+    'rrf' part (round 8): hybrid retrieval via reciprocal-rank fusion
+    (retrieval.rrf_fuse) of a lexical ranked list (integer-exact
+    matched_terms_rank — every ranking key an integer so ranks are
+    bit-reproducible across engines) and a semantic ranked list
+    (exact cosine top-k over the embeddings table, doc_id==vec_id;
+    pure IEEE arithmetic, already rank-pinned by ann_suite). Fused
+    score = 1/(60+r_lex) + 1/(60+r_sem): one commutative two-term
+    double add, bit-identical in any aggregation order."""
+    from quality_spark.llm.retrieval import (
+        bm25_scores,
+        matched_terms_rank,
+        rrf_fuse,
+    )
+    from quality_spark.llm.similarity import cosine_topk
     from quality_spark.llm.vocab import tfidf_scores
 
     docs = _read(spark, sf_dir, "documents")
@@ -4006,13 +4020,40 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("n2"),
         F.col("score").alias("v_double"),
     )
-    return tfidf.unionByName(bm25)
+    lex = matched_terms_rank(spark, docs, _BM25_QUERIES, k=20)
+    sem = (
+        cosine_topk(
+            _read(spark, sf_dir, "embeddings"),
+            _read(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id").isin([q for q, _ in _BM25_QUERIES])
+            ),
+            k=20,
+        )
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    fused = rrf_fuse({"lex": lex, "sem": sem}, k=60, top=10).select(
+        F.lit("rrf").alias("part"),
+        F.col("doc_id").cast("bigint").alias("ord"),
+        F.concat(F.lit("q"), F.col("query_id")).alias("key"),
+        F.col("n_lists").cast("bigint").alias("n1"),
+        F.col("fused_rank").cast("bigint").alias("n2"),
+        F.col("rrf_score").alias("v_double"),
+    )
+    return tfidf.unionByName(bm25).unionByName(fused)
 
 
 def _oracle_tfidf_scores() -> str:
-    from quality_spark.llm.retrieval import bm25_oracle_sql
+    from quality_spark.llm.retrieval import (
+        bm25_oracle_sql,
+        matched_terms_rank_oracle_sql,
+    )
     from quality_spark.llm.vocab import tfidf_scores_oracle_sql
 
+    qids = ", ".join(str(q) for q, _ in _BM25_QUERIES)
+    dot = (
+        "list_sum(list_transform(range(1, len(q.e) + 1), "
+        "i -> CAST(q.e[i] AS DOUBLE) * CAST(c.e[i] AS DOUBLE)))"
+    )
     return f"""
 SELECT 'tfidf' AS part, CAST(doc_id AS BIGINT) AS ord, token AS key,
        CAST(tf AS BIGINT) AS n1, CAST(doc_frequency AS BIGINT) AS n2,
@@ -4022,6 +4063,44 @@ UNION ALL
 SELECT 'bm25', CAST(doc_id AS BIGINT), 'q' || query_id,
        CAST(n_terms_matched AS BIGINT), CAST(-1 AS BIGINT), score
 FROM ({bm25_oracle_sql(_BM25_QUERIES)})
+UNION ALL
+SELECT 'rrf', CAST(doc_id AS BIGINT), 'q' || query_id,
+       CAST(n_lists AS BIGINT), CAST(fused_rank AS BIGINT), rrf_score
+FROM (
+  WITH lex AS ({matched_terms_rank_oracle_sql(_BM25_QUERIES, k=20)}),
+  v AS (SELECT vec_id, embedding AS e FROM embeddings),
+  qv AS (SELECT vec_id, e FROM v WHERE vec_id IN ({qids})),
+  sem_scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           {dot} / (sqrt(list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+    FROM qv q CROSS JOIN v c WHERE c.vec_id != q.vec_id
+  ),
+  sem AS (
+    SELECT query_id, doc_id, rnk AS rank FROM (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+      FROM sem_scored
+    ) WHERE rnk <= 20
+  ),
+  u AS (
+    SELECT query_id, doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS rr FROM lex
+    UNION ALL
+    SELECT query_id, doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS rr FROM sem
+  ),
+  fused AS (
+    SELECT query_id, doc_id, CAST(count(*) AS INT) AS n_lists,
+           sum(rr) AS rrf_score
+    FROM u GROUP BY 1, 2
+  )
+  SELECT query_id, doc_id, n_lists, rrf_score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY rrf_score DESC, n_lists DESC, doc_id
+         ) AS INT) AS fused_rank
+  FROM fused
+  QUALIFY fused_rank <= 10
+)
 """
 
 

@@ -226,3 +226,165 @@ JOIN lens l USING ({id_col})
 CROSS JOIN stats st
 GROUP BY 1, 2
 """
+
+
+def rrf_fuse(
+    lists: dict,
+    k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of named ranked lists — the standard way a training-data pipeline
+    combines lexical (BM25) and semantic (embedding) retrieval into one
+    hybrid ranking without score calibration:
+
+        rrf(q, d) = sum_over_lists 1 / (k + rank_list(q, d))
+
+    ``lists`` maps a list name to a DataFrame that already carries an
+    integer ``rank_col`` per (query, doc) — compose with ``bm25_topk``
+    / ``similarity.cosine_topk``, both of which emit deterministic
+    ``row_number`` ranks. Docs absent from a list simply contribute no
+    term (the standard RRF convention); ``n_lists`` reports how many
+    lists surfaced the doc so callers can require consensus.
+
+    Determinism note (oracle-replayable): rrf scores are IEEE doubles
+    built from integer ranks — with TWO lists the sum is a single
+    commutative addition, so the result is bit-identical regardless of
+    aggregation order. For 3+ lists Spark's partial-aggregate order is
+    not fixed; ranks and the top cut remain stable (ties break on
+    ``id_col``) but last-ulp score equality across engines is only
+    guaranteed for <=2 lists.
+
+    Plan shape (100 TB): a union of per-list rank tables (each already
+    top-k'd, so tiny relative to the corpus) -> ONE groupBy
+    (query, doc) with map-side combine -> optional per-query top
+    window. No corpus-sized shuffle happens here; the expensive part is
+    the upstream retrieval, not the fusion.
+
+    ``top``: keep the best ``top`` fused docs per query
+    (rrf DESC, n_lists DESC, id ASC), emitting ``fused_rank``.
+    """
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    parts = []
+    for name, ldf in lists.items():
+        parts.append(
+            ldf.select(
+                F.col(query_col),
+                F.col(id_col),
+                (
+                    F.lit(1.0)
+                    / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+                ).alias("_rr"),
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy(query_col, id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.sum("_rr").alias("rrf_score"),
+    )
+    if top is None:
+        return fused
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col("n_lists").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= top)
+    )
+
+
+def matched_terms_rank(
+    spark: SparkSession,
+    df: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-exact lexical ranking for oracle-gated fusion: docs
+    ranked per query by (terms matched DESC, total matched tf DESC,
+    doc length ASC, id ASC) — every key an integer, so the ranking is
+    bit-reproducible in any engine (unlike BM25, whose ln() idf is
+    correctly-rounded-ish and can flip near-ties across engines; use
+    ``bm25_topk`` when parity across engines is not required).
+
+    Same broadcast-prefiltered postings shape as ``bm25_scores``:
+    non-query tokens die before the shuffle."""
+    from pyspark.sql import Window
+
+    qterms = F.broadcast(_query_terms(spark, queries))
+    staged = df.select(
+        F.col(id_col),
+        F.expr(tokens_sql(text_col, "spark")).alias("_toks"),
+    ).select(
+        id_col, "_toks", F.size("_toks").cast("bigint").alias("dl")
+    )
+    per_doc = (
+        staged.select(id_col, "dl", F.explode("_toks").alias("token"))
+        .join(qterms.select("query_id", "token"), "token")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.countDistinct("token").cast("int").alias("n_terms_matched"),
+            F.count(F.lit(1)).cast("bigint").alias("matched_tf"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_terms_matched").desc(),
+        F.col("matched_tf").desc(),
+        F.col("dl").asc(),
+        F.col(id_col),
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def matched_terms_rank_oracle_sql(
+    queries: Sequence[tuple[int, str]],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of :func:`matched_terms_rank`."""
+    toks = tokens_sql("text", "duckdb")
+    qrows = []
+    for qid, qtext in queries:
+        uniq = sorted({t for t in qtext.split() if t})
+        for t in uniq:
+            esc = t.replace("'", "''")
+            qrows.append(f"({int(qid)}, '{esc}')")
+    qvalues = ", ".join(qrows)
+    return f"""
+WITH qterms(query_id, token) AS (VALUES {qvalues}),
+staged AS (SELECT {id_col}, {toks} AS _toks FROM {table}),
+posted AS (
+  SELECT s.{id_col}, CAST(len(s._toks) AS BIGINT) AS dl, u.token
+  FROM staged s, unnest(s._toks) AS u(token)
+),
+per_doc AS (
+  SELECT q.query_id, p.{id_col},
+         CAST(count(DISTINCT p.token) AS INT) AS n_terms_matched,
+         CAST(count(*) AS BIGINT) AS matched_tf,
+         max(p.dl) AS dl
+  FROM posted p JOIN qterms q ON q.token = p.token
+  GROUP BY 1, 2
+)
+SELECT query_id, {id_col}, n_terms_matched, matched_tf, dl,
+       CAST(rnk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY n_terms_matched DESC, matched_tf DESC, dl ASC, {id_col}
+  ) AS rnk FROM per_doc
+) WHERE rnk <= {int(k)}
+"""

@@ -2397,3 +2397,66 @@ def test_pq_encode_wrong_length_rows(spark):
         assert rows[2] == [-1, -1], mode
         by_mode[mode] = rows
     assert by_mode["sql"] == by_mode["arrow"]
+
+
+def test_rrf_fuse_hand_check(spark):
+    """RRF on two hand-built ranked lists: exact 1/(k+r) sums,
+    consensus count, missing-in-one-list convention, and the fused
+    top cut's (score DESC, n_lists DESC, id ASC) order."""
+    from quality_spark.llm.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id bigint, doc_id bigint, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 13, 3)],
+        "query_id bigint, doc_id bigint, rank int",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rrf_fuse({"lex": lex, "sem": sem}, k=60).collect()
+    }
+    assert set(out) == {10, 11, 12, 13}
+    assert out[10]["n_lists"] == 2 and out[12]["n_lists"] == 1
+    assert abs(out[10]["rrf_score"] - (1 / 61 + 1 / 62)) < 1e-15
+    assert abs(out[11]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-15
+    assert abs(out[12]["rrf_score"] - 1 / 63) < 1e-15
+    # 10 and 11 tie exactly (commutative two-term add) -> doc_id breaks
+    top = rrf_fuse({"lex": lex, "sem": sem}, k=60, top=3).collect()
+    got = [(r["fused_rank"], r["doc_id"]) for r in top]
+    assert sorted(got) == [(1, 10), (2, 11), (3, 12)]
+
+
+def test_rrf_fuse_requires_lists():
+    from quality_spark.llm.retrieval import rrf_fuse
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse({})
+
+
+def test_matched_terms_rank_integer_keys(spark):
+    """matched_terms_rank orders by (terms matched, matched tf, dl,
+    id) — all integers; ranks must be reproducible and the k cut
+    honored."""
+    from quality_spark.llm.retrieval import matched_terms_rank
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),          # 2 terms, tf=3, dl=3
+            (1, "apple banana banana cherry"),  # 2 terms, tf=3, dl=4
+            (2, "apple"),                       # 1 term, tf=1, dl=1
+            (3, "kiwi"),                        # no match
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = matched_terms_rank(
+        spark, docs, [(7, "apple banana")], k=2
+    ).collect()
+    got = {r["rank"]: r for r in rows}
+    assert set(got) == {1, 2}
+    # doc0 beats doc1 on dl at equal (n_terms, tf); doc2 cut by k=2
+    assert got[1]["doc_id"] == 0 and got[2]["doc_id"] == 1
+    assert got[1]["n_terms_matched"] == 2 and got[1]["matched_tf"] == 3
