@@ -4964,9 +4964,24 @@ FROM ({cap_per_group_oracle_sql("documents", "source", 3, "n_chars")})
 """
 
 
+#: Shared suffix injected by the substring-removal gate: doc_id%7
+#: peers share an 11-token span, so length-8 windows inside it are
+#: cross-doc duplicates; every peer but the first loses the suffix.
+_SUBSTR_SPAN = " shared span class {cls} alpha beta gamma delta epsilon zeta eta"
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup block: duplicate groups + keep-best survivor choice
-    (r03 gate queries dedup_exact_groups, dedup_keep_best)."""
+    (r03 gate queries dedup_exact_groups, dedup_keep_best).
+
+    'substr' part (round 8): cross-doc exact-substring REMOVAL
+    (quality_spark/llm/dedup.py:remove_dup_substrings — the transform
+    half of window_dup_stats, Lee et al. 2022). The gate injects an
+    11-token suffix shared by doc_id%7 peers; the operator must strip
+    it from every peer except the first occurrence and reassemble the
+    surviving tokens, replayed text-exactly (md5) by the oracle."""
+    from quality_spark.llm.dedup import remove_dup_substrings
+
     groups = q_dedup_exact_groups(spark, sf_dir).select(
         F.lit("groups").alias("part"),
         F.col("content_hash").alias("key"),
@@ -4979,10 +4994,38 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("bigint").alias("n"),
         F.lit(-1).cast("bigint").alias("keeper"),
     )
-    return groups.unionByName(best)
+    built = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(_SUBSTR_SPAN.split("{cls}")[0]),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(_SUBSTR_SPAN.split("{cls}")[1]),
+            ).alias("text"),
+        )
+    )
+    substr = remove_dup_substrings(built, n=8).select(
+        F.lit("substr").alias("part"),
+        F.concat(
+            F.md5("text_dedup"), F.lit(":"), F.col("n_tokens")
+        ).alias("key"),
+        F.col("n_removed_tokens").alias("n"),
+        F.col("doc_id").cast("bigint").alias("keeper"),
+    )
+    return groups.unionByName(best).unionByName(substr)
 
 
 def _oracle_dedup_exact() -> str:
+    from quality_spark.llm.dedup import remove_dup_substrings_oracle_sql
+
+    head, tail = _SUBSTR_SPAN.split("{cls}")
+    built = (
+        "(SELECT doc_id, text || '" + head + "' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '" + tail + "' AS text FROM documents WHERE doc_id < 300) b0"
+    )
     return f"""
 SELECT 'groups' AS part, content_hash AS key, n_docs AS n,
        CAST(keeper_id AS BIGINT) AS keeper
@@ -4991,6 +5034,10 @@ UNION ALL
 SELECT 'keep_best', CAST(doc_id AS VARCHAR), CAST(score AS BIGINT),
        CAST(-1 AS BIGINT)
 FROM ({_oracle_dedup_keep_best()})
+UNION ALL
+SELECT 'substr', md5(text_dedup) || ':' || CAST(n_tokens AS VARCHAR),
+       n_removed_tokens, CAST(doc_id AS BIGINT)
+FROM ({remove_dup_substrings_oracle_sql(n=8, table=built)})
 """
 
 

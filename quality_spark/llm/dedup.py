@@ -985,3 +985,180 @@ def paragraph_dedup_global(
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+def remove_dup_substrings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    verify_text: bool = True,
+) -> DataFrame:
+    """Cross-document exact-substring REMOVAL — the transform half of
+    :func:`window_dup_stats` (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", public): every length-``n``
+    token window that appears in MORE THAN ONE document is removed
+    from every doc except the window's first occurrence (smallest
+    (id, pos)); the first copy survives so the corpus keeps exactly
+    one instance of each duplicated span. Windows repeated only
+    WITHIN one doc are intra-doc repetition (repetition.py's domain)
+    and are kept, matching window_dup_stats' convention.
+
+    Output: (id, ``text_dedup``, ``n_tokens``, ``n_removed_tokens``).
+    ``text_dedup`` is the surviving tokens rejoined with single
+    spaces — the operator is whitespace-normalizing by construction
+    (it works on the token sequence, not raw bytes), like BPE apply.
+
+    ``verify_text=True`` (default): window election groups on
+    (xxhash64, window text) and removal requires text equality with
+    the elected copy — a 64-bit hash collision can never delete a
+    unique span (fail-open), and a DuckDB oracle grouping on the text
+    alone replays the result exactly. The shuffle carries the n-token
+    window strings (~n x text volume). ``verify_text=False`` is the
+    100 TB scale path: group on the 8-byte hash only (shuffle shrinks
+    ~n*avg_token x), accepting birthday-bound mis-removal (~4B
+    distinct windows for a 50% chance of ONE collision) — the same
+    documented tradeoff as window_dup_stats.
+
+    Scale shape: explode windows -> one groupBy election (map-side
+    combine) -> join back -> explode covered token indices (only for
+    removed windows, O(dup_windows * n) rows) -> one anti-join against
+    posexploded tokens -> per-doc reassembly groupBy. Four shuffles,
+    all linear in their inputs; no all-pairs, no driver collect. The
+    reassembly collect_list is per-doc sized (a doc fits in one task
+    by definition — it arrived in one parquet cell)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = df.select(F.col(id_col), toks.alias("__ds_toks"))
+    nwin = F.size("__ds_toks") - (n - 1)
+    positions = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice("__ds_toks", i, n), " ").alias(
+                        "wtext"
+                    ),
+                ),
+            )
+        ).alias("__w"),
+    ).select(
+        id_col,
+        F.col("__w.pos").alias("__ds_pos"),
+        F.xxhash64("__w.wtext").alias("__ds_whash"),
+        *([F.col("__w.wtext").alias("__ds_wtext")] if verify_text else []),
+    )
+    group_keys = ["__ds_whash"] + (["__ds_wtext"] if verify_text else [])
+    elect = wins.groupBy(*group_keys).agg(
+        F.min(F.struct(F.col(id_col), F.col("__ds_pos"))).alias("__ds_first"),
+        F.countDistinct(id_col).alias("__ds_ndocs"),
+    )
+    dup_wins = (
+        wins.join(elect, group_keys)
+        .filter(
+            (F.col("__ds_ndocs") > 1)
+            & ~(
+                (F.col(id_col) == F.col(f"__ds_first.{id_col}"))
+                & (F.col("__ds_pos") == F.col("__ds_first.__ds_pos"))
+            )
+        )
+    )
+    covered = dup_wins.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("__ds_pos"), F.col("__ds_pos") + (n - 1))
+        ).alias("__ds_tokidx"),
+    ).distinct()
+    toks_idx = base.select(
+        id_col, F.posexplode("__ds_toks").alias("__ds_idx0", "__ds_tok")
+    ).select(
+        id_col,
+        (F.col("__ds_idx0") + 1).alias("__ds_tokidx"),
+        "__ds_tok",
+    )
+    kept = toks_idx.join(covered, [id_col, "__ds_tokidx"], "left_anti")
+    out = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__ds_tokidx", "__ds_tok"))
+                ),
+                lambda s: s["__ds_tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("bigint").alias("__ds_nkept"),
+    )
+    return (
+        base.select(
+            id_col, F.size("__ds_toks").cast("bigint").alias("n_tokens")
+        )
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("__ds_nkept", F.lit(0))).alias(
+                "n_removed_tokens"
+            ),
+        )
+    )
+
+
+def remove_dup_substrings_oracle_sql(
+    n: int = 20,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`remove_dup_substrings` (verify_text
+    semantics: election and removal keyed on the window TEXT)."""
+    toks = tokens_sql(text_col, "duckdb")
+    return f"""
+WITH base AS (SELECT {id_col}, {toks} AS t FROM {table}),
+wins AS (
+  SELECT b.{id_col}, CAST(u.i AS INT) AS pos,
+         array_to_string(b.t[CAST(u.i AS INT):CAST(u.i AS INT)+{n - 1}], ' ') AS wtext
+  FROM base b, UNNEST(range(1, greatest(len(b.t) - {n - 1}, 0) + 1)) AS u(i)
+),
+cnt AS (
+  SELECT wtext, count(DISTINCT {id_col}) AS ndocs FROM wins GROUP BY 1
+),
+firsts AS (
+  SELECT wtext, {id_col} AS f_id, pos AS f_pos FROM (
+    SELECT wtext, {id_col}, pos,
+           row_number() OVER (PARTITION BY wtext ORDER BY {id_col}, pos) AS rn
+    FROM wins
+  ) WHERE rn = 1
+),
+dupw AS (
+  SELECT w.{id_col}, w.pos
+  FROM wins w JOIN cnt USING (wtext) JOIN firsts f USING (wtext)
+  WHERE cnt.ndocs > 1 AND NOT (w.{id_col} = f.f_id AND w.pos = f.f_pos)
+),
+covered AS (
+  SELECT DISTINCT {id_col}, CAST(u.x AS INT) AS tokidx
+  FROM dupw, UNNEST(range(pos, pos + {n})) AS u(x)
+),
+tokd AS (
+  SELECT b.{id_col}, CAST(u.i AS INT) AS tokidx, b.t[CAST(u.i AS INT)] AS tok
+  FROM base b, UNNEST(range(1, len(b.t) + 1)) AS u(i)
+),
+kept AS (
+  SELECT k.{id_col}, k.tokidx, k.tok FROM tokd k
+  ANTI JOIN covered c ON k.{id_col} = c.{id_col} AND k.tokidx = c.tokidx
+),
+agg AS (
+  SELECT {id_col}, string_agg(tok, ' ' ORDER BY tokidx) AS text_dedup,
+         CAST(count(*) AS BIGINT) AS nkept
+  FROM kept GROUP BY 1
+)
+SELECT b.{id_col}, coalesce(a.text_dedup, '') AS text_dedup,
+       CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(len(b.t) AS BIGINT) - coalesce(a.nkept, 0) AS n_removed_tokens
+FROM base b LEFT JOIN agg a USING ({id_col})
+"""

@@ -2460,3 +2460,68 @@ def test_matched_terms_rank_integer_keys(spark):
     # doc0 beats doc1 on dl at equal (n_terms, tf); doc2 cut by k=2
     assert got[1]["doc_id"] == 0 and got[2]["doc_id"] == 1
     assert got[1]["n_terms_matched"] == 2 and got[1]["matched_tf"] == 3
+
+
+def test_remove_dup_substrings_first_occurrence(spark):
+    """Exact-substring removal: the first (id, pos) occurrence keeps
+    the shared span; every other copy loses exactly the covered
+    tokens; unique and short docs pass through (whitespace
+    normalized); within-doc repeats are NOT removed."""
+    from quality_spark.llm.dedup import remove_dup_substrings
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha " + shared + " omega"),
+            (1, "beta  " + shared + " gamma"),
+            (2, shared),
+            (3, "short doc"),
+            # within-doc repeat of an OTHERWISE-UNIQUE span: kept
+            (4, "p q r s t u v w " + "p q r s t u v w"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_dup_substrings(docs, n=8).collect()
+    }
+    assert out[0]["text_dedup"] == "alpha " + shared + " omega"
+    assert out[0]["n_removed_tokens"] == 0
+    assert out[1]["text_dedup"] == "beta gamma"  # normalized, span gone
+    assert out[1]["n_removed_tokens"] == 8
+    assert out[2]["text_dedup"] == "" and out[2]["n_removed_tokens"] == 8
+    assert out[3]["text_dedup"] == "short doc"
+    assert out[4]["n_removed_tokens"] == 0  # intra-doc repeat kept
+    # scale mode (hash-only keys) agrees on a collision-free corpus
+    hashed = {
+        r["doc_id"]: r["text_dedup"]
+        for r in remove_dup_substrings(docs, n=8, verify_text=False).collect()
+    }
+    assert hashed == {k: v["text_dedup"] for k, v in out.items()}
+
+
+def test_remove_dup_substrings_oracle_replay(spark):
+    """DuckDB oracle replays removal text-exactly on a corpus slice."""
+    import duckdb
+
+    from quality_spark.llm.dedup import (
+        remove_dup_substrings,
+        remove_dup_substrings_oracle_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),
+            (1, "x a b c d e f g h y"),
+            (2, "z z z a b c d e f g h"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["text_dedup"], r["n_tokens"], r["n_removed_tokens"])
+        for r in remove_dup_substrings(docs, n=8).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(con.execute(remove_dup_substrings_oracle_sql(n=8)).fetchall())
+    assert got == [tuple(w) for w in want]
