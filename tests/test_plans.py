@@ -431,3 +431,54 @@ def test_paragraph_dedup_global_scan_count(spark, sf_dir):
     a = sorted(map(tuple, lazy.collect()))
     b = sorted(map(tuple, mat.collect()))
     assert a == b and len(a) > 0
+
+
+def test_rrf_fuse_plan_one_groupby_shuffle(spark):
+    """rrf_fuse is union -> ONE groupBy shuffle (map-side combined);
+    the optional top cut adds exactly one more Exchange (the per-query
+    window). The per-list rank tables are already top-k'd metadata —
+    no corpus-sized work may appear here."""
+    from pyspark.sql import functions as F
+
+    from quality_spark.llm.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1)], "query_id bigint, doc_id bigint, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1)], "query_id bigint, doc_id bigint, rank int"
+    )
+    fused = rrf_fuse({"lex": lex, "sem": sem}, k=60)
+    assert _plan(fused, "simple").count("Exchange") == 1, _plan(fused)
+    top = rrf_fuse({"lex": lex, "sem": sem}, k=60, top=5)
+    assert _plan(top, "simple").count("Exchange") == 2, _plan(top)
+
+
+def test_remove_dup_substrings_plan_no_expand(spark):
+    """remove_dup_substrings: linear relational stages only — election
+    groupBy, covered-index distinct, anti-join, reassembly groupBy; no
+    Expand (the multi-distinct blowup) and no cartesian product."""
+    from quality_spark.llm.dedup import remove_dup_substrings
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, "a b c d e f g h x")],
+        "doc_id bigint, text string",
+    )
+    plan = _plan(remove_dup_substrings(docs, n=8))
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_profile_compact_plan_no_expand(spark):
+    """profile_stats must NOT plan Spark's multi-count(DISTINCT)
+    Expand rewrite — the compact frequency table replaces it (the
+    Expand shape duplicated every row once per profiled column and was
+    measured 2x the whole-gate cost at sf0.1)."""
+    from quality_spark.operators.profile import profile_stats
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0)], "a double, b double, c double"
+    )
+    plan = _plan(profile_stats(df, ["a", "b", "c"]))
+    assert "Expand" not in plan, plan
