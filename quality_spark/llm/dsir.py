@@ -31,7 +31,7 @@ in the last ulp, so it stays out of the hash gate).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
