@@ -3983,9 +3983,10 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical scoring block: smoothed TF-IDF per (doc, token)
     (quality_spark/llm/vocab.py) + Okapi BM25 retrieval scores for a
     fixed query set (quality_spark/llm/retrieval.py, round 8), tagged
-    per part. Both legs output FULL scored pairs (no top-k cut) so
-    1-ulp ln() differences between engines cannot flip a rank tie —
-    scores compare under the driver's 9-dp rounding.
+    per part. The tfidf/bm25 legs output FULL scored pairs (no top-k
+    cut) so the score doubles are hash-pinned directly under the
+    driver's 9-dp rounding; the 'bm25_topk' leg then cuts on those
+    pinned doubles (see its inline note).
 
     'rrf' part (round 8): hybrid retrieval via reciprocal-rank fusion
     (retrieval.rrf_fuse) of a lexical ranked list (integer-exact
@@ -3997,6 +3998,7 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     double add, bit-identical in any aggregation order."""
     from quality_spark.llm.retrieval import (
         bm25_scores,
+        bm25_topk,
         matched_terms_rank,
         rrf_fuse,
     )
@@ -4020,6 +4022,21 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("n2"),
         F.col("score").alias("v_double"),
     )
+    # 'bm25_topk' part (round 9): the SALTED two-phase top-k shape
+    # (per-(query, partition-slice) local heap -> global re-rank,
+    # skew-safe for broad queries) gated against the PLAIN-window
+    # DuckDB oracle — pinning the construction's result-identity.
+    # Rank determinism across engines holds because the bm25 'part'
+    # above already hash-pins every score DOUBLE bit-for-bit, so the
+    # (score DESC, doc_id) order cannot diverge.
+    topk = bm25_topk(spark, docs, _BM25_QUERIES, k=10, salted=True).select(
+        F.lit("bm25_topk").alias("part"),
+        F.col("doc_id").cast("bigint").alias("ord"),
+        F.concat(F.lit("q"), F.col("query_id")).alias("key"),
+        F.col("n_terms_matched").cast("bigint").alias("n1"),
+        F.col("rank").cast("bigint").alias("n2"),
+        F.col("score").alias("v_double"),
+    )
     lex = matched_terms_rank(spark, docs, _BM25_QUERIES, k=20)
     sem = (
         cosine_topk(
@@ -4039,7 +4056,7 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fused_rank").cast("bigint").alias("n2"),
         F.col("rrf_score").alias("v_double"),
     )
-    return tfidf.unionByName(bm25).unionByName(fused)
+    return tfidf.unionByName(bm25).unionByName(topk).unionByName(fused)
 
 
 def _oracle_tfidf_scores() -> str:
@@ -4063,6 +4080,15 @@ UNION ALL
 SELECT 'bm25', CAST(doc_id AS BIGINT), 'q' || query_id,
        CAST(n_terms_matched AS BIGINT), CAST(-1 AS BIGINT), score
 FROM ({bm25_oracle_sql(_BM25_QUERIES)})
+UNION ALL
+SELECT 'bm25_topk', CAST(doc_id AS BIGINT), 'q' || query_id,
+       CAST(n_terms_matched AS BIGINT), CAST(rnk AS BIGINT), score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id
+  ) AS rnk
+  FROM ({bm25_oracle_sql(_BM25_QUERIES)})
+) WHERE rnk <= 10
 UNION ALL
 SELECT 'rrf', CAST(doc_id AS BIGINT), 'q' || query_id,
        CAST(n_lists AS BIGINT), CAST(fused_rank AS BIGINT), rrf_score

@@ -20,14 +20,19 @@ Plan shape (engineered for 100 TB):
 - Per-(doc, token) term frequencies: ONE groupBy shuffle over the
   surviving postings (a tiny fraction of total tokens for realistic
   query sets), with map-side partial aggregation.
-- Document frequencies per query term: same broadcast-filtered
-  explode over distinct per-doc tokens, one O(|query vocab|) groupBy
-  — the result is a few rows and is broadcast back.
 - Corpus stats (N, avgdl) are a 1-row aggregate carried via broadcast
   crossJoin — no driver collect on any data-sized path.
+- Document frequency per query term is derived FROM the postings
+  aggregate (``postings.groupBy(token).count()`` — postings holds
+  exactly one row per (doc, matching-token), so the count IS df).
+  No separate corpus pass; Spark's exchange reuse collapses the two
+  consumers of the postings aggregate onto one physical scan.
 - Final score: one groupBy (query_id, doc) over the joined postings.
 
-Net: two data-sized shuffles (tf groupBy, final score groupBy), both
+Net: the corpus is tokenized at most TWICE per scoring run (the
+1-row stats aggregate and the postings pass; ``materialize=True``
+localCheckpoints the staged token frame for exactly ONE scan) and
+two data-sized shuffles (tf groupBy, final score groupBy), both
 over broadcast-prefiltered postings. No all-pairs, no driver loops.
 The reference engine has no retrieval operator; this extends the
 rebuilt surface for LLM-corpus workflows (SURVEY §2 'beyond-reference'
@@ -36,12 +41,28 @@ block).
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import tokens_sql
+
+# Java-regex '\s' (the corpus tokenizer tokens_sql splits on '\s+'
+# WITHOUT UNICODE_CHARACTER_CLASS) matches exactly [ \t\n\x0B\f\r].
+# Python's re.ASCII '\s' is the identical set ([ \t\n\r\f\v], \v ==
+# \x0B), so query-side tokens can always match corpus-side tokens.
+# Plain str.split() would split on ALL Unicode whitespace (NBSP,
+# ideographic space, ...) and mint query terms the corpus tokenizer
+# can never produce.
+_ASCII_WS = re.compile(r"\s+", flags=re.ASCII)
+
+
+def _split_query(qtext: str) -> list[str]:
+    """Tokenize a query string with the corpus tokenizer's exact
+    whitespace rule (ASCII/Java '\\s', not Unicode whitespace)."""
+    return sorted({t for t in _ASCII_WS.split(qtext) if t})
 
 
 def _query_terms(
@@ -51,7 +72,7 @@ def _query_terms(
     tokenized with the same whitespace rule as the corpus side."""
     rows = []
     for qid, qtext in queries:
-        toks = sorted({t for t in qtext.split() if t})
+        toks = _split_query(qtext)
         for t in toks:
             rows.append((int(qid), t, len(toks)))
     return spark.createDataFrame(
@@ -67,6 +88,7 @@ def bm25_scores(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Score every matching document against every query.
 
@@ -74,6 +96,17 @@ def bm25_scores(
     (query, doc) pair with at least one matching term. No top-k cut
     here (rank ties under float round-off are the caller's policy;
     compose with ``bm25_topk`` for the heap-based cut).
+
+    Scan budget (plan-pinned in tests/test_plans.py): the corpus is
+    tokenized at most twice — once for the 1-row (N, avgdl) stats
+    aggregate and once for the postings pass; document frequencies
+    come from the postings aggregate itself (one row per
+    (doc, matching-token), so ``groupBy(token).count()`` IS df — the
+    old third array_distinct-explode pass was provably redundant).
+    ``materialize=True`` localCheckpoints the staged (id, tokens, dl)
+    frame so BOTH consumers read one materialized scan — the right
+    mode when ``df`` is an expensive upstream pipeline rather than a
+    raw parquet read.
     """
     qterms = F.broadcast(_query_terms(spark, queries))
 
@@ -86,15 +119,28 @@ def bm25_scores(
         "_toks",
         F.size("_toks").cast("bigint").alias("dl"),
     )
+    if materialize:
+        staged = staged.localCheckpoint()
 
-    # Corpus stats: 1-row aggregate, broadcast.
-    stats = staged.groupBy().agg(
+    # Corpus stats: 1-row aggregate, broadcast. (Catalyst prunes
+    # _toks here; the tokenize itself remains because dl derives
+    # from it — this is tokenize pass 1 of <=2.)
+    stats = staged.select(id_col, "dl").groupBy().agg(
         F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
         F.avg(F.col("dl").cast("double")).alias("_avgdl"),
     )
 
     # Postings for query terms only: broadcast-join kills non-query
-    # tokens before the tf shuffle.
+    # tokens before the tf shuffle. (Tokenize pass 2 of <=2.)
+    # Persisted because TWO consumers read it (the score join and the
+    # df aggregate below) and Catalyst's per-branch column pruning
+    # makes their subtrees canonically different, so exchange reuse
+    # cannot collapse them — without the persist the corpus would be
+    # tokenized a third time. Postings is the broadcast-PREFILTERED
+    # aggregate (one row per (doc, matching query term)) — bounded by
+    # sum_t df_t, tiny relative to the corpus, and the default
+    # MEMORY_AND_DISK level spills rather than OOMs if a stop-wordy
+    # query matches everything.
     postings = (
         staged.select(id_col, "dl", F.explode("_toks").alias("token"))
         .join(qterms.select("token").distinct(), "token")
@@ -103,16 +149,16 @@ def bm25_scores(
             F.count(F.lit(1)).cast("bigint").alias("tf"),
             F.max("dl").alias("dl"),
         )
+        .persist()
     )
 
-    # Document frequency per query term (tiny result — O(query vocab)).
-    dfreq = (
-        staged.select(
-            id_col, F.explode(F.array_distinct("_toks")).alias("token")
-        )
-        .join(qterms.select("token").distinct(), "token")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # Document frequency per query term, derived FROM postings: one
+    # row per (doc, token) with tf >= 1, so count(*) per token is
+    # exactly |{d : tf_td > 0}| — the old separate
+    # array_distinct-explode corpus pass was provably redundant.
+    # Result is O(|query vocab|) rows — broadcast back.
+    dfreq = postings.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
     )
 
     scored = (
@@ -147,15 +193,25 @@ def bm25_topk(
     df: DataFrame,
     queries: Sequence[tuple[int, str]],
     k: int = 10,
+    salted: bool = False,
     **kw,
 ) -> DataFrame:
-    """Top-k docs per query (score DESC, doc_id ASC tiebreak). The
-    per-query window is fine at any corpus size: the post-score table
-    is one row per MATCHING (query, doc) pair and the window key
-    (query_id) has cardinality |queries| — if a single query matches
-    enough of a 100 TB corpus to skew, cut first with a score
-    threshold or use the two-phase per-partition-heap + re-rank shape
-    (rank over a union of per-partition limits)."""
+    """Top-k docs per query (score DESC, doc_id ASC tiebreak).
+
+    The plain per-query window is fine for most corpora: the
+    post-score table is one row per MATCHING (query, doc) pair and
+    the window key (query_id) has cardinality |queries|. But a broad
+    query against a 100 TB corpus can match enough of it that one
+    query's rows exceed a single task's sort budget — ``salted=True``
+    is the skew-proof two-phase shape (same construction as
+    ``sampling.cap_per_group(salted=True)``): phase 1 windows over
+    (query_id, spark_partition_id) — the physical partition id is a
+    free salt — keeping each slice's local top-k; phase 2 re-ranks
+    the <= k * n_partitions survivors per query. Results are
+    IDENTICAL to the plain window: a row's global rank is >= its rank
+    within any slice, so phase 1 can never evict a global top-k row.
+    The driver gate runs the SALTED shape against the plain-window
+    oracle to pin that equivalence."""
     from pyspark.sql import Window
 
     id_col = kw.get("id_col", "doc_id")
@@ -163,6 +219,16 @@ def bm25_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col)
     )
+    if salted:
+        w1 = Window.partitionBy("query_id", "_salt").orderBy(
+            F.col("score").desc(), F.col(id_col)
+        )
+        scored = (
+            scored.withColumn("_salt", F.spark_partition_id())
+            .withColumn("_rk", F.row_number().over(w1))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk", "_salt")
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
@@ -181,7 +247,7 @@ def bm25_oracle_sql(
     toks = tokens_sql("text", "duckdb")
     qrows = []
     for qid, qtext in queries:
-        uniq = sorted({t for t in qtext.split() if t})
+        uniq = _split_query(qtext)
         for t in uniq:
             esc = t.replace("'", "''")
             qrows.append(f"({int(qid)}, '{esc}', {len(uniq)})")
@@ -359,7 +425,7 @@ def matched_terms_rank_oracle_sql(
     toks = tokens_sql("text", "duckdb")
     qrows = []
     for qid, qtext in queries:
-        uniq = sorted({t for t in qtext.split() if t})
+        uniq = _split_query(qtext)
         for t in uniq:
             esc = t.replace("'", "''")
             qrows.append(f"({int(qid)}, '{esc}')")

@@ -2525,3 +2525,52 @@ def test_remove_dup_substrings_oracle_replay(spark):
     con.register("documents", docs.toPandas())
     want = sorted(con.execute(remove_dup_substrings_oracle_sql(n=8)).fetchall())
     assert got == [tuple(w) for w in want]
+
+
+def test_bm25_topk_salted_identical(spark):
+    """The two-phase per-slice-heap + re-rank shape (salted=True) must
+    return EXACTLY the plain window's rows: a row's global rank is >=
+    its rank within any partition slice, so phase 1 can never evict a
+    global top-k row."""
+    from quality_spark.llm.retrieval import bm25_topk
+
+    rows = [
+        (i, " ".join(["apple"] * (i % 5 + 1) + ["pad"] * (i % 7)))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(8)
+    qs = [(1, "apple"), (2, "pad apple")]
+    plain = sorted(map(tuple, bm25_topk(spark, docs, qs, k=7).collect()))
+    salted = sorted(
+        map(tuple, bm25_topk(spark, docs, qs, k=7, salted=True).collect())
+    )
+    assert plain == salted and len(plain) == 14
+
+
+def test_query_tokenizer_matches_corpus_rule(spark):
+    """ADVICE r08: the query-side tokenizer must use the corpus
+    tokenizer's Java-regex '\\s' (ASCII) rule, NOT Python's Unicode
+    str.split(). A query joined by NBSP must stay ONE term (which then
+    cannot match - same as corpus behavior), and a corpus doc whose
+    words are NBSP-separated keeps them as one token findable by the
+    same NBSP-joined query term."""
+    from quality_spark.llm.retrieval import _split_query, bm25_scores
+
+    # NBSP and ideographic space are NOT ASCII whitespace
+    assert _split_query("a b c") == ["a b", "c"]
+    assert _split_query("x　y") == ["x　y"]
+    # \x0B (vertical tab) IS Java \s
+    assert _split_query("a\x0bb") == ["a", "b"]
+    docs = spark.createDataFrame(
+        [(0, "hello world again"), (1, "hello world")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in bm25_scores(
+            spark, docs, [(1, "hello world"), (2, "hello")]
+        ).collect()
+    }
+    # q1's NBSP-joined term matches doc0's NBSP-joined corpus token
+    # only; q2's plain 'hello' matches doc1 only.
+    assert got == {(1, 0), (2, 1)}

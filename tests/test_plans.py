@@ -482,3 +482,34 @@ def test_profile_compact_plan_no_expand(spark):
     )
     plan = _plan(profile_stats(df, ["a", "b", "c"]))
     assert "Expand" not in plan, plan
+
+
+def test_bm25_scores_scan_count(spark, sf_dir):
+    """VERDICT r08 #1: pin bm25_scores' corpus-scan budget. The
+    postings aggregate is persisted and read by BOTH consumers (the
+    score join and the derived-df aggregate) as InMemoryTableScans —
+    exactly 2 in the plan. Physical tokenize passes: the 1-row stats
+    aggregate + the one cache build = 2 (the text shows 3 'FileScan
+    parquet' because each InMemoryTableScan reprints the cached
+    subtree's scan; a broken persist would drop the IMTS count to <2
+    and add a live third scan). materialize=True localCheckpoints the
+    staged token frame: ZERO FileScans, ONE tokenize."""
+    from quality_spark.llm.retrieval import bm25_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    qs = [(1, "data quality"), (2, "spark window")]
+    lazy = bm25_scores(spark, docs, qs)
+    plan = _plan(lazy, "simple")
+    assert plan.count("InMemoryTableScan") == 2, plan[:2000]
+    assert plan.count("FileScan parquet") == 3, plan[:2000]
+    mat = bm25_scores(spark, docs, qs, materialize=True)
+    mplan = _plan(mat, "simple")
+    assert mplan.count("FileScan parquet") == 0, mplan[:2000]
+    assert "ExistingRDD" in mplan
+    assert mplan.count("InMemoryTableScan") == 2
+    # same answer both ways
+    a = sorted((r[0], r[1], r[2], round(r[3], 9)) for r in lazy.collect())
+    b = sorted((r[0], r[1], r[2], round(r[3], 9)) for r in mat.collect())
+    assert a == b and len(a) > 0
