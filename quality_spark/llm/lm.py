@@ -202,7 +202,14 @@ def score_with_bigram_lm_kn(
                   + d * N1+(w1,·)/c(w1) * P_cont(w2),
     P_cont(w2) = (N1+(·,w2) + 1) / (n_bigram_types + 1)  (add-1 so an
     unseen continuation keeps finite mass); an unseen CONTEXT backs
-    off to P_cont(w2) alone. The integer columns (bigram count,
+    off to P_cont(w2) alone — as does a context with NO SURVIVING
+    pairs (fc=0 with cc>0, reachable only when ``min_count > 1``
+    pruned every pair of a seen context: both interpolation terms are
+    then 0, and ln(0) is NULL in non-ANSI Spark, which would silently
+    drop the bigram from avg_logprob while n_bigrams still counts it;
+    with min_count=1 every seen context has fc >= 1, so the branch is
+    unreachable and scores are bit-identical). The integer columns
+    (bigram count,
     unseen-pair count, summed continuation/fanout counts) pin the
     four-table join pipeline exactly for the oracle; the float
     avg_logprob/perplexity are scalar maps of those pinned integers.
@@ -235,7 +242,7 @@ def score_with_bigram_lm_kn(
     )
     p_cont = (F.col("nc") + F.lit(1.0)) / F.lit(float(n_bigram_types + 1))
     p_kn = F.when(
-        F.col("cc") > 0,
+        (F.col("cc") > 0) & (F.col("fc") > 0),
         F.greatest(F.col("pc") - F.lit(d), F.lit(0.0)) / F.col("cc")
         + F.lit(d) * F.col("fc") / F.col("cc") * p_cont,
     ).otherwise(p_cont)

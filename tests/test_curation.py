@@ -814,3 +814,35 @@ def test_kneser_ney_bigram_known_values(spark):
     assert out[11]["n_unseen"] == 1
     # empty doc: row kept, zero bigrams, NULL scores
     assert out[12]["n_bigrams"] == 0 and out[12]["avg_logprob"] is None
+
+
+def test_kneser_ney_min_count_pruned_context_backs_off(spark):
+    """ADVICE r08: with min_count > 1 a SEEN context can lose all its
+    pairs to pruning (cc > 0, fc = 0) — both interpolation terms are
+    then 0 and ln(0) would be NULL in non-ANSI Spark, silently
+    shrinking avg_logprob's denominator below n_bigrams. Such bigrams
+    must back off to P_cont like an unseen context."""
+    import math
+
+    from quality_spark.llm.lm import (
+        score_with_bigram_lm_kn,
+        train_bigram_lm_kn,
+    )
+
+    # 'a b' twice -> pair (a,b) survives min_count=2; 'x y' once ->
+    # ALL of context x's pairs pruned, but ctx_count(x)=1 remains.
+    train = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "x y")], "doc_id long, text string"
+    )
+    pc, cc, nc, fo, nt = train_bigram_lm_kn(train, min_count=2)
+    assert nt == 1  # only (a,b) survives
+    docs = spark.createDataFrame([(10, "x y a b")], "doc_id long, text string")
+    out = score_with_bigram_lm_kn(docs, pc, cc, nc, fo, nt).collect()[0]
+    assert out["n_bigrams"] == 3
+    # (x,y): cc=1 fc=0 -> P_cont(y) = (0+1)/(1+1) = 0.5  [backoff]
+    # (y,a): cc=0      -> P_cont(a) = (0+1)/(1+1) = 0.5
+    # (a,b): max(2-.75,0)/2 + .75*(1/2)*P_cont(b)=(1+1)/2=1.0
+    #      = 0.625 + 0.375 = 1.0
+    expect = (math.log(0.5) + math.log(0.5) + math.log(1.0)) / 3
+    assert out["avg_logprob"] is not None
+    assert abs(out["avg_logprob"] - expect) < 1e-12
