@@ -16,12 +16,21 @@ micros:
 
 - count / nulls / distinct: plain counts (distinct in MICRO space so
   both engines dedupe identical keys).
-- min / max / sum / mean: BIGINT min/max, DECIMAL(38,0) sum (no
-  overflow at any corpus size), mean = integer ``div``.
+- min / max / sum / mean: BIGINT min/max, DECIMAL(38,0) sum
+  accumulation (overflow-free while Σ|x| < 10^38 micros), mean =
+  integer ``div``. An emitted sum past int64 is CLAMPED to the
+  +-9223372036854775807/8 sentinels in BOTH engines — never a silent
+  NULL (non-ANSI Spark) vs an error (ANSI Spark / DuckDB).
 - stddev: the numerator ``n·Σx² − (Σx)²`` stays exact in
   DECIMAL(38,0); only the final ``floor(sqrt(num / (n·(n−1))))`` goes
   through double — sqrt is correctly rounded IEEE over an identical
-  input, so the floored micro result matches bit-for-bit.
+  input, so the floored micro result matches bit-for-bit. When the
+  numerator would exceed DECIMAL(38,0) (Σ|x| past ~10^19 micros — far
+  beyond micro-exactness), a double-evaluated guard (same branch in
+  both engines) emits NULL instead of overflowing. Accumulator domain
+  bound: Σx² < 10^38 requires per-value |x| ≲ 10^6 units for ~10^14
+  rows — comfortably past 100 TB of typical profiled columns; columns
+  of astronomical magnitudes should be pre-scaled.
 - histogram: fixed-width bins computed as
   ``(v − min) · bins div (max − min + 1)`` — pure integer arithmetic,
   so no float-boundary bin can ever disagree between engines.
@@ -41,11 +50,49 @@ from typing import Dict, List, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: int64 bounds for the emitted-sum clamp (ADVICE r08): a micro-sum
+#: past +-9.2e18 DECIMAL-accumulates fine but cannot be EMITTED as
+#: BIGINT — non-ANSI Spark would silently NULL it while the DuckDB
+#: oracle raises. Both engines clamp to these explicit sentinels
+#: instead, so an overflowing profile is visible (and identical)
+#: rather than divergent.
+_I64_MAX = 9223372036854775807
+_I64_MIN = -9223372036854775808
+
 #: micro scaling: one double multiply + floor — byte-identical on any
 #: IEEE engine, and every later stat is integer arithmetic on this
 _MIC = "CAST(floor(CAST({c} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
 
 STAT_NAMES = ("n", "n_null", "n_distinct", "min", "max", "sum", "mean", "std")
+
+
+def _std_safe_sql(dsum: str, dssq: str, n: str) -> str:
+    """TRUE iff the exact std numerator ``n*dssq - dsum^2`` fits
+    DECIMAL(38,0). Evaluated in DOUBLE (a correctly-rounded
+    decimal->double conversion + one multiply — identical in Spark
+    and DuckDB, so both engines always take the same branch) against
+    9.9e37 / 9.9e18 thresholds with 1% slack for the double rounding.
+    Outside the bound both engines emit NULL std (the value would be
+    past micro-exactness anyway) instead of Spark raising/NULLing on
+    decimal overflow while DuckDB errors."""
+    return (
+        f"(CAST({dssq} AS DOUBLE) * {n} < 9.9e37"
+        f" AND abs(CAST({dsum} AS DOUBLE)) < 9.9e18)"
+    )
+
+
+def _clamped_sum_sql(dsum: str) -> str:
+    """Emit a DECIMAL(38,0) micro-sum as BIGINT, clamped to the int64
+    bounds (identical SQL semantics in Spark and DuckDB — see
+    _I64_MAX note). mean never needs this: it is bounded by max(mic),
+    which is already BIGINT."""
+    return (
+        f"CASE WHEN {dsum} > CAST('{_I64_MAX}' AS DECIMAL(38,0))"
+        f" THEN CAST({_I64_MAX} AS BIGINT)"
+        f" WHEN {dsum} < CAST('{_I64_MIN}' AS DECIMAL(38,0))"
+        f" THEN CAST('{_I64_MIN}' AS BIGINT)"
+        f" ELSE CAST({dsum} AS BIGINT) END"
+    )
 
 
 def _compact_counts(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -110,7 +157,8 @@ def _stats_long(df: DataFrame, compact: DataFrame, cols: Sequence[str]) -> DataF
     joined = all_cols.join(per_col, "column", "left").crossJoin(total)
     n = "coalesce(_n, CAST(0 AS BIGINT))"
     std = (
-        f"CASE WHEN {n} > 1 THEN CAST(floor(sqrt("
+        f"CASE WHEN {n} > 1 AND {_std_safe_sql('_dsum', '_dssq', n)} "
+        f"THEN CAST(floor(sqrt("
         f"CAST(({n} * _dssq) - (_dsum * _dsum) AS DOUBLE) / "
         f"CAST({n} * ({n} - 1) AS DOUBLE)"
         f")) AS BIGINT) ELSE CAST(NULL AS BIGINT) END"
@@ -123,7 +171,7 @@ def _stats_long(df: DataFrame, compact: DataFrame, cols: Sequence[str]) -> DataF
             ("n_distinct", "coalesce(_dist, CAST(0 AS BIGINT))"),
             ("min", "_min"),
             ("max", "_max"),
-            ("sum", "CAST(_dsum AS BIGINT)"),
+            ("sum", _clamped_sum_sql("_dsum")),
             ("mean", f"CAST(_dsum DIV {n} AS BIGINT)"),
             ("std", std),
         ]
@@ -180,28 +228,165 @@ def profile_histogram(
     )
 
 
+def _approx_stat_rows(
+    df: DataFrame, cols: Sequence[str], rsd: float
+) -> List[tuple]:
+    """(column, stat, value) rows from ONE raw-scan aggregate — the
+    scale path: every stat except n_distinct is EXACT and
+    bit-identical to the compact-table path (same DECIMAL(38,0)
+    accumulation, same DIV / floor(sqrt(double)) finishers, replayed
+    here in Python over exact integers); n_distinct is
+    approx_count_distinct (HyperLogLog++, relative sd ``rsd``). The
+    aggregate state is |cols| x (a few longs + one HLL sketch) — no
+    per-distinct-value shuffle volume at all."""
+    proj = df.select(
+        *[
+            F.expr(_MIC.format(c=c)).alias(f"_m{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_total")]
+    for i in range(len(cols)):
+        m = f"_m{i}"
+        aggs += [
+            F.count(m).cast("bigint").alias(f"_n{i}"),
+            F.approx_count_distinct(m, float(rsd)).cast("bigint").alias(f"_d{i}"),
+            F.min(m).alias(f"_mn{i}"),
+            F.max(m).alias(f"_mx{i}"),
+            F.expr(
+                f"CAST(sum(CAST({m} AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+            ).alias(f"_s{i}"),
+            F.expr(
+                f"CAST(sum(CAST({m} AS DECIMAL(38,0)) * CAST({m} AS DECIMAL(38,0)))"
+                f" AS DECIMAL(38,0))"
+            ).alias(f"_q{i}"),
+        ]
+    row = proj.groupBy().agg(*aggs).collect()[0]
+    total = int(row["_total"])
+    out: List[tuple] = []
+    import math
+
+    for i, c in enumerate(cols):
+        n = int(row[f"_n{i}"])
+        dsum = None if row[f"_s{i}"] is None else int(row[f"_s{i}"])
+        dssq = None if row[f"_q{i}"] is None else int(row[f"_q{i}"])
+        mean = std = None
+        if n > 0 and dsum is not None:
+            # SQL DIV truncates toward zero (Python // floors) —
+            # replicate exactly so negative means match the exact path
+            q, sign = abs(dsum) // n, (1 if dsum >= 0 else -1)
+            mean = sign * q
+        if n > 1 and dsum is not None and dssq is not None:
+            # same double-evaluated overflow guard as _std_safe_sql
+            # (float(int) is the identical correctly-rounded conversion)
+            if float(dssq) * n < 9.9e37 and abs(float(dsum)) < 9.9e18:
+                num = n * dssq - dsum * dsum
+                std = int(
+                    math.floor(math.sqrt(float(num) / float(n * (n - 1))))
+                )
+        clamped = (
+            None
+            if dsum is None
+            else max(_I64_MIN, min(_I64_MAX, dsum))
+        )
+        vals = {
+            "n": n,
+            "n_null": total - n,
+            "n_distinct": 0 if n == 0 else int(row[f"_d{i}"]),
+            "min": row[f"_mn{i}"],
+            "max": row[f"_mx{i}"],
+            "sum": clamped,
+            "mean": mean,
+            "std": std if n > 1 else None,
+        }
+        out.extend((c, s, vals[s]) for s in STAT_NAMES)
+    return out
+
+
 def profile_columns(
-    df: DataFrame, cols: Sequence[str], bins: int = 8
+    df: DataFrame,
+    cols: Sequence[str],
+    bins: int = 8,
+    approx: bool = False,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Full profile: stats block + fixed-width histograms for all
     columns. Long format (column, stat, value BIGINT) —
     ``min/max/sum/mean/std`` are micro-scaled.
 
-    ONE data scan regardless of |cols| (plus a column-less count(*)
-    branch for n_null): the compact (column, mic, cnt) frequency
-    table is persisted (MEMORY_AND_DISK — its size is Σ per-column
-    distinct values, the volume any exact distinct count must carry;
-    spills rather than OOMs), the stats derive from it, and the
-    histograms re-aggregate the SAME cached table (min/max inlined as
-    literal CASE bin expressions, sum(cnt) per (column, bin) — binning
+    EXACT mode (default — the oracle-gated spec): ONE data scan
+    regardless of |cols| (plus a column-less count(*) branch for
+    n_null): the compact (column, mic, cnt) frequency table is
+    persisted (MEMORY_AND_DISK — its size is Σ per-column distinct
+    values, the volume any exact distinct count must carry; spills
+    rather than OOMs), the stats derive from it, and the histograms
+    re-aggregate the SAME cached table (min/max inlined as literal
+    CASE bin expressions, sum(cnt) per (column, bin) — binning
     distinct VALUES, not raw rows). The whole profile output is
     metadata-sized (|cols| × (8 + bins) rows) so it is collected and
     returned as a literal frame; the cache is unpersisted before
     returning — no leaked storage, and downstream consumers never
-    re-trigger the scan."""
+    re-trigger the scan.
+
+    APPROX mode (``approx=True`` — the 100 TB default): a profiling
+    pass that exists to AUTHOR DQ rules rarely needs exact
+    n_distinct, and for continuous columns the exact compact table is
+    ~corpus-sized. This mode skips it entirely: pass 1 is one
+    raw-scan aggregate whose state is |cols| × (a few longs + one
+    HyperLogLog++ sketch at relative sd ``rsd``); pass 2 bins the raw
+    rows with the same integer bin expression. Two scans, ZERO
+    per-distinct-value shuffle volume, nothing persisted. Every stat
+    except n_distinct — and the histograms — is bit-identical to
+    exact mode (pinned by tests); n_distinct carries the documented
+    HLL ``rsd``."""
     from pyspark import StorageLevel
 
     spark = df.sparkSession
+    if approx:
+        stat_tuples = _approx_stat_rows(df, cols, rsd)
+        ranges_a: Dict[str, Dict[str, int]] = {}
+        for c, s, v in stat_tuples:
+            if s in ("min", "max"):
+                ranges_a.setdefault(c, {})[s] = v
+        hist_cols = [
+            c
+            for c in cols
+            if ranges_a.get(c, {}).get("min") is not None
+            and ranges_a.get(c, {}).get("max") is not None
+        ]
+        hist_tuples: List[tuple] = []
+        if hist_cols:
+            bexprs = []
+            for c in hist_cols:
+                mm = ranges_a[c]
+                span = int(mm["max"]) - int(mm["min"]) + 1
+                mic = _MIC.format(c=c)
+                bexprs.append(
+                    F.expr(
+                        f"(({mic} - {int(mm['min'])}) * {int(bins)}) DIV {span}"
+                    )
+                )
+            counted = {
+                (int(r["_cidx"]), int(r["_bin"])): int(r["value"])
+                for r in (
+                    df.select(
+                        F.posexplode(F.array(*bexprs)).alias("_cidx", "_bin")
+                    )
+                    .filter(F.col("_bin").isNotNull())
+                    .groupBy("_cidx", "_bin")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("value"))
+                    .collect()
+                )
+            }
+            for i, c in enumerate(hist_cols):
+                for b in range(int(bins)):
+                    hist_tuples.append(
+                        (c, f"hist_{b}", counted.get((i, b), 0))
+                    )
+        return spark.createDataFrame(
+            stat_tuples + hist_tuples,
+            "column string, stat string, value bigint",
+        )
     compact = _compact_counts(df, cols).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         stat_rows = _stats_long(df, compact, cols).collect()
@@ -279,7 +464,8 @@ def profile_oracle_sql(
         )
         n = f"count({c})"
         std = (
-            f"CASE WHEN {n} > 1 THEN CAST(floor(sqrt("
+            f"CASE WHEN {n} > 1 AND {_std_safe_sql(ssum, ssq, n)} "
+            f"THEN CAST(floor(sqrt("
             f"CAST(({n} * {ssq}) - ({ssum} * {ssum}) AS DOUBLE) / "
             f"CAST({n} * ({n} - 1) AS DOUBLE)"
             f")) AS BIGINT) ELSE NULL END"
@@ -291,7 +477,7 @@ FROM (
   SELECT {n} AS a_n, count(*) - {n} AS a_null,
          count(DISTINCT {mic}) AS a_dist,
          min({mic}) AS a_min, max({mic}) AS a_max,
-         CAST({ssum} AS BIGINT) AS a_sum,
+         {_clamped_sum_sql(ssum)} AS a_sum,
          CAST(CAST({ssum} AS HUGEINT) // {n} AS BIGINT) AS a_mean,
          {std} AS a_std
   FROM {table} WHERE {where}

@@ -100,3 +100,64 @@ def test_profile_duckdb_oracle_parity(spark, values):
         for r in con.execute(profile_oracle_sql("t", ["x"], bins=4)).fetchall()
     }
     assert got == want
+
+
+def test_profile_approx_matches_exact_except_distinct(spark, sf_dir):
+    """approx=True (the 100 TB scale mode — no compact table, HLL
+    n_distinct): every stat except n_distinct, and every histogram
+    bin, must be BIT-IDENTICAL to exact mode; n_distinct within the
+    documented HLL relative sd (generous 5x guard band)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    exact = _as_map(profile_columns(li, cols, bins=6).collect())
+    approx = _as_map(profile_columns(li, cols, bins=6, approx=True).collect())
+    assert set(exact) == set(approx)
+    for k, v in exact.items():
+        if k[1] == "n_distinct":
+            assert approx[k] > 0
+            assert abs(approx[k] - v) <= max(2, 0.25 * v), (k, v, approx[k])
+        else:
+            assert approx[k] == v, k
+
+
+def test_profile_approx_null_and_allnull_columns(spark):
+    """approx mode edge parity: a mixed-null column and an all-null
+    column produce the same stat rows as exact mode (all-null:
+    n_distinct 0, no histogram rows, NULL min/max/sum/mean/std)."""
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (None, None)],
+        "x double, y double",
+    )
+    exact = sorted(map(tuple, profile_columns(df, ["x", "y"], bins=3).collect()))
+    approx = sorted(
+        map(tuple, profile_columns(df, ["x", "y"], bins=3, approx=True).collect())
+    )
+    assert exact == approx  # tiny data: HLL is exact here too
+
+
+def test_profile_sum_overflow_clamps_identically(spark):
+    """ADVICE r08: a micro-sum past int64 must EMIT the clamped
+    sentinel (9223372036854775807), not NULL (Spark) / an error
+    (DuckDB). Internal DECIMAL accumulation and mean stay exact."""
+    # two rows of 5e12 -> mics 5e18 each, sum 1e19 > int64 max
+    df = spark.createDataFrame([(5.0e12,), (5.0e12,)], "x double")
+    for mode in (False, True):
+        got = _as_map(profile_columns(df, ["x"], bins=2, approx=mode).collect())
+        assert got[("x", "sum")] == 9223372036854775807, mode
+        assert got[("x", "mean")] == 5_000_000_000_000_000_000, mode
+        assert got[("x", "n")] == 2
+        # std numerator n*ssq - sum^2 = 1e38 would overflow
+        # DECIMAL(38,0): the guard emits NULL in both engines
+        assert got[("x", "std")] is None, mode
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT CAST(5e12 AS DOUBLE) AS x "
+        "UNION ALL SELECT CAST(5e12 AS DOUBLE)"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(profile_oracle_sql("t", ["x"], bins=2)).fetchall()
+    }
+    assert want[("x", "sum")] == 9223372036854775807
+    assert want[("x", "mean")] == 5_000_000_000_000_000_000
