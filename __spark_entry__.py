@@ -6655,6 +6655,7 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-equal across engines and the floor(x*1e6+0.5) scaling is
     exact), tagged per part."""
     from quality_spark.llm.pq import (
+        ivf_pq_topk,
         pq_adc_scores,
         pq_codebooks_procedural,
         pq_encode,
@@ -6688,11 +6689,34 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").alias("k1"),
         F.expr("CAST(floor(adc * 1000000 + 0.5) AS BIGINT)").alias("v1"),
     )
-    return sem.unionByName(proj).unionByName(codes).unionByName(adc)
+    # 'ivfpq' parts (round 9): the composed FAISS layout — IVF cell
+    # pruning (stride-50 coarse centroids, nprobe=2) + ADC rescoring
+    # over candidates only (quality_spark/llm/pq.py:ivf_pq_topk).
+    # Both the per-query ranking AND the scaled adc doubles are
+    # hash-pinned; the oracle replays probes, cells, codes and the
+    # subspace-ordered adds bit-for-bit.
+    ivfpq = ivf_pq_topk(
+        _read(spark, sf_dir, "embeddings"), books, qs, k=5, nprobe=2
+    )
+    ivfpq_rank = ivfpq.select(
+        F.lit("ivfpq").alias("part"), "vec_id",
+        F.col("query_id").alias("k1"),
+        F.col("rank").cast("bigint").alias("v1"),
+    )
+    ivfpq_adc = ivfpq.select(
+        F.lit("ivfpq_adc").alias("part"), "vec_id",
+        F.col("query_id").alias("k1"),
+        F.expr("CAST(floor(adc * 1000000 + 0.5) AS BIGINT)").alias("v1"),
+    )
+    return (
+        sem.unionByName(proj).unionByName(codes).unionByName(adc)
+        .unionByName(ivfpq_rank).unionByName(ivfpq_adc)
+    )
 
 
 def _oracle_embedding_reduce() -> str:
     from quality_spark.llm.pq import (
+        ivf_pq_oracle_sql,
         pq_adc_oracle_sql,
         pq_codebooks_procedural,
         pq_codes_oracle_sql,
@@ -6716,6 +6740,13 @@ UNION ALL
 SELECT 'pq_adc', vec_id, query_id,
        CAST(floor(adc * 1000000 + 0.5) AS BIGINT)
 FROM ({pq_adc_oracle_sql(books, qs)})
+UNION ALL
+SELECT 'ivfpq', vec_id, query_id, CAST(rank AS BIGINT)
+FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2)})
+UNION ALL
+SELECT 'ivfpq_adc', vec_id, query_id,
+       CAST(floor(adc * 1000000 + 0.5) AS BIGINT)
+FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2)})
 """
 
 

@@ -2574,3 +2574,127 @@ def test_query_tokenizer_matches_corpus_rule(spark):
     # q1's NBSP-joined term matches doc0's NBSP-joined corpus token
     # only; q2's plain 'hello' matches doc1 only.
     assert got == {(1, 0), (2, 1)}
+
+
+def test_ivf_pq_nprobe_all_equals_flat_adc(spark, emb):
+    """ivf_pq_topk with nprobe >= nlist = pruning OFF: the result must
+    be EXACTLY pq_adc_topk over the full corpus (same adc doubles,
+    same ranks) — the composition adds pruning, never a different
+    score."""
+    from quality_spark.llm.pq import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_code_expr,
+        pq_codebooks_procedural,
+        pq_queries_procedural,
+    )
+
+    books = pq_codebooks_procedural(8, 16, 8, 5)
+    qs = pq_queries_procedural(2, 64, seed=6)
+    nlist = emb.filter("vec_id % 50 = 0").count()
+    ivf = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(emb, books, qs, k=5, nprobe=nlist)
+            .select("query_id", "vec_id", "adc", "rank")
+            .collect(),
+        )
+    )
+    flat = sorted(
+        map(
+            tuple,
+            pq_adc_topk(
+                emb.withColumn("pq_code", pq_code_expr("embedding", books)),
+                books,
+                qs,
+                k=5,
+            )
+            .select("query_id", "vec_id", "adc", "rank")
+            .collect(),
+        )
+    )
+    assert ivf == flat and len(ivf) == 10
+
+
+def test_ivf_pq_recall_and_pruning(spark, emb):
+    """Recall vs flat ADC under TRAINED codebooks (corpus-vector
+    queries): pruning changes WHICH rows get scored, never the score
+    (every returned adc equals the flat-ADC double), and recall@5 is
+    provably MONOTONE in nprobe (candidate sets nest, scores are
+    identical). Measured on the deterministic sf0.001 embeddings:
+    9/20 at nprobe=2, 17/20 at nprobe=5, 20/20 at nprobe=nlist=10
+    (the equality test pins that last point exactly)."""
+    from quality_spark.llm.pq import (
+        ivf_pq_topk,
+        pq_adc_scores,
+        pq_code_expr,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=8, ksub=16, iters=3, dims=64)
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    qs = [(qid, vecs[qid]) for qid in sorted(vecs)[:4]]
+    flat = {
+        (r["query_id"], r["vec_id"]): r["adc"]
+        for r in pq_adc_scores(
+            emb.withColumn("pq_code", pq_code_expr("embedding", books)),
+            books,
+            qs,
+        ).collect()
+    }
+    import collections
+
+    best = collections.defaultdict(list)
+    for (qid, vid), adc in flat.items():
+        best[qid].append((adc, vid))
+    truth = {qid: {v for _, v in sorted(pairs)[:5]} for qid, pairs in best.items()}
+
+    recalls = {}
+    for nprobe in (2, 5):
+        got = (
+            ivf_pq_topk(emb, books, qs, k=5, nprobe=nprobe)
+            .select("query_id", "vec_id", "adc")
+            .collect()
+        )
+        for r in got:  # pruning never changes a score
+            assert flat[(r["query_id"], r["vec_id"])] == r["adc"]
+        recalls[nprobe] = sum(
+            1 for r in got if r["vec_id"] in truth[r["query_id"]]
+        )
+    assert recalls[5] >= recalls[2], recalls  # monotone in nprobe
+    assert recalls[2] >= 8 and recalls[5] >= 15, recalls
+
+
+def test_ivf_pq_oracle_parity(spark, emb, sf_dir):
+    """Full DuckDB replay (cells, probes, codes, ADC, rank) bit-equal."""
+    import duckdb
+
+    from quality_spark.llm.pq import (
+        ivf_pq_oracle_sql,
+        ivf_pq_topk,
+        pq_codebooks_procedural,
+        pq_queries_procedural,
+    )
+
+    books = pq_codebooks_procedural(4, 8, 16, 7)
+    qs = pq_queries_procedural(3, 64, seed=9)
+    got = sorted(
+        (int(r[0]), int(r[1]), r[2], int(r[3]))
+        for r in ivf_pq_topk(emb, books, qs, k=4, nprobe=3)
+        .select("query_id", "vec_id", "adc", "rank")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), c, int(d))
+        for a, b, c, d in con.execute(
+            ivf_pq_oracle_sql(books, qs, k=4, nprobe=3)
+        ).fetchall()
+    )
+    assert got == want and len(got) == 12
