@@ -382,14 +382,31 @@ def _compaction_paths(loc: str):
     return base + "__compacting_stage", base + "__compacting_old"
 
 
-#: completion-marker file written into the stage dir AFTER the staged
-#: compacted copy is fully committed and BEFORE any rename touches the
-#: live store. Underscore-prefixed, so parquet readers ignore it if it
-#: rides along through a rename. Its presence is the recovery oracle on
-#: filesystems where directory rename is copy+delete (S3A and other
-#: object stores): marker present -> the stage is a complete compacted
-#: copy and is authoritative over any partially-moved store dir.
+#: LEGACY (pre-round-9) in-stage completion marker — only consulted
+#: when recovering on-disk states left by the old single-marker
+#: protocol. That protocol was unsound on copy+delete filesystems: a
+#: crash mid rename(stage->loc) leaves {marked stage, loc, old} —
+#: observably identical to a crash mid rename(loc->old), so no branch
+#: choice could be right for both (ADVICE r08). The round-9 protocol
+#: below distinguishes every crash window with two SIBLING sentinel
+#: files that are never inside a directory being renamed.
 _STAGE_MARKER = "_QS_STAGE_COMPLETE"
+
+
+def _sentinel_paths(loc: str):
+    """Two sibling sentinel FILES (atomic create/delete — never inside
+    a directory that gets renamed, so copy+delete directory renames
+    cannot tear them):
+
+    - ``__stage_ready``: created after the staged compacted copy fully
+      committed; DELETED immediately BEFORE rename(stage->loc) begins.
+      Present => the stage dir is complete and untouched.
+    - ``__old_complete``: created immediately AFTER rename(loc->old)
+      returned; deleted AFTER rename(stage->loc) returned and BEFORE
+      the old dir is removed. Present => the old dir is a complete
+      pre-swap copy."""
+    base = loc.rstrip("/")
+    return base + "__stage_ready", base + "__old_complete"
 
 
 def _touch(fs, jvm, path_str: str) -> None:
@@ -404,31 +421,37 @@ def recover_key_store(spark, store_table: str) -> bool:
     Returns True if a swap was completed or leftovers were removed.
 
     Recovery rules (EXTERNAL store — the table metadata is never
-    dropped, so the only crash states are file-level; decisions key on
-    the stage's ``_QS_STAGE_COMPLETE`` marker, written only after the
-    staged copy fully committed, so they stay correct on filesystems
-    where directory rename is COPY+DELETE — S3A and other object
-    stores — not just atomic-rename HDFS/local):
+    dropped, so the only crash states are file-level). Decisions key
+    on the two SIBLING sentinel files (see :func:`_sentinel_paths`):
+    because ``__stage_ready`` is deleted BEFORE rename(stage->loc)
+    starts and ``__old_complete`` is created AFTER rename(loc->old)
+    returns and deleted BEFORE the old dir is removed, every crash
+    window names exactly one provably-complete copy — including on
+    filesystems where directory rename is COPY+DELETE (S3A and other
+    object stores), the case the round-8 in-stage marker could not
+    disambiguate (a crash mid rename(stage->loc) vs mid
+    rename(loc->old) left identical observable states):
 
-    - stage dir carries the completion marker AND (``__compacting_old``
-      exists OR the store dir is missing) -> the swap was in flight;
-      the stage is a complete compacted copy and is AUTHORITATIVE
-      (the store dir may be a partially-moved remnant on copy+delete
-      filesystems) -> discard store remnant + old dir, rename the
-      stage into place.
-    - stage dir WITHOUT marker + store dir missing + old dir present
-      -> the stage was partially renamed away (its marker left with
-      it) or never finished; the pre-swap store under old is the
-      complete copy -> delete the stage, restore old into place.
-    - stage dir without marker + store dir missing + no old dir ->
-      legacy pre-marker stage (older protocol staged fully before any
-      rename) -> rename it into place.
-    - stage dir present + store dir present (+ no old/marker evidence
-      of an in-flight swap) -> crash before the swap began; the stage
-      may be partial, the store is authoritative -> delete the stage.
-    - only ``__compacting_old`` present -> with the store dir: a
-      finished swap that crashed before cleanup -> delete old; store
-      dir missing -> restore old into place.
+    - ``__stage_ready`` present -> the stage dir is a COMPLETE
+      compacted copy and untouched by any rename; the store dir / old
+      dir may each be partial remnants -> discard both, rename the
+      stage into place. (Stray sentinel with no stage dir: removed.)
+    - else ``__old_complete`` present -> the swap progressed past the
+      stage's point of no return; the OLD dir is the complete
+      pre-swap copy (it is never deleted while this sentinel exists)
+      while stage/store may be partial -> discard stage + store
+      remnants, restore old into place (the compaction itself re-runs
+      later; no key is lost).
+    - no sentinels (post-cleanup or legacy pre-round-9 states):
+      - stage + store both present -> crash before any rename; store
+        is authoritative -> delete the stage.
+      - stage present, store missing: legacy protocol state — an
+        in-stage ``_QS_STAGE_COMPLETE`` marker makes the stage
+        authoritative over old (legacy rule, ambiguity documented at
+        `_STAGE_MARKER`); otherwise old (if present) is restored,
+        else the full stage is renamed into place.
+      - old present -> store present: finished swap, delete old;
+        store missing: restore old.
 
     MANAGED store: a crash between DROP and RENAME leaves the complete
     compacted data under ``<table>__compacting`` — if the store table
@@ -442,16 +465,60 @@ def recover_key_store(spark, store_table: str) -> bool:
         loc = meta.get("Location", "")
         if meta.get("Type", "").upper() == "EXTERNAL" and loc:
             stage_loc, old_loc = _compaction_paths(loc)
+            ready_sent, oldok_sent = _sentinel_paths(loc)
             fs, jvm = _hadoop_fs(spark, loc)
             P = jvm.org.apache.hadoop.fs.Path
             stage_exists = fs.exists(P(stage_loc))
-            stage_complete = stage_exists and fs.exists(
-                P(stage_loc + "/" + _STAGE_MARKER)
-            )
             loc_exists = fs.exists(P(loc))
             old_exists = fs.exists(P(old_loc))
-            if stage_complete and (old_exists or not loc_exists):
-                # swap in flight: the marked stage is authoritative
+            ready = fs.exists(P(ready_sent))
+            oldok = fs.exists(P(oldok_sent))
+            if ready and not stage_exists:
+                # stray sentinel (manual tampering) — the protocol
+                # never deletes/moves the stage while it exists
+                fs.delete(P(ready_sent), False)
+                ready = False
+                acted = True
+            if oldok and not old_exists:
+                fs.delete(P(oldok_sent), False)
+                oldok = False
+                acted = True
+            if ready:
+                # __stage_ready => the stage is complete AND untouched
+                # (the sentinel is removed before rename(stage->loc)
+                # ever starts); store/old may be partial remnants
+                if loc_exists:
+                    fs.delete(P(loc), True)
+                if old_exists:
+                    fs.delete(P(old_loc), True)
+                if not fs.rename(P(stage_loc), P(loc)):
+                    raise IOError(f"recovery rename failed: {stage_loc} -> {loc}")
+                fs.delete(P(ready_sent), False)
+                if oldok:
+                    fs.delete(P(oldok_sent), False)
+                spark.sql(f"REFRESH TABLE {store_table}")
+                return True
+            if oldok:
+                # __old_complete without __stage_ready => rename(
+                # stage->loc) may have started: stage and store are
+                # both untrusted; old is the complete pre-swap copy
+                # (never deleted while this sentinel exists)
+                if stage_exists:
+                    fs.delete(P(stage_loc), True)
+                if loc_exists:
+                    fs.delete(P(loc), True)
+                if not fs.rename(P(old_loc), P(loc)):
+                    raise IOError(f"recovery rename failed: {old_loc} -> {loc}")
+                fs.delete(P(oldok_sent), False)
+                spark.sql(f"REFRESH TABLE {store_table}")
+                return True
+            # --- no sentinels: post-cleanup or legacy (pre-round-9)
+            # protocol states ---
+            legacy_marked = stage_exists and fs.exists(
+                P(stage_loc + "/" + _STAGE_MARKER)
+            )
+            if legacy_marked and (old_exists or not loc_exists):
+                # legacy rule: marked stage authoritative in-flight
                 if loc_exists:
                     fs.delete(P(loc), True)
                 if old_exists:
@@ -506,20 +573,26 @@ def compact_key_store(spark, store_table: str) -> None:
     Crash contract: every run starts with :func:`recover_key_store`,
     and the swap itself is stage-then-rename — the compacted copy is
     fully written to a sibling staging directory (EXTERNAL) or a tmp
-    table (managed) BEFORE the old data is touched, then a
-    ``_QS_STAGE_COMPLETE`` marker is written into the stage before any
-    rename. At every instant either the pre-swap store or the complete
-    marked stage exists on disk, and recovery prefers the marked stage
-    whenever swap-in-flight evidence (``__compacting_old`` or a
-    missing store dir) is present. This keeps the contract correct
-    even on filesystems where directory rename is copy+delete (S3A and
-    other object stores): a crash mid-rename leaves a partial store
-    remnant, and recovery discards the remnant in favor of the
-    complete marked stage instead of trusting it. Re-running
-    compact_key_store — or calling recover_key_store — completes the
-    interrupted swap; there is no window in which data has been lost.
-    (On atomic-rename filesystems — HDFS, local — the renames are
-    metadata-only and the window is a single syscall either way.)
+    table (managed) BEFORE the old data is touched. Two SIBLING
+    sentinel files choreograph the swap (see :func:`_sentinel_paths`):
+    ``__stage_ready`` is created once the stage committed and deleted
+    immediately BEFORE rename(stage->loc) starts, and
+    ``__old_complete`` is created immediately AFTER rename(loc->old)
+    returns and deleted only after rename(stage->loc) returns —
+    so at EVERY instant at least one sentinel (or the live store dir
+    itself, outside the swap) names a provably-complete copy, even on
+    filesystems where directory rename is copy+delete (S3A and other
+    object stores) where a crashed rename leaves BOTH endpoints
+    partial. (The round-8 single in-stage marker could not separate a
+    crash mid rename(stage->loc) from one mid rename(loc->old) —
+    identical observable states with opposite correct answers; the
+    two-sentinel protocol makes them distinct by construction.)
+    Re-running compact_key_store — or calling recover_key_store —
+    completes or rolls back the interrupted swap; there is no window
+    in which keys can be lost. A rollback restores the UNCOMPACTED
+    pre-swap store; the next compaction simply redoes the work. (On
+    atomic-rename filesystems — HDFS, local — the renames are
+    metadata-only and the windows are single syscalls either way.)
 
     Concurrency: run it BETWEEN streaming triggers (stop the stream or
     schedule compaction in the same single-writer loop as the batches).
@@ -556,18 +629,23 @@ def compact_key_store(spark, store_table: str) -> None:
         # then swap via two FS renames (metadata-only on HDFS-likes;
         # the store's catalog entry is never dropped)
         stage_loc, old_loc = _compaction_paths(loc)
+        ready_sent, oldok_sent = _sentinel_paths(loc)
         bucketed_writer(compacted).option("path", stage_loc).saveAsTable(tmp)
         spark.sql(f"DROP TABLE {tmp}")  # metadata only: files stay staged
         fs, jvm = _hadoop_fs(spark, loc)
         P = jvm.org.apache.hadoop.fs.Path
-        # completion marker: from here on the stage is authoritative
-        # over any partially-renamed store dir (copy+delete FSes)
-        _touch(fs, jvm, stage_loc + "/" + _STAGE_MARKER)
+        # sentinel choreography (see _sentinel_paths): each sentinel
+        # is a sibling FILE, so directory renames can never tear it,
+        # and every crash instant leaves exactly one sentinel naming a
+        # provably-complete copy
+        _touch(fs, jvm, ready_sent)  # stage complete, untouched
         if not fs.rename(P(loc), P(old_loc)):
             raise IOError(f"compaction rename failed: {loc} -> {old_loc}")
+        _touch(fs, jvm, oldok_sent)  # old is the complete pre-swap copy
+        fs.delete(P(ready_sent), False)  # stage about to be touched
         if not fs.rename(P(stage_loc), P(loc)):
             raise IOError(f"compaction rename failed: {stage_loc} -> {loc}")
-        fs.delete(P(loc + "/" + _STAGE_MARKER), False)
+        fs.delete(P(oldok_sent), False)  # loc complete; old expendable
         fs.delete(P(old_loc), True)
         spark.sql(f"REFRESH TABLE {store_table}")
     else:

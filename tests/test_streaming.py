@@ -619,3 +619,117 @@ def test_sessionized_stream_stats_gap_semantics(spark):
         (1, ts(100), ts(130), 1),     # >gap starts a new session
         (2, ts(0), ts(30), 1),
     ]
+
+
+def test_compact_key_store_two_sentinel_protocol(spark, tmp_path):
+    """ADVICE r08 (medium): the single in-stage marker could not
+    distinguish a crash mid rename(stage->loc) from one mid
+    rename(loc->old) — identical observable states with OPPOSITE
+    correct answers, so recovery could destroy the only complete copy.
+    The round-9 protocol uses two sibling sentinel FILES
+    (__stage_ready: stage complete+untouched, deleted before
+    rename(stage->loc) starts; __old_complete: old is the complete
+    pre-swap copy, deleted before old is removed). Every window below
+    simulates a copy+delete-rename crash state and recovery must end
+    with the full keyset and no leftovers."""
+    import os
+    import shutil
+
+    from quality_spark.streaming.recipes import (
+        compact_key_store,
+        dedup_against_bucketed_store,
+        recover_key_store,
+    )
+
+    table = "qs_test_bstore_sent"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
+    loc = str(tmp_path / "store")
+    handler = dedup_against_bucketed_store(
+        table, ["k"], lambda df, e: df.count(), buckets=2, path=loc
+    )
+    handler(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"), 0)
+    handler(spark.createDataFrame([("c", 3)], "k string, v int"), 1)
+
+    def keyset():
+        return sorted(r["__qs_key_hash"] for r in spark.table(table).collect())
+
+    keys = keyset()
+    assert len(keys) == 3
+    stage_loc = loc + "__compacting_stage"
+    old_loc = loc + "__compacting_old"
+    ready = loc + "__stage_ready"
+    oldok = loc + "__old_complete"
+
+    def parts(d):
+        return [f for f in os.listdir(d) if f.startswith("part-")]
+
+    def clean():
+        assert not os.path.exists(stage_loc)
+        assert not os.path.exists(old_loc)
+        assert not os.path.exists(ready)
+        assert not os.path.exists(oldok)
+
+    # w1: crash after __stage_ready, before rename(loc->old) began:
+    # stage complete, store intact -> swap completes from the stage
+    shutil.copytree(loc, stage_loc)
+    open(ready, "w").close()
+    assert recover_key_store(spark, table)
+    assert keyset() == keys and clean() is None
+
+    # w2: crash mid rename(loc->old) DELETE phase (copy+delete FS):
+    # stage complete + __stage_ready, old complete, loc PARTIAL ->
+    # the stage is authoritative, partial remnants discarded
+    shutil.copytree(loc, stage_loc)
+    open(ready, "w").close()
+    shutil.copytree(loc, old_loc)
+    os.remove(os.path.join(loc, parts(loc)[0]))
+    assert recover_key_store(spark, table)
+    assert keyset() == keys and clean() is None
+
+    # w3: crash between __old_complete creation and __stage_ready
+    # deletion: both sentinels, store renamed away -> stage wins
+    shutil.copytree(loc, stage_loc)
+    open(ready, "w").close()
+    shutil.move(loc, old_loc)
+    open(oldok, "w").close()
+    assert recover_key_store(spark, table)
+    assert keyset() == keys and clean() is None
+
+    # w4 — THE round-8 killer: crash mid rename(stage->loc)
+    # (__stage_ready already deleted): stage PARTIAL, loc PARTIAL,
+    # old is the ONLY complete copy -> old must be restored; the old
+    # protocol deleted it here
+    shutil.copytree(loc, old_loc)
+    open(oldok, "w").close()
+    shutil.copytree(loc, stage_loc)
+    os.remove(os.path.join(stage_loc, parts(stage_loc)[0]))  # partial
+    os.remove(os.path.join(loc, parts(loc)[0]))  # partial remnant
+    assert recover_key_store(spark, table)
+    assert keyset() == keys and clean() is None
+
+    # w5: crash after rename(stage->loc) returned, before
+    # __old_complete deletion: loc complete, old complete ->
+    # conservative rollback to old (same keyset; compaction redoes)
+    shutil.copytree(loc, old_loc)
+    open(oldok, "w").close()
+    assert recover_key_store(spark, table)
+    assert keyset() == keys and clean() is None
+
+    # w6: crash between __old_complete deletion and old removal:
+    # no sentinels, loc + old both complete -> old is swept
+    shutil.copytree(loc, old_loc)
+    assert recover_key_store(spark, table)
+    assert keyset() == keys and clean() is None
+
+    # stray sentinel with no stage dir: removed, store untouched
+    open(ready, "w").close()
+    assert recover_key_store(spark, table)
+    assert keyset() == keys and clean() is None
+
+    # the real swap still works end-to-end (and is idempotent)
+    compact_key_store(spark, table)
+    compact_key_store(spark, table)
+    assert keyset() == keys and clean() is None
+    assert len(spark.table(table).inputFiles()) <= 2
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
