@@ -25,8 +25,8 @@ Plan shape (engineered for 100 TB):
 - Document frequency per query term is derived FROM the postings
   aggregate (``postings.groupBy(token).count()`` — postings holds
   exactly one row per (doc, matching-token), so the count IS df).
-  No separate corpus pass; Spark's exchange reuse collapses the two
-  consumers of the postings aggregate onto one physical scan.
+  No separate corpus pass: postings is persisted (it is the tiny
+  broadcast-prefiltered aggregate) and both consumers read the cache.
 - Final score: one groupBy (query_id, doc) over the joined postings.
 
 Net: the corpus is tokenized at most TWICE per scoring run (the
@@ -454,3 +454,82 @@ FROM (
   ) AS rnk FROM per_doc
 ) WHERE rnk <= {int(k)}
 """
+
+
+def retrieve(
+    spark: SparkSession,
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    query_vectors: DataFrame,
+    k: int = 10,
+    depth: int = 50,
+    rrf_k: int = 60,
+    lexical: str = "bm25",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salted: bool = False,
+    materialize: bool = False,
+) -> DataFrame:
+    """End-to-end HYBRID retrieval — the composition a training-data
+    pipeline actually runs: a lexical ranked list (BM25 by default,
+    ``lexical='matched_terms'`` for the integer-exact variant) and a
+    semantic ranked list (exact cosine top-k over an embedding table),
+    fused with reciprocal-rank fusion::
+
+        from quality_spark.llm.retrieval import retrieve
+        hits = retrieve(
+            spark,
+            docs,                         # (doc_id, text)
+            embeddings,                   # (vec_id, embedding), vec_id == doc_id
+            queries=[(1, "spark shuffle join")],
+            query_vectors=embeddings.filter("vec_id = 1"),
+            k=10,          # fused results per query
+            depth=50,      # per-list candidates before fusion
+        )
+        # -> (query_id, doc_id, n_lists, rrf_score, fused_rank)
+
+    ``queries`` and ``query_vectors`` pair by query id: entry ``(qid,
+    text)`` fuses with the vector row whose ``vec_id_col`` == qid.
+
+    Plan shape (100 TB): the lexical leg tokenizes the corpus at most
+    twice (``bm25_scores`` scan budget; ``materialize=True`` for one)
+    and shuffles only broadcast-prefiltered postings; the semantic leg
+    broadcasts the query vectors so the embedding scan is one pass;
+    both lists are top-``depth`` cut BEFORE fusion, so ``rrf_fuse``
+    touches |queries| x depth x 2 rows — metadata. ``salted=True``
+    applies the skew-proof two-phase top-k on the lexical side."""
+    from .similarity import cosine_topk
+
+    if lexical == "matched_terms":
+        lex = matched_terms_rank(
+            spark, docs, queries, k=depth, text_col=text_col, id_col=id_col
+        )
+    else:
+        lex = bm25_topk(
+            spark,
+            docs,
+            queries,
+            k=depth,
+            salted=salted,
+            text_col=text_col,
+            id_col=id_col,
+            materialize=materialize,
+        )
+    sem = cosine_topk(
+        embeddings,
+        query_vectors,
+        k=depth,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+    ).select(
+        "query_id", F.col("neighbor_id").alias(id_col), "rank"
+    )
+    return rrf_fuse(
+        {"lex": lex.select("query_id", id_col, "rank"), "sem": sem},
+        k=rrf_k,
+        id_col=id_col,
+        top=k,
+    )

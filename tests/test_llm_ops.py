@@ -2698,3 +2698,41 @@ def test_ivf_pq_oracle_parity(spark, emb, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) == 12
+
+
+def test_retrieve_hybrid_recipe_matches_manual_composition(spark, emb, sf_dir):
+    """retrieve() is exactly bm25_topk + cosine_topk + rrf_fuse — the
+    documented one-call hybrid pipeline must equal the hand-wired
+    composition row for row."""
+    from quality_spark.llm.retrieval import bm25_topk, retrieve, rrf_fuse
+    from quality_spark.llm.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    qs = [(1, "spark join shuffle"), (2, "vector hash window")]
+    qvec = emb.filter(F.col("vec_id").isin([1, 2]))
+    got = sorted(
+        map(
+            tuple,
+            retrieve(
+                spark, docs, emb, qs, qvec, k=8, depth=20,
+                vec_id_col="vec_id", salted=True,
+            ).collect(),
+        )
+    )
+    lex = bm25_topk(spark, docs, qs, k=20)
+    sem = cosine_topk(emb, qvec, k=20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    want = sorted(
+        map(
+            tuple,
+            rrf_fuse(
+                {"lex": lex.select("query_id", "doc_id", "rank"), "sem": sem},
+                k=60,
+                top=8,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
