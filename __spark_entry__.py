@@ -1645,9 +1645,11 @@ def _oracle_struct_field_ops() -> str:
     )
 
 
-#: profile gate geometry — 3 numeric lineitem columns, 8 bins
+#: profile gate geometry — 3 numeric lineitem columns, 8 bins,
+#: 4 nearest-rank quantiles (round 9)
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
 _PROFILE_BINS = 8
+_PROFILE_QS = (0.25, 0.5, 0.75, 0.95)
 
 
 def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1690,7 +1692,9 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("result").cast("string").alias("v"),
         )
     )
-    prof = profile_columns(li, list(_PROFILE_COLS), bins=_PROFILE_BINS).select(
+    prof = profile_columns(
+        li, list(_PROFILE_COLS), bins=_PROFILE_BINS, quantiles=_PROFILE_QS
+    ).select(
         F.lit("profile").alias("part"),
         F.concat("column", F.lit(":"), "stat").alias("k"),
         F.col("value").cast("string").alias("v"),
@@ -1701,7 +1705,10 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_expr_runner_agg() -> str:
     from quality_spark.operators.profile import profile_oracle_sql
 
-    prof = profile_oracle_sql("lineitem", list(_PROFILE_COLS), bins=_PROFILE_BINS)
+    prof = profile_oracle_sql(
+        "lineitem", list(_PROFILE_COLS), bins=_PROFILE_BINS,
+        quantiles=_PROFILE_QS,
+    )
     return f"""
 SELECT 'er' AS part, '300' AS k, CAST(CAST(SUM(l_quantity) AS BIGINT) AS VARCHAR) AS v FROM lineitem
 UNION ALL

@@ -346,6 +346,7 @@ def main() -> None:
     gate_changes = {
         "tfidf_scores": "added bm25_topk salted-vs-plain-oracle leg",
         "embedding_reduce": "added ivfpq rank + ivfpq_adc legs (IVF-PQ)",
+        "expr_runner_agg": "profile leg now emits 4 nearest-rank quantiles/col",
     }
     # VERDICT r08 #5: join the two records — a retried query whose
     # final time is still >threshold x prior reads 'attributed' when

@@ -228,8 +228,24 @@ def profile_histogram(
     )
 
 
+def _q_stat_name(q: float) -> str:
+    """'p25', 'p50', 'p99.9' — shared with the oracle builder."""
+    return f"p{q * 100:g}"
+
+
+def _rank_sql(q: float, n: str) -> str:
+    """Nearest-rank index as BOTH engines compute it: one IEEE
+    multiply of the exact q literal by n (exact int->double), ceil,
+    clamped to >= 1. Python's math.ceil(q * float(n)) is the same
+    arithmetic, so driver-side and in-SQL ranks always agree."""
+    return f"GREATEST(1, CAST(ceil(CAST('{q!r}' AS DOUBLE) * {n}) AS BIGINT))"
+
+
 def _approx_stat_rows(
-    df: DataFrame, cols: Sequence[str], rsd: float
+    df: DataFrame,
+    cols: Sequence[str],
+    rsd: float,
+    quantiles: Sequence[float] = (),
 ) -> List[tuple]:
     """(column, stat, value) rows from ONE raw-scan aggregate — the
     scale path: every stat except n_distinct is EXACT and
@@ -261,6 +277,13 @@ def _approx_stat_rows(
                 f" AS DECIMAL(38,0))"
             ).alias(f"_q{i}"),
         ]
+        if quantiles:
+            qlist = ", ".join(f"CAST('{float(q)!r}' AS DOUBLE)" for q in quantiles)
+            aggs.append(
+                F.expr(
+                    f"approx_percentile({m}, array({qlist}), 10000)"
+                ).alias(f"_p{i}")
+            )
     row = proj.groupBy().agg(*aggs).collect()[0]
     total = int(row["_total"])
     out: List[tuple] = []
@@ -300,6 +323,12 @@ def _approx_stat_rows(
             "std": std if n > 1 else None,
         }
         out.extend((c, s, vals[s]) for s in STAT_NAMES)
+        if quantiles and n > 0:
+            ps = row[f"_p{i}"]
+            out.extend(
+                (c, _q_stat_name(q), None if p is None else int(p))
+                for q, p in zip(quantiles, ps)
+            )
     return out
 
 
@@ -309,10 +338,22 @@ def profile_columns(
     bins: int = 8,
     approx: bool = False,
     rsd: float = 0.05,
+    quantiles: Sequence[float] = (),
 ) -> DataFrame:
     """Full profile: stats block + fixed-width histograms for all
     columns. Long format (column, stat, value BIGINT) —
     ``min/max/sum/mean/std`` are micro-scaled.
+
+    ``quantiles`` (round 9 — the stat BETWEEN-rule authoring actually
+    needs): nearest-rank quantiles over the micro values, emitted as
+    ``p25``/``p50``/... rows. Exact mode derives them from the SAME
+    cached compact table (a per-column cumulative-count window — no
+    extra scan) with rank = max(1, ceil(q*n)) computed by the
+    identical IEEE multiply in both engines, so values are
+    oracle-replayable bit-for-bit. Approx mode uses
+    ``approx_percentile`` over the same single raw-scan aggregate
+    (rank error <= n/10000 — exact below 10k rows); like n_distinct,
+    approx quantiles are excluded from the bit-identity pin.
 
     EXACT mode (default — the oracle-gated spec): ONE data scan
     regardless of |cols| (plus a column-less count(*) branch for
@@ -343,7 +384,7 @@ def profile_columns(
 
     spark = df.sparkSession
     if approx:
-        stat_tuples = _approx_stat_rows(df, cols, rsd)
+        stat_tuples = _approx_stat_rows(df, cols, rsd, quantiles)
         ranges_a: Dict[str, Dict[str, int]] = {}
         for c, s, v in stat_tuples:
             if s in ("min", "max"):
@@ -434,10 +475,54 @@ def profile_columns(
                 )
                 .collect()
             )
+        q_rows: List[tuple] = []
+        if quantiles:
+            import math
+
+            from pyspark.sql import Window
+
+            n_of = {
+                r["column"]: r["value"]
+                for r in stat_rows
+                if r["stat"] == "n"
+            }
+            rank_rows = [
+                (
+                    c,
+                    _q_stat_name(q),
+                    int(max(1, math.ceil(float(q) * float(n_of[c])))),
+                )
+                for c in cols
+                if n_of.get(c)
+                for q in quantiles
+            ]
+            if rank_rows:
+                ranks_df = spark.createDataFrame(
+                    rank_rows, "column string, stat string, rank bigint"
+                )
+                wcum = (
+                    Window.partitionBy("column")
+                    .orderBy("mic")
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                q_rows = [
+                    tuple(r)
+                    for r in (
+                        compact.withColumn(
+                            "cum", F.sum("cnt").over(wcum)
+                        )
+                        .join(F.broadcast(ranks_df), "column")
+                        .filter(F.col("cum") >= F.col("rank"))
+                        .groupBy("column", "stat")
+                        .agg(F.min("mic").alias("value"))
+                        .collect()
+                    )
+                ]
     finally:
         compact.unpersist()
     return spark.createDataFrame(
-        stat_rows + hist_rows, "column string, stat string, value bigint"
+        stat_rows + q_rows + hist_rows,
+        "column string, stat string, value bigint",
     )
 
 
@@ -447,13 +532,18 @@ def profile_columns(
 
 
 def profile_oracle_sql(
-    table: str, cols: Sequence[str], bins: int = 8, where: str = "TRUE"
+    table: str,
+    cols: Sequence[str],
+    bins: int = 8,
+    where: str = "TRUE",
+    quantiles: Sequence[float] = (),
 ) -> str:
     """DuckDB replay of :func:`profile_columns` — the same micro
     scaling, DECIMAL(38,0) internals, integer division, and
     floor(sqrt(double)) finisher. The histogram min/max come from a
     scalar subquery instead of a collect (same values by
-    construction)."""
+    construction); quantiles replay the nearest-rank cumulative-count
+    definition with the identical IEEE rank arithmetic (_rank_sql)."""
     legs = []
     for c in cols:
         mic = f"CAST(floor(CAST({c} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
@@ -501,6 +591,23 @@ LEFT JOIN (
         FROM {table} WHERE {where}) mm
   WHERE {where} AND {c} IS NOT NULL
   GROUP BY 1
-) h ON h.i = b.i"""
+) h ON h.i = b.i
+WHERE (SELECT count({c}) FROM {table} WHERE {where}) > 0"""
         )
+        for q in quantiles:
+            rank = _rank_sql(
+                float(q),
+                f"(SELECT count({c}) FROM {table} WHERE {where})",
+            )
+            legs.append(
+                f"""
+SELECT '{c}' AS "column", '{_q_stat_name(float(q))}' AS stat,
+       (SELECT min(mic) FROM (
+          SELECT mic, sum(cnt) OVER (ORDER BY mic) AS cum FROM (
+            SELECT {mic} AS mic, CAST(count(*) AS BIGINT) AS cnt
+            FROM {table} WHERE {where} AND {c} IS NOT NULL GROUP BY 1
+          )
+        ) WHERE cum >= {rank}) AS value
+WHERE (SELECT count({c}) FROM {table} WHERE {where}) > 0"""
+            )
     return " UNION ALL ".join(legs)

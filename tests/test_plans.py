@@ -513,3 +513,27 @@ def test_bm25_scores_scan_count(spark, sf_dir):
     a = sorted((r[0], r[1], r[2], round(r[3], 9)) for r in lazy.collect())
     b = sorted((r[0], r[1], r[2], round(r[3], 9)) for r in mat.collect())
     assert a == b and len(a) > 0
+
+
+def test_ivf_pq_plan_one_scan_broadcast_probe(spark, sf_dir):
+    """ivf_pq_topk plan pin: the corpus is scanned ONCE (cell argmax +
+    code fold are literal projections over the same scan) and
+    candidates are selected by a BROADCAST hash join against the tiny
+    (query, probed-cell) table — never a cartesian against the corpus.
+    The one BroadcastNestedLoopJoin is the |queries| x nlist literal
+    crossJoin that scores probe cells (metadata-sized, same shape as
+    ivf_flat_topk)."""
+    from quality_spark.llm.pq import (
+        ivf_pq_topk,
+        pq_codebooks_procedural,
+        pq_queries_procedural,
+    )
+
+    books = pq_codebooks_procedural(4, 8, 16, 7)
+    qs = pq_queries_procedural(2, 64, seed=9)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(ivf_pq_topk(emb, books, qs, k=4, nprobe=2), "simple")
+    assert plan.count("FileScan parquet") == 1, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -161,3 +161,58 @@ def test_profile_sum_overflow_clamps_identically(spark):
     }
     assert want[("x", "sum")] == 9223372036854775807
     assert want[("x", "mean")] == 5_000_000_000_000_000_000
+
+
+def test_profile_quantiles_known_values_and_oracle(spark):
+    """Nearest-rank quantiles from the compact table: hand-checked
+    ranks on 1..100 (rank = max(1, ceil(q*n))), all-null column emits
+    no quantile rows, and the DuckDB oracle replays bit-for-bit."""
+    df = spark.createDataFrame(
+        [(float(i), None) for i in range(1, 101)], "x double, y double"
+    )
+    qs = (0.25, 0.5, 0.75, 0.99)
+    rows = profile_columns(df, ["x", "y"], bins=2, quantiles=qs).collect()
+    got = _as_map(rows)
+    # rank(0.25*100)=25 -> 25th smallest = 25.0 -> 25_000_000 micros
+    assert got[("x", "p25")] == 25_000_000
+    assert got[("x", "p50")] == 50_000_000
+    assert got[("x", "p75")] == 75_000_000
+    assert got[("x", "p99")] == 99_000_000
+    assert not any(
+        r["stat"].startswith("p") and r["column"] == "y" for r in rows
+    )
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}.0, NULL)" for i in range(1, 101))
+    con.execute(
+        "CREATE TABLE t AS SELECT CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y "
+        f"FROM (VALUES {vals}) v(x, y)"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            profile_oracle_sql("t", ["x", "y"], bins=2, quantiles=qs)
+        ).fetchall()
+    }
+    assert _as_map(rows) == want
+
+
+def test_profile_quantiles_approx_close_to_exact(spark, sf_dir):
+    """approx mode quantiles come from approx_percentile over the same
+    single raw-scan aggregate; with accuracy 10000 > n at sf0.001 the
+    rank error is sub-1, so values must land within one distinct micro
+    step of exact nearest-rank."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qs = (0.25, 0.5, 0.75)
+    cols = ["l_quantity", "l_discount"]
+    exact = _as_map(
+        profile_columns(li, cols, bins=2, quantiles=qs).collect()
+    )
+    approx = _as_map(
+        profile_columns(li, cols, bins=2, approx=True, quantiles=qs).collect()
+    )
+    for c in cols:
+        lo, hi = exact[(c, "min")], exact[(c, "max")]
+        step = max(1, (hi - lo) // 50)
+        for q in ("p25", "p50", "p75"):
+            assert abs(approx[(c, q)] - exact[(c, q)]) <= step, (c, q)
