@@ -619,3 +619,121 @@ def test_decode_bomb_guards():
     g[idx + 9 + 1] = 255  # byte after descriptor(10) is min_code
     with pytest.raises(ValueError):
         decode_gif(bytes(g))
+
+
+# --- round-9 ops: BM25 scoring / profiler quantiles ----------------------
+
+bm25_docs = st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=8),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=bm25_docs,
+    qwords=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=4),
+)
+def test_bm25_matches_reference_scorer(spark, docs, qwords):
+    """bm25_scores against a from-scratch Python Okapi implementation
+    on arbitrary tiny corpora (including empty docs, out-of-vocab
+    query terms, repeated terms)."""
+    import math
+
+    from quality_spark.llm.retrieval import bm25_scores
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    query = " ".join(qwords)
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_terms_matched"], r["score"])
+        for r in bm25_scores(spark, sdf, [(7, query)]).collect()
+    }
+
+    k1, b = 1.2, 0.75
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    qset = sorted(set(qwords))
+    dfreq = {t: sum(1 for d in docs if t in d) for t in qset}
+    want = {}
+    for i, d in enumerate(docs):
+        matched = [t for t in qset if t in d]
+        if not matched:
+            continue
+        s = 0.0
+        for t in sorted(matched):
+            tf = d.count(t)
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(d) / avgdl)
+            )
+        want[(7, i)] = (len(matched), s)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) <= 1e-9 * max(1.0, abs(want[k][1]))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    qs=st.lists(
+        st.sampled_from([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_profile_quantiles_nearest_rank_property(spark, vals, qs):
+    """profile_columns quantiles == sorted-multiset nearest-rank
+    (rank = max(1, ceil(q*n)) over the MICRO values) for arbitrary
+    value multisets with nulls, in BOTH exact and approx mode (approx
+    rank error is sub-1 below 10k rows, but its sketch may return a
+    neighboring rank on duplicates — allow one rank of slack there)."""
+    import math
+
+    from quality_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    mics = sorted(
+        int(math.floor(float(v) * 1e6 + 0.5)) for v in vals if v is not None
+    )
+    got_exact = {
+        r["stat"]: r["value"]
+        for r in profile_columns(df, ["x"], bins=2, quantiles=qs).collect()
+        if r["stat"].startswith("p")
+    }
+    got_approx = {
+        r["stat"]: r["value"]
+        for r in profile_columns(
+            df, ["x"], bins=2, approx=True, quantiles=qs
+        ).collect()
+        if r["stat"].startswith("p")
+    }
+    if not mics:
+        assert got_exact == {} and got_approx == {}
+        return
+    n = len(mics)
+    for q in qs:
+        rank = max(1, math.ceil(q * float(n)))
+        name = f"p{q * 100:g}"
+        assert got_exact[name] == mics[rank - 1], (q, n, mics)
+        lo = mics[max(0, rank - 2)]
+        hi = mics[min(n - 1, rank)]
+        assert lo <= got_approx[name] <= hi, (q, n, mics, got_approx[name])
