@@ -6698,26 +6698,37 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 'ivfpq' parts (round 9): the composed FAISS layout — IVF cell
     # pruning (stride-50 coarse centroids, nprobe=2) + ADC rescoring
-    # over candidates only (quality_spark/llm/pq.py:ivf_pq_topk).
-    # Both the per-query ranking AND the scaled adc doubles are
-    # hash-pinned; the oracle replays probes, cells, codes and the
-    # subspace-ordered adds bit-for-bit.
-    ivfpq = ivf_pq_topk(
-        _read(spark, sf_dir, "embeddings"), books, qs, k=5, nprobe=2
-    )
-    ivfpq_rank = ivfpq.select(
-        F.lit("ivfpq").alias("part"), "vec_id",
-        F.col("query_id").alias("k1"),
-        F.col("rank").cast("bigint").alias("v1"),
-    )
-    ivfpq_adc = ivfpq.select(
-        F.lit("ivfpq_adc").alias("part"), "vec_id",
-        F.col("query_id").alias("k1"),
-        F.expr("CAST(floor(adc * 1000000 + 0.5) AS BIGINT)").alias("v1"),
-    )
+    # over candidates only (quality_spark/llm/pq.py:ivf_pq_topk), in
+    # BOTH variants: raw-vector codes and the FAISS-default residual
+    # codes (by_residual=True). Rankings AND scaled adc doubles are
+    # hash-pinned; the oracles replay probes, cells, codes and the
+    # subspace-ordered adds bit-for-bit. cell/encode run the Arrow
+    # twins (bit-identity to the SQL folds is test-pinned);
+    # localCheckpoint shares each k x |q|-row result across its two
+    # union branches so the corpus pass runs once per variant.
+    def _ivfpq_parts(tag: str, residual: bool):
+        top = ivf_pq_topk(
+            _read(spark, sf_dir, "embeddings"), books, qs, k=5, nprobe=2,
+            by_residual=residual, encode_mode="arrow", cell_mode="arrow",
+        ).localCheckpoint(eager=False)
+        rank_leg = top.select(
+            F.lit(tag).alias("part"), "vec_id",
+            F.col("query_id").alias("k1"),
+            F.col("rank").cast("bigint").alias("v1"),
+        )
+        adc_leg = top.select(
+            F.lit(tag + "_adc").alias("part"), "vec_id",
+            F.col("query_id").alias("k1"),
+            F.expr("CAST(floor(adc * 1000000 + 0.5) AS BIGINT)").alias("v1"),
+        )
+        return rank_leg, adc_leg
+
+    ivfpq_rank, ivfpq_adc = _ivfpq_parts("ivfpq", False)
+    ivfpqr_rank, ivfpqr_adc = _ivfpq_parts("ivfpq_res", True)
     return (
         sem.unionByName(proj).unionByName(codes).unionByName(adc)
         .unionByName(ivfpq_rank).unionByName(ivfpq_adc)
+        .unionByName(ivfpqr_rank).unionByName(ivfpqr_adc)
     )
 
 
@@ -6754,6 +6765,13 @@ UNION ALL
 SELECT 'ivfpq_adc', vec_id, query_id,
        CAST(floor(adc * 1000000 + 0.5) AS BIGINT)
 FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2)})
+UNION ALL
+SELECT 'ivfpq_res', vec_id, query_id, CAST(rank AS BIGINT)
+FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, by_residual=True)})
+UNION ALL
+SELECT 'ivfpq_res_adc', vec_id, query_id,
+       CAST(floor(adc * 1000000 + 0.5) AS BIGINT)
+FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, by_residual=True)})
 """
 
 

@@ -2736,3 +2736,82 @@ def test_retrieve_hybrid_recipe_matches_manual_composition(spark, emb, sf_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_ivf_pq_residual_oracle_parity_and_modes(spark, emb, sf_dir):
+    """by_residual=True (the FAISS default): DuckDB replays cells,
+    python-selected probes, residual codes, in-SQL distance tables and
+    the subspace-ordered adds bit-for-bit; arrow cell/encode twins
+    equal the SQL folds."""
+    import duckdb
+
+    from quality_spark.llm.pq import (
+        ivf_pq_oracle_sql,
+        ivf_pq_topk,
+        pq_codebooks_procedural,
+        pq_queries_procedural,
+    )
+
+    books = pq_codebooks_procedural(4, 8, 16, 7)
+    qs = pq_queries_procedural(3, 64, seed=9)
+    sql_mode = sorted(
+        (int(r[0]), int(r[1]), r[2], int(r[3]))
+        for r in ivf_pq_topk(emb, books, qs, k=4, nprobe=3, by_residual=True)
+        .select("query_id", "vec_id", "adc", "rank")
+        .collect()
+    )
+    arrow_mode = sorted(
+        (int(r[0]), int(r[1]), r[2], int(r[3]))
+        for r in ivf_pq_topk(
+            emb, books, qs, k=4, nprobe=3, by_residual=True,
+            encode_mode="arrow", cell_mode="arrow",
+        )
+        .select("query_id", "vec_id", "adc", "rank")
+        .collect()
+    )
+    assert sql_mode == arrow_mode
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), c, int(d))
+        for a, b, c, d in con.execute(
+            ivf_pq_oracle_sql(books, qs, k=4, nprobe=3, by_residual=True)
+        ).fetchall()
+    )
+    assert sql_mode == want and len(want) == 12
+
+
+def test_ivf_pq_residual_zero_centroid_equals_raw(spark, emb):
+    """With a single all-zero centroid the residual IS the raw vector
+    and one cell covers the corpus — by_residual=True must equal
+    by_residual=False row for row (scores included)."""
+    from quality_spark.llm.pq import (
+        ivf_pq_topk,
+        pq_codebooks_procedural,
+        pq_queries_procedural,
+    )
+
+    books = pq_codebooks_procedural(4, 8, 16, 7)
+    qs = pq_queries_procedural(2, 64, seed=9)
+    zc = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id bigint, embedding array<double>"
+    )
+    res = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, books, qs, k=5, nprobe=1, centroids=zc, by_residual=True
+            ).select("query_id", "vec_id", "adc", "rank").collect(),
+        )
+    )
+    raw = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                emb, books, qs, k=5, nprobe=1, centroids=zc, by_residual=False
+            ).select("query_id", "vec_id", "adc", "rank").collect(),
+        )
+    )
+    assert res == raw and len(res) == 10
