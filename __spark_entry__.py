@@ -4021,7 +4021,13 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_frequency").cast("bigint").alias("n2"),
         F.col("tfidf").alias("v_double"),
     )
-    bm25 = bm25_scores(spark, docs, _BM25_QUERIES).select(
+    # scored once, localCheckpointed: the 'bm25' full-pairs leg and
+    # the 'bm25_topk' salted cut both read it — one scoring run, not
+    # two (the scores table is |matching pairs|, metadata-adjacent)
+    bm25_scored = bm25_scores(spark, docs, _BM25_QUERIES).localCheckpoint(
+        eager=False
+    )
+    bm25 = bm25_scored.select(
         F.lit("bm25").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.concat(F.lit("q"), F.col("query_id")).alias("key"),
@@ -4036,7 +4042,9 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rank determinism across engines holds because the bm25 'part'
     # above already hash-pins every score DOUBLE bit-for-bit, so the
     # (score DESC, doc_id) order cannot diverge.
-    topk = bm25_topk(spark, docs, _BM25_QUERIES, k=10, salted=True).select(
+    topk = bm25_topk(
+        spark, docs, _BM25_QUERIES, k=10, salted=True, scores=bm25_scored
+    ).select(
         F.lit("bm25_topk").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.concat(F.lit("q"), F.col("query_id")).alias("key"),

@@ -194,6 +194,7 @@ def bm25_topk(
     queries: Sequence[tuple[int, str]],
     k: int = 10,
     salted: bool = False,
+    scores: DataFrame | None = None,
     **kw,
 ) -> DataFrame:
     """Top-k docs per query (score DESC, doc_id ASC tiebreak).
@@ -211,11 +212,16 @@ def bm25_topk(
     IDENTICAL to the plain window: a row's global rank is >= its rank
     within any slice, so phase 1 can never evict a global top-k row.
     The driver gate runs the SALTED shape against the plain-window
-    oracle to pin that equivalence."""
+    oracle to pin that equivalence.
+
+    ``scores``: pass an already-built :func:`bm25_scores` frame to cut
+    on (callers that need both the full scores AND the top-k should
+    compute scores once — ideally persisted/localCheckpointed — and
+    hand it here instead of paying a second scoring run)."""
     from pyspark.sql import Window
 
     id_col = kw.get("id_col", "doc_id")
-    scored = bm25_scores(spark, df, queries, **kw)
+    scored = scores if scores is not None else bm25_scores(spark, df, queries, **kw)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col)
     )
