@@ -1699,7 +1699,28 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("column", F.lit(":"), "stat").alias("k"),
         F.col("value").cast("string").alias("v"),
     )
-    return er.unionByName(prof)
+    # 'profile_approx' part (round 9): the 100 TB scale mode
+    # (approx=True — no compact table, HLL n_distinct, sketch
+    # quantiles) gated on its DETERMINISTIC subset: every stat except
+    # n_distinct and the p* quantiles is bit-identical to exact mode
+    # by construction, so the same oracle rows pin the approx path's
+    # single-scan aggregate + raw-scan histograms end-to-end.
+    prof_a = (
+        profile_columns(
+            li, list(_PROFILE_COLS), bins=_PROFILE_BINS,
+            quantiles=_PROFILE_QS, approx=True,
+        )
+        .filter(
+            (F.col("stat") != "n_distinct")
+            & ~F.col("stat").startswith("p")
+        )
+        .select(
+            F.lit("profile_approx").alias("part"),
+            F.concat("column", F.lit(":"), "stat").alias("k"),
+            F.col("value").cast("string").alias("v"),
+        )
+    )
+    return er.unionByName(prof).unionByName(prof_a)
 
 
 def _oracle_expr_runner_agg() -> str:
@@ -1718,6 +1739,10 @@ SELECT 'er', '302', CAST(CAST(MIN(l_orderkey) AS BIGINT) AS VARCHAR) FROM lineit
 UNION ALL
 SELECT 'profile', "column" || ':' || stat, CAST(value AS VARCHAR)
 FROM ({prof})
+UNION ALL
+SELECT 'profile_approx', "column" || ':' || stat, CAST(value AS VARCHAR)
+FROM ({prof})
+WHERE stat != 'n_distinct' AND stat NOT LIKE 'p%'
 """
 
 
