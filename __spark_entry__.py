@@ -6758,10 +6758,25 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ivfpq_rank, ivfpq_adc = _ivfpq_parts("ivfpq", False)
     ivfpqr_rank, ivfpqr_adc = _ivfpq_parts("ivfpq_res", True)
+    # 'ivfpq_rr' (round 9): the FAISS refine stage — top-20 ADC
+    # candidates re-ranked by exact squared L2; rank + scaled l2sq
+    # both hash-pinned against the oracle's identical fold.
+    rr = ivf_pq_topk(
+        _read(spark, sf_dir, "embeddings"), books, qs, k=5, nprobe=2,
+        rerank=20, encode_mode="arrow", cell_mode="arrow",
+    ).select(
+        F.lit("ivfpq_rr").alias("part"), "vec_id",
+        F.col("query_id").alias("k1"),
+        F.expr(
+            "CAST(rank AS BIGINT) * 10000000000000"
+            " + CAST(floor(l2sq * 1000000 + 0.5) AS BIGINT)"
+        ).alias("v1"),
+    )
     return (
         sem.unionByName(proj).unionByName(codes).unionByName(adc)
         .unionByName(ivfpq_rank).unionByName(ivfpq_adc)
         .unionByName(ivfpqr_rank).unionByName(ivfpqr_adc)
+        .unionByName(rr)
     )
 
 
@@ -6805,6 +6820,11 @@ UNION ALL
 SELECT 'ivfpq_res_adc', vec_id, query_id,
        CAST(floor(adc * 1000000 + 0.5) AS BIGINT)
 FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, by_residual=True)})
+UNION ALL
+SELECT 'ivfpq_rr', vec_id, query_id,
+       CAST(rank AS BIGINT) * 10000000000000
+       + CAST(floor(l2sq * 1000000 + 0.5) AS BIGINT)
+FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, rerank=20)})
 """
 
 

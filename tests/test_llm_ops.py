@@ -2815,3 +2815,63 @@ def test_ivf_pq_residual_zero_centroid_equals_raw(spark, emb):
         )
     )
     assert res == raw and len(res) == 10
+
+
+def test_ivf_pq_rerank_refine_stage(spark, emb, sf_dir):
+    """rerank=R (the FAISS refine stage): top-R ADC candidates
+    re-ranked by EXACT squared L2. With nprobe=nlist and R=corpus the
+    result must be the exact L2 top-k; at any setting the DuckDB
+    oracle replays adc AND l2sq bit-for-bit for both variants."""
+    import duckdb
+
+    from quality_spark.llm.pq import (
+        ivf_pq_oracle_sql,
+        ivf_pq_topk,
+        pq_codebooks_procedural,
+        pq_queries_procedural,
+    )
+
+    books = pq_codebooks_procedural(4, 8, 16, 7)
+    qs = pq_queries_procedural(2, 64, seed=9)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    for residual in (False, True):
+        got = sorted(
+            (int(r[0]), int(r[1]), r[2], r[3], int(r[4]))
+            for r in ivf_pq_topk(
+                emb, books, qs, k=4, nprobe=3, rerank=20,
+                by_residual=residual,
+            ).select("query_id", "vec_id", "adc", "l2sq", "rank").collect()
+        )
+        want = sorted(
+            (int(a), int(b), c, d, int(e))
+            for a, b, c, d, e in con.execute(
+                ivf_pq_oracle_sql(
+                    books, qs, k=4, nprobe=3, rerank=20,
+                    by_residual=residual,
+                )
+            ).fetchall()
+        )
+        assert got == want and len(got) == 8, residual
+
+    # exactness at full depth: refine over every candidate IS exact L2
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    nlist = emb.filter("vec_id % 50 = 0").count()
+    got = ivf_pq_topk(
+        emb, books, qs, k=5, nprobe=nlist, rerank=len(vecs)
+    ).collect()
+    for qid, qv in qs:
+        truth = [v for _, v in sorted((l2(qv, v), vid) for vid, v in vecs.items())[:5]]
+        mine = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+        )]
+        assert truth == mine
