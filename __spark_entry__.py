@@ -4990,15 +4990,33 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"),
         "source", 3, "n_chars", "doc_id", salted=True,
     ).select(F.lit("cap").alias("part"), "doc_id", "lang", null_n)
+    # 'hh' part (round 9): bounded-memory exact top-k heavy hitters
+    # (operators/heavy.py — Misra-Gries candidates via mapInPandas +
+    # exact broadcast recount). The gate runs the BOUNDED shape
+    # (capacity=32 >= the 20 distinct sources, so MG provably retains
+    # every key and the result is exact at any scale) against the
+    # plain top-k oracle; the pruning-under-guarantee case is pinned
+    # by controlled-skew unit tests.
+    from quality_spark.operators.heavy import exact_topk_heavy_hitters
+
+    hh = exact_topk_heavy_hitters(
+        _read(spark, sf_dir, "documents"), "source", k=5, capacity=32
+    ).select(
+        F.lit("hh").alias("part"),
+        F.col("rank").cast("bigint").alias("doc_id"),
+        F.col("source").alias("lang"),
+        F.col("cnt").alias("n"),
+    )
     return (
         hash_split.unionByName(strat).unionByName(mix)
-        .unionByName(temp).unionByName(cap)
+        .unionByName(temp).unionByName(cap).unionByName(hh)
     )
 
 
 def _oracle_sampling_splits() -> str:
     from quality_spark.llm.dedup import hash60_sql
     from quality_spark.llm.sampling import cap_per_group_oracle_sql
+    from quality_spark.operators.heavy import heavy_hitters_oracle_sql
 
     th = hash60_sql(
         "('7' || ':' || coalesce(CAST(doc_id AS VARCHAR), '<NULL>'))",
@@ -5027,6 +5045,9 @@ FROM ({temp})
 UNION ALL
 SELECT 'cap', doc_id, lang, CAST(-1 AS BIGINT)
 FROM ({cap_per_group_oracle_sql("documents", "source", 3, "n_chars")})
+UNION ALL
+SELECT 'hh', CAST(rank AS BIGINT), source, cnt
+FROM ({heavy_hitters_oracle_sql("documents", "source", 5, 32)})
 """
 
 

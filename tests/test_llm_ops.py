@@ -2875,3 +2875,66 @@ def test_ivf_pq_rerank_refine_stage(spark, emb, sf_dir):
             (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
         )]
         assert truth == mine
+
+
+def test_heavy_hitters_bounded_matches_plain_under_guarantee(spark):
+    """Misra-Gries two-phase: with skewed data and capacity m, every
+    key with count > N/(m+1) is provably a candidate — the top-k cut
+    above that threshold must equal the plain groupBy shape exactly,
+    and the emitted guarantee_threshold lets the caller verify it."""
+    from quality_spark.operators.heavy import exact_topk_heavy_hitters
+
+    rows = (
+        [("a",)] * 500 + [("b",)] * 300 + [("c",)] * 100
+        + [(f"n{i}",) for i in range(50) for _ in range(2)]
+        + [(None,)] * 7
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    plain = [
+        (r["k"], r["cnt"], r["rank"])
+        for r in exact_topk_heavy_hitters(df, "k", k=2).collect()
+    ]
+    mg = exact_topk_heavy_hitters(df, "k", k=2, capacity=9).collect()
+    got = [(r["k"], r["cnt"], r["rank"]) for r in mg]
+    assert plain == got == [("a", 500, 1), ("b", 300, 2)]
+    # N=1000 non-null, m=9 -> threshold 100; both returned counts
+    # exceed it, so the result is provably complete
+    assert all(r["guarantee_threshold"] == 100 for r in mg)
+    assert all(r["cnt"] > r["guarantee_threshold"] for r in mg)
+
+
+def test_heavy_hitters_capacity_at_least_distinct_always_exact(spark, sf_dir):
+    """capacity >= per-partition distinct: MG never decrements, so the
+    bounded shape equals plain for ANY k — and the DuckDB oracle
+    replays it."""
+    import duckdb
+
+    from quality_spark.operators.heavy import (
+        exact_topk_heavy_hitters,
+        heavy_hitters_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = sorted(
+        map(tuple, exact_topk_heavy_hitters(docs, "source", k=7).collect())
+    )
+    mg = sorted(
+        map(
+            tuple,
+            exact_topk_heavy_hitters(docs, "source", k=7, capacity=32).collect(),
+        )
+    )
+    assert [p[:3] for p in plain] == [m[:3] for m in mg] and len(mg) == 7
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                heavy_hitters_oracle_sql("documents", "source", 7, 32)
+            ).fetchall(),
+        )
+    )
+    assert mg == want
