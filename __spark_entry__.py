@@ -5102,11 +5102,38 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed_tokens").alias("n"),
         F.col("doc_id").cast("bigint").alias("keeper"),
     )
-    return groups.unionByName(best).unionByName(substr)
+    # 'fuzzy' part (round 9): edit-distance similarity join
+    # (operators/fuzzy.py — q-gram prefix filter + short bucket +
+    # exact levenshtein verify). Strings derived from doc_id so
+    # near-duplicate variants exist deterministically at every sf;
+    # doc_id<300 keeps the brute-force oracle O(300^2) even at sf1.
+    from quality_spark.operators.fuzzy import edit_distance_pairs
+
+    fz_in = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("record "), (F.col("doc_id") % 25).cast("string"),
+                F.lit(" rev "), (F.col("doc_id") % 4).cast("string"),
+            ).alias("text"),
+        )
+    )
+    fuzzy = edit_distance_pairs(fz_in, max_dist=2).select(
+        F.lit("fuzzy").alias("part"),
+        F.concat(F.col("id_a"), F.lit(":"), F.col("id_b")).alias("key"),
+        F.col("dist").cast("bigint").alias("n"),
+        F.lit(-1).cast("bigint").alias("keeper"),
+    )
+    return (
+        groups.unionByName(best).unionByName(substr).unionByName(fuzzy)
+    )
 
 
 def _oracle_dedup_exact() -> str:
     from quality_spark.llm.dedup import remove_dup_substrings_oracle_sql
+    from quality_spark.operators.fuzzy import edit_distance_pairs_oracle_sql
 
     head, tail = _SUBSTR_SPAN.split("{cls}")
     built = (
@@ -5125,6 +5152,15 @@ UNION ALL
 SELECT 'substr', md5(text_dedup) || ':' || CAST(n_tokens AS VARCHAR),
        n_removed_tokens, CAST(doc_id AS BIGINT)
 FROM ({remove_dup_substrings_oracle_sql(n=8, table=built)})
+UNION ALL
+SELECT 'fuzzy', CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR),
+       CAST(dist AS BIGINT), CAST(-1 AS BIGINT)
+FROM ({edit_distance_pairs_oracle_sql(
+        "(SELECT doc_id, 'record ' || CAST(doc_id % 25 AS VARCHAR)"
+        " || ' rev ' || CAST(doc_id % 4 AS VARCHAR) AS text"
+        " FROM documents WHERE doc_id < 300)",
+        max_dist=2,
+    )})
 """
 
 

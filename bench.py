@@ -346,6 +346,7 @@ def main() -> None:
     gate_changes = {
         "tfidf_scores": "added bm25_topk salted-vs-plain-oracle leg",
         "sampling_splits": "added hh heavy-hitters leg",
+        "dedup_exact": "added fuzzy edit-distance-join leg",
         "embedding_reduce": "added 4 IVF-PQ legs (raw + residual variants)",
         "expr_runner_agg": "profile leg now emits 4 nearest-rank quantiles/col",
     }

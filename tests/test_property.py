@@ -737,3 +737,50 @@ def test_profile_quantiles_nearest_rank_property(spark, vals, qs):
         lo = mics[max(0, rank - 2)]
         hi = mics[min(n - 1, rank)]
         assert lo <= got_approx[name] <= hi, (q, n, mics, got_approx[name])
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    strs=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=9),
+        min_size=2,
+        max_size=25,
+    ),
+    t=st.integers(1, 3),
+)
+def test_edit_distance_pairs_complete_vs_bruteforce(spark, strs, t):
+    """Prefix filtering + the short bucket must surface EVERY pair
+    within distance t (completeness is the whole claim — a pruned
+    true pair is silent data corruption in a fuzzy dedup)."""
+    from quality_spark.operators.fuzzy import edit_distance_pairs
+
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, max_dist=t).collect()
+    )
+    want = sorted(
+        (i, j, _lev_ref(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev_ref(a, b) <= t
+    )
+    assert got == want
