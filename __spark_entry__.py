@@ -5007,16 +5007,32 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("lang"),
         F.col("cnt").alias("n"),
     )
+    # 'hhg' part: the grouped variant — top sources per lang, bounded
+    # shape with per-group MG sketches vs the plain per-group oracle.
+    from quality_spark.operators.heavy import grouped_topk_heavy_hitters
+
+    hhg = grouped_topk_heavy_hitters(
+        _read(spark, sf_dir, "documents"), "lang", "source", k=3, capacity=32
+    ).select(
+        F.lit("hhg").alias("part"),
+        F.col("rank").cast("bigint").alias("doc_id"),
+        F.concat("lang", F.lit("/"), "source").alias("lang"),
+        F.col("cnt").alias("n"),
+    )
     return (
         hash_split.unionByName(strat).unionByName(mix)
         .unionByName(temp).unionByName(cap).unionByName(hh)
+        .unionByName(hhg)
     )
 
 
 def _oracle_sampling_splits() -> str:
     from quality_spark.llm.dedup import hash60_sql
     from quality_spark.llm.sampling import cap_per_group_oracle_sql
-    from quality_spark.operators.heavy import heavy_hitters_oracle_sql
+    from quality_spark.operators.heavy import (
+        grouped_heavy_hitters_oracle_sql,
+        heavy_hitters_oracle_sql,
+    )
 
     th = hash60_sql(
         "('7' || ':' || coalesce(CAST(doc_id AS VARCHAR), '<NULL>'))",
@@ -5048,6 +5064,9 @@ FROM ({cap_per_group_oracle_sql("documents", "source", 3, "n_chars")})
 UNION ALL
 SELECT 'hh', CAST(rank AS BIGINT), source, cnt
 FROM ({heavy_hitters_oracle_sql("documents", "source", 5, 32)})
+UNION ALL
+SELECT 'hhg', CAST(rank AS BIGINT), lang || '/' || source, cnt
+FROM ({grouped_heavy_hitters_oracle_sql("documents", "lang", "source", 3, 32)})
 """
 
 

@@ -133,3 +133,129 @@ FROM (
   GROUP BY {key_col}
 ) WHERE rnk <= {int(k)}
 """
+
+
+def _mg_group_candidates(
+    df: DataFrame, group_col: str, key_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition, PER-GROUP Misra-Gries summaries: one independent
+    m-counter sketch per group value seen in the partition, so the
+    N_g/(m+1) guarantee holds per group (a shared counter pool would
+    let a huge group evict another group's hitters)."""
+    import pandas as pd
+
+    schema = df.select(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+    ).schema
+
+    def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches: dict = {}
+        for pdf in it:
+            sub = pdf.dropna(subset=["grp", "key"])
+            for (g, val), cnt in (
+                sub.groupby(["grp", "key"], sort=False).size().items()
+            ):
+                counters = sketches.setdefault(g, {})
+                counters[val] = counters.get(val, 0) + int(cnt)
+                if len(counters) > capacity:
+                    d = min(counters.values())
+                    sketches[g] = {
+                        k: v - d for k, v in counters.items() if v - d > 0
+                    }
+        yield pd.DataFrame(
+            {
+                "grp": [g for g, c in sketches.items() for _ in c],
+                "key": [k for c in sketches.values() for k in c],
+            }
+        )
+
+    return df.select(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+    ).mapInPandas(summarize, schema=schema)
+
+
+def grouped_topk_heavy_hitters(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 10,
+    capacity: Optional[int] = None,
+) -> DataFrame:
+    """(``group_col``, ``key_col``, cnt, rank, guarantee_threshold) —
+    the k most frequent keys WITHIN each group ("top tokens per
+    language"), counts exact, rank by (cnt DESC, key ASC) per group.
+
+    ``capacity=m`` runs the bounded-memory shape with an independent
+    MG sketch per group: exact whenever a group's true k-th count
+    exceeds N_g/(m+1) (``guarantee_threshold`` is emitted PER GROUP).
+    Shuffle volume: candidates (<= m x P x groups-per-partition), the
+    per-group top-k window keys on the group (cardinality |groups|)."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(group_col), F.col(key_col)).filter(
+        F.col(group_col).isNotNull() & F.col(key_col).isNotNull()
+    )
+    if capacity is None:
+        counted = base.groupBy(group_col, key_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        counted = counted.withColumn(
+            "guarantee_threshold", F.lit(None).cast("bigint")
+        )
+    else:
+        cand = _mg_group_candidates(
+            df, group_col, key_col, int(capacity)
+        ).distinct()
+        counted = (
+            base.join(
+                F.broadcast(
+                    cand.withColumnRenamed("grp", group_col)
+                    .withColumnRenamed("key", key_col)
+                ),
+                [group_col, key_col],
+            )
+            .groupBy(group_col, key_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        totals = base.groupBy(group_col).agg(
+            F.expr(f"count(1) DIV {int(capacity) + 1}")
+            .cast("bigint")
+            .alias("guarantee_threshold")
+        )
+        counted = counted.join(F.broadcast(totals), group_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("cnt").desc(), F.col(key_col)
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select(group_col, key_col, "cnt", "rank", "guarantee_threshold")
+    )
+
+
+def grouped_heavy_hitters_oracle_sql(
+    table: str,
+    group_col: str,
+    key_col: str,
+    k: int = 10,
+    capacity: Optional[int] = None,
+) -> str:
+    """DuckDB replay of :func:`grouped_topk_heavy_hitters` (the
+    per-group threshold is the windowed sum of per-key counts —
+    exactly N_g — integer-divided like the Spark DIV)."""
+    return f"""
+SELECT {group_col}, {key_col}, cnt, CAST(rnk AS INT) AS rank,
+       guarantee_threshold
+FROM (
+  SELECT {group_col}, {key_col}, CAST(count(*) AS BIGINT) AS cnt,
+         row_number() OVER (
+           PARTITION BY {group_col} ORDER BY count(*) DESC, {key_col}
+         ) AS rnk,
+         {'CAST(NULL AS BIGINT)' if capacity is None else
+          f'CAST(sum(count(*)) OVER (PARTITION BY {group_col}) // {int(capacity) + 1} AS BIGINT)'}
+         AS guarantee_threshold
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {key_col} IS NOT NULL
+  GROUP BY {group_col}, {key_col}
+) WHERE rnk <= {int(k)}
+"""

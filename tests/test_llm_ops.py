@@ -2938,3 +2938,64 @@ def test_heavy_hitters_capacity_at_least_distinct_always_exact(spark, sf_dir):
         )
     )
     assert mg == want
+
+
+def test_grouped_heavy_hitters_guarantee_and_oracle(spark, sf_dir):
+    """Per-group MG sketches: the bounded shape equals plain per-group
+    top-k when each group's k-th count clears its own N_g/(m+1)
+    threshold (emitted per group), and the DuckDB oracle replays it."""
+    import duckdb
+
+    from quality_spark.operators.heavy import (
+        grouped_heavy_hitters_oracle_sql,
+        grouped_topk_heavy_hitters,
+    )
+
+    rows = (
+        [("g1", "a")] * 200 + [("g1", "b")] * 100
+        + [("g1", f"x{i}") for i in range(40)]
+        + [("g2", "z")] * 50 + [("g2", "y")] * 30
+        + [("g2", f"w{i}") for i in range(20)]
+        + [(None, "a"), ("g1", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, k string").repartition(6)
+    plain = sorted(
+        map(tuple, grouped_topk_heavy_hitters(df, "g", "k", k=2).collect())
+    )
+    mg = sorted(
+        map(
+            tuple,
+            grouped_topk_heavy_hitters(df, "g", "k", k=2, capacity=5).collect(),
+        )
+    )
+    assert [p[:4] for p in plain] == [m[:4] for m in mg]
+    # per-group thresholds: g1 has 340 rows -> 340 DIV 6 = 56;
+    # g2 has 100 -> 16; every returned count clears its own threshold
+    got = {(r[0], r[1]): r for r in mg}
+    assert got[("g1", "a")][4] == 56 and got[("g2", "z")][4] == 16
+    assert all(r[2] > r[4] for r in mg)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mg2 = sorted(
+        map(
+            tuple,
+            grouped_topk_heavy_hitters(
+                docs, "lang", "source", k=3, capacity=32
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                grouped_heavy_hitters_oracle_sql(
+                    "documents", "lang", "source", 3, 32
+                )
+            ).fetchall(),
+        )
+    )
+    assert mg2 == want and len(mg2) > 0
