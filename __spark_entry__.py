@@ -5019,16 +5019,31 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("lang", F.lit("/"), "source").alias("lang"),
         F.col("cnt").alias("n"),
     )
+    # 'wsample' part (round 9): Efraimidis-Spirakis weighted sampling
+    # without replacement (llm/sampling.py:weighted_sample) — the
+    # exponential-race order is deterministic in (seed, keys, weights)
+    # and the oracle replays the exact drawn set + order.
+    from quality_spark.llm.sampling import weighted_sample
+
+    ws = weighted_sample(
+        _read(spark, sf_dir, "documents"), "n_chars", 25, "doc_id", seed=11
+    ).select(
+        F.lit("wsample").alias("part"), "doc_id", "lang",
+        F.col("sample_rank").cast("bigint").alias("n"),
+    )
     return (
         hash_split.unionByName(strat).unionByName(mix)
         .unionByName(temp).unionByName(cap).unionByName(hh)
-        .unionByName(hhg)
+        .unionByName(hhg).unionByName(ws)
     )
 
 
 def _oracle_sampling_splits() -> str:
     from quality_spark.llm.dedup import hash60_sql
-    from quality_spark.llm.sampling import cap_per_group_oracle_sql
+    from quality_spark.llm.sampling import (
+        cap_per_group_oracle_sql,
+        weighted_sample_oracle_sql,
+    )
     from quality_spark.operators.heavy import (
         grouped_heavy_hitters_oracle_sql,
         heavy_hitters_oracle_sql,
@@ -5067,6 +5082,11 @@ FROM ({heavy_hitters_oracle_sql("documents", "source", 5, 32)})
 UNION ALL
 SELECT 'hhg', CAST(rank AS BIGINT), lang || '/' || source, cnt
 FROM ({grouped_heavy_hitters_oracle_sql("documents", "lang", "source", 3, 32)})
+UNION ALL
+SELECT 'wsample', doc_id, lang, CAST(sample_rank AS BIGINT)
+FROM ({weighted_sample_oracle_sql(
+        "documents", "n_chars", 25, "doc_id", 11, columns="doc_id, lang"
+    )})
 """
 
 

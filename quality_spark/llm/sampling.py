@@ -241,3 +241,84 @@ SELECT * EXCLUDE (_rk) FROM (
   FROM {table}
 ) WHERE _rk <= {cap}
 """
+
+
+def _es_score_sql(
+    key_sql: str, weight_sql: str, seed: int, dialect: str
+) -> str:
+    """Efraimidis-Spirakis exponential-race score: -ln(u)/w with u a
+    deterministic uniform in (0,1) from the portable 60-bit hash
+    (never exactly 0 or 1 — the +0.5 centers the million buckets).
+    Smaller score = earlier finisher = sampled first. Identical
+    expression tree in both engines; ln agrees bit-for-bit on
+    identical doubles (same empirically-pinned property the BM25 idf
+    gate relies on)."""
+    if dialect == "spark":
+        key = (
+            f"concat('{seed}', ':', "
+            f"coalesce(CAST(({key_sql}) AS STRING), '<NULL>'))"
+        )
+    else:
+        key = (
+            f"('{seed}' || ':' || "
+            f"coalesce(CAST(({key_sql}) AS VARCHAR), '<NULL>'))"
+        )
+    h = hash60_sql(key, dialect, "portable")
+    u = f"((CAST(({h}) % {_DENOM} AS DOUBLE) + 0.5) / {_DENOM}.0)"
+    return f"(-ln({u}) / CAST(({weight_sql}) AS DOUBLE))"
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — exactly
+    ``n`` rows (fewer only if fewer qualify), inclusion odds
+    proportional to ``weight_col``: the Efraimidis & Spirakis 2006
+    one-pass reservoir order (public: "Weighted random sampling with
+    a reservoir", IPL) rephrased declaratively. Each row gets an
+    exponential race time -ln(u)/w from a seeded per-key uniform;
+    the n smallest win — provably equivalent to sequential weighted
+    draws without replacement.
+
+    Rows with NULL or non-positive weight never qualify. One narrow
+    projection + a TakeOrdered top-n (k rows per partition merge —
+    no global sort, no full shuffle); the mix-building counterpart to
+    ``hash_sample``'s fixed-rate cut. Deterministic in (seed, keys,
+    weights), so the DuckDB oracle replays the exact sample; emitted
+    ``sample_rank`` is the race order (the first ``m <= n`` rows ARE
+    the size-m sample — nested samples for free)."""
+    from pyspark.sql import Window
+
+    score = F.expr(_es_score_sql(key_col, weight_col, seed, "spark"))
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es", score)
+    top = eligible.orderBy(F.col("__es"), F.col(key_col)).limit(int(n))
+    w = Window.orderBy(F.col("__es"), F.col(key_col))
+    return (
+        top.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .drop("__es")
+    )
+
+
+def weighted_sample_oracle_sql(
+    table: str,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    columns: str = "*",
+) -> str:
+    """DuckDB replay of :func:`weighted_sample`."""
+    score = _es_score_sql(key_col, weight_col, seed, "duckdb")
+    return f"""
+SELECT {columns}, CAST(rnk AS INT) AS sample_rank FROM (
+  SELECT *, row_number() OVER (ORDER BY {score}, {key_col}) AS rnk
+  FROM {table}
+  WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+) WHERE rnk <= {int(n)}
+"""

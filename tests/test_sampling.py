@@ -345,3 +345,54 @@ def test_cap_per_group_tie_break_by_id(spark):
     )
     kept = cap_per_group(df, "grp", 3, "score", "doc_id")
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2]
+
+
+def test_weighted_sample_es_properties(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling: exact n rows, DuckDB
+    replay bit-equal, nested-sample property (the first m of a size-n
+    sample IS the size-m sample), non-positive/NULL weights excluded,
+    and an overwhelming weight is always drawn first."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from quality_spark.llm.sampling import (
+        weighted_sample,
+        weighted_sample_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s20 = weighted_sample(docs, "n_chars", 20, "doc_id", seed=11)
+    got = sorted((r["doc_id"], r["sample_rank"]) for r in s20.collect())
+    assert len(got) == 20
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b))
+        for a, b in con.execute(
+            weighted_sample_oracle_sql(
+                "documents", "n_chars", 20, "doc_id", 11, columns="doc_id"
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+    s10 = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in weighted_sample(docs, "n_chars", 10, "doc_id", seed=11).collect()
+    )
+    assert s10 == sorted(x for x in got if x[1] <= 10)
+
+    mixed = docs.withColumn(
+        "w",
+        F.when(F.col("doc_id") == 42, 1e12)
+        .when(F.col("doc_id") % 5 == 0, None)
+        .when(F.col("doc_id") % 7 == 0, -1.0)
+        .otherwise(F.col("n_chars").cast("double")),
+    )
+    sb = weighted_sample(mixed, "w", 5, "doc_id", seed=3).collect()
+    ids = {r["doc_id"] for r in sb}
+    assert 42 in ids and len(sb) == 5
+    assert all(i % 5 != 0 or i == 42 for i in ids)  # NULL-weight rows out
