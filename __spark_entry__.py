@@ -5031,10 +5031,21 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("wsample").alias("part"), "doc_id", "lang",
         F.col("sample_rank").cast("bigint").alias("n"),
     )
+    # 'wsample_g': the per-group ES cut, run in the SALTED shape
+    # against the plain-window oracle (composition over cap_per_group
+    # inherits its result-identity proof).
+    from quality_spark.llm.sampling import weighted_sample_per_group
+
+    wsg = weighted_sample_per_group(
+        _read(spark, sf_dir, "documents"), "lang", "n_chars", 4,
+        "doc_id", seed=5, salted=True,
+    ).select(
+        F.lit("wsample_g").alias("part"), "doc_id", "lang", null_n
+    )
     return (
         hash_split.unionByName(strat).unionByName(mix)
         .unionByName(temp).unionByName(cap).unionByName(hh)
-        .unionByName(hhg).unionByName(ws)
+        .unionByName(hhg).unionByName(ws).unionByName(wsg)
     )
 
 
@@ -5043,6 +5054,7 @@ def _oracle_sampling_splits() -> str:
     from quality_spark.llm.sampling import (
         cap_per_group_oracle_sql,
         weighted_sample_oracle_sql,
+        weighted_sample_per_group_oracle_sql,
     )
     from quality_spark.operators.heavy import (
         grouped_heavy_hitters_oracle_sql,
@@ -5086,6 +5098,12 @@ UNION ALL
 SELECT 'wsample', doc_id, lang, CAST(sample_rank AS BIGINT)
 FROM ({weighted_sample_oracle_sql(
         "documents", "n_chars", 25, "doc_id", 11, columns="doc_id, lang"
+    )})
+UNION ALL
+SELECT 'wsample_g', doc_id, lang, CAST(-1 AS BIGINT)
+FROM ({weighted_sample_per_group_oracle_sql(
+        "documents", "lang", "n_chars", 4, "doc_id", 5,
+        columns="doc_id, lang",
     )})
 """
 

@@ -322,3 +322,51 @@ SELECT {columns}, CAST(rnk AS INT) AS sample_rank FROM (
   WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
 ) WHERE rnk <= {int(n)}
 """
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    salted: bool = False,
+) -> DataFrame:
+    """Weighted sampling without replacement WITHIN each group —
+    "n docs per language, odds by quality score": the same
+    Efraimidis-Spirakis race as :func:`weighted_sample`, cut per
+    group. Implemented as a composition over :func:`cap_per_group`
+    (negated race time, descending), so the skew-proof
+    ``salted=True`` two-phase shape and its result-identity proof
+    carry over unchanged. Rows with NULL/non-positive weight never
+    qualify."""
+    score = F.expr(_es_score_sql(key_col, weight_col, seed, "spark"))
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es_neg", -score)
+    return cap_per_group(
+        eligible, group_col, int(n), "__es_neg", key_col, salted=salted
+    ).drop("__es_neg")
+
+
+def weighted_sample_per_group_oracle_sql(
+    table: str,
+    group_col: str,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    columns: str = "*",
+) -> str:
+    """DuckDB replay of :func:`weighted_sample_per_group`."""
+    score = _es_score_sql(key_col, weight_col, seed, "duckdb")
+    return f"""
+SELECT {columns} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group_col} ORDER BY {score}, {key_col}
+  ) AS _rk
+  FROM {table}
+  WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+) WHERE _rk <= {int(n)}
+"""

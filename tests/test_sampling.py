@@ -396,3 +396,47 @@ def test_weighted_sample_es_properties(spark, sf_dir):
     ids = {r["doc_id"] for r in sb}
     assert 42 in ids and len(sb) == 5
     assert all(i % 5 != 0 or i == 42 for i in ids)  # NULL-weight rows out
+
+
+def test_weighted_sample_per_group_salted_and_oracle(spark, sf_dir):
+    """Per-group ES sampling: exactly n per group, salted two-phase
+    identical to plain, DuckDB replay bit-equal."""
+    import duckdb
+
+    from quality_spark.llm.sampling import (
+        weighted_sample_per_group,
+        weighted_sample_per_group_oracle_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = sorted(
+        (r["lang"], r["doc_id"])
+        for r in weighted_sample_per_group(
+            docs, "lang", "n_chars", 4, "doc_id", seed=5
+        ).collect()
+    )
+    salted = sorted(
+        (r["lang"], r["doc_id"])
+        for r in weighted_sample_per_group(
+            docs, "lang", "n_chars", 4, "doc_id", seed=5, salted=True
+        ).collect()
+    )
+    assert plain == salted
+    import collections
+
+    per = collections.Counter(g for g, _ in plain)
+    assert all(v == 4 for v in per.values())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        (a, int(b))
+        for a, b in con.execute(
+            weighted_sample_per_group_oracle_sql(
+                "documents", "lang", "n_chars", 4, "doc_id", 5,
+                columns="lang, doc_id",
+            )
+        ).fetchall()
+    )
+    assert plain == want
