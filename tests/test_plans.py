@@ -537,3 +537,29 @@ def test_ivf_pq_plan_one_scan_broadcast_probe(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_heavy_hitters_plan_takeordered_not_global_window(spark, sf_dir):
+    """The final cut must be TakeOrdered (k rows per partition merge),
+    never a global row_number window that sorts the whole counted
+    table in one task."""
+    from quality_spark.operators.heavy import exact_topk_heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(exact_topk_heavy_hitters(docs, "source", k=5, capacity=32))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_fuzzy_join_plan_no_cartesian(spark, sf_dir):
+    """edit_distance_pairs: candidate generation is equi-joins on
+    (gram, occ) — never a CartesianProduct. (The short bucket's
+    non-equi join broadcasts a length-bounded side, shown as a
+    BroadcastNestedLoopJoin — allowed, it can only hold strings of
+    length <= q*t+t.)"""
+    from quality_spark.operators.fuzzy import edit_distance_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(edit_distance_pairs(docs, max_dist=2))
+    assert "CartesianProduct" not in plan, plan[:1500]
