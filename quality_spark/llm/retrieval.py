@@ -472,12 +472,15 @@ def retrieve(
     depth: int = 50,
     rrf_k: int = 60,
     lexical: str = "bm25",
+    semantic: str = "exact",
     text_col: str = "text",
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     salted: bool = False,
     materialize: bool = False,
+    nprobe: int = 2,
+    centroid_stride: int = 50,
 ) -> DataFrame:
     """End-to-end HYBRID retrieval — the composition a training-data
     pipeline actually runs: a lexical ranked list (BM25 by default,
@@ -506,8 +509,11 @@ def retrieve(
     broadcasts the query vectors so the embedding scan is one pass;
     both lists are top-``depth`` cut BEFORE fusion, so ``rrf_fuse``
     touches |queries| x depth x 2 rows — metadata. ``salted=True``
-    applies the skew-proof two-phase top-k on the lexical side."""
-    from .similarity import cosine_topk
+    applies the skew-proof two-phase top-k on the lexical side.
+    ``semantic='ivf'`` swaps the exact cosine scan for IVF-Flat ANN
+    (`similarity.ivf_flat_topk` — nprobe/centroid_stride tune the
+    recall/cost point): the 100 TB semantic path, same output shape."""
+    from .similarity import cosine_topk, ivf_flat_topk
 
     if lexical == "matched_terms":
         lex = matched_terms_rank(
@@ -524,13 +530,25 @@ def retrieve(
             id_col=id_col,
             materialize=materialize,
         )
-    sem = cosine_topk(
-        embeddings,
-        query_vectors,
-        k=depth,
-        id_col=vec_id_col,
-        vec_col=vec_col,
-    ).select(
+    if semantic == "ivf":
+        sem_ranked = ivf_flat_topk(
+            embeddings,
+            query_vectors,
+            k=depth,
+            nprobe=nprobe,
+            centroid_stride=centroid_stride,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+        )
+    else:
+        sem_ranked = cosine_topk(
+            embeddings,
+            query_vectors,
+            k=depth,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+        )
+    sem = sem_ranked.select(
         "query_id", F.col("neighbor_id").alias(id_col), "rank"
     )
     return rrf_fuse(

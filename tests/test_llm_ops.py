@@ -2999,3 +2999,40 @@ def test_grouped_heavy_hitters_guarantee_and_oracle(spark, sf_dir):
         )
     )
     assert mg2 == want and len(mg2) > 0
+
+
+def test_retrieve_ivf_semantic_path(spark, emb, sf_dir):
+    """retrieve(semantic='ivf') fuses the SAME lexical list with the
+    IVF-Flat ANN ranking — must equal the hand-wired composition."""
+    from quality_spark.llm.retrieval import bm25_topk, retrieve, rrf_fuse
+    from quality_spark.llm.similarity import ivf_flat_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    qs = [(1, "spark join shuffle")]
+    qvec = emb.filter(F.col("vec_id") == 1)
+    got = sorted(
+        map(
+            tuple,
+            retrieve(
+                spark, docs, emb, qs, qvec, k=8, depth=15,
+                semantic="ivf", nprobe=3,
+            ).collect(),
+        )
+    )
+    lex = bm25_topk(spark, docs, qs, k=15)
+    sem = ivf_flat_topk(emb, qvec, k=15, nprobe=3).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    want = sorted(
+        map(
+            tuple,
+            rrf_fuse(
+                {"lex": lex.select("query_id", "doc_id", "rank"), "sem": sem},
+                k=60,
+                top=8,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
