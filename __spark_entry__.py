@@ -1826,6 +1826,52 @@ WHERE jaccard >= 0.0
 """
 
 
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard join (operators/fuzzy.py
+    jaccard_pairs — AllPairs/PPJoin-style rarity-order prefix filter,
+    exact |∩|/|∪| verify; the deterministic-threshold sibling of the
+    LSH path). Inputs are engineered near-dup groups: 8 shared tokens
+    per (doc_id % 12) group + the doc's own first 40 chars, so true
+    pairs exist at every sf while cross-group jaccard stays below the
+    threshold. doc_id < 250 keeps the brute-force oracle O(250²)."""
+    from quality_spark.operators.fuzzy import jaccard_pairs
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("alpha"), (F.col("doc_id") % 12).cast("string"),
+                F.lit(" bravo"), (F.col("doc_id") % 12).cast("string"),
+                F.lit(" charlie"), (F.col("doc_id") % 12).cast("string"),
+                F.lit(" delta"), (F.col("doc_id") % 12).cast("string"),
+                F.lit(" echo"), (F.col("doc_id") % 12).cast("string"),
+                F.lit(" foxtrot"), (F.col("doc_id") % 12).cast("string"),
+                F.lit(" golf"), (F.col("doc_id") % 12).cast("string"),
+                F.lit(" hotel"), (F.col("doc_id") % 12).cast("string"),
+                F.lit(" "), F.substring("text", 1, 40),
+            ).alias("text"),
+        )
+    )
+    return jaccard_pairs(docs, k=3, threshold=0.25)
+
+
+def _oracle_jaccard_prefix() -> str:
+    from quality_spark.operators.fuzzy import jaccard_pairs_oracle_sql
+
+    g = "CAST(doc_id % 12 AS VARCHAR)"
+    built = (
+        "(SELECT doc_id, 'alpha' || " + g + " || ' bravo' || " + g
+        + " || ' charlie' || " + g + " || ' delta' || " + g
+        + " || ' echo' || " + g + " || ' foxtrot' || " + g
+        + " || ' golf' || " + g + " || ' hotel' || " + g
+        + " || ' ' || substr(text, 1, 40) AS text"
+        " FROM documents WHERE doc_id < 250) jb"
+    )
+    return jaccard_pairs_oracle_sql(built, k=3, threshold=0.25)
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) via chunk banding — the
     pigeonhole guarantee makes banding EXACT for the threshold, so the
@@ -5323,7 +5369,21 @@ def q_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("v_long"),
         F.col("jaccard").alias("v_double"),
     )
-    return sigs.unionByName(pairs).unionByName(ingest).unionByName(jacc)
+    # 'jpre' part (round 9): prefix-filtered exact Jaccard join — the
+    # brute-force oracle verifies COMPLETENESS of the prefix filter
+    # (a pruned true pair would show as a missing row)
+    jpre = q_jaccard_prefix(spark, sf_dir).select(
+        F.lit("jpre").alias("part"),
+        "id_a", "id_b",
+        F.lit(-1).cast("bigint").alias("v_long"),
+        F.col("jaccard").alias("v_double"),
+    )
+    return (
+        sigs.unionByName(pairs)
+        .unionByName(ingest)
+        .unionByName(jacc)
+        .unionByName(jpre)
+    )
 
 
 def _oracle_minhash_pipeline() -> str:
@@ -5340,6 +5400,9 @@ FROM ({_oracle_minhash_index_ingest()})
 UNION ALL
 SELECT 'jacc', id_a, id_b, CAST(-1 AS BIGINT), jaccard
 FROM ({_oracle_ngram_jaccard()})
+UNION ALL
+SELECT 'jpre', id_a, id_b, CAST(-1 AS BIGINT), jaccard
+FROM ({_oracle_jaccard_prefix()})
 """
 
 
@@ -7131,6 +7194,7 @@ def query_legs() -> dict:
             "pair": q_minhash_lsh_near_dup,
             "ingest": q_minhash_index_ingest,
             "jacc": q_ngram_jaccard,
+            "jpre": q_jaccard_prefix,
         },
         "doc_ingest_suite": {
             "csv": q_csv_ingest,

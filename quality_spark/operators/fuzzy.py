@@ -164,6 +164,142 @@ def edit_distance_pairs(
     )
 
 
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — every pair with exact k-shingle Jaccard
+    ``>= threshold`` WITHOUT the all-pairs join, via prefix filtering
+    under a global token-rarity order (the AllPairs/PPJoin family —
+    Bayardo, Ma, Srikant, WWW 2007; Xiao et al., WWW 2008). This is
+    the EXACT-threshold sibling of ``minhash_lsh_pairs`` (probabilistic
+    recall) and of ``edit_distance_pairs`` (same prefix-filter
+    machinery, edit-distance semantics); use it when missed near-dups
+    are not acceptable and the threshold is known.
+
+    Shape (complete by construction — filters only prune provably-far
+    pairs; every candidate is verified exactly):
+
+    1. Shingle sets via the shared ``with_shingles`` projection
+       (distinct word k-grams; empty sets — empty/whitespace-only or
+       NULL docs — never pair, matching ``ngram_jaccard_pairs``).
+    2. Global rarity order: corpus frequency asc, shingle asc. Each
+       set of size ``n`` posts only its first ``n − ceil(τ·n) + 1``
+       shingles (its PREFIX): J(x,y) ≥ τ forces
+       ``|x∩y| ≥ τ·|x∪y| ≥ τ·max(|x|,|y|)``, so by the prefix-filter
+       lemma the two prefixes under one total order must intersect.
+       Frequent shingles rarely make a prefix — the rare-first order
+       is what keeps posting lists short at corpus scale.
+    3. Candidates: inverted-index self-join over prefix shingles with
+       the size filter ``min(n_a,n_b) ≥ ceil(τ·max(n_a,n_b))`` (an
+       integer ≥ a real iff ≥ its ceil; the float ceil can only
+       UNDER-estimate the real bound — an integer boundary is itself
+       a double, so the nearest-double product never crosses it
+       upward — hence never over-prunes).
+    4. VERIFY: join the shingle arrays back and compute exact
+       ``|∩|/|∪|``; the emitted jaccard is the exact value, identical
+       in both engines (one correctly-rounded int/int divide).
+
+    100 TB: one corpus-sized shuffle for the frequency join + rank
+    window, posting lists bounded by prefix length, candidate dedup
+    shuffles candidate volume only; no cross join anywhere
+    (plan-pinned). Skew guard: a shingle shared by f prefixes emits
+    O(f²) candidates — at web scale pre-drop boilerplate shingles or
+    raise ``k``; rarity ordering already makes such shingles the LAST
+    to enter any prefix."""
+    from pyspark.sql import Window
+
+    from quality_spark.llm.dedup import with_shingles
+
+    tau = float(threshold)
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = (
+        with_shingles(
+            df.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+            ).filter(F.col("__t").isNotNull()),
+            "__t",
+            k,
+            out="sh",
+        )
+        .select("id", "sh", F.size("sh").cast("int").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    toks = sets.select("id", "n", F.explode("sh").alias("tok"))
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    wrank = Window.partitionBy("id").orderBy(F.col("freq"), F.col("tok"))
+    prefix = (
+        toks.join(freq, "tok")
+        .withColumn("_r", F.row_number().over(wrank))
+        .filter(
+            F.col("_r")
+            <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + F.lit(1)
+        )
+        .select("id", "n", "tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.select(
+                F.col("id").alias("id_b"), F.col("n").alias("n_b"), "tok"
+            ).alias("b"),
+            "tok",
+        )
+        .filter(F.col("a.id") < F.col("id_b"))
+        .filter(
+            F.least(F.col("a.n"), F.col("n_b"))
+            >= F.ceil(F.lit(tau) * F.greatest(F.col("a.n"), F.col("n_b")))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("_shb"))
+    jac = (
+        F.size(F.array_intersect("_sha", "_shb"))
+        / F.size(F.array_union("_sha", "_shb"))
+    ).alias("jaccard")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+def jaccard_pairs_oracle_sql(
+    table_expr: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """Brute-force DuckDB replay: all-pairs exact k-shingle Jaccard
+    with the same shingle definition (``shingles_sql`` duckdb dialect)
+    — O(n²), for gate-sized subsets. Empty shingle sets divide 0/0 →
+    NULL and fall out of the threshold filter, exactly like the Spark
+    side's ``n > 0`` guard."""
+    from quality_spark.llm.dedup import shingles_sql
+
+    sh = shingles_sql(text_col, k, "duckdb")
+    return f"""
+WITH d AS (SELECT {id_col} AS id, {sh} AS sh FROM {table_expr}
+           WHERE {text_col} IS NOT NULL)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+  FROM d a JOIN d b ON a.id < b.id)
+WHERE jaccard >= {float(threshold)!r}
+"""
+
+
 def edit_distance_pairs_oracle_sql(
     table_expr: str,
     text_col: str = "text",

@@ -563,3 +563,17 @@ def test_fuzzy_join_plan_no_cartesian(spark, sf_dir):
     )
     plan = _plan(edit_distance_pairs(docs, max_dist=2))
     assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_jaccard_pairs_plan_no_cartesian(spark, sf_dir):
+    """jaccard_pairs: candidate generation is an equi-join on prefix
+    shingles — never a CartesianProduct (the whole point of the
+    prefix filter vs the brute-force ngram_jaccard_pairs)."""
+    from quality_spark.operators.fuzzy import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(jaccard_pairs(docs, k=3, threshold=0.5))
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]

@@ -784,3 +784,58 @@ def test_edit_distance_pairs_complete_vs_bruteforce(spark, strs, t):
         if i < j and _lev_ref(a, b) <= t
     )
     assert got == want
+
+
+def _jaccard_ref(rows, k, tau):
+    """Pure-python shingle-set Jaccard brute force (k word-grams,
+    distinct; empty sets never pair — matching the operator spec)."""
+    import re
+
+    def sh(text):
+        toks = [t for t in re.split(r"\s+", text) if t != ""]
+        if not toks:
+            return frozenset()
+        n = max(len(toks) - k + 1, 1)
+        return frozenset(" ".join(toks[i : i + k]) for i in range(n))
+
+    sets = [(i, sh(s)) for i, s in rows if s is not None]
+    out = []
+    for x, (i, a) in enumerate(sets):
+        for j, b in sets[x + 1 :]:
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= tau:
+                out.append((min(i, j), max(i, j), round(jac, 12)))
+    return sorted(out)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    strs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=14),
+        min_size=2,
+        max_size=20,
+    ),
+    tau=st.sampled_from([0.2, 0.5, 0.8, 1.0]),
+    k=st.integers(1, 3),
+)
+def test_jaccard_pairs_complete_vs_bruteforce(spark, strs, tau, k):
+    """Prefix filtering must surface EVERY pair with jaccard >= tau
+    (completeness is the whole claim), and the emitted jaccard must be
+    the exact |∩|/|∪| — checked against a from-scratch python
+    reference including empty/whitespace-only texts (excluded) and
+    tiny alphabets that force shared-shingle skew."""
+    from quality_spark.operators.fuzzy import jaccard_pairs
+
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in jaccard_pairs(df, k=k, threshold=tau).collect()
+    )
+    assert got == _jaccard_ref(rows, k, tau)
