@@ -1720,7 +1720,32 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("string").alias("v"),
         )
     )
-    return er.unionByName(prof).unionByName(prof_a)
+    # 'profile_shard' part (round 9): mergeable shard artifacts — the
+    # corpus profiled as TWO disjoint shards (l_orderkey parity),
+    # merged WITHOUT rescanning, must reproduce the whole-table
+    # profile bit-for-bit; the oracle never shards, so the merge
+    # algebra itself is what's gated.
+    from quality_spark.operators.profile import (
+        profile_from_shards,
+        profile_shard,
+    )
+
+    sh = [
+        profile_shard(
+            li.filter(F.col("l_orderkey") % 2 == p), list(_PROFILE_COLS)
+        )
+        for p in (0, 1)
+    ]
+    prof_s = profile_from_shards(
+        sh, list(_PROFILE_COLS), bins=_PROFILE_BINS, quantiles=_PROFILE_QS
+    ).select(
+        F.lit("profile_shard").alias("part"),
+        F.concat("column", F.lit(":"), "stat").alias("k"),
+        F.col("value").cast("string").alias("v"),
+    )
+    return (
+        er.unionByName(prof).unionByName(prof_a).unionByName(prof_s)
+    )
 
 
 def _oracle_expr_runner_agg() -> str:
@@ -1743,6 +1768,9 @@ UNION ALL
 SELECT 'profile_approx', "column" || ':' || stat, CAST(value AS VARCHAR)
 FROM ({prof})
 WHERE stat != 'n_distinct' AND stat NOT LIKE 'p%'
+UNION ALL
+SELECT 'profile_shard', "column" || ':' || stat, CAST(value AS VARCHAR)
+FROM ({prof})
 """
 
 

@@ -136,7 +136,22 @@ def _stats_long(df: DataFrame, compact: DataFrame, cols: Sequence[str]) -> DataF
     footer-cheap count branch. Same DIV / floor(sqrt(double))
     finishers as the oracle, so values are bit-identical."""
     spark = df.sparkSession
-    per_col = compact.groupBy("column").agg(
+    per_col = _per_col_aggs(compact)
+    total = F.broadcast(
+        df.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("_total"))
+    )
+    all_cols = spark.createDataFrame([(c,) for c in cols], "column string")
+    joined = all_cols.join(per_col, "column", "left").crossJoin(total)
+    n = "coalesce(_n, CAST(0 AS BIGINT))"
+    return _stat_rows_select(joined, n, f"_total - {n}")
+
+
+def _per_col_aggs(compact: DataFrame) -> DataFrame:
+    """The per-column stat accumulators over a (column, mic, cnt)
+    frequency table (null-mic rows must be filtered out first) —
+    shared by the single-frame and the merged-shards paths, so the
+    two are bit-identical by construction."""
+    return compact.groupBy("column").agg(
         F.expr("CAST(sum(cnt) AS BIGINT)").alias("_n"),
         F.expr("CAST(count(*) AS BIGINT)").alias("_dist"),
         F.expr("min(mic)").alias("_min"),
@@ -150,12 +165,12 @@ def _stats_long(df: DataFrame, compact: DataFrame, cols: Sequence[str]) -> DataF
             " * CAST(cnt AS DECIMAL(38,0))) AS DECIMAL(38,0))"
         ).alias("_dssq"),
     )
-    total = F.broadcast(
-        df.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("_total"))
-    )
-    all_cols = spark.createDataFrame([(c,) for c in cols], "column string")
-    joined = all_cols.join(per_col, "column", "left").crossJoin(total)
-    n = "coalesce(_n, CAST(0 AS BIGINT))"
+
+
+def _stat_rows_select(joined: DataFrame, n: str, n_null: str) -> DataFrame:
+    """(column, stat, value) from a joined accumulator frame — the
+    DIV / floor(sqrt(double)) finishers shared by every exact path
+    (single frame, merged shards) and mirrored by the oracle."""
     std = (
         f"CASE WHEN {n} > 1 AND {_std_safe_sql('_dsum', '_dssq', n)} "
         f"THEN CAST(floor(sqrt("
@@ -167,7 +182,7 @@ def _stats_long(df: DataFrame, compact: DataFrame, cols: Sequence[str]) -> DataF
         f"named_struct('stat', '{name}', 'value', {val})"
         for name, val in [
             ("n", n),
-            ("n_null", f"_total - {n}"),
+            ("n_null", n_null),
             ("n_distinct", "coalesce(_dist, CAST(0 AS BIGINT))"),
             ("min", "_min"),
             ("max", "_max"),
@@ -431,95 +446,216 @@ def profile_columns(
     compact = _compact_counts(df, cols).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         stat_rows = _stats_long(df, compact, cols).collect()
-        ranges: Dict[str, Dict[str, int]] = {}
-        for r in stat_rows:
-            if r["stat"] in ("min", "max"):
-                ranges.setdefault(r["column"], {})[r["stat"]] = r["value"]
-        bin_case = None
-        hist_cols = []
-        for c in cols:
-            mm = ranges.get(c, {})
-            if mm.get("min") is None or mm.get("max") is None:
-                continue  # all-null column: stats row already says so
-            hist_cols.append(c)
-            span = int(mm["max"]) - int(mm["min"]) + 1
-            # same BIGINT DIV binning as the oracle (see profile_histogram)
-            binned = F.expr(
-                f"((mic - {int(mm['min'])}) * {int(bins)}) DIV {span}"
-            ).cast("int")
-            cond = F.col("column") == c
-            bin_case = (
-                F.when(cond, binned)
-                if bin_case is None
-                else bin_case.when(cond, binned)
-            )
-        hist_rows = []
-        if hist_cols:
-            counts = (
-                compact.select("column", bin_case.alias("_bin"), "cnt")
-                .groupBy("column", "_bin")
-                .agg(F.sum("cnt").cast("bigint").alias("value"))
-            )
-            all_bins = spark.createDataFrame(
-                [(c, b) for c in hist_cols for b in range(int(bins))],
-                "column string, _bin int",
-            )
-            hist_rows = (
-                all_bins.join(counts, ["column", "_bin"], "left")
-                .select(
-                    "column",
-                    F.concat(F.lit("hist_"), F.col("_bin")).alias("stat"),
-                    F.coalesce("value", F.lit(0).cast("bigint")).alias(
-                        "value"
-                    ),
-                )
-                .collect()
-            )
-        q_rows: List[tuple] = []
-        if quantiles:
-            import math
-
-            from pyspark.sql import Window
-
-            n_of = {
-                r["column"]: r["value"]
-                for r in stat_rows
-                if r["stat"] == "n"
-            }
-            rank_rows = [
-                (
-                    c,
-                    _q_stat_name(q),
-                    int(max(1, math.ceil(float(q) * float(n_of[c])))),
-                )
-                for c in cols
-                if n_of.get(c)
-                for q in quantiles
-            ]
-            if rank_rows:
-                ranks_df = spark.createDataFrame(
-                    rank_rows, "column string, stat string, rank bigint"
-                )
-                wcum = (
-                    Window.partitionBy("column")
-                    .orderBy("mic")
-                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                )
-                q_rows = [
-                    tuple(r)
-                    for r in (
-                        compact.withColumn(
-                            "cum", F.sum("cnt").over(wcum)
-                        )
-                        .join(F.broadcast(ranks_df), "column")
-                        .filter(F.col("cum") >= F.col("rank"))
-                        .groupBy("column", "stat")
-                        .agg(F.min("mic").alias("value"))
-                        .collect()
-                    )
-                ]
+        hist_rows = _exact_hist_rows(spark, compact, stat_rows, cols, bins)
+        q_rows = _exact_quantile_rows(
+            spark, compact, stat_rows, cols, quantiles
+        )
     finally:
         compact.unpersist()
+    return spark.createDataFrame(
+        stat_rows + q_rows + hist_rows,
+        "column string, stat string, value bigint",
+    )
+
+
+def _exact_hist_rows(
+    spark, compact: DataFrame, stat_rows, cols: Sequence[str], bins: int
+) -> List[tuple]:
+    """Histogram rows by re-aggregating the cached compact table —
+    min/max inlined from the already-collected stat rows as literal
+    CASE bin expressions (binning distinct VALUES weighted by cnt,
+    not raw rows). Shared by profile_columns and
+    profile_from_shards."""
+    ranges: Dict[str, Dict[str, int]] = {}
+    for r in stat_rows:
+        if r["stat"] in ("min", "max"):
+            ranges.setdefault(r["column"], {})[r["stat"]] = r["value"]
+    bin_case = None
+    hist_cols = []
+    for c in cols:
+        mm = ranges.get(c, {})
+        if mm.get("min") is None or mm.get("max") is None:
+            continue  # all-null column: stats row already says so
+        hist_cols.append(c)
+        span = int(mm["max"]) - int(mm["min"]) + 1
+        # same BIGINT DIV binning as the oracle (see profile_histogram)
+        binned = F.expr(
+            f"((mic - {int(mm['min'])}) * {int(bins)}) DIV {span}"
+        ).cast("int")
+        cond = F.col("column") == c
+        bin_case = (
+            F.when(cond, binned)
+            if bin_case is None
+            else bin_case.when(cond, binned)
+        )
+    if not hist_cols:
+        return []
+    counts = (
+        compact.select("column", bin_case.alias("_bin"), "cnt")
+        .groupBy("column", "_bin")
+        .agg(F.sum("cnt").cast("bigint").alias("value"))
+    )
+    all_bins = spark.createDataFrame(
+        [(c, b) for c in hist_cols for b in range(int(bins))],
+        "column string, _bin int",
+    )
+    return (
+        all_bins.join(counts, ["column", "_bin"], "left")
+        .select(
+            "column",
+            F.concat(F.lit("hist_"), F.col("_bin")).alias("stat"),
+            F.coalesce("value", F.lit(0).cast("bigint")).alias("value"),
+        )
+        .collect()
+    )
+
+
+def _exact_quantile_rows(
+    spark,
+    compact: DataFrame,
+    stat_rows,
+    cols: Sequence[str],
+    quantiles: Sequence[float],
+) -> List[tuple]:
+    """Nearest-rank quantile rows from the cached compact table (one
+    per-column cumulative-count window; rank = max(1, ceil(q*n)) with
+    the identical IEEE multiply in both engines). Shared by
+    profile_columns and profile_from_shards."""
+    if not quantiles:
+        return []
+    import math
+
+    from pyspark.sql import Window
+
+    n_of = {
+        r["column"]: r["value"] for r in stat_rows if r["stat"] == "n"
+    }
+    rank_rows = [
+        (
+            c,
+            _q_stat_name(q),
+            int(max(1, math.ceil(float(q) * float(n_of[c])))),
+        )
+        for c in cols
+        if n_of.get(c)
+        for q in quantiles
+    ]
+    if not rank_rows:
+        return []
+    ranks_df = spark.createDataFrame(
+        rank_rows, "column string, stat string, rank bigint"
+    )
+    wcum = (
+        Window.partitionBy("column")
+        .orderBy("mic")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return [
+        tuple(r)
+        for r in (
+            compact.withColumn("cum", F.sum("cnt").over(wcum))
+            .join(F.broadcast(ranks_df), "column")
+            .filter(F.col("cum") >= F.col("rank"))
+            .groupBy("column", "stat")
+            .agg(F.min("mic").alias("value"))
+            .collect()
+        )
+    ]
+
+
+# ---------------------------------------------------------------------------
+# mergeable shard artifacts (round 9)
+# ---------------------------------------------------------------------------
+
+
+def profile_shard(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """The persistable, MERGEABLE profile artifact for one shard:
+    (column, mic, cnt) — the same compact frequency table the exact
+    profile derives everything from, PLUS one ``mic IS NULL`` row per
+    column carrying the shard's null count (the information
+    ``_compact_counts`` drops and ``profile_columns`` recovers from a
+    whole-frame count(*), which a merge of artifacts cannot replay).
+
+    The 100 TB workflow this enables: profile each ingest batch / day
+    partition ONCE as it lands, persist the artifact (parquet — it is
+    a plain 3-column frame), and answer "profile of any union of
+    shards" by merging artifacts — no re-scan of any shard, ever.
+    ``profile_from_shards(shards) == profile_columns(union of
+    shards)`` bit-for-bit (oracle-gated), because every stat is an
+    associative reduction over (mic, cnt): counts/sums add, min/max
+    combine, distincts re-dedup on the merged keys, and quantiles/
+    histograms re-aggregate the merged table exactly like the
+    single-frame path re-aggregates its cached one."""
+    mics = [F.expr(_MIC.format(c=c)) for c in cols]
+    names = F.array(*[F.lit(c) for c in cols])
+    return (
+        df.select(F.posexplode(F.array(*mics)).alias("_cidx", "mic"))
+        .groupBy("_cidx", "mic")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.element_at(names, F.col("_cidx") + 1).alias("column"),
+            "mic",
+            "cnt",
+        )
+    )
+
+
+def merge_profile_shards(shards: Sequence[DataFrame]) -> DataFrame:
+    """Union shard artifacts and re-add counts per (column, mic) —
+    associative and commutative, so artifacts can be merged in any
+    grouping (day → month → year rollups reuse merged artifacts as
+    inputs). Null-mic rows merge like any other key, accumulating the
+    total null count."""
+    if not shards:
+        raise ValueError("merge_profile_shards needs at least one shard")
+    merged = shards[0]
+    for s in shards[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("column", "mic").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def profile_from_shards(
+    shards: Sequence[DataFrame],
+    cols: Sequence[str],
+    bins: int = 8,
+    quantiles: Sequence[float] = (),
+) -> DataFrame:
+    """Full profile (stats + histograms + nearest-rank quantiles) from
+    per-shard artifacts (``profile_shard``), WITHOUT rescanning any
+    shard — bit-identical to ``profile_columns(union of shards, cols,
+    bins, quantiles)`` (driver-gated against the whole-corpus oracle).
+    Cost: one shuffle over Σ artifact sizes (bounded by per-shard
+    distinct counts, not row counts), then the same metadata-sized
+    finishers as the single-frame exact path."""
+    merged = merge_profile_shards(shards)
+    spark = merged.sparkSession
+    from pyspark import StorageLevel
+
+    merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        compact = merged.filter(F.col("mic").isNotNull())
+        nulls = merged.filter(F.col("mic").isNull()).select(
+            "column", F.col("cnt").alias("_nulls")
+        )
+        all_cols = spark.createDataFrame(
+            [(c,) for c in cols], "column string"
+        )
+        joined = (
+            all_cols.join(_per_col_aggs(compact), "column", "left")
+            .join(F.broadcast(nulls), "column", "left")
+        )
+        n = "coalesce(_n, CAST(0 AS BIGINT))"
+        stat_rows = _stat_rows_select(
+            joined, n, "coalesce(_nulls, CAST(0 AS BIGINT))"
+        ).collect()
+        hist_rows = _exact_hist_rows(spark, compact, stat_rows, cols, bins)
+        q_rows = _exact_quantile_rows(
+            spark, compact, stat_rows, cols, quantiles
+        )
+    finally:
+        merged.unpersist()
     return spark.createDataFrame(
         stat_rows + q_rows + hist_rows,
         "column string, stat string, value bigint",

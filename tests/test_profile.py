@@ -216,3 +216,97 @@ def test_profile_quantiles_approx_close_to_exact(spark, sf_dir):
         step = max(1, (hi - lo) // 50)
         for q in ("p25", "p50", "p75"):
             assert abs(approx[(c, q)] - exact[(c, q)]) <= step, (c, q)
+
+
+def test_profile_shards_merge_identity(spark, sf_dir):
+    """profile_from_shards(merge of disjoint shards) must equal
+    profile_columns(whole frame) BIT-FOR-BIT — stats, histograms, and
+    nearest-rank quantiles — including a column with engineered nulls
+    (the null count rides the artifact's mic-NULL rows, not a
+    whole-frame count the merge could never replay)."""
+    from pyspark.sql import functions as F
+
+    from quality_spark.operators.profile import (
+        profile_from_shards,
+        profile_shard,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_tax",
+        F.when(F.col("l_orderkey") % 7 == 0, None).otherwise(F.col("l_tax")),
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_tax"]
+    qs = (0.25, 0.5, 0.95)
+    whole = sorted(
+        tuple(r)
+        for r in profile_columns(li, cols, bins=8, quantiles=qs).collect()
+    )
+    shards = [
+        profile_shard(li.filter(F.col("l_orderkey") % 3 == p), cols)
+        for p in range(3)
+    ]
+    got = sorted(
+        tuple(r)
+        for r in profile_from_shards(
+            shards, cols, bins=8, quantiles=qs
+        ).collect()
+    )
+    assert got == whole
+
+
+def test_profile_shards_hierarchical_and_parquet_roundtrip(spark, tmp_path):
+    """Artifacts are plain 3-column frames: they survive a parquet
+    round trip, and merges are associative — a merge of merged
+    artifacts (day → month rollup shape) equals the flat merge."""
+    from pyspark.sql import functions as F
+
+    from quality_spark.operators.profile import (
+        merge_profile_shards,
+        profile_from_shards,
+        profile_shard,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 5) if i % 4 else None) for i in range(40)],
+        "id long, x double",
+    )
+    whole = sorted(
+        tuple(r) for r in profile_columns(df, ["x"], bins=4).collect()
+    )
+    paths = []
+    for p in range(3):
+        out = str(tmp_path / f"s{p}")
+        profile_shard(df.filter(F.col("id") % 3 == p), ["x"]).write.parquet(
+            out
+        )
+        paths.append(out)
+    back = [spark.read.parquet(p) for p in paths]
+    m01 = merge_profile_shards(back[:2])
+    got = sorted(
+        tuple(r)
+        for r in profile_from_shards([m01, back[2]], ["x"], bins=4).collect()
+    )
+    assert got == whole
+
+
+def test_profile_shards_all_null_and_empty_shard(spark):
+    """An all-null column and an empty shard must not derail the
+    merge: stats say n=0/n_null=total for the null column, and an
+    empty artifact is a no-op in the union."""
+    from quality_spark.operators.profile import (
+        profile_from_shards,
+        profile_shard,
+    )
+
+    a = spark.createDataFrame([(None,), (None,)], "x double")
+    b = spark.createDataFrame([], "x double")
+    got = {
+        (r["column"], r["stat"]): r["value"]
+        for r in profile_from_shards(
+            [profile_shard(a, ["x"]), profile_shard(b, ["x"])], ["x"]
+        ).collect()
+    }
+    assert got[("x", "n")] == 0
+    assert got[("x", "n_null")] == 2
+    assert got[("x", "n_distinct")] == 0
+    assert got[("x", "min")] is None
