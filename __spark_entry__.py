@@ -5028,6 +5028,20 @@ FROM p JOIN ch ON p.chunk_id = ch.chunk_id
 """
 
 
+#: token budget for the waterfilling gate — sized so a batch of
+#: domains SATURATES at sf0.01 (the redistribution branch is
+#: exercised where the value-compare gate runs); at larger sf the
+#: same fixed budget simply saturates fewer domains, which the
+#: oracle replays identically either way.
+_BUDGET_TOKENS = 20_000
+
+
+def _budget_weights() -> dict:
+    """Skewed integer mixture weights; src7 deliberately unweighted
+    (present in data, excluded from the plan — the rate-0 path)."""
+    return {f"src{i}": (i % 5) + 1 for i in range(20) if i != 7}
+
+
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling block: hash train/test split + stratified per-language
     sample + weighted corpus mix (r03 gate queries hash_sample_split,
@@ -5116,10 +5130,36 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("wsample_g").alias("part"), "doc_id", "lang", null_n
     )
+    # 'budget_plan' + 'budget_kept' parts (round 9): token-budget
+    # waterfilling mixture (llm/sampling.py:token_budget_plan/_sample)
+    # — integer-exact cuts, oracle recomputes the whole plan IN SQL
+    # (nothing smuggled from the Spark run). Weights skewed by source
+    # index so some domains saturate and redistribute.
+    from quality_spark.llm.sampling import (
+        token_budget_plan,
+        token_budget_sample,
+    )
+
+    bw = _budget_weights()
+    bplan = token_budget_plan(
+        _read(spark, sf_dir, "documents"), "source", bw, _BUDGET_TOKENS
+    ).select(
+        F.lit("budget_plan").alias("part"),
+        F.col("cut").alias("doc_id"),
+        F.concat("domain", F.lit("/"), "saturated").alias("lang"),
+        F.col("n_tokens").alias("n"),
+    )
+    bkept = token_budget_sample(
+        _read(spark, sf_dir, "documents"),
+        "source", "doc_id", bw, _BUDGET_TOKENS, seed=3,
+    ).select(
+        F.lit("budget_kept").alias("part"), "doc_id", "lang", null_n
+    )
     return (
         hash_split.unionByName(strat).unionByName(mix)
         .unionByName(temp).unionByName(cap).unionByName(hh)
         .unionByName(hhg).unionByName(ws).unionByName(wsg)
+        .unionByName(bplan).unionByName(bkept)
     )
 
 
@@ -5127,6 +5167,8 @@ def _oracle_sampling_splits() -> str:
     from quality_spark.llm.dedup import hash60_sql
     from quality_spark.llm.sampling import (
         cap_per_group_oracle_sql,
+        token_budget_plan_oracle_sql,
+        token_budget_sample_oracle_sql,
         weighted_sample_oracle_sql,
         weighted_sample_per_group_oracle_sql,
     )
@@ -5178,6 +5220,17 @@ SELECT 'wsample_g', doc_id, lang, CAST(-1 AS BIGINT)
 FROM ({weighted_sample_per_group_oracle_sql(
         "documents", "lang", "n_chars", 4, "doc_id", 5,
         columns="doc_id, lang",
+    )})
+UNION ALL
+SELECT 'budget_plan', cut, domain || '/' || saturated, n_tokens
+FROM ({token_budget_plan_oracle_sql(
+        "documents", "source", _budget_weights(), _BUDGET_TOKENS
+    )})
+UNION ALL
+SELECT 'budget_kept', doc_id, lang, CAST(-1 AS BIGINT)
+FROM ({token_budget_sample_oracle_sql(
+        "documents", "source", "doc_id", _budget_weights(),
+        _BUDGET_TOKENS, seed=3, select="d.doc_id, d.lang",
     )})
 """
 

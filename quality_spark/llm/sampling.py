@@ -175,6 +175,280 @@ def _str_lit(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+# ---------------------------------------------------------------------------
+# token-budget mixture (waterfilling) — round 9
+# ---------------------------------------------------------------------------
+
+#: hash-threshold denominator shared with sample_cond_sql
+_CUT_DENOM = 1_000_000
+
+
+def _budget_plan_parts(
+    weights: Dict[str, int], budget: int
+) -> Tuple[str, int]:
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for d, w in weights.items():
+        if int(w) <= 0:
+            raise ValueError(f"weight for {d!r} must be a positive int")
+    if int(budget) < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    vals = ", ".join(
+        f"({_str_lit(str(d))}, {int(w)})" for d, w in sorted(weights.items())
+    )
+    return vals, int(budget)
+
+
+def token_budget_plan(
+    df: DataFrame,
+    domain_col: str,
+    weights: Dict[str, int],
+    budget: int,
+    token_count_expr: Optional[str] = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Waterfilling mixture plan: per-domain deterministic keep
+    thresholds such that the expected sampled token total is
+    ``budget``, split across domains in proportion to integer
+    ``weights`` — except that a domain too SMALL for its target keeps
+    everything and its unused share redistributes to the others (the
+    classic waterfilling allocation; the public mixture-design method
+    behind e.g. The Pile's/DoReMi-style reweighted corpora, solved
+    exactly instead of by iteration).
+
+    Definition: find λ with Σ_d min(n_d, λ·w_d) = budget; domain d
+    keeps rate r_d = min(1, λ·w_d/n_d). Closed form: sort domains by
+    n_d/w_d ascending — saturated (r=1) domains form a prefix; the
+    smallest non-saturating prefix is found by the exact integer test
+    ``n_j·W_from ≤ (B − S_prev)·w_j`` (S_prev = tokens of prior
+    domains, W_from = weight at-and-after j), then
+    λ = (B − S_sat)/W_unsat.
+
+    INTEGER-EXACT cross-engine contract: the emitted ``cut`` is the
+    ONLY thing the sampler consumes (keep iff hash % 1e6 < cut), and
+    it is computed entirely in exact integer arithmetic —
+    cut = floor((1e6·(B−S_sat)·w_d) / (W_unsat·n_d) + 1/2) via the
+    two-integer form (2·1e6·num + den) DIV (2·den), DECIMAL(38,0) on
+    Spark, HUGEINT on DuckDB (identical values within range; the
+    magnitudes are bounded by 2e6·B·max(w) — raise a planning-time
+    ValueError rather than overflow by keeping weights ≤ 1e9 and
+    budget ≤ 1e15). The only double is the n/w SORT key, and IEEE
+    division of identical ints is correctly rounded in both engines,
+    so the order (tie-broken by domain) can never diverge.
+
+    Returns (domain, n_tokens, weight, saturated, cut, rate) —
+    |weights| rows, metadata-sized. Domains present in data but not
+    in ``weights`` are excluded (sample rate 0); weighted domains
+    absent from the data contribute nothing and are omitted.
+
+    100 TB: one map-side-combinable groupBy over the corpus for the
+    per-domain token counts; everything after operates on |domains|
+    rows."""
+    from .dedup import tokens_sql
+
+    vals, b = _budget_plan_parts(weights, budget)
+    if max(int(w) for w in weights.values()) > 10**9:
+        raise ValueError("weights must be <= 1e9 (overflow headroom)")
+    tok = token_count_expr or f"size({tokens_sql(text_col, 'spark')})"
+    spark = df.sparkSession
+    counts = (
+        df.filter(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).cast("string").alias("domain"))
+        .agg(F.expr(f"CAST(sum({tok}) AS BIGINT)").alias("n"))
+    )
+    wdf = spark.createDataFrame(
+        sorted((str(d), int(w)) for d, w in weights.items()),
+        "domain string, w bigint",
+    )
+    j = counts.join(F.broadcast(wdf), "domain")
+    ratio = F.expr("CAST(n AS DOUBLE) / CAST(w AS DOUBLE)")
+    wo = Window.orderBy(ratio, F.col("domain"))
+    o = j.select(
+        "domain",
+        "n",
+        "w",
+        F.sum("n")
+        .over(wo.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("s_prev"),
+        F.sum("w")
+        .over(wo.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("w_from"),
+    )
+    sat = o.withColumn(
+        "saturated",
+        F.expr(
+            "CAST(n AS DECIMAL(19,0)) * CAST(w_from AS DECIMAL(19,0))"
+            f" <= CAST({b} - coalesce(s_prev, CAST(0 AS BIGINT))"
+            " AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))"
+        ),
+    )
+    tot = F.broadcast(
+        sat.groupBy().agg(
+            F.expr(
+                "coalesce(CAST(sum(CASE WHEN saturated THEN n END) AS BIGINT),"
+                " CAST(0 AS BIGINT))"
+            ).alias("s_k"),
+            F.expr(
+                "coalesce(CAST(sum(CASE WHEN NOT saturated THEN w END)"
+                " AS BIGINT), CAST(0 AS BIGINT))"
+            ).alias("w_unsat"),
+        )
+    )
+    cut = (
+        "CASE WHEN saturated THEN CAST(1000000 AS BIGINT) ELSE CAST("
+        "(CAST(2000000 AS DECIMAL(7,0))"
+        f" * CAST({b} - s_k AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))"
+        " + CAST(w_unsat AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))"
+        " DIV (CAST(2 AS DECIMAL(1,0)) * CAST(w_unsat AS DECIMAL(19,0))"
+        " * CAST(n AS DECIMAL(19,0))) AS BIGINT) END"
+    )
+    return sat.crossJoin(tot).select(
+        "domain",
+        F.col("n").alias("n_tokens"),
+        F.col("w").alias("weight"),
+        "saturated",
+        F.expr(cut).alias("cut"),
+        F.expr(f"{cut} / CAST({_CUT_DENOM} AS DOUBLE)").alias("rate"),
+    )
+
+
+def token_budget_plan_oracle_sql(
+    table: str,
+    domain_col: str,
+    weights: Dict[str, int],
+    budget: int,
+    token_count_sql: Optional[str] = None,
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of ``token_budget_plan`` — the same sort key,
+    the same exact integer saturation test and cut formula (HUGEINT
+    standing in for Spark's DECIMAL(38,0): both are exact within the
+    documented magnitude bounds)."""
+    from .dedup import tokens_sql
+
+    vals, b = _budget_plan_parts(weights, budget)
+    tok = token_count_sql or f"len({tokens_sql(text_col, 'duckdb')})"
+    return f"""
+WITH counts AS (
+  SELECT CAST({domain_col} AS VARCHAR) AS domain,
+         CAST(sum({tok}) AS BIGINT) AS n
+  FROM {table} WHERE {domain_col} IS NOT NULL GROUP BY 1
+), wt(domain, w) AS (VALUES {vals}),
+j AS (SELECT counts.domain, n, w FROM counts JOIN wt USING (domain)),
+o AS (
+  SELECT *,
+    SUM(n) OVER (ORDER BY CAST(n AS DOUBLE)/CAST(w AS DOUBLE), domain
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s_prev,
+    SUM(w) OVER (ORDER BY CAST(n AS DOUBLE)/CAST(w AS DOUBLE), domain
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS w_from
+  FROM j
+), s AS (
+  SELECT *, (CAST(n AS HUGEINT) * CAST(w_from AS HUGEINT)
+             <= CAST({b} - COALESCE(s_prev, 0) AS HUGEINT)
+                * CAST(w AS HUGEINT)) AS saturated
+  FROM o
+), t AS (
+  SELECT COALESCE(CAST(SUM(CASE WHEN saturated THEN n END) AS BIGINT), 0)
+           AS s_k,
+         COALESCE(CAST(SUM(CASE WHEN NOT saturated THEN w END) AS BIGINT), 0)
+           AS w_unsat
+  FROM s
+)
+SELECT domain, n AS n_tokens, w AS weight, saturated,
+  CASE WHEN saturated THEN CAST({_CUT_DENOM} AS BIGINT) ELSE CAST(
+    (CAST(2000000 AS HUGEINT) * CAST({b} - s_k AS HUGEINT)
+       * CAST(w AS HUGEINT)
+     + CAST(w_unsat AS HUGEINT) * CAST(n AS HUGEINT))
+    // (CAST(2 AS HUGEINT) * CAST(w_unsat AS HUGEINT)
+        * CAST(n AS HUGEINT)) AS BIGINT) END AS cut,
+  CASE WHEN saturated THEN CAST({_CUT_DENOM} AS BIGINT) ELSE CAST(
+    (CAST(2000000 AS HUGEINT) * CAST({b} - s_k AS HUGEINT)
+       * CAST(w AS HUGEINT)
+     + CAST(w_unsat AS HUGEINT) * CAST(n AS HUGEINT))
+    // (CAST(2 AS HUGEINT) * CAST(w_unsat AS HUGEINT)
+        * CAST(n AS HUGEINT)) AS BIGINT) END
+    / CAST({_CUT_DENOM} AS DOUBLE) AS rate
+FROM s CROSS JOIN t
+"""
+
+
+def token_budget_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    weights: Dict[str, int],
+    budget: int,
+    seed: int = 0,
+    token_count_expr: Optional[str] = None,
+    text_col: str = "text",
+    plan: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Apply a waterfilling plan: keep a row iff
+    ``hash60(seed:key) % 1e6 < cut(domain)`` — the same deterministic
+    hash-threshold contract as every sampler here, with the plan's
+    integer cut in place of a float-derived one. Pass ``plan`` to
+    reuse a precomputed/persisted plan (skipping the counts scan);
+    rows whose domain has no plan row are dropped (rate 0).
+
+    One broadcast join + a narrow filter — no shuffle of the corpus,
+    replayable end-to-end by the DuckDB oracle (which recomputes the
+    plan IN SQL: nothing is smuggled from the Spark run)."""
+    from .dedup import hash60_sql
+
+    if plan is None:
+        plan = token_budget_plan(
+            df, domain_col, weights, budget, token_count_expr, text_col
+        )
+    key = (
+        f"concat('{int(seed)}', ':', "
+        f"coalesce(CAST(({key_col}) AS STRING), '<NULL>'))"
+    )
+    h = hash60_sql(key, "spark", "portable")
+    return (
+        df.join(
+            F.broadcast(
+                plan.select(
+                    F.col("domain").alias("__bdom"), F.col("cut").alias("__bcut")
+                )
+            ),
+            F.col(domain_col).cast("string") == F.col("__bdom"),
+        )
+        .filter(F.expr(f"(({h}) % {_CUT_DENOM})") < F.col("__bcut"))
+        .drop("__bdom", "__bcut")
+    )
+
+
+def token_budget_sample_oracle_sql(
+    table: str,
+    domain_col: str,
+    key_col: str,
+    weights: Dict[str, int],
+    budget: int,
+    seed: int = 0,
+    token_count_sql: Optional[str] = None,
+    text_col: str = "text",
+    select: str = "d.*",
+) -> str:
+    """DuckDB replay of ``token_budget_sample`` — recomputes the plan
+    in SQL and applies the identical hash-threshold filter."""
+    from .dedup import hash60_sql
+
+    plan = token_budget_plan_oracle_sql(
+        table, domain_col, weights, budget, token_count_sql, text_col
+    )
+    key = (
+        f"('{int(seed)}' || ':' || "
+        f"coalesce(CAST((d.{key_col}) AS VARCHAR), '<NULL>'))"
+    )
+    h = hash60_sql(key, "duckdb", "portable")
+    return f"""
+SELECT {select}
+FROM {table} d JOIN ({plan}) p
+  ON CAST(d.{domain_col} AS VARCHAR) = p.domain
+WHERE (({h}) % {_CUT_DENOM}) < p.cut
+"""
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -440,3 +440,109 @@ def test_weighted_sample_per_group_salted_and_oracle(spark, sf_dir):
         ).fetchall()
     )
     assert plain == want
+
+
+def _wf_ref(counts, weights, budget):
+    """From-scratch waterfilling reference: exact integer saturation
+    prefix in n/w order + the two-integer round-half-up cut."""
+    items = sorted(
+        ((d, counts[d], weights[d]) for d in counts if d in weights),
+        key=lambda t: (t[1] / t[2], t[0]),
+    )
+    s_prev, w_from = 0, sum(w for _, _, w in items)
+    flags = []
+    for _, n, w in items:
+        flags.append(n * w_from <= (budget - s_prev) * w)
+        s_prev += n
+        w_from -= w
+    s_k = sum(n for (_, n, _), f in zip(items, flags) if f)
+    w_unsat = sum(w for (_, _, w), f in zip(items, flags) if not f)
+    cuts = {}
+    for (d, n, w), f in zip(items, flags):
+        if f:
+            cuts[d] = (1_000_000, True)
+        else:
+            num, den = (budget - s_k) * w, w_unsat * n
+            cuts[d] = ((2 * 1_000_000 * num + den) // (2 * den), False)
+    return cuts
+
+
+
+def test_token_budget_plan_vs_reference_and_invariants(spark):
+    """token_budget_plan must reproduce the from-scratch waterfilling
+    reference exactly (saturation flags + integer cuts) across
+    regimes: budget 0, tiny, mid (mixed saturation), >= corpus. The
+    planned token total Σ(sat n + unsat n·cut/1e6) must land within
+    rounding distance of the budget whenever some domain is
+    unsaturated."""
+    import random
+
+    from quality_spark.llm.sampling import token_budget_plan
+
+    rng = random.Random(13)
+    counts = {f"d{i}": rng.randint(1, 2000) for i in range(12)}
+    weights = {f"d{i}": rng.randint(1, 9) for i in range(12)}
+    rows = []
+    rid = 0
+    for d, n in counts.items():
+        left = n
+        while left > 0:
+            t = min(left, rng.randint(1, 97))
+            rows.append((rid, d, t))
+            rid += 1
+            left -= t
+    df = spark.createDataFrame(rows, "id long, dom string, tok long")
+    total = sum(counts.values())
+    for budget in (0, 37, total // 3, total, total * 2):
+        got = {
+            r["domain"]: (r["cut"], r["saturated"])
+            for r in token_budget_plan(
+                df, "dom", weights, budget, token_count_expr="tok"
+            ).collect()
+        }
+        want = _wf_ref(counts, weights, budget)
+        assert got == want, (budget, got, want)
+        planned = sum(
+            counts[d] if sat else counts[d] * cut / 1_000_000
+            for d, (cut, sat) in got.items()
+        )
+        if any(not sat for _, sat in got.values()):
+            assert abs(planned - min(budget, total)) <= len(counts), (
+                budget,
+                planned,
+            )
+        else:
+            assert budget >= total
+
+
+def test_token_budget_sample_drops_unweighted_and_replays(spark):
+    """Rows of a domain absent from the weights are dropped (rate 0);
+    the kept set is the deterministic hash filter at the plan's cut
+    — replayed here from the plan frame itself."""
+    from quality_spark.llm.dedup import hash60_sql
+    from quality_spark.llm.sampling import (
+        token_budget_plan,
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "zz", 10) for i in range(200)],
+        "id long, dom string, tok long",
+    )
+    weights = {"a": 1}
+    kept = token_budget_sample(
+        df, "dom", "id", weights, budget=300, seed=4, token_count_expr="tok"
+    )
+    ids = sorted(r["id"] for r in kept.collect())
+    assert all(i % 2 for i in ids)  # zz rows all dropped
+    cut = token_budget_plan(
+        df, "dom", weights, 300, token_count_expr="tok"
+    ).collect()[0]["cut"]
+    h = hash60_sql("concat('4', ':', CAST(id AS STRING))", "spark")
+    want = sorted(
+        r["id"]
+        for r in df.filter(F.col("dom") == "a")
+        .filter(F.expr(f"({h}) % 1000000 < {cut}"))
+        .collect()
+    )
+    assert ids == want
