@@ -895,7 +895,29 @@ def q_digest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(expand_sql(f"hash_with('SIPHASH24', {s})")).alias("siphash24"),
         F.expr(expand_sql(f"hash_with('ADLER32', {s})")).alias("adler32"),
     )
-    return dig.unionByName(xx)
+    # 'winnow' part (round 9): winnowing fingerprints (MOSS — local,
+    # positional detection; llm/textstats.py:winnow_sql). One row per
+    # (doc, fingerprint); the oracle replays the identical k-gram
+    # hash + window-min selection in DuckDB.
+    from quality_spark.llm.textstats import with_winnow_fingerprints
+
+    win = (
+        with_winnow_fingerprints(
+            docs.filter(F.col("doc_id") < 300), k=3, w=8, out="__fps"
+        )
+        .select("doc_id", F.explode("__fps").alias("fp"))
+        .select(
+            F.lit("winnow").alias("part"),
+            "doc_id",
+            F.lit("").alias("md5_hex"),
+            F.lit("").alias("sha256_hex"),
+            F.col("fp").alias("xxh3"),
+            nb.alias("xxh3_hi"),
+            nb.alias("siphash24"),
+            nb.alias("adler32"),
+        )
+    )
+    return dig.unionByName(xx).unionByName(win)
 
 
 def _oracle_digest_documents() -> str:
@@ -925,7 +947,18 @@ UNION ALL
 SELECT 'xxh3', CAST(i AS BIGINT), '', '', CAST(lo AS BIGINT),
        CAST(hi AS BIGINT), CAST(sip AS BIGINT), CAST(adl AS BIGINT)
 FROM (VALUES {vals}) t(i, lo, hi, sip, adl)
+UNION ALL
+SELECT 'winnow', doc_id, '', '', fp, CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM (SELECT doc_id, unnest({_winnow_fps_duckdb()}) AS fp
+      FROM documents WHERE doc_id < 300)
 """
+
+
+def _winnow_fps_duckdb() -> str:
+    from quality_spark.llm.textstats import winnow_sql
+
+    return winnow_sql("text", 3, 8, "duckdb")
 
 
 # ---------------------------------------------------------------------------

@@ -148,6 +148,116 @@ def with_fingerprint(
     return df.select("*", F.expr(fingerprint_sql(text_col, "spark")).alias(out))
 
 
+def winnow_sql(
+    text: str, k: int, w: int, dialect: str, toks_override: str = None
+) -> str:
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD
+    2003 — the MOSS algorithm): the distinct set of per-window MINIMUM
+    k-gram hashes over a sliding window of ``w`` consecutive k-grams.
+    GUARANTEE: any two documents sharing a run of ``w + k − 1`` tokens
+    share at least one fingerprint (the shared window's min is
+    selected in both) — a LOCAL, positional detection primitive that
+    complements MinHash (global, probabilistic) for plagiarism-style
+    and boilerplate-span detection.
+
+    Returns a BIGINT-array SQL expression. Hashes are the portable
+    60-bit md5 (``dedup.hash60_sql``), so both engines fingerprint
+    identically; grams are POSITIONAL (no distinct before windowing —
+    winnowing's guarantee needs every occurrence). A doc shorter than
+    one full window emits the min of what it has; an empty/NULL doc
+    emits an empty set. Expected density is the documented
+    2/(w+1)·n_grams, so fingerprint volume is a tunable fraction of
+    corpus token volume."""
+    from .dedup import hash60_sql
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    toks = toks_override or _tokens_sql(text, dialect)
+    if dialect == "spark":
+        grams = (
+            f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
+            f"qs_i -> array_join(slice({toks}, qs_i, {k}), ' '))"
+        )
+        hashes = f"transform({grams}, qs_g -> {hash60_sql('qs_g', 'spark')})"
+        fps = (
+            f"array_distinct(transform("
+            f"sequence(1, greatest(size(qs_h) - {w - 1}, 1)), "
+            f"qs_j -> array_min(slice(qs_h, qs_j, {w}))))"
+        )
+        # bind the hash array once via a single-element outer transform
+        # (size(toks)=0 guard mirrors shingles_sql's empty-set rule)
+        # NULL text propagates NULL through the tokenizer — fold it
+        # into the empty set (same rule as the null-safe samplers)
+        return (
+            f"(CASE WHEN ({toks}) IS NULL OR size({toks}) = 0 THEN array() "
+            f"ELSE element_at(transform(array({hashes}), qs_h -> {fps}), 1) "
+            f"END)"
+        )
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 1) + 1), "
+        f"qs_i -> array_to_string({toks}[qs_i:qs_i+{k - 1}], ' '))"
+    )
+    hashes = f"list_transform({grams}, qs_g -> {hash60_sql('qs_g', 'duckdb')})"
+    fps = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(qs_h) - {w - 1}, 1) + 1), "
+        f"qs_j -> list_min(qs_h[qs_j:qs_j+{w - 1}])))"
+    )
+    return (
+        f"(CASE WHEN ({toks}) IS NULL OR len({toks}) = 0 THEN []::BIGINT[] "
+        f"ELSE list_transform([{hashes}], qs_h -> {fps})[1] END)"
+    )
+
+
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 8,
+    out: str = "winnow_fps",
+) -> DataFrame:
+    """Winnowing fingerprint set as an array column — two-step
+    projection (tokens first) so the regex split runs once per row
+    (see dedup.shingles_from_tokens_sql)."""
+    staged = df.select(
+        "*", F.expr(_tokens_sql(text_col, "spark")).alias("__qs_toks")
+    )
+    return staged.select(
+        "*",
+        F.expr(
+            winnow_sql(text_col, k, w, "spark", toks_override="__qs_toks")
+        ).alias(out),
+    ).drop("__qs_toks")
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, n_shared_fps) — document pairs sharing >=
+    ``min_shared`` winnowing fingerprints: guaranteed to surface every
+    pair sharing a (w+k−1)-token run, with fingerprint volume (not
+    token volume) driving the join. Explode → self-join on the
+    fingerprint → one count groupBy; a fingerprint shared by f docs
+    emits O(f²) candidates, so drop corpus-universal boilerplate fps
+    upstream (same guidance as jaccard_pairs' skew note)."""
+    fps = with_winnow_fingerprints(df, text_col, k, w, out="__fps").select(
+        F.col(id_col).alias("id"), F.explode("__fps").alias("fp")
+    )
+    return (
+        fps.alias("a")
+        .join(fps.select(F.col("id").alias("id_b"), "fp").alias("b"), "fp")
+        .filter(F.col("a.id") < F.col("id_b"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= int(min_shared))
+    )
+
+
 #: BPE-ish subword token estimate: word chunks of <=4 chars + digits.
 #: Doubled backslash survives Spark's string-literal unescaping.
 BPE_ISH_PATTERN = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\\\s]"

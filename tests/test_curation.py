@@ -846,3 +846,73 @@ def test_kneser_ney_min_count_pruned_context_backs_off(spark):
     expect = (math.log(0.5) + math.log(0.5) + math.log(1.0)) / 3
     assert out["avg_logprob"] is not None
     assert abs(out["avg_logprob"] - expect) < 1e-12
+
+
+def test_winnow_guarantee_and_duckdb_parity(spark, sf_dir):
+    """Winnowing (Schleimer 2003): any two docs sharing a run of
+    w+k-1 tokens MUST share a fingerprint (the algorithm's whole
+    guarantee), fingerprint sets replay identically in DuckDB over
+    real testdata text, and NULL/empty/short docs behave (empty set /
+    single window)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from quality_spark.llm.textstats import (
+        winnow_overlap_pairs,
+        winnow_sql,
+        with_winnow_fingerprints,
+    )
+
+    k, w = 3, 5
+    run = "zeta theta omega alpha kappa sigma delta"  # w+k-1 = 7 tokens
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 9 == 0, F.lit(None).cast("string"))
+            .when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.substring("text", 1, 30), F.lit(" " + run)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    got = {
+        r["doc_id"]: sorted(r["fps"])
+        for r in with_winnow_fingerprints(docs, k=k, w=w, out="fps")
+        .select("doc_id", "fps")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d0 AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = winnow_sql("text", k, w, "duckdb")
+    want = {
+        int(i): sorted(v)
+        for i, v in con.execute(
+            f"""SELECT doc_id, {sql} FROM (
+                SELECT doc_id, CASE
+                  WHEN doc_id % 9 = 0 THEN NULL
+                  WHEN doc_id % 4 = 0 THEN substr(text, 1, 30) || ' {run}'
+                  ELSE text END AS text
+                FROM d0 WHERE doc_id < 60)"""
+        ).fetchall()
+    }
+    assert got == want
+    # guarantee: every pair of run-carrying docs shares >= 1 fp
+    carriers = [d for d in got if d % 4 == 0 and d % 9 != 0]
+    assert len(carriers) >= 2
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(docs, k=k, w=w).collect()
+    }
+    for i, a in enumerate(carriers):
+        for b in carriers[i + 1 :]:
+            key = (min(a, b), max(a, b))
+            assert key in pairs, f"guarantee violated for {key}"
+    # null docs emit empty sets
+    assert all(got[d] == [] for d in got if d % 9 == 0)
