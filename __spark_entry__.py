@@ -1915,7 +1915,9 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    return jaccard_pairs(docs, k=3, threshold=0.25)
+    # the gate runs the SCALE shape (one materialized shingle scan);
+    # the lazy-vs-materialized result identity is plan-pinned in tests
+    return jaccard_pairs(docs, k=3, threshold=0.25, materialize=True)
 
 
 def _oracle_jaccard_prefix() -> str:

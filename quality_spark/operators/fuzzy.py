@@ -170,6 +170,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    materialize: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — every pair with exact k-shingle Jaccard
     ``>= threshold`` WITHOUT the all-pairs join, via prefix filtering
@@ -209,7 +210,14 @@ def jaccard_pairs(
     (plan-pinned). Skew guard: a shingle shared by f prefixes emits
     O(f²) candidates — at web scale pre-drop boilerplate shingles or
     raise ``k``; rarity ordering already makes such shingles the LAST
-    to enter any prefix."""
+    to enter any prefix.
+
+    Scan budget: the lazy plan re-derives the shingle projection for
+    each consumer (frequency count, prefix ranking, and the two
+    verify sides — 4 tokenize passes); ``materialize=True``
+    localCheckpoints the (id, sh, n) frame so every consumer reads
+    ONE materialized scan — the right default for a 100 TB corpus,
+    plan-pinned in tests."""
     from pyspark.sql import Window
 
     from quality_spark.llm.dedup import with_shingles
@@ -229,6 +237,8 @@ def jaccard_pairs(
         .select("id", "sh", F.size("sh").cast("int").alias("n"))
         .filter(F.col("n") > 0)
     )
+    if materialize:
+        sets = sets.localCheckpoint(eager=True)
     toks = sets.select("id", "n", F.explode("sh").alias("tok"))
     freq = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("freq")

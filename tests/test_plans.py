@@ -577,3 +577,29 @@ def test_jaccard_pairs_plan_no_cartesian(spark, sf_dir):
     plan = _plan(jaccard_pairs(docs, k=3, threshold=0.5))
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_jaccard_pairs_scan_budget(spark, sf_dir):
+    """jaccard_pairs scan budget (the bm25_scores lesson, VERDICT r08
+    #1): the lazy plan re-derives the shingle projection per consumer
+    — 6 parquet scans (freq + prefix on BOTH candidate sides, plus
+    the two verify sides); materialize=True collapses them to ONE
+    materialized scan feeding everything — and both ways return the
+    same pairs."""
+    from quality_spark.operators.fuzzy import jaccard_pairs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 120")
+    )
+    lazy = jaccard_pairs(docs, k=3, threshold=0.2)
+    plan = _plan(lazy, "simple")
+    assert plan.count("FileScan parquet") == 6, plan[:1500]
+    mat = jaccard_pairs(docs, k=3, threshold=0.2, materialize=True)
+    mplan = _plan(mat, "simple")
+    assert mplan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in mplan
+    a = sorted(map(tuple, lazy.collect()))
+    b = sorted(map(tuple, mat.collect()))
+    assert a == b and len(a) > 0
