@@ -1725,9 +1725,13 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("result").cast("string").alias("v"),
         )
     )
-    prof = profile_columns(
+    # profile_columns returns a LITERAL metadata frame (internally
+    # collected), so prof_df is computed once and reused by the
+    # 'profile' packaging AND the 'suggest' leg below for free
+    prof_df = profile_columns(
         li, list(_PROFILE_COLS), bins=_PROFILE_BINS, quantiles=_PROFILE_QS
-    ).select(
+    )
+    prof = prof_df.select(
         F.lit("profile").alias("part"),
         F.concat("column", F.lit(":"), "stat").alias("k"),
         F.col("value").cast("string").alias("v"),
@@ -1776,13 +1780,33 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("column", F.lit(":"), "stat").alias("k"),
         F.col("value").cast("string").alias("v"),
     )
+    # 'suggest' part (round 9): rule suggestion — the profile→rule
+    # authoring loop (operators/suggest.py). The gate compares the
+    # suggested rule TEXTS verbatim; the oracle assembles the
+    # identical strings in SQL from the same profile stats. The
+    # suite's self-pass invariant (profiled data passes its own
+    # suggested rules through the real runner) is test-pinned.
+    from quality_spark.operators.suggest import suggested_rule_texts
+
+    sug = spark.createDataFrame(
+        suggested_rule_texts(prof_df, list(_PROFILE_COLS)),
+        "column string, rule_kind string, expr string",
+    ).select(
+        F.lit("suggest").alias("part"),
+        F.concat("column", F.lit(":"), "rule_kind").alias("k"),
+        F.col("expr").alias("v"),
+    )
     return (
         er.unionByName(prof).unionByName(prof_a).unionByName(prof_s)
+        .unionByName(sug)
     )
 
 
 def _oracle_expr_runner_agg() -> str:
     from quality_spark.operators.profile import profile_oracle_sql
+    from quality_spark.operators.suggest import (
+        suggested_rule_texts_oracle_sql,
+    )
 
     prof = profile_oracle_sql(
         "lineitem", list(_PROFILE_COLS), bins=_PROFILE_BINS,
@@ -1804,6 +1828,9 @@ WHERE stat != 'n_distinct' AND stat NOT LIKE 'p%'
 UNION ALL
 SELECT 'profile_shard', "column" || ':' || stat, CAST(value AS VARCHAR)
 FROM ({prof})
+UNION ALL
+SELECT 'suggest', "column" || ':' || rule_kind, expr
+FROM ({suggested_rule_texts_oracle_sql(prof)})
 """
 
 

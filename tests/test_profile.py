@@ -310,3 +310,53 @@ def test_profile_shards_all_null_and_empty_shard(spark):
     assert got[("x", "n_null")] == 2
     assert got[("x", "n_distinct")] == 0
     assert got[("x", "min")] is None
+
+
+def test_suggest_rules_self_pass_and_oracle_parity(spark, sf_dir):
+    """The profile→rule loop (operators/suggest.py): suggested rule
+    TEXTS must be byte-identical to the SQL oracle's assembly from
+    the same stats, and the profiled data must pass its own suggested
+    suite through the REAL runner (inclusive bounds; quantile band is
+    soft) — including a column with nulls (range rule null-guarded,
+    not_null suppressed) and negative values (sign formatting)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from quality_spark.operators.profile import profile_oracle_sql
+    from quality_spark.operators.runner import add_data_quality
+    from quality_spark.operators.suggest import (
+        suggest_rules,
+        suggested_rule_texts,
+        suggested_rule_texts_oracle_sql,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_tax",
+        F.when(F.col("l_orderkey") % 7 == 0, None).otherwise(
+            -F.col("l_tax") - 0.5
+        ),
+    )
+    cols = ["l_quantity", "l_tax"]
+    qs = (0.25, 0.95)
+    prof = profile_columns(li, cols, quantiles=qs)
+    texts = suggested_rule_texts(prof, cols)
+    kinds = {(c, k) for c, k, _ in texts}
+    assert ("l_quantity", "not_null") in kinds
+    assert ("l_tax", "not_null") not in kinds  # has nulls
+    neg_range = [e for c, k, e in texts if c == "l_tax" and k == "range"][0]
+    assert " >= -" in neg_range  # negative micro formatting exercised
+
+    con = duckdb.connect()
+    con.register("li_pd", li.toPandas())
+    osql = suggested_rule_texts_oracle_sql(
+        profile_oracle_sql("li_pd", cols, quantiles=qs),
+        quantile_band=("p25", "p95"),
+    )
+    want = sorted((a, b, c) for a, b, c in con.execute(osql).fetchall())
+    assert sorted(texts) == want
+
+    out = add_data_quality(li, suggest_rules(prof, cols))
+    flat = out.select(
+        F.explode(F.col("DQ")["ruleSetResults"]).alias("sid", "set")
+    ).select(F.explode(F.col("set")["ruleResults"]).alias("rid", "res"))
+    assert flat.filter(~F.col("res").isin(100000, -1)).count() == 0
