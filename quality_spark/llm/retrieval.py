@@ -481,6 +481,11 @@ def retrieve(
     materialize: bool = False,
     nprobe: int = 2,
     centroid_stride: int = 50,
+    codebooks=None,
+    rerank: int = 0,
+    pq_m: int = 4,
+    pq_ksub: int = 16,
+    pq_iters: int = 2,
 ) -> DataFrame:
     """End-to-end HYBRID retrieval — the composition a training-data
     pipeline actually runs: a lexical ranked list (BM25 by default,
@@ -512,7 +517,16 @@ def retrieve(
     applies the skew-proof two-phase top-k on the lexical side.
     ``semantic='ivf'`` swaps the exact cosine scan for IVF-Flat ANN
     (`similarity.ivf_flat_topk` — nprobe/centroid_stride tune the
-    recall/cost point): the 100 TB semantic path, same output shape."""
+    recall/cost point): the 100 TB semantic path, same output shape.
+    ``semantic='ivfpq'`` goes one further — IVF cell pruning + PQ ADC
+    over the surviving candidates (`pq.ivf_pq_topk`): the
+    compressed-index path for corpora whose raw vectors don't fit
+    hot storage. Pass trained ``codebooks`` (``pq.pq_train``) to
+    reuse an index across calls, or let this train them inline
+    (``pq_m``/``pq_ksub``/``pq_iters``); ``rerank=R`` re-ranks the
+    top-R ADC candidates by exact L2. Query vectors are collected
+    (|queries| rows — metadata) since the PQ distance tables are
+    per-query literals."""
     from .similarity import cosine_topk, ivf_flat_topk
 
     if lexical == "matched_terms":
@@ -530,7 +544,33 @@ def retrieve(
             id_col=id_col,
             materialize=materialize,
         )
-    if semantic == "ivf":
+    if semantic == "ivfpq":
+        from .pq import ivf_pq_topk, pq_train
+
+        qrows = query_vectors.select(vec_id_col, vec_col).collect()
+        qseq = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+        if not qseq:
+            raise ValueError("semantic='ivfpq' needs >= 1 query vector")
+        dims = len(qseq[0][1])
+        if codebooks is None:
+            codebooks = pq_train(
+                embeddings, m=pq_m, ksub=pq_ksub, iters=pq_iters,
+                vec_col=vec_col, dims=dims,
+            )
+        sem_ranked = ivf_pq_topk(
+            embeddings,
+            codebooks,
+            qseq,
+            k=depth,
+            nprobe=nprobe,
+            centroid_stride=centroid_stride,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            rerank=rerank,
+        ).select(
+            "query_id", F.col(vec_id_col).alias("neighbor_id"), "rank"
+        )
+    elif semantic == "ivf":
         sem_ranked = ivf_flat_topk(
             embeddings,
             query_vectors,

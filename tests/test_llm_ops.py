@@ -3036,3 +3036,46 @@ def test_retrieve_ivf_semantic_path(spark, emb, sf_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_retrieve_ivfpq_semantic_path(spark, emb, sf_dir):
+    """retrieve(semantic='ivfpq') — compressed-index semantic leg:
+    must equal the hand-wired bm25_topk + ivf_pq_topk + rrf_fuse
+    composition when the same trained codebooks are passed to both."""
+    from quality_spark.llm.pq import ivf_pq_topk, pq_train
+    from quality_spark.llm.retrieval import bm25_topk, retrieve, rrf_fuse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    books = pq_train(emb, m=4, ksub=8, iters=2, dims=64)
+    qs = [(1, "spark join shuffle")]
+    qvec = emb.filter(F.col("vec_id") == 1)
+    got = sorted(
+        map(
+            tuple,
+            retrieve(
+                spark, docs, emb, qs, qvec, k=8, depth=15,
+                semantic="ivfpq", nprobe=3, codebooks=books, rerank=6,
+            ).collect(),
+        )
+    )
+    qseq = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in qvec.select("vec_id", "embedding").collect()
+    ]
+    lex = bm25_topk(spark, docs, qs, k=15)
+    sem = ivf_pq_topk(
+        emb, books, qseq, k=15, nprobe=3, rerank=6
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    want = sorted(
+        map(
+            tuple,
+            rrf_fuse(
+                {"lex": lex.select("query_id", "doc_id", "rank"), "sem": sem},
+                k=60,
+                top=8,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
