@@ -805,16 +805,97 @@ def dedup_keep_list(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    score_col: Optional[str] = None,
 ) -> DataFrame:
-    """df + ``keep`` boolean: one keeper (the smallest id) per near-dup
-    component; rows in no pair keep themselves. The standard final step
-    of minhash/simhash/embedding dedup."""
+    """df + ``keep`` boolean: one keeper per near-dup component; rows
+    in no pair keep themselves. The standard final step of
+    minhash/simhash/embedding dedup.
+
+    Default keeper = smallest id. With ``score_col`` the keeper is the
+    component row with the HIGHEST score (tie → smallest id) — one
+    ``max_by`` over a (score, −id) struct per component, so the
+    election is a single combinable groupBy on component ids."""
     comp = connected_components(pairs, id_a, id_b)
-    keep = F.col("component").isNull() | (F.col(id_col) == F.col("component"))
+    if score_col is None:
+        keep = (
+            F.col("component").isNull()
+            | (F.col(id_col) == F.col("component"))
+        )
+        return (
+            df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+            .select(*df.columns, keep.alias("keep"))
+        )
+    scored = df.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("__score")
+    ).join(comp, "id")
+    keepers = scored.groupBy("component").agg(
+        F.expr(
+            "max_by(id, named_struct('s', __score, 'i', -id))"
+        ).alias("__keeper")
+    )
+    elected = comp.join(keepers, "component").withColumnRenamed(
+        "id", id_col
+    )
+    keep = F.col("__keeper").isNull() | (F.col(id_col) == F.col("__keeper"))
     return (
-        df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        df.join(elected, id_col, "left")
         .select(*df.columns, keep.alias("keep"))
     )
+
+
+def dedup_near(
+    df: DataFrame,
+    method: str = "minhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: Optional[str] = None,
+    **method_kw,
+) -> DataFrame:
+    """One-call near-duplicate dedup — the dedup counterpart of
+    ``retrieval.retrieve()``: candidate pairs by ``method``, connected
+    components, one keeper per component, return the KEPT rows of
+    ``df`` (same schema).
+
+    - ``method='minhash'`` — banded-LSH candidates + exact-Jaccard
+      verify (`minhash_lsh_pairs`; probabilistic recall at tunable
+      bands/perms — the web-scale default),
+    - ``method='jaccard'`` — prefix-filtered EXACT threshold join
+      (`operators.fuzzy.jaccard_pairs`; complete by construction —
+      when a missed near-dup is not acceptable),
+    - ``method='simhash'`` — hamming-banded pairs (`simhash_pairs`;
+      full recall at the hamming threshold by pigeonhole).
+
+    ``score_col`` elects the best-scoring component member instead of
+    the smallest id (keep the longest/highest-quality variant).
+    Extra ``method_kw`` pass through to the pair operator
+    (threshold/bands/num_perm/max_hamming/materialize/...).
+
+    100 TB: pair generation is the respective operator's documented
+    one-shuffle shape; components iterate shuffle joins to cluster
+    diameter (shallow for dup clusters); the keep join is one
+    broadcast-or-shuffle join on ids. Nothing here collects."""
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(
+            df, id_col=id_col, text_col=text_col, **method_kw
+        )
+    elif method == "jaccard":
+        from ..operators.fuzzy import jaccard_pairs
+
+        pairs = jaccard_pairs(
+            df, text_col=text_col, id_col=id_col, **method_kw
+        )
+    elif method == "simhash":
+        pairs = simhash_pairs(
+            df, id_col=id_col, text_col=text_col, **method_kw
+        )
+    else:
+        raise ValueError(
+            f"method must be minhash|jaccard|simhash, got {method!r}"
+        )
+    flagged = dedup_keep_list(
+        df, pairs.select("id_a", "id_b"), id_col, score_col=score_col
+    )
+    return flagged.filter(F.col("keep")).drop("keep")
 
 
 def window_dup_stats(

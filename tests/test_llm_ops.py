@@ -3079,3 +3079,61 @@ def test_retrieve_ivfpq_semantic_path(spark, emb, sf_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_dedup_near_recipe_and_keep_best(spark, sf_dir):
+    """dedup_near — one-call pairs → components → keeper → kept rows:
+    must equal the hand-wired composition, preserve the input schema,
+    and with score_col elect the component member with the HIGHEST
+    score (tie → smallest id), verified per component."""
+    from quality_spark.llm.dedup import (
+        connected_components,
+        dedup_keep_list,
+        dedup_near,
+    )
+    from quality_spark.operators.fuzzy import jaccard_pairs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("alpha"), (F.col("doc_id") % 9).cast("string"),
+                F.lit(" bravo beta gamma delta epsilon zeta eta theta "),
+                F.substring("text", 1, 25),
+            ).alias("text"),
+            "n_chars",
+        )
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_near(
+            docs, method="jaccard", threshold=0.5, materialize=True
+        ).collect()
+    )
+    pairs = jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    want = sorted(
+        r["doc_id"]
+        for r in dedup_keep_list(docs, pairs).filter("keep").collect()
+    )
+    assert got == want and 0 < len(got) < 200
+
+    best = dedup_near(docs, method="jaccard", threshold=0.5,
+                      score_col="n_chars")
+    assert best.columns == docs.columns
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    scores = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    expect = set()
+    by_comp = {}
+    for i, c in comp.items():
+        by_comp.setdefault(c, []).append(i)
+    for members in by_comp.values():
+        expect.add(max(members, key=lambda i: (scores[i], -i)))
+    for i in scores:
+        if i not in comp:
+            expect.add(i)  # singletons keep themselves
+    assert sorted(r["doc_id"] for r in best.collect()) == sorted(expect)
