@@ -345,12 +345,15 @@ def main() -> None:
     # alongside gate edits
     gate_changes = {
         "tfidf_scores": "added bm25_topk salted-vs-plain-oracle leg",
-        "sampling_splits": "added hh/hhg heavy-hitters + wsample/wsample_g legs",
+        "sampling_splits": "added hh/hhg heavy-hitters, wsample/"
+        "wsample_g, and budget_plan/budget_kept waterfilling legs",
         "dedup_exact": "added fuzzy edit-distance-join leg",
         "embedding_reduce": "added 4 IVF-PQ legs (raw + residual variants)",
         "expr_runner_agg": "profile leg emits 4 quantiles/col; added "
-        "profile_approx and profile_shard (merged shard artifact) legs",
+        "profile_approx, profile_shard (merged shard artifact) and "
+        "suggest (profile->rule authoring) legs",
         "minhash_pipeline": "added jpre prefix-filtered exact Jaccard leg",
+        "digest_documents": "added winnow fingerprint leg",
     }
     # VERDICT r08 #5: join the two records — a retried query whose
     # final time is still >threshold x prior reads 'attributed' when

@@ -110,3 +110,33 @@ def test_round_trip_through_parquet(spark, tmp_path):
     assert len(rules) == 3
     sal = {r.id.id: r.run_on_pass.salience for r in rules if r.run_on_pass}
     assert sal == {700: 5, 701: 99}
+
+
+def test_suggested_suite_serializes_round_trip(spark, sf_dir):
+    """suggest_rules output is a first-class RuleSuite: it must
+    round-trip through toRuleSuiteDF / readRulesFromDF unchanged
+    (the authoring loop feeds the same loaders every other suite
+    uses)."""
+    from quality_spark.operators.profile import profile_columns
+    from quality_spark.operators.suggest import suggest_rules
+    from quality_spark.sources.serializing import (
+        read_rules_from_df,
+        to_rule_suite_df,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prof = profile_columns(li, ["l_quantity", "l_discount"],
+                           quantiles=(0.25, 0.95))
+    suite = suggest_rules(prof, ["l_quantity", "l_discount"])
+    back = read_rules_from_df(to_rule_suite_df(spark, suite))[suite.id]
+    got = {
+        (rs.id, r.id, r.expression.rule)
+        for rs in back.rule_sets
+        for r in rs.rules
+    }
+    want = {
+        (rs.id, r.id, r.expression.rule)
+        for rs in suite.rule_sets
+        for r in rs.rules
+    }
+    assert got == want and len(want) >= 4
