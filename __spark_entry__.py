@@ -1796,14 +1796,31 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("column", F.lit(":"), "rule_kind").alias("k"),
         F.col("expr").alias("v"),
     )
+    # 'drift' part (round 9): profile drift between the two parity
+    # shards (operators/profile.py:profile_drift) — integer-exact
+    # ratios/deltas/range-breach; the oracle recomputes BOTH half
+    # profiles and the same metric arithmetic in SQL.
+    from quality_spark.operators.profile import profile_drift
+
+    drift = profile_drift(
+        profile_from_shards([sh[0]], list(_PROFILE_COLS)),
+        profile_from_shards([sh[1]], list(_PROFILE_COLS)),
+    ).select(
+        F.lit("drift").alias("part"),
+        F.concat("column", F.lit(":"), "metric").alias("k"),
+        F.col("value").cast("string").alias("v"),
+    )
     return (
         er.unionByName(prof).unionByName(prof_a).unionByName(prof_s)
-        .unionByName(sug)
+        .unionByName(sug).unionByName(drift)
     )
 
 
 def _oracle_expr_runner_agg() -> str:
-    from quality_spark.operators.profile import profile_oracle_sql
+    from quality_spark.operators.profile import (
+        profile_drift_oracle_sql,
+        profile_oracle_sql,
+    )
     from quality_spark.operators.suggest import (
         suggested_rule_texts_oracle_sql,
     )
@@ -1831,6 +1848,18 @@ FROM ({prof})
 UNION ALL
 SELECT 'suggest', "column" || ':' || rule_kind, expr
 FROM ({suggested_rule_texts_oracle_sql(prof)})
+UNION ALL
+SELECT 'drift', "column" || ':' || metric, CAST(value AS VARCHAR)
+FROM ({profile_drift_oracle_sql(
+        profile_oracle_sql(
+            "(SELECT * FROM lineitem WHERE l_orderkey % 2 = 0) qa",
+            list(_PROFILE_COLS), bins=_PROFILE_BINS,
+        ),
+        profile_oracle_sql(
+            "(SELECT * FROM lineitem WHERE l_orderkey % 2 = 1) qb",
+            list(_PROFILE_COLS), bins=_PROFILE_BINS,
+        ),
+    )})
 """
 
 

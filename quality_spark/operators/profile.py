@@ -663,6 +663,168 @@ def profile_from_shards(
 
 
 # ---------------------------------------------------------------------------
+# drift (round 9)
+# ---------------------------------------------------------------------------
+
+#: metrics emitted by profile_drift, in output order
+DRIFT_METRICS = (
+    "n_ratio_ppm",
+    "null_rate_delta_ppm",
+    "mean_delta",
+    "std_ratio_ppm",
+    "min_delta",
+    "max_delta",
+    "distinct_ratio_ppm",
+    "range_breach",
+)
+
+
+def profile_drift(baseline: DataFrame, current: DataFrame) -> DataFrame:
+    """Data-drift report between two profiles (the monitoring use the
+    mergeable shard artifacts exist for: profile each day's batch at
+    landing time, then diff today against yesterday — or against the
+    merged history — WITHOUT touching the data again).
+
+    Input: two long (column, stat, value) profile frames
+    (``profile_columns`` / ``profile_from_shards`` output, live or
+    read back from parquet). Output: (column, metric, value BIGINT),
+    one row per column × ``DRIFT_METRICS``:
+
+    - ``n_ratio_ppm``        — current/baseline row count, ppm
+    - ``null_rate_delta_ppm``— null-rate change, ppm of total rows
+    - ``mean_delta``         — mean shift, micro units
+    - ``std_ratio_ppm``      — spread change, ppm (NULL if baseline
+                                std is NULL/0)
+    - ``min_delta``/``max_delta`` — range drift, micro units
+    - ``distinct_ratio_ppm`` — cardinality change, ppm
+    - ``range_breach``       — 1 iff current min undercuts or max
+                                exceeds the baseline range (new
+                                out-of-range values vs baseline — the
+                                signal that a suggested range rule
+                                would now fail), else 0
+
+    INTEGER-EXACT: every ratio divides non-negative integers
+    (floor == truncate, so a SQL replay with DIV agrees bit-for-bit);
+    deltas are exact integer subtraction; NULL propagates where a
+    side is missing. Profiles are metadata-sized, so both are
+    collected and the result is a literal frame."""
+    a = _drift_stat_map(baseline.collect())
+    b = _drift_stat_map(current.collect())
+    rows: List[tuple] = []
+    for c in sorted(set(a) | set(b)):
+        sa, sb = a.get(c, {}), b.get(c, {})
+        vals = _drift_metrics(sa, sb)
+        rows.extend((c, m, vals[m]) for m in DRIFT_METRICS)
+    spark = baseline.sparkSession
+    return spark.createDataFrame(
+        rows, "column string, metric string, value bigint"
+    )
+
+
+def _drift_stat_map(rows) -> Dict[str, Dict[str, int]]:
+    out: Dict[str, Dict[str, int]] = {}
+    for r in rows:
+        out.setdefault(r["column"], {})[r["stat"]] = r["value"]
+    return out
+
+
+def _drift_metrics(sa: Dict[str, int], sb: Dict[str, int]) -> Dict[str, int]:
+    def ratio_ppm(x, y):  # y_current vs x_baseline, both non-negative
+        if x is None or y is None or x <= 0:
+            return None
+        return (int(y) * 1_000_000) // int(x)
+
+    def null_rate(s):
+        n, nn = s.get("n"), s.get("n_null")
+        if n is None or nn is None or (n + nn) <= 0:
+            return None
+        return (int(nn) * 1_000_000) // int(n + nn)
+
+    def delta(x, y):
+        if x is None or y is None:
+            return None
+        return int(y) - int(x)
+
+    ra, rb = null_rate(sa), null_rate(sb)
+    mn_a, mn_b = sa.get("min"), sb.get("min")
+    mx_a, mx_b = sa.get("max"), sb.get("max")
+    breach = int(
+        (mn_b is not None and (mn_a is None or mn_b < mn_a))
+        or (mx_b is not None and (mx_a is None or mx_b > mx_a))
+    )
+    return {
+        "n_ratio_ppm": ratio_ppm(sa.get("n"), sb.get("n")),
+        "null_rate_delta_ppm": delta(ra, rb),
+        "mean_delta": delta(sa.get("mean"), sb.get("mean")),
+        "std_ratio_ppm": ratio_ppm(sa.get("std"), sb.get("std")),
+        "min_delta": delta(mn_a, mn_b),
+        "max_delta": delta(mx_a, mx_b),
+        "distinct_ratio_ppm": ratio_ppm(
+            sa.get("n_distinct"), sb.get("n_distinct")
+        ),
+        "range_breach": breach,
+    }
+
+
+def profile_drift_oracle_sql(
+    baseline_profile_sql: str, current_profile_sql: str
+) -> str:
+    """DuckDB replay of ``profile_drift`` from two profile subqueries
+    — same pivots, same non-negative integer divisions (// == the
+    Python floor on this domain), same NULL propagation."""
+    piv = """
+  SELECT "column" AS col,
+    MAX(CASE WHEN stat = 'n' THEN value END) AS n,
+    MAX(CASE WHEN stat = 'n_null' THEN value END) AS n_null,
+    MAX(CASE WHEN stat = 'n_distinct' THEN value END) AS dist,
+    MAX(CASE WHEN stat = 'mean' THEN value END) AS mean,
+    MAX(CASE WHEN stat = 'std' THEN value END) AS std,
+    MAX(CASE WHEN stat = 'min' THEN value END) AS mn,
+    MAX(CASE WHEN stat = 'max' THEN value END) AS mx
+  FROM {src} GROUP BY 1
+"""
+    return f"""
+WITH a AS ({piv.format(src=f"({baseline_profile_sql})")}),
+b AS ({piv.format(src=f"({current_profile_sql})")}),
+j AS (
+  SELECT COALESCE(a.col, b.col) AS col,
+         a.n AS n_a, a.n_null AS nn_a, a.dist AS d_a, a.mean AS me_a,
+         a.std AS sd_a, a.mn AS mn_a, a.mx AS mx_a,
+         b.n AS n_b, b.n_null AS nn_b, b.dist AS d_b, b.mean AS me_b,
+         b.std AS sd_b, b.mn AS mn_b, b.mx AS mx_b
+  FROM a FULL OUTER JOIN b ON a.col = b.col
+), m AS (
+  SELECT col,
+    CASE WHEN n_a > 0 THEN (n_b * 1000000) // n_a END AS n_ratio_ppm,
+    (CASE WHEN n_b + nn_b > 0
+          THEN (nn_b * 1000000) // (n_b + nn_b) END)
+    - (CASE WHEN n_a + nn_a > 0
+            THEN (nn_a * 1000000) // (n_a + nn_a) END)
+      AS null_rate_delta_ppm,
+    me_b - me_a AS mean_delta,
+    CASE WHEN sd_a > 0 THEN (sd_b * 1000000) // sd_a END AS std_ratio_ppm,
+    mn_b - mn_a AS min_delta,
+    mx_b - mx_a AS max_delta,
+    CASE WHEN d_a > 0 THEN (d_b * 1000000) // d_a END AS distinct_ratio_ppm,
+    CAST((mn_b IS NOT NULL AND (mn_a IS NULL OR mn_b < mn_a))
+      OR (mx_b IS NOT NULL AND (mx_a IS NULL OR mx_b > mx_a))
+      AS BIGINT) AS range_breach
+  FROM j
+)
+SELECT col AS "column", u.metric, u.value FROM m, LATERAL (VALUES
+  ('n_ratio_ppm', n_ratio_ppm),
+  ('null_rate_delta_ppm', null_rate_delta_ppm),
+  ('mean_delta', mean_delta),
+  ('std_ratio_ppm', std_ratio_ppm),
+  ('min_delta', min_delta),
+  ('max_delta', max_delta),
+  ('distinct_ratio_ppm', distinct_ratio_ppm),
+  ('range_breach', range_breach)
+) AS u(metric, value)
+"""
+
+
+# ---------------------------------------------------------------------------
 # oracle
 # ---------------------------------------------------------------------------
 

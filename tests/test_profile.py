@@ -360,3 +360,40 @@ def test_suggest_rules_self_pass_and_oracle_parity(spark, sf_dir):
         F.explode(F.col("DQ")["ruleSetResults"]).alias("sid", "set")
     ).select(F.explode(F.col("set")["ruleResults"]).alias("rid", "res"))
     assert flat.filter(~F.col("res").isin(100000, -1)).count() == 0
+
+
+def test_profile_drift_metrics_and_edges(spark):
+    """profile_drift: known-value metrics, NULL propagation for
+    missing/zero baselines, range_breach on undercut min / new values
+    where the baseline had none."""
+    from quality_spark.operators.profile import (
+        DRIFT_METRICS,
+        profile_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (3.0, None), (None, None)],
+        "x double, y double",
+    )
+    # current: doubled rows, one value below baseline min, y appears
+    b = spark.createDataFrame(
+        [(0.5, 7.0), (2.0, 7.0), (3.0, 7.0), (3.0, 7.0),
+         (None, 7.0), (None, 7.0), (1.0, 7.0), (2.5, 7.0)],
+        "x double, y double",
+    )
+    pa = profile_columns(a, ["x", "y"])
+    pb = profile_columns(b, ["x", "y"])
+    got = {
+        (r["column"], r["metric"]): r["value"]
+        for r in profile_drift(pa, pb).collect()
+    }
+    assert set(m for _, m in got) == set(DRIFT_METRICS)
+    assert got[("x", "n_ratio_ppm")] == 2_000_000  # 6 vs 3
+    # null rate: a = 1/4 -> 250000 ppm; b = 2/8 -> 250000 ppm
+    assert got[("x", "null_rate_delta_ppm")] == 0
+    assert got[("x", "min_delta")] == 500_000 - 1_000_000
+    assert got[("x", "range_breach")] == 1  # 0.5 undercuts min 1.0
+    # y: baseline all-null -> ratios NULL, breach 1 (new values)
+    assert got[("y", "n_ratio_ppm")] is None
+    assert got[("y", "range_breach")] == 1
+    assert got[("y", "std_ratio_ppm")] is None
