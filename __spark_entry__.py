@@ -1767,10 +1767,12 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile_shard,
     )
 
+    # eager-checkpoint each artifact: it feeds BOTH the merged profile
+    # and the drift leg below — one half-scan each instead of six
     sh = [
         profile_shard(
             li.filter(F.col("l_orderkey") % 2 == p), list(_PROFILE_COLS)
-        )
+        ).localCheckpoint(eager=True)
         for p in (0, 1)
     ]
     prof_s = profile_from_shards(
@@ -1796,6 +1798,31 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("column", F.lit(":"), "rule_kind").alias("k"),
         F.col("expr").alias("v"),
     )
+    # 'profile_shard_approx' part (round 9): the APPROX mergeable
+    # artifact path (one raw-scan aggregate + HLL sketch per shard,
+    # hll_union_agg merge) gated on its deterministic subset — every
+    # stat except the sketch-estimated n_distinct is bit-identical to
+    # the whole-table exact oracle by the shared-finisher refactor.
+    from quality_spark.operators.profile import (
+        profile_from_approx_shards,
+        profile_shard_approx,
+    )
+
+    sha = [
+        profile_shard_approx(
+            li.filter(F.col("l_orderkey") % 2 == p), list(_PROFILE_COLS)
+        )
+        for p in (0, 1)
+    ]
+    prof_sa = (
+        profile_from_approx_shards(sha, list(_PROFILE_COLS))
+        .filter(F.col("stat") != "n_distinct")
+        .select(
+            F.lit("profile_shard_approx").alias("part"),
+            F.concat("column", F.lit(":"), "stat").alias("k"),
+            F.col("value").cast("string").alias("v"),
+        )
+    )
     # 'drift' part (round 9): profile drift between the two parity
     # shards (operators/profile.py:profile_drift) — integer-exact
     # ratios/deltas/range-breach; the oracle recomputes BOTH half
@@ -1812,7 +1839,7 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         er.unionByName(prof).unionByName(prof_a).unionByName(prof_s)
-        .unionByName(sug).unionByName(drift)
+        .unionByName(sug).unionByName(prof_sa).unionByName(drift)
     )
 
 
@@ -1848,6 +1875,11 @@ FROM ({prof})
 UNION ALL
 SELECT 'suggest', "column" || ':' || rule_kind, expr
 FROM ({suggested_rule_texts_oracle_sql(prof)})
+UNION ALL
+SELECT 'profile_shard_approx', "column" || ':' || stat,
+       CAST(value AS VARCHAR)
+FROM ({prof})
+WHERE stat != 'n_distinct' AND stat NOT LIKE 'p%' AND stat NOT LIKE 'hist%'
 UNION ALL
 SELECT 'drift', "column" || ':' || metric, CAST(value AS VARCHAR)
 FROM ({profile_drift_oracle_sql(

@@ -256,6 +256,42 @@ def _rank_sql(q: float, n: str) -> str:
     return f"GREATEST(1, CAST(ceil(CAST('{q!r}' AS DOUBLE) * {n}) AS BIGINT))"
 
 
+def _finish_approx_stats(
+    n: int, total: int, dsum, dssq, mn, mx, nd
+) -> Dict[str, object]:
+    """The raw-scan-path stat finishers over exact integer
+    accumulators — shared by the single-frame approx path and the
+    mergeable approx-shard path so their non-sketch stats cannot
+    drift (and both stay bit-identical to EXACT mode, test-pinned)."""
+    import math
+
+    mean = std = None
+    if n > 0 and dsum is not None:
+        # SQL DIV truncates toward zero (Python // floors) —
+        # replicate exactly so negative means match the exact path
+        q, sign = abs(dsum) // n, (1 if dsum >= 0 else -1)
+        mean = sign * q
+    if n > 1 and dsum is not None and dssq is not None:
+        # same double-evaluated overflow guard as _std_safe_sql
+        # (float(int) is the identical correctly-rounded conversion)
+        if float(dssq) * n < 9.9e37 and abs(float(dsum)) < 9.9e18:
+            num = n * dssq - dsum * dsum
+            std = int(
+                math.floor(math.sqrt(float(num) / float(n * (n - 1))))
+            )
+    clamped = None if dsum is None else max(_I64_MIN, min(_I64_MAX, dsum))
+    return {
+        "n": n,
+        "n_null": total - n,
+        "n_distinct": nd,
+        "min": mn,
+        "max": mx,
+        "sum": clamped,
+        "mean": mean,
+        "std": std if n > 1 else None,
+    }
+
+
 def _approx_stat_rows(
     df: DataFrame,
     cols: Sequence[str],
@@ -302,41 +338,17 @@ def _approx_stat_rows(
     row = proj.groupBy().agg(*aggs).collect()[0]
     total = int(row["_total"])
     out: List[tuple] = []
-    import math
-
     for i, c in enumerate(cols):
         n = int(row[f"_n{i}"])
-        dsum = None if row[f"_s{i}"] is None else int(row[f"_s{i}"])
-        dssq = None if row[f"_q{i}"] is None else int(row[f"_q{i}"])
-        mean = std = None
-        if n > 0 and dsum is not None:
-            # SQL DIV truncates toward zero (Python // floors) —
-            # replicate exactly so negative means match the exact path
-            q, sign = abs(dsum) // n, (1 if dsum >= 0 else -1)
-            mean = sign * q
-        if n > 1 and dsum is not None and dssq is not None:
-            # same double-evaluated overflow guard as _std_safe_sql
-            # (float(int) is the identical correctly-rounded conversion)
-            if float(dssq) * n < 9.9e37 and abs(float(dsum)) < 9.9e18:
-                num = n * dssq - dsum * dsum
-                std = int(
-                    math.floor(math.sqrt(float(num) / float(n * (n - 1))))
-                )
-        clamped = (
-            None
-            if dsum is None
-            else max(_I64_MIN, min(_I64_MAX, dsum))
+        vals = _finish_approx_stats(
+            n=n,
+            total=total,
+            dsum=None if row[f"_s{i}"] is None else int(row[f"_s{i}"]),
+            dssq=None if row[f"_q{i}"] is None else int(row[f"_q{i}"]),
+            mn=row[f"_mn{i}"],
+            mx=row[f"_mx{i}"],
+            nd=0 if n == 0 else int(row[f"_d{i}"]),
         )
-        vals = {
-            "n": n,
-            "n_null": total - n,
-            "n_distinct": 0 if n == 0 else int(row[f"_d{i}"]),
-            "min": row[f"_mn{i}"],
-            "max": row[f"_mx{i}"],
-            "sum": clamped,
-            "mean": mean,
-            "std": std if n > 1 else None,
-        }
         out.extend((c, s, vals[s]) for s in STAT_NAMES)
         if quantiles and n > 0:
             ps = row[f"_p{i}"]
@@ -659,6 +671,105 @@ def profile_from_shards(
     return spark.createDataFrame(
         stat_rows + q_rows + hist_rows,
         "column string, stat string, value bigint",
+    )
+
+
+def profile_shard_approx(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """The APPROX mergeable artifact — one row per column: exact
+    integer accumulators (n, n_null, min, max, DECIMAL(38,0) Σx and
+    Σx²) plus a Datasketches HLL sketch (``hll_sketch_agg``, binary,
+    default lgConfigK so shards always union). ONE raw-scan aggregate
+    per shard, state = |cols| × (a few longs + one sketch) — no
+    per-distinct-value volume at all, unlike the exact artifact whose
+    size is the shard's distinct count.
+
+    This completes the shard matrix: exact artifacts when bit-exact
+    n_distinct/quantiles/histograms matter, approx artifacts when the
+    per-day profile of a 100 TB stream must cost one aggregate and a
+    few KB. Merge with ``profile_from_approx_shards`` — every stat
+    except n_distinct is EXACT and identical to both profile_columns
+    modes (shared finishers, test-pinned); n_distinct is the
+    estimate of the UNIONED sketch (not a sum of per-shard
+    estimates)."""
+    mics = [F.expr(_MIC.format(c=c)) for c in cols]
+    proj = df.select(
+        *[m.alias(f"_m{i}") for i, m in enumerate(mics)]
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_total")]
+    for i in range(len(cols)):
+        m = f"_m{i}"
+        aggs += [
+            F.count(m).cast("bigint").alias(f"_n{i}"),
+            F.min(m).alias(f"_mn{i}"),
+            F.max(m).alias(f"_mx{i}"),
+            F.expr(
+                f"CAST(sum(CAST({m} AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+            ).alias(f"_s{i}"),
+            F.expr(
+                f"CAST(sum(CAST({m} AS DECIMAL(38,0)) * CAST({m} AS DECIMAL(38,0)))"
+                f" AS DECIMAL(38,0))"
+            ).alias(f"_q{i}"),
+            F.expr(f"hll_sketch_agg({m})").alias(f"_h{i}"),
+        ]
+    one = proj.groupBy().agg(*aggs)
+    structs = ", ".join(
+        f"named_struct('column', '{c}', 'n', _n{i}, 'n_null', _total - _n{i},"
+        f" 'mn', _mn{i}, 'mx', _mx{i}, 'dsum', _s{i}, 'dssq', _q{i},"
+        f" 'hll', _h{i})"
+        for i, c in enumerate(cols)
+    )
+    return one.select(
+        F.explode(F.expr(f"array({structs})")).alias("_s")
+    ).select("_s.*")
+
+
+def profile_from_approx_shards(
+    shards: Sequence[DataFrame], cols: Sequence[str]
+) -> DataFrame:
+    """Merge approx artifacts (counts/sums add, min/max combine,
+    sketches ``hll_union_agg``) and finish the same 8 stats — (column,
+    stat, value) long frame, every stat except n_distinct bit-equal
+    to ``profile_columns`` on the union of the shards (shared
+    finishers). Merging is associative; artifacts survive parquet
+    (the sketch is a plain binary column)."""
+    if not shards:
+        raise ValueError("profile_from_approx_shards needs >= 1 shard")
+    merged = shards[0]
+    for s in shards[1:]:
+        merged = merged.unionByName(s)
+    agg = merged.groupBy("column").agg(
+        F.expr("CAST(sum(n) AS BIGINT)").alias("n"),
+        F.expr("CAST(sum(n_null) AS BIGINT)").alias("n_null"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.expr("CAST(sum(dsum) AS DECIMAL(38,0))").alias("dsum"),
+        F.expr("CAST(sum(dssq) AS DECIMAL(38,0))").alias("dssq"),
+        F.expr(
+            "CASE WHEN count(hll) > 0 THEN"
+            " hll_sketch_estimate(hll_union_agg(hll))"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("nd"),
+    )
+    by_col = {r["column"]: r for r in agg.collect()}
+    rows: List[tuple] = []
+    for c in cols:
+        r = by_col.get(c)
+        if r is None:
+            continue
+        n = int(r["n"])
+        vals = _finish_approx_stats(
+            n=n,
+            total=n + int(r["n_null"]),
+            dsum=None if r["dsum"] is None else int(r["dsum"]),
+            dssq=None if r["dssq"] is None else int(r["dssq"]),
+            mn=r["mn"],
+            mx=r["mx"],
+            nd=0 if n == 0 else int(r["nd"]),
+        )
+        rows.extend((c, s, vals[s]) for s in STAT_NAMES)
+    spark = merged.sparkSession
+    return spark.createDataFrame(
+        rows, "column string, stat string, value bigint"
     )
 
 

@@ -397,3 +397,69 @@ def test_profile_drift_metrics_and_edges(spark):
     assert got[("y", "n_ratio_ppm")] is None
     assert got[("y", "range_breach")] == 1
     assert got[("y", "std_ratio_ppm")] is None
+
+
+def test_profile_approx_shards_merge_and_roundtrip(spark, sf_dir):
+    """Approx mergeable artifacts: every non-sketch stat from merged
+    3-way shards (through a parquet round trip of the binary sketch)
+    must be BIT-EQUAL to exact-mode profile_columns on the whole
+    frame; the unioned-sketch n_distinct lands within HLL error."""
+    from pyspark.sql import functions as F
+
+    from quality_spark.operators.profile import (
+        profile_from_approx_shards,
+        profile_shard_approx,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_tax",
+        F.when(F.col("l_orderkey") % 7 == 0, None).otherwise(F.col("l_tax")),
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_tax"]
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    for p in range(3):
+        profile_shard_approx(
+            li.filter(F.col("l_orderkey") % 3 == p), cols
+        ).write.mode("overwrite").parquet(f"{d}/s{p}")
+    back = [spark.read.parquet(f"{d}/s{p}") for p in range(3)]
+    got = {
+        (r["column"], r["stat"]): r["value"]
+        for r in profile_from_approx_shards(back, cols).collect()
+    }
+    exact = {
+        (r["column"], r["stat"]): r["value"]
+        for r in profile_columns(li, cols).collect()
+        if not r["stat"].startswith("hist")
+    }
+    for k, v in exact.items():
+        if k[1] == "n_distinct":
+            assert got[k] == 0 or abs(got[k] - v) / max(v, 1) < 0.08, (
+                k, v, got[k],
+            )
+        else:
+            assert got[k] == v, (k, v, got[k])
+
+
+def test_profile_approx_shards_edges(spark):
+    """All-null column + empty shard: n=0, n_null counted, sketch
+    estimate forced to 0, min/max NULL."""
+    from quality_spark.operators.profile import (
+        profile_from_approx_shards,
+        profile_shard_approx,
+    )
+
+    a = spark.createDataFrame([(None,), (None,)], "x double")
+    b = spark.createDataFrame([], "x double")
+    got = {
+        (r["column"], r["stat"]): r["value"]
+        for r in profile_from_approx_shards(
+            [profile_shard_approx(a, ["x"]), profile_shard_approx(b, ["x"])],
+            ["x"],
+        ).collect()
+    }
+    assert got[("x", "n")] == 0
+    assert got[("x", "n_null")] == 2
+    assert got[("x", "n_distinct")] == 0
+    assert got[("x", "min")] is None and got[("x", "max")] is None
