@@ -172,6 +172,36 @@ def for_each_batch_dq(
     return handle
 
 
+def profile_shards_to_store(
+    store_path: str,
+    cols: Sequence[str],
+    approx: bool = False,
+):
+    """``foreachBatch`` handler: land a MERGEABLE profile artifact per
+    micro-batch (``operators.profile.profile_shard`` — or the
+    KB-sized HLL ``profile_shard_approx`` with ``approx=True``) under
+    ``store_path/epoch=<id>``. The profile of everything ingested so
+    far is then ``profile_from_shards([read store_path])`` (or the
+    approx twin) WITHOUT rescanning any batch, and day-over-day drift
+    is ``profile_drift`` over two epoch ranges — streaming DQ
+    monitoring whose per-batch cost is one aggregate.
+
+    Partitioning by epoch keeps artifacts append-only (no
+    read-modify-write, crash-safe: a re-run of an epoch overwrites
+    only its own partition via dynamic overwrite semantics — we write
+    with mode=overwrite on the epoch subdir)."""
+    from ..operators.profile import profile_shard, profile_shard_approx
+
+    build = profile_shard_approx if approx else profile_shard
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        build(batch_df, list(cols)).write.mode("overwrite").parquet(
+            f"{store_path}/epoch={int(epoch_id)}"
+        )
+
+    return handle
+
+
 def dedup_against_store(
     store_path: str,
     keys: Sequence[str],

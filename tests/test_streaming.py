@@ -733,3 +733,73 @@ def test_compact_key_store_two_sentinel_protocol(spark, tmp_path):
     assert keyset() == keys and clean() is None
     assert len(spark.table(table).inputFiles()) <= 2
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_profile_shards_to_store_stream(spark, sf_dir):
+    """Streaming profile artifacts: a maxFilesPerTrigger=1 run lands
+    one mergeable artifact per micro-batch; profile_from_shards over
+    the store must equal profile_columns over the whole staged data
+    BIT-FOR-BIT, and the approx store's non-sketch stats likewise."""
+    from quality_spark.operators.profile import (
+        profile_columns,
+        profile_from_approx_shards,
+        profile_from_shards,
+    )
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+    from quality_spark.streaming.recipes import profile_shards_to_store
+
+    # stage 3 files so maxFilesPerTrigger=1 yields 3 micro-batches
+    staged = tempfile.mkdtemp(prefix="qs_profsrc_")
+    read_parquet_compat(spark, f"{sf_dir}/events.parquet").repartition(
+        3
+    ).write.mode("overwrite").parquet(staged)
+    cols = ["value"]
+    whole = spark.read.parquet(staged)
+    want = sorted(
+        tuple(r)
+        for r in profile_columns(whole, cols).collect()
+        if not r["stat"].startswith("hist")
+    )
+    schema = whole.schema
+    for approx in (False, True):
+        store = tempfile.mkdtemp(prefix="qs_profstore_")
+        try:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(staged)
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    profile_shards_to_store(store, cols, approx=approx)
+                )
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="qs_profck_"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            import glob
+
+            epochs = sorted(glob.glob(f"{store}/epoch=*"))
+            assert len(epochs) >= 2  # one artifact per file-batch
+            shards = [spark.read.parquet(p) for p in epochs]
+            if approx:
+                got = sorted(
+                    tuple(r)
+                    for r in profile_from_approx_shards(shards, cols).collect()
+                    if r["stat"] != "n_distinct"
+                )
+                want_a = [t for t in want if t[1] != "n_distinct"]
+                assert got == want_a
+            else:
+                got = sorted(
+                    tuple(r)
+                    for r in profile_from_shards(shards, cols).collect()
+                    if not r["stat"].startswith("hist")
+                )
+                assert got == want
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
