@@ -5993,10 +5993,113 @@ def q_skew_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("double").alias("v1"),
         F.lit(-1.0).alias("v2"),
     )
-    return salted.unionByName(skew)
+    # 'rel' part (round 9): relational profiling
+    # (operators/relprofile.py) — key uniqueness (the synthetic
+    # lineitem duplicates even the composite key — an honest DQ
+    # finding the gate now records), FK orphans on an ENGINEERED child
+    # (negated keys dangle, nulled keys counted separately), and FD
+    # violation counts (o_custkey→status violates; the PK FD holds).
+    from quality_spark.operators.relprofile import (
+        fd_violations,
+        fk_orphan_stats,
+        key_uniqueness,
+        relational_profile,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    li2 = li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 997 == 0, None)
+        .when(F.col("l_partkey") % 501 == 0, -F.col("l_orderkey"))
+        .otherwise(F.col("l_orderkey")),
+    )
+    rel = relational_profile(
+        [
+            ("li_pk", key_uniqueness(li, ["l_orderkey", "l_linenumber"])),
+            ("li_okey", key_uniqueness(li, ["l_orderkey"])),
+            (
+                "li_orders_fk",
+                fk_orphan_stats(
+                    li2, orders, ["l_orderkey"], ["o_orderkey"]
+                ),
+            ),
+            ("fd_cust_status",
+             fd_violations(orders, ["o_custkey"], "o_orderstatus")),
+            ("fd_pk_cust",
+             fd_violations(orders, ["o_orderkey"], "o_custkey")),
+        ]
+    ).select(
+        F.lit("rel").alias("part"),
+        F.concat("relation", F.lit(":"), "stat").alias("k"),
+        F.col("value").alias("n"),
+        F.lit(-1.0).alias("v1"),
+        F.lit(-1.0).alias("v2"),
+    )
+    return salted.unionByName(skew).unionByName(rel)
 
 
 def _oracle_skew_ops() -> str:
+    from quality_spark.operators.relprofile import (
+        fd_violations_oracle_sql,
+        fk_orphan_stats_oracle_sql,
+        key_uniqueness_oracle_sql,
+    )
+
+    li2 = (
+        "(SELECT * REPLACE (CASE WHEN l_orderkey % 997 = 0 THEN NULL"
+        " WHEN l_partkey % 501 = 0 THEN -l_orderkey"
+        " ELSE l_orderkey END AS l_orderkey) FROM lineitem)"
+    )
+
+    def unpiv(name: str, sql: str, cols: list) -> str:
+        vals = ", ".join(f"('{c}', {c})" for c in cols)
+        return (
+            f"SELECT 'rel' AS part, '{name}:' || u.stat AS k,"
+            f" u.value AS n, -1.0 AS v1, -1.0 AS v2"
+            f" FROM ({sql}) , LATERAL (VALUES {vals}) AS u(stat, value)"
+        )
+
+    uq_cols = ["n_rows", "n_keys", "n_dup_keys", "n_rows_in_dup_keys"]
+    fk_cols = ["n_child_rows", "n_orphans", "n_null_keys"]
+    fd_cols = ["n_groups", "n_violating_groups", "n_rows_in_violations"]
+    rel = "\nUNION ALL\n".join(
+        [
+            unpiv(
+                "li_pk",
+                key_uniqueness_oracle_sql(
+                    "lineitem", ["l_orderkey", "l_linenumber"]
+                ),
+                uq_cols,
+            ),
+            unpiv(
+                "li_okey",
+                key_uniqueness_oracle_sql("lineitem", ["l_orderkey"]),
+                uq_cols,
+            ),
+            unpiv(
+                "li_orders_fk",
+                fk_orphan_stats_oracle_sql(
+                    li2, "orders", ["l_orderkey"], ["o_orderkey"]
+                ),
+                fk_cols,
+            ),
+            unpiv(
+                "fd_cust_status",
+                fd_violations_oracle_sql(
+                    "orders", ["o_custkey"], "o_orderstatus"
+                ),
+                fd_cols,
+            ),
+            unpiv(
+                "fd_pk_cust",
+                fd_violations_oracle_sql(
+                    "orders", ["o_orderkey"], "o_custkey"
+                ),
+                fd_cols,
+            ),
+        ]
+    )
     return f"""
 SELECT 'salted' AS part, o_orderstatus AS k, CAST(n_orders AS BIGINT) AS n,
        CAST(total_price AS DOUBLE) AS v1, CAST(max_price AS DOUBLE) AS v2
@@ -6005,6 +6108,8 @@ UNION ALL
 SELECT 'skewjoin', CAST(s_nationkey AS VARCHAR), CAST(n_items AS BIGINT),
        CAST(sum_qty AS DOUBLE), -1.0
 FROM ({_oracle_skew_join_lineitem()})
+UNION ALL
+{rel}
 """
 
 

@@ -1,0 +1,115 @@
+"""Relational profiling (`operators/relprofile.py`) — key uniqueness,
+FK orphan stats, FD violations: known-value checks + DuckDB parity on
+real testdata."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from quality_spark.operators.relprofile import (
+    fd_violations,
+    fd_violations_oracle_sql,
+    fk_orphan_stats,
+    fk_orphan_stats_oracle_sql,
+    key_uniqueness,
+    key_uniqueness_oracle_sql,
+    relational_profile,
+)
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_key_uniqueness_known_and_parity(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    con = _duck(sf_dir)
+    # a key that truly holds in the testdata: documents.doc_id
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = key_uniqueness(docs, ["doc_id"]).collect()[0]
+    assert got["n_dup_keys"] == 0
+    assert got["n_rows"] == got["n_keys"] == docs.count()
+    # lineitem keys duplicate (even the composite, in this synthetic
+    # data — an honest DQ finding); DuckDB agrees on every count
+    got2 = tuple(key_uniqueness(li, ["l_orderkey"]).collect()[0])
+    want2 = con.execute(
+        key_uniqueness_oracle_sql("lineitem", ["l_orderkey"])
+    ).fetchone()
+    assert got2 == tuple(want2)
+    assert got2[2] > 0  # real duplicates at every sf
+
+
+def test_key_uniqueness_null_keys_count(spark):
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (1, 3), (1, 4), (2, 5)], "k int, v int"
+    )
+    got = key_uniqueness(df, ["k"]).collect()[0]
+    # NULL repeats -> a duplicate key like any other
+    assert got["n_keys"] == 3
+    assert got["n_dup_keys"] == 2
+    assert got["n_rows_in_dup_keys"] == 4
+
+
+def test_fk_orphan_stats_engineered_and_parity(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li2 = li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 997 == 0, None)
+        .when(F.col("l_partkey") % 501 == 0, -F.col("l_orderkey"))
+        .otherwise(F.col("l_orderkey")),
+    )
+    got = tuple(
+        fk_orphan_stats(
+            li2, orders, ["l_orderkey"], ["o_orderkey"]
+        ).collect()[0]
+    )
+    con = _duck(sf_dir)
+    li2_sql = (
+        "(SELECT * REPLACE (CASE WHEN l_orderkey % 997 = 0 THEN NULL"
+        " WHEN l_partkey % 501 = 0 THEN -l_orderkey"
+        " ELSE l_orderkey END AS l_orderkey) FROM lineitem)"
+    )
+    want = con.execute(
+        fk_orphan_stats_oracle_sql(
+            li2_sql, "orders", ["l_orderkey"], ["o_orderkey"]
+        )
+    ).fetchone()
+    assert got == tuple(want)
+    assert got[1] > 0 and got[2] > 0  # engineered orphans + nulls
+    # untouched child: zero orphans, zero null keys
+    clean = fk_orphan_stats(
+        li, orders, ["l_orderkey"], ["o_orderkey"]
+    ).collect()[0]
+    assert clean["n_orphans"] == 0 and clean["n_null_keys"] == 0
+
+
+def test_fd_violations_both_shapes_and_packer(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    con = _duck(sf_dir)
+    viol = tuple(
+        fd_violations(orders, ["o_custkey"], "o_orderstatus").collect()[0]
+    )
+    want = con.execute(
+        fd_violations_oracle_sql("orders", ["o_custkey"], "o_orderstatus")
+    ).fetchone()
+    assert viol == tuple(want)
+    assert viol[1] > 0  # customers with mixed statuses exist
+    holds = fd_violations(orders, ["o_orderkey"], "o_custkey").collect()[0]
+    assert holds["n_violating_groups"] == 0
+    packed = relational_profile(
+        [
+            ("holds", fd_violations(orders, ["o_orderkey"], "o_custkey")),
+            ("viol", fd_violations(orders, ["o_custkey"], "o_orderstatus")),
+        ]
+    )
+    rows = {(r["relation"], r["stat"]): r["value"] for r in packed.collect()}
+    assert rows[("holds", "n_violating_groups")] == 0
+    assert rows[("viol", "n_violating_groups")] == viol[1]
