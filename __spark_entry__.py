@@ -1837,14 +1837,33 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("column", F.lit(":"), "metric").alias("k"),
         F.col("value").cast("string").alias("v"),
     )
+    # 'profile_by' part (round 9): segmented profile — per-group stats
+    # from ONE groupBy aggregate, finishers in-engine (no collect, so
+    # output may be data-sized at real group cardinalities). HLL
+    # n_distinct excluded (engine-specific), everything else exact.
+    from quality_spark.operators.profile import profile_by_group
+
+    prof_g = (
+        profile_by_group(li, "l_returnflag", list(_PROFILE_COLS))
+        .filter(F.col("stat") != "n_distinct")
+        .select(
+            F.lit("profile_by").alias("part"),
+            F.concat(
+                "group", F.lit(":"), "column", F.lit(":"), "stat"
+            ).alias("k"),
+            F.col("value").cast("string").alias("v"),
+        )
+    )
     return (
         er.unionByName(prof).unionByName(prof_a).unionByName(prof_s)
-        .unionByName(sug).unionByName(prof_sa).unionByName(drift)
+        .unionByName(sug).unionByName(prof_sa).unionByName(prof_g)
+        .unionByName(drift)
     )
 
 
 def _oracle_expr_runner_agg() -> str:
     from quality_spark.operators.profile import (
+        profile_by_group_oracle_sql,
         profile_drift_oracle_sql,
         profile_oracle_sql,
     )
@@ -1880,6 +1899,12 @@ SELECT 'profile_shard_approx', "column" || ':' || stat,
        CAST(value AS VARCHAR)
 FROM ({prof})
 WHERE stat != 'n_distinct' AND stat NOT LIKE 'p%' AND stat NOT LIKE 'hist%'
+UNION ALL
+SELECT 'profile_by', "group" || ':' || "column" || ':' || stat,
+       CAST(value AS VARCHAR)
+FROM ({profile_by_group_oracle_sql(
+        "lineitem", "l_returnflag", list(_PROFILE_COLS)
+    )})
 UNION ALL
 SELECT 'drift', "column" || ':' || metric, CAST(value AS VARCHAR)
 FROM ({profile_drift_oracle_sql(

@@ -674,6 +674,136 @@ def profile_from_shards(
     )
 
 
+def profile_by_group(
+    df: DataFrame,
+    group_col: str,
+    cols: Sequence[str],
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Segmented profile: (group, column, stat, value BIGINT) — the
+    same 8 stats as ``profile_columns``, per GROUP (per language, per
+    source domain, per return flag …), from ONE groupBy aggregate.
+    The mixture-QA question "does l_discount behave the same in every
+    segment" is this plus ``profile_drift`` on two groups' rows.
+
+    Unlike the whole-frame profilers the output is groups × cols × 8
+    rows — potentially data-sized — so nothing is collected and the
+    finishers run IN-ENGINE (the same integer DIV / floor(sqrt)
+    spec, so every stat except the HLL++ ``n_distinct`` replays
+    exactly in the DuckDB twin). NULL groups profile under a NULL
+    group key (they are data too)."""
+    mics = [F.expr(_MIC.format(c=c)) for c in cols]
+    proj = df.select(
+        F.col(group_col).cast("string").alias("__grp"),
+        *[m.alias(f"_m{i}") for i, m in enumerate(mics)],
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_total")]
+    for i in range(len(cols)):
+        m = f"_m{i}"
+        aggs += [
+            F.count(m).cast("bigint").alias(f"_n{i}"),
+            F.approx_count_distinct(m, float(rsd))
+            .cast("bigint")
+            .alias(f"_d{i}"),
+            F.min(m).alias(f"_mn{i}"),
+            F.max(m).alias(f"_mx{i}"),
+            F.expr(
+                f"CAST(sum(CAST({m} AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+            ).alias(f"_s{i}"),
+            F.expr(
+                f"CAST(sum(CAST({m} AS DECIMAL(38,0)) * CAST({m} AS DECIMAL(38,0)))"
+                f" AS DECIMAL(38,0))"
+            ).alias(f"_q{i}"),
+        ]
+    g = proj.groupBy("__grp").agg(*aggs)
+    col_structs = []
+    for i, c in enumerate(cols):
+        n = f"_n{i}"
+        std = (
+            f"CASE WHEN {n} > 1 AND "
+            f"{_std_safe_sql(f'_s{i}', f'_q{i}', n)} "
+            f"THEN CAST(floor(sqrt("
+            f"CAST(({n} * _q{i}) - (_s{i} * _s{i}) AS DOUBLE) / "
+            f"CAST({n} * ({n} - 1) AS DOUBLE)"
+            f")) AS BIGINT) ELSE CAST(NULL AS BIGINT) END"
+        )
+        pairs = ", ".join(
+            f"named_struct('stat', '{name}', 'value', {val})"
+            for name, val in [
+                ("n", n),
+                ("n_null", f"_total - {n}"),
+                ("n_distinct", f"CASE WHEN {n} = 0 THEN CAST(0 AS BIGINT)"
+                               f" ELSE _d{i} END"),
+                ("min", f"_mn{i}"),
+                ("max", f"_mx{i}"),
+                ("sum", _clamped_sum_sql(f"_s{i}")),
+                ("mean", f"CAST(_s{i} DIV {n} AS BIGINT)"),
+                ("std", std),
+            ]
+        )
+        col_structs.append(
+            f"named_struct('column', '{c}', 'stats', array({pairs}))"
+        )
+    return (
+        g.select(
+            F.col("__grp").alias("group"),
+            F.explode(F.expr(f"array({', '.join(col_structs)})")).alias(
+                "_cs"
+            ),
+        )
+        .select(
+            "group",
+            F.col("_cs.column").alias("column"),
+            F.explode("_cs.stats").alias("_sv"),
+        )
+        .select(
+            "group",
+            "column",
+            F.col("_sv.stat").alias("stat"),
+            F.col("_sv.value").alias("value"),
+        )
+    )
+
+
+def profile_by_group_oracle_sql(
+    table: str, group_col: str, cols: Sequence[str]
+) -> str:
+    """DuckDB replay of ``profile_by_group`` MINUS the ``n_distinct``
+    rows (HLL++ is engine-specific; every other stat is exact and
+    must match bit-for-bit). Same micro scaling, DECIMAL accumulation,
+    DIV/floor(sqrt) finishers, int64 sum clamp."""
+    per_col = []
+    for c in cols:
+        mic = _MIC.format(c=c)
+        agg = (
+            f"SELECT CAST({group_col} AS VARCHAR) AS grp,"
+            f" CAST(count(*) AS BIGINT) AS total,"
+            f" CAST(count({mic}) AS BIGINT) AS n,"
+            f" min({mic}) AS mn, max({mic}) AS mx,"
+            f" CAST(sum(CAST({mic} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,"
+            f" CAST(sum(CAST({mic} AS DECIMAL(38,0)) * CAST({mic} AS DECIMAL(38,0)))"
+            f" AS DECIMAL(38,0)) AS q"
+            f" FROM {table} GROUP BY 1"
+        )
+        std = (
+            f"CASE WHEN n > 1 AND {_std_safe_sql('s', 'q', 'n')} "
+            f"THEN CAST(floor(sqrt("
+            f"CAST((n * q) - (s * s) AS DOUBLE) / "
+            f"CAST(n * (n - 1) AS DOUBLE)"
+            f")) AS BIGINT) ELSE CAST(NULL AS BIGINT) END"
+        )
+        per_col.append(
+            f"SELECT grp AS \"group\", '{c}' AS \"column\","
+            f" u.stat, u.value FROM ({agg}), LATERAL (VALUES"
+            f" ('n', n), ('n_null', total - n), ('min', mn), ('max', mx),"
+            f" ('sum', {_clamped_sum_sql('s')}),"
+            f" ('mean', CAST(CAST(s AS HUGEINT) // n AS BIGINT)),"
+            f" ('std', {std})"
+            f") AS u(stat, value)"
+        )
+    return "\nUNION ALL\n".join(per_col)
+
+
 def profile_shard_approx(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """The APPROX mergeable artifact — one row per column: exact
     integer accumulators (n, n_null, min, max, DECIMAL(38,0) Σx and

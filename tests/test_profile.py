@@ -463,3 +463,62 @@ def test_profile_approx_shards_edges(spark):
     assert got[("x", "n_null")] == 2
     assert got[("x", "n_distinct")] == 0
     assert got[("x", "min")] is None and got[("x", "max")] is None
+
+
+def test_profile_by_group_parity_and_identity(spark, sf_dir):
+    """Segmented profile: every non-HLL stat must replay bit-for-bit
+    in the DuckDB twin per group, NULL groups profile under a NULL
+    key, and a constant group column reproduces the whole-frame
+    profile's stat block exactly."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from quality_spark.operators.profile import (
+        profile_by_group,
+        profile_by_group_oracle_sql,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 11 == 0, None).otherwise(
+            F.col("l_returnflag")
+        ),
+    )
+    cols = ["l_quantity", "l_discount"]
+    key = lambda t: (t[0] or "", t[1], t[2], -1 if t[3] is None else t[3])
+    got = sorted(
+        (
+            tuple(r)
+            for r in profile_by_group(li, "l_returnflag", cols)
+            .filter("stat != 'n_distinct'")
+            .collect()
+        ),
+        key=key,
+    )
+    con = duckdb.connect()
+    con.register("li_pd", li.toPandas())
+    want = sorted(
+        (
+            (g, c, s, None if v is None else int(v))
+            for g, c, s, v in con.execute(
+                profile_by_group_oracle_sql("li_pd", "l_returnflag", cols)
+            ).fetchall()
+        ),
+        key=key,
+    )
+    assert got == want
+    assert any(g is None for g, _, _, _ in got)  # NULL group profiled
+
+    one = {
+        (r["column"], r["stat"]): r["value"]
+        for r in profile_by_group(
+            li.withColumn("g", F.lit("x")), "g", cols
+        ).collect()
+        if r["stat"] != "n_distinct"
+    }
+    whole = {
+        (r["column"], r["stat"]): r["value"]
+        for r in profile_columns(li, cols).collect()
+        if r["stat"] in ("n", "n_null", "min", "max", "sum", "mean", "std")
+    }
+    assert one == whole
