@@ -1823,6 +1823,42 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("string").alias("v"),
         )
     )
+    # 'profile_cat' + 'suggest_cat' parts (round 9): categorical
+    # profile (top-k values, NULL as a rankable value, distinct
+    # totals) and the IN-set enum rules authored from it —
+    # cardinality/coverage-gated so truncated value sets never author
+    # a rule; l_shipdate's high cardinality exercises the refusal.
+    from quality_spark.operators.profile import profile_categorical
+    from quality_spark.operators.suggest import (
+        suggested_in_set_rule_texts,
+    )
+
+    li_cat = li.withColumn(
+        "l_linestatus",
+        F.when(F.col("l_orderkey") % 13 == 0, None).otherwise(
+            F.col("l_linestatus")
+        ),
+    )
+    cat_cols = ["l_returnflag", "l_linestatus", "l_shipdate"]
+    cat = profile_categorical(li_cat, cat_cols, top=10)
+    prof_c = cat.select(
+        F.lit("profile_cat").alias("part"),
+        F.concat("column", F.lit(":"), "rank").alias("k"),
+        F.concat(
+            F.coalesce("value", F.lit("<NULL>")),
+            F.lit("|"), F.col("cnt"),
+            F.lit("|"), F.col("n_distinct"),
+        ).alias("v"),
+    )
+    sug_c = spark.createDataFrame(
+        suggested_in_set_rule_texts(cat, max_card=8)
+        or [("__none__", "in_set", "")],
+        "column string, rule_kind string, expr string",
+    ).select(
+        F.lit("suggest_cat").alias("part"),
+        F.concat("column", F.lit(":"), "rule_kind").alias("k"),
+        F.col("expr").alias("v"),
+    )
     # 'drift' part (round 9): profile drift between the two parity
     # shards (operators/profile.py:profile_drift) — integer-exact
     # ratios/deltas/range-breach; the oracle recomputes BOTH half
@@ -1857,17 +1893,19 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         er.unionByName(prof).unionByName(prof_a).unionByName(prof_s)
         .unionByName(sug).unionByName(prof_sa).unionByName(prof_g)
-        .unionByName(drift)
+        .unionByName(prof_c).unionByName(sug_c).unionByName(drift)
     )
 
 
 def _oracle_expr_runner_agg() -> str:
     from quality_spark.operators.profile import (
         profile_by_group_oracle_sql,
+        profile_categorical_oracle_sql,
         profile_drift_oracle_sql,
         profile_oracle_sql,
     )
     from quality_spark.operators.suggest import (
+        suggested_in_set_rule_texts_oracle_sql,
         suggested_rule_texts_oracle_sql,
     )
 
@@ -1899,6 +1937,23 @@ SELECT 'profile_shard_approx', "column" || ':' || stat,
        CAST(value AS VARCHAR)
 FROM ({prof})
 WHERE stat != 'n_distinct' AND stat NOT LIKE 'p%' AND stat NOT LIKE 'hist%'
+UNION ALL
+SELECT 'profile_cat', "column" || ':' || rank,
+       COALESCE(value, '<NULL>') || '|' || cnt || '|' || n_distinct
+FROM ({profile_categorical_oracle_sql(
+        "(SELECT * REPLACE (CASE WHEN l_orderkey % 13 = 0 THEN NULL"
+        " ELSE l_linestatus END AS l_linestatus) FROM lineitem)",
+        ["l_returnflag", "l_linestatus", "l_shipdate"], top=10,
+    )})
+UNION ALL
+SELECT 'suggest_cat', "column" || ':' || rule_kind, expr
+FROM ({suggested_in_set_rule_texts_oracle_sql(
+        profile_categorical_oracle_sql(
+            "(SELECT * REPLACE (CASE WHEN l_orderkey % 13 = 0 THEN NULL"
+            " ELSE l_linestatus END AS l_linestatus) FROM lineitem)",
+            ["l_returnflag", "l_linestatus", "l_shipdate"], top=10,
+        ), max_card=8,
+    )})
 UNION ALL
 SELECT 'profile_by', "group" || ':' || "column" || ':' || stat,
        CAST(value AS VARCHAR)

@@ -350,10 +350,12 @@ def main() -> None:
         "dedup_exact": "added fuzzy edit-distance-join leg",
         "embedding_reduce": "added 4 IVF-PQ legs (raw + residual variants)",
         "expr_runner_agg": "profile leg emits 4 quantiles/col; added "
-        "profile_approx, profile_shard (merged shard artifact) and "
-        "suggest (profile->rule authoring) legs",
+        "profile_approx, profile_shard, profile_shard_approx (HLL), "
+        "profile_by (segmented), suggest (rule authoring) and drift "
+        "legs",
         "minhash_pipeline": "added jpre prefix-filtered exact Jaccard leg",
         "digest_documents": "added winnow fingerprint leg",
+        "skew_ops": "added rel (relational profiling) leg",
     }
     # VERDICT r08 #5: join the two records — a retried query whose
     # final time is still >threshold x prior reads 'attributed' when

@@ -903,6 +903,78 @@ def profile_from_approx_shards(
     )
 
 
+def profile_categorical(
+    df: DataFrame, cols: Sequence[str], top: int = 10
+) -> DataFrame:
+    """Categorical companion to the numeric profiler: per STRING (or
+    any castable) column, the ``top`` most frequent values with
+    counts and ranks, plus the column's total distinct count repeated
+    on every row — the facts an IN-set / enum DQ rule is authored
+    from. NULL counts ride a NULL-value row (rank-eligible: a
+    mostly-null column should SHOW null as its top value).
+
+    Determinism: rank = row_number over (cnt DESC, value ASC NULLS
+    FIRST) — a total order both engines implement identically, so the
+    emitted top-k set and ranks are oracle-replayable exactly.
+
+    100 TB: one posexplode scan → one combinable groupBy(column,
+    value) → a per-column top-k window over the (bounded: Σ distinct)
+    count table. Output is |cols| × top rows — metadata."""
+    names = F.array(*[F.lit(c) for c in cols])
+    vals = [F.col(c).cast("string") for c in cols]
+    counts = (
+        df.select(F.posexplode(F.array(*vals)).alias("_cidx", "value"))
+        .groupBy("_cidx", "value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_cidx").orderBy(
+        F.col("cnt").desc(), F.col("value").asc_nulls_first()
+    )
+    wcard = Window.partitionBy("_cidx")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "n_distinct",
+            F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0))
+            .over(wcard)
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= int(top))
+        .select(
+            F.element_at(names, F.col("_cidx") + 1).alias("column"),
+            "value",
+            "cnt",
+            "rank",
+            "n_distinct",
+        )
+    )
+
+
+def profile_categorical_oracle_sql(
+    table: str, cols: Sequence[str], top: int = 10
+) -> str:
+    """DuckDB replay — same count, same (cnt DESC, value ASC NULLS
+    FIRST) rank order, same non-null distinct total."""
+    legs = []
+    for c in cols:
+        legs.append(
+            f"""
+SELECT '{c}' AS "column", value, cnt, rank, n_distinct FROM (
+  SELECT value, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC,
+                                 value ASC NULLS FIRST) AS INT) AS rank,
+         CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+              OVER () AS BIGINT) AS n_distinct
+  FROM (SELECT CAST({c} AS VARCHAR) AS value,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM {table} GROUP BY 1)
+) WHERE rank <= {int(top)}"""
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
 # ---------------------------------------------------------------------------
 # drift (round 9)
 # ---------------------------------------------------------------------------

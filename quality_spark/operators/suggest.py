@@ -141,6 +141,67 @@ def suggest_rules(
     return RuleSuite(suite_id, (RuleSet(set_id, rules),))
 
 
+def suggested_in_set_rule_texts(
+    cat_profile: DataFrame,
+    max_card: int = 8,
+) -> List[Tuple[str, str, str]]:
+    """(column, 'in_set', expression_text) from a categorical profile
+    (``profile_categorical``): an enum rule ``c IN ('a','b',…)`` —
+    null-guarded when nulls were observed — for every column whose
+    full distinct count is ≤ ``max_card`` AND whose profile actually
+    carries all of them (``top`` ≥ cardinality; otherwise the rule
+    would be authored from a truncated value set and silently fail
+    live data). Values render sorted ascending with '' doubling for
+    quotes — a fixed text spec the SQL oracle reproduces with
+    string_agg."""
+    rows = cat_profile.collect()
+    by_col: Dict[str, list] = {}
+    for r in rows:
+        by_col.setdefault(r["column"], []).append(r)
+    out: List[Tuple[str, str, str]] = []
+    for c in sorted(by_col):
+        rs = by_col[c]
+        card = int(rs[0]["n_distinct"])
+        non_null = sorted(
+            r["value"] for r in rs if r["value"] is not None
+        )
+        has_null = any(r["value"] is None for r in rs)
+        if card > int(max_card) or len(non_null) < card or card == 0:
+            continue
+        vals = ", ".join("'" + v.replace("'", "''") + "'" for v in non_null)
+        expr = f"{c} IN ({vals})"
+        if has_null:
+            expr = f"{c} IS NULL OR {expr}"
+        out.append((c, "in_set", expr))
+    return out
+
+
+def suggested_in_set_rule_texts_oracle_sql(
+    cat_profile_sql: str,
+    max_card: int = 8,
+) -> str:
+    """DuckDB replay: same cardinality/coverage gates, same sorted
+    quoted rendering via string_agg(... ORDER BY value)."""
+    return f"""
+WITH cp AS ({cat_profile_sql}),
+agg AS (
+  SELECT "column" AS col,
+    MAX(n_distinct) AS card,
+    COUNT(CASE WHEN value IS NOT NULL THEN 1 END) AS n_vals,
+    BOOL_OR(value IS NULL) AS has_null,
+    string_agg(CASE WHEN value IS NOT NULL
+                    THEN '''' || replace(value, '''', '''''') || ''''
+               END, ', ' ORDER BY value) AS vals
+  FROM cp GROUP BY 1
+)
+SELECT col AS "column", 'in_set' AS rule_kind,
+  CASE WHEN has_null THEN col || ' IS NULL OR ' ELSE '' END
+    || col || ' IN (' || vals || ')' AS expr
+FROM agg
+WHERE card <= {int(max_card)} AND n_vals >= card AND card > 0
+"""
+
+
 def suggested_rule_texts_oracle_sql(
     profile_sql: str,
     quantile_band: Tuple[str, str] = ("p25", "p95"),

@@ -522,3 +522,64 @@ def test_profile_by_group_parity_and_identity(spark, sf_dir):
         if r["stat"] in ("n", "n_null", "min", "max", "sum", "mean", "std")
     }
     assert one == whole
+
+
+def test_profile_categorical_and_in_set_suggestion(spark, sf_dir):
+    """Categorical profile: DuckDB rank/count/distinct parity (NULL
+    as a rankable value), and the IN-set suggester — null-guarded
+    where nulls were seen, REFUSED for columns whose cardinality
+    exceeds max_card or whose top-k doesn't cover all values, and
+    self-passing on the profiled data."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from quality_spark.operators.profile import (
+        profile_categorical,
+        profile_categorical_oracle_sql,
+    )
+    from quality_spark.operators.suggest import (
+        suggested_in_set_rule_texts,
+        suggested_in_set_rule_texts_oracle_sql,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_linestatus",
+        F.when(F.col("l_orderkey") % 13 == 0, None).otherwise(
+            F.col("l_linestatus")
+        ),
+    )
+    cols = ["l_returnflag", "l_linestatus", "l_shipdate"]
+    cp = profile_categorical(li, cols, top=10)
+    key = lambda t: (t[0], t[3])
+    got = sorted(
+        (
+            (r["column"], r["value"], r["cnt"], r["rank"], r["n_distinct"])
+            for r in cp.collect()
+        ),
+        key=key,
+    )
+    con = duckdb.connect()
+    con.register("li_pd", li.toPandas())
+    want = sorted(
+        (
+            (c, v, int(n), int(rk), int(d))
+            for c, v, n, rk, d in con.execute(
+                profile_categorical_oracle_sql("li_pd", cols, top=10)
+            ).fetchall()
+        ),
+        key=key,
+    )
+    assert got == want
+    texts = suggested_in_set_rule_texts(cp, max_card=8)
+    by_col = dict((c, e) for c, _, e in texts)
+    assert "l_shipdate" not in by_col  # cardinality refusal
+    assert by_col["l_linestatus"].startswith("l_linestatus IS NULL OR ")
+    assert " IS NULL" not in by_col["l_returnflag"]
+    osql = suggested_in_set_rule_texts_oracle_sql(
+        profile_categorical_oracle_sql("li_pd", cols, top=10), max_card=8
+    )
+    assert sorted(texts) == sorted(
+        (a, b, c) for a, b, c in con.execute(osql).fetchall()
+    )
+    for c, _, expr in texts:
+        assert li.filter(f"NOT ({expr})").count() == 0

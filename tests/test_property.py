@@ -839,3 +839,58 @@ def test_jaccard_pairs_complete_vs_bruteforce(spark, strs, tau, k):
         for r in jaccard_pairs(df, k=k, threshold=tau).collect()
     )
     assert got == _jaccard_ref(rows, k, tau)
+
+
+def _winnow_ref(text, k, w):
+    """From-scratch winnowing reference: ASCII-whitespace tokens,
+    positional k-grams (short docs -> one gram of what's left),
+    portable 60-bit md5 hashes, all window minima, distinct."""
+    import hashlib
+    import re
+
+    if text is None:
+        return []
+    toks = [t for t in re.split(r"\s+", text, flags=re.ASCII) if t]
+    if not toks:
+        return []
+    n = max(len(toks) - k + 1, 1)
+    grams = [" ".join(toks[i : i + k]) for i in range(n)]
+    hs = [
+        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+        for g in grams
+    ]
+    m = max(len(hs) - w + 1, 1)
+    return sorted({min(hs[j : j + w]) for j in range(m)})
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=10,
+    ),
+    k=st.integers(1, 3),
+    w=st.integers(1, 5),
+)
+def test_winnow_fingerprints_match_reference(spark, docs, k, w):
+    """with_winnow_fingerprints must equal an independent python
+    implementation of Schleimer-2003 winnowing (same tokenizer, same
+    portable hash) on arbitrary tiny corpora — including empty and
+    shorter-than-one-window docs."""
+    from quality_spark.llm.textstats import with_winnow_fingerprints
+
+    rows = [(i, s) for i, s in enumerate(docs)] + [(999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    got = {
+        r["doc_id"]: sorted(r["fps"])
+        for r in with_winnow_fingerprints(df, k=k, w=w, out="fps")
+        .select("doc_id", "fps")
+        .collect()
+    }
+    for i, s in rows:
+        assert got[i] == _winnow_ref(s, k, w), (i, s)
