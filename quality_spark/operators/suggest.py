@@ -118,25 +118,41 @@ def suggest_rules(
     base_rule_id: int = 90000,
     quantile_band: Tuple[str, str] = ("p25", "p95"),
     null_tolerance: float = 0.0,
+    categorical_profile: DataFrame = None,
+    categorical_cols: Sequence[str] = (),
+    max_card: int = 8,
 ) -> RuleSuite:
     """Wrap ``suggested_rule_texts`` into a runnable ``RuleSuite``
     (one rule set; rule ids ``base + col_index·10 + kind_index``,
     version 1 — stable for a fixed column list, so re-profiling the
     same columns yields id-compatible suites for the versioned
-    loaders)."""
-    texts = suggested_rule_texts(profile, cols, quantile_band, null_tolerance)
+    loaders). Pass a ``profile_categorical`` frame (and the column
+    list that orders its ids) to fold IN-set enum rules into the same
+    suite — kind index 3, after the numeric kinds."""
+    texts = [
+        (c, RULE_KINDS.index(kind), expr)
+        for c, kind, expr in suggested_rule_texts(
+            profile, cols, quantile_band, null_tolerance
+        )
+    ]
     col_index = {c: i for i, c in enumerate(cols)}
+    if categorical_profile is not None:
+        cat_cols = list(categorical_cols) or list(cols)
+        for j, c in enumerate(cat_cols):
+            col_index.setdefault(c, len(cols) + j)
+        texts += [
+            (c, len(RULE_KINDS), expr)
+            for c, _, expr in suggested_in_set_rule_texts(
+                categorical_profile, max_card
+            )
+            if c in col_index
+        ]
     rules = tuple(
         Rule(
-            Id(
-                base_rule_id
-                + col_index[c] * _ID_STRIDE
-                + RULE_KINDS.index(kind),
-                1,
-            ),
+            Id(base_rule_id + col_index[c] * _ID_STRIDE + kind_idx, 1),
             expr,
         )
-        for c, kind, expr in texts
+        for c, kind_idx, expr in texts
     )
     return RuleSuite(suite_id, (RuleSet(set_id, rules),))
 

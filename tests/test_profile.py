@@ -583,3 +583,33 @@ def test_profile_categorical_and_in_set_suggestion(spark, sf_dir):
     )
     for c, _, expr in texts:
         assert li.filter(f"NOT ({expr})").count() == 0
+
+
+def test_suggest_rules_with_categorical_suite(spark, sf_dir):
+    """suggest_rules folds IN-set enum rules into the same suite
+    (stable ids, kind slot 3) and the combined suite passes on its
+    own data through the real runner."""
+    from pyspark.sql import functions as F
+
+    from quality_spark.operators.profile import profile_categorical
+    from quality_spark.operators.runner import add_data_quality
+    from quality_spark.operators.suggest import suggest_rules
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity"]
+    cat_cols = ["l_returnflag", "l_linestatus"]
+    suite = suggest_rules(
+        profile_columns(li, cols, quantiles=(0.25, 0.95)),
+        cols,
+        categorical_profile=profile_categorical(li, cat_cols, top=10),
+        categorical_cols=cat_cols,
+    )
+    exprs = [r.expression.rule for rs in suite.rule_sets for r in rs.rules]
+    assert any(e.startswith("l_returnflag IN (") for e in exprs)
+    ids = [r.id.id for rs in suite.rule_sets for r in rs.rules]
+    assert len(ids) == len(set(ids))  # no id collisions across kinds
+    out = add_data_quality(li, suite)
+    flat = out.select(
+        F.explode(F.col("DQ")["ruleSetResults"]).alias("sid", "set")
+    ).select(F.explode(F.col("set")["ruleResults"]).alias("rid", "res"))
+    assert flat.filter(~F.col("res").isin(100000, -1)).count() == 0
