@@ -1866,8 +1866,8 @@ def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quality_spark.operators.profile import profile_drift
 
     drift = profile_drift(
-        profile_from_shards([sh[0]], list(_PROFILE_COLS)),
-        profile_from_shards([sh[1]], list(_PROFILE_COLS)),
+        profile_from_shards([sh[0]], list(_PROFILE_COLS), bins=0),
+        profile_from_shards([sh[1]], list(_PROFILE_COLS), bins=0),
     ).select(
         F.lit("drift").alias("part"),
         F.concat("column", F.lit(":"), "metric").alias("k"),

@@ -662,7 +662,13 @@ def profile_from_shards(
         stat_rows = _stat_rows_select(
             joined, n, "coalesce(_nulls, CAST(0 AS BIGINT))"
         ).collect()
-        hist_rows = _exact_hist_rows(spark, compact, stat_rows, cols, bins)
+        # bins=0 skips histograms entirely — the right call when the
+        # consumer (e.g. profile_drift) reads named stats only
+        hist_rows = (
+            _exact_hist_rows(spark, compact, stat_rows, cols, bins)
+            if int(bins) > 0
+            else []
+        )
         q_rows = _exact_quantile_rows(
             spark, compact, stat_rows, cols, quantiles
         )
