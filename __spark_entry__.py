@@ -895,29 +895,33 @@ def q_digest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(expand_sql(f"hash_with('SIPHASH24', {s})")).alias("siphash24"),
         F.expr(expand_sql(f"hash_with('ADLER32', {s})")).alias("adler32"),
     )
-    # 'winnow' part (round 9): winnowing fingerprints (MOSS — local,
-    # positional detection; llm/textstats.py:winnow_sql). One row per
-    # (doc, fingerprint); the oracle replays the identical k-gram
-    # hash + window-min selection in DuckDB.
+    win = q_winnow_leg(spark, sf_dir).select(
+        F.lit("winnow").alias("part"),
+        "doc_id",
+        F.lit("").alias("md5_hex"),
+        F.lit("").alias("sha256_hex"),
+        F.col("fp").alias("xxh3"),
+        nb.alias("xxh3_hi"),
+        nb.alias("siphash24"),
+        nb.alias("adler32"),
+    )
+    return dig.unionByName(xx).unionByName(win)
+
+
+def q_winnow_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'winnow' part (round 9): winnowing fingerprints (MOSS — local,
+    positional detection; llm/textstats.py:winnow_sql). One row per
+    (doc, fingerprint); the oracle replays the identical k-gram hash +
+    window-min selection in DuckDB."""
     from quality_spark.llm.textstats import with_winnow_fingerprints
 
-    win = (
+    docs = _read(spark, sf_dir, "documents")
+    return (
         with_winnow_fingerprints(
             docs.filter(F.col("doc_id") < 300), k=3, w=8, out="__fps"
         )
         .select("doc_id", F.explode("__fps").alias("fp"))
-        .select(
-            F.lit("winnow").alias("part"),
-            "doc_id",
-            F.lit("").alias("md5_hex"),
-            F.lit("").alias("sha256_hex"),
-            F.col("fp").alias("xxh3"),
-            nb.alias("xxh3_hi"),
-            nb.alias("siphash24"),
-            nb.alias("adler32"),
-        )
     )
-    return dig.unionByName(xx).unionByName(win)
 
 
 def _oracle_digest_documents() -> str:
@@ -1685,220 +1689,321 @@ _PROFILE_BINS = 8
 _PROFILE_QS = (0.25, 0.5, 0.75, 0.95)
 
 
-def q_expr_runner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: expr_runner_agg part names, in composite union order
+_ERA_PARTS = (
+    "er", "profile", "profile_approx", "profile_shard", "suggest",
+    "profile_shard_approx", "approx_shard_q", "profile_by",
+    "profile_cat", "suggest_cat", "drift",
+)
+
+#: fixed bin count for the approx-shard quantile gate part
+_ASQ_BINS = 16
+
+
+def q_expr_runner_agg(
+    spark: SparkSession, sf_dir: str, only=None
+) -> DataFrame:
     """expressionRunner with aggregate rules + strip_result_ddl,
     flattened to (ruleId, result-string) rows ('er' part), plus the
-    round-8 column-profiling block (`operators/profile.py` — one-scan
-    integer-exact stats + fixed-width histograms over micro-scaled
-    values, the rule-authoring companion surface) as the 'profile'
-    part."""
+    profiling / rule-authoring / monitoring surface
+    (`operators/profile.py`, `operators/suggest.py`) as the parts in
+    ``_ERA_PARTS``. ``only`` selects a subset for bench.py's per-leg
+    attribution (VERDICT r09 'what's wrong' #2 — the composite's
+    17.6 s had no leg breakdown).
+
+    Shared-artifact diet (VERDICT r09 next-round #3): the exact
+    profile frame, the two parity shard artifacts, and the
+    categorical profile are each computed ONCE per call and reused by
+    every part that needs them — prof_df feeds 'profile' + 'suggest',
+    the checkpointed shards feed 'profile_shard' + 'drift', and the
+    checkpointed categorical frame feeds 'profile_cat' +
+    'suggest_cat' (previously scanned twice: once collected for the
+    rule texts, once lazily in the union)."""
     from quality_spark.model import Id, Rule, RuleSet, RuleSuite
     from quality_spark.operators.expression_runner import (
         add_expression_runner,
         strip_result_ddl,
     )
-    from quality_spark.operators.profile import profile_columns
-
-    li = _read(spark, sf_dir, "lineitem")
-    suite = RuleSuite(
-        Id(3, 1),
-        (
-            RuleSet(
-                Id(30, 1),
-                (
-                    Rule(Id(300, 1), "CAST(SUM(l_quantity) AS BIGINT)"),
-                    Rule(Id(301, 1), "COUNT(*)"),
-                    Rule(Id(302, 1), "CAST(MIN(l_orderkey) AS BIGINT)"),
-                ),
-            ),
-        ),
-    )
-    out = add_expression_runner(li, suite)
-    stripped = strip_result_ddl(F.col("expressionResults"))
-    er = (
-        out.select(stripped.alias("er"))
-        .select(F.explode(F.col("er")["ruleSetResults"]).alias("setId", "rules"))
-        .select(F.explode("rules").alias("ruleId", "result"))
-        .select(
-            F.lit("er").alias("part"),
-            F.shiftright(F.col("ruleId"), 32).cast("int").cast("string").alias("k"),
-            F.col("result").cast("string").alias("v"),
-        )
-    )
-    # profile_columns returns a LITERAL metadata frame (internally
-    # collected), so prof_df is computed once and reused by the
-    # 'profile' packaging AND the 'suggest' leg below for free
-    prof_df = profile_columns(
-        li, list(_PROFILE_COLS), bins=_PROFILE_BINS, quantiles=_PROFILE_QS
-    )
-    prof = prof_df.select(
-        F.lit("profile").alias("part"),
-        F.concat("column", F.lit(":"), "stat").alias("k"),
-        F.col("value").cast("string").alias("v"),
-    )
-    # 'profile_approx' part (round 9): the 100 TB scale mode
-    # (approx=True — no compact table, HLL n_distinct, sketch
-    # quantiles) gated on its DETERMINISTIC subset: every stat except
-    # n_distinct and the p* quantiles is bit-identical to exact mode
-    # by construction, so the same oracle rows pin the approx path's
-    # single-scan aggregate + raw-scan histograms end-to-end.
-    prof_a = (
-        profile_columns(
-            li, list(_PROFILE_COLS), bins=_PROFILE_BINS,
-            quantiles=_PROFILE_QS, approx=True,
-        )
-        .filter(
-            (F.col("stat") != "n_distinct")
-            & ~F.col("stat").startswith("p")
-        )
-        .select(
-            F.lit("profile_approx").alias("part"),
-            F.concat("column", F.lit(":"), "stat").alias("k"),
-            F.col("value").cast("string").alias("v"),
-        )
-    )
-    # 'profile_shard' part (round 9): mergeable shard artifacts — the
-    # corpus profiled as TWO disjoint shards (l_orderkey parity),
-    # merged WITHOUT rescanning, must reproduce the whole-table
-    # profile bit-for-bit; the oracle never shards, so the merge
-    # algebra itself is what's gated.
     from quality_spark.operators.profile import (
+        profile_by_group,
+        profile_categorical,
+        profile_columns,
+        profile_drift,
+        profile_from_approx_shards,
         profile_from_shards,
         profile_shard,
-    )
-
-    # eager-checkpoint each artifact: it feeds BOTH the merged profile
-    # and the drift leg below — one half-scan each instead of six
-    sh = [
-        profile_shard(
-            li.filter(F.col("l_orderkey") % 2 == p), list(_PROFILE_COLS)
-        ).localCheckpoint(eager=True)
-        for p in (0, 1)
-    ]
-    prof_s = profile_from_shards(
-        sh, list(_PROFILE_COLS), bins=_PROFILE_BINS, quantiles=_PROFILE_QS
-    ).select(
-        F.lit("profile_shard").alias("part"),
-        F.concat("column", F.lit(":"), "stat").alias("k"),
-        F.col("value").cast("string").alias("v"),
-    )
-    # 'suggest' part (round 9): rule suggestion — the profile→rule
-    # authoring loop (operators/suggest.py). The gate compares the
-    # suggested rule TEXTS verbatim; the oracle assembles the
-    # identical strings in SQL from the same profile stats. The
-    # suite's self-pass invariant (profiled data passes its own
-    # suggested rules through the real runner) is test-pinned.
-    from quality_spark.operators.suggest import suggested_rule_texts
-
-    sug = spark.createDataFrame(
-        suggested_rule_texts(prof_df, list(_PROFILE_COLS)),
-        "column string, rule_kind string, expr string",
-    ).select(
-        F.lit("suggest").alias("part"),
-        F.concat("column", F.lit(":"), "rule_kind").alias("k"),
-        F.col("expr").alias("v"),
-    )
-    # 'profile_shard_approx' part (round 9): the APPROX mergeable
-    # artifact path (one raw-scan aggregate + HLL sketch per shard,
-    # hll_union_agg merge) gated on its deterministic subset — every
-    # stat except the sketch-estimated n_distinct is bit-identical to
-    # the whole-table exact oracle by the shared-finisher refactor.
-    from quality_spark.operators.profile import (
-        profile_from_approx_shards,
         profile_shard_approx,
     )
+    from quality_spark.operators.suggest import (
+        suggested_in_set_rule_texts,
+        suggested_rule_texts,
+    )
 
-    sha = [
-        profile_shard_approx(
-            li.filter(F.col("l_orderkey") % 2 == p), list(_PROFILE_COLS)
+    li = _read(spark, sf_dir, "lineitem")
+    want = set(only) if only else set(_ERA_PARTS)
+    unknown = want - set(_ERA_PARTS)
+    if unknown:
+        raise ValueError(f"unknown expr_runner_agg parts: {sorted(unknown)}")
+    memo: dict = {}
+
+    def prof_df():
+        # LITERAL metadata frame (internally collected) — one scan,
+        # shared by 'profile' and 'suggest'
+        if "prof" not in memo:
+            memo["prof"] = profile_columns(
+                li, list(_PROFILE_COLS), bins=_PROFILE_BINS,
+                quantiles=_PROFILE_QS,
+            )
+        return memo["prof"]
+
+    def shards():
+        # eager-checkpoint each parity artifact: feeds BOTH the merged
+        # profile and the drift part — one half-scan each
+        if "sh" not in memo:
+            memo["sh"] = [
+                profile_shard(
+                    li.filter(F.col("l_orderkey") % 2 == p),
+                    list(_PROFILE_COLS),
+                ).localCheckpoint(eager=True)
+                for p in (0, 1)
+            ]
+        return memo["sh"]
+
+    def cat_df():
+        # checkpointed: 'suggest_cat' collects it for the rule texts
+        # AND 'profile_cat' reads it in the union — one scan, not two
+        if "cat" not in memo:
+            li_cat = li.withColumn(
+                "l_linestatus",
+                F.when(F.col("l_orderkey") % 13 == 0, None).otherwise(
+                    F.col("l_linestatus")
+                ),
+            )
+            memo["cat"] = profile_categorical(
+                li_cat, ["l_returnflag", "l_linestatus", "l_shipdate"],
+                top=10,
+            ).localCheckpoint(eager=True)
+        return memo["cat"]
+
+    def p_er():
+        suite = RuleSuite(
+            Id(3, 1),
+            (
+                RuleSet(
+                    Id(30, 1),
+                    (
+                        Rule(Id(300, 1), "CAST(SUM(l_quantity) AS BIGINT)"),
+                        Rule(Id(301, 1), "COUNT(*)"),
+                        Rule(Id(302, 1), "CAST(MIN(l_orderkey) AS BIGINT)"),
+                    ),
+                ),
+            ),
         )
-        for p in (0, 1)
-    ]
-    prof_sa = (
-        profile_from_approx_shards(sha, list(_PROFILE_COLS))
-        .filter(F.col("stat") != "n_distinct")
-        .select(
-            F.lit("profile_shard_approx").alias("part"),
+        out = add_expression_runner(li, suite)
+        stripped = strip_result_ddl(F.col("expressionResults"))
+        return (
+            out.select(stripped.alias("er"))
+            .select(
+                F.explode(F.col("er")["ruleSetResults"]).alias(
+                    "setId", "rules"
+                )
+            )
+            .select(F.explode("rules").alias("ruleId", "result"))
+            .select(
+                F.lit("er").alias("part"),
+                F.shiftright(F.col("ruleId"), 32)
+                .cast("int")
+                .cast("string")
+                .alias("k"),
+                F.col("result").cast("string").alias("v"),
+            )
+        )
+
+    def p_profile():
+        return prof_df().select(
+            F.lit("profile").alias("part"),
             F.concat("column", F.lit(":"), "stat").alias("k"),
             F.col("value").cast("string").alias("v"),
         )
-    )
-    # 'profile_cat' + 'suggest_cat' parts (round 9): categorical
-    # profile (top-k values, NULL as a rankable value, distinct
-    # totals) and the IN-set enum rules authored from it —
-    # cardinality/coverage-gated so truncated value sets never author
-    # a rule; l_shipdate's high cardinality exercises the refusal.
-    from quality_spark.operators.profile import profile_categorical
-    from quality_spark.operators.suggest import (
-        suggested_in_set_rule_texts,
-    )
 
-    li_cat = li.withColumn(
-        "l_linestatus",
-        F.when(F.col("l_orderkey") % 13 == 0, None).otherwise(
-            F.col("l_linestatus")
-        ),
-    )
-    cat_cols = ["l_returnflag", "l_linestatus", "l_shipdate"]
-    cat = profile_categorical(li_cat, cat_cols, top=10)
-    prof_c = cat.select(
-        F.lit("profile_cat").alias("part"),
-        F.concat("column", F.lit(":"), "rank").alias("k"),
-        F.concat(
-            F.coalesce("value", F.lit("<NULL>")),
-            F.lit("|"), F.col("cnt"),
-            F.lit("|"), F.col("n_distinct"),
-        ).alias("v"),
-    )
-    sug_c = spark.createDataFrame(
-        suggested_in_set_rule_texts(cat, max_card=8)
-        or [("__none__", "in_set", "")],
-        "column string, rule_kind string, expr string",
-    ).select(
-        F.lit("suggest_cat").alias("part"),
-        F.concat("column", F.lit(":"), "rule_kind").alias("k"),
-        F.col("expr").alias("v"),
-    )
-    # 'drift' part (round 9): profile drift between the two parity
-    # shards (operators/profile.py:profile_drift) — integer-exact
-    # ratios/deltas/range-breach; the oracle recomputes BOTH half
-    # profiles and the same metric arithmetic in SQL.
-    from quality_spark.operators.profile import profile_drift
+    def p_profile_approx():
+        # the 100 TB scale mode (approx=True — no compact table, HLL
+        # n_distinct, sketch quantiles) gated on its DETERMINISTIC
+        # subset: every stat except n_distinct and the p* quantiles is
+        # bit-identical to exact mode by construction
+        return (
+            profile_columns(
+                li, list(_PROFILE_COLS), bins=_PROFILE_BINS,
+                quantiles=_PROFILE_QS, approx=True,
+            )
+            .filter(
+                (F.col("stat") != "n_distinct")
+                & ~F.col("stat").startswith("p")
+            )
+            .select(
+                F.lit("profile_approx").alias("part"),
+                F.concat("column", F.lit(":"), "stat").alias("k"),
+                F.col("value").cast("string").alias("v"),
+            )
+        )
 
-    drift = profile_drift(
-        profile_from_shards([sh[0]], list(_PROFILE_COLS), bins=0),
-        profile_from_shards([sh[1]], list(_PROFILE_COLS), bins=0),
-    ).select(
-        F.lit("drift").alias("part"),
-        F.concat("column", F.lit(":"), "metric").alias("k"),
-        F.col("value").cast("string").alias("v"),
-    )
-    # 'profile_by' part (round 9): segmented profile — per-group stats
-    # from ONE groupBy aggregate, finishers in-engine (no collect, so
-    # output may be data-sized at real group cardinalities). HLL
-    # n_distinct excluded (engine-specific), everything else exact.
-    from quality_spark.operators.profile import profile_by_group
-
-    prof_g = (
-        profile_by_group(li, "l_returnflag", list(_PROFILE_COLS))
-        .filter(F.col("stat") != "n_distinct")
-        .select(
-            F.lit("profile_by").alias("part"),
-            F.concat(
-                "group", F.lit(":"), "column", F.lit(":"), "stat"
-            ).alias("k"),
+    def p_profile_shard():
+        # mergeable shard artifacts: the corpus profiled as TWO
+        # disjoint parity shards, merged WITHOUT rescanning, must
+        # reproduce the whole-table profile bit-for-bit; the oracle
+        # never shards, so the merge algebra itself is what's gated
+        return profile_from_shards(
+            shards(), list(_PROFILE_COLS), bins=_PROFILE_BINS,
+            quantiles=_PROFILE_QS,
+        ).select(
+            F.lit("profile_shard").alias("part"),
+            F.concat("column", F.lit(":"), "stat").alias("k"),
             F.col("value").cast("string").alias("v"),
         )
-    )
-    return (
-        er.unionByName(prof).unionByName(prof_a).unionByName(prof_s)
-        .unionByName(sug).unionByName(prof_sa).unionByName(prof_g)
-        .unionByName(prof_c).unionByName(sug_c).unionByName(drift)
-    )
+
+    def p_suggest():
+        # rule TEXTS compared verbatim; the oracle assembles the
+        # identical strings in SQL from the same profile stats
+        return spark.createDataFrame(
+            suggested_rule_texts(prof_df(), list(_PROFILE_COLS)),
+            "column string, rule_kind string, expr string",
+        ).select(
+            F.lit("suggest").alias("part"),
+            F.concat("column", F.lit(":"), "rule_kind").alias("k"),
+            F.col("expr").alias("v"),
+        )
+
+    def p_profile_shard_approx():
+        # APPROX mergeable artifact path (one raw-scan aggregate + HLL
+        # per shard, hll_union_agg merge) on its deterministic subset
+        sha = [
+            profile_shard_approx(
+                li.filter(F.col("l_orderkey") % 2 == p),
+                list(_PROFILE_COLS),
+            )
+            for p in (0, 1)
+        ]
+        return (
+            profile_from_approx_shards(sha, list(_PROFILE_COLS))
+            .filter(F.col("stat") != "n_distinct")
+            .select(
+                F.lit("profile_shard_approx").alias("part"),
+                F.concat("column", F.lit(":"), "stat").alias("k"),
+                F.col("value").cast("string").alias("v"),
+            )
+        )
+
+    def p_approx_shard_q():
+        # 'approx_shard_q' part (round 10): bounded-error quantiles
+        # from MERGED fixed-bin approx-shard histograms — the two
+        # parity shards bin over the exact profile's (min, max) range
+        # and the merged counts yield nearest-rank bin-edge estimates
+        # (error < ceil(span/bins)); the oracle replays the identical
+        # clamped integer binning + rank + edge arithmetic on the
+        # whole table.
+        stats = {}
+        for row in prof_df().collect():
+            stats.setdefault(row["column"], {})[row["stat"]] = row["value"]
+        ranges = {
+            c: (stats[c]["min"], stats[c]["max"]) for c in _PROFILE_COLS
+        }
+        sha = [
+            profile_shard_approx(
+                li.filter(F.col("l_orderkey") % 2 == p),
+                list(_PROFILE_COLS), bins=_ASQ_BINS, ranges=ranges,
+            )
+            for p in (0, 1)
+        ]
+        return (
+            profile_from_approx_shards(
+                sha, list(_PROFILE_COLS), quantiles=_PROFILE_QS
+            )
+            .filter(F.col("stat").startswith("p"))
+            .select(
+                F.lit("approx_shard_q").alias("part"),
+                F.concat("column", F.lit(":"), "stat").alias("k"),
+                F.col("value").cast("string").alias("v"),
+            )
+        )
+
+    def p_profile_by():
+        # segmented profile — per-group stats from ONE groupBy with
+        # in-engine finishers (no collect); HLL n_distinct excluded
+        return (
+            profile_by_group(li, "l_returnflag", list(_PROFILE_COLS))
+            .filter(F.col("stat") != "n_distinct")
+            .select(
+                F.lit("profile_by").alias("part"),
+                F.concat(
+                    "group", F.lit(":"), "column", F.lit(":"), "stat"
+                ).alias("k"),
+                F.col("value").cast("string").alias("v"),
+            )
+        )
+
+    def p_profile_cat():
+        # categorical top-k values, NULL as a rankable value,
+        # distinct totals; l_shipdate's cardinality exercises refusal
+        return cat_df().select(
+            F.lit("profile_cat").alias("part"),
+            F.concat("column", F.lit(":"), "rank").alias("k"),
+            F.concat(
+                F.coalesce("value", F.lit("<NULL>")),
+                F.lit("|"), F.col("cnt"),
+                F.lit("|"), F.col("n_distinct"),
+            ).alias("v"),
+        )
+
+    def p_suggest_cat():
+        # IN-set enum rules — cardinality/coverage-gated so truncated
+        # value sets never author a rule
+        return spark.createDataFrame(
+            suggested_in_set_rule_texts(cat_df(), max_card=8)
+            or [("__none__", "in_set", "")],
+            "column string, rule_kind string, expr string",
+        ).select(
+            F.lit("suggest_cat").alias("part"),
+            F.concat("column", F.lit(":"), "rule_kind").alias("k"),
+            F.col("expr").alias("v"),
+        )
+
+    def p_drift():
+        # profile drift between the two parity shards — integer-exact
+        # ratios/deltas/range-breach; the oracle recomputes BOTH half
+        # profiles and the same metric arithmetic in SQL
+        sh = shards()
+        return profile_drift(
+            profile_from_shards([sh[0]], list(_PROFILE_COLS), bins=0),
+            profile_from_shards([sh[1]], list(_PROFILE_COLS), bins=0),
+        ).select(
+            F.lit("drift").alias("part"),
+            F.concat("column", F.lit(":"), "metric").alias("k"),
+            F.col("value").cast("string").alias("v"),
+        )
+
+    builders = {
+        "er": p_er,
+        "profile": p_profile,
+        "profile_approx": p_profile_approx,
+        "profile_shard": p_profile_shard,
+        "suggest": p_suggest,
+        "profile_shard_approx": p_profile_shard_approx,
+        "approx_shard_q": p_approx_shard_q,
+        "profile_by": p_profile_by,
+        "profile_cat": p_profile_cat,
+        "suggest_cat": p_suggest_cat,
+        "drift": p_drift,
+    }
+    frames = [builders[p]() for p in _ERA_PARTS if p in want]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _oracle_expr_runner_agg() -> str:
     from quality_spark.operators.profile import (
+        approx_shard_quantiles_oracle_sql,
         profile_by_group_oracle_sql,
         profile_categorical_oracle_sql,
         profile_drift_oracle_sql,
@@ -1937,6 +2042,12 @@ SELECT 'profile_shard_approx', "column" || ':' || stat,
        CAST(value AS VARCHAR)
 FROM ({prof})
 WHERE stat != 'n_distinct' AND stat NOT LIKE 'p%' AND stat NOT LIKE 'hist%'
+UNION ALL
+SELECT 'approx_shard_q', "column" || ':' || stat, CAST(value AS VARCHAR)
+FROM ({approx_shard_quantiles_oracle_sql(
+        "lineitem", list(_PROFILE_COLS), bins=_ASQ_BINS,
+        quantiles=_PROFILE_QS,
+    )})
 UNION ALL
 SELECT 'profile_cat', "column" || ':' || rank,
        COALESCE(value, '<NULL>') || '|' || cnt || '|' || n_distinct
@@ -4305,17 +4416,10 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure IEEE arithmetic, already rank-pinned by ann_suite). Fused
     score = 1/(60+r_lex) + 1/(60+r_sem): one commutative two-term
     double add, bit-identical in any aggregation order."""
-    from quality_spark.llm.retrieval import (
-        bm25_scores,
-        bm25_topk,
-        matched_terms_rank,
-        rrf_fuse,
-    )
-    from quality_spark.llm.similarity import cosine_topk
-    from quality_spark.llm.vocab import tfidf_scores
+    from quality_spark.llm.retrieval import bm25_scores, bm25_topk
 
     docs = _read(spark, sf_dir, "documents")
-    tfidf = tfidf_scores(docs).select(
+    tfidf = q_tfidf_leg(spark, sf_dir).select(
         F.lit("tfidf").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.col("token").alias("key"),
@@ -4354,6 +4458,55 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("n2"),
         F.col("score").alias("v_double"),
     )
+    fused = q_rrf_leg(spark, sf_dir).select(
+        F.lit("rrf").alias("part"),
+        F.col("doc_id").cast("bigint").alias("ord"),
+        F.concat(F.lit("q"), F.col("query_id")).alias("key"),
+        F.col("n_lists").cast("bigint").alias("n1"),
+        F.col("fused_rank").cast("bigint").alias("n2"),
+        F.col("rrf_score").alias("v_double"),
+    )
+    return tfidf.unionByName(bm25).unionByName(topk).unionByName(fused)
+
+
+def q_tfidf_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain TF-IDF scoring (llm/vocab.py:tfidf_scores)."""
+    from quality_spark.llm.vocab import tfidf_scores
+
+    return tfidf_scores(_read(spark, sf_dir, "documents"))
+
+
+def q_bm25_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-pairs scoring run (llm/retrieval.py:bm25_scores —
+    broadcast-prefiltered postings, df derived FROM the postings
+    aggregate, <=2 corpus scans plan-pinned)."""
+    from quality_spark.llm.retrieval import bm25_scores
+
+    return bm25_scores(
+        spark, _read(spark, sf_dir, "documents"), _BM25_QUERIES
+    )
+
+
+def q_bm25_topk_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase BM25 top-k with its OWN scoring run (the
+    composite shares one checkpointed scoring run across both bm25
+    parts; this leg times the standalone cost)."""
+    from quality_spark.llm.retrieval import bm25_topk
+
+    return bm25_topk(
+        spark, _read(spark, sf_dir, "documents"), _BM25_QUERIES, k=10,
+        salted=True,
+    )
+
+
+def q_rrf_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'rrf' part (round 8): hybrid retrieval via reciprocal-rank
+    fusion of the lexical matched_terms_rank list and the exact-cosine
+    semantic list (see q_tfidf_scores docstring)."""
+    from quality_spark.llm.retrieval import matched_terms_rank, rrf_fuse
+    from quality_spark.llm.similarity import cosine_topk
+
+    docs = _read(spark, sf_dir, "documents")
     lex = matched_terms_rank(spark, docs, _BM25_QUERIES, k=20)
     sem = (
         cosine_topk(
@@ -4365,15 +4518,7 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     )
-    fused = rrf_fuse({"lex": lex, "sem": sem}, k=60, top=10).select(
-        F.lit("rrf").alias("part"),
-        F.col("doc_id").cast("bigint").alias("ord"),
-        F.concat(F.lit("q"), F.col("query_id")).alias("key"),
-        F.col("n_lists").cast("bigint").alias("n1"),
-        F.col("fused_rank").cast("bigint").alias("n2"),
-        F.col("rrf_score").alias("v_double"),
-    )
-    return tfidf.unionByName(bm25).unionByName(topk).unionByName(fused)
+    return rrf_fuse({"lex": lex, "sem": sem}, k=60, top=10)
 
 
 def _oracle_tfidf_scores() -> str:
@@ -5245,17 +5390,116 @@ def _budget_weights() -> dict:
     return {f"src{i}": (i % 5) + 1 for i in range(20) if i != 7}
 
 
+def q_temperature_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling (round 8,
+    `llm/sampling.py:temperature_sample` — the mT5/XLM-R multilingual
+    rebalance at T=2, rates derived from observed lang counts via
+    correctly-rounded sqrt so the oracle replays them bit-for-bit)."""
+    from quality_spark.llm.sampling import temperature_sample
+
+    return temperature_sample(
+        _read(spark, sf_dir, "documents"), "lang", "doc_id", 2.0, seed=7
+    )
+
+
+def q_cap_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (round 8, `llm/sampling.py:cap_per_group`):
+    `source` plays the crawl domain; keep the 3 longest docs per
+    domain. The gate runs the SALTED two-phase shape — its result is
+    provably identical to the plain window, so one oracle covers
+    both."""
+    from quality_spark.llm.sampling import cap_per_group
+
+    return cap_per_group(
+        _read(spark, sf_dir, "documents"),
+        "source", 3, "n_chars", "doc_id", salted=True,
+    )
+
+
+def q_hh_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory exact top-k heavy hitters (round 9,
+    operators/heavy.py — Misra-Gries candidates via mapInPandas +
+    exact broadcast recount). The gate runs the BOUNDED shape
+    (capacity=32 >= the 20 distinct sources, so MG provably retains
+    every key and the result is exact at any scale) against the plain
+    top-k oracle; the pruning-under-guarantee case is pinned by
+    controlled-skew unit tests."""
+    from quality_spark.operators.heavy import exact_topk_heavy_hitters
+
+    return exact_topk_heavy_hitters(
+        _read(spark, sf_dir, "documents"), "source", k=5, capacity=32
+    )
+
+
+def q_hhg_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped heavy hitters — top sources per lang, bounded shape
+    with per-group MG sketches vs the plain per-group oracle."""
+    from quality_spark.operators.heavy import grouped_topk_heavy_hitters
+
+    return grouped_topk_heavy_hitters(
+        _read(spark, sf_dir, "documents"), "lang", "source", k=3,
+        capacity=32,
+    )
+
+
+def q_wsample_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (round 9, llm/sampling.py:weighted_sample) — the exponential-race
+    order is deterministic in (seed, keys, weights) and the oracle
+    replays the exact drawn set + order."""
+    from quality_spark.llm.sampling import weighted_sample
+
+    return weighted_sample(
+        _read(spark, sf_dir, "documents"), "n_chars", 25, "doc_id", seed=11
+    )
+
+
+def q_wsample_g_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ES cut, run in the SALTED shape against the
+    plain-window oracle (composition over cap_per_group inherits its
+    result-identity proof)."""
+    from quality_spark.llm.sampling import weighted_sample_per_group
+
+    return weighted_sample_per_group(
+        _read(spark, sf_dir, "documents"), "lang", "n_chars", 4,
+        "doc_id", seed=5, salted=True,
+    )
+
+
+def q_budget_plan_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget waterfilling plan (round 9,
+    llm/sampling.py:token_budget_plan) — integer-exact cuts, oracle
+    recomputes the whole plan IN SQL (nothing smuggled from the Spark
+    run). Weights skewed by source index so some domains saturate and
+    redistribute."""
+    from quality_spark.llm.sampling import token_budget_plan
+
+    return token_budget_plan(
+        _read(spark, sf_dir, "documents"), "source", _budget_weights(),
+        _BUDGET_TOKENS,
+    )
+
+
+def q_budget_kept_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The waterfilling plan APPLIED — the kept row set under the
+    deterministic hash-threshold filter at each domain's cut."""
+    from quality_spark.llm.sampling import token_budget_sample
+
+    return token_budget_sample(
+        _read(spark, sf_dir, "documents"),
+        "source", "doc_id", _budget_weights(), _BUDGET_TOKENS, seed=3,
+    )
+
+
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling block: hash train/test split + stratified per-language
     sample + weighted corpus mix (r03 gate queries hash_sample_split,
-    stratified_sample, weighted_mix) + temperature resampling (round
-    8, `llm/sampling.py:temperature_sample` — the mT5/XLM-R
-    multilingual rebalance at T=2, rates derived from observed lang
-    counts via correctly-rounded sqrt so the oracle replays them
-    bit-for-bit), labeled union. Sentinels (-1) stand in for
-    not-applicable columns — see packaging rules above."""
-    from quality_spark.llm.sampling import cap_per_group, temperature_sample
-
+    stratified_sample, weighted_mix) + temperature resampling + the
+    round-9 legs (heavy hitters, ES weighted sampling, token-budget
+    waterfilling — see the q_*_leg docstrings; each leg helper is
+    reused verbatim by query_legs for per-leg bench attribution),
+    labeled union. Sentinels (-1) stand in for not-applicable columns
+    — see packaging rules above."""
     null_n = F.lit(-1).cast("bigint").alias("n")
     hash_split = q_hash_sample_split(spark, sf_dir).select(
         F.concat(F.lit("hash_"), F.col("split")).alias("part"),
@@ -5268,94 +5512,38 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("mix_"), F.col("mix_source")).alias("part"),
         F.lit(-1).cast("bigint").alias("doc_id"), "lang", F.col("n").cast("bigint"),
     )
-    temp = temperature_sample(
-        _read(spark, sf_dir, "documents"), "lang", "doc_id", 2.0, seed=7
-    ).select(
+    temp = q_temperature_leg(spark, sf_dir).select(
         F.lit("temperature").alias("part"), "doc_id", "lang", null_n
     )
-    # Per-domain cap (round 8, `llm/sampling.py:cap_per_group`):
-    # `source` plays the crawl domain; keep the 3 longest docs per
-    # domain. The gate runs the SALTED two-phase shape — its result is
-    # provably identical to the plain window, so one oracle covers both.
-    cap = cap_per_group(
-        _read(spark, sf_dir, "documents"),
-        "source", 3, "n_chars", "doc_id", salted=True,
-    ).select(F.lit("cap").alias("part"), "doc_id", "lang", null_n)
-    # 'hh' part (round 9): bounded-memory exact top-k heavy hitters
-    # (operators/heavy.py — Misra-Gries candidates via mapInPandas +
-    # exact broadcast recount). The gate runs the BOUNDED shape
-    # (capacity=32 >= the 20 distinct sources, so MG provably retains
-    # every key and the result is exact at any scale) against the
-    # plain top-k oracle; the pruning-under-guarantee case is pinned
-    # by controlled-skew unit tests.
-    from quality_spark.operators.heavy import exact_topk_heavy_hitters
-
-    hh = exact_topk_heavy_hitters(
-        _read(spark, sf_dir, "documents"), "source", k=5, capacity=32
-    ).select(
+    cap = q_cap_leg(spark, sf_dir).select(
+        F.lit("cap").alias("part"), "doc_id", "lang", null_n
+    )
+    hh = q_hh_leg(spark, sf_dir).select(
         F.lit("hh").alias("part"),
         F.col("rank").cast("bigint").alias("doc_id"),
         F.col("source").alias("lang"),
         F.col("cnt").alias("n"),
     )
-    # 'hhg' part: the grouped variant — top sources per lang, bounded
-    # shape with per-group MG sketches vs the plain per-group oracle.
-    from quality_spark.operators.heavy import grouped_topk_heavy_hitters
-
-    hhg = grouped_topk_heavy_hitters(
-        _read(spark, sf_dir, "documents"), "lang", "source", k=3, capacity=32
-    ).select(
+    hhg = q_hhg_leg(spark, sf_dir).select(
         F.lit("hhg").alias("part"),
         F.col("rank").cast("bigint").alias("doc_id"),
         F.concat("lang", F.lit("/"), "source").alias("lang"),
         F.col("cnt").alias("n"),
     )
-    # 'wsample' part (round 9): Efraimidis-Spirakis weighted sampling
-    # without replacement (llm/sampling.py:weighted_sample) — the
-    # exponential-race order is deterministic in (seed, keys, weights)
-    # and the oracle replays the exact drawn set + order.
-    from quality_spark.llm.sampling import weighted_sample
-
-    ws = weighted_sample(
-        _read(spark, sf_dir, "documents"), "n_chars", 25, "doc_id", seed=11
-    ).select(
+    ws = q_wsample_leg(spark, sf_dir).select(
         F.lit("wsample").alias("part"), "doc_id", "lang",
         F.col("sample_rank").cast("bigint").alias("n"),
     )
-    # 'wsample_g': the per-group ES cut, run in the SALTED shape
-    # against the plain-window oracle (composition over cap_per_group
-    # inherits its result-identity proof).
-    from quality_spark.llm.sampling import weighted_sample_per_group
-
-    wsg = weighted_sample_per_group(
-        _read(spark, sf_dir, "documents"), "lang", "n_chars", 4,
-        "doc_id", seed=5, salted=True,
-    ).select(
+    wsg = q_wsample_g_leg(spark, sf_dir).select(
         F.lit("wsample_g").alias("part"), "doc_id", "lang", null_n
     )
-    # 'budget_plan' + 'budget_kept' parts (round 9): token-budget
-    # waterfilling mixture (llm/sampling.py:token_budget_plan/_sample)
-    # — integer-exact cuts, oracle recomputes the whole plan IN SQL
-    # (nothing smuggled from the Spark run). Weights skewed by source
-    # index so some domains saturate and redistribute.
-    from quality_spark.llm.sampling import (
-        token_budget_plan,
-        token_budget_sample,
-    )
-
-    bw = _budget_weights()
-    bplan = token_budget_plan(
-        _read(spark, sf_dir, "documents"), "source", bw, _BUDGET_TOKENS
-    ).select(
+    bplan = q_budget_plan_leg(spark, sf_dir).select(
         F.lit("budget_plan").alias("part"),
         F.col("cut").alias("doc_id"),
         F.concat("domain", F.lit("/"), "saturated").alias("lang"),
         F.col("n_tokens").alias("n"),
     )
-    bkept = token_budget_sample(
-        _read(spark, sf_dir, "documents"),
-        "source", "doc_id", bw, _BUDGET_TOKENS, seed=3,
-    ).select(
+    bkept = q_budget_kept_leg(spark, sf_dir).select(
         F.lit("budget_kept").alias("part"), "doc_id", "lang", null_n
     )
     return (
@@ -5454,8 +5642,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     11-token suffix shared by doc_id%7 peers; the operator must strip
     it from every peer except the first occurrence and reassemble the
     surviving tokens, replayed text-exactly (md5) by the oracle."""
-    from quality_spark.llm.dedup import remove_dup_substrings
-
     groups = q_dedup_exact_groups(spark, sf_dir).select(
         F.lit("groups").alias("part"),
         F.col("content_hash").alias("key"),
@@ -5468,6 +5654,30 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("bigint").alias("n"),
         F.lit(-1).cast("bigint").alias("keeper"),
     )
+    substr = q_substr_leg(spark, sf_dir).select(
+        F.lit("substr").alias("part"),
+        F.concat(
+            F.md5("text_dedup"), F.lit(":"), F.col("n_tokens")
+        ).alias("key"),
+        F.col("n_removed_tokens").alias("n"),
+        F.col("doc_id").cast("bigint").alias("keeper"),
+    )
+    fuzzy = q_fuzzy_edit_leg(spark, sf_dir).select(
+        F.lit("fuzzy").alias("part"),
+        F.concat(F.col("id_a"), F.lit(":"), F.col("id_b")).alias("key"),
+        F.col("dist").cast("bigint").alias("n"),
+        F.lit(-1).cast("bigint").alias("keeper"),
+    )
+    return (
+        groups.unionByName(best).unionByName(substr).unionByName(fuzzy)
+    )
+
+
+def q_substr_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'substr' part's operator run (see q_dedup_exact docstring)
+    — shared with query_legs for per-leg bench attribution."""
+    from quality_spark.llm.dedup import remove_dup_substrings
+
     built = (
         _read(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
@@ -5481,19 +5691,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    substr = remove_dup_substrings(built, n=8).select(
-        F.lit("substr").alias("part"),
-        F.concat(
-            F.md5("text_dedup"), F.lit(":"), F.col("n_tokens")
-        ).alias("key"),
-        F.col("n_removed_tokens").alias("n"),
-        F.col("doc_id").cast("bigint").alias("keeper"),
-    )
-    # 'fuzzy' part (round 9): edit-distance similarity join
-    # (operators/fuzzy.py — q-gram prefix filter + short bucket +
-    # exact levenshtein verify). Strings derived from doc_id so
-    # near-duplicate variants exist deterministically at every sf;
-    # doc_id<300 keeps the brute-force oracle O(300^2) even at sf1.
+    return remove_dup_substrings(built, n=8)
+
+
+def q_fuzzy_edit_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'fuzzy' part (round 9): edit-distance similarity join
+    (operators/fuzzy.py — q-gram prefix filter + short bucket + exact
+    levenshtein verify). Strings derived from doc_id so near-duplicate
+    variants exist deterministically at every sf; doc_id<300 keeps the
+    brute-force oracle O(300^2) even at sf1."""
     from quality_spark.operators.fuzzy import edit_distance_pairs
 
     fz_in = (
@@ -5507,15 +5713,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    fuzzy = edit_distance_pairs(fz_in, max_dist=2).select(
-        F.lit("fuzzy").alias("part"),
-        F.concat(F.col("id_a"), F.lit(":"), F.col("id_b")).alias("key"),
-        F.col("dist").cast("bigint").alias("n"),
-        F.lit(-1).cast("bigint").alias("keeper"),
-    )
-    return (
-        groups.unionByName(best).unionByName(substr).unionByName(fuzzy)
-    )
+    return edit_distance_pairs(fz_in, max_dist=2)
 
 
 def _oracle_dedup_exact() -> str:
@@ -6073,12 +6271,23 @@ def q_skew_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("double").alias("v1"),
         F.lit(-1.0).alias("v2"),
     )
-    # 'rel' part (round 9): relational profiling
-    # (operators/relprofile.py) — key uniqueness (the synthetic
-    # lineitem duplicates even the composite key — an honest DQ
-    # finding the gate now records), FK orphans on an ENGINEERED child
-    # (negated keys dangle, nulled keys counted separately), and FD
-    # violation counts (o_custkey→status violates; the PK FD holds).
+    rel = q_rel_profile_leg(spark, sf_dir).select(
+        F.lit("rel").alias("part"),
+        F.concat("relation", F.lit(":"), "stat").alias("k"),
+        F.col("value").alias("n"),
+        F.lit(-1.0).alias("v1"),
+        F.lit(-1.0).alias("v2"),
+    )
+    return salted.unionByName(skew).unionByName(rel)
+
+
+def q_rel_profile_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'rel' part (round 9): relational profiling
+    (operators/relprofile.py) — key uniqueness (the synthetic lineitem
+    duplicates even the composite key — an honest DQ finding the gate
+    now records), FK orphans on an ENGINEERED child (negated keys
+    dangle, nulled keys counted separately), and FD violation counts
+    (o_custkey→status violates; the PK FD holds)."""
     from quality_spark.operators.relprofile import (
         fd_violations,
         fk_orphan_stats,
@@ -6094,7 +6303,7 @@ def q_skew_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l_partkey") % 501 == 0, -F.col("l_orderkey"))
         .otherwise(F.col("l_orderkey")),
     )
-    rel = relational_profile(
+    return relational_profile(
         [
             ("li_pk", key_uniqueness(li, ["l_orderkey", "l_linenumber"])),
             ("li_okey", key_uniqueness(li, ["l_orderkey"])),
@@ -6109,14 +6318,7 @@ def q_skew_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("fd_pk_cust",
              fd_violations(orders, ["o_orderkey"], "o_custkey")),
         ]
-    ).select(
-        F.lit("rel").alias("part"),
-        F.concat("relation", F.lit(":"), "stat").alias("k"),
-        F.col("value").alias("n"),
-        F.lit(-1.0).alias("v1"),
-        F.lit(-1.0).alias("v2"),
     )
-    return salted.unionByName(skew).unionByName(rel)
 
 
 def _oracle_skew_ops() -> str:
@@ -7252,21 +7454,73 @@ FROM ({_oracle_knlm_score()})
 _PQ_GEO = dict(m=8, ksub=16, dsub=8, seed=5)
 
 
-def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-reduction block (round 7; +PQ round 8): SemDeDup
-    semantic dedup (is_kept is implied by dup_of = -1, so only dup_of
-    is carried) + JL random projection components + product
-    quantization (quality_spark/llm/pq.py — per-subspace codes AND
-    ADC query distances; adds are subspace-ordered so every double is
-    bit-equal across engines and the floor(x*1e6+0.5) scaling is
-    exact), tagged per part."""
+def _pq_books_qs():
+    """Shared PQ fixtures: procedural codebooks + 2 procedural query
+    vectors (seeded — both engines rebuild them bit-identically)."""
     from quality_spark.llm.pq import (
-        ivf_pq_topk,
-        pq_adc_scores,
         pq_codebooks_procedural,
-        pq_encode,
         pq_queries_procedural,
     )
+
+    books = pq_codebooks_procedural(
+        _PQ_GEO["m"], _PQ_GEO["ksub"], _PQ_GEO["dsub"], _PQ_GEO["seed"]
+    )
+    qs = pq_queries_procedural(2, _PQ_GEO["m"] * _PQ_GEO["dsub"], seed=6)
+    return books, qs
+
+
+def q_pq_encode_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode (round 8) — mode='arrow': the numpy encode twin runs
+    in the gate; the oracle replays the SQL fold — their bit-identity
+    is part of the pin."""
+    from quality_spark.llm.pq import pq_encode
+
+    books, _ = _pq_books_qs()
+    return pq_encode(_read(spark, sf_dir, "embeddings"), books, mode="arrow")
+
+
+def q_pq_adc_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC query distances over the encoded corpus (round 8)."""
+    from quality_spark.llm.pq import pq_adc_scores
+
+    books, qs = _pq_books_qs()
+    return pq_adc_scores(q_pq_encode_leg(spark, sf_dir), books, qs)
+
+
+def q_ivfpq_leg(
+    spark: SparkSession, sf_dir: str, residual: bool = False, rerank: int = 0
+) -> DataFrame:
+    """'ivfpq' parts (round 9): the composed FAISS layout — IVF cell
+    pruning (stride-50 coarse centroids, nprobe=2) + ADC rescoring
+    over candidates only (quality_spark/llm/pq.py:ivf_pq_topk), raw or
+    FAISS-default residual codes, optional exact-L2 refine stage."""
+    from quality_spark.llm.pq import ivf_pq_topk
+
+    books, qs = _pq_books_qs()
+    kw = dict(encode_mode="arrow", cell_mode="arrow")
+    if rerank:
+        kw["rerank"] = rerank
+    else:
+        kw["by_residual"] = residual
+    return ivf_pq_topk(
+        _read(spark, sf_dir, "embeddings"), books, qs, k=5, nprobe=2, **kw
+    )
+
+
+def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-reduction block (round 7; +PQ round 8; +IVF-PQ round
+    9): SemDeDup semantic dedup (is_kept is implied by dup_of = -1, so
+    only dup_of is carried) + JL random projection components +
+    product quantization (quality_spark/llm/pq.py — per-subspace codes
+    AND ADC query distances; adds are subspace-ordered so every double
+    is bit-equal across engines and the floor(x*1e6+0.5) scaling is
+    exact) + the composed IVF-PQ retrieval legs (see q_ivfpq_leg),
+    tagged per part. Rankings AND scaled adc doubles are hash-pinned;
+    the oracles replay probes, cells, codes and the subspace-ordered
+    adds bit-for-bit. localCheckpoint shares each k x |q|-row IVF-PQ
+    result across its two union branches so the corpus pass runs once
+    per variant."""
+    from quality_spark.llm.pq import pq_adc_scores
 
     sem = q_semantic_dedup(spark, sf_dir).select(
         F.lit("sem").alias("part"), "vec_id",
@@ -7277,15 +7531,8 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("bigint").alias("k1"),
         F.col("comp_scaled").alias("v1"),
     )
-    books = pq_codebooks_procedural(
-        _PQ_GEO["m"], _PQ_GEO["ksub"], _PQ_GEO["dsub"], _PQ_GEO["seed"]
-    )
-    qs = pq_queries_procedural(2, _PQ_GEO["m"] * _PQ_GEO["dsub"], seed=6)
-    # mode='arrow': the numpy encode twin runs in the gate; the oracle
-    # replays the SQL fold — their bit-identity is part of the pin
-    enc = pq_encode(
-        _read(spark, sf_dir, "embeddings"), books, mode="arrow"
-    )
+    books, qs = _pq_books_qs()
+    enc = q_pq_encode_leg(spark, sf_dir)
     codes = enc.select(
         F.lit("pq").alias("part"), "vec_id",
         F.posexplode("pq_code").alias("k1", "v1"),
@@ -7295,20 +7542,10 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").alias("k1"),
         F.expr("CAST(floor(adc * 1000000 + 0.5) AS BIGINT)").alias("v1"),
     )
-    # 'ivfpq' parts (round 9): the composed FAISS layout — IVF cell
-    # pruning (stride-50 coarse centroids, nprobe=2) + ADC rescoring
-    # over candidates only (quality_spark/llm/pq.py:ivf_pq_topk), in
-    # BOTH variants: raw-vector codes and the FAISS-default residual
-    # codes (by_residual=True). Rankings AND scaled adc doubles are
-    # hash-pinned; the oracles replay probes, cells, codes and the
-    # subspace-ordered adds bit-for-bit. cell/encode run the Arrow
-    # twins (bit-identity to the SQL folds is test-pinned);
-    # localCheckpoint shares each k x |q|-row result across its two
-    # union branches so the corpus pass runs once per variant.
+
     def _ivfpq_parts(tag: str, residual: bool):
-        top = ivf_pq_topk(
-            _read(spark, sf_dir, "embeddings"), books, qs, k=5, nprobe=2,
-            by_residual=residual, encode_mode="arrow", cell_mode="arrow",
+        top = q_ivfpq_leg(
+            spark, sf_dir, residual=residual
         ).localCheckpoint(eager=False)
         rank_leg = top.select(
             F.lit(tag).alias("part"), "vec_id",
@@ -7327,10 +7564,7 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'ivfpq_rr' (round 9): the FAISS refine stage — top-20 ADC
     # candidates re-ranked by exact squared L2; rank + scaled l2sq
     # both hash-pinned against the oracle's identical fold.
-    rr = ivf_pq_topk(
-        _read(spark, sf_dir, "embeddings"), books, qs, k=5, nprobe=2,
-        rerank=20, encode_mode="arrow", cell_mode="arrow",
-    ).select(
+    rr = q_ivfpq_leg(spark, sf_dir, rerank=20).select(
         F.lit("ivfpq_rr").alias("part"), "vec_id",
         F.col("query_id").alias("k1"),
         F.expr(
@@ -7603,6 +7837,30 @@ def query_legs() -> dict:
         "embedding_reduce": {
             "sem": q_semantic_dedup,
             "proj": q_embedding_projection,
+            "pq": q_pq_encode_leg,
+            "pq_adc": q_pq_adc_leg,
+            "ivfpq": q_ivfpq_leg,
+            "ivfpq_res": lambda spark, sf: q_ivfpq_leg(
+                spark, sf, residual=True
+            ),
+            "ivfpq_rr": lambda spark, sf: q_ivfpq_leg(
+                spark, sf, rerank=20
+            ),
+        },
+        "tfidf_scores": {
+            "tfidf": q_tfidf_leg,
+            "bm25": q_bm25_leg,
+            "bm25_topk": q_bm25_topk_leg,
+            "rrf": q_rrf_leg,
+        },
+        "digest_documents": {
+            "winnow": q_winnow_leg,
+        },
+        "expr_runner_agg": {
+            p: (lambda part: lambda spark, sf: q_expr_runner_agg(
+                spark, sf, only=(part,)
+            ))(p)
+            for p in _ERA_PARTS
         },
         "event_suite": {
             "rollups": q_event_rollups,
@@ -7639,16 +7897,21 @@ def query_legs() -> dict:
         "dedup_exact": {
             "groups": q_dedup_exact_groups,
             "keep_best": q_dedup_keep_best,
+            "substr": q_substr_leg,
+            "fuzzy": q_fuzzy_edit_leg,
         },
         "sampling_splits": {
             "hash_split": q_hash_sample_split,
             "stratified": q_stratified_sample,
             "mix": q_weighted_mix,
-            "temperature": lambda spark, sf: __import__(
-                "quality_spark.llm.sampling", fromlist=["temperature_sample"]
-            ).temperature_sample(
-                _read(spark, sf, "documents"), "lang", "doc_id", 2.0, seed=7
-            ),
+            "temperature": q_temperature_leg,
+            "cap": q_cap_leg,
+            "hh": q_hh_leg,
+            "hhg": q_hhg_leg,
+            "wsample": q_wsample_leg,
+            "wsample_g": q_wsample_g_leg,
+            "budget_plan": q_budget_plan_leg,
+            "budget_kept": q_budget_kept_leg,
         },
         "event_rollups": {
             "rollup": q_time_rollup_events,
@@ -7662,6 +7925,7 @@ def query_legs() -> dict:
         "skew_ops": {
             "salted_agg": q_salted_agg_orders,
             "skew_join": q_skew_join_lineitem,
+            "rel": q_rel_profile_leg,
         },
     }
 

@@ -812,9 +812,12 @@ def dedup_keep_list(
     minhash/simhash/embedding dedup.
 
     Default keeper = smallest id. With ``score_col`` the keeper is the
-    component row with the HIGHEST score (tie → smallest id) — one
-    ``max_by`` over a (score, −id) struct per component, so the
-    election is a single combinable groupBy on component ids."""
+    component row with the HIGHEST score (tie → smallest id), elected
+    in two stages — max score per component, then min id among the
+    max-score rows — so the tie-break works for ANY orderable id type
+    (string doc ids included; a single max_by over (score, −id) would
+    need numeric ids). NULL scores sort lowest (``max`` skips them);
+    an all-NULL-score component elects its smallest id."""
     comp = connected_components(pairs, id_a, id_b)
     if score_col is None:
         keep = (
@@ -828,10 +831,17 @@ def dedup_keep_list(
     scored = df.select(
         F.col(id_col).alias("id"), F.col(score_col).alias("__score")
     ).join(comp, "id")
-    keepers = scored.groupBy("component").agg(
-        F.expr(
-            "max_by(id, named_struct('s', __score, 'i', -id))"
-        ).alias("__keeper")
+    best = scored.groupBy("component").agg(
+        F.max("__score").alias("__best")
+    )
+    keepers = (
+        scored.join(best, "component")
+        .filter(
+            F.col("__score").eqNullSafe(F.col("__best"))
+            | F.col("__best").isNull()
+        )
+        .groupBy("component")
+        .agg(F.min("id").alias("__keeper"))
     )
     elected = comp.join(keepers, "component").withColumnRenamed(
         "id", id_col

@@ -249,6 +249,8 @@ def token_budget_plan(
     vals, b = _budget_plan_parts(weights, budget)
     if max(int(w) for w in weights.values()) > 10**9:
         raise ValueError("weights must be <= 1e9 (overflow headroom)")
+    if int(budget) > 10**15:
+        raise ValueError("budget must be <= 1e15 (overflow headroom)")
     tok = token_count_expr or f"size({tokens_sql(text_col, 'spark')})"
     spark = df.sparkSession
     counts = (

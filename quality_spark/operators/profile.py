@@ -810,7 +810,12 @@ def profile_by_group_oracle_sql(
     return "\nUNION ALL\n".join(per_col)
 
 
-def profile_shard_approx(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def profile_shard_approx(
+    df: DataFrame,
+    cols: Sequence[str],
+    bins: int = 0,
+    ranges: Dict[str, tuple] = None,
+) -> DataFrame:
     """The APPROX mergeable artifact — one row per column: exact
     integer accumulators (n, n_null, min, max, DECIMAL(38,0) Σx and
     Σx²) plus a Datasketches HLL sketch (``hll_sketch_agg``, binary,
@@ -818,6 +823,23 @@ def profile_shard_approx(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     per shard, state = |cols| × (a few longs + one sketch) — no
     per-distinct-value volume at all, unlike the exact artifact whose
     size is the shard's distinct count.
+
+    ``bins`` > 0 (round 10 — VERDICT r09 next #4) additionally packs
+    a FIXED-BIN histogram into the artifact (``h_lo``/``h_span``
+    bounds + ``hist`` array<bigint>), binned over the caller-declared
+    micro range ``ranges[col] = (lo_mic, hi_mic)`` with the exact
+    profiler's integer bin spec ``(v − lo)·bins DIV span`` (span =
+    hi − lo + 1), clamped into the edge bins. Fixed caller ranges are
+    what make the histograms MERGEABLE: every shard bins identically,
+    so merged counts are exact bin counts of the union, and
+    ``profile_from_approx_shards(quantiles=…)`` derives
+    nearest-rank quantile ESTIMATES with error < ceil(span/bins)
+    micro units (the bin width; out-of-range values clamp into the
+    edge bins and degrade the bound by the clamp distance). Declare
+    ranges from schema knowledge or a prior exact profile's min/max.
+    With ``bins=0`` (default) the histogram columns ride as NULLs and
+    the artifact is byte-compatible with the round-9 shape plus three
+    nullable columns.
 
     This completes the shard matrix: exact artifacts when bit-exact
     n_distinct/quantiles/histograms matter, approx artifacts when the
@@ -827,12 +849,23 @@ def profile_shard_approx(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     modes (shared finishers, test-pinned); n_distinct is the
     estimate of the UNIONED sketch (not a sum of per-shard
     estimates)."""
+    bins = int(bins)
+    if bins > 0:
+        if not ranges:
+            raise ValueError("bins > 0 requires ranges={col: (lo, hi)}")
+        missing = [c for c in cols if c not in ranges]
+        if missing:
+            raise ValueError(f"ranges missing for columns: {missing}")
+        for c in cols:
+            lo, hi = int(ranges[c][0]), int(ranges[c][1])
+            if lo > hi:
+                raise ValueError(f"range lo > hi for column {c!r}")
     mics = [F.expr(_MIC.format(c=c)) for c in cols]
     proj = df.select(
         *[m.alias(f"_m{i}") for i, m in enumerate(mics)]
     )
     aggs = [F.count(F.lit(1)).cast("bigint").alias("_total")]
-    for i in range(len(cols)):
+    for i, c in enumerate(cols):
         m = f"_m{i}"
         aggs += [
             F.count(m).cast("bigint").alias(f"_n{i}"),
@@ -847,11 +880,44 @@ def profile_shard_approx(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             ).alias(f"_q{i}"),
             F.expr(f"hll_sketch_agg({m})").alias(f"_h{i}"),
         ]
+        if bins > 0:
+            lo, hi = int(ranges[c][0]), int(ranges[c][1])
+            span = hi - lo + 1
+            # same integer bin spec as the exact histogram; DIV
+            # truncation vs floor on a negative numerator both land
+            # in bin 0 after the GREATEST clamp, so the clamped index
+            # is engine-identical
+            idx = (
+                f"LEAST(GREATEST(({m} - {lo}) * {bins} DIV {span},"
+                f" 0), {bins - 1})"
+            )
+            counts = ", ".join(
+                f"CAST(sum(CASE WHEN {m} IS NOT NULL AND {idx} = {b}"
+                f" THEN 1 ELSE 0 END) AS BIGINT)"
+                for b in range(bins)
+            )
+            aggs.append(F.expr(f"array({counts})").alias(f"_hist{i}"))
+
     one = proj.groupBy().agg(*aggs)
+
+    def hist_fields(i: int, c: str) -> str:
+        if bins > 0:
+            lo, hi = int(ranges[c][0]), int(ranges[c][1])
+            return (
+                f" 'h_lo', CAST({lo} AS BIGINT),"
+                f" 'h_span', CAST({hi - lo + 1} AS BIGINT),"
+                f" 'hist', _hist{i}"
+            )
+        return (
+            " 'h_lo', CAST(NULL AS BIGINT),"
+            " 'h_span', CAST(NULL AS BIGINT),"
+            " 'hist', CAST(NULL AS ARRAY<BIGINT>)"
+        )
+
     structs = ", ".join(
         f"named_struct('column', '{c}', 'n', _n{i}, 'n_null', _total - _n{i},"
         f" 'mn', _mn{i}, 'mx', _mx{i}, 'dsum', _s{i}, 'dssq', _q{i},"
-        f" 'hll', _h{i})"
+        f" 'hll', _h{i},{hist_fields(i, c)})"
         for i, c in enumerate(cols)
     )
     return one.select(
@@ -860,20 +926,41 @@ def profile_shard_approx(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 
 
 def profile_from_approx_shards(
-    shards: Sequence[DataFrame], cols: Sequence[str]
+    shards: Sequence[DataFrame],
+    cols: Sequence[str],
+    quantiles: Sequence[float] = (),
 ) -> DataFrame:
     """Merge approx artifacts (counts/sums add, min/max combine,
-    sketches ``hll_union_agg``) and finish the same 8 stats — (column,
-    stat, value) long frame, every stat except n_distinct bit-equal
-    to ``profile_columns`` on the union of the shards (shared
+    sketches ``hll_union_agg``, fixed-bin histograms element-wise
+    add) and finish the same 8 stats — (column, stat, value) long
+    frame, every stat except n_distinct bit-equal to
+    ``profile_columns`` on the union of the shards (shared
     finishers). Merging is associative; artifacts survive parquet
-    (the sketch is a plain binary column)."""
+    (the sketch is a plain binary column, the histogram a plain
+    bigint list).
+
+    ``quantiles`` (round 10): nearest-rank quantile ESTIMATES from
+    the merged fixed-bin histograms — requires the shards to have
+    been built with ``profile_shard_approx(bins=B, ranges=…)`` and
+    IDENTICAL (lo, span) per column (validated here). The emitted
+    value is the lowest micro value of the bin containing the
+    nearest-rank element (all-integer: ``lo + ceil(idx·span/B)``),
+    so the error vs the exact nearest-rank quantile is bounded by
+    the bin width ``ceil(span/B)`` whenever the declared range
+    covers the data. Deterministic and oracle-replayable — no
+    sketch estimation is involved, only exact merged bin counts."""
     if not shards:
         raise ValueError("profile_from_approx_shards needs >= 1 shard")
     merged = shards[0]
     for s in shards[1:]:
         merged = merged.unionByName(s)
-    agg = merged.groupBy("column").agg(
+    has_hist = "hist" in merged.columns
+    if quantiles and not has_hist:
+        raise ValueError(
+            "quantiles need histogram-bearing artifacts — build shards "
+            "with profile_shard_approx(bins=B, ranges=...)"
+        )
+    aggs = [
         F.expr("CAST(sum(n) AS BIGINT)").alias("n"),
         F.expr("CAST(sum(n_null) AS BIGINT)").alias("n_null"),
         F.min("mn").alias("mn"),
@@ -885,7 +972,21 @@ def profile_from_approx_shards(
             " hll_sketch_estimate(hll_union_agg(hll))"
             " ELSE CAST(0 AS BIGINT) END"
         ).alias("nd"),
-    )
+    ]
+    if quantiles:
+        aggs += [
+            F.min("h_lo").alias("h_lo"),
+            F.max("h_lo").alias("h_lo2"),
+            F.min("h_span").alias("h_span"),
+            F.max("h_span").alias("h_span2"),
+            # element-wise bin-count sum — exact counts of the union
+            F.expr(
+                "aggregate(collect_list(hist), "
+                "transform(try_element_at(collect_list(hist), 1), x -> CAST(0 AS BIGINT)), "
+                "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+            ).alias("hist"),
+        ]
+    agg = merged.groupBy("column").agg(*aggs)
     by_col = {r["column"]: r for r in agg.collect()}
     rows: List[tuple] = []
     for c in cols:
@@ -903,10 +1004,102 @@ def profile_from_approx_shards(
             nd=0 if n == 0 else int(r["nd"]),
         )
         rows.extend((c, s, vals[s]) for s in STAT_NAMES)
+        if quantiles and n > 0:
+            if r["h_lo"] is None or r["hist"] is None:
+                raise ValueError(
+                    f"column {c!r}: artifacts carry no histogram — "
+                    "rebuild shards with bins > 0"
+                )
+            if r["h_lo"] != r["h_lo2"] or r["h_span"] != r["h_span2"]:
+                raise ValueError(
+                    f"column {c!r}: shard histograms disagree on "
+                    "(lo, span) — all shards must bin over the same "
+                    "declared range"
+                )
+            rows.extend(
+                _hist_quantile_rows(
+                    c, quantiles, n, int(r["h_lo"]), int(r["h_span"]),
+                    [int(x) for x in r["hist"]],
+                )
+            )
     spark = merged.sparkSession
     return spark.createDataFrame(
         rows, "column string, stat string, value bigint"
     )
+
+
+def _hist_quantile_rows(
+    col: str,
+    quantiles: Sequence[float],
+    n: int,
+    lo: int,
+    span: int,
+    hist: List[int],
+) -> List[tuple]:
+    """(column, pXX, value) estimates from exact merged bin counts —
+    the identical all-integer arithmetic the DuckDB oracle replays
+    (``approx_shard_quantiles_oracle_sql``): nearest-rank index via
+    _rank_sql's IEEE multiply, cumulative bin counts, bin lower edge
+    ``lo + ceil(idx·span/bins)``."""
+    import math
+
+    bins = len(hist)
+    out: List[tuple] = []
+    for q in quantiles:
+        rank = max(1, math.ceil(float(q) * float(n)))
+        cum = 0
+        idx = bins - 1
+        for b, cnt in enumerate(hist):
+            cum += cnt
+            if cum >= rank:
+                idx = b
+                break
+        edge = lo + (idx * span + bins - 1) // bins
+        out.append((col, _q_stat_name(float(q)), edge))
+    return out
+
+
+def approx_shard_quantiles_oracle_sql(
+    table: str,
+    cols: Sequence[str],
+    bins: int,
+    quantiles: Sequence[float],
+    where: str = "TRUE",
+) -> str:
+    """DuckDB replay of the approx-shard quantile path on the UNION of
+    the shards (= ``table``): the same micro scaling, the same
+    clamped integer bin spec over the column's (min, max) range, the
+    same nearest-rank + bin-lower-edge arithmetic. Using min/max as
+    the declared range matches a caller who ranges the shards from an
+    exact profile of the same data."""
+    legs = []
+    for c in cols:
+        mic = f"CAST(floor(CAST({c} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        rng = (
+            f"(SELECT min({mic}) AS lo,"
+            f" max({mic}) - min({mic}) + 1 AS span,"
+            f" count({c}) AS n FROM {table} WHERE {where})"
+        )
+        bcnt = (
+            f"(SELECT LEAST(GREATEST(({mic} - r.lo) * {bins} // r.span,"
+            f" 0), {bins - 1}) AS idx, CAST(count(*) AS BIGINT) AS cnt"
+            f" FROM {table}, {rng} r"
+            f" WHERE {where} AND {c} IS NOT NULL GROUP BY 1)"
+        )
+        for q in quantiles:
+            rank = _rank_sql(float(q), "r.n")
+            legs.append(
+                f"""
+SELECT '{c}' AS "column", '{_q_stat_name(float(q))}' AS stat,
+       r.lo + (qi.idx * r.span + {bins} - 1) // {bins} AS value
+FROM {rng} r, LATERAL (
+  SELECT min(idx) AS idx FROM (
+    SELECT idx, sum(cnt) OVER (ORDER BY idx) AS cum FROM {bcnt}
+  ) WHERE cum >= {rank}
+) qi
+WHERE r.n > 0"""
+            )
+    return " UNION ALL ".join(legs)
 
 
 def profile_categorical(

@@ -36,6 +36,8 @@ def key_uniqueness(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     once, ``n_rows_in_dup_keys`` = rows carrying them. Key columns
     with NULLs count as ordinary values (groupBy semantics) — a NULL
     key that repeats is still a uniqueness violation worth seeing."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
     per = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
     return per.agg(
         F.sum("__c").cast("bigint").alias("n_rows"),
@@ -80,6 +82,8 @@ def fk_orphan_stats(
     ``broadcast_parent=True`` (default) fits the common
     fact→dimension case; pass False for fact→fact integrity so the
     anti-join plans as a shuffle join on the keys."""
+    if not child_keys or not parent_keys:
+        raise ValueError("child_keys/parent_keys must be non-empty")
     if len(child_keys) != len(parent_keys):
         raise ValueError("child_keys and parent_keys must align")
     null_any = None
@@ -133,6 +137,8 @@ def fd_violations(
     carry more than one distinct (non-null) rhs value. The discovery
     query behind "order key determines customer"-style consistency
     rules."""
+    if not lhs:
+        raise ValueError("lhs must be non-empty")
     per = df.groupBy(*lhs).agg(
         F.count(F.lit(1)).alias("__c"),
         F.countDistinct(rhs).alias("__d"),
@@ -168,6 +174,8 @@ def relational_profile(
 ) -> DataFrame:
     """Convenience packer: list of ('name', single-row DataFrame) →
     long (relation, stat, value) frame for reporting/gating."""
+    if not facts:
+        raise ValueError("facts must be non-empty")
     rows = []
     spark = None
     for name, frame in facts:

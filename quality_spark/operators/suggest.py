@@ -121,6 +121,7 @@ def suggest_rules(
     categorical_profile: DataFrame = None,
     categorical_cols: Sequence[str] = (),
     max_card: int = 8,
+    categorical_types: Dict[str, str] = None,
 ) -> RuleSuite:
     """Wrap ``suggested_rule_texts`` into a runnable ``RuleSuite``
     (one rule set; rule ids ``base + col_index·10 + kind_index``,
@@ -143,7 +144,7 @@ def suggest_rules(
         texts += [
             (c, len(RULE_KINDS), expr)
             for c, _, expr in suggested_in_set_rule_texts(
-                categorical_profile, max_card
+                categorical_profile, max_card, categorical_types
             )
             if c in col_index
         ]
@@ -160,6 +161,7 @@ def suggest_rules(
 def suggested_in_set_rule_texts(
     cat_profile: DataFrame,
     max_card: int = 8,
+    col_types: Dict[str, str] = None,
 ) -> List[Tuple[str, str, str]]:
     """(column, 'in_set', expression_text) from a categorical profile
     (``profile_categorical``): an enum rule ``c IN ('a','b',…)`` —
@@ -169,7 +171,16 @@ def suggested_in_set_rule_texts(
     would be authored from a truncated value set and silently fail
     live data). Values render sorted ascending with '' doubling for
     quotes — a fixed text spec the SQL oracle reproduces with
-    string_agg."""
+    string_agg.
+
+    The profile's values are strings (``profile_categorical`` casts),
+    so the emitted comparison is a STRING comparison. For a
+    string-typed source column that is exact; for other types pass
+    ``col_types`` (column → Spark simpleString, e.g. from
+    ``dict((f.name, f.dataType.simpleString()) for f in df.schema)``)
+    and non-string columns are wrapped ``CAST(c AS STRING) IN (…)``
+    so the rule compares in the same domain it was profiled in,
+    instead of leaning on engine-specific implicit casts."""
     rows = cat_profile.collect()
     by_col: Dict[str, list] = {}
     for r in rows:
@@ -185,7 +196,10 @@ def suggested_in_set_rule_texts(
         if card > int(max_card) or len(non_null) < card or card == 0:
             continue
         vals = ", ".join("'" + v.replace("'", "''") + "'" for v in non_null)
-        expr = f"{c} IN ({vals})"
+        ref = c
+        if col_types is not None and col_types.get(c, "string") != "string":
+            ref = f"CAST({c} AS STRING)"
+        expr = f"{ref} IN ({vals})"
         if has_null:
             expr = f"{c} IS NULL OR {expr}"
         out.append((c, "in_set", expr))

@@ -3137,3 +3137,36 @@ def test_dedup_near_recipe_and_keep_best(spark, sf_dir):
         if i not in comp:
             expect.add(i)  # singletons keep themselves
     assert sorted(r["doc_id"] for r in best.collect()) == sorted(expect)
+
+
+def test_dedup_keep_list_string_ids_and_null_scores(spark):
+    """ADVICE r9: score-based keeper election must work for STRING doc
+    ids (two-stage max-score-then-min-id, no numeric negation) and
+    must treat NULL scores as lowest — an all-NULL-score component
+    still elects its smallest id."""
+    from quality_spark.llm.dedup import dedup_keep_list
+
+    df = spark.createDataFrame(
+        [
+            # component {a, b, c}: b and c tie on score 5 → keeper 'b'
+            ("a", 1), ("b", 5), ("c", 5),
+            # component {x, y}: all-NULL scores → keeper 'x'
+            ("x", None), ("y", None),
+            # component {m, n}: NULL loses to non-NULL → keeper 'n'
+            ("m", None), ("n", 2),
+            # singleton keeps itself
+            ("solo", None),
+        ],
+        "doc_id string, score int",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("m", "n")],
+        "id_a string, id_b string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_list(df, pairs, score_col="score")
+        .filter("keep")
+        .collect()
+    )
+    assert kept == ["b", "n", "solo", "x"]

@@ -613,3 +613,130 @@ def test_suggest_rules_with_categorical_suite(spark, sf_dir):
         F.explode(F.col("DQ")["ruleSetResults"]).alias("sid", "set")
     ).select(F.explode(F.col("set")["ruleResults"]).alias("rid", "res"))
     assert flat.filter(~F.col("res").isin(100000, -1)).count() == 0
+
+
+def test_suggested_in_set_typed_columns_cast(spark):
+    """ADVICE r9: with col_types, non-string categorical columns get
+    an explicit CAST(c AS STRING) comparison (the profile values ARE
+    strings), string columns stay bare, and the typed rule self-passes
+    on the profiled data through a plain filter."""
+    from quality_spark.operators.profile import profile_categorical
+    from quality_spark.operators.suggest import (
+        suggested_in_set_rule_texts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (1, "a"), (None, None)],
+        "code int, tag string",
+    )
+    cp = profile_categorical(df, ["code", "tag"], top=10)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    texts = dict(
+        (c, e)
+        for c, _, e in suggested_in_set_rule_texts(cp, 8, col_types=types)
+    )
+    assert texts["code"] == "code IS NULL OR CAST(code AS STRING) IN ('1', '2')"
+    assert texts["tag"] == "tag IS NULL OR tag IN ('a', 'b')"
+    for expr in texts.values():
+        assert df.filter(f"NOT ({expr})").count() == 0
+    # default (no col_types) behavior unchanged — bare column reference
+    bare = dict(
+        (c, e) for c, _, e in suggested_in_set_rule_texts(cp, 8)
+    )
+    assert bare["code"] == "code IS NULL OR code IN ('1', '2')"
+
+
+def test_approx_shard_histogram_quantiles(spark, sf_dir):
+    """Round-10 mergeable quantiles: fixed-bin histograms in the
+    approx artifact (parquet round-trip included) yield nearest-rank
+    quantile estimates whose error vs the exact quantile is < the
+    documented bin width ceil(span/bins); the python arithmetic
+    matches the DuckDB oracle replay bit-for-bit."""
+    import math
+    import tempfile
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from quality_spark.operators.profile import (
+        approx_shard_quantiles_oracle_sql,
+        profile_columns,
+        profile_from_approx_shards,
+        profile_shard_approx,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    qs = (0.25, 0.5, 0.75, 0.95)
+    bins = 16
+    exact = {
+        (r["column"], r["stat"]): r["value"]
+        for r in profile_columns(li, cols, bins=0, quantiles=qs).collect()
+    }
+    ranges = {c: (exact[(c, "min")], exact[(c, "max")]) for c in cols}
+    d = tempfile.mkdtemp()
+    for p in range(3):
+        profile_shard_approx(
+            li.filter(F.col("l_orderkey") % 3 == p), cols,
+            bins=bins, ranges=ranges,
+        ).write.mode("overwrite").parquet(f"{d}/s{p}")
+    back = [spark.read.parquet(f"{d}/s{p}") for p in range(3)]
+    got = {
+        (r["column"], r["stat"]): r["value"]
+        for r in profile_from_approx_shards(back, cols, quantiles=qs)
+        .collect()
+    }
+    # error bound vs exact nearest-rank quantiles
+    for c in cols:
+        span = ranges[c][1] - ranges[c][0] + 1
+        width = math.ceil(span / bins)
+        for q in qs:
+            name = f"p{q * 100:g}"
+            est, true = got[(c, name)], exact[(c, name)]
+            assert est <= true < est + width + 1, (c, name, est, true, width)
+    # non-sketch stats still bit-equal through the histogram variant
+    for (c, s), v in exact.items():
+        if s not in ("n_distinct",) and not s.startswith("p"):
+            assert got[(c, s)] == v, (c, s, v, got[(c, s)])
+    # oracle replay is bit-identical on the same data
+    con = duckdb.connect()
+    con.register("li_pd", li.select(*cols).toPandas())
+    want = {
+        (c, s): int(v)
+        for c, s, v in con.execute(
+            approx_shard_quantiles_oracle_sql("li_pd", cols, bins, qs)
+        ).fetchall()
+    }
+    spark_q = {k: v for k, v in got.items() if k[1].startswith("p")}
+    assert spark_q == want
+
+
+def test_approx_shard_histogram_validation(spark):
+    """bins>0 without ranges, mismatched (lo, span) across shards, and
+    quantiles over histogram-less artifacts all fail fast."""
+    import pytest
+
+    from quality_spark.operators.profile import (
+        profile_from_approx_shards,
+        profile_shard_approx,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (5.0,)], "x double")
+    with pytest.raises(ValueError, match="ranges"):
+        profile_shard_approx(df, ["x"], bins=8)
+    with pytest.raises(ValueError, match="missing"):
+        profile_shard_approx(df, ["x"], bins=8, ranges={"y": (0, 1)})
+    plain = profile_shard_approx(df, ["x"])
+    with pytest.raises(ValueError, match="histogram"):
+        profile_from_approx_shards([plain], ["x"], quantiles=(0.5,))
+    a = profile_shard_approx(
+        df, ["x"], bins=8, ranges={"x": (1_000_000, 5_000_000)}
+    )
+    b = profile_shard_approx(
+        df, ["x"], bins=8, ranges={"x": (0, 5_000_000)}
+    )
+    with pytest.raises(ValueError, match="disagree"):
+        profile_from_approx_shards([a, b], ["x"], quantiles=(0.5,))
+    # bins=0 artifacts still merge fine without quantiles (back-compat)
+    out = profile_from_approx_shards([plain], ["x"])
+    assert {r["stat"] for r in out.collect()} >= {"n", "min", "max"}

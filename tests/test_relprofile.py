@@ -113,3 +113,26 @@ def test_fd_violations_both_shapes_and_packer(spark, sf_dir):
     rows = {(r["relation"], r["stat"]): r["value"] for r in packed.collect()}
     assert rows[("holds", "n_violating_groups")] == 0
     assert rows[("viol", "n_violating_groups")] == viol[1]
+
+
+def test_relprofile_empty_inputs_raise(spark):
+    """ADVICE r9: empty key lists / fact lists fail fast with a clear
+    ValueError instead of crashing inside Spark."""
+    import pytest
+
+    from quality_spark.operators.relprofile import (
+        fd_violations,
+        fk_orphan_stats,
+        key_uniqueness,
+        relational_profile,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="non-empty"):
+        key_uniqueness(df, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        fk_orphan_stats(df, df, [], [])
+    with pytest.raises(ValueError, match="non-empty"):
+        fd_violations(df, [], "b")
+    with pytest.raises(ValueError, match="non-empty"):
+        relational_profile([])

@@ -546,3 +546,19 @@ def test_token_budget_sample_drops_unweighted_and_replays(spark):
         .collect()
     )
     assert ids == want
+
+
+def test_token_budget_plan_rejects_oversized_inputs(spark):
+    """ADVICE r9: the docstring's planning-time guards must both
+    exist — weights > 1e9 AND budget > 1e15 raise before any job."""
+    import pytest
+
+    from quality_spark.llm.sampling import token_budget_plan
+
+    df = spark.createDataFrame([(1, "a", 5)], "id long, dom string, tok long")
+    with pytest.raises(ValueError, match="weights"):
+        token_budget_plan(df, "dom", {"a": 10**9 + 1}, 100,
+                          token_count_expr="tok")
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_plan(df, "dom", {"a": 1}, 10**15 + 1,
+                          token_count_expr="tok")
