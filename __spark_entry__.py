@@ -1692,7 +1692,7 @@ _PROFILE_QS = (0.25, 0.5, 0.75, 0.95)
 #: expr_runner_agg part names, in composite union order
 _ERA_PARTS = (
     "er", "profile", "profile_approx", "profile_shard", "suggest",
-    "profile_shard_approx", "approx_shard_q", "profile_by",
+    "profile_shard_approx", "approx_shard_q", "psi", "profile_by",
     "profile_cat", "suggest_cat", "drift",
 )
 
@@ -1731,6 +1731,7 @@ def q_expr_runner_agg(
         profile_drift,
         profile_from_approx_shards,
         profile_from_shards,
+        profile_psi,
         profile_shard,
         profile_shard_approx,
     )
@@ -1893,30 +1894,39 @@ def q_expr_runner_agg(
             )
         )
 
+    def hist_shards():
+        # histogram-bearing approx artifacts over the two parity
+        # shards, binned over the exact profile's (min, max) range —
+        # eager-checkpointed: they feed BOTH the 'approx_shard_q' and
+        # 'psi' parts (one half-scan each, not two)
+        if "sha_hist" not in memo:
+            stats = {}
+            for row in prof_df().collect():
+                stats.setdefault(row["column"], {})[row["stat"]] = (
+                    row["value"]
+                )
+            ranges = {
+                c: (stats[c]["min"], stats[c]["max"])
+                for c in _PROFILE_COLS
+            }
+            memo["sha_hist"] = [
+                profile_shard_approx(
+                    li.filter(F.col("l_orderkey") % 2 == p),
+                    list(_PROFILE_COLS), bins=_ASQ_BINS, ranges=ranges,
+                ).localCheckpoint(eager=True)
+                for p in (0, 1)
+            ]
+        return memo["sha_hist"]
+
     def p_approx_shard_q():
         # 'approx_shard_q' part (round 10): bounded-error quantiles
-        # from MERGED fixed-bin approx-shard histograms — the two
-        # parity shards bin over the exact profile's (min, max) range
-        # and the merged counts yield nearest-rank bin-edge estimates
-        # (error < ceil(span/bins)); the oracle replays the identical
-        # clamped integer binning + rank + edge arithmetic on the
-        # whole table.
-        stats = {}
-        for row in prof_df().collect():
-            stats.setdefault(row["column"], {})[row["stat"]] = row["value"]
-        ranges = {
-            c: (stats[c]["min"], stats[c]["max"]) for c in _PROFILE_COLS
-        }
-        sha = [
-            profile_shard_approx(
-                li.filter(F.col("l_orderkey") % 2 == p),
-                list(_PROFILE_COLS), bins=_ASQ_BINS, ranges=ranges,
-            )
-            for p in (0, 1)
-        ]
+        # from MERGED fixed-bin approx-shard histograms — the merged
+        # counts yield nearest-rank bin-edge estimates (error <
+        # ceil(span/bins)); the oracle replays the identical clamped
+        # integer binning + rank + edge arithmetic on the whole table.
         return (
             profile_from_approx_shards(
-                sha, list(_PROFILE_COLS), quantiles=_PROFILE_QS
+                hist_shards(), list(_PROFILE_COLS), quantiles=_PROFILE_QS
             )
             .filter(F.col("stat").startswith("p"))
             .select(
@@ -1924,6 +1934,20 @@ def q_expr_runner_agg(
                 F.concat("column", F.lit(":"), "stat").alias("k"),
                 F.col("value").cast("string").alias("v"),
             )
+        )
+
+    def p_psi():
+        # 'psi' part (round 10): Population Stability Index between
+        # the two parity shards from the same fixed-bin artifacts —
+        # Laplace-smoothed proportions, platform ln, ascending-bin
+        # fold; the oracle recomputes bins from the raw halves and
+        # replays the double sum bit-for-bit through the micro
+        # scaling.
+        sha = hist_shards()
+        return profile_psi([sha[0]], [sha[1]], list(_PROFILE_COLS)).select(
+            F.lit("psi").alias("part"),
+            F.concat("column", F.lit(":"), "metric").alias("k"),
+            F.col("value").cast("string").alias("v"),
         )
 
     def p_profile_by():
@@ -1989,6 +2013,7 @@ def q_expr_runner_agg(
         "suggest": p_suggest,
         "profile_shard_approx": p_profile_shard_approx,
         "approx_shard_q": p_approx_shard_q,
+        "psi": p_psi,
         "profile_by": p_profile_by,
         "profile_cat": p_profile_cat,
         "suggest_cat": p_suggest_cat,
@@ -2008,6 +2033,7 @@ def _oracle_expr_runner_agg() -> str:
         profile_categorical_oracle_sql,
         profile_drift_oracle_sql,
         profile_oracle_sql,
+        profile_psi_oracle_sql,
     )
     from quality_spark.operators.suggest import (
         suggested_in_set_rule_texts_oracle_sql,
@@ -2047,6 +2073,13 @@ SELECT 'approx_shard_q', "column" || ':' || stat, CAST(value AS VARCHAR)
 FROM ({approx_shard_quantiles_oracle_sql(
         "lineitem", list(_PROFILE_COLS), bins=_ASQ_BINS,
         quantiles=_PROFILE_QS,
+    )})
+UNION ALL
+SELECT 'psi', "column" || ':' || metric, CAST(value AS VARCHAR)
+FROM ({profile_psi_oracle_sql(
+        "(SELECT * FROM lineitem WHERE l_orderkey % 2 = 0)",
+        "(SELECT * FROM lineitem WHERE l_orderkey % 2 = 1)",
+        "lineitem", list(_PROFILE_COLS), bins=_ASQ_BINS,
     )})
 UNION ALL
 SELECT 'profile_cat', "column" || ':' || rank,

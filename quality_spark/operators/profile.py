@@ -1278,6 +1278,164 @@ def _drift_metrics(sa: Dict[str, int], sb: Dict[str, int]) -> Dict[str, int]:
     }
 
 
+def profile_psi(
+    baseline_shards: Sequence[DataFrame],
+    current_shards: Sequence[DataFrame],
+    cols: Sequence[str],
+) -> DataFrame:
+    """Population Stability Index between two shard populations — the
+    distributional significance score ``profile_drift``'s per-stat
+    deltas lack (VERDICT r09 next #6). Inputs are histogram-bearing
+    approx artifacts (``profile_shard_approx(bins=B, ranges=…)``)
+    with IDENTICAL (lo, span) per column on both sides — fixed
+    caller-declared ranges are what make the two histograms
+    comparable bin-for-bin (exact profiles bin against their own
+    min/max and cannot be PSI'd against each other). Each side may be
+    multiple shards; their bin counts merge by exact addition first.
+
+    PSI = Σ_bins (p_cur − p_base) · ln(p_cur / p_base), with
+    LAPLACE-SMOOTHED proportions p = (cnt + 1) / (n + B) on both
+    sides — the documented empty-bin handling: no bin is ever zero,
+    so the log is always finite, and identically-distributed sides
+    still score ~0. Emitted micro-scaled
+    (``floor(psi·1e6 + 0.5)``) as (column, metric='psi_micro',
+    value BIGINT) plus the two sides' non-null counts
+    (``n_base``/``n_cur``) for context.
+
+    Bit-exact replay: proportions are IEEE divisions of exact
+    integers, the log is the platform libm ``log`` in BOTH engines
+    (CPython ``math.log`` here, DuckDB ``ln`` in the oracle), and the
+    sum folds in ascending bin order on both sides
+    (``list_reduce`` in the oracle, a left fold here) — so the gate
+    compares the double bit-for-bit through the micro scaling.
+    Rule of thumb: PSI < 0.1 (100000 micro) stable, 0.1-0.25
+    moderate shift, > 0.25 action."""
+    import math
+
+    def side(shards, tag):
+        merged = shards[0]
+        for s in shards[1:]:
+            merged = merged.unionByName(s)
+        agg = merged.groupBy("column").agg(
+            F.expr("CAST(sum(n) AS BIGINT)").alias("n"),
+            F.min("h_lo").alias("h_lo"),
+            F.max("h_lo").alias("h_lo2"),
+            F.min("h_span").alias("h_span"),
+            F.max("h_span").alias("h_span2"),
+            F.expr(
+                "aggregate(collect_list(hist), "
+                "transform(try_element_at(collect_list(hist), 1), x -> CAST(0 AS BIGINT)), "
+                "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+            ).alias("hist"),
+        )
+        out = {}
+        for r in agg.collect():
+            if r["hist"] is None:
+                raise ValueError(
+                    f"{tag} artifacts for column {r['column']!r} carry "
+                    "no histogram — build with bins > 0"
+                )
+            if r["h_lo"] != r["h_lo2"] or r["h_span"] != r["h_span2"]:
+                raise ValueError(
+                    f"{tag} shards disagree on (lo, span) for column "
+                    f"{r['column']!r}"
+                )
+            out[r["column"]] = (
+                int(r["n"]), int(r["h_lo"]), int(r["h_span"]),
+                [int(x) for x in r["hist"]],
+            )
+        return out
+
+    a, b = side(baseline_shards, "baseline"), side(current_shards, "current")
+    rows: List[tuple] = []
+    for c in cols:
+        if c not in a or c not in b:
+            continue
+        na, lo_a, sp_a, ha = a[c]
+        nb, lo_b, sp_b, hb = b[c]
+        if (lo_a, sp_a, len(ha)) != (lo_b, sp_b, len(hb)):
+            raise ValueError(
+                f"column {c!r}: baseline and current histograms have "
+                "different (lo, span, bins) — both sides must be built "
+                "over the same declared range and bin count"
+            )
+        bins = len(ha)
+        psi = 0.0
+        for i in range(bins):
+            pa = (ha[i] + 1) / float(na + bins)
+            pb = (hb[i] + 1) / float(nb + bins)
+            psi += (pb - pa) * math.log(pb / pa)
+        rows.append((c, "psi_micro", int(math.floor(psi * 1e6 + 0.5))))
+        rows.append((c, "n_base", na))
+        rows.append((c, "n_cur", nb))
+    spark = baseline_shards[0].sparkSession
+    return spark.createDataFrame(
+        rows, "column string, metric string, value bigint"
+    )
+
+
+def profile_psi_oracle_sql(
+    table_a: str,
+    table_b: str,
+    range_table: str,
+    cols: Sequence[str],
+    bins: int,
+) -> str:
+    """DuckDB replay of :func:`profile_psi` from the RAW tables: the
+    same micro scaling, the same clamped bin spec over the declared
+    range (min/max of ``range_table`` — matching a caller who ranges
+    both sides from one exact profile), the same Laplace smoothing,
+    platform ``ln``, and an ascending-bin ``list_reduce`` left fold
+    so the double sum is order-identical to the python loop."""
+    legs = []
+    for c in cols:
+        mic = f"CAST(floor(CAST({c} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        rng = (
+            f"(SELECT min({mic}) AS lo,"
+            f" max({mic}) - min({mic}) + 1 AS span FROM {range_table})"
+        )
+
+        def cnts(table: str) -> str:
+            return (
+                f"(SELECT b.i AS idx, COALESCE(h.cnt, 0) AS cnt,"
+                f" (SELECT count({c}) FROM {table}) AS n"
+                f" FROM (SELECT CAST(range AS INT) AS i FROM range({bins})) b"
+                f" LEFT JOIN ("
+                f"   SELECT LEAST(GREATEST(({mic} - r.lo) * {bins} // r.span,"
+                f" 0), {bins - 1}) AS i, CAST(count(*) AS BIGINT) AS cnt"
+                f"   FROM {table}, {rng} r WHERE {c} IS NOT NULL GROUP BY 1"
+                f" ) h ON h.i = b.i)"
+            )
+
+        term = (
+            "((CAST(t.cb + 1 AS DOUBLE) / CAST(t.nb + {B} AS DOUBLE))"
+            " - (CAST(t.ca + 1 AS DOUBLE) / CAST(t.na + {B} AS DOUBLE)))"
+            " * ln((CAST(t.cb + 1 AS DOUBLE) / CAST(t.nb + {B} AS DOUBLE))"
+            " / (CAST(t.ca + 1 AS DOUBLE) / CAST(t.na + {B} AS DOUBLE)))"
+        ).format(B=bins)
+        legs.append(
+            f"""
+SELECT '{c}' AS "column", m.metric, m.value
+FROM (
+  SELECT CAST(floor(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE), terms), (x, y) -> x + y
+         ) * 1000000 + 0.5) AS BIGINT) AS psi,
+         CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
+  FROM (
+    SELECT list({term} ORDER BY t.idx) AS terms,
+           max(t.na) AS na, max(t.nb) AS nb
+    FROM (
+      SELECT a.idx, a.cnt AS ca, a.n AS na, b.cnt AS cb, b.n AS nb
+      FROM {cnts(table_a)} a JOIN {cnts(table_b)} b ON a.idx = b.idx
+    ) t
+  )
+), LATERAL (VALUES
+  ('psi_micro', psi), ('n_base', na), ('n_cur', nb)
+) AS m(metric, value)"""
+        )
+    return " UNION ALL ".join(legs)
+
+
 def profile_drift_oracle_sql(
     baseline_profile_sql: str, current_profile_sql: str
 ) -> str:

@@ -740,3 +740,58 @@ def test_approx_shard_histogram_validation(spark):
     # bins=0 artifacts still merge fine without quantiles (back-compat)
     out = profile_from_approx_shards([plain], ["x"])
     assert {r["stat"] for r in out.collect()} >= {"n", "min", "max"}
+
+
+def test_profile_psi_semantics_and_validation(spark, sf_dir):
+    """PSI over fixed-bin artifacts: near-identical populations score
+    ~0, an engineered location shift scores much higher, multi-shard
+    sides merge before scoring, and mismatched ranges / missing
+    histograms fail fast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from quality_spark.operators.profile import (
+        profile_psi,
+        profile_shard_approx,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rng = {"l_quantity": (1_000_000, 50_000_000)}
+    mk = lambda d: profile_shard_approx(
+        d, ["l_quantity"], bins=16, ranges=rng
+    )
+    a = mk(li.filter(F.col("l_orderkey") % 2 == 0))
+    b = mk(li.filter(F.col("l_orderkey") % 2 == 1))
+    same = {
+        r["metric"]: r["value"]
+        for r in profile_psi([a], [b], ["l_quantity"]).collect()
+    }
+    assert same["psi_micro"] < 20_000  # parity halves: ~identical
+    shifted = mk(
+        li.filter(F.col("l_orderkey") % 2 == 1).withColumn(
+            "l_quantity", F.least(F.col("l_quantity") + 20, F.lit(50.0))
+        )
+    )
+    shift = {
+        r["metric"]: r["value"]
+        for r in profile_psi([a], [shifted], ["l_quantity"]).collect()
+    }
+    assert shift["psi_micro"] > 250_000  # clear distribution shift
+    # two-shard side == one merged side (counts add before scoring)
+    a2 = [
+        mk(li.filter((F.col("l_orderkey") % 4) == p)) for p in (0, 2)
+    ]
+    merged_side = {
+        r["metric"]: r["value"]
+        for r in profile_psi(a2, [b], ["l_quantity"]).collect()
+    }
+    assert merged_side == same
+    bad = profile_shard_approx(
+        li.limit(10), ["l_quantity"], bins=16,
+        ranges={"l_quantity": (0, 50_000_000)},
+    )
+    with pytest.raises(ValueError, match="different|disagree"):
+        profile_psi([a], [bad], ["l_quantity"]).collect()
+    plain = profile_shard_approx(li.limit(10), ["l_quantity"])
+    with pytest.raises(ValueError, match="histogram"):
+        profile_psi([a], [plain], ["l_quantity"]).collect()
