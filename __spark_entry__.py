@@ -7520,13 +7520,30 @@ def q_pq_adc_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_scores(q_pq_encode_leg(spark, sf_dir), books, qs)
 
 
+#: id anchor for the gate's IVF-PQ centroid pool: vec_id < 3200 with
+#: the stride-50 filter = 64 centroids at EVERY sf >= 0.01 (the sf1
+#: generator offsets copied vec_ids by 10M, so copy 0 keeps these
+#: exact rows) — nlist must NOT grow with the corpus, or the oracle's
+#: corpus x nlist argmax and the residual path's centroid-map literal
+#: both scale quadratically with sf (the round-9 stride-only gate did
+#: exactly that: 12,000 centroids at sf1).
+_IVFPQ_CENT_MAX = 3200
+
+
+def _ivfpq_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _IVFPQ_CENT_MAX)
+    )
+
+
 def q_ivfpq_leg(
     spark: SparkSession, sf_dir: str, residual: bool = False, rerank: int = 0
 ) -> DataFrame:
     """'ivfpq' parts (round 9): the composed FAISS layout — IVF cell
-    pruning (stride-50 coarse centroids, nprobe=2) + ADC rescoring
-    over candidates only (quality_spark/llm/pq.py:ivf_pq_topk), raw or
-    FAISS-default residual codes, optional exact-L2 refine stage."""
+    pruning (id-anchored 64-cell coarse centroids, nprobe=2) + ADC
+    rescoring over candidates only
+    (quality_spark/llm/pq.py:ivf_pq_topk), raw or FAISS-default
+    residual codes, optional exact-L2 refine stage."""
     from quality_spark.llm.pq import ivf_pq_topk
 
     books, qs = _pq_books_qs()
@@ -7536,8 +7553,33 @@ def q_ivfpq_leg(
     else:
         kw["by_residual"] = residual
     return ivf_pq_topk(
-        _read(spark, sf_dir, "embeddings"), books, qs, k=5, nprobe=2, **kw
+        _read(spark, sf_dir, "embeddings"), books, qs, k=5, nprobe=2,
+        centroids=_ivfpq_centroids(spark, sf_dir), **kw
     )
+
+
+def q_ivfpq_idx_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'ivfpq_idx' part (round 10): the PERSISTED IVF-PQ index —
+    write_pq_index stages (id, cell, pq_code) partitioned by cell
+    once (memoized per sf_dir), ivf_pq_topk_indexed prunes the scan
+    to the probed cells (PartitionFilters, plan-pinned in tests) and
+    must return exactly what the inline path returns — the oracle is
+    the same ivf_pq SQL replay, so index build + pruned query +
+    ADC scoring gate end-to-end."""
+    from quality_spark.llm.pq import ivf_pq_topk_indexed, write_pq_index
+
+    books, qs = _pq_books_qs()
+
+    def build(root):
+        write_pq_index(
+            _read(spark, sf_dir, "embeddings"), books, root,
+            centroids=_ivfpq_centroids(spark, sf_dir),
+            encode_mode="arrow", cell_mode="arrow",
+        )
+        return root
+
+    root = _staged("pqindex", sf_dir, build)
+    return ivf_pq_topk_indexed(spark, root, qs, k=5, nprobe=2)
 
 
 def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7605,11 +7647,23 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(floor(l2sq * 1000000 + 0.5) AS BIGINT)"
         ).alias("v1"),
     )
+    # 'ivfpq_idx' (round 10): the persisted-index query path — rank
+    # AND scaled adc packed into one pinned long, equal by
+    # construction to the inline 'ivfpq' leg and replayed by the
+    # same oracle SQL.
+    idx = q_ivfpq_idx_leg(spark, sf_dir).select(
+        F.lit("ivfpq_idx").alias("part"), "vec_id",
+        F.col("query_id").alias("k1"),
+        F.expr(
+            "CAST(rank AS BIGINT) * 10000000000000"
+            " + CAST(floor(adc * 1000000 + 0.5) AS BIGINT)"
+        ).alias("v1"),
+    )
     return (
         sem.unionByName(proj).unionByName(codes).unionByName(adc)
         .unionByName(ivfpq_rank).unionByName(ivfpq_adc)
         .unionByName(ivfpqr_rank).unionByName(ivfpqr_adc)
-        .unionByName(rr)
+        .unionByName(rr).unionByName(idx)
     )
 
 
@@ -7626,6 +7680,10 @@ def _oracle_embedding_reduce() -> str:
         _PQ_GEO["m"], _PQ_GEO["ksub"], _PQ_GEO["dsub"], _PQ_GEO["seed"]
     )
     qs = pq_queries_procedural(2, _PQ_GEO["m"] * _PQ_GEO["dsub"], seed=6)
+    cent = (
+        "(SELECT * FROM embeddings WHERE vec_id < "
+        f"{_IVFPQ_CENT_MAX}) ivfc"
+    )
     return f"""
 SELECT 'sem' AS part, vec_id, cell AS k1, dup_of AS v1
 FROM ({_oracle_semantic_dedup()})
@@ -7641,23 +7699,31 @@ SELECT 'pq_adc', vec_id, query_id,
 FROM ({pq_adc_oracle_sql(books, qs)})
 UNION ALL
 SELECT 'ivfpq', vec_id, query_id, CAST(rank AS BIGINT)
-FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2)})
+FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, centroid_table=cent)})
 UNION ALL
 SELECT 'ivfpq_adc', vec_id, query_id,
        CAST(floor(adc * 1000000 + 0.5) AS BIGINT)
-FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2)})
+FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, centroid_table=cent)})
 UNION ALL
 SELECT 'ivfpq_res', vec_id, query_id, CAST(rank AS BIGINT)
-FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, by_residual=True)})
+FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, by_residual=True,
+                         centroid_table=cent)})
 UNION ALL
 SELECT 'ivfpq_res_adc', vec_id, query_id,
        CAST(floor(adc * 1000000 + 0.5) AS BIGINT)
-FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, by_residual=True)})
+FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, by_residual=True,
+                         centroid_table=cent)})
 UNION ALL
 SELECT 'ivfpq_rr', vec_id, query_id,
        CAST(rank AS BIGINT) * 10000000000000
        + CAST(floor(l2sq * 1000000 + 0.5) AS BIGINT)
-FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, rerank=20)})
+FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, rerank=20,
+                         centroid_table=cent)})
+UNION ALL
+SELECT 'ivfpq_idx', vec_id, query_id,
+       CAST(rank AS BIGINT) * 10000000000000
+       + CAST(floor(adc * 1000000 + 0.5) AS BIGINT)
+FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, centroid_table=cent)})
 """
 
 
@@ -7879,6 +7945,7 @@ def query_legs() -> dict:
             "ivfpq_rr": lambda spark, sf: q_ivfpq_leg(
                 spark, sf, rerank=20
             ),
+            "ivfpq_idx": q_ivfpq_idx_leg,
         },
         "tfidf_scores": {
             "tfidf": q_tfidf_leg,

@@ -3170,3 +3170,45 @@ def test_dedup_keep_list_string_ids_and_null_scores(spark):
         .collect()
     )
     assert kept == ["b", "n", "solo", "x"]
+
+
+def test_pq_index_persisted_equals_inline_and_prunes(spark, emb, tmp_path):
+    """Round-10 persisted IVF-PQ index: write_pq_index +
+    ivf_pq_topk_indexed must return EXACTLY the inline ivf_pq_topk
+    result (both raw and residual variants), the query scan must
+    prune to the probed cells (PartitionFilters carries the cell IN
+    list — whole non-probed files never read), and the index must be
+    self-contained (fresh read via meta.json only)."""
+    import re
+
+    from quality_spark.llm.pq import (
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+        pq_codebooks_procedural,
+        pq_queries_procedural,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    books = pq_codebooks_procedural(8, 16, 8, 3)
+    qs = pq_queries_procedural(2, 64, seed=6)
+    for resid in (False, True):
+        d = str(tmp_path / f"idx_{resid}")
+        write_pq_index(emb, books, d, by_residual=resid)
+        inline = sorted(
+            tuple(r)
+            for r in ivf_pq_topk(
+                emb, books, qs, k=5, nprobe=2, by_residual=resid
+            ).collect()
+        )
+        idx = ivf_pq_topk_indexed(spark, d, qs, k=5, nprobe=2)
+        assert sorted(tuple(r) for r in idx.collect()) == inline
+        plan = idx._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "cell" in m.group(1) and " IN " in m.group(1), plan[:600]
+        codes, meta = read_pq_index(spark, d)
+        assert meta["by_residual"] == resid
+        assert codes.count() == emb.count()
+        # codes are partition-pruned on a direct cell filter too
+        one_cell = codes.select("cell").first()["cell"]
+        assert codes.filter(F.col("cell") == one_cell).count() > 0
