@@ -7216,10 +7216,26 @@ def _oracle_lambda_id_surface() -> str:
 # ---------------------------------------------------------------------------
 
 
+def q_clf_train_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'clf_train' part (round 10): in-engine classifier TRAINING
+    (llm/classifier.py:train_classifier — hard-sigmoid logistic GD,
+    integer-exact, weights-only driver traffic). Deterministic labels
+    (doc_id % 3) on the id-anchored doc_id < 500 subset bound the
+    training cost at every sf; the oracle replays the ENTIRE unrolled
+    2-iteration descent in SQL and the trained w_nano table must
+    match bit-for-bit."""
+    from quality_spark.llm.classifier import train_classifier
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    lab = docs.withColumn("__lbl", F.col("doc_id") % 3 == 0)
+    return train_classifier(lab, "__lbl", buckets=4096, iters=2)
+
+
 def q_doc_ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest/quality block (round 7): CSV quarantine round trip +
     HTML→text extraction + hashed-linear classifier margins + zlib
-    compression invariants, tagged per part."""
+    compression invariants + trained-classifier weights (round 10,
+    see q_clf_train_leg), tagged per part."""
     nb = F.lit(-1).cast("bigint")
     csv = q_csv_ingest(spark, sf_dir).select(
         F.lit("csv").alias("part"), "doc_id",
@@ -7242,10 +7258,25 @@ def q_doc_ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("repeat_compresses").cast("bigint").alias("v1"),
         F.col("ratio_in_band").cast("bigint").alias("v2"),
     )
-    return csv.unionByName(html).unionByName(clf).unionByName(z)
+    trained = q_clf_train_leg(spark, sf_dir).select(
+        F.lit("clf_train").alias("part"),
+        F.col("bucket").alias("doc_id"),
+        F.lit("").alias("s1"),
+        F.col("w_nano").alias("v1"), nb.alias("v2"),
+    )
+    return (
+        csv.unionByName(html).unionByName(clf).unionByName(z)
+        .unionByName(trained)
+    )
 
 
 def _oracle_doc_ingest_suite() -> str:
+    from quality_spark.llm.classifier import train_classifier_oracle_sql
+
+    train = train_classifier_oracle_sql(
+        "(SELECT * FROM documents WHERE doc_id < 500)",
+        "doc_id % 3 = 0", buckets=4096, iters=2,
+    )
     return f"""
 SELECT 'csv' AS part, doc_id, payload_md5 AS s1,
        n_chars AS v1, n_bad AS v2
@@ -7260,6 +7291,9 @@ UNION ALL
 SELECT 'zlib', doc_id, '',
        CAST(repeat_compresses AS BIGINT), CAST(ratio_in_band AS BIGINT)
 FROM ({_oracle_compression_signal()})
+UNION ALL
+SELECT 'clf_train', bucket, '', w_nano, CAST(-1 AS BIGINT)
+FROM ({train})
 """
 
 
@@ -7923,6 +7957,7 @@ def query_legs() -> dict:
             "html": q_html_extract,
             "clf": q_classifier_score,
             "zlib": q_compression_signal,
+            "clf_train": q_clf_train_leg,
         },
         "text_curation2": {
             "bpe": q_bpe_tokenize,

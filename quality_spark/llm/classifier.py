@@ -203,3 +203,241 @@ def sigmoid_expr(margin: Column) -> Column:
     """1/(1+e^-x); library-side convenience — kept OUT of the gated
     surface (exp() last-ulp drift across engines)."""
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+
+
+#: training fixed-point scales: weights in NANO (1e-9) units,
+#: per-occurrence gradient quanta in PICO (1e-12) units
+_W_SCALE = 10**9
+_G_SCALE = 10**12
+
+
+def train_classifier(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1 << 20,
+    iters: int = 3,
+    lr: tuple = (1, 2),
+    max_tokens: int = 1_000_000,
+) -> DataFrame:
+    """Train the hashed linear classifier the scoring paths above
+    consume (VERDICT r09 next #7) — full-batch gradient descent on a
+    HARD-SIGMOID logistic surrogate, run as one combinable in-engine
+    aggregate pass per iteration with WEIGHTS-ONLY driver traffic.
+
+    Model: margin(d) = mean over features of w[bucket(f)] — exactly
+    what ``score_with_weight_table`` computes, so the trained table
+    plugs straight into the existing broadcast scoring path. Labels
+    (``label_col``: truthy → +1, else −1). Per-iteration gradient of
+    the logistic loss uses the HARD sigmoid σ̂(x) = clamp(½ + x/4,
+    0, 1) in place of 1/(1+e^−x): the same reason ``sigmoid_expr``
+    is kept out of the gated surface — exp() drifts in the last ulp
+    across engines and accumulation orders — makes exp unusable in a
+    bit-replayable trainer; the hard sigmoid is RATIONAL, so the
+    entire training loop is integer arithmetic.
+
+    Integer spec (what makes runs bit-identical across partitionings
+    AND replayable in DuckDB / pure python):
+    - weights live in nano units (w_nano BIGINT, clamped to ±1e9);
+    - margin numerator per doc = Σ_f w_nano[bucket(f)] — an exact
+      integer sum, order-free;
+    - per-occurrence gradient quantum q = −y · (2000·c + 4·nF²) DIV
+      (8·nF²) in pico units, where c = clamp(2·nF·1e9 − y·m_num,
+      0, 4·nF·1e9) — round-half-up of (σ̂(−y·margin)/nF)·1e12 with
+      the two-integer form (non-negative, so trunc == floor in both
+      engines);
+    - per-bucket gradient = Σ q (DECIMAL(38,0) accumulate);
+    - update w_nano −= sign(g)·(2·lr_num·|g| + 1000·lr_den) DIV
+      (2000·lr_den) with the rational learning rate ``lr =
+      (lr_num, lr_den)``.
+
+    100 TB shapes: the feature table (id, y, nF, bucket) is computed
+    ONCE (one scan) and persisted; each iteration is one broadcast
+    join + groupBy(id) for margins and one join + groupBy(bucket)
+    for the gradient — two shuffles per iteration, standard for
+    multi-pass training. Driver traffic is |distinct buckets| rows
+    per iteration (a 2M-bucket fastText-shaped model is ~30 MB).
+
+    Returns (bucket BIGINT, w_nano BIGINT, weight DOUBLE) — weight =
+    w_nano/1e9 is an exact conversion for
+    ``score_with_weight_table``."""
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    lr_num, lr_den = int(lr[0]), int(lr[1])
+    if lr_num <= 0 or lr_den <= 0:
+        raise ValueError("lr must be a positive rational (num, den)")
+    feats_arr = ngram_features_sql(text_col, "spark")
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.when(F.col(label_col).cast("boolean"), 1)
+            .otherwise(-1)
+            .alias("__y"),
+            F.expr(feats_arr).alias("__feats"),
+        )
+        .withColumn("__nf", F.size("__feats"))
+        .filter(F.col("__nf") > 0)
+    )
+    feats = (
+        base.select(
+            "__id", "__y", "__nf", F.explode("__feats").alias("__f")
+        )
+        .select(
+            "__id",
+            "__y",
+            "__nf",
+            F.expr(f"({hash60_sql('__f', 'spark')} % {buckets})").alias(
+                "bucket"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        nf_max = feats.agg(F.max("__nf")).collect()[0][0]
+        if nf_max is not None and int(nf_max) > int(max_tokens):
+            raise ValueError(
+                f"a document has {nf_max} features > max_tokens="
+                f"{max_tokens} — the int64 gradient quantum headroom "
+                "(2000·4e9·nF) needs nF <= 1e6"
+            )
+        w: dict = {}
+        for _ in range(int(iters)):
+            if w:
+                wdf = F.broadcast(
+                    spark.createDataFrame(
+                        sorted(w.items()), "bucket bigint, __w bigint"
+                    )
+                )
+                joined = feats.join(wdf, "bucket", "left")
+            else:
+                joined = feats.withColumn(
+                    "__w", F.lit(None).cast("bigint")
+                )
+            mnum = joined.groupBy("__id", "__y", "__nf").agg(
+                F.expr(
+                    "CAST(sum(coalesce(__w, CAST(0 AS BIGINT))) AS BIGINT)"
+                ).alias("__m")
+            )
+            qdoc = mnum.select(
+                "__id",
+                F.expr(
+                    f"CAST(-__y AS BIGINT) * ("
+                    f"(2000 * GREATEST(CAST(0 AS BIGINT), LEAST("
+                    f"4 * CAST(__nf AS BIGINT) * {_W_SCALE},"
+                    f" 2 * CAST(__nf AS BIGINT) * {_W_SCALE}"
+                    f" - __y * __m))"
+                    f" + 4 * CAST(__nf AS BIGINT) * CAST(__nf AS BIGINT))"
+                    f" DIV (8 * CAST(__nf AS BIGINT) * CAST(__nf AS BIGINT)))"
+                ).alias("__q"),
+            )
+            grad = (
+                feats.join(qdoc, "__id")
+                .groupBy("bucket")
+                .agg(
+                    F.expr(
+                        "CAST(sum(CAST(__q AS DECIMAL(38,0))) AS BIGINT)"
+                    ).alias("__g")
+                )
+                .collect()
+            )
+            for r in grad:
+                g = int(r["__g"])
+                if g == 0:
+                    continue
+                mag = (2 * lr_num * abs(g) + 1000 * lr_den) // (
+                    2000 * lr_den
+                )
+                nw = w.get(int(r["bucket"]), 0) - (
+                    mag if g > 0 else -mag
+                )
+                w[int(r["bucket"])] = max(-_W_SCALE, min(_W_SCALE, nw))
+    finally:
+        feats.unpersist()
+    rows = [(b, wn, wn / float(_W_SCALE)) for b, wn in sorted(w.items())]
+    return spark.createDataFrame(
+        rows, "bucket bigint, w_nano bigint, weight double"
+    )
+
+
+def train_classifier_oracle_sql(
+    table: str,
+    label_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1 << 20,
+    iters: int = 3,
+    lr: tuple = (1, 2),
+) -> str:
+    """DuckDB replay of :func:`train_classifier` — the gradient
+    descent UNROLLED as one CTE chain per iteration (the loop is a
+    fixed count, so the whole training is one deterministic SQL
+    statement): same features/hash/buckets, same integer margin sums
+    (HUGEINT accumulate), same hard-sigmoid quantum and update
+    divisions (all non-negative two-integer round-half-up forms, so
+    // == Spark's DIV). ``label_sql`` is a boolean SQL expression
+    over the table's columns. Emits the trained (bucket, w_nano)."""
+    lr_num, lr_den = int(lr[0]), int(lr[1])
+    feats_arr = ngram_features_sql(text_col, "duckdb")
+    ctes = [
+        f"""feats AS (
+  SELECT __id, __y, __nf,
+         ({hash60_sql('__f', 'duckdb')} % {buckets}) AS bucket
+  FROM (
+    SELECT {id_col} AS __id,
+           CASE WHEN ({label_sql}) THEN 1 ELSE -1 END AS __y,
+           len(fa) AS __nf, unnest(fa) AS __f
+    FROM (SELECT *, {feats_arr} AS fa FROM {table})
+    WHERE len(fa) > 0
+  )
+)""",
+        "w0(bucket, w) AS (SELECT CAST(NULL AS BIGINT), "
+        "CAST(NULL AS BIGINT) WHERE FALSE)",
+    ]
+    for i in range(int(iters)):
+        ctes.append(
+            f"""m{i} AS (
+  SELECT f.__id, f.__y, f.__nf,
+         CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS __m
+  FROM feats f LEFT JOIN w{i} w USING (bucket)
+  GROUP BY 1, 2, 3
+)"""
+        )
+        ctes.append(
+            f"""q{i} AS (
+  SELECT __id, CAST(-__y AS BIGINT) * (
+    (2000 * GREATEST(CAST(0 AS BIGINT), LEAST(
+       4 * CAST(__nf AS BIGINT) * {_W_SCALE},
+       2 * CAST(__nf AS BIGINT) * {_W_SCALE} - __y * __m))
+     + 4 * CAST(__nf AS BIGINT) * CAST(__nf AS BIGINT))
+    // (8 * CAST(__nf AS BIGINT) * CAST(__nf AS BIGINT))) AS __q
+  FROM m{i}
+)"""
+        )
+        ctes.append(
+            f"""g{i} AS (
+  SELECT f.bucket, CAST(sum(CAST(q.__q AS HUGEINT)) AS BIGINT) AS g
+  FROM feats f JOIN q{i} q USING (__id)
+  GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""w{i + 1}(bucket, w) AS (
+  SELECT bucket,
+         GREATEST(-{_W_SCALE}, LEAST({_W_SCALE},
+           COALESCE(pw.w, 0) - CASE WHEN g.g > 0 THEN 1 ELSE -1 END *
+             ((2 * {lr_num} * abs(g.g) + 1000 * {lr_den})
+              // (2000 * {lr_den}))))
+  FROM g{i} g LEFT JOIN w{i} pw USING (bucket)
+  WHERE g.g != 0
+  UNION ALL
+  SELECT pw.bucket, pw.w FROM w{i} pw
+  WHERE pw.bucket NOT IN (SELECT bucket FROM g{i} WHERE g != 0)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT bucket, w AS w_nano FROM w{int(iters)}"
+    )

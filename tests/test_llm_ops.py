@@ -3212,3 +3212,86 @@ def test_pq_index_persisted_equals_inline_and_prunes(spark, emb, tmp_path):
         # codes are partition-pruned on a direct cell filter too
         one_cell = codes.select("cell").first()["cell"]
         assert codes.filter(F.col("cell") == one_cell).count() > 0
+
+
+def test_train_classifier_invariance_oracle_and_signal(spark, docs):
+    """Round-10 classifier training (hard-sigmoid logistic GD,
+    integer-exact): trained w_nano is bit-identical across
+    partitionings, equals the DuckDB unrolled-CTE replay exactly, and
+    separates an engineered token signal through the existing
+    broadcast scoring path (margins + midpoint accuracy)."""
+    import duckdb
+
+    from quality_spark.llm.classifier import (
+        score_with_weight_table,
+        train_classifier,
+        train_classifier_oracle_sql,
+    )
+
+    sub = docs.filter("doc_id < 500").select("doc_id", "text")
+    lab = sub.withColumn("lbl", F.col("doc_id") % 3 == 0)
+    w1 = sorted(
+        (r["bucket"], r["w_nano"])
+        for r in train_classifier(lab, "lbl", buckets=4096, iters=2)
+        .collect()
+    )
+    w2 = sorted(
+        (r["bucket"], r["w_nano"])
+        for r in train_classifier(
+            lab.repartition(13), "lbl", buckets=4096, iters=2
+        ).collect()
+    )
+    assert w1 == w2 and len(w1) > 100
+    con = duckdb.connect()
+    con.register("docs_pd", sub.toPandas())
+    want = sorted(
+        (int(b), int(w))
+        for b, w in con.execute(
+            train_classifier_oracle_sql(
+                "docs_pd", "doc_id % 3 = 0", buckets=4096, iters=2
+            )
+        ).fetchall()
+    )
+    assert w1 == want
+    # learnable signal: marker token in positive docs -> margins
+    # separate and the midpoint threshold classifies ~everything
+    marked = lab.withColumn(
+        "text",
+        F.when(
+            F.col("lbl"),
+            F.concat(F.col("text"), F.lit(" qualmarker qualmarker")),
+        ).otherwise(F.col("text")),
+    )
+    w = train_classifier(marked, "lbl", buckets=4096, iters=3)
+    m = score_with_weight_table(
+        marked, w, "doc_id", "text", buckets=4096
+    ).join(marked.select("doc_id", "lbl"), "doc_id")
+    d = {
+        r["lbl"]: r["a"]
+        for r in m.groupBy("lbl").agg(F.avg("clf_margin").alias("a"))
+        .collect()
+    }
+    assert d[True] > d[False]
+    mid = (d[True] + d[False]) / 2
+    acc = (
+        m.withColumn("ok", (F.col("clf_margin") > mid) == F.col("lbl"))
+        .agg(F.avg(F.col("ok").cast("double")))
+        .collect()[0][0]
+    )
+    assert acc > 0.9
+
+
+def test_train_classifier_validation(spark):
+    """Bad learning rates and over-long docs fail fast."""
+    import pytest
+
+    from quality_spark.llm.classifier import train_classifier
+
+    df = spark.createDataFrame(
+        [(1, "a b c", True), (2, "d e f", False)],
+        "doc_id long, text string, lbl boolean",
+    )
+    with pytest.raises(ValueError, match="lr"):
+        train_classifier(df, "lbl", lr=(0, 1))
+    with pytest.raises(ValueError, match="max_tokens"):
+        train_classifier(df, "lbl", max_tokens=2)
