@@ -344,18 +344,24 @@ def main() -> None:
     # these queries is new coverage, not regression; update each round
     # alongside gate edits
     gate_changes = {
-        "tfidf_scores": "added bm25_topk salted-vs-plain-oracle leg",
-        "sampling_splits": "added hh/hhg heavy-hitters, wsample/"
-        "wsample_g, and budget_plan/budget_kept waterfilling legs",
-        "dedup_exact": "added fuzzy edit-distance-join leg",
-        "embedding_reduce": "added 4 IVF-PQ legs (raw + residual variants)",
-        "expr_runner_agg": "profile leg emits 4 quantiles/col; added "
-        "profile_approx, profile_shard, profile_shard_approx (HLL), "
-        "profile_by (segmented), suggest (rule authoring) and drift "
-        "legs",
-        "minhash_pipeline": "added jpre prefix-filtered exact Jaccard leg",
-        "digest_documents": "added winnow fingerprint leg",
-        "skew_ops": "added rel (relational profiling) leg",
+        "expr_runner_agg": "round 10: added approx_shard_q (mergeable "
+        "fixed-bin quantiles) and psi (PSI drift significance) parts; "
+        "shared-artifact diet (categorical profile checkpointed — was "
+        "scanned twice; only= per-part selection for leg timing)",
+        "embedding_reduce": "round 10: added ivfpq_idx persisted-index "
+        "leg (index build staged once per sf); IVF-PQ centroid pool "
+        "re-anchored to vec_id < 3200 (64 cells at every sf — the "
+        "stride-only pool scaled nlist with the corpus)",
+        "doc_ingest_suite": "round 10: added clf_train leg (in-engine "
+        "classifier training, 2 GD iterations + full SQL oracle "
+        "replay); also attributes the r9 unexplained +33% drift — the "
+        "gate changed this round",
+        "dedup_exact": "round 10: leg refactor only (substr/fuzzy "
+        "factored into q_*_leg helpers; same plan)",
+        "sampling_splits": "round 10: leg refactor only",
+        "tfidf_scores": "round 10: leg refactor only",
+        "digest_documents": "round 10: leg refactor only",
+        "skew_ops": "round 10: leg refactor only",
     }
     # VERDICT r08 #5: join the two records — a retried query whose
     # final time is still >threshold x prior reads 'attributed' when

@@ -42,7 +42,7 @@ block).
 from __future__ import annotations
 
 import re
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -462,6 +462,15 @@ FROM (
 """
 
 
+def _index_id_col(index_path: str) -> str:
+    """The id column name a write_pq_index store was built with."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as fh:
+        return json.load(fh)["id_col"]
+
+
 def retrieve(
     spark: SparkSession,
     docs: DataFrame,
@@ -486,6 +495,7 @@ def retrieve(
     pq_m: int = 4,
     pq_ksub: int = 16,
     pq_iters: int = 2,
+    index_path: Optional[str] = None,
 ) -> DataFrame:
     """End-to-end HYBRID retrieval — the composition a training-data
     pipeline actually runs: a lexical ranked list (BM25 by default,
@@ -526,7 +536,10 @@ def retrieve(
     (``pq_m``/``pq_ksub``/``pq_iters``); ``rerank=R`` re-ranks the
     top-R ADC candidates by exact L2. Query vectors are collected
     (|queries| rows — metadata) since the PQ distance tables are
-    per-query literals."""
+    per-query literals. ``semantic='ivfpq_idx'`` (round 10) reads a
+    PERSISTED ``pq.write_pq_index`` store at ``index_path`` instead:
+    the semantic leg becomes a partition-pruned codes scan — the
+    repeated-querying deployment shape."""
     from .similarity import cosine_topk, ivf_flat_topk
 
     if lexical == "matched_terms":
@@ -544,7 +557,29 @@ def retrieve(
             id_col=id_col,
             materialize=materialize,
         )
-    if semantic == "ivfpq":
+    if semantic == "ivfpq_idx":
+        # PERSISTED-index semantic leg (round 10): `index_path` names
+        # a write_pq_index store — the scan prunes to the probed
+        # cells, no re-encode, no full embedding pass; equal results
+        # to semantic='ivfpq' with the same codebooks/centroids.
+        from .pq import ivf_pq_topk_indexed
+
+        if index_path is None:
+            raise ValueError(
+                "semantic='ivfpq_idx' needs index_path= (write_pq_index)"
+            )
+        qrows = query_vectors.select(vec_id_col, vec_col).collect()
+        qseq = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+        if not qseq:
+            raise ValueError("semantic='ivfpq_idx' needs >= 1 query vector")
+        sem_ranked = ivf_pq_topk_indexed(
+            spark, index_path, qseq, k=depth, nprobe=nprobe
+        ).select(
+            "query_id",
+            F.col(_index_id_col(index_path)).alias("neighbor_id"),
+            "rank",
+        )
+    elif semantic == "ivfpq":
         from .pq import ivf_pq_topk, pq_train
 
         qrows = query_vectors.select(vec_id_col, vec_col).collect()

@@ -3295,3 +3295,45 @@ def test_train_classifier_validation(spark):
         train_classifier(df, "lbl", lr=(0, 1))
     with pytest.raises(ValueError, match="max_tokens"):
         train_classifier(df, "lbl", max_tokens=2)
+
+
+def test_retrieve_ivfpq_idx_semantic_path(spark, emb, sf_dir, tmp_path):
+    """retrieve(semantic='ivfpq_idx') — the persisted-index semantic
+    leg: equals retrieve(semantic='ivfpq') when the index was built
+    with the same codebooks/centroids, and index_path is required."""
+    import pytest
+
+    from quality_spark.llm.pq import pq_train, write_pq_index
+    from quality_spark.llm.retrieval import retrieve
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    books = pq_train(emb, m=4, ksub=8, iters=2, dims=64)
+    qs = [(1, "spark join shuffle")]
+    qvec = emb.filter(F.col("vec_id") == 1)
+    d = str(tmp_path / "ridx")
+    write_pq_index(emb, books, d)
+    got = sorted(
+        map(
+            tuple,
+            retrieve(
+                spark, docs, emb, qs, qvec, k=8, depth=15,
+                semantic="ivfpq_idx", nprobe=3, index_path=d,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            retrieve(
+                spark, docs, emb, qs, qvec, k=8, depth=15,
+                semantic="ivfpq", nprobe=3, codebooks=books,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="index_path"):
+        retrieve(
+            spark, docs, emb, qs, qvec, semantic="ivfpq_idx"
+        )
