@@ -176,14 +176,25 @@ def bm25_scores(
         + F.lit(b) * F.col("dl").cast("double") / F.col("_avgdl")
     )
     term_score = idf * F.col("tf").cast("double") * F.lit(k1 + 1.0) / denom
+    # per-(query, doc) term scores sum in ASCENDING TOKEN ORDER
+    # (sort_array + left fold) — a plain double sum() is
+    # partition-order-dependent, and sf1's near-copy corpus exposed
+    # sub-1e-9 score divergence that flipped rank ties between
+    # engines; the ordered fold makes every score double bit-equal to
+    # the oracle's identically-ordered fold (matched terms per pair
+    # <= |query terms|, so the collected list is metadata-sized)
     return (
         scored.select(
-            "query_id", F.col(id_col), term_score.alias("_s")
+            "query_id", F.col(id_col), "token", term_score.alias("_s")
         )
         .groupBy("query_id", id_col)
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
-            F.sum("_s").alias("score"),
+            F.expr(
+                "aggregate(sort_array(collect_list("
+                "named_struct('t', token, 's', _s))), 0.0D, "
+                "(acc, x) -> acc + x.s)"
+            ).alias("score"),
         )
     )
 
@@ -285,12 +296,13 @@ dfreq AS (
 )
 SELECT q.query_id, p.{id_col},
        CAST(count(*) AS INT) AS n_terms_matched,
-       sum(
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(
          ln(1.0 + (CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
          * CAST(p.tf AS DOUBLE) * {k1 + 1.0!r}
          / (CAST(p.tf AS DOUBLE)
             + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(l.dl AS DOUBLE) / st.avgdl))
-       ) AS score
+         ORDER BY token
+       )), (x, y) -> x + y) AS score
 FROM postings p
 JOIN qterms q USING (token)
 JOIN dfreq d USING (token)
