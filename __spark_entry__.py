@@ -1745,46 +1745,63 @@ def q_expr_runner_agg(
     unknown = want - set(_ERA_PARTS)
     if unknown:
         raise ValueError(f"unknown expr_runner_agg parts: {sorted(unknown)}")
+    import threading
+
     memo: dict = {}
+    locks = {
+        k: threading.Lock() for k in ("prof", "sh", "cat", "sha_hist")
+    }
+
+    def _memoized(key: str, build):
+        # double-checked per-key lock: shared artifacts compute ONCE
+        # even when the part builders below run on a thread pool
+        if key not in memo:
+            with locks[key]:
+                if key not in memo:
+                    memo[key] = build()
+        return memo[key]
 
     def prof_df():
         # LITERAL metadata frame (internally collected) — one scan,
-        # shared by 'profile' and 'suggest'
-        if "prof" not in memo:
-            memo["prof"] = profile_columns(
+        # shared by 'profile', 'suggest', and the hist-shard ranges
+        return _memoized(
+            "prof",
+            lambda: profile_columns(
                 li, list(_PROFILE_COLS), bins=_PROFILE_BINS,
                 quantiles=_PROFILE_QS,
-            )
-        return memo["prof"]
+            ),
+        )
 
     def shards():
         # eager-checkpoint each parity artifact: feeds BOTH the merged
         # profile and the drift part — one half-scan each
-        if "sh" not in memo:
-            memo["sh"] = [
+        return _memoized(
+            "sh",
+            lambda: [
                 profile_shard(
                     li.filter(F.col("l_orderkey") % 2 == p),
                     list(_PROFILE_COLS),
                 ).localCheckpoint(eager=True)
                 for p in (0, 1)
-            ]
-        return memo["sh"]
+            ],
+        )
 
     def cat_df():
         # checkpointed: 'suggest_cat' collects it for the rule texts
         # AND 'profile_cat' reads it in the union — one scan, not two
-        if "cat" not in memo:
+        def build():
             li_cat = li.withColumn(
                 "l_linestatus",
                 F.when(F.col("l_orderkey") % 13 == 0, None).otherwise(
                     F.col("l_linestatus")
                 ),
             )
-            memo["cat"] = profile_categorical(
+            return profile_categorical(
                 li_cat, ["l_returnflag", "l_linestatus", "l_shipdate"],
                 top=10,
             ).localCheckpoint(eager=True)
-        return memo["cat"]
+
+        return _memoized("cat", build)
 
     def p_er():
         suite = RuleSuite(
@@ -1899,7 +1916,7 @@ def q_expr_runner_agg(
         # shards, binned over the exact profile's (min, max) range —
         # eager-checkpointed: they feed BOTH the 'approx_shard_q' and
         # 'psi' parts (one half-scan each, not two)
-        if "sha_hist" not in memo:
+        def build():
             stats = {}
             for row in prof_df().collect():
                 stats.setdefault(row["column"], {})[row["stat"]] = (
@@ -1909,14 +1926,15 @@ def q_expr_runner_agg(
                 c: (stats[c]["min"], stats[c]["max"])
                 for c in _PROFILE_COLS
             }
-            memo["sha_hist"] = [
+            return [
                 profile_shard_approx(
                     li.filter(F.col("l_orderkey") % 2 == p),
                     list(_PROFILE_COLS), bins=_ASQ_BINS, ranges=ranges,
                 ).localCheckpoint(eager=True)
                 for p in (0, 1)
             ]
-        return memo["sha_hist"]
+
+        return _memoized("sha_hist", build)
 
     def p_approx_shard_q():
         # 'approx_shard_q' part (round 10): bounded-error quantiles
@@ -2019,7 +2037,21 @@ def q_expr_runner_agg(
         "suggest_cat": p_suggest_cat,
         "drift": p_drift,
     }
-    frames = [builders[p]() for p in _ERA_PARTS if p in want]
+    # Build the selected parts CONCURRENTLY (round 10 — VERDICT r09
+    # next #3): each part's construction runs its own driver-side
+    # Spark jobs (eager checkpoints, metadata collects), and running
+    # them serially cost ~18 s at sf0.1 for what is ~2 s of critical
+    # path. Spark schedules concurrent jobs from one session safely;
+    # every part's result is independent of scheduling (integer-exact
+    # operators, memoized shared artifacts behind per-key locks), so
+    # the gate output is bit-identical to the serial build.
+    selected = [p for p in _ERA_PARTS if p in want]
+    if len(selected) == 1:
+        return builders[selected[0]]()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(selected))) as ex:
+        frames = list(ex.map(lambda p: builders[p](), selected))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
