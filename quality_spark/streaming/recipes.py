@@ -176,6 +176,8 @@ def profile_shards_to_store(
     store_path: str,
     cols: Sequence[str],
     approx: bool = False,
+    bins: int = 0,
+    ranges: dict = None,
 ):
     """``foreachBatch`` handler: land a MERGEABLE profile artifact per
     micro-batch (``operators.profile.profile_shard`` — or the
@@ -186,16 +188,31 @@ def profile_shards_to_store(
     is ``profile_drift`` over two epoch ranges — streaming DQ
     monitoring whose per-batch cost is one aggregate.
 
+    ``approx=True, bins=B, ranges={col: (lo_mic, hi_mic)}`` (round
+    10) additionally packs the fixed-bin histogram into every epoch's
+    artifact, so the stored history answers bounded-error quantiles
+    (``profile_from_approx_shards(quantiles=…)``) AND epoch-over-epoch
+    distributional significance (``profile_psi``) — the full
+    monitoring loop over a stream, still one aggregate per batch.
+
     Partitioning by epoch keeps artifacts append-only (no
     read-modify-write, crash-safe: a re-run of an epoch overwrites
     only its own partition via dynamic overwrite semantics — we write
     with mode=overwrite on the epoch subdir)."""
     from ..operators.profile import profile_shard, profile_shard_approx
 
-    build = profile_shard_approx if approx else profile_shard
+    if bins and not approx:
+        raise ValueError("bins/ranges require approx=True artifacts")
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        build(batch_df, list(cols)).write.mode("overwrite").parquet(
+        art = (
+            profile_shard_approx(
+                batch_df, list(cols), bins=bins, ranges=ranges
+            )
+            if approx
+            else profile_shard(batch_df, list(cols))
+        )
+        art.write.mode("overwrite").parquet(
             f"{store_path}/epoch={int(epoch_id)}"
         )
 

@@ -803,3 +803,79 @@ def test_profile_shards_to_store_stream(spark, sf_dir):
                 assert got == want
         finally:
             shutil.rmtree(store, ignore_errors=True)
+
+
+def test_profile_store_histogram_quantiles_and_psi(spark, sf_dir):
+    """Round-10 streaming monitoring loop: an approx store built with
+    bins/ranges answers whole-history bounded-error quantiles
+    (identical to one-shot artifacts over the same data) and
+    epoch-over-epoch PSI — without rescanning any batch."""
+    import glob
+
+    from quality_spark.operators.profile import (
+        profile_columns,
+        profile_from_approx_shards,
+        profile_psi,
+        profile_shard_approx,
+    )
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+    from quality_spark.streaming.recipes import profile_shards_to_store
+
+    staged = tempfile.mkdtemp(prefix="qs_profsrc2_")
+    read_parquet_compat(spark, f"{sf_dir}/events.parquet").repartition(
+        3
+    ).write.mode("overwrite").parquet(staged)
+    cols = ["value"]
+    whole = spark.read.parquet(staged)
+    ex = {
+        r["stat"]: r["value"]
+        for r in profile_columns(whole, cols, bins=0).collect()
+    }
+    ranges = {"value": (ex["min"], ex["max"])}
+    store = tempfile.mkdtemp(prefix="qs_profstore2_")
+    stream = (
+        spark.readStream.schema(whole.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            profile_shards_to_store(
+                store, cols, approx=True, bins=8, ranges=ranges
+            )
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="qs_pk2_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    epochs = sorted(glob.glob(f"{store}/epoch=*"))
+    assert len(epochs) >= 2
+    shards = [spark.read.parquet(p) for p in epochs]
+    got = sorted(
+        tuple(r)
+        for r in profile_from_approx_shards(
+            shards, cols, quantiles=(0.5,)
+        ).collect()
+        if r["stat"] == "p50"
+    )
+    want = sorted(
+        tuple(r)
+        for r in profile_from_approx_shards(
+            [profile_shard_approx(whole, cols, bins=8, ranges=ranges)],
+            cols,
+            quantiles=(0.5,),
+        ).collect()
+        if r["stat"] == "p50"
+    )
+    assert got == want and len(got) == 1
+    psi = {
+        r["metric"]: r["value"]
+        for r in profile_psi([shards[0]], shards[1:], cols).collect()
+    }
+    assert "psi_micro" in psi and psi["n_base"] > 0 and psi["n_cur"] > 0
+    # validation: bins on an exact store is a usage error
+    import pytest
+
+    with pytest.raises(ValueError, match="approx"):
+        profile_shards_to_store(store, cols, approx=False, bins=8)
