@@ -1692,8 +1692,8 @@ _PROFILE_QS = (0.25, 0.5, 0.75, 0.95)
 #: expr_runner_agg part names, in composite union order
 _ERA_PARTS = (
     "er", "profile", "profile_approx", "profile_shard", "suggest",
-    "profile_shard_approx", "approx_shard_q", "psi", "profile_by",
-    "profile_cat", "suggest_cat", "drift",
+    "profile_shard_approx", "approx_shard_q", "psi", "psi_cat",
+    "profile_by", "profile_cat", "suggest_cat", "drift",
 )
 
 #: fixed bin count for the approx-shard quantile gate part
@@ -1725,6 +1725,7 @@ def q_expr_runner_agg(
         strip_result_ddl,
     )
     from quality_spark.operators.profile import (
+        categorical_psi,
         profile_by_group,
         profile_categorical,
         profile_columns,
@@ -1968,6 +1969,28 @@ def q_expr_runner_agg(
             F.col("value").cast("string").alias("v"),
         )
 
+    def p_psi_cat():
+        # 'psi_cat' part (round 10): categorical PSI between the two
+        # parity shards over the same nulled-status categorical
+        # columns — union value domain, Laplace smoothing, NULL as a
+        # matching category; the oracle replays the identical
+        # ascending-value fold from the raw halves.
+        li_cat = li.withColumn(
+            "l_linestatus",
+            F.when(F.col("l_orderkey") % 13 == 0, None).otherwise(
+                F.col("l_linestatus")
+            ),
+        )
+        return categorical_psi(
+            li_cat.filter(F.col("l_orderkey") % 2 == 0),
+            li_cat.filter(F.col("l_orderkey") % 2 == 1),
+            ["l_returnflag", "l_linestatus", "l_shipdate"],
+        ).select(
+            F.lit("psi_cat").alias("part"),
+            F.concat("column", F.lit(":"), "metric").alias("k"),
+            F.col("value").cast("string").alias("v"),
+        )
+
     def p_profile_by():
         # segmented profile — per-group stats from ONE groupBy with
         # in-engine finishers (no collect); HLL n_distinct excluded
@@ -2032,6 +2055,7 @@ def q_expr_runner_agg(
         "profile_shard_approx": p_profile_shard_approx,
         "approx_shard_q": p_approx_shard_q,
         "psi": p_psi,
+        "psi_cat": p_psi_cat,
         "profile_by": p_profile_by,
         "profile_cat": p_profile_cat,
         "suggest_cat": p_suggest_cat,
@@ -2061,6 +2085,7 @@ def q_expr_runner_agg(
 def _oracle_expr_runner_agg() -> str:
     from quality_spark.operators.profile import (
         approx_shard_quantiles_oracle_sql,
+        categorical_psi_oracle_sql,
         profile_by_group_oracle_sql,
         profile_categorical_oracle_sql,
         profile_drift_oracle_sql,
@@ -2112,6 +2137,17 @@ FROM ({profile_psi_oracle_sql(
         "(SELECT * FROM lineitem WHERE l_orderkey % 2 = 0)",
         "(SELECT * FROM lineitem WHERE l_orderkey % 2 = 1)",
         "lineitem", list(_PROFILE_COLS), bins=_ASQ_BINS,
+    )})
+UNION ALL
+SELECT 'psi_cat', "column" || ':' || metric, CAST(value AS VARCHAR)
+FROM ({categorical_psi_oracle_sql(
+        "(SELECT * REPLACE (CASE WHEN l_orderkey % 13 = 0 THEN NULL"
+        " ELSE l_linestatus END AS l_linestatus) FROM lineitem"
+        " WHERE l_orderkey % 2 = 0)",
+        "(SELECT * REPLACE (CASE WHEN l_orderkey % 13 = 0 THEN NULL"
+        " ELSE l_linestatus END AS l_linestatus) FROM lineitem"
+        " WHERE l_orderkey % 2 = 1)",
+        ["l_returnflag", "l_linestatus", "l_shipdate"],
     )})
 UNION ALL
 SELECT 'profile_cat', "column" || ':' || rank,

@@ -1374,6 +1374,134 @@ def profile_psi(
     )
 
 
+def categorical_psi(
+    baseline: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    max_card: int = 10_000,
+) -> DataFrame:
+    """PSI over CATEGORICAL value distributions — the companion of
+    :func:`profile_psi` for string/enum columns, where fixed-bin
+    histograms don't apply. Per column: full value-frequency tables
+    on both sides (one combinable groupBy each — NULL counts as its
+    own category), Laplace-smoothed proportions over the UNION value
+    domain (so a value absent from one side contributes a finite,
+    smoothed term — the documented empty-category handling), and the
+    PSI sum folded in ascending value order (NULL first; UTF-8
+    codepoint order — identical in Spark, DuckDB's binary collation,
+    and Python). Emitted micro-scaled alongside the two sides'
+    row counts and the union-domain size.
+
+    ``max_card`` guards the driver collect (the joined frequency
+    table is |union domain| rows per column): a column whose union
+    domain exceeds it raises — use the numeric fixed-bin path (or a
+    hashed bucketing) for high-cardinality columns instead of
+    silently collecting a data-sized table."""
+    import math
+
+    def counts(df, c):
+        return (
+            df.groupBy(F.col(c).cast("string").alias("v"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    spark = baseline.sparkSession
+    rows: List[tuple] = []
+    for c in cols:
+        a = counts(baseline, c).withColumnRenamed("cnt", "ca")
+        b = counts(current, c).withColumnRenamed("cnt", "cb")
+        # eqNullSafe: the NULL category must MATCH across sides (a
+        # name-based full outer join would keep two separate NULL
+        # rows — SQL join semantics — and double-count the domain)
+        joined = a.join(
+            b, a["v"].eqNullSafe(b["v"]), "full_outer"
+        ).select(
+            F.coalesce(a["v"], b["v"]).alias("v"),
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        vals = joined.limit(int(max_card) + 1).collect()
+        if len(vals) > int(max_card):
+            raise ValueError(
+                f"column {c!r}: union value domain exceeds max_card="
+                f"{max_card} — categorical PSI would collect a "
+                "data-sized table; bucket or use the fixed-bin path"
+            )
+        # ascending value order, NULL first — matches the oracle's
+        # ORDER BY v NULLS FIRST under binary/UTF-8 collation
+        ordered = sorted(
+            ((r["v"], int(r["ca"]), int(r["cb"])) for r in vals),
+            key=lambda t: (t[0] is not None, t[0]),
+        )
+        na = sum(t[1] for t in ordered)
+        nb = sum(t[2] for t in ordered)
+        dom = len(ordered)
+        psi = 0.0
+        for _, ca, cb in ordered:
+            pa = (ca + 1) / float(na + dom)
+            pb = (cb + 1) / float(nb + dom)
+            psi += (pb - pa) * math.log(pb / pa)
+        rows.append((c, "psi_micro", int(math.floor(psi * 1e6 + 0.5))))
+        rows.append((c, "n_base", na))
+        rows.append((c, "n_cur", nb))
+        rows.append((c, "n_values", dom))
+    return spark.createDataFrame(
+        rows, "column string, metric string, value bigint"
+    )
+
+
+def categorical_psi_oracle_sql(
+    table_a: str,
+    table_b: str,
+    cols: Sequence[str],
+) -> str:
+    """DuckDB replay of :func:`categorical_psi`: same per-side
+    frequency tables, same union domain + Laplace smoothing, platform
+    ``ln``, and an ascending-value (NULLS FIRST) ``list_reduce`` left
+    fold matching the python loop order exactly."""
+    legs = []
+    for c in cols:
+        j = (
+            f"(SELECT COALESCE(a.v, b.v) AS v,"
+            f" COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb"
+            f" FROM (SELECT CAST({c} AS VARCHAR) AS v,"
+            f"       CAST(count(*) AS BIGINT) AS ca FROM {table_a}"
+            f"       GROUP BY 1) a"
+            f" FULL OUTER JOIN"
+            f"      (SELECT CAST({c} AS VARCHAR) AS v,"
+            f"       CAST(count(*) AS BIGINT) AS cb FROM {table_b}"
+            f"       GROUP BY 1) b"
+            f" ON a.v IS NOT DISTINCT FROM b.v)"
+        )
+        term = (
+            "((CAST(t.cb + 1 AS DOUBLE) / CAST(s.nb + s.dom AS DOUBLE))"
+            " - (CAST(t.ca + 1 AS DOUBLE) / CAST(s.na + s.dom AS DOUBLE)))"
+            " * ln((CAST(t.cb + 1 AS DOUBLE) / CAST(s.nb + s.dom AS DOUBLE))"
+            " / (CAST(t.ca + 1 AS DOUBLE) / CAST(s.na + s.dom AS DOUBLE)))"
+        )
+        legs.append(
+            f"""
+SELECT '{c}' AS "column", m.metric, m.value
+FROM (
+  SELECT CAST(floor(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE), terms), (x, y) -> x + y
+         ) * 1000000 + 0.5) AS BIGINT) AS psi,
+         CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         CAST(dom AS BIGINT) AS dom
+  FROM (
+    SELECT list({term} ORDER BY t.v NULLS FIRST) AS terms,
+           max(s.na) AS na, max(s.nb) AS nb, max(s.dom) AS dom
+    FROM {j} t,
+         (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS dom
+          FROM {j}) s
+  )
+), LATERAL (VALUES
+  ('psi_micro', psi), ('n_base', na), ('n_cur', nb), ('n_values', dom)
+) AS m(metric, value)"""
+        )
+    return " UNION ALL ".join(legs)
+
+
 def profile_psi_oracle_sql(
     table_a: str,
     table_b: str,

@@ -795,3 +795,55 @@ def test_profile_psi_semantics_and_validation(spark, sf_dir):
     plain = profile_shard_approx(li.limit(10), ["l_quantity"])
     with pytest.raises(ValueError, match="histogram"):
         profile_psi([a], [plain], ["l_quantity"]).collect()
+
+
+def test_categorical_psi_semantics_oracle_and_guard(spark, sf_dir):
+    """Categorical PSI: parity halves score ~0, an engineered
+    relabeling scores high, NULL is a MATCHING category (one domain
+    row, not two), the DuckDB replay is bit-identical, and the
+    max_card guard refuses data-sized domains."""
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from quality_spark.operators.profile import (
+        categorical_psi,
+        categorical_psi_oracle_sql,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_linestatus",
+        F.when(F.col("l_orderkey") % 13 == 0, None).otherwise(
+            F.col("l_linestatus")
+        ),
+    )
+    a = li.filter("l_orderkey % 2 = 0")
+    b = li.filter("l_orderkey % 2 = 1")
+    cols = ["l_returnflag", "l_linestatus", "l_shipdate"]
+    got = {
+        (r["column"], r["metric"]): r["value"]
+        for r in categorical_psi(a, b, cols).collect()
+    }
+    assert got[("l_linestatus", "n_values")] == 3  # NULL matched once
+    assert got[("l_returnflag", "psi_micro")] < 20_000
+    con = duckdb.connect()
+    con.register("li_pd", li.toPandas())
+    want = {
+        (c, m): int(v)
+        for c, m, v in con.execute(
+            categorical_psi_oracle_sql(
+                "(SELECT * FROM li_pd WHERE l_orderkey % 2 = 0)",
+                "(SELECT * FROM li_pd WHERE l_orderkey % 2 = 1)",
+                cols,
+            )
+        ).fetchall()
+    }
+    assert got == want
+    shifted = b.withColumn("l_returnflag", F.lit("Z"))
+    s = {
+        r["metric"]: r["value"]
+        for r in categorical_psi(a, shifted, ["l_returnflag"]).collect()
+    }
+    assert s["psi_micro"] > 250_000
+    with pytest.raises(ValueError, match="max_card"):
+        categorical_psi(a, b, ["l_orderkey"], max_card=10)
