@@ -6379,7 +6379,35 @@ def q_skew_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("v1"),
         F.lit(-1.0).alias("v2"),
     )
-    return salted.unionByName(skew).unionByName(rel)
+    pr = q_pagerank_leg(spark, sf_dir).select(
+        F.lit("pagerank").alias("part"),
+        F.col("node").alias("k"),
+        F.col("r_pico").alias("n"),
+        F.col("rank").alias("v1"),
+        F.lit(-1.0).alias("v2"),
+    )
+    return salted.unionByName(skew).unionByName(rel).unionByName(pr)
+
+
+def q_pagerank_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'pagerank' part (round 10): integer-exact fixed-iteration
+    PageRank (operators/graphrank.py) over the customer→supplier order
+    graph — a real derived graph with natural skew and an all-dangling
+    destination class (suppliers never link out, so the dangling-mass
+    redistribution term is live every iteration). Integer pico-unit
+    ranks make the replay bit-exact; `rank` is one IEEE division of
+    exact operands."""
+    from quality_spark.operators.graphrank import pagerank
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    edges = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, iters=3)
 
 
 def q_rel_profile_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6483,6 +6511,14 @@ def _oracle_skew_ops() -> str:
             ),
         ]
     )
+    from quality_spark.operators.graphrank import pagerank_oracle_sql
+
+    pr = pagerank_oracle_sql(
+        "SELECT 'C' || CAST(o_custkey AS VARCHAR) AS src, "
+        "'S' || CAST(l_suppkey AS VARCHAR) AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+        iters=3,
+    )
     return f"""
 SELECT 'salted' AS part, o_orderstatus AS k, CAST(n_orders AS BIGINT) AS n,
        CAST(total_price AS DOUBLE) AS v1, CAST(max_price AS DOUBLE) AS v2
@@ -6493,6 +6529,9 @@ SELECT 'skewjoin', CAST(s_nationkey AS VARCHAR), CAST(n_items AS BIGINT),
 FROM ({_oracle_skew_join_lineitem()})
 UNION ALL
 {rel}
+UNION ALL
+SELECT 'pagerank', node, r_pico, rank, -1.0
+FROM ({pr})
 """
 
 
@@ -8129,6 +8168,7 @@ def query_legs() -> dict:
             "salted_agg": q_salted_agg_orders,
             "skew_join": q_skew_join_lineitem,
             "rel": q_rel_profile_leg,
+            "pagerank": q_pagerank_leg,
         },
     }
 

@@ -1,0 +1,286 @@
+"""Link-graph ranking: fixed-iteration PageRank over an edge
+DataFrame, integer-exact so runs are bit-identical across
+partitionings and replayable by a DuckDB oracle.
+
+The web-curation use (CommonCrawl-style corpus triage ranks HOSTS by
+link authority and keeps high-rank domains) composes with
+``quality_spark.llm.urls``: :func:`domain_link_edges` builds the
+host→host edge list from documents, :func:`domain_pagerank` is the
+one-call recipe. The core :func:`pagerank` is generic — any (src,
+dst) edge frame works (the gate ranks the customer→supplier order
+graph from the TPC-H tables).
+
+Integer spec (the same bit-replayability discipline as
+``llm/classifier.train_classifier``):
+
+- total rank mass is ``total`` pico-units (default 1e12); the initial
+  rank is ``total DIV N`` per node;
+- with damping ``d = d_num/d_den`` (default 85/100), one iteration is
+
+    r'(v) = (d_den − d_num)·total DIV (d_den·N)          -- teleport
+          + (d_num · D) DIV (d_den · N)                  -- dangling
+          + Σ_{u→v} (d_num · r(u)) DIV (d_den · out(u))  -- links
+
+  where ``D = Σ r(u)`` over dangling nodes (no out-edges). Every
+  quantity is a non-negative BIGINT, so Spark's ``div`` and DuckDB's
+  ``//`` (both truncating) agree with floor; sums are order-free;
+  floor makes the iteration leak ≤1 pico-unit per node per term —
+  irrelevant for ranking, essential for exactness.
+- bounds: ``d_num·r ≤ d_num·total ≤ 1e14`` and every per-node sum is
+  bounded by the total mass, so nothing approaches int64 range as
+  long as ``d_num·total < 2^62`` (validated).
+
+100 TB shape: edges-with-outdegree is computed once and persisted;
+each iteration is ONE shuffle (groupBy dst of the contribution join)
+plus a metadata-sized dangling-mass aggregate (1 row, crossJoined
+broadcast — the repo's established 1-row pattern); the rank state is
+|V| rows (hosts — millions, not documents) and is
+``localCheckpoint``ed per iteration to cut lineage exactly like
+``llm/dedup.connected_components``. Fixed ``iters`` (no convergence
+test) keeps the job count deterministic and the oracle unrollable.
+
+Reference scope note: the reference engine (sparkutils/quality) has
+no graph operators — this module is part of the beyond-reference
+training-data-pipeline surface, per the round charter.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "pagerank",
+    "pagerank_oracle_sql",
+    "domain_link_edges",
+    "domain_pagerank",
+]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: tuple = (85, 100),
+    total: int = 10**12,
+    dedup_edges: bool = True,
+) -> DataFrame:
+    """(node, r_pico BIGINT, rank DOUBLE) for every node in the edge
+    graph after ``iters`` integer-exact PageRank iterations.
+
+    ``rank = r_pico / total`` is one correctly-rounded IEEE division
+    of exactly-representable operands (r_pico < 2^53), so it too is
+    engine-identical. NULL endpoints are dropped; parallel edges
+    collapse to one unless ``dedup_edges=False`` (then they weight
+    the contribution, the multigraph convention)."""
+    d_num, d_den = int(damping[0]), int(damping[1])
+    if not (0 < d_num <= d_den):
+        raise ValueError("damping must be a rational in (0, 1]")
+    if d_num * int(total) >= 1 << 62:
+        raise ValueError("d_num * total must stay below 2^62 for int64 headroom")
+    if int(iters) < 0:
+        raise ValueError("iters must be >= 0")
+
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if dedup_edges:
+        e = e.distinct()
+    e = e.localCheckpoint()
+
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("od")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(None).cast("bigint").alias("r_pico"),
+            F.lit(None).cast("double").alias("rank"),
+        )
+
+    # edges with the SOURCE's out-degree, computed once and reused by
+    # every iteration (deg is derived from e, so every src matches)
+    ed = e.join(deg, e["src"] == deg["node"]).select("src", "dst", "od")
+    ed = ed.localCheckpoint()
+    # dangling = appears only as a destination
+    dang_nodes = nodes.join(deg, "node", "left_anti").localCheckpoint()
+
+    base = ((d_den - d_num) * int(total)) // (d_den * n)
+    r0 = int(total) // n
+    ranks = nodes.select("node", F.lit(r0).cast("bigint").alias("r"))
+
+    for _ in range(int(iters)):
+        dsum = (
+            ranks.join(dang_nodes, "node")
+            .agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("__d")
+            )
+        )
+        contrib = (
+            ranks.join(ed, ranks["node"] == ed["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST({d_num} AS BIGINT) * r div "
+                    f"(CAST({d_den} AS BIGINT) * od)"
+                ).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").cast("bigint").alias("__cs"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dsum))
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(
+                        f"CAST({d_num} AS BIGINT) * __d div "
+                        f"(CAST({d_den} AS BIGINT) * {n})"
+                    )
+                    + F.coalesce(F.col("__cs"), F.lit(0).cast("bigint"))
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+
+    return ranks.select(
+        "node",
+        F.col("r").alias("r_pico"),
+        (F.col("r").cast("double") / F.lit(float(total))).alias("rank"),
+    )
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iters: int = 10,
+    damping: tuple = (85, 100),
+    total: int = 10**12,
+    dedup_edges: bool = True,
+) -> str:
+    """DuckDB twin of :func:`pagerank` — the iteration chain unrolled
+    into one MATERIALIZED CTE per round (non-materialized CTEs are
+    inlined per reference in DuckDB, which made a similar replay
+    quadratic in the sf1 sweep — see the IVF-PQ fix). ``edges_sql``
+    must yield (src, dst)."""
+    d_num, d_den = int(damping[0]), int(damping[1])
+    distinct = "DISTINCT " if dedup_edges else ""
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT {distinct}CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst
+  FROM ({edges_sql}) WHERE src IS NOT NULL AND dst IS NOT NULL
+)""",
+        """deg AS MATERIALIZED (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+)""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        f"""r0 AS MATERIALIZED (
+  SELECT node, CAST({total} // nn.n AS BIGINT) AS r FROM nodes, nn
+)""",
+    ]
+    for k in range(int(iters)):
+        parts.append(
+            f"""d{k} AS (
+  SELECT CAST(coalesce(sum(r{k}.r), 0) AS BIGINT) AS d
+  FROM r{k} LEFT JOIN deg ON deg.node = r{k}.node WHERE deg.od IS NULL
+)"""
+        )
+        parts.append(
+            f"""c{k} AS (
+  SELECT e.dst AS node,
+         CAST(sum(({d_num} * r{k}.r) // ({d_den} * deg.od)) AS BIGINT) AS cs
+  FROM r{k} JOIN deg ON deg.node = r{k}.node JOIN e ON e.src = r{k}.node
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{k + 1} AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST((({d_den} - {d_num}) * {total}) // ({d_den} * nn.n)
+              + ({d_num} * d{k}.d) // ({d_den} * nn.n)
+              + coalesce(c{k}.cs, 0) AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn CROSS JOIN d{k}
+  LEFT JOIN c{k} ON c{k}.node = nodes.node
+)"""
+        )
+    final = f"r{int(iters)}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, r AS r_pico, CAST(r AS DOUBLE) / {float(total)!r} AS rank
+FROM {final}
+"""
+    )
+
+
+def _host(c: Column) -> Column:
+    """Normalized host: lowercase, bare domain from a URL or already-
+    bare hostname (strips scheme/port/path when present)."""
+    from quality_spark.llm.urls import DOMAIN_PATTERN
+
+    raw = F.lower(F.trim(c))
+    return F.when(
+        raw.rlike("^https?://"), F.regexp_extract(raw, DOMAIN_PATTERN, 1)
+    ).otherwise(F.regexp_extract(raw, r"^([a-z0-9.-]+)", 1))
+
+
+def domain_link_edges(
+    df: DataFrame,
+    src_col: str,
+    text_col: str = "text",
+    drop_self: bool = True,
+) -> DataFrame:
+    """(src, dst) host edges from documents: the document's own host
+    (``src_col`` — a URL or bare hostname column) links to every host
+    whose URL appears in ``text_col``. Hosts lowercase-normalized;
+    empty hosts dropped; self-links dropped by default (a page citing
+    its own site says nothing about authority). One projection + one
+    explode — no shuffle until the caller aggregates."""
+    from quality_spark.llm.urls import _domains
+
+    out = (
+        df.select(
+            _host(F.col(src_col)).alias("src"),
+            F.explode(_domains(text_col)).alias("__d"),
+        )
+        .select("src", F.lower(F.col("__d")).alias("dst"))
+        .filter((F.col("src") != "") & (F.col("dst") != ""))
+    )
+    if drop_self:
+        out = out.filter(F.col("src") != F.col("dst"))
+    return out
+
+
+def domain_pagerank(
+    df: DataFrame,
+    src_col: str,
+    text_col: str = "text",
+    iters: int = 10,
+    damping: tuple = (85, 100),
+    total: int = 10**12,
+) -> DataFrame:
+    """One-call host authority ranking over a web corpus: extract the
+    host link graph, rank it. Join the result back on
+    ``host == node`` to filter/weight documents by source authority."""
+    return pagerank(
+        domain_link_edges(df, src_col, text_col),
+        iters=iters,
+        damping=damping,
+        total=total,
+    )
