@@ -6386,7 +6386,97 @@ def q_skew_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("v1"),
         F.lit(-1.0).alias("v2"),
     )
-    return salted.unionByName(skew).unionByName(rel).unionByName(pr)
+    snap = q_snapshot_diff_leg(spark, sf_dir).select(
+        F.lit("snapdiff").alias("part"),
+        F.col("metric").alias("k"),
+        F.col("n"),
+        F.lit(-1.0).alias("v1"),
+        F.lit(-1.0).alias("v2"),
+    )
+    return (
+        salted.unionByName(skew)
+        .unionByName(rel)
+        .unionByName(pr)
+        .unionByName(snap)
+    )
+
+
+#: engineered "next snapshot" of orders for the snapdiff part — rows
+#: removed (%11=3), totalprice doubled (%7=0, exact: *2 on a double),
+#: status overwritten (%13=5), and cloned rows added under shifted
+#: keys (%17=1) — all four change classes live, derived identically
+#: in both engines from the same base table.
+_SNAP_CMP = ["o_orderstatus", "o_totalprice", "o_custkey"]
+
+
+def _snapshot_new_orders_spark(orders: DataFrame) -> DataFrame:
+    mod = (
+        orders.filter(F.col("o_orderkey") % 11 != 3)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 13 == 5, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    added = orders.filter(F.col("o_orderkey") % 17 == 1).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    return mod.unionByName(added)
+
+
+_SNAP_NEW_ORDERS_DUCK = """
+SELECT * REPLACE (
+  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+       ELSE o_totalprice END AS o_totalprice,
+  CASE WHEN o_orderkey % 13 = 5 THEN 'X' ELSE o_orderstatus END
+    AS o_orderstatus)
+FROM orders WHERE o_orderkey % 11 != 3
+UNION ALL
+SELECT * REPLACE (o_orderkey + 100000000 AS o_orderkey)
+FROM orders WHERE o_orderkey % 17 = 1
+"""
+
+
+def q_snapshot_diff_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'snapdiff' part (round 10): row-level snapshot diff
+    (operators/snapshot.py) — the monitoring loop's row granularity
+    under the same gate as the relational profile. Emits the FULL
+    summary (change-kind + per-column counts, so the oracle must agree
+    on every row's classification to agree on counts) plus a
+    deterministic row-level subset (key % 50 = 0) pinning keys,
+    labels, and changed-column lists verbatim."""
+    from quality_spark.operators.snapshot import (
+        snapshot_diff,
+        snapshot_diff_counts,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    diff = snapshot_diff(
+        orders,
+        _snapshot_new_orders_spark(orders),
+        ["o_orderkey"],
+        _SNAP_CMP,
+    )
+    summary = snapshot_diff_counts(diff)
+    rows = diff.filter(F.col("o_orderkey") % 50 == 0).select(
+        F.concat(
+            F.lit("row:"),
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("change"),
+            F.lit(":"),
+            F.array_join("changed_cols", ","),
+        ).alias("metric"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    return summary.unionByName(rows)
 
 
 def q_pagerank_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6532,6 +6622,35 @@ UNION ALL
 UNION ALL
 SELECT 'pagerank', node, r_pico, rank, -1.0
 FROM ({pr})
+UNION ALL
+SELECT 'snapdiff', metric, n, -1.0, -1.0
+FROM ({_oracle_snapshot_diff_leg()})
+"""
+
+
+def _oracle_snapshot_diff_leg() -> str:
+    from quality_spark.operators.snapshot import (
+        snapshot_diff_counts_oracle_sql,
+        snapshot_diff_oracle_sql,
+    )
+
+    summary = snapshot_diff_counts_oracle_sql(
+        "SELECT * FROM orders", _SNAP_NEW_ORDERS_DUCK,
+        ["o_orderkey"], _SNAP_CMP,
+    )
+    rows = snapshot_diff_oracle_sql(
+        "SELECT * FROM orders", _SNAP_NEW_ORDERS_DUCK,
+        ["o_orderkey"], _SNAP_CMP,
+    )
+    return f"""
+SELECT metric, n FROM ({summary})
+UNION ALL
+SELECT 'row:' || CAST(o_orderkey AS VARCHAR) || ':' || change || ':'
+       -- array_to_string on an EMPTY list is NULL in DuckDB (Spark's
+       -- array_join gives ''), so coalesce to match
+       || coalesce(array_to_string(changed_cols, ','), ''),
+       CAST(1 AS BIGINT)
+FROM ({rows}) WHERE o_orderkey % 50 = 0
 """
 
 
@@ -8169,6 +8288,7 @@ def query_legs() -> dict:
             "skew_join": q_skew_join_lineitem,
             "rel": q_rel_profile_leg,
             "pagerank": q_pagerank_leg,
+            "snapdiff": q_snapshot_diff_leg,
         },
     }
 
