@@ -6393,12 +6393,69 @@ def q_skew_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("v1"),
         F.lit(-1.0).alias("v2"),
     )
+    js = q_join_stats_leg(spark, sf_dir)
     return (
         salted.unionByName(skew)
         .unionByName(rel)
         .unionByName(pr)
         .unionByName(snap)
+        .unionByName(js)
     )
+
+
+def q_join_stats_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'joinstats' part (round 10): exact join-cardinality pre-flight
+    (operators/relprofile.py join_explosion_stats / join_hot_keys) —
+    out_rows = Σ cnt_l·cnt_r over matching keys WITHOUT running the
+    join, plus the top-5 hottest keys of the lineitem self-join on
+    l_suppkey (the salting candidates). The orders⋈lineitem stats run
+    on a NULL-poisoned child (the snapdiff-style engineered keys) so
+    the null-key accounting is live."""
+    from quality_spark.operators.relprofile import (
+        join_explosion_stats,
+        join_hot_keys,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").withColumn(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 997 == 0, None).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    stats = join_explosion_stats(
+        orders, li, ["o_orderkey"], ["l_orderkey"]
+    )
+    srow = stats.select(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("s"),
+                    F.col(c).cast("decimal(38,0)").alias("v"),
+                )
+                for c in stats.columns
+            ]
+        ).alias("a")
+    ).select(F.explode("a").alias("e")).select(
+        F.lit("joinstats").alias("part"),
+        F.concat(F.lit("ord_li:"), F.col("e.s")).alias("k"),
+        F.col("e.v").cast("bigint").alias("n"),
+        F.lit(-1.0).alias("v1"),
+        F.lit(-1.0).alias("v2"),
+    )
+    hot = join_hot_keys(
+        _read(spark, sf_dir, "lineitem"),
+        _read(spark, sf_dir, "lineitem"),
+        ["l_suppkey"],
+        k=5,
+    ).select(
+        F.lit("joinstats").alias("part"),
+        F.concat(F.lit("hot:"), F.col("l_suppkey").cast("string")).alias("k"),
+        F.col("out_rows").cast("bigint").alias("n"),
+        F.col("cnt_left").cast("double").alias("v1"),
+        F.col("cnt_right").cast("double").alias("v2"),
+    )
+    return srow.unionByName(hot)
 
 
 #: engineered "next snapshot" of orders for the snapdiff part — rows
@@ -6625,7 +6682,44 @@ FROM ({pr})
 UNION ALL
 SELECT 'snapdiff', metric, n, -1.0, -1.0
 FROM ({_oracle_snapshot_diff_leg()})
+UNION ALL
+{_oracle_join_stats_leg()}
 """
+
+
+def _oracle_join_stats_leg() -> str:
+    from quality_spark.operators.relprofile import (
+        join_explosion_stats_oracle_sql,
+        join_hot_keys_oracle_sql,
+    )
+
+    li2 = (
+        "(SELECT * REPLACE (CASE WHEN l_orderkey % 997 = 0 THEN NULL"
+        " ELSE l_orderkey END AS l_orderkey) FROM lineitem)"
+    )
+    stats = join_explosion_stats_oracle_sql(
+        "orders", li2, ["o_orderkey"], ["l_orderkey"]
+    )
+    cols = [
+        "n_left_rows", "n_left_null_key_rows", "n_right_rows",
+        "n_right_null_key_rows", "n_matching_keys", "out_rows",
+        "max_key_out",
+    ]
+    vals = ", ".join(
+        f"('{c}', CAST({c} AS BIGINT))" for c in cols
+    )
+    hot = join_hot_keys_oracle_sql(
+        "lineitem", "lineitem", ["l_suppkey"], k=5
+    )
+    return f"""
+SELECT 'joinstats' AS part, 'ord_li:' || u.s AS k, u.v AS n,
+       -1.0 AS v1, -1.0 AS v2
+FROM ({stats}), LATERAL (VALUES {vals}) AS u(s, v)
+UNION ALL
+SELECT 'joinstats', 'hot:' || CAST(l_suppkey AS VARCHAR),
+       CAST(out_rows AS BIGINT), CAST(cnt_left AS DOUBLE),
+       CAST(cnt_right AS DOUBLE)
+FROM ({hot})"""
 
 
 def _oracle_snapshot_diff_leg() -> str:
@@ -8289,6 +8383,7 @@ def query_legs() -> dict:
             "rel": q_rel_profile_leg,
             "pagerank": q_pagerank_leg,
             "snapdiff": q_snapshot_diff_leg,
+            "joinstats": q_join_stats_leg,
         },
     }
 

@@ -361,7 +361,12 @@ def main() -> None:
         "sampling_splits": "round 10: leg refactor only",
         "tfidf_scores": "round 10: leg refactor only",
         "digest_documents": "round 10: leg refactor only",
-        "skew_ops": "round 10: leg refactor only",
+        "skew_ops": "round 10: leg refactor, then three NEW parts late "
+        "in the round — 'pagerank' (integer-exact 3-iteration PageRank "
+        "over the customer->supplier order graph, operators/graphrank.py), "
+        "'snapdiff' (row-level snapshot diff summary + row subset, "
+        "operators/snapshot.py), 'joinstats' (exact join-cardinality "
+        "pre-flight + hot keys, operators/relprofile.py)",
     }
     # VERDICT r08 #5: join the two records — a retried query whose
     # final time is still >threshold x prior reads 'attributed' when

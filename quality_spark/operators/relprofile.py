@@ -169,6 +169,204 @@ FROM (SELECT {ls}, count(*) AS c, count(DISTINCT {rhs}) AS d
 """
 
 
+def join_explosion_stats(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str] = None,
+) -> DataFrame:
+    """EXACT inner-join cardinality without running the join — the
+    pre-flight guard before a 100 TB join. One row:
+
+    - ``n_left_rows`` / ``n_right_rows``: input sizes;
+    - ``n_left_null_key_rows`` / ``n_right_null_key_rows``: rows an
+      equi-join silently drops (any NULL key component);
+    - ``n_matching_keys``: distinct key tuples present on BOTH sides;
+    - ``out_rows``: Σ over matching keys of cnt_left·cnt_right — the
+      exact inner-join output size (DECIMAL(38,0): two 1e9-deep hot
+      keys multiply to 1e18, and the SUM of such products is exactly
+      what this op exists to catch before int64 territory);
+    - ``max_key_out``: the worst single key's output contribution.
+
+    Cost: one map-side-combinable groupBy per side on the keys, then a
+    join of the two DISTINCT-KEY frames (dwarfed by the data) and a
+    single-row aggregate — never the join itself. Compare ``out_rows``
+    against your cluster's row budget; feed ``join_hot_keys`` output
+    into salting (`operators/skew.py`) when a few keys dominate."""
+    if not left_keys:
+        raise ValueError("left_keys must be non-empty")
+    right_keys = list(right_keys) if right_keys else list(left_keys)
+    left_keys = list(left_keys)
+    if len(right_keys) != len(left_keys):
+        raise ValueError("left_keys and right_keys differ in length")
+
+    def _side(df: DataFrame, keys: Sequence[str], tag: str):
+        anynull = None
+        for k in keys:
+            cond = F.col(k).isNull()
+            anynull = cond if anynull is None else (anynull | cond)
+        totals = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}_rows"),
+            F.sum(F.when(anynull, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{tag}_null_key_rows"),
+        )
+        per = (
+            df.filter(~anynull)
+            .groupBy(*[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)])
+            .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias(f"__c_{tag}"))
+        )
+        return totals, per
+
+    ltot, lper = _side(left, left_keys, "left")
+    rtot, rper = _side(right, right_keys, "right")
+    keycols = [f"__k{i}" for i in range(len(left_keys))]
+    m = lper.join(rper, keycols)
+    mstats = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matching_keys"),
+        F.coalesce(
+            F.sum(F.col("__c_left") * F.col("__c_right")),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("out_rows"),
+        F.coalesce(
+            F.max(F.col("__c_left") * F.col("__c_right")),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("max_key_out"),
+    )
+    return ltot.crossJoin(rtot).crossJoin(mstats)
+
+
+def join_explosion_stats_oracle_sql(
+    left_table: str,
+    right_table: str,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str] = None,
+) -> str:
+    right_keys = list(right_keys) if right_keys else list(left_keys)
+    left_keys = list(left_keys)
+
+    def _null(keys):
+        return " OR ".join(f"{k} IS NULL" for k in keys)
+
+    def _per(table, keys, tag):
+        sel = ", ".join(
+            f"{k} AS __k{i}" for i, k in enumerate(keys)
+        )
+        return (
+            f"SELECT {sel}, CAST(count(*) AS DECIMAL(19,0)) AS __c_{tag} "
+            f"FROM {table} WHERE NOT ({_null(keys)}) "
+            f"GROUP BY {', '.join(keys)}"
+        )
+
+    on = " AND ".join(
+        f"l.__k{i} = r.__k{i}" for i in range(len(left_keys))
+    )
+    return f"""
+SELECT lt.n_left_rows, lt.n_left_null_key_rows,
+       rt.n_right_rows, rt.n_right_null_key_rows,
+       m.n_matching_keys, m.out_rows, m.max_key_out
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_left_rows,
+             CAST(sum(CASE WHEN {_null(left_keys)} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_left_null_key_rows
+      FROM {left_table}) lt,
+     (SELECT CAST(count(*) AS BIGINT) AS n_right_rows,
+             CAST(sum(CASE WHEN {_null(right_keys)} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_right_null_key_rows
+      FROM {right_table}) rt,
+     (SELECT CAST(count(*) AS BIGINT) AS n_matching_keys,
+             CAST(coalesce(sum(l.__c_left * r.__c_right), 0)
+               AS DECIMAL(38,0)) AS out_rows,
+             CAST(coalesce(max(l.__c_left * r.__c_right), 0)
+               AS DECIMAL(38,0)) AS max_key_out
+      FROM ({_per(left_table, left_keys, 'left')}) l
+      JOIN ({_per(right_table, right_keys, 'right')}) r ON {on}) m
+"""
+
+
+def join_hot_keys(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str] = None,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` join keys by output contribution (cnt_left·cnt_right,
+    ties broken by ascending key for a total order) — the keys to salt
+    or broadcast-special-case. Ends in orderBy().limit(), which Spark
+    plans as TakeOrderedAndProject (no global sort)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    right_keys = list(right_keys) if right_keys else list(left_keys)
+    left_keys = list(left_keys)
+    if len(right_keys) != len(left_keys):
+        raise ValueError("left_keys and right_keys differ in length")
+
+    def _per(df, keys, tag):
+        anynull = None
+        for c in keys:
+            cond = F.col(c).isNull()
+            anynull = cond if anynull is None else (anynull | cond)
+        return (
+            df.filter(~anynull)
+            .groupBy(*[F.col(c).alias(f"__k{i}") for i, c in enumerate(keys)])
+            .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias(f"__c_{tag}"))
+        )
+
+    keycols = [f"__k{i}" for i in range(len(left_keys))]
+    m = _per(left, left_keys, "left").join(_per(right, right_keys, "right"), keycols)
+    out = m.select(
+        *[F.col(f"__k{i}").alias(n) for i, n in enumerate(left_keys)],
+        F.col("__c_left").cast("bigint").alias("cnt_left"),
+        F.col("__c_right").cast("bigint").alias("cnt_right"),
+        (F.col("__c_left") * F.col("__c_right"))
+        .cast("decimal(38,0)")
+        .alias("out_rows"),
+    )
+    return out.orderBy(
+        F.desc("out_rows"), *[F.asc(n) for n in left_keys]
+    ).limit(int(k))
+
+
+def join_hot_keys_oracle_sql(
+    left_table: str,
+    right_table: str,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str] = None,
+    k: int = 10,
+) -> str:
+    right_keys = list(right_keys) if right_keys else list(left_keys)
+    left_keys = list(left_keys)
+
+    def _per(table, keys, tag):
+        nulls = " OR ".join(f"{c} IS NULL" for c in keys)
+        sel = ", ".join(f"{c} AS __k{i}" for i, c in enumerate(keys))
+        return (
+            f"SELECT {sel}, CAST(count(*) AS DECIMAL(19,0)) AS __c_{tag} "
+            f"FROM {table} WHERE NOT ({nulls}) "
+            f"GROUP BY {', '.join(keys)}"
+        )
+
+    on = " AND ".join(f"l.__k{i} = r.__k{i}" for i in range(len(left_keys)))
+    names = ", ".join(
+        f"l.__k{i} AS {n}" for i, n in enumerate(left_keys)
+    )
+    order_keys = ", ".join(f"l.__k{i} ASC" for i in range(len(left_keys)))
+    return f"""
+SELECT {names},
+       CAST(l.__c_left AS BIGINT) AS cnt_left,
+       CAST(r.__c_right AS BIGINT) AS cnt_right,
+       CAST(l.__c_left * r.__c_right AS DECIMAL(38,0)) AS out_rows
+FROM ({_per(left_table, left_keys, 'left')}) l
+JOIN ({_per(right_table, right_keys, 'right')}) r ON {on}
+ORDER BY out_rows DESC, {order_keys}
+LIMIT {int(k)}
+"""
+
+
 def relational_profile(
     facts: List[tuple],
 ) -> DataFrame:

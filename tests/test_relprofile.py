@@ -136,3 +136,85 @@ def test_relprofile_empty_inputs_raise(spark):
         fd_violations(df, [], "b")
     with pytest.raises(ValueError, match="non-empty"):
         relational_profile([])
+
+
+def test_join_explosion_known_values(spark):
+    from quality_spark.operators.relprofile import (
+        join_explosion_stats,
+        join_hot_keys,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d"), (9, "e")],
+        "k long, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "z"), (2, "w"), (None, "n"), (7, "q")],
+        "k long, v string",
+    )
+    got = join_explosion_stats(left, right, ["k"]).collect()[0]
+    assert got["n_left_rows"] == 5 and got["n_right_rows"] == 6
+    assert got["n_left_null_key_rows"] == 1
+    assert got["n_right_null_key_rows"] == 1
+    assert got["n_matching_keys"] == 2  # keys 1 and 2; 9/7 unmatched
+    assert int(got["out_rows"]) == 2 * 3 + 1 * 1
+    assert int(got["max_key_out"]) == 6
+    # the exact inner-join cardinality IS the join's row count
+    assert int(got["out_rows"]) == left.join(right, "k").count()
+    hot = join_hot_keys(left, right, ["k"], k=1).collect()
+    assert len(hot) == 1 and hot[0]["k"] == 1
+    assert (hot[0]["cnt_left"], hot[0]["cnt_right"]) == (2, 3)
+    # disjoint sides -> zero everywhere, not NULL
+    none = join_explosion_stats(
+        left.filter("k = 9"), right.filter("k = 7"), ["k"]
+    ).collect()[0]
+    assert int(none["out_rows"]) == 0 and int(none["max_key_out"]) == 0
+
+
+def test_join_explosion_duckdb_parity(spark, sf_dir):
+    from quality_spark.operators.relprofile import (
+        join_explosion_stats,
+        join_explosion_stats_oracle_sql,
+        join_hot_keys,
+        join_hot_keys_oracle_sql,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    con = _duck(sf_dir)
+    got = join_explosion_stats(
+        orders, li, ["o_orderkey"], ["l_orderkey"]
+    ).collect()[0]
+    want = con.execute(
+        join_explosion_stats_oracle_sql(
+            "orders", "lineitem", ["o_orderkey"], ["l_orderkey"]
+        )
+    ).fetchone()
+    assert tuple(got) == tuple(want)
+    hot = [
+        tuple(r)
+        for r in join_hot_keys(
+            li, li, ["l_suppkey"], k=5
+        ).collect()
+    ]
+    whot = con.execute(
+        join_hot_keys_oracle_sql("lineitem", "lineitem", ["l_suppkey"], k=5)
+    ).fetchall()
+    assert hot == [tuple(w) for w in whot]
+
+
+def test_join_explosion_validation(spark):
+    from quality_spark.operators.relprofile import (
+        join_explosion_stats,
+        join_hot_keys,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        join_explosion_stats(df, df, [])
+    with pytest.raises(ValueError, match="length"):
+        join_explosion_stats(df, df, ["k"], ["k", "v"])
+    with pytest.raises(ValueError, match="positive"):
+        join_hot_keys(df, df, ["k"], k=0)
