@@ -6778,7 +6778,67 @@ def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("v1"),
         F.lit(-1.0).alias("v2"),
     )
-    return asof.unionByName(rng).unionByName(ivl)
+    scd = q_scd2_leg(spark, sf_dir)
+    return asof.unionByName(rng).unionByName(ivl).unionByName(scd)
+
+
+def q_scd2_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'scd2'/'scd2t' parts (round 10): slowly-changing-dimension
+    type-2 merge (operators/temporal.py scd2_apply). The dim is each
+    user's FIRST event (by ts, event_id) as the current version; the
+    update batch is every event_id % 3 = 0 event — no-op updates must
+    vanish, changed attrs chain versions, the first event closes when
+    a real change follows. Both valid_from ('scd2' rows) and valid_to
+    ('scd2t' rows, −1 = still current) are pinned as NTZ epoch
+    seconds, so the oracle must reproduce every version boundary."""
+    from pyspark.sql import Window as W
+
+    from quality_spark.operators.temporal import scd2_apply
+
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("ts").alias("valid_from"),
+            F.lit(None).cast(dict(ev.dtypes)["ts"]).alias("valid_to"),
+        )
+    )
+    out = scd2_apply(
+        dim,
+        ev.filter(F.col("event_id") % 3 == 0),
+        ["user_id"],
+        ["event_type", "value"],
+        order_cols=["ts", "event_id"],
+    )
+
+    def _epoch(col: str) -> str:
+        return (
+            f"CAST(timestampdiff(SECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {col}) AS BIGINT)"
+        )
+
+    vf = out.select(
+        F.lit("scd2").alias("part"),
+        F.col("user_id").cast("bigint").alias("event_id"),
+        F.col("event_type").alias("k"),
+        F.expr(_epoch("valid_from")).alias("v1"),
+        F.col("value").cast("double").alias("v2"),
+    )
+    vt = out.select(
+        F.lit("scd2t").alias("part"),
+        F.col("user_id").cast("bigint").alias("event_id"),
+        F.col("event_type").alias("k"),
+        F.coalesce(
+            F.expr(_epoch("valid_to")), F.lit(-1).cast("bigint")
+        ).alias("v1"),
+        F.col("value").cast("double").alias("v2"),
+    )
+    return vf.unionByName(vt)
 
 
 #: tz-FREE epoch seconds for the (timestamp_ntz) events ts: pure NTZ
@@ -6845,7 +6905,41 @@ UNION ALL
 SELECT 'interval', CAST(user_id AS BIGINT), l_type || ':' || r_rtype,
        CAST(-1 AS BIGINT), -1.0
 FROM ({_oracle_interval_overlap()})
+UNION ALL
+{_oracle_scd2_leg()}
 """
+
+
+def _oracle_scd2_leg() -> str:
+    from quality_spark.operators.temporal import scd2_apply_oracle_sql
+
+    dim_sql = """
+SELECT user_id, event_type, value, ts AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
+WHERE rn = 1
+"""
+    merged = scd2_apply_oracle_sql(
+        dim_sql,
+        "SELECT * FROM events WHERE event_id % 3 = 0",
+        ["user_id"],
+        ["event_type", "value"],
+        order_cols=["ts", "event_id"],
+        order_sqltypes=["TIMESTAMP", "BIGINT"],
+    )
+    epoch = "date_diff('second', TIMESTAMP '1970-01-01', {})"
+    return f"""
+SELECT 'scd2' AS part, CAST(user_id AS BIGINT) AS event_id,
+       event_type AS k,
+       CAST({epoch.format('valid_from')} AS BIGINT) AS v1,
+       CAST(value AS DOUBLE) AS v2
+FROM ({merged})
+UNION ALL
+SELECT 'scd2t', CAST(user_id AS BIGINT), event_type,
+       CAST(coalesce({epoch.format('valid_to')}, -1) AS BIGINT),
+       CAST(value AS DOUBLE)
+FROM ({merged})"""
 
 
 def q_bucketed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8376,6 +8470,7 @@ def query_legs() -> dict:
             "asof": q_asof_click_view,
             "range": q_range_join_events,
             "interval": q_interval_overlap,
+            "scd2": q_scd2_leg,
         },
         "skew_ops": {
             "salted_agg": q_salted_agg_orders,

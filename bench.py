@@ -367,6 +367,9 @@ def main() -> None:
         "'snapdiff' (row-level snapshot diff summary + row subset, "
         "operators/snapshot.py), 'joinstats' (exact join-cardinality "
         "pre-flight + hot keys, operators/relprofile.py)",
+        "temporal_joins": "round 10: added 'scd2'/'scd2t' parts (SCD2 "
+        "dimension-history merge, operators/temporal.py scd2_apply, "
+        "version boundaries oracle-replayed as NTZ epoch seconds)",
     }
     # VERDICT r08 #5: join the two records — a retried query whose
     # final time is still >threshold x prior reads 'attributed' when

@@ -280,3 +280,203 @@ def interval_join(
     # emit only in the bucket holding the overlap's left edge
     once = F.col("__bucket") == F.floor(F.greatest(ls, rs) / g).cast("long")
     return joined.filter(overlap & once).drop("__bucket", "__rbucket")
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    ts_col: str = "ts",
+    order_cols: Optional[Sequence[str]] = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: fold a batch of keyed
+    updates into a versioned history table.
+
+    ``dim`` is the existing SCD2 table (``keys… attrs… valid_from
+    valid_to``, ``valid_to IS NULL`` marking each key's current row —
+    at most one per key, the SCD2 invariant). ``updates`` carries
+    ``keys… attrs…`` plus ``ts_col``. Semantics, identical in the
+    DuckDB twin:
+
+    - updates for a key apply in ``order_cols`` order (default
+      ``[ts_col]``; pass a tie-breaker column — the order tuple must
+      be UNIQUE per key or version chains are not well-defined);
+    - an update creates a new version only if any attr IS DISTINCT
+      FROM the previous version's value (the current dim row, or the
+      preceding surviving update) — no-op updates vanish;
+    - a key's current row is closed (``valid_to`` = first new
+      version's ``valid_from``) iff it has a surviving update; new
+      versions chain ``valid_to`` = next version's ``valid_from``,
+      the last staying NULL (current);
+    - history rows (``valid_to`` non-NULL) pass through untouched, as
+      do current rows with no effective change; keys new to ``dim``
+      bootstrap their chain from the first update.
+
+    Updates are assumed to postdate the current row's ``valid_from``
+    (the streaming-ingest contract); out-of-order history rewrites
+    need a full rebuild, not a merge.
+
+    100 TB shape: ONE window shuffle on the keys over cur ∪ updates
+    (change detection), a second over survivors (chain linking — same
+    key partitioning, AQE-reusable), and one join of current rows
+    against first-change keys. No driver data, no UDFs; batch shape is
+    exactly what a ``foreachBatch`` handler wants."""
+    keys = list(keys)
+    attrs = list(attrs)
+    if not keys or not attrs:
+        raise ValueError("keys and attrs must be non-empty")
+    order_cols = list(order_cols) if order_cols else [ts_col]
+    for c in keys + attrs + [ts_col] + order_cols:
+        if c not in updates.columns:
+            raise ValueError(f"updates missing column {c!r}")
+    utypes = dict(updates.dtypes)
+    ts_type = utypes[ts_col]
+
+    cur = dim.filter(F.col(valid_to).isNull())
+    hist = dim.filter(F.col(valid_to).isNotNull()).select(
+        *keys, *attrs, valid_from, valid_to
+    )
+
+    u = updates.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c).alias(f"__o_{c}") for c in order_cols],
+        F.lit(1).alias("__seq"),
+    )
+    c0 = cur.select(
+        *keys,
+        *attrs,
+        F.lit(None).cast(ts_type).alias("__ts"),
+        *[F.lit(None).cast(utypes[c]).alias(f"__o_{c}") for c in order_cols],
+        F.lit(0).alias("__seq"),
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.asc("__seq"), *[F.asc(f"__o_{c}") for c in order_cols]
+    )
+    differs = None
+    for a in attrs:
+        d = ~F.col(a).eqNullSafe(F.lag(F.col(a)).over(w))
+        differs = d if differs is None else (differs | d)
+    first = F.lag(F.col("__seq")).over(w).isNull()
+    sv = (
+        c0.unionByName(u)
+        .withColumn("__keep", (F.col("__seq") == 1) & (first | differs))
+        .filter(F.col("__keep"))
+    )
+    w2 = Window.partitionBy(*keys).orderBy(
+        *[F.asc(f"__o_{c}") for c in order_cols]
+    )
+    svo = sv.select(
+        *keys,
+        *attrs,
+        F.col("__ts").alias(valid_from),
+        F.lead("__ts").over(w2).alias(valid_to),
+        F.row_number().over(w2).alias("__rn"),
+    )
+    fc = svo.filter(F.col("__rn") == 1).select(
+        *keys, F.col(valid_from).alias("__fc")
+    )
+    closed = cur.join(fc, keys).select(
+        *keys, *attrs, valid_from, F.col("__fc").alias(valid_to)
+    )
+    untouched = cur.join(fc, keys, "left_anti").select(
+        *keys, *attrs, valid_from, valid_to
+    )
+    return (
+        hist.unionByName(closed)
+        .unionByName(untouched)
+        .unionByName(svo.select(*keys, *attrs, valid_from, valid_to))
+    )
+
+
+def scd2_apply_oracle_sql(
+    dim_sql: str,
+    updates_sql: str,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    ts_col: str = "ts",
+    order_cols: Optional[Sequence[str]] = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    ts_sqltype: str = "TIMESTAMP",
+    order_sqltypes: Optional[Sequence[str]] = None,
+) -> str:
+    """DuckDB twin of :func:`scd2_apply` over any two relations.
+    ``ts_sqltype`` types the current rows' NULL pseudo-timestamp;
+    ``order_sqltypes`` types the NULL pseudo-order columns (defaults
+    to ``ts_sqltype`` for each — pass the real types when order_cols
+    mixes in a non-timestamp tie-breaker)."""
+    keys = list(keys)
+    attrs = list(attrs)
+    order_cols = list(order_cols) if order_cols else [ts_col]
+    otypes = (
+        list(order_sqltypes)
+        if order_sqltypes
+        else [ts_sqltype] * len(order_cols)
+    )
+    if len(otypes) != len(order_cols):
+        raise ValueError("order_sqltypes and order_cols differ in length")
+    ks = ", ".join(keys)
+    ats = ", ".join(attrs)
+    null_orders = ", ".join(
+        f"CAST(NULL AS {t}) AS __o_{c}" for c, t in zip(order_cols, otypes)
+    )
+    u_orders = ", ".join(f"{c} AS __o_{c}" for c in order_cols)
+    wo = ", ".join(f"__o_{c}" for c in order_cols)
+    differs = " OR ".join(
+        f"({a} IS DISTINCT FROM lag({a}) OVER w)" for a in attrs
+    )
+    return f"""
+WITH cur AS MATERIALIZED (
+  SELECT * FROM ({dim_sql}) WHERE {valid_to} IS NULL
+),
+hist AS (
+  SELECT {ks}, {ats}, {valid_from}, {valid_to}
+  FROM ({dim_sql}) WHERE {valid_to} IS NOT NULL
+),
+allr AS MATERIALIZED (
+  SELECT {ks}, {ats}, CAST(NULL AS {ts_sqltype}) AS __ts,
+         {null_orders}, 0 AS __seq
+  FROM cur
+  UNION ALL
+  SELECT {ks}, {ats}, {ts_col} AS __ts, {u_orders}, 1 AS __seq
+  FROM ({updates_sql})
+),
+marked AS (
+  SELECT *,
+         (lag(__seq) OVER w IS NULL) AS __first,
+         ({differs}) AS __differs
+  FROM allr
+  WINDOW w AS (PARTITION BY {ks} ORDER BY __seq, {wo})
+),
+svo AS MATERIALIZED (
+  SELECT {ks}, {ats},
+         __ts AS {valid_from},
+         lead(__ts) OVER w2 AS {valid_to},
+         row_number() OVER w2 AS __rn
+  FROM marked
+  WHERE __seq = 1 AND (__first OR __differs)
+  WINDOW w2 AS (PARTITION BY {ks} ORDER BY {wo})
+),
+fc AS (
+  SELECT {ks}, {valid_from} AS __fc FROM svo WHERE __rn = 1
+)
+SELECT {ks}, {ats}, {valid_from}, {valid_to} FROM hist
+UNION ALL
+SELECT {', '.join('cur.' + k for k in keys)},
+       {', '.join('cur.' + a for a in attrs)},
+       cur.{valid_from}, fc.__fc AS {valid_to}
+FROM cur JOIN fc USING ({ks})
+UNION ALL
+SELECT {ks}, {ats}, {valid_from}, {valid_to} FROM cur
+WHERE NOT EXISTS (
+  SELECT 1 FROM fc
+  WHERE {' AND '.join(f'fc.{k} = cur.{k}' for k in keys)}
+)
+UNION ALL
+SELECT {ks}, {ats}, {valid_from}, {valid_to} FROM svo
+"""

@@ -278,3 +278,140 @@ WHERE l.event_type IN ('click', 'view')
 """).fetchall()
     )
     assert got == want and len(got) > 10
+
+
+# --- SCD2 merge ---------------------------------------------------------
+
+_DIM_SCHEMA = (
+    "uid long, plan string, region string, "
+    "valid_from timestamp_ntz, valid_to timestamp_ntz"
+)
+_UPD_SCHEMA = "uid long, plan string, region string, ts timestamp_ntz"
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_scd2_semantics(spark):
+    from quality_spark.operators.temporal import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # uid 1: one closed version + a current one
+            (1, "free", "eu", _ts("2024-01-01"), _ts("2024-02-01")),
+            (1, "pro", "eu", _ts("2024-02-01"), None),
+            # uid 2: current only, will see a no-op update
+            (2, "free", "us", _ts("2024-01-15"), None),
+            # uid 3: current only, untouched by the batch
+            (3, "pro", "ap", _ts("2024-03-01"), None),
+        ],
+        _DIM_SCHEMA,
+    )
+    upd = spark.createDataFrame(
+        [
+            # uid 1: change, then a no-op repeat, then another change
+            (1, "pro", "us", "2024-03-01"),
+            (1, "pro", "us", "2024-03-05"),
+            (1, "max", "us", "2024-03-09"),
+            # uid 2: attrs identical to current -> nothing happens
+            (2, "free", "us", "2024-04-01"),
+            # uid 9: brand new key, two versions
+            (9, "free", "eu", "2024-05-01"),
+            (9, "pro", "eu", "2024-05-02"),
+        ],
+        "uid long, plan string, region string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = scd2_apply(dim, upd, ["uid"], ["plan", "region"])
+    rows = sorted(
+        (r["uid"], r["plan"], r["region"], r["valid_from"], r["valid_to"])
+        for r in out.collect()
+    )
+    assert rows == sorted(
+        [
+            (1, "free", "eu", _ts("2024-01-01"), _ts("2024-02-01")),
+            (1, "pro", "eu", _ts("2024-02-01"), _ts("2024-03-01")),
+            (1, "pro", "us", _ts("2024-03-01"), _ts("2024-03-09")),
+            (1, "max", "us", _ts("2024-03-09"), None),
+            (2, "free", "us", _ts("2024-01-15"), None),
+            (3, "pro", "ap", _ts("2024-03-01"), None),
+            (9, "free", "eu", _ts("2024-05-01"), _ts("2024-05-02")),
+            (9, "pro", "eu", _ts("2024-05-02"), None),
+        ]
+    )
+    # SCD2 invariant preserved: exactly one current row per seen key
+    cur = out.filter("valid_to IS NULL").groupBy("uid").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_bootstrap_and_validation(spark):
+    import pytest
+
+    from quality_spark.operators.temporal import scd2_apply
+
+    empty_dim = spark.createDataFrame([], _DIM_SCHEMA)
+    upd = spark.createDataFrame(
+        [(7, "a", "x", _ts("2024-01-01")), (7, "b", "x", _ts("2024-01-02"))],
+        _UPD_SCHEMA,
+    )
+    out = scd2_apply(empty_dim, upd, ["uid"], ["plan", "region"]).collect()
+    assert len(out) == 2
+    assert sorted((r["plan"], r["valid_to"] is None) for r in out) == [
+        ("a", False), ("b", True)
+    ]
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_apply(empty_dim, upd, [], ["plan"])
+    with pytest.raises(ValueError, match="missing column"):
+        scd2_apply(empty_dim, upd, ["uid"], ["nope"])
+
+
+def test_scd2_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from quality_spark.operators.temporal import (
+        scd2_apply,
+        scd2_apply_oracle_sql,
+    )
+
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select(
+            "user_id", "event_type", "value",
+            F.col("ts").alias("valid_from"),
+            F.lit(None).cast(dict(ev.dtypes)["ts"]).alias("valid_to"),
+        )
+    )
+    upd = ev.filter(F.col("event_id") % 3 == 0)
+    out = scd2_apply(
+        dim, upd, ["user_id"], ["event_type", "value"],
+        order_cols=["ts", "event_id"],
+    )
+    got = sorted(map(tuple, out.collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    dim_sql = """
+SELECT user_id, event_type, value, ts AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
+WHERE rn = 1
+"""
+    sql = scd2_apply_oracle_sql(
+        dim_sql,
+        "SELECT * FROM events WHERE event_id % 3 = 0",
+        ["user_id"], ["event_type", "value"],
+        order_cols=["ts", "event_id"],
+        order_sqltypes=["TIMESTAMP", "BIGINT"],
+    )
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert len(got) > 0 and got == want
