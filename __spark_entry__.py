@@ -6394,13 +6394,40 @@ def q_skew_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("v2"),
     )
     js = q_join_stats_leg(spark, sf_dir)
+    ha = q_hits_leg(spark, sf_dir).select(
+        F.lit("hits").alias("part"),
+        F.col("node").alias("k"),
+        F.col("authority_nano").alias("n"),
+        # hub_nano <= 1e9 < 2^53: the double is exact
+        F.col("hub_nano").cast("double").alias("v1"),
+        F.col("authority").alias("v2"),
+    )
     return (
         salted.unionByName(skew)
         .unionByName(rel)
         .unionByName(pr)
         .unionByName(snap)
         .unionByName(js)
+        .unionByName(ha)
     )
+
+
+def q_hits_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'hits' part (round 10): integer-exact L1 HITS
+    (operators/graphrank.py) on the same customer→supplier graph as
+    the pagerank part — suppliers are pure authorities (zero hub),
+    customers pure hubs, so both score vectors are exercised."""
+    from quality_spark.operators.graphrank import hits
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    edges = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return hits(edges, iters=2)
 
 
 def q_join_stats_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6684,7 +6711,22 @@ SELECT 'snapdiff', metric, n, -1.0, -1.0
 FROM ({_oracle_snapshot_diff_leg()})
 UNION ALL
 {_oracle_join_stats_leg()}
+UNION ALL
+SELECT 'hits', node, authority_nano, CAST(hub_nano AS DOUBLE),
+       authority
+FROM ({_oracle_hits_leg()})
 """
+
+
+def _oracle_hits_leg() -> str:
+    from quality_spark.operators.graphrank import hits_oracle_sql
+
+    return hits_oracle_sql(
+        "SELECT 'C' || CAST(o_custkey AS VARCHAR) AS src, "
+        "'S' || CAST(l_suppkey AS VARCHAR) AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+        iters=2,
+    )
 
 
 def _oracle_join_stats_leg() -> str:
@@ -8479,6 +8521,7 @@ def query_legs() -> dict:
             "pagerank": q_pagerank_leg,
             "snapdiff": q_snapshot_diff_leg,
             "joinstats": q_join_stats_leg,
+            "hits": q_hits_leg,
         },
     }
 

@@ -361,12 +361,13 @@ def main() -> None:
         "sampling_splits": "round 10: leg refactor only",
         "tfidf_scores": "round 10: leg refactor only",
         "digest_documents": "round 10: leg refactor only",
-        "skew_ops": "round 10: leg refactor, then three NEW parts late "
+        "skew_ops": "round 10: leg refactor, then four NEW parts late "
         "in the round — 'pagerank' (integer-exact 3-iteration PageRank "
         "over the customer->supplier order graph, operators/graphrank.py), "
         "'snapdiff' (row-level snapshot diff summary + row subset, "
         "operators/snapshot.py), 'joinstats' (exact join-cardinality "
-        "pre-flight + hot keys, operators/relprofile.py)",
+        "pre-flight + hot keys, operators/relprofile.py), 'hits' "
+        "(integer L1 HITS on the same order graph)",
         "temporal_joins": "round 10: added 'scd2'/'scd2t' parts (SCD2 "
         "dimension-history merge, operators/temporal.py scd2_apply, "
         "version boundaries oracle-replayed as NTZ epoch seconds)",

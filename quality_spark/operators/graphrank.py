@@ -56,6 +56,8 @@ __all__ = [
     "pagerank_oracle_sql",
     "domain_link_edges",
     "domain_pagerank",
+    "hits",
+    "hits_oracle_sql",
 ]
 
 
@@ -283,4 +285,210 @@ def domain_pagerank(
         iters=iters,
         damping=damping,
         total=total,
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 8,
+    total: int = 10**9,
+    dedup_edges: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999), integer-exact:
+    (node, authority_nano, hub_nano, authority, hub) after ``iters``
+    mutual-reinforcement rounds.
+
+    Integer spec: both score vectors live in nano units summing to
+    ``total`` (≤ floor leak). One round is
+
+        a_raw(v) = Σ_{u→v} h(u);  a(v) = (a_raw·total) DIV Σ a_raw
+        h_raw(u) = Σ_{u→v} a(v);  h(u) = (h_raw·total) DIV Σ h_raw
+
+    — L1 normalization instead of the textbook L2 (a square root is
+    not exactly replayable; L1 preserves the ranking and the
+    mutual-reinforcement fixpoint structure). Why ``total`` defaults
+    to 1e9 and not PageRank's 1e12: the scaling multiply ``a_raw ·
+    total`` must fit int64 under Spark's ``div`` (which silently
+    routes DECIMAL through LONG), and a_raw ≤ total, so total² < 2^63
+    is required — validated, like N ≤ total (an all-zero init can
+    never recover).
+
+    100 TB shape: two contribution shuffles per iteration (groupBy
+    dst, then groupBy src) + two 1-row mass aggregates (broadcast
+    crossJoin, the repo's 1-row pattern); the (node, a, h) state is
+    checkpointed once per round."""
+    if int(iters) < 0:
+        raise ValueError("iters must be >= 0")
+    if int(total) ** 2 >= 1 << 63:
+        raise ValueError("total^2 must stay below 2^63 for int64 headroom")
+
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if dedup_edges:
+        e = e.distinct()
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(None).cast("bigint").alias("authority_nano"),
+            F.lit(None).cast("bigint").alias("hub_nano"),
+            F.lit(None).cast("double").alias("authority"),
+            F.lit(None).cast("double").alias("hub"),
+        )
+    if n > int(total):
+        raise ValueError(
+            f"{n} nodes > total={total}: the uniform init would be all "
+            "zeros; raise total (keeping total^2 < 2^63)"
+        )
+
+    h0 = int(total) // n
+    state = nodes.select(
+        "node",
+        F.lit(0).cast("bigint").alias("a"),
+        F.lit(h0).cast("bigint").alias("h"),
+    )
+    for _ in range(int(iters)):
+        a_raw = (
+            state.join(e, state["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").cast("bigint").alias("__ar"))
+        )
+        sa = a_raw.agg(
+            F.coalesce(F.sum("__ar"), F.lit(0)).cast("bigint").alias("__sa")
+        )
+        a_new = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(sa))
+            .select(
+                "node",
+                F.expr(
+                    f"CASE WHEN __sa > 0 THEN "
+                    f"coalesce(__ar, CAST(0 AS BIGINT)) * {int(total)} "
+                    f"div __sa ELSE CAST(0 AS BIGINT) END"
+                ).alias("a"),
+            )
+        )
+        h_raw = (
+            a_new.join(e, a_new["node"] == e["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").cast("bigint").alias("__hr"))
+        )
+        sh = h_raw.agg(
+            F.coalesce(F.sum("__hr"), F.lit(0)).cast("bigint").alias("__sh")
+        )
+        h_new = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(sh))
+            .select(
+                "node",
+                F.expr(
+                    f"CASE WHEN __sh > 0 THEN "
+                    f"coalesce(__hr, CAST(0 AS BIGINT)) * {int(total)} "
+                    f"div __sh ELSE CAST(0 AS BIGINT) END"
+                ).alias("h"),
+            )
+        )
+        state = (
+            a_new.join(h_new, "node")
+            .select("node", "a", "h")
+            .localCheckpoint()
+        )
+    t = float(total)
+    return state.select(
+        "node",
+        F.col("a").alias("authority_nano"),
+        F.col("h").alias("hub_nano"),
+        (F.col("a").cast("double") / F.lit(t)).alias("authority"),
+        (F.col("h").cast("double") / F.lit(t)).alias("hub"),
+    )
+
+
+def hits_oracle_sql(
+    edges_sql: str,
+    iters: int = 8,
+    total: int = 10**9,
+    dedup_edges: bool = True,
+) -> str:
+    """DuckDB twin of :func:`hits` — unrolled MATERIALIZED CTE chain,
+    HUGEINT arithmetic (exact; every value stays under 2^63 by the
+    same bounds the Spark side validates)."""
+    distinct = "DISTINCT " if dedup_edges else ""
+    t = int(total)
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT {distinct}CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst
+  FROM ({edges_sql}) WHERE src IS NOT NULL AND dst IS NOT NULL
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+)""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        f"""s0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS a, CAST({t} // nn.n AS BIGINT) AS h
+  FROM nodes, nn
+)""",
+    ]
+    for k in range(int(iters)):
+        parts.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(s{k}.h) AS HUGEINT) AS ar
+  FROM s{k} JOIN e ON e.src = s{k}.node GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"sa{k} AS (SELECT CAST(coalesce(sum(ar), 0) AS HUGEINT) "
+            f"AS sa FROM ar{k})"
+        )
+        parts.append(
+            f"""an{k} AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(CASE WHEN sa{k}.sa > 0
+              THEN (coalesce(ar{k}.ar, 0) * {t}) // sa{k}.sa
+              ELSE 0 END AS BIGINT) AS a
+  FROM nodes CROSS JOIN sa{k}
+  LEFT JOIN ar{k} ON ar{k}.node = nodes.node
+)"""
+        )
+        parts.append(
+            f"""hr{k} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(sum(an{k}.a) AS HUGEINT) AS hr
+  FROM an{k} JOIN e ON e.dst = an{k}.node GROUP BY e.src
+)"""
+        )
+        parts.append(
+            f"sh{k} AS (SELECT CAST(coalesce(sum(hr), 0) AS HUGEINT) "
+            f"AS sh FROM hr{k})"
+        )
+        parts.append(
+            f"""s{k + 1} AS MATERIALIZED (
+  SELECT nodes.node, an{k}.a,
+         CAST(CASE WHEN sh{k}.sh > 0
+              THEN (coalesce(hr{k}.hr, 0) * {t}) // sh{k}.sh
+              ELSE 0 END AS BIGINT) AS h
+  FROM nodes CROSS JOIN sh{k}
+  LEFT JOIN hr{k} ON hr{k}.node = nodes.node
+  JOIN an{k} ON an{k}.node = nodes.node
+)"""
+        )
+    final = f"s{int(iters)}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, a AS authority_nano, h AS hub_nano,
+       CAST(a AS DOUBLE) / {float(t)!r} AS authority,
+       CAST(h AS DOUBLE) / {float(t)!r} AS hub
+FROM {final}
+"""
     )

@@ -148,3 +148,100 @@ def test_domain_edges_and_recipe(spark):
         )
     )
     assert recipe == direct
+
+
+# --- HITS ---------------------------------------------------------------
+
+
+def _py_hits(edges, iters, total=10**9):
+    """Independent pure-python reference of the documented L1 HITS
+    integer spec."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {t for _, t in e})
+    n = len(nodes)
+    h = {v: total // n for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        ar = {v: 0 for v in nodes}
+        for s, t in e:
+            ar[t] += h[s]
+        sa = sum(ar.values())
+        a = {
+            v: (ar[v] * total) // sa if sa > 0 else 0 for v in nodes
+        }
+        hr = {v: 0 for v in nodes}
+        for s, t in e:
+            hr[s] += a[t]
+        sh = sum(hr.values())
+        h = {
+            v: (hr[v] * total) // sh if sh > 0 else 0 for v in nodes
+        }
+    return a, h
+
+
+def test_hits_matches_python_spec(spark):
+    from quality_spark.operators.graphrank import hits
+
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    rows = hits(edges, iters=3).collect()
+    a, h = _py_hits(EDGES, iters=3)
+    assert {r["node"]: r["authority_nano"] for r in rows} == a
+    assert {r["node"]: r["hub_nano"] for r in rows} == h
+    # d has no out-edges: pure authority, zero hub; a links out only
+    got = {r["node"]: r for r in rows}
+    assert got["d"]["hub_nano"] == 0
+    assert got["d"]["authority_nano"] > 0
+    assert got["a"]["hub_nano"] > 0
+
+
+def test_hits_duckdb_parity_and_invariance(spark, sf_dir):
+    from quality_spark.operators.graphrank import hits, hits_oracle_sql
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    got = sorted(map(tuple, hits(edges, iters=2).collect()))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                hits_oracle_sql(
+                    "SELECT 'C' || CAST(o_custkey AS VARCHAR) AS src, "
+                    "'S' || CAST(l_suppkey AS VARCHAR) AS dst "
+                    "FROM orders JOIN lineitem "
+                    "ON o_orderkey = l_orderkey",
+                    iters=2,
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    b = sorted(
+        map(tuple, hits(edges.repartition(13, "src"), iters=2).collect())
+    )
+    assert got == b
+
+
+def test_hits_validation(spark):
+    import pytest
+
+    from quality_spark.operators.graphrank import hits
+
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError, match="2\\^63"):
+        hits(edges, total=10**10)
+    with pytest.raises(ValueError, match="iters"):
+        hits(edges, iters=-2)
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert hits(empty, iters=1).count() == 0
