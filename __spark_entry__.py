@@ -8240,7 +8240,60 @@ def q_event_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_value").alias("v_double"),
         F.col("first_event_id").alias("v_long"),
     )
-    return roll.unionByName(sess)
+    ts_t = dict(roll.dtypes)["bucket_start"]
+    coh = q_cohort_leg(spark, sf_dir).select(
+        F.lit("cohort").alias("part"),
+        F.lit(-1).cast("bigint").alias("key_id"),
+        F.col("cohort_start").cast(ts_t).alias("bucket_start"),
+        F.col("bucket_start").cast(ts_t).alias("bucket_end"),
+        F.col("n_users").alias("n_events"),
+        F.lit(-1.0).alias("v_double"),
+        F.lit(-1).cast("bigint").alias("v_long"),
+    )
+    fun = q_funnel_leg(spark, sf_dir).select(
+        F.concat(F.lit("funnel"), F.col("variant")).alias("part"),
+        F.col("step").cast("bigint").alias("key_id"),
+        F.lit(_EPOCH_TS).cast(ts_t).alias("bucket_start"),
+        F.lit(_EPOCH_TS).cast(ts_t).alias("bucket_end"),
+        F.col("n_users").alias("n_events"),
+        F.lit(-1.0).alias("v_double"),
+        F.lit(-1).cast("bigint").alias("v_long"),
+    )
+    return roll.unionByName(sess).unionByName(coh).unionByName(fun)
+
+
+#: the gate funnel: signup -> view -> purchase, conditions in the
+#: shared SQL dialect (evaluated verbatim by both engines)
+_FUNNEL_STEPS = [
+    ("signup", "event_type = 'signup'"),
+    ("view", "event_type = 'view'"),
+    ("purchase", "event_type = 'purchase'"),
+]
+
+
+def q_cohort_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'cohort' part (round 10): weekly retention triangle
+    (operators/analytics.py cohort_matrix) over the events table."""
+    from quality_spark.operators.analytics import cohort_matrix
+
+    return cohort_matrix(_read(spark, sf_dir, "events"))
+
+
+def q_funnel_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'funnel'/'funnel_w' parts (round 10): ordered greedy funnel
+    (operators/analytics.py) — unbounded AND with a 24h conversion
+    window anchored at the step-1 time, so the window arithmetic is
+    oracle-pinned too."""
+    from quality_spark.operators.analytics import funnel
+
+    ev = _read(spark, sf_dir, "events")
+    unb = funnel(ev, _FUNNEL_STEPS).select(
+        F.lit("").alias("variant"), "step", "name", "n_users"
+    )
+    win = funnel(ev, _FUNNEL_STEPS, within=86400).select(
+        F.lit("_w").alias("variant"), "step", "name", "n_users"
+    )
+    return unb.unionByName(win)
 
 
 def _oracle_event_suite() -> str:
@@ -8252,7 +8305,34 @@ UNION ALL
 SELECT 'stream_session', CAST(user_id AS BIGINT), session_start,
        session_end, CAST(n_events AS BIGINT), max_value, first_event_id
 FROM ({_oracle_streaming_sessions()})
+UNION ALL
+{_oracle_analytics_legs()}
 """
+
+
+def _oracle_analytics_legs() -> str:
+    from quality_spark.operators.analytics import (
+        cohort_matrix_oracle_sql,
+        funnel_oracle_sql,
+    )
+
+    f0 = funnel_oracle_sql(_FUNNEL_STEPS)
+    fw = funnel_oracle_sql(_FUNNEL_STEPS, within=86400)
+    return f"""
+SELECT 'cohort' AS part, CAST(-1 AS BIGINT) AS key_id,
+       cohort_start AS bucket_start, bucket_start AS bucket_end,
+       n_users AS n_events, -1.0 AS v_double, CAST(-1 AS BIGINT) AS v_long
+FROM ({cohort_matrix_oracle_sql()})
+UNION ALL
+SELECT 'funnel', CAST(step AS BIGINT),
+       TIMESTAMP '{_EPOCH_TS}', TIMESTAMP '{_EPOCH_TS}',
+       n_users, -1.0, CAST(-1 AS BIGINT)
+FROM ({f0})
+UNION ALL
+SELECT 'funnel_w', CAST(step AS BIGINT),
+       TIMESTAMP '{_EPOCH_TS}', TIMESTAMP '{_EPOCH_TS}',
+       n_users, -1.0, CAST(-1 AS BIGINT)
+FROM ({fw})"""
 
 
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8456,6 +8536,8 @@ def query_legs() -> dict:
         "event_suite": {
             "rollups": q_event_rollups,
             "stream_session": q_streaming_sessions,
+            "cohort": q_cohort_leg,
+            "funnel": q_funnel_leg,
         },
         "lambda_suite": {
             "margin": q_lambda_margin,

@@ -368,6 +368,7 @@ def main() -> None:
         "operators/snapshot.py), 'joinstats' (exact join-cardinality "
         "pre-flight + hot keys, operators/relprofile.py), 'hits' "
         "(integer L1 HITS on the same order graph)",
+        "event_suite": "round 10: added 'cohort' (weekly retention triangle) and 'funnel'/'funnel_w' (ordered greedy funnel, unbounded + 24h window) parts, operators/analytics.py",
         "temporal_joins": "round 10: added 'scd2'/'scd2t' parts (SCD2 "
         "dimension-history merge, operators/temporal.py scd2_apply, "
         "version boundaries oracle-replayed as NTZ epoch seconds)",

@@ -1,0 +1,188 @@
+"""Event-stream analytics: cohort retention matrices and funnel
+conversion — the two queries every product-events pipeline runs, as
+single-plan DataFrame compositions with DuckDB twins.
+
+Both operate on a (user, ts, …) event table and emit metadata-sized
+results (cells / steps), with all arithmetic integer counts — nothing
+to diverge between engines. Timestamps are bucketed with
+``date_trunc`` (ISO Monday weeks in BOTH Spark and DuckDB).
+
+100 TB shapes:
+- :func:`cohort_matrix`: groupBy(user) for first-seen, one
+  distinct(user, bucket) pass, a user-keyed join, and a cell groupBy —
+  four key-partitioned exchanges, no windows, no driver data. The
+  activity-distinct frame is the big one and it is already the minimal
+  set (one row per user-bucket).
+- :func:`funnel`: one min-aggregate per step over the step's filtered
+  events joined to the previous step's reach frame (user-keyed;
+  reach frames shrink monotonically) — k small shuffles for a k-step
+  funnel, never a per-user event sort.
+
+Step conditions are SQL strings evaluated verbatim in BOTH engines —
+the same shared-dialect contract as rule texts everywhere else in
+this repo (keep them in the ANSI intersection: comparisons, IN,
+AND/OR on event columns).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cohort_matrix",
+    "cohort_matrix_oracle_sql",
+    "funnel",
+    "funnel_oracle_sql",
+]
+
+_BUCKETS = ("week", "month", "day")
+
+
+def cohort_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> DataFrame:
+    """(cohort_start, bucket_start, n_users): users whose FIRST event
+    falls in ``cohort_start``'s bucket and who were active during
+    ``bucket_start`` — the retention triangle. ``n_users`` is exact
+    (the activity frame is distinct per (user, bucket), so the cell
+    count needs no count-distinct Expand)."""
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {_BUCKETS}")
+    fs = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.date_trunc(bucket, F.min(ts_col)).alias("cohort_start")
+    )
+    act = events.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"),
+    ).distinct()
+    return (
+        act.join(fs, "__u")
+        .groupBy("cohort_start", "bucket_start")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+def cohort_matrix_oracle_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> str:
+    """DuckDB twin of :func:`cohort_matrix` (date_trunc buckets are
+    ISO-Monday in both engines; cast back to TIMESTAMP because
+    DuckDB's date_trunc('week'/'day') narrows to DATE while Spark
+    keeps the input's timestamp type)."""
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {_BUCKETS}")
+    return f"""
+SELECT fs.cohort_start, act.bucket_start,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM (SELECT DISTINCT {user_col} AS u,
+             CAST(date_trunc('{bucket}', {ts_col}) AS TIMESTAMP)
+               AS bucket_start
+      FROM {table}) act
+JOIN (SELECT {user_col} AS u,
+             CAST(date_trunc('{bucket}', min({ts_col})) AS TIMESTAMP)
+               AS cohort_start
+      FROM {table} GROUP BY {user_col}) fs
+  ON act.u = fs.u
+GROUP BY fs.cohort_start, act.bucket_start
+"""
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[tuple],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    within: Optional[int] = None,
+) -> DataFrame:
+    """(step, name, n_users) conversion counts for an ORDERED funnel:
+    a user reaches step k if events matching conditions 1…k exist at
+    non-decreasing timestamps (each step's time = the earliest
+    qualifying event at-or-after the previous step's time — the
+    standard greedy matching, which maximizes reach). ``steps`` is a
+    list of (name, sql_condition). ``within`` (seconds) bounds every
+    later step relative to the STEP-1 time — the classic conversion
+    window."""
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    spark = events.sparkSession
+    prev = None
+    out = None
+    for i, (name, cond) in enumerate(steps):
+        se = events.filter(F.expr(cond)).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if i == 0:
+            cur = se.groupBy("__u").agg(
+                F.min("__ts").alias("__t"), F.min("__ts").alias("__t0")
+            )
+        else:
+            j = se.join(prev, "__u").filter(F.col("__ts") >= F.col("__t"))
+            if within is not None:
+                j = j.filter(
+                    F.expr(
+                        f"__ts <= timestampadd(SECOND, {int(within)}, __t0)"
+                    )
+                )
+            cur = j.groupBy("__u").agg(
+                F.min("__ts").alias("__t"), F.min("__t0").alias("__t0")
+            )
+        row = cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(name).alias("name"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+        prev = cur
+    return out
+
+
+def funnel_oracle_sql(
+    steps: Sequence[tuple],
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    within: Optional[int] = None,
+) -> str:
+    """DuckDB twin of :func:`funnel` — one CTE per step, chained."""
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    parts = []
+    for i, (_, cond) in enumerate(steps):
+        if i == 0:
+            parts.append(
+                f"""s0 AS MATERIALIZED (
+  SELECT {user_col} AS u, min({ts_col}) AS t, min({ts_col}) AS t0
+  FROM {table} WHERE {cond} GROUP BY {user_col}
+)"""
+            )
+        else:
+            win = (
+                f" AND e.{ts_col} <= p.t0 + INTERVAL {int(within)} SECOND"
+                if within is not None
+                else ""
+            )
+            parts.append(
+                f"""s{i} AS MATERIALIZED (
+  SELECT e.{user_col} AS u, min(e.{ts_col}) AS t, min(p.t0) AS t0
+  FROM {table} e JOIN s{i - 1} p
+    ON e.{user_col} = p.u AND e.{ts_col} >= p.t{win}
+  WHERE {cond} GROUP BY e.{user_col}
+)"""
+            )
+    sels = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS step, '{name}' AS name, "
+        f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, (name, _) in enumerate(steps)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sels
