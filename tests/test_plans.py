@@ -603,3 +603,96 @@ def test_jaccard_pairs_scan_budget(spark, sf_dir):
     a = sorted(map(tuple, lazy.collect()))
     b = sorted(map(tuple, mat.collect()))
     assert a == b and len(a) > 0
+
+
+def test_snapshot_diff_plan_one_join_no_cartesian(spark, sf_dir):
+    """snapshot_diff is ONE null-safe full-outer join — no cartesian,
+    no window, and exactly one join operator in the plan."""
+    from quality_spark.operators.snapshot import snapshot_diff
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    new = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice")),
+    )
+    plan = _plan(
+        snapshot_diff(
+            orders, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+        )
+    )
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+    assert plan.count("Join") >= 1
+
+
+def test_join_hot_keys_plan_takeordered(spark, sf_dir):
+    """The hot-key cut must be TakeOrderedAndProject — never a global
+    sort of the per-key count join."""
+    from quality_spark.operators.relprofile import join_hot_keys
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = _plan(join_hot_keys(li, li, ["l_suppkey"], k=5))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_pagerank_iteration_plan_no_cartesian_beyond_one_row(spark):
+    """One PageRank iteration's plan: the only nested-loop join is the
+    1-row dangling-mass broadcast (BroadcastNestedLoopJoin on a
+    single-row aggregate is the repo's established metadata pattern);
+    a CartesianProduct must never appear."""
+    from quality_spark.operators.graphrank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "src string, dst string",
+    )
+    # iters=0 returns checkpointed nodes; pin the iteration shape by
+    # explaining one manually-built round instead: run iters=1 and
+    # assert on the RESULT frame's plan (checkpoint cuts lineage, so
+    # explain the op pre-collect via a fresh call)
+    out = pagerank(edges, iters=1)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_scd2_plan_materialized_no_window_recompute(spark, sf_dir):
+    """scd2_apply(materialize=True): the survivor checkpoint runs the
+    two key-partitioned windows ONCE — the merged output plan must
+    contain ZERO Window nodes (lazily, all three output branches
+    would re-execute them) and no cartesian. The lazy variant keeps
+    the windows but still no cartesian."""
+    from quality_spark.operators.temporal import scd2_apply
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = ev.select(
+        "user_id", "event_type", "value",
+        F.col("ts").alias("valid_from"),
+        F.lit(None).cast(dict(ev.dtypes)["ts"]).alias("valid_to"),
+    ).limit(50)
+    args = (dim, ev, ["user_id"], ["event_type", "value"])
+    plan = _plan(scd2_apply(*args, order_cols=["ts", "event_id"]))
+    assert "Window" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    lazy = _plan(
+        scd2_apply(*args, order_cols=["ts", "event_id"], materialize=False)
+    )
+    assert "Window" in lazy and "CartesianProduct" not in lazy
+
+
+def test_funnel_plan_no_window_no_cartesian(spark, sf_dir):
+    """funnel is min-aggregates + key joins — no per-user event-sort
+    window, no cartesian."""
+    from quality_spark.operators.analytics import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(
+        funnel(
+            ev,
+            [("a", "event_type = 'view'"), ("b", "event_type = 'click'")],
+            within=3600,
+        )
+    )
+    assert "Window" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
