@@ -741,3 +741,111 @@ def sessionized_stream_stats(
         F.col("session_window.end").alias("session_end"),
         *agg_names,
     )
+
+
+def _scd2_versions(spark, store_path: str) -> List[int]:
+    """Complete (_SUCCESS-marked) version ids in an SCD2 store,
+    ascending."""
+    import os
+
+    fs, jvm = _hadoop_fs(spark, store_path)
+    base = jvm.org.apache.hadoop.fs.Path(store_path)
+    if not fs.exists(base):
+        return []
+    out = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if not name.startswith("version="):
+            continue
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(store_path, name, "_SUCCESS")
+            )
+        ):
+            out.append(v)
+    return sorted(out)
+
+
+def read_scd2_store(spark, store_path: str) -> Optional[DataFrame]:
+    """The CURRENT SCD2 table: the highest complete version in the
+    store (parquet's _SUCCESS marker is the commit record — a crashed
+    half-written version is invisible). None when the store is
+    empty."""
+    vs = _scd2_versions(spark, store_path)
+    if not vs:
+        return None
+    return spark.read.parquet(f"{store_path}/version={vs[-1]}")
+
+
+def scd2_to_store(
+    store_path: str,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    ts_col: str = "ts",
+    order_cols: Optional[Sequence[str]] = None,
+    keep_versions: int = 2,
+):
+    """``foreachBatch`` handler maintaining a versioned SCD2 dimension
+    from a stream: each micro-batch folds into the store's current
+    table via ``operators.temporal.scd2_apply`` and commits the merged
+    result as ``store_path/version=<epoch_id>``.
+
+    EXACTLY-ONCE by construction: foreachBatch replays a failed epoch
+    under the SAME epoch_id, and the handler SKIPS any epoch whose
+    version dir is already _SUCCESS-complete — so a restart can
+    neither double-apply a batch (which would fabricate spurious
+    versions when one batch carried multiple updates per key) nor
+    lose one. A crash mid-write leaves a markerless dir the next read
+    ignores and the replay overwrites.
+
+    Cost model: one full dimension rewrite per batch — the SCD2 table
+    is dimension-sized (users/hosts/products), orders of magnitude
+    under the event stream it versions; ``keep_versions`` old
+    versions are retained for readers-in-flight / time travel, older
+    ones deleted after each commit. Updates are assumed to arrive in
+    epoch order per key across batches (the streaming-ingest contract
+    of scd2_apply)."""
+    from ..operators.temporal import scd2_apply
+
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    keys = list(keys)
+    attrs = list(attrs)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        done = _scd2_versions(spark, store_path)
+        if int(epoch_id) in done:
+            return  # replayed epoch: already committed
+        cur = read_scd2_store(spark, store_path)
+        if cur is None:
+            ts_type = dict(batch_df.dtypes)[ts_col]
+            cur = batch_df.select(
+                *keys,
+                *attrs,
+                F.col(ts_col).alias("valid_from"),
+                F.lit(None).cast(ts_type).alias("valid_to"),
+            ).limit(0)
+        merged = scd2_apply(
+            cur, batch_df, keys, attrs, ts_col=ts_col, order_cols=order_cols
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{store_path}/version={int(epoch_id)}"
+        )
+        vs = _scd2_versions(spark, store_path)
+        fs, jvm = _hadoop_fs(spark, store_path)
+        for v in vs[: max(0, len(vs) - int(keep_versions))]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(store_path, f"version={v}")
+                ),
+                True,
+            )
+
+    return handle

@@ -879,3 +879,71 @@ def test_profile_store_histogram_quantiles_and_psi(spark, sf_dir):
 
     with pytest.raises(ValueError, match="approx"):
         profile_shards_to_store(store, cols, approx=False, bins=8)
+
+
+def test_scd2_to_store_stream(spark, sf_dir):
+    """Streaming SCD2 maintenance. The foreachBatch handler is a plain
+    function, so the order-sensitive fold is driven DIRECTLY with
+    deterministic epoch ids (a file-source stream does not guarantee
+    arrival order matches our staging order, and SCD2 is
+    order-sensitive by contract): three time-ranged batches fold into
+    the versioned store and must equal the ONE-SHOT scd2_apply over
+    the union; replaying a committed epoch is a no-op (exactly-once
+    guard); old versions are pruned to keep_versions."""
+    from quality_spark.operators.temporal import scd2_apply
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+    from quality_spark.streaming.recipes import (
+        _scd2_versions,
+        read_scd2_store,
+        scd2_to_store,
+    )
+
+    ev = read_parquet_compat(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") % 5 == 0
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    batches = []
+    for i in range(3):
+        end = lo + (i + 1) * span
+        cond = (F.col("ts") >= lo + i * span) & (
+            (F.col("ts") < end) if i < 2 else F.lit(True)
+        )
+        batches.append(ev.filter(cond))
+
+    store = tempfile.mkdtemp(prefix="qs_scdstore_")
+    handler = scd2_to_store(
+        store, ["user_id"], ["event_type", "value"],
+        order_cols=["ts", "event_id"], keep_versions=2,
+    )
+    for i, b in enumerate(batches):
+        handler(b, i)
+
+    got = read_scd2_store(spark, store)
+    assert got is not None
+    ts_type = dict(ev.dtypes)["ts"]
+    empty = ev.select(
+        "user_id", "event_type", "value",
+        F.col("ts").alias("valid_from"),
+        F.lit(None).cast(ts_type).alias("valid_to"),
+    ).limit(0)
+    want = scd2_apply(
+        empty, ev, ["user_id"], ["event_type", "value"],
+        order_cols=["ts", "event_id"],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # exactly-once: replaying a committed epoch is a no-op even with
+    # different (garbage) content
+    before = sorted(map(tuple, read_scd2_store(spark, store).collect()))
+    handler(ev, 2)
+    after = sorted(map(tuple, read_scd2_store(spark, store).collect()))
+    assert before == after
+    # pruning: keep_versions=2 retains exactly the last two commits
+    assert _scd2_versions(spark, store) == [1, 2]
+    # SCD2 invariant: one current row per key
+    cur = got.filter("valid_to IS NULL").groupBy("user_id").count()
+    assert cur.filter("count > 1").count() == 0
+    # bootstrap-from-empty read
+    assert read_scd2_store(spark, tempfile.mkdtemp()) is None
