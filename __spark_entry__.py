@@ -5647,11 +5647,27 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkept = q_budget_kept_leg(spark, sf_dir).select(
         F.lit("budget_kept").alias("part"), "doc_id", "lang", null_n
     )
+    topf = q_top_fraction_leg(spark, sf_dir).select(
+        F.lit("topfrac").alias("part"), "doc_id", "lang", null_n
+    )
     return (
         hash_split.unionByName(strat).unionByName(mix)
         .unionByName(temp).unionByName(cap).unionByName(hh)
         .unionByName(hhg).unionByName(ws).unionByName(wsg)
-        .unionByName(bplan).unionByName(bkept)
+        .unionByName(bplan).unionByName(bkept).unionByName(topf)
+    )
+
+
+def q_top_fraction_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'topfrac' part (round 10): exact per-group top-fraction cut
+    (llm/sampling.py keep_top_fraction) — top 10% of documents per
+    lang by n_chars via the compact (group, score, cnt) threshold
+    table, ties kept; no data-sized sort anywhere."""
+    from quality_spark.llm.sampling import keep_top_fraction
+
+    docs = _read(spark, sf_dir, "documents")
+    return keep_top_fraction(docs, "n_chars", (1, 10), by=["lang"]).select(
+        "doc_id", "lang"
     )
 
 
@@ -5724,7 +5740,18 @@ FROM ({token_budget_sample_oracle_sql(
         "documents", "source", "doc_id", _budget_weights(),
         _BUDGET_TOKENS, seed=3, select="d.doc_id, d.lang",
     )})
+UNION ALL
+SELECT 'topfrac', doc_id, lang, CAST(-1 AS BIGINT)
+FROM ({_ktf_oracle()})
 """
+
+
+def _ktf_oracle() -> str:
+    from quality_spark.llm.sampling import keep_top_fraction_oracle_sql
+
+    return keep_top_fraction_oracle_sql(
+        "documents", "n_chars", (1, 10), by=["lang"]
+    )
 
 
 #: Shared suffix injected by the substring-removal gate: doc_id%7
@@ -8585,6 +8612,7 @@ def query_legs() -> dict:
             "wsample_g": q_wsample_g_leg,
             "budget_plan": q_budget_plan_leg,
             "budget_kept": q_budget_kept_leg,
+            "topfrac": q_top_fraction_leg,
         },
         "event_rollups": {
             "rollup": q_time_rollup_events,

@@ -358,7 +358,7 @@ def main() -> None:
         "gate changed this round",
         "dedup_exact": "round 10: leg refactor only (substr/fuzzy "
         "factored into q_*_leg helpers; same plan)",
-        "sampling_splits": "round 10: leg refactor only",
+        "sampling_splits": "round 10: leg refactor, then NEW 'topfrac' part (exact per-group top-fraction cut, llm/sampling.py keep_top_fraction)",
         "tfidf_scores": "round 10: leg refactor only",
         "digest_documents": "round 10: leg refactor only",
         "skew_ops": "round 10: leg refactor, then four NEW parts late "

@@ -646,3 +646,106 @@ SELECT {columns} FROM (
   WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
 ) WHERE _rk <= {int(n)}
 """
+
+
+def keep_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    frac: tuple,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Keep the top ``frac`` of rows by ``score_col`` within each
+    ``by`` group (whole frame when ``by`` is None) — the
+    RefinedWeb/CCNet "keep the top X% by quality score per language"
+    cut, EXACT and without ever sorting the data.
+
+    ``frac`` is a rational ``(num, den)`` (the classifier-lr
+    convention): keep_n per group = ceil(n_g·num/den) in pure integer
+    arithmetic, so both engines compute the identical cut. The
+    threshold is the keep_n-th largest score; ALL rows tying it are
+    kept (deterministic; may exceed keep_n — the tie-free variant is
+    ``cap_per_group`` with a row budget). NULL scores never qualify.
+
+    100 TB shape: one map-side-combinable groupBy onto the COMPACT
+    (group, score, cnt) table, one window over that compact table
+    (sorts distinct scores per group — never rows), one threshold
+    aggregate, one broadcast-or-shuffle join back + codegen'd filter.
+    Contrast with the naive per-group row_number window, which sorts
+    the entire frame."""
+    num, den = int(frac[0]), int(frac[1])
+    if den <= 0 or num < 0:
+        raise ValueError("frac must be a rational (num >= 0, den > 0)")
+    if num > 10**6 or den > 10**6:
+        raise ValueError("frac terms must stay <= 1e6 (int64 headroom)")
+    if num == 0:
+        return df.filter(F.lit(False))
+    groups = list(by) if by else []
+    d = df if groups else df.withColumn("__g", F.lit(1))
+    gcols = groups or ["__g"]
+    compact = (
+        d.filter(F.col(score_col).isNotNull())
+        .groupBy(*gcols, score_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    )
+    wcum = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*gcols)
+    ranked = compact.select(
+        *gcols,
+        score_col,
+        F.sum("__cnt").over(wcum).alias("__cum"),
+        F.sum("__cnt").over(wall).alias("__n"),
+    )
+    thr = (
+        ranked.filter(
+            F.col("__cum")
+            >= F.expr(f"(__n * {num} + {den} - 1) div {den}")
+        )
+        .groupBy(*gcols)
+        .agg(F.max(score_col).alias("__thr"))
+    )
+    out = d.join(thr, gcols).filter(F.col(score_col) >= F.col("__thr"))
+    return out.drop("__thr", *([] if groups else ["__g"])).select(
+        *df.columns
+    )
+
+
+def keep_top_fraction_oracle_sql(
+    table: str,
+    score_col: str,
+    frac: tuple,
+    by: Optional[Sequence[str]] = None,
+) -> str:
+    """DuckDB replay of :func:`keep_top_fraction`."""
+    num, den = int(frac[0]), int(frac[1])
+    if num == 0:
+        return f"SELECT * FROM {table} WHERE FALSE"
+    groups = list(by) if by else []
+    gsel = ", ".join(groups) if groups else "1 AS __g"
+    gref = ", ".join(groups) if groups else "__g"
+    on = (
+        " AND ".join(f"t.{g} = thr.{g}" for g in groups)
+        if groups
+        else "TRUE"
+    )
+    return f"""
+SELECT t.* FROM {table} t
+JOIN (
+  SELECT {gref}, max({score_col}) AS __thr FROM (
+    SELECT {gref}, {score_col},
+           sum(__cnt) OVER (PARTITION BY {gref}
+             ORDER BY {score_col} DESC
+             ROWS UNBOUNDED PRECEDING) AS __cum,
+           sum(__cnt) OVER (PARTITION BY {gref}) AS __n
+    FROM (SELECT {gsel}, {score_col},
+                 CAST(count(*) AS BIGINT) AS __cnt
+          FROM {table} WHERE {score_col} IS NOT NULL
+          GROUP BY {gref}, {score_col})
+  ) WHERE __cum >= (__n * {num} + {den} - 1) // {den}
+  GROUP BY {gref}
+) thr ON {on}
+WHERE t.{score_col} >= thr.__thr
+"""

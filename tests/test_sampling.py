@@ -562,3 +562,71 @@ def test_token_budget_plan_rejects_oversized_inputs(spark):
     with pytest.raises(ValueError, match="budget"):
         token_budget_plan(df, "dom", {"a": 1}, 10**15 + 1,
                           token_count_expr="tok")
+
+
+def test_keep_top_fraction_known_and_parity(spark, sf_dir):
+    """keep_top_fraction: exact per-group cut with ties kept, NULL
+    scores never qualifying; DuckDB parity on real documents."""
+    import duckdb
+
+    from quality_spark.llm.sampling import (
+        keep_top_fraction,
+        keep_top_fraction_oracle_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 5.0), ("a", 2, 4.0), ("a", 3, 3.0), ("a", 4, 3.0),
+            ("a", 5, 1.0), ("b", 6, 9.0), ("b", 7, None), ("b", 8, 2.0),
+        ],
+        "g string, id long, s double",
+    )
+    # 40% of a's 5 scored rows = ceil(2.0) = 2 -> threshold 4.0;
+    # 40% of b's 2 non-null = ceil(0.8) = 1 -> threshold 9.0
+    got = sorted(
+        r["id"] for r in keep_top_fraction(df, "s", (2, 5), by=["g"]).collect()
+    )
+    assert got == [1, 2, 6]
+    # ties at the threshold all kept: 60% of a = 3 -> thr 3.0, ids 1-4;
+    # b: ceil(2*3/5) = 2 -> both scored rows
+    got = sorted(
+        r["id"] for r in keep_top_fraction(df, "s", (3, 5), by=["g"]).collect()
+    )
+    assert got == [1, 2, 3, 4, 6, 8]
+    # global (by=None), frac=1 keeps every non-null-scored row
+    assert sorted(
+        r["id"] for r in keep_top_fraction(df, "s", (1, 1)).collect()
+    ) == [1, 2, 3, 4, 5, 6, 8]
+    assert keep_top_fraction(df, "s", (0, 5)).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="rational"):
+        keep_top_fraction(df, "s", (-1, 5))
+    with pytest.raises(ValueError, match="1e6"):
+        keep_top_fraction(df, "s", (1, 10**7))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        map(
+            tuple,
+            keep_top_fraction(
+                docs, "n_chars", (1, 10), by=["lang"]
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                keep_top_fraction_oracle_sql(
+                    "documents", "n_chars", (1, 10), by=["lang"]
+                )
+            ).fetchall(),
+        )
+    )
+    assert len(got) > 0 and got == want
