@@ -5650,11 +5650,31 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     topf = q_top_fraction_leg(spark, sf_dir).select(
         F.lit("topfrac").alias("part"), "doc_id", "lang", null_n
     )
+    pct = q_percentile_leg(spark, sf_dir).select(
+        F.lit("pctile").alias("part"), "doc_id", "lang", F.col("n")
+    )
     return (
         hash_split.unionByName(strat).unionByName(mix)
         .unionByName(temp).unionByName(cap).unionByName(hh)
         .unionByName(hhg).unionByName(ws).unionByName(wsg)
         .unionByName(bplan).unionByName(bkept).unionByName(topf)
+        .unionByName(pct)
+    )
+
+
+def q_percentile_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'pctile' part (round 10): exact within-group percentile
+    (llm/sampling.py with_group_percentile — compact-table machinery,
+    no data-sized sort). The double is an IEEE division of exact
+    integer counts; the gate pins floor(pct·1e6) so truncation
+    direction is explicit in both engines."""
+    from quality_spark.llm.sampling import with_group_percentile
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_group_percentile(docs, "n_chars", by=["lang"]).select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("pct_rank") * 1000000).cast("bigint").alias("n"),
     )
 
 
@@ -5743,7 +5763,19 @@ FROM ({token_budget_sample_oracle_sql(
 UNION ALL
 SELECT 'topfrac', doc_id, lang, CAST(-1 AS BIGINT)
 FROM ({_ktf_oracle()})
+UNION ALL
+SELECT 'pctile', doc_id, lang,
+       CAST(floor(pct_rank * 1000000) AS BIGINT)
+FROM ({_pct_oracle()})
 """
+
+
+def _pct_oracle() -> str:
+    from quality_spark.llm.sampling import with_group_percentile_oracle_sql
+
+    return with_group_percentile_oracle_sql(
+        "documents", "n_chars", by=["lang"], select="t.doc_id, t.lang"
+    )
 
 
 def _ktf_oracle() -> str:
@@ -6621,6 +6653,7 @@ def q_rel_profile_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quality_spark.operators.relprofile import (
         fd_violations,
         fk_orphan_stats,
+        k_anonymity_stats,
         key_uniqueness,
         relational_profile,
     )
@@ -6647,6 +6680,11 @@ def q_rel_profile_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
              fd_violations(orders, ["o_custkey"], "o_orderstatus")),
             ("fd_pk_cust",
              fd_violations(orders, ["o_orderkey"], "o_custkey")),
+            # round 10: k-anonymity fact on a quasi-identifier pair
+            ("kanon_ord",
+             k_anonymity_stats(
+                 orders, ["o_orderstatus", "o_orderpriority"], k=5
+             )),
         ]
     )
 
@@ -6655,6 +6693,7 @@ def _oracle_skew_ops() -> str:
     from quality_spark.operators.relprofile import (
         fd_violations_oracle_sql,
         fk_orphan_stats_oracle_sql,
+        k_anonymity_oracle_sql,
         key_uniqueness_oracle_sql,
     )
 
@@ -6709,6 +6748,16 @@ def _oracle_skew_ops() -> str:
                     "orders", ["o_orderkey"], "o_custkey"
                 ),
                 fd_cols,
+            ),
+            unpiv(
+                "kanon_ord",
+                k_anonymity_oracle_sql(
+                    "orders", ["o_orderstatus", "o_orderpriority"], 5
+                ),
+                [
+                    "n_rows", "n_groups", "min_group_size",
+                    "n_groups_below_k", "n_rows_below_k",
+                ],
             ),
         ]
     )
@@ -8613,6 +8662,7 @@ def query_legs() -> dict:
             "budget_plan": q_budget_plan_leg,
             "budget_kept": q_budget_kept_leg,
             "topfrac": q_top_fraction_leg,
+            "pctile": q_percentile_leg,
         },
         "event_rollups": {
             "rollup": q_time_rollup_events,

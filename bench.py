@@ -358,7 +358,7 @@ def main() -> None:
         "gate changed this round",
         "dedup_exact": "round 10: leg refactor only (substr/fuzzy "
         "factored into q_*_leg helpers; same plan)",
-        "sampling_splits": "round 10: leg refactor, then NEW 'topfrac' part (exact per-group top-fraction cut, llm/sampling.py keep_top_fraction)",
+        "sampling_splits": "round 10: leg refactor, then NEW 'topfrac' part (exact per-group top-fraction cut, llm/sampling.py keep_top_fraction) and 'pctile' part (exact within-group percentile)",
         "tfidf_scores": "round 10: leg refactor only",
         "digest_documents": "round 10: leg refactor only",
         "skew_ops": "round 10: leg refactor, then four NEW parts late "
@@ -367,7 +367,8 @@ def main() -> None:
         "'snapdiff' (row-level snapshot diff summary + row subset, "
         "operators/snapshot.py), 'joinstats' (exact join-cardinality "
         "pre-flight + hot keys, operators/relprofile.py), 'hits' "
-        "(integer L1 HITS on the same order graph)",
+        "(integer L1 HITS on the same order graph); the rel leg also "
+        "grew kanon_ord (k-anonymity) rows",
         "event_suite": "round 10: added 'cohort' (weekly retention triangle) and 'funnel'/'funnel_w' (ordered greedy funnel, unbounded + 24h window) parts, operators/analytics.py",
         "temporal_joins": "round 10: added 'scd2'/'scd2t' parts (SCD2 "
         "dimension-history merge, operators/temporal.py scd2_apply, "

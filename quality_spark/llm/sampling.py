@@ -749,3 +749,79 @@ JOIN (
 ) thr ON {on}
 WHERE t.{score_col} >= thr.__thr
 """
+
+
+def with_group_percentile(
+    df: DataFrame,
+    score_col: str,
+    by: Optional[Sequence[str]] = None,
+    out: str = "pct_rank",
+) -> DataFrame:
+    """Adds the EXACT within-group percentile of ``score_col`` —
+    fraction of the group's non-NULL-scored rows with STRICTLY
+    smaller score, in [0, 1) — without a data-sized sort (the
+    curriculum-weighting / score-calibration companion of
+    :func:`keep_top_fraction`, same compact-table machinery: one
+    combinable groupBy to (group, score, cnt), a cumulative window
+    over DISTINCT scores, one join back). The value is one IEEE
+    division of exact integer counts, engine-identical; NULL scores
+    get a NULL percentile."""
+    groups = list(by) if by else []
+    d = df if groups else df.withColumn("__g", F.lit(1))
+    gcols = groups or ["__g"]
+    compact = (
+        d.filter(F.col(score_col).isNotNull())
+        .groupBy(*gcols, score_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    )
+    wcum = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*gcols)
+    ranks = compact.select(
+        *gcols,
+        score_col,
+        (F.sum("__cnt").over(wcum) - F.col("__cnt")).alias("__lt"),
+        F.sum("__cnt").over(wall).alias("__n"),
+    )
+    joined = d.join(ranks, gcols + [score_col], "left").withColumn(
+        out,
+        (F.col("__lt").cast("double") / F.col("__n").cast("double")),
+    )
+    return joined.drop("__lt", "__n", *([] if groups else ["__g"])).select(
+        *df.columns, out
+    )
+
+
+def with_group_percentile_oracle_sql(
+    table: str,
+    score_col: str,
+    by: Optional[Sequence[str]] = None,
+    out: str = "pct_rank",
+    select: str = "*",
+) -> str:
+    """DuckDB replay of :func:`with_group_percentile`."""
+    groups = list(by) if by else []
+    gref = ", ".join(groups) if groups else "1"
+    on = " AND ".join(
+        [f"t.{g} IS NOT DISTINCT FROM r.{g}" for g in groups]
+        + [f"t.{score_col} = r.{score_col}"]
+    )
+    return f"""
+SELECT {select},
+       CAST(r.__lt AS DOUBLE) / CAST(r.__n AS DOUBLE) AS {out}
+FROM {table} t
+LEFT JOIN (
+  SELECT {', '.join(groups) + ',' if groups else ''} {score_col},
+         sum(__cnt) OVER (PARTITION BY {gref}
+           ORDER BY {score_col} ASC ROWS UNBOUNDED PRECEDING)
+           - __cnt AS __lt,
+         sum(__cnt) OVER (PARTITION BY {gref}) AS __n
+  FROM (SELECT {', '.join(groups) + ',' if groups else ''} {score_col},
+               CAST(count(*) AS BIGINT) AS __cnt
+        FROM {table} WHERE {score_col} IS NOT NULL
+        GROUP BY {gref}, {score_col})
+) r ON {on}
+"""

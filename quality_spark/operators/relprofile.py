@@ -385,3 +385,49 @@ def relational_profile(
     return spark.createDataFrame(
         rows, "relation string, stat string, value bigint"
     )
+
+
+def k_anonymity_stats(df: DataFrame, qi_cols: Sequence[str], k: int) -> DataFrame:
+    """k-anonymity fact for a quasi-identifier combination: one row —
+    (n_rows, n_groups, min_group_size, n_groups_below_k,
+    n_rows_below_k). A dataset is k-anonymous on ``qi_cols`` iff
+    ``n_rows_below_k = 0``: every row shares its quasi-identifier
+    tuple with at least k−1 others. NULL components count as ordinary
+    values (groupBy semantics — an all-NULL tuple that appears once
+    still identifies a row). One map-side-combinable groupBy + a
+    single-row aggregate, the key_uniqueness shape."""
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    per = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("__c"))
+    return per.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("__c").cast("bigint").alias("min_group_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c") < int(k), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_groups_below_k"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c") < int(k), F.col("__c")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_rows_below_k"),
+    )
+
+
+def k_anonymity_oracle_sql(table: str, qi_cols: Sequence[str], k: int) -> str:
+    qs = ", ".join(qi_cols)
+    return f"""
+SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(c) AS BIGINT) AS min_group_size,
+       CAST(coalesce(sum(CASE WHEN c < {int(k)} THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_groups_below_k,
+       CAST(coalesce(sum(CASE WHEN c < {int(k)} THEN c ELSE 0 END), 0)
+         AS BIGINT) AS n_rows_below_k
+FROM (SELECT {qs}, count(*) AS c FROM {table} GROUP BY {qs})
+"""

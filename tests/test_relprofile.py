@@ -218,3 +218,43 @@ def test_join_explosion_validation(spark):
         join_explosion_stats(df, df, ["k"], ["k", "v"])
     with pytest.raises(ValueError, match="positive"):
         join_hot_keys(df, df, ["k"], k=0)
+
+
+def test_k_anonymity_known_and_parity(spark, sf_dir):
+    from quality_spark.operators.relprofile import (
+        k_anonymity_oracle_sql,
+        k_anonymity_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("us", 30, "x"), ("us", 30, "y"), ("us", 30, "z"),
+            ("eu", 40, "p"), ("eu", 40, "q"),
+            ("ap", 50, "lone"),
+            (None, None, "nulls"),
+        ],
+        "region string, age int, payload string",
+    )
+    got = k_anonymity_stats(df, ["region", "age"], k=2).collect()[0]
+    assert tuple(got) == (7, 4, 1, 2, 2)  # (ap,50) and the NULL tuple
+    got3 = k_anonymity_stats(df, ["region", "age"], k=3).collect()[0]
+    assert got3["n_rows_below_k"] == 4 and got3["min_group_size"] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        k_anonymity_stats(df, [], 2)
+    with pytest.raises(ValueError, match=">= 1"):
+        k_anonymity_stats(df, ["region"], 0)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    con = _duck(sf_dir)
+    g = k_anonymity_stats(
+        orders, ["o_orderstatus", "o_orderpriority"], k=5
+    ).collect()[0]
+    w = con.execute(
+        k_anonymity_oracle_sql(
+            "orders", ["o_orderstatus", "o_orderpriority"], 5
+        )
+    ).fetchone()
+    assert tuple(g) == tuple(w)

@@ -630,3 +630,51 @@ def test_keep_top_fraction_known_and_parity(spark, sf_dir):
         )
     )
     assert len(got) > 0 and got == want
+
+
+def test_group_percentile_known_and_parity(spark, sf_dir):
+    import duckdb
+
+    from quality_spark.llm.sampling import (
+        with_group_percentile,
+        with_group_percentile_oracle_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 20.0), ("a", 4, 40.0),
+            ("b", 5, 7.0), ("b", 6, None),
+        ],
+        "g string, id long, s double",
+    )
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in with_group_percentile(df, "s", by=["g"]).collect()
+    }
+    # a: 10 -> 0/4; the 20-tie -> 1/4 both; 40 -> 3/4. b: 7 -> 0/1
+    assert got == {1: 0.0, 2: 0.25, 3: 0.25, 4: 0.75, 5: 0.0, 6: None}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gotd = sorted(
+        (r["doc_id"], r["pct_rank"])
+        for r in with_group_percentile(
+            docs, "n_chars", by=["lang"]
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                with_group_percentile_oracle_sql(
+                    "documents", "n_chars", by=["lang"],
+                    select="t.doc_id",
+                )
+            ).fetchall(),
+        )
+    )
+    assert len(gotd) > 0 and gotd == want
