@@ -8335,7 +8335,37 @@ def q_event_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1.0).alias("v_double"),
         F.lit(-1).cast("bigint").alias("v_long"),
     )
-    return roll.unionByName(sess).unionByName(coh).unionByName(fun)
+    anom = q_anomaly_leg(spark, sf_dir).select(
+        F.lit("anom").alias("part"),
+        # flag: 1 anomalous / 0 calm / -1 insufficient baseline
+        F.when(F.col("flag").isNull(), -1)
+        .otherwise(F.col("flag").cast("int"))
+        .cast("bigint")
+        .alias("key_id"),
+        F.col("bucket_start").cast(ts_t).alias("bucket_start"),
+        F.col("bucket_start").cast(ts_t).alias("bucket_end"),
+        F.col("n").alias("n_events"),
+        F.lit(-1.0).alias("v_double"),
+        F.lit(-1).cast("bigint").alias("v_long"),
+    )
+    return (
+        roll.unionByName(sess)
+        .unionByName(coh)
+        .unionByName(fun)
+        .unionByName(anom)
+    )
+
+
+def q_anomaly_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'anom' part (round 10): integer-exact rolling volume-anomaly
+    flags (operators/analytics.py count_anomalies) — hourly buckets,
+    6-bucket causal baseline, k=2; the z² test is a DECIMAL/HUGEINT
+    comparison with no floating point anywhere."""
+    from quality_spark.operators.analytics import count_anomalies
+
+    return count_anomalies(
+        _read(spark, sf_dir, "events"), window=6, k=2
+    )
 
 
 #: the gate funnel: signup -> view -> purchase, conditions in the
@@ -8386,6 +8416,12 @@ UNION ALL
 """
 
 
+def _anom_oracle() -> str:
+    from quality_spark.operators.analytics import count_anomalies_oracle_sql
+
+    return count_anomalies_oracle_sql(window=6, k=2)
+
+
 def _oracle_analytics_legs() -> str:
     from quality_spark.operators.analytics import (
         cohort_matrix_oracle_sql,
@@ -8408,7 +8444,13 @@ UNION ALL
 SELECT 'funnel_w', CAST(step AS BIGINT),
        TIMESTAMP '{_EPOCH_TS}', TIMESTAMP '{_EPOCH_TS}',
        n_users, -1.0, CAST(-1 AS BIGINT)
-FROM ({fw})"""
+FROM ({fw})
+UNION ALL
+SELECT 'anom',
+       CAST(CASE WHEN flag IS NULL THEN -1
+                 WHEN flag THEN 1 ELSE 0 END AS BIGINT),
+       bucket_start, bucket_start, n, -1.0, CAST(-1 AS BIGINT)
+FROM ({_anom_oracle()})"""
 
 
 def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8614,6 +8656,7 @@ def query_legs() -> dict:
             "stream_session": q_streaming_sessions,
             "cohort": q_cohort_leg,
             "funnel": q_funnel_leg,
+            "anom": q_anomaly_leg,
         },
         "lambda_suite": {
             "margin": q_lambda_margin,

@@ -369,7 +369,7 @@ def main() -> None:
         "pre-flight + hot keys, operators/relprofile.py), 'hits' "
         "(integer L1 HITS on the same order graph); the rel leg also "
         "grew kanon_ord (k-anonymity) rows",
-        "event_suite": "round 10: added 'cohort' (weekly retention triangle) and 'funnel'/'funnel_w' (ordered greedy funnel, unbounded + 24h window) parts, operators/analytics.py",
+        "event_suite": "round 10: added 'cohort' (weekly retention triangle) and 'funnel'/'funnel_w' (ordered greedy funnel, unbounded + 24h window) and 'anom' (integer-exact rolling volume anomalies) parts, operators/analytics.py",
         "temporal_joins": "round 10: added 'scd2'/'scd2t' parts (SCD2 "
         "dimension-history merge, operators/temporal.py scd2_apply, "
         "version boundaries oracle-replayed as NTZ epoch seconds)",

@@ -36,6 +36,8 @@ __all__ = [
     "cohort_matrix_oracle_sql",
     "funnel",
     "funnel_oracle_sql",
+    "count_anomalies",
+    "count_anomalies_oracle_sql",
 ]
 
 _BUCKETS = ("week", "month", "day")
@@ -186,3 +188,99 @@ def funnel_oracle_sql(
         for i, (name, _) in enumerate(steps)
     )
     return "WITH " + ",\n".join(parts) + "\n" + sels
+
+
+def count_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    window: int = 24,
+    k: int = 3,
+) -> DataFrame:
+    """Volume-anomaly detection over an event stream, INTEGER-EXACT:
+    bucket the stream (one groupBy), then flag buckets whose count
+    sits more than ``k`` standard deviations from the mean of the
+    ``window`` PRECEDING buckets (causal — the current bucket never
+    contaminates its own baseline).
+
+    The z-test is evaluated WITHOUT any floating point: with S = Σx
+    and Q = Σx² over the W prior buckets,
+
+        |n − S/W| > k·σ  ⟺  (W·n − S)² > k²·(W·Q − S²)
+
+    — a DECIMAL(38,0) comparison both engines compute identically
+    (operands bounded by (W·max_count)² ≲ 1e38 for hourly counts into
+    the billions). Buckets without a FULL prior window get a NULL
+    flag (insufficient baseline), not false.
+
+    Output: (bucket_start, n, flag). The window runs over the BUCKET
+    series — metadata-sized after the first groupBy — so the sort is
+    thousands of rows regardless of stream volume."""
+    if bucket not in ("hour", "day", "week", "minute"):
+        raise ValueError("bucket must be minute/hour/day/week")
+    if window < 2 or k < 1:
+        raise ValueError("window must be >= 2 and k >= 1")
+    from pyspark.sql import Window as W
+
+    b = events.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        W.orderBy("bucket_start")
+        .rowsBetween(-int(window), -1)
+    )
+    d = "decimal(38,0)"
+    withs = b.select(
+        "bucket_start",
+        "n",
+        F.count(F.lit(1)).over(w).alias("__w"),
+        F.sum(F.col("n").cast(d)).over(w).alias("__s"),
+        F.sum((F.col("n").cast("decimal(19,0)") * F.col("n")).cast(d))
+        .over(w)
+        .alias("__q"),
+    )
+    lhs = (
+        F.lit(int(window)).cast(d) * F.col("n").cast(d) - F.col("__s")
+    )
+    rhs = F.lit(int(k * k)).cast(d) * (
+        F.lit(int(window)).cast(d) * F.col("__q")
+        - F.col("__s") * F.col("__s")
+    )
+    return withs.select(
+        "bucket_start",
+        "n",
+        F.when(F.col("__w") < int(window), F.lit(None).cast("boolean"))
+        .otherwise(lhs * lhs > rhs)
+        .alias("flag"),
+    )
+
+
+def count_anomalies_oracle_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    window: int = 24,
+    k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`count_anomalies` — HUGEINT arithmetic
+    (exact within the same bounds)."""
+    w = int(window)
+    return f"""
+SELECT bucket_start, n,
+       CASE WHEN __w < {w} THEN NULL
+            ELSE ({w}::HUGEINT * n - __s) * ({w}::HUGEINT * n - __s)
+                 > {int(k * k)}::HUGEINT * ({w}::HUGEINT * __q - __s * __s)
+       END AS flag
+FROM (
+  SELECT bucket_start, n,
+         count(*) OVER win AS __w,
+         sum(n::HUGEINT) OVER win AS __s,
+         sum(n::HUGEINT * n) OVER win AS __q
+  FROM (SELECT CAST(date_trunc('{bucket}', {ts_col}) AS TIMESTAMP)
+                 AS bucket_start,
+               CAST(count(*) AS BIGINT) AS n
+        FROM {table} GROUP BY 1)
+  WINDOW win AS (ORDER BY bucket_start
+                 ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING)
+)
+"""

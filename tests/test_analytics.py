@@ -111,3 +111,57 @@ def test_analytics_duckdb_parity(spark, sf_dir):
         # funnel reach is monotone non-increasing
         ns = [n for _, _, n in sorted(gf)]
         assert ns == sorted(ns, reverse=True) and ns[0] > 0
+
+
+def test_count_anomalies_known_and_parity(spark, sf_dir):
+    from quality_spark.operators.analytics import (
+        count_anomalies,
+        count_anomalies_oracle_sql,
+    )
+
+    # 6 calm hours of 10 events, then a 100-event spike, then calm
+    rows = []
+    eid = 0
+    for h in range(8):
+        n = 100 if h == 6 else 10
+        for i in range(n):
+            rows.append((eid, _t(f"2024-01-01 {h:02d}:00") ))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    got = {
+        r["bucket_start"].hour: (r["n"], r["flag"])
+        for r in count_anomalies(ev, window=4, k=3).collect()
+    }
+    # hours 0-3: no full 4-bucket baseline -> NULL flag
+    for h in range(4):
+        assert got[h] == (10, None)
+    assert got[4] == (10, False) and got[5] == (10, False)
+    assert got[6] == (100, True)   # the spike
+    # hour 7: baseline now CONTAINS the spike (variance explodes) ->
+    # 10 is within 3 sigma of mean 32.5
+    assert got[7] == (10, False)
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket"):
+        count_anomalies(ev, bucket="fortnight")
+    with pytest.raises(ValueError, match="window"):
+        count_anomalies(ev, window=1)
+
+    import duckdb
+
+    real = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = sorted(map(tuple, count_anomalies(real, window=6, k=2).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    w = sorted(
+        map(
+            tuple,
+            con.execute(
+                count_anomalies_oracle_sql(window=6, k=2)
+            ).fetchall(),
+        )
+    )
+    assert len(g) > 10 and g == w
