@@ -116,7 +116,6 @@ def funnel(
     steps = list(steps)
     if not steps:
         raise ValueError("steps must be non-empty")
-    spark = events.sparkSession
     prev = None
     out = None
     for i, (name, cond) in enumerate(steps):

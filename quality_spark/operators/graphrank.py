@@ -74,10 +74,13 @@ def pagerank(
     graph after ``iters`` integer-exact PageRank iterations.
 
     ``rank = r_pico / total`` is one correctly-rounded IEEE division
-    of exactly-representable operands (r_pico < 2^53), so it too is
-    engine-identical. NULL endpoints are dropped; parallel edges
-    collapse to one unless ``dedup_edges=False`` (then they weight
-    the contribution, the multigraph convention)."""
+    of exactly-representable operands (r_pico < 2^53 at the default
+    total=1e12; a caller-raised total past 2^53 keeps r_pico exact
+    but makes the double conversion round — the BIGINT column stays
+    the source of truth), so it too is engine-identical. NULL
+    endpoints are dropped; parallel edges collapse to one unless
+    ``dedup_edges=False`` (then they weight the contribution, the
+    multigraph convention)."""
     d_num, d_den = int(damping[0]), int(damping[1])
     if not (0 < d_num <= d_den):
         raise ValueError("damping must be a rational in (0, 1]")
