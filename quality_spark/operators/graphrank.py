@@ -115,11 +115,23 @@ def pagerank(
         )
 
     # edges with the SOURCE's out-degree, computed once and reused by
-    # every iteration (deg is derived from e, so every src matches)
-    ed = e.join(deg, e["src"] == deg["node"]).select("src", "dst", "od")
-    ed = ed.localCheckpoint()
+    # every iteration (deg is derived from e, so every src matches).
+    # persist(), not localCheckpoint: both frames derive from the
+    # already-checkpointed e with one cheap hop, so a lazy cache
+    # materializes them inside iteration 1's job instead of costing
+    # two extra eager passes up front (measured ~0.8 s of the gate
+    # leg at sf0.1; at scale, two fewer full passes)
+    from pyspark import StorageLevel
+
+    ed = (
+        e.join(deg, e["src"] == deg["node"])
+        .select("src", "dst", "od")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # dangling = appears only as a destination
-    dang_nodes = nodes.join(deg, "node", "left_anti").localCheckpoint()
+    dang_nodes = nodes.join(deg, "node", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     base = ((d_den - d_num) * int(total)) // (d_den * n)
     r0 = int(total) // n
