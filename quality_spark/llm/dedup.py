@@ -772,6 +772,8 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint()
     )
+    from ..plans.blocks import release_local_checkpoint
+
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("id").alias("b"), "component"), "b"
@@ -790,9 +792,17 @@ def connected_components(
             .filter(F.col("component") != F.col("__old"))
             .count()
         )
+        # the convergence count was the last reader of the old round's
+        # checkpoint — free its blocks (round-10 hygiene: plain
+        # unpersist() cannot release checkpoint blocks and they
+        # otherwise accumulate one dead state copy per round for the
+        # whole session; see plans/blocks.py)
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
+            release_local_checkpoint(edges)
             return labels
+    release_local_checkpoint(edges)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         f"the pair graph has a path longer than {max_iter}; raise max_iter"

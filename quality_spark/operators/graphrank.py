@@ -51,6 +51,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.blocks import release_local_checkpoint
+
 __all__ = [
     "pagerank",
     "pagerank_oracle_sql",
@@ -137,6 +139,7 @@ def pagerank(
     r0 = int(total) // n
     ranks = nodes.select("node", F.lit(r0).cast("bigint").alias("r"))
 
+    prev_ckpt = None
     for _ in range(int(iters)):
         dsum = (
             ranks.join(dang_nodes, "node")
@@ -172,7 +175,23 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        # the new checkpoint is self-contained: release the previous
+        # round's blocks (leaked checkpoints pressure the block
+        # manager for the rest of the session — measured as drift on
+        # UNRELATED queries in the shared bench session; plain
+        # unpersist() does NOT free checkpoint blocks, see
+        # plans/blocks.py)
+        if prev_ckpt is not None:
+            release_local_checkpoint(prev_ckpt)
+        prev_ckpt = ranks
 
+    # the returned frame depends only on the final checkpoint —
+    # except at iters=0, where it still reads the nodes checkpoint
+    ed.unpersist()
+    dang_nodes.unpersist()
+    release_local_checkpoint(e)
+    if int(iters) > 0:
+        release_local_checkpoint(nodes)
     return ranks.select(
         "node",
         F.col("r").alias("r_pico"),
@@ -373,6 +392,7 @@ def hits(
         F.lit(0).cast("bigint").alias("a"),
         F.lit(h0).cast("bigint").alias("h"),
     )
+    prev_ckpt = None
     for _ in range(int(iters)):
         a_raw = (
             state.join(e, state["node"] == e["src"])
@@ -419,6 +439,14 @@ def hits(
             .select("node", "a", "h")
             .localCheckpoint()
         )
+        # release the previous round's blocks (same hygiene as
+        # pagerank — plans/blocks.py)
+        if prev_ckpt is not None:
+            release_local_checkpoint(prev_ckpt)
+        prev_ckpt = state
+    if int(iters) > 0:
+        release_local_checkpoint(e)
+        release_local_checkpoint(nodes)
     t = float(total)
     return state.select(
         "node",

@@ -696,3 +696,32 @@ def test_funnel_plan_no_window_no_cartesian(spark, sf_dir):
     )
     assert "Window" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan, plan[:1500]
+
+
+def test_iterative_checkpoints_release_blocks(spark):
+    """pagerank/hits/connected_components must not leak one dead state
+    checkpoint per iteration into the session's block manager (plain
+    unpersist() cannot free checkpoint blocks — plans/blocks.py). The
+    persistent-RDD registry after a run must hold only the final
+    state (plus nothing from intermediate rounds)."""
+    from quality_spark.llm.dedup import connected_components
+    from quality_spark.operators.graphrank import hits, pagerank
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")] * 5,
+        "src string, dst string",
+    )
+    pr = pagerank(edges, iters=4)
+    ht = hits(edges, iters=3)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 10)], "id_a long, id_b long"
+    )
+    cc = connected_components(pairs)
+    # force everything
+    assert pr.count() == 4 and ht.count() == 4 and cc.count() == 5
+    after = jsc.getPersistentRDDs().size()
+    # each op retains exactly its FINAL state checkpoint (pagerank 1,
+    # hits 1, cc 1) — iterations and edge/node staging must be freed
+    assert after - before <= 3, f"leaked {after - before} cached RDDs"
