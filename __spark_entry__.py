@@ -8502,6 +8502,250 @@ FROM ({_oracle_lambda_subquery()})
 """
 
 
+# --- stats_suite: cross-column statistical profiling (round 10) ----------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_ENTROPY_LI = ["l_returnflag", "l_linestatus"]
+_ENTROPY_DOC = ["lang", "source"]
+_LDIV_QI = ["o_orderstatus", "o_orderpriority"]
+_STATS_PARTS = ("corr", "assoc", "entropy", "ldiv", "colloc")
+
+
+def q_corr_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation matrix over lineitem's numeric
+    columns (operators/stats.py:numeric_correlations — ONE full-scan
+    aggregate for all 6 pairs, DECIMAL(38,0) exact sums, fixed-order
+    IEEE finisher)."""
+    from quality_spark.operators.stats import numeric_correlations
+
+    return numeric_correlations(
+        _read(spark, sf_dir, "lineitem"), _CORR_COLS
+    )
+
+
+def q_assoc_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared + Cramér's V association
+    (stats.categorical_association) for two live pairs: lineitem
+    (l_returnflag, l_linestatus) and orders
+    (o_orderstatus, o_orderpriority)."""
+    from quality_spark.operators.stats import categorical_association
+
+    a = categorical_association(
+        _read(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus"
+    )
+    b = categorical_association(
+        _read(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority"
+    )
+    return a.unionByName(b)
+
+
+def q_entropy_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column
+    (stats.categorical_entropy) over lineitem flags + document
+    lang/source — ascending-value fold, bit-replayable."""
+    from quality_spark.operators.stats import categorical_entropy
+
+    return categorical_entropy(
+        _read(spark, sf_dir, "lineitem"), _ENTROPY_LI
+    ).unionByName(
+        categorical_entropy(_read(spark, sf_dir, "documents"), _ENTROPY_DOC)
+    )
+
+
+def q_ldiv_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity fact (relprofile.l_diversity_stats) on orders:
+    quasi-identifier (o_orderstatus, o_orderpriority), sensitive
+    o_custkey, l=3."""
+    from quality_spark.operators.relprofile import l_diversity_stats
+
+    return l_diversity_stats(
+        _read(spark, sf_dir, "orders"), _LDIV_QI, "o_custkey", l=3
+    )
+
+
+def q_colloc_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI collocations (vocab.collocation_pmi) over documents —
+    min_count=3, top=15; runs the materialize=True scale shape (one
+    tokenize scan)."""
+    from quality_spark.llm.vocab import collocation_pmi
+
+    return collocation_pmi(
+        _read(spark, sf_dir, "documents"),
+        min_count=3,
+        top=15,
+        materialize=True,
+    )
+
+
+def q_stats_suite(
+    spark: SparkSession, sf_dir: str, only: tuple = _STATS_PARTS
+) -> DataFrame:
+    """Cross-column statistics block (round 10): exact Pearson
+    correlations ('corr'), chi-squared/Cramér's V association
+    ('assoc' + 'assoc_v'), per-column Shannon entropy ('entropy'),
+    l-diversity privacy fact ('ldiv' + 'ldiv_below'), and top-PMI
+    collocations ('colloc' + its 'colloc_n' total), tagged per part.
+    Every double is either a fixed-order IEEE expression over exact
+    integers or an ascending-key fold — see the operator docstrings
+    for the replay contracts."""
+    legs = []
+    if "corr" in only:
+        legs.append(
+            q_corr_leg(spark, sf_dir).select(
+                F.lit("corr").alias("part"),
+                F.col("col_x").alias("k1"),
+                F.col("col_y").alias("k2"),
+                F.col("n_pairs").alias("n1"),
+                F.lit(-1).cast("bigint").alias("n2"),
+                F.lit(-1).cast("bigint").alias("n3"),
+                F.col("corr").alias("v_double"),
+            )
+        )
+    if "assoc" in only:
+        ab = q_assoc_leg(spark, sf_dir)
+        legs.append(
+            ab.select(
+                F.lit("assoc").alias("part"),
+                F.col("col_a").alias("k1"),
+                F.col("col_b").alias("k2"),
+                F.col("n").alias("n1"),
+                F.col("n_cells").alias("n2"),
+                F.col("dof").alias("n3"),
+                F.col("chi2").alias("v_double"),
+            )
+        )
+        legs.append(
+            ab.select(
+                F.lit("assoc_v").alias("part"),
+                F.col("col_a").alias("k1"),
+                F.col("col_b").alias("k2"),
+                F.col("n").alias("n1"),
+                F.col("n_cells").alias("n2"),
+                F.col("dof").alias("n3"),
+                F.col("cramers_v").alias("v_double"),
+            )
+        )
+    if "entropy" in only:
+        legs.append(
+            q_entropy_leg(spark, sf_dir).select(
+                F.lit("entropy").alias("part"),
+                F.col("column").alias("k1"),
+                F.lit("").alias("k2"),
+                F.col("n").alias("n1"),
+                F.col("n_distinct").alias("n2"),
+                F.lit(-1).cast("bigint").alias("n3"),
+                F.col("entropy").alias("v_double"),
+            )
+        )
+    if "ldiv" in only:
+        ld = q_ldiv_leg(spark, sf_dir)
+        ld_k = ",".join(_LDIV_QI)
+        legs.append(
+            ld.select(
+                F.lit("ldiv").alias("part"),
+                F.lit(ld_k).alias("k1"),
+                F.lit("o_custkey").alias("k2"),
+                F.col("n_rows").alias("n1"),
+                F.col("n_groups").alias("n2"),
+                F.col("min_l").alias("n3"),
+                F.lit(-1.0).alias("v_double"),
+            )
+        )
+        legs.append(
+            ld.select(
+                F.lit("ldiv_below").alias("part"),
+                F.lit(ld_k).alias("k1"),
+                F.lit("o_custkey").alias("k2"),
+                F.col("n_groups_below_l").alias("n1"),
+                F.col("n_rows_below_l").alias("n2"),
+                F.lit(-1).cast("bigint").alias("n3"),
+                F.lit(-1.0).alias("v_double"),
+            )
+        )
+    if "colloc" in only:
+        co = q_colloc_leg(spark, sf_dir)
+        legs.append(
+            co.select(
+                F.lit("colloc").alias("part"),
+                F.col("w1").alias("k1"),
+                F.col("w2").alias("k2"),
+                F.col("pair_count").alias("n1"),
+                F.col("w1_count").alias("n2"),
+                F.col("w2_count").alias("n3"),
+                F.col("pmi").alias("v_double"),
+            )
+        )
+        legs.append(
+            co.groupBy().agg(
+                F.max("n_tokens").cast("bigint").alias("n1")
+            ).select(
+                F.lit("colloc_n").alias("part"),
+                F.lit("").alias("k1"),
+                F.lit("").alias("k2"),
+                "n1",
+                F.lit(-1).cast("bigint").alias("n2"),
+                F.lit(-1).cast("bigint").alias("n3"),
+                F.lit(-1.0).alias("v_double"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def _oracle_stats_suite() -> str:
+    from quality_spark.llm.vocab import collocation_pmi_oracle_sql
+    from quality_spark.operators.relprofile import l_diversity_oracle_sql
+    from quality_spark.operators.stats import (
+        categorical_association_oracle_sql,
+        categorical_entropy_oracle_sql,
+        numeric_correlations_oracle_sql,
+    )
+
+    corr = numeric_correlations_oracle_sql("lineitem", _CORR_COLS)
+    assoc = (
+        f"({categorical_association_oracle_sql('lineitem', 'l_returnflag', 'l_linestatus')})"
+        " UNION ALL "
+        f"({categorical_association_oracle_sql('orders', 'o_orderstatus', 'o_orderpriority')})"
+    )
+    ent = (
+        f"({categorical_entropy_oracle_sql('lineitem', _ENTROPY_LI)})"
+        " UNION ALL "
+        f"({categorical_entropy_oracle_sql('documents', _ENTROPY_DOC)})"
+    )
+    ldiv = l_diversity_oracle_sql("orders", _LDIV_QI, "o_custkey", l=3)
+    colloc = collocation_pmi_oracle_sql(min_count=3, top=15)
+    ld_k = ",".join(_LDIV_QI)
+    return f"""
+SELECT 'corr' AS part, col_x AS k1, col_y AS k2, n_pairs AS n1,
+       CAST(-1 AS BIGINT) AS n2, CAST(-1 AS BIGINT) AS n3,
+       corr AS v_double
+FROM ({corr})
+UNION ALL
+SELECT 'assoc', col_a, col_b, n, n_cells, dof, chi2 FROM ({assoc})
+UNION ALL
+SELECT 'assoc_v', col_a, col_b, n, n_cells, dof, cramers_v FROM ({assoc})
+UNION ALL
+SELECT 'entropy', "column", '', n, n_distinct, CAST(-1 AS BIGINT), entropy
+FROM ({ent})
+UNION ALL
+SELECT 'ldiv', '{ld_k}', 'o_custkey', n_rows, n_groups, min_l, -1.0
+FROM ({ldiv})
+UNION ALL
+SELECT 'ldiv_below', '{ld_k}', 'o_custkey', n_groups_below_l,
+       n_rows_below_l, CAST(-1 AS BIGINT), -1.0
+FROM ({ldiv})
+UNION ALL
+SELECT 'colloc', w1, w2, pair_count, w1_count, w2_count, pmi
+FROM ({colloc})
+UNION ALL
+SELECT 'colloc_n', '', '', CAST(max(n_tokens) AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), -1.0
+FROM ({colloc})
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: DQ over lineitem sf0.001, failures flattened to rows."""
     return q_dq_flat(spark, "/root/testdata/sf0.001")
@@ -8568,6 +8812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_io": q_corpus_io,
         "media_features": q_media_features,
         "lambda_id_surface": q_lambda_id_surface,
+        "stats_suite": q_stats_suite,
     }
 
 
@@ -8657,6 +8902,13 @@ def query_legs() -> dict:
             "cohort": q_cohort_leg,
             "funnel": q_funnel_leg,
             "anom": q_anomaly_leg,
+        },
+        "stats_suite": {
+            "corr": q_corr_leg,
+            "assoc": q_assoc_leg,
+            "entropy": q_entropy_leg,
+            "ldiv": q_ldiv_leg,
+            "colloc": q_colloc_leg,
         },
         "lambda_suite": {
             "margin": q_lambda_margin,
@@ -8781,4 +9033,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_io": _oracle_corpus_io(),
         "media_features": _oracle_media_features(),
         "lambda_id_surface": _oracle_lambda_id_surface(),
+        "stats_suite": _oracle_stats_suite(),
     }

@@ -154,3 +154,120 @@ SELECT tf.{id_col}, tf.token, tf.tf, dfreq.doc_frequency,
           + 1.0) AS tfidf
 FROM tf JOIN dfreq USING (token), n
 """
+
+
+def collocation_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    top: int = 20,
+    text_col: str = "text",
+    materialize: bool = False,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information (Church &
+    Hanks 1990): adjacent token bigrams scored by
+
+        PMI(w1, w2) = ln( c(w1,w2) * N / (c(w1) * c(w2)) )
+
+    with N = total token count — the standard corpus-analysis pass
+    for multi-word expressions / boilerplate phrase discovery.
+
+    Returns the top-``top`` bigrams with ``c(w1,w2) >= min_count`` as
+    (w1, w2, pair_count, w1_count, w2_count, n_tokens, pmi), ordered
+    by (pmi DESC, w1, w2) — a total order over exact counts, so the
+    top-k SET is deterministic. The one caveat on cross-engine PMI
+    values: the ``ln`` is JVM ``Math.log`` here and libm ``ln`` in the
+    DuckDB oracle, which may differ in the LAST ULP — parity holds at
+    the driver gate's 9-dp rounding (counts and ranking are exact).
+
+    Plan shape: the corpus tokenizes at most twice (bigram pass +
+    unigram pass; ``materialize=True`` localCheckpoints the staged
+    token frame for exactly one scan — the right mode when ``df`` is
+    an expensive upstream pipeline); each pass is one combinable
+    groupBy (Zipf heavy-hitters collapse map-side). The bigram→count
+    joins run AFTER the min_count cut, and the final cut is
+    ``ORDER BY … LIMIT top`` → TakeOrderedAndProject, never a global
+    sort. No driver collect on any data-sized path.
+
+    Exactness bound: counts enter the PMI as doubles, and the products
+    ``c(w1,w2)*N`` / ``c(w1)*c(w2)`` are exact while < 2^53 (N up to
+    ~94M tokens is always safe; beyond, the products round at 1 ulp —
+    document-scale corpora hit this long after the ranking is stable).
+    """
+    staged = df.select(
+        F.expr(tokens_sql(text_col, "spark")).alias("_toks")
+    )
+    if materialize:
+        staged = staged.localCheckpoint()
+    uni = (
+        staged.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bi = (
+        staged.filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2), "
+                    "i -> named_struct('w1', _toks[i], 'w2', _toks[i + 1]))"
+                )
+            ).alias("_b")
+        )
+        .groupBy("_b.w1", "_b.w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .filter(F.col("pair_count") >= int(min_count))
+    )
+    tot = uni.groupBy().agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_tokens")
+    )
+    scored = (
+        bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "w1_count"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "w2_count"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "pair_count", "w1_count", "w2_count", "n_tokens",
+            F.expr(
+                "ln((CAST(pair_count AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
+                " / (CAST(w1_count AS DOUBLE) * CAST(w2_count AS DOUBLE)))"
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(int(top))
+
+
+def collocation_pmi_oracle_sql(
+    min_count: int = 5, top: int = 20, table: str = "documents"
+) -> str:
+    """DuckDB replay of :func:`collocation_pmi` — same tokenizer,
+    same fixed-order PMI arithmetic, same total order."""
+    toks = tokens_sql("text", "duckdb")
+    return f"""
+WITH staged AS (SELECT {toks} AS _toks FROM {table}),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(_toks) AS w FROM staged) GROUP BY 1
+),
+bi AS (
+  SELECT b.w1, b.w2, CAST(count(*) AS BIGINT) AS pair_count
+  FROM (
+    SELECT unnest(list_transform(range(1, len(_toks)),
+             i -> struct_pack(w1 := _toks[i], w2 := _toks[i + 1]))) AS b
+    FROM staged WHERE len(_toks) >= 2
+  )
+  GROUP BY 1, 2
+  HAVING count(*) >= {int(min_count)}
+),
+tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens FROM uni)
+SELECT b.w1, b.w2, b.pair_count,
+       u1.c AS w1_count, u2.c AS w2_count, t.n_tokens,
+       ln((CAST(b.pair_count AS DOUBLE) * CAST(t.n_tokens AS DOUBLE))
+          / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS pmi
+FROM bi b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN tot t
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT {int(top)}
+"""

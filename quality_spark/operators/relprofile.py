@@ -431,3 +431,69 @@ SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
          AS BIGINT) AS n_rows_below_k
 FROM (SELECT {qs}, count(*) AS c FROM {table} GROUP BY {qs})
 """
+
+
+def l_diversity_stats(
+    df: DataFrame, qi_cols: Sequence[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """l-diversity fact — k-anonymity's companion: a k-anonymous
+    group is still a disclosure if everyone in it shares the SAME
+    sensitive value. A dataset is (distinct) l-diverse on
+    (``qi_cols`` → ``sensitive_col``) iff every quasi-identifier
+    group contains >= l distinct non-NULL sensitive values
+    (Machanavajjhala et al. 2007, "l-Diversity: Privacy Beyond
+    k-Anonymity", definition 3.1 — the distinct-values instantiation).
+
+    One row: (n_rows, n_groups, min_l, n_groups_below_l,
+    n_rows_below_l). NULL quasi-identifier components are ordinary
+    group keys (k-anonymity semantics); NULL sensitive values carry
+    no diversity (count(DISTINCT) ignores them — an all-NULL-sensitive
+    group has min_l = 0).
+
+    Plan: ONE groupBy over the QI tuple with a single distinct
+    aggregate (no Expand rewrite — one distinct child) + a 1-row
+    finisher, the k_anonymity shape. Scales with group cardinality,
+    never collects."""
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if int(l) < 1:
+        raise ValueError("l must be >= 1")
+    per = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+        F.countDistinct(sensitive_col).cast("bigint").alias("__l"),
+    )
+    return per.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("__l").cast("bigint").alias("min_l"),
+        F.coalesce(
+            F.sum(F.when(F.col("__l") < int(l), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_groups_below_l"),
+        F.coalesce(
+            F.sum(F.when(F.col("__l") < int(l), F.col("__c")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_rows_below_l"),
+    )
+
+
+def l_diversity_oracle_sql(
+    table: str, qi_cols: Sequence[str], sensitive_col: str, l: int
+) -> str:
+    qs = ", ".join(qi_cols)
+    return f"""
+SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(lv) AS BIGINT) AS min_l,
+       CAST(coalesce(sum(CASE WHEN lv < {int(l)} THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_groups_below_l,
+       CAST(coalesce(sum(CASE WHEN lv < {int(l)} THEN c ELSE 0 END), 0)
+         AS BIGINT) AS n_rows_below_l
+FROM (
+  SELECT {qs}, count(*) AS c, count(DISTINCT {sensitive_col}) AS lv
+  FROM {table} GROUP BY {qs}
+)
+"""

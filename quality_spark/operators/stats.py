@@ -1,0 +1,368 @@
+"""Cross-column statistical profiling — exact correlation, categorical
+association, entropy — the DQ facts that sit one level above the
+per-column profiler (`operators/profile.py`): "are these two columns
+redundant / drifting together / independent?".
+
+The reference engine has no statistics operators; this extends the
+rebuilt surface's beyond-reference DQ block (SURVEY §2). Design rules
+shared with the profiler:
+
+- **Integer-exact accumulation.** Numeric values enter as micros
+  (``floor(x*1e6 + 0.5)`` — the profiler's spec), all sums/products
+  accumulate in DECIMAL(38,0) on Spark and HUGEINT in the DuckDB
+  oracle, so no engine can diverge before the final finisher.
+- **Deterministic doubles.** Every emitted double is a fixed-order
+  IEEE expression over exact integers (casts, one division, sqrt) or
+  an ascending-key left fold (the bm25/PSI pattern) — bit-replayable.
+- **One aggregate per fact.** Correlations for ALL requested pairs
+  come from ONE full-scan aggregate (combinable, map-side partial);
+  association/entropy group only on category values (bounded by the
+  column's cardinality — these are categorical-column facts, like
+  `profile_categorical`).
+
+100 TB headroom: with |micros| <= M and n rows, the largest exact
+term is n * M^2 < 10^38 — e.g. 10^10 rows at M = 10^9 (values up to
+~1000 in magnitude at micro precision). Past that, center values
+first (subtract a per-column anchor before the micro cast); the
+formulas are translation-invariant.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mic(col: str) -> str:
+    """The profiler's micro spec: round-half-up to 1e-6."""
+    return f"CAST(floor(CAST({col} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix (exact integer accumulation)
+# ---------------------------------------------------------------------------
+
+
+def _corr_pair_aggs(x: str, y: str, tag: str) -> list:
+    """Per-pair accumulator expressions over one shared scan. Rows
+    enter a pair's sums only when BOTH columns are non-null (pairwise
+    deletion — each pair sees its own complete rows)."""
+    both = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
+    xm = f"CASE WHEN {both} THEN CAST({_mic(x)} AS DECIMAL(38,0)) END"
+    ym = f"CASE WHEN {both} THEN CAST({_mic(y)} AS DECIMAL(38,0)) END"
+    return [
+        F.expr(f"CAST(count_if({both}) AS BIGINT)").alias(f"n_{tag}"),
+        F.expr(f"CAST(coalesce(sum({xm}), 0) AS DECIMAL(38,0))").alias(f"sx_{tag}"),
+        F.expr(f"CAST(coalesce(sum({ym}), 0) AS DECIMAL(38,0))").alias(f"sy_{tag}"),
+        F.expr(
+            f"CAST(coalesce(sum(({xm}) * ({ym})), 0) AS DECIMAL(38,0))"
+        ).alias(f"sxy_{tag}"),
+        F.expr(
+            f"CAST(coalesce(sum(({xm}) * ({xm})), 0) AS DECIMAL(38,0))"
+        ).alias(f"sxx_{tag}"),
+        F.expr(
+            f"CAST(coalesce(sum(({ym}) * ({ym})), 0) AS DECIMAL(38,0))"
+        ).alias(f"syy_{tag}"),
+    ]
+
+
+def numeric_correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Exact pairwise Pearson correlation over micro-quantized values.
+
+    Returns (col_x, col_y, n_pairs, corr) for every unordered pair of
+    ``cols`` (x < y in list order). ONE full-scan aggregate feeds all
+    pairs (map-side combinable); the finisher is pure per-pair
+    arithmetic on the 1-row result::
+
+        corr = (n*Sxy - Sx*Sy)
+               / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+    computed as IEEE doubles of the exact DECIMAL(38,0) integers in a
+    fixed operation order, so the DuckDB oracle (HUGEINT accumulation,
+    same finisher) replays the double bit-for-bit. Zero-variance /
+    empty pairs yield corr NULL. The micro quantization is the
+    documented precision contract (values compare at 1e-6), identical
+    to `profile_columns`."""
+    if len(cols) < 2:
+        raise ValueError("numeric_correlations needs >= 2 columns")
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    aggs = []
+    for t, (x, y) in enumerate(pairs):
+        aggs.extend(_corr_pair_aggs(x, y, f"p{t}"))
+    wide = df.groupBy().agg(*aggs)
+    rows = []
+    for t, (x, y) in enumerate(pairs):
+        g = f"p{t}"
+        num = f"CAST(n_{g} * sxy_{g} - sx_{g} * sy_{g} AS DOUBLE)"
+        vx = f"CAST(n_{g} * sxx_{g} - sx_{g} * sx_{g} AS DOUBLE)"
+        vy = f"CAST(n_{g} * syy_{g} - sy_{g} * sy_{g} AS DOUBLE)"
+        rows.append(
+            f"named_struct("
+            f"'col_x', '{x}', 'col_y', '{y}', 'n_pairs', n_{g}, "
+            f"'corr', CASE WHEN {vx} > 0.0D AND {vy} > 0.0D "
+            f"THEN {num} / (sqrt({vx}) * sqrt({vy})) END)"
+        )
+    return wide.select(
+        F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("_r")
+    ).select("_r.col_x", "_r.col_y", "_r.n_pairs", "_r.corr")
+
+
+def numeric_correlations_oracle_sql(table: str, cols: Sequence[str]) -> str:
+    """DuckDB replay of :func:`numeric_correlations` — HUGEINT exact
+    sums, identical finisher arithmetic and operation order."""
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    legs = []
+    for x, y in pairs:
+        both = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
+        xm = f"CASE WHEN {both} THEN CAST({_mic(x)} AS HUGEINT) END"
+        ym = f"CASE WHEN {both} THEN CAST({_mic(y)} AS HUGEINT) END"
+        legs.append(f"""
+SELECT '{x}' AS col_x, '{y}' AS col_y, n AS n_pairs,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+              AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS corr
+FROM (
+  SELECT CAST(count(*) FILTER ({both}) AS BIGINT) AS n,
+         COALESCE(sum({xm}), 0) AS sx, COALESCE(sum({ym}), 0) AS sy,
+         COALESCE(sum(({xm}) * ({ym})), 0) AS sxy,
+         COALESCE(sum(({xm}) * ({xm})), 0) AS sxx,
+         COALESCE(sum(({ym}) * ({ym})), 0) AS syy
+  FROM {table}
+)""")
+    return "\nUNION ALL\n".join(legs)
+
+
+# ---------------------------------------------------------------------------
+# Categorical association: chi-squared + Cramér's V
+# ---------------------------------------------------------------------------
+
+
+def categorical_association(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-squared independence statistic + Cramér's V between
+    two CATEGORICAL columns (bounded cardinality, like
+    `profile_categorical` — the contingency table is assumed
+    metadata-sized; this is not a join operator).
+
+    Rows where either column is NULL are excluded (n counts complete
+    rows only — the standard test population, and it keeps the
+    ascending-cell fold free of engine NULL-ordering differences).
+
+    chi2 = sum_all_cells (O - E)^2 / E, computed WITHOUT materializing
+    zero cells: for observed cells the term is
+    ``(W*n_ij - r_i*c_j)^2 / (W*r_i*c_j) - r_i*c_j/W`` and the
+    unobserved cells' total is recovered in closed form —
+    ``sum_all r_i*c_j/W = W``, so chi2 = fold(observed terms) + W.
+    Every intermediate is an exact DECIMAL(38,0)/HUGEINT integer; each
+    cell contributes two IEEE divisions and one subtract in fixed
+    order, and the sum folds in ascending (a, b) order —
+    bit-replayable.
+
+    V = sqrt(chi2 / (W * (min(R, C) - 1)))
+
+    Returns one row: (col_a, col_b, n, n_cells, dof, chi2, cramers_v).
+    Degenerate tables (single row/column) yield chi2 = 0.0 and
+    cramers_v NULL."""
+    base = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .select(
+            F.col(col_a).cast("string").alias("_a"),
+            F.col(col_b).cast("string").alias("_b"),
+        )
+    )
+    cells = base.groupBy("_a", "_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nij")
+    )
+    ra = base.groupBy("_a").agg(F.count(F.lit(1)).cast("bigint").alias("_ri"))
+    cb = base.groupBy("_b").agg(F.count(F.lit(1)).cast("bigint").alias("_cj"))
+    tot = base.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("_w"))
+    term = (
+        "CAST("
+        "(CAST(_w AS DECIMAL(38,0)) * _nij - CAST(_ri AS DECIMAL(38,0)) * _cj)"
+        " * "
+        "(CAST(_w AS DECIMAL(38,0)) * _nij - CAST(_ri AS DECIMAL(38,0)) * _cj)"
+        " AS DOUBLE) / "
+        "CAST(CAST(_w AS DECIMAL(38,0)) * _ri * _cj AS DOUBLE)"
+        " - CAST(CAST(_ri AS DECIMAL(38,0)) * _cj AS DOUBLE)"
+        " / CAST(_w AS DOUBLE)"
+    )
+    scored = (
+        cells.join(ra, "_a")
+        .join(cb, "_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_a", "_b", "_w",
+            F.expr(term).alias("_t"),
+        )
+    )
+    agg = scored.groupBy().agg(
+        F.max("_w").alias("_w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.expr("CAST(count(DISTINCT _a) AS BIGINT)").alias("_nr"),
+        F.expr("CAST(count(DISTINCT _b) AS BIGINT)").alias("_nc"),
+        F.expr(
+            "aggregate(sort_array(collect_list("
+            "named_struct('a', _a, 'b', _b, 't', _t))), 0.0D, "
+            "(acc, x) -> acc + x.t)"
+        ).alias("_fold"),
+    )
+    return agg.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        F.coalesce(F.col("_w"), F.lit(0)).cast("bigint").alias("n"),
+        F.col("n_cells"),
+        F.expr(
+            "CAST(greatest(_nr - 1, 0) * greatest(_nc - 1, 0) AS BIGINT)"
+        ).alias("dof"),
+        F.expr(
+            "CASE WHEN _w IS NULL THEN 0.0D "
+            "ELSE _fold + CAST(_w AS DOUBLE) END"
+        ).alias("chi2"),
+        F.expr(
+            # greatest(…, 0): independence can leave chi2 a hair
+            # negative from rounding; sqrt must not see it
+            "CASE WHEN _w > 0 AND least(_nr, _nc) > 1 THEN "
+            "sqrt(greatest(_fold + CAST(_w AS DOUBLE), 0.0D) "
+            "/ (CAST(_w AS DOUBLE) "
+            "* CAST(least(_nr, _nc) - 1 AS DOUBLE))) END"
+        ).alias("cramers_v"),
+    )
+
+
+def categorical_association_oracle_sql(
+    table: str, col_a: str, col_b: str
+) -> str:
+    """DuckDB replay of :func:`categorical_association` — HUGEINT cell
+    terms, ascending (a, b) list_reduce left fold from 0.0."""
+    return f"""
+WITH base AS (
+  SELECT CAST({col_a} AS VARCHAR) AS _a, CAST({col_b} AS VARCHAR) AS _b
+  FROM {table}
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+),
+cells AS (
+  SELECT _a, _b, CAST(count(*) AS BIGINT) AS _nij FROM base GROUP BY 1, 2
+),
+ra AS (SELECT _a, CAST(count(*) AS BIGINT) AS _ri FROM base GROUP BY 1),
+cb AS (SELECT _b, CAST(count(*) AS BIGINT) AS _cj FROM base GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS _w FROM base),
+scored AS (
+  SELECT c._a, c._b, t._w,
+         CAST((CAST(t._w AS HUGEINT) * c._nij - CAST(r._ri AS HUGEINT) * b._cj)
+              * (CAST(t._w AS HUGEINT) * c._nij - CAST(r._ri AS HUGEINT) * b._cj)
+              AS DOUBLE)
+         / CAST(CAST(t._w AS HUGEINT) * r._ri * b._cj AS DOUBLE)
+         - CAST(CAST(r._ri AS HUGEINT) * b._cj AS DOUBLE)
+           / CAST(t._w AS DOUBLE) AS _t
+  FROM cells c JOIN ra r USING (_a) JOIN cb b USING (_b) CROSS JOIN tot t
+),
+agg AS (
+  SELECT max(_w) AS _w, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(count(DISTINCT _a) AS BIGINT) AS _nr,
+         CAST(count(DISTINCT _b) AS BIGINT) AS _nc,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(_t ORDER BY _a, _b)), (x, y) -> x + y) AS _fold
+  FROM scored
+)
+SELECT '{col_a}' AS col_a, '{col_b}' AS col_b,
+       CAST(COALESCE(_w, 0) AS BIGINT) AS n, n_cells,
+       CAST(greatest(_nr - 1, 0) * greatest(_nc - 1, 0) AS BIGINT) AS dof,
+       CASE WHEN _w IS NULL THEN 0.0
+            ELSE _fold + CAST(_w AS DOUBLE) END AS chi2,
+       CASE WHEN _w > 0 AND least(_nr, _nc) > 1 THEN
+         sqrt(greatest(_fold + CAST(_w AS DOUBLE), 0.0)
+              / (CAST(_w AS DOUBLE) * CAST(least(_nr, _nc) - 1 AS DOUBLE)))
+       END AS cramers_v
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy over categorical columns
+# ---------------------------------------------------------------------------
+
+
+def categorical_entropy(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Shannon entropy H = -sum p*ln(p) (nats) per CATEGORICAL column
+    — the profiler's distribution-shape signal next to n_distinct
+    (uniform 8-way enum: ln 8 ~ 2.079; constant column: 0.0).
+
+    NULLs are excluded from the probability mass (n counts non-null
+    rows); the per-value groupBy is bounded by the column's
+    cardinality, and the fold runs in ascending value order so the
+    double is bit-replayable (the PSI/bm25 fold pattern). Returns
+    (column, n, n_distinct, entropy); an all-null column yields
+    n = 0, entropy NULL."""
+    legs = []
+    for c in cols:
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .select(F.col(c).cast("string").alias("_v"))
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        )
+        legs.append(
+            counts.groupBy()
+            .agg(
+                F.expr("CAST(coalesce(sum(_c), 0) AS BIGINT)").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                F.expr(
+                    "sort_array(collect_list(named_struct('v', _v, 'c', _c)))"
+                ).alias("_l"),
+            )
+            .select(
+                F.lit(c).alias("column"),
+                "n",
+                "n_distinct",
+                F.expr(
+                    "CASE WHEN n > 0 THEN aggregate(_l, 0.0D, "
+                    "(acc, x) -> acc - (CAST(x.c AS DOUBLE) "
+                    "/ CAST(n AS DOUBLE)) "
+                    "* ln(CAST(x.c AS DOUBLE) / CAST(n AS DOUBLE))) END"
+                ).alias("entropy"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def categorical_entropy_oracle_sql(table: str, cols: Sequence[str]) -> str:
+    """DuckDB replay of :func:`categorical_entropy` — identical
+    ascending-value left fold from 0.0."""
+    legs = []
+    for c in cols:
+        legs.append(f"""
+SELECT '{c}' AS "column", n, n_distinct,
+       CASE WHEN n > 0 THEN
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(_l, x ->
+             -(CAST(x.c AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(x.c AS DOUBLE) / CAST(n AS DOUBLE)))),
+           (x, y) -> x + y)
+       END AS entropy
+FROM (
+  SELECT CAST(COALESCE(sum(_c), 0) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         list(struct_pack(v := _v, c := _c) ORDER BY _v) AS _l
+  FROM (
+    SELECT CAST({c} AS VARCHAR) AS _v, CAST(count(*) AS BIGINT) AS _c
+    FROM {table} WHERE {c} IS NOT NULL GROUP BY 1
+  )
+)""")
+    return "\nUNION ALL\n".join(legs)

@@ -1,0 +1,291 @@
+"""Cross-column statistics (operators/stats.py, vocab.collocation_pmi,
+relprofile.l_diversity_stats): known-value pins, NULL semantics, and
+bit-level DuckDB oracle parity on real testdata."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from quality_spark.llm.vocab import (
+    collocation_pmi,
+    collocation_pmi_oracle_sql,
+)
+from quality_spark.operators.relprofile import (
+    l_diversity_oracle_sql,
+    l_diversity_stats,
+)
+from quality_spark.operators.stats import (
+    categorical_association,
+    categorical_association_oracle_sql,
+    categorical_entropy,
+    categorical_entropy_oracle_sql,
+    numeric_correlations,
+    numeric_correlations_oracle_sql,
+)
+
+
+def _duck(sf_dir, tables=("lineitem", "orders", "documents")):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+# --- numeric_correlations -------------------------------------------------
+
+
+def test_corr_known_values(spark):
+    # y = 2x exactly -> corr 1; z anti-correlated with x -> corr -1
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)],
+        "x double, y double, z double",
+    )
+    rows = {
+        (r["col_x"], r["col_y"]): r
+        for r in numeric_correlations(df, ["x", "y", "z"]).collect()
+    }
+    assert rows[("x", "y")]["corr"] == pytest.approx(1.0)
+    assert rows[("x", "z")]["corr"] == pytest.approx(-1.0)
+    assert rows[("y", "z")]["corr"] == pytest.approx(-1.0)
+    assert all(r["n_pairs"] == 3 for r in rows.values())
+
+
+def test_corr_null_pairwise_and_zero_variance(spark):
+    # x-y shares only 2 complete rows; c is constant -> corr NULL
+    df = spark.createDataFrame(
+        [(1.0, None, 5.0), (2.0, 1.0, 5.0), (3.0, 2.0, 5.0), (None, 9.0, 5.0)],
+        "x double, y double, c double",
+    )
+    rows = {
+        (r["col_x"], r["col_y"]): r
+        for r in numeric_correlations(df, ["x", "y", "c"]).collect()
+    }
+    assert rows[("x", "y")]["n_pairs"] == 2
+    assert rows[("x", "y")]["corr"] == pytest.approx(1.0)
+    assert rows[("x", "c")]["corr"] is None
+    assert rows[("y", "c")]["corr"] is None
+
+
+def test_corr_oracle_parity_real_data(spark, sf_dir):
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    got = sorted(
+        (r["col_x"], r["col_y"], r["n_pairs"], r["corr"])
+        for r in numeric_correlations(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"), cols
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _duck(sf_dir)
+        .execute(numeric_correlations_oracle_sql("lineitem", cols))
+        .fetchall()
+    )
+    assert len(got) == 6
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        # bit-equal doubles (exact integer sums, fixed finisher order)
+        assert g[3] == w[3]
+
+
+# --- categorical_association ----------------------------------------------
+
+
+def test_assoc_independent_and_identical(spark):
+    # identical columns -> V == 1; independent 2x2 -> chi2 == 0
+    same = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",)], "v string"
+    ).selectExpr("v AS a", "v AS b")
+    r = categorical_association(same, "a", "b").collect()[0]
+    assert r["cramers_v"] == pytest.approx(1.0)
+    assert r["dof"] == 4
+
+    indep = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 3,
+        "a string, b string",
+    )
+    r = categorical_association(indep, "a", "b").collect()[0]
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert r["n"] == 12 and r["n_cells"] == 4 and r["dof"] == 1
+
+
+def test_assoc_nulls_excluded_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", None), (None, "q"), ("x", "p")],
+        "a string, b string",
+    )
+    r = categorical_association(df, "a", "b").collect()[0]
+    assert r["n"] == 2  # only complete rows
+    assert r["dof"] == 0  # single category on each side
+    assert r["cramers_v"] is None
+
+    empty = spark.createDataFrame([], "a string, b string")
+    r = categorical_association(empty, "a", "b").collect()[0]
+    assert r["n"] == 0 and r["chi2"] == 0.0 and r["cramers_v"] is None
+
+
+def test_assoc_oracle_parity_real_data(spark, sf_dir):
+    got = categorical_association(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        "l_returnflag",
+        "l_linestatus",
+    ).collect()[0]
+    want = (
+        _duck(sf_dir)
+        .execute(
+            categorical_association_oracle_sql(
+                "lineitem", "l_returnflag", "l_linestatus"
+            )
+        )
+        .fetchall()[0]
+    )
+    assert tuple(got) == tuple(want)  # bit-equal incl. chi2/V doubles
+    assert got["chi2"] > 0.0
+
+
+# --- categorical_entropy ----------------------------------------------------
+
+
+def test_entropy_known_values(spark):
+    # uniform 4-way -> ln 4; constant -> 0; all-null -> NULL
+    df = spark.createDataFrame(
+        [("a", "k", None), ("b", "k", None), ("c", "k", None), ("d", "k", None)],
+        "u string, c string, z string",
+    )
+    rows = {r["column"]: r for r in categorical_entropy(df, ["u", "c", "z"]).collect()}
+    assert rows["u"]["entropy"] == pytest.approx(math.log(4.0))
+    assert rows["u"]["n_distinct"] == 4
+    assert rows["c"]["entropy"] == pytest.approx(0.0)
+    assert rows["z"]["n"] == 0 and rows["z"]["entropy"] is None
+
+
+def test_entropy_oracle_parity_real_data(spark, sf_dir):
+    cols = ["l_returnflag", "l_linestatus"]
+    got = sorted(
+        tuple(r)
+        for r in categorical_entropy(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"), cols
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _duck(sf_dir)
+        .execute(categorical_entropy_oracle_sql("lineitem", cols))
+        .fetchall()
+    )
+    assert got == want  # bit-equal entropy doubles
+
+
+# --- l_diversity_stats ------------------------------------------------------
+
+
+def test_l_diversity_known_values(spark):
+    # group (x): sensitive {s1, s2} -> l=2; group (y): {s1} twice -> l=1
+    # group (z): all-NULL sensitive -> l=0
+    df = spark.createDataFrame(
+        [("x", "s1"), ("x", "s2"), ("y", "s1"), ("y", "s1"), ("z", None)],
+        "qi string, s string",
+    )
+    r = l_diversity_stats(df, ["qi"], "s", l=2).collect()[0]
+    assert r["n_rows"] == 5 and r["n_groups"] == 3
+    assert r["min_l"] == 0
+    assert r["n_groups_below_l"] == 2
+    assert r["n_rows_below_l"] == 3
+
+
+def test_l_diversity_validates_inputs(spark):
+    df = spark.createDataFrame([("x", "s")], "qi string, s string")
+    with pytest.raises(ValueError):
+        l_diversity_stats(df, [], "s", l=2)
+    with pytest.raises(ValueError):
+        l_diversity_stats(df, ["qi"], "s", l=0)
+
+
+def test_l_diversity_oracle_parity_real_data(spark, sf_dir):
+    got = l_diversity_stats(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        ["o_orderstatus", "o_orderpriority"],
+        "o_custkey",
+        l=3,
+    ).collect()[0]
+    want = (
+        _duck(sf_dir)
+        .execute(
+            l_diversity_oracle_sql(
+                "orders",
+                ["o_orderstatus", "o_orderpriority"],
+                "o_custkey",
+                l=3,
+            )
+        )
+        .fetchall()[0]
+    )
+    assert tuple(got) == tuple(want)
+
+
+# --- collocation_pmi --------------------------------------------------------
+
+
+def test_collocation_known_values(spark):
+    # "new york" always adjacent; "a b" pairs are incidental
+    docs = spark.createDataFrame(
+        [(1, "new york new york visit"), (2, "new york is big"),
+         (3, "a b a b")],
+        "doc_id bigint, text string",
+    )
+    out = collocation_pmi(docs, min_count=2, top=5).collect()
+    got = {(r["w1"], r["w2"]): r for r in out}
+    ny = got[("new", "york")]
+    assert ny["pair_count"] == 3
+    # N=13 tokens, c(new)=3, c(york)=3 -> pmi = ln(3*13/9)
+    assert ny["n_tokens"] == 13
+    assert ny["pmi"] == pytest.approx(math.log(3 * 13 / 9))
+    # ordered by pmi desc: 'a b' (2*13/4) ranks above 'new york'
+    assert out[0]["w1"] == "a" and out[0]["w2"] == "b"
+
+
+def test_collocation_materialize_identity_and_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, ""), (3, "   "), (4, "solo")],
+        "doc_id bigint, text string",
+    )
+    a = sorted(map(tuple, collocation_pmi(docs, 1, 10).collect()))
+    b = sorted(map(tuple, collocation_pmi(docs, 1, 10, materialize=True).collect()))
+    assert a == b
+    assert all(r[0] in ("x", "y") for r in a)
+
+
+def test_collocation_oracle_parity_real_data(spark, sf_dir):
+    # JVM Math.log and libm ln can differ in the last ulp, so PMI
+    # parity holds at the driver gate's 9-dp contract, not bit-level
+    # (the counts and the ranking are exact — see docstring).
+    def _norm(rows):
+        return sorted(
+            tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+            for r in rows
+        )
+
+    got = _norm(
+        tuple(r)
+        for r in collocation_pmi(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            min_count=3,
+            top=15,
+        ).collect()
+    )
+    want = _norm(
+        _duck(sf_dir)
+        .execute(collocation_pmi_oracle_sql(min_count=3, top=15))
+        .fetchall()
+    )
+    assert len(got) == 15
+    assert got == want
