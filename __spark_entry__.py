@@ -4567,7 +4567,49 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fused_rank").cast("bigint").alias("n2"),
         F.col("rrf_score").alias("v_double"),
     )
-    return tfidf.unionByName(bm25).unionByName(topk).unionByName(fused)
+    # 'bm25_idx' part (round 10): the PERSISTED inverted index —
+    # write_bm25_index stages bucket-partitioned postings once
+    # (memoized per sf_dir), bm25_scores_indexed prunes the scan to
+    # the query terms' buckets (PartitionFilters, plan-pinned in
+    # tests) and must produce BIT-EQUAL scores to the inline path —
+    # the oracle is the same bm25 SQL replay, so index build + pruned
+    # query + shared score fold gate end-to-end.
+    idx = q_bm25_idx_leg(spark, sf_dir).select(
+        F.lit("bm25_idx").alias("part"),
+        F.col("doc_id").cast("bigint").alias("ord"),
+        F.concat(F.lit("q"), F.col("query_id")).alias("key"),
+        F.col("n_terms_matched").cast("bigint").alias("n1"),
+        F.lit(-1).cast("bigint").alias("n2"),
+        F.col("score").alias("v_double"),
+    )
+    return (
+        tfidf.unionByName(bm25)
+        .unionByName(topk)
+        .unionByName(fused)
+        .unionByName(idx)
+    )
+
+
+def q_bm25_idx_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scoring against the persisted inverted index
+    (llm/retrieval.py:write_bm25_index + bm25_scores_indexed): pruned
+    bucket-partitioned postings scan, no corpus tokenize, shared
+    `_fold_term_scores` finisher — scores bit-equal to 'bm25'."""
+    from quality_spark.llm.retrieval import (
+        bm25_scores_indexed,
+        write_bm25_index,
+    )
+
+    def build(root):
+        write_bm25_index(
+            _read(spark, sf_dir, "documents").select("doc_id", "text"),
+            root,
+            buckets=16,
+        )
+        return root
+
+    root = _staged("bm25idx", sf_dir, build)
+    return bm25_scores_indexed(spark, root, _BM25_QUERIES)
 
 
 def q_tfidf_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4690,6 +4732,10 @@ FROM (
   FROM fused
   QUALIFY fused_rank <= 10
 )
+UNION ALL
+SELECT 'bm25_idx', CAST(doc_id AS BIGINT), 'q' || query_id,
+       CAST(n_terms_matched AS BIGINT), CAST(-1 AS BIGINT), score
+FROM ({bm25_oracle_sql(_BM25_QUERIES)})
 """
 
 
@@ -8886,6 +8932,7 @@ def query_legs() -> dict:
             "bm25": q_bm25_leg,
             "bm25_topk": q_bm25_topk_leg,
             "rrf": q_rrf_leg,
+            "bm25_idx": q_bm25_idx_leg,
         },
         "digest_documents": {
             "winnow": q_winnow_leg,

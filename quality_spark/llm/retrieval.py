@@ -166,6 +166,24 @@ def bm25_scores(
         .join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(stats))
     )
+    return _fold_term_scores(scored, k1, b, id_col)
+
+
+def _fold_term_scores(
+    scored: DataFrame, k1: float, b: float, id_col: str
+) -> DataFrame:
+    """Shared BM25 score finisher — the inline (`bm25_scores`) and
+    persisted-index (`bm25_scores_indexed`) paths both end here, so
+    their score doubles cannot drift. Input columns: query_id,
+    ``id_col``, token, tf, dl, df, _n_docs, _avgdl.
+
+    Per-(query, doc) term scores sum in ASCENDING TOKEN ORDER
+    (sort_array + left fold) — a plain double sum() is
+    partition-order-dependent, and sf1's near-copy corpus exposed
+    sub-1e-9 score divergence that flipped rank ties between
+    engines; the ordered fold makes every score double bit-equal to
+    the oracle's identically-ordered fold (matched terms per pair
+    <= |query terms|, so the collected list is metadata-sized)."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("_n_docs").cast("double") - F.col("df") + F.lit(0.5))
@@ -176,13 +194,6 @@ def bm25_scores(
         + F.lit(b) * F.col("dl").cast("double") / F.col("_avgdl")
     )
     term_score = idf * F.col("tf").cast("double") * F.lit(k1 + 1.0) / denom
-    # per-(query, doc) term scores sum in ASCENDING TOKEN ORDER
-    # (sort_array + left fold) — a plain double sum() is
-    # partition-order-dependent, and sf1's near-copy corpus exposed
-    # sub-1e-9 score divergence that flipped rank ties between
-    # engines; the ordered fold makes every score double bit-equal to
-    # the oracle's identically-ordered fold (matched terms per pair
-    # <= |query terms|, so the collected list is metadata-sized)
     return (
         scored.select(
             "query_id", F.col(id_col), "token", term_score.alias("_s")
@@ -249,6 +260,198 @@ def bm25_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def write_bm25_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> None:
+    """Persist a BM25 inverted index — the lexical counterpart of
+    `pq.write_pq_index` (round 10): repeated querying should prune a
+    stored postings table, not re-tokenize the corpus per call.
+
+    Layout under ``path``:
+
+    - ``postings/`` — one row per (doc, token): (token, ``id_col``,
+      tf, dl), written ``partitionBy(bucket)`` with
+      ``bucket = pmod(xxhash64(token), buckets)`` — a query's scan
+      prunes WHOLE DIRECTORIES down to the buckets its terms hash to
+      (PartitionFilters, plan-pinned). ``dl`` is denormalized onto
+      every posting so scoring needs NO join against a corpus-sized
+      doc-length table.
+    - ``tokens/`` — (token, df) per distinct token, same bucket
+      partitioning (document frequencies are pre-counted at build so
+      the query path never re-aggregates a stop-wordy term's full
+      posting list just to learn its df).
+    - ``meta.json`` — id_col, buckets, and the exact integer corpus
+      stats (n_docs, sum_dl); avgdl is re-derived as the same IEEE
+      division Spark's ``avg`` performs, so indexed scores are
+      bit-equal to the inline path's.
+
+    Build cost: the corpus tokenizes exactly twice (the 1-row stats
+    aggregate and the postings pass — the `bm25_scores` budget);
+    ``tokens/`` derives from reading back the just-written postings,
+    never a third tokenize. One groupBy shuffle on (doc, token), one
+    on token. At 100 TB both outputs are token-count-sized — far
+    smaller than the corpus — and every downstream query is a pruned
+    scan."""
+    import json
+    import os
+
+    spark = df.sparkSession
+    staged = df.select(
+        F.col(id_col),
+        F.expr(tokens_sql(text_col, "spark")).alias("_toks"),
+    ).select(
+        id_col, "_toks", F.size("_toks").cast("bigint").alias("dl")
+    )
+    stats_row = (
+        staged.select("dl")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+        )
+        .collect()[0]
+    )
+    postings = (
+        staged.select(id_col, "dl", F.explode("_toks").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("token"), F.lit(int(buckets)))
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    # df per token FROM the written postings (one row per (doc,
+    # token) with tf >= 1 -> count(*) per token IS df); reading back
+    # avoids a third corpus tokenize. Schema passed explicitly (the
+    # read-back layout: data columns then the partition column) so an
+    # empty corpus still writes a valid, readable index.
+    from pyspark.sql.types import StructType
+
+    rb = StructType(
+        [f for f in postings.schema.fields if f.name != "bucket"]
+        + [postings.schema["bucket"]]
+    )
+    written = spark.read.schema(rb).parquet(os.path.join(path, "postings"))
+    (
+        written.groupBy("bucket", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "tokens"))
+    )
+    meta = {
+        "id_col": id_col,
+        "buckets": int(buckets),
+        "n_docs": int(stats_row["n_docs"]),
+        "sum_dl": int(stats_row["sum_dl"]),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _read_bm25_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def bm25_scores_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: Sequence[tuple[int, str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scoring against a PERSISTED `write_bm25_index` store —
+    same output schema and BIT-EQUAL scores to `bm25_scores` on the
+    corpus the index was built from (shared `_fold_term_scores`
+    finisher; the gate pins the equivalence against the same oracle).
+
+    Plan shape: query-term buckets are computed with the engine's own
+    ``xxhash64`` over the metadata-sized term list (hash parity by
+    construction — no driver reimplementation to drift), then BOTH
+    scans (postings, tokens) prune on ``bucket`` (PartitionFilters,
+    plan-pinned) and broadcast-join against the query terms. No
+    corpus tokenize, no full postings scan, no data-sized shuffle —
+    the only shuffle is the final per-(query, doc) fold over matched
+    postings."""
+    import os
+
+    meta = _read_bm25_meta(path)
+    if meta["n_docs"] == 0:
+        raise ValueError(f"bm25 index at {path} was built on 0 documents")
+    id_col = meta["id_col"]
+    qterms = F.broadcast(_query_terms(spark, queries))
+    # probe buckets: |distinct terms| rows -> metadata collect
+    probe = (
+        _query_terms(spark, queries)
+        .select("token")
+        .distinct()
+        .select(
+            F.pmod(F.xxhash64("token"), F.lit(meta["buckets"])).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    bs = sorted(int(r["b"]) for r in probe)
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(bs))
+        .join(qterms.select("token").distinct(), "token")
+    )
+    dfreq = (
+        spark.read.parquet(os.path.join(path, "tokens"))
+        .filter(F.col("bucket").isin(bs))
+        .join(qterms.select("token").distinct(), "token")
+        .select("token", "df")
+    )
+    # avgdl re-derived exactly as Spark's avg(double) would: a double
+    # sum of integer dl values is exact below 2^53, divided by the
+    # double count — identical to the inline path's stats aggregate.
+    avgdl = float(meta["sum_dl"]) / float(meta["n_docs"])
+    scored = (
+        postings.join(qterms, "token")
+        .join(F.broadcast(dfreq), "token")
+        .withColumn("_n_docs", F.lit(int(meta["n_docs"])).cast("bigint"))
+        .withColumn("_avgdl", F.lit(avgdl))
+    )
+    return _fold_term_scores(scored, k1, b, id_col)
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: Sequence[tuple[int, str]],
+    k: int = 10,
+    salted: bool = False,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k against a persisted BM25 index — `bm25_topk`'s cut over
+    `bm25_scores_indexed` (same rank semantics: score DESC, id ASC)."""
+    meta = _read_bm25_meta(path)
+    return bm25_topk(
+        spark,
+        None,
+        queries,
+        k=k,
+        salted=salted,
+        scores=bm25_scores_indexed(spark, path, queries, k1=k1, b=b),
+        id_col=meta["id_col"],
     )
 
 
@@ -508,6 +711,7 @@ def retrieve(
     pq_ksub: int = 16,
     pq_iters: int = 2,
     index_path: Optional[str] = None,
+    bm25_index_path: Optional[str] = None,
 ) -> DataFrame:
     """End-to-end HYBRID retrieval — the composition a training-data
     pipeline actually runs: a lexical ranked list (BM25 by default,
@@ -558,6 +762,20 @@ def retrieve(
         lex = matched_terms_rank(
             spark, docs, queries, k=depth, text_col=text_col, id_col=id_col
         )
+    elif lexical == "bm25_idx":
+        # PERSISTED-index lexical leg (round 10): `bm25_index_path`
+        # names a write_bm25_index store — pruned postings scan, no
+        # corpus tokenize; scores bit-equal to lexical='bm25'.
+        if bm25_index_path is None:
+            raise ValueError(
+                "lexical='bm25_idx' needs bm25_index_path= (write_bm25_index)"
+            )
+        lex = bm25_topk_indexed(
+            spark, bm25_index_path, queries, k=depth, salted=salted
+        )
+        id_idx = _read_bm25_meta(bm25_index_path)["id_col"]
+        if id_idx != id_col:
+            lex = lex.withColumnRenamed(id_idx, id_col)
     else:
         lex = bm25_topk(
             spark,

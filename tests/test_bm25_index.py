@@ -1,0 +1,142 @@
+"""Persisted BM25 inverted index (llm/retrieval.py:write_bm25_index /
+bm25_scores_indexed / bm25_topk_indexed): result identity with the
+inline path, partition pruning, and the retrieve() composition."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from quality_spark.llm.retrieval import (
+    bm25_scores,
+    bm25_scores_indexed,
+    bm25_topk,
+    bm25_topk_indexed,
+    write_bm25_index,
+)
+
+QS = [(1, "data quality"), (2, "spark window shuffle"), (3, "the")]
+
+
+@pytest.fixture(scope="module")
+def bm25_index(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bm25idx"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    write_bm25_index(docs, root, buckets=16)
+    return root, docs
+
+
+def test_indexed_scores_bit_equal_inline(spark, bm25_index):
+    root, docs = bm25_index
+    inline = sorted(
+        map(tuple, bm25_scores(spark, docs, QS).collect())
+    )
+    indexed = sorted(
+        map(tuple, bm25_scores_indexed(spark, root, QS).collect())
+    )
+    assert len(inline) > 0
+    assert inline == indexed  # bit-equal score doubles (shared finisher)
+
+
+def test_indexed_topk_equal_inline_plain_and_salted(spark, bm25_index):
+    root, docs = bm25_index
+    inline = sorted(map(tuple, bm25_topk(spark, docs, QS, k=7).collect()))
+    plain = sorted(
+        map(tuple, bm25_topk_indexed(spark, root, QS, k=7).collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            bm25_topk_indexed(spark, root, QS, k=7, salted=True).collect(),
+        )
+    )
+    assert inline == plain == salted
+
+
+def test_indexed_scan_prunes_buckets(spark, bm25_index):
+    """Both index scans must prune on the bucket partition column —
+    PartitionFilters non-empty and no corpus-table FileScan at all."""
+    import re
+
+    root, _ = bm25_index
+    plan = bm25_scores_indexed(spark, root, [(1, "data")])._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert filters, plan[:2000]
+    assert all("bucket" in f for f in filters), filters
+    # exactly the index's two stores are scanned, nothing else
+    assert plan.count("FileScan parquet") == 2, plan[:2000]
+
+
+def test_indexed_prunes_directories_on_disk(spark, sf_dir, bm25_index):
+    """The probe-bucket set for a one-term query is a strict subset of
+    the index's buckets — the pruned scan cannot touch every
+    directory."""
+    root, _ = bm25_index
+    dirs = [
+        d
+        for d in os.listdir(os.path.join(root, "postings"))
+        if d.startswith("bucket=")
+    ]
+    assert len(dirs) > 2
+    out = bm25_scores_indexed(spark, root, [(1, "data")])
+    # one term -> one bucket: the executed plan's partition count is 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and all("bucket" in f for f in m)
+
+
+def test_out_of_vocab_and_empty_index_guard(spark, sf_dir, tmp_path):
+    root, _docs = None, None
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "idx")
+    write_bm25_index(docs.limit(5), idx, buckets=4)
+    assert bm25_scores_indexed(spark, idx, [(9, "zzzqqq")]).count() == 0
+
+    empty = str(tmp_path / "empty")
+    write_bm25_index(docs.limit(0), empty, buckets=4)
+    with pytest.raises(ValueError):
+        bm25_scores_indexed(spark, empty, [(1, "x")])
+
+
+def test_retrieve_bm25_idx_composition(spark, sf_dir, bm25_index):
+    """retrieve(lexical='bm25_idx') equals retrieve(lexical='bm25') —
+    the persisted lexical leg is a drop-in."""
+    from quality_spark.llm.retrieval import retrieve
+
+    root, docs = bm25_index
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter("vec_id IN (1, 2)")
+    qs = [(1, "data quality"), (2, "spark window")]
+    a = sorted(
+        map(
+            tuple,
+            retrieve(spark, docs, emb, qs, qv, k=5, depth=20).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            retrieve(
+                spark,
+                docs,
+                emb,
+                qs,
+                qv,
+                k=5,
+                depth=20,
+                lexical="bm25_idx",
+                bm25_index_path=root,
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
