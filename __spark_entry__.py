@@ -8554,7 +8554,7 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _ENTROPY_LI = ["l_returnflag", "l_linestatus"]
 _ENTROPY_DOC = ["lang", "source"]
 _LDIV_QI = ["o_orderstatus", "o_orderpriority"]
-_STATS_PARTS = ("corr", "assoc", "entropy", "ldiv", "colloc")
+_STATS_PARTS = ("corr", "assoc", "entropy", "ldiv", "colloc", "reg", "g3")
 
 
 def q_corr_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8620,6 +8620,32 @@ def q_colloc_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_count=3,
         top=15,
         materialize=True,
+    )
+
+
+def q_reg_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (stats.grouped_linregress) on lineitem:
+    l_extendedprice ~ l_quantity within each l_returnflag segment —
+    exact DECIMAL sums, fixed-order IEEE finisher (bit-replayable
+    slope/intercept/r2)."""
+    from quality_spark.operators.stats import grouped_linregress
+
+    return grouped_linregress(
+        _read(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def q_g3_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-FD g3 error (relprofile.fd_g3_error) for
+    o_custkey -> o_orderstatus — a genuinely violated FD on the
+    synthetic orders, so confidence is a real fraction."""
+    from quality_spark.operators.relprofile import fd_g3_error
+
+    return fd_g3_error(
+        _read(spark, sf_dir, "orders"), ["o_custkey"], "o_orderstatus"
     )
 
 
@@ -8734,6 +8760,47 @@ def q_stats_suite(
                 F.lit(-1.0).alias("v_double"),
             )
         )
+    if "reg" in only:
+        # one tiny per-group aggregate read by three metric rows —
+        # localCheckpoint so the lineitem scan runs once, not three
+        rg = q_reg_leg(spark, sf_dir).localCheckpoint(eager=False)
+        for metric in ("slope", "intercept", "r2"):
+            legs.append(
+                rg.select(
+                    F.lit(f"reg_{metric}").alias("part"),
+                    F.col("l_returnflag").alias("k1"),
+                    F.lit("").alias("k2"),
+                    F.col("n").alias("n1"),
+                    F.lit(-1).cast("bigint").alias("n2"),
+                    F.lit(-1).cast("bigint").alias("n3"),
+                    F.col(metric).alias("v_double"),
+                )
+            )
+    if "g3" in only:
+        # 1-row result read by two parts — checkpoint, one orders scan
+        g3 = q_g3_leg(spark, sf_dir).localCheckpoint(eager=False)
+        legs.append(
+            g3.select(
+                F.lit("g3").alias("part"),
+                F.lit("o_custkey").alias("k1"),
+                F.lit("o_orderstatus").alias("k2"),
+                F.col("n_rows").alias("n1"),
+                F.col("n_groups").alias("n2"),
+                F.col("n_violating_groups").alias("n3"),
+                F.col("confidence").alias("v_double"),
+            )
+        )
+        legs.append(
+            g3.select(
+                F.lit("g3_rows").alias("part"),
+                F.lit("o_custkey").alias("k1"),
+                F.lit("o_orderstatus").alias("k2"),
+                F.col("g3_rows").alias("n1"),
+                F.lit(-1).cast("bigint").alias("n2"),
+                F.lit(-1).cast("bigint").alias("n3"),
+                F.lit(-1.0).alias("v_double"),
+            )
+        )
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -8763,6 +8830,13 @@ def _oracle_stats_suite() -> str:
     ldiv = l_diversity_oracle_sql("orders", _LDIV_QI, "o_custkey", l=3)
     colloc = collocation_pmi_oracle_sql(min_count=3, top=15)
     ld_k = ",".join(_LDIV_QI)
+    from quality_spark.operators.relprofile import fd_g3_oracle_sql
+    from quality_spark.operators.stats import grouped_linregress_oracle_sql
+
+    reg = grouped_linregress_oracle_sql(
+        "lineitem", ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+    g3 = fd_g3_oracle_sql("orders", ["o_custkey"], "o_orderstatus")
     return f"""
 SELECT 'corr' AS part, col_x AS k1, col_y AS k2, n_pairs AS n1,
        CAST(-1 AS BIGINT) AS n2, CAST(-1 AS BIGINT) AS n3,
@@ -8789,6 +8863,26 @@ UNION ALL
 SELECT 'colloc_n', '', '', CAST(max(n_tokens) AS BIGINT),
        CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), -1.0
 FROM ({colloc})
+UNION ALL
+SELECT 'reg_slope', l_returnflag, '', n, CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), slope
+FROM ({reg})
+UNION ALL
+SELECT 'reg_intercept', l_returnflag, '', n, CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), intercept
+FROM ({reg})
+UNION ALL
+SELECT 'reg_r2', l_returnflag, '', n, CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), r2
+FROM ({reg})
+UNION ALL
+SELECT 'g3', 'o_custkey', 'o_orderstatus', n_rows, n_groups,
+       n_violating_groups, confidence
+FROM ({g3})
+UNION ALL
+SELECT 'g3_rows', 'o_custkey', 'o_orderstatus', g3_rows,
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), -1.0
+FROM ({g3})
 """
 
 
@@ -8956,6 +9050,8 @@ def query_legs() -> dict:
             "entropy": q_entropy_leg,
             "ldiv": q_ldiv_leg,
             "colloc": q_colloc_leg,
+            "reg": q_reg_leg,
+            "g3": q_g3_leg,
         },
         "lambda_suite": {
             "margin": q_lambda_margin,

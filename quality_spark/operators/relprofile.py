@@ -497,3 +497,80 @@ FROM (
   FROM {table} GROUP BY {qs}
 )
 """
+
+
+def fd_g3_error(
+    df: DataFrame, lhs_cols: Sequence[str], rhs_col: str
+) -> DataFrame:
+    """Approximate-FD confidence: the g3 error of ``lhs -> rhs``
+    (Kivinen & Mannila 1995) — the MINIMUM number of rows to delete
+    for the dependency to hold exactly::
+
+        g3_rows = n_rows - sum_lhs max_rhs count(lhs, rhs)
+
+    `fd_violations` says WHETHER an FD holds; this says HOW CLOSE a
+    violated one is ("o_custkey -> o_orderstatus holds for 99.2% of
+    rows" is a rule-authoring fact, a hard pass/fail is not). One row:
+    (n_rows, n_groups, n_violating_groups, g3_rows, confidence) with
+    confidence = 1 - g3/n as ONE IEEE division of exact integers
+    (NULL when n = 0).
+
+    Plan: groupBy(lhs, rhs) count -> groupBy(lhs) {sum, max, distinct
+    rhs-per-lhs via count(*)} -> 1-row finisher; all combinable
+    aggregates, integer outputs. NULLs group as ordinary values on
+    both sides (a NULL rhs is a value the FD must also be consistent
+    about — matching fd_violations' semantics)."""
+    if not lhs_cols:
+        raise ValueError("lhs_cols must be non-empty")
+    cells = df.groupBy(*lhs_cols, rhs_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    per_lhs = cells.groupBy(*lhs_cols).agg(
+        F.sum("__c").cast("bigint").alias("__tot"),
+        F.max("__c").cast("bigint").alias("__keep"),
+        F.count(F.lit(1)).cast("bigint").alias("__nrhs"),
+    )
+    return per_lhs.agg(
+        F.coalesce(F.sum("__tot"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("__nrhs") > 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.coalesce(F.sum(F.col("__tot") - F.col("__keep")), F.lit(0))
+        .cast("bigint")
+        .alias("g3_rows"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "n_violating_groups",
+        "g3_rows",
+        F.expr(
+            "CASE WHEN n_rows > 0 THEN 1.0D - CAST(g3_rows AS DOUBLE) "
+            "/ CAST(n_rows AS DOUBLE) END"
+        ).alias("confidence"),
+    )
+
+
+def fd_g3_oracle_sql(table: str, lhs_cols: Sequence[str], rhs_col: str) -> str:
+    ls = ", ".join(lhs_cols)
+    return f"""
+SELECT n_rows, n_groups, n_violating_groups, g3_rows,
+       CASE WHEN n_rows > 0 THEN 1.0 - CAST(g3_rows AS DOUBLE)
+            / CAST(n_rows AS DOUBLE) END AS confidence
+FROM (
+  SELECT CAST(coalesce(sum(tot), 0) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(coalesce(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_violating_groups,
+         CAST(coalesce(sum(tot - keep), 0) AS BIGINT) AS g3_rows
+  FROM (
+    SELECT {ls}, sum(c) AS tot, max(c) AS keep, count(*) AS nrhs
+    FROM (
+      SELECT {ls}, {rhs_col}, CAST(count(*) AS BIGINT) AS c
+      FROM {table} GROUP BY {ls}, {rhs_col}
+    ) GROUP BY {ls}
+  )
+)
+"""

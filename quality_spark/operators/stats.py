@@ -366,3 +366,100 @@ FROM (
   )
 )""")
     return "\nUNION ALL\n".join(legs)
+
+
+# ---------------------------------------------------------------------------
+# Per-group ordinary least squares (exact integer accumulation)
+# ---------------------------------------------------------------------------
+
+
+def grouped_linregress(
+    df: DataFrame, group_cols: Sequence[str], x: str, y: str
+) -> DataFrame:
+    """Exact per-group simple OLS — slope/intercept/R² of ``y ~ x``
+    within every group (the segment-trend fact: "is price still
+    rising per unit quantity in THIS region?").
+
+    ONE map-side-combinable groupBy accumulates the five exact sums
+    (micros in DECIMAL(38,0) — the `numeric_correlations` contract),
+    then a pure per-group finisher::
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)   (micro scale cancels)
+        intercept = (Sy - slope*Sx) / n / 1e6           (back to y units)
+        r2        = (n*Sxy - Sx*Sy)^2
+                    / ((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    in fixed IEEE order over the exact integers — bit-replayable by
+    the HUGEINT oracle. Rows with a NULL in either column are
+    excluded per group. Zero-x-variance groups yield NULL slope /
+    intercept / r2 (and constant-y groups NULL r2); NULL group keys
+    are ordinary groups. Returns group_cols + (n, slope, intercept,
+    r2)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    both = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
+    xm = f"CASE WHEN {both} THEN CAST({_mic(x)} AS DECIMAL(38,0)) END"
+    ym = f"CASE WHEN {both} THEN CAST({_mic(y)} AS DECIMAL(38,0)) END"
+    agg = df.groupBy(*group_cols).agg(
+        F.expr(f"CAST(count_if({both}) AS BIGINT)").alias("n"),
+        F.expr(f"CAST(coalesce(sum({xm}), 0) AS DECIMAL(38,0))").alias("_sx"),
+        F.expr(f"CAST(coalesce(sum({ym}), 0) AS DECIMAL(38,0))").alias("_sy"),
+        F.expr(
+            f"CAST(coalesce(sum(({xm}) * ({ym})), 0) AS DECIMAL(38,0))"
+        ).alias("_sxy"),
+        F.expr(
+            f"CAST(coalesce(sum(({xm}) * ({xm})), 0) AS DECIMAL(38,0))"
+        ).alias("_sxx"),
+        F.expr(
+            f"CAST(coalesce(sum(({ym}) * ({ym})), 0) AS DECIMAL(38,0))"
+        ).alias("_syy"),
+    )
+    num = "CAST(n * _sxy - _sx * _sy AS DOUBLE)"
+    vx = "CAST(n * _sxx - _sx * _sx AS DOUBLE)"
+    vy = "CAST(n * _syy - _sy * _sy AS DOUBLE)"
+    slope = f"CASE WHEN {vx} > 0.0D THEN {num} / {vx} END"
+    return agg.select(
+        *group_cols,
+        "n",
+        F.expr(slope).alias("slope"),
+        F.expr(
+            f"CASE WHEN {vx} > 0.0D THEN "
+            f"(CAST(_sy AS DOUBLE) - ({num} / {vx}) * CAST(_sx AS DOUBLE))"
+            f" / CAST(n AS DOUBLE) / 1000000.0D END"
+        ).alias("intercept"),
+        F.expr(
+            f"CASE WHEN {vx} > 0.0D AND {vy} > 0.0D THEN "
+            f"({num} * {num}) / ({vx} * {vy}) END"
+        ).alias("r2"),
+    )
+
+
+def grouped_linregress_oracle_sql(
+    table: str, group_cols: Sequence[str], x: str, y: str
+) -> str:
+    """DuckDB replay of :func:`grouped_linregress` — HUGEINT sums,
+    identical finisher order."""
+    gs = ", ".join(group_cols)
+    both = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
+    xm = f"CASE WHEN {both} THEN CAST({_mic(x)} AS HUGEINT) END"
+    ym = f"CASE WHEN {both} THEN CAST({_mic(y)} AS HUGEINT) END"
+    num = "CAST(n * sxy - sx * sy AS DOUBLE)"
+    vx = "CAST(n * sxx - sx * sx AS DOUBLE)"
+    vy = "CAST(n * syy - sy * sy AS DOUBLE)"
+    return f"""
+SELECT {gs}, n,
+       CASE WHEN {vx} > 0.0 THEN {num} / {vx} END AS slope,
+       CASE WHEN {vx} > 0.0 THEN
+         (CAST(sy AS DOUBLE) - ({num} / {vx}) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) / 1000000.0 END AS intercept,
+       CASE WHEN {vx} > 0.0 AND {vy} > 0.0 THEN
+         ({num} * {num}) / ({vx} * {vy}) END AS r2
+FROM (
+  SELECT {gs}, CAST(count(*) FILTER ({both}) AS BIGINT) AS n,
+         COALESCE(sum({xm}), 0) AS sx, COALESCE(sum({ym}), 0) AS sy,
+         COALESCE(sum(({xm}) * ({ym})), 0) AS sxy,
+         COALESCE(sum(({xm}) * ({xm})), 0) AS sxx,
+         COALESCE(sum(({ym}) * ({ym})), 0) AS syy
+  FROM {table} GROUP BY {gs}
+)
+"""

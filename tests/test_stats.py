@@ -289,3 +289,122 @@ def test_collocation_oracle_parity_real_data(spark, sf_dir):
     )
     assert len(got) == 15
     assert got == want
+
+
+# --- grouped_linregress -----------------------------------------------------
+
+
+def test_linregress_known_values(spark):
+    from quality_spark.operators.stats import grouped_linregress
+
+    # group g1: y = 3x + 1 exactly; g2: constant x -> NULL slope
+    df = spark.createDataFrame(
+        [("g1", 1.0, 4.0), ("g1", 2.0, 7.0), ("g1", 3.0, 10.0),
+         ("g2", 5.0, 1.0), ("g2", 5.0, 2.0)],
+        "g string, x double, y double",
+    )
+    rows = {r["g"]: r for r in grouped_linregress(df, ["g"], "x", "y").collect()}
+    assert rows["g1"]["slope"] == pytest.approx(3.0)
+    assert rows["g1"]["intercept"] == pytest.approx(1.0)
+    assert rows["g1"]["r2"] == pytest.approx(1.0)
+    assert rows["g2"]["slope"] is None
+    assert rows["g2"]["intercept"] is None
+
+
+def test_linregress_null_rows_and_constant_y(spark):
+    from quality_spark.operators.stats import grouped_linregress
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 2.0), ("g", 2.0, 2.0), ("g", 3.0, 2.0),
+         ("g", None, 9.0), ("g", 4.0, None)],
+        "g string, x double, y double",
+    )
+    r = grouped_linregress(df, ["g"], "x", "y").collect()[0]
+    assert r["n"] == 3
+    assert r["slope"] == pytest.approx(0.0)
+    assert r["intercept"] == pytest.approx(2.0)
+    assert r["r2"] is None  # zero y-variance
+
+
+def test_linregress_oracle_parity_real_data(spark, sf_dir):
+    from quality_spark.operators.stats import (
+        grouped_linregress,
+        grouped_linregress_oracle_sql,
+    )
+
+    got = sorted(
+        map(
+            tuple,
+            grouped_linregress(
+                spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+                ["l_returnflag"],
+                "l_quantity",
+                "l_extendedprice",
+            ).collect(),
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for r in _duck(sf_dir)
+        .execute(
+            grouped_linregress_oracle_sql(
+                "lineitem", ["l_returnflag"], "l_quantity", "l_extendedprice"
+            )
+        )
+        .fetchall()
+    )
+    assert len(got) >= 2
+    assert got == want  # bit-equal slope/intercept/r2 doubles
+
+
+# --- fd_g3_error ------------------------------------------------------------
+
+
+def test_fd_g3_known_values(spark):
+    from quality_spark.operators.relprofile import fd_g3_error
+
+    # lhs 'a': rhs values {x:2, y:1} -> delete 1; lhs 'b': consistent
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z"), ("b", "z")],
+        "l string, r string",
+    )
+    r = fd_g3_error(df, ["l"], "r").collect()[0]
+    assert r["n_rows"] == 5 and r["n_groups"] == 2
+    assert r["n_violating_groups"] == 1
+    assert r["g3_rows"] == 1
+    assert r["confidence"] == pytest.approx(0.8)
+
+
+def test_fd_g3_null_rhs_is_a_value_and_validation(spark):
+    from quality_spark.operators.relprofile import fd_g3_error
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", None)], "l string, r string"
+    )
+    r = fd_g3_error(df, ["l"], "r").collect()[0]
+    # NULL rhs is the majority value: keep 2, delete the 'x' row
+    assert r["g3_rows"] == 1 and r["n_violating_groups"] == 1
+    with pytest.raises(ValueError):
+        fd_g3_error(df, [], "r")
+
+
+def test_fd_g3_oracle_parity_real_data(spark, sf_dir):
+    from quality_spark.operators.relprofile import (
+        fd_g3_error,
+        fd_g3_oracle_sql,
+    )
+
+    got = tuple(
+        fd_g3_error(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            ["o_custkey"],
+            "o_orderstatus",
+        ).collect()[0]
+    )
+    want = tuple(
+        _duck(sf_dir)
+        .execute(fd_g3_oracle_sql("orders", ["o_custkey"], "o_orderstatus"))
+        .fetchall()[0]
+    )
+    assert got == want
+    assert got[3] > 0  # the FD is genuinely violated on real data
