@@ -8554,7 +8554,9 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _ENTROPY_LI = ["l_returnflag", "l_linestatus"]
 _ENTROPY_DOC = ["lang", "source"]
 _LDIV_QI = ["o_orderstatus", "o_orderpriority"]
-_STATS_PARTS = ("corr", "assoc", "entropy", "ldiv", "colloc", "reg", "g3")
+_STATS_PARTS = (
+    "corr", "assoc", "entropy", "ldiv", "colloc", "reg", "g3", "csample",
+)
 
 
 def q_corr_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8647,6 +8649,26 @@ def q_g3_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_g3_error(
         _read(spark, sf_dir, "orders"), ["o_custkey"], "o_orderstatus"
     )
+
+
+def q_csample_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling (sampling.cluster_balanced_sample):
+    nearest-centroid cells (the pinned ivf_cell_expr argmax,
+    stride-50 centroids) + a deterministic portable-hash top-5 per
+    cell — the diversity-preserving subset pass."""
+    from quality_spark.llm.sampling import cluster_balanced_sample
+
+    # centroid pool is ID-ANCHORED (vec_id < 3200 -> <= 64 cells at
+    # every sf) so nlist cannot scale with the corpus — the ivfpq
+    # gate's sf1 lesson: an sf-proportional pool made the oracle's
+    # assignment cross join quadratic
+    emb = _read(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb,
+        emb.filter("vec_id % 50 = 0 AND vec_id < 3200"),
+        per_cell=5,
+        seed=11,
+    ).select("cell", "vec_id")
 
 
 def q_stats_suite(
@@ -8801,6 +8823,18 @@ def q_stats_suite(
                 F.lit(-1.0).alias("v_double"),
             )
         )
+    if "csample" in only:
+        legs.append(
+            q_csample_leg(spark, sf_dir).select(
+                F.lit("csample").alias("part"),
+                F.lit("").alias("k1"),
+                F.lit("").alias("k2"),
+                F.col("cell").cast("bigint").alias("n1"),
+                F.col("vec_id").cast("bigint").alias("n2"),
+                F.lit(-1).cast("bigint").alias("n3"),
+                F.lit(-1.0).alias("v_double"),
+            )
+        )
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -8837,6 +8871,12 @@ def _oracle_stats_suite() -> str:
         "lineitem", ["l_returnflag"], "l_quantity", "l_extendedprice"
     )
     g3 = fd_g3_oracle_sql("orders", ["o_custkey"], "o_orderstatus")
+    from quality_spark.llm.sampling import cluster_balanced_sample_oracle_sql
+
+    csample = cluster_balanced_sample_oracle_sql(
+        per_cell=5, seed=11,
+        centroid_filter="vec_id % 50 = 0 AND vec_id < 3200",
+    )
     return f"""
 SELECT 'corr' AS part, col_x AS k1, col_y AS k2, n_pairs AS n1,
        CAST(-1 AS BIGINT) AS n2, CAST(-1 AS BIGINT) AS n3,
@@ -8883,6 +8923,10 @@ UNION ALL
 SELECT 'g3_rows', 'o_custkey', 'o_orderstatus', g3_rows,
        CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), -1.0
 FROM ({g3})
+UNION ALL
+SELECT 'csample', '', '', CAST(cell AS BIGINT), CAST(vec_id AS BIGINT),
+       CAST(-1 AS BIGINT), -1.0
+FROM ({csample})
 """
 
 
@@ -9052,6 +9096,7 @@ def query_legs() -> dict:
             "colloc": q_colloc_leg,
             "reg": q_reg_leg,
             "g3": q_g3_leg,
+            "csample": q_csample_leg,
         },
         "lambda_suite": {
             "margin": q_lambda_margin,

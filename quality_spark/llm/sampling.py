@@ -825,3 +825,105 @@ LEFT JOIN (
         GROUP BY {gref}, {score_col})
 ) r ON {on}
 """
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: DataFrame,
+    per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    salted: bool = False,
+    mode: str = "auto",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Diversity-preserving subset over an embedding table: assign
+    every vector to its nearest-centroid cell (`similarity.ivf_assign`
+    — the SemDeDup/k-means clustering pass), then keep a DETERMINISTIC
+    pseudo-random ``per_cell`` rows from each cell.
+
+    Uniform hash-rate sampling keeps the corpus' cluster imbalance
+    (a boilerplate-heavy crawl stays boilerplate-heavy); the per-cell
+    cap yields the cluster-BALANCED subset embedding-curation
+    pipelines draw seed/eval sets from. The pick is a pure function of
+    (seed, id) — the portable 60-bit hash as the ranking score, ties
+    impossible below ~2^30 rows per cell and broken by id — so the
+    subset is stable across runs, partitionings, and engines.
+
+    Plan: one projection for the cell argmax (or the bit-identical
+    Arrow kernel at large nlist), then `cap_per_group`'s window —
+    ``salted=True`` for the two-phase skew-proof cut when one cell
+    may exceed a task's sort budget. Returns the kept rows with
+    ``cell_col`` attached."""
+    from .similarity import ivf_assign
+
+    if int(per_cell) < 1:
+        raise ValueError("per_cell must be >= 1")
+    assigned = ivf_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col, out=cell_col,
+        mode=mode,
+    )
+    key = (
+        f"concat('{int(seed)}', ':', "
+        f"coalesce(CAST({id_col} AS STRING), '<NULL>'))"
+    )
+    scored = assigned.withColumn(
+        "_h", F.expr(hash60_sql(key, "spark", "portable"))
+    )
+    return cap_per_group(
+        scored, cell_col, int(per_cell), "_h", id_col=id_col, salted=salted
+    ).drop("_h")
+
+
+def cluster_balanced_sample_oracle_sql(
+    per_cell: int,
+    seed: int = 0,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_filter: str = "vec_id % 50 = 0",
+    cell_col: str = "cell",
+) -> str:
+    """DuckDB replay of :func:`cluster_balanced_sample` (projected to
+    (cell, id)): the ivf-gate cell assignment (normalized-centroid
+    argmax, dot folded in ascending dimension order — the pinned
+    `ivf_cell_expr` arithmetic) + the portable-hash ranked per-cell
+    cut."""
+    nrm = (
+        f"sqrt(list_sum(list_transform({vec_col}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    dot = (
+        "list_sum(list_transform(range(1, len(c.ch) + 1), "
+        f"i -> c.ch[i] * CAST(e.{vec_col}[i] AS DOUBLE)))"
+    )
+    key = (
+        f"('{int(seed)}' || ':' || "
+        f"coalesce(CAST(e2.{id_col} AS VARCHAR), '<NULL>'))"
+    )
+    h = hash60_sql(key, "duckdb", "portable")
+    return f"""
+WITH cent AS (
+  SELECT {id_col} AS cid,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE) / {nrm}) AS ch
+  FROM {table} WHERE {centroid_filter}
+),
+assign AS (
+  SELECT e.{id_col}, c.cid,
+         row_number() OVER (
+           PARTITION BY e.{id_col} ORDER BY {dot} DESC, c.cid
+         ) AS rn
+  FROM {table} e CROSS JOIN cent c
+),
+cellof AS (SELECT {id_col}, cid AS {cell_col} FROM assign WHERE rn = 1),
+ranked AS (
+  SELECT e2.{cell_col}, e2.{id_col},
+         row_number() OVER (
+           PARTITION BY e2.{cell_col}
+           ORDER BY ({h}) DESC, e2.{id_col}
+         ) AS rk
+  FROM cellof e2
+)
+SELECT {cell_col}, {id_col} FROM ranked WHERE rk <= {int(per_cell)}
+"""

@@ -408,3 +408,71 @@ def test_fd_g3_oracle_parity_real_data(spark, sf_dir):
     )
     assert got == want
     assert got[3] > 0  # the FD is genuinely violated on real data
+
+
+# --- cluster_balanced_sample -------------------------------------------------
+
+
+def test_cluster_sample_caps_and_determinism(spark, sf_dir):
+    from quality_spark.llm.sampling import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter("vec_id % 50 = 0")
+    out = cluster_balanced_sample(emb, cents, per_cell=3, seed=7)
+    rows = out.select("cell", "vec_id").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cell"], []).append(r["vec_id"])
+    assert all(len(v) <= 3 for v in per.values())
+    assert len(per) > 1
+    # partition-layout independence + salted identity
+    re = cluster_balanced_sample(
+        emb.repartition(7), cents, per_cell=3, seed=7
+    )
+    assert sorted(map(tuple, re.select("cell", "vec_id").collect())) == sorted(
+        map(tuple, rows)
+    )
+    salted = cluster_balanced_sample(emb, cents, per_cell=3, seed=7, salted=True)
+    assert sorted(
+        map(tuple, salted.select("cell", "vec_id").collect())
+    ) == sorted(map(tuple, rows))
+    # different seed -> (almost surely) different picks somewhere
+    other = cluster_balanced_sample(emb, cents, per_cell=3, seed=8)
+    assert sorted(
+        map(tuple, other.select("cell", "vec_id").collect())
+    ) != sorted(map(tuple, rows))
+
+
+def test_cluster_sample_oracle_parity_and_validation(spark, sf_dir):
+    import duckdb
+
+    from quality_spark.llm.sampling import (
+        cluster_balanced_sample,
+        cluster_balanced_sample_oracle_sql,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter("vec_id % 50 = 0")
+    got = sorted(
+        map(
+            tuple,
+            cluster_balanced_sample(emb, cents, per_cell=4, seed=3)
+            .select("cell", "vec_id")
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            cluster_balanced_sample_oracle_sql(per_cell=4, seed=3)
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(emb, cents, per_cell=0)
