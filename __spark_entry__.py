@@ -8556,7 +8556,9 @@ _ENTROPY_DOC = ["lang", "source"]
 _LDIV_QI = ["o_orderstatus", "o_orderpriority"]
 _STATS_PARTS = (
     "corr", "assoc", "entropy", "ldiv", "colloc", "reg", "g3", "csample",
+    "mad",
 )
+_MAD_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 
 def q_corr_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8669,6 +8671,18 @@ def q_csample_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_cell=5,
         seed=11,
     ).select("cell", "vec_id")
+
+
+def q_mad_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact robust outliers (stats.mad_outlier_stats): nearest-rank
+    median + MAD from one compact-table scan, all-integer outlier
+    test at k = 1x MAD (uniform-ish TPC-H columns have no 3-MAD
+    outliers — k=1 keeps the counts non-trivial at every sf)."""
+    from quality_spark.operators.stats import mad_outlier_stats
+
+    return mad_outlier_stats(
+        _read(spark, sf_dir, "lineitem"), _MAD_COLS, k_num=1
+    )
 
 
 def q_stats_suite(
@@ -8835,6 +8849,18 @@ def q_stats_suite(
                 F.lit(-1.0).alias("v_double"),
             )
         )
+    if "mad" in only:
+        legs.append(
+            q_mad_leg(spark, sf_dir).select(
+                F.lit("mad").alias("part"),
+                F.col("column").alias("k1"),
+                F.lit("").alias("k2"),
+                F.col("n").alias("n1"),
+                F.col("median_mic").alias("n2"),
+                F.col("mad_mic").alias("n3"),
+                F.col("n_outliers").cast("double").alias("v_double"),
+            )
+        )
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -8877,6 +8903,9 @@ def _oracle_stats_suite() -> str:
         per_cell=5, seed=11,
         centroid_filter="vec_id % 50 = 0 AND vec_id < 3200",
     )
+    from quality_spark.operators.stats import mad_outlier_oracle_sql
+
+    mad = mad_outlier_oracle_sql("lineitem", _MAD_COLS, k_num=1)
     return f"""
 SELECT 'corr' AS part, col_x AS k1, col_y AS k2, n_pairs AS n1,
        CAST(-1 AS BIGINT) AS n2, CAST(-1 AS BIGINT) AS n3,
@@ -8927,6 +8956,10 @@ UNION ALL
 SELECT 'csample', '', '', CAST(cell AS BIGINT), CAST(vec_id AS BIGINT),
        CAST(-1 AS BIGINT), -1.0
 FROM ({csample})
+UNION ALL
+SELECT 'mad', "column", '', n, median_mic, mad_mic,
+       CAST(n_outliers AS DOUBLE)
+FROM ({mad})
 """
 
 
@@ -9097,6 +9130,7 @@ def query_legs() -> dict:
             "reg": q_reg_leg,
             "g3": q_g3_leg,
             "csample": q_csample_leg,
+            "mad": q_mad_leg,
         },
         "lambda_suite": {
             "margin": q_lambda_margin,

@@ -463,3 +463,181 @@ FROM (
   FROM {table} GROUP BY {gs}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier stats: median / MAD (exact, integer micros)
+# ---------------------------------------------------------------------------
+
+
+def mad_outlier_stats(
+    df: DataFrame, cols: Sequence[str], k_num: int = 3, k_den: int = 1
+) -> DataFrame:
+    """Exact robust-outlier fact per numeric column: nearest-rank
+    median, MAD (median absolute deviation), and the count of rows
+    with ``|x - median| * k_den > k_num * MAD`` — the
+    mean/std-independent outlier rule (a single 1e9 row cannot drag
+    the threshold the way it drags a z-score's std).
+
+    EVERYTHING is integer arithmetic on micros: median and MAD are
+    nearest-rank picks over cumulative counts — the smallest value
+    whose cumulative count reaches ``(n+1)/2`` (the exact middle for
+    odd n, the UPPER median for even n; both engines evaluate the
+    identical comparison) — and the outlier test multiplies through
+    by ``k_den`` so no division ever happens: the DuckDB oracle
+    replays bit-for-bit by construction. NULLs are excluded per
+    column. Returns (column, n, median_mic, mad_mic, n_outliers) —
+    micro-scaled like the profiler.
+
+    Plan: ONE raw scan builds the (column, mic, cnt) compact table
+    for ALL columns (persisted — its size is the per-column distinct
+    count, the exact-profile caveat: at 100 TB on continuous columns
+    use the approx profile's binned quantiles instead); the deviation
+    table derives from the SAME cached table and is itself persisted
+    (two consumers: the MAD pick and the outlier count — without the
+    persist each re-aggregated it, measured 2-3x the runtime). The
+    per-column (total, median, MAD) frames are |cols| rows — METADATA
+    — so they collect to the driver and re-enter as literals rather
+    than as broadcast-join subtrees Spark would re-execute per
+    consumer. Output is |cols| rows, returned as a literal frame with
+    both caches unpersisted (the `profile_columns` contract)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if int(k_num) < 0 or int(k_den) < 1:
+        raise ValueError(
+            "k must be a non-negative rational: k_num >= 0, k_den >= 1"
+        )
+    spark = df.sparkSession
+    structs = ", ".join(
+        f"named_struct('column', '{c}', 'mic', {_mic(c)})" for c in cols
+    )
+    compact = (
+        df.select(F.expr(f"explode(array({structs}))").alias("_s"))
+        .select("_s.column", "_s.mic")
+        .filter(F.col("mic").isNotNull())
+        .groupBy("column", "mic")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = {
+        r["column"]: int(r["n"])
+        for r in compact.groupBy("column")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+        .collect()
+    }
+
+    def _rank_pick(frame, val_col):
+        """Per column: min val whose cumulative cnt >= (n+1)/2 —
+        collected, |cols| rows."""
+        w = (
+            Window.partitionBy("column")
+            .orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        n_case = "CASE " + " ".join(
+            f"WHEN column = '{c}' THEN {n}" for c, n in totals.items()
+        ) + " END"
+        return {
+            r["column"]: int(r["m"])
+            for r in frame.withColumn("_cum", F.sum("cnt").over(w))
+            .filter(F.col("_cum") >= (F.expr(n_case) + 1) / 2)
+            .groupBy("column")
+            .agg(F.min(val_col).alias("m"))
+            .collect()
+        }
+
+    med = _rank_pick(compact, "mic")
+    med_case = "CASE " + " ".join(
+        f"WHEN column = '{c}' THEN {m}" for c, m in med.items()
+    ) + " END"
+    dev = (
+        compact.filter(F.col("column").isin(list(med)))
+        .select(
+            "column",
+            F.abs(F.col("mic") - F.expr(med_case)).alias("dev"),
+            "cnt",
+        )
+        .groupBy("column", "dev")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mad = _rank_pick(dev, "dev")
+    mad_case = "CASE " + " ".join(
+        f"WHEN column = '{c}' THEN {m}" for c, m in mad.items()
+    ) + " END"
+    out = {
+        r["column"]: int(r["o"])
+        for r in dev.filter(F.col("column").isin(list(mad)))
+        .filter(
+            F.col("dev") * F.lit(int(k_den))
+            > F.lit(int(k_num)) * F.expr(mad_case)
+        )
+        .groupBy("column")
+        .agg(F.sum("cnt").cast("bigint").alias("o"))
+        .collect()
+    }
+    compact.unpersist()
+    dev.unpersist()
+    lit_rows = [
+        (c, totals.get(c, 0), med.get(c), mad.get(c), out.get(c, 0))
+        for c in cols
+    ]  # all-null columns profile as n=0
+    return spark.createDataFrame(
+        lit_rows,
+        "column string, n bigint, median_mic bigint, mad_mic bigint, "
+        "n_outliers bigint",
+    )
+
+
+def mad_outlier_oracle_sql(
+    table: str, cols: Sequence[str], k_num: int = 3, k_den: int = 1
+) -> str:
+    """DuckDB replay of :func:`mad_outlier_stats` — same compact
+    tables, same nearest-rank picks, same multiplied-through integer
+    outlier test. Every stage is AS MATERIALIZED: DuckDB inlines
+    plain CTEs per reference, and the compact table feeds four
+    consumers (the ivfpq sf1 lesson — inlining made that replay
+    quadratic)."""
+    legs = []
+    for c in cols:
+        mic = _mic(c)
+        legs.append(f"""
+SELECT '{c}' AS "column",
+       (SELECT COALESCE(CAST(sum(cnt) AS BIGINT), 0) FROM compact_{c}) AS n,
+       (SELECT m FROM med_{c}) AS median_mic,
+       (SELECT m FROM mad_{c}) AS mad_mic,
+       COALESCE((
+         SELECT CAST(sum(cnt) AS BIGINT) FROM dev_{c}
+         WHERE dev * {int(k_den)} > {int(k_num)} * (SELECT m FROM mad_{c})
+       ), 0) AS n_outliers
+""")
+    ctes = []
+    for c in cols:
+        mic = _mic(c)
+        ctes.append(f"""compact_{c} AS MATERIALIZED (
+  SELECT {mic} AS mic, CAST(count(*) AS BIGINT) AS cnt
+  FROM {table} WHERE {c} IS NOT NULL GROUP BY 1
+),
+med_{c} AS MATERIALIZED (
+  SELECT min(mic) AS m FROM (
+    SELECT mic, sum(cnt) OVER (ORDER BY mic) AS cum,
+           sum(cnt) OVER () AS n
+    FROM compact_{c}
+  ) WHERE cum >= (n + 1) / 2
+),
+dev_{c} AS MATERIALIZED (
+  SELECT abs(mic - (SELECT m FROM med_{c})) AS dev,
+         CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM compact_{c} GROUP BY 1
+),
+mad_{c} AS MATERIALIZED (
+  SELECT min(dev) AS m FROM (
+    SELECT dev, sum(cnt) OVER (ORDER BY dev) AS cum,
+           sum(cnt) OVER () AS n
+    FROM dev_{c}
+  ) WHERE cum >= (n + 1) / 2
+)""")
+    return "WITH " + ",\n".join(ctes) + "\nUNION ALL\n".join(legs)

@@ -476,3 +476,68 @@ def test_cluster_sample_oracle_parity_and_validation(spark, sf_dir):
 
     with pytest.raises(ValueError):
         cluster_balanced_sample(emb, cents, per_cell=0)
+
+
+# --- mad_outlier_stats --------------------------------------------------------
+
+
+def test_mad_known_values(spark):
+    from quality_spark.operators.stats import mad_outlier_stats
+
+    # values 1..9 plus a wild 1000: median 5.5-ish -> upper median 6
+    # (even n pick), deviations from it, MAD, one obvious outlier
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]], "x double"
+    )
+    r = mad_outlier_stats(df, ["x"], k_num=3, k_den=1).collect()[0]
+    assert r["n"] == 10
+    assert r["median_mic"] == 6_000_000  # upper median of 10 values
+    # devs: |1..9,1000 - 6| -> counts {0:1, 1:2, 2:2, 3:2, 4:1, 5:1,
+    # 994:1}; cum 1,3,5,7,... -> first cum >= 5.5 is dev 3
+    assert r["mad_mic"] == 3_000_000
+    # outliers: dev > 3*3 = 9 -> only the 1000 row
+    assert r["n_outliers"] == 1
+
+
+def test_mad_nulls_and_all_null_column(spark):
+    from quality_spark.operators.stats import mad_outlier_stats
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (None, None)], "x double, z double"
+    )
+    rows = {r["column"]: r for r in mad_outlier_stats(df, ["x", "z"]).collect()}
+    assert rows["x"]["n"] == 2 and rows["x"]["median_mic"] == 2_000_000
+    assert rows["z"]["n"] == 0 and rows["z"]["median_mic"] is None
+    with pytest.raises(ValueError):
+        mad_outlier_stats(df, [])
+    with pytest.raises(ValueError):
+        mad_outlier_stats(df, ["x"], k_den=0)
+
+
+def test_mad_oracle_parity_real_data(spark, sf_dir):
+    from quality_spark.operators.stats import (
+        mad_outlier_oracle_sql,
+        mad_outlier_stats,
+    )
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    # k = 1x MAD: uniform-ish TPC-H columns have no 3-MAD outliers,
+    # but half-ish of any distribution sits past 1 MAD
+    got = sorted(
+        map(
+            tuple,
+            mad_outlier_stats(
+                spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+                cols,
+                k_num=1,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for r in _duck(sf_dir)
+        .execute(mad_outlier_oracle_sql("lineitem", cols, k_num=1))
+        .fetchall()
+    )
+    assert got == want
+    assert any(r[4] > 0 for r in got)
