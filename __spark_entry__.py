@@ -8556,7 +8556,7 @@ _ENTROPY_DOC = ["lang", "source"]
 _LDIV_QI = ["o_orderstatus", "o_orderpriority"]
 _STATS_PARTS = (
     "corr", "assoc", "entropy", "ldiv", "colloc", "reg", "g3", "csample",
-    "mad",
+    "mad", "benford", "markov",
 )
 _MAD_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
@@ -8683,6 +8683,24 @@ def q_mad_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outlier_stats(
         _read(spark, sf_dir, "lineitem"), _MAD_COLS, k_num=1
     )
+
+
+def q_benford_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance (stats.benford_stats) on
+    o_totalprice — exact string-digit extraction, closed-form chi2
+    over all 9 digits with driver-literal expected masses."""
+    from quality_spark.operators.stats import benford_stats
+
+    return benford_stats(_read(spark, sf_dir, "orders"), ["o_totalprice"])
+
+
+def q_markov_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event transition matrix
+    (analytics.transition_matrix) over the events table — one lag
+    window on (ts, event_id) total order + one cell groupBy."""
+    from quality_spark.operators.analytics import transition_matrix
+
+    return transition_matrix(_read(spark, sf_dir, "events"))
 
 
 def q_stats_suite(
@@ -8861,6 +8879,30 @@ def q_stats_suite(
                 F.col("n_outliers").cast("double").alias("v_double"),
             )
         )
+    if "benford" in only:
+        legs.append(
+            q_benford_leg(spark, sf_dir).select(
+                F.lit("benford").alias("part"),
+                F.col("column").alias("k1"),
+                F.col("digit").cast("string").alias("k2"),
+                F.col("n_obs").alias("n1"),
+                F.col("n").alias("n2"),
+                F.lit(-1).cast("bigint").alias("n3"),
+                F.col("chi2").alias("v_double"),
+            )
+        )
+    if "markov" in only:
+        legs.append(
+            q_markov_leg(spark, sf_dir).select(
+                F.lit("markov").alias("part"),
+                F.col("prev_type").alias("k1"),
+                F.col("next_type").alias("k2"),
+                F.col("n_transitions").alias("n1"),
+                F.col("n_from").alias("n2"),
+                F.lit(-1).cast("bigint").alias("n3"),
+                F.col("p").alias("v_double"),
+            )
+        )
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -8906,6 +8948,13 @@ def _oracle_stats_suite() -> str:
     from quality_spark.operators.stats import mad_outlier_oracle_sql
 
     mad = mad_outlier_oracle_sql("lineitem", _MAD_COLS, k_num=1)
+    from quality_spark.operators.analytics import (
+        transition_matrix_oracle_sql,
+    )
+    from quality_spark.operators.stats import benford_oracle_sql
+
+    benford = benford_oracle_sql("orders", ["o_totalprice"])
+    markov = transition_matrix_oracle_sql()
     return f"""
 SELECT 'corr' AS part, col_x AS k1, col_y AS k2, n_pairs AS n1,
        CAST(-1 AS BIGINT) AS n2, CAST(-1 AS BIGINT) AS n3,
@@ -8960,6 +9009,14 @@ UNION ALL
 SELECT 'mad', "column", '', n, median_mic, mad_mic,
        CAST(n_outliers AS DOUBLE)
 FROM ({mad})
+UNION ALL
+SELECT 'benford', "column", CAST(digit AS VARCHAR), n_obs, n,
+       CAST(-1 AS BIGINT), chi2
+FROM ({benford})
+UNION ALL
+SELECT 'markov', prev_type, next_type, n_transitions, n_from,
+       CAST(-1 AS BIGINT), p
+FROM ({markov})
 """
 
 
@@ -9131,6 +9188,8 @@ def query_legs() -> dict:
             "g3": q_g3_leg,
             "csample": q_csample_leg,
             "mad": q_mad_leg,
+            "benford": q_benford_leg,
+            "markov": q_markov_leg,
         },
         "lambda_suite": {
             "margin": q_lambda_margin,

@@ -283,3 +283,92 @@ FROM (
                  ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING)
 )
 """
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered (prev_type -> next_type) adjacency,
+    the count and the row-normalized probability — the "what do users
+    do after X" fact funnels presuppose and session analyses start
+    from.
+
+    Ordering within a user is (ts, *order_cols) — a TOTAL order when
+    ``order_cols`` breaks ts ties (the events table's event_id does),
+    so the lag pairing is deterministic and the DuckDB twin replays it
+    exactly. Each user's FIRST event has no predecessor and yields no
+    pair. A NULL event type cannot be a transition SOURCE (through
+    the lag it is indistinguishable from sequence start, so those
+    pairs drop with the starts — both engines identically); it still
+    appears as a ``next_type`` state. p = n_transitions / n_from is
+    ONE IEEE division of exact integers.
+
+    Plan: one user-keyed window (the lag) + one (prev, next) groupBy +
+    a broadcast-joined per-prev total — transition cells are
+    state-cardinality², metadata for real event taxonomies. Returns
+    (prev_type, next_type, n_transitions, n_from, p)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols]
+    )
+    pairs = (
+        df.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.col("_prev").alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("n_from")
+    )
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        "n_from",
+        F.expr(
+            "CAST(n_transitions AS DOUBLE) / CAST(n_from AS DOUBLE)"
+        ).alias("p"),
+    )
+
+
+def transition_matrix_oracle_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("event_id",),
+) -> str:
+    """DuckDB replay of :func:`transition_matrix`."""
+    order = ", ".join([ts_col, *order_cols])
+    return f"""
+WITH pairs AS (
+  SELECT prev_type, {type_col} AS next_type,
+         CAST(count(*) AS BIGINT) AS n_transitions
+  FROM (
+    SELECT {type_col},
+           lag({type_col}) OVER (
+             PARTITION BY {user_col} ORDER BY {order}
+           ) AS prev_type
+    FROM {table}
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+  FROM pairs GROUP BY 1
+)
+SELECT p.prev_type, p.next_type, p.n_transitions, t.n_from,
+       CAST(p.n_transitions AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+FROM pairs p JOIN totals t USING (prev_type)
+"""

@@ -641,3 +641,117 @@ mad_{c} AS MATERIALIZED (
   ) WHERE cum >= (n + 1) / 2
 )""")
     return "WITH " + ",\n".join(ctes) + "\nUNION ALL\n".join(legs)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d) computed ONCE here and inlined as repr literals in
+#: both engines — the expected Benford mass per leading digit. Driver
+#: constants, so JVM-vs-libm log differences cannot touch them.
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-data / unit-mixing screen for positive
+    magnitude-spanning columns (amounts, populations, file sizes).
+
+    The digit is extracted EXACTLY: leading character of the absolute
+    micro integer (string form — no float log10 on data), zeros and
+    NULLs excluded. chi2 over all 9 digits is computed without
+    materializing zero-count digits (the `categorical_association`
+    closed form): per OBSERVED digit the term is
+    ``(O - E)^2 / E - E`` with ``E = n * p_d`` (``p_d`` a driver
+    literal, identical bytes in both engines), folded in ascending
+    digit order, + n. Returns one row per (column, digit 1..9 with
+    observed rows) as (column, digit, n_obs, n, chi2) — chi2 is the
+    COLUMN-level statistic repeated on each of its rows (gate-friendly
+    long format; dof is always 8). Rule of thumb: chi2 > 20 at
+    million-row scale warrants a look.
+
+    Plan: one explode scan -> one (column, digit) groupBy (<= 9|cols|
+    groups) -> per-column 9-element fold. Combinable, metadata-sized
+    output."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    structs = ", ".join(
+        f"named_struct('column', '{c}', 'mic', {_mic(c)})" for c in cols
+    )
+    digits = (
+        df.select(F.expr(f"explode(array({structs}))").alias("_s"))
+        .select("_s.column", "_s.mic")
+        .filter(F.col("mic").isNotNull() & (F.col("mic") != 0))
+        .select(
+            "column",
+            F.expr(
+                "CAST(substring(CAST(abs(mic) AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit"),
+        )
+        .groupBy("column", "digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    p_case = "CASE " + " ".join(
+        f"WHEN x.d = {d} THEN {p!r}D" for d, p in _BENFORD_P.items()
+    ) + " END"
+    per_col = digits.groupBy("column").agg(
+        F.expr("CAST(sum(n_obs) AS BIGINT)").alias("n"),
+        F.expr(
+            "sort_array(collect_list(named_struct('d', digit, 'o', n_obs)))"
+        ).alias("_l"),
+    ).select(
+        "column",
+        "n",
+        # the per-element term is fully parenthesized so the fold is
+        # acc + (term) — the oracle's list_transform-then-reduce order;
+        # (acc + q) - e vs acc + (q - e) differ in the last ulp
+        F.expr(
+            f"aggregate(_l, 0.0D, (acc, x) -> acc"
+            f" + ((CAST(x.o AS DOUBLE) - CAST(n AS DOUBLE) * ({p_case}))"
+            f" * (CAST(x.o AS DOUBLE) - CAST(n AS DOUBLE) * ({p_case}))"
+            f" / (CAST(n AS DOUBLE) * ({p_case}))"
+            f" - CAST(n AS DOUBLE) * ({p_case})))"
+            " + CAST(n AS DOUBLE)"
+        ).alias("chi2"),
+    )
+    return digits.join(per_col, "column").select(
+        "column", "digit", "n_obs", "n", "chi2"
+    )
+
+
+def benford_oracle_sql(table: str, cols: Sequence[str]) -> str:
+    """DuckDB replay of :func:`benford_stats` — identical digit
+    extraction, literal p_d bytes, ascending-digit fold + n. Digit
+    counts are AS MATERIALIZED (three consumers per column)."""
+    p_case = "CASE " + " ".join(
+        f"WHEN x.d = {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+    ) + " END"
+    ctes = []
+    legs = []
+    for c in cols:
+        mic = _mic(c)
+        ctes.append(f"""bd_{c} AS MATERIALIZED (
+  SELECT CAST(substring(CAST(abs(mic) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM (SELECT {mic} AS mic FROM {table})
+  WHERE mic IS NOT NULL AND mic != 0 GROUP BY 1
+),
+bs_{c} AS MATERIALIZED (
+  SELECT t.n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(l.lst,
+             x -> (CAST(x.o AS DOUBLE) - CAST(t.n AS DOUBLE) * ({p_case}))
+                  * (CAST(x.o AS DOUBLE) - CAST(t.n AS DOUBLE) * ({p_case}))
+                  / (CAST(t.n AS DOUBLE) * ({p_case}))
+                  - CAST(t.n AS DOUBLE) * ({p_case}))),
+           (x, y) -> x + y) + CAST(t.n AS DOUBLE) AS chi2
+  FROM (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM bd_{c}) t
+  CROSS JOIN (SELECT list(struct_pack(d := digit, o := n_obs)
+                          ORDER BY digit) AS lst FROM bd_{c}) l
+)""")
+        legs.append(f"""
+SELECT '{c}' AS "column", d.digit, d.n_obs, p.n, p.chi2
+FROM bd_{c} d CROSS JOIN bs_{c} p
+""")
+    return "WITH " + ",\n".join(ctes) + "\nUNION ALL\n".join(legs)

@@ -541,3 +541,113 @@ def test_mad_oracle_parity_real_data(spark, sf_dir):
     )
     assert got == want
     assert any(r[4] > 0 for r in got)
+
+
+# --- benford_stats ------------------------------------------------------------
+
+
+def test_benford_known_values(spark):
+    import math
+
+    from quality_spark.operators.stats import benford_stats
+
+    # 12 values: first digits 1x6, 2x3, 9x3; zeros/nulls excluded
+    vals = [1.0, 10.0, 0.0015, 150.0, 19.0, -1.2, 2.0, 25.0, -2.0,
+            9.0, 0.9, 0.00009, 0.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    # 0.00009 -> mic rounds to 90 -> digit 9; 0.0015 -> 1500 -> 1
+    rows = benford_stats(df, ["x"]).collect()
+    got = {r["digit"]: r["n_obs"] for r in rows}
+    assert got == {1: 6, 2: 3, 9: 3}
+    n = rows[0]["n"]
+    assert n == 12
+    # chi2 replay in python: observed {1:6,2:3,9:3}, others 0
+    obs = {d: got.get(d, 0) for d in range(1, 10)}
+    exp = {d: n * math.log10(1 + 1 / d) for d in range(1, 10)}
+    chi2 = sum((obs[d] - exp[d]) ** 2 / exp[d] for d in range(1, 10))
+    assert rows[0]["chi2"] == pytest.approx(chi2, rel=1e-12)
+
+
+def test_benford_oracle_parity_real_data(spark, sf_dir):
+    from quality_spark.operators.stats import (
+        benford_oracle_sql,
+        benford_stats,
+    )
+
+    cols = ["l_extendedprice", "o_totalprice"]
+    # two tables -> run per column against its table
+    li = benford_stats(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), ["l_extendedprice"]
+    )
+    od = benford_stats(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), ["o_totalprice"]
+    )
+    got = sorted(map(tuple, li.unionByName(od).collect()))
+    con = _duck(sf_dir, tables=("lineitem", "orders"))
+    want = sorted(
+        tuple(r)
+        for r in (
+            con.execute(
+                benford_oracle_sql("lineitem", ["l_extendedprice"])
+            ).fetchall()
+            + con.execute(
+                benford_oracle_sql("orders", ["o_totalprice"])
+            ).fetchall()
+        )
+    )
+    assert got == want and len(got) >= 9
+
+
+# --- transition_matrix --------------------------------------------------------
+
+
+def test_transition_matrix_known_values(spark):
+    from quality_spark.operators.analytics import transition_matrix
+
+    rows = [
+        (1, 1, "a", 100), (1, 2, "b", 101), (1, 3, "a", 102),
+        (2, 4, "a", 200), (2, 5, "a", 201),
+        (3, 6, "b", 300),  # single event: no pairs
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), e, i) for u, t, e, i in rows],
+        "user_id bigint, ts double, event_type string, event_id bigint",
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): r
+        for r in transition_matrix(df, ts_col="ts").collect()
+    }
+    assert out[("a", "b")]["n_transitions"] == 1
+    assert out[("b", "a")]["n_transitions"] == 1
+    assert out[("a", "a")]["n_transitions"] == 1
+    assert out[("a", "b")]["n_from"] == 2
+    assert out[("a", "b")]["p"] == pytest.approx(0.5)
+    assert ("b", None) not in out
+
+
+def test_transition_matrix_oracle_parity_real_data(spark, sf_dir):
+    import duckdb
+
+    from quality_spark.operators.analytics import (
+        transition_matrix,
+        transition_matrix_oracle_sql,
+    )
+
+    got = sorted(
+        map(
+            tuple,
+            transition_matrix(
+                spark.read.parquet(f"{sf_dir}/events.parquet")
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(transition_matrix_oracle_sql()).fetchall()
+    )
+    assert got == want and len(got) > 3
