@@ -198,10 +198,16 @@ def collocation_pmi(
     )
     if materialize:
         staged = staged.localCheckpoint()
+    # uni has THREE consumers (w1 join, w2 join, the N total) and
+    # Catalyst's per-branch pruning makes their subtrees canonically
+    # different — without the persist the corpus tokenizes once PER
+    # consumer (measured: 4 scans lazy). Persisted it is the vocab
+    # aggregate: bounded by |vocab|, MEMORY_AND_DISK spills not OOMs.
     uni = (
         staged.select(F.explode("_toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
     )
     bi = (
         staged.filter(F.size("_toks") >= 2)

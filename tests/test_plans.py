@@ -725,3 +725,102 @@ def test_iterative_checkpoints_release_blocks(spark):
     # each op retains exactly its FINAL state checkpoint (pagerank 1,
     # hits 1, cc 1) — iterations and edge/node staging must be freed
     assert after - before <= 3, f"leaked {after - before} cached RDDs"
+
+
+def test_numeric_correlations_single_scan(spark, sf_dir):
+    """All pairwise sums come from ONE full-scan aggregate: exactly
+    one FileScan in the plan, and the scan's ReadSchema carries only
+    the requested columns (column pruning through the explode)."""
+    from quality_spark.operators.stats import numeric_correlations
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = _plan(
+        numeric_correlations(li, ["l_quantity", "l_extendedprice", "l_tax"]),
+        "simple",
+    )
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        f.split(":")[0] for f in m.group(1).split(",") if f
+    ) == {"l_quantity", "l_extendedprice", "l_tax"}, plan[:2000]
+
+
+def test_grouped_linregress_one_aggregate(spark, sf_dir):
+    """One scan, one groupBy exchange — the combinable-sums shape."""
+    from quality_spark.operators.stats import grouped_linregress
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = _plan(
+        grouped_linregress(
+            li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+        ),
+        "simple",
+    )
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+    assert plan.count("Exchange") <= 2, plan[:2000]  # partial+final agg
+
+
+def test_cluster_sample_no_cartesian(spark, sf_dir):
+    """Cell assignment is a literal projection (or Arrow kernel) —
+    never a centroid crossJoin against the corpus; the cut is a
+    window, so the whole plan has one embeddings scan and no
+    BroadcastNestedLoopJoin."""
+    from quality_spark.llm.sampling import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cluster_balanced_sample(
+        emb, emb.filter("vec_id % 50 = 0"), per_cell=3
+    )
+    plan = _plan(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # corpus side scans once; the centroid side is collected at plan
+    # build (driver literals), not joined
+    assert plan.count("FileScan parquet") == 1, plan[:2000]
+
+
+def test_collocation_scan_budget(spark, sf_dir):
+    """<= 2 tokenize scans lazy; materialize=True -> ZERO FileScans
+    (one localCheckpointed tokenize), same rows (the bm25/jaccard
+    scan-budget contract)."""
+    from quality_spark.llm.vocab import collocation_pmi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lazy = collocation_pmi(docs, min_count=2, top=10)
+    lplan = _plan(lazy, "simple")
+    # uni is persisted (3 consumers read the cache as
+    # InMemoryTableScans); the live scans are the cache build + the
+    # bigram pass = 2 (the text shows them via the IMTS reprint too)
+    assert lplan.count("InMemoryTableScan") == 3, lplan[:3000]
+    mat = collocation_pmi(docs, min_count=2, top=10, materialize=True)
+    mplan = _plan(mat, "simple")
+    assert mplan.count("FileScan parquet") == 0, mplan[:2000]
+    assert "ExistingRDD" in mplan
+    a = sorted(map(tuple, lazy.collect()))
+    b = sorted(map(tuple, mat.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_collocation_takeordered_cut(spark, sf_dir):
+    """The top-k cut is TakeOrderedAndProject — never a global sort."""
+    from quality_spark.llm.vocab import collocation_pmi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(collocation_pmi(docs, min_count=2, top=10), "simple")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_transition_matrix_single_scan_one_window(spark, sf_dir):
+    """One events scan feeds the lag window; totals re-read the
+    pair aggregate, not the corpus."""
+    from quality_spark.operators.analytics import transition_matrix
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(transition_matrix(ev), "simple")
+    # pairs + totals both derive from the window subtree; Spark's
+    # per-branch pruning re-scans the file for the totals branch —
+    # 2 scans of the 4-column projection, never more
+    assert plan.count("FileScan parquet") <= 2, plan[:2000]
+    assert plan.count("Window") <= 2, plan[:2000]
