@@ -8556,7 +8556,7 @@ _ENTROPY_DOC = ["lang", "source"]
 _LDIV_QI = ["o_orderstatus", "o_orderpriority"]
 _STATS_PARTS = (
     "corr", "assoc", "entropy", "ldiv", "colloc", "reg", "g3", "csample",
-    "mad", "benford", "markov",
+    "mad", "benford", "markov", "vocab",
 )
 _MAD_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
@@ -8903,6 +8903,21 @@ def q_stats_suite(
                 F.col("p").alias("v_double"),
             )
         )
+    if "vocab" in only:
+        # the r03 vocab_stats gate, absorbed whole (its key freed the
+        # 50-entry driver window slot this suite occupies; both parts
+        # keep their full oracles)
+        legs.append(
+            q_vocab_stats(spark, sf_dir).select(
+                F.concat(F.lit("vocab_"), F.col("part")).alias("part"),
+                F.col("token").alias("k1"),
+                F.lit("").alias("k2"),
+                F.col("n").alias("n1"),
+                F.lit(-1).cast("bigint").alias("n2"),
+                F.lit(-1).cast("bigint").alias("n3"),
+                F.lit(-1.0).alias("v_double"),
+            )
+        )
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -9017,6 +9032,10 @@ UNION ALL
 SELECT 'markov', prev_type, next_type, n_transitions, n_from,
        CAST(-1 AS BIGINT), p
 FROM ({markov})
+UNION ALL
+SELECT 'vocab_' || part, token, '', n, CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), -1.0
+FROM ({_oracle_vocab_stats()})
 """
 
 
@@ -9081,12 +9100,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_filter_pipeline": q_doc_filter_pipeline,
         "curation_pipeline": q_curation_pipeline,
         "chunk_pack": q_chunk_pack,
-        "vocab_stats": q_vocab_stats,
+        # vocab_stats (r03) was absorbed as stats_suite's 'vocab_*'
+        # parts — the 50-entry driver window holds exactly 50 keys
+        "stats_suite": q_stats_suite,
         "tfidf_scores": q_tfidf_scores,
         "corpus_io": q_corpus_io,
         "media_features": q_media_features,
         "lambda_id_surface": q_lambda_id_surface,
-        "stats_suite": q_stats_suite,
     }
 
 
@@ -9190,6 +9210,7 @@ def query_legs() -> dict:
             "mad": q_mad_leg,
             "benford": q_benford_leg,
             "markov": q_markov_leg,
+            "vocab": q_vocab_stats,
         },
         "lambda_suite": {
             "margin": q_lambda_margin,
@@ -9309,10 +9330,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_filter_pipeline": _oracle_doc_filter_pipeline(),
         "curation_pipeline": _oracle_curation_pipeline(),
         "chunk_pack": _oracle_chunk_pack(),
-        "vocab_stats": _oracle_vocab_stats(),
+        "stats_suite": _oracle_stats_suite(),
         "tfidf_scores": _oracle_tfidf_scores(),
         "corpus_io": _oracle_corpus_io(),
         "media_features": _oracle_media_features(),
         "lambda_id_surface": _oracle_lambda_id_surface(),
-        "stats_suite": _oracle_stats_suite(),
     }

@@ -359,7 +359,18 @@ def main() -> None:
         "dedup_exact": "round 10: leg refactor only (substr/fuzzy "
         "factored into q_*_leg helpers; same plan)",
         "sampling_splits": "round 10: leg refactor, then NEW 'topfrac' part (exact per-group top-fraction cut, llm/sampling.py keep_top_fraction) and 'pctile' part (exact within-group percentile)",
-        "tfidf_scores": "round 10: leg refactor only",
+        "tfidf_scores": "round 10: leg refactor, then NEW 'bm25_idx' "
+        "part late in the round (persisted BM25 inverted index — "
+        "staged write_bm25_index build memoized per sf + pruned-scan "
+        "scoring, llm/retrieval.py)",
+        "stats_suite": "round 10: NEW query (12 parts) — cross-column "
+        "statistics block: corr/assoc/entropy/reg/mad/benford "
+        "(operators/stats.py), ldiv/g3 (relprofile), colloc (vocab), "
+        "markov (analytics), csample (sampling); it also ABSORBS the "
+        "r03 vocab_stats gate as its 'vocab_topk'/'vocab_docfreq' "
+        "parts — the driver covers only the FIRST 50 queries() "
+        "entries, so the new suite took vocab_stats' slot with both "
+        "parts' oracles intact (vocab_stats no longer a key)",
         "digest_documents": "round 10: leg refactor only",
         "skew_ops": "round 10: leg refactor, then four NEW parts late "
         "in the round — 'pagerank' (integer-exact 3-iteration PageRank "
