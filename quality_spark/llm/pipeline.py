@@ -128,3 +128,111 @@ def kept_documents(
     filtered: DataFrame, reason_col: str = "drop_reason"
 ) -> DataFrame:
     return filtered.filter(F.col(reason_col).isNull()).drop(reason_col)
+
+
+def corpus_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: Optional[str] = "lang",
+    top_langs: int = 10,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """One-call corpus card — the first thing anyone asks of a new
+    training corpus, as a single long-format frame
+    (section, metric, key, value BIGINT; micro-scaled where noted):
+
+    - ``volume``: n_docs, n_tokens, n_chars, n_empty (token-less docs)
+    - ``length``: token-count quantiles (nearest-rank, micro-scaled)
+      + mean_micros — via `operators/profile.py:profile_columns` on
+      the staged token counts (its exact single-scan path)
+    - ``lang``: top-``top_langs`` language counts
+      (`operators/profile.py:profile_categorical` — NULL rankable)
+    - ``dup``: exact-duplicate groups / surplus rows (md5 groupBy —
+      `dedup.exact_dup_groups`' accounting)
+
+    A COMPOSITION RECIPE, not a new operator: every section is an
+    already-oracle-gated op, and the test pins each section equal to
+    its standalone call. Scan budget: one tokenize pass (the staged
+    count frame is what profile_columns scans), one lang groupBy, one
+    md5 groupBy — three corpus scans total, each combinable."""
+    from ..operators.profile import profile_categorical, profile_columns
+    from .dedup import tokens_sql
+
+    spark = df.sparkSession
+    staged = df.select(
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_key"),
+        F.expr(f"size({tokens_sql(text_col, 'spark')})")
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.length(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("bigint")
+        .alias("_chars"),
+    ).localCheckpoint()
+
+    vol = staged.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum("_chars"), F.lit(0)).cast("bigint").alias("n_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("n_empty"),
+    )
+    vol_rows = vol.selectExpr(
+        "stack(4, 'n_docs', n_docs, 'n_tokens', n_tokens, "
+        "'n_chars', n_chars, 'n_empty', n_empty) AS (metric, value)"
+    ).select(
+        F.lit("volume").alias("section"),
+        "metric",
+        F.lit("").alias("key"),
+        "value",
+    )
+    length_rows = (
+        profile_columns(staged, ["n_tokens"], bins=0, quantiles=quantiles)
+        .filter(
+            F.col("stat").isin(
+                ["mean", *[f"p{int(q * 100)}" for q in quantiles]]
+            )
+        )
+        .select(
+            F.lit("length").alias("section"),
+            F.col("stat").alias("metric"),
+            F.lit("").alias("key"),
+            F.col("value"),
+        )
+    )
+    dup = (
+        staged.groupBy("_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy()
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("dup_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)),
+                F.lit(0),
+            ).cast("bigint").alias("dup_surplus_rows"),
+        )
+        .selectExpr(
+            "stack(2, 'dup_groups', dup_groups, "
+            "'dup_surplus_rows', dup_surplus_rows) AS (metric, value)"
+        )
+        .select(
+            F.lit("dup").alias("section"),
+            "metric",
+            F.lit("").alias("key"),
+            "value",
+        )
+    )
+    out = vol_rows.unionByName(length_rows).unionByName(dup)
+    if lang_col is not None and lang_col in df.columns:
+        lang_rows = profile_categorical(df, [lang_col], top=top_langs).select(
+            F.lit("lang").alias("section"),
+            F.lit("count").alias("metric"),
+            F.coalesce(F.col("value"), F.lit("<NULL>")).alias("key"),
+            F.col("cnt").alias("value"),
+        )
+        out = out.unionByName(lang_rows)
+    return out

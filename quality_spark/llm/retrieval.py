@@ -361,6 +361,77 @@ def write_bm25_index(
         json.dump(meta, fh)
 
 
+def append_bm25_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> None:
+    """Fold a NEW batch of documents into an existing
+    `write_bm25_index` store — the daily-ingest shape: the history is
+    never re-tokenized. The batch's postings append into the same
+    bucket directories (two tokenize passes over the BATCH only, the
+    build budget), the per-token df table rebuilds from one pass over
+    the combined postings (token-count-sized — far smaller than any
+    corpus scan), and meta's exact integer stats add.
+
+    The result is IDENTICAL to rebuilding from the union (pinned by
+    tests): postings rows are per-(doc, token) and the score fold is
+    order-insensitive by construction (ascending-token sort), so
+    append order cannot matter. Caller contract: batch doc ids are
+    disjoint from the store's (re-ingesting a doc would double its
+    postings — pair with `streaming/recipes.py` first-seen dedup
+    upstream); appends are not concurrent-safe (one writer, like the
+    corpus store)."""
+    import json
+    import os
+
+    spark = df.sparkSession
+    meta = _read_bm25_meta(path)
+    id_col, buckets = meta["id_col"], int(meta["buckets"])
+    staged = df.select(
+        F.col(id_col),
+        F.expr(tokens_sql(text_col, "spark")).alias("_toks"),
+    ).select(
+        id_col, "_toks", F.size("_toks").cast("bigint").alias("dl")
+    )
+    stats_row = (
+        staged.select("dl")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+        )
+        .collect()[0]
+    )
+    postings = (
+        staged.select(id_col, "dl", F.explode("_toks").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(buckets)))
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    # df must re-count per token over the COMBINED postings (a token's
+    # rows all live in one bucket, but the batch may touch every
+    # bucket) — one postings read, never a history re-tokenize
+    combined = spark.read.parquet(os.path.join(path, "postings"))
+    (
+        combined.groupBy("bucket", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "tokens"))
+    )
+    meta["n_docs"] = int(meta["n_docs"]) + int(stats_row["n_docs"])
+    meta["sum_dl"] = int(meta["sum_dl"]) + int(stats_row["sum_dl"])
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
 def _read_bm25_meta(path: str) -> dict:
     import json
     import os

@@ -140,3 +140,30 @@ def test_retrieve_bm25_idx_composition(spark, sf_dir, bm25_index):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """append(b) onto write(a) == write(a ∪ b): scores bit-equal,
+    meta stats add exactly."""
+    import json
+
+    from quality_spark.llm.retrieval import append_bm25_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_bm25_index(a, inc, buckets=8)
+    append_bm25_index(b, inc)
+    write_bm25_index(docs, full, buckets=8)
+    with open(f"{inc}/meta.json") as fh:
+        mi = json.load(fh)
+    with open(f"{full}/meta.json") as fh:
+        mf = json.load(fh)
+    assert (mi["n_docs"], mi["sum_dl"]) == (mf["n_docs"], mf["sum_dl"])
+    got = sorted(map(tuple, bm25_scores_indexed(spark, inc, QS).collect()))
+    want = sorted(map(tuple, bm25_scores_indexed(spark, full, QS).collect()))
+    assert got == want and len(got) > 0

@@ -651,3 +651,70 @@ def test_transition_matrix_oracle_parity_real_data(spark, sf_dir):
         for r in con.execute(transition_matrix_oracle_sql()).fetchall()
     )
     assert got == want and len(got) > 3
+
+
+# --- corpus_report (composition recipe) ---------------------------------------
+
+
+def test_corpus_report_sections_match_standalone_ops(spark, sf_dir):
+    from quality_spark.llm.pipeline import corpus_report
+    from quality_spark.operators.profile import profile_categorical
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = corpus_report(docs).collect()
+    by_sec = {}
+    for r in rep:
+        by_sec.setdefault(r["section"], []).append(r)
+
+    # volume: replay directly
+    n_docs = docs.count()
+    vol = {r["metric"]: r["value"] for r in by_sec["volume"]}
+    assert vol["n_docs"] == n_docs
+    assert vol["n_tokens"] > 0 and vol["n_chars"] > 0
+
+    # lang section equals profile_categorical
+    langs = {
+        (r["value"] if r["value"] is not None else "<NULL>"): r["cnt"]
+        for r in profile_categorical(docs, ["lang"], top=10).collect()
+    }
+    got_langs = {r["key"]: r["value"] for r in by_sec["lang"]}
+    assert got_langs == langs
+
+    # length: p50 present, micro-scaled, plausible
+    length = {r["metric"]: r["value"] for r in by_sec["length"]}
+    assert set(length) == {"mean", "p25", "p50", "p75", "p95"}
+    assert length["p25"] <= length["p50"] <= length["p75"] <= length["p95"]
+
+    # dup accounting equals a direct md5 groupBy
+    from pyspark.sql import functions as F
+
+    direct = (
+        docs.select(F.md5(F.coalesce("text", F.lit(""))).alias("k"))
+        .groupBy("k")
+        .count()
+        .filter("count > 1")
+        .agg(
+            F.count(F.lit(1)).alias("g"),
+            F.coalesce(F.sum(F.expr("count - 1")), F.lit(0)).alias("s"),
+        )
+        .collect()[0]
+    )
+    dup = {r["metric"]: r["value"] for r in by_sec["dup"]}
+    assert dup["dup_groups"] == direct["g"]
+    assert dup["dup_surplus_rows"] == direct["s"]
+
+
+def test_corpus_report_no_lang_column(spark):
+    from quality_spark.llm.pipeline import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    rep = corpus_report(df, lang_col=None).collect()
+    secs = {r["section"] for r in rep}
+    assert "lang" not in secs
+    vol = {r["metric"]: r["value"] for r in rep if r["section"] == "volume"}
+    assert vol == {"n_docs": 3, "n_tokens": 6, "n_chars": 10, "n_empty": 1}
+    dup = {r["metric"]: r["value"] for r in rep if r["section"] == "dup"}
+    assert dup == {"dup_groups": 1, "dup_surplus_rows": 1}
