@@ -49,16 +49,30 @@ _EXPORTS = {
     "redact_pii": "pii",
     "with_pii_stats": "pii",
     # pipeline
+    "corpus_report": "pipeline",
     "filter_documents": "pipeline",
     "filter_summary": "pipeline",
     "kept_documents": "pipeline",
+    # retrieval
+    "append_bm25_index": "retrieval",
+    "bm25_scores": "retrieval",
+    "bm25_scores_indexed": "retrieval",
+    "bm25_topk": "retrieval",
+    "bm25_topk_indexed": "retrieval",
+    "retrieve": "retrieval",
+    "write_bm25_index": "retrieval",
     # repetition
     "top_ngram_coverage": "repetition",
     "with_repetition_stats": "repetition",
     # sampling
+    "cap_per_group": "sampling",
+    "cluster_balanced_sample": "sampling",
     "hash_sample": "sampling",
+    "keep_top_fraction": "sampling",
     "stratified_hash_sample": "sampling",
+    "token_budget_sample": "sampling",
     "weighted_mix": "sampling",
+    "weighted_sample": "sampling",
     # similarity
     "cosine_topk": "similarity",
     "embedding_near_dup_pairs": "similarity",
@@ -78,6 +92,7 @@ _EXPORTS = {
     "flag_blocked_domains": "urls",
     "with_url_stats": "urls",
     # vocab
+    "collocation_pmi": "vocab",
     "tfidf_scores": "vocab",
     "tfidf_top_terms": "vocab",
     "vocab_counts": "vocab",
