@@ -46,12 +46,17 @@ def _mic(col: str) -> str:
 
 
 def _corr_pair_aggs(x: str, y: str, tag: str) -> list:
-    """Per-pair accumulator expressions over one shared scan. Rows
-    enter a pair's sums only when BOTH columns are non-null (pairwise
-    deletion — each pair sees its own complete rows)."""
-    both = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
-    xm = f"CASE WHEN {both} THEN CAST({_mic(x)} AS DECIMAL(38,0)) END"
-    ym = f"CASE WHEN {both} THEN CAST({_mic(y)} AS DECIMAL(38,0)) END"
+    """Per-pair accumulator expressions over the PROJECTED mic
+    columns (``_m_<col>`` — computed once per column in a projection
+    below the aggregate; inlining the floor/cast into all 36
+    aggregate expressions re-evaluated it per reference and pushed
+    the aggregate past the codegen field budget). A mic is NULL iff
+    its source is NULL, so the pair's complete-rows mask is the two
+    mic nullity tests (pairwise deletion — each pair sees its own
+    complete rows)."""
+    both = f"(_m_{x} IS NOT NULL AND _m_{y} IS NOT NULL)"
+    xm = f"CASE WHEN {both} THEN CAST(_m_{x} AS DECIMAL(38,0)) END"
+    ym = f"CASE WHEN {both} THEN CAST(_m_{y} AS DECIMAL(38,0)) END"
     return [
         F.expr(f"CAST(count_if({both}) AS BIGINT)").alias(f"n_{tag}"),
         F.expr(f"CAST(coalesce(sum({xm}), 0) AS DECIMAL(38,0))").alias(f"sx_{tag}"),
@@ -73,8 +78,9 @@ def numeric_correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 
     Returns (col_x, col_y, n_pairs, corr) for every unordered pair of
     ``cols`` (x < y in list order). ONE full-scan aggregate feeds all
-    pairs (map-side combinable); the finisher is pure per-pair
-    arithmetic on the 1-row result::
+    pairs (map-side combinable) over a per-column mic projection (each
+    micro computed once per row, not once per referencing aggregate);
+    the finisher is pure per-pair arithmetic on the 1-row result::
 
         corr = (n*Sxy - Sx*Sy)
                / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
@@ -95,7 +101,10 @@ def numeric_correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     aggs = []
     for t, (x, y) in enumerate(pairs):
         aggs.extend(_corr_pair_aggs(x, y, f"p{t}"))
-    wide = df.groupBy().agg(*aggs)
+    projected = df.select(
+        *[F.expr(_mic(c)).alias(f"_m_{c}") for c in cols]
+    )
+    wide = projected.groupBy().agg(*aggs)
     rows = []
     for t, (x, y) in enumerate(pairs):
         g = f"p{t}"
