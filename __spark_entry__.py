@@ -8556,8 +8556,12 @@ _ENTROPY_DOC = ["lang", "source"]
 _LDIV_QI = ["o_orderstatus", "o_orderpriority"]
 _STATS_PARTS = (
     "corr", "assoc", "entropy", "ldiv", "colloc", "reg", "g3", "csample",
-    "mad", "benford", "markov", "vocab",
+    "mad", "benford", "markov", "vocab", "gcorr", "nullpat",
 )
+_GCORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_NULLPAT_COLS = [
+    "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+]
 _MAD_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
 
 
@@ -8701,6 +8705,27 @@ def q_markov_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quality_spark.operators.analytics import transition_matrix
 
     return transition_matrix(_read(spark, sf_dir, "events"))
+
+
+def q_gcorr_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group correlation matrix (stats.grouped_correlations) —
+    all pairs for all l_returnflag segments from ONE combinable
+    groupBy."""
+    from quality_spark.operators.stats import grouped_correlations
+
+    return grouped_correlations(
+        _read(spark, sf_dir, "lineitem"), ["l_returnflag"], _GCORR_COLS
+    )
+
+
+def q_nullpat_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-mask pattern analysis (stats.null_pattern_stats) on
+    orders — co-missingness patterns, pure integer counts."""
+    from quality_spark.operators.stats import null_pattern_stats
+
+    return null_pattern_stats(
+        _read(spark, sf_dir, "orders"), _NULLPAT_COLS, top=20
+    )
 
 
 def q_stats_suite(
@@ -8903,6 +8928,34 @@ def q_stats_suite(
                 F.col("p").alias("v_double"),
             )
         )
+    if "gcorr" in only:
+        legs.append(
+            q_gcorr_leg(spark, sf_dir).select(
+                F.lit("gcorr").alias("part"),
+                F.concat(
+                    F.coalesce(F.col("l_returnflag"), F.lit("<NULL>")),
+                    F.lit(":"),
+                    F.col("col_x"),
+                ).alias("k1"),
+                F.col("col_y").alias("k2"),
+                F.col("n_pairs").alias("n1"),
+                F.lit(-1).cast("bigint").alias("n2"),
+                F.lit(-1).cast("bigint").alias("n3"),
+                F.col("corr").alias("v_double"),
+            )
+        )
+    if "nullpat" in only:
+        legs.append(
+            q_nullpat_leg(spark, sf_dir).select(
+                F.lit("nullpat").alias("part"),
+                F.col("pattern").alias("k1"),
+                F.lit("").alias("k2"),
+                F.col("n_rows").alias("n1"),
+                F.col("n_nulls").alias("n2"),
+                F.lit(-1).cast("bigint").alias("n3"),
+                F.lit(-1.0).alias("v_double"),
+            )
+        )
     if "vocab" in only:
         # the r03 vocab_stats gate, absorbed whole (its key freed the
         # 50-entry driver window slot this suite occupies; both parts
@@ -8970,6 +9023,15 @@ def _oracle_stats_suite() -> str:
 
     benford = benford_oracle_sql("orders", ["o_totalprice"])
     markov = transition_matrix_oracle_sql()
+    from quality_spark.operators.stats import (
+        grouped_correlations_oracle_sql,
+        null_pattern_oracle_sql,
+    )
+
+    gcorr = grouped_correlations_oracle_sql(
+        "lineitem", ["l_returnflag"], _GCORR_COLS
+    )
+    nullpat = null_pattern_oracle_sql("orders", _NULLPAT_COLS, top=20)
     return f"""
 SELECT 'corr' AS part, col_x AS k1, col_y AS k2, n_pairs AS n1,
        CAST(-1 AS BIGINT) AS n2, CAST(-1 AS BIGINT) AS n3,
@@ -9032,6 +9094,14 @@ UNION ALL
 SELECT 'markov', prev_type, next_type, n_transitions, n_from,
        CAST(-1 AS BIGINT), p
 FROM ({markov})
+UNION ALL
+SELECT 'gcorr', coalesce(l_returnflag, '<NULL>') || ':' || col_x,
+       col_y, n_pairs, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), corr
+FROM ({gcorr})
+UNION ALL
+SELECT 'nullpat', pattern, '', n_rows, n_nulls, CAST(-1 AS BIGINT),
+       -1.0
+FROM ({nullpat})
 UNION ALL
 SELECT 'vocab_' || part, token, '', n, CAST(-1 AS BIGINT),
        CAST(-1 AS BIGINT), -1.0
@@ -9211,6 +9281,8 @@ def query_legs() -> dict:
             "benford": q_benford_leg,
             "markov": q_markov_leg,
             "vocab": q_vocab_stats,
+            "gcorr": q_gcorr_leg,
+            "nullpat": q_nullpat_leg,
         },
         "lambda_suite": {
             "margin": q_lambda_margin,

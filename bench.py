@@ -363,8 +363,8 @@ def main() -> None:
         "part late in the round (persisted BM25 inverted index — "
         "staged write_bm25_index build memoized per sf + pruned-scan "
         "scoring, llm/retrieval.py)",
-        "stats_suite": "round 10: NEW query (12 parts) — cross-column "
-        "statistics block: corr/assoc/entropy/reg/mad/benford "
+        "stats_suite": "round 10: NEW query (14 parts) — cross-column "
+        "statistics block: corr/gcorr/assoc/entropy/reg/mad/benford/nullpat "
         "(operators/stats.py), ldiv/g3 (relprofile), colloc (vocab), "
         "markov (analytics), csample (sampling); it also ABSORBS the "
         "r03 vocab_stats gate as its 'vocab_topk'/'vocab_docfreq' "

@@ -764,3 +764,251 @@ SELECT '{c}' AS "column", d.digit, d.n_obs, p.n, p.chi2
 FROM bd_{c} d CROSS JOIN bs_{c} p
 """)
     return "WITH " + ",\n".join(ctes) + "\nUNION ALL\n".join(legs)
+
+
+def grouped_correlations(
+    df: DataFrame, group_cols: Sequence[str], cols: Sequence[str]
+) -> DataFrame:
+    """`numeric_correlations` within every group — "is the
+    price/quantity relationship different for returned lineitems?".
+    Same exact DECIMAL accumulation and fixed-order IEEE finisher,
+    one map-side-combinable groupBy for ALL pairs and groups; NULL
+    group keys are ordinary groups. Returns group_cols +
+    (col_x, col_y, n_pairs, corr)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if len(cols) < 2:
+        raise ValueError("grouped_correlations needs >= 2 columns")
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    aggs = []
+    for t, (x, y) in enumerate(pairs):
+        aggs.extend(_corr_pair_aggs(x, y, f"p{t}"))
+    projected = df.select(
+        *group_cols, *[F.expr(_mic(c)).alias(f"_m_{c}") for c in cols]
+    )
+    wide = projected.groupBy(*group_cols).agg(*aggs)
+    rows = []
+    for t, (x, y) in enumerate(pairs):
+        g = f"p{t}"
+        num = f"CAST(n_{g} * sxy_{g} - sx_{g} * sy_{g} AS DOUBLE)"
+        vx = f"CAST(n_{g} * sxx_{g} - sx_{g} * sx_{g} AS DOUBLE)"
+        vy = f"CAST(n_{g} * syy_{g} - sy_{g} * sy_{g} AS DOUBLE)"
+        rows.append(
+            f"named_struct("
+            f"'col_x', '{x}', 'col_y', '{y}', 'n_pairs', n_{g}, "
+            f"'corr', CASE WHEN {vx} > 0.0D AND {vy} > 0.0D "
+            f"THEN {num} / (sqrt({vx}) * sqrt({vy})) END)"
+        )
+    return wide.select(
+        *group_cols,
+        F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("_r"),
+    ).select(
+        *group_cols, "_r.col_x", "_r.col_y", "_r.n_pairs", "_r.corr"
+    )
+
+
+def grouped_correlations_oracle_sql(
+    table: str, group_cols: Sequence[str], cols: Sequence[str]
+) -> str:
+    """DuckDB replay of :func:`grouped_correlations`."""
+    gs = ", ".join(group_cols)
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    legs = []
+    for x, y in pairs:
+        both = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
+        xm = f"CASE WHEN {both} THEN CAST({_mic(x)} AS HUGEINT) END"
+        ym = f"CASE WHEN {both} THEN CAST({_mic(y)} AS HUGEINT) END"
+        legs.append(f"""
+SELECT {gs}, '{x}' AS col_x, '{y}' AS col_y, n AS n_pairs,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+              AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS corr
+FROM (
+  SELECT {gs}, CAST(count(*) FILTER ({both}) AS BIGINT) AS n,
+         COALESCE(sum({xm}), 0) AS sx, COALESCE(sum({ym}), 0) AS sy,
+         COALESCE(sum(({xm}) * ({ym})), 0) AS sxy,
+         COALESCE(sum(({xm}) * ({xm})), 0) AS sxx,
+         COALESCE(sum(({ym}) * ({ym})), 0) AS syy
+  FROM {table} GROUP BY {gs}
+)""")
+    return "\nUNION ALL\n".join(legs)
+
+
+# ---------------------------------------------------------------------------
+# Null-pattern analysis (co-missingness)
+# ---------------------------------------------------------------------------
+
+
+def null_pattern_stats(
+    df: DataFrame, cols: Sequence[str], top: int = 20
+) -> DataFrame:
+    """Missing-data PATTERN analysis: which null-mask combinations
+    actually occur, and how often — the co-missingness fact behind
+    "these three columns are always null together" (one broken
+    upstream join) vs "nulls are independent" (organic sparsity).
+    Per-column null COUNTS can't distinguish those; patterns can.
+
+    Each row maps to the string mask over ``cols`` ('1' = null at
+    that position); one combinable groupBy over the mask (cardinality
+    <= 2^|cols| but in practice a handful), TakeOrdered top-``top``
+    cut by (count DESC, pattern ASC) — a total order. Returns
+    (pattern, n_rows, n_nulls) with n_nulls = nulls in the pattern.
+    Pure integers: engines cannot diverge."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if len(cols) > 30:
+        raise ValueError("null_pattern_stats caps at 30 columns")
+    mask = "concat(" + ", ".join(
+        f"CASE WHEN {c} IS NULL THEN '1' ELSE '0' END" for c in cols
+    ) + ")"
+    return (
+        df.select(F.expr(mask).alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn(
+            "n_nulls",
+            (F.length("pattern") - F.length(F.replace(F.col("pattern"), F.lit("1"), F.lit("")))).cast("bigint"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("pattern"))
+        .limit(int(top))
+    )
+
+
+def null_pattern_oracle_sql(
+    table: str, cols: Sequence[str], top: int = 20
+) -> str:
+    mask = " || ".join(
+        f"CASE WHEN {c} IS NULL THEN '1' ELSE '0' END" for c in cols
+    )
+    return f"""
+SELECT pattern, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(len(pattern) - len(replace(pattern, '1', '')) AS BIGINT)
+         AS n_nulls
+FROM (SELECT ({mask}) AS pattern FROM {table})
+GROUP BY 1
+ORDER BY n_rows DESC, pattern
+LIMIT {int(top)}
+"""
+
+
+def mad_from_approx_shards(
+    shards: Sequence["DataFrame"],
+    cols: Sequence[str],
+    k_num: int = 3,
+    k_den: int = 1,
+):
+    """APPROX median/MAD/outlier estimates from the mergeable
+    fixed-bin artifacts (``profile_shard_approx(bins=B, ranges=…)``)
+    — the 100 TB companion `mad_outlier_stats`' docstring points to:
+    the exact op's compact table is distinct-count-sized, this reads
+    only KB-sized artifacts that each shard already produced for
+    profiling.
+
+    Conventions shared with ``profile_from_approx_shards``: shard
+    histograms merge by exact element-wise addition (identical
+    (lo, span) validated), a bin's representative value is its lowest
+    micro ``lo + ceil(b*span/B)``, and picks are the smallest
+    value whose cumulative count reaches (n+1)/2 (the exact op's
+    rule). Error bound vs `mad_outlier_stats` when the declared range
+    covers the data: the median estimate is within one bin width w =
+    ceil(span/B); each value's deviation is within 2w of its true
+    deviation; so mad_mic_est is within 3w and the outlier count is
+    exact outside the ±3w band around the threshold. Out-of-range
+    values clamp into edge bins and degrade the bound by the clamp
+    distance.
+
+    Returns a literal frame (column, n_binned, median_mic_est,
+    mad_mic_est, n_outliers_est, bin_width_mic). All-empty columns
+    yield NULL estimates. Driver work is B-bin metadata per column."""
+    import math
+
+    if not shards:
+        raise ValueError("mad_from_approx_shards needs >= 1 shard")
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if int(k_num) < 0 or int(k_den) < 1:
+        raise ValueError(
+            "k must be a non-negative rational: k_num >= 0, k_den >= 1"
+        )
+    merged = shards[0]
+    for s in shards[1:]:
+        merged = merged.unionByName(s)
+    if "hist" not in merged.columns:
+        raise ValueError("artifacts carry no histogram — build with bins > 0")
+    spark = merged.sparkSession
+    agg = (
+        merged.filter(F.col("column").isin(list(cols)))
+        .groupBy("column")
+        .agg(
+            F.min("h_lo").alias("h_lo"),
+            F.max("h_lo").alias("h_lo2"),
+            F.min("h_span").alias("h_span"),
+            F.max("h_span").alias("h_span2"),
+            F.expr(
+                "aggregate(collect_list(hist), "
+                "transform(try_element_at(collect_list(hist), 1), "
+                "x -> CAST(0 AS BIGINT)), "
+                "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+            ).alias("hist"),
+        )
+    )
+    out = {}
+    for r in agg.collect():
+        c = r["column"]
+        if r["hist"] is None:
+            raise ValueError(
+                f"artifacts for column {c!r} carry no histogram — "
+                "build with bins > 0"
+            )
+        if r["h_lo"] != r["h_lo2"] or r["h_span"] != r["h_span2"]:
+            raise ValueError(
+                f"shards disagree on (lo, span) for column {c!r}"
+            )
+        lo, span = int(r["h_lo"]), int(r["h_span"])
+        hist = [int(x) for x in r["hist"]]
+        B = len(hist)
+        n = sum(hist)
+        w = -(-span // B)  # ceil(span/B): the bin width bound
+        if n == 0:
+            out[c] = (c, 0, None, None, None, w)
+            continue
+
+        def v(b):
+            return lo + math.ceil(b * span / B)
+
+        def pick(pairs):
+            # smallest value whose cumulative count >= (n+1)/2 —
+            # pairs pre-sorted ascending by value
+            cum, need = 0, (n + 1) / 2
+            for val, cnt in pairs:
+                cum += cnt
+                if cum >= need:
+                    return val
+            return pairs[-1][0]
+
+        med = pick([(v(b), hist[b]) for b in range(B)])
+        devs = sorted(
+            (abs(v(b) - med), hist[b]) for b in range(B)
+        )
+        mad = pick(devs)
+        outl = sum(
+            cnt for dev, cnt in devs if dev * int(k_den) > int(k_num) * mad
+        )
+        out[c] = (c, n, med, mad, outl, w)
+    rows = [out.get(c, (c, 0, None, None, None, 0)) for c in cols]
+    return spark.createDataFrame(
+        rows,
+        "column string, n_binned bigint, median_mic_est bigint, "
+        "mad_mic_est bigint, n_outliers_est bigint, bin_width_mic bigint",
+    )

@@ -718,3 +718,178 @@ def test_corpus_report_no_lang_column(spark):
     assert vol == {"n_docs": 3, "n_tokens": 6, "n_chars": 10, "n_empty": 1}
     dup = {r["metric"]: r["value"] for r in rep if r["section"] == "dup"}
     assert dup == {"dup_groups": 1, "dup_surplus_rows": 1}
+
+
+# --- grouped_correlations ------------------------------------------------------
+
+
+def test_grouped_correlations_known_and_parity(spark, sf_dir):
+    from quality_spark.operators.stats import (
+        grouped_correlations,
+        grouped_correlations_oracle_sql,
+    )
+
+    # group g1: y = 2x -> corr 1; g2: y = -x -> corr -1
+    df = spark.createDataFrame(
+        [("g1", 1.0, 2.0), ("g1", 2.0, 4.0), ("g1", 3.0, 6.0),
+         ("g2", 1.0, -1.0), ("g2", 2.0, -2.0), ("g2", 3.0, -3.0),
+         (None, 1.0, 1.0), (None, 2.0, 3.0)],
+        "g string, x double, y double",
+    )
+    rows = {
+        (r["g"], r["col_x"], r["col_y"]): r["corr"]
+        for r in grouped_correlations(df, ["g"], ["x", "y"]).collect()
+    }
+    assert rows[("g1", "x", "y")] == pytest.approx(1.0)
+    assert rows[("g2", "x", "y")] == pytest.approx(-1.0)
+    assert (None, "x", "y") in rows  # NULL group is a group
+
+    got = sorted(
+        map(
+            tuple,
+            grouped_correlations(
+                spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+                ["l_returnflag"],
+                ["l_quantity", "l_extendedprice", "l_discount"],
+            ).collect(),
+        ),
+        key=str,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in _duck(sf_dir)
+            .execute(
+                grouped_correlations_oracle_sql(
+                    "lineitem",
+                    ["l_returnflag"],
+                    ["l_quantity", "l_extendedprice", "l_discount"],
+                )
+            )
+            .fetchall()
+        ),
+        key=str,
+    )
+    assert got == want and len(got) >= 6
+
+
+# --- null_pattern_stats ---------------------------------------------------------
+
+
+def test_null_patterns_known_values(spark):
+    from quality_spark.operators.stats import null_pattern_stats
+
+    df = spark.createDataFrame(
+        [(1.0, "a", None), (2.0, "b", None), (None, None, None),
+         (3.0, "c", 1.0)],
+        "x double, y string, z double",
+    )
+    rows = {
+        r["pattern"]: r for r in null_pattern_stats(df, ["x", "y", "z"]).collect()
+    }
+    assert rows["001"]["n_rows"] == 2 and rows["001"]["n_nulls"] == 1
+    assert rows["111"]["n_rows"] == 1 and rows["111"]["n_nulls"] == 3
+    assert rows["000"]["n_rows"] == 1 and rows["000"]["n_nulls"] == 0
+    with pytest.raises(ValueError):
+        null_pattern_stats(df, [])
+    with pytest.raises(ValueError):
+        null_pattern_stats(df, ["x"] * 31)
+
+
+def test_null_patterns_oracle_parity_real_data(spark, sf_dir):
+    from quality_spark.operators.stats import (
+        null_pattern_oracle_sql,
+        null_pattern_stats,
+    )
+
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    got = sorted(
+        map(
+            tuple,
+            null_pattern_stats(
+                spark.read.parquet(f"{sf_dir}/orders.parquet"), cols
+            ).collect(),
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for r in _duck(sf_dir, tables=("orders",))
+        .execute(null_pattern_oracle_sql("orders", cols))
+        .fetchall()
+    )
+    assert got == want and len(got) >= 1
+
+
+# --- mad_from_approx_shards -----------------------------------------------------
+
+
+def test_approx_mad_error_bound_and_merge_identity(spark, sf_dir):
+    from quality_spark.operators.profile import profile_shard_approx
+    from quality_spark.operators.stats import (
+        mad_from_approx_shards,
+        mad_outlier_stats,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice"]
+    # declared ranges from the data's true min/max (schema knowledge)
+    import pyspark.sql.functions as F
+
+    mm = li.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.expr(
+                    f"CAST(floor(CAST(min({c}) AS DOUBLE) * 1000000 + 0.5)"
+                    f" AS BIGINT)"
+                ).alias(f"lo_{c}"),
+                F.expr(
+                    f"CAST(floor(CAST(max({c}) AS DOUBLE) * 1000000 + 0.5)"
+                    f" AS BIGINT)"
+                ).alias(f"hi_{c}"),
+            )
+        ]
+    ).collect()[0]
+    ranges = {c: (mm[f"lo_{c}"], mm[f"hi_{c}"]) for c in cols}
+
+    halves = [
+        profile_shard_approx(li.filter("l_orderkey % 2 = 0"), cols, bins=512, ranges=ranges),
+        profile_shard_approx(li.filter("l_orderkey % 2 = 1"), cols, bins=512, ranges=ranges),
+    ]
+    whole = [profile_shard_approx(li, cols, bins=512, ranges=ranges)]
+    est_halves = {
+        r["column"]: r for r in mad_from_approx_shards(halves, cols).collect()
+    }
+    est_whole = {
+        r["column"]: r for r in mad_from_approx_shards(whole, cols).collect()
+    }
+    # merge identity: two shards == one shard of the union
+    for c in cols:
+        assert tuple(est_halves[c]) == tuple(est_whole[c])
+
+    exact = {
+        r["column"]: r for r in mad_outlier_stats(li, cols).collect()
+    }
+    for c in cols:
+        e, a = exact[c], est_halves[c]
+        w = a["bin_width_mic"]
+        assert a["n_binned"] == e["n"]
+        assert abs(a["median_mic_est"] - e["median_mic"]) <= w
+        assert abs(a["mad_mic_est"] - e["mad_mic"]) <= 3 * w
+
+
+def test_approx_mad_validations(spark):
+    from quality_spark.operators.profile import profile_shard_approx
+    from quality_spark.operators.stats import mad_from_approx_shards
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    no_hist = profile_shard_approx(df, ["x"])  # bins=0
+    with pytest.raises(ValueError):
+        mad_from_approx_shards([no_hist], ["x"])
+    with pytest.raises(ValueError):
+        mad_from_approx_shards([], ["x"])
+    a = profile_shard_approx(df, ["x"], bins=8, ranges={"x": (0, 10_000_000)})
+    b = profile_shard_approx(df, ["x"], bins=8, ranges={"x": (0, 20_000_000)})
+    with pytest.raises(ValueError):
+        mad_from_approx_shards([a, b], ["x"]).collect()
