@@ -105,6 +105,12 @@ def numeric_correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         *[F.expr(_mic(c)).alias(f"_m_{c}") for c in cols]
     )
     wide = projected.groupBy().agg(*aggs)
+    return _corr_finish(wide, pairs)
+
+
+def _corr_finish(wide: DataFrame, pairs) -> DataFrame:
+    """Shared finisher over the 1-row accumulator frame — the inline
+    and shard-merged paths both end here, so they cannot drift."""
     rows = []
     for t, (x, y) in enumerate(pairs):
         g = f"p{t}"
@@ -120,6 +126,65 @@ def numeric_correlations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.select(
         F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("_r")
     ).select("_r.col_x", "_r.col_y", "_r.n_pairs", "_r.corr")
+
+
+def corr_shard(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """The MERGEABLE correlation artifact — one row holding every
+    pair's exact accumulators (n, Sx, Sy, Sxy, Sxx, Syy in
+    DECIMAL(38,0)) for this shard/batch. Correlation sums are
+    associative, so per-day shards add into whole-history
+    correlations without rescanning any batch (the profile-shard
+    pattern: `corr_from_shards` merges by exact addition and finishes
+    through the SAME finisher as `numeric_correlations` — bit-equal
+    to profiling the union, test-pinned; artifacts survive parquet).
+    One combinable full-scan aggregate per shard; KB-sized output."""
+    if len(cols) < 2:
+        raise ValueError("corr_shard needs >= 2 columns")
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    aggs = []
+    for t, (x, y) in enumerate(pairs):
+        aggs.extend(_corr_pair_aggs(x, y, f"p{t}"))
+    projected = df.select(
+        *[F.expr(_mic(c)).alias(f"_m_{c}") for c in cols]
+    )
+    return projected.groupBy().agg(*aggs)
+
+
+def corr_from_shards(
+    shards: Sequence[DataFrame], cols: Sequence[str]
+) -> DataFrame:
+    """Merge `corr_shard` artifacts (exact integer addition per
+    accumulator) and finish — (col_x, col_y, n_pairs, corr) bit-equal
+    to `numeric_correlations` over the union of the shards."""
+    if not shards:
+        raise ValueError("corr_from_shards needs >= 1 shard")
+    if len(cols) < 2:
+        raise ValueError("corr_from_shards needs >= 2 columns")
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    merged = shards[0]
+    for s in shards[1:]:
+        merged = merged.unionByName(s)
+    aggs = []
+    for t, _ in enumerate(pairs):
+        g = f"p{t}"
+        aggs.append(
+            F.expr(f"CAST(coalesce(sum(n_{g}), 0) AS BIGINT)").alias(f"n_{g}")
+        )
+        for a in ("sx", "sy", "sxy", "sxx", "syy"):
+            aggs.append(
+                F.expr(
+                    f"CAST(coalesce(sum({a}_{g}), 0) AS DECIMAL(38,0))"
+                ).alias(f"{a}_{g}")
+            )
+    return _corr_finish(merged.groupBy().agg(*aggs), pairs)
 
 
 def numeric_correlations_oracle_sql(table: str, cols: Sequence[str]) -> str:

@@ -893,3 +893,36 @@ def test_approx_mad_validations(spark):
     b = profile_shard_approx(df, ["x"], bins=8, ranges={"x": (0, 20_000_000)})
     with pytest.raises(ValueError):
         mad_from_approx_shards([a, b], ["x"]).collect()
+
+
+# --- corr shards (mergeable) ----------------------------------------------------
+
+
+def test_corr_shards_merge_identity_and_parquet(spark, sf_dir, tmp_path):
+    from quality_spark.operators.stats import (
+        corr_from_shards,
+        corr_shard,
+        numeric_correlations,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    whole = sorted(map(tuple, numeric_correlations(li, cols).collect()))
+
+    shards = [
+        corr_shard(li.filter(f"l_orderkey % 3 = {i}"), cols)
+        for i in range(3)
+    ]
+    merged = sorted(map(tuple, corr_from_shards(shards, cols).collect()))
+    assert merged == whole  # bit-equal corr doubles
+
+    # artifacts survive parquet (DECIMAL(38,0) columns round-trip)
+    p = str(tmp_path / "cshards")
+    for i, s in enumerate(shards):
+        s.write.mode("overwrite").parquet(f"{p}/{i}")
+    reread = [spark.read.parquet(f"{p}/{i}") for i in range(3)]
+    again = sorted(map(tuple, corr_from_shards(reread, cols).collect()))
+    assert again == whole
+
+    with pytest.raises(ValueError):
+        corr_from_shards([], cols)
