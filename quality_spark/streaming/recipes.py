@@ -849,3 +849,25 @@ def scd2_to_store(
             )
 
     return handle
+
+
+def corr_shards_to_store(store_path: str, cols: Sequence[str]):
+    """``foreachBatch`` handler: land a MERGEABLE correlation artifact
+    per micro-batch (`operators.stats.corr_shard` — one row of exact
+    DECIMAL accumulators for every column pair) under
+    ``store_path/epoch=<id>``. Whole-history cross-column
+    correlations are then ``corr_from_shards([read store_path],
+    cols)`` WITHOUT rescanning any batch — the profile-artifact
+    store pattern extended to relationship monitoring ("did price
+    stop tracking quantity this week?"), still one combinable
+    aggregate per batch. Epoch partitioning keeps the store
+    append-only and replay-safe (a re-run overwrites only its own
+    epoch dir)."""
+    from ..operators.stats import corr_shard
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        corr_shard(batch_df, list(cols)).write.mode("overwrite").parquet(
+            f"{store_path}/epoch={int(epoch_id)}"
+        )
+
+    return handle

@@ -947,3 +947,44 @@ def test_scd2_to_store_stream(spark, sf_dir):
     assert cur.filter("count > 1").count() == 0
     # bootstrap-from-empty read
     assert read_scd2_store(spark, tempfile.mkdtemp()) is None
+
+
+def test_corr_shards_to_store_stream(spark, sf_dir):
+    """Streaming correlation artifacts: one corr_shard per
+    micro-batch; corr_from_shards over the store must equal
+    numeric_correlations over the whole staged data BIT-FOR-BIT."""
+    from quality_spark.operators.stats import (
+        corr_from_shards,
+        numeric_correlations,
+    )
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+    from quality_spark.streaming.recipes import corr_shards_to_store
+
+    staged = tempfile.mkdtemp(prefix="qs_corrsrc_")
+    read_parquet_compat(spark, f"{sf_dir}/lineitem.parquet").repartition(
+        3
+    ).write.mode("overwrite").parquet(staged)
+    cols = ["l_quantity", "l_extendedprice"]
+    whole = spark.read.parquet(staged)
+    want = sorted(map(tuple, numeric_correlations(whole, cols).collect()))
+
+    store = tempfile.mkdtemp(prefix="qs_corrstore_")
+    stream = (
+        spark.readStream.schema(whole.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        stream.writeStream.foreachBatch(corr_shards_to_store(store, cols))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="qs_corrck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import glob
+
+    epochs = sorted(glob.glob(f"{store}/epoch=*"))
+    assert len(epochs) >= 2
+    shards = [spark.read.parquet(p) for p in epochs]
+    got = sorted(map(tuple, corr_from_shards(shards, cols).collect()))
+    assert got == want
