@@ -381,12 +381,22 @@ def append_bm25_index(
     disjoint from the store's (re-ingesting a doc would double its
     postings — pair with `streaming/recipes.py` first-seen dedup
     upstream); appends are not concurrent-safe (one writer, like the
-    corpus store)."""
+    corpus store).
+
+    Crash safety is FAIL-LOUD, not repair: a ``meta.json.pending``
+    sentinel is written before the postings append and removed only
+    after df/meta finalize, so an interrupted append leaves a store
+    that every reader REFUSES (silently stale df/N would mis-score
+    without any error). Recover by restoring the store from the
+    previous snapshot (or rebuilding with `write_bm25_index`) — a
+    half-appended postings dir cannot be rolled forward because a
+    re-run would double the batch's rows."""
     import json
     import os
 
     spark = df.sparkSession
     meta = _read_bm25_meta(path)
+    pending = os.path.join(path, "meta.json.pending")
     id_col, buckets = meta["id_col"], int(meta["buckets"])
     staged = df.select(
         F.col(id_col),
@@ -412,6 +422,10 @@ def append_bm25_index(
         )
         .withColumn("bucket", F.pmod(F.xxhash64("token"), F.lit(buckets)))
     )
+    meta["n_docs"] = int(meta["n_docs"]) + int(stats_row["n_docs"])
+    meta["sum_dl"] = int(meta["sum_dl"]) + int(stats_row["sum_dl"])
+    with open(pending, "w") as fh:
+        json.dump(meta, fh)
     postings.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(path, "postings")
     )
@@ -426,16 +440,20 @@ def append_bm25_index(
         .partitionBy("bucket")
         .parquet(os.path.join(path, "tokens"))
     )
-    meta["n_docs"] = int(meta["n_docs"]) + int(stats_row["n_docs"])
-    meta["sum_dl"] = int(meta["sum_dl"]) + int(stats_row["sum_dl"])
-    with open(os.path.join(path, "meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    os.replace(pending, os.path.join(path, "meta.json"))
 
 
 def _read_bm25_meta(path: str) -> dict:
     import json
     import os
 
+    if os.path.exists(os.path.join(path, "meta.json.pending")):
+        raise ValueError(
+            f"bm25 index at {path} has an interrupted append "
+            "(meta.json.pending present) — postings may be "
+            "half-written; restore the previous snapshot or rebuild "
+            "with write_bm25_index"
+        )
     with open(os.path.join(path, "meta.json")) as fh:
         return json.load(fh)
 

@@ -167,3 +167,28 @@ def test_append_equals_rebuild(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, bm25_scores_indexed(spark, inc, QS).collect()))
     want = sorted(map(tuple, bm25_scores_indexed(spark, full, QS).collect()))
     assert got == want and len(got) > 0
+
+
+def test_interrupted_append_fails_loud(spark, sf_dir, tmp_path):
+    """A meta.json.pending sentinel (crash between the postings append
+    and finalize) must make every reader refuse the store — silently
+    stale df/N would mis-score without any error."""
+    from quality_spark.llm.retrieval import append_bm25_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "idx")
+    write_bm25_index(docs.filter("doc_id % 2 = 0"), idx, buckets=4)
+    # simulate the crash window
+    with open(f"{idx}/meta.json.pending", "w") as fh:
+        fh.write("{}")
+    with pytest.raises(ValueError, match="interrupted append"):
+        bm25_scores_indexed(spark, idx, [(1, "data")])
+    with pytest.raises(ValueError, match="interrupted append"):
+        append_bm25_index(docs.filter("doc_id % 2 = 1"), idx)
+    # a completed append clears the sentinel and the store reads again
+    os.remove(f"{idx}/meta.json.pending")
+    append_bm25_index(docs.filter("doc_id % 2 = 1"), idx)
+    assert not os.path.exists(f"{idx}/meta.json.pending")
+    assert bm25_scores_indexed(spark, idx, QS).count() > 0
