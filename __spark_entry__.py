@@ -8732,16 +8732,27 @@ def q_stats_suite(
     spark: SparkSession, sf_dir: str, only: tuple = _STATS_PARTS
 ) -> DataFrame:
     """Cross-column statistics block (round 10): exact Pearson
-    correlations ('corr'), chi-squared/Cramér's V association
-    ('assoc' + 'assoc_v'), per-column Shannon entropy ('entropy'),
-    l-diversity privacy fact ('ldiv' + 'ldiv_below'), and top-PMI
-    collocations ('colloc' + its 'colloc_n' total), tagged per part.
-    Every double is either a fixed-order IEEE expression over exact
-    integers or an ascending-key fold — see the operator docstrings
-    for the replay contracts."""
-    legs = []
-    if "corr" in only:
-        legs.append(
+    correlations ('corr') + per-group matrices ('gcorr'),
+    chi-squared/Cramér's V association ('assoc' + 'assoc_v'),
+    per-column Shannon entropy ('entropy'), l-diversity privacy fact
+    ('ldiv' + 'ldiv_below'), approximate-FD g3 ('g3' + 'g3_rows'),
+    per-group OLS ('reg_*'), exact median/MAD outliers ('mad'),
+    Benford conformance ('benford'), top-PMI collocations ('colloc' +
+    'colloc_n'), Markov transitions ('markov'), null-mask patterns
+    ('nullpat'), cluster-balanced sampling ('csample'), and the
+    absorbed r03 vocab gate ('vocab_*'), tagged per part. Every double
+    is either a fixed-order IEEE expression over exact integers or an
+    ascending-key fold — see the operator docstrings for the replay
+    contracts.
+
+    Parts build CONCURRENTLY (the expr_runner_agg pattern): mad's
+    compact-table stages and csample's centroid collect run eager
+    driver-side jobs during CONSTRUCTION, and a serial build paid
+    them on the critical path; each part is an independent pure
+    operator, so the union is bit-identical to the serial build."""
+
+    def b_corr():
+        return [
             q_corr_leg(spark, sf_dir).select(
                 F.lit("corr").alias("part"),
                 F.col("col_x").alias("k1"),
@@ -8751,10 +8762,11 @@ def q_stats_suite(
                 F.lit(-1).cast("bigint").alias("n3"),
                 F.col("corr").alias("v_double"),
             )
-        )
-    if "assoc" in only:
+        ]
+
+    def b_assoc():
         ab = q_assoc_leg(spark, sf_dir)
-        legs.append(
+        return [
             ab.select(
                 F.lit("assoc").alias("part"),
                 F.col("col_a").alias("k1"),
@@ -8763,9 +8775,7 @@ def q_stats_suite(
                 F.col("n_cells").alias("n2"),
                 F.col("dof").alias("n3"),
                 F.col("chi2").alias("v_double"),
-            )
-        )
-        legs.append(
+            ),
             ab.select(
                 F.lit("assoc_v").alias("part"),
                 F.col("col_a").alias("k1"),
@@ -8774,10 +8784,11 @@ def q_stats_suite(
                 F.col("n_cells").alias("n2"),
                 F.col("dof").alias("n3"),
                 F.col("cramers_v").alias("v_double"),
-            )
-        )
-    if "entropy" in only:
-        legs.append(
+            ),
+        ]
+
+    def b_entropy():
+        return [
             q_entropy_leg(spark, sf_dir).select(
                 F.lit("entropy").alias("part"),
                 F.col("column").alias("k1"),
@@ -8787,11 +8798,12 @@ def q_stats_suite(
                 F.lit(-1).cast("bigint").alias("n3"),
                 F.col("entropy").alias("v_double"),
             )
-        )
-    if "ldiv" in only:
+        ]
+
+    def b_ldiv():
         ld = q_ldiv_leg(spark, sf_dir)
         ld_k = ",".join(_LDIV_QI)
-        legs.append(
+        return [
             ld.select(
                 F.lit("ldiv").alias("part"),
                 F.lit(ld_k).alias("k1"),
@@ -8800,9 +8812,7 @@ def q_stats_suite(
                 F.col("n_groups").alias("n2"),
                 F.col("min_l").alias("n3"),
                 F.lit(-1.0).alias("v_double"),
-            )
-        )
-        legs.append(
+            ),
             ld.select(
                 F.lit("ldiv_below").alias("part"),
                 F.lit(ld_k).alias("k1"),
@@ -8811,11 +8821,12 @@ def q_stats_suite(
                 F.col("n_rows_below_l").alias("n2"),
                 F.lit(-1).cast("bigint").alias("n3"),
                 F.lit(-1.0).alias("v_double"),
-            )
-        )
-    if "colloc" in only:
+            ),
+        ]
+
+    def b_colloc():
         co = q_colloc_leg(spark, sf_dir)
-        legs.append(
+        return [
             co.select(
                 F.lit("colloc").alias("part"),
                 F.col("w1").alias("k1"),
@@ -8824,9 +8835,7 @@ def q_stats_suite(
                 F.col("w1_count").alias("n2"),
                 F.col("w2_count").alias("n3"),
                 F.col("pmi").alias("v_double"),
-            )
-        )
-        legs.append(
+            ),
             co.groupBy().agg(
                 F.max("n_tokens").cast("bigint").alias("n1")
             ).select(
@@ -8837,28 +8846,30 @@ def q_stats_suite(
                 F.lit(-1).cast("bigint").alias("n2"),
                 F.lit(-1).cast("bigint").alias("n3"),
                 F.lit(-1.0).alias("v_double"),
-            )
-        )
-    if "reg" in only:
+            ),
+        ]
+
+    def b_reg():
         # one tiny per-group aggregate read by three metric rows —
         # localCheckpoint so the lineitem scan runs once, not three
         rg = q_reg_leg(spark, sf_dir).localCheckpoint(eager=False)
-        for metric in ("slope", "intercept", "r2"):
-            legs.append(
-                rg.select(
-                    F.lit(f"reg_{metric}").alias("part"),
-                    F.col("l_returnflag").alias("k1"),
-                    F.lit("").alias("k2"),
-                    F.col("n").alias("n1"),
-                    F.lit(-1).cast("bigint").alias("n2"),
-                    F.lit(-1).cast("bigint").alias("n3"),
-                    F.col(metric).alias("v_double"),
-                )
+        return [
+            rg.select(
+                F.lit(f"reg_{metric}").alias("part"),
+                F.col("l_returnflag").alias("k1"),
+                F.lit("").alias("k2"),
+                F.col("n").alias("n1"),
+                F.lit(-1).cast("bigint").alias("n2"),
+                F.lit(-1).cast("bigint").alias("n3"),
+                F.col(metric).alias("v_double"),
             )
-    if "g3" in only:
+            for metric in ("slope", "intercept", "r2")
+        ]
+
+    def b_g3():
         # 1-row result read by two parts — checkpoint, one orders scan
         g3 = q_g3_leg(spark, sf_dir).localCheckpoint(eager=False)
-        legs.append(
+        return [
             g3.select(
                 F.lit("g3").alias("part"),
                 F.lit("o_custkey").alias("k1"),
@@ -8867,9 +8878,7 @@ def q_stats_suite(
                 F.col("n_groups").alias("n2"),
                 F.col("n_violating_groups").alias("n3"),
                 F.col("confidence").alias("v_double"),
-            )
-        )
-        legs.append(
+            ),
             g3.select(
                 F.lit("g3_rows").alias("part"),
                 F.lit("o_custkey").alias("k1"),
@@ -8878,10 +8887,11 @@ def q_stats_suite(
                 F.lit(-1).cast("bigint").alias("n2"),
                 F.lit(-1).cast("bigint").alias("n3"),
                 F.lit(-1.0).alias("v_double"),
-            )
-        )
-    if "csample" in only:
-        legs.append(
+            ),
+        ]
+
+    def b_csample():
+        return [
             q_csample_leg(spark, sf_dir).select(
                 F.lit("csample").alias("part"),
                 F.lit("").alias("k1"),
@@ -8891,9 +8901,10 @@ def q_stats_suite(
                 F.lit(-1).cast("bigint").alias("n3"),
                 F.lit(-1.0).alias("v_double"),
             )
-        )
-    if "mad" in only:
-        legs.append(
+        ]
+
+    def b_mad():
+        return [
             q_mad_leg(spark, sf_dir).select(
                 F.lit("mad").alias("part"),
                 F.col("column").alias("k1"),
@@ -8903,9 +8914,10 @@ def q_stats_suite(
                 F.col("mad_mic").alias("n3"),
                 F.col("n_outliers").cast("double").alias("v_double"),
             )
-        )
-    if "benford" in only:
-        legs.append(
+        ]
+
+    def b_benford():
+        return [
             q_benford_leg(spark, sf_dir).select(
                 F.lit("benford").alias("part"),
                 F.col("column").alias("k1"),
@@ -8915,9 +8927,10 @@ def q_stats_suite(
                 F.lit(-1).cast("bigint").alias("n3"),
                 F.col("chi2").alias("v_double"),
             )
-        )
-    if "markov" in only:
-        legs.append(
+        ]
+
+    def b_markov():
+        return [
             q_markov_leg(spark, sf_dir).select(
                 F.lit("markov").alias("part"),
                 F.col("prev_type").alias("k1"),
@@ -8927,9 +8940,10 @@ def q_stats_suite(
                 F.lit(-1).cast("bigint").alias("n3"),
                 F.col("p").alias("v_double"),
             )
-        )
-    if "gcorr" in only:
-        legs.append(
+        ]
+
+    def b_gcorr():
+        return [
             q_gcorr_leg(spark, sf_dir).select(
                 F.lit("gcorr").alias("part"),
                 F.concat(
@@ -8943,9 +8957,10 @@ def q_stats_suite(
                 F.lit(-1).cast("bigint").alias("n3"),
                 F.col("corr").alias("v_double"),
             )
-        )
-    if "nullpat" in only:
-        legs.append(
+        ]
+
+    def b_nullpat():
+        return [
             q_nullpat_leg(spark, sf_dir).select(
                 F.lit("nullpat").alias("part"),
                 F.col("pattern").alias("k1"),
@@ -8955,12 +8970,13 @@ def q_stats_suite(
                 F.lit(-1).cast("bigint").alias("n3"),
                 F.lit(-1.0).alias("v_double"),
             )
-        )
-    if "vocab" in only:
+        ]
+
+    def b_vocab():
         # the r03 vocab_stats gate, absorbed whole (its key freed the
         # 50-entry driver window slot this suite occupies; both parts
         # keep their full oracles)
-        legs.append(
+        return [
             q_vocab_stats(spark, sf_dir).select(
                 F.concat(F.lit("vocab_"), F.col("part")).alias("part"),
                 F.col("token").alias("k1"),
@@ -8970,11 +8986,41 @@ def q_stats_suite(
                 F.lit(-1).cast("bigint").alias("n3"),
                 F.lit(-1.0).alias("v_double"),
             )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
+        ]
+
+    builders = {
+        "corr": b_corr,
+        "assoc": b_assoc,
+        "entropy": b_entropy,
+        "ldiv": b_ldiv,
+        "colloc": b_colloc,
+        "reg": b_reg,
+        "g3": b_g3,
+        "csample": b_csample,
+        "mad": b_mad,
+        "benford": b_benford,
+        "markov": b_markov,
+        "vocab": b_vocab,
+        "gcorr": b_gcorr,
+        "nullpat": b_nullpat,
+    }
+    selected = [p for p in _STATS_PARTS if p in only]
+    if len(selected) == 1:
+        frames = builders[selected[0]]()
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(selected))) as ex:
+            frames = [
+                f
+                for fs in ex.map(lambda p: builders[p](), selected)
+                for f in fs
+            ]
+    out = frames[0]
+    for leg in frames[1:]:
         out = out.unionByName(leg)
     return out
+
 
 
 def _oracle_stats_suite() -> str:
