@@ -370,7 +370,8 @@ def main() -> None:
         "r03 vocab_stats gate as its 'vocab_topk'/'vocab_docfreq' "
         "parts — the driver covers only the FIRST 50 queries() "
         "entries, so the new suite took vocab_stats' slot with both "
-        "parts' oracles intact (vocab_stats no longer a key)",
+        "parts' oracles intact (vocab_stats no longer a key); parts "
+        "build concurrently (24s -> 13s at sf0.01)",
         "digest_documents": "round 10: leg refactor only",
         "skew_ops": "round 10: leg refactor, then four NEW parts late "
         "in the round — 'pagerank' (integer-exact 3-iteration PageRank "
