@@ -303,6 +303,19 @@ def write_bm25_index(
     import os
 
     spark = df.sparkSession
+    # Rebuild-in-place crash safety (same fail-loud contract as
+    # append_bm25_index): the pending sentinel goes down BEFORE the
+    # postings overwrite. A crash mid-rebuild would otherwise leave
+    # OLD meta.json + OLD tokens/ beside NEW postings/ — a store every
+    # reader accepts and silently mis-scores (stale df/n_docs). With
+    # the sentinel, _read_bm25_meta refuses the half-rebuilt store.
+    os.makedirs(path, exist_ok=True)
+    pending = os.path.join(path, "meta.json.pending")
+    with open(pending, "w") as fh:
+        json.dump({"op": "rebuild"}, fh)
+    old_meta = os.path.join(path, "meta.json")
+    if os.path.exists(old_meta):
+        os.remove(old_meta)
     staged = df.select(
         F.col(id_col),
         F.expr(tokens_sql(text_col, "spark")).alias("_toks"),
@@ -359,6 +372,7 @@ def write_bm25_index(
     }
     with open(os.path.join(path, "meta.json"), "w") as fh:
         json.dump(meta, fh)
+    os.remove(pending)
 
 
 def append_bm25_index(
@@ -449,8 +463,8 @@ def _read_bm25_meta(path: str) -> dict:
 
     if os.path.exists(os.path.join(path, "meta.json.pending")):
         raise ValueError(
-            f"bm25 index at {path} has an interrupted append "
-            "(meta.json.pending present) — postings may be "
+            f"bm25 index at {path} has an interrupted append or "
+            "rebuild (meta.json.pending present) — postings may be "
             "half-written; restore the previous snapshot or rebuild "
             "with write_bm25_index"
         )

@@ -186,13 +186,38 @@ def collocation_pmi(
     groupBy (Zipf heavy-hitters collapse map-side). The bigram→count
     joins run AFTER the min_count cut, and the final cut is
     ``ORDER BY … LIMIT top`` → TakeOrderedAndProject, never a global
-    sort. No driver collect on any data-sized path.
+    sort. The public call materializes through (the result is <= top
+    rows — metadata) and RELEASES the vocab-sized unigram cache before
+    returning a literal frame; `_collocation_pmi_lazy` exposes the
+    plan for callers that want to own the cache lifecycle. No driver
+    collect on any data-sized path.
 
     Exactness bound: counts enter the PMI as doubles, and the products
     ``c(w1,w2)*N`` / ``c(w1)*c(w2)`` are exact while < 2^53 (N up to
     ~94M tokens is always safe; beyond, the products round at 1 ulp —
     document-scale corpora hit this long after the ranking is stable).
     """
+    cut, uni = _collocation_pmi_lazy(df, min_count, top, text_col, materialize)
+    # The result is <= `top` rows (metadata) — collect it through so
+    # the vocab-sized `uni` cache can be released here instead of
+    # leaking for the session lifetime (ADVICE r10). The literal
+    # frame keeps the exact schema and row order.
+    rows = cut.collect()
+    schema = cut.schema
+    uni.unpersist()
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
+def _collocation_pmi_lazy(
+    df: DataFrame,
+    min_count: int = 5,
+    top: int = 20,
+    text_col: str = "text",
+    materialize: bool = False,
+):
+    """Lazy plan builder behind :func:`collocation_pmi` — returns
+    (top-k frame, persisted unigram frame). The caller owns the
+    unpersist; the public wrapper collects through and releases."""
     staged = df.select(
         F.expr(tokens_sql(text_col, "spark")).alias("_toks")
     )
@@ -238,9 +263,10 @@ def collocation_pmi(
             ).alias("pmi"),
         )
     )
-    return scored.orderBy(
+    cut = scored.orderBy(
         F.col("pmi").desc(), F.col("w1"), F.col("w2")
     ).limit(int(top))
+    return cut, uni
 
 
 def collocation_pmi_oracle_sql(

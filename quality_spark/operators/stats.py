@@ -602,6 +602,16 @@ def mad_outlier_stats(
         .agg(F.sum("cnt").cast("bigint").alias("n"))
         .collect()
     }
+    if not totals:
+        # EVERY requested column is entirely NULL: the CASE builders
+        # below would emit the invalid expression 'CASE  END', so
+        # short-circuit to the documented n=0 literal frame.
+        compact.unpersist()
+        return spark.createDataFrame(
+            [(c, 0, None, None, 0) for c in cols],
+            "column string, n bigint, median_mic bigint, "
+            "mad_mic bigint, n_outliers bigint",
+        )
 
     def _rank_pick(frame, val_col):
         """Per column: min val whose cumulative cnt >= (n+1)/2 —
@@ -1020,6 +1030,8 @@ def mad_from_approx_shards(
             F.max("h_lo").alias("h_lo2"),
             F.min("h_span").alias("h_span"),
             F.max("h_span").alias("h_span2"),
+            F.min(F.size("hist")).alias("h_bins"),
+            F.max(F.size("hist")).alias("h_bins2"),
             F.expr(
                 "aggregate(collect_list(hist), "
                 "transform(try_element_at(collect_list(hist), 1), "
@@ -1039,6 +1051,13 @@ def mad_from_approx_shards(
         if r["h_lo"] != r["h_lo2"] or r["h_span"] != r["h_span2"]:
             raise ValueError(
                 f"shards disagree on (lo, span) for column {c!r}"
+            )
+        if r["h_bins"] != r["h_bins2"]:
+            # Without this, zip_with null-pads the shorter histogram
+            # and the int(x) below dies with an opaque TypeError.
+            raise ValueError(
+                f"shards disagree on bins for column {c!r} "
+                f"({r['h_bins']} vs {r['h_bins2']})"
             )
         lo, span = int(r["h_lo"]), int(r["h_span"])
         hist = [int(x) for x in r["hist"]]

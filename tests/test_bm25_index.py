@@ -192,3 +192,38 @@ def test_interrupted_append_fails_loud(spark, sf_dir, tmp_path):
     append_bm25_index(docs.filter("doc_id % 2 = 1"), idx)
     assert not os.path.exists(f"{idx}/meta.json.pending")
     assert bm25_scores_indexed(spark, idx, QS).count() > 0
+
+
+def test_interrupted_rebuild_fails_loud(spark, sf_dir, tmp_path):
+    """Rebuild-in-place writes the pending sentinel BEFORE the
+    postings overwrite (ADVICE r10): a crash mid-rebuild must not
+    leave old meta.json + old tokens/ beside new postings/ that
+    readers silently accept with stale df/n_docs."""
+    import unittest.mock as mock
+
+    idx = str(tmp_path / "idx")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    write_bm25_index(docs.filter("doc_id % 2 = 0"), idx, buckets=4)
+    # crash during the second build's postings overwrite: patch the
+    # tokens write by making json.dump on meta explode AFTER postings
+    # — easiest faithful window is to interrupt right after the
+    # pending sentinel is down, i.e. during the postings write.
+    with mock.patch(
+        "pyspark.sql.readwriter.DataFrameWriter.parquet",
+        side_effect=RuntimeError("simulated crash"),
+    ):
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            write_bm25_index(docs, idx, buckets=4)
+    # the half-rebuilt store must be refused by every reader
+    assert os.path.exists(f"{idx}/meta.json.pending")
+    assert not os.path.exists(f"{idx}/meta.json")
+    with pytest.raises(ValueError, match="interrupted"):
+        bm25_scores_indexed(spark, idx, [(1, "data")])
+    # recovery: a COMPLETED rebuild clears the sentinel
+    os.remove(f"{idx}/meta.json.pending")
+    write_bm25_index(docs, idx, buckets=4)
+    assert not os.path.exists(f"{idx}/meta.json.pending")
+    assert os.path.exists(f"{idx}/meta.json")
+    assert bm25_scores_indexed(spark, idx, QS).count() > 0

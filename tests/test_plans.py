@@ -785,30 +785,51 @@ def test_collocation_scan_budget(spark, sf_dir):
     """<= 2 tokenize scans lazy; materialize=True -> ZERO FileScans
     (one localCheckpointed tokenize), same rows (the bm25/jaccard
     scan-budget contract)."""
-    from quality_spark.llm.vocab import collocation_pmi
+    from quality_spark.llm.vocab import _collocation_pmi_lazy
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    lazy = collocation_pmi(docs, min_count=2, top=10)
+    lazy, uni_l = _collocation_pmi_lazy(docs, min_count=2, top=10)
     lplan = _plan(lazy, "simple")
     # uni is persisted (3 consumers read the cache as
     # InMemoryTableScans); the live scans are the cache build + the
     # bigram pass = 2 (the text shows them via the IMTS reprint too)
     assert lplan.count("InMemoryTableScan") == 3, lplan[:3000]
-    mat = collocation_pmi(docs, min_count=2, top=10, materialize=True)
+    mat, uni_m = _collocation_pmi_lazy(
+        docs, min_count=2, top=10, materialize=True
+    )
     mplan = _plan(mat, "simple")
     assert mplan.count("FileScan parquet") == 0, mplan[:2000]
     assert "ExistingRDD" in mplan
     a = sorted(map(tuple, lazy.collect()))
     b = sorted(map(tuple, mat.collect()))
     assert a == b and len(a) > 0
+    uni_l.unpersist()
+    uni_m.unpersist()
+
+
+def test_collocation_releases_unigram_cache(spark, sf_dir):
+    """The public collocation_pmi must NOT leak its vocab-sized
+    unigram cache (ADVICE r10): persisted-RDD count is unchanged after
+    the call, and the returned <=top-row frame is a literal."""
+    from quality_spark.llm.vocab import collocation_pmi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = collocation_pmi(docs, min_count=2, top=5)
+    after = jsc.getPersistentRDDs().size()
+    assert after == before
+    assert out.count() > 0
 
 
 def test_collocation_takeordered_cut(spark, sf_dir):
     """The top-k cut is TakeOrderedAndProject — never a global sort."""
-    from quality_spark.llm.vocab import collocation_pmi
+    from quality_spark.llm.vocab import _collocation_pmi_lazy
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    plan = _plan(collocation_pmi(docs, min_count=2, top=10), "simple")
+    cut, uni = _collocation_pmi_lazy(docs, min_count=2, top=10)
+    plan = _plan(cut, "simple")
+    uni.unpersist()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
 
 

@@ -893,6 +893,31 @@ def test_approx_mad_validations(spark):
     b = profile_shard_approx(df, ["x"], bins=8, ranges={"x": (0, 20_000_000)})
     with pytest.raises(ValueError):
         mad_from_approx_shards([a, b], ["x"]).collect()
+    # same (lo, span) but differing bin counts: must raise the clear
+    # per-column ValueError, not an opaque TypeError from zip_with
+    # null-padding (ADVICE r10)
+    c = profile_shard_approx(df, ["x"], bins=4, ranges={"x": (0, 10_000_000)})
+    with pytest.raises(ValueError, match="disagree on bins"):
+        mad_from_approx_shards([a, c], ["x"])
+
+
+def test_mad_all_requested_columns_null(spark):
+    """Every requested column entirely NULL must return the documented
+    n=0 rows, not fail analysis on a 'CASE  END' expression."""
+    from quality_spark.operators.stats import mad_outlier_stats
+
+    df = spark.createDataFrame(
+        [(None, None), (None, None)], "x double, y double"
+    )
+    rows = {
+        r["column"]: r
+        for r in mad_outlier_stats(df, ["x", "y"]).collect()
+    }
+    assert set(rows) == {"x", "y"}
+    for r in rows.values():
+        assert (r["n"], r["median_mic"], r["mad_mic"], r["n_outliers"]) == (
+            0, None, None, 0,
+        )
 
 
 # --- corr shards (mergeable) ----------------------------------------------------
