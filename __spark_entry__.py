@@ -8233,6 +8233,39 @@ def q_ivfpq_idx_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk_indexed(spark, root, qs, k=5, nprobe=2)
 
 
+def q_pq_append_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'pq_append' part (round 11, VERDICT r10 next #5): the
+    incremental index lifecycle — write_pq_index over the EVEN half
+    of the corpus, append_pq_index folds in the ODD half with
+    centroids/codebooks frozen (batch-only encode, cell-partitioned
+    append), then the indexed query must return exactly what the
+    full-corpus oracle replay computes: append == rebuild bit-equal,
+    gated end-to-end on real data."""
+    from quality_spark.llm.pq import (
+        append_pq_index,
+        ivf_pq_topk_indexed,
+        write_pq_index,
+    )
+
+    books, qs = _pq_books_qs()
+
+    def build(root):
+        emb = _read(spark, sf_dir, "embeddings")
+        write_pq_index(
+            emb.filter(F.col("vec_id") % 2 == 0), books, root,
+            centroids=_ivfpq_centroids(spark, sf_dir),
+            encode_mode="arrow", cell_mode="arrow",
+        )
+        append_pq_index(
+            emb.filter(F.col("vec_id") % 2 == 1), root,
+            encode_mode="arrow", cell_mode="arrow",
+        )
+        return root
+
+    root = _staged("pqappend", sf_dir, build)
+    return ivf_pq_topk_indexed(spark, root, qs, k=5, nprobe=2)
+
+
 def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-reduction block (round 7; +PQ round 8; +IVF-PQ round
     9): SemDeDup semantic dedup (is_kept is implied by dup_of = -1, so
@@ -8310,11 +8343,22 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(floor(adc * 1000000 + 0.5) AS BIGINT)"
         ).alias("v1"),
     )
+    # 'pq_append' (round 11): write(evens) + append(odds) with frozen
+    # centroids must equal the full-corpus replay — the incremental
+    # lifecycle gated by the same packed rank+adc long.
+    app = q_pq_append_leg(spark, sf_dir).select(
+        F.lit("pq_append").alias("part"), "vec_id",
+        F.col("query_id").alias("k1"),
+        F.expr(
+            "CAST(rank AS BIGINT) * 10000000000000"
+            " + CAST(floor(adc * 1000000 + 0.5) AS BIGINT)"
+        ).alias("v1"),
+    )
     return (
         sem.unionByName(proj).unionByName(codes).unionByName(adc)
         .unionByName(ivfpq_rank).unionByName(ivfpq_adc)
         .unionByName(ivfpqr_rank).unionByName(ivfpqr_adc)
-        .unionByName(rr).unionByName(idx)
+        .unionByName(rr).unionByName(idx).unionByName(app)
     )
 
 
@@ -8372,6 +8416,11 @@ FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, rerank=20,
                          centroid_table=cent)})
 UNION ALL
 SELECT 'ivfpq_idx', vec_id, query_id,
+       CAST(rank AS BIGINT) * 10000000000000
+       + CAST(floor(adc * 1000000 + 0.5) AS BIGINT)
+FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, centroid_table=cent)})
+UNION ALL
+SELECT 'pq_append', vec_id, query_id,
        CAST(rank AS BIGINT) * 10000000000000
        + CAST(floor(adc * 1000000 + 0.5) AS BIGINT)
 FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, centroid_table=cent)})
@@ -9329,6 +9378,7 @@ def query_legs() -> dict:
                 spark, sf, rerank=20
             ),
             "ivfpq_idx": q_ivfpq_idx_leg,
+            "pq_append": q_pq_append_leg,
         },
         "tfidf_scores": {
             "tfidf": q_tfidf_leg,

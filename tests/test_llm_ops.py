@@ -3214,6 +3214,103 @@ def test_pq_index_persisted_equals_inline_and_prunes(spark, emb, tmp_path):
         assert codes.filter(F.col("cell") == one_cell).count() > 0
 
 
+def test_pq_index_append_equals_rebuild(spark, emb, tmp_path):
+    """Round-11 append_pq_index (VERDICT r10 next #5): folding a new
+    batch into the store with frozen centroids/codebooks must equal a
+    full rebuild with the SAME centroids bit-for-bit — codes rows and
+    indexed top-k alike — for both raw and residual variants."""
+    from quality_spark.llm.pq import (
+        append_pq_index,
+        ivf_pq_topk_indexed,
+        pq_codebooks_procedural,
+        pq_queries_procedural,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    books = pq_codebooks_procedural(8, 16, 8, 3)
+    qs = pq_queries_procedural(2, 64, seed=6)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    for resid in (False, True):
+        inc = str(tmp_path / f"inc_{resid}")
+        full = str(tmp_path / f"full_{resid}")
+        write_pq_index(a, books, inc, centroids=cents, by_residual=resid)
+        append_pq_index(b, inc)
+        write_pq_index(emb, books, full, centroids=cents, by_residual=resid)
+        ci, _ = read_pq_index(spark, inc)
+        cf, _ = read_pq_index(spark, full)
+        assert sorted(map(tuple, ci.collect())) == sorted(
+            map(tuple, cf.collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                ivf_pq_topk_indexed(spark, inc, qs, k=5, nprobe=2).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                ivf_pq_topk_indexed(spark, full, qs, k=5, nprobe=2).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+
+
+def test_pq_index_interrupted_append_and_rebuild_fail_loud(
+    spark, emb, tmp_path
+):
+    """The pending sentinel makes every reader refuse a half-written
+    pq store — for an interrupted APPEND and an interrupted in-place
+    REBUILD alike (the BM25 store's fail-loud contract)."""
+    import os
+    import unittest.mock as mock
+
+    import pytest
+
+    from quality_spark.llm.pq import (
+        append_pq_index,
+        ivf_pq_topk_indexed,
+        pq_codebooks_procedural,
+        pq_queries_procedural,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    books = pq_codebooks_procedural(8, 16, 8, 3)
+    qs = pq_queries_procedural(1, 64, seed=6)
+    idx = str(tmp_path / "idx")
+    write_pq_index(emb.filter("vec_id % 2 = 0"), books, idx)
+    # simulated crash window mid-append
+    with open(f"{idx}/meta.json.pending", "w") as fh:
+        fh.write("{}")
+    with pytest.raises(ValueError, match="interrupted"):
+        read_pq_index(spark, idx)
+    with pytest.raises(ValueError, match="interrupted"):
+        ivf_pq_topk_indexed(spark, idx, qs, k=3)
+    with pytest.raises(ValueError, match="interrupted"):
+        append_pq_index(emb.filter("vec_id % 2 = 1"), idx)
+    os.remove(f"{idx}/meta.json.pending")
+    # crash DURING an in-place rebuild: sentinel already down, old
+    # meta removed -> refused, recoverable by a completed rebuild
+    with mock.patch(
+        "pyspark.sql.readwriter.DataFrameWriter.parquet",
+        side_effect=RuntimeError("simulated crash"),
+    ):
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            write_pq_index(emb, books, idx)
+    assert os.path.exists(f"{idx}/meta.json.pending")
+    assert not os.path.exists(f"{idx}/meta.json")
+    with pytest.raises(ValueError, match="interrupted"):
+        read_pq_index(spark, idx)
+    os.remove(f"{idx}/meta.json.pending")
+    write_pq_index(emb, books, idx)
+    assert not os.path.exists(f"{idx}/meta.json.pending")
+    assert ivf_pq_topk_indexed(spark, idx, qs, k=3).count() > 0
+
+
 def test_train_classifier_invariance_oracle_and_signal(spark, docs):
     """Round-10 classifier training (hard-sigmoid logistic GD,
     integer-exact): trained w_nano is bit-identical across

@@ -179,10 +179,28 @@ def main() -> None:
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
     oracles = em.oracle_sql()
+    # Per-entry provenance (VERDICT r10 #5): composite sweeps (--only
+    # merges) mix entries from different HEADs; each entry records the
+    # sha + time it ran at so the artifact self-audits instead of
+    # depending on prose.
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        head = None
     results = {}
     for name in names:
         t0 = time.perf_counter()
-        rec = {"mode": "full", "ok": False}
+        rec = {
+            "mode": "full",
+            "ok": False,
+            "git_head": head,
+            "ran_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
         try:
             sdf = em.queries()[name](spark, args.root)
             sql = oracles.get(name)
