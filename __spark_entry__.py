@@ -7848,6 +7848,39 @@ def q_clf_train_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{root}/w")
 
 
+def q_clf_multi_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'clf_multi' part (round 11, VERDICT r10 next #6): k-class
+    one-vs-rest training (llm/classifier.py:train_multiclass) —
+    3 deterministic classes c0/c1/c2 = doc_id % 3 on the id-anchored
+    doc_id < 400 subset (constant cost at every sf), 2 GD iterations,
+    ONE shared feature pass for all classes. The oracle replays every
+    class's unrolled descent and the per-class w_nano tables must
+    match bit-for-bit. Staged per (sf_dir) like clf_train — the
+    weight table is <= 3x4096 rows of metadata and identical on
+    every call by construction."""
+    from quality_spark.llm.classifier import train_multiclass
+
+    def stage(root):
+        import os as _os
+
+        docs = _read(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 400
+        )
+        lab = docs.withColumn(
+            "__cls",
+            F.concat(F.lit("c"), (F.col("doc_id") % 3).cast("string")),
+        )
+        train_multiclass(
+            lab, "__cls", buckets=4096, iters=2
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(root, "w")
+        )
+        return root
+
+    root = _staged("clfmulti", sf_dir, stage)
+    return spark.read.parquet(f"{root}/w")
+
+
 def q_doc_ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest/quality block (round 7): CSV quarantine round trip +
     HTML→text extraction + hashed-linear classifier margins + zlib
@@ -7881,18 +7914,32 @@ def q_doc_ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("s1"),
         F.col("w_nano").alias("v1"), nb.alias("v2"),
     )
+    multi = q_clf_multi_leg(spark, sf_dir).select(
+        F.lit("clf_multi").alias("part"),
+        F.col("bucket").alias("doc_id"),
+        F.col("class").alias("s1"),
+        F.col("w_nano").alias("v1"), nb.alias("v2"),
+    )
     return (
         csv.unionByName(html).unionByName(clf).unionByName(z)
-        .unionByName(trained)
+        .unionByName(trained).unionByName(multi)
     )
 
 
 def _oracle_doc_ingest_suite() -> str:
-    from quality_spark.llm.classifier import train_classifier_oracle_sql
+    from quality_spark.llm.classifier import (
+        train_classifier_oracle_sql,
+        train_multiclass_oracle_sql,
+    )
 
     train = train_classifier_oracle_sql(
         "(SELECT * FROM documents WHERE doc_id < 500)",
         "doc_id % 3 = 0", buckets=4096, iters=2,
+    )
+    multi = train_multiclass_oracle_sql(
+        "(SELECT * FROM documents WHERE doc_id < 400)",
+        "'c' || CAST(doc_id % 3 AS VARCHAR)",
+        ["c0", "c1", "c2"], buckets=4096, iters=2,
     )
     return f"""
 SELECT 'csv' AS part, doc_id, payload_md5 AS s1,
@@ -7911,6 +7958,9 @@ FROM ({_oracle_compression_signal()})
 UNION ALL
 SELECT 'clf_train', bucket, '', w_nano, CAST(-1 AS BIGINT)
 FROM ({train})
+UNION ALL
+SELECT 'clf_multi', bucket, class, w_nano, CAST(-1 AS BIGINT)
+FROM ({multi})
 """
 
 
@@ -9355,6 +9405,7 @@ def query_legs() -> dict:
             "clf": q_classifier_score,
             "zlib": q_compression_signal,
             "clf_train": q_clf_train_leg,
+            "clf_multi": q_clf_multi_leg,
         },
         "text_curation2": {
             "bpe": q_bpe_tokenize,

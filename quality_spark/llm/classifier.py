@@ -47,6 +47,11 @@ __all__ = [
     "score_with_weight_table",
     "sigmoid_expr",
     "default_weight_sql",
+    "train_classifier",
+    "train_classifier_oracle_sql",
+    "train_multiclass",
+    "train_multiclass_oracle_sql",
+    "predict_multiclass",
 ]
 
 
@@ -265,99 +270,273 @@ def train_classifier(
     from pyspark import StorageLevel
 
     spark = df.sparkSession
-    lr_num, lr_den = int(lr[0]), int(lr[1])
-    if lr_num <= 0 or lr_den <= 0:
-        raise ValueError("lr must be a positive rational (num, den)")
-    feats_arr = ngram_features_sql(text_col, "spark")
-    base = (
+    _check_lr(lr)
+    base = _feature_base(
         df.select(
             F.col(id_col).alias("__id"),
             F.when(F.col(label_col).cast("boolean"), 1)
             .otherwise(-1)
             .alias("__y"),
-            F.expr(feats_arr).alias("__feats"),
-        )
-        .withColumn("__nf", F.size("__feats"))
-        .filter(F.col("__nf") > 0)
+            F.col(text_col).alias("__text"),
+        ),
+        buckets,
     )
-    feats = (
-        base.select(
-            "__id", "__y", "__nf", F.explode("__feats").alias("__f")
-        )
-        .select(
-            "__id",
-            "__y",
-            "__nf",
-            F.expr(f"({hash60_sql('__f', 'spark')} % {buckets})").alias(
-                "bucket"
-            ),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    feats = base.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        nf_max = feats.agg(F.max("__nf")).collect()[0][0]
-        if nf_max is not None and int(nf_max) > int(max_tokens):
-            raise ValueError(
-                f"a document has {nf_max} features > max_tokens="
-                f"{max_tokens} — the int64 gradient quantum headroom "
-                "(2000·4e9·nF) needs nF <= 1e6"
-            )
-        w: dict = {}
-        for _ in range(int(iters)):
-            if w:
-                wdf = F.broadcast(
-                    spark.createDataFrame(
-                        sorted(w.items()), "bucket bigint, __w bigint"
-                    )
-                )
-                joined = feats.join(wdf, "bucket", "left")
-            else:
-                joined = feats.withColumn(
-                    "__w", F.lit(None).cast("bigint")
-                )
-            mnum = joined.groupBy("__id", "__y", "__nf").agg(
-                F.expr(
-                    "CAST(sum(coalesce(__w, CAST(0 AS BIGINT))) AS BIGINT)"
-                ).alias("__m")
-            )
-            qdoc = mnum.select(
-                "__id",
-                F.expr(
-                    f"CAST(-__y AS BIGINT) * ("
-                    f"(2000 * GREATEST(CAST(0 AS BIGINT), LEAST("
-                    f"4 * CAST(__nf AS BIGINT) * {_W_SCALE},"
-                    f" 2 * CAST(__nf AS BIGINT) * {_W_SCALE}"
-                    f" - __y * __m))"
-                    f" + 4 * CAST(__nf AS BIGINT) * CAST(__nf AS BIGINT))"
-                    f" DIV (8 * CAST(__nf AS BIGINT) * CAST(__nf AS BIGINT)))"
-                ).alias("__q"),
-            )
-            grad = (
-                feats.join(qdoc, "__id")
-                .groupBy("bucket")
-                .agg(
-                    F.expr(
-                        "CAST(sum(CAST(__q AS DECIMAL(38,0))) AS BIGINT)"
-                    ).alias("__g")
-                )
-                .collect()
-            )
-            for r in grad:
-                g = int(r["__g"])
-                if g == 0:
-                    continue
-                mag = (2 * lr_num * abs(g) + 1000 * lr_den) // (
-                    2000 * lr_den
-                )
-                nw = w.get(int(r["bucket"]), 0) - (
-                    mag if g > 0 else -mag
-                )
-                w[int(r["bucket"])] = max(-_W_SCALE, min(_W_SCALE, nw))
+        _check_max_tokens(feats, max_tokens)
+        w = _train_loop(spark, feats, iters, lr)
     finally:
         feats.unpersist()
     rows = [(b, wn, wn / float(_W_SCALE)) for b, wn in sorted(w.items())]
     return spark.createDataFrame(
         rows, "bucket bigint, w_nano bigint, weight double"
+    )
+
+
+def _check_lr(lr: tuple) -> None:
+    if int(lr[0]) <= 0 or int(lr[1]) <= 0:
+        raise ValueError("lr must be a positive rational (num, den)")
+
+
+def _feature_base(labeled: DataFrame, buckets: int) -> DataFrame:
+    """(__id, <carried label cols>, __nf, bucket) per feature
+    occurrence — the one corpus-sized pass (tokenize + hash); every
+    training iteration reads this, never the raw text. Carries every
+    column of ``labeled`` except __text."""
+    carried = [c for c in labeled.columns if c != "__text"]
+    feats_arr = ngram_features_sql("__text", "spark")
+    return (
+        labeled.withColumn("__feats", F.expr(feats_arr))
+        .withColumn("__nf", F.size("__feats"))
+        .filter(F.col("__nf") > 0)
+        .select(*carried, "__nf", F.explode("__feats").alias("__f"))
+        .select(
+            *carried,
+            "__nf",
+            F.expr(f"({hash60_sql('__f', 'spark')} % {buckets})").alias(
+                "bucket"
+            ),
+        )
+    )
+
+
+def _check_max_tokens(feats: DataFrame, max_tokens: int) -> None:
+    nf_max = feats.agg(F.max("__nf")).collect()[0][0]
+    if nf_max is not None and int(nf_max) > int(max_tokens):
+        raise ValueError(
+            f"a document has {nf_max} features > max_tokens="
+            f"{max_tokens} — the int64 gradient quantum headroom "
+            "(2000·4e9·nF) needs nF <= 1e6"
+        )
+
+
+def _train_loop(spark, feats: DataFrame, iters: int, lr: tuple) -> dict:
+    """The integer-exact GD loop over a prebuilt persisted feature
+    table with (__id, __y, __nf, bucket) — two shuffles per iteration
+    (margins by __id, gradient by bucket), weights-only driver
+    traffic. Shared verbatim by the binary and one-vs-rest trainers
+    so multiclass is bit-equal to k independent binary runs by
+    construction."""
+    lr_num, lr_den = int(lr[0]), int(lr[1])
+    w: dict = {}
+    for _ in range(int(iters)):
+        if w:
+            wdf = F.broadcast(
+                spark.createDataFrame(
+                    sorted(w.items()), "bucket bigint, __w bigint"
+                )
+            )
+            joined = feats.join(wdf, "bucket", "left")
+        else:
+            joined = feats.withColumn("__w", F.lit(None).cast("bigint"))
+        mnum = joined.groupBy("__id", "__y", "__nf").agg(
+            F.expr(
+                "CAST(sum(coalesce(__w, CAST(0 AS BIGINT))) AS BIGINT)"
+            ).alias("__m")
+        )
+        qdoc = mnum.select(
+            "__id",
+            F.expr(
+                f"CAST(-__y AS BIGINT) * ("
+                f"(2000 * GREATEST(CAST(0 AS BIGINT), LEAST("
+                f"4 * CAST(__nf AS BIGINT) * {_W_SCALE},"
+                f" 2 * CAST(__nf AS BIGINT) * {_W_SCALE}"
+                f" - __y * __m))"
+                f" + 4 * CAST(__nf AS BIGINT) * CAST(__nf AS BIGINT))"
+                f" DIV (8 * CAST(__nf AS BIGINT) * CAST(__nf AS BIGINT)))"
+            ).alias("__q"),
+        )
+        grad = (
+            feats.join(qdoc, "__id")
+            .groupBy("bucket")
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(__q AS DECIMAL(38,0))) AS BIGINT)"
+                ).alias("__g")
+            )
+            .collect()
+        )
+        for r in grad:
+            g = int(r["__g"])
+            if g == 0:
+                continue
+            mag = (2 * lr_num * abs(g) + 1000 * lr_den) // (
+                2000 * lr_den
+            )
+            nw = w.get(int(r["bucket"]), 0) - (mag if g > 0 else -mag)
+            w[int(r["bucket"])] = max(-_W_SCALE, min(_W_SCALE, nw))
+    return w
+
+
+def train_multiclass(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1 << 20,
+    iters: int = 3,
+    lr: tuple = (1, 2),
+    max_tokens: int = 1_000_000,
+    max_classes: int = 64,
+) -> DataFrame:
+    """k-class one-vs-rest training (VERDICT r10 next #6 — the
+    fastText lang-id/domain-triage shape `score_with_weight_table`
+    mimics is multi-class, and `train_classifier` was binary-only).
+
+    Semantics: for each class c (the sorted distinct STRING values of
+    ``label_col``; NULL labels are rejected), train the binary
+    hard-sigmoid logistic GD of :func:`train_classifier` with label
+    ``label == c`` — classes are INDEPENDENT in one-vs-rest, so the
+    result is BIT-EQUAL to k separate `train_classifier` calls
+    (test-pinned), which keeps the whole surface integer-exact and
+    SQL-replayable (`train_multiclass_oracle_sql` unrolls each
+    class's descent; an integer softmax would couple the classes
+    through a normalizing division with no exact two-integer form).
+
+    What is SHARED is the expensive part: the corpus-sized feature
+    pass (tokenize + hash) runs ONCE into one persisted table; each
+    class's ``__y`` is a projection over that cache, so k-class
+    training costs 1 corpus scan + k × iters × (2 shuffles on the
+    cached features) instead of k corpus scans. Driver traffic is
+    per-class weights only.
+
+    Returns (class string, bucket bigint, w_nano bigint, weight
+    double) — feed a single class's slice to
+    `score_with_weight_table`, or the whole table to
+    :func:`predict_multiclass`."""
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    _check_lr(lr)
+    labeled = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("string").alias("__lbl"),
+        F.col(text_col).alias("__text"),
+    )
+    if labeled.filter(F.col("__lbl").isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"NULL labels in {label_col} — drop or impute them first "
+            "(a NULL is silently 'rest' for every class otherwise)"
+        )
+    base = _feature_base(labeled, buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        _check_max_tokens(base, max_tokens)
+        classes = sorted(
+            r["__lbl"]
+            for r in base.select("__lbl").distinct().collect()
+        )
+        if len(classes) < 2:
+            raise ValueError(
+                f"need >= 2 classes, got {classes!r}"
+            )
+        if len(classes) > int(max_classes):
+            raise ValueError(
+                f"{len(classes)} classes > max_classes={max_classes} — "
+                "one-vs-rest trains k models; raise max_classes "
+                "deliberately for a genuinely large label space"
+            )
+        out_rows = []
+        for c in classes:
+            feats_c = base.select(
+                "__id",
+                F.when(F.col("__lbl") == c, 1).otherwise(-1).alias("__y"),
+                "__nf",
+                "bucket",
+            )
+            w = _train_loop(spark, feats_c, iters, lr)
+            out_rows.extend(
+                (c, b, wn, wn / float(_W_SCALE))
+                for b, wn in sorted(w.items())
+            )
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "class string, bucket bigint, w_nano bigint, weight double",
+    )
+
+
+def predict_multiclass(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1 << 20,
+) -> DataFrame:
+    """Score every document against every class of a
+    `train_multiclass` table and pick the argmax margin — one feature
+    explode, ONE broadcast join on bucket (the per-class weight rows
+    fan out in the join, never a corpus × k cartesian), one
+    groupBy(id, class), then the argmax: max margin per id, equi-join
+    back on the bit-identical double, min class name among exact ties
+    — fully deterministic in both engines. Missing (class, bucket)
+    pairs weigh 0 via the
+    per-class feature count, NOT the join (a left join would drop the
+    class dimension for unseen buckets): margins divide the summed
+    joined weights by the document's total feature count nF.
+
+    Returns (id_col, class, margin) for the winning class. Documents
+    with no tokens, or sharing NO hashed bucket with any class's
+    weights, are ABSENT from the output (no evidence, no prediction)
+    — filter the input or treat missing ids as unscored downstream."""
+    feats = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.expr(ngram_features_sql(text_col, "spark"))
+        ).alias("__f"),
+    ).select(
+        "__id",
+        F.expr(f"({hash60_sql('__f', 'spark')} % {buckets})").alias(
+            "bucket"
+        ),
+    )
+    nf = feats.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nf")
+    )
+    per_class = (
+        feats.join(
+            F.broadcast(weights.select("class", "bucket", "weight")),
+            "bucket",
+        )
+        .groupBy("__id", "class")
+        .agg(F.sum("weight").alias("__tot"))
+        .join(nf, "__id")
+        .select(
+            "__id",
+            "class",
+            (F.col("__tot") / F.col("__nf").cast("double")).alias(
+                "margin"
+            ),
+        )
+    )
+    win = per_class.groupBy("__id").agg(F.max("margin").alias("margin"))
+    return (
+        per_class.join(win, ["__id", "margin"])
+        .groupBy("__id", "margin")
+        .agg(F.min("class").alias("class"))
+        .select(F.col("__id").alias(id_col), "class", "margin")
     )
 
 
@@ -441,3 +620,34 @@ def train_classifier_oracle_sql(
         + ",\n".join(ctes)
         + f"\nSELECT bucket, w AS w_nano FROM w{int(iters)}"
     )
+
+
+def train_multiclass_oracle_sql(
+    table: str,
+    label_expr: str,
+    classes,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1 << 20,
+    iters: int = 3,
+    lr: tuple = (1, 2),
+) -> str:
+    """DuckDB replay of :func:`train_multiclass`: one-vs-rest classes
+    are independent, so the replay is the UNION ALL of each class's
+    unrolled binary descent (`train_classifier_oracle_sql`) with
+    label ``CAST(label_expr AS VARCHAR) = '<class>'`` — exactly the
+    label each class trains against. ``classes`` must list every
+    distinct label value (the Spark side derives them from the data;
+    SQL strings are built ahead of time, so the caller supplies
+    them). Emits (class, bucket, w_nano)."""
+    legs = []
+    for c in classes:
+        lbl = f"CAST({label_expr} AS VARCHAR) = '{c}'"
+        inner = train_classifier_oracle_sql(
+            table, lbl, id_col=id_col, text_col=text_col,
+            buckets=buckets, iters=iters, lr=lr,
+        )
+        legs.append(
+            f"SELECT '{c}' AS class, bucket, w_nano FROM ({inner})"
+        )
+    return "\nUNION ALL\n".join(legs)
