@@ -851,6 +851,246 @@ def scd2_to_store(
     return handle
 
 
+def read_neardup_store(spark, store_path: str) -> Optional[DataFrame]:
+    """The CURRENT near-dup state: (id, root, sh, bands, keep) —
+    ``root`` is the GLOBAL min id of the document's near-dup
+    component over everything ingested so far, ``keep = (id ==
+    root)`` is the keeper election, and sh/bands are the stored
+    shingle set + band signatures that let future batches verify
+    against this doc without re-reading its text. Highest
+    _SUCCESS-complete version wins (the SCD2 store's commit
+    protocol); None when empty."""
+    vs = _scd2_versions(spark, store_path)
+    if not vs:
+        return None
+    st = spark.read.parquet(f"{store_path}/version={vs[-1]}")
+    return st.withColumn("keep", F.col("id") == F.col("root"))
+
+
+def neardup_to_store(
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    mode: str = "fast",
+    keep_versions: int = 2,
+):
+    """``foreachBatch`` handler for STREAMING near-duplicate dedup
+    (VERDICT r10 next #7): each micro-batch dedups against the whole
+    ingest history WITHOUT rescanning it, and the store's keeper set
+    after the stream equals ``llm.dedup.dedup_near`` run once over
+    the union of all batches (pinned like scd2_to_store).
+
+    Why the equality is exact and not approximate:
+
+    - Candidate edges are LSH band collisions, and band hashes are
+      DETERMINISTIC functions of the text — so a pair band-collides
+      in the streamed fold iff it band-collides in the one-shot run,
+      no matter which batches the two docs arrived in (the later
+      doc's batch probes the stored signatures and finds the pair).
+      Every candidate is then verified with the IDENTICAL exact
+      shingle-Jaccard >= threshold test `minhash_lsh_pairs` applies,
+      using the history side's STORED shingle array (written verbatim
+      at its own ingest, so the arrays are the same arrays).
+    - State is (id -> root) with root = min id of the component seen
+      so far; `connected_components` also represents components by
+      their min id, so the keeper election (keep = id == root) is
+      the same election `dedup_near` makes, and a RETROACTIVE merge
+      (a new doc bridging two previously-separate components — the
+      case first-seen folds get wrong) just lowers root for the
+      absorbed side, silently demoting its old keeper. Each batch
+      merges via a mini connected-components over (batch ids +
+      touched history ROOTS) — batch-sized metadata, never the
+      history — and a root->root remap join updates the state.
+
+    EXACTLY-ONCE by the scd2 protocol: versions commit under
+    ``version=<epoch_id>`` with parquet's _SUCCESS as the commit
+    record; replayed epochs are skipped, crashed half-writes are
+    invisible to readers and overwritten by the replay.
+
+    Caller contract: ids are unique across the whole stream (dedup
+    EXACT duplicates upstream with the first-seen/key-store recipes —
+    this store's job is NEAR-dups); one writer. Elections are min-id
+    (`dedup_near`'s default); score-based election is not offered
+    here because a later higher-score arrival would have to unseat a
+    keeper that downstream consumers already acted on.
+
+    Cost per batch: signatures + shingles over the BATCH only, one
+    broadcast probe of the stored bands, one batch-sized mini-CC, one
+    state rewrite. The state rewrite is the whole (id, root, sh,
+    bands) table — fine while state fits a rewrite (it is
+    corpus-metadata-sized: arrays of shingle hashes, not text); at
+    100 TB partition the state by id range and rewrite only
+    partitions holding touched roots + new ids (the remap join's
+    pushdown gives exactly that pruning)."""
+    from ..llm.dedup import (
+        bucket_candidate_pairs,
+        connected_components,
+        with_minhash,
+        with_shingles,
+    )
+
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    if not (0.0 < float(threshold) <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+
+    def _state_of(batch_df: DataFrame) -> DataFrame:
+        sig = with_minhash(
+            batch_df, text_col, k, num_perm, bands, mode, id_col=id_col
+        ).select(
+            F.col(id_col).alias("id"),
+            F.array(
+                *[F.col(f"band_{b}") for b in range(bands)]
+            ).alias("bands"),
+        )
+        sh = with_shingles(batch_df, text_col, k, out="__sh").select(
+            F.col(id_col).alias("id"), F.col("__sh").alias("sh")
+        )
+        return sig.join(sh, "id")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        if int(epoch_id) in _scd2_versions(spark, store_path):
+            return  # replayed epoch: already committed
+        cur = read_neardup_store(spark, store_path)
+        new_state = _state_of(batch_df).localCheckpoint(eager=True)
+        new_sigs = new_state.select(
+            "id", F.posexplode("bands").alias("band_idx", "band_hash")
+        ).filter(F.col("band_hash").isNotNull())
+        # candidate pairs: within-batch band buckets + batch-vs-history
+        # band probe (batch signatures broadcast onto the stored bands)
+        cand = bucket_candidate_pairs(
+            new_sigs, ("band_idx", "band_hash")
+        ).select("id_a", "id_b")
+        if cur is not None:
+            hist_sigs = cur.select(
+                "id", F.posexplode("bands").alias("band_idx", "band_hash")
+            ).filter(F.col("band_hash").isNotNull())
+            vs_hist = (
+                hist_sigs.join(
+                    F.broadcast(
+                        new_sigs.select(
+                            F.col("id").alias("new_id"),
+                            "band_idx",
+                            "band_hash",
+                        )
+                    ),
+                    ["band_idx", "band_hash"],
+                )
+                .select(
+                    F.least("id", "new_id").alias("id_a"),
+                    F.greatest("id", "new_id").alias("id_b"),
+                )
+                .filter(F.col("id_a") != F.col("id_b"))
+            )
+            cand = cand.unionByName(vs_hist)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+        # exact-Jaccard verify — the minhash_lsh_pairs test verbatim,
+        # history shingles read from the store
+        all_sh = new_state.select("id", "sh")
+        if cur is not None:
+            all_sh = all_sh.unionByName(cur.select("id", "sh"))
+        fetched = cand.join(
+            all_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        ).join(
+            all_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        edges = fetched.filter(
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            )
+            >= float(threshold)
+        ).select("id_a", "id_b")
+        # mini-CC over batch ids + touched history ROOTS: map history
+        # endpoints to their current root first, so merging two old
+        # components is one small graph, never a history scan
+        if cur is not None:
+            roots = cur.select("id", "root")
+            edges = (
+                edges.join(
+                    roots.withColumnRenamed("id", "id_a").withColumnRenamed(
+                        "root", "__ra"
+                    ),
+                    "id_a",
+                    "left",
+                )
+                .join(
+                    roots.withColumnRenamed("id", "id_b").withColumnRenamed(
+                        "root", "__rb"
+                    ),
+                    "id_b",
+                    "left",
+                )
+                .select(
+                    F.coalesce("__ra", "id_a").alias("id_a"),
+                    F.coalesce("__rb", "id_b").alias("id_b"),
+                )
+                .filter(F.col("id_a") != F.col("id_b"))
+            )
+        comp = connected_components(edges)  # (id=node, component=min)
+        # state update: remap merged roots, then fold the batch in
+        remap = comp.select(
+            F.col("id").alias("root"), F.col("component").alias("__nr")
+        )
+        batch_rooted = (
+            new_state.join(
+                F.broadcast(
+                    comp.select("id", F.col("component").alias("__nr"))
+                ),
+                "id",
+                "left",
+            )
+            .select(
+                "id",
+                F.coalesce("__nr", "id").alias("root"),
+                "sh",
+                "bands",
+            )
+        )
+        if cur is None:
+            merged = batch_rooted
+        else:
+            merged = (
+                cur.select("id", "root", "sh", "bands")
+                .join(F.broadcast(remap), "root", "left")
+                .select(
+                    "id",
+                    F.coalesce("__nr", "root").alias("root"),
+                    "sh",
+                    "bands",
+                )
+                .unionByName(batch_rooted)
+            )
+        merged.write.mode("overwrite").parquet(
+            f"{store_path}/version={int(epoch_id)}"
+        )
+        # the batch-state checkpoint served its multi-consumer role;
+        # free its blocks (unpersist() alone cannot — plans/blocks.py)
+        from ..plans.blocks import release_local_checkpoint
+
+        release_local_checkpoint(new_state)
+        vs = _scd2_versions(spark, store_path)
+        fs, jvm = _hadoop_fs(spark, store_path)
+        for v in vs[: max(0, len(vs) - int(keep_versions))]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(store_path, f"version={v}")
+                ),
+                True,
+            )
+
+    return handle
+
+
 def corr_shards_to_store(store_path: str, cols: Sequence[str]):
     """``foreachBatch`` handler: land a MERGEABLE correlation artifact
     per micro-batch (`operators.stats.corr_shard` — one row of exact

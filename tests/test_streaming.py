@@ -988,3 +988,79 @@ def test_corr_shards_to_store_stream(spark, sf_dir):
     shards = [spark.read.parquet(p) for p in epochs]
     got = sorted(map(tuple, corr_from_shards(shards, cols).collect()))
     assert got == want
+
+
+def test_neardup_to_store_stream(spark, sf_dir):
+    """Round-11 streaming near-dup (VERDICT r10 next #7): three
+    batches folded through neardup_to_store must elect EXACTLY the
+    keepers dedup_near elects one-shot over the union — including a
+    crafted RETROACTIVE merge (doc 9003 in the last batch bridges
+    9001 and 9002 from different earlier batches, demoting 9002's
+    keepership after the fact, the case a first-seen fold gets
+    wrong). Also pins the full (id -> root) component map, the
+    exactly-once replay guard, and version pruning."""
+    from quality_spark.llm.dedup import (
+        connected_components,
+        dedup_near,
+        minhash_lsh_pairs,
+    )
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+    from quality_spark.streaming.recipes import (
+        _scd2_versions,
+        neardup_to_store,
+        read_neardup_store,
+    )
+
+    kw = dict(k=3, num_perm=16, bands=8, threshold=0.3)
+    a_block = " ".join(f"alpha{i}" for i in range(12))
+    b_block = " ".join(f"delta{i}" for i in range(12))
+    crafted = {
+        0: (9001, a_block),
+        1: (9002, b_block),
+        2: (9003, a_block + " " + b_block),
+    }
+    docs = read_parquet_compat(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter("doc_id < 240")
+    batches = []
+    for i in range(3):
+        extra = spark.createDataFrame(
+            [crafted[i]], "doc_id long, text string"
+        )
+        batches.append(docs.filter(F.col("doc_id") % 3 == i).unionByName(extra))
+
+    store = tempfile.mkdtemp(prefix="qs_ndstore_")
+    handler = neardup_to_store(store, keep_versions=2, **kw)
+    for i, b in enumerate(batches):
+        handler(b, i)
+
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    got = read_neardup_store(spark, store)
+    kept_got = sorted(r["id"] for r in got.filter("keep").collect())
+    kept_want = sorted(
+        r["doc_id"] for r in dedup_near(union, method="minhash", **kw).collect()
+    )
+    assert kept_got == kept_want and len(kept_got) > 0
+    # full component map equality: root == one-shot CC component (min
+    # id), singletons root = self
+    comp = connected_components(
+        minhash_lsh_pairs(union, **kw).select("id_a", "id_b")
+    )
+    want_root = {r["id"]: r["component"] for r in comp.collect()}
+    for r in got.collect():
+        assert r["root"] == want_root.get(r["id"], r["id"]), (
+            r["id"], r["root"], want_root.get(r["id"]),
+        )
+    # the crafted retro-merge actually fired: 9003 bridged the two
+    # earlier singletons, so all three share root 9001 and 9002 (a
+    # keeper after batch 1) is demoted
+    roots = {r["id"]: r["root"] for r in got.collect()}
+    assert roots[9001] == roots[9002] == roots[9003] == 9001
+    assert 9002 in set(roots) and 9002 not in set(kept_got)
+    # exactly-once: replaying a committed epoch (garbage content) is
+    # a no-op
+    before = sorted(map(tuple, read_neardup_store(spark, store).collect()))
+    handler(union, 2)
+    after = sorted(map(tuple, read_neardup_store(spark, store).collect()))
+    assert before == after
+    assert _scd2_versions(spark, store) == [1, 2]
