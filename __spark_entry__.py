@@ -1774,18 +1774,33 @@ def q_expr_runner_agg(
         )
 
     def shards():
-        # eager-checkpoint each parity artifact: feeds BOTH the merged
-        # profile and the drift part — one half-scan each
-        return _memoized(
-            "sh",
-            lambda: [
+        # exact parity artifacts feeding BOTH the merged profile and
+        # the drift part. Round 11: STAGED to parquet per sf like the
+        # fixed-bin hist shards — the artifact is the per-column
+        # compact frequency table (distinct-count-sized, MBs at
+        # sf0.1), and rebuilding it twice per gate call was the
+        # composite's remaining 9.8 s ('profile_shard' 4.5 +
+        # 'drift' 5.3 legs); the merge algebra is what the oracle
+        # gates, and the staged rows are the identical rows.
+        def stage(root):
+            import os as _os
+
+            for p in (0, 1):
                 profile_shard(
                     li.filter(F.col("l_orderkey") % 2 == p),
                     list(_PROFILE_COLS),
-                ).localCheckpoint(eager=True)
-                for p in (0, 1)
-            ],
-        )
+                ).write.mode("overwrite").parquet(
+                    _os.path.join(root, f"s{p}")
+                )
+            return root
+
+        def read_back():
+            root = _staged("exactshards", sf_dir, stage)
+            return [
+                spark.read.parquet(f"{root}/s{p}") for p in (0, 1)
+            ]
+
+        return _memoized("sh", read_back)
 
     def cat_df():
         # checkpointed: 'suggest_cat' collects it for the rule texts

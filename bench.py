@@ -400,47 +400,29 @@ def main() -> None:
     # these queries is new coverage, not regression; update each round
     # alongside gate edits
     gate_changes = {
-        "expr_runner_agg": "round 10: added approx_shard_q (mergeable "
-        "fixed-bin quantiles) and psi (PSI drift significance) parts; "
-        "shared-artifact diet (categorical profile checkpointed — was "
-        "scanned twice; only= per-part selection for leg timing)",
-        "embedding_reduce": "round 10: added ivfpq_idx persisted-index "
-        "leg (index build staged once per sf); IVF-PQ centroid pool "
-        "re-anchored to vec_id < 3200 (64 cells at every sf — the "
-        "stride-only pool scaled nlist with the corpus)",
-        "doc_ingest_suite": "round 10: added clf_train leg (in-engine "
-        "classifier training, 2 GD iterations + full SQL oracle "
-        "replay); also attributes the r9 unexplained +33% drift — the "
-        "gate changed this round",
-        "dedup_exact": "round 10: leg refactor only (substr/fuzzy "
-        "factored into q_*_leg helpers; same plan)",
-        "sampling_splits": "round 10: leg refactor, then NEW 'topfrac' part (exact per-group top-fraction cut, llm/sampling.py keep_top_fraction) and 'pctile' part (exact within-group percentile)",
-        "tfidf_scores": "round 10: leg refactor, then NEW 'bm25_idx' "
-        "part late in the round (persisted BM25 inverted index — "
-        "staged write_bm25_index build memoized per sf + pruned-scan "
-        "scoring, llm/retrieval.py)",
-        "stats_suite": "round 10: NEW query (14 parts) — cross-column "
-        "statistics block: corr/gcorr/assoc/entropy/reg/mad/benford/nullpat "
-        "(operators/stats.py), ldiv/g3 (relprofile), colloc (vocab), "
-        "markov (analytics), csample (sampling); it also ABSORBS the "
-        "r03 vocab_stats gate as its 'vocab_topk'/'vocab_docfreq' "
-        "parts — the driver covers only the FIRST 50 queries() "
-        "entries, so the new suite took vocab_stats' slot with both "
-        "parts' oracles intact (vocab_stats no longer a key); parts "
-        "build concurrently (24s -> 13s at sf0.01)",
-        "digest_documents": "round 10: leg refactor only",
-        "skew_ops": "round 10: leg refactor, then four NEW parts late "
-        "in the round — 'pagerank' (integer-exact 3-iteration PageRank "
-        "over the customer->supplier order graph, operators/graphrank.py), "
-        "'snapdiff' (row-level snapshot diff summary + row subset, "
-        "operators/snapshot.py), 'joinstats' (exact join-cardinality "
-        "pre-flight + hot keys, operators/relprofile.py), 'hits' "
-        "(integer L1 HITS on the same order graph); the rel leg also "
-        "grew kanon_ord (k-anonymity) rows",
-        "event_suite": "round 10: added 'cohort' (weekly retention triangle) and 'funnel'/'funnel_w' (ordered greedy funnel, unbounded + 24h window) and 'anom' (integer-exact rolling volume anomalies) parts, operators/analytics.py",
-        "temporal_joins": "round 10: added 'scd2'/'scd2t' parts (SCD2 "
-        "dimension-history merge, operators/temporal.py scd2_apply, "
-        "version boundaries oracle-replayed as NTZ epoch seconds)",
+        "expr_runner_agg": "round 11: hist-shard artifacts now STAGE "
+        "to parquet per sf (VERDICT r10 next #3) — the approx_shard_q "
+        "and psi legs read KB files instead of rebuilding the "
+        "exact-profile range + two binned half-scans per call; "
+        "expected FASTER, recorded so the leg deltas are attributable",
+        "embedding_reduce": "round 11: NEW 'pq_append' part — "
+        "append_pq_index incremental lifecycle (write evens + append "
+        "odds with frozen centroids, equal to the full-corpus replay); "
+        "staged per sf like ivfpq_idx",
+        "doc_ingest_suite": "round 11: NEW 'clf_multi' part (k-class "
+        "one-vs-rest training, 3 classes x unrolled oracle) and the "
+        "clf_train weights now STAGE per sf (VERDICT r10 next #4 — "
+        "was 8.5 s of constant re-training per run); net expected "
+        "faster despite the new part",
+        "stats_suite": "round 11: collocation_pmi now materializes "
+        "through and RELEASES its unigram cache (ADVICE r10 — was a "
+        "session-lifetime leak); the colloc leg gains one small "
+        "collect, same rows",
+        # round-10 gate additions (pagerank/hits/snapdiff/scd2/cohort/
+        # stats_suite/…) are IN the r10 baseline these numbers compare
+        # against — their notes are pruned so a stale attribution can
+        # never absorb NEW drift (VERDICT r10: stale notes are worse
+        # than an unexplained flag)
     }
     # VERDICT r08 #5: join the two records — a retried query whose
     # final time is still >threshold x prior reads 'attributed' when
@@ -454,14 +436,16 @@ def main() -> None:
     # environment note — the judge sees WHICH kind each entry is).
     # Update alongside each investigation; stale notes are worse than
     # an unexplained flag.
-    investigated = {
-        "dq_details": "round 10: no code on this path changed (macros/"
-        "runner untouched); isolated fresh-session min-of-3 at sf0.1 "
-        "measures 1.46-1.61 s vs the 1.05 s prior — the documented "
-        "transient VM factor band — with ~0.5-1 s more in the shared "
-        "bench session from accumulated block/GC pressure (the round-10 "
-        "checkpoint-release fix cut the shared-session total 147->133 s "
-        "but this query's intrinsic read stays ~1.5 s)",
+    investigated: dict[str, str] = {
+        "dq_details": "round 11: no code on this path changed this "
+        "round (macros/runner/aggregates untouched — verified by git "
+        "diff r10..HEAD); isolated fresh-session min-of-3 at sf0.1 "
+        "measured 1.58 s this session (r10 measured the same band, "
+        "1.46-1.61 s) vs the 1.18 s prior-record value, with the "
+        "remaining ~0.4 s appearing only inside the shared bench "
+        "session (accumulated block/GC pressure, the documented "
+        "r10 finding). Intrinsic cost is stable; the prior record "
+        "caught a fast outlier.",
     }
     for n, e in drift_retries.items():
         if n in investigated and not e["resolved"] and not e.get("attributed"):
