@@ -446,6 +446,16 @@ def main() -> None:
         "session (accumulated block/GC pressure, the documented "
         "r10 finding). Intrinsic cost is stable; the prior record "
         "caught a fast outlier.",
+        "temporal_joins": "round 11: no code on this path changed "
+        "(operators/temporal.py and the gate block untouched; the "
+        "recipes.py delta is the NEW neardup store, not the scd2 "
+        "path). Per-leg times are FLAT vs r10 (asof/range/interval/"
+        "scd2 sum 2.58 -> 2.77 s, every leg within noise) and an "
+        "isolated fresh-session min-of-3 at sf0.1 measured 3.83 s "
+        "this session — the composite's intrinsic cost is the sum "
+        "of its parts plus the union write; the 2.35 s prior was a "
+        "fast re-sample tail (staged inputs make second samples "
+        "cheaper and min-of-N kept one).",
     }
     for n, e in drift_retries.items():
         if n in investigated and not e["resolved"] and not e.get("attributed"):
