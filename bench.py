@@ -62,6 +62,65 @@ def timed(fn):
     return time.perf_counter() - t0
 
 
+def attribute_environment_codrift(
+    drift_retries: dict,
+    results: dict,
+    prior_q: dict,
+    min_codrifters: int = 3,
+):
+    """Environment co-drift auto-attribution (VERDICT r10 #2), pure so
+    tests can pin it: when >= ``min_codrifters`` still-unresolved,
+    unattributed, uninvestigated drifters remain after retries — the
+    noisy-box signature no per-query retry can clear (r10: five
+    byte-identical queries 1.3-3.6x slower on the driver's box) —
+    attribute them to the environment machine-readably instead of
+    leaving ``attributed: null``. Mutates the co-drifters' entries
+    (attributed + attribution_kind='environment') and returns the
+    evidence note (or None): co-drifter set, their median drift
+    ratio, and the run-wide median ratio over ALL keys with priors
+    (~1.0 under transient stalls, elevated under uniform slowdown).
+    The attribution asserts CO-DRIFT, not code identity — the
+    record's git_head plus the prior round's stamp let an auditor
+    diff the actual code paths."""
+    codrifters = sorted(
+        n
+        for n, e in drift_retries.items()
+        if not e["resolved"]
+        and not e.get("attributed")
+        and not e.get("investigated")
+    )
+    if len(codrifters) < int(min_codrifters):
+        return None
+    ratios_all = sorted(
+        results[k] / prior_q[k]
+        for k in prior_q
+        if k in results and prior_q[k] > 0.2
+    )
+    run_median = ratios_all[len(ratios_all) // 2] if ratios_all else None
+    co_ratios = sorted(
+        drift_retries[n]["final"] / drift_retries[n]["prior"]
+        for n in codrifters
+    )
+    note = {
+        "kind": "codrift",
+        "codrifters": codrifters,
+        "codrift_median_ratio": round(co_ratios[len(co_ratios) // 2], 3),
+        "run_median_ratio": (
+            round(run_median, 3) if run_median is not None else None
+        ),
+        "n_keys_compared": len(ratios_all),
+    }
+    for n in codrifters:
+        drift_retries[n]["attributed"] = (
+            f"environment: co-drift with {len(codrifters) - 1} other "
+            "unchanged keys this run (median ratio "
+            f"{note['codrift_median_ratio']}; run-wide median "
+            f"{note['run_median_ratio']}) — see drift_retries.environment"
+        )
+        drift_retries[n]["attribution_kind"] = "environment"
+    return note
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from quality_spark import add_data_quality
@@ -461,56 +520,9 @@ def main() -> None:
         if n in investigated and not e["resolved"] and not e.get("attributed"):
             e["investigated"] = investigated[n]
 
-    # Environment co-drift auto-attribution (VERDICT r10 #2): on a
-    # noisy box, SEVERAL code-unchanged keys drift together past
-    # min-of-3 (r10: five gate queries + dq500_write, 1.3-3.6x, all
-    # byte-identical to the prior round by git diff) — a signature no
-    # per-query retry can clear. When >=3 still-unresolved,
-    # unattributed drifters remain AND none of them had a gate change
-    # this round, attribute them to the box machine-readably instead
-    # of leaving `attributed: null`: record the co-drifter set, their
-    # median drift ratio, and the run-wide median ratio over ALL keys
-    # with priors (~1.0 under transient stalls, elevated under uniform
-    # slowdown — the two environment signatures). The attribution
-    # asserts CO-DRIFT, not code identity; `git_head` below plus the
-    # prior round's stamp let an auditor diff the actual code paths.
-    codrifters = sorted(
-        n
-        for n, e in drift_retries.items()
-        if not e["resolved"]
-        and not e.get("attributed")
-        and not e.get("investigated")
+    environment_note = attribute_environment_codrift(
+        drift_retries, results, prior_q
     )
-    environment_note = None
-    if len(codrifters) >= 3:
-        ratios_all = sorted(
-            results[k] / prior_q[k]
-            for k in prior_q
-            if k in results and prior_q[k] > 0.2
-        )
-        run_median = ratios_all[len(ratios_all) // 2] if ratios_all else None
-        co_ratios = sorted(
-            drift_retries[n]["final"] / drift_retries[n]["prior"]
-            for n in codrifters
-        )
-        environment_note = {
-            "kind": "codrift",
-            "codrifters": codrifters,
-            "codrift_median_ratio": round(co_ratios[len(co_ratios) // 2], 3),
-            "run_median_ratio": (
-                round(run_median, 3) if run_median is not None else None
-            ),
-            "n_keys_compared": len(ratios_all),
-        }
-        for n in codrifters:
-            drift_retries[n]["attributed"] = (
-                f"environment: co-drift with {len(codrifters) - 1} other "
-                "unchanged keys this run (median ratio "
-                f"{environment_note['codrift_median_ratio']}; run-wide "
-                f"median {environment_note['run_median_ratio']}) — "
-                "see drift_retries.environment"
-            )
-            drift_retries[n]["attribution_kind"] = "environment"
 
     unexplained = sorted(
         n
