@@ -1091,6 +1091,39 @@ def neardup_to_store(
     return handle
 
 
+def pq_appends_to_store(
+    store_path: str,
+    vec_col: str = "embedding",
+    encode_mode: str = "sql",
+    cell_mode: str = "sql",
+):
+    """``foreachBatch`` handler folding VECTOR batches into an
+    existing `llm.pq.write_pq_index` store — the streaming face of
+    `append_pq_index` (round 11): a growing embedding corpus keeps
+    its ANN index current without ever re-encoding history.
+
+    The store must exist (bootstrap with ``write_pq_index`` over the
+    initial corpus — that is also where the centroids/codebooks are
+    FIXED; see append_pq_index's re-train discipline for drift).
+    EXACTLY-ONCE rides the store's own epoch ledger: the ledger entry
+    commits inside append_pq_index's sentinel window, so a replayed
+    epoch is skipped and NO crash point lets a replay double-append
+    (an interrupted append leaves the fail-loud sentinel and readers
+    refuse the store — restore or rebuild, the documented contract).
+    Streamed appends == one bulk rebuild with the same centroids,
+    bit-equal (append_pq_index's pinned property, per batch)."""
+    from ..llm.pq import append_pq_index
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        append_pq_index(
+            batch_df, store_path, vec_col=vec_col,
+            encode_mode=encode_mode, cell_mode=cell_mode,
+            epoch=int(epoch_id),
+        )
+
+    return handle
+
+
 def corr_shards_to_store(store_path: str, cols: Sequence[str]):
     """``foreachBatch`` handler: land a MERGEABLE correlation artifact
     per micro-batch (`operators.stats.corr_shard` — one row of exact

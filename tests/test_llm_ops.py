@@ -3549,3 +3549,74 @@ def test_retrieve_ivfpq_idx_semantic_path(spark, emb, sf_dir, tmp_path):
         retrieve(
             spark, docs, emb, qs, qvec, semantic="ivfpq_idx"
         )
+
+
+def test_pq_appends_to_store_exactly_once(spark, emb, tmp_path):
+    """Streaming PQ-index ingest (round 11): driving the foreachBatch
+    handler over three epoch batches equals a bulk rebuild with the
+    same centroids; a replayed epoch is a NO-OP even with garbage
+    content; a crash between the codes append and the ledger leaves
+    the sentinel down and every reader refuses."""
+    import json
+    import os
+    import unittest.mock as mock
+
+    import pytest
+
+    from quality_spark.llm.pq import (
+        ivf_pq_topk_indexed,
+        pq_codebooks_procedural,
+        pq_queries_procedural,
+        read_pq_index,
+        write_pq_index,
+    )
+    from quality_spark.streaming.recipes import pq_appends_to_store
+
+    books = pq_codebooks_procedural(8, 16, 8, 3)
+    qs = pq_queries_procedural(2, 64, seed=6)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_pq_index(
+        emb.filter("vec_id % 3 = 0"), books, inc, centroids=cents
+    )
+    handler = pq_appends_to_store(inc)
+    handler(emb.filter("vec_id % 3 = 1"), 1)
+    handler(emb.filter("vec_id % 3 = 2"), 2)
+    write_pq_index(emb, books, full, centroids=cents)
+    ci, _ = read_pq_index(spark, inc)
+    cf, _ = read_pq_index(spark, full)
+    assert sorted(map(tuple, ci.collect())) == sorted(
+        map(tuple, cf.collect())
+    )
+    got = sorted(
+        map(tuple, ivf_pq_topk_indexed(spark, inc, qs, k=5, nprobe=2).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_pq_topk_indexed(spark, full, qs, k=5, nprobe=2).collect())
+    )
+    assert got == want and len(got) > 0
+    # replay of a committed epoch (garbage content): no-op
+    before = sorted(map(tuple, read_pq_index(spark, inc)[0].collect()))
+    handler(emb, 2)
+    after = sorted(map(tuple, read_pq_index(spark, inc)[0].collect()))
+    assert before == after
+    with open(f"{inc}/epochs.json") as fh:
+        assert json.load(fh)["applied"] == [1, 2]
+    # crash between codes append and ledger write: patching the ledger
+    # open to fail right after the parquet append leaves the sentinel
+    real_dump = json.dump
+
+    def boom(obj, fh, *a, **kw):
+        if isinstance(obj, dict) and "applied" in obj:
+            raise RuntimeError("simulated crash")
+        return real_dump(obj, fh, *a, **kw)
+
+    with mock.patch("json.dump", side_effect=boom):
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            handler(emb.limit(0), 3)
+    assert os.path.exists(f"{inc}/meta.json.pending")
+    with pytest.raises(ValueError, match="interrupted"):
+        read_pq_index(spark, inc)
+    with pytest.raises(ValueError, match="interrupted"):
+        handler(emb.limit(0), 3)  # replay refuses the broken store too
