@@ -457,6 +457,42 @@ def append_bm25_index(
     os.replace(pending, os.path.join(path, "meta.json"))
 
 
+def compact_bm25_index(spark, path: str) -> None:
+    """Rewrite ``postings/`` and ``tokens/`` into one file per bucket
+    — the small-files maintenance of `compact_pq_index`, for the
+    lexical store (every `append_bm25_index` adds a file per touched
+    bucket). Rows are EXACTLY preserved (pinned by tests); df/meta
+    are untouched, so scores are bit-equal before and after. The
+    swap window for each table is protected by the fail-loud pending
+    sentinel: a crash mid-swap leaves a refused store with both
+    halves complete on disk (restore by hand, nothing lost)."""
+    import json
+    import os
+    import shutil
+
+    _read_bm25_meta(path)  # refuses an already-broken store
+    for table in ("postings", "tokens"):
+        src = os.path.join(path, table)
+        tmp = src + ".compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            spark.read.parquet(src)
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        pending = os.path.join(path, "meta.json.pending")
+        with open(pending, "w") as fh:
+            json.dump({"op": "compact", "table": table}, fh)
+        old = src + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+        os.remove(pending)
+
+
 def _read_bm25_meta(path: str) -> dict:
     import json
     import os

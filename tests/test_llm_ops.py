@@ -3620,3 +3620,92 @@ def test_pq_appends_to_store_exactly_once(spark, emb, tmp_path):
         read_pq_index(spark, inc)
     with pytest.raises(ValueError, match="interrupted"):
         handler(emb.limit(0), 3)  # replay refuses the broken store too
+
+
+def test_compact_pq_index_preserves_rows_and_files_shrink(
+    spark, emb, tmp_path
+):
+    """Compaction after appends: codes rows bit-identical, indexed
+    top-k unchanged, data-file count per cell drops to 1, ledger
+    survives (replays still skipped)."""
+    import glob
+    import json
+
+    from quality_spark.llm.pq import (
+        compact_pq_index,
+        ivf_pq_topk_indexed,
+        pq_codebooks_procedural,
+        pq_queries_procedural,
+        read_pq_index,
+        write_pq_index,
+    )
+    from quality_spark.streaming.recipes import pq_appends_to_store
+
+    books = pq_codebooks_procedural(8, 16, 8, 3)
+    qs = pq_queries_procedural(2, 64, seed=6)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "idx")
+    write_pq_index(emb.filter("vec_id % 3 = 0"), books, idx, centroids=cents)
+    handler = pq_appends_to_store(idx)
+    handler(emb.filter("vec_id % 3 = 1"), 1)
+    handler(emb.filter("vec_id % 3 = 2"), 2)
+    before_rows = sorted(map(tuple, read_pq_index(spark, idx)[0].collect()))
+    before_topk = sorted(
+        map(tuple, ivf_pq_topk_indexed(spark, idx, qs, k=5).collect())
+    )
+    cells = glob.glob(f"{idx}/codes/cell=*")
+    assert any(
+        len(glob.glob(f"{c}/*.parquet")) > 1 for c in cells
+    ), "appends should have fragmented at least one cell"
+    compact_pq_index(spark, idx)
+    after_rows = sorted(map(tuple, read_pq_index(spark, idx)[0].collect()))
+    after_topk = sorted(
+        map(tuple, ivf_pq_topk_indexed(spark, idx, qs, k=5).collect())
+    )
+    assert before_rows == after_rows and before_topk == after_topk
+    for c in glob.glob(f"{idx}/codes/cell=*"):
+        assert len(glob.glob(f"{c}/*.parquet")) == 1
+    with open(f"{idx}/epochs.json") as fh:
+        assert json.load(fh)["applied"] == [1, 2]
+    # replayed epoch still skipped after compaction
+    handler(emb, 2)
+    assert sorted(
+        map(tuple, read_pq_index(spark, idx)[0].collect())
+    ) == after_rows
+
+
+def test_compact_bm25_index_preserves_scores(spark, sf_dir, tmp_path):
+    """BM25 compaction: postings/tokens rows and indexed scores
+    bit-identical; per-bucket file count drops to 1."""
+    import glob
+
+    from quality_spark.llm.retrieval import (
+        append_bm25_index,
+        bm25_scores_indexed,
+        compact_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "bidx")
+    write_bm25_index(docs.filter("doc_id % 3 = 0"), idx, buckets=8)
+    append_bm25_index(docs.filter("doc_id % 3 = 1"), idx)
+    append_bm25_index(docs.filter("doc_id % 3 = 2"), idx)
+    queries = [(1, "data quality"), (2, "spark shuffle")]
+    before = sorted(
+        map(tuple, bm25_scores_indexed(spark, idx, queries).collect())
+    )
+    assert any(
+        len(glob.glob(f"{b}/*.parquet")) > 1
+        for b in glob.glob(f"{idx}/postings/bucket=*")
+    )
+    compact_bm25_index(spark, idx)
+    after = sorted(
+        map(tuple, bm25_scores_indexed(spark, idx, queries).collect())
+    )
+    assert before == after and len(after) > 0
+    for table in ("postings", "tokens"):
+        for b in glob.glob(f"{idx}/{table}/bucket=*"):
+            assert len(glob.glob(f"{b}/*.parquet")) == 1
