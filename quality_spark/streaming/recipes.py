@@ -1096,6 +1096,7 @@ def pq_appends_to_store(
     vec_col: str = "embedding",
     encode_mode: str = "sql",
     cell_mode: str = "sql",
+    monitor_qe: bool = False,
 ):
     """``foreachBatch`` handler folding VECTOR batches into an
     existing `llm.pq.write_pq_index` store — the streaming face of
@@ -1111,14 +1112,20 @@ def pq_appends_to_store(
     (an interrupted append leaves the fail-loud sentinel and readers
     refuse the store — restore or rebuild, the documented contract).
     Streamed appends == one bulk rebuild with the same centroids,
-    bit-equal (append_pq_index's pinned property, per batch)."""
+    bit-equal (append_pq_index's pinned property, per batch).
+
+    ``monitor_qe=True`` records each batch's quantization error in
+    the ledger (one extra batch aggregate); read it back with
+    `llm.pq.pq_drift_report` against the build-time baseline
+    (``write_pq_index(record_stats=True)``) — the operational
+    re-train trigger for the frozen centroids."""
     from ..llm.pq import append_pq_index
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         append_pq_index(
             batch_df, store_path, vec_col=vec_col,
             encode_mode=encode_mode, cell_mode=cell_mode,
-            epoch=int(epoch_id),
+            epoch=int(epoch_id), record_stats=monitor_qe,
         )
 
     return handle

@@ -3709,3 +3709,41 @@ def test_compact_bm25_index_preserves_scores(spark, sf_dir, tmp_path):
     for table in ("postings", "tokens"):
         for b in glob.glob(f"{idx}/{table}/bucket=*"):
             assert len(glob.glob(f"{b}/*.parquet")) == 1
+
+
+def test_pq_drift_report_monitor(spark, emb, tmp_path):
+    """Drift monitoring: build with record_stats, stream two
+    monitored batches — same-distribution batches report
+    ratio_vs_build near 1; the report reads only metadata; ledger
+    without stats yields None fields."""
+    from quality_spark.llm.pq import (
+        pq_codebooks_procedural,
+        pq_drift_report,
+        write_pq_index,
+    )
+    from quality_spark.streaming.recipes import pq_appends_to_store
+
+    books = pq_codebooks_procedural(8, 16, 8, 3)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "idx")
+    write_pq_index(
+        emb.filter("vec_id % 3 = 0"), books, idx, centroids=cents,
+        record_stats=True,
+    )
+    handler = pq_appends_to_store(idx, monitor_qe=True)
+    handler(emb.filter("vec_id % 3 = 1"), 1)
+    handler(emb.filter("vec_id % 3 = 2"), 2)
+    rep = pq_drift_report(idx)
+    assert [r["epoch"] for r in rep] == [1, 2]
+    for r in rep:
+        assert r["n"] > 0 and r["qe"] > 0
+        # same synthetic distribution as the build corpus: the frozen
+        # codebooks reconstruct it comparably well
+        assert 0.5 < r["ratio_vs_build"] < 2.0
+    # unmonitored epoch: recorded as applied, stats None
+    un = pq_appends_to_store(idx)  # monitor off
+    un(emb.limit(0), 3)
+    rep2 = pq_drift_report(idx)
+    assert rep2[-1] == {
+        "epoch": 3, "qe": None, "n": None, "ratio_vs_build": None
+    }
