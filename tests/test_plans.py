@@ -845,3 +845,95 @@ def test_transition_matrix_single_scan_one_window(spark, sf_dir):
     # 2 scans of the 4-column projection, never more
     assert plan.count("FileScan parquet") <= 2, plan[:2000]
     assert plan.count("Window") <= 2, plan[:2000]
+
+
+def test_pq_pruning_survives_append_and_compaction(spark, tmp_path):
+    """The persisted IVF-PQ store's PartitionFilters pruning (pinned
+    for fresh stores in test_llm_ops) must survive BOTH an
+    append_pq_index fold and a compact_pq_index rewrite — the two
+    lifecycle operations a long-lived store accumulates."""
+    import re
+
+    from quality_spark.llm.pq import (
+        append_pq_index,
+        compact_pq_index,
+        ivf_pq_topk_indexed,
+        pq_codebooks_procedural,
+        pq_queries_procedural,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    books = pq_codebooks_procedural(8, 16, 8, 3)
+    qs = pq_queries_procedural(2, 64, seed=6)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "idx")
+    write_pq_index(emb.filter("vec_id % 2 = 0"), books, idx, centroids=cents)
+    append_pq_index(emb.filter("vec_id % 2 = 1"), idx)
+    for stage in ("appended", "compacted"):
+        if stage == "compacted":
+            compact_pq_index(spark, idx)
+        top = ivf_pq_topk_indexed(spark, idx, qs, k=5, nprobe=2)
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "cell" in m.group(1) and " IN " in m.group(1), (
+            stage, plan[:600],
+        )
+        assert top.count() > 0
+
+
+def test_bm25_pruning_survives_append_and_compaction(spark, sf_dir, tmp_path):
+    """Same lifecycle pin for the lexical store: bucket-pruned
+    postings/tokens scans after append_bm25_index and
+    compact_bm25_index."""
+    import re
+
+    from quality_spark.llm.retrieval import (
+        append_bm25_index,
+        bm25_scores_indexed,
+        compact_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "bidx")
+    write_bm25_index(docs.filter("doc_id % 2 = 0"), idx, buckets=16)
+    append_bm25_index(docs.filter("doc_id % 2 = 1"), idx)
+    for stage in ("appended", "compacted"):
+        if stage == "compacted":
+            compact_bm25_index(spark, idx)
+        scored = bm25_scores_indexed(spark, idx, [(1, "data quality")])
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        pruned = [f for f in filters if "bucket" in f and "IN" in f]
+        # both the postings scan and the tokens scan prune on bucket
+        assert len(pruned) >= 2, (stage, filters, plan[:800])
+        assert scored.count() > 0
+
+
+def test_predict_multiclass_broadcasts_weights_no_cartesian(spark, sf_dir):
+    """predict_multiclass: the weight table joins as a
+    BroadcastHashJoin on bucket (never a corpus x k cartesian), and
+    the plan carries no CartesianProduct/BroadcastNestedLoopJoin."""
+    from quality_spark.llm.classifier import (
+        predict_multiclass,
+        train_multiclass,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter("doc_id < 200")
+    lab = docs.withColumn(
+        "lbl", F.concat(F.lit("c"), (F.col("doc_id") % 2).cast("string"))
+    )
+    w = train_multiclass(lab, "lbl", buckets=4096, iters=1)
+    pred = predict_multiclass(docs, w, buckets=4096)
+    plan = pred._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert pred.count() > 0
