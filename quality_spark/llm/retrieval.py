@@ -379,7 +379,8 @@ def append_bm25_index(
     df: DataFrame,
     path: str,
     text_col: str = "text",
-) -> None:
+    epoch: Optional[int] = None,
+) -> bool:
     """Fold a NEW batch of documents into an existing
     `write_bm25_index` store — the daily-ingest shape: the history is
     never re-tokenized. The batch's postings append into the same
@@ -404,12 +405,26 @@ def append_bm25_index(
     without any error). Recover by restoring the store from the
     previous snapshot (or rebuilding with `write_bm25_index`) — a
     half-appended postings dir cannot be rolled forward because a
-    re-run would double the batch's rows."""
+    re-run would double the batch's rows.
+
+    ``epoch`` makes the append EXACTLY-ONCE for streaming
+    (`streaming.recipes.bm25_appends_to_store`): an epoch already in
+    ``epochs.json`` returns False untouched, and the ledger entry is
+    written BEFORE the atomic meta commit — so no crash point lets a
+    replay double-append (a crash between ledger and commit leaves
+    the sentinel down and the store refused; restoring the previous
+    snapshot restores the matching ledger with it). Returns True when
+    the batch was applied."""
     import json
     import os
 
     spark = df.sparkSession
     meta = _read_bm25_meta(path)
+    ledger = os.path.join(path, "epochs.json")
+    if epoch is not None and os.path.exists(ledger):
+        with open(ledger) as fh:
+            if int(epoch) in json.load(fh)["applied"]:
+                return False  # replayed epoch: already committed
     pending = os.path.join(path, "meta.json.pending")
     id_col, buckets = meta["id_col"], int(meta["buckets"])
     staged = df.select(
@@ -454,7 +469,15 @@ def append_bm25_index(
         .partitionBy("bucket")
         .parquet(os.path.join(path, "tokens"))
     )
+    if epoch is not None:
+        applied = []
+        if os.path.exists(ledger):
+            with open(ledger) as fh:
+                applied = json.load(fh)["applied"]
+        with open(ledger, "w") as fh:
+            json.dump({"applied": sorted(applied + [int(epoch)])}, fh)
     os.replace(pending, os.path.join(path, "meta.json"))
+    return True
 
 
 def compact_bm25_index(spark, path: str) -> None:

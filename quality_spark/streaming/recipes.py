@@ -1131,6 +1131,28 @@ def pq_appends_to_store(
     return handle
 
 
+def bm25_appends_to_store(store_path: str, text_col: str = "text"):
+    """``foreachBatch`` handler folding DOCUMENT batches into an
+    existing `llm.retrieval.write_bm25_index` store — the lexical
+    twin of `pq_appends_to_store`, completing the streaming lifecycle
+    for both retrieval index families. Bootstrap with
+    write_bm25_index; EXACTLY-ONCE rides append_bm25_index's epoch
+    ledger, committed before the store's atomic meta swap so a
+    replayed epoch is skipped and no crash point double-appends (an
+    interrupted append leaves the fail-loud sentinel; restore the
+    snapshot — ledger included — or rebuild). Batch ids must be
+    disjoint from the store's across the whole stream: compose with
+    the first-seen/key-store dedup recipes upstream."""
+    from ..llm.retrieval import append_bm25_index
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        append_bm25_index(
+            batch_df, store_path, text_col=text_col, epoch=int(epoch_id)
+        )
+
+    return handle
+
+
 def corr_shards_to_store(store_path: str, cols: Sequence[str]):
     """``foreachBatch`` handler: land a MERGEABLE correlation artifact
     per micro-batch (`operators.stats.corr_shard` — one row of exact

@@ -227,3 +227,45 @@ def test_interrupted_rebuild_fails_loud(spark, sf_dir, tmp_path):
     assert not os.path.exists(f"{idx}/meta.json.pending")
     assert os.path.exists(f"{idx}/meta.json")
     assert bm25_scores_indexed(spark, idx, QS).count() > 0
+
+
+def test_bm25_appends_to_store_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming BM25 ingest (round 11): handler-driven epoch batches
+    equal a bulk rebuild; replayed epochs are no-ops; a crash between
+    the ledger write and the meta commit leaves a refused store."""
+    import json
+    import unittest.mock as mock
+
+    from quality_spark.streaming.recipes import bm25_appends_to_store
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_bm25_index(docs.filter("doc_id % 3 = 0"), inc, buckets=8)
+    handler = bm25_appends_to_store(inc)
+    handler(docs.filter("doc_id % 3 = 1"), 1)
+    handler(docs.filter("doc_id % 3 = 2"), 2)
+    write_bm25_index(docs, full, buckets=8)
+    got = sorted(map(tuple, bm25_scores_indexed(spark, inc, QS).collect()))
+    want = sorted(map(tuple, bm25_scores_indexed(spark, full, QS).collect()))
+    assert got == want and len(got) > 0
+    # replay with garbage content: no-op
+    handler(docs, 2)
+    again = sorted(map(tuple, bm25_scores_indexed(spark, inc, QS).collect()))
+    assert again == got
+    with open(f"{inc}/epochs.json") as fh:
+        assert json.load(fh)["applied"] == [1, 2]
+    # crash between ledger write and the atomic meta commit: patch
+    # os.replace to blow up — sentinel stays down, store refused
+    with mock.patch(
+        "os.replace", side_effect=RuntimeError("simulated crash")
+    ):
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            handler(docs.limit(0), 3)
+    assert os.path.exists(f"{inc}/meta.json.pending")
+    with pytest.raises(ValueError, match="interrupted"):
+        bm25_scores_indexed(spark, inc, QS)
+    with pytest.raises(ValueError, match="interrupted"):
+        handler(docs.limit(0), 3)  # replay refuses the broken store
