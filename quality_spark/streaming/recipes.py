@@ -851,20 +851,85 @@ def scd2_to_store(
     return handle
 
 
+def _neardup_versions(spark, store_path: str):
+    """Committed alias versions of a near-dup store, ascending — a
+    version counts only when its ``epochs/`` commit table is
+    _SUCCESS-complete (written LAST, so it is the commit record for
+    the whole epoch: idmap/sigs/alias table are all on disk before
+    it appears)."""
+    import os
+
+    aliases = os.path.join(store_path, "aliases")
+    fs, jvm = _hadoop_fs(spark, aliases)
+    base = jvm.org.apache.hadoop.fs.Path(aliases)
+    if not fs.exists(base):
+        return []
+    out = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if not name.startswith("version="):
+            continue
+        try:
+            v = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(aliases, name, "epochs", "_SUCCESS")
+            )
+        ):
+            out.append(v)
+    return sorted(out)
+
+
+def _neardup_committed(spark, store_path: str):
+    """(committed epoch ids ascending, newest alias version) — the
+    cumulative epoch list rides in the newest version's ``epochs/``
+    table, so pruning OLD alias versions never loses history."""
+    vs = _neardup_versions(spark, store_path)
+    if not vs:
+        return [], None
+    eps = [
+        int(r["epoch"])
+        for r in spark.read.parquet(
+            f"{store_path}/aliases/version={vs[-1]}/epochs"
+        ).collect()
+    ]
+    return sorted(eps), vs[-1]
+
+
 def read_neardup_store(spark, store_path: str) -> Optional[DataFrame]:
     """The CURRENT near-dup state: (id, root, sh, bands, keep) —
     ``root`` is the GLOBAL min id of the document's near-dup
-    component over everything ingested so far, ``keep = (id ==
-    root)`` is the keeper election, and sh/bands are the stored
-    shingle set + band signatures that let future batches verify
-    against this doc without re-reading its text. Highest
-    _SUCCESS-complete version wins (the SCD2 store's commit
-    protocol); None when empty."""
-    vs = _scd2_versions(spark, store_path)
-    if not vs:
+    component over everything ingested so far and ``keep = (id ==
+    root)`` is the keeper election. Assembled from the append-only
+    idmap (committed epochs only) resolved through the newest alias
+    table (broadcast — it is merge-event-sized); None when empty."""
+    eps, ver = _neardup_committed(spark, store_path)
+    if not eps:
         return None
-    st = spark.read.parquet(f"{store_path}/version={vs[-1]}")
-    return st.withColumn("keep", F.col("id") == F.col("root"))
+    idmap = (
+        spark.read.option("basePath", f"{store_path}/idmap")
+        .parquet(f"{store_path}/idmap")
+        .filter(F.col("epoch").isin(eps))
+    )
+    alias = spark.read.parquet(
+        f"{store_path}/aliases/version={ver}/table"
+    )
+    return (
+        idmap.join(
+            F.broadcast(alias),
+            idmap["root0"] == alias["dead_root"],
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce("live_root", "root0").alias("root"),
+            "sh",
+            "bands",
+        )
+        .withColumn("keep", F.col("id") == F.col("root"))
+    )
 
 
 def neardup_to_store(
@@ -877,6 +942,8 @@ def neardup_to_store(
     threshold: float = 0.5,
     mode: str = "fast",
     keep_versions: int = 2,
+    band_buckets: int = 32,
+    id_buckets: int = 32,
 ):
     """``foreachBatch`` handler for STREAMING near-duplicate dedup
     (VERDICT r10 next #7): each micro-batch dedups against the whole
@@ -895,43 +962,55 @@ def neardup_to_store(
       shingle-Jaccard >= threshold test `minhash_lsh_pairs` applies,
       using the history side's STORED shingle array (written verbatim
       at its own ingest, so the arrays are the same arrays).
-    - State is (id -> root) with root = min id of the component seen
-      so far; `connected_components` also represents components by
-      their min id, so the keeper election (keep = id == root) is
-      the same election `dedup_near` makes, and a RETROACTIVE merge
-      (a new doc bridging two previously-separate components — the
-      case first-seen folds get wrong) just lowers root for the
-      absorbed side, silently demoting its old keeper. Each batch
-      merges via a mini connected-components over (batch ids +
-      touched history ROOTS) — batch-sized metadata, never the
-      history — and a root->root remap join updates the state.
+    - A document's CURRENT root (= min id of its component so far,
+      `connected_components`' own representative, so keep = id ==
+      root is exactly `dedup_near`'s election) resolves as
+      ``alias.get(root0, root0)``: ``root0`` is the root at the
+      doc's OWN ingest, frozen in the append-only idmap, and the
+      alias table maps roots that later DIED (absorbed by a merge)
+      to their live successor. A retroactive merge — a new doc
+      bridging two previously-separate components, the case
+      first-seen folds get wrong — is one new alias entry; the old
+      keeper demotes without touching any of its component's rows.
+      Aliases are PATH-COMPRESSED every batch (targets are always
+      live), so resolution is a single broadcast join, and the table
+      is merge-event-sized (one row per dead root, NOT per doc).
 
-    EXACTLY-ONCE by the scd2 protocol: versions commit under
-    ``version=<epoch_id>`` with parquet's _SUCCESS as the commit
-    record; replayed epochs are skipped, crashed half-writes are
-    invisible to readers and overwritten by the replay.
+    100 TB shape — everything corpus-sized is APPEND-ONLY and pruned:
 
-    Caller contract: ids are unique across the whole stream (dedup
-    EXACT duplicates upstream with the first-seen/key-store recipes —
-    this store's job is NEAR-dups); one writer. Elections are min-id
-    (`dedup_near`'s default); score-based election is not offered
-    here because a later higher-score arrival would have to unseat a
-    keeper that downstream consumers already acted on.
+    - ``idmap/epoch=E/idb=…`` — (id, root0, sh, bands) written once
+      per doc at its ingest epoch; candidate lookups prune to the
+      id-hash buckets of the batch's matched ids.
+    - ``sigs/epoch=E/bb=…`` — exploded band signatures bucketed by
+      band hash; a batch's probe prunes to ITS band buckets
+      (PartitionFilters — the BM25-postings pattern), never a state
+      scan.
+    - ``aliases/version=N/{table,epochs}`` — the ONLY mutable piece,
+      rewritten per batch, but merge-event-sized. ``epochs/`` (the
+      cumulative committed-epoch list) commits LAST: that makes the
+      whole epoch atomic — a crash anywhere earlier leaves idmap/sigs
+      epoch dirs that every reader ignores (not in the committed
+      list) and the replay OVERWRITES (per-epoch dirs, idempotent).
+      Replayed committed epochs are skipped. Old alias versions are
+      pruned to ``keep_versions``; the cumulative list rides along.
 
-    Cost per batch: signatures + shingles over the BATCH only, one
-    broadcast probe of the stored bands, one batch-sized mini-CC, one
-    state rewrite. The state rewrite is the whole (id, root, sh,
-    bands) table — fine while state fits a rewrite (it is
-    corpus-metadata-sized: arrays of shingle hashes, not text); at
-    100 TB partition the state by id range and rewrite only
-    partitions holding touched roots + new ids (the remap join's
-    pushdown gives exactly that pruning)."""
+    Per-batch driver traffic: the batch's band/id bucket lists and
+    nothing else. The mini component merge runs over batch ids +
+    touched live roots only (batch-sized), never history.
+
+    Caller contract: ids unique across the whole stream (dedup EXACT
+    duplicates upstream — this store's job is NEAR-dups); one writer.
+    Elections are min-id (`dedup_near`'s default); score-based
+    election is not offered because a later higher-score arrival
+    would have to unseat a keeper downstream consumers already acted
+    on."""
     from ..llm.dedup import (
         bucket_candidate_pairs,
         connected_components,
         with_minhash,
         with_shingles,
     )
+    from ..plans.blocks import release_local_checkpoint
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
@@ -956,22 +1035,35 @@ def neardup_to_store(
         import os
 
         spark = batch_df.sparkSession
-        if int(epoch_id) in _scd2_versions(spark, store_path):
+        eps, ver = _neardup_committed(spark, store_path)
+        if int(epoch_id) in eps:
             return  # replayed epoch: already committed
-        cur = read_neardup_store(spark, store_path)
         new_state = _state_of(batch_df).localCheckpoint(eager=True)
         new_sigs = new_state.select(
             "id", F.posexplode("bands").alias("band_idx", "band_hash")
         ).filter(F.col("band_hash").isNotNull())
+        bb_col = F.pmod(
+            F.xxhash64("band_idx", "band_hash"), F.lit(int(band_buckets))
+        )
         # candidate pairs: within-batch band buckets + batch-vs-history
-        # band probe (batch signatures broadcast onto the stored bands)
+        # probe of the band-bucketed signature store, pruned to the
+        # batch's OWN band buckets and the committed epochs
         cand = bucket_candidate_pairs(
             new_sigs, ("band_idx", "band_hash")
         ).select("id_a", "id_b")
-        if cur is not None:
-            hist_sigs = cur.select(
-                "id", F.posexplode("bands").alias("band_idx", "band_hash")
-            ).filter(F.col("band_hash").isNotNull())
+        prev_alias = None
+        if eps:
+            bbs = [
+                r["bb"]
+                for r in new_sigs.select(bb_col.alias("bb"))
+                .distinct()
+                .collect()
+            ]
+            hist_sigs = (
+                spark.read.option("basePath", f"{store_path}/sigs")
+                .parquet(f"{store_path}/sigs")
+                .filter(F.col("epoch").isin(eps) & F.col("bb").isin(bbs))
+            )
             vs_hist = (
                 hist_sigs.join(
                     F.broadcast(
@@ -990,17 +1082,58 @@ def neardup_to_store(
                 .filter(F.col("id_a") != F.col("id_b"))
             )
             cand = cand.unionByName(vs_hist)
-        cand = cand.dropDuplicates(["id_a", "id_b"])
+            prev_alias = spark.read.parquet(
+                f"{store_path}/aliases/version={ver}/table"
+            )
+        cand = cand.dropDuplicates(["id_a", "id_b"]).localCheckpoint(
+            eager=True
+        )
+        # matched HISTORY ids -> pruned idmap read (their id-hash
+        # buckets only) for shingles + frozen root0
+        hist_rows = None
+        if eps:
+            matched = (
+                cand.select(F.col("id_a").alias("id"))
+                .unionByName(cand.select(F.col("id_b").alias("id")))
+                .distinct()
+                .join(new_state.select("id"), "id", "left_anti")
+            )
+            idbs = [
+                r["idb"]
+                for r in matched.select(
+                    F.pmod(
+                        F.xxhash64(F.col("id").cast("string")),
+                        F.lit(int(id_buckets)),
+                    ).alias("idb")
+                )
+                .distinct()
+                .collect()
+            ]
+            if idbs:
+                hist_rows = (
+                    spark.read.option("basePath", f"{store_path}/idmap")
+                    .parquet(f"{store_path}/idmap")
+                    .filter(
+                        F.col("epoch").isin(eps) & F.col("idb").isin(idbs)
+                    )
+                    .join(F.broadcast(matched), "id")
+                    .select("id", "root0", "sh")
+                    .localCheckpoint(eager=True)
+                )
         # exact-Jaccard verify — the minhash_lsh_pairs test verbatim,
         # history shingles read from the store
         all_sh = new_state.select("id", "sh")
-        if cur is not None:
-            all_sh = all_sh.unionByName(cur.select("id", "sh"))
+        if hist_rows is not None:
+            all_sh = all_sh.unionByName(hist_rows.select("id", "sh"))
         fetched = cand.join(
-            all_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            all_sh.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+            ),
             "id_a",
         ).join(
-            all_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            all_sh.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+            ),
             "id_b",
         )
         edges = fetched.filter(
@@ -1010,22 +1143,28 @@ def neardup_to_store(
             )
             >= float(threshold)
         ).select("id_a", "id_b")
-        # mini-CC over batch ids + touched history ROOTS: map history
-        # endpoints to their current root first, so merging two old
-        # components is one small graph, never a history scan
-        if cur is not None:
-            roots = cur.select("id", "root")
+        # map history endpoints to their CURRENT (resolved) roots, so
+        # the component merge is a mini-CC over batch ids + touched
+        # live roots — batch-sized, never a history scan
+        if hist_rows is not None:
+            res = hist_rows.join(
+                F.broadcast(prev_alias),
+                hist_rows["root0"] == prev_alias["dead_root"],
+                "left",
+            ).select(
+                "id", F.coalesce("live_root", "root0").alias("r")
+            )
             edges = (
                 edges.join(
-                    roots.withColumnRenamed("id", "id_a").withColumnRenamed(
-                        "root", "__ra"
+                    res.withColumnRenamed("id", "id_a").withColumnRenamed(
+                        "r", "__ra"
                     ),
                     "id_a",
                     "left",
                 )
                 .join(
-                    roots.withColumnRenamed("id", "id_b").withColumnRenamed(
-                        "root", "__rb"
+                    res.withColumnRenamed("id", "id_b").withColumnRenamed(
+                        "r", "__rb"
                     ),
                     "id_b",
                     "left",
@@ -1036,12 +1175,10 @@ def neardup_to_store(
                 )
                 .filter(F.col("id_a") != F.col("id_b"))
             )
-        comp = connected_components(edges)  # (id=node, component=min)
-        # state update: remap merged roots, then fold the batch in
-        remap = comp.select(
-            F.col("id").alias("root"), F.col("component").alias("__nr")
-        )
-        batch_rooted = (
+        comp = connected_components(edges).localCheckpoint(eager=True)
+        # 1. idmap epoch dir (append-only; per-epoch overwrite makes
+        # replays idempotent): batch rows with their FINAL root0
+        idmap_rows = (
             new_state.join(
                 F.broadcast(
                     comp.select("id", F.col("component").alias("__nr"))
@@ -1051,39 +1188,76 @@ def neardup_to_store(
             )
             .select(
                 "id",
-                F.coalesce("__nr", "id").alias("root"),
+                F.coalesce("__nr", "id").alias("root0"),
                 "sh",
                 "bands",
+                F.pmod(
+                    F.xxhash64(F.col("id").cast("string")),
+                    F.lit(int(id_buckets)),
+                ).alias("idb"),
             )
         )
-        if cur is None:
-            merged = batch_rooted
-        else:
-            merged = (
-                cur.select("id", "root", "sh", "bands")
-                .join(F.broadcast(remap), "root", "left")
+        idmap_rows.write.mode("overwrite").partitionBy("idb").parquet(
+            f"{store_path}/idmap/epoch={int(epoch_id)}"
+        )
+        # 2. sigs epoch dir (band-bucketed probe index)
+        new_sigs.withColumn("bb", bb_col).write.mode(
+            "overwrite"
+        ).partitionBy("bb").parquet(
+            f"{store_path}/sigs/epoch={int(epoch_id)}"
+        )
+        # 3. alias update: newly-dead LIVE roots alias to their merged
+        # root; existing entries path-compress through the merge
+        if hist_rows is not None:
+            live_roots = res.select(F.col("r").alias("id")).distinct()
+            new_entries = (
+                comp.filter(F.col("id") != F.col("component"))
+                .join(live_roots, "id")
                 .select(
-                    "id",
-                    F.coalesce("__nr", "root").alias("root"),
-                    "sh",
-                    "bands",
+                    F.col("id").alias("dead_root"),
+                    F.col("component").alias("live_root"),
                 )
-                .unionByName(batch_rooted)
             )
-        merged.write.mode("overwrite").parquet(
-            f"{store_path}/version={int(epoch_id)}"
-        )
-        # the batch-state checkpoint served its multi-consumer role;
-        # free its blocks (unpersist() alone cannot — plans/blocks.py)
-        from ..plans.blocks import release_local_checkpoint
-
+            retargeted = (
+                prev_alias.join(
+                    F.broadcast(
+                        comp.withColumnRenamed("id", "live_root")
+                    ),
+                    "live_root",
+                    "left",
+                )
+                .select(
+                    "dead_root",
+                    F.coalesce("component", "live_root").alias(
+                        "live_root"
+                    ),
+                )
+            )
+            alias_new = retargeted.unionByName(new_entries)
+        else:
+            alias_new = (
+                new_state.select(
+                    F.col("id").alias("dead_root"),
+                    F.col("id").alias("live_root"),
+                ).limit(0)
+            )
+        vdir = f"{store_path}/aliases/version={int(epoch_id)}"
+        alias_new.write.mode("overwrite").parquet(f"{vdir}/table")
+        # 4. COMMIT: the cumulative epoch list, written last
+        spark.createDataFrame(
+            [(e,) for e in eps + [int(epoch_id)]], "epoch bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{vdir}/epochs")
         release_local_checkpoint(new_state)
-        vs = _scd2_versions(spark, store_path)
+        release_local_checkpoint(cand)
+        release_local_checkpoint(comp)
+        if hist_rows is not None:
+            release_local_checkpoint(hist_rows)
+        vs = _neardup_versions(spark, store_path)
         fs, jvm = _hadoop_fs(spark, store_path)
         for v in vs[: max(0, len(vs) - int(keep_versions))]:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(
-                    os.path.join(store_path, f"version={v}")
+                    os.path.join(store_path, "aliases", f"version={v}")
                 ),
                 True,
             )

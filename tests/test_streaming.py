@@ -1006,7 +1006,7 @@ def test_neardup_to_store_stream(spark, sf_dir):
     )
     from quality_spark.sources.parquet_compat import read_parquet_compat
     from quality_spark.streaming.recipes import (
-        _scd2_versions,
+        _neardup_versions,
         neardup_to_store,
         read_neardup_store,
     )
@@ -1063,4 +1063,86 @@ def test_neardup_to_store_stream(spark, sf_dir):
     handler(union, 2)
     after = sorted(map(tuple, read_neardup_store(spark, store).collect()))
     assert before == after
-    assert _scd2_versions(spark, store) == [1, 2]
+    assert _neardup_versions(spark, store) == [1, 2]
+
+
+def test_neardup_store_pruned_probe_and_crash_recovery(spark, sf_dir):
+    """The rebuilt (round-11b) append-only near-dup store: (1) the
+    history probe is a PRUNED scan — PartitionFilters carry the
+    committed-epoch IN list and the batch's band-bucket IN list,
+    never a state scan; (2) a crash BEFORE the epochs/ commit table
+    leaves idmap/sigs epoch dirs every reader ignores, and the
+    replay overwrites them into the identical final state; (3) alias
+    path-compression holds — no alias target is itself a dead root,
+    so resolution is a single hop."""
+    import re
+
+    from quality_spark.llm.dedup import dedup_near
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+    from quality_spark.streaming.recipes import (
+        _neardup_committed,
+        neardup_to_store,
+        read_neardup_store,
+    )
+
+    kw = dict(k=3, num_perm=16, bands=8, threshold=0.3)
+    docs = read_parquet_compat(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter("doc_id < 180")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    store = tempfile.mkdtemp(prefix="qs_ndstore2_")
+    handler = neardup_to_store(store, **kw)
+    handler(batches[0], 0)
+    handler(batches[1], 1)
+
+    # (1) pruned probe: build the probe scan the handler uses and pin
+    # its PartitionFilters
+    eps, _ = _neardup_committed(spark, store)
+    probe = (
+        spark.read.option("basePath", f"{store}/sigs")
+        .parquet(f"{store}/sigs")
+        .filter(F.col("epoch").isin(eps) & F.col("bb").isin([0, 1, 2]))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "epoch" in m.group(1) and "bb" in m.group(1), plan[:600]
+
+    # (2) crash before commit: make the epochs write explode
+    import unittest.mock as mock
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    real_parquet = DataFrameWriter.parquet
+
+    def boom(self, path, *a, **kw2):
+        if path.endswith("/epochs"):
+            raise RuntimeError("simulated crash")
+        return real_parquet(self, path, *a, **kw2)
+
+    with mock.patch.object(DataFrameWriter, "parquet", boom):
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            handler(batches[2], 2)
+    # uncommitted epoch invisible to readers
+    eps_after, _ = _neardup_committed(spark, store)
+    assert eps_after == [0, 1]
+    visible = read_neardup_store(spark, store)
+    batch2_ids = {r["doc_id"] for r in batches[2].select("doc_id").collect()}
+    assert not (
+        {r["id"] for r in visible.select("id").collect()} & batch2_ids
+    )
+    # replay overwrites the half-written epoch dirs into the real state
+    handler(batches[2], 2)
+    got = read_neardup_store(spark, store)
+    kept_got = sorted(r["id"] for r in got.filter("keep").collect())
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    kept_want = sorted(
+        r["doc_id"] for r in dedup_near(union, method="minhash", **kw).collect()
+    )
+    assert kept_got == kept_want and len(kept_got) > 0
+
+    # (3) path compression: alias targets are live (never dead roots)
+    eps3, ver3 = _neardup_committed(spark, store)
+    alias = spark.read.parquet(f"{store}/aliases/version={ver3}/table")
+    dead = {r["dead_root"] for r in alias.collect()}
+    live = {r["live_root"] for r in alias.collect()}
+    assert not (dead & live), (dead, live)
