@@ -3747,3 +3747,46 @@ def test_pq_drift_report_monitor(spark, emb, tmp_path):
     assert rep2[-1] == {
         "epoch": 3, "qe": None, "n": None, "ratio_vs_build": None
     }
+
+
+def test_pq_index_rerank_equals_inline(spark, emb, tmp_path):
+    """Round-11 indexed refine stage: ivf_pq_topk_indexed(rerank=N,
+    vectors=corpus) equals the inline ivf_pq_topk(rerank=N) exactly
+    (shared _refine_exact finisher), for raw and residual stores;
+    rerank without vectors fails fast."""
+    import pytest
+
+    from quality_spark.llm.pq import (
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+        pq_codebooks_procedural,
+        pq_queries_procedural,
+        write_pq_index,
+    )
+
+    books = pq_codebooks_procedural(8, 16, 8, 3)
+    qs = pq_queries_procedural(2, 64, seed=6)
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    for resid in (False, True):
+        d = str(tmp_path / f"idx_{resid}")
+        write_pq_index(emb, books, d, centroids=cents, by_residual=resid)
+        got = sorted(
+            map(
+                tuple,
+                ivf_pq_topk_indexed(
+                    spark, d, qs, k=5, nprobe=2, rerank=15, vectors=emb
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                ivf_pq_topk(
+                    emb, books, qs, centroids=cents, k=5, nprobe=2,
+                    rerank=15, by_residual=resid,
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+        with pytest.raises(ValueError, match="rerank requires vectors"):
+            ivf_pq_topk_indexed(spark, d, qs, k=5, rerank=15)
