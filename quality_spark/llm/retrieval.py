@@ -917,7 +917,9 @@ def retrieve(
     per-query literals. ``semantic='ivfpq_idx'`` (round 10) reads a
     PERSISTED ``pq.write_pq_index`` store at ``index_path`` instead:
     the semantic leg becomes a partition-pruned codes scan — the
-    repeated-querying deployment shape."""
+    repeated-querying deployment shape (``rerank`` works here too,
+    round 11: the refine stage joins the top-R candidates back to the
+    ``embeddings`` frame for exact L2)."""
     from .similarity import cosine_topk, ivf_flat_topk
 
     if lexical == "matched_terms":
@@ -965,7 +967,9 @@ def retrieve(
         if not qseq:
             raise ValueError("semantic='ivfpq_idx' needs >= 1 query vector")
         sem_ranked = ivf_pq_topk_indexed(
-            spark, index_path, qseq, k=depth, nprobe=nprobe
+            spark, index_path, qseq, k=depth, nprobe=nprobe,
+            rerank=rerank, vectors=embeddings if rerank else None,
+            vec_col=vec_col,
         ).select(
             "query_id",
             F.col(_index_id_col(index_path)).alias("neighbor_id"),

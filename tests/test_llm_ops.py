@@ -3549,6 +3549,26 @@ def test_retrieve_ivfpq_idx_semantic_path(spark, emb, sf_dir, tmp_path):
         retrieve(
             spark, docs, emb, qs, qvec, semantic="ivfpq_idx"
         )
+    # round 11: the refine stage composes through the indexed leg too
+    got_rr = sorted(
+        map(
+            tuple,
+            retrieve(
+                spark, docs, emb, qs, qvec, k=8, depth=15,
+                semantic="ivfpq_idx", nprobe=3, index_path=d, rerank=12,
+            ).collect(),
+        )
+    )
+    want_rr = sorted(
+        map(
+            tuple,
+            retrieve(
+                spark, docs, emb, qs, qvec, k=8, depth=15,
+                semantic="ivfpq", nprobe=3, codebooks=books, rerank=12,
+            ).collect(),
+        )
+    )
+    assert got_rr == want_rr and len(got_rr) > 0
 
 
 def test_pq_appends_to_store_exactly_once(spark, emb, tmp_path):
