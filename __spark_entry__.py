@@ -8282,9 +8282,19 @@ def q_ivfpq_idx_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     must return exactly what the inline path returns — the oracle is
     the same ivf_pq SQL replay, so index build + pruned query +
     ADC scoring gate end-to-end."""
-    from quality_spark.llm.pq import ivf_pq_topk_indexed, write_pq_index
+    from quality_spark.llm.pq import ivf_pq_topk_indexed
 
-    books, qs = _pq_books_qs()
+    _books, qs = _pq_books_qs()
+    root = _staged_pq_index(spark, sf_dir)
+    return ivf_pq_topk_indexed(spark, root, qs, k=5, nprobe=2)
+
+
+def _staged_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """The gate's shared write_pq_index store, staged once per sf —
+    used by the 'ivfpq_idx' and 'ivfpq_idx_rr' legs."""
+    from quality_spark.llm.pq import write_pq_index
+
+    books, _qs = _pq_books_qs()
 
     def build(root):
         write_pq_index(
@@ -8294,8 +8304,7 @@ def q_ivfpq_idx_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return root
 
-    root = _staged("pqindex", sf_dir, build)
-    return ivf_pq_topk_indexed(spark, root, qs, k=5, nprobe=2)
+    return _staged("pqindex", sf_dir, build)
 
 
 def q_pq_append_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8329,6 +8338,22 @@ def q_pq_append_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _staged("pqappend", sf_dir, build)
     return ivf_pq_topk_indexed(spark, root, qs, k=5, nprobe=2)
+
+
+def q_ivfpq_idx_rr_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'ivfpq_idx_rr' part (round 11): the FAISS refine stage ON the
+    persisted index — top-20 ADC candidates from the pruned codes
+    scan, re-ranked by exact squared L2 via the raw-vector frame
+    (shared `_refine_exact` finisher), equal by construction to the
+    inline 'ivfpq_rr' leg and replayed by the same oracle SQL."""
+    from quality_spark.llm.pq import ivf_pq_topk_indexed
+
+    books, qs = _pq_books_qs()
+    root = _staged_pq_index(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_pq_topk_indexed(
+        spark, root, qs, k=5, nprobe=2, rerank=20, vectors=emb
+    )
 
 
 def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8419,11 +8444,22 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(floor(adc * 1000000 + 0.5) AS BIGINT)"
         ).alias("v1"),
     )
+    # 'ivfpq_idx_rr' (round 11): refine ON the persisted index — same
+    # packed rank+l2sq long as the inline 'ivfpq_rr' leg.
+    idx_rr = q_ivfpq_idx_rr_leg(spark, sf_dir).select(
+        F.lit("ivfpq_idx_rr").alias("part"), "vec_id",
+        F.col("query_id").alias("k1"),
+        F.expr(
+            "CAST(rank AS BIGINT) * 10000000000000"
+            " + CAST(floor(l2sq * 1000000 + 0.5) AS BIGINT)"
+        ).alias("v1"),
+    )
     return (
         sem.unionByName(proj).unionByName(codes).unionByName(adc)
         .unionByName(ivfpq_rank).unionByName(ivfpq_adc)
         .unionByName(ivfpqr_rank).unionByName(ivfpqr_adc)
         .unionByName(rr).unionByName(idx).unionByName(app)
+        .unionByName(idx_rr)
     )
 
 
@@ -8489,6 +8525,12 @@ SELECT 'pq_append', vec_id, query_id,
        CAST(rank AS BIGINT) * 10000000000000
        + CAST(floor(adc * 1000000 + 0.5) AS BIGINT)
 FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, centroid_table=cent)})
+UNION ALL
+SELECT 'ivfpq_idx_rr', vec_id, query_id,
+       CAST(rank AS BIGINT) * 10000000000000
+       + CAST(floor(l2sq * 1000000 + 0.5) AS BIGINT)
+FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, rerank=20,
+                         centroid_table=cent)})
 """
 
 
@@ -9445,6 +9487,7 @@ def query_legs() -> dict:
             ),
             "ivfpq_idx": q_ivfpq_idx_leg,
             "pq_append": q_pq_append_leg,
+            "ivfpq_idx_rr": q_ivfpq_idx_rr_leg,
         },
         "tfidf_scores": {
             "tfidf": q_tfidf_leg,
