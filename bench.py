@@ -471,7 +471,10 @@ def main() -> None:
         "embedding_reduce": "round 11: NEW 'pq_append' part — "
         "append_pq_index incremental lifecycle (write evens + append "
         "odds with frozen centroids, equal to the full-corpus replay); "
-        "staged per sf like ivfpq_idx",
+        "staged per sf like ivfpq_idx. Late round 11: NEW "
+        "'ivfpq_idx_rr' part (FAISS refine ON the persisted index — "
+        "shared _refine_exact finisher, same oracle as the inline "
+        "rerank leg, reuses the staged store)",
         "doc_ingest_suite": "round 11: NEW 'clf_multi' part (k-class "
         "one-vs-rest training, 3 classes x unrolled oracle) and the "
         "clf_train weights now STAGE per sf (VERDICT r10 next #4 — "
