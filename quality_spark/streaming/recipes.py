@@ -898,20 +898,132 @@ def _neardup_committed(spark, store_path: str):
     return sorted(eps), vs[-1]
 
 
+def _neardup_live_dirs(spark, store_path: str, eps):
+    """The physical ``epoch=<d>`` directory ids currently holding the
+    committed state: the committed epochs, minus dirs folded away by
+    committed compactions, plus the compactions' consolidated dirs
+    (negative ids — they can never collide with a future foreachBatch
+    epoch). Uncommitted epoch dirs (crashed batches) and orphaned
+    consolidated dirs (crashed compactions) are excluded by
+    construction — neither appears in the committed lists."""
+    import os
+
+    comp_dir = os.path.join(store_path, "compactions")
+    fs, jvm = _hadoop_fs(spark, comp_dir)
+    base = jvm.org.apache.hadoop.fs.Path(comp_dir)
+    live = set(int(e) for e in eps)
+    if not fs.exists(base):
+        return sorted(live)
+    gens = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if not name.startswith("gen="):
+            continue
+        try:
+            g = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(comp_dir, name, "_SUCCESS")
+            )
+        ):
+            gens.append(g)
+    for g in sorted(gens):
+        rows = spark.read.parquet(f"{comp_dir}/gen={g}").collect()
+        for r in rows:
+            live.discard(int(r["folded_dir"]))
+            live.add(int(r["new_dir"]))
+    return sorted(live)
+
+
+def compact_neardup_store(spark, store_path: str) -> None:
+    """Consolidate the near-dup store's committed idmap/sigs epoch
+    dirs into ONE dir each — the small-files maintenance of
+    `compact_pq_index`, for the stream store (every micro-batch adds
+    an epoch dir with id_buckets/band_buckets files; a long stream
+    accumulates thousands). Rows are EXACTLY preserved (pinned by
+    tests): the consolidation is a pruned read + rewrite under a
+    fresh NEGATIVE dir id (which a future foreachBatch epoch can
+    never collide with), committed by an append-only
+    ``compactions/gen=N`` log entry (_SUCCESS is the commit record)
+    that maps folded dirs to the consolidated one. Crash anywhere
+    before that commit leaves the old dirs live and at most an
+    orphaned consolidated dir that no reader references (cleaned by
+    the next compaction); the old dirs are deleted only AFTER the
+    commit. Epoch replay-skipping is untouched — the committed-epoch
+    LIST lives in the alias versions and never changes here."""
+    import os
+
+    eps, _ver = _neardup_committed(spark, store_path)
+    if not eps:
+        return
+    dirs = _neardup_live_dirs(spark, store_path, eps)
+    if len(dirs) <= 1:
+        return
+    fs, jvm = _hadoop_fs(spark, store_path)
+    # cleanup: physical epoch dirs no reader references (crashed
+    # batches / crashed compactions) — safe to drop before we start
+    for table in ("idmap", "sigs"):
+        tdir = os.path.join(store_path, table)
+        tbase = jvm.org.apache.hadoop.fs.Path(tdir)
+        if not fs.exists(tbase):
+            continue
+        for st in fs.listStatus(tbase):
+            name = st.getPath().getName()
+            if not name.startswith("epoch="):
+                continue
+            try:
+                d = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if d not in dirs:
+                fs.delete(st.getPath(), True)
+    new_dir = -(max(abs(d) for d in dirs) + 1)
+    for table, part in (("idmap", "idb"), ("sigs", "bb")):
+        src = (
+            spark.read.option("basePath", f"{store_path}/{table}")
+            .parquet(f"{store_path}/{table}")
+            .filter(F.col("epoch").isin(dirs))
+            .drop("epoch")
+        )
+        src.repartition(part).write.mode("overwrite").partitionBy(
+            part
+        ).parquet(f"{store_path}/{table}/epoch={new_dir}")
+    # COMMIT: the compaction log entry (gen = |new_dir| keeps gens
+    # strictly increasing across compactions)
+    spark.createDataFrame(
+        [(int(d), int(new_dir)) for d in dirs],
+        "folded_dir bigint, new_dir bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{store_path}/compactions/gen={abs(new_dir)}"
+    )
+    for table in ("idmap", "sigs"):
+        for d in dirs:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(store_path, table, f"epoch={d}")
+                ),
+                True,
+            )
+
+
 def read_neardup_store(spark, store_path: str) -> Optional[DataFrame]:
     """The CURRENT near-dup state: (id, root, sh, bands, keep) —
     ``root`` is the GLOBAL min id of the document's near-dup
     component over everything ingested so far and ``keep = (id ==
     root)`` is the keeper election. Assembled from the append-only
-    idmap (committed epochs only) resolved through the newest alias
-    table (broadcast — it is merge-event-sized); None when empty."""
+    idmap (committed epochs only, through any compactions) resolved
+    through the newest alias table (broadcast — it is
+    merge-event-sized); None when empty."""
     eps, ver = _neardup_committed(spark, store_path)
     if not eps:
         return None
+    dirs = _neardup_live_dirs(spark, store_path, eps)
     idmap = (
         spark.read.option("basePath", f"{store_path}/idmap")
         .parquet(f"{store_path}/idmap")
-        .filter(F.col("epoch").isin(eps))
+        .filter(F.col("epoch").isin(dirs))
     )
     alias = spark.read.parquet(
         f"{store_path}/aliases/version={ver}/table"
@@ -1038,6 +1150,7 @@ def neardup_to_store(
         eps, ver = _neardup_committed(spark, store_path)
         if int(epoch_id) in eps:
             return  # replayed epoch: already committed
+        live_dirs = _neardup_live_dirs(spark, store_path, eps) if eps else []
         new_state = _state_of(batch_df).localCheckpoint(eager=True)
         new_sigs = new_state.select(
             "id", F.posexplode("bands").alias("band_idx", "band_hash")
@@ -1062,7 +1175,7 @@ def neardup_to_store(
             hist_sigs = (
                 spark.read.option("basePath", f"{store_path}/sigs")
                 .parquet(f"{store_path}/sigs")
-                .filter(F.col("epoch").isin(eps) & F.col("bb").isin(bbs))
+                .filter(F.col("epoch").isin(live_dirs) & F.col("bb").isin(bbs))
             )
             vs_hist = (
                 hist_sigs.join(
@@ -1114,7 +1227,7 @@ def neardup_to_store(
                     spark.read.option("basePath", f"{store_path}/idmap")
                     .parquet(f"{store_path}/idmap")
                     .filter(
-                        F.col("epoch").isin(eps) & F.col("idb").isin(idbs)
+                        F.col("epoch").isin(live_dirs) & F.col("idb").isin(idbs)
                     )
                     .join(F.broadcast(matched), "id")
                     .select("id", "root0", "sh")

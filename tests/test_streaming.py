@@ -1146,3 +1146,82 @@ def test_neardup_store_pruned_probe_and_crash_recovery(spark, sf_dir):
     dead = {r["dead_root"] for r in alias.collect()}
     live = {r["live_root"] for r in alias.collect()}
     assert not (dead & live), (dead, live)
+
+
+def test_neardup_store_compaction(spark, sf_dir):
+    """compact_neardup_store consolidates the epoch dirs into one dir
+    per table with rows EXACTLY preserved, the stream continues
+    correctly afterwards (equality with one-shot dedup_near over all
+    batches), replay-skipping survives, a second compaction folds the
+    consolidated dir too, and a crash before the compaction-log
+    commit leaves the store untouched."""
+    import glob
+    import unittest.mock as mock
+
+    from quality_spark.llm.dedup import dedup_near
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+    from quality_spark.streaming.recipes import (
+        _neardup_committed,
+        _neardup_live_dirs,
+        compact_neardup_store,
+        neardup_to_store,
+        read_neardup_store,
+    )
+
+    kw = dict(k=3, num_perm=16, bands=8, threshold=0.3)
+    docs = read_parquet_compat(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter("doc_id < 160")
+    batches = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    store = tempfile.mkdtemp(prefix="qs_ndstore3_")
+    handler = neardup_to_store(store, **kw)
+    handler(batches[0], 0)
+    handler(batches[1], 1)
+    before = sorted(map(tuple, read_neardup_store(spark, store).collect()))
+
+    # crash BEFORE the compaction-log commit: consolidated dirs may be
+    # orphaned but the store reads identically
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    real_parquet = DataFrameWriter.parquet
+
+    def boom(self, path, *a, **kw2):
+        if "/compactions/" in path:
+            raise RuntimeError("simulated crash")
+        return real_parquet(self, path, *a, **kw2)
+
+    with mock.patch.object(DataFrameWriter, "parquet", boom):
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            compact_neardup_store(spark, store)
+    assert sorted(map(tuple, read_neardup_store(spark, store).collect())) == before
+
+    # real compaction: rows identical, one live dir per table
+    compact_neardup_store(spark, store)
+    assert sorted(map(tuple, read_neardup_store(spark, store).collect())) == before
+    eps, _ = _neardup_committed(spark, store)
+    dirs = _neardup_live_dirs(spark, store, eps)
+    assert len(dirs) == 1 and dirs[0] < 0
+    assert len(glob.glob(f"{store}/idmap/epoch=*")) == 1
+
+    # the stream continues against the compacted store
+    handler(batches[2], 2)
+    handler(batches[3], 3)
+    got = read_neardup_store(spark, store)
+    kept_got = sorted(r["id"] for r in got.filter("keep").collect())
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    kept_want = sorted(
+        r["doc_id"] for r in dedup_near(union, method="minhash", **kw).collect()
+    )
+    assert kept_got == kept_want and len(kept_got) > 0
+    # replay of a committed epoch is still a no-op after compaction
+    snap = sorted(map(tuple, read_neardup_store(spark, store).collect()))
+    handler(union, 1)
+    assert sorted(map(tuple, read_neardup_store(spark, store).collect())) == snap
+    # second compaction folds consolidated + new epoch dirs again
+    compact_neardup_store(spark, store)
+    assert sorted(map(tuple, read_neardup_store(spark, store).collect())) == snap
+    eps2, _ = _neardup_committed(spark, store)
+    dirs2 = _neardup_live_dirs(spark, store, eps2)
+    assert len(dirs2) == 1 and dirs2[0] < dirs[0]
