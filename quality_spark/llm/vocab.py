@@ -204,7 +204,7 @@ def collocation_pmi(
     # frame keeps the exact schema and row order.
     rows = cut.collect()
     schema = cut.schema
-    uni.unpersist()
+    uni.unpersist(blocking=True)
     return df.sparkSession.createDataFrame(rows, schema)
 
 

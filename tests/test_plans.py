@@ -818,7 +818,11 @@ def test_collocation_releases_unigram_cache(spark, sf_dir):
     before = jsc.getPersistentRDDs().size()
     out = collocation_pmi(docs, min_count=2, top=5)
     after = jsc.getPersistentRDDs().size()
-    assert after == before
+    # <=: earlier tests' ASYNC unpersists may drain the registry while
+    # this test runs (full-suite flake seen round 11); a LEAK (the bug
+    # this pins) can only push the count UP — collocation_pmi itself
+    # now unpersists blocking
+    assert after <= before, (before, after)
     assert out.count() > 0
 
 
