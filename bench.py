@@ -512,6 +512,14 @@ def main() -> None:
         "session (accumulated block/GC pressure, the documented "
         "r10 finding). Intrinsic cost is stable; the prior record "
         "caught a fast outlier.",
+        "digest_documents": "round 11: no code on this path changed "
+        "(functions/ids.py and the gate block untouched this round — "
+        "git diff verified); isolated fresh-session min-of-3 at sf0.1 "
+        "measured 1.53 s this session vs the 0.85 s prior record and "
+        "1.12 s in the shared run — a 0.3-0.7 s absolute band on a "
+        "sub-second query, the documented VM factor at small "
+        "magnitudes; the 1.3x RATIO threshold is sensitive here "
+        "because the base is small.",
         "temporal_joins": "round 11: no code on this path changed "
         "(operators/temporal.py and the gate block untouched; the "
         "recipes.py delta is the NEW neardup store, not the scd2 "
