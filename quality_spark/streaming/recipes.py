@@ -1086,7 +1086,11 @@ def neardup_to_store(
       keeper demotes without touching any of its component's rows.
       Aliases are PATH-COMPRESSED every batch (targets are always
       live), so resolution is a single broadcast join, and the table
-      is merge-event-sized (one row per dead root, NOT per doc).
+      is merge-event-sized (one row per dead root, NOT per doc —
+      worst case #components-ever-created ≈ #docs in an adversarial
+      everything-merges corpus, typically orders of magnitude
+      smaller; if it ever outgrows broadcast, swap the resolve joins
+      to plain shuffles — correctness is unchanged).
 
     100 TB shape — everything corpus-sized is APPEND-ONLY and pruned:
 
