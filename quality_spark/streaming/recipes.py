@@ -908,12 +908,31 @@ def _neardup_live_dirs(spark, store_path: str, eps):
     construction — neither appears in the committed lists."""
     import os
 
+    live = set(int(e) for e in eps)
+    gens = _neardup_compaction_gens(spark, store_path)
+    if gens:
+        # each gen's fold map is CUMULATIVE (every original epoch and
+        # prior consolidated dir maps directly to its current home),
+        # so only the NEWEST committed gen is consulted — reads stay
+        # O(1) in the number of compactions ever run
+        rows = spark.read.parquet(
+            f"{store_path}/compactions/gen={gens[-1]}"
+        ).collect()
+        for r in rows:
+            live.discard(int(r["folded_dir"]))
+            live.add(int(r["new_dir"]))
+    return sorted(live)
+
+
+def _neardup_compaction_gens(spark, store_path: str):
+    """Committed compaction generations, ascending (_SUCCESS-marked)."""
+    import os
+
     comp_dir = os.path.join(store_path, "compactions")
     fs, jvm = _hadoop_fs(spark, comp_dir)
     base = jvm.org.apache.hadoop.fs.Path(comp_dir)
-    live = set(int(e) for e in eps)
     if not fs.exists(base):
-        return sorted(live)
+        return []
     gens = []
     for st in fs.listStatus(base):
         name = st.getPath().getName()
@@ -929,12 +948,7 @@ def _neardup_live_dirs(spark, store_path: str, eps):
             )
         ):
             gens.append(g)
-    for g in sorted(gens):
-        rows = spark.read.parquet(f"{comp_dir}/gen={g}").collect()
-        for r in rows:
-            live.discard(int(r["folded_dir"]))
-            live.add(int(r["new_dir"]))
-    return sorted(live)
+    return sorted(gens)
 
 
 def compact_neardup_store(spark, store_path: str) -> None:
@@ -991,10 +1005,19 @@ def compact_neardup_store(spark, store_path: str) -> None:
             part
         ).parquet(f"{store_path}/{table}/epoch={new_dir}")
     # COMMIT: the compaction log entry (gen = |new_dir| keeps gens
-    # strictly increasing across compactions)
+    # strictly increasing). The fold map is CUMULATIVE — folded dirs
+    # this round PLUS every previously-folded dir remapped straight to
+    # the new consolidated dir — so readers only ever consult the
+    # newest gen and older gens can be deleted.
+    fold = {int(d): int(new_dir) for d in dirs}
+    prev_gens = _neardup_compaction_gens(spark, store_path)
+    if prev_gens:
+        for r in spark.read.parquet(
+            f"{store_path}/compactions/gen={prev_gens[-1]}"
+        ).collect():
+            fold[int(r["folded_dir"])] = int(new_dir)
     spark.createDataFrame(
-        [(int(d), int(new_dir)) for d in dirs],
-        "folded_dir bigint, new_dir bigint",
+        sorted(fold.items()), "folded_dir bigint, new_dir bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{store_path}/compactions/gen={abs(new_dir)}"
     )
@@ -1006,6 +1029,13 @@ def compact_neardup_store(spark, store_path: str) -> None:
                 ),
                 True,
             )
+    for g in prev_gens:  # superseded by the cumulative map
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(store_path, "compactions", f"gen={g}")
+            ),
+            True,
+        )
 
 
 def read_neardup_store(spark, store_path: str) -> Optional[DataFrame]:
