@@ -951,7 +951,9 @@ def _neardup_compaction_gens(spark, store_path: str):
     return sorted(gens)
 
 
-def compact_neardup_store(spark, store_path: str) -> None:
+def compact_neardup_store(
+    spark, store_path: str, force: bool = False
+) -> None:
     """Consolidate the near-dup store's committed idmap/sigs epoch
     dirs into ONE dir each — the small-files maintenance of
     `compact_pq_index`, for the stream store (every micro-batch adds
@@ -966,7 +968,21 @@ def compact_neardup_store(spark, store_path: str) -> None:
     orphaned consolidated dir that no reader references (cleaned by
     the next compaction); the old dirs are deleted only AFTER the
     commit. Epoch replay-skipping is untouched — the committed-epoch
-    LIST lives in the alias versions and never changes here."""
+    LIST lives in the alias versions and never changes here.
+
+    ONE-WRITER CONTRACT (ADVICE r11): the stream must be quiesced
+    before compacting — the pre-cleanup below deletes every epoch dir
+    outside the committed live set, which would destroy an in-flight
+    batch's half-written dirs. Asserted two ways: (a) a
+    ``compactions/_COMPACTING`` sentinel held for the duration makes
+    concurrent ``neardup_to_store`` batches fail loudly at entry;
+    (b) compaction refuses to start while any ``_inflight/epoch=N``
+    marker exists (a batch between entry and commit). A CRASHED batch
+    also leaves its marker — it clears when the stream restart
+    replays that epoch; if the checkpoint was abandoned and the epoch
+    will never replay, pass ``force=True`` (safe then: the orphaned
+    dirs are unreferenced by construction). A crashed compaction
+    leaves the sentinel — delete the file and re-run."""
     import os
 
     eps, _ver = _neardup_committed(spark, store_path)
@@ -976,6 +992,41 @@ def compact_neardup_store(spark, store_path: str) -> None:
     if len(dirs) <= 1:
         return
     fs, jvm = _hadoop_fs(spark, store_path)
+    sentinel = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(store_path, "compactions", "_COMPACTING")
+    )
+    if fs.exists(sentinel):
+        raise RuntimeError(
+            "compact_neardup_store: compactions/_COMPACTING already "
+            "present — another compaction is running, or a previous "
+            "one crashed (delete the sentinel file to recover)."
+        )
+    fs.create(sentinel, True).close()
+    try:
+        inflight_dir = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(store_path, "_inflight")
+        )
+        if not force and fs.exists(inflight_dir):
+            markers = sorted(
+                st.getPath().getName()
+                for st in fs.listStatus(inflight_dir)
+            )
+            if markers:
+                raise RuntimeError(
+                    "compact_neardup_store: in-flight batch markers "
+                    f"present ({markers}) — quiesce the stream first. "
+                    "If these are from crashed batches of an "
+                    "ABANDONED checkpoint (the epochs will never "
+                    "replay), pass force=True."
+                )
+        _compact_neardup_body(spark, store_path, eps, dirs, fs, jvm)
+    finally:
+        fs.delete(sentinel, False)
+
+
+def _compact_neardup_body(spark, store_path, eps, dirs, fs, jvm):
+    import os
+
     # cleanup: physical epoch dirs no reader references (crashed
     # batches / crashed compactions) — safe to drop before we start
     for table in ("idmap", "sigs"):
@@ -1184,6 +1235,32 @@ def neardup_to_store(
         eps, ver = _neardup_committed(spark, store_path)
         if int(epoch_id) in eps:
             return  # replayed epoch: already committed
+        # writer exclusion vs compact_neardup_store (one-writer
+        # contract): refuse to start while a compaction is running,
+        # and leave an in-flight marker so a concurrently-started
+        # compaction refuses to delete this batch's half-written dirs.
+        # The marker is removed on commit; a crashed batch leaves it
+        # until the epoch is replayed (the normal streaming restart
+        # path) — see compact_neardup_store(force=) for abandoned
+        # checkpoints.
+        fs, jvm = _hadoop_fs(spark, store_path)
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(store_path, "compactions", "_COMPACTING")
+            )
+        ):
+            raise RuntimeError(
+                "neardup_to_store: a compact_neardup_store run is in "
+                "progress (compactions/_COMPACTING present) — the "
+                "store has a one-writer contract. If the compaction "
+                "crashed, delete the sentinel file and re-run it."
+            )
+        inflight = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(
+                store_path, "_inflight", f"epoch={int(epoch_id)}"
+            )
+        )
+        fs.create(inflight, True).close()
         live_dirs = _neardup_live_dirs(spark, store_path, eps) if eps else []
         new_state = _state_of(batch_df).localCheckpoint(eager=True)
         new_sigs = new_state.select(
@@ -1381,6 +1458,12 @@ def neardup_to_store(
                 )
             )
             alias_new = retargeted.unionByName(new_entries)
+        elif prev_alias is not None:
+            # no candidate pairs against history this batch, but the
+            # store already holds merge aliases: carry them forward
+            # verbatim — readers consult ONLY the newest version, so an
+            # empty table here would silently resurrect demoted keepers
+            alias_new = prev_alias
         else:
             alias_new = (
                 new_state.select(
@@ -1394,13 +1477,13 @@ def neardup_to_store(
         spark.createDataFrame(
             [(e,) for e in eps + [int(epoch_id)]], "epoch bigint"
         ).coalesce(1).write.mode("overwrite").parquet(f"{vdir}/epochs")
+        fs.delete(inflight, False)
         release_local_checkpoint(new_state)
         release_local_checkpoint(cand)
         release_local_checkpoint(comp)
         if hist_rows is not None:
             release_local_checkpoint(hist_rows)
         vs = _neardup_versions(spark, store_path)
-        fs, jvm = _hadoop_fs(spark, store_path)
         for v in vs[: max(0, len(vs) - int(keep_versions))]:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(

@@ -260,7 +260,8 @@ def test_bm25_appends_to_store_exactly_once(spark, sf_dir, tmp_path):
     # crash between ledger write and the atomic meta commit: patch
     # os.replace to blow up — sentinel stays down, store refused
     with mock.patch(
-        "os.replace", side_effect=RuntimeError("simulated crash")
+        "quality_spark.sources.fsio.replace",
+        side_effect=RuntimeError("simulated crash"),
     ):
         with pytest.raises(RuntimeError, match="simulated crash"):
             handler(docs.limit(0), 3)

@@ -3624,15 +3624,17 @@ def test_pq_appends_to_store_exactly_once(spark, emb, tmp_path):
     with open(f"{inc}/epochs.json") as fh:
         assert json.load(fh)["applied"] == [1, 2]
     # crash between codes append and ledger write: patching the ledger
-    # open to fail right after the parquet append leaves the sentinel
-    real_dump = json.dump
+    # write to fail right after the parquet append leaves the sentinel
+    from quality_spark.sources import fsio
 
-    def boom(obj, fh, *a, **kw):
+    real_write_json = fsio.write_json
+
+    def boom(path, obj, *a, **kw):
         if isinstance(obj, dict) and "applied" in obj:
             raise RuntimeError("simulated crash")
-        return real_dump(obj, fh, *a, **kw)
+        return real_write_json(path, obj, *a, **kw)
 
-    with mock.patch("json.dump", side_effect=boom):
+    with mock.patch("quality_spark.sources.fsio.write_json", side_effect=boom):
         with pytest.raises(RuntimeError, match="simulated crash"):
             handler(emb.limit(0), 3)
     assert os.path.exists(f"{inc}/meta.json.pending")

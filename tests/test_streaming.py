@@ -1225,3 +1225,126 @@ def test_neardup_store_compaction(spark, sf_dir):
     eps2, _ = _neardup_committed(spark, store)
     dirs2 = _neardup_live_dirs(spark, store, eps2)
     assert len(dirs2) == 1 and dirs2[0] < dirs[0]
+
+
+def test_neardup_store_alias_carry_forward_on_quiet_batch(spark):
+    """ADVICE r11 (high): a batch with NO candidate pairs against a
+    non-empty store must carry the previous alias table forward —
+    readers consult only the newest version, so writing an empty
+    table there loses every prior merge (demoted keepers resurrect).
+    Batch 0 seeds doc 5; batch 1's doc 2 merges with it (root 5 dies,
+    alias 5->2); batch 2 is fully disjoint text. After batch 2 the
+    keeper set must STILL equal one-shot dedup_near over the union."""
+    from quality_spark.llm.dedup import dedup_near
+    from quality_spark.streaming.recipes import (
+        _neardup_committed,
+        neardup_to_store,
+        read_neardup_store,
+    )
+
+    kw = dict(k=3, num_perm=16, bands=8, threshold=0.3)
+    text_b = " ".join(f"delta{i}" for i in range(12))
+    text_c = " ".join(f"zeta{i}" for i in range(12))
+    batches = [
+        spark.createDataFrame([(5, text_b)], "doc_id long, text string"),
+        spark.createDataFrame([(2, text_b)], "doc_id long, text string"),
+        spark.createDataFrame([(9, text_c)], "doc_id long, text string"),
+    ]
+    store = tempfile.mkdtemp(prefix="qs_ndstore_quiet_")
+    handler = neardup_to_store(store, **kw)
+    for i, b in enumerate(batches):
+        handler(b, i)
+
+    _, ver = _neardup_committed(spark, store)
+    assert ver == 2
+    alias = {
+        r["dead_root"]: r["live_root"]
+        for r in spark.read.parquet(
+            f"{store}/aliases/version={ver}/table"
+        ).collect()
+    }
+    # the batch-1 merge alias survived the quiet batch 2
+    assert alias == {5: 2}
+
+    got = read_neardup_store(spark, store)
+    roots = {r["id"]: r["root"] for r in got.collect()}
+    assert roots == {5: 2, 2: 2, 9: 9}
+    kept_got = sorted(r["id"] for r in got.filter("keep").collect())
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    kept_want = sorted(
+        r["doc_id"]
+        for r in dedup_near(union, method="minhash", **kw).collect()
+    )
+    assert kept_got == kept_want == [2, 9]
+    shutil.rmtree(store, ignore_errors=True)
+
+
+def test_neardup_store_writer_exclusion(spark):
+    """ADVICE r11 (low): the one-writer contract is asserted, not just
+    documented. (1) compact_neardup_store refuses while an in-flight
+    batch marker exists, and force=True overrides; (2) a batch refuses
+    while the _COMPACTING sentinel is present; (3) a crashed batch's
+    marker clears when its epoch replays."""
+    import unittest.mock as mock
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from quality_spark.streaming.recipes import (
+        compact_neardup_store,
+        neardup_to_store,
+        read_neardup_store,
+    )
+
+    kw = dict(k=3, num_perm=16, bands=8, threshold=0.3)
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(9)]
+    b0 = spark.createDataFrame(rows[:3], "doc_id long, text string")
+    b1 = spark.createDataFrame(rows[3:6], "doc_id long, text string")
+    b1b = spark.createDataFrame(rows[6:9], "doc_id long, text string")
+    store = tempfile.mkdtemp(prefix="qs_ndstore_excl_")
+    handler = neardup_to_store(store, **kw)
+    handler(b0, 0)
+    handler(b1, 1)
+
+    # (3) crash mid-batch leaves the marker...
+    real_parquet = DataFrameWriter.parquet
+
+    def boom(self, path, *a, **kw2):
+        if path.endswith("/epochs"):
+            raise RuntimeError("simulated crash")
+        return real_parquet(self, path, *a, **kw2)
+
+    with mock.patch.object(DataFrameWriter, "parquet", boom):
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            handler(b1b, 2)
+    assert os.path.exists(f"{store}/_inflight/epoch=2")
+    # (1) ...which blocks compaction (fail-loud, store untouched)...
+    with pytest.raises(RuntimeError, match="in-flight batch markers"):
+        compact_neardup_store(spark, store)
+    assert not os.path.exists(f"{store}/compactions/_COMPACTING")
+    # ...unless forced (abandoned-checkpoint escape hatch)
+    compact_neardup_store(spark, store, force=True)
+    # the replay clears the marker and lands the batch
+    handler(b1b, 2)
+    assert not os.path.exists(f"{store}/_inflight/epoch=2")
+    got = read_neardup_store(spark, store)
+    assert sorted(r["id"] for r in got.collect()) == list(range(9))
+
+    # (2) a batch refuses while the compaction sentinel is held
+    os.makedirs(f"{store}/compactions", exist_ok=True)
+    with open(f"{store}/compactions/_COMPACTING", "w"):
+        pass
+    b2 = spark.createDataFrame(
+        [(99, "omega " * 12)], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="_COMPACTING"):
+        handler(b2, 3)
+    # and a stale sentinel blocks compaction with the recovery hint
+    with pytest.raises(RuntimeError, match="delete the sentinel"):
+        compact_neardup_store(spark, store)
+    os.remove(f"{store}/compactions/_COMPACTING")
+    # recovered: both writers work again
+    handler(b2, 3)
+    compact_neardup_store(spark, store)
+    got2 = read_neardup_store(spark, store)
+    assert sorted(r["id"] for r in got2.collect()) == list(range(9)) + [99]
+    shutil.rmtree(store, ignore_errors=True)
