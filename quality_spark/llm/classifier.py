@@ -398,6 +398,7 @@ def train_multiclass(
     lr: tuple = (1, 2),
     max_tokens: int = 1_000_000,
     max_classes: int = 64,
+    max_weight_rows: int = 20_000_000,
 ) -> DataFrame:
     """k-class one-vs-rest training (VERDICT r10 next #6 — the
     fastText lang-id/domain-triage shape `score_with_weight_table`
@@ -419,6 +420,17 @@ def train_multiclass(
     training costs 1 corpus scan + k × iters × (2 shuffles on the
     cached features) instead of k corpus scans. Driver traffic is
     per-class weights only.
+
+    DRIVER-MEMORY BOUND (VERDICT r11 next #7): the GD loop is
+    driver-coordinated by design (per-iteration traffic = the touched
+    buckets' gradients, never corpus rows), so the assembled weight
+    table holds k × touched-buckets rows on the driver — bounded by
+    ``max_classes × min(buckets, distinct corpus features)``. The
+    cumulative ``max_weight_rows`` guard (default 2e7 rows ≈ a few GB)
+    fails loudly instead of OOMing; past it, lower ``buckets``, train
+    label subsets in separate calls, or move to a feature-hashed
+    space small enough to broadcast (which prediction needs anyway —
+    `predict_multiclass` broadcasts this table).
 
     Returns (class string, bucket bigint, w_nano bigint, weight
     double) — feed a single class's slice to
@@ -466,6 +478,14 @@ def train_multiclass(
                 "bucket",
             )
             w = _train_loop(spark, feats_c, iters, lr)
+            if len(out_rows) + len(w) > int(max_weight_rows):
+                raise ValueError(
+                    f"multiclass weight table would exceed "
+                    f"max_weight_rows={max_weight_rows} at class "
+                    f"{c!r} ({len(out_rows)} rows so far + {len(w)}) "
+                    "— lower buckets, split the label space across "
+                    "calls, or raise the guard deliberately"
+                )
             out_rows.extend(
                 (c, b, wn, wn / float(_W_SCALE))
                 for b, wn in sorted(w.items())
@@ -489,10 +509,13 @@ def predict_multiclass(
     `train_multiclass` table and pick the argmax margin — one feature
     explode, ONE broadcast join on bucket (the per-class weight rows
     fan out in the join, never a corpus × k cartesian), one
-    groupBy(id, class), then the argmax: max margin per id, equi-join
-    back on the bit-identical double, min class name among exact ties
-    — fully deterministic in both engines. Missing (class, bucket)
-    pairs weigh 0 via the
+    groupBy(id, class), then the argmax as a row_number window over
+    (margin DESC, class ASC) — min class name among exact ties, and
+    the margin double is computed ONCE and carried through (ADVICE
+    r11: an equality self-join on a recomputed float sum relied on
+    Spark reusing the exchange; under AQE replanning a nondeterministic
+    fold order could miss the join and silently drop a document's
+    prediction). Missing (class, bucket) pairs weigh 0 via the
     per-class feature count, NOT the join (a left join would drop the
     class dimension for unseen buckets): margins divide the summed
     joined weights by the document's total feature count nF.
@@ -531,11 +554,14 @@ def predict_multiclass(
             ),
         )
     )
-    win = per_class.groupBy("__id").agg(F.max("margin").alias("margin"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("__id").orderBy(
+        F.col("margin").desc(), F.col("class").asc()
+    )
     return (
-        per_class.join(win, ["__id", "margin"])
-        .groupBy("__id", "margin")
-        .agg(F.min("class").alias("class"))
+        per_class.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
         .select(F.col("__id").alias(id_col), "class", "margin")
     )
 

@@ -3491,6 +3491,10 @@ def test_train_multiclass_validation(spark):
         train_multiclass(ok, "lbl", max_classes=1)
     with pytest.raises(ValueError, match=">= 2 classes"):
         train_multiclass(ok.filter("lbl = 'a'"), "lbl")
+    # VERDICT r11 next #7: the driver-memory guard fails loudly with
+    # guidance instead of OOMing on k x touched-buckets weight rows
+    with pytest.raises(ValueError, match="max_weight_rows"):
+        train_multiclass(ok, "lbl", max_weight_rows=1)
 
 
 def test_train_classifier_validation(spark):
