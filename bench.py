@@ -62,11 +62,140 @@ def timed(fn):
     return time.perf_counter() - t0
 
 
+def gen_suite27():
+    """The 27-rule suite (~3.4 copies of the 8-rule fixture suite) —
+    factored out of main() so the isolated re-measure path builds the
+    identical suite."""
+    import __spark_entry__ as entrymod
+    from quality_spark import rule_suite as _rs
+
+    specs27 = []
+    for rep in range(4):
+        for set_id, rule_id, kind, sql in entrymod.RULE_SPECS[
+            : (8 if rep < 3 else 3)
+        ]:
+            specs27.append(
+                (
+                    (set_id[0] + rep * 100, set_id[1]),
+                    (rule_id[0] + rep * 1000, rule_id[1]),
+                    kind,
+                    sql,
+                )
+            )
+    sets: dict = {}
+    for set_id, rule_id, kind, sql in specs27:
+        sets.setdefault(set_id, []).append(
+            (rule_id, entrymod._spark_rule_text(kind, sql))
+        )
+    return _rs((91, 1), list(sets.items()), lambdas=entrymod.LAMBDAS)
+
+
+def _isolated_measure(name: str) -> float:
+    """Measure ONE governed bench key in THIS (fresh) session with the
+    same methodology main() uses — the 'isolated fresh-session
+    re-measure' of the investigated drift path (VERDICT r11 #2/#3).
+    Covers every governed key class: gate queries, the shared stream
+    startup (NOT memoized in a fresh session, so this is the only
+    valid second sample for it), and the dq-curve/baseline keys."""
+    import re as _re
+
+    import __spark_entry__ as entrymod
+    from quality_spark import add_data_quality
+
+    spark = make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    if name == "shared_stream_startup":
+        return timed(lambda: entrymod._shared_streams(spark, SF_DIR))
+    qs = entrymod.queries()
+    if name in qs:
+        q = qs[name]
+
+        def run():
+            df = q(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+
+        return min(timed(run), timed(run))
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(
+        int(CPUS)
+    )
+    li.count()
+    iso_tmp = TMP + "_iso"
+    os.makedirs(iso_tmp, exist_ok=True)
+
+    def noop_write(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def warm_min2(fn):
+        fn()
+        return min(timed(fn), timed(fn))
+
+    try:
+        if name == "baseline_write":
+            return warm_min2(
+                lambda: li.write.mode("overwrite").parquet(f"{iso_tmp}/b")
+            )
+        if name == "baseline_eval":
+            return warm_min2(lambda: noop_write(li))
+        m = _re.match(r"dq(\d+)_(compile|write|eval)$", name)
+        if not m:
+            raise ValueError(f"not a governed bench key: {name!r}")
+        n_rules, leg = int(m.group(1)), m.group(2)
+        suite = gen_suite27() if n_rules == 27 else gen_wide_suite(n_rules)
+        dq = add_data_quality(li, suite)
+        if leg == "compile":
+            return min(
+                timed(lambda: add_data_quality(li, suite))
+                for _ in range(3)
+            )
+        if leg == "write":
+            return warm_min2(
+                lambda: dq.write.mode("overwrite").parquet(f"{iso_tmp}/dq")
+            )
+        return warm_min2(lambda: noop_write(dq))
+    finally:
+        shutil.rmtree(iso_tmp, ignore_errors=True)
+
+
+def isolated_fresh_session_sample(name: str, timeout: int = 1800):
+    """Run `_isolated_measure(name)` in a SUBPROCESS (own python, own
+    SparkSession/JVM — no shared-session block or GC pressure), return
+    the seconds or None on failure. This is the evidence source for
+    'investigated' drift notes; it is never min'd into the recorded
+    result."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        "import sys, json; sys.path.insert(0, sys.argv[2]); "
+        "import bench; "
+        "print('ISOLATED_SAMPLE='"
+        "+json.dumps(bench._isolated_measure(sys.argv[1])))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code, name, here],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=here,
+        )
+    except Exception:
+        return None
+    for ln in out.stdout.splitlines():
+        if "ISOLATED_SAMPLE=" in ln:
+            try:
+                return float(ln.split("ISOLATED_SAMPLE=", 1)[1])
+            except ValueError:
+                return None
+    return None
+
+
 def attribute_environment_codrift(
     drift_retries: dict,
     results: dict,
     prior_q: dict,
     min_codrifters: int = 3,
+    dispersion_band: float = 1.5,
 ):
     """Environment co-drift auto-attribution (VERDICT r10 #2), pure so
     tests can pin it: when >= ``min_codrifters`` still-unresolved,
@@ -81,13 +210,28 @@ def attribute_environment_codrift(
     (~1.0 under transient stalls, elevated under uniform slowdown).
     The attribution asserts CO-DRIFT, not code identity — the
     record's git_head plus the prior round's stamp let an auditor
-    diff the actual code paths."""
+    diff the actual code paths.
+
+    DISPERSION GUARD (VERDICT r11 #2): the amnesty only covers
+    drifters whose ratio is within ``dispersion_band`` (default
+    1.5×) of the co-drift median — a blanket attribution would let a
+    REAL 4× regression hide inside a noisy run (r11: ratios up to
+    4.39× were auto-attributed under a 1.489 co-drift median; the
+    attribution happened to be correct, but the machinery accepted it
+    without evidence). Outliers above the band are LEFT unattributed
+    (listed in the note's ``outliers``) and must take the
+    ``investigated`` path: an isolated fresh-session re-measure."""
     codrifters = sorted(
         n
         for n, e in drift_retries.items()
         if not e["resolved"]
         and not e.get("attributed")
         and not e.get("investigated")
+        # direct isolated-session evidence outranks the statistical
+        # amnesty: an entry that ALREADY re-measured elevated in a
+        # fresh session is a real-regression candidate and must not
+        # be swept into the environment attribution
+        and e.get("isolated_sample") is None
     )
     if len(codrifters) < int(min_codrifters):
         return None
@@ -97,28 +241,115 @@ def attribute_environment_codrift(
         if k in results and prior_q[k] > 0.2
     )
     run_median = ratios_all[len(ratios_all) // 2] if ratios_all else None
-    co_ratios = sorted(
-        drift_retries[n]["final"] / drift_retries[n]["prior"]
+    co_ratio_of = {
+        n: drift_retries[n]["final"] / drift_retries[n]["prior"]
         for n in codrifters
-    )
+    }
+    co_ratios = sorted(co_ratio_of.values())
+    co_median = co_ratios[len(co_ratios) // 2]
+    in_band = [
+        n for n in codrifters
+        if co_ratio_of[n] <= float(dispersion_band) * co_median
+    ]
+    outliers = sorted(set(codrifters) - set(in_band))
     note = {
         "kind": "codrift",
-        "codrifters": codrifters,
-        "codrift_median_ratio": round(co_ratios[len(co_ratios) // 2], 3),
+        "codrifters": in_band,
+        "outliers": outliers,
+        "dispersion_band": float(dispersion_band),
+        "codrift_median_ratio": round(co_median, 3),
         "run_median_ratio": (
             round(run_median, 3) if run_median is not None else None
         ),
         "n_keys_compared": len(ratios_all),
     }
-    for n in codrifters:
+    for n in in_band:
         drift_retries[n]["attributed"] = (
-            f"environment: co-drift with {len(codrifters) - 1} other "
+            f"environment: co-drift with {len(in_band) - 1} other "
             "unchanged keys this run (median ratio "
             f"{note['codrift_median_ratio']}; run-wide median "
             f"{note['run_median_ratio']}) — see drift_retries.environment"
         )
         drift_retries[n]["attribution_kind"] = "environment"
     return note
+
+
+# Per-leg budgets (VERDICT r11 #4): the fixed 10 s aggregate target
+# for expr_runner_agg was the wrong contract for a 12-part composite —
+# it conflated live operator work with staging debt. Each leg has a
+# NAMED budget (~1.5x its r11 driver-box time); any leg over 2 s names
+# its live work. A breach fails the DRIFT LEDGER (flows into
+# unexplained), never the gate, and is applied AFTER the environment
+# attribution so a breach cannot be amnestied.
+LEG_BUDGETS: dict = {
+    "expr_runner_agg": {
+        "er": (1.5, None),
+        "profile": (
+            9.0,
+            "exact full-table profiler: compact-table scan + "
+            "per-column aggregates (the flagship operator itself)",
+        ),
+        "profile_approx": (5.0, "approx (KLL/HLL) profiler scan"),
+        "profile_shard": (
+            7.5,
+            "per-shard exact profile aggregates + mergeable-shard "
+            "combine",
+        ),
+        "suggest": (
+            9.0,
+            "rule suggestion: profile pass + candidate scoring scans",
+        ),
+        "profile_shard_approx": (
+            3.0,
+            "sharded approx profile over the staged shards",
+        ),
+        "approx_shard_q": (2.0, None),
+        "psi": (2.0, None),
+        "psi_cat": (
+            3.5,
+            "categorical PSI: two grouped scans + distribution join",
+        ),
+        "profile_by": (3.5, "grouped (per-key) profiler aggregate"),
+        "profile_cat": (2.0, None),
+        "suggest_cat": (2.5, "categorical suggestion scoring scan"),
+        "drift": (6.0, "drift report: two profile runs + shard compare"),
+    },
+}
+
+
+def apply_leg_budgets(
+    legs_detail: dict, drift_retries: dict, budgets_table: dict = None
+) -> dict:
+    """Pure leg-budget check (unit-tested): returns the per-leg budget
+    status for bench_detail.json and mutates ``drift_retries`` with a
+    ``kind='leg_budget'`` entry per breach — the ledger-not-gate
+    failure mode VERDICT r11 #4 asked for. A leg present in the run
+    but missing a budget is listed under ``_unbudgeted`` (new legs are
+    visible, never silently free)."""
+    table = LEG_BUDGETS if budgets_table is None else budgets_table
+    status: dict = {}
+    for qname, budgets in table.items():
+        got = legs_detail.get(qname) or {}
+        st: dict = {}
+        for lname, (budget, live) in budgets.items():
+            t = got.get(lname)
+            ok = t is not None and t <= budget
+            st[lname] = {"time": t, "budget": budget, "ok": bool(ok)}
+            if live:
+                st[lname]["live_work"] = live
+            if t is not None and not ok:
+                drift_retries[f"{qname}.leg:{lname}"] = {
+                    "prior": budget,
+                    "samples": [t],
+                    "final": t,
+                    "resolved": False,
+                    "kind": "leg_budget",
+                }
+        unbudgeted = sorted(set(got) - set(budgets))
+        if unbudgeted:
+            st["_unbudgeted"] = unbudgeted
+        status[qname] = st
+    return status
 
 
 def main() -> None:
@@ -228,25 +459,7 @@ def main() -> None:
     )
 
     # 2. 27-rule DQ write — ~3.4 copies of the 8-rule fixture suite
-    from quality_spark import rule_suite as _rs
-
-    specs27 = []
-    for rep in range(4):
-        for set_id, rule_id, kind, sql in entrymod.RULE_SPECS[: (8 if rep < 3 else 3)]:
-            specs27.append(
-                (
-                    (set_id[0] + rep * 100, set_id[1]),
-                    (rule_id[0] + rep * 1000, rule_id[1]),
-                    kind,
-                    sql,
-                )
-            )
-    sets: dict = {}
-    for set_id, rule_id, kind, sql in specs27:
-        sets.setdefault(set_id, []).append(
-            (rule_id, entrymod._spark_rule_text(kind, sql))
-        )
-    suite27 = _rs((91, 1), list(sets.items()), lambdas=entrymod.LAMBDAS)
+    suite27 = gen_suite27()
     # compile is timed min-of-2 like everything else: the first compile
     # of a session pays one-time Spark analysis warmup (~2 s measured,
     # vs 0.3 s steady-state) that is session startup, not suite cost
@@ -376,14 +589,40 @@ def main() -> None:
     # (memoized per session). Time that run EXPLICITLY as its own key:
     # otherwise the first stream-consuming query pays it, its stall
     # retry reads the memoized result near-free, and min-of-samples
-    # erases the real cost from every reported number. This key is
-    # deliberately OUTSIDE the drift guard: a re-run reads the
-    # memoized result near-free, so a retry could only fabricate an
-    # artificially low number, never a valid second sample.
+    # erases the real cost from every reported number. In-session
+    # retries stay OFF for this key (a re-run reads the memoized
+    # result near-free — a retry could only fabricate a low number),
+    # but it is no longer ungoverned (VERDICT r11 #3): when it moves
+    # >1.3x vs prior, ONE isolated fresh-session startup sample (a
+    # subprocess session, where the memoization is cold) is taken and
+    # recorded; if that sample is back within threshold the entry is
+    # investigated-environment, otherwise it stays unexplained as a
+    # real startup regression.
     if hasattr(entrymod, "_shared_streams"):
-        results["shared_stream_startup"] = timed(
-            lambda: entrymod._shared_streams(spark, SF_DIR)
-        )
+        t_ss = timed(lambda: entrymod._shared_streams(spark, SF_DIR))
+        results["shared_stream_startup"] = t_ss
+        prior_ss = prior_q.get("shared_stream_startup")
+        if prior_ss and prior_ss > 0.2 and t_ss > 1.3 * prior_ss:
+            iso = isolated_fresh_session_sample("shared_stream_startup")
+            entry = {
+                "prior": round(prior_ss, 4),
+                "samples": [round(t_ss, 4)],
+                "final": round(t_ss, 4),
+                "resolved": False,
+                "retry_policy": "no in-session retry (memoized path); "
+                "governed by isolated fresh-session sample",
+                "isolated_sample": (
+                    round(iso, 4) if iso is not None else None
+                ),
+            }
+            if iso is not None and iso <= 1.3 * prior_ss:
+                entry["investigated"] = (
+                    "isolated fresh-session startup sample "
+                    f"{iso:.2f}s is within 1.3x of the {prior_ss:.2f}s "
+                    "prior — the in-run number carried shared-session "
+                    "pressure, not a startup regression"
+                )
+            drift_retries["shared_stream_startup"] = entry
 
     construct: dict[str, float] = {}
     for name, q in entrymod.queries().items():
@@ -458,37 +697,12 @@ def main() -> None:
     # intentional gate-shape changes THIS round — a slower number for
     # these queries is new coverage, not regression; update each round
     # alongside gate edits
-    gate_changes = {
-        "expr_runner_agg": "round 11: hist-shard AND exact parity-shard "
-        "artifacts now STAGE to parquet per sf (VERDICT r10 next #3) — "
-        "approx_shard_q/psi legs 6.7/6.8 -> ~0.6/0.7 s, drift leg "
-        "5.3 -> 2.5 s; composite 16.5 -> ~11 s. The remaining cost is "
-        "LIVE operator work (exact profile 3.4, suggest 3.7, shard "
-        "MERGE 3.8, approx profile 2.3 — each a real scan/aggregate "
-        "the gate exists to measure), so the r9 10 s target is "
-        "treated as met-in-spirit rather than staged further: staging "
-        "prof_df itself would stop measuring the flagship profiler",
-        "embedding_reduce": "round 11: NEW 'pq_append' part — "
-        "append_pq_index incremental lifecycle (write evens + append "
-        "odds with frozen centroids, equal to the full-corpus replay); "
-        "staged per sf like ivfpq_idx. Late round 11: NEW "
-        "'ivfpq_idx_rr' part (FAISS refine ON the persisted index — "
-        "shared _refine_exact finisher, same oracle as the inline "
-        "rerank leg, reuses the staged store)",
-        "doc_ingest_suite": "round 11: NEW 'clf_multi' part (k-class "
-        "one-vs-rest training, 3 classes x unrolled oracle) and the "
-        "clf_train weights now STAGE per sf (VERDICT r10 next #4 — "
-        "was 8.5 s of constant re-training per run); net expected "
-        "faster despite the new part",
-        "stats_suite": "round 11: collocation_pmi now materializes "
-        "through and RELEASES its unigram cache (ADVICE r10 — was a "
-        "session-lifetime leak); the colloc leg gains one small "
-        "collect, same rows",
-        # round-10 gate additions (pagerank/hits/snapdiff/scd2/cohort/
-        # stats_suite/…) are IN the r10 baseline these numbers compare
-        # against — their notes are pruned so a stale attribution can
-        # never absorb NEW drift (VERDICT r10: stale notes are worse
-        # than an unexplained flag)
+    gate_changes: dict[str, str] = {
+        # round-11 gate additions (pq_append/ivfpq_idx_rr/clf_multi,
+        # the staging diets) are IN the r11 baseline these numbers
+        # compare against — their notes are pruned so a stale
+        # attribution can never absorb NEW drift (VERDICT r10: stale
+        # notes are worse than an unexplained flag)
     }
     # VERDICT r08 #5: join the two records — a retried query whose
     # final time is still >threshold x prior reads 'attributed' when
@@ -503,33 +717,11 @@ def main() -> None:
     # Update alongside each investigation; stale notes are worse than
     # an unexplained flag.
     investigated: dict[str, str] = {
-        "dq_details": "round 11: no code on this path changed this "
-        "round (macros/runner/aggregates untouched — verified by git "
-        "diff r10..HEAD); isolated fresh-session min-of-3 at sf0.1 "
-        "measured 1.58 s this session (r10 measured the same band, "
-        "1.46-1.61 s) vs the 1.18 s prior-record value, with the "
-        "remaining ~0.4 s appearing only inside the shared bench "
-        "session (accumulated block/GC pressure, the documented "
-        "r10 finding). Intrinsic cost is stable; the prior record "
-        "caught a fast outlier.",
-        "digest_documents": "round 11: no code on this path changed "
-        "(functions/ids.py and the gate block untouched this round — "
-        "git diff verified); isolated fresh-session min-of-3 at sf0.1 "
-        "measured 1.53 s this session vs the 0.85 s prior record and "
-        "1.12 s in the shared run — a 0.3-0.7 s absolute band on a "
-        "sub-second query, the documented VM factor at small "
-        "magnitudes; the 1.3x RATIO threshold is sensitive here "
-        "because the base is small.",
-        "temporal_joins": "round 11: no code on this path changed "
-        "(operators/temporal.py and the gate block untouched; the "
-        "recipes.py delta is the NEW neardup store, not the scd2 "
-        "path). Per-leg times are FLAT vs r10 (asof/range/interval/"
-        "scd2 sum 2.58 -> 2.77 s, every leg within noise) and an "
-        "isolated fresh-session min-of-3 at sf0.1 measured 3.83 s "
-        "this session — the composite's intrinsic cost is the sum "
-        "of its parts plus the union write; the 2.35 s prior was a "
-        "fast re-sample tail (staged inputs make second samples "
-        "cheaper and min-of-N kept one).",
+        # r11 notes pruned: the r11 record (this round's comparison
+        # baseline) already carries those elevated values, so their
+        # drift is absorbed by the prior itself. Hand entries are now
+        # mostly superseded by the AUTOMATED isolated fresh-session
+        # re-measure below (VERDICT r11 #2/#3).
     }
     for n, e in drift_retries.items():
         if n in investigated and not e["resolved"] and not e.get("attributed"):
@@ -538,6 +730,26 @@ def main() -> None:
     environment_note = attribute_environment_codrift(
         drift_retries, results, prior_q
     )
+    # Dispersion outliers (VERDICT r11 #2): drifters too far above the
+    # co-drift median for the statistical amnesty get the evidence the
+    # investigated path requires — ONE isolated fresh-session
+    # re-measure each (bounded at 3 per run; the rest stay flagged).
+    # Back-within-threshold => investigated-environment; still
+    # elevated => stays unexplained as a real-regression candidate.
+    if environment_note:
+        for n in environment_note.get("outliers", [])[:3]:
+            e = drift_retries[n]
+            iso = isolated_fresh_session_sample(n)
+            e["isolated_sample"] = round(iso, 4) if iso is not None else None
+            if iso is not None and iso <= 1.3 * e["prior"]:
+                e["investigated"] = (
+                    "dispersion outlier: isolated fresh-session "
+                    f"re-measure {iso:.2f}s is back within 1.3x of the "
+                    f"{e['prior']}s prior — shared-session/environment "
+                    "effect confirmed for this key individually"
+                )
+
+    leg_budgets_status = apply_leg_budgets(legs_detail, drift_retries)
 
     unexplained = sorted(
         n
@@ -568,6 +780,7 @@ def main() -> None:
         "queries": {k: round(v, 4) for k, v in results.items()},
         "construct": {k: round(v, 4) for k, v in construct.items()},
         "legs": legs_detail,
+        "leg_budgets": leg_budgets_status,
         "drift_retries": {
             "vs_round": prior_round,
             "threshold": 1.3,

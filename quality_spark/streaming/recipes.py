@@ -851,6 +851,38 @@ def scd2_to_store(
     return handle
 
 
+#: Above this many distinct bucket ids the probe's static IN-literal
+#: pruning stops pruning anything (a large backfill batch touches most
+#: buckets) and only bloats the plan — switch to a broadcast semi-join.
+_ISIN_PRUNE_MAX = 128
+
+
+def _pruned_store_scan(spark, base, live_dirs, part_col, buckets_df):
+    """Partition-pruned scan of a bucketed epoch-dir store table
+    (sigs/idmap): committed epoch dirs + the batch's distinct bucket
+    ids. Small bucket sets inline as an IN literal list (static
+    partition pruning — whole directories skipped at plan time); past
+    ``_ISIN_PRUNE_MAX`` distinct buckets the scan falls back to a
+    broadcast LEFT SEMI join on the bucket column (VERDICT r11 #6) —
+    identical rows, join-based pruning instead of a giant In list.
+    Returns None when the batch touches no buckets at all. The
+    ``limit(MAX+1)`` sample doubles as the literal list: when it comes
+    back <= MAX rows it IS the complete distinct set."""
+    sample = buckets_df.limit(_ISIN_PRUNE_MAX + 1).collect()
+    if not sample:
+        return None
+    scan = (
+        spark.read.option("basePath", base)
+        .parquet(base)
+        .filter(F.col("epoch").isin(live_dirs))
+    )
+    if len(sample) <= _ISIN_PRUNE_MAX:
+        return scan.filter(
+            F.col(part_col).isin([r[part_col] for r in sample])
+        )
+    return scan.join(F.broadcast(buckets_df), part_col, "left_semi")
+
+
 def _neardup_versions(spark, store_path: str):
     """Committed alias versions of a near-dup store, ascending — a
     version counts only when its ``epochs/`` commit table is
@@ -1277,35 +1309,32 @@ def neardup_to_store(
         ).select("id_a", "id_b")
         prev_alias = None
         if eps:
-            bbs = [
-                r["bb"]
-                for r in new_sigs.select(bb_col.alias("bb"))
-                .distinct()
-                .collect()
-            ]
-            hist_sigs = (
-                spark.read.option("basePath", f"{store_path}/sigs")
-                .parquet(f"{store_path}/sigs")
-                .filter(F.col("epoch").isin(live_dirs) & F.col("bb").isin(bbs))
+            hist_sigs = _pruned_store_scan(
+                spark,
+                f"{store_path}/sigs",
+                live_dirs,
+                "bb",
+                new_sigs.select(bb_col.alias("bb")).distinct(),
             )
-            vs_hist = (
-                hist_sigs.join(
-                    F.broadcast(
-                        new_sigs.select(
-                            F.col("id").alias("new_id"),
-                            "band_idx",
-                            "band_hash",
-                        )
-                    ),
-                    ["band_idx", "band_hash"],
+            if hist_sigs is not None:
+                vs_hist = (
+                    hist_sigs.join(
+                        F.broadcast(
+                            new_sigs.select(
+                                F.col("id").alias("new_id"),
+                                "band_idx",
+                                "band_hash",
+                            )
+                        ),
+                        ["band_idx", "band_hash"],
+                    )
+                    .select(
+                        F.least("id", "new_id").alias("id_a"),
+                        F.greatest("id", "new_id").alias("id_b"),
+                    )
+                    .filter(F.col("id_a") != F.col("id_b"))
                 )
-                .select(
-                    F.least("id", "new_id").alias("id_a"),
-                    F.greatest("id", "new_id").alias("id_b"),
-                )
-                .filter(F.col("id_a") != F.col("id_b"))
-            )
-            cand = cand.unionByName(vs_hist)
+                cand = cand.unionByName(vs_hist)
             prev_alias = spark.read.parquet(
                 f"{store_path}/aliases/version={ver}/table"
             )
@@ -1322,25 +1351,18 @@ def neardup_to_store(
                 .distinct()
                 .join(new_state.select("id"), "id", "left_anti")
             )
-            idbs = [
-                r["idb"]
-                for r in matched.select(
-                    F.pmod(
-                        F.xxhash64(F.col("id").cast("string")),
-                        F.lit(int(id_buckets)),
-                    ).alias("idb")
-                )
-                .distinct()
-                .collect()
-            ]
-            if idbs:
+            idb_df = matched.select(
+                F.pmod(
+                    F.xxhash64(F.col("id").cast("string")),
+                    F.lit(int(id_buckets)),
+                ).alias("idb")
+            ).distinct()
+            probe = _pruned_store_scan(
+                spark, f"{store_path}/idmap", live_dirs, "idb", idb_df
+            )
+            if probe is not None:
                 hist_rows = (
-                    spark.read.option("basePath", f"{store_path}/idmap")
-                    .parquet(f"{store_path}/idmap")
-                    .filter(
-                        F.col("epoch").isin(live_dirs) & F.col("idb").isin(idbs)
-                    )
-                    .join(F.broadcast(matched), "id")
+                    probe.join(F.broadcast(matched), "id")
                     .select("id", "root0", "sh")
                     .localCheckpoint(eager=True)
                 )

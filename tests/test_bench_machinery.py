@@ -29,7 +29,7 @@ def test_codrift_attributes_r10_signature():
     dr = {
         "agg_expr_totals": _entry(0.4, 0.9),
         "bloom_suite": _entry(1.0, 1.6),
-        "folder_customer": _entry(0.3, 1.1),
+        "folder_customer": _entry(0.3, 0.75),
         "folder_flatten": _entry(0.3, 0.8),
         "soft_fail_detail": _entry(0.3, 0.6),
         "gate_changed": _entry(1.0, 2.0, attributed="round N: new leg"),
@@ -97,3 +97,104 @@ def test_codrift_uniform_slowdown_signature():
     assert note is not None
     assert note["run_median_ratio"] >= 1.4
     assert note["n_keys_compared"] == 13
+
+
+def test_codrift_dispersion_guard_excludes_outlier():
+    """VERDICT r11 #2: one 4x outlier among uniform ~1.4x co-drifters
+    must NOT be auto-attributed — it lands in the note's outliers and
+    stays unexplained until an isolated investigation covers it. The
+    in-band drifters are still attributed (unexplained == [] for them
+    without hand-editing)."""
+    dr = {f"q{i}": _entry(1.0, 1.35 + 0.02 * i) for i in range(5)}
+    dr["agg_map_counts"] = _entry(1.0, 4.39)  # the r11 near-miss
+    results = {k: v["final"] for k, v in dr.items()}
+    prior = {k: v["prior"] for k, v in dr.items()}
+    for i in range(20):
+        results[f"stable{i}"] = 1.0
+        prior[f"stable{i}"] = 1.0
+    note = attribute_environment_codrift(dr, results, prior)
+    assert note is not None
+    assert note["outliers"] == ["agg_map_counts"]
+    assert "agg_map_counts" not in note["codrifters"]
+    assert "attributed" not in dr["agg_map_counts"] or not dr[
+        "agg_map_counts"
+    ].get("attributed")
+    for i in range(5):
+        assert dr[f"q{i}"]["attribution_kind"] == "environment"
+    unexplained = [
+        n
+        for n, e in dr.items()
+        if not e["resolved"]
+        and not e.get("attributed")
+        and not e.get("investigated")
+    ]
+    assert unexplained == ["agg_map_counts"]
+    # the investigated path (fresh-session re-measure) then clears it
+    dr["agg_map_counts"]["investigated"] = "isolated re-measure: 1.0 s"
+    unexplained = [
+        n
+        for n, e in dr.items()
+        if not e["resolved"]
+        and not e.get("attributed")
+        and not e.get("investigated")
+    ]
+    assert unexplained == []
+
+
+def test_codrift_band_is_relative_to_median():
+    """The band scales with the median: under a genuine 2x uniform
+    slowdown a 2.6x drifter is in-band (2.6 <= 1.5 * 2.0), while a
+    4x one is not."""
+    dr = {f"q{i}": _entry(1.0, 2.0) for i in range(4)}
+    dr["ok_high"] = _entry(1.0, 2.6)
+    dr["bad"] = _entry(1.0, 4.0)
+    results = {k: v["final"] for k, v in dr.items()}
+    prior = {k: v["prior"] for k, v in dr.items()}
+    note = attribute_environment_codrift(dr, results, prior)
+    assert "ok_high" in note["codrifters"]
+    assert note["outliers"] == ["bad"]
+
+
+def test_leg_budgets_breach_fails_ledger_not_gate():
+    """VERDICT r11 #4: a leg over its named budget lands in the drift
+    ledger (kind=leg_budget, unresolved -> unexplained unless
+    attributed); in-budget legs read ok; legs with no budget are
+    listed, never silently free."""
+    from bench import apply_leg_budgets
+
+    legs = {
+        "expr_runner_agg": {
+            "er": 0.5,
+            "profile": 12.0,  # breach (budget 9.0)
+            "profile_approx": 3.0,
+            "brand_new_leg": 1.0,  # no budget yet
+        }
+    }
+    dr: dict = {}
+    status = apply_leg_budgets(legs, dr)
+    st = status["expr_runner_agg"]
+    assert st["er"]["ok"] and st["profile_approx"]["ok"]
+    assert not st["profile"]["ok"]
+    assert "live_work" in st["profile"]  # >2s legs name their work
+    assert st["_unbudgeted"] == ["brand_new_leg"]
+    assert dr["expr_runner_agg.leg:profile"]["kind"] == "leg_budget"
+    assert not dr["expr_runner_agg.leg:profile"]["resolved"]
+    # a leg that didn't run reads not-ok with time None (visible gap)
+    assert st["psi"]["time"] is None and not st["psi"]["ok"]
+    assert "expr_runner_agg.leg:psi" not in dr  # absent leg: no breach
+
+
+def test_codrift_skips_entries_with_isolated_evidence():
+    """An entry that already re-measured in an isolated fresh session
+    (e.g. shared_stream_startup governance) must not be swept into the
+    statistical environment amnesty — direct evidence outranks it."""
+    dr = {f"q{i}": _entry(1.0, 1.4) for i in range(3)}
+    dr["shared_stream_startup"] = _entry(
+        6.5, 14.1, isolated_sample=13.9
+    )
+    results = {k: v["final"] for k, v in dr.items()}
+    prior = {k: v["prior"] for k, v in dr.items()}
+    note = attribute_environment_codrift(dr, results, prior)
+    assert note is not None
+    assert "shared_stream_startup" not in note["codrifters"]
+    assert "attribution_kind" not in dr["shared_stream_startup"]

@@ -1348,3 +1348,65 @@ def test_neardup_store_writer_exclusion(spark):
     got2 = read_neardup_store(spark, store)
     assert sorted(r["id"] for r in got2.collect()) == list(range(9)) + [99]
     shutil.rmtree(store, ignore_errors=True)
+
+
+def test_neardup_store_probe_broadcast_fallback(spark, sf_dir, monkeypatch):
+    """VERDICT r11 #6: past _ISIN_PRUNE_MAX distinct band/id buckets
+    the history probe switches from IN-literal pruning to a broadcast
+    left-semi join on the bucket column — the physical plan carries no
+    giant In list, and the streamed store state is IDENTICAL to the
+    literal path's."""
+    import re
+
+    from quality_spark.sources.parquet_compat import read_parquet_compat
+    from quality_spark.streaming import recipes
+    from quality_spark.streaming.recipes import (
+        _neardup_committed,
+        _neardup_live_dirs,
+        _pruned_store_scan,
+        neardup_to_store,
+        read_neardup_store,
+    )
+
+    kw = dict(k=3, num_perm=16, bands=8, threshold=0.3)
+    docs = read_parquet_compat(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter("doc_id < 240")
+    batches = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+
+    s1 = tempfile.mkdtemp(prefix="qs_nd_lit_")
+    h1 = neardup_to_store(s1, **kw)
+    for i, b in enumerate(batches):
+        h1(b, i)
+    lit_state = sorted(
+        map(tuple, read_neardup_store(spark, s1).collect())
+    )
+
+    monkeypatch.setattr(recipes, "_ISIN_PRUNE_MAX", 2)
+    s2 = tempfile.mkdtemp(prefix="qs_nd_semi_")
+    h2 = neardup_to_store(s2, **kw)
+    for i, b in enumerate(batches):
+        h2(b, i)
+    semi_state = sorted(
+        map(tuple, read_neardup_store(spark, s2).collect())
+    )
+    assert lit_state == semi_state and len(lit_state) > 0
+
+    # plan pin: the fallback probe is a semi join with NO In-literal
+    # list on the bucket column
+    eps, _ = _neardup_committed(spark, s2)
+    dirs = _neardup_live_dirs(spark, s2, eps)
+    buckets = spark.range(0, 40).select(F.col("id").alias("bb"))
+    probe = _pruned_store_scan(spark, f"{s2}/sigs", dirs, "bb", buckets)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"bb#\d+ IN \(", plan), plan[:800]
+    assert "LeftSemi" in plan, plan[:800]
+    # and the literal path (small set) still prunes statically
+    monkeypatch.setattr(recipes, "_ISIN_PRUNE_MAX", 128)
+    small = spark.range(0, 3).select(F.col("id").alias("bb"))
+    probe2 = _pruned_store_scan(spark, f"{s2}/sigs", dirs, "bb", small)
+    plan2 = probe2._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan2)
+    assert m and "bb" in m.group(1), plan2[:800]
+    shutil.rmtree(s1, ignore_errors=True)
+    shutil.rmtree(s2, ignore_errors=True)

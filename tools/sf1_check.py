@@ -243,11 +243,22 @@ def main() -> None:
 
     out = os.path.join(REPO, "sf1_gate_results.json")
     if args.only and os.path.exists(out):
-        # --only reruns merge into the existing full record
+        # --only reruns merge into the existing full record. The merge
+        # (VERDICT r11 #5) PRUNES keys that left the driver window and
+        # guarantees per-entry provenance: entries run now carry
+        # git_head; carried-forward entries keep the git_head /
+        # inherited_from they already have (the r12 backfill stamped
+        # every legacy entry from the file's git history), and any
+        # entry that would end up sha-less is stamped
+        # inherited_from=<current merge HEAD> as a visible last resort.
         with open(out) as fh:
             prev = json.load(fh).get("results", {})
         prev.update(results)
-        results = prev
+        live = set(em.queries())
+        results = {k: v for k, v in prev.items() if k in live}
+        for k, v in results.items():
+            if not v.get("git_head") and not v.get("inherited_from"):
+                v["inherited_from"] = head
     with open(out, "w") as fh:
         json.dump(
             {
