@@ -7481,7 +7481,12 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (PCG_XSH_RR_32 — additionally pinned against the published
     pcg32 demo vectors — and the 64-bit-output PCG_RXS_M_XS_64), and
     xorshift1024* (the 1024-bit rotating-frame GF(2) engine, oracle
-    written as an explicit pointer walk) — on a
+    written as an explicit pointer walk), and — round 12 — the WELL
+    pair WELL_512_A / WELL_1024_A (Panneton–L'Ecuyer–Matsumoto 2006;
+    jumpable 512/1024-bit GF(2) engines, additionally pinned in
+    tests/test_ids.py against Spark's own commons-math3 oracle;
+    seeding is the documented commons-math3 setSeed(long) convention,
+    NOT commons-rng's Long2IntArray — pyrng.py WELL STATUS) — on a
     single-partition range, where row
     ids ARE sequence positions: the distributed pandas-UDF output must
     equal the first 2n outputs of the published sequential algorithms
@@ -7509,6 +7514,8 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs = F.expr(expand_sql("rng('XOR_SHIFT_1024_S', 11)"))
     xsp = F.expr(expand_sql("rng('XOR_SHIFT_1024_S_PHI', 11)"))
     mt = F.expr(expand_sql("rng('MT', 9)"))
+    w5 = F.expr(expand_sql("rng('WELL_512_A', 4242)"))
+    w10 = F.expr(expand_sql("rng('WELL_1024_A', 4242)"))
     return df.select(
         F.col("id").cast("bigint").alias("id"),
         x["lower"].alias("xrsr_lo"),
@@ -7531,6 +7538,10 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         xsp["higher"].alias("xsphi_hi"),
         mt["lower"].alias("mt_lo"),
         mt["higher"].alias("mt_hi"),
+        w5["lower"].alias("w512_lo"),
+        w5["higher"].alias("w512_hi"),
+        w10["lower"].alias("w1024_lo"),
+        w10["higher"].alias("w1024_hi"),
     )
 
 
@@ -7684,9 +7695,64 @@ def _rng_parity_reference(n: int) -> list:
             (out32[2 * i] << 32) | out32[2 * i + 1] for i in range(count64)
         ]
 
+    def well_stream(seed: int, count: int, r: int) -> list:
+        # WELL 512a/1024a (Panneton-L'Ecuyer-Matsumoto 2006) with the
+        # commons-math3 setSeed(long) convention: int[]{hi32, lo32} +
+        # 1812433253 expansion — explicit R-word array + moving
+        # pointer, independent of the production rotating-frame GF(2)
+        # path.
+        M32 = 0xFFFFFFFF
+        s64 = seed & m
+        v = [(s64 >> 32) & M32, s64 & M32]
+        for i in range(2, r):
+            l = v[i - 2]
+            ls = l - (1 << 32) if l >= (1 << 31) else l
+            v.append((1812433253 * (ls ^ (ls >> 30)) + i) & M32)
+        i, out = 0, []
+        msk = r - 1
+        for _ in range(count):
+            if r == 16:
+                vi, vm1, vm2 = v[i], v[(i + 13) & msk], v[(i + 9) & msk]
+                z0 = v[(i + 15) & msk]
+                z1 = (vi ^ ((vi << 16) & M32)) ^ (
+                    vm1 ^ ((vm1 << 15) & M32)
+                )
+                z2 = vm2 ^ (vm2 >> 11)
+                z3 = z1 ^ z2
+                z4 = (
+                    (z0 ^ ((z0 << 2) & M32))
+                    ^ (z1 ^ ((z1 << 18) & M32))
+                    ^ ((z2 << 28) & M32)
+                    ^ (z3 ^ ((z3 << 5) & 0xDA442D24))
+                )
+            else:
+                vi, vm1 = v[i], v[(i + 3) & msk]
+                vm2, vm3 = v[(i + 24) & msk], v[(i + 10) & msk]
+                z0 = v[(i + 31) & msk]
+                z1 = vi ^ (vm1 ^ (vm1 >> 8))
+                z2 = (vm2 ^ ((vm2 << 19) & M32)) ^ (
+                    vm3 ^ ((vm3 << 14) & M32)
+                )
+                z3 = z1 ^ z2
+                z4 = (
+                    (z0 ^ ((z0 << 11) & M32))
+                    ^ (z1 ^ ((z1 << 7) & M32))
+                    ^ (z2 ^ ((z2 << 13) & M32))
+                )
+            v[i] = z3
+            v[(i + r - 1) & msk] = z4
+            i = (i + r - 1) & msk
+            out.append(z4)
+        return [
+            (out[2 * k] << 32) | out[2 * k + 1]
+            for k in range(count // 2)
+        ]
+
     xs = xs1024_stream(11, 2 * n, 1181783497276652981)
     xsp = xs1024_stream(11, 2 * n, 0x9E3779B97F4A7C13)
     mt = mt_stream(9, 2 * n)
+    w5 = well_stream(4242, 4 * n, 16)
+    w10 = well_stream(4242, 4 * n, 32)
     return [
         (
             i,
@@ -7700,6 +7766,8 @@ def _rng_parity_reference(n: int) -> list:
             sgn(xs[2 * i]), sgn(xs[2 * i + 1]),
             sgn(xsp[2 * i]), sgn(xsp[2 * i + 1]),
             sgn(mt[2 * i]), sgn(mt[2 * i + 1]),
+            sgn(w5[2 * i]), sgn(w5[2 * i + 1]),
+            sgn(w10[2 * i]), sgn(w10[2 * i + 1]),
         )
         for i in range(n)
     ]
@@ -7716,6 +7784,7 @@ def _oracle_rng_parity() -> str:
         "jdk_lo", "jdk_hi", "pcg_lo", "pcg_hi", "pcgr_lo", "pcgr_hi",
         "xs1024_lo", "xs1024_hi", "xsphi_lo", "xsphi_hi",
         "mt_lo", "mt_hi",
+        "w512_lo", "w512_hi", "w1024_lo", "w1024_hi",
     ]
     sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
     return f"SELECT {sel} FROM (VALUES {rows}) AS t({', '.join(cols)})"

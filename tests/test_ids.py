@@ -693,3 +693,129 @@ def test_mt19937_bit_parity():
         assert False, "expected ValueError"
     except ValueError as e:
         assert "single-partition" in str(e)
+
+
+def test_well_bit_parity():
+    """rng('WELL_512_A'/'WELL_1024_A') must emit the published WELL
+    streams (Panneton, L'Ecuyer & Matsumoto 2006) under the
+    commons-math3 setSeed(long) convention — pinned against an
+    INDEPENDENT plain-python reference with an explicit R-word array
+    and moving pointer (no rotating-frame trick shared with the
+    production path), and against hardcoded vectors generated by
+    running Spark's own commons-math3 3.6.1 Well512a/Well1024a in
+    this container (an external reference no python defect can
+    correlate with). Random access exercises the 512/1024-bit GF(2)
+    jump matrices."""
+    import numpy as np
+
+    from quality_spark.functions.pyrng import SUPPORTED_RNG_ALGOS, rng_draws
+
+    M32 = 0xFFFFFFFF
+
+    def seed_state(seed, r):
+        s64 = seed & ((1 << 64) - 1)
+        v = [(s64 >> 32) & M32, s64 & M32]
+        for i in range(2, r):
+            l = v[i - 2]
+            ls = l - (1 << 32) if l >= (1 << 31) else l
+            v.append((1812433253 * (ls ^ (ls >> 30)) + i) & M32)
+        return v
+
+    def well512_stream(seed, count):
+        # pointer walk, indexRank form (commons-math3 Well512a.next)
+        v = seed_state(seed, 16)
+        i = 0
+        out = []
+        for _ in range(count):
+            vi, vm1, vm2 = v[i], v[(i + 13) & 15], v[(i + 9) & 15]
+            z0 = v[(i + 15) & 15]
+            z1 = (vi ^ ((vi << 16) & M32)) ^ (vm1 ^ ((vm1 << 15) & M32))
+            z2 = vm2 ^ (vm2 >> 11)
+            z3 = z1 ^ z2
+            z4 = (
+                (z0 ^ ((z0 << 2) & M32))
+                ^ (z1 ^ ((z1 << 18) & M32))
+                ^ ((z2 << 28) & M32)
+                ^ (z3 ^ ((z3 << 5) & 0xDA442D24))
+            )
+            v[i] = z3
+            v[(i + 15) & 15] = z4
+            i = (i + 15) & 15
+            out.append(z4)
+        return [
+            (out[2 * k] << 32) | out[2 * k + 1] for k in range(count // 2)
+        ]
+
+    def well1024_stream(seed, count):
+        v = seed_state(seed, 32)
+        i = 0
+        out = []
+        for _ in range(count):
+            vi, vm1 = v[i], v[(i + 3) & 31]
+            vm2, vm3 = v[(i + 24) & 31], v[(i + 10) & 31]
+            z0 = v[(i + 31) & 31]
+            z1 = vi ^ (vm1 ^ (vm1 >> 8))
+            z2 = (vm2 ^ ((vm2 << 19) & M32)) ^ (vm3 ^ ((vm3 << 14) & M32))
+            z3 = z1 ^ z2
+            z4 = (
+                (z0 ^ ((z0 << 11) & M32))
+                ^ (z1 ^ ((z1 << 7) & M32))
+                ^ (z2 ^ ((z2 << 13) & M32))
+            )
+            v[i] = z3
+            v[(i + 31) & 31] = z4
+            i = (i + 31) & 31
+            out.append(z4)
+        return [
+            (out[2 * k] << 32) | out[2 * k + 1] for k in range(count // 2)
+        ]
+
+    # vectors from org.apache.commons.math3.random.* in THIS container
+    # (int[]{hi32, lo32} of the long seed — the setSeed(long) layout)
+    jvm_vecs = {
+        ("WELL_512_A", 42): [
+            5456435483662757893, 8950291576603656175, 9111012338913766545,
+            -3536233423804604338, -8101045523086190163, 571030386915393023,
+            -2452692153716006385, 3752066860202403739],
+        ("WELL_512_A", -7): [
+            4261427944463143173, -6322255422406151185, -3965044205715199599,
+            -8796701469642888082, -5494099558954182259, -3381396235022603636,
+            1205874856794310237, 7766447383877948621],
+        ("WELL_512_A", 123456789012345): [
+            6987776822028664992, -2577523798227241186, 1699298330021299153,
+            -4677220523100865180, -616331692972045038, 232405301085988821,
+            -1059171569120134822, 3342115206350658607],
+        ("WELL_1024_A", 42): [
+            -4213490162135218861, -3346949894316440600, -3078351854007150331,
+            -5288794100032015236, -1738315738188431520, 8647344649620882811,
+            -5367979642416108059, -7813194700899084648],
+        ("WELL_1024_A", -7): [
+            -7270024490500755924, -1024112746829413584, -5662390057493096834,
+            6602390224421592618, 1114452237063163639, 7299796303925245295,
+            -5348370957725055026, 9044460377905918765],
+        ("WELL_1024_A", 123456789012345): [
+            2073669651757757149, -6118721389668751057, 5985266252905993751,
+            5314294242692646975, -1714605033652169690, -6784639040127766883,
+            -5514547652484556361, -5221783452531918091],
+    }
+    streams = {"WELL_512_A": well512_stream, "WELL_1024_A": well1024_stream}
+    for name, ref_stream in streams.items():
+        aid = SUPPORTED_RNG_ALGOS[name]
+        for seed in (42, -7, 0, 123456789012345):
+            mids = np.arange(0, 30, dtype=np.int64)
+            whole = rng_draws(aid, seed, mids, 2)
+            ref = ref_stream(seed, 120)
+            assert [int(v) for v in whole.reshape(-1)] == ref, (name, seed)
+            if (name, seed) in jvm_vecs:
+                got_signed = [
+                    int(v) for v in whole.reshape(-1)[:8].view(np.int64)
+                ]
+                assert got_signed == jvm_vecs[(name, seed)], (name, seed)
+            # sparse gather equals the contiguous walk
+            pick = np.array([2, 3, 11, 29], dtype=np.int64)
+            assert (rng_draws(aid, seed, pick, 2) == whole[pick]).all()
+        # far random access exercises the GF(2) jump path
+        far = 3789
+        ref = ref_stream(42, (far + 1) * 4)
+        off = rng_draws(aid, 42, np.array([far], np.int64), 2)
+        assert [int(off[0, 0]), int(off[0, 1])] == ref[far * 2: far * 2 + 2], name
