@@ -21,6 +21,17 @@ the probed regions — the reference's mmap readback, idiomatically.
 Sizing: each bucket holds ``expected/buckets`` keys at the requested
 fpp; choose ``buckets`` so one bucket bitset (~``-n ln p / ln^2 2 / 8``
 bytes) fits comfortably in a task's memory.
+
+FILESYSTEM CONTRACT (round 12, explicit): this store is mmap-based BY
+DESIGN (the reference's readback model), so ``root_dir`` must be a
+POSIX path visible to every executor — a mounted shared filesystem
+(NFS/Lustre, or an object store through a FUSE mount like s3fs/
+goofys/dbfs). URI-scheme paths (``s3a://``, ``hdfs://``) cannot be
+mmap'd and are REFUSED at build time rather than failing later inside
+an executor task. This is deliberately different from the PQ/BM25
+index stores (whose data goes through Spark writers and sidecars
+through `sources.fsio`): a bloom probe's whole point is paging in
+only the touched bits, which requires mmap, which requires a mount.
 """
 
 from __future__ import annotations
@@ -49,7 +60,9 @@ __all__ = [
 
 #: default root for file-backed blooms (reference
 #: ``com.sparkutils.quality.bloomFileLocation``) — on a cluster set
-#: this to shared storage (s3/dbfs/hdfs-fuse path) before building.
+#: this to a POSIX-MOUNTED shared path (NFS, or s3fs/goofys/dbfs FUSE
+#: mount) before building; URI schemes are refused (module docstring,
+#: FILESYSTEM CONTRACT).
 _BLOOM_FILE_LOCATION: Union[str, None] = None
 
 
@@ -89,6 +102,14 @@ def big_bloom_from(
     buckets: int = 8,
 ) -> BigBloom:
     """Build a bucketed bloom over ``expr_sql`` values into ``root_dir``."""
+    if "://" in root_dir:
+        raise ValueError(
+            f"big_bloom_from root_dir {root_dir!r} is a URI — this "
+            "store is mmap-based and needs a POSIX path visible to "
+            "every executor (mount the object store via FUSE: s3fs/"
+            "goofys/dbfs). See the module docstring's FILESYSTEM "
+            "CONTRACT."
+        )
     per_bucket = max(1, expected // buckets)
     m_bits, k = BloomFilter.params(per_bucket, fpp)
     n_bytes = m_bits // 8

@@ -106,6 +106,33 @@ def write_text(path: str, text: str) -> None:
         out.close()
 
 
+def read_bytes(path: str) -> bytes:
+    fs, jvm = _resolve(path)
+    if fs is None:
+        with open(path, "rb") as fh:
+            return fh.read()
+    stream = fs.open(_jp(jvm, path))
+    try:
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536)
+        return bytes(out.toByteArray())
+    finally:
+        stream.close()
+
+
+def write_bytes(path: str, data: bytes) -> None:
+    fs, jvm = _resolve(path)
+    if fs is None:
+        with open(path, "wb") as fh:
+            fh.write(data)
+        return
+    out = fs.create(_jp(jvm, path), True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
 def read_json(path: str):
     return _json.loads(read_text(path))
 

@@ -479,22 +479,31 @@ def probability_in(expr: Union[Column, str], name: str) -> Column:
 
 def save_bloom(bf: BloomFilter, path: str) -> None:
     """Persist to a directory (shared storage at scale — the big-bloom
-    file layout, reference BloomModel.scala:36-99)."""
-    import json
-    import os
+    file layout, reference BloomModel.scala:36-99). Round 12: I/O goes
+    through `sources.fsio`, so the path may live on any Hadoop
+    filesystem (file://, hdfs://, s3a://, …) — small blooms are
+    driver-sized, so the bits travel as one buffer."""
+    import io
 
-    os.makedirs(path, exist_ok=True)
-    with open(f"{path}/meta.json", "w") as fh:
-        json.dump({"m_bits": bf.m_bits, "k": bf.k, "fpp": bf.fpp}, fh)
-    np.save(f"{path}/bits.npy", bf.bits)
+    from . import fsio
+
+    fsio.makedirs(path)
+    fsio.write_json(
+        fsio.join(path, "meta.json"),
+        {"m_bits": bf.m_bits, "k": bf.k, "fpp": bf.fpp},
+    )
+    buf = io.BytesIO()
+    np.save(buf, bf.bits)
+    fsio.write_bytes(fsio.join(path, "bits.npy"), buf.getvalue())
 
 
 def load_bloom(path: str) -> BloomFilter:
-    import json
+    import io
 
-    with open(f"{path}/meta.json") as fh:
-        meta = json.load(fh)
-    bits = np.load(f"{path}/bits.npy")
+    from . import fsio
+
+    meta = fsio.read_json(fsio.join(path, "meta.json"))
+    bits = np.load(io.BytesIO(fsio.read_bytes(fsio.join(path, "bits.npy"))))
     return BloomFilter(bits, meta["m_bits"], meta["k"], meta["fpp"])
 
 

@@ -202,3 +202,28 @@ def test_rebuild_in_place_resets_epoch_ledger(spark, sf_dir, tmp_path):
     assert not os.path.exists(f"{bidx}/postings.old")
     assert append_bm25_index(docs.filter("doc_id % 2 = 1"), bidx, epoch=0)
     assert json.load(open(f"{bidx}/epochs.json"))["applied"] == [0]
+
+
+def test_small_bloom_persist_on_file_uri(spark, tmp_path):
+    """save_bloom/load_bloom round-trip through fsio — works on a
+    file:// URI (any Hadoop filesystem), values identical."""
+    from quality_spark.sources.lookups import bloom_from, load_bloom, save_bloom
+
+    df = spark.createDataFrame([(i,) for i in (1, 5, 99, 12345)], "x long")
+    bf = bloom_from(df, "x", expected=4, fpp=0.01)
+    loc = f"file://{tmp_path}/bloom"
+    save_bloom(bf, loc)
+    back = load_bloom(loc)
+    assert back.m_bits == bf.m_bits and back.k == bf.k
+    assert (back.bits == bf.bits).all()
+    assert os.path.exists(f"{tmp_path}/bloom/bits.npy")
+
+
+def test_big_bloom_refuses_uri_root(spark, sf_dir):
+    """The mmap-based bucketed bloom fails loudly at BUILD time on a
+    URI root instead of dying inside an executor task later."""
+    from quality_spark.sources.bigbloom import big_bloom_from
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="FILESYSTEM\nCONTRACT|FILESYSTEM"):
+        big_bloom_from(docs, "doc_id", 1000, "s3a://bucket/blooms")
