@@ -19,6 +19,51 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _nanos_columns_jvm(spark: SparkSession, path: str) -> List[str]:
+    """Footer nanos detection through the JVM parquet reader — works on
+    any Hadoop filesystem (round 12: the pyarrow path below needs a
+    locally readable file, which an s3a://hdfs:// input is not). Still
+    metadata-only: one footer of the first data file."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    st = fs.getFileStatus(hpath)
+    target = None
+    if st.isDirectory():
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            f = it.next().getPath()
+            if f.getName().endswith(".parquet"):
+                target = f
+                break
+        if target is None:
+            return []
+    else:
+        target = hpath
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        target, conf
+    )
+    rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    try:
+        schema = rdr.getFileMetaData().getSchema()
+        out = []
+        for i in range(schema.getFieldCount()):
+            t = schema.getType(i)
+            if not t.isPrimitive():
+                continue
+            ann = t.getLogicalTypeAnnotation()
+            if ann is None:
+                continue
+            if "Timestamp" not in ann.getClass().getSimpleName():
+                continue
+            if ann.getUnit().toString() == "NANOS":
+                out.append(t.getName())
+        return out
+    finally:
+        rdr.close()
+
+
 def _nanos_columns(path: str) -> List[str]:
     import pyarrow.parquet as pq
     import pyarrow.types as pat
@@ -50,7 +95,10 @@ def _nanos_columns(path: str) -> List[str]:
 def read_parquet_compat(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns,
     converting them to microsecond timestamps."""
-    nanos = _nanos_columns(path)
+    if "://" in path:
+        nanos = _nanos_columns_jvm(spark, path)
+    else:
+        nanos = _nanos_columns(path)
     if not nanos:
         return spark.read.parquet(path)
     conf_key = "spark.sql.legacy.parquet.nanosAsLong"

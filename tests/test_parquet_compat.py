@@ -71,3 +71,44 @@ def test_nanos_detected_in_partitioned_layout(spark, tmp_path):
     pq.write_table(t, str(root / "lang=en" / "part-0.parquet"))
     df = read_parquet_compat(spark, str(root))
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
+
+
+def test_read_parquet_compat_uri_path(spark, tmp_path):
+    """Round 12: nanos detection works on URI paths too — the footer
+    is read through the JVM parquet reader (any Hadoop filesystem),
+    not pyarrow-on-local-path. A file:// nanos table must read
+    identically to the plain local path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quality_spark.sources.parquet_compat import (
+        _nanos_columns,
+        _nanos_columns_jvm,
+        read_parquet_compat,
+    )
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [1700000000123456789, 1700000001000000001, 0],
+                pa.timestamp("ns"),
+            ),
+        }
+    )
+    local = str(tmp_path / "nanos.parquet")
+    pq.write_table(tbl, local)
+    uri = f"file://{local}"
+    assert _nanos_columns_jvm(spark, uri) == _nanos_columns(local) == ["ts"]
+    a = read_parquet_compat(spark, local)
+    b = read_parquet_compat(spark, uri)
+    assert a.schema == b.schema
+    assert dict(a.dtypes)["ts"] == "timestamp"
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb and len(ka) == 3
+    # directory layout: the first data file's footer drives detection
+    (tmp_path / "nanodir").mkdir()
+    d = str(tmp_path / "nanodir")
+    pq.write_table(tbl, f"{d}/part-0.parquet")
+    assert _nanos_columns_jvm(spark, f"file://{d}") == ["ts"]
