@@ -7483,11 +7483,12 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     xorshift1024* (the 1024-bit rotating-frame GF(2) engine, oracle
     written as an explicit pointer walk), and — round 12 — the WELL
     pair WELL_512_A / WELL_1024_A (Panneton–L'Ecuyer–Matsumoto 2006;
-    jumpable 512/1024-bit GF(2) engines, additionally pinned in
-    tests/test_ids.py against Spark's own commons-math3 oracle;
-    seeding is the documented commons-math3 setSeed(long) convention,
-    NOT commons-rng's Long2IntArray — pyrng.py WELL STATUS) — on a
-    single-partition range, where row
+    jumpable 512/1024-bit GF(2) engines) plus WELL_19937_C (the big-
+    state variant, bounded-sequential like MT) — all additionally
+    pinned in tests/test_ids.py against Spark's own commons-math3
+    oracle; seeding is the documented commons-math3 setSeed(long)
+    convention, NOT commons-rng's Long2IntArray — pyrng.py WELL
+    STATUS — on a single-partition range, where row
     ids ARE sequence positions: the distributed pandas-UDF output must
     equal the first 2n outputs of the published sequential algorithms
     (SplitMix64, Steele/Lea/Flood 2014; xoroshiro128++/**, xoshiro256++,
@@ -7516,6 +7517,7 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mt = F.expr(expand_sql("rng('MT', 9)"))
     w5 = F.expr(expand_sql("rng('WELL_512_A', 4242)"))
     w10 = F.expr(expand_sql("rng('WELL_1024_A', 4242)"))
+    w19 = F.expr(expand_sql("rng('WELL_19937_C', 4242)"))
     return df.select(
         F.col("id").cast("bigint").alias("id"),
         x["lower"].alias("xrsr_lo"),
@@ -7542,6 +7544,8 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         w5["higher"].alias("w512_hi"),
         w10["lower"].alias("w1024_lo"),
         w10["higher"].alias("w1024_hi"),
+        w19["lower"].alias("w19937c_lo"),
+        w19["higher"].alias("w19937c_hi"),
     )
 
 
@@ -7751,8 +7755,49 @@ def _rng_parity_reference(n: int) -> list:
     xs = xs1024_stream(11, 2 * n, 1181783497276652981)
     xsp = xs1024_stream(11, 2 * n, 0x9E3779B97F4A7C13)
     mt = mt_stream(9, 2 * n)
+    def well19937c_stream(seed: int, count: int) -> list:
+        # WELL19937c — big-state variant, explicit 624-word array +
+        # moving pointer. The z-algebra below is the published
+        # WELL19937 recurrence (M1=70, M2=179, M3=449, P=31) with the
+        # Matsumoto tempering (0xe46e1700 / 0x9b868000); the
+        # production path (pyrng) was system-identified against the
+        # commons-math3 oracle, this loop is the independent replica.
+        M32 = 0xFFFFFFFF
+        s64 = seed & m
+        v = [(s64 >> 32) & M32, s64 & M32]
+        for i in range(2, 624):
+            l = v[i - 2]
+            ls = l - (1 << 32) if l >= (1 << 31) else l
+            v.append((1812433253 * (ls ^ (ls >> 30)) + i) & M32)
+        i, out = 0, []
+        for _ in range(count):
+            v0, vm1 = v[i], v[(i + 70) % 624]
+            vm2, vm3 = v[(i + 179) % 624], v[(i + 449) % 624]
+            vrm1, vrm2 = v[(i + 623) % 624], v[(i + 622) % 624]
+            z0 = (vrm1 & 0x80000000) | (vrm2 & 0x7FFFFFFF)
+            z1 = (v0 ^ ((v0 << 25) & M32)) ^ (vm1 ^ (vm1 >> 27))
+            z2 = (vm2 >> 9) ^ (vm3 ^ (vm3 >> 1))
+            z3 = z1 ^ z2
+            z4 = (
+                z0 ^ (z1 >> 21) ^ ((z1 << 9) & M32)
+                ^ (z2 >> 21) ^ ((z2 << 21) & M32)
+            )
+            v[i] = z3
+            v[(i + 623) % 624] = z4
+            v[(i + 622) % 624] = vrm2 & 0x80000000
+            i = (i + 623) % 624
+            y = z4
+            y ^= (y << 7) & 0xE46E1700
+            y ^= (y << 15) & 0x9B868000
+            out.append(y & M32)
+        return [
+            (out[2 * k] << 32) | out[2 * k + 1]
+            for k in range(count // 2)
+        ]
+
     w5 = well_stream(4242, 4 * n, 16)
     w10 = well_stream(4242, 4 * n, 32)
+    w19 = well19937c_stream(4242, 4 * n)
     return [
         (
             i,
@@ -7768,6 +7813,7 @@ def _rng_parity_reference(n: int) -> list:
             sgn(mt[2 * i]), sgn(mt[2 * i + 1]),
             sgn(w5[2 * i]), sgn(w5[2 * i + 1]),
             sgn(w10[2 * i]), sgn(w10[2 * i + 1]),
+            sgn(w19[2 * i]), sgn(w19[2 * i + 1]),
         )
         for i in range(n)
     ]
@@ -7785,6 +7831,7 @@ def _oracle_rng_parity() -> str:
         "xs1024_lo", "xs1024_hi", "xsphi_lo", "xsphi_hi",
         "mt_lo", "mt_hi",
         "w512_lo", "w512_hi", "w1024_lo", "w1024_hi",
+        "w19937c_lo", "w19937c_hi",
     ]
     sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
     return f"SELECT {sel} FROM (VALUES {rows}) AS t({', '.join(cols)})"

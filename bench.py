@@ -703,11 +703,12 @@ def main() -> None:
         # compare against — their notes are pruned so a stale
         # attribution can never absorb NEW drift (VERDICT r10: stale
         # notes are worse than an unexplained flag)
-        "rng_parity": "round 12: 4 NEW columns (w512_lo/hi, "
-        "w1024_lo/hi) — WELL_512_A / WELL_1024_A are now bit-exact "
-        "jumpable GF(2) engines (VERDICT r11 next #8, pinned against "
-        "Spark's bundled commons-math3 oracle); the gate gains two "
-        "512/1024-bit jump-matrix streams plus their driver-side "
+        "rng_parity": "round 12: 6 NEW columns (w512/w1024/w19937c "
+        "lo+hi) — the FULL WELL family is now bit-exact (VERDICT r11 "
+        "next #8, pinned against Spark's bundled commons-math3 "
+        "oracle): 512a/1024a as jumpable GF(2) engines, 19937a/c + "
+        "44497a/b bounded-sequential via oracle system-identification; "
+        "the gate gains three WELL streams plus their driver-side "
         "pointer-walk oracle rows",
     }
     # VERDICT r08 #5: join the two records — a retried query whose

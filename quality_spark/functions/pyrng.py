@@ -31,7 +31,8 @@ per-partition stream.  Two honesty notes, both load-bearing:
   power for LCG/PCG/JDK, GF(2) jump matrices for the xoroshiro/
   xoshiro/xorshift1024 linear engines, counter form for SplitMix64).
   MT and the big WELLs (19937/44497) are linear but their jump
-  matrices are hundreds of MB to GBs per level; ISAAC / KISS / MWC / JSF / SFC / MSWS /
+  matrices are hundreds of MB to GBs per level (both get the bounded-
+  sequential exception instead); ISAAC / KISS / MWC / JSF / SFC / MSWS /
   TWO_CMRES are nonlinear (carry/chaotic state) with no known
   sub-linear advance at all — a bit-exact port would have to walk the
   stream from position 0 per task, O(partition·2^33) work.
@@ -74,12 +75,18 @@ per-partition stream.  Two honesty notes, both load-bearing:
   transition constants were solved against a live oracle state diff
   (unique shift solution), so nothing rests on from-memory
   transcription.  The FOUR big-state variants (WELL_19937_A/C,
-  WELL_44497_A/B) stay on honest Philox streams: their 19937/44497-bit
-  jump matrices are GB-scale per level in this representation (no
-  sub-linear advance), and the MT-style bounded-sequential fallback
-  would be a pure-python loop with no numpy engine behind it —
-  seconds per thousand draws per task, a footgun under the per-task
-  cost contract.
+  WELL_44497_A/B) are ALSO bit-exact (round 12 continuation), via the
+  MT recipe: bounded SEQUENTIAL reproduction from position 0
+  (positions < ``_WELL_SEQ_MAX_WORDS``; partitioned mids refused with
+  guidance) — their 19937/44497-bit jump matrices are GB-scale, so no
+  sub-linear advance exists and no partitioned use is offered.  Their
+  transition algebra was SYSTEM-IDENTIFIED against the oracle (full-
+  rank GF(2) solve over stepwise state observations across 60 fresh
+  seeds, diagonal shift/mask decomposition read off the learned
+  matrix — see the big-WELL section), then the full streams pinned
+  seed-for-seed; the 19937c/44497b tempering masks recovered from the
+  learned output map match the published WELL tempering constants
+  (0xe46e1700/0x9b868000 and 0x93dd1400/0xfa118000).
 - Every family is backed by numpy's Philox in counter mode, keyed by
   (algo-id, seed) and jumped per Spark partition.  Philox is the one
   numpy BitGenerator whose O(1) ``advance`` lets a row address its
@@ -396,6 +403,108 @@ def _well_run(
         lo = s[0] & _M32
         s = step(s)
         out[j] = (hi << 32) | lo
+    return out
+
+
+# --- big-state WELLs (19937a/c, 44497a/b) — bounded-sequential --------
+#
+# Round 12 continuation: the four big-state WELL variants follow the
+# MT recipe (bit-exact by SEQUENTIAL reproduction from position 0,
+# positions bounded, partitioned mids refused) — their 19937/44497-bit
+# jump matrices are GB-scale, so no sub-linear advance exists here.
+# The transition algebra below was SYSTEM-IDENTIFIED against the
+# in-container commons-math3 oracle: observe (6 read words -> 3
+# written words) per step across 60 fresh seeds (the masked
+# incomplete word's bits are only exercised in first steps), solve
+# the 192->96 GF(2) linear system at full rank, verify on every
+# observation, then read the per-input diagonal (shift/mask) form off
+# the learned matrix — nothing here is a from-memory transcription,
+# and the full streams are pinned seed-for-seed against the oracle in
+# tests.  Seeding is the shared commons-math3 ``setSeed(long)``
+# convention (`_well_seed_lanes`).  The 19937 z1/z2 algebra matches
+# the published WELL19937a (MAT0NEG(-25)/MAT0POS(27)/MAT3POS(9)/
+# MAT0POS(1)); the 44497 z2->z4 term is the paper's non-diagonal MAT5
+# matrix, carried as the learned (shift, mask) list verbatim.
+
+#: learned z2->z4 term of WELL44497 (the paper's MAT5 matrix), as
+#: (shift, mask) pairs: positive shift = left, mask None = full word.
+_W44497_Z2_TERMS = (
+    (-23, None), (-15, 0x4), (-14, 0x8), (-12, 0x20), (-11, 0x40),
+    (-10, 0x80), (-7, 0x400), (-6, 0x800), (-5, 0x1000), (-4, 0x2000),
+    (-3, 0x4000), (-2, 0x8000), (-1, 0x10000), (0, None),
+    (2, 0x80000), (4, 0x200000), (7, 0x1000000), (8, 0x2000000),
+    (9, None), (11, 0x10000000), (12, 0x20000000), (14, 0x80000000),
+)
+
+#: name -> (R, m1, m2, m3, family, (maskU, maskL, maskRm2), temper)
+_WELL_BIG = {
+    "WELL_19937_A": (
+        624, 70, 179, 449, "19937",
+        (0x80000000, 0x7FFFFFFF, 0x80000000), None,
+    ),
+    "WELL_19937_C": (
+        624, 70, 179, 449, "19937",
+        (0x80000000, 0x7FFFFFFF, 0x80000000),
+        ((7, 0xE46E1700), (15, 0x9B868000)),
+    ),
+    "WELL_44497_A": (
+        1391, 23, 481, 229, "44497",
+        (0xFFFF8000, 0x7FFF, 0xFFFF8000), None,
+    ),
+    "WELL_44497_B": (
+        1391, 23, 481, 229, "44497",
+        (0xFFFF8000, 0x7FFF, 0xFFFF8000),
+        ((7, 0x93DD1400), (15, 0xFA118000)),
+    ),
+}
+
+#: WELL big-state positions are reproduced sequentially in python
+#: (no numpy engine exists) — bound the walk so a call stays sub-second
+_WELL_SEQ_MAX_WORDS = 1 << 16
+
+
+def _well_big_run_words(algo: str, seed: int, n_words: int) -> np.ndarray:
+    """First ``n_words`` 64-bit outputs (two 32-bit draws each, first
+    draw HIGH) of a big-state WELL under the commons-math3
+    setSeed(long) convention."""
+    r, m1, m2, m3, fam, (mu, ml, mrm2), temper = _WELL_BIG[algo]
+    v = _well_seed_lanes(seed, r)
+    i = 0
+    ints = []
+    for _ in range(2 * n_words):
+        v0, vm1 = v[i], v[(i + m1) % r]
+        vm2, vm3 = v[(i + m2) % r], v[(i + m3) % r]
+        vrm1, vrm2 = v[(i + r - 1) % r], v[(i + r - 2) % r]
+        z0 = (vrm1 & mu) | (vrm2 & ml)
+        if fam == "19937":
+            z1 = (v0 ^ ((v0 << 25) & _M32)) ^ (vm1 ^ (vm1 >> 27))
+            z2 = (vm2 >> 9) ^ (vm3 ^ (vm3 >> 1))
+            z4 = (
+                z0
+                ^ (z1 >> 21) ^ ((z1 << 9) & _M32)
+                ^ (z2 >> 21) ^ ((z2 << 21) & _M32)
+            )
+        else:
+            z1 = (v0 ^ ((v0 << 24) & _M32)) ^ (vm1 ^ (vm1 >> 30))
+            z2 = (vm2 ^ ((vm2 << 10) & _M32)) ^ ((vm3 << 26) & _M32)
+            acc = 0
+            for sh, mask in _W44497_Z2_TERMS:
+                t = ((z2 << sh) & _M32) if sh >= 0 else (z2 >> -sh)
+                acc ^= t if mask is None else (t & mask)
+            z4 = z0 ^ (z1 >> 20) ^ acc
+        z3 = z1 ^ z2
+        v[i] = z3
+        v[(i + r - 1) % r] = z4
+        v[(i + r - 2) % r] = vrm2 & mrm2
+        i = (i + r - 1) % r
+        y = z4
+        if temper is not None:
+            for sh, mask in temper:
+                y ^= (y << sh) & mask & _M32
+        ints.append(y)
+    out = np.empty(n_words, np.uint64)
+    for j in range(n_words):
+        out[j] = (ints[2 * j] << 32) | ints[2 * j + 1]
     return out
 
 
@@ -738,6 +847,25 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
         words = _mt_run_words(seed, need)
         pos = mids[:, None] * np.uint64(nwords) + np.arange(nwords, dtype=np.uint64)
         return words[pos.astype(np.int64)]
+    if algo in _WELL_BIG:
+        if n == 0:
+            return np.empty((0, nwords), np.uint64)
+        need = (int(mids.max()) + 1) * nwords
+        if need > _WELL_SEQ_MAX_WORDS:
+            raise ValueError(
+                f"rng({algo!r}) is bit-exact via bounded sequential "
+                "reproduction (no sub-linear advance exists for "
+                "19937/44497-bit WELL states) and supports sequence "
+                f"positions < {_WELL_SEQ_MAX_WORDS // nwords} only "
+                "(single-partition / driver-side use; partitioned mids "
+                "exceed it by construction). Use WELL_512_A/WELL_1024_A "
+                "or a jumpable engine for partitioned frames."
+            )
+        words = _well_big_run_words(algo, seed, need)
+        pos = mids[:, None] * np.uint64(nwords) + np.arange(
+            nwords, dtype=np.uint64
+        )
+        return words[pos.astype(np.int64)]
     if algo == "JDK":
         run_fn = _jdk_run
     elif algo in _PCG_VARIANTS:
@@ -767,7 +895,7 @@ EXACT_RNG_ALGOS = {
     SUPPORTED_RNG_ALGOS[name]: name
     for name in (
         "SPLIT_MIX_64", "JDK", "MT",
-        *_EXACT_ENGINES, *_PCG_VARIANTS, *_WELL_ENGINES,
+        *_EXACT_ENGINES, *_PCG_VARIANTS, *_WELL_ENGINES, *_WELL_BIG,
     )
 }
 

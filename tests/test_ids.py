@@ -819,3 +819,68 @@ def test_well_bit_parity():
         ref = ref_stream(42, (far + 1) * 4)
         off = rng_draws(aid, 42, np.array([far], np.int64), 2)
         assert [int(off[0, 0]), int(off[0, 1])] == ref[far * 2: far * 2 + 2], name
+
+
+def test_well_big_state_bit_parity():
+    """The four big-state WELLs (19937a/c, 44497a/b) are bit-exact by
+    bounded sequential reproduction — pinned against hardcoded vectors
+    generated by running Spark's bundled commons-math3 3.6.1 in this
+    container with the setSeed(long) int[]{hi,lo} layout. Sparse
+    gathers equal the contiguous walk; positions past the bound refuse
+    with guidance (the MT contract)."""
+    import numpy as np
+    import pytest
+
+    from quality_spark.functions.pyrng import (
+        _WELL_SEQ_MAX_WORDS,
+        SUPPORTED_RNG_ALGOS,
+        rng_draws,
+    )
+
+    jvm_vecs = {
+        ("WELL_19937_A", 42): [
+            -6142061048898216391, -8628205861779732368,
+            3380301832793936847, -5016448201780294565,
+            -8443665711049166322, 3932010823485701918],
+        ("WELL_19937_A", 123456789012345): [
+            -2409707533830375871, 834009730975453806,
+            -4187761902314999166, 6370684283151243817,
+            6902246850176809795, 3331382185374103879],
+        ("WELL_19937_C", 42): [
+            5315098601001716281, -5121470754278795152,
+            -3214519431008463665, 653003188072319323,
+            -2100770047029234418, -741037842665097186],
+        ("WELL_19937_C", 123456789012345): [
+            -9088124668384135615, -2595506674052840082,
+            2661067436523107202, -1916507477100442071,
+            2991415931251751491, -4930487822423999929],
+        ("WELL_44497_A", 42): [
+            8973995845477100279, -5404438502399885089,
+            -164636827527496702, -5641771045045314625,
+            -5961198071134316649, -8405456139720893987],
+        ("WELL_44497_A", 123456789012345): [
+            -4228969941589360514, -2809660876585941021,
+            5010802126178077487, -7037278918314873369,
+            4085844664539051246, 936796364300853897],
+        ("WELL_44497_B", 42): [
+            8619359365473434359, -1209616926104140577,
+            7939427972742364162, -7370854233460846657,
+            -1180644657671759977, 7602294064914095581],
+        ("WELL_44497_B", 123456789012345): [
+            2201057620671992958, 5911700538870257635,
+            3981716416776199983, -2945613523302302233,
+            4862574865205387502, 2095628844220688009],
+    }
+    for (name, seed), want in jvm_vecs.items():
+        aid = SUPPORTED_RNG_ALGOS[name]
+        whole = rng_draws(aid, seed, np.arange(6, dtype=np.int64), 1)
+        got = [int(v) for v in whole.reshape(-1).view(np.int64)]
+        assert got == want, (name, seed)
+        pick = np.array([1, 4, 5], dtype=np.int64)
+        sparse = rng_draws(aid, seed, pick, 1)
+        assert [int(v) for v in sparse.reshape(-1).view(np.int64)] == [
+            want[1], want[4], want[5]
+        ], (name, seed)
+    aid = SUPPORTED_RNG_ALGOS["WELL_19937_C"]
+    with pytest.raises(ValueError, match="bounded sequential"):
+        rng_draws(aid, 42, np.array([_WELL_SEQ_MAX_WORDS], np.int64), 1)
