@@ -32,10 +32,15 @@ per-partition stream.  Two honesty notes, both load-bearing:
   xoshiro/xorshift1024 linear engines, counter form for SplitMix64).
   MT and the big WELLs (19937/44497) are linear but their jump
   matrices are hundreds of MB to GBs per level (both get the bounded-
-  sequential exception instead); ISAAC / KISS / MWC / JSF / SFC / MSWS /
+  sequential exception instead); KISS / MWC / JSF / SFC / MSWS /
   TWO_CMRES are nonlinear (carry/chaotic state) with no known
   sub-linear advance at all — a bit-exact port would have to walk the
   stream from position 0 per task, O(partition·2^33) work.
+  ``ISAAC`` (round 12) gets the same bounded-sequential exception as
+  MT despite being nonlinear: Jenkins' published algorithm
+  transcribed and pinned bit-for-bit against the in-container
+  commons-math3 ISAACRandom (seeding, state, and the rsl[255]-down
+  consumption order all verified by oracle state reflection).
   EXCEPTION (round 5): ``MT`` is additionally bit-exact for the
   driver/single-partition case — sequence positions below
   ``_MT_MAX_WORDS`` reproduce the published MT19937 stream by bounded
@@ -463,6 +468,93 @@ _WELL_BIG = {
 _WELL_SEQ_MAX_WORDS = 1 << 16
 
 
+# --- ISAAC (Jenkins 1996) — bounded-sequential, oracle-pinned ---------
+#
+# Round 12 continuation: ISAAC is genuinely NONLINEAR (additions +
+# memory indirection), so no jump/system-identification applies — this
+# is a transcription of Bob Jenkins' published algorithm (randinit
+# with flag=true golden-ratio mixing; the 256-word isaac() batch),
+# verified bit-for-bit against the in-container commons-math3 3.6.1
+# ISAACRandom on first attempt: seeding is the shared setSeed(long)
+# int[]{hi,lo} + 1812433253 expansion to 256 words, and outputs are
+# consumed rsl[255] DOWN to rsl[0] per batch (count decrements).
+# Bounded-sequential like MT/big-WELL: positions < _ISAAC_MAX_WORDS,
+# partitioned mids refused.
+
+_ISAAC_MAX_WORDS = 1 << 18
+_GLD = 0x9E3779B9
+
+
+def _isaac_mix(st):
+    a, b, c, d, e, f, g, h = st
+    a ^= (b << 11) & _M32; d = (d + a) & _M32; b = (b + c) & _M32
+    b ^= c >> 2;           e = (e + b) & _M32; c = (c + d) & _M32
+    c ^= (d << 8) & _M32;  f = (f + c) & _M32; d = (d + e) & _M32
+    d ^= e >> 16;          g = (g + d) & _M32; e = (e + f) & _M32
+    e ^= (f << 10) & _M32; h = (h + e) & _M32; f = (f + g) & _M32
+    f ^= g >> 4;           a = (a + f) & _M32; g = (g + h) & _M32
+    g ^= (h << 8) & _M32;  b = (b + g) & _M32; h = (h + a) & _M32
+    h ^= a >> 9;           c = (c + h) & _M32; a = (a + b) & _M32
+    return [a, b, c, d, e, f, g, h]
+
+
+def _isaac_batch(mem, a, b, c):
+    """One isaac() pass: 256 results + updated (a, b, c)."""
+    c = (c + 1) & _M32
+    b = (b + c) & _M32
+    rsl = [0] * 256
+    for i in range(256):
+        x = mem[i]
+        m = i & 3
+        if m == 0:
+            a ^= (a << 13) & _M32
+        elif m == 1:
+            a ^= a >> 6
+        elif m == 2:
+            a ^= (a << 2) & _M32
+        else:
+            a ^= a >> 16
+        a = (a + mem[(i + 128) & 255]) & _M32
+        y = (mem[(x >> 2) & 255] + a + b) & _M32
+        mem[i] = y
+        b = (mem[(y >> 10) & 255] + x) & _M32
+        rsl[i] = b
+    return rsl, a, b, c
+
+
+def _isaac_run_words(seed: int, n_words: int) -> np.ndarray:
+    """First ``n_words`` 64-bit outputs (two 32-bit draws per word,
+    first draw HIGH) of commons-math3-convention ISAAC."""
+    # seed expansion: int[]{hi,lo} of the long + the 1812433253
+    # recurrence to 256 words (identical to the WELL/MT pattern)
+    s64 = seed & _M64
+    r = [(s64 >> 32) & _M32, s64 & _M32]
+    for j in range(2, 256):
+        k = r[j - 2]
+        ks = k - (1 << 32) if k >= (1 << 31) else k
+        r.append((1812433253 * (ks ^ (ks >> 30)) + j) & _M32)
+    st = [_GLD] * 8
+    for _ in range(4):
+        st = _isaac_mix(st)
+    mem = [0] * 256
+    for base in (r, None):
+        src = r if base is r else mem
+        for i in range(0, 256, 8):
+            st = [(st[k] + src[i + k]) & _M32 for k in range(8)]
+            st = _isaac_mix(st)
+            mem[i:i + 8] = st
+    a = b = c = 0
+    ints = []
+    need = 2 * n_words
+    while len(ints) < need:
+        rsl, a, b, c = _isaac_batch(mem, a, b, c)
+        ints.extend(reversed(rsl))  # consumed rsl[255] down to rsl[0]
+    out = np.empty(n_words, np.uint64)
+    for j in range(n_words):
+        out[j] = (ints[2 * j] << 32) | ints[2 * j + 1]
+    return out
+
+
 def _well_big_run_words(algo: str, seed: int, n_words: int) -> np.ndarray:
     """First ``n_words`` 64-bit outputs (two 32-bit draws each, first
     draw HIGH) of a big-state WELL under the commons-math3
@@ -847,6 +939,24 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
         words = _mt_run_words(seed, need)
         pos = mids[:, None] * np.uint64(nwords) + np.arange(nwords, dtype=np.uint64)
         return words[pos.astype(np.int64)]
+    if algo == "ISAAC":
+        if n == 0:
+            return np.empty((0, nwords), np.uint64)
+        need = (int(mids.max()) + 1) * nwords
+        if need > _ISAAC_MAX_WORDS:
+            raise ValueError(
+                "rng('ISAAC') is bit-exact via bounded sequential "
+                "reproduction (ISAAC is nonlinear — no sub-linear "
+                "advance exists) and supports sequence positions < "
+                f"{_ISAAC_MAX_WORDS // nwords} only (single-partition "
+                "/ driver-side use). Use a jumpable engine for "
+                "partitioned frames."
+            )
+        words = _isaac_run_words(seed, need)
+        pos = mids[:, None] * np.uint64(nwords) + np.arange(
+            nwords, dtype=np.uint64
+        )
+        return words[pos.astype(np.int64)]
     if algo in _WELL_BIG:
         if n == 0:
             return np.empty((0, nwords), np.uint64)
@@ -894,7 +1004,7 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
 EXACT_RNG_ALGOS = {
     SUPPORTED_RNG_ALGOS[name]: name
     for name in (
-        "SPLIT_MIX_64", "JDK", "MT",
+        "SPLIT_MIX_64", "JDK", "MT", "ISAAC",
         *_EXACT_ENGINES, *_PCG_VARIANTS, *_WELL_ENGINES, *_WELL_BIG,
     )
 }

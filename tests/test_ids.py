@@ -884,3 +884,44 @@ def test_well_big_state_bit_parity():
     aid = SUPPORTED_RNG_ALGOS["WELL_19937_C"]
     with pytest.raises(ValueError, match="bounded sequential"):
         rng_draws(aid, 42, np.array([_WELL_SEQ_MAX_WORDS], np.int64), 1)
+
+
+def test_isaac_bit_parity():
+    """rng('ISAAC') — Jenkins' published algorithm, bit-exact by
+    bounded sequential reproduction under the commons-math3
+    setSeed(long) convention. Pinned against hardcoded vectors from
+    Spark's bundled commons-math3 ISAACRandom (run in this container);
+    sparse gathers match; positions past the bound refuse."""
+    import numpy as np
+    import pytest
+
+    from quality_spark.functions.pyrng import (
+        _ISAAC_MAX_WORDS,
+        SUPPORTED_RNG_ALGOS,
+        rng_draws,
+    )
+
+    jvm_vecs = {
+        42: [6194171982032368796, -5512815076332048147,
+             -3623227696489111001, 7454733605502496524,
+             4753972346842655645, -8174626455674861371],
+        123456789012345: [
+             5265734035501747224, 1602647811001470272,
+             -5938896917994526771, 4084073551154119528,
+             -6227608503438561261, 3504243790992417340],
+    }
+    aid = SUPPORTED_RNG_ALGOS["ISAAC"]
+    for seed, want in jvm_vecs.items():
+        whole = rng_draws(aid, seed, np.arange(6, dtype=np.int64), 1)
+        got = [int(v) for v in whole.reshape(-1).view(np.int64)]
+        assert got == want, seed
+        pick = np.array([0, 3, 5], dtype=np.int64)
+        sparse = rng_draws(aid, seed, pick, 1)
+        assert [int(v) for v in sparse.reshape(-1).view(np.int64)] == [
+            want[0], want[3], want[5]
+        ]
+    # batch boundary: word 128 uses the second isaac() batch
+    deep = rng_draws(aid, 42, np.array([127, 128, 129], np.int64), 1)
+    assert len({int(v) for v in deep.ravel()}) == 3
+    with pytest.raises(ValueError, match="bounded sequential"):
+        rng_draws(aid, 42, np.array([_ISAAC_MAX_WORDS], np.int64), 1)
