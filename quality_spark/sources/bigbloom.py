@@ -176,6 +176,13 @@ def big_bloom_from(
 
 
 def load_big_bloom(root_dir: str) -> BigBloom:
+    if "://" in root_dir:
+        raise ValueError(
+            f"load_big_bloom root_dir {root_dir!r} is a URI — this "
+            "store is mmap-based and needs a POSIX path visible to "
+            "every executor (mount the object store via FUSE). See "
+            "the module docstring's FILESYSTEM CONTRACT."
+        )
     with open(os.path.join(root_dir, "meta.json")) as fh:
         meta = json.load(fh)
     return BigBloom(root_dir, meta["buckets"], meta["m_bits"], meta["k"], meta["fpp"])

@@ -42,10 +42,19 @@ from typing import List, Optional
 def _active_spark():
     try:
         from pyspark.sql import SparkSession
-
-        return SparkSession.getActiveSession()
     except Exception:
         return None
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        return s
+    # getActiveSession is a JVM THREAD-local: streaming foreachBatch
+    # py4j callback threads and plain user threads see None there even
+    # while the driver's session is alive — which would wrongly raise
+    # on s3a:// sidecars (or silently fall back to driver-local python
+    # io for schemeless paths, splitting the store across filesystems,
+    # the exact bug this module exists to fix). The process-wide
+    # default session is the right resolver in those threads.
+    return getattr(SparkSession, "_instantiatedSession", None)
 
 
 def _is_schemeless(path: str) -> bool:
@@ -139,6 +148,28 @@ def read_json(path: str):
 
 def write_json(path: str, obj) -> None:
     write_text(path, _json.dumps(obj))
+
+
+def create_new(path: str) -> bool:
+    """Atomically create an empty file; False if it already exists.
+    This is the sentinel/lock primitive — unlike exists()+create(),
+    two concurrent callers cannot both win (Hadoop create with
+    overwrite=false throws on an existing path; O_EXCL locally)."""
+    fs, jvm = _resolve(path)
+    if fs is None:
+        try:
+            fd = _os.open(path, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            return False
+        _os.close(fd)
+        return True
+    try:
+        fs.create(_jp(jvm, path), False).close()
+        return True
+    except Exception as ex:
+        if "exist" in str(ex).lower():
+            return False
+        raise
 
 
 def delete(path: str, recursive: bool = False) -> bool:

@@ -1023,26 +1023,31 @@ def compact_neardup_store(
     dirs = _neardup_live_dirs(spark, store_path, eps)
     if len(dirs) <= 1:
         return
+    from ..sources import fsio
+
     fs, jvm = _hadoop_fs(spark, store_path)
-    sentinel = jvm.org.apache.hadoop.fs.Path(
-        os.path.join(store_path, "compactions", "_COMPACTING")
-    )
-    if fs.exists(sentinel):
+    sentinel = fsio.join(store_path, "compactions", "_COMPACTING")
+    # ATOMIC create (no exists()+create window): two concurrent
+    # compactions cannot both win, and posting the sentinel BEFORE
+    # listing in-flight markers closes the interleaving with
+    # neardup_to_store (which posts its marker before checking this
+    # sentinel — whichever order the two run in, one sees the other).
+    fsio.makedirs(fsio.join(store_path, "compactions"))
+    if not fsio.create_new(sentinel):
         raise RuntimeError(
             "compact_neardup_store: compactions/_COMPACTING already "
             "present — another compaction is running, or a previous "
             "one crashed (delete the sentinel file to recover)."
         )
-    fs.create(sentinel, True).close()
     try:
-        inflight_dir = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(store_path, "_inflight")
-        )
-        if not force and fs.exists(inflight_dir):
-            markers = sorted(
-                st.getPath().getName()
-                for st in fs.listStatus(inflight_dir)
-            )
+        if not force:
+            markers = [
+                n
+                for n in fsio.list_names(
+                    fsio.join(store_path, "_inflight")
+                )
+                if n.startswith("epoch=")
+            ]
             if markers:
                 raise RuntimeError(
                     "compact_neardup_store: in-flight batch markers "
@@ -1053,7 +1058,7 @@ def compact_neardup_store(
                 )
         _compact_neardup_body(spark, store_path, eps, dirs, fs, jvm)
     finally:
-        fs.delete(sentinel, False)
+        fsio.delete(sentinel)
 
 
 def _compact_neardup_body(spark, store_path, eps, dirs, fs, jvm):
@@ -1263,36 +1268,44 @@ def neardup_to_store(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         import os
 
+        from ..sources import fsio
+
         spark = batch_df.sparkSession
+        inflight = fsio.join(
+            store_path, "_inflight", f"epoch={int(epoch_id)}"
+        )
         eps, ver = _neardup_committed(spark, store_path)
         if int(epoch_id) in eps:
-            return  # replayed epoch: already committed
-        # writer exclusion vs compact_neardup_store (one-writer
-        # contract): refuse to start while a compaction is running,
-        # and leave an in-flight marker so a concurrently-started
-        # compaction refuses to delete this batch's half-written dirs.
-        # The marker is removed on commit; a crashed batch leaves it
-        # until the epoch is replayed (the normal streaming restart
-        # path) — see compact_neardup_store(force=) for abandoned
-        # checkpoints.
-        fs, jvm = _hadoop_fs(spark, store_path)
-        if fs.exists(
-            jvm.org.apache.hadoop.fs.Path(
-                os.path.join(store_path, "compactions", "_COMPACTING")
-            )
+            # replayed epoch: already committed. A crash BETWEEN the
+            # epoch commit and the marker delete leaves a stale
+            # marker that would block compaction forever — this is
+            # the replay that clears it.
+            fsio.delete(inflight)
+            return
+        # Writer exclusion vs compact_neardup_store (one-writer
+        # contract), ordered POST-INTENT-FIRST so the check-then-act
+        # window closes: the batch publishes its in-flight marker
+        # BEFORE checking the compaction sentinel, and compaction
+        # creates its sentinel BEFORE listing markers. Whichever
+        # order the two writers interleave in, at least one sees the
+        # other's intent: a compaction that misses this marker
+        # necessarily created its sentinel first, so the check below
+        # fires and the batch rolls back its marker. The marker is
+        # removed on commit; a crashed batch leaves it until the
+        # epoch replays (above) — see compact_neardup_store(force=)
+        # for abandoned checkpoints.
+        fsio.makedirs(fsio.join(store_path, "_inflight"))
+        fsio.write_text(inflight, "")
+        if fsio.exists(
+            fsio.join(store_path, "compactions", "_COMPACTING")
         ):
+            fsio.delete(inflight)
             raise RuntimeError(
                 "neardup_to_store: a compact_neardup_store run is in "
                 "progress (compactions/_COMPACTING present) — the "
                 "store has a one-writer contract. If the compaction "
                 "crashed, delete the sentinel file and re-run it."
             )
-        inflight = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(
-                store_path, "_inflight", f"epoch={int(epoch_id)}"
-            )
-        )
-        fs.create(inflight, True).close()
         live_dirs = _neardup_live_dirs(spark, store_path, eps) if eps else []
         new_state = _state_of(batch_df).localCheckpoint(eager=True)
         new_sigs = new_state.select(
@@ -1499,7 +1512,7 @@ def neardup_to_store(
         spark.createDataFrame(
             [(e,) for e in eps + [int(epoch_id)]], "epoch bigint"
         ).coalesce(1).write.mode("overwrite").parquet(f"{vdir}/epochs")
-        fs.delete(inflight, False)
+        fsio.delete(inflight)
         release_local_checkpoint(new_state)
         release_local_checkpoint(cand)
         release_local_checkpoint(comp)
@@ -1507,11 +1520,9 @@ def neardup_to_store(
             release_local_checkpoint(hist_rows)
         vs = _neardup_versions(spark, store_path)
         for v in vs[: max(0, len(vs) - int(keep_versions))]:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    os.path.join(store_path, "aliases", f"version={v}")
-                ),
-                True,
+            fsio.delete(
+                fsio.join(store_path, "aliases", f"version={v}"),
+                recursive=True,
             )
 
     return handle

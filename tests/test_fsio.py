@@ -227,3 +227,46 @@ def test_big_bloom_refuses_uri_root(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError, match="FILESYSTEM\nCONTRACT|FILESYSTEM"):
         big_bloom_from(docs, "doc_id", 1000, "s3a://bucket/blooms")
+
+
+def test_fsio_resolves_from_fresh_thread(spark, tmp_path):
+    """Review r12: getActiveSession is a JVM thread-local — streaming
+    foreachBatch callback threads see None. fsio must still resolve
+    the process-wide session there (URI path forces the Hadoop
+    route)."""
+    import threading
+
+    loc = f"file://{tmp_path}/threaded.json"
+    errs = []
+
+    def work():
+        try:
+            fsio.write_json(loc, {"t": 1})
+            assert fsio.read_json(loc) == {"t": 1}
+        except Exception as ex:  # noqa: BLE001
+            errs.append(ex)
+
+    t = threading.Thread(target=work)
+    t.start()
+    t.join()
+    assert not errs, errs
+    assert os.path.exists(f"{tmp_path}/threaded.json")
+
+
+def test_fsio_create_new_is_atomic_primitive(spark, tmp_path):
+    """create_new: first caller wins, second reads False — on both a
+    plain path and a file:// URI."""
+    for base in (str(tmp_path / "a"), f"file://{tmp_path}/b"):
+        fsio.makedirs(base)
+        p = fsio.join(base, "lock")
+        assert fsio.create_new(p) is True
+        assert fsio.create_new(p) is False
+        fsio.delete(p)
+        assert fsio.create_new(p) is True
+
+
+def test_load_big_bloom_refuses_uri(spark):
+    from quality_spark.sources.bigbloom import load_big_bloom
+
+    with pytest.raises(ValueError, match="FILESYSTEM CONTRACT"):
+        load_big_bloom("s3a://bucket/blooms")

@@ -1410,3 +1410,41 @@ def test_neardup_store_probe_broadcast_fallback(spark, sf_dir, monkeypatch):
     assert m and "bb" in m.group(1), plan2[:800]
     shutil.rmtree(s1, ignore_errors=True)
     shutil.rmtree(s2, ignore_errors=True)
+
+
+def test_neardup_store_stale_marker_clears_on_replay(spark):
+    """Review r12: a crash BETWEEN the epoch commit and the in-flight
+    marker delete leaves a committed epoch with a stale marker. The
+    replay of that epoch (the normal streaming restart) must clear the
+    marker — otherwise compaction is blocked forever on a store that
+    has no in-flight work."""
+    from quality_spark.streaming.recipes import (
+        compact_neardup_store,
+        neardup_to_store,
+        read_neardup_store,
+    )
+
+    kw = dict(k=3, num_perm=16, bands=8, threshold=0.3)
+    rows = [(i, " ".join(f"m{i}_{j}" for j in range(12))) for i in range(6)]
+    b0 = spark.createDataFrame(rows[:3], "doc_id long, text string")
+    b1 = spark.createDataFrame(rows[3:], "doc_id long, text string")
+    store = tempfile.mkdtemp(prefix="qs_ndstore_stale_")
+    handler = neardup_to_store(store, **kw)
+    handler(b0, 0)
+    handler(b1, 1)
+    # simulate the crash window: epoch 1 is committed but its marker
+    # survived
+    os.makedirs(f"{store}/_inflight", exist_ok=True)
+    with open(f"{store}/_inflight/epoch=1", "w"):
+        pass
+    with pytest.raises(RuntimeError, match="in-flight batch markers"):
+        compact_neardup_store(spark, store)
+    # the restart replays the committed epoch: no-op for data, but the
+    # stale marker clears
+    before = sorted(map(tuple, read_neardup_store(spark, store).collect()))
+    handler(b1, 1)
+    assert not os.path.exists(f"{store}/_inflight/epoch=1")
+    assert sorted(map(tuple, read_neardup_store(spark, store).collect())) == before
+    compact_neardup_store(spark, store)  # now unblocked
+    assert sorted(map(tuple, read_neardup_store(spark, store).collect())) == before
+    shutil.rmtree(store, ignore_errors=True)
