@@ -47,6 +47,11 @@ def _check_ledger(path: str, findings: List[dict]) -> None:
     try:
         led = fsio.read_json(ledger)
         applied = led["applied"]
+        if not isinstance(applied, list) or any(
+            not isinstance(e, int) for e in applied
+        ):
+            raise TypeError(f"applied is {applied!r}, not a list of ints")
+        disordered = applied != sorted(set(applied))
     except Exception as ex:  # noqa: BLE001 — diagnosis, not control flow
         _finding(
             findings, "error", "ledger_unreadable",
@@ -55,7 +60,7 @@ def _check_ledger(path: str, findings: List[dict]) -> None:
             "the previous snapshot or rebuild",
         )
         return
-    if applied != sorted(set(applied)):
+    if disordered:
         _finding(
             findings, "error", "ledger_disorder",
             f"epochs.json applied list {applied!r} is not "
@@ -202,13 +207,6 @@ def check_neardup_store(spark, path: str) -> Dict:
                 )
     # committed epochs whose physical dirs vanished = data loss
     gens = _neardup_compaction_gens(spark, path)
-    folded = set()
-    if gens:
-        for r in (
-            spark.read.parquet(f"{path}/compactions/gen={gens[-1]}")
-            .collect()
-        ):
-            folded.add(int(r["folded_dir"]))
     for table in ("idmap", "sigs"):
         names = set(fsio.list_names(fsio.join(path, table)))
         for d in live:

@@ -39,22 +39,37 @@ import os as _os
 from typing import List, Optional
 
 
+def _alive(s) -> bool:
+    """A session whose SparkContext was stopped is not a resolver —
+    its JVM gateway is gone (sc.stop() clears _jsc but NOT
+    SparkSession._instantiatedSession)."""
+    try:
+        return s is not None and s._sc is not None and s._sc._jsc is not None
+    except Exception:
+        return False
+
+
 def _active_spark():
     try:
         from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if _alive(s):
+            return s
+        # getActiveSession is a JVM THREAD-local: streaming
+        # foreachBatch py4j callback threads and plain user threads
+        # see None there even while the driver's session is alive —
+        # which would wrongly raise on s3a:// sidecars (or silently
+        # fall back to driver-local python io for schemeless paths,
+        # splitting the store across filesystems, the exact bug this
+        # module exists to fix). The process-wide default session is
+        # the right resolver in those threads — liveness-checked, so
+        # a stopped session falls through to the python-io fallback
+        # instead of raising py4j errors on local paths.
+        s = getattr(SparkSession, "_instantiatedSession", None)
+        return s if _alive(s) else None
     except Exception:
         return None
-    s = SparkSession.getActiveSession()
-    if s is not None:
-        return s
-    # getActiveSession is a JVM THREAD-local: streaming foreachBatch
-    # py4j callback threads and plain user threads see None there even
-    # while the driver's session is alive — which would wrongly raise
-    # on s3a:// sidecars (or silently fall back to driver-local python
-    # io for schemeless paths, splitting the store across filesystems,
-    # the exact bug this module exists to fix). The process-wide
-    # default session is the right resolver in those threads.
-    return getattr(SparkSession, "_instantiatedSession", None)
 
 
 def _is_schemeless(path: str) -> bool:
@@ -151,10 +166,19 @@ def write_json(path: str, obj) -> None:
 
 
 def create_new(path: str) -> bool:
-    """Atomically create an empty file; False if it already exists.
-    This is the sentinel/lock primitive — unlike exists()+create(),
-    two concurrent callers cannot both win (Hadoop create with
-    overwrite=false throws on an existing path; O_EXCL locally)."""
+    """Create an empty file iff absent; False if it already exists.
+
+    This is the sentinel/lock primitive. ATOMICITY CAVEAT: the
+    no-session local branch uses O_EXCL (atomic), and Hadoop
+    create(overwrite=false) is atomic on HDFS/ABFS — but on S3A and
+    the Hadoop LOCAL filesystem it is itself an exists-probe plus
+    create, so two near-simultaneous callers can both read True
+    there. Callers needing mutual exclusion on those filesystems must
+    pair this with a token handshake: write a unique token into the
+    file after winning and read it back — under read-after-write
+    consistency (S3 since 2020) at most one caller sees its own token
+    (possibly neither; both then abort, which is fail-safe). See
+    compact_neardup_store for the pattern."""
     fs, jvm = _resolve(path)
     if fs is None:
         try:
@@ -167,7 +191,23 @@ def create_new(path: str) -> bool:
         fs.create(_jp(jvm, path), False).close()
         return True
     except Exception as ex:
-        if "exist" in str(ex).lower():
+        # classify by java exception CLASS, not message text — error
+        # strings like 'No lease ... File does not exist' must raise,
+        # not masquerade as already-exists
+        jex = getattr(ex, "java_exception", None)
+        if jex is not None:
+            name = jex.getClass().getName()
+            if "AlreadyExists" in name:
+                return False
+            # generic IOException wrappers (RawLocalFileSystem) keep
+            # the real cause nested
+            cause = jex.getCause()
+            if cause is not None and "AlreadyExists" in cause.getClass().getName():
+                return False
+            if "already exists" in str(jex.getMessage() or "").lower():
+                return False
+            raise
+        if isinstance(ex, FileExistsError):
             return False
         raise
 

@@ -1016,28 +1016,34 @@ def compact_neardup_store(
     dirs are unreferenced by construction). A crashed compaction
     leaves the sentinel — delete the file and re-run."""
     import os
+    import uuid
 
-    eps, _ver = _neardup_committed(spark, store_path)
-    if not eps:
-        return
-    dirs = _neardup_live_dirs(spark, store_path, eps)
-    if len(dirs) <= 1:
-        return
     from ..sources import fsio
 
     fs, jvm = _hadoop_fs(spark, store_path)
     sentinel = fsio.join(store_path, "compactions", "_COMPACTING")
-    # ATOMIC create (no exists()+create window): two concurrent
-    # compactions cannot both win, and posting the sentinel BEFORE
-    # listing in-flight markers closes the interleaving with
-    # neardup_to_store (which posts its marker before checking this
-    # sentinel — whichever order the two run in, one sees the other).
+    # Sentinel BEFORE anything else — posting it first closes the
+    # interleaving with neardup_to_store (which posts its marker
+    # before checking this sentinel: whichever order the two writers
+    # run in, one sees the other). create_new is atomic on HDFS/ABFS;
+    # on S3A/local-FS it can double-win, so a unique TOKEN is written
+    # and read back — under read-after-write consistency at most one
+    # caller sees its own token (possibly neither: both abort,
+    # fail-safe), so two compactions can never run the body
+    # concurrently.
     fsio.makedirs(fsio.join(store_path, "compactions"))
     if not fsio.create_new(sentinel):
         raise RuntimeError(
             "compact_neardup_store: compactions/_COMPACTING already "
             "present — another compaction is running, or a previous "
             "one crashed (delete the sentinel file to recover)."
+        )
+    token = uuid.uuid4().hex
+    fsio.write_text(sentinel, token)
+    if fsio.read_text(sentinel) != token:
+        raise RuntimeError(
+            "compact_neardup_store: lost the sentinel race to a "
+            "concurrent compaction — retry after it finishes."
         )
     try:
         if not force:
@@ -1056,6 +1062,16 @@ def compact_neardup_store(
                     "ABANDONED checkpoint (the epochs will never "
                     "replay), pass force=True."
                 )
+        # the committed-state snapshot is taken INSIDE the sentinel
+        # window: a batch that committed between an earlier snapshot
+        # and the sentinel would otherwise have its epoch dirs
+        # deleted as 'orphans' by the pre-cleanup (review r12)
+        eps, _ver = _neardup_committed(spark, store_path)
+        if not eps:
+            return
+        dirs = _neardup_live_dirs(spark, store_path, eps)
+        if len(dirs) <= 1:
+            return
         _compact_neardup_body(spark, store_path, eps, dirs, fs, jvm)
     finally:
         fsio.delete(sentinel)

@@ -149,3 +149,21 @@ def test_doctor_neardup_store_states(spark, tmp_path):
     shutil.rmtree(live_dir)
     rep = check_neardup_store(spark, store)
     assert not rep["ok"] and "missing_live_dir" in _codes(rep)
+
+
+def test_doctor_ledger_wrong_type_is_a_finding_not_a_crash(spark, sf_dir, tmp_path):
+    """Review r12: a hand-edited ledger whose 'applied' is not a list
+    of ints must produce ledger_unreadable, not a TypeError out of the
+    doctor."""
+    from quality_spark.llm.retrieval import write_bm25_index
+    from quality_spark.sources import fsio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "bm")
+    write_bm25_index(docs.filter("doc_id % 4 = 0"), idx, buckets=4)
+    for bad in (5, {"0": True}, [1, "x"]):
+        fsio.write_json(fsio.join(idx, "epochs.json"), {"applied": bad})
+        rep = check_bm25_store(idx)
+        assert not rep["ok"] and "ledger_unreadable" in _codes(rep), bad
