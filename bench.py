@@ -190,6 +190,57 @@ def isolated_fresh_session_sample(name: str, timeout: int = 1800):
     return None
 
 
+def investigate_solo_drifters(
+    drift_retries: dict,
+    sampler,
+    max_samples: int = 3,
+    threshold: float = 1.3,
+):
+    """Solo-drifter governance (VERDICT r12 'what's wrong' #1), pure so
+    tests can pin it: a drifter with NO co-drift context (fewer than
+    ``min_codrifters`` unresolved drifters this run, so
+    ``attribute_environment_codrift`` returned None and the dispersion
+    -outlier path never fired) previously fell through EVERY evidence
+    path — it could be neither amnestied nor investigated, so the
+    record shipped with a non-empty ``unexplained`` even when the
+    cause was the documented VM factor (r12: event_suite at 1.31x,
+    code path untouched). Route each such drifter through the SAME
+    isolated fresh-session re-measure the dispersion outliers get
+    (``sampler`` = ``isolated_fresh_session_sample``; injected so unit
+    tests pin the logic without a subprocess): back within
+    ``threshold`` x prior => ``investigated`` environment note; still
+    elevated => stays unexplained as a REAL-regression candidate, with
+    the isolated sample recorded as evidence either way. Bounded at
+    ``max_samples`` per run; ``leg_budget`` ledger entries are never
+    sampled (they are per-leg sub-measures of a gate that already has
+    a total-level verdict, and have no runnable key). Returns the
+    names investigated-clean."""
+    pending = sorted(
+        n
+        for n, e in drift_retries.items()
+        if not e["resolved"]
+        and not e.get("attributed")
+        and not e.get("investigated")
+        and e.get("isolated_sample") is None
+        and e.get("kind") != "leg_budget"
+    )
+    cleared = []
+    for n in pending[:max_samples]:
+        e = drift_retries[n]
+        iso = sampler(n)
+        e["isolated_sample"] = round(iso, 4) if iso is not None else None
+        if iso is not None and iso <= threshold * e["prior"]:
+            e["investigated"] = (
+                "solo drifter (no co-drift context): isolated "
+                f"fresh-session re-measure {iso:.2f}s is back within "
+                f"{threshold}x of the {e['prior']}s prior — shared-"
+                "session/environment effect confirmed for this key "
+                "individually"
+            )
+            cleared.append(n)
+    return cleared
+
+
 def attribute_environment_codrift(
     drift_retries: dict,
     results: dict,
@@ -314,6 +365,198 @@ LEG_BUDGETS: dict = {
         "suggest_cat": (2.5, "categorical suggestion scoring scan"),
         "drift": (6.0, "drift report: two profile runs + shard compare"),
     },
+    # VERDICT r12 #3: every legged gate budgeted (~1.5x its r12
+    # driver-box time, 0.8 s floor so sub-second legs don't breach
+    # on scheduler noise); >2 s legs name their live work. Same
+    # ledger-not-gate semantics as expr_runner_agg above.
+    "ann_suite": {
+        "brute": (0.8, None),
+        "ivf": (1.4, None),
+        "kmeans": (0.9, None),
+        "l2": (0.8, None),
+        "quant": (0.8, None),
+        "topk": (0.8, None),
+    },
+    "bloom_suite": {
+        "bigfile": (1.1, None),
+        "semi": (1.2, None),
+        "sql_agg": (0.8, None),
+    },
+    "corpus_io": {
+        "bucketed": (0.8, None),
+        "jsonl": (0.8, None),
+        "partitioned": (0.8, None),
+        "zorder": (0.8, None),
+    },
+    "dedup_exact": {
+        "fuzzy": (1.2, None),
+        "groups": (0.8, None),
+        "keep_best": (0.8, None),
+        "substr": (1.4, None),
+    },
+    "digest_documents": {
+        "winnow": (1.1, None),
+    },
+    "doc_ingest_suite": {
+        "clf": (1.3, None),
+        "clf_multi": (0.8, None),
+        "clf_train": (0.8, None),
+        "csv": (0.8, None),
+        "html": (0.9, None),
+        "zlib": (0.8, None),
+    },
+    "embedding_reduce": {
+        "ivfpq": (2.0, None),
+        "ivfpq_idx": (1.0, None),
+        "ivfpq_idx_rr": (1.2, None),
+        "ivfpq_res": (1.8, None),
+        "ivfpq_rr": (2.2, None),
+        "pq": (0.8, None),
+        "pq_adc": (0.8, None),
+        "pq_append": (1.0, None),
+        "proj": (1.0, None),
+        "sem": (1.7, None),
+    },
+    "event_rollups": {
+        "rollup": (0.8, None),
+        "sessionize": (0.8, None),
+    },
+    "event_suite": {
+        "anom": (0.8, None),
+        "cohort": (0.8, None),
+        "funnel": (1.1, None),
+        "rollups": (1.0, None),
+        "stream_session": (0.8, None),
+    },
+    "lambda_suite": {
+        "margin": (0.8, None),
+        "subq": (0.8, None),
+    },
+    "media_features": {
+        "bmp": (1.1, None),
+        "gif": (1.0, None),
+        "imghash": (1.7, None),
+        "jpeg": (1.2, None),
+        "jpeg_prog": (1.4, None),
+        "jpeg_rst": (1.4, None),
+        "png": (1.0, None),
+        "ppm": (1.1, None),
+        "scene": (1.0, None),
+        "sniff": (1.0, None),
+        "text": (1.2, None),
+        "tiff": (1.0, None),
+        "wav": (0.9, None),
+        "wav_spec": (1.0, None),
+        "y4m": (1.0, None),
+    },
+    "minhash_pipeline": {
+        "ingest": (1.2, None),
+        "jacc": (0.8, None),
+        "jpre": (0.9, None),
+        "pair": (
+            3.4,
+            "LSH band-bucket self-join producing candidate pairs + "
+            "exact-Jaccard verify"
+        ),
+        "sig": (1.5, None),
+    },
+    "sampling_splits": {
+        "budget_kept": (0.9, None),
+        "budget_plan": (0.9, None),
+        "cap": (0.8, None),
+        "hash_split": (0.8, None),
+        "hh": (0.8, None),
+        "hhg": (0.8, None),
+        "mix": (0.8, None),
+        "pctile": (0.8, None),
+        "stratified": (0.8, None),
+        "temperature": (0.8, None),
+        "topfrac": (0.8, None),
+        "wsample": (0.8, None),
+        "wsample_g": (0.8, None),
+    },
+    "simhash_pipeline": {
+        "pair": (1.2, None),
+        "sig": (1.3, None),
+    },
+    "skew_ops": {
+        "hits": (
+            6.0,
+            "HITS fixed-iteration: one hub+auth contribution shuffle "
+            "per round over the edge table"
+        ),
+        "joinstats": (1.5, None),
+        "pagerank": (
+            5.5,
+            "PageRank fixed-iteration: one contribution shuffle per "
+            "round, |V|-row checkpoints released"
+        ),
+        "rel": (
+            5.0,
+            "relationship profile: grouped multiplicity aggregates both "
+            "directions + orphan anti-joins"
+        ),
+        "salted_agg": (0.8, None),
+        "skew_join": (0.8, None),
+        "snapdiff": (1.3, None),
+    },
+    "stats_suite": {
+        "assoc": (1.1, None),
+        "benford": (0.8, None),
+        "colloc": (1.5, None),
+        "corr": (
+            3.8,
+            "pairwise Pearson corr matrix: one aggregate scan over "
+            "numeric column pairs"
+        ),
+        "csample": (1.5, None),
+        "entropy": (0.9, None),
+        "g3": (0.8, None),
+        "gcorr": (
+            3.4,
+            "grouped corr: per-group covariance aggregates + combine"
+        ),
+        "ldiv": (0.8, None),
+        "mad": (
+            6.4,
+            "exact MAD: compact-table scan + per-column "
+            "median-of-deviations with driver-side literals"
+        ),
+        "markov": (0.8, None),
+        "nullpat": (0.8, None),
+        "reg": (1.6, None),
+        "vocab": (0.8, None),
+    },
+    "streaming_first_seen": {
+        "first_seen": (0.8, None),
+        "store": (0.8, None),
+    },
+    "temporal_joins": {
+        "asof": (0.8, None),
+        "interval": (0.8, None),
+        "range": (1.0, None),
+        "scd2": (1.7, None),
+    },
+    "text_curation2": {
+        "bpe": (1.3, None),
+        "dsir": (2.2, None),
+        "enc": (0.8, None),
+        "knlm": (2.1, None),
+        "lm": (2.0, None),
+        "pdedup": (0.8, None),
+        "win": (0.8, None),
+    },
+    "tfidf_scores": {
+        "bm25": (2.1, None),
+        "bm25_idx": (1.9, None),
+        "bm25_topk": (2.2, None),
+        "rrf": (1.6, None),
+        "tfidf": (0.8, None),
+    },
+    "windowed_dq": {
+        "batch": (0.8, None),
+        "stream": (0.8, None),
+    },
 }
 
 
@@ -328,7 +571,12 @@ def apply_leg_budgets(
     visible, never silently free)."""
     table = LEG_BUDGETS if budgets_table is None else budgets_table
     status: dict = {}
-    for qname, budgets in table.items():
+    # union: a gate that RAN with legs but has no table entry still
+    # surfaces (all its legs under _unbudgeted) — "every gate that has
+    # legs is covered" is structural, not a hand-maintained list
+    # (VERDICT r12 #3).
+    for qname in sorted(set(table) | set(legs_detail)):
+        budgets = table.get(qname) or {}
         got = legs_detail.get(qname) or {}
         st: dict = {}
         for lname, (budget, live) in budgets.items():
@@ -765,6 +1013,14 @@ def main() -> None:
                     f"{e['prior']}s prior — shared-session/environment "
                     "effect confirmed for this key individually"
                 )
+
+    # Solo drifters (VERDICT r12 #1): a drifter with no co-drift
+    # context (environment_note is None, or it was already handled
+    # above) gets the same isolated fresh-session evidence pass —
+    # within-threshold => investigated-environment, still-elevated =>
+    # legitimately unexplained (a real-regression candidate with the
+    # isolated sample on record).
+    investigate_solo_drifters(drift_retries, isolated_fresh_session_sample)
 
     leg_budgets_status = apply_leg_budgets(legs_detail, drift_retries)
 

@@ -184,6 +184,96 @@ def test_leg_budgets_breach_fails_ledger_not_gate():
     assert "expr_runner_agg.leg:psi" not in dr  # absent leg: no breach
 
 
+def test_leg_budgets_cover_every_legged_gate():
+    """VERDICT r12 #3: every gate that recorded legs in the shipped r12
+    record has a budget table entry, and a future legged gate missing
+    from the table still surfaces structurally (all legs unbudgeted)
+    instead of being silently free."""
+    import json
+
+    from bench import LEG_BUDGETS, apply_leg_budgets
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "bench_detail.json")) as fh:
+        legs = json.load(fh)["legs"]
+    assert set(legs) <= set(LEG_BUDGETS)
+    # structural union: an unknown legged gate appears in the status
+    dr: dict = {}
+    status = apply_leg_budgets({"brand_new_gate": {"x": 1.0}}, dr)
+    assert status["brand_new_gate"]["_unbudgeted"] == ["x"]
+    assert dr == {}  # unbudgeted legs are visible, never breaches
+
+
+def test_solo_drifter_cleared_by_isolated_sample():
+    """VERDICT r12 #1: a drifter with no co-drift context must be
+    routed through the isolated fresh-session re-measure; back within
+    1.3x prior => investigated (unexplained empties), and the sample
+    is recorded as evidence."""
+    from bench import investigate_solo_drifters
+
+    dr = {"event_suite": _entry(1.98, 2.60)}
+    cleared = investigate_solo_drifters(dr, sampler=lambda n: 2.0)
+    assert cleared == ["event_suite"]
+    e = dr["event_suite"]
+    assert e["isolated_sample"] == 2.0
+    assert "solo drifter" in e["investigated"]
+    unexplained = [
+        n
+        for n, e in dr.items()
+        if not e["resolved"]
+        and not e.get("attributed")
+        and not e.get("investigated")
+    ]
+    assert unexplained == []
+
+
+def test_solo_drifter_still_elevated_stays_unexplained():
+    """A solo drifter whose isolated re-measure is STILL elevated is a
+    real-regression candidate: no investigated note, but the sample is
+    on record so the flag carries its evidence."""
+    from bench import investigate_solo_drifters
+
+    dr = {"event_suite": _entry(1.98, 2.60)}
+    cleared = investigate_solo_drifters(dr, sampler=lambda n: 2.61)
+    assert cleared == []
+    assert dr["event_suite"]["isolated_sample"] == 2.61
+    assert "investigated" not in dr["event_suite"]
+
+
+def test_solo_drifter_skips_handled_and_legbudget_entries():
+    """The solo pass must not re-sample entries that already carry
+    isolated evidence (outlier path / stream-startup governance), nor
+    touch attributed/investigated/resolved ones, nor try to 'run' a
+    leg_budget ledger entry; the per-run bound caps subprocess cost."""
+    from bench import investigate_solo_drifters
+
+    calls = []
+
+    def sampler(n):
+        calls.append(n)
+        return 1.0
+
+    dr = {
+        "already_sampled": _entry(1.0, 2.0, isolated_sample=1.9),
+        "attributed": _entry(1.0, 2.0, attributed="round N: new leg"),
+        "resolved": _entry(1.0, 1.1, resolved=True),
+        "g.leg:x": {
+            "prior": None, "final": 3.0, "resolved": False,
+            "kind": "leg_budget",
+        },
+        "solo_a": _entry(1.0, 2.0),
+        "solo_b": _entry(1.0, 2.0),
+        "solo_c": _entry(1.0, 2.0),
+        "solo_d": _entry(1.0, 2.0),
+    }
+    cleared = investigate_solo_drifters(dr, sampler, max_samples=3)
+    assert calls == ["solo_a", "solo_b", "solo_c"]  # bound respected
+    assert cleared == ["solo_a", "solo_b", "solo_c"]
+    assert "isolated_sample" not in dr["g.leg:x"]
+    assert dr["already_sampled"]["isolated_sample"] == 1.9
+    assert "investigated" not in dr["solo_d"]  # over the bound: flagged
+
+
 def test_codrift_skips_entries_with_isolated_evidence():
     """An entry that already re-measured in an isolated fresh session
     (e.g. shared_stream_startup governance) must not be swept into the
