@@ -4632,6 +4632,15 @@ def q_bm25_idx_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bm25_index,
     )
 
+    root = _staged_bm25_index(spark, sf_dir)
+    return bm25_scores_indexed(spark, root, _BM25_QUERIES)
+
+
+def _staged_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """The gate's shared write_bm25_index store, staged once per sf —
+    used by the 'bm25_idx' leg and the 'doctor' health-check leg."""
+    from quality_spark.llm.retrieval import write_bm25_index
+
     def build(root):
         write_bm25_index(
             _read(spark, sf_dir, "documents").select("doc_id", "text"),
@@ -4640,8 +4649,7 @@ def q_bm25_idx_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return root
 
-    root = _staged("bm25idx", sf_dir, build)
-    return bm25_scores_indexed(spark, root, _BM25_QUERIES)
+    return _staged("bm25idx", sf_dir, build)
 
 
 def q_tfidf_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8431,13 +8439,20 @@ def q_pq_append_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     append), then the indexed query must return exactly what the
     full-corpus oracle replay computes: append == rebuild bit-equal,
     gated end-to-end on real data."""
-    from quality_spark.llm.pq import (
-        append_pq_index,
-        ivf_pq_topk_indexed,
-        write_pq_index,
-    )
+    from quality_spark.llm.pq import ivf_pq_topk_indexed
 
-    books, qs = _pq_books_qs()
+    _books, qs = _pq_books_qs()
+    root = _staged_pq_append_store(spark, sf_dir)
+    return ivf_pq_topk_indexed(spark, root, qs, k=5, nprobe=2)
+
+
+def _staged_pq_append_store(spark: SparkSession, sf_dir: str) -> str:
+    """The gate's write(evens)+append(odds) PQ store, staged once per
+    sf — used by the 'pq_append' leg and the 'doctor' leg (this is the
+    store whose epochs.json ledger the doctor audits)."""
+    from quality_spark.llm.pq import append_pq_index, write_pq_index
+
+    books, _qs = _pq_books_qs()
 
     def build(root):
         emb = _read(spark, sf_dir, "embeddings")
@@ -8452,8 +8467,7 @@ def q_pq_append_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return root
 
-    root = _staged("pqappend", sf_dir, build)
-    return ivf_pq_topk_indexed(spark, root, qs, k=5, nprobe=2)
+    return _staged("pqappend", sf_dir, build)
 
 
 def q_ivfpq_idx_rr_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8469,6 +8483,74 @@ def q_ivfpq_idx_rr_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return ivf_pq_topk_indexed(
         spark, root, qs, k=5, nprobe=2, rerank=20, vectors=emb
+    )
+
+
+def _staged_neardup_store(spark: SparkSession, sf_dir: str) -> str:
+    """A streaming near-dup store staged once per sf for the 'doctor'
+    leg: two batch halves of the small-doc corpus folded through the
+    `neardup_to_store` foreachBatch handler — the identical code path
+    a real stream drives, so the doctor audits a store with committed
+    epochs, band-bucketed sigs, and an alias chain."""
+    from quality_spark.streaming.recipes import neardup_to_store
+
+    def build(root):
+        docs = (
+            _read(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 240)
+        )
+        handler = neardup_to_store(
+            root, k=3, num_perm=16, bands=4, threshold=0.5
+        )
+        handler(docs.filter(F.col("doc_id") % 2 == 0), 0)
+        handler(docs.filter(F.col("doc_id") % 2 == 1), 1)
+        return root
+
+    return _staged("ndstore", sf_dir, build)
+
+
+def q_doctor_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'doctor' part (round 13, VERDICT r12 next #2): the store-health
+    surface (`quality_spark/doctor.py`) run END-TO-END on the gate's
+    own staged stores — the two PQ sidecar stores (plain and
+    write+append, whose epochs.json ledger the check audits), the BM25
+    inverted index, a streaming near-dup store folded through the real
+    foreachBatch handler, and a big-bloom bucket layout. One row per
+    store: k1 = total finding count, v1 = ok (1/0). The oracle pins
+    the exact healthy-state expectation — zero findings for the
+    sidecar/bigbloom stores and exactly the one 'summary' info row for
+    the near-dup store — so a pending sentinel, torn ledger, orphaned
+    dir, or missing bucket in any staged store fails the gate."""
+    from quality_spark.doctor import (
+        check_bigbloom_store,
+        check_bm25_store,
+        check_neardup_store,
+        check_pq_store,
+    )
+
+    def bb_build(root):
+        from quality_spark.sources.bigbloom import big_bloom_from
+
+        big_bloom_from(
+            _read(spark, sf_dir, "orders"), "o_custkey",
+            expected=4000, root_dir=root, fpp=0.01, buckets=4,
+        )
+        return root
+
+    reports = [
+        check_pq_store(_staged_pq_index(spark, sf_dir)),
+        check_pq_store(_staged_pq_append_store(spark, sf_dir)),
+        check_bm25_store(_staged_bm25_index(spark, sf_dir)),
+        check_neardup_store(spark, _staged_neardup_store(spark, sf_dir)),
+        check_bigbloom_store(_staged("doctorbb", sf_dir, bb_build)),
+    ]
+    rows = [
+        ("doctor", i, len(rep["findings"]), 1 if rep["ok"] else 0)
+        for i, rep in enumerate(reports)
+    ]
+    return spark.createDataFrame(
+        rows, "part string, vec_id long, k1 long, v1 long"
     )
 
 
@@ -8570,12 +8652,15 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(floor(l2sq * 1000000 + 0.5) AS BIGINT)"
         ).alias("v1"),
     )
+    # 'doctor' (round 13): store-health reports over the gate's own
+    # staged stores, oracle-pinned to the healthy expectation.
+    doctor = q_doctor_leg(spark, sf_dir)
     return (
         sem.unionByName(proj).unionByName(codes).unionByName(adc)
         .unionByName(ivfpq_rank).unionByName(ivfpq_adc)
         .unionByName(ivfpqr_rank).unionByName(ivfpqr_adc)
         .unionByName(rr).unionByName(idx).unionByName(app)
-        .unionByName(idx_rr)
+        .unionByName(idx_rr).unionByName(doctor)
     )
 
 
@@ -8647,6 +8732,13 @@ SELECT 'ivfpq_idx_rr', vec_id, query_id,
        + CAST(floor(l2sq * 1000000 + 0.5) AS BIGINT)
 FROM ({ivf_pq_oracle_sql(books, qs, k=5, nprobe=2, rerank=20,
                          centroid_table=cent)})
+UNION ALL
+-- 'doctor' (round 13): the healthy-store expectation for the five
+-- staged stores — zero findings + ok for pqindex(0)/pqappend(1)/
+-- bm25(2)/bigbloom(4), exactly the one 'summary' info finding + ok
+-- for the near-dup store(3)
+SELECT 'doctor', CAST(s AS BIGINT), CAST(nf AS BIGINT), CAST(1 AS BIGINT)
+FROM (VALUES (0, 0), (1, 0), (2, 0), (3, 1), (4, 0)) AS t(s, nf)
 """
 
 
@@ -9604,6 +9696,7 @@ def query_legs() -> dict:
             "ivfpq_idx": q_ivfpq_idx_leg,
             "pq_append": q_pq_append_leg,
             "ivfpq_idx_rr": q_ivfpq_idx_rr_leg,
+            "doctor": q_doctor_leg,
         },
         "tfidf_scores": {
             "tfidf": q_tfidf_leg,

@@ -406,6 +406,12 @@ LEG_BUDGETS: dict = {
         "zlib": (0.8, None),
     },
     "embedding_reduce": {
+        "doctor": (
+            2.5,
+            "store-health checks over the five staged stores "
+            "(metadata-priced sidecar/listing/header reads; stores "
+            "already staged by the main gate run)",
+        ),
         "ivfpq": (2.0, None),
         "ivfpq_idx": (1.0, None),
         "ivfpq_idx_rr": (1.2, None),

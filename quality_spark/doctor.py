@@ -1,11 +1,13 @@
 """Store doctor — structured health checks for the persisted stores.
 
-The three index stores (IVF-PQ `llm/pq.py`, BM25 `llm/retrieval.py`,
-streaming near-dup `streaming/recipes.py`) each carry a crash-window
+All five persisted artifacts (IVF-PQ `llm/pq.py`, BM25
+`llm/retrieval.py`, streaming near-dup `streaming/recipes.py`, the
+bucketed ingest key store `recipes.compact_key_store`, and the
+big-bloom bucket layout `sources/bigbloom.py`) carry a crash-window
 protocol (pending sentinels, epoch ledgers, append-only commit tables,
-compaction staging dirs). Every state those protocols can leave behind
-is DIAGNOSABLE from the store layout alone; this module turns that
-into one operational surface:
+compaction staging dirs, staged-swap sentinels). Every state those
+protocols can leave behind is DIAGNOSABLE from the store layout alone;
+this module turns that into one operational surface:
 
     >>> from quality_spark.doctor import check_pq_store
     >>> rep = check_pq_store("s3a://bucket/pq_index")
@@ -18,8 +20,9 @@ Levels: ``error`` (readers refuse / data at risk — act), ``warn``
 ``info`` (observations).
 
 All I/O goes through `sources.fsio` (any Hadoop filesystem) and reads
-only sidecars and directory listings — never data files, so a check
-on a 100 TB store is metadata-priced.
+only sidecars, directory listings, and catalog metadata — never data
+files (the POSIX-only big-bloom check mmaps npy HEADERS, not bits), so
+a check on a 100 TB store is metadata-priced.
 """
 
 from __future__ import annotations
@@ -129,6 +132,208 @@ def check_pq_store(path: str) -> Dict:
 def check_bm25_store(path: str) -> Dict:
     """Health-check a `write_bm25_index` store (metadata-only)."""
     return _check_index_store(path, "bm25", ("postings", "tokens"))
+
+
+def check_key_store(spark, store_table: str) -> Dict:
+    """Health-check a `dedup_against_bucketed_store` key store
+    (VERDICT r12 next #4): classify every on-disk state the
+    `compact_key_store` staged-swap protocol can leave behind — the
+    same decision table `recover_key_store` acts on, reported instead
+    of acted on. Reads catalog metadata + sentinel/dir existence
+    probes only."""
+    from .streaming.recipes import (
+        _compaction_paths,
+        _sentinel_paths,
+        _store_meta,
+    )
+
+    findings: List[dict] = []
+    tmp = store_table + "__compacting"
+    exists = spark.catalog.tableExists(store_table)
+    tmp_exists = spark.catalog.tableExists(tmp)
+    if not exists:
+        if tmp_exists:
+            _finding(
+                findings, "error", "interrupted_managed_compaction",
+                f"store table {store_table} missing but {tmp} exists — "
+                "a managed-store compaction crashed between DROP and "
+                "RENAME; the tmp table holds the complete compacted "
+                "data (CTAS registers only after its write commits). "
+                "recover_key_store renames it into place",
+            )
+        else:
+            _finding(
+                findings, "info", "no_store",
+                f"{store_table}: not a table in this catalog — new or "
+                "never-written store",
+            )
+        return _report(findings)
+    if tmp_exists:
+        _finding(
+            findings, "warn", "orphan_compacting_table",
+            f"{tmp} exists beside a live store table — a managed-store "
+            "compaction crashed before its DROP+RENAME; readers see "
+            "the (uncompacted) store, recover_key_store drops the tmp",
+        )
+    meta = _store_meta(spark, store_table)
+    loc = meta.get("Location", "")
+    if meta.get("Type", "").upper() != "EXTERNAL" or not loc:
+        return _report(findings)
+    stage_loc, old_loc = _compaction_paths(loc)
+    ready_sent, oldok_sent = _sentinel_paths(loc)
+    loc_exists = fsio.exists(loc)
+    stage_exists = fsio.exists(stage_loc)
+    old_exists = fsio.exists(old_loc)
+    if fsio.exists(ready_sent):
+        if stage_exists:
+            _finding(
+                findings, "error", "interrupted_compaction_stage_ready",
+                "__stage_ready sentinel present — a compaction crashed "
+                "after staging its complete copy; the store/old dirs "
+                "may be partial rename remnants readers must not "
+                "trust. recover_key_store swaps the stage into place",
+            )
+        else:
+            _finding(
+                findings, "warn", "stray_stage_sentinel",
+                "__stage_ready present with no stage dir (manual "
+                "tampering — the protocol never moves the stage while "
+                "the sentinel exists); recover_key_store removes it",
+            )
+    elif fsio.exists(oldok_sent):
+        if old_exists:
+            _finding(
+                findings, "error", "interrupted_compaction_old_complete",
+                "__old_complete sentinel present without __stage_ready "
+                "— the swap crashed past the stage's point of no "
+                "return; stage and store dirs are untrusted, the old "
+                "dir is the complete pre-swap copy. recover_key_store "
+                "restores it",
+            )
+        else:
+            _finding(
+                findings, "warn", "stray_old_sentinel",
+                "__old_complete present with no old dir; "
+                "recover_key_store removes it",
+            )
+    else:
+        if not loc_exists:
+            level, code = (
+                ("error", "store_dir_missing_recoverable")
+                if (stage_exists or old_exists)
+                else ("error", "store_dir_missing")
+            )
+            _finding(
+                findings, level, code,
+                f"store location {loc} is gone"
+                + (
+                    " but a stage/old dir survives — recover_key_store "
+                    "restores per its no-sentinel decision table"
+                    if (stage_exists or old_exists)
+                    else " with no stage/old dir — the keys were "
+                    "deleted out-of-band; ingest dedup restarts cold"
+                ),
+            )
+        else:
+            if stage_exists:
+                _finding(
+                    findings, "warn", "orphan_stage_dir",
+                    "a __compacting_stage dir sits beside a live store "
+                    "(crash before any rename, or legacy protocol "
+                    "leftovers) — readers are unaffected; "
+                    "recover_key_store sweeps it",
+                )
+            if old_exists:
+                _finding(
+                    findings, "warn", "orphan_old_dir",
+                    "a __compacting_old dir sits beside a live store "
+                    "(crash after the swap completed, before cleanup) "
+                    "— readers are unaffected; recover_key_store "
+                    "deletes it",
+                )
+    return _report(findings)
+
+
+def check_bigbloom_store(path: str) -> Dict:
+    """Health-check a `big_bloom_from` bucket layout (VERDICT r12 next
+    #4): URI-root misuse (the store is mmap-by-design, POSIX mounts
+    only — `sources/bigbloom.py`), meta integrity, and per-bucket file
+    presence/shape. Bucket files are probed with mmap'd headers, so
+    the check stays metadata-priced at any store size."""
+    import os
+
+    findings: List[dict] = []
+    if "://" in path:
+        _finding(
+            findings, "error", "uri_root",
+            f"{path!r} is a URI — the big-bloom store is mmap-based "
+            "and needs a POSIX path visible to every executor (mount "
+            "the object store via FUSE: s3fs/goofys/dbfs); builders "
+            "and loaders refuse URI roots at call time",
+        )
+        return _report(findings)
+    meta_p = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_p):
+        _finding(
+            findings, "error", "no_meta",
+            "meta.json missing — not a big-bloom store (or its final "
+            "metadata write was lost)",
+        )
+        return _report(findings)
+    try:
+        import json as _json
+
+        with open(meta_p) as fh:
+            meta = _json.load(fh)
+        buckets = int(meta["buckets"])
+        m_bits = int(meta["m_bits"])
+        int(meta["k"])
+        float(meta["fpp"])
+    except Exception as ex:  # noqa: BLE001 — diagnosis, not control flow
+        _finding(
+            findings, "error", "meta_unreadable",
+            f"meta.json cannot be parsed or lacks required keys ({ex})",
+        )
+        return _report(findings)
+    import numpy as np
+
+    n_bytes = m_bits // 8
+    for b in range(buckets):
+        bp = os.path.join(path, f"bucket_{b}.npy")
+        if not os.path.exists(bp):
+            _finding(
+                findings, "error", "missing_bucket",
+                f"bucket_{b}.npy missing — probes routed to bucket "
+                f"{b} would fail (keys hash-route by h1's high bits, "
+                "so every bucket is load-bearing)",
+            )
+            continue
+        try:
+            arr = np.load(bp, mmap_mode="r")
+            if arr.shape != (n_bytes,) or arr.dtype != np.uint8:
+                raise ValueError(
+                    f"shape {arr.shape} dtype {arr.dtype}, expected "
+                    f"({n_bytes},) uint8"
+                )
+        except Exception as ex:  # noqa: BLE001
+            _finding(
+                findings, "error", "bucket_corrupt",
+                f"bucket_{b}.npy unreadable or mis-shaped ({ex})",
+            )
+    extras = sorted(
+        n
+        for n in os.listdir(path)
+        if n.startswith("bucket_")
+        and n.endswith(".npy")
+        and not any(n == f"bucket_{b}.npy" for b in range(buckets))
+    )
+    for n in extras:
+        _finding(
+            findings, "warn", "extra_bucket",
+            f"{n} is outside the meta.json bucket range (stale rebuild "
+            "leftover?) — never read, but paying storage",
+        )
+    return _report(findings)
 
 
 def check_neardup_store(spark, path: str) -> Dict:

@@ -167,3 +167,155 @@ def test_doctor_ledger_wrong_type_is_a_finding_not_a_crash(spark, sf_dir, tmp_pa
         fsio.write_json(fsio.join(idx, "epochs.json"), {"applied": bad})
         rep = check_bm25_store(idx)
         assert not rep["ok"] and "ledger_unreadable" in _codes(rep), bad
+
+
+def test_doctor_key_store_states(spark, tmp_path):
+    """VERDICT r12 next #4: every staged-swap state of the bucketed
+    key store (`compact_key_store`'s sentinel protocol) classified by
+    the doctor — mirroring `recover_key_store`'s decision table."""
+    from quality_spark.doctor import check_key_store
+    from quality_spark.streaming.recipes import (
+        _compaction_paths,
+        _sentinel_paths,
+        _store_meta,
+        compact_key_store,
+        dedup_against_bucketed_store,
+    )
+
+    table = "qs_doctor_keystore"
+    for t in (table, table + "__compacting"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    rep = check_key_store(spark, table)
+    assert rep["ok"] and _codes(rep) == ["no_store"]
+
+    loc = str(tmp_path / "ks")
+    sunk = []
+    h = dedup_against_bucketed_store(
+        table, ["k"], lambda df, ep: sunk.append(df.count()),
+        buckets=2, path=loc,
+    )
+    h(spark.createDataFrame([(i,) for i in range(8)], "k long"), 0)
+    compact_key_store(spark, table)
+    rep = check_key_store(spark, table)
+    assert rep["ok"] and rep["findings"] == []
+
+    meta = _store_meta(spark, table)
+    stage_loc, old_loc = _compaction_paths(meta["Location"])
+    ready_sent, oldok_sent = _sentinel_paths(meta["Location"])
+
+    def _local(p):
+        return p[len("file:"):] if p.startswith("file:") else p
+
+    # crash after staging, before any rename: stage + __stage_ready
+    os.makedirs(_local(stage_loc), exist_ok=True)
+    open(_local(ready_sent), "w").close()
+    rep = check_key_store(spark, table)
+    assert not rep["ok"] and _codes(rep) == [
+        "interrupted_compaction_stage_ready"
+    ]
+    os.remove(_local(ready_sent))
+    # no sentinels, stage beside a live store -> warn only
+    rep = check_key_store(spark, table)
+    assert rep["ok"] and _codes(rep) == ["orphan_stage_dir"]
+    os.rmdir(_local(stage_loc))
+
+    # crash mid-swap: __old_complete + old dir -> error (store untrusted)
+    os.makedirs(_local(old_loc), exist_ok=True)
+    open(_local(oldok_sent), "w").close()
+    rep = check_key_store(spark, table)
+    assert not rep["ok"] and _codes(rep) == [
+        "interrupted_compaction_old_complete"
+    ]
+    os.remove(_local(oldok_sent))
+    # no sentinels, old beside a live store -> warn only
+    rep = check_key_store(spark, table)
+    assert rep["ok"] and _codes(rep) == ["orphan_old_dir"]
+
+    # stray sentinels (no matching dir) -> warn only
+    os.rmdir(_local(old_loc))
+    open(_local(ready_sent), "w").close()
+    assert _codes(check_key_store(spark, table)) == ["stray_stage_sentinel"]
+    os.remove(_local(ready_sent))
+    open(_local(oldok_sent), "w").close()
+    assert _codes(check_key_store(spark, table)) == ["stray_old_sentinel"]
+    os.remove(_local(oldok_sent))
+
+    # store dir deleted out-of-band -> error (recoverable iff old/stage)
+    import shutil
+
+    os.makedirs(_local(old_loc), exist_ok=True)
+    shutil.rmtree(_local(meta["Location"]))
+    rep = check_key_store(spark, table)
+    assert not rep["ok"] and _codes(rep) == ["store_dir_missing_recoverable"]
+    os.rmdir(_local(old_loc))
+    rep = check_key_store(spark, table)
+    assert not rep["ok"] and _codes(rep) == ["store_dir_missing"]
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_doctor_key_store_managed_states(spark):
+    """Managed-store states: tmp table beside a live store (warn) and
+    tmp without the store (error, recover renames it in)."""
+    from quality_spark.doctor import check_key_store
+
+    table = "qs_doctor_keystore_mgd"
+    tmp = table + "__compacting"
+    for t in (table, tmp):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.createDataFrame([(1,)], "k long").write.saveAsTable(table)
+    spark.createDataFrame([(1,)], "k long").write.saveAsTable(tmp)
+    rep = check_key_store(spark, table)
+    assert rep["ok"] and _codes(rep) == ["orphan_compacting_table"]
+    spark.sql(f"DROP TABLE {table}")
+    rep = check_key_store(spark, table)
+    assert not rep["ok"] and _codes(rep) == [
+        "interrupted_managed_compaction"
+    ]
+    spark.sql(f"DROP TABLE {tmp}")
+
+
+def test_doctor_bigbloom_store_states(spark, sf_dir, tmp_path):
+    """Big-bloom layout checks: healthy store clean; URI root refused;
+    missing/corrupt buckets are errors; out-of-range bucket files warn;
+    the bucket probe reads npy HEADERS only (mmap), never the bits."""
+    import numpy as np
+
+    from quality_spark.doctor import check_bigbloom_store
+    from quality_spark.sources.bigbloom import big_bloom_from
+
+    root = str(tmp_path / "bb")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big_bloom_from(orders, "o_custkey", expected=4000, root_dir=root,
+                   fpp=0.01, buckets=4)
+    rep = check_bigbloom_store(root)
+    assert rep["ok"] and rep["findings"] == []
+
+    assert _codes(check_bigbloom_store("s3a://bucket/bb")) == ["uri_root"]
+    assert _codes(check_bigbloom_store(str(tmp_path / "nope"))) == [
+        "no_meta"
+    ]
+
+    # out-of-range leftover -> warn, still ok
+    np.save(f"{root}/bucket_9.npy", np.zeros(8, dtype=np.uint8))
+    rep = check_bigbloom_store(root)
+    assert rep["ok"] and _codes(rep) == ["extra_bucket"]
+    os.remove(f"{root}/bucket_9.npy")
+
+    # wrong shape -> error naming the bucket
+    good = np.load(f"{root}/bucket_2.npy")
+    np.save(f"{root}/bucket_2.npy", np.zeros(3, dtype=np.uint8))
+    rep = check_bigbloom_store(root)
+    assert not rep["ok"] and _codes(rep) == ["bucket_corrupt"]
+    np.save(f"{root}/bucket_2.npy", good)
+
+    # missing bucket -> error
+    os.remove(f"{root}/bucket_1.npy")
+    rep = check_bigbloom_store(root)
+    assert not rep["ok"] and _codes(rep) == ["missing_bucket"]
+
+    # torn meta -> error
+    with open(f"{root}/meta.json", "w") as fh:
+        fh.write("{not json")
+    assert _codes(check_bigbloom_store(root)) == ["meta_unreadable"]
