@@ -175,9 +175,14 @@ def create_new(path: str) -> bool:
     create, so two near-simultaneous callers can both read True
     there. Callers needing mutual exclusion on those filesystems must
     pair this with a token handshake: write a unique token into the
-    file after winning and read it back — under read-after-write
-    consistency (S3 since 2020) at most one caller sees its own token
-    (possibly neither; both then abort, which is fail-safe). See
+    file after winning, SLEEP a settle window, then read it back.
+    The handshake is BEST-EFFORT, not a mutex (ADVICE r12): it
+    excludes a rival only when both token writes precede both
+    read-backs, which the settle window makes hold whenever the
+    rival's create->write gap is shorter than the window — a rival
+    stalled longer can still double-win. Seeing a foreign token means
+    certain loss (abort); seeing one's own token means no rival wrote
+    within the window, not proof that none ever will. See
     compact_neardup_store for the pattern."""
     fs, jvm = _resolve(path)
     if fs is None:

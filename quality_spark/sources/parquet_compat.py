@@ -95,9 +95,19 @@ def _nanos_columns(path: str) -> List[str]:
 def read_parquet_compat(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` that tolerates TIMESTAMP(NANOS) columns,
     converting them to microsecond timestamps."""
-    if "://" in path:
+    # Footer detection dispatch (ADVICE r12): a session is passed in,
+    # so the JVM reader is ALWAYS usable — and it resolves schemeless
+    # paths through fs.defaultFS exactly as spark.read.parquet will
+    # (on an HDFS-default cluster a bare "/data/x.parquet" is an HDFS
+    # path that the pyarrow-on-local-path branch would miss or fail
+    # on). The pyarrow branch remains only as a fallback for local
+    # paths when the JVM probe itself fails (e.g. a path readable by
+    # the driver but not yet by the Hadoop conf's filesystem).
+    try:
         nanos = _nanos_columns_jvm(spark, path)
-    else:
+    except Exception:  # noqa: BLE001 — fall back, never for URIs
+        if "://" in path:
+            raise
         nanos = _nanos_columns(path)
     if not nanos:
         return spark.read.parquet(path)

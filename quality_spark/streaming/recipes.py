@@ -856,6 +856,14 @@ def scd2_to_store(
 #: buckets) and only bloats the plan — switch to a broadcast semi-join.
 _ISIN_PRUNE_MAX = 128
 
+#: Settle window between writing the compaction sentinel token and
+#: reading it back (ADVICE r12): the token handshake only excludes a
+#: rival whose create→write gap is shorter than this window. 1 s is
+#: orders of magnitude above object-store RPC latency, and compaction
+#: is a rare heavyweight operation, so the latency is immaterial.
+#: Tests shrink it to keep the suite fast.
+_SENTINEL_SETTLE_SECONDS = 1.0
+
 
 def _pruned_store_scan(spark, base, live_dirs, part_col, buckets_df):
     """Partition-pruned scan of a bucketed epoch-dir store table
@@ -1026,11 +1034,18 @@ def compact_neardup_store(
     # interleaving with neardup_to_store (which posts its marker
     # before checking this sentinel: whichever order the two writers
     # run in, one sees the other). create_new is atomic on HDFS/ABFS;
-    # on S3A/local-FS it can double-win, so a unique TOKEN is written
-    # and read back — under read-after-write consistency at most one
-    # caller sees its own token (possibly neither: both abort,
-    # fail-safe), so two compactions can never run the body
-    # concurrently.
+    # on S3A/local-FS it can double-win, so a unique TOKEN is written,
+    # allowed to SETTLE, and read back. The settle barrier (ADVICE
+    # r12) is what makes the handshake effective: without it, a
+    # caller that completes write+read before the rival's write lands
+    # sees its own token and both proceed — the mutual exclusion only
+    # holds when both writes precede both reads. Sleeping a fixed
+    # window between write and read-back makes that ordering hold
+    # whenever the rival's create→write gap is under the window
+    # (single-digit RPC latencies in practice). This is BEST-EFFORT
+    # exclusion, not a proof: a rival stalled longer than the window
+    # can still double-win; the loser-aborts outcome (possibly both,
+    # fail-safe) covers every ordering the barrier does catch.
     fsio.makedirs(fsio.join(store_path, "compactions"))
     if not fsio.create_new(sentinel):
         raise RuntimeError(
@@ -1040,6 +1055,9 @@ def compact_neardup_store(
         )
     token = uuid.uuid4().hex
     fsio.write_text(sentinel, token)
+    import time as _time
+
+    _time.sleep(_SENTINEL_SETTLE_SECONDS)
     if fsio.read_text(sentinel) != token:
         raise RuntimeError(
             "compact_neardup_store: lost the sentinel race to a "
