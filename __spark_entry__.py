@@ -7526,6 +7526,11 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     w5 = F.expr(expand_sql("rng('WELL_512_A', 4242)"))
     w10 = F.expr(expand_sql("rng('WELL_1024_A', 4242)"))
     w19 = F.expr(expand_sql("rng('WELL_19937_C', 4242)"))
+    # round 13: SFC_64 (Doty-Humphrey, numpy-oracle-pinned, bounded-
+    # sequential; seeding = numpy SeedSequence convention — pyrng
+    # SFC_64 STATUS). Oracle rows replay the published transition as
+    # an independent pure-python loop.
+    sf64 = F.expr(expand_sql("rng('SFC_64', 31)"))
     return df.select(
         F.col("id").cast("bigint").alias("id"),
         x["lower"].alias("xrsr_lo"),
@@ -7554,6 +7559,8 @@ def q_rng_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         w10["higher"].alias("w1024_hi"),
         w19["lower"].alias("w19937c_lo"),
         w19["higher"].alias("w19937c_hi"),
+        sf64["lower"].alias("sfc64_lo"),
+        sf64["higher"].alias("sfc64_hi"),
     )
 
 
@@ -7806,6 +7813,30 @@ def _rng_parity_reference(n: int) -> list:
     w5 = well_stream(4242, 4 * n, 16)
     w10 = well_stream(4242, 4 * n, 32)
     w19 = well19937c_stream(4242, 4 * n)
+
+    def sfc64_stream(seed: int, count: int) -> list:
+        # SFC64 (Doty-Humphrey, PractRand): independent pure-python
+        # loop of the published transition; state init is numpy's
+        # SeedSequence convention BY DEFINITION (pyrng SFC_64 STATUS),
+        # so generate_state(3) is the spec, not a transcription.
+        import numpy as _np
+        from numpy.random import SeedSequence as _SS
+
+        a, b, c = (
+            int(w) for w in _SS(seed & m).generate_state(3, _np.uint64)
+        )
+        ctr, out = 1, []
+        for i in range(12 + count):
+            o = (a + b + ctr) & m
+            ctr += 1
+            a = b ^ (b >> 11)
+            b = (c + (c << 3)) & m
+            c = (rotl(c, 24) + o) & m
+            if i >= 12:
+                out.append(o)
+        return out
+
+    sf64 = sfc64_stream(31, 2 * n)
     return [
         (
             i,
@@ -7822,6 +7853,7 @@ def _rng_parity_reference(n: int) -> list:
             sgn(w5[2 * i]), sgn(w5[2 * i + 1]),
             sgn(w10[2 * i]), sgn(w10[2 * i + 1]),
             sgn(w19[2 * i]), sgn(w19[2 * i + 1]),
+            sgn(sf64[2 * i]), sgn(sf64[2 * i + 1]),
         )
         for i in range(n)
     ]
@@ -7839,7 +7871,7 @@ def _oracle_rng_parity() -> str:
         "xs1024_lo", "xs1024_hi", "xsphi_lo", "xsphi_hi",
         "mt_lo", "mt_hi",
         "w512_lo", "w512_hi", "w1024_lo", "w1024_hi",
-        "w19937c_lo", "w19937c_hi",
+        "w19937c_lo", "w19937c_hi", "sfc64_lo", "sfc64_hi",
     ]
     sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
     return f"SELECT {sel} FROM (VALUES {rows}) AS t({', '.join(cols)})"

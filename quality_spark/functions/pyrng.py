@@ -36,6 +36,11 @@ per-partition stream.  Two honesty notes, both load-bearing:
   TWO_CMRES are nonlinear (carry/chaotic state) with no known
   sub-linear advance at all — a bit-exact port would have to walk the
   stream from position 0 per task, O(partition·2^33) work.
+  ``SFC_64`` (round 13) gets the ISAAC-style bounded-sequential
+  exception: numpy bundles SFC64, an in-container independent oracle,
+  so the published Doty-Humphrey transition is pinned bit-for-bit
+  (SFC_64 STATUS section below; seeding is numpy's SeedSequence
+  convention, system-identified — NOT commons-rng's).
   ``ISAAC`` (round 12) gets the same bounded-sequential exception as
   MT despite being nonlinear: Jenkins' published algorithm
   transcribed and pinned bit-for-bit against the in-container
@@ -92,6 +97,39 @@ per-partition stream.  Two honesty notes, both load-bearing:
   seed-for-seed; the 19937c/44497b tempering masks recovered from the
   learned output map match the published WELL tempering constants
   (0xe46e1700/0x9b868000 and 0x93dd1400/0xfa118000).
+  FINAL ADJUDICATION (round 13, 2026-08-16 — PERMANENT; re-open only
+  if a new oracle lands in the container): the in-container oracle
+  search is exhausted.  Enumerated live this round: commons-math3
+  3.6.1 (Spark's only bundled RNG jar — Well512a/1024a/19937a/c/
+  44497a/b, MersenneTwister, ISAACRandom, JDKRandomGenerator; all six
+  WELLs + ISAAC + MT + JDK already consumed), JDK 17's
+  ``java.util.random.RandomGeneratorFactory.all()`` (L32X64 /
+  L64X128(StarStar) / L64X256 / L64X1024 / L128X128 / L128X256 /
+  L128X1024 MixRandom, Random, SplittableRandom, SecureRandom,
+  Xoroshiro128PlusPlus, Xoshiro256PlusPlus), numpy 1.26 BitGenerators
+  (MT19937, PCG64, PCG64DXSM, Philox, SFC64), DuckDB (none exposed);
+  no network, no commons-rng artifact anywhere on disk, and the
+  reference imports commons-rng without vendoring any engine code.
+  Per-family verdicts for the 19 remaining names:
+  - ``XO_SHI_RO_128_{PP,PLUS,SS}``, ``XO_SHI_RO_512_{PP,PLUS,SS}``,
+    ``XO_RO_SHI_RO_64_{S,SS}``, ``XO_RO_SHI_RO_1024_{PP,S,SS}``
+    (linear, Blackman–Vigna): REJECTED — no oracle covers them (the
+    JDK ships only the 128++/256++ variants, already bit-exact), and
+    a from-memory transcription of rotation/shift constants could
+    silently ship a wrong stream under the reference's name, exactly
+    what this module's policy forbids.  The JDK-17 oracle DID newly
+    prove, seed-for-seed, the xoroshiro128++ and xoshiro256++ engine
+    + scrambler + seeding transcriptions (tests/test_ids.py
+    ``test_jdk17_xoshiro_engine_oracle``), which also pins the shared
+    state engines of the _PLUS/_SS siblings.
+  - ``MT_64``: REJECTED — numpy has only 32-bit MT19937; commons-
+    math3 and the JDK have no MT19937-64.
+  - ``KISS``, ``MWC_256``, ``JSF_32``, ``JSF_64``, ``SFC_32``,
+    ``MSWS``, ``TWO_CMRES``: REJECTED — nonlinear with no in-container
+    oracle (numpy's SFC64 covers only the 64-bit SFC variant, landed
+    this round).
+  Every one of the 43 RandomSource names now carries either a parity
+  pin (24) or this dated rejection (19); the adjudication is closed.
 - Every family is backed by numpy's Philox in counter mode, keyed by
   (algo-id, seed) and jumped per Spark partition.  Philox is the one
   numpy BitGenerator whose O(1) ``advance`` lets a row address its
@@ -555,6 +593,35 @@ def _isaac_run_words(seed: int, n_words: int) -> np.ndarray:
     return out
 
 
+# --- SFC_64 (Doty-Humphrey Small Fast Counting) — numpy-pinned --------
+#
+# Round 13: numpy bundles SFC64 — an in-container independent oracle
+# for commons-rng's SFC_64 (source64.DotyHumphreySmallFastCounting64).
+# SFC is NONLINEAR (additions + a counter), so like ISAAC/MT it gets
+# the bounded-sequential exception; no sub-linear advance exists.
+# SEEDING: numpy's own convention — ``SeedSequence(seed & 2^64-1).
+# generate_state(3)`` -> (a, b, c) in order, counter = 1, then 12
+# discarded warmup rounds. The convention was SYSTEM-IDENTIFIED
+# against numpy live (search over word orders × 0..32 warmups:
+# unique solution, stable across seeds 0/1/42/123456789) — documented
+# like the MT/WELL caveats: NOT commons-rng's seed expansion, which
+# remains unverifiable in-container. The transition loop
+# (out = a+b+counter++; a = b^(b>>11); b = c+(c<<3); c = rotl(c,24)+out)
+# is the published PractRand algorithm, and the numpy C path's
+# agreement with an independent pure-python loop of it is pinned in
+# tests/test_ids.py — transcription and oracle check each other.
+
+_SFC64_MAX_WORDS = 1 << 22  # numpy C regeneration: ~ms at this bound
+
+
+def _sfc64_run_words(seed: int, n_words: int) -> np.ndarray:
+    """First ``n_words`` 64-bit outputs of numpy's SFC64 seeded with
+    the unsigned value of ``seed``."""
+    from numpy.random import SFC64
+
+    return SFC64(seed & _M64).random_raw(n_words).astype(np.uint64)
+
+
 def _well_big_run_words(algo: str, seed: int, n_words: int) -> np.ndarray:
     """First ``n_words`` 64-bit outputs (two 32-bit draws each, first
     draw HIGH) of a big-state WELL under the commons-math3
@@ -976,6 +1043,24 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
             nwords, dtype=np.uint64
         )
         return words[pos.astype(np.int64)]
+    if algo == "SFC_64":
+        if n == 0:
+            return np.empty((0, nwords), np.uint64)
+        need = (int(mids.max()) + 1) * nwords
+        if need > _SFC64_MAX_WORDS:
+            raise ValueError(
+                "rng('SFC_64') is bit-exact via bounded sequential "
+                "reproduction (SFC is nonlinear — no sub-linear "
+                "advance exists) and supports sequence positions < "
+                f"{_SFC64_MAX_WORDS // nwords} only (single-partition "
+                "/ driver-side use). Use a jumpable engine for "
+                "partitioned frames."
+            )
+        words = _sfc64_run_words(seed, need)
+        pos = mids[:, None] * np.uint64(nwords) + np.arange(
+            nwords, dtype=np.uint64
+        )
+        return words[pos.astype(np.int64)]
     if algo == "JDK":
         run_fn = _jdk_run
     elif algo in _PCG_VARIANTS:
@@ -1004,7 +1089,7 @@ def exact_rng_draws(algo: str, seed: int, mids: np.ndarray, nwords: int) -> np.n
 EXACT_RNG_ALGOS = {
     SUPPORTED_RNG_ALGOS[name]: name
     for name in (
-        "SPLIT_MIX_64", "JDK", "MT", "ISAAC",
+        "SPLIT_MIX_64", "JDK", "MT", "ISAAC", "SFC_64",
         *_EXACT_ENGINES, *_PCG_VARIANTS, *_WELL_ENGINES, *_WELL_BIG,
     )
 }

@@ -925,3 +925,113 @@ def test_isaac_bit_parity():
     assert len({int(v) for v in deep.ravel()}) == 3
     with pytest.raises(ValueError, match="bounded sequential"):
         rng_draws(aid, 42, np.array([_ISAAC_MAX_WORDS], np.int64), 1)
+
+
+def test_sfc64_bit_parity():
+    """rng('SFC_64') (round 13) — Doty-Humphrey SFC64, bit-exact by
+    bounded sequential reproduction under numpy's SeedSequence seeding
+    convention (pyrng SFC_64 STATUS). The production path executes
+    numpy's C SFC64; this test replays the published transition as an
+    independent pure-python loop from the same SeedSequence state
+    (a,b,c = generate_state(3), counter=1, 12 warmups), so a
+    transcription or convention defect on either side fails."""
+    import numpy as np
+    import pytest
+    from numpy.random import SeedSequence
+
+    from quality_spark.functions.pyrng import (
+        _SFC64_MAX_WORDS,
+        SUPPORTED_RNG_ALGOS,
+        rng_draws,
+    )
+
+    M = (1 << 64) - 1
+
+    def rotl(x, k):
+        return ((x << k) | (x >> (64 - k))) & M
+
+    def sfc_stream(seed, count):
+        a, b, c = (int(w) for w in SeedSequence(seed).generate_state(
+            3, np.uint64
+        ))
+        ctr, out = 1, []
+        for i in range(12 + count):
+            o = (a + b + ctr) & M
+            ctr += 1
+            a = b ^ (b >> 11)
+            b = (c + (c << 3)) & M
+            c = (rotl(c, 24) + o) & M
+            if i >= 12:
+                out.append(o)
+        return out
+
+    aid = SUPPORTED_RNG_ALGOS["SFC_64"]
+    for seed in (0, 1, 42, 123456789, (1 << 63) + 17):
+        want = sfc_stream(seed & M, 8)
+        whole = rng_draws(aid, seed, np.arange(8, dtype=np.int64), 1)
+        assert [int(v) for v in whole.ravel()] == want, seed
+        pick = np.array([1, 4, 7], dtype=np.int64)
+        sparse = rng_draws(aid, seed, pick, 1)
+        assert [int(v) for v in sparse.ravel()] == [
+            want[1], want[4], want[7]
+        ]
+    with pytest.raises(ValueError, match="bounded sequential"):
+        rng_draws(aid, 42, np.array([_SFC64_MAX_WORDS], np.int64), 1)
+
+
+def test_jdk17_xoshiro_engine_oracle(spark):
+    """FINAL ADJUDICATION evidence (round 13): JDK 17 bundles
+    Xoroshiro128PlusPlus and Xoshiro256PlusPlus — truly independent
+    in-container oracles. Derive the JDK instances' initial states
+    from their documented seeding (mixStafford13 over seed^SILVER with
+    GOLDEN increments — identified live against the oracle), then run
+    the PRODUCTION engine step + '++' scrambler from that state: the
+    streams must match nextLong-for-nextLong. This proves the
+    published-algorithm transcription of both engines (and the state
+    transitions shared by their _PLUS/_SS siblings) against code this
+    repo did not write."""
+    import numpy as np
+
+    from quality_spark.functions.pyrng import (
+        _EXACT_ENGINES,
+        _splitmix64_mix,
+    )
+
+    M = (1 << 64) - 1
+    SILVER, GOLDEN = 0x6A09E667F3BCC909, 0x9E3779B97F4A7C15
+
+    def mix(z):
+        return int(_splitmix64_mix(np.array([z], dtype=np.uint64))[0])
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    cls = jvm.java.lang.Class.forName("java.util.random.RandomGenerator")
+    next_long = cls.getMethod(
+        "nextLong", gw.new_array(jvm.java.lang.Class, 0)
+    )
+    noargs = gw.new_array(jvm.java.lang.Object, 0)
+
+    def jdk_stream(name, seed, n):
+        g = jvm.java.util.random.RandomGeneratorFactory.of(name).create(
+            seed
+        )
+        return [next_long.invoke(g, noargs) & M for _ in range(n)]
+
+    def ours(algo, state, n):
+        step, _k, out_fn, *_ = _EXACT_ENGINES[algo]
+        out = []
+        for _ in range(n):
+            out.append(out_fn(state))
+            state = step(state)
+        return out
+
+    for seed in (0, 1, 42, -7, (1 << 61) + 5):
+        z = (seed & M) ^ SILVER
+        s128 = (mix(z), mix((z + GOLDEN) & M))
+        assert ours("XO_RO_SHI_RO_128_PP", s128, 6) == jdk_stream(
+            "Xoroshiro128PlusPlus", seed, 6
+        ), seed
+        s256 = tuple(mix((z + i * GOLDEN) & M) for i in range(4))
+        assert ours("XO_SHI_RO_256_PP", s256, 6) == jdk_stream(
+            "Xoshiro256PlusPlus", seed, 6
+        ), seed
