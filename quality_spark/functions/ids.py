@@ -101,8 +101,34 @@ HASH_IMPLS = {
 #:   — and a mis-vendored table is WORSE than none: it would drive
 #:   the implementation to match wrong constants, shipping a wrong
 #:   hash under the real algorithm's name with a green test.
-#: Revisit when a bit-exact reference (vendorable vector file or
-#: library) is actually present in the build environment.
+#:
+#: FINAL ADJUDICATION (round 13, 2026-08-16 — PERMANENT; re-open only
+#: if a new oracle lands in the container). A fresh sweep found ONE
+#: new candidate since round 6 — Spark's guava-33.4.8 bundles
+#: ``Hashing.farmHashFingerprint64()`` — and it was evaluated and
+#: found insufficient: it implements the UNSEEDED farmhashna
+#: fingerprint, while the reference's za digest chain calls the
+#: SEEDED factory for EVERY link (``ZeroAllocation.scala``
+#: ``LongHashFunctionProxy``: ``hasher(buffer(0))`` — the previous
+#: output seeds the next hash, and even the first link is
+#: ``farmNa(0)``, the seeded function at seed 0, which farmhash
+#: defines as ``Hash64WithSeed`` ≠ ``Hash64``). Pinning Hash64 via
+#: Guava and adding the WithSeed wrapper from memory would put an
+#: unverifiable constant in the output path of every chained hash —
+#: the exact silent-wrong-stream failure this table exists to refuse.
+#: Per-name verdicts:
+#: - CITY_1_1 (CityHash64 v1.1): REJECTED — no implementation in
+#:   guava/commons/JDK/numpy/duckdb; KAT table not vendorable.
+#: - FARM_NA (farmhashna): REJECTED — Guava fingerprint is unseeded
+#:   only (see above); seeded wrapper unverifiable.
+#: - FARM_UO (farmhashuo): REJECTED — no implementation at all
+#:   (Guava's fingerprint is the na family).
+#: - METRO (MetroHash64): REJECTED — no implementation anywhere
+#:   in-container.
+#: - WY_3 (wyhash v3): REJECTED — no implementation anywhere
+#:   in-container.
+#: - MUM (mum-hash): REJECTED — no implementation anywhere
+#:   in-container.
 UNSUPPORTED_HASH_IMPLS = frozenset(
     {"CITY_1_1", "FARM_NA", "FARM_UO", "METRO", "WY_3", "MUM"}
 )
