@@ -4413,6 +4413,29 @@ def q_streaming_ingest(
             F.lit(-1).cast("bigint").alias("key_user_sum"),
         ).select("part", "emitted", "distinct_keys", "key_user_sum")
     )
+    # 'doctor_keystore' (round 13, VERDICT r12 next #2/#4 closure):
+    # the key-store health check runs on the gate's own
+    # just-compacted bucketed store — emitted = finding count,
+    # distinct_keys = ok; the oracle pins the healthy expectation
+    # (0 findings, ok), so a leftover stage/old dir, stray sentinel,
+    # or orphaned __compacting table in the staged-swap protocol
+    # fails the gate. With this, all SIX persisted-artifact checks
+    # are driver-gated (the other five ride embedding_reduce).
+    from quality_spark.doctor import check_key_store
+
+    rep = check_key_store(spark, shared["btable"])
+    legs.append(
+        spark.createDataFrame(
+            [(
+                "doctor_keystore",
+                len(rep["findings"]),
+                1 if rep["ok"] else 0,
+                -1,
+            )],
+            "part string, emitted long, distinct_keys long, "
+            "key_user_sum long",
+        )
+    )
     res = legs[0]
     for leg in legs[1:]:
         res = res.unionByName(leg)
@@ -4440,6 +4463,9 @@ SELECT 'store_bucketed', emitted, distinct_keys, key_user_sum FROM ({store})
 UNION ALL
 SELECT 'store_compact', emitted, distinct_keys, CAST(-1 AS BIGINT)
 FROM ({store})
+UNION ALL
+SELECT 'doctor_keystore', CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(-1 AS BIGINT)
 """
 
 

@@ -970,6 +970,10 @@ def main() -> None:
         "joins the bit-exact set, pinned against numpy's bundled SFC64 "
         "oracle (VERDICT r12 next #5); the gate gains the stream plus "
         "its independent pure-python driver-side oracle rows",
+        "streaming_first_seen": "round 13: NEW 'doctor_keystore' row — "
+        "check_key_store runs on the gate's just-compacted bucketed "
+        "store (metadata probes only, +1 oracle-pinned row); with it "
+        "all six persisted-artifact health checks are driver-gated",
         "embedding_reduce": "round 13: NEW 'doctor' part (VERDICT r12 "
         "next #2) — the store-health surface runs on five staged "
         "stores inside the gate; first call additionally stages the "
