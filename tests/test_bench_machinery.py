@@ -240,11 +240,13 @@ def test_solo_drifter_still_elevated_stays_unexplained():
     assert "investigated" not in dr["event_suite"]
 
 
-def test_solo_drifter_skips_handled_and_legbudget_entries():
+def test_solo_drifter_skips_handled_entries_and_respects_bound():
     """The solo pass must not re-sample entries that already carry
     isolated evidence (outlier path / stream-startup governance), nor
-    touch attributed/investigated/resolved ones, nor try to 'run' a
-    leg_budget ledger entry; the per-run bound caps subprocess cost."""
+    touch attributed/investigated/resolved ones; gate-level drifters
+    are sampled before leg breaches under the shared bound (a gate
+    total is the stronger signal); the per-run bound caps subprocess
+    cost."""
     from bench import investigate_solo_drifters
 
     calls = []
@@ -257,9 +259,9 @@ def test_solo_drifter_skips_handled_and_legbudget_entries():
         "already_sampled": _entry(1.0, 2.0, isolated_sample=1.9),
         "attributed": _entry(1.0, 2.0, attributed="round N: new leg"),
         "resolved": _entry(1.0, 1.1, resolved=True),
-        "g.leg:x": {
-            "prior": None, "final": 3.0, "resolved": False,
-            "kind": "leg_budget",
+        "a_gate.leg:x": {
+            "prior": 0.8, "samples": [3.0], "final": 3.0,
+            "resolved": False, "kind": "leg_budget",
         },
         "solo_a": _entry(1.0, 2.0),
         "solo_b": _entry(1.0, 2.0),
@@ -267,11 +269,42 @@ def test_solo_drifter_skips_handled_and_legbudget_entries():
         "solo_d": _entry(1.0, 2.0),
     }
     cleared = investigate_solo_drifters(dr, sampler, max_samples=3)
+    # gates first despite 'a_gate.leg:x' sorting alphabetically ahead
     assert calls == ["solo_a", "solo_b", "solo_c"]  # bound respected
     assert cleared == ["solo_a", "solo_b", "solo_c"]
-    assert "isolated_sample" not in dr["g.leg:x"]
+    assert "isolated_sample" not in dr["a_gate.leg:x"]
     assert dr["already_sampled"]["isolated_sample"] == 1.9
     assert "investigated" not in dr["solo_d"]  # over the bound: flagged
+
+
+def test_leg_budget_breach_cleared_by_within_budget_isolated_sample():
+    """Round 13: a leg-budget breach takes the isolated evidence path
+    with the BUDGET as the bar — a fresh-session sample back inside
+    the budget proves end-of-session pressure, clearing the entry; a
+    sample still over budget leaves it unexplained with the evidence
+    recorded."""
+    from bench import investigate_solo_drifters
+
+    dr = {
+        "media_features.leg:y4m": {
+            "prior": 1.0, "samples": [1.27], "final": 1.27,
+            "resolved": False, "kind": "leg_budget",
+        },
+        "media_features.leg:wav_spec": {
+            "prior": 1.0, "samples": [1.15], "final": 1.15,
+            "resolved": False, "kind": "leg_budget",
+        },
+    }
+    samples = {"media_features.leg:y4m": 0.72,
+               "media_features.leg:wav_spec": 1.05}
+    cleared = investigate_solo_drifters(dr, lambda n: samples[n])
+    assert cleared == ["media_features.leg:y4m"]
+    y4m = dr["media_features.leg:y4m"]
+    assert y4m["isolated_sample"] == 0.72
+    assert "did not reproduce" in y4m["investigated"]
+    ws = dr["media_features.leg:wav_spec"]
+    assert ws["isolated_sample"] == 1.05  # evidence recorded
+    assert "investigated" not in ws  # still over budget: flagged
 
 
 def test_codrift_skips_entries_with_isolated_evidence():
