@@ -261,13 +261,21 @@ def investigate_solo_drifters(
         iso = sampler(n)
         e["isolated_sample"] = round(iso, 4) if iso is not None else None
         if e.get("kind") == "leg_budget":
-            if iso is not None and iso <= e["prior"]:
+            # the evidence bar gets the SAME 1.3x cross-context slack
+            # as gate keys: the isolated sample is itself one
+            # fresh-session measurement subject to the dispersion the
+            # threshold exists for, and requiring it to land strictly
+            # inside an allowance calibrated on a different box state
+            # would make the evidence path vacuous exactly in the
+            # slow-box phases where it's needed. The in-run ledger
+            # bar stays the budget itself (breaches always surface).
+            if iso is not None and iso <= threshold * e["prior"]:
                 e["investigated"] = (
                     "leg-budget breach did not reproduce: isolated "
-                    f"fresh-session re-measure {iso:.2f}s is inside "
-                    f"the {e['prior']}s budget — end-of-session "
-                    "pressure on this leg's in-run sample, not a "
-                    "regression"
+                    f"fresh-session re-measure {iso:.2f}s is within "
+                    f"{threshold}x of the {e['prior']}s budget (vs "
+                    f"{e['final']}s in-run) — session/box pressure on "
+                    "this leg's in-run sample, not a regression"
                 )
                 cleared.append(n)
         elif iso is not None and iso <= threshold * e["prior"]:

@@ -296,15 +296,18 @@ def test_leg_budget_breach_cleared_by_within_budget_isolated_sample():
         },
     }
     samples = {"media_features.leg:y4m": 0.72,
-               "media_features.leg:wav_spec": 1.05}
+               "media_features.leg:wav_spec": 1.45}
     cleared = investigate_solo_drifters(dr, lambda n: samples[n])
+    # the evidence bar is threshold x budget (the same 1.3x
+    # cross-context slack gate keys get), so 0.72 clears outright and
+    # 1.45 > 1.3 stays flagged with the evidence recorded
     assert cleared == ["media_features.leg:y4m"]
     y4m = dr["media_features.leg:y4m"]
     assert y4m["isolated_sample"] == 0.72
     assert "did not reproduce" in y4m["investigated"]
     ws = dr["media_features.leg:wav_spec"]
-    assert ws["isolated_sample"] == 1.05  # evidence recorded
-    assert "investigated" not in ws  # still over budget: flagged
+    assert ws["isolated_sample"] == 1.45  # evidence recorded
+    assert "investigated" not in ws  # over threshold x budget: flagged
 
 
 def test_codrift_skips_entries_with_isolated_evidence():
