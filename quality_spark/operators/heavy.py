@@ -40,10 +40,21 @@ def _mg_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
     """Per-partition Misra-Gries candidate keys (<= capacity each),
     Arrow-batched: each batch folds via value_counts, then the
     weighted-MG merge (add counts; while over capacity, subtract the
-    min count from all and drop the zeros)."""
+    min count from all and drop the zeros).
+
+    Nulls are filtered BEFORE the Arrow boundary, not inside pandas:
+    a nullable bigint batch containing even one null reaches pandas
+    as float64, silently rounding keys above 2^53 (64-bit hash keys
+    at scale) — the rounded candidate then misses the exact recount
+    join and a provably-heavy key vanishes from the result. Filtering
+    first keeps the batch int64 (and pushes the IsNotNull to the
+    scan)."""
     import pandas as pd
 
-    schema = df.select(F.col(key_col).alias("key")).schema
+    keyed = df.select(F.col(key_col).alias("key")).filter(
+        F.col("key").isNotNull()
+    )
+    schema = keyed.schema
 
     def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
@@ -57,9 +68,7 @@ def _mg_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
                     }
         yield pd.DataFrame({"key": list(counters.keys())})
 
-    return df.select(F.col(key_col).alias("key")).mapInPandas(
-        summarize, schema=schema
-    )
+    return keyed.mapInPandas(summarize, schema=schema)
 
 
 def exact_topk_heavy_hitters(
@@ -144,9 +153,12 @@ def _mg_group_candidates(
     let a huge group evict another group's hitters)."""
     import pandas as pd
 
-    schema = df.select(
+    # null filter BEFORE the Arrow boundary — same int64->float64
+    # key-corruption hazard as _mg_candidates (see its docstring)
+    keyed = df.select(
         F.col(group_col).alias("grp"), F.col(key_col).alias("key")
-    ).schema
+    ).filter(F.col("grp").isNotNull() & F.col("key").isNotNull())
+    schema = keyed.schema
 
     def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sketches: dict = {}
@@ -169,9 +181,7 @@ def _mg_group_candidates(
             }
         )
 
-    return df.select(
-        F.col(group_col).alias("grp"), F.col(key_col).alias("key")
-    ).mapInPandas(summarize, schema=schema)
+    return keyed.mapInPandas(summarize, schema=schema)
 
 
 def grouped_topk_heavy_hitters(

@@ -2903,6 +2903,41 @@ def test_heavy_hitters_bounded_matches_plain_under_guarantee(spark):
     assert all(r["cnt"] > r["guarantee_threshold"] for r in mg)
 
 
+def test_heavy_hitters_big_int64_keys_with_nulls_exact(spark):
+    """Regression (round 13): the MG candidate pass must filter nulls
+    BEFORE the Arrow boundary. A nullable bigint batch containing a
+    null reached pandas as float64, rounding keys above 2^53 (64-bit
+    hash keys) — the rounded candidates then missed the exact recount
+    join and both provably-heavy keys vanished from the result
+    (observed: top-2 came back as count-1 noise keys)."""
+    from quality_spark.operators.heavy import (
+        exact_topk_heavy_hitters,
+        grouped_topk_heavy_hitters,
+    )
+
+    big = 2**60 + 1  # adjacent odd bigints collapse in float64
+    rows = (
+        [(big,)] * 50 + [(big + 2,)] * 30 + [(None,)]
+        + [(i,) for i in range(900, 960)]
+    )
+    df = spark.createDataFrame(rows, "k bigint").coalesce(1)
+    got = [
+        (r["k"], r["cnt"])
+        for r in exact_topk_heavy_hitters(df, "k", k=2, capacity=8).collect()
+    ]
+    assert got == [(big, 50), (big + 2, 30)]
+
+    grows = [(g, k) for (k,) in rows for g in ("x",)]
+    gdf = spark.createDataFrame(grows, "g string, k bigint").coalesce(1)
+    ggot = [
+        (r["k"], r["cnt"])
+        for r in grouped_topk_heavy_hitters(
+            gdf, "g", "k", k=2, capacity=8
+        ).collect()
+    ]
+    assert ggot == [(big, 50), (big + 2, 30)]
+
+
 def test_heavy_hitters_capacity_at_least_distinct_always_exact(spark, sf_dir):
     """capacity >= per-partition distinct: MG never decrements, so the
     bounded shape equals plain for ANY k — and the DuckDB oracle
