@@ -115,6 +115,15 @@ def streaming_first_seen(
     State per key is one boolean — ~16 bytes/key plus key bytes; at
     100 TB-scale key cardinality prefer :func:`streaming_dedup_exact`
     with a realistic watermark, or pre-shard by key ranges.
+
+    Precision caveat (pandas state API limitation): the emitted first
+    row round-trips through pandas, where a NULLABLE bigint payload
+    column whose batch contains a null is represented as float64 —
+    payload values above 2^53 in such a column can round in the
+    emitted row (key columns are unaffected: each group's batch holds
+    only the key's own non-null values). Cast identity-bearing
+    nullable bigint payloads to string upstream if they can exceed
+    2^53.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
