@@ -1,9 +1,10 @@
 """Skew-mitigation operators: salted aggregation and replicated skew
 join.
 
-AQE's skew-join splitting handles most cases automatically (the engine
-enables AQE in its recipes); these are the explicit tools for the two
-patterns AQE does not cover:
+AQE's skew-join splitting handles most cases automatically (enable
+``spark.sql.adaptive.enabled`` in your session — the library never
+overrides session conf, but the repo's own bench/test sessions set it);
+these are the explicit tools for the two patterns AQE does not cover:
 
 - ``salted_agg``: a hot grouping key overloads one reducer even with
   AQE (a single group cannot be split). Salting splits each key into
