@@ -71,6 +71,15 @@ def asof_join(
     Ties on ``right_ts`` break by ``tie_col`` (largest wins; required
     when right timestamps can repeat, otherwise the match would be
     nondeterministic). Right payload columns arrive prefixed.
+
+    Scale bound: one shuffle on the keys, then a per-key ordered
+    window — each key sorts in ONE task, so per-key row volume is the
+    unit of parallelism. With few hot keys and deep history (one
+    instrument, billions of ticks), pre-split the time axis: run the
+    join per coarse time bucket with the latest right row per key
+    carried across the bucket boundary (the same banding idea
+    ``interval_join`` uses for ranges); key-partitioned layouts with
+    many keys need nothing.
     """
     right_cols = list(
         right_cols
