@@ -60,7 +60,49 @@ __all__ = [
     "domain_pagerank",
     "hits",
     "hits_oracle_sql",
+    "prepare_graph",
+    "release_graph",
 ]
+
+
+def prepare_graph(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    dedup_edges: bool = True,
+) -> tuple:
+    """Materialize the (edges, nodes, n) prologue both :func:`pagerank`
+    and :func:`hits` start from — normalized string endpoints, NULLs
+    dropped, optional parallel-edge collapse, both frames
+    localCheckpoint'ed and the node count taken. Pass the result as
+    ``prepared=`` to run several rankings over ONE materialization of
+    the graph (one distinct + one node scan instead of one per
+    ranking); the caller then owns the checkpoints and must call
+    :func:`release_graph` when every consumer's construction is done.
+    Results are identical to the unshared path by construction — the
+    same deduped edge set feeds the same iteration."""
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if dedup_edges:
+        e = e.distinct()
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    return (e, nodes, nodes.count())
+
+
+def release_graph(prepared: tuple) -> None:
+    """Free the checkpoint blocks of a :func:`prepare_graph` result
+    (checkpoint hygiene — see plans/blocks.py)."""
+    e, nodes, _ = prepared
+    release_local_checkpoint(e)
+    release_local_checkpoint(nodes)
 
 
 def pagerank(
@@ -71,6 +113,7 @@ def pagerank(
     damping: tuple = (85, 100),
     total: int = 10**12,
     dedup_edges: bool = True,
+    prepared: Optional[tuple] = None,
 ) -> DataFrame:
     """(node, r_pico BIGINT, rank DOUBLE) for every node in the edge
     graph after ``iters`` integer-exact PageRank iterations.
@@ -91,24 +134,18 @@ def pagerank(
     if int(iters) < 0:
         raise ValueError("iters must be >= 0")
 
-    e = edges.select(
-        F.col(src).cast("string").alias("src"),
-        F.col(dst).cast("string").alias("dst"),
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    if dedup_edges:
-        e = e.distinct()
-    e = e.localCheckpoint()
+    if prepared is None:
+        e, nodes, n = prepare_graph(edges, src, dst, dedup_edges)
+        owns_graph = True
+    else:
+        # caller-shared graph (prepare_graph): the caller owns the
+        # checkpoints and releases them via release_graph
+        e, nodes, n = prepared
+        owns_graph = False
 
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("od")
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()
     if n == 0:
         return nodes.select(
             "node",
@@ -189,9 +226,10 @@ def pagerank(
     # except at iters=0, where it still reads the nodes checkpoint
     ed.unpersist()
     dang_nodes.unpersist()
-    release_local_checkpoint(e)
-    if int(iters) > 0:
-        release_local_checkpoint(nodes)
+    if owns_graph:
+        release_local_checkpoint(e)
+        if int(iters) > 0:
+            release_local_checkpoint(nodes)
     return ranks.select(
         "node",
         F.col("r").alias("r_pico"),
@@ -329,6 +367,7 @@ def hits(
     iters: int = 8,
     total: int = 10**9,
     dedup_edges: bool = True,
+    prepared: Optional[tuple] = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999), integer-exact:
     (node, authority_nano, hub_nano, authority, hub) after ``iters``
@@ -358,20 +397,12 @@ def hits(
     if int(total) ** 2 >= 1 << 63:
         raise ValueError("total^2 must stay below 2^63 for int64 headroom")
 
-    e = edges.select(
-        F.col(src).cast("string").alias("src"),
-        F.col(dst).cast("string").alias("dst"),
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    if dedup_edges:
-        e = e.distinct()
-    e = e.localCheckpoint()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()
+    if prepared is None:
+        e, nodes, n = prepare_graph(edges, src, dst, dedup_edges)
+        owns_graph = True
+    else:
+        e, nodes, n = prepared
+        owns_graph = False
     if n == 0:
         return nodes.select(
             "node",
@@ -444,7 +475,7 @@ def hits(
         if prev_ckpt is not None:
             release_local_checkpoint(prev_ckpt)
         prev_ckpt = state
-    if int(iters) > 0:
+    if owns_graph and int(iters) > 0:
         release_local_checkpoint(e)
         release_local_checkpoint(nodes)
     t = float(total)
