@@ -90,20 +90,37 @@ def fk_orphan_stats(
     for c in child_keys:
         cond = F.col(c).isNull()
         null_any = cond if null_any is None else (null_any | cond)
-    non_null = child.filter(~null_any)
     pk = parent.select(
         *[F.col(p).alias(c) for c, p in zip(child_keys, parent_keys)]
     ).dropDuplicates(list(child_keys))
     if broadcast_parent:
         pk = F.broadcast(pk)
-    orphans = non_null.join(pk, list(child_keys), "left_anti")
-    n_child = child.count()
-    n_null = child.filter(null_any).count()
-    n_orph = orphans.count()
-    spark = child.sparkSession
-    return spark.createDataFrame(
-        [(int(n_child), int(n_orph), int(n_null))],
-        "n_child_rows bigint, n_orphans bigint, n_null_keys bigint",
+    # Round 13 (optimization): ONE lazy pass instead of three eager
+    # counts (child scan, null-key scan, anti-join scan — three
+    # sequential driver-blocking jobs). A left join against the deduped
+    # parent keys marks matches; NULL-key rows never match by SQL join
+    # semantics and are classified by ``null_any`` exactly as the
+    # filtered anti-join did, so the three counts are unchanged — now
+    # from a single aggregate the caller executes whenever it acts.
+    mark = "__qs_fk_match"
+    while mark in child.columns:
+        mark += "_"
+    marked = child.join(
+        pk.withColumn(mark, F.lit(1)), list(child_keys), "left"
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+        F.coalesce(
+            F.sum(
+                F.when(~null_any & F.col(mark).isNull(), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_orphans"),
+        F.coalesce(F.sum(F.when(null_any, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("n_null_keys"),
     )
 
 
@@ -371,20 +388,39 @@ def relational_profile(
     facts: List[tuple],
 ) -> DataFrame:
     """Convenience packer: list of ('name', single-row DataFrame) →
-    long (relation, stat, value) frame for reporting/gating."""
+    long (relation, stat, value) frame for reporting/gating.
+
+    Lazy since round 13: each fact frame is unpivoted in-plan and the
+    facts union into ONE job the caller executes, instead of one
+    eager ``collect()`` per fact (six sequential driver-blocking jobs
+    in the gate's rel leg; at scale, serial full passes). Rows are
+    identical — (name, column, value-as-bigint, NULL preserved)."""
     if not facts:
         raise ValueError("facts must be non-empty")
-    rows = []
-    spark = None
+    frames = []
     for name, frame in facts:
-        spark = spark or frame.sparkSession
-        row = frame.collect()[0]
-        for k in frame.columns:
-            v = row[k]
-            rows.append((name, k, None if v is None else int(v)))
-    return spark.createDataFrame(
-        rows, "relation string, stat string, value bigint"
-    )
+        unpivoted = frame.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("stat"),
+                            F.col(k).cast("bigint").alias("value"),
+                        )
+                        for k in frame.columns
+                    ]
+                )
+            ).alias("__qs_e")
+        ).select(
+            F.lit(name).alias("relation"),
+            F.col("__qs_e.stat").alias("stat"),
+            F.col("__qs_e.value").alias("value"),
+        )
+        frames.append(unpivoted)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def k_anonymity_stats(df: DataFrame, qi_cols: Sequence[str], k: int) -> DataFrame:
