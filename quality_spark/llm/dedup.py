@@ -774,24 +774,38 @@ def connected_components(
     )
     from ..plans.blocks import release_local_checkpoint
 
+    comp_type = labels.schema["component"].dataType
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("id").alias("b"), "component"), "b"
-        ).select(F.col("a").alias("id"), "component")
+        ).select(
+            F.col("a").alias("id"),
+            F.col("component"),
+            F.lit(None).cast(comp_type).alias("__old"),
+        )
         # eager checkpoint: measured equal to lazy (the convergence
         # count re-reads the same blocks either way), and eager blocks
-        # can't be silently recomputed from lost lineage mid-round
+        # can't be silently recomputed from lost lineage mid-round.
+        # Round 13: the previous label rides through the aggregation as
+        # ``__old`` (max() sees exactly the one non-null labels row per
+        # id), so the convergence check is a filter-count over the new
+        # checkpoint's blocks instead of a shuffle join of new labels
+        # against old — one fewer join job per round, same count.
         new_labels = (
-            labels.union(nbr)
+            labels.select(
+                "id", "component", F.col("component").alias("__old")
+            )
+            .union(nbr)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("__old").alias("__old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "__old"), "id")
-            .filter(F.col("component") != F.col("__old"))
-            .count()
-        )
+        changed = new_labels.filter(
+            F.col("component") != F.col("__old")
+        ).count()
         # the convergence count was the last reader of the old round's
         # checkpoint — free its blocks (round-10 hygiene: plain
         # unpersist() cannot release checkpoint blocks and they
@@ -801,7 +815,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             release_local_checkpoint(edges)
-            return labels
+            return labels.select("id", "component")
     release_local_checkpoint(edges)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
