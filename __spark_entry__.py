@@ -525,22 +525,35 @@ _BLOOM_MEMO: dict = {}
 # measures the READ path; the write path still runs every session
 # (first call) and its output is what the oracle hash checks.
 _STAGE_MEMO: dict = {}
+_STAGE_LOCKS: dict = {}
+_STAGE_LOCKS_GUARD = __import__("threading").Lock()
 
 
 def _staged(kind: str, sf_dir: str, build):
     """Memoized staging: ``build(root) -> value`` runs once per
     (kind, sf_dir); the root is keyed by sf_dir so two scale factors
-    never clobber each other's files."""
+    never clobber each other's files. Thread-safe (round 13): the
+    composite gates build their legs on thread pools, and two legs
+    sharing a staged artifact must not double-build it (the rmtree
+    of a duplicate build would race a concurrent reader) — per-key
+    double-checked locks serialize exactly the first build."""
     import os
     import shutil
     import tempfile
 
     key = (kind, sf_dir)
-    if key not in _STAGE_MEMO:
-        tag = os.path.basename(sf_dir.rstrip("/")) or "default"
-        root = os.path.join(tempfile.gettempdir(), f"qs_{kind}_gate_{tag}")
-        shutil.rmtree(root, ignore_errors=True)
-        _STAGE_MEMO[key] = build(root)
+    if key in _STAGE_MEMO:
+        return _STAGE_MEMO[key]
+    with _STAGE_LOCKS_GUARD:
+        lock = _STAGE_LOCKS.setdefault(key, __import__("threading").Lock())
+    with lock:
+        if key not in _STAGE_MEMO:
+            tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+            root = os.path.join(
+                tempfile.gettempdir(), f"qs_{kind}_gate_{tag}"
+            )
+            shutil.rmtree(root, ignore_errors=True)
+            _STAGE_MEMO[key] = build(root)
     return _STAGE_MEMO[key]
 
 
@@ -555,12 +568,43 @@ def _staged(kind: str, sf_dir: str, build):
 #: Oracle rows are IDENTICAL — the same recipes over the same staged
 #: inputs, only the scheduling changed.
 _SHARED_STREAM_MEMO: dict = {}
+_SHARED_STREAM_LOCK = __import__("threading").Lock()
+
+
+def _concurrent_union(builders) -> DataFrame:
+    """Build independent composite legs on a thread pool and union in
+    the given order (the expr_runner_agg/stats_suite pattern,
+    generalized in round 13): legs that stage artifacts, collect
+    metadata, or run eager checkpoint loops do that work overlapped
+    instead of serially; the union is bit-identical to the serial
+    build because every leg is a pure operator over its own frames
+    (shared staged artifacts are behind `_staged`'s per-key locks)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = list(builders)
+    if len(builders) == 1:
+        return builders[0]()
+    with ThreadPoolExecutor(max_workers=min(8, len(builders))) as ex:
+        frames = list(ex.map(lambda b: b(), builders))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _shared_streams(spark: SparkSession, sf_dir: str) -> dict:
     key = (id(spark), sf_dir)
     if key in _SHARED_STREAM_MEMO:
         return _SHARED_STREAM_MEMO[key]
+    with _SHARED_STREAM_LOCK:
+        if key in _SHARED_STREAM_MEMO:
+            return _SHARED_STREAM_MEMO[key]
+        return _shared_streams_build(spark, sf_dir, key)
+
+
+def _shared_streams_build(
+    spark: SparkSession, sf_dir: str, key: tuple
+) -> dict:
     import os
     import shutil
     import tempfile
@@ -8333,11 +8377,15 @@ def q_text_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged per part."""
     nbl = F.lit(-1).cast("bigint")
     nd = F.lit(-1.0).cast("double")
-    bpe = q_bpe_tokenize(spark, sf_dir).select(
+
+    def b_bpe():
+        return q_bpe_tokenize(spark, sf_dir).select(
         "part", "ord", "a", "b", "n1", "n2",
         nbl.alias("v_long"), nd.alias("v_double"),
     )
-    enc = q_encoding_repair(spark, sf_dir).select(
+
+    def b_enc():
+        return q_encoding_repair(spark, sf_dir).select(
         F.lit("enc").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.lit("").alias("a"), F.lit("").alias("b"),
@@ -8346,7 +8394,9 @@ def q_text_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("repaired").cast("bigint").alias("v_long"),
         F.col("n_passes").cast("double").alias("v_double"),
     )
-    lm = q_lm_score(spark, sf_dir).select(
+
+    def b_lm():
+        return q_lm_score(spark, sf_dir).select(
         F.lit("lm").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.lit("").alias("a"), F.lit("").alias("b"),
@@ -8355,7 +8405,9 @@ def q_text_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_pair").cast("bigint").alias("v_long"),
         F.col("sum_ctx").cast("double").alias("v_double"),
     )
-    win = q_window_dup(spark, sf_dir).select(
+
+    def b_win():
+        return q_window_dup(spark, sf_dir).select(
         F.lit("win").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.lit("").alias("a"), F.lit("").alias("b"),
@@ -8366,7 +8418,9 @@ def q_text_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NULL-vs-NaN representation drift across arrow/pandas paths
         F.coalesce(F.col("dup_frac"), F.lit(-1.0)).alias("v_double"),
     )
-    pdedup = q_paragraph_dedup(spark, sf_dir).select(
+
+    def b_pdedup():
+        return q_paragraph_dedup(spark, sf_dir).select(
         F.lit("pdedup").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.col("text_md5").alias("a"), F.lit("").alias("b"),
@@ -8374,7 +8428,9 @@ def q_text_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("int").alias("n2"),
         nbl.alias("v_long"), nd.alias("v_double"),
     )
-    dsir = q_dsir_weights(spark, sf_dir).select(
+
+    def b_dsir():
+        return q_dsir_weights(spark, sf_dir).select(
         F.lit("dsir").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.lit("").alias("a"), F.lit("").alias("b"),
@@ -8383,7 +8439,9 @@ def q_text_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dot_target").cast("bigint").alias("v_long"),
         F.col("dot_raw").cast("double").alias("v_double"),
     )
-    knlm = q_knlm_score(spark, sf_dir).select(
+
+    def b_knlm():
+        return q_knlm_score(spark, sf_dir).select(
         F.lit("knlm").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.lit("").alias("a"), F.lit("").alias("b"),
@@ -8392,10 +8450,11 @@ def q_text_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_cont").cast("bigint").alias("v_long"),
         F.col("sum_fanout").cast("double").alias("v_double"),
     )
-    return (
-        bpe.unionByName(enc).unionByName(lm)
-        .unionByName(win).unionByName(pdedup).unionByName(dsir)
-        .unionByName(knlm)
+    # round 13: legs build concurrently (see _concurrent_union) —
+    # several of them collect model state (BPE merges, LM counts, DSIR
+    # hash stats) eagerly during construction
+    return _concurrent_union(
+        [b_bpe, b_enc, b_lm, b_win, b_pdedup, b_dsir, b_knlm]
     )
 
 
