@@ -8756,26 +8756,39 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     per variant."""
     from quality_spark.llm.pq import pq_adc_scores
 
-    sem = q_semantic_dedup(spark, sf_dir).select(
-        F.lit("sem").alias("part"), "vec_id",
-        F.col("cell").alias("k1"), F.col("dup_of").alias("v1"),
-    )
-    proj = q_embedding_projection(spark, sf_dir).select(
-        F.lit("proj").alias("part"), "vec_id",
-        F.col("dim").cast("bigint").alias("k1"),
-        F.col("comp_scaled").alias("v1"),
-    )
+    def b_sem():
+        return q_semantic_dedup(spark, sf_dir).select(
+            F.lit("sem").alias("part"), "vec_id",
+            F.col("cell").alias("k1"), F.col("dup_of").alias("v1"),
+        )
+
+    def b_proj():
+        return q_embedding_projection(spark, sf_dir).select(
+            F.lit("proj").alias("part"), "vec_id",
+            F.col("dim").cast("bigint").alias("k1"),
+            F.col("comp_scaled").alias("v1"),
+        )
+
     books, qs = _pq_books_qs()
-    enc = q_pq_encode_leg(spark, sf_dir)
-    codes = enc.select(
-        F.lit("pq").alias("part"), "vec_id",
-        F.posexplode("pq_code").alias("k1", "v1"),
-    ).select("part", "vec_id", F.col("k1").cast("bigint"), F.col("v1").cast("bigint"))
-    adc = pq_adc_scores(enc, books, qs).select(
-        F.lit("pq_adc").alias("part"), "vec_id",
-        F.col("query_id").alias("k1"),
-        F.expr("CAST(floor(adc * 1000000 + 0.5) AS BIGINT)").alias("v1"),
-    )
+
+    def b_pq_unit():
+        # one encode pass feeds BOTH the codes and the ADC legs
+        enc = q_pq_encode_leg(spark, sf_dir)
+        codes = enc.select(
+            F.lit("pq").alias("part"), "vec_id",
+            F.posexplode("pq_code").alias("k1", "v1"),
+        ).select(
+            "part", "vec_id",
+            F.col("k1").cast("bigint"), F.col("v1").cast("bigint"),
+        )
+        adc = pq_adc_scores(enc, books, qs).select(
+            F.lit("pq_adc").alias("part"), "vec_id",
+            F.col("query_id").alias("k1"),
+            F.expr("CAST(floor(adc * 1000000 + 0.5) AS BIGINT)").alias(
+                "v1"
+            ),
+        )
+        return codes, adc
 
     def _ivfpq_parts(tag: str, residual: bool):
         top = q_ivfpq_leg(
@@ -8793,12 +8806,11 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return rank_leg, adc_leg
 
-    ivfpq_rank, ivfpq_adc = _ivfpq_parts("ivfpq", False)
-    ivfpqr_rank, ivfpqr_adc = _ivfpq_parts("ivfpq_res", True)
     # 'ivfpq_rr' (round 9): the FAISS refine stage — top-20 ADC
     # candidates re-ranked by exact squared L2; rank + scaled l2sq
     # both hash-pinned against the oracle's identical fold.
-    rr = q_ivfpq_leg(spark, sf_dir, rerank=20).select(
+    def b_rr():
+        return q_ivfpq_leg(spark, sf_dir, rerank=20).select(
         F.lit("ivfpq_rr").alias("part"), "vec_id",
         F.col("query_id").alias("k1"),
         F.expr(
@@ -8810,7 +8822,8 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND scaled adc packed into one pinned long, equal by
     # construction to the inline 'ivfpq' leg and replayed by the
     # same oracle SQL.
-    idx = q_ivfpq_idx_leg(spark, sf_dir).select(
+    def b_idx():
+        return q_ivfpq_idx_leg(spark, sf_dir).select(
         F.lit("ivfpq_idx").alias("part"), "vec_id",
         F.col("query_id").alias("k1"),
         F.expr(
@@ -8821,7 +8834,8 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'pq_append' (round 11): write(evens) + append(odds) with frozen
     # centroids must equal the full-corpus replay — the incremental
     # lifecycle gated by the same packed rank+adc long.
-    app = q_pq_append_leg(spark, sf_dir).select(
+    def b_app():
+        return q_pq_append_leg(spark, sf_dir).select(
         F.lit("pq_append").alias("part"), "vec_id",
         F.col("query_id").alias("k1"),
         F.expr(
@@ -8831,7 +8845,8 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 'ivfpq_idx_rr' (round 11): refine ON the persisted index — same
     # packed rank+l2sq long as the inline 'ivfpq_rr' leg.
-    idx_rr = q_ivfpq_idx_rr_leg(spark, sf_dir).select(
+    def b_idx_rr():
+        return q_ivfpq_idx_rr_leg(spark, sf_dir).select(
         F.lit("ivfpq_idx_rr").alias("part"), "vec_id",
         F.col("query_id").alias("k1"),
         F.expr(
@@ -8841,7 +8856,32 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 'doctor' (round 13): store-health reports over the gate's own
     # staged stores, oracle-pinned to the healthy expectation.
-    doctor = q_doctor_leg(spark, sf_dir)
+    def b_doctor():
+        return q_doctor_leg(spark, sf_dir)
+
+    # round 13 (optimization): the ten independent units build
+    # concurrently (several collect centroids / stage stores eagerly
+    # during construction); union order is unchanged, and the shared
+    # staged stores are behind _staged's per-key locks.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        f_sem = ex.submit(b_sem)
+        f_proj = ex.submit(b_proj)
+        f_pq = ex.submit(b_pq_unit)
+        f_iv = ex.submit(_ivfpq_parts, "ivfpq", False)
+        f_ivr = ex.submit(_ivfpq_parts, "ivfpq_res", True)
+        f_rr = ex.submit(b_rr)
+        f_idx = ex.submit(b_idx)
+        f_app = ex.submit(b_app)
+        f_idx_rr = ex.submit(b_idx_rr)
+        f_doctor = ex.submit(b_doctor)
+        sem, proj = f_sem.result(), f_proj.result()
+        codes, adc = f_pq.result()
+        ivfpq_rank, ivfpq_adc = f_iv.result()
+        ivfpqr_rank, ivfpqr_adc = f_ivr.result()
+        rr, idx, app = f_rr.result(), f_idx.result(), f_app.result()
+        idx_rr, doctor = f_idx_rr.result(), f_doctor.result()
     return (
         sem.unionByName(proj).unionByName(codes).unionByName(adc)
         .unionByName(ivfpq_rank).unionByName(ivfpq_adc)
