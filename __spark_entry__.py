@@ -4637,7 +4637,9 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quality_spark.llm.retrieval import bm25_scores, bm25_topk
 
     docs = _read(spark, sf_dir, "documents")
-    tfidf = q_tfidf_leg(spark, sf_dir).select(
+
+    def b_tfidf():
+        return q_tfidf_leg(spark, sf_dir).select(
         F.lit("tfidf").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.col("token").alias("key"),
@@ -4648,10 +4650,11 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scored once, localCheckpointed: the 'bm25' full-pairs leg and
     # the 'bm25_topk' salted cut both read it — one scoring run, not
     # two (the scores table is |matching pairs|, metadata-adjacent)
-    bm25_scored = bm25_scores(spark, docs, _BM25_QUERIES).localCheckpoint(
-        eager=False
-    )
-    bm25 = bm25_scored.select(
+    def b_bm25_unit():
+        bm25_scored = bm25_scores(
+            spark, docs, _BM25_QUERIES
+        ).localCheckpoint(eager=False)
+        bm25 = bm25_scored.select(
         F.lit("bm25").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.concat(F.lit("q"), F.col("query_id")).alias("key"),
@@ -4666,9 +4669,10 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rank determinism across engines holds because the bm25 'part'
     # above already hash-pins every score DOUBLE bit-for-bit, so the
     # (score DESC, doc_id) order cannot diverge.
-    topk = bm25_topk(
-        spark, docs, _BM25_QUERIES, k=10, salted=True, scores=bm25_scored
-    ).select(
+        topk = bm25_topk(
+            spark, docs, _BM25_QUERIES, k=10, salted=True,
+            scores=bm25_scored,
+        ).select(
         F.lit("bm25_topk").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.concat(F.lit("q"), F.col("query_id")).alias("key"),
@@ -4676,7 +4680,10 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("n2"),
         F.col("score").alias("v_double"),
     )
-    fused = q_rrf_leg(spark, sf_dir).select(
+        return bm25, topk
+
+    def b_fused():
+        return q_rrf_leg(spark, sf_dir).select(
         F.lit("rrf").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.concat(F.lit("q"), F.col("query_id")).alias("key"),
@@ -4691,7 +4698,8 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests) and must produce BIT-EQUAL scores to the inline path —
     # the oracle is the same bm25 SQL replay, so index build + pruned
     # query + shared score fold gate end-to-end.
-    idx = q_bm25_idx_leg(spark, sf_dir).select(
+    def b_idx():
+        return q_bm25_idx_leg(spark, sf_dir).select(
         F.lit("bm25_idx").alias("part"),
         F.col("doc_id").cast("bigint").alias("ord"),
         F.concat(F.lit("q"), F.col("query_id")).alias("key"),
@@ -4699,6 +4707,19 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("n2"),
         F.col("score").alias("v_double"),
     )
+    # round 13 (optimization): the four independent units build
+    # concurrently (index staging, scoring checkpoints); union order
+    # unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        f_tfidf = ex.submit(b_tfidf)
+        f_bm25 = ex.submit(b_bm25_unit)
+        f_fused = ex.submit(b_fused)
+        f_idx = ex.submit(b_idx)
+        tfidf = f_tfidf.result()
+        bm25, topk = f_bm25.result()
+        fused, idx = f_fused.result(), f_idx.result()
     return (
         tfidf.unionByName(bm25)
         .unionByName(topk)
