@@ -5794,63 +5794,76 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled union. Sentinels (-1) stand in for not-applicable columns
     — see packaging rules above."""
     null_n = F.lit(-1).cast("bigint").alias("n")
-    hash_split = q_hash_sample_split(spark, sf_dir).select(
+    def b_hash_split():
+        return q_hash_sample_split(spark, sf_dir).select(
         F.concat(F.lit("hash_"), F.col("split")).alias("part"),
         "doc_id", "lang", null_n,
     )
-    strat = q_stratified_sample(spark, sf_dir).select(
+    def b_strat():
+        return q_stratified_sample(spark, sf_dir).select(
         F.lit("stratified").alias("part"), "doc_id", "lang", null_n
     )
-    mix = q_weighted_mix(spark, sf_dir).select(
+    def b_mix():
+        return q_weighted_mix(spark, sf_dir).select(
         F.concat(F.lit("mix_"), F.col("mix_source")).alias("part"),
         F.lit(-1).cast("bigint").alias("doc_id"), "lang", F.col("n").cast("bigint"),
     )
-    temp = q_temperature_leg(spark, sf_dir).select(
+    def b_temp():
+        return q_temperature_leg(spark, sf_dir).select(
         F.lit("temperature").alias("part"), "doc_id", "lang", null_n
     )
-    cap = q_cap_leg(spark, sf_dir).select(
+    def b_cap():
+        return q_cap_leg(spark, sf_dir).select(
         F.lit("cap").alias("part"), "doc_id", "lang", null_n
     )
-    hh = q_hh_leg(spark, sf_dir).select(
+    def b_hh():
+        return q_hh_leg(spark, sf_dir).select(
         F.lit("hh").alias("part"),
         F.col("rank").cast("bigint").alias("doc_id"),
         F.col("source").alias("lang"),
         F.col("cnt").alias("n"),
     )
-    hhg = q_hhg_leg(spark, sf_dir).select(
+    def b_hhg():
+        return q_hhg_leg(spark, sf_dir).select(
         F.lit("hhg").alias("part"),
         F.col("rank").cast("bigint").alias("doc_id"),
         F.concat("lang", F.lit("/"), "source").alias("lang"),
         F.col("cnt").alias("n"),
     )
-    ws = q_wsample_leg(spark, sf_dir).select(
+    def b_ws():
+        return q_wsample_leg(spark, sf_dir).select(
         F.lit("wsample").alias("part"), "doc_id", "lang",
         F.col("sample_rank").cast("bigint").alias("n"),
     )
-    wsg = q_wsample_g_leg(spark, sf_dir).select(
+    def b_wsg():
+        return q_wsample_g_leg(spark, sf_dir).select(
         F.lit("wsample_g").alias("part"), "doc_id", "lang", null_n
     )
-    bplan = q_budget_plan_leg(spark, sf_dir).select(
+    def b_bplan():
+        return q_budget_plan_leg(spark, sf_dir).select(
         F.lit("budget_plan").alias("part"),
         F.col("cut").alias("doc_id"),
         F.concat("domain", F.lit("/"), "saturated").alias("lang"),
         F.col("n_tokens").alias("n"),
     )
-    bkept = q_budget_kept_leg(spark, sf_dir).select(
+    def b_bkept():
+        return q_budget_kept_leg(spark, sf_dir).select(
         F.lit("budget_kept").alias("part"), "doc_id", "lang", null_n
     )
-    topf = q_top_fraction_leg(spark, sf_dir).select(
+    def b_topf():
+        return q_top_fraction_leg(spark, sf_dir).select(
         F.lit("topfrac").alias("part"), "doc_id", "lang", null_n
     )
-    pct = q_percentile_leg(spark, sf_dir).select(
+    def b_pct():
+        return q_percentile_leg(spark, sf_dir).select(
         F.lit("pctile").alias("part"), "doc_id", "lang", F.col("n")
     )
-    return (
-        hash_split.unionByName(strat).unionByName(mix)
-        .unionByName(temp).unionByName(cap).unionByName(hh)
-        .unionByName(hhg).unionByName(ws).unionByName(wsg)
-        .unionByName(bplan).unionByName(bkept).unionByName(topf)
-        .unionByName(pct)
+    # round 13: legs build concurrently (_concurrent_union) — the
+    # heavy-hitter and budget legs run eager candidate/plan passes
+    # during construction
+    return _concurrent_union(
+        [b_hash_split, b_strat, b_mix, b_temp, b_cap, b_hh, b_hhg,
+         b_ws, b_wsg, b_bplan, b_bkept, b_topf, b_pct]
     )
 
 
@@ -6175,20 +6188,23 @@ def q_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs they feed (r03 gate queries minhash_signatures,
     minhash_lsh_near_dup) AND the incremental-ingest index probe
     (gated in r05)."""
-    sigs = q_minhash_signatures(spark, sf_dir).select(
+    def b_sigs():
+        return q_minhash_signatures(spark, sf_dir).select(
         F.lit("sig").alias("part"),
         F.col("doc_id").alias("id_a"),
         F.col("perm").cast("bigint").alias("id_b"),
         F.col("minhash").cast("bigint").alias("v_long"),
         F.lit(0.0).alias("v_double"),
     )
-    pairs = q_minhash_lsh_near_dup(spark, sf_dir).select(
+    def b_pairs():
+        return q_minhash_lsh_near_dup(spark, sf_dir).select(
         F.lit("pair").alias("part"),
         "id_a", "id_b",
         F.lit(-1).cast("bigint").alias("v_long"),
         F.col("jaccard").alias("v_double"),
     )
-    ingest = q_minhash_index_ingest(spark, sf_dir).select(
+    def b_ingest():
+        return q_minhash_index_ingest(spark, sf_dir).select(
         F.lit("ingest").alias("part"),
         F.col("new_id").alias("id_a"),
         F.col("matched_id").alias("id_b"),
@@ -6197,7 +6213,8 @@ def q_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact n-gram Jaccard folded in round 7 (was its own gate query;
     # the 50-entry driver window forced consolidation)
-    jacc = q_ngram_jaccard(spark, sf_dir).select(
+    def b_jacc():
+        return q_ngram_jaccard(spark, sf_dir).select(
         F.lit("jacc").alias("part"),
         "id_a", "id_b",
         F.lit(-1).cast("bigint").alias("v_long"),
@@ -6206,18 +6223,16 @@ def q_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'jpre' part (round 9): prefix-filtered exact Jaccard join — the
     # brute-force oracle verifies COMPLETENESS of the prefix filter
     # (a pruned true pair would show as a missing row)
-    jpre = q_jaccard_prefix(spark, sf_dir).select(
+    def b_jpre():
+        return q_jaccard_prefix(spark, sf_dir).select(
         F.lit("jpre").alias("part"),
         "id_a", "id_b",
         F.lit(-1).cast("bigint").alias("v_long"),
         F.col("jaccard").alias("v_double"),
     )
-    return (
-        sigs.unionByName(pairs)
-        .unionByName(ingest)
-        .unionByName(jacc)
-        .unionByName(jpre)
-    )
+    # round 13: legs build concurrently (_concurrent_union) — the
+    # ingest leg stages the persisted minhash index during construction
+    return _concurrent_union([b_sigs, b_pairs, b_ingest, b_jacc, b_jpre])
 
 
 def _oracle_minhash_pipeline() -> str:
