@@ -570,11 +570,17 @@ def mad_outlier_stats(
     table derives from the SAME cached table and is itself persisted
     (two consumers: the MAD pick and the outlier count — without the
     persist each re-aggregated it, measured 2-3x the runtime). The
-    per-column (total, median, MAD) frames are |cols| rows — METADATA
-    — so they collect to the driver and re-enter as literals rather
-    than as broadcast-join subtrees Spark would re-execute per
-    consumer. Output is |cols| rows, returned as a literal frame with
-    both caches unpersisted (the `profile_columns` contract)."""
+    median/MAD nearest-rank picks are exact two-phase bucketed picks
+    (round 13): parallel coarse-bucket aggregation, target bucket
+    from the collected KB-sized bucket table, then a window over ONLY
+    the target bucket's values — never a whole-column single-task
+    cumulative window (the guide §2.5 straggler shape on
+    high-distinct columns). The per-column (total, median, MAD)
+    frames are |cols| rows — METADATA — so they collect to the driver
+    and re-enter as literals rather than as broadcast-join subtrees
+    Spark would re-execute per consumer. Output is |cols| rows,
+    returned as a literal frame with both caches unpersisted (the
+    `profile_columns` contract)."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
@@ -596,31 +602,32 @@ def mad_outlier_stats(
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Round 13 (optimization): totals and the median pick fused into
-    # ONE job — the per-column total rides as a full-partition window
-    # sum next to the cumulative sum, so the (n+1)/2 nearest-rank
-    # comparison is unchanged and the separate totals job disappears
-    # (5 sequential driver-blocking jobs -> 3 for the whole operator).
-    from pyspark.sql import Window as _W
-
-    w_cum = (
-        _W.partitionBy("column")
-        .orderBy("mic")
-        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
-    )
-    w_all = _W.partitionBy("column")
-    med_rows = (
-        compact.withColumn("_cum", F.sum("cnt").over(w_cum))
-        .withColumn("_tot", F.sum("cnt").over(w_all))
-        .filter(F.col("_cum") >= (F.col("_tot") + 1) / 2)
-        .groupBy("column")
+    # Round 13 (optimization): the rank picks no longer run a
+    # per-column window over the WHOLE compact table — with a
+    # high-distinct column (583k distinct l_extendedprice values at
+    # sf0.1; billions at scale) partitionBy(column) put the entire
+    # cumulative sum in ONE task, the exact straggler/OOM shape
+    # guide §2.5 warns about (measured 2.9 s of the 4.3 s leg).
+    # Replacement: an exact two-phase bucketed pick — coarse ordered
+    # buckets (monotone integer shift, ≤4096 per column) aggregate in
+    # parallel, the target bucket and its preceding cumulative count
+    # come from the collected KB-sized bucket table, and a final
+    # parallel job scans only the target bucket's values. The pick is
+    # the identical nearest-rank comparison (cum_before + within-bucket
+    # cum >= (n+1)/2), so results are bit-equal to the window form.
+    stats_rows = (
+        compact.groupBy("column")
         .agg(
-            F.min("mic").alias("m"),
-            F.max("_tot").cast("bigint").alias("n"),
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.min("mic").alias("lo"),
+            F.max("mic").alias("hi"),
         )
         .collect()
     )
-    totals = {r["column"]: int(r["n"]) for r in med_rows}
+    totals = {r["column"]: int(r["n"]) for r in stats_rows}
+    ranges = {
+        r["column"]: (int(r["lo"]), int(r["hi"])) for r in stats_rows
+    }
     if not totals:
         # EVERY requested column is entirely NULL: the CASE builders
         # below would emit the invalid expression 'CASE  END', so
@@ -632,27 +639,79 @@ def mad_outlier_stats(
             "mad_mic bigint, n_outliers bigint",
         )
 
-    def _rank_pick(frame, val_col):
+    def _shift_for(lo: int, hi: int, buckets: int = 4096) -> int:
+        span = hi - lo + 1
+        s = 0
+        while (span >> s) > buckets:
+            s += 1
+        return s
+
+    def _rank_pick(frame, val_col, bases):
         """Per column: min val whose cumulative cnt >= (n+1)/2 —
-        collected, |cols| rows."""
+        exact two-phase bucketed pick; ``bases`` = {col: (lo, hi)}
+        bounds of ``val_col``. Two small parallel jobs; only the
+        KB-sized bucket table and |cols| rows reach the driver."""
+        shift = {c: _shift_for(lo, hi) for c, (lo, hi) in bases.items()}
+        lo_case = "CASE " + " ".join(
+            f"WHEN column = '{c}' THEN CAST({lo} AS BIGINT)"
+            for c, (lo, _) in bases.items()
+        ) + " END"
+        sh_case = "CASE " + " ".join(
+            f"WHEN column = '{c}' THEN {s}" for c, s in shift.items()
+        ) + " END"
+        b_expr = F.expr(
+            f"shiftright(CAST({val_col} AS BIGINT) - ({lo_case}),"
+            f" ({sh_case}))"
+        )
+        btot = (
+            frame.filter(F.col("column").isin(list(bases)))
+            .groupBy("column", b_expr.alias("_b"))
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            .collect()
+        )
+        per_col: dict = {}
+        for r in btot:
+            per_col.setdefault(r["column"], []).append(
+                (int(r["_b"]), int(r["cnt"]))
+            )
+        target: dict = {}
+        for c, bl in per_col.items():
+            bl.sort()
+            need = (totals[c] + 1) / 2
+            cum = 0
+            for b, cnt in bl:
+                if cum + cnt >= need:
+                    target[c] = (b, cum)
+                    break
+                cum += cnt
+        tb_case = "CASE " + " ".join(
+            f"WHEN column = '{c}' THEN CAST({b} AS BIGINT)"
+            for c, (b, _) in target.items()
+        ) + " END"
+        cumb_case = "CASE " + " ".join(
+            f"WHEN column = '{c}' THEN CAST({cb} AS BIGINT)"
+            for c, (_, cb) in target.items()
+        ) + " END"
+        n_case = "CASE " + " ".join(
+            f"WHEN column = '{c}' THEN {totals[c]}" for c in target
+        ) + " END"
         w = (
             Window.partitionBy("column")
             .orderBy(val_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        n_case = "CASE " + " ".join(
-            f"WHEN column = '{c}' THEN {n}" for c, n in totals.items()
-        ) + " END"
         return {
             r["column"]: int(r["m"])
-            for r in frame.withColumn("_cum", F.sum("cnt").over(w))
+            for r in frame.filter(F.col("column").isin(list(target)))
+            .filter(b_expr == F.expr(tb_case))
+            .withColumn("_cum", F.sum("cnt").over(w) + F.expr(cumb_case))
             .filter(F.col("_cum") >= (F.expr(n_case) + 1) / 2)
             .groupBy("column")
             .agg(F.min(val_col).alias("m"))
             .collect()
         }
 
-    med = {r["column"]: int(r["m"]) for r in med_rows}
+    med = _rank_pick(compact, "mic", ranges)
     med_case = "CASE " + " ".join(
         f"WHEN column = '{c}' THEN {m}" for c, m in med.items()
     ) + " END"
@@ -667,7 +726,12 @@ def mad_outlier_stats(
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    mad = _rank_pick(dev, "dev")
+    dev_ranges = {
+        c: (0, max(hi - med[c], med[c] - lo))
+        for c, (lo, hi) in ranges.items()
+        if c in med
+    }
+    mad = _rank_pick(dev, "dev", dev_ranges)
     mad_case = "CASE " + " ".join(
         f"WHEN column = '{c}' THEN {m}" for c, m in mad.items()
     ) + " END"

@@ -499,6 +499,35 @@ def test_mad_known_values(spark):
     assert r["n_outliers"] == 1
 
 
+def test_mad_bucketed_pick_matches_brute_force(spark):
+    """Round-13 regression: the exact two-phase bucketed rank pick
+    (coarse buckets + cum_before + in-bucket window) must agree with
+    a brute-force nearest-rank median/MAD on a distribution whose
+    target lands PAST the first bucket (cum_before > 0) and whose
+    range spans many buckets (shift > 0)."""
+    import statistics
+
+    from quality_spark.operators.stats import mad_outlier_stats
+
+    # 10k distinct-ish values spread over ~5e9 micros of range plus a
+    # heavy low cluster so the median sits mid-bucket-table
+    vals = [float(v) for v in range(1, 2001)] * 2 + [
+        float(v * 997) for v in range(1, 1001)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = mad_outlier_stats(df, ["x"], k_num=1, k_den=1).collect()[0]
+    mics = sorted(int(round(v * 1_000_000)) for v in vals)
+    n = len(mics)
+    # upper-median nearest-rank pick: first cum >= (n+1)/2
+    med = mics[(n + 1) // 2 - 1] if n % 2 == 1 else mics[n // 2]
+    devs = sorted(abs(m - med) for m in mics)
+    mad = devs[(n + 1) // 2 - 1] if n % 2 == 1 else devs[n // 2]
+    assert r["n"] == n
+    assert r["median_mic"] == med
+    assert r["mad_mic"] == mad
+    assert r["n_outliers"] == sum(1 for d in devs if d > mad)
+
+
 def test_mad_nulls_and_all_null_column(spark):
     from quality_spark.operators.stats import mad_outlier_stats
 
