@@ -6007,19 +6007,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     11-token suffix shared by doc_id%7 peers; the operator must strip
     it from every peer except the first occurrence and reassemble the
     surviving tokens, replayed text-exactly (md5) by the oracle."""
-    groups = q_dedup_exact_groups(spark, sf_dir).select(
+    def b_groups():
+        return q_dedup_exact_groups(spark, sf_dir).select(
         F.lit("groups").alias("part"),
         F.col("content_hash").alias("key"),
         F.col("n_docs").alias("n"),
         F.col("keeper_id").cast("bigint").alias("keeper"),
     )
-    best = q_dedup_keep_best(spark, sf_dir).select(
+    def b_best():
+        return q_dedup_keep_best(spark, sf_dir).select(
         F.lit("keep_best").alias("part"),
         F.col("doc_id").cast("string").alias("key"),
         F.col("score").cast("bigint").alias("n"),
         F.lit(-1).cast("bigint").alias("keeper"),
     )
-    substr = q_substr_leg(spark, sf_dir).select(
+    def b_substr():
+        return q_substr_leg(spark, sf_dir).select(
         F.lit("substr").alias("part"),
         F.concat(
             F.md5("text_dedup"), F.lit(":"), F.col("n_tokens")
@@ -6027,15 +6030,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed_tokens").alias("n"),
         F.col("doc_id").cast("bigint").alias("keeper"),
     )
-    fuzzy = q_fuzzy_edit_leg(spark, sf_dir).select(
+    def b_fuzzy():
+        return q_fuzzy_edit_leg(spark, sf_dir).select(
         F.lit("fuzzy").alias("part"),
         F.concat(F.col("id_a"), F.lit(":"), F.col("id_b")).alias("key"),
         F.col("dist").cast("bigint").alias("n"),
         F.lit(-1).cast("bigint").alias("keeper"),
     )
-    return (
-        groups.unionByName(best).unionByName(substr).unionByName(fuzzy)
-    )
+    # round 13: legs build concurrently (_concurrent_union)
+    return _concurrent_union([b_groups, b_best, b_substr, b_fuzzy])
 
 
 def q_substr_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7137,29 +7140,35 @@ def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     once via the overlap-left-edge bucket trick). The as-of
     miss columns (v1/v2) keep their inherent NULLs — event_id is the
     unique leading sort column for that branch."""
-    asof = q_asof_click_view(spark, sf_dir).select(
+    def b_asof():
+        return q_asof_click_view(spark, sf_dir).select(
         F.lit("asof").alias("part"),
         "event_id",
         F.col("user_id").cast("string").alias("k"),
         F.col("view_event_id").cast("bigint").alias("v1"),
         F.col("view_value").cast("double").alias("v2"),
     )
-    rng = q_range_join_events(spark, sf_dir).select(
+    def b_rng():
+        return q_range_join_events(spark, sf_dir).select(
         F.lit("range").alias("part"),
         F.lit(-1).cast("bigint").alias("event_id"),
         F.col("event_type").alias("k"),
         F.col("n_pairs").cast("bigint").alias("v1"),
         F.lit(-1.0).alias("v2"),
     )
-    ivl = q_interval_overlap(spark, sf_dir).select(
+    def b_ivl():
+        return q_interval_overlap(spark, sf_dir).select(
         F.lit("interval").alias("part"),
         F.col("user_id").cast("bigint").alias("event_id"),
         F.concat("l_type", F.lit(":"), F.col("r_rtype")).alias("k"),
         F.lit(-1).cast("bigint").alias("v1"),
         F.lit(-1.0).alias("v2"),
     )
-    scd = q_scd2_leg(spark, sf_dir)
-    return asof.unionByName(rng).unionByName(ivl).unionByName(scd)
+    def b_scd():
+        return q_scd2_leg(spark, sf_dir)
+
+    # round 13: legs build concurrently (_concurrent_union)
+    return _concurrent_union([b_asof, b_rng, b_ivl, b_scd])
 
 
 def q_scd2_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8234,42 +8243,50 @@ def q_doc_ingest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression invariants + trained-classifier weights (round 10,
     see q_clf_train_leg), tagged per part."""
     nb = F.lit(-1).cast("bigint")
-    csv = q_csv_ingest(spark, sf_dir).select(
+    def b_csv():
+        return q_csv_ingest(spark, sf_dir).select(
         F.lit("csv").alias("part"), "doc_id",
         F.col("payload_md5").alias("s1"),
         F.col("n_chars").alias("v1"), F.col("n_bad").alias("v2"),
     )
-    html = q_html_extract(spark, sf_dir).select(
+    def b_html():
+        return q_html_extract(spark, sf_dir).select(
         F.lit("html").alias("part"), "doc_id",
         F.col("text_md5").alias("s1"),
         F.col("n_chars_ext").alias("v1"), nb.alias("v2"),
     )
-    clf = q_classifier_score(spark, sf_dir).select(
+    def b_clf():
+        return q_classifier_score(spark, sf_dir).select(
         F.lit("clf").alias("part"), "doc_id",
         F.lit("").alias("s1"),
         F.col("margin_scaled").alias("v1"), nb.alias("v2"),
     )
-    z = q_compression_signal(spark, sf_dir).select(
+    def b_z():
+        return q_compression_signal(spark, sf_dir).select(
         F.lit("zlib").alias("part"), "doc_id",
         F.lit("").alias("s1"),
         F.col("repeat_compresses").cast("bigint").alias("v1"),
         F.col("ratio_in_band").cast("bigint").alias("v2"),
     )
-    trained = q_clf_train_leg(spark, sf_dir).select(
+    def b_trained():
+        return q_clf_train_leg(spark, sf_dir).select(
         F.lit("clf_train").alias("part"),
         F.col("bucket").alias("doc_id"),
         F.lit("").alias("s1"),
         F.col("w_nano").alias("v1"), nb.alias("v2"),
     )
-    multi = q_clf_multi_leg(spark, sf_dir).select(
+    def b_multi():
+        return q_clf_multi_leg(spark, sf_dir).select(
         F.lit("clf_multi").alias("part"),
         F.col("bucket").alias("doc_id"),
         F.col("class").alias("s1"),
         F.col("w_nano").alias("v1"), nb.alias("v2"),
     )
-    return (
-        csv.unionByName(html).unionByName(clf).unionByName(z)
-        .unionByName(trained).unionByName(multi)
+    # round 13: legs build concurrently (_concurrent_union) — the csv
+    # leg stages its quarantine round trip and the training legs run
+    # eager weight passes during construction
+    return _concurrent_union(
+        [b_csv, b_html, b_clf, b_z, b_trained, b_multi]
     )
 
 
@@ -9170,12 +9187,18 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k + brute near-dup pairs (the r03 embedding_ann block) + the
     IVF-Flat scale path with its k-means centroid leg, tagged per
     part."""
-    ann = q_embedding_ann(spark, sf_dir).select(
-        "part", "id_a", "id_b",
-        F.col("rank").cast("bigint").alias("v_long"),
-    )
-    ivf = q_ivf_topk(spark, sf_dir)
-    return ann.unionByName(ivf)
+    def b_ann():
+        return q_embedding_ann(spark, sf_dir).select(
+            "part", "id_a", "id_b",
+            F.col("rank").cast("bigint").alias("v_long"),
+        )
+
+    def b_ivf():
+        return q_ivf_topk(spark, sf_dir)
+
+    # round 13: the two sub-blocks build concurrently (the k-means/IVF
+    # side collects centroids eagerly during construction)
+    return _concurrent_union([b_ann, b_ivf])
 
 
 def _oracle_ann_suite() -> str:
