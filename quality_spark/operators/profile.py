@@ -529,10 +529,23 @@ def _exact_quantile_rows(
     cols: Sequence[str],
     quantiles: Sequence[float],
 ) -> List[tuple]:
-    """Nearest-rank quantile rows from the cached compact table (one
-    per-column cumulative-count window; rank = max(1, ceil(q*n)) with
-    the identical IEEE multiply in both engines). Shared by
-    profile_columns and profile_from_shards."""
+    """Nearest-rank quantile rows from the cached compact table, with
+    rank = max(1, ceil(q*n)) computed by the identical IEEE multiply
+    in both engines. Shared by profile_columns and
+    profile_from_shards.
+
+    Round 13 (optimization): an exact two-phase BUCKETED pick instead
+    of a cumulative window partitioned only by column — on a
+    high-distinct column that window put the whole cumulative sum in
+    ONE task (583k rows at sf0.1; billions at scale — the guide §2.5
+    straggler shape). Phase 1 aggregates monotone coarse buckets
+    (integer shift, <=4096 per column) in parallel and collects the
+    KB-sized bucket table; the driver walks each column's bucket
+    prefix sums to find every rank's target bucket and the cumulative
+    count before it; phase 2 scans ONLY target-bucket values with a
+    tiny in-bucket window. ``cum_before + in-bucket cum >= rank`` is
+    the identical nearest-rank comparison, so values are bit-equal to
+    the window form (regression-pinned in tests)."""
     if not quantiles:
         return []
     import math
@@ -541,6 +554,12 @@ def _exact_quantile_rows(
 
     n_of = {
         r["column"]: r["value"] for r in stat_rows if r["stat"] == "n"
+    }
+    mins = {
+        r["column"]: r["value"] for r in stat_rows if r["stat"] == "min"
+    }
+    maxs = {
+        r["column"]: r["value"] for r in stat_rows if r["stat"] == "max"
     }
     rank_rows = [
         (
@@ -554,19 +573,64 @@ def _exact_quantile_rows(
     ]
     if not rank_rows:
         return []
-    ranks_df = spark.createDataFrame(
-        rank_rows, "column string, stat string, rank bigint"
+    live = sorted({c for c, _, _ in rank_rows})
+    shift = {}
+    for c in live:
+        span = int(maxs[c]) - int(mins[c]) + 1
+        s = 0
+        while (span >> s) > 4096:
+            s += 1
+        shift[c] = s
+    lo_case = "CASE " + " ".join(
+        f"WHEN column = '{c}' THEN CAST({int(mins[c])} AS BIGINT)"
+        for c in live
+    ) + " END"
+    sh_case = "CASE " + " ".join(
+        f"WHEN column = '{c}' THEN {shift[c]}" for c in live
+    ) + " END"
+    b_expr = F.expr(
+        f"shiftright(CAST(mic AS BIGINT) - ({lo_case}), ({sh_case}))"
     )
-    wcum = (
-        Window.partitionBy("column")
+    btot = (
+        compact.filter(F.col("column").isin(live))
+        .groupBy("column", b_expr.alias("_b"))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .collect()
+    )
+    per_col: dict = {}
+    for r in btot:
+        per_col.setdefault(r["column"], []).append(
+            (int(r["_b"]), int(r["cnt"]))
+        )
+    for bl in per_col.values():
+        bl.sort()
+    target_rows = []
+    for c, stat, rank in rank_rows:
+        cum = 0
+        for b, cnt in per_col.get(c, []):
+            if cum + cnt >= rank:
+                target_rows.append((c, stat, rank, b, cum))
+                break
+            cum += cnt
+    if not target_rows:
+        return []
+    targets_df = spark.createDataFrame(
+        target_rows,
+        "column string, stat string, rank bigint, tb bigint, "
+        "cumb bigint",
+    )
+    w_in = (
+        Window.partitionBy("column", "stat")
         .orderBy("mic")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return [
         tuple(r)
         for r in (
-            compact.withColumn("cum", F.sum("cnt").over(wcum))
-            .join(F.broadcast(ranks_df), "column")
+            compact.withColumn("_b", b_expr)
+            .join(F.broadcast(targets_df), "column")
+            .filter(F.col("_b") == F.col("tb"))
+            .withColumn("cum", F.sum("cnt").over(w_in) + F.col("cumb"))
             .filter(F.col("cum") >= F.col("rank"))
             .groupBy("column", "stat")
             .agg(F.min("mic").alias("value"))
