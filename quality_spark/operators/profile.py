@@ -1181,8 +1181,22 @@ def profile_categorical(
     emitted top-k set and ranks are oracle-replayable exactly.
 
     100 TB: one posexplode scan → one combinable groupBy(column,
-    value) → a per-column top-k window over the (bounded: Σ distinct)
-    count table. Output is |cols| × top rows — metadata."""
+    value) → exact two-phase top-k over the count table. Round 13
+    (optimization): the single per-column window put EVERY distinct
+    value of a column in one task (fine for true enums, the guide
+    §2.5 straggler shape for high-cardinality columns — dates, hosts,
+    languages×region at corpus scale), and the former full-partition
+    n_distinct window shipped the whole distinct set through a second
+    windowed pass. Phase 1 ranks within deterministic hash-salt
+    groups (any global top-k row ranks ≤ top inside its salt group —
+    the global total order restricted to a subset preserves relative
+    order — so phase 1 keeps a superset, ≤ 32·top rows per column);
+    phase 2 is the identical total-order window over only those
+    candidates, where every row ABOVE a surviving row is itself a
+    survivor, so ranks are unchanged. n_distinct is now a plain
+    combinable aggregate broadcast back (|cols| rows). Output is
+    |cols| × top rows — metadata; result bit-identical to the
+    single-window form (regression-pinned)."""
     names = F.array(*[F.lit(c) for c in cols])
     vals = [F.col(c).cast("string") for c in cols]
     counts = (
@@ -1192,19 +1206,29 @@ def profile_categorical(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_cidx").orderBy(
-        F.col("cnt").desc(), F.col("value").asc_nulls_first()
-    )
-    wcard = Window.partitionBy("_cidx")
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .withColumn(
-            "n_distinct",
-            F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0))
-            .over(wcard)
-            .cast("bigint"),
+    order = [F.col("cnt").desc(), F.col("value").asc_nulls_first()]
+    # deterministic salt (guide §2.5 — never rand(): task retries must
+    # reproduce the same row→group assignment); xxhash64(NULL) is the
+    # fixed seed value, so the NULL-value row lands in one fixed group
+    w1 = Window.partitionBy("_cidx", "_salt").orderBy(*order)
+    cand = (
+        counts.withColumn(
+            "_salt", F.expr("pmod(xxhash64(value), 32)")
         )
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= int(top))
+        .drop("_salt", "_r1")
+    )
+    nd = counts.groupBy("_cidx").agg(
+        F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_distinct")
+    )
+    w = Window.partitionBy("_cidx").orderBy(*order)
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= int(top))
+        .join(F.broadcast(nd), "_cidx")
         .select(
             F.element_at(names, F.col("_cidx") + 1).alias("column"),
             "value",

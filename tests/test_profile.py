@@ -585,6 +585,46 @@ def test_profile_categorical_and_in_set_suggestion(spark, sf_dir):
         assert li.filter(f"NOT ({expr})").count() == 0
 
 
+def test_profile_categorical_two_phase_pick_matches_brute_force(spark):
+    """Round-13 regression: the exact two-phase top-k (salt-group
+    candidates → total-order window over candidates only) must be
+    bit-equal to a brute-force global rank — pinned on an engineered
+    distribution whose tie groups straddle the top-k boundary and
+    whose values spread across many salt groups, plus a rank-eligible
+    NULL row."""
+    from quality_spark.operators.profile import profile_categorical
+
+    rows = []
+    for i in range(400):
+        v = f"v{i:03d}"
+        # many exact ties (cnt cycles 43..49) so the value tiebreak
+        # decides ranks right at the boundary
+        for _ in range(49 - (i % 7)):
+            rows.append((v,))
+    for _ in range(45):
+        rows.append((None,))
+    df = spark.createDataFrame(rows, "c string").repartition(16)
+    top = 15
+    got = sorted(
+        (r["value"], r["cnt"], r["rank"], r["n_distinct"])
+        for r in profile_categorical(df, ["c"], top=top).collect()
+    )
+    # brute force: global counts, (cnt DESC, value ASC NULLS FIRST)
+    counts: dict = {}
+    for (v,) in rows:
+        counts[v] = counts.get(v, 0) + 1
+    ordered = sorted(
+        counts.items(),
+        key=lambda kv: (-kv[1], kv[0] is not None, kv[0] or ""),
+    )
+    n_distinct = sum(1 for v in counts if v is not None)
+    want = sorted(
+        (v, n, rk + 1, n_distinct)
+        for rk, (v, n) in enumerate(ordered[:top])
+    )
+    assert got == want
+
+
 def test_suggest_rules_with_categorical_suite(spark, sf_dir):
     """suggest_rules folds IN-set enum rules into the same suite
     (stable ids, kind slot 3) and the combined suite passes on its
