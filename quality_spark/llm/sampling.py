@@ -666,12 +666,24 @@ def keep_top_fraction(
     kept (deterministic; may exceed keep_n — the tie-free variant is
     ``cap_per_group`` with a row budget). NULL scores never qualify.
 
-    100 TB shape: one map-side-combinable groupBy onto the COMPACT
-    (group, score, cnt) table, one window over that compact table
-    (sorts distinct scores per group — never rows), one threshold
-    aggregate, one broadcast-or-shuffle join back + codegen'd filter.
-    Contrast with the naive per-group row_number window, which sorts
-    the entire frame."""
+    100 TB shape (round 13 — optimization): one map-side-combinable
+    groupBy onto the COMPACT (group, score, cnt) table, then an exact
+    two-phase BUCKETED threshold pick instead of a cumulative window
+    partitioned only by group — for a continuous score the per-group
+    distinct count approaches the row count, so that window put a
+    whole group's score distribution in ONE task (the guide §2.5
+    straggler/OOM shape). Phase 1 aggregates monotone ``width_bucket``
+    coarse buckets (≤4096/group) and finds each group's target bucket
+    with a BOUNDED window over the bucket totals; phase 2 runs the
+    cumulative comparison over only the target bucket's distinct
+    scores, offset by the preceding buckets' mass — the identical
+    ``cum >= ceil(n·num/den)`` crossing, so the threshold (and the
+    kept set) is bit-equal to the single-window form
+    (regression-pinned). Degenerate bucketings (single value,
+    non-finite min/max) fall back to one bucket per group — the old
+    shape, still exact. NaN scores bucket above every finite bucket,
+    matching their descending sort position. Everything stays
+    in-engine: no driver collect, group cardinality unbounded."""
     num, den = int(frac[0]), int(frac[1])
     if den <= 0 or num < 0:
         raise ValueError("frac must be a rational (num >= 0, den > 0)")
@@ -687,23 +699,62 @@ def keep_top_fraction(
         .groupBy(*gcols, score_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
     )
-    wcum = (
+    gstats = compact.groupBy(*gcols).agg(
+        F.min(score_col).alias("__lo"),
+        F.max(score_col).alias("__hi"),
+        F.sum("__cnt").cast("bigint").alias("__n"),
+    )
+    aug = _with_score_bucket(
+        compact.join(gstats, gcols), score_col
+    ).select(
+        *gcols,
+        score_col,
+        "__cnt",
+        "__b",
+        F.expr(f"(__n * {num} + {den} - 1) div {den}").alias("__keep"),
+    )
+    btot = aug.groupBy(*gcols, "__b").agg(
+        F.sum("__cnt").cast("bigint").alias("__bc"),
+        F.min("__keep").alias("__keep"),
+    )
+    wbk = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # first bucket (descending) whose cumulative mass crosses keep_n;
+    # max(struct) picks it with its preceding-bucket cumulative count
+    tgt = (
+        btot.withColumn("__bcum", F.sum("__bc").over(wbk))
+        .filter(F.col("__bcum") >= F.col("__keep"))
+        .groupBy(*gcols)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__b").alias("__tb"),
+                    (F.col("__bcum") - F.col("__bc")).alias("__cb"),
+                )
+            ).alias("__s"),
+            F.min("__keep").alias("__keep"),
+        )
+        .select(
+            *gcols,
+            F.col("__s.__tb").alias("__tb"),
+            F.col("__s.__cb").alias("__cb"),
+            "__keep",
+        )
+    )
+    win = (
         Window.partitionBy(*gcols)
         .orderBy(F.col(score_col).desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wall = Window.partitionBy(*gcols)
-    ranked = compact.select(
-        *gcols,
-        score_col,
-        F.sum("__cnt").over(wcum).alias("__cum"),
-        F.sum("__cnt").over(wall).alias("__n"),
-    )
     thr = (
-        ranked.filter(
-            F.col("__cum")
-            >= F.expr(f"(__n * {num} + {den} - 1) div {den}")
-        )
+        aug.select(*gcols, score_col, "__cnt", "__b")
+        .join(tgt, gcols)
+        .filter(F.col("__b") == F.col("__tb"))
+        .withColumn("__cum", F.sum("__cnt").over(win) + F.col("__cb"))
+        .filter(F.col("__cum") >= F.col("__keep"))
         .groupBy(*gcols)
         .agg(F.max(score_col).alias("__thr"))
     )
@@ -711,6 +762,38 @@ def keep_top_fraction(
     return out.drop("__thr", *([] if groups else ["__g"])).select(
         *df.columns
     )
+
+
+def _with_score_bucket(
+    aug: DataFrame, score_col: str, nb: int = 4096
+) -> DataFrame:
+    """Adds ``__b``: a per-group MONOTONE coarse bucket of
+    ``score_col`` from the already-joined per-group ``__lo``/``__hi``
+    bounds (``width_bucket`` over the double cast, clamped to
+    [1, nb]). NaN buckets to nb+1 — above every finite bucket, its
+    descending-sort position. ``width_bucket`` returns NULL when the
+    bounds are degenerate (single distinct value) or non-finite; those
+    groups fall back to ONE bucket, which keeps the bucketing monotone
+    (a non-finite bound forces the WHOLE group through the fallback:
+    a +inf/-inf/NaN score implies __hi/__lo is itself non-finite).
+    Long→double rounding is monotone non-decreasing, so bucket order
+    never contradicts score order for integer scores either."""
+    sd = F.col(score_col).cast("double")
+    wb = F.expr(
+        f"width_bucket(CAST({score_col} AS DOUBLE), "
+        f"CAST(__lo AS DOUBLE), CAST(__hi AS DOUBLE), {int(nb)})"
+    )
+    bucket = (
+        F.when(F.isnan(sd), F.lit(int(nb) + 1))
+        .otherwise(
+            F.coalesce(
+                F.least(F.greatest(wb, F.lit(1)), F.lit(int(nb))),
+                F.lit(1),
+            )
+        )
+        .cast("int")
+    )
+    return aug.withColumn("__b", bucket)
 
 
 def keep_top_fraction_oracle_sql(
@@ -762,10 +845,21 @@ def with_group_percentile(
     smaller score, in [0, 1) — without a data-sized sort (the
     curriculum-weighting / score-calibration companion of
     :func:`keep_top_fraction`, same compact-table machinery: one
-    combinable groupBy to (group, score, cnt), a cumulative window
-    over DISTINCT scores, one join back). The value is one IEEE
-    division of exact integer counts, engine-identical; NULL scores
-    get a NULL percentile."""
+    combinable groupBy to (group, score, cnt), then — round 13
+    (optimization) — a BUCKETED exact prefix sum instead of one
+    cumulative window partitioned only by group, which put a whole
+    group's distinct-score distribution in one task (guide §2.5; for
+    continuous scores that is ~the group's row count). The strictly-
+    smaller count decomposes exactly: rows in earlier buckets (a
+    bounded per-group window over ≤4097 bucket totals) + strictly
+    smaller rows inside the row's own bucket (a window per (group,
+    bucket) — every partition bounded by its bucket's content). The
+    group total becomes a plain aggregate. Same monotone
+    ``width_bucket`` bucketing as :func:`keep_top_fraction`
+    (``_with_score_bucket``), same degenerate fallbacks; results are
+    bit-equal to the single-window form (regression-pinned). The
+    value is one IEEE division of exact integer counts,
+    engine-identical; NULL scores get a NULL percentile."""
     groups = list(by) if by else []
     d = df if groups else df.withColumn("__g", F.lit(1))
     gcols = groups or ["__g"]
@@ -774,17 +868,39 @@ def with_group_percentile(
         .groupBy(*gcols, score_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
     )
-    wcum = (
+    gstats = compact.groupBy(*gcols).agg(
+        F.min(score_col).alias("__lo"),
+        F.max(score_col).alias("__hi"),
+        F.sum("__cnt").cast("bigint").alias("__n"),
+    )
+    aug = _with_score_bucket(
+        compact.join(gstats, gcols), score_col
+    ).select(*gcols, score_col, "__cnt", "__b", "__n")
+    btot = aug.groupBy(*gcols, "__b").agg(
+        F.sum("__cnt").cast("bigint").alias("__bc")
+    )
+    wbk = (
         Window.partitionBy(*gcols)
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bcb = btot.withColumn(
+        "__cb", F.sum("__bc").over(wbk) - F.col("__bc")
+    ).select(*gcols, "__b", "__cb")
+    win_in = (
+        Window.partitionBy(*gcols, "__b")
         .orderBy(F.col(score_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wall = Window.partitionBy(*gcols)
-    ranks = compact.select(
-        *gcols,
-        score_col,
-        (F.sum("__cnt").over(wcum) - F.col("__cnt")).alias("__lt"),
-        F.sum("__cnt").over(wall).alias("__n"),
+    ranks = (
+        aug.join(bcb, gcols + ["__b"])
+        .withColumn(
+            "__lt",
+            F.col("__cb")
+            + F.sum("__cnt").over(win_in)
+            - F.col("__cnt"),
+        )
+        .select(*gcols, score_col, "__lt", "__n")
     )
     joined = d.join(ranks, gcols + [score_col], "left").withColumn(
         out,

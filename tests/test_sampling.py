@@ -632,6 +632,97 @@ def test_keep_top_fraction_known_and_parity(spark, sf_dir):
     assert len(got) > 0 and got == want
 
 
+def test_bucketed_cut_and_percentile_match_brute_force(spark):
+    """Round-13 regression: the bucketed two-phase threshold pick
+    (keep_top_fraction) and the bucketed exact prefix sum
+    (with_group_percentile) must match a brute-force Python
+    computation on a distribution that spreads across many
+    width_bucket buckets and hits every fallback: heavy ties, a
+    single-value group, negative scores, NaN scores (Spark sorts NaN
+    above every finite double), and NULL scores."""
+    import math
+
+    from quality_spark.llm.sampling import (
+        keep_top_fraction,
+        with_group_percentile,
+    )
+
+    rows = []
+    # group 'wide': 500 distinct-ish scores over a wide range with
+    # tie blocks — candidates span many of the 4096 buckets
+    for i in range(500):
+        s = float((i * 37) % 991) - 200.0
+        for _ in range(1 + (i % 3)):
+            rows.append(("wide", len(rows), s))
+    # group 'one': a single distinct value (degenerate bucketing)
+    for _ in range(7):
+        rows.append(("one", len(rows), 5.5))
+    # group 'nan': NaN above finite scores, plus NULLs
+    for s in (1.0, 2.0, float("nan"), float("nan"), None, 3.0):
+        rows.append(("nan", len(rows), s))
+    df = spark.createDataFrame(rows, "g string, id long, s double")
+
+    def brute(frac):
+        num, den = frac
+        keep = set()
+        bys: dict = {}
+        for g, i, s in rows:
+            if s is not None:
+                bys.setdefault(g, []).append((s, i))
+        for g, pairs in bys.items():
+            # Spark desc order: NaN first (largest)
+            ordered = sorted(
+                pairs,
+                key=lambda p: (
+                    0 if math.isnan(p[0]) else 1,
+                    -p[0] if not math.isnan(p[0]) else 0,
+                ),
+            )
+            keep_n = -(-len(ordered) * num // den)  # ceil
+            thr = ordered[keep_n - 1][0]
+            for s, i in pairs:
+                # Spark: NaN >= NaN is true, NaN >= finite is true
+                ge = (
+                    True
+                    if math.isnan(s)
+                    else (False if math.isnan(thr) else s >= thr)
+                )
+                if ge:
+                    keep.add(i)
+        return keep
+
+    for frac in ((1, 10), (1, 3), (2, 3), (1, 1)):
+        got = sorted(
+            r["id"]
+            for r in keep_top_fraction(df, "s", frac, by=["g"]).collect()
+        )
+        assert got == sorted(brute(frac)), f"frac={frac}"
+
+    # percentile: strictly-smaller count / group n (NaN: every finite
+    # score is strictly smaller; two NaNs tie with each other)
+    gotp = {
+        r["id"]: r["pct_rank"]
+        for r in with_group_percentile(df, "s", by=["g"]).collect()
+    }
+    bys: dict = {}
+    for g, i, s in rows:
+        if s is not None:
+            bys.setdefault(g, []).append((s, i))
+    for g, pairs in bys.items():
+        n = len(pairs)
+        for s, i in pairs:
+            lt = sum(
+                1
+                for t, _ in pairs
+                if (not math.isnan(t))
+                and (math.isnan(s) or t < s)
+            )
+            assert gotp[i] == lt / n, f"id={i} s={s}"
+    for g, i, s in rows:
+        if s is None:
+            assert gotp[i] is None
+
+
 def test_group_percentile_known_and_parity(spark, sf_dir):
     import duckdb
 
