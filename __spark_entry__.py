@@ -6490,33 +6490,43 @@ def q_rules_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion + latest-<= version resolution (r03 gate queries
     rules_from_df, meta_ruleset, versioned_rules)."""
     ni = F.lit(-1).cast("int")
-    fd = q_rules_from_df(spark, sf_dir).select(
-        F.lit("from_df").alias("part"),
-        F.col("ruleId").cast("int").alias("a"),
-        F.col("ruleResult").cast("int").alias("b"),
-        ni.alias("c"), ni.alias("d"), ni.alias("e"),
-        F.col("n").cast("bigint").alias("n"),
-        F.lit("").alias("expr"),
-    )
-    meta = q_meta_ruleset(spark, sf_dir).select(
-        F.lit("meta").alias("part"),
-        F.col("ruleId").cast("int").alias("a"),
-        F.col("ruleResult").cast("int").alias("b"),
-        ni.alias("c"), ni.alias("d"), ni.alias("e"),
-        F.col("n").cast("bigint").alias("n"),
-        F.lit("").alias("expr"),
-    )
-    ver = q_versioned_rules(spark, sf_dir).select(
-        F.lit("versioned").alias("part"),
-        F.col("ruleSuiteId").cast("int").alias("a"),
-        F.col("ruleSuiteVersion").cast("int").alias("b"),
-        F.col("ruleSetId").cast("int").alias("c"),
-        F.col("ruleId").cast("int").alias("d"),
-        F.col("ruleVersion").cast("int").alias("e"),
-        F.lit(-1).cast("bigint").alias("n"),
-        F.col("ruleExpr").alias("expr"),
-    )
-    return fd.unionByName(meta).unionByName(ver)
+
+    def b_fd():
+        return q_rules_from_df(spark, sf_dir).select(
+            F.lit("from_df").alias("part"),
+            F.col("ruleId").cast("int").alias("a"),
+            F.col("ruleResult").cast("int").alias("b"),
+            ni.alias("c"), ni.alias("d"), ni.alias("e"),
+            F.col("n").cast("bigint").alias("n"),
+            F.lit("").alias("expr"),
+        )
+
+    def b_meta():
+        return q_meta_ruleset(spark, sf_dir).select(
+            F.lit("meta").alias("part"),
+            F.col("ruleId").cast("int").alias("a"),
+            F.col("ruleResult").cast("int").alias("b"),
+            ni.alias("c"), ni.alias("d"), ni.alias("e"),
+            F.col("n").cast("bigint").alias("n"),
+            F.lit("").alias("expr"),
+        )
+
+    def b_ver():
+        return q_versioned_rules(spark, sf_dir).select(
+            F.lit("versioned").alias("part"),
+            F.col("ruleSuiteId").cast("int").alias("a"),
+            F.col("ruleSuiteVersion").cast("int").alias("b"),
+            F.col("ruleSetId").cast("int").alias("c"),
+            F.col("ruleId").cast("int").alias("d"),
+            F.col("ruleVersion").cast("int").alias("e"),
+            F.lit(-1).cast("bigint").alias("n"),
+            F.col("ruleExpr").alias("expr"),
+        )
+
+    # round 13: the three serialization parts each run driver-side
+    # round-trip work during construction — build them concurrently
+    # (_concurrent_union; union order unchanged)
+    return _concurrent_union([b_fd, b_meta, b_ver])
 
 
 def _oracle_rules_roundtrip() -> str:
