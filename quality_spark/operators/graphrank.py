@@ -167,40 +167,60 @@ def pagerank(
         .select("src", "dst", "od")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # dangling = appears only as a destination
-    dang_nodes = nodes.join(deg, "node", "left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
 
     base = ((d_den - d_num) * int(total)) // (d_den * n)
     r0 = int(total) // n
-    ranks = nodes.select("node", F.lit(r0).cast("bigint").alias("r"))
+    # the state carries a dangling flag (no out-edge) so the per-round
+    # dangling-mass aggregate is a filter over the checkpoint instead
+    # of a |dangling|-row join against a persisted anti-join frame
+    ranks = (
+        nodes.join(deg, "node", "left")
+        .select(
+            "node",
+            F.col("od").isNull().alias("__dang"),
+            F.lit(r0).cast("bigint").alias("r"),
+        )
+    )
 
     prev_ckpt = None
     for _ in range(int(iters)):
-        dsum = (
-            ranks.join(dang_nodes, "node")
-            .agg(
-                F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("__d")
-            )
+        dsum = ranks.filter("__dang").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("__d")
         )
-        contrib = (
+        # presence fold (the connected-components trick): instead of a
+        # nodes-vs-contrib left join per round, every node rides into
+        # the contribution aggregation as one marker row (NULL __c, so
+        # sums are unchanged; exactly one non-null __dang per group, so
+        # max() recovers the flag). Groups == nodes exactly (every dst
+        # is in nodes; every node has a marker), so the per-round
+        # |V|-row join disappears and the groupBy is the only shuffle.
+        contrib_rows = (
             ranks.join(ed, ranks["node"] == ed["src"])
             .select(
                 F.col("dst").alias("node"),
+                F.lit(None).cast("boolean").alias("__dang"),
                 F.expr(
                     f"CAST({d_num} AS BIGINT) * r div "
                     f"(CAST({d_den} AS BIGINT) * od)"
                 ).alias("__c"),
             )
+        )
+        marker_rows = ranks.select(
+            "node", "__dang", F.lit(None).cast("bigint").alias("__c")
+        )
+        folded = (
+            marker_rows.union(contrib_rows)
             .groupBy("node")
-            .agg(F.sum("__c").cast("bigint").alias("__cs"))
+            .agg(
+                F.max("__dang").alias("__dang"),
+                F.sum("__c").cast("bigint").alias("__cs"),
+            )
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dsum))
+            folded.crossJoin(F.broadcast(dsum))
             .select(
                 "node",
+                "__dang",
                 (
                     F.lit(base).cast("bigint")
                     + F.expr(
@@ -225,7 +245,6 @@ def pagerank(
     # the returned frame depends only on the final checkpoint —
     # except at iters=0, where it still reads the nodes checkpoint
     ed.unpersist()
-    dang_nodes.unpersist()
     if owns_graph:
         release_local_checkpoint(e)
         if int(iters) > 0:
@@ -425,17 +444,32 @@ def hits(
     )
     prev_ckpt = None
     for _ in range(int(iters)):
-        a_raw = (
-            state.join(e, state["node"] == e["src"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("h").cast("bigint").alias("__ar"))
+        # presence fold (same trick as pagerank / connected_components):
+        # every state row rides into the contribution aggregation as a
+        # marker row (NULL contribution, so sums are unchanged), so
+        # groups == nodes exactly and neither normalization needs a
+        # nodes-vs-raw left join; the h-phase marker additionally
+        # carries `a` (exactly one non-null per group → max() recovers
+        # it), which removes the former a_new ⋈ h_new state join. Three
+        # |V|-row joins per round gone; the two contribution groupBys
+        # remain the only shuffles.
+        a_pre = (
+            state.select(
+                "node", F.lit(None).cast("bigint").alias("__c")
+            )
+            .union(
+                state.join(e, state["node"] == e["src"]).select(
+                    F.col("dst").alias("node"), F.col("h").alias("__c")
+                )
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").cast("bigint").alias("__ar"))
         )
-        sa = a_raw.agg(
+        sa = a_pre.agg(
             F.coalesce(F.sum("__ar"), F.lit(0)).cast("bigint").alias("__sa")
         )
         a_new = (
-            nodes.join(a_raw, "node", "left")
-            .crossJoin(F.broadcast(sa))
+            a_pre.crossJoin(F.broadcast(sa))
             .select(
                 "node",
                 F.expr(
@@ -445,29 +479,39 @@ def hits(
                 ).alias("a"),
             )
         )
-        h_raw = (
-            a_new.join(e, a_new["node"] == e["dst"])
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("a").cast("bigint").alias("__hr"))
+        h_pre = (
+            a_new.select(
+                "node",
+                F.col("a").alias("__a"),
+                F.lit(None).cast("bigint").alias("__c"),
+            )
+            .union(
+                a_new.join(e, a_new["node"] == e["dst"]).select(
+                    F.col("src").alias("node"),
+                    F.lit(None).cast("bigint").alias("__a"),
+                    F.col("a").alias("__c"),
+                )
+            )
+            .groupBy("node")
+            .agg(
+                F.max("__a").cast("bigint").alias("a"),
+                F.sum("__c").cast("bigint").alias("__hr"),
+            )
         )
-        sh = h_raw.agg(
+        sh = h_pre.agg(
             F.coalesce(F.sum("__hr"), F.lit(0)).cast("bigint").alias("__sh")
         )
-        h_new = (
-            nodes.join(h_raw, "node", "left")
-            .crossJoin(F.broadcast(sh))
+        state = (
+            h_pre.crossJoin(F.broadcast(sh))
             .select(
                 "node",
+                "a",
                 F.expr(
                     f"CASE WHEN __sh > 0 THEN "
                     f"coalesce(__hr, CAST(0 AS BIGINT)) * {int(total)} "
                     f"div __sh ELSE CAST(0 AS BIGINT) END"
                 ).alias("h"),
             )
-        )
-        state = (
-            a_new.join(h_new, "node")
-            .select("node", "a", "h")
             .localCheckpoint()
         )
         # release the previous round's blocks (same hygiene as
