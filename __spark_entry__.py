@@ -2165,7 +2165,11 @@ def q_expr_runner_agg(
         return builders[selected[0]]()
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(8, len(selected))) as ex:
+    # pool width = part count (round 13): with 13 parts and an 8-wide
+    # pool the tail legs ('drift' 2.4 s, 'psi_cat' 2.2 s) queued behind
+    # the first eight; every leg now starts at t=0 and the composite
+    # costs its critical chain, not the queue.
+    with ThreadPoolExecutor(max_workers=len(selected)) as ex:
         frames = list(ex.map(lambda p: builders[p](), selected))
     out = frames[0]
     for f in frames[1:]:
@@ -8928,7 +8932,7 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged stores are behind _staged's per-key locks.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
+    with ThreadPoolExecutor(max_workers=10) as ex:
         f_sem = ex.submit(b_sem)
         f_proj = ex.submit(b_proj)
         f_pq = ex.submit(b_pq_unit)
@@ -9709,7 +9713,9 @@ def q_stats_suite(
     else:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(8, len(selected))) as ex:
+        # pool width = part count (round 13): 14 parts on an 8-wide
+        # pool queued the tail legs behind the heavy first eight
+        with ThreadPoolExecutor(max_workers=len(selected)) as ex:
             frames = [
                 f
                 for fs in ex.map(lambda p: builders[p](), selected)
