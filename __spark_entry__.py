@@ -653,25 +653,8 @@ def _shared_streams_build(
         ).parquet(root)
         return root
 
-    # round 13: the three staged inputs are independent parquet writes
-    # — build them overlapped instead of serially (first-session cost;
-    # memoized afterwards)
-    from concurrent.futures import ThreadPoolExecutor as _TPE
-
-    with _TPE(max_workers=3) as _sx:
-        f_ev = _sx.submit(_staged, "fsin", sf_dir, build_events)
-        f_sess = _sx.submit(_staged, "sessin", sf_dir, build_sessions)
-        f_store = _sx.submit(_staged, "dsin", sf_dir, build_store_in)
-        ev_path = f_ev.result()
-        sess_path = f_sess.result()
-        store_in = f_store.result()
-    ev_schema = spark.read.parquet(ev_path).schema
-    sess_schema = spark.read.parquet(sess_path).schema
-    store_schema = spark.read.parquet(store_in).schema
-
     out_root = os.path.join(tempfile.gettempdir(), f"qs_shared_out_{sftag}")
     shutil.rmtree(out_root, ignore_errors=True)
-    queries = []
 
     def _overwrite_sink(path):
         # complete-mode availableNow: the final micro-batch carries the
@@ -687,118 +670,156 @@ def _shared_streams_build(
 
         return sink
 
+    # round 13 (second pass): each stream's staging -> construct ->
+    # start -> await chain runs on its own thread, so the store stream
+    # (small staged input, longest run, plus the trailing key-store
+    # compaction) no longer waits for the slowest staging or for the
+    # other streams' serial construction. The chains are independent
+    # (own staged inputs behind _staged's per-key locks, own
+    # checkpoints/sinks/stores); compaction still runs strictly after
+    # the one stream that writes the bucketed table. Stream recipes,
+    # inputs, sinks, and trigger semantics are UNCHANGED — only the
+    # driver-side scheduling — so the materialized rows are identical.
+    started: list = []
+    started_lock = __import__("threading").Lock()
+
+    def _run(query):
+        with started_lock:
+            started.append(query)
+        if not query.awaitTermination(600):
+            for other in list(started):
+                other.stop()
+            raise TimeoutError("shared gate stream did not finish")
+
     # 1. first-seen stateful stream (append -> parquet)
     fs_path = f"{out_root}/first_seen"
-    fs = streaming_first_seen(
-        scoped.readStream.schema(ev_schema).parquet(ev_path), "user_id"
-    )
-    queries.append(
-        fs.writeStream.outputMode("append")
-        .foreachBatch(_append_sink(fs_path))
-        .option("checkpointLocation", f"{out_root}/ckpt_fs")
-        .trigger(availableNow=True).start()
-    )
+
+    def chain_first_seen():
+        ev_path = _staged("fsin", sf_dir, build_events)
+        ev_schema = spark.read.parquet(ev_path).schema
+        fs = streaming_first_seen(
+            scoped.readStream.schema(ev_schema).parquet(ev_path), "user_id"
+        )
+        _run(
+            fs.writeStream.outputMode("append")
+            .foreachBatch(_append_sink(fs_path))
+            .option("checkpointLocation", f"{out_root}/ckpt_fs")
+            .trigger(availableNow=True).start()
+        )
 
     # 2. windowed DQ stream (complete -> parquet overwrite)
     wdq_path = f"{out_root}/windowed_dq"
-    wdq_suite = RuleSuite(
-        Id(1, 1),
-        (
-            RuleSet(
-                Id(10, 1),
-                (
-                    Rule(Id(100, 1), "value >= 0"),
-                    Rule(Id(101, 1), "event_type is not null"),
-                    Rule(Id(102, 1), "user_id % 2 = 0"),
+
+    def chain_windowed_dq():
+        ev_path = _staged("fsin", sf_dir, build_events)
+        ev_schema = spark.read.parquet(ev_path).schema
+        wdq_suite = RuleSuite(
+            Id(1, 1),
+            (
+                RuleSet(
+                    Id(10, 1),
+                    (
+                        Rule(Id(100, 1), "value >= 0"),
+                        Rule(Id(101, 1), "event_type is not null"),
+                        Rule(Id(102, 1), "user_id % 2 = 0"),
+                    ),
                 ),
             ),
-        ),
-    )
-    wdq = windowed_rule_stats(
-        scoped.readStream.schema(ev_schema).parquet(ev_path),
-        wdq_suite, "ts", "1 hour", "0 seconds",
-    )
-    queries.append(
-        wdq.writeStream.outputMode("complete")
-        .foreachBatch(_overwrite_sink(wdq_path))
-        .option("checkpointLocation", f"{out_root}/ckpt_wdq")
-        .trigger(availableNow=True).start()
-    )
+        )
+        wdq = windowed_rule_stats(
+            scoped.readStream.schema(ev_schema).parquet(ev_path),
+            wdq_suite, "ts", "1 hour", "0 seconds",
+        )
+        _run(
+            wdq.writeStream.outputMode("complete")
+            .foreachBatch(_overwrite_sink(wdq_path))
+            .option("checkpointLocation", f"{out_root}/ckpt_wdq")
+            .trigger(availableNow=True).start()
+        )
 
     # 3. sessionization stream (complete -> parquet overwrite)
     sess_path_out = f"{out_root}/sessions"
-    sess = sessionized_stream_stats(
-        scoped.readStream.schema(sess_schema).parquet(sess_path),
-        ["user_id"],
-        "ts",
-        gap="30 minutes",
-        watermark="0 seconds",
-        aggs=[
-            F.count(F.lit(1)).cast("int").alias("n_events"),
-            F.max("value").alias("max_value"),
-            F.min("event_id").cast("bigint").alias("first_event_id"),
-        ],
-    )
-    queries.append(
-        sess.writeStream.outputMode("complete")
-        .foreachBatch(_overwrite_sink(sess_path_out))
-        .option("checkpointLocation", f"{out_root}/ckpt_sess")
-        .trigger(availableNow=True).start()
-    )
+
+    def chain_sessions():
+        sess_path = _staged("sessin", sf_dir, build_sessions)
+        sess_schema = spark.read.parquet(sess_path).schema
+        sess = sessionized_stream_stats(
+            scoped.readStream.schema(sess_schema).parquet(sess_path),
+            ["user_id"],
+            "ts",
+            gap="30 minutes",
+            watermark="0 seconds",
+            aggs=[
+                F.count(F.lit(1)).cast("int").alias("n_events"),
+                F.max("value").alias("max_value"),
+                F.min("event_id").cast("bigint").alias("first_event_id"),
+            ],
+        )
+        _run(
+            sess.writeStream.outputMode("complete")
+            .foreachBatch(_overwrite_sink(sess_path_out))
+            .option("checkpointLocation", f"{out_root}/ckpt_sess")
+            .trigger(availableNow=True).start()
+        )
 
     # 4. store-dedup foreachBatch stream: one input stream fans each
     # micro-batch to the three store modes (fresh stores every shared
     # run; 2 micro-batches via maxFilesPerTrigger=1 so batch 2 probes
     # the store batch 1 populated — the cross-batch path)
     store_root = os.path.join(tempfile.gettempdir(), f"qs_dedup_store_gate_{sftag}")
-    shutil.rmtree(store_root, ignore_errors=True)
-    handlers = {}
-    for tag, hash_only in (("store_hash", True), ("store_exact", False)):
-        def sink(df, epoch_id, _p=f"{store_root}/{tag}/sink"):
+    btable = f"qs_gate_dstore_b_{sftag}".replace(".", "_")
+
+    def chain_store():
+        store_in = _staged("dsin", sf_dir, build_store_in)
+        store_schema = spark.read.parquet(store_in).schema
+        shutil.rmtree(store_root, ignore_errors=True)
+        handlers = {}
+        for tag, hash_only in (("store_hash", True), ("store_exact", False)):
+            def sink(df, epoch_id, _p=f"{store_root}/{tag}/sink"):
+                df.write.mode("append").parquet(_p)
+
+            handlers[tag] = dedup_against_store(
+                f"{store_root}/{tag}/store", ["user_id", "event_type"], sink,
+                hash_only=hash_only,
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {btable}")
+        spark.sql(f"DROP TABLE IF EXISTS {btable}__compacting")
+
+        def bsink(df, epoch_id, _p=f"{store_root}/store_bucketed/sink"):
             df.write.mode("append").parquet(_p)
 
-        handlers[tag] = dedup_against_store(
-            f"{store_root}/{tag}/store", ["user_id", "event_type"], sink,
-            hash_only=hash_only,
+        handlers["store_bucketed"] = dedup_against_bucketed_store(
+            btable, ["user_id", "event_type"], bsink,
+            buckets=4, path=f"{store_root}/store_bucketed/store",
         )
-    btable = f"qs_gate_dstore_b_{sftag}".replace(".", "_")
-    spark.sql(f"DROP TABLE IF EXISTS {btable}")
-    spark.sql(f"DROP TABLE IF EXISTS {btable}__compacting")
 
-    def bsink(df, epoch_id, _p=f"{store_root}/store_bucketed/sink"):
-        df.write.mode("append").parquet(_p)
+        def fan_out(batch_df, epoch_id):
+            # the three store handlers are independent (separate stores
+            # + sinks, same read-only batch frame) and each runs several
+            # sequential Spark jobs — run them overlapped so the
+            # micro-batch's wall time is the slowest handler, not the sum
+            from concurrent.futures import ThreadPoolExecutor
 
-    handlers["store_bucketed"] = dedup_against_bucketed_store(
-        btable, ["user_id", "event_type"], bsink,
-        buckets=4, path=f"{store_root}/store_bucketed/store",
-    )
+            with ThreadPoolExecutor(max_workers=len(handlers)) as hx:
+                list(hx.map(lambda h: h(batch_df, epoch_id), handlers.values()))
 
-    def fan_out(batch_df, epoch_id):
-        # round 13: the three store handlers are independent (separate
-        # stores + sinks, same read-only batch frame) and each runs
-        # several sequential Spark jobs — run them overlapped so the
-        # micro-batch's wall time is the slowest handler, not the sum
-        from concurrent.futures import ThreadPoolExecutor
+        _run(
+            scoped.readStream.schema(store_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(store_in)
+            .writeStream.foreachBatch(fan_out)
+            .option("checkpointLocation", f"{store_root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        compact_key_store(scoped, btable)
 
-        with ThreadPoolExecutor(max_workers=len(handlers)) as hx:
-            list(hx.map(lambda h: h(batch_df, epoch_id), handlers.values()))
+    from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    queries.append(
-        scoped.readStream.schema(store_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(store_in)
-        .writeStream.foreachBatch(fan_out)
-        .option("checkpointLocation", f"{store_root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-
-    for q in queries:
-        if not q.awaitTermination(600):
-            for other in queries:
-                other.stop()
-            raise TimeoutError("shared gate stream did not finish")
-    compact_key_store(scoped, btable)
+    chains = [chain_store, chain_first_seen, chain_windowed_dq, chain_sessions]
+    with _TPE(max_workers=len(chains)) as _sx:
+        for f in [_sx.submit(c) for c in chains]:
+            f.result()
 
     _SHARED_STREAM_MEMO[key] = {
         "fs_path": fs_path,
