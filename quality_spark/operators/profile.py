@@ -458,9 +458,8 @@ def profile_columns(
     compact = _compact_counts(df, cols).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         stat_rows = _stats_long(df, compact, cols).collect()
-        hist_rows = _exact_hist_rows(spark, compact, stat_rows, cols, bins)
-        q_rows = _exact_quantile_rows(
-            spark, compact, stat_rows, cols, quantiles
+        hist_rows, q_rows = _hist_and_quantile_rows(
+            spark, compact, stat_rows, cols, bins, quantiles
         )
     finally:
         compact.unpersist()
@@ -470,88 +469,85 @@ def profile_columns(
     )
 
 
-def _exact_hist_rows(
-    spark, compact: DataFrame, stat_rows, cols: Sequence[str], bins: int
-) -> List[tuple]:
-    """Histogram rows by re-aggregating the cached compact table —
-    min/max inlined from the already-collected stat rows as literal
-    CASE bin expressions (binning distinct VALUES weighted by cnt,
-    not raw rows). Shared by profile_columns and
-    profile_from_shards."""
-    ranges: Dict[str, Dict[str, int]] = {}
-    for r in stat_rows:
-        if r["stat"] in ("min", "max"):
-            ranges.setdefault(r["column"], {})[r["stat"]] = r["value"]
-    bin_case = None
-    hist_cols = []
-    for c in cols:
-        mm = ranges.get(c, {})
-        if mm.get("min") is None or mm.get("max") is None:
-            continue  # all-null column: stats row already says so
-        hist_cols.append(c)
-        span = int(mm["max"]) - int(mm["min"]) + 1
-        # same BIGINT DIV binning as the oracle (see profile_histogram)
-        binned = F.expr(
-            f"((mic - {int(mm['min'])}) * {int(bins)}) DIV {span}"
-        ).cast("int")
-        cond = F.col("column") == c
-        bin_case = (
-            F.when(cond, binned)
-            if bin_case is None
-            else bin_case.when(cond, binned)
-        )
-    if not hist_cols:
-        return []
-    counts = (
-        compact.select("column", bin_case.alias("_bin"), "cnt")
-        .groupBy("column", "_bin")
-        .agg(F.sum("cnt").cast("bigint").alias("value"))
-    )
-    all_bins = spark.createDataFrame(
-        [(c, b) for c in hist_cols for b in range(int(bins))],
-        "column string, _bin int",
-    )
-    return (
-        all_bins.join(counts, ["column", "_bin"], "left")
-        .select(
-            "column",
-            F.concat(F.lit("hist_"), F.col("_bin")).alias("stat"),
-            F.coalesce("value", F.lit(0).cast("bigint")).alias("value"),
-        )
-        .collect()
-    )
-
-
-def _exact_quantile_rows(
+def _hist_and_quantile_rows(
     spark,
     compact: DataFrame,
     stat_rows,
     cols: Sequence[str],
+    bins: int,
     quantiles: Sequence[float],
-) -> List[tuple]:
-    """Nearest-rank quantile rows from the cached compact table, with
-    rank = max(1, ceil(q*n)) computed by the identical IEEE multiply
-    in both engines. Shared by profile_columns and
-    profile_from_shards.
+) -> tuple:
+    """(hist_rows, q_rows) from the cached compact table with ONE
+    aggregation job for both (round 13, second pass): the histogram
+    bin counts and the quantile coarse-bucket totals are independent
+    aggregates over the same cached table and previously cost two
+    sequential collect round trips — they now ride one tagged union
+    (the aggregations themselves are unchanged), and the missing-bin
+    zero fill that used a literal-frame left join happens on the
+    driver, where the literal frame came from. Shared by
+    profile_columns and profile_from_shards.
 
-    Round 13 (optimization): an exact two-phase BUCKETED pick instead
-    of a cumulative window partitioned only by column — on a
-    high-distinct column that window put the whole cumulative sum in
-    ONE task (583k rows at sf0.1; billions at scale — the guide §2.5
-    straggler shape). Phase 1 aggregates monotone coarse buckets
-    (integer shift, <=4096 per column) in parallel and collects the
-    KB-sized bucket table; the driver walks each column's bucket
-    prefix sums to find every rank's target bucket and the cumulative
-    count before it; phase 2 scans ONLY target-bucket values with a
-    tiny in-bucket window. ``cum_before + in-bucket cum >= rank`` is
-    the identical nearest-rank comparison, so values are bit-equal to
-    the window form (regression-pinned in tests)."""
-    if not quantiles:
-        return []
+    Histograms: min/max inlined from the already-collected stat rows
+    as literal CASE bin expressions — the same BIGINT DIV binning as
+    the oracle (see profile_histogram), over distinct VALUES weighted
+    by cnt, not raw rows.
+
+    Quantiles: exact two-phase BUCKETED pick instead of a cumulative
+    window partitioned only by column — on a high-distinct column
+    that window put the whole cumulative sum in ONE task (583k rows
+    at sf0.1; billions at scale — the guide §2.5 straggler shape).
+    Phase 1 aggregates monotone coarse buckets (integer shift, <=4096
+    per column) in parallel and collects the KB-sized bucket table;
+    the driver walks each column's bucket prefix sums to find every
+    rank's target bucket and the cumulative count before it; phase 2
+    scans ONLY target-bucket values with a tiny in-bucket window.
+    ``cum_before + in-bucket cum >= rank`` is the identical
+    nearest-rank comparison with rank = max(1, ceil(q*n)) computed by
+    the identical IEEE multiply in both engines, so values are
+    bit-equal to the window form (regression-pinned in tests)."""
     import math
 
     from pyspark.sql import Window
 
+    ranges: Dict[str, Dict[str, int]] = {}
+    for r in stat_rows:
+        if r["stat"] in ("min", "max"):
+            ranges.setdefault(r["column"], {})[r["stat"]] = r["value"]
+
+    # -- histogram branch (bins > 0) --
+    hist_cols: List[str] = []
+    hist_df = None
+    if int(bins) > 0:
+        bin_case = None
+        for c in cols:
+            mm = ranges.get(c, {})
+            if mm.get("min") is None or mm.get("max") is None:
+                continue  # all-null column: stats row already says so
+            hist_cols.append(c)
+            span = int(mm["max"]) - int(mm["min"]) + 1
+            binned = F.expr(
+                f"((mic - {int(mm['min'])}) * {int(bins)}) DIV {span}"
+            ).cast("int")
+            cond = F.col("column") == c
+            bin_case = (
+                F.when(cond, binned)
+                if bin_case is None
+                else bin_case.when(cond, binned)
+            )
+        if hist_cols:
+            hist_df = (
+                compact.select("column", bin_case.alias("_bin"), "cnt")
+                .groupBy("column", "_bin")
+                .agg(F.sum("cnt").cast("bigint").alias("_v"))
+                .select(
+                    "column",
+                    F.col("_bin").cast("bigint").alias("_k"),
+                    "_v",
+                    F.lit("h").alias("_tag"),
+                )
+            )
+
+    # -- quantile coarse-bucket branch --
     n_of = {
         r["column"]: r["value"] for r in stat_rows if r["stat"] == "n"
     }
@@ -570,38 +566,67 @@ def _exact_quantile_rows(
         for c in cols
         if n_of.get(c)
         for q in quantiles
-    ]
-    if not rank_rows:
-        return []
-    live = sorted({c for c, _, _ in rank_rows})
-    shift = {}
-    for c in live:
-        span = int(maxs[c]) - int(mins[c]) + 1
-        s = 0
-        while (span >> s) > 4096:
-            s += 1
-        shift[c] = s
-    lo_case = "CASE " + " ".join(
-        f"WHEN column = '{c}' THEN CAST({int(mins[c])} AS BIGINT)"
-        for c in live
-    ) + " END"
-    sh_case = "CASE " + " ".join(
-        f"WHEN column = '{c}' THEN {shift[c]}" for c in live
-    ) + " END"
-    b_expr = F.expr(
-        f"shiftright(CAST(mic AS BIGINT) - ({lo_case}), ({sh_case}))"
-    )
-    btot = (
-        compact.filter(F.col("column").isin(live))
-        .groupBy("column", b_expr.alias("_b"))
-        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-        .collect()
-    )
-    per_col: dict = {}
-    for r in btot:
-        per_col.setdefault(r["column"], []).append(
-            (int(r["_b"]), int(r["cnt"]))
+    ] if quantiles else []
+    buck_df = None
+    b_expr = None
+    if rank_rows:
+        live = sorted({c for c, _, _ in rank_rows})
+        shift = {}
+        for c in live:
+            span = int(maxs[c]) - int(mins[c]) + 1
+            s = 0
+            while (span >> s) > 4096:
+                s += 1
+            shift[c] = s
+        lo_case = "CASE " + " ".join(
+            f"WHEN column = '{c}' THEN CAST({int(mins[c])} AS BIGINT)"
+            for c in live
+        ) + " END"
+        sh_case = "CASE " + " ".join(
+            f"WHEN column = '{c}' THEN {shift[c]}" for c in live
+        ) + " END"
+        b_expr = F.expr(
+            f"shiftright(CAST(mic AS BIGINT) - ({lo_case}), ({sh_case}))"
         )
+        buck_df = (
+            compact.filter(F.col("column").isin(live))
+            .groupBy("column", b_expr.alias("_b"))
+            .agg(F.sum("cnt").cast("bigint").alias("_v"))
+            .select(
+                "column",
+                F.col("_b").alias("_k"),
+                "_v",
+                F.lit("b").alias("_tag"),
+            )
+        )
+
+    # -- ONE job for whichever branches exist --
+    fused = (
+        hist_df.unionByName(buck_df)
+        if hist_df is not None and buck_df is not None
+        else (hist_df if hist_df is not None else buck_df)
+    )
+    h_counts: dict = {}
+    per_col: dict = {}
+    if fused is not None:
+        for r in fused.collect():
+            if r["_k"] is None:
+                continue  # hist rows from columns outside hist_cols
+            if r["_tag"] == "h":
+                h_counts[(r["column"], int(r["_k"]))] = int(r["_v"])
+            else:
+                per_col.setdefault(r["column"], []).append(
+                    (int(r["_k"]), int(r["_v"]))
+                )
+    hist_rows = [
+        (c, f"hist_{b}", h_counts.get((c, b), 0))
+        for c in hist_cols
+        for b in range(int(bins))
+    ]
+
+    # -- in-bucket rank pick (tiny job) --
+    if not rank_rows:
+        return hist_rows, []
     for bl in per_col.values():
         bl.sort()
     target_rows = []
@@ -613,7 +638,7 @@ def _exact_quantile_rows(
                 break
             cum += cnt
     if not target_rows:
-        return []
+        return hist_rows, []
     targets_df = spark.createDataFrame(
         target_rows,
         "column string, stat string, rank bigint, tb bigint, "
@@ -624,7 +649,7 @@ def _exact_quantile_rows(
         .orderBy("mic")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return [
+    q_rows = [
         tuple(r)
         for r in (
             compact.withColumn("_b", b_expr)
@@ -637,6 +662,7 @@ def _exact_quantile_rows(
             .collect()
         )
     ]
+    return hist_rows, q_rows
 
 
 # ---------------------------------------------------------------------------
@@ -728,13 +754,8 @@ def profile_from_shards(
         ).collect()
         # bins=0 skips histograms entirely — the right call when the
         # consumer (e.g. profile_drift) reads named stats only
-        hist_rows = (
-            _exact_hist_rows(spark, compact, stat_rows, cols, bins)
-            if int(bins) > 0
-            else []
-        )
-        q_rows = _exact_quantile_rows(
-            spark, compact, stat_rows, cols, quantiles
+        hist_rows, q_rows = _hist_and_quantile_rows(
+            spark, compact, stat_rows, cols, bins, quantiles
         )
     finally:
         merged.unpersist()
