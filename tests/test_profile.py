@@ -254,6 +254,27 @@ def test_profile_shards_merge_identity(spark, sf_dir):
     assert got == whole
 
 
+def test_profile_quantiles_without_histograms(spark):
+    """bins=0 with quantiles — the fused hist+bucket job (round 13)
+    runs its bucket-totals branch alone: no hist_* rows, and the
+    nearest-rank quantiles are identical to the bins>0 call (the
+    histogram aggregate must not perturb the pick)."""
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "x double"
+    )
+    qs = (0.25, 0.5, 0.99)
+    rows0 = profile_columns(df, ["x"], bins=0, quantiles=qs).collect()
+    assert not any(r["stat"].startswith("hist_") for r in rows0)
+    got0 = {k: v for k, v in _as_map(rows0).items() if k[1].startswith("p")}
+    rows8 = profile_columns(df, ["x"], bins=8, quantiles=qs).collect()
+    got8 = {k: v for k, v in _as_map(rows8).items() if k[1].startswith("p")}
+    assert got0 == got8 == {
+        ("x", "p25"): 25_000_000,
+        ("x", "p50"): 50_000_000,
+        ("x", "p99"): 99_000_000,
+    }
+
+
 def test_profile_shards_hierarchical_and_parquet_roundtrip(spark, tmp_path):
     """Artifacts are plain 3-column frames: they survive a parquet
     round trip, and merges are associative — a merge of merged
