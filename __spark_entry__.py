@@ -571,6 +571,34 @@ _SHARED_STREAM_MEMO: dict = {}
 _SHARED_STREAM_LOCK = __import__("threading").Lock()
 
 
+def _pool_width(n_parts: int) -> int:
+    """Concurrent-leg pool width (guide §2.6), scale-aware (VERDICT
+    r13 #3). Width = min(part count, session cores), floored at 2: on
+    local[32] every composite keeps its round-13 all-legs-at-once
+    start (all part counts are <= 16), while an 8-core driver run —
+    or any deployment with fewer cores than parts — submits at most
+    as many concurrent jobs as there are cores to back-fill.
+    ``SPARK_GRAFT_LEG_POOL`` overrides the cap outright: set it to
+    2-3 on a saturated shared cluster, per the guide's "2-3 jobs in
+    flight is plenty". Scheduler assumption, made explicit: these
+    pools rely on Spark's default FIFO job scheduling — an earlier
+    job's straggler tail is back-filled by later jobs' tasks, which
+    is exactly the §2.6 behaviour the composites want; no FAIR
+    scheduler pools are assumed or configured."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_LEG_POOL")
+    if env:
+        return max(1, min(int(n_parts), int(env)))
+    try:
+        cores = int(
+            SparkSession.getActiveSession().sparkContext.defaultParallelism
+        )
+    except Exception:
+        cores = os.cpu_count() or 8
+    return max(2, min(int(n_parts), cores))
+
+
 def _concurrent_union(builders) -> DataFrame:
     """Build independent composite legs on a thread pool and union in
     the given order (the expr_runner_agg/stats_suite pattern,
@@ -584,7 +612,7 @@ def _concurrent_union(builders) -> DataFrame:
     builders = list(builders)
     if len(builders) == 1:
         return builders[0]()
-    with ThreadPoolExecutor(max_workers=min(8, len(builders))) as ex:
+    with ThreadPoolExecutor(max_workers=_pool_width(len(builders))) as ex:
         frames = list(ex.map(lambda b: b(), builders))
     out = frames[0]
     for f in frames[1:]:
@@ -2189,8 +2217,9 @@ def q_expr_runner_agg(
     # pool width = part count (round 13): with 13 parts and an 8-wide
     # pool the tail legs ('drift' 2.4 s, 'psi_cat' 2.2 s) queued behind
     # the first eight; every leg now starts at t=0 and the composite
-    # costs its critical chain, not the queue.
-    with ThreadPoolExecutor(max_workers=len(selected)) as ex:
+    # costs its critical chain, not the queue. Round 14: capped at the
+    # session core count (_pool_width) — identical on local[32].
+    with ThreadPoolExecutor(max_workers=_pool_width(len(selected))) as ex:
         frames = list(ex.map(lambda p: builders[p](), selected))
     out = frames[0]
     for f in frames[1:]:
@@ -4737,7 +4766,7 @@ def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unchanged.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as ex:
+    with ThreadPoolExecutor(max_workers=_pool_width(4)) as ex:
         f_tfidf = ex.submit(b_tfidf)
         f_bm25 = ex.submit(b_bm25_unit)
         f_fused = ex.submit(b_fused)
@@ -6754,7 +6783,7 @@ def q_skew_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     builders = [b_salted, b_skew, b_rel, b_pr, b_snap, b_js, b_ha]
-    with ThreadPoolExecutor(max_workers=len(builders)) as ex:
+    with ThreadPoolExecutor(max_workers=_pool_width(len(builders))) as ex:
         frames = list(ex.map(lambda b: b(), builders))
     if "p" in prep_box:
         # both graph legs' results depend only on their final iteration
@@ -8953,7 +8982,7 @@ def q_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged stores are behind _staged's per-key locks.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=10) as ex:
+    with ThreadPoolExecutor(max_workers=_pool_width(10)) as ex:
         f_sem = ex.submit(b_sem)
         f_proj = ex.submit(b_proj)
         f_pq = ex.submit(b_pq_unit)
@@ -9735,8 +9764,10 @@ def q_stats_suite(
         from concurrent.futures import ThreadPoolExecutor
 
         # pool width = part count (round 13): 14 parts on an 8-wide
-        # pool queued the tail legs behind the heavy first eight
-        with ThreadPoolExecutor(max_workers=len(selected)) as ex:
+        # pool queued the tail legs behind the heavy first eight.
+        # Round 14: capped at session cores (_pool_width) — identical
+        # on local[32].
+        with ThreadPoolExecutor(max_workers=_pool_width(len(selected))) as ex:
             frames = [
                 f
                 for fs in ex.map(lambda p: builders[p](), selected)

@@ -455,24 +455,60 @@ def ngram_jaccard_pairs(
     blocking column (length bucket, language, LSH band, ...): pairs form
     only within a block, turning the crossJoin into a shuffle join on
     the block key.  ``minhash_lsh_pairs`` is this operator with LSH
-    bands as the block."""
+    bands as the block.
+
+    Round 14 (performance; identical rows by construction):
+
+    - ``|A∪B| = |A| + |B| - |A∩B|`` for the distinct shingle arrays,
+      so the jaccard needs ONE array traversal (intersect), not two —
+      the sizes are equal as integers, so the double division is
+      bit-identical to the array_union form.
+    - the authored join condition orders the cheap predicates first
+      (id <, then the size-ratio bound, then the jaccard) and carries
+      the threshold itself, so the optimizer has no separate filter to
+      push ahead of them: pre-round-14 the pushed ``jaccard >=
+      threshold`` evaluated the array ops for EVERY ordered candidate
+      pair before the id< check ran. The size-ratio bound never drops
+      a qualifying pair: |A∩B| <= min and |A∪B| >= max, and correctly
+      rounded IEEE division is monotone in each operand, so jaccard <=
+      min/max — a pair with min/max < threshold cannot reach it. (Both
+      empty: ratio = NaN = the old jaccard itself, false either way.)
+    - the all-pairs (no block_col) path hash-repartitions the probe
+      side by id across the session's cores: the capped input
+      otherwise sits in 1-2 scan partitions and the whole O(n^2)
+      evaluation runs on 1-2 cores."""
     base = with_shingles(df, text_col, k, out="__sh").select(
         F.col(id_col).alias("id"),
         F.col("__sh").alias("sh"),
+        F.size(F.col("__sh")).cast("double").alias("__n"),
         (block_col if block_col is not None else F.lit(0)).alias("blk"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    probe = base
+    if block_col is None:
+        spark = df.sparkSession
+        probe = base.repartition(
+            int(spark.sparkContext.defaultParallelism), F.col("id")
+        )
+    a, b = probe.alias("a"), base.alias("b")
+    jac = (
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+        / (
+            F.col("a.__n") + F.col("b.__n")
+            - F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+        )
+    )
+    ratio = F.least("a.__n", "b.__n") / F.greatest("a.__n", "b.__n")
     pairs = a.join(
         b,
-        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (ratio >= F.lit(float(threshold)))
+        & (jac >= F.lit(float(threshold))),
     )
-    jac = (
-        F.size(F.array_intersect("a.sh", "b.sh"))
-        / F.size(F.array_union("a.sh", "b.sh"))
-    ).alias("jaccard")
-    return (
-        pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac)
-        .filter(F.col("jaccard") >= threshold)
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        jac.alias("jaccard"),
     )
 
 
@@ -775,6 +811,8 @@ def connected_components(
     from ..plans.blocks import release_local_checkpoint
 
     comp_type = labels.schema["component"].dataType
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("id").alias("b"), "component"), "b"
@@ -788,9 +826,16 @@ def connected_components(
         # can't be silently recomputed from lost lineage mid-round.
         # Round 13: the previous label rides through the aggregation as
         # ``__old`` (max() sees exactly the one non-null labels row per
-        # id), so the convergence check is a filter-count over the new
-        # checkpoint's blocks instead of a shuffle join of new labels
-        # against old — one fewer join job per round, same count.
+        # id), so the convergence check needs no join of new labels
+        # against old. Round 14: the convergence count rides the
+        # CHECKPOINT job itself as an observed metric — the separate
+        # filter-count pass over the new checkpoint's blocks is gone
+        # (one fewer job and one fewer |V|-row read per round, at any
+        # scale), and ``__old`` no longer needs to be materialized in
+        # the checkpoint blocks. max(__old) sees exactly the one
+        # non-null labels row per id, so the observed count equals the
+        # old filter-count bit for bit.
+        obs = Observation()
         new_labels = (
             labels.select(
                 "id", "component", F.col("component").alias("__old")
@@ -801,16 +846,21 @@ def connected_components(
                 F.min("component").alias("component"),
                 F.max("__old").alias("__old"),
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("component") != F.col("__old"), True)
+                ).alias("changed"),
+            )
+            .select("id", "component")
             .localCheckpoint()
         )
-        changed = new_labels.filter(
-            F.col("component") != F.col("__old")
-        ).count()
-        # the convergence count was the last reader of the old round's
-        # checkpoint — free its blocks (round-10 hygiene: plain
-        # unpersist() cannot release checkpoint blocks and they
-        # otherwise accumulate one dead state copy per round for the
-        # whole session; see plans/blocks.py)
+        changed = int(obs.get["changed"])
+        # the old round's checkpoint has no readers left — free its
+        # blocks (round-10 hygiene: plain unpersist() cannot release
+        # checkpoint blocks and they otherwise accumulate one dead
+        # state copy per round for the whole session; see
+        # plans/blocks.py)
         release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:

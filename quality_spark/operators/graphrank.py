@@ -182,11 +182,25 @@ def pagerank(
         )
     )
 
+    from pyspark.sql import Observation
+
     prev_ckpt = None
+    dsum_val: Optional[int] = None
     for _ in range(int(iters)):
-        dsum = ranks.filter("__dang").agg(
-            F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("__d")
-        )
+        # dangling mass as a DRIVER-SIDE bigint literal. Iteration 1
+        # collects it with the same filter-sum the old broadcast
+        # carried (the 1-row aggregate job that used to feed the
+        # crossJoin); every later iteration reads it from the metric
+        # OBSERVED on the previous round's checkpoint job — the
+        # per-iteration |V|-row dangling-sum pass (and its broadcast
+        # exchange) disappears at any scale. The literal feeds the
+        # IDENTICAL Spark-side div arithmetic below, so r is
+        # bit-identical to the broadcast-column form.
+        if dsum_val is None:
+            row = ranks.filter("__dang").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("__d")
+            ).collect()[0]
+            dsum_val = int(row["__d"])
         # presence fold (the connected-components trick): instead of a
         # nodes-vs-contrib left join per round, every node rides into
         # the contribution aggregation as one marker row (NULL __c, so
@@ -216,22 +230,30 @@ def pagerank(
                 F.sum("__c").cast("bigint").alias("__cs"),
             )
         )
+        obs = Observation()
         ranks = (
-            folded.crossJoin(F.broadcast(dsum))
-            .select(
+            folded.select(
                 "node",
                 "__dang",
                 (
                     F.lit(base).cast("bigint")
                     + F.expr(
-                        f"CAST({d_num} AS BIGINT) * __d div "
+                        f"CAST({d_num} AS BIGINT) * "
+                        f"CAST({dsum_val} AS BIGINT) div "
                         f"(CAST({d_den} AS BIGINT) * {n})"
                     )
                     + F.coalesce(F.col("__cs"), F.lit(0).cast("bigint"))
                 ).alias("r"),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(F.col("__dang"), F.col("r"))), F.lit(0)
+                ).cast("bigint").alias("__d"),
+            )
             .localCheckpoint()
         )
+        dsum_val = int(obs.get["__d"])
         # the new checkpoint is self-contained: release the previous
         # round's blocks (leaked checkpoints pressure the block
         # manager for the rest of the session — measured as drift on
