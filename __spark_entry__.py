@@ -1843,6 +1843,7 @@ def q_expr_runner_agg(
         profile_psi,
         profile_shard,
         profile_shard_approx,
+        profiles_from_shard_groups,
     )
     from quality_spark.operators.suggest import (
         suggested_in_set_rule_texts,
@@ -2175,12 +2176,15 @@ def q_expr_runner_agg(
     def p_drift():
         # profile drift between the two parity shards — integer-exact
         # ratios/deltas/range-breach; the oracle recomputes BOTH half
-        # profiles and the same metric arithmetic in SQL
+        # profiles and the same metric arithmetic in SQL. Round 14:
+        # both half profiles ride ONE tagged aggregation/collect
+        # (profiles_from_shard_groups) instead of a sequential job per
+        # half — same accumulators and finishers, bit-identical rows.
         sh = shards()
-        return profile_drift(
-            profile_from_shards([sh[0]], list(_PROFILE_COLS), bins=0),
-            profile_from_shards([sh[1]], list(_PROFILE_COLS), bins=0),
-        ).select(
+        half_a, half_b = profiles_from_shard_groups(
+            [[sh[0]], [sh[1]]], list(_PROFILE_COLS)
+        )
+        return profile_drift(half_a, half_b).select(
             F.lit("drift").alias("part"),
             F.concat("column", F.lit(":"), "metric").alias("k"),
             F.col("value").cast("string").alias("v"),
@@ -2542,6 +2546,12 @@ def q_media_features(
         extract_media_features,
     )
 
+    # round 14, examined and left alone (guide §2.5): the 200 gate
+    # rows land in ONE scan partition, but an interleaved A/B of
+    # doc_id-hash repartition widths {1,4,8,16} measured equal (w4) to
+    # 2x WORSE (w16) — 15 parts already give 15-way stage parallelism
+    # and the per-task Arrow/python-worker handshakes dominate 200-row
+    # chains. The repartition was reverted.
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = as_media_column(
         docs.select("doc_id", F.encode("text", "utf-8").alias("payload")),
@@ -2922,10 +2932,11 @@ def q_media_features(
         ),
     }
     sel = tuple(built) if only is None else tuple(only)
-    out = built[sel[0]]()
-    for p in sel[1:]:
-        out = out.unionByName(built[p]())
-    return out
+    # round 14: the 15 parts' PLAN construction (pandas_udf pickling +
+    # py4j chatter; imghash collects its banded pairs eagerly) runs on
+    # the shared leg pool instead of serially — union order unchanged,
+    # so rows and schema are identical.
+    return _concurrent_union([built[p] for p in sel])
 
 
 def _oracle_media_features() -> str:

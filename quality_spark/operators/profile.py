@@ -146,12 +146,16 @@ def _stats_long(df: DataFrame, compact: DataFrame, cols: Sequence[str]) -> DataF
     return _stat_rows_select(joined, n, f"_total - {n}")
 
 
-def _per_col_aggs(compact: DataFrame) -> DataFrame:
+def _per_col_aggs(
+    compact: DataFrame, keys: Sequence[str] = ("column",)
+) -> DataFrame:
     """The per-column stat accumulators over a (column, mic, cnt)
     frequency table (null-mic rows must be filtered out first) —
     shared by the single-frame and the merged-shards paths, so the
-    two are bit-identical by construction."""
-    return compact.groupBy("column").agg(
+    two are bit-identical by construction. ``keys`` widens the
+    grouping (e.g. a shard-group tag) without touching the
+    accumulator expressions."""
+    return compact.groupBy(*keys).agg(
         F.expr("CAST(sum(cnt) AS BIGINT)").alias("_n"),
         F.expr("CAST(count(*) AS BIGINT)").alias("_dist"),
         F.expr("min(mic)").alias("_min"),
@@ -167,10 +171,14 @@ def _per_col_aggs(compact: DataFrame) -> DataFrame:
     )
 
 
-def _stat_rows_select(joined: DataFrame, n: str, n_null: str) -> DataFrame:
+def _stat_rows_select(
+    joined: DataFrame, n: str, n_null: str, keep: Sequence[str] = ("column",)
+) -> DataFrame:
     """(column, stat, value) from a joined accumulator frame — the
     DIV / floor(sqrt(double)) finishers shared by every exact path
-    (single frame, merged shards) and mirrored by the oracle."""
+    (single frame, merged shards) and mirrored by the oracle.
+    ``keep`` carries extra grouping columns (e.g. a shard-group tag)
+    through unchanged."""
     std = (
         f"CASE WHEN {n} > 1 AND {_std_safe_sql('_dsum', '_dssq', n)} "
         f"THEN CAST(floor(sqrt("
@@ -192,8 +200,12 @@ def _stat_rows_select(joined: DataFrame, n: str, n_null: str) -> DataFrame:
         ]
     )
     return joined.select(
-        "column", F.explode(F.expr(f"array({pairs})")).alias("_sv")
-    ).select("column", F.col("_sv.stat").alias("stat"), F.col("_sv.value").alias("value"))
+        *keep, F.explode(F.expr(f"array({pairs})")).alias("_sv")
+    ).select(
+        *keep,
+        F.col("_sv.stat").alias("stat"),
+        F.col("_sv.value").alias("value"),
+    )
 
 
 def profile_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -763,6 +775,67 @@ def profile_from_shards(
         stat_rows + q_rows + hist_rows,
         "column string, stat string, value bigint",
     )
+
+
+def profiles_from_shard_groups(
+    groups: Sequence[Sequence[DataFrame]], cols: Sequence[str]
+) -> List[DataFrame]:
+    """N stats-only shard-group profiles in ONE job (round 14): the
+    bit-identical equivalent of ``[profile_from_shards(g, cols,
+    bins=0) for g in groups]``, but every group's artifact union rides
+    one tagged aggregation and one driver collect instead of a
+    sequential collect per group. Used where several shard profiles
+    are consumed together (profile_drift's baseline+current); the
+    accumulator expressions and DIV / floor(sqrt(double)) finishers
+    are the shared ``_per_col_aggs`` / ``_stat_rows_select`` code, so
+    values are bit-identical to the per-group path (the extra ``_g``
+    grouping key changes row routing, not any exact integer/decimal
+    aggregate)."""
+    if not groups or any(not g for g in groups):
+        raise ValueError("profiles_from_shard_groups needs non-empty groups")
+    tagged = None
+    for gi, shards in enumerate(groups):
+        m = shards[0]
+        for s in shards[1:]:
+            m = m.unionByName(s)
+        m = m.select(F.lit(gi).alias("_g"), "column", "mic", "cnt")
+        tagged = m if tagged is None else tagged.unionByName(m)
+    merged = tagged.groupBy("_g", "column", "mic").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    spark = merged.sparkSession
+    compact = merged.filter(F.col("mic").isNotNull())
+    nulls = merged.filter(F.col("mic").isNull()).select(
+        "_g", "column", F.col("cnt").alias("_nulls")
+    )
+    all_cols = spark.createDataFrame(
+        [(gi, c) for gi in range(len(groups)) for c in cols],
+        "_g int, column string",
+    )
+    joined = (
+        all_cols.join(
+            _per_col_aggs(compact, keys=("_g", "column")),
+            ["_g", "column"],
+            "left",
+        )
+        .join(F.broadcast(nulls), ["_g", "column"], "left")
+    )
+    n = "coalesce(_n, CAST(0 AS BIGINT))"
+    rows = _stat_rows_select(
+        joined, n, "coalesce(_nulls, CAST(0 AS BIGINT))",
+        keep=("_g", "column"),
+    ).collect()
+    by_g: Dict[int, list] = {}
+    for r in rows:
+        by_g.setdefault(int(r["_g"]), []).append(
+            (r["column"], r["stat"], r["value"])
+        )
+    return [
+        spark.createDataFrame(
+            by_g.get(gi, []), "column string, stat string, value bigint"
+        )
+        for gi in range(len(groups))
+    ]
 
 
 def profile_by_group(
@@ -1505,31 +1578,58 @@ def categorical_psi(
     table is |union domain| rows per column): a column whose union
     domain exceeds it raises — use the numeric fixed-bin path (or a
     hashed bucketing) for high-cardinality columns instead of
-    silently collecting a data-sized table."""
+    silently collecting a data-sized table.
+
+    Round 14 (performance; identical output): ONE job for all columns
+    and both sides — each side's per-column value counts come from a
+    single posexplode pass (null elements explode to the NULL
+    category), tagged and re-added in one groupBy, instead of a
+    sequential (2 scans + full-outer join + collect) job PER column.
+    The per-column driver guard survives as a row_number cap over the
+    aggregated (domain-sized, never data-sized) table, raising on the
+    same ``> max_card`` condition. The counts are the same integers
+    and the fold below is the same Python arithmetic, so every emitted
+    value is bit-identical."""
     import math
 
-    def counts(df, c):
-        return (
-            df.groupBy(F.col(c).cast("string").alias("v"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        )
+    from pyspark.sql import Window
 
     spark = baseline.sparkSession
-    rows: List[tuple] = []
-    for c in cols:
-        a = counts(baseline, c).withColumnRenamed("cnt", "ca")
-        b = counts(current, c).withColumnRenamed("cnt", "cb")
-        # eqNullSafe: the NULL category must MATCH across sides (a
-        # name-based full outer join would keep two separate NULL
-        # rows — SQL join semantics — and double-count the domain)
-        joined = a.join(
-            b, a["v"].eqNullSafe(b["v"]), "full_outer"
-        ).select(
-            F.coalesce(a["v"], b["v"]).alias("v"),
-            F.coalesce("ca", F.lit(0)).alias("ca"),
-            F.coalesce("cb", F.lit(0)).alias("cb"),
+
+    def side_counts(df, tag):
+        arr = F.array(*[F.col(c).cast("string") for c in cols])
+        return (
+            df.select(F.posexplode_outer(arr).alias("_ci", "v"))
+            .groupBy("_ci", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .select("_ci", "v", F.lit(tag).alias("_t"), "cnt")
         )
-        vals = joined.limit(int(max_card) + 1).collect()
+
+    both = (
+        side_counts(baseline, "a")
+        .unionByName(side_counts(current, "b"))
+        .groupBy("_ci", "v")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_t") == "a", F.col("cnt"))), F.lit(0)
+            ).cast("bigint").alias("ca"),
+            F.coalesce(
+                F.sum(F.when(F.col("_t") == "b", F.col("cnt"))), F.lit(0)
+            ).cast("bigint").alias("cb"),
+        )
+    )
+    w = Window.partitionBy("_ci").orderBy(F.col("v").asc_nulls_first())
+    capped = both.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= int(max_card) + 1
+    )
+    by_col: Dict[int, list] = {}
+    for r in capped.collect():
+        by_col.setdefault(int(r["_ci"]), []).append(
+            (r["v"], int(r["ca"]), int(r["cb"]))
+        )
+    rows: List[tuple] = []
+    for ci, c in enumerate(cols):
+        vals = by_col.get(ci, [])
         if len(vals) > int(max_card):
             raise ValueError(
                 f"column {c!r}: union value domain exceeds max_card="
@@ -1539,8 +1639,7 @@ def categorical_psi(
         # ascending value order, NULL first — matches the oracle's
         # ORDER BY v NULLS FIRST under binary/UTF-8 collation
         ordered = sorted(
-            ((r["v"], int(r["ca"]), int(r["cb"])) for r in vals),
-            key=lambda t: (t[0] is not None, t[0]),
+            vals, key=lambda t: (t[0] is not None, t[0])
         )
         na = sum(t[1] for t in ordered)
         nb = sum(t[2] for t in ordered)
