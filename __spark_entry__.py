@@ -667,12 +667,10 @@ def _shared_streams_build(
         batch.coalesce(4).write.mode("overwrite").parquet(root)
         return root
 
-    def build_sessions(root):
-        batch = read_parquet_compat(spark, f"{sf_dir}/events.parquet").filter(
-            F.col("user_id") < 50
-        )
-        batch.coalesce(4).write.mode("overwrite").parquet(root)
-        return root
+    # round 14: the sessionization chain shares the fs/wdq chains'
+    # staged events dir and filters IN-STREAM (identical rows: the old
+    # sessin staging wrote exactly events WHERE user_id < 50) — one
+    # fewer staged parquet write on the cold-startup path.
 
     def build_store_in(root):
         sub = _read(spark, sf_dir, "events").filter(F.col("user_id") % 3 == 0)
@@ -769,10 +767,12 @@ def _shared_streams_build(
     sess_path_out = f"{out_root}/sessions"
 
     def chain_sessions():
-        sess_path = _staged("sessin", sf_dir, build_sessions)
+        sess_path = _staged("fsin", sf_dir, build_events)
         sess_schema = spark.read.parquet(sess_path).schema
         sess = sessionized_stream_stats(
-            scoped.readStream.schema(sess_schema).parquet(sess_path),
+            scoped.readStream.schema(sess_schema)
+            .parquet(sess_path)
+            .filter(F.col("user_id") < 50),
             ["user_id"],
             "ts",
             gap="30 minutes",
